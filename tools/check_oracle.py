@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <verify_out_dir>/<name> parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB over the sf_dir parquet tables,
+then compares: column names (sorted), row count, and a hash of the values with
+columns sorted by name and rows sorted. Exact value equality — if this passes,
+any reasonable driver-side hash passes."""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [c for c in sorted(cols)], out
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        rdir = f"{outdir}/{name}"
+        files = glob.glob(f"{rdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result parquet at {rdir}")
+            failures += 1
+            continue
+        got = con.execute(f"SELECT * FROM read_parquet('{rdir}/*.parquet')")
+        gcols = [d[0] for d in got.description]
+        grows = got.fetchall()
+        try:
+            exp = con.execute(sql)
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        ecols = [d[0] for d in exp.description]
+        erows = exp.fetchall()
+        gc, gr = canon(grows, gcols)
+        ec, er = canon(erows, ecols)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} != {ec}")
+            failures += 1
+        elif len(gr) != len(er):
+            print(f"FAIL {name}: rowcount {len(gr)} != {len(er)}")
+            failures += 1
+        elif gr != er:
+            diff = [(a, b) for a, b in zip(gr, er) if a != b][:3]
+            print(f"FAIL {name}: values differ, first diffs: {diff}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(gr)} rows)")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main()
