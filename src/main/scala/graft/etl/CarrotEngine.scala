@@ -1,0 +1,308 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.DateNorm
+import graft.ops.IdAssign
+
+/** The Spark-native execution of a compiled Carrot rules file.
+  *
+  * Architecture (SURVEY §7.1) — NOT a port of the reference's row loop:
+  * the rules compile into per-(source table, target table) DataFrame plan
+  * branches built from literal lookup maps + `posexplode` fan-out, the person
+  * dictionary becomes a broadcast inner join, and auto-numbering is a
+  * zipWithIndex dense-ID pass. All data columns stay verbatim strings.
+  *
+  * Dataflow per source file:
+  *   read (all-string + `_row_idx`) → date normalize+filter (T1) →
+  *   per mapping/per concept-field branch: validity gate (T2) → literal-map
+  *   concept lookup (T4) → posexplode combos (T5) → OMOP projection
+  *   (T6-T11) → union → dense auto-number (T12) → broadcast person join (J1).
+  */
+final class CarrotEngine(
+    spark: SparkSession,
+    schema: OmopSchema,
+    rules: CarrotRules,
+    readSource: String => DataFrame,
+    useInputPersonIds: Boolean = false,
+    lastUsedIds: Map[String, Long] = Map.empty) {
+
+  import CarrotEngine._
+
+  private val personMapping: TableMapping =
+    rules.tables.find(_.target == "person")
+      .getOrElse(sys.error("rules contain no person table mapping"))
+
+  /** Raw per-source DataFrames (cached: each source feeds the person lookup
+    * and/or several target branches). */
+  private lazy val rawSources: Map[String, DataFrame] =
+    rules.sourceTables.map(s => s -> readSource(s).cache()).toMap
+
+  /** J2: the person dictionary, built from the RAW person file (strict
+    * date-only birthdate validation — not the lax T1 normalizer). */
+  lazy val personLookup: DataFrame =
+    PersonLookup.build(rawSources(personMapping.source),
+      personMapping.personIdSource, personMapping.dateSource, useInputPersonIds).cache()
+
+  /** Date-normalized view per source file: the designated datetime column is
+    * replaced by its normalized value and unparseable rows are dropped for
+    * ALL targets (reference mutates `indata[datetime_col]` in place,
+    * `run.py:229-242`). */
+  private lazy val prepared: Map[String, DataFrame] = rawSources.map { case (src, df) =>
+    val dateCols = rules.forSource(src).map(_.dateSource).distinct
+    val out = dateCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, DateNorm.normalise8601(col(c)))
+    }
+    src -> dateCols.foldLeft(out)((d, c) => d.filter(col(c).isNotNull))
+  }
+
+  /** All target tables this rules file populates, each as an OMOP-shaped
+    * all-string DataFrame (DDL column order; auto-number assigned; person IDs
+    * replaced via the dictionary). */
+  def run(): Map[String, DataFrame] = {
+    val byTarget = rules.tables.groupBy(_.target)
+    byTarget.map { case (target, mappings) =>
+      val branches = mappings.flatMap { m =>
+        if (target == "person") Seq(buildPersonBranch(m)) else buildStandardBranches(m)
+      }
+      val unioned = branches.reduce(_.unionByName(_))
+      target -> finalizeTarget(target, unioned)
+    }
+  }
+
+  // ------------------------------------------------------------ standard
+
+  /** One branch per concept-mapped source field (T13 column pruning is
+    * implicit: only referenced columns appear, Catalyst prunes the scan). */
+  private def buildStandardBranches(m: TableMapping): Seq[DataFrame] = {
+    val src = prepared(m.source)
+    val fileIdx = rules.sourceTables.indexOf(m.source)
+
+    m.conceptMappings.zipWithIndex.map { case (cm, ci) =>
+      val (known, fallback) = cm.effectiveCombos(rules.v1Compat)
+      val v     = col(cm.sourceField)
+      val valid = trim(v) =!= ""
+
+      val lenLit   = typedLit(known.map { case (k, c) => k -> c.length })
+      val fallbackLen: Column =
+        if (fallback.nonEmpty) lit(fallback.length) else lit(null).cast("int")
+      val nCombos = when(valid, coalesce(element_at(lenLit, v), fallbackLen))
+
+      val dests = (known.valuesIterator.flatten ++ fallback.iterator).flatMap(_.keys).toSeq.distinct
+      def conceptArr(d: String): Column = {
+        val knownArr = typedLit(known.map { case (k, c) => k -> c.map(_.get(d).map(_.toString).orNull) })
+        val fbArr: Column =
+          if (fallback.nonEmpty) typedLit(fallback.map(_.get(d).map(_.toString).orNull))
+          else lit(null).cast("array<string>")
+        coalesce(element_at(knownArr, v), fbArr)
+      }
+
+      val exploded = src
+        .withColumn(ComboIdx, explode(sequence(lit(0), nCombos - 1)))
+
+      val conceptValue: Map[String, Column] =
+        dests.map(d => d -> element_at(conceptArr(d), col(ComboIdx) + 1)).toMap
+
+      val projected = projectOmop(m, exploded, conceptValue,
+        origs = cm.originalValueFields.map(_ -> v).toMap ++ cm.extraCopies.map { case (sf, df) => df -> col(sf) },
+        fileIdx = fileIdx, cmIdx = ci)
+
+      dropInvalidComponents(m, projected)
+    }
+  }
+
+  // ------------------------------------------------------------ person
+
+  /** Person rows merge concept contributions from ALL mapped fields of the
+    * row (reference `record_builder.py:199-292` / `core.py:78-96`), with
+    * first-row-wins dedupe per source ID in v2 (D1: the row claims the slot
+    * even if it yields no record) and NO cross-row dedupe in v1 (D2). */
+  private def buildPersonBranch(m: TableMapping): DataFrame = {
+    val fileIdx = rules.sourceTables.indexOf(m.source)
+    val base0 = prepared(m.source)
+
+    val base =
+      if (rules.v1Compat) base0
+      else {
+        // v2 D1: the FIRST row per source person id claims the slot
+        val w = Window.partitionBy(col(m.personIdSource)).orderBy(col(CsvSource.RowIdx))
+        base0.withColumn("_prn", row_number().over(w)).filter(col("_prn") === 1).drop("_prn")
+      }
+
+    // per-field compiled contributions
+    final case class FieldPlan(cm: ConceptMapping, valid: Column, matchLen: Column,
+                               conceptArr: String => Column, matched: Column, applyAlways: Boolean)
+
+    val plans = m.conceptMappings.map { cm =>
+      val v     = col(cm.sourceField)
+      val valid = trim(v) =!= ""
+      // v1 person concepts: dict terms are exact-match-only; scalar terms were
+      // flattened into the plain list and apply unconditionally.
+      val exact    = (cm.valueMappings.keySet - "*").map(k => k -> Rules.combinations(cm.valueMappings(k))).toMap
+      val wildcard = cm.valueMappings.get("*").map(Rules.combinations).getOrElse(Seq.empty)
+
+      val lenLit = typedLit(exact.map { case (k, c) => k -> c.length })
+      val fbLen: Column = if (wildcard.nonEmpty) lit(wildcard.length) else lit(null).cast("int")
+      val matchLen =
+        if (rules.v1Compat) {
+          val exactLen = element_at(lenLit, v)
+          if (wildcard.nonEmpty) coalesce(when(valid, exactLen), lit(wildcard.length))
+          else when(valid, exactLen)
+        } else when(valid, coalesce(element_at(lenLit, v), fbLen))
+
+      def conceptArr(d: String): Column = {
+        val knownArr = typedLit(exact.map { case (k, c) => k -> c.map(_.get(d).map(_.toString).orNull) })
+        val fbArr: Column =
+          if (wildcard.nonEmpty) typedLit(wildcard.map(_.get(d).map(_.toString).orNull))
+          else lit(null).cast("array<string>")
+        if (rules.v1Compat && wildcard.nonEmpty) coalesce(element_at(knownArr, v), fbArr)
+        else if (rules.v1Compat) element_at(knownArr, v)
+        else when(matchLen.isNotNull, coalesce(element_at(knownArr, v), fbArr))
+      }
+      FieldPlan(cm, valid, matchLen, conceptArr, matched = matchLen.isNotNull,
+        applyAlways = rules.v1Compat && wildcard.nonEmpty)
+    }
+
+    val anyConcept = plans.map(_.matched).reduceOption(_ || _).getOrElse(lit(false))
+    val anyOrig = plans.filter(_.cm.originalValueFields.nonEmpty).map { p =>
+      // v1 nests copies under the term values → value-gated; v2 gates on validity only
+      if (rules.v1Compat && (p.cm.valueMappings.keySet - "*").nonEmpty) p.matched else p.valid
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+    // record-emission gate (dialect difference, SURVEY D1/D2 + core.py:50-53):
+    // v1 emits whenever the first data field is non-empty; v2 only when some
+    // field contributed concepts or original values.
+    val gate =
+      if (rules.v1Compat)
+        plans.headOption.map(_.valid).getOrElse(lit(true))
+      else anyConcept || anyOrig
+
+    val lenCandidates = plans.map(p => coalesce(p.matchLen, lit(0))) :+ lit(1)
+    val maxLen = if (lenCandidates.size == 1) lenCandidates.head else greatest(lenCandidates: _*)
+
+    val exploded = base
+      .filter(gate)
+      .withColumn(ComboIdx, explode(sequence(lit(0), maxLen - 1)))
+
+    // dest -> concept value, later fields win (Python dict.update order)
+    val destsPerPlan = plans.map { p =>
+      p -> (p.cm.valueMappings.valuesIterator.flatMap(_.keys)).toSeq.distinct
+    }
+    val allDests = destsPerPlan.flatMap(_._2).distinct
+    val conceptValue: Map[String, Column] = allDests.map { d =>
+      val candidates = destsPerPlan.reverse.collect { case (p, ds) if ds.contains(d) =>
+        val arr = p.conceptArr(d)
+        element_at(arr, least(col(ComboIdx) + 1, size(arr)))
+      }
+      d -> coalesce(candidates: _*)
+    }.toMap
+
+    // original values: later fields win; gated per dialect
+    val origCols: Map[String, Column] = {
+      val pairs = for {
+        p <- plans
+        conditional = rules.v1Compat && (p.cm.valueMappings.keySet - "*").nonEmpty
+        gateCol = if (conditional) p.matched else p.valid
+        d <- p.cm.originalValueFields
+      } yield d -> when(gateCol, col(p.cm.sourceField))
+      pairs.groupBy(_._1).map { case (d, cs) => d -> coalesce(cs.reverse.map(_._2): _*) }
+    }
+
+    val projected = projectOmop(m, exploded, conceptValue, origCols, fileIdx, cmIdx = 0)
+    dropInvalidComponents(m, projected)
+  }
+
+  // ------------------------------------------------------------ projection
+
+  /** Project a fanned-out source row to the target's OMOP columns (DDL
+    * order). Precedence mirrors the reference's build order (last write
+    * wins): notnull-numeric "0" defaults < concepts < original-value copies <
+    * person-id < date mappings. */
+  private def projectOmop(m: TableMapping, df: DataFrame,
+                          concepts: Map[String, Column], origs: Map[String, Column],
+                          fileIdx: Int, cmIdx: Int): DataFrame = {
+    val norm     = col(m.dateSource)
+    val linked   = schema.datetimeLinked(m.target)
+    val comps    = schema.dateComponents(m.target)
+    val notnull  = schema.notnullNumeric(m.target)
+    val compDate = DateNorm.strictDate(substring_index(norm, " ", 1))
+
+    // date-derived columns (T8/T9/T10). v1 quirk: the linked-twin /
+    // component treatment runs on the stale loop variable after the copy
+    // loop (`core.py:104-154`), so only the LAST date dest of the infield
+    // gets it; v2 treats every dest (`record_builder.py:84-90`).
+    val treatedDests = if (rules.v1Compat) m.dateDests.takeRight(1) else m.dateDests
+    val dateCols: Map[String, Column] = m.dateDests.map(_ -> norm).toMap ++
+      treatedDests.flatMap { dest =>
+        val twin = linked.get(dest).map(_ -> DateNorm.dateOnly(norm)).toSeq
+        val compCols = comps.get(dest).toSeq.flatMap { c =>
+          Seq(c.get("year").map(_ -> DateNorm.yearStr(compDate)),
+              c.get("month").map(_ -> DateNorm.monthStr(compDate)),
+              c.get("day").map(_ -> DateNorm.dayStr(compDate))).flatten
+        }
+        twin ++ compCols
+      }.toMap
+
+    val outCols = schema.columns(m.target).map { c =>
+      val lc = c.toLowerCase
+      val value =
+        dateCols.get(lc)
+          .orElse(if (lc == m.personIdDest.toLowerCase) Some(col(m.personIdSource)) else None)
+          .orElse(origs.collectFirst { case (d, v) if d.equalsIgnoreCase(lc) => v })
+          .orElse(concepts.collectFirst { case (d, v) if d.equalsIgnoreCase(lc) => v })
+          .getOrElse(lit(null).cast("string"))
+      val withDefault =
+        if (notnull.contains(lc)) coalesce(value, lit("0"))
+        else coalesce(value, lit(""))
+      withDefault.as(lc)
+    }
+
+    df.select(outCols ++ Seq(
+      lit(fileIdx).as(FileIdx), col(CsvSource.RowIdx).as(RowIdx),
+      lit(cmIdx).as(CmIdx), col(ComboIdx).as(ComboOut),
+      // kept for component-validity filtering
+      compDate.isNotNull.as(CompOk), lit(comps.keys.exists(treatedDests.contains)).as(HasComp)): _*)
+  }
+
+  /** A date-component parse failure drops the whole record (reference
+    * `core.py:118-131`, `record_builder.py:100-113`). */
+  private def dropInvalidComponents(m: TableMapping, df: DataFrame): DataFrame =
+    df.filter(!col(HasComp) || col(CompOk)).drop(CompOk, HasComp)
+
+  // ------------------------------------------------------------ finalize
+
+  private def finalizeTarget(target: String, candidates: DataFrame): DataFrame = {
+    // T12: dense auto-number in processing order, assigned BEFORE the person
+    // join — rejected person IDs consume numbers, like the reference
+    // (`run.py:266-273` increments before the person_lookup check).
+    val numbered = schema.autoNumberField.get(target) match {
+      case Some(auto) =>
+        val offset = lastUsedIds.getOrElse(target, 0L)
+        IdAssign.withDenseId(candidates, "_auto", offset,
+            col(FileIdx), col(RowIdx), col(CmIdx), col(ComboOut))
+          .withColumn(auto, col("_auto").cast("string"))
+          .drop("_auto")
+      case None => candidates
+    }
+
+    // J1: broadcast inner hash join replacing source person IDs
+    val pidDest = schema.personIdField.getOrElse(target, "person_id").toLowerCase
+    val joined = numbered
+      .join(broadcast(personLookup), numbered(pidDest) === personLookup("source_subject"), "inner")
+      .withColumn(pidDest, col("target_subject"))
+
+    joined.select(schema.columns(target).map(c => col(c.toLowerCase)): _*)
+  }
+}
+
+object CarrotEngine {
+  val FileIdx  = "_file_idx"
+  val RowIdx   = "_row_idx_out"
+  val CmIdx    = "_cm_idx"
+  val ComboIdx = "_combo_idx"
+  val ComboOut = "_combo_idx_out"
+  val CompOk   = "_comp_ok"
+  val HasComp  = "_has_comp"
+}

@@ -1,0 +1,59 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** CSV-directory source with the reference's ingest quirks
+  * (carrot-transform `tools/sources.py:130-180`):
+  *  - `<dir>/<table>.csv`, UTF-8 with BOM tolerated (BOM handled by Spark's
+  *    CSV reader; a BOM leaking into the first header name is stripped),
+  *  - a trailing column with an empty header (Excel trailing commas) is
+  *    dropped, together with its cells,
+  *  - all columns are read as verbatim strings — no type inference, no null:
+  *    absent cells become the empty string, matching the reference's
+  *    `list[str]` rows (`tools/sources.py:49`).
+  *
+  * Adds `_row_idx` (0-based position in file order) via `zipWithIndex`, which
+  * preserves file order across partitions without a global sort — the
+  * processing-order anchor for auto-numbering and first-wins dedupe.
+  */
+object CsvSource {
+
+  val RowIdx = "_row_idx"
+
+  def stripCsvExtension(name: String): String =
+    if (name.toLowerCase.endsWith(".csv")) name.dropRight(4) else name
+
+  def read(spark: SparkSession, dir: String, table: String, sep: String = ","): DataFrame = {
+    val path = s"$dir/${stripCsvExtension(table)}.csv"
+    val raw = spark.read
+      .option("header", "true")
+      .option("sep", sep)
+      .option("inferSchema", "false")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+    // strip a UTF-8 BOM that leaked into the first header name
+    val bomFixed = raw.columns.headOption match {
+      case Some(h) if h.startsWith("﻿") => raw.withColumnRenamed(h, h.substring(1))
+      case _ => raw
+    }
+    // drop a trailing empty-header column (Spark names it _c<N>)
+    val cols = bomFixed.columns
+    val trimmed =
+      if (cols.nonEmpty && (cols.last.isEmpty || cols.last.matches("_c\\d+")))
+        bomFixed.drop(cols.last)
+      else bomFixed
+
+    withRowIdx(trimmed.na.fill(""))
+  }
+
+  /** Append a dense 0-based file-order index without sorting. */
+  def withRowIdx(df: DataFrame): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(RowIdx, LongType, nullable = false))
+    df.sparkSession.createDataFrame(
+      df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
+}

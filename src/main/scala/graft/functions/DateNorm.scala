@@ -65,8 +65,11 @@ object DateNorm {
     * non-zero-padded fields and validates the calendar; datetime strings are
     * rejected). Returns a DateType column (null = invalid). */
   def strictDate(raw: Column): Column = {
+    // try_to_date: null (not an ANSI error) on calendar-invalid dates,
+    // matching strptime's ValueError -> reject path; 'yyyy-M-d' tolerates
+    // non-zero-padded fields like strptime does
     def build(y: Column, m: Column, d: Column): Column =
-      make_date(y.cast("int"), m.cast("int"), d.cast("int"))
+      call_function("try_to_date", concat(y, lit("-"), m, lit("-"), d), lit("yyyy-M-d"))
     val iso = "^(\\d{1,4})-(\\d{1,2})-(\\d{1,2})$"
     val rev = "^(\\d{1,2})-(\\d{1,2})-(\\d{1,4})$"
     val uk  = "^(\\d{1,2})/(\\d{1,2})/(\\d{1,4})$"
