@@ -11,14 +11,14 @@ import graft.ops.IdAssign
   *
   * Architecture (SURVEY §7.1) — NOT a port of the reference's row loop:
   * the rules compile into per-(source table, target table) DataFrame plan
-  * branches built from literal lookup maps + `posexplode` fan-out, the person
+  * branches built from literal lookup maps + explode fan-out, the person
   * dictionary becomes a broadcast inner join, and auto-numbering is a
   * zipWithIndex dense-ID pass. All data columns stay verbatim strings.
   *
   * Dataflow per source file:
   *   read (all-string + `_row_idx`) → date normalize+filter (T1) →
   *   per mapping/per concept-field branch: validity gate (T2) → literal-map
-  *   concept lookup (T4) → posexplode combos (T5) → OMOP projection
+  *   concept lookup (T4) → explode combos (T5) → OMOP projection
   *   (T6-T11) → union → dense auto-number (T12) → broadcast person join (J1).
   */
 final class CarrotEngine(
@@ -46,31 +46,89 @@ final class CarrotEngine(
     PersonLookup.build(rawSources(personMapping.source),
       personMapping.personIdSource, personMapping.dateSource, useInputPersonIds).cache()
 
+  /** person_ids sink shape (reference K5). */
+  lazy val personIds: DataFrame =
+    personLookup.select(col("source_subject").as("SOURCE_SUBJECT"), col("target_subject").as("TARGET_SUBJECT"))
+
   /** Date-normalized view per source file: the designated datetime column is
     * replaced by its normalized value and unparseable rows are dropped for
     * ALL targets (reference mutates `indata[datetime_col]` in place,
     * `run.py:229-242`). */
   private lazy val prepared: Map[String, DataFrame] = rawSources.map { case (src, df) =>
-    val dateCols = rules.forSource(src).map(_.dateSource).distinct
-    val out = dateCols.foldLeft(df) { (d, c) =>
+    val out = dateColsOf(src).foldLeft(df) { (d, c) =>
       d.withColumn(c, DateNorm.normalise8601(col(c)))
     }
-    src -> dateCols.foldLeft(out)((d, c) => d.filter(col(c).isNotNull))
+    src -> dateColsOf(src).foldLeft(out)((d, c) => d.filter(col(c).isNotNull))
+  }
+
+  private def dateColsOf(src: String): Seq[String] = rules.forSource(src).map(_.dateSource).distinct
+
+  /** Per-target instrumented plan: candidates (pre component-filter, with
+    * metadata), numbered (filtered + auto-numbered), joined (left join with
+    * the person dictionary; `_matched` marks J1 hits). */
+  final case class TargetBuild(target: String, candidates: DataFrame, joined: DataFrame)
+
+  private lazy val builds: Map[String, TargetBuild] = {
+    rules.tables.groupBy(_.target).map { case (target, mappings) =>
+      val branches = mappings.flatMap { m =>
+        if (target == "person") Seq(buildPersonBranch(m)) else buildStandardBranches(m)
+      }
+      val candidates = branches.reduce(_.unionByName(_))
+      val filtered   = candidates.filter(!col(HasComp) || col(CompOk)).drop(CompOk, HasComp)
+
+      // T12: dense auto-number in processing order, assigned BEFORE the person
+      // join — rejected person IDs consume numbers, like the reference
+      // (`run.py:266-273` increments before the person_lookup check).
+      val numbered = schema.autoNumberField.get(target) match {
+        case Some(auto) =>
+          IdAssign.withDenseId(filtered, "_auto", lastUsedIds.getOrElse(target, 0L),
+              col(FileIdx), col(RowIdx), col(CmIdx), col(ComboOut))
+            .withColumn(auto, col("_auto").cast("string"))
+            .drop("_auto")
+        case None => filtered
+      }
+
+      // J1: broadcast hash join replacing source person IDs (left join keeps
+      // the miss path visible for metrics; result takes the inner slice)
+      val pidDest = schema.personIdField.getOrElse(target, "person_id").toLowerCase
+      val joined = numbered
+        .join(broadcast(personLookup), numbered(pidDest) === personLookup("source_subject"), "left")
+        .withColumn(Matched, col("target_subject").isNotNull)
+        .withColumn(pidDest, coalesce(col("target_subject"), col(pidDest)))
+
+      target -> TargetBuild(target, candidates, joined)
+    }
   }
 
   /** All target tables this rules file populates, each as an OMOP-shaped
     * all-string DataFrame (DDL column order; auto-number assigned; person IDs
     * replaced via the dictionary). */
-  def run(): Map[String, DataFrame] = {
-    val byTarget = rules.tables.groupBy(_.target)
-    byTarget.map { case (target, mappings) =>
-      val branches = mappings.flatMap { m =>
-        if (target == "person") Seq(buildPersonBranch(m)) else buildStandardBranches(m)
-      }
-      val unioned = branches.reduce(_.unionByName(_))
-      target -> finalizeTarget(target, unioned)
-    }
+  def run(): Map[String, DataFrame] = builds.map { case (target, b) =>
+    target -> b.joined.filter(col(Matched)).select(schema.columns(target).map(c => col(c.toLowerCase)): _*)
   }
+
+  /** Like run(), but rows globally ordered by processing order — byte-exact
+    * single-file fidelity with the reference's sequential writer. Costs a
+    * global sort; use run() + TsvSink.writeDir at scale. */
+  def runOrdered(): Map[String, DataFrame] = builds.map { case (target, b) =>
+    target -> b.joined.filter(col(Matched))
+      .orderBy(col(FileIdx), col(RowIdx), col(CmIdx), col(ComboOut))
+      .select(schema.columns(target).map(c => col(c.toLowerCase)): _*)
+  }
+
+  /** The metrics/summary subsystem (reference A1/A2/A3, `tools/metrics.py`):
+    * keyed counters at fixed rollup levels, materialized as the 11-column
+    * summary_mapstream table sorted by stringified key. */
+  def summary(threshold: Long = 0): DataFrame = CarrotMetrics.summary(this, threshold)
+
+  // internal accessors for CarrotMetrics
+  private[etl] def metricsSchema: OmopSchema = schema
+  private[etl] def metricsRules: CarrotRules = rules
+  private[etl] def metricsRaw: Map[String, DataFrame] = rawSources
+  private[etl] def metricsPrepared: Map[String, DataFrame] = prepared
+  private[etl] def metricsBuilds: Map[String, TargetBuild] = builds
+  private[etl] def metricsDateCols(src: String): Seq[String] = dateColsOf(src)
+  private[etl] def sparkSession: SparkSession = spark
 
   // ------------------------------------------------------------ standard
 
@@ -105,11 +163,9 @@ final class CarrotEngine(
       val conceptValue: Map[String, Column] =
         dests.map(d => d -> element_at(conceptArr(d), col(ComboIdx) + 1)).toMap
 
-      val projected = projectOmop(m, exploded, conceptValue,
+      projectOmop(m, exploded, conceptValue,
         origs = cm.originalValueFields.map(_ -> v).toMap ++ cm.extraCopies.map { case (sf, df) => df -> col(sf) },
-        fileIdx = fileIdx, cmIdx = ci)
-
-      dropInvalidComponents(m, projected)
+        fileIdx = fileIdx, cmIdx = ci, datacol = cm.sourceField)
     }
   }
 
@@ -210,8 +266,8 @@ final class CarrotEngine(
       pairs.groupBy(_._1).map { case (d, cs) => d -> coalesce(cs.reverse.map(_._2): _*) }
     }
 
-    val projected = projectOmop(m, exploded, conceptValue, origCols, fileIdx, cmIdx = 0)
-    dropInvalidComponents(m, projected)
+    projectOmop(m, exploded, conceptValue, origCols, fileIdx, cmIdx = 0,
+      datacol = m.conceptMappings.headOption.map(_.sourceField).getOrElse("all"))
   }
 
   // ------------------------------------------------------------ projection
@@ -222,7 +278,7 @@ final class CarrotEngine(
     * person-id < date mappings. */
   private def projectOmop(m: TableMapping, df: DataFrame,
                           concepts: Map[String, Column], origs: Map[String, Column],
-                          fileIdx: Int, cmIdx: Int): DataFrame = {
+                          fileIdx: Int, cmIdx: Int, datacol: String): DataFrame = {
     val norm     = col(m.dateSource)
     val linked   = schema.datetimeLinked(m.target)
     val comps    = schema.dateComponents(m.target)
@@ -260,49 +316,22 @@ final class CarrotEngine(
     }
 
     df.select(outCols ++ Seq(
+      lit(m.source).as(SrcCol), lit(datacol).as(DatacolCol),
       lit(fileIdx).as(FileIdx), col(CsvSource.RowIdx).as(RowIdx),
       lit(cmIdx).as(CmIdx), col(ComboIdx).as(ComboOut),
-      // kept for component-validity filtering
       compDate.isNotNull.as(CompOk), lit(comps.keys.exists(treatedDests.contains)).as(HasComp)): _*)
-  }
-
-  /** A date-component parse failure drops the whole record (reference
-    * `core.py:118-131`, `record_builder.py:100-113`). */
-  private def dropInvalidComponents(m: TableMapping, df: DataFrame): DataFrame =
-    df.filter(!col(HasComp) || col(CompOk)).drop(CompOk, HasComp)
-
-  // ------------------------------------------------------------ finalize
-
-  private def finalizeTarget(target: String, candidates: DataFrame): DataFrame = {
-    // T12: dense auto-number in processing order, assigned BEFORE the person
-    // join — rejected person IDs consume numbers, like the reference
-    // (`run.py:266-273` increments before the person_lookup check).
-    val numbered = schema.autoNumberField.get(target) match {
-      case Some(auto) =>
-        val offset = lastUsedIds.getOrElse(target, 0L)
-        IdAssign.withDenseId(candidates, "_auto", offset,
-            col(FileIdx), col(RowIdx), col(CmIdx), col(ComboOut))
-          .withColumn(auto, col("_auto").cast("string"))
-          .drop("_auto")
-      case None => candidates
-    }
-
-    // J1: broadcast inner hash join replacing source person IDs
-    val pidDest = schema.personIdField.getOrElse(target, "person_id").toLowerCase
-    val joined = numbered
-      .join(broadcast(personLookup), numbered(pidDest) === personLookup("source_subject"), "inner")
-      .withColumn(pidDest, col("target_subject"))
-
-    joined.select(schema.columns(target).map(c => col(c.toLowerCase)): _*)
   }
 }
 
 object CarrotEngine {
-  val FileIdx  = "_file_idx"
-  val RowIdx   = "_row_idx_out"
-  val CmIdx    = "_cm_idx"
-  val ComboIdx = "_combo_idx"
-  val ComboOut = "_combo_idx_out"
-  val CompOk   = "_comp_ok"
-  val HasComp  = "_has_comp"
+  val FileIdx    = "_file_idx"
+  val RowIdx     = "_row_idx_out"
+  val CmIdx      = "_cm_idx"
+  val ComboIdx   = "_combo_idx"
+  val ComboOut   = "_combo_idx_out"
+  val CompOk     = "_comp_ok"
+  val HasComp    = "_has_comp"
+  val SrcCol     = "_src"
+  val DatacolCol = "_datacol"
+  val Matched    = "_matched"
 }

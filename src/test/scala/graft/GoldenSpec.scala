@@ -73,6 +73,20 @@ object Golden {
          |extra in mine:     ${extra.take(3).mkString("\n  ")}""".stripMargin)
   }
 
+  /** Exact ordered comparison of the summary_mapstream table. */
+  def assertSummaryMatches(dataDir: String, rulesPath: String, goldenDir: String): Unit = {
+    val eng = engine(dataDir, rulesPath)
+    val mine = eng.summary().collect()
+      .map(_.toSeq.map(v => if (v == null) "" else v.toString))
+    val lines = scala.io.Source.fromFile(s"$goldenDir/summary_mapstream.tsv", "UTF-8")
+      .getLines().map(_.stripSuffix("\r")).toSeq
+    val golden = lines.tail.filter(_.nonEmpty).map(_.split("\t", -1).toSeq)
+    val mismatches = mine.zipAll(golden, null, null).zipWithIndex.filter { case ((a, b), _) => a != b }
+    assert(mismatches.isEmpty,
+      s"""summary mismatch (${mine.length} mine vs ${golden.length} golden); first diffs:
+         |${mismatches.take(4).map { case ((a, b), i) => s"row $i\n  mine:   $a\n  golden: $b" }.mkString("\n")}""".stripMargin)
+  }
+
   def runCase(dataDir: String, rulesPath: String, goldenDir: String, targets: Seq[String]): Unit = {
     val eng = engine(dataDir, rulesPath)
     val out = eng.run()
@@ -128,6 +142,21 @@ class GoldenSpec extends AnyFunSuite {
   test("only_m: scalar term applies to all rows; BOM header; invalid birthdate rejected") {
     Golden.runCase(s"$td/only_m", s"$td/only_m/v1-rules.json",
       s"$td/only_m/v1-out", Seq("person", "condition_occurrence"))
+  }
+
+  test("summary_mapstream matches golden: integration_test1 v1") {
+    Golden.assertSummaryMatches(s"$td/integration_test1",
+      s"$td/integration_test1/transform-rules.json", s"$td/integration_test1")
+  }
+
+  test("summary_mapstream matches golden: integration_test1 v2") {
+    Golden.assertSummaryMatches(s"$td/integration_test1",
+      s"${Golden.RefRoot}/tests/test_V2/rules-v2.json", s"$td/integration_test1/v2-out")
+  }
+
+  test("summary_mapstream matches golden: observe_smoking v1") {
+    Golden.assertSummaryMatches(s"$td/observe_smoking",
+      s"$td/observe_smoking/mapping.json", s"$td/observe_smoking")
   }
 
   test("examples corpus v1 rules") {
