@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DateNorm
-import graft.ops.IdAssign
+import graft.ops.{Dedup, IdAssign, Multimodal, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -183,16 +183,75 @@ object SparkEntry {
 
     // ---- Similarity: brute-force cosine top-k vs a query vector ----
     "q16_cosine_topk" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings").withColumn("e", col("embedding").cast("array<double>"))
-      val q   = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
-      def dot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      emb.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .withColumn("sim_raw", dot(col("e"), col("qe")) / (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("qe"), col("qe")))))
-        .orderBy(col("sim_raw").desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"), round(col("sim_raw"), 4).as("sim"))
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.topK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", 10)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
+
+    // ---- Text analysis: stopword-ratio language ID ----
+    "q17_lang_id" -> ((s, dir) => {
+      val en = Seq("the", "a")
+      tbl(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.stopwordRatio(col("text"), en), 4).as("en_ratio"),
+        TextAnalysis.langId(col("text"), Seq("en" -> en)).as("pred_lang"))
+    }),
+
+    // ---- Text analysis: content fingerprint (exact-dup key) ----
+    "q18_fingerprint" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- Dedup: MinHash signatures (k=4 over word 3-gram shingles) ----
+    "q19_minhash_sig" -> ((s, dir) => {
+      val withSh = tbl(s, dir, "documents")
+        .select(col("doc_id"), Dedup.shingles(col("text")).as("_sh"))
+      Dedup.minhashSignature(col("_sh"), 4)
+        .foldLeft(withSh) { case (d, (n2, c)) => d.withColumn(n2, c) }
+        .drop("_sh")
+    }),
+
+    // ---- Dedup: MinHash-LSH candidate pairs + exact-Jaccard verify ----
+    "q20_lsh_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text", k = 4, rowsPerBand = 2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // ---- Dedup: exact n-gram Jaccard via inverted shingle index ----
+    "q21_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", minJaccard = 0.05)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // ---- Sessionization (gap-based; batch form of the streaming op) ----
+    "q22_sessionize" -> ((s, dir) => {
+      Sessionize.sessionStats(tbl(s, dir, "events"), "user_id", "ts", "event_id", "value", 1800L)
+    }),
+
+    // ---- Multimodal: binary payload + metadata + stubbed decode plumbing ----
+    "q23_multimodal_meta" -> ((s, dir) => {
+      val packed = Multimodal.packBinary(tbl(s, dir, "documents"), "doc_id", "text")
+      val feats  = Multimodal.extractFeatures(packed)
+      packed.join(feats, packed("doc_id") === feats("id"))
+        .select(packed("doc_id"), col("meta.format").as("format"),
+          col("meta.byte_len").as("byte_len"), col("meta.content_hash").as("content_hash"),
+          col("width"), col("height"))
+    }),
+
+    // ---- Dedup: SimHash signatures + hamming distance to a reference doc
+    //      (no SQL oracle: xxhash64 is Spark-specific; rows-only check) ----
+    "q24_simhash" -> ((s, dir) => {
+      val d  = tbl(s, dir, "documents").select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))
+      val q  = d.filter(col("doc_id") === 0).select(col("sh").as("qs"))
+      d.crossJoin(broadcast(q)).select(col("doc_id"), col("sh"), Dedup.hamming(col("sh"), col("qs")).as("dist"))
+    }),
+
+    // ---- Similarity: LSH-bucketed ANN (rows-only; deterministic planes) ----
+    "q25_ann_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", dim = 64, nPlanes = 8, k = 5)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -292,5 +351,78 @@ object SparkEntry {
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS sim
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
-        |LIMIT 10""".stripMargin)
+        |LIMIT 10""".stripMargin,
+
+    "q17_lang_id" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |r AS (SELECT doc_id, len(list_filter(toks, x -> list_contains(['the','a'], x))) / len(toks) AS er FROM t)
+        |SELECT doc_id, round(er, 4) AS en_ratio,
+        |  CASE WHEN er >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang
+        |FROM r""".stripMargin,
+
+    "q18_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q19_minhash_sig" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+        |  ELSE [] END AS sh FROM w)
+        |SELECT doc_id,
+        |  list_min(list_transform(sh, x -> md5('0|'||x))) AS sig0,
+        |  list_min(list_transform(sh, x -> md5('1|'||x))) AS sig1,
+        |  list_min(list_transform(sh, x -> md5('2|'||x))) AS sig2,
+        |  list_min(list_transform(sh, x -> md5('3|'||x))) AS sig3
+        |FROM s""".stripMargin,
+
+    "q20_lsh_pairs" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+        |  ELSE [] END AS sh FROM w),
+        |sig AS (SELECT doc_id, sh, len(sh) AS sz,
+        |  list_min(list_transform(sh, x -> md5('0|'||x))) AS s0,
+        |  list_min(list_transform(sh, x -> md5('1|'||x))) AS s1,
+        |  list_min(list_transform(sh, x -> md5('2|'||x))) AS s2,
+        |  list_min(list_transform(sh, x -> md5('3|'||x))) AS s3 FROM s),
+        |band AS (SELECT doc_id, sh, sz, unnest(['0#'||s0||'#'||s1, '1#'||s2||'#'||s3]) AS bucket FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b,
+        |                a.sz AS sz_a, b.sz AS sz_b
+        |         FROM band a JOIN band b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(common / (sz_a + sz_b - common), 4) AS jaccard
+        |FROM (SELECT id_a, id_b, sz_a, sz_b, len(list_intersect(sh_a, sh_b)) AS common FROM cand)""".stripMargin,
+
+    "q21_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+        |  ELSE [] END AS sh FROM w),
+        |inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+        |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, round(common / (sz_a + sz_b - common), 4) AS jaccard
+        |FROM p WHERE common / (sz_a + sz_b - common) >= 0.05""".stripMargin,
+
+    "q22_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS session_id FROM x)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM y GROUP BY 1, 2""".stripMargin,
+
+    "q23_multimodal_meta" ->
+      """SELECT doc_id, 'fake/raw' AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_hash,
+        |  CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 31) % 577 AS INT) AS height
+        |FROM documents""".stripMargin)
 }

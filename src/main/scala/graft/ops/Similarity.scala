@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`Array[Float]`), with a brute-force cosine baseline and an LSH-bucketed
+  * scale path.
+  *
+  * Scale shape: brute force is one broadcast of the query vectors + a
+  * map-side score/top-k (no shuffle but O(n·q)); the random-hyperplane LSH
+  * variant buckets both sides and only scores within matching buckets —
+  * the standard recall/throughput trade at 100 TB.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k of `df` against one query vector (broadcast). */
+  def topK(df: DataFrame, idCol: String, vecCol: String,
+           query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    val q = query.select(col(queryVecCol).cast("array<double>").as("_q"))
+    e.crossJoin(broadcast(q))
+      .withColumn("_sim", cosine(col("_v"), col("_q")))
+      .orderBy(col("_sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("_sim").as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane: component j of plane p is
+    * derived from md5(seed|p|j) — reproducible with no RNG state, and
+    * computable by any engine. Values in [-0.5, 0.5). */
+  private def planeComponent(p: Int, j: Int, seed: String): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed|$p|$j".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 0xffffffffL.toDouble - 0.5
+  }
+
+  /** Sign-of-projection bucket key over `nPlanes` deterministic random
+    * hyperplanes (a bit per plane). */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: String = "graft"): Column = {
+    val bits: Seq[Column] = (0 until nPlanes).map { p =>
+      val plane = (0 until dim).map(j => planeComponent(p, j, seed))
+      val proj = (0 until dim).map(j => element_at(vec, j + 1) * lit(plane(j))).reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: score only pairs that share a hyperplane bucket.
+    * Returns the per-query top-k among same-bucket candidates. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              dim: Int, nPlanes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_bucket", lshBucket(col("_v"), dim, nPlanes))
+    val q = queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
+      .withColumn("_bucket", lshBucket(col("_q"), dim, nPlanes))
+    val w = Window.partitionBy(col("_qid")).orderBy(col("_sim").desc, col("_id"))
+    e.join(q, Seq("_bucket"))
+      .filter(col("_id") =!= col("_qid"))
+      .withColumn("_sim", cosine(col("_v"), col("_q")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_sim").as("sim"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, and document
+  * fingerprinting. All are codegen-friendly compositions of built-in
+  * functions (no UDFs) and operate row-local — they scale linearly with no
+  * shuffle.
+  *
+  * Hash choice: md5 — bit-identical across engines (used by the DuckDB
+  * oracle), content-stable across runs/partitions.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of the lower-cased, trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Characters per token ratio, punctuation density, and a simple
+    * quality gate — the usual cheap pre-filters before expensive dedup. */
+  def punctRatio(text: Column, punct: String = "[.,!?;:]"): Column =
+    (length(text) - length(regexp_replace(text, punct, ""))) / length(text)
+
+  /** Ratio of tokens found in a stopword list — the building block of the
+    * n-gram/stopword language-ID heuristic. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, w => array_contains(lit(stopwords.toArray), w))) / size(t)
+  }
+
+  /** Stopword-scored language ID: the language whose stopword list scores
+    * the highest ratio, or "und" below `minRatio`. Scores tie-break by
+    * list order. */
+  def langId(text: Column, lists: Seq[(String, Seq[String])], minRatio: Double = 0.05): Column = {
+    val scored = lists.map { case (lang, words) => lang -> stopwordRatio(text, words) }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(best._2 >= minRatio, best._1).otherwise(lit("und"))
+  }
+
+  /** Whitespace-normalized content fingerprint (exact-dup key). */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** A BPE-ish subword count approximation: words plus punctuation runs
+    * (cheap token-count estimate for budget accounting). */
+  def subwordCount(text: Column): Column =
+    size(split(trim(text), "\\s+")) +
+      size(filter(split(text, ""), ch => ch.rlike("[.,!?;:]"))).cast("int")
+}
