@@ -203,24 +203,27 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
 
-    // ---- Dedup: MinHash signatures (k=4 over word 3-gram shingles) ----
+    // ---- Dedup: MinHash signatures (k=4 over word 3-gram shingles),
+    //      via the single-pass custom Catalyst expressions ----
     "q19_minhash_sig" -> ((s, dir) => {
-      val withSh = tbl(s, dir, "documents")
-        .select(col("doc_id"), Dedup.shingles(col("text")).as("_sh"))
-      Dedup.minhashSignature(col("_sh"), 4)
-        .foldLeft(withSh) { case (d, (n2, c)) => d.withColumn(n2, c) }
-        .drop("_sh")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.ShingleExprs.ngramShingles(col("text"), 3).as("_sh"))
+        .withColumn("_sigs", graft.functions.ShingleExprs.minhashSignature(col("_sh"), 4))
+        .select(col("doc_id") +: (0 until 4).map(i => element_at(col("_sigs"), i + 1).as(s"sig$i")): _*)
     }),
 
-    // ---- Dedup: MinHash-LSH candidate pairs + exact-Jaccard verify ----
+    // ---- Dedup: MinHash-LSH candidate pairs + exact-Jaccard verify.
+    //      5-gram shingles: the 3-gram space saturates on a small vocab,
+    //      making hot shingles dominate the minhash and blow up buckets ----
     "q20_lsh_pairs" -> ((s, dir) => {
-      Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text", k = 4, rowsPerBand = 2)
+      Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text", k = 4, rowsPerBand = 2, n = 5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
-    // ---- Dedup: exact n-gram Jaccard via inverted shingle index ----
+    // ---- Dedup: exact n-gram Jaccard via inverted rare-shingle index ----
     "q21_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", minJaccard = 0.05)
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", n = 5,
+          minJaccard = 0.05, maxDf = 10)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
@@ -378,8 +381,8 @@ object SparkEntry {
 
     "q20_lsh_pairs" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
-        |s AS (SELECT doc_id, CASE WHEN len(w) >= 3
-        |  THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
         |  ELSE [] END AS sh FROM w),
         |sig AS (SELECT doc_id, sh, len(sh) AS sz,
         |  list_min(list_transform(sh, x -> md5('0|'||x))) AS s0,
@@ -395,14 +398,20 @@ object SparkEntry {
 
     "q21_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
-        |s AS (SELECT doc_id, CASE WHEN len(w) >= 3
-        |  THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
         |  ELSE [] END AS sh FROM w),
-        |inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
-        |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
+        |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 10),
+        |rinv AS (SELECT i.doc_id, i.g FROM inv i JOIN rare r ON i.g = r.g),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM rinv a JOIN rinv b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |f AS (SELECT doc_id, sh, len(sh) AS sz FROM s),
+        |j AS (SELECT id_a, id_b, fa.sz AS sz_a, fb.sz AS sz_b,
+        |             len(list_intersect(fa.sh, fb.sh)) AS common
+        |      FROM cand JOIN f fa ON id_a = fa.doc_id JOIN f fb ON id_b = fb.doc_id)
         |SELECT id_a, id_b, round(common / (sz_a + sz_b - common), 4) AS jaccard
-        |FROM p WHERE common / (sz_a + sz_b - common) >= 0.05""".stripMargin,
+        |FROM j WHERE common / (sz_a + sz_b - common) >= 0.05""".stripMargin,
 
     "q22_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id, value,

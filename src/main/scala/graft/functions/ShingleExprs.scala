@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Custom Catalyst expressions for the dedup hot path.
+  *
+  * The composable form — split + transform(sequence, concat_ws) +
+  * array_distinct — is semantically right but slow: higher-order functions
+  * evaluate interpreted (one expression-tree walk per element) and
+  * array_distinct is O(n²) in UTF8String comparisons. These expressions do
+  * the same work in one tight pass per row. Results are bit-identical to
+  * the composable form (and to the DuckDB oracle).
+  */
+
+/** Distinct word n-gram shingles of lower(trim(text)), split on \s+;
+  * first-occurrence order (same as array_distinct / list_distinct). */
+case class NGramShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString
+      .trim.toLowerCase.split("\\s+")
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](words.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** k MinHash values over a shingle array: element i is
+  * min over shingles of hex(md5(i + "|" + shingle)) — identical to
+  * array_min(transform(sh, s -> md5(concat(i, '|', s)))) but one digest
+  * pass per (i, shingle), tracking the byte-wise min (hex order == byte
+  * order) and hex-encoding only the k winners. */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nSh = arr.numElements()
+    val digest = md5.get()
+    val mins = Array.fill[Array[Byte]](k)(null)
+    var i = 0
+    while (i < k) {
+      val prefix = (i.toString + "|").getBytes("UTF-8")
+      var s = 0
+      while (s < nSh) {
+        digest.reset()
+        digest.update(prefix)
+        digest.update(arr.getUTF8String(s).getBytes)
+        val d = digest.digest()
+        if (mins(i) == null || compareBytes(d, mins(i)) < 0) mins(i) = d
+        s += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    i = 0
+    while (i < k) {
+      out(i) = if (mins(i) == null) null else UTF8String.fromString(hex(mins(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def hex(bs: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bs.length * 2)
+    for (b <- bs) { sb.append(Character.forDigit((b >> 4) & 0xf, 16)); sb.append(Character.forDigit(b & 0xf, 16)) }
+    sb.toString
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object ShingleExprs {
+  def ngramShingles(text: Column, n: Int): Column =
+    ColumnBridge.toColumn(NGramShingles(ColumnBridge.toExpr(text), n))
+  def minhashSignature(shingles: Column, k: Int): Column =
+    ColumnBridge.toColumn(MinHashSignature(ColumnBridge.toExpr(shingles), k))
+}

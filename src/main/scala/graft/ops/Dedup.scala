@@ -22,6 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialized (_id, _sh, _size) shingle sets.
+    *
+    * Two scale measures: (1) repartition to full parallelism BEFORE the
+    * CPU-heavy shingling — a handful of input splits would otherwise
+    * single-thread it (higher-order-function expressions are interpreted,
+    * not codegen'd, so this stage dominates); (2) cache — every consumer
+    * (inverted index, df filter, candidate verify) reuses the sets instead
+    * of re-shingling the corpus. */
+  private[ops] def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol).as("_id"), col(textCol).as("_t"))
+      .repartition(parallelism, col("_id"))
+      .select(col("_id"), graft.functions.ShingleExprs.ngramShingles(col("_t"), n).as("_sh"))
+      .withColumn("_size", size(col("_sh")))
+      .cache()
+  }
+
   /** Distinct word n-gram shingles of the lower-cased text. */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = split(lower(trim(text)), "\\s+")
@@ -45,20 +62,33 @@ object Dedup {
     sigs.grouped(rowsPerBand).zipWithIndex
       .map { case (g, b) => concat_ws("#", lit(b.toString) +: g: _*) }.toSeq
 
-  /** Exact n-gram Jaccard for all pairs sharing at least one shingle, via
-    * inverted index: explode(shingle) → self-join on shingle → common
-    * counts → |A∩B| / (|A|+|B|-|A∩B|). Returns (id_a, id_b, jaccard),
-    * id_a < id_b. */
+  /** Exact n-gram Jaccard for near-dup pairs via an inverted shingle index.
+    *
+    * Scale design: the naive explode→self-join blows up on hot shingles
+    * (a shingle shared by d docs contributes d² join rows — quadratic on
+    * the most common phrase). Instead: candidate pairs come only from RARE
+    * shingles (document frequency ≤ `maxDf` — near-dups always share rare
+    * shingles), deduped to distinct (id_a, id_b) BEFORE the shingle arrays
+    * are re-attached, then the exact Jaccard is computed once per candidate
+    * from the full sets. A pair with jaccard ≥ 1/(maxDf any rare shingle…)
+    * sharing no rare shingle cannot be a near-dup of interest when minJaccard
+    * is meaningful. Returns (id_a, id_b, jaccard), id_a < id_b. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val withSh = df.select(col(idCol).as("_id"), shingles(col(textCol), n).as("_sh"))
-      .withColumn("_size", size(col("_sh")))
-    val inv = withSh.select(col("_id"), col("_size"), explode(col("_sh")).as("_s"))
-    val a = inv.select(col("_id").as("id_a"), col("_size").as("size_a"), col("_s"))
-    val b = inv.select(col("_id").as("id_b"), col("_size").as("size_b"), col("_s"))
-    a.join(b, Seq("_s")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
-      .agg(count(lit(1)).as("common"))
+                        n: Int = 3, minJaccard: Double = 0.0, maxDf: Int = 100): DataFrame = {
+    val withSh = shingleSets(df, idCol, textCol, n)
+    val inv = withSh.select(col("_id"), explode(col("_sh")).as("_s"))
+    val rare = inv.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select(col("_s"))
+    val rareInv = inv.join(rare, Seq("_s"))
+    val cands = rareInv.select(col("_id").as("id_a"), col("_s"))
+      .join(rareInv.select(col("_id").as("id_b"), col("_s")), Seq("_s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val a = withSh.select(col("_id").as("id_a"), col("_sh").as("sh_a"), col("_size").as("size_a"))
+    val b = withSh.select(col("_id").as("id_b"), col("_sh").as("sh_b"), col("_size").as("size_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("common") / (col("size_a") + col("size_b") - col("common")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -68,17 +98,22 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
                       minJaccard: Double = 0.0): DataFrame = {
-    val base = df.select(col(idCol).as("_id"), shingles(col(textCol), n).as("_sh"))
-      .withColumn("_size", size(col("_sh")))
-    val sigs = minhashSignature(col("_sh"), k)
-    val withSigs = sigs.foldLeft(base) { case (d, (name, c)) => d.withColumn(name, c) }
-    val banded = withSigs.select(col("_id"), col("_sh"), col("_size"),
-      explode(array(bandKeys(sigs.map(s => col(s._1)), rowsPerBand): _*)).as("_bucket"))
-    val l = banded.select(col("_bucket"), col("_id").as("id_a"), col("_sh").as("sh_a"), col("_size").as("size_a"))
-    val r = banded.select(col("_bucket"), col("_id").as("id_b"), col("_sh").as("sh_b"), col("_size").as("size_b"))
-    l.join(r, Seq("_bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"), col("size_a"), col("size_b"))
+    val base = shingleSets(df, idCol, textCol, n)
+    val withSigs = base.withColumn("_sigs",
+      graft.functions.ShingleExprs.minhashSignature(col("_sh"), k))
+    val sigCols = (0 until k).map(i => element_at(col("_sigs"), i + 1))
+    // bucket join on the narrow (bucket, id) projection — the wide shingle
+    // arrays are re-attached only to the deduped candidate pairs
+    val banded = withSigs.select(col("_id"),
+      explode(array(bandKeys(sigCols, rowsPerBand): _*)).as("_bucket"))
+    val cands = banded.select(col("_bucket"), col("_id").as("id_a"))
+      .join(banded.select(col("_bucket"), col("_id").as("id_b")), Seq("_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val a = base.select(col("_id").as("id_a"), col("_sh").as("sh_a"), col("_size").as("size_a"))
+    val b = base.select(col("_id").as("id_b"), col("_sh").as("sh_b"), col("_size").as("size_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("common") / (col("size_a") + col("size_b") - col("common")))
       .filter(col("jaccard") >= minJaccard)

@@ -44,11 +44,13 @@ object Similarity {
   }
 
   /** Sign-of-projection bucket key over `nPlanes` deterministic random
-    * hyperplanes (a bit per plane). */
+    * hyperplanes (a bit per plane). The plane is a literal array and the
+    * projection a zip_with/aggregate fold — a compact expression tree
+    * (a 512-term scalar sum makes Catalyst's optimizer crawl). */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: String = "graft"): Column = {
     val bits: Seq[Column] = (0 until nPlanes).map { p =>
-      val plane = (0 until dim).map(j => planeComponent(p, j, seed))
-      val proj = (0 until dim).map(j => element_at(vec, j + 1) * lit(plane(j))).reduce(_ + _)
+      val plane = typedLit((0 until dim).map(j => planeComponent(p, j, seed)))
+      val proj = aggregate(zip_with(vec, plane, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -60,7 +62,11 @@ object Similarity {
               queries: DataFrame, qIdCol: String, qVecCol: String,
               dim: Int, nPlanes: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // repartition before the projection math: a single input split would
+    // otherwise single-thread the per-row hyperplane projections
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val e = df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .repartition(parallelism, col("_id"))
       .withColumn("_bucket", lshBucket(col("_v"), dim, nPlanes))
     val q = queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
       .withColumn("_bucket", lshBucket(col("_q"), dim, nPlanes))
