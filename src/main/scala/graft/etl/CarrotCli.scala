@@ -52,7 +52,8 @@ object CarrotCli {
     val schema = OmopSchema.fromFiles(ddlFile, cfgFile)
     val rules  = Rules.fromFile(rulesFile, schema)
     val engine = new CarrotEngine(spark, schema, rules,
-      src => CsvSource.read(spark, inputDir, src, sep), usePids, lastUsed)
+      src => CsvSource.read(spark, inputDir, src, sep), usePids, lastUsed,
+      personTable = opts.get("--person"))
 
     TsvSink.writeSingleFile(engine.personIds, s"$outDir/person_ids.tsv")
     for ((target, df) <- engine.runOrdered())

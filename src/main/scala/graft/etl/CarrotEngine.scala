@@ -27,13 +27,27 @@ final class CarrotEngine(
     rules: CarrotRules,
     readSource: String => DataFrame,
     useInputPersonIds: Boolean = false,
-    lastUsedIds: Map[String, Long] = Map.empty) {
+    lastUsedIds: Map[String, Long] = Map.empty,
+    personTable: Option[String] = None) {
 
   import CarrotEngine._
 
-  private val personMapping: TableMapping =
-    rules.tables.find(_.target == "person")
-      .getOrElse(sys.error("rules contain no person table mapping"))
+  /** V1/V2 guard (reference `tools/args.py:125-299`): ALL person-table
+    * mappings must come from exactly one source table — the person file. */
+  private val personMapping: TableMapping = {
+    val pms = rules.tables.filter(_.target == "person")
+    if (pms.isEmpty) sys.error("rules contain no person table mapping")
+    val srcs = pms.map(_.source).distinct
+    val offenders = personTable match {
+      case Some(p) => srcs.filterNot(s => CsvSource.stripCsvExtension(s) == CsvSource.stripCsvExtension(p))
+      case None    => if (srcs.size > 1) srcs else Seq.empty
+    }
+    if (offenders.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Person properties were mapped from (${offenders.sorted.mkString("['", "', '", "']")}) " +
+          s"but can only come from the person file${personTable.map(p => s" person='$p'").getOrElse("")}")
+    pms.head
+  }
 
   /** Raw per-source DataFrames (cached: each source feeds the person lookup
     * and/or several target branches). */

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the same event analytics the batch ops
+  * provide, expressed as streaming queries — windowed aggregation with
+  * watermarks, and stateful gap-based sessionization via
+  * flatMapGroupsWithState (the streaming twin of ops.Sessionize).
+  *
+  * The reference has no streaming at all (its "mapstream" is bounded-file
+  * iteration — SURVEY §2.6 declares the category absent); this module is
+  * part of the engine's scale surface: the same code shape runs on an
+  * unbounded source (kafka/files) on a cluster.
+  */
+object EventStream {
+
+  /** Watermarked sliding-window counts/sums per event type. */
+  def windowedAgg(events: DataFrame, watermark: String = "10 minutes",
+                  window_ : String = "5 minutes", slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, n_events: Long, sum_value: Double,
+                           start_ms: Long, end_ms: Long)
+
+  /** Stateful gap-based sessionization: emits a session when `gapMs` of
+    * event-time silence passes for a user (processing-time timeout flavor
+    * for bounded tests; swap to EventTimeTimeout + watermark in production). */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          // bounded-batch flavor: events for the group arrive together;
+          // sort by time and cut on gaps (state kept for cross-batch runs)
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val out = Seq.newBuilder[Session]
+          var cur = state.getOption
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) =>
+                out += Session(user, s.n, s.sum, s.start, s.last)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(s => state.update(s))
+          out.result().iterator
+        })
+  }
+}

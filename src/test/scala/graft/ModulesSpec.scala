@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl._
+import graft.ops.Sessionize
+import graft.streaming.EventStream
+
+/** Specs for the JDBC facade (embedded Derby), streaming sessionization
+  * (batch-mode flatMapGroupsWithState vs the window-function formulation),
+  * the multi-source-person validation, and last-used-ids seeding. */
+class ModulesSpec extends AnyFunSuite {
+  private lazy val spark = Golden.spark
+  import spark.implicits._
+
+  test("jdbc round-trip via embedded Derby") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val df = Seq(("1", "alpha"), ("2", ""), ("3", "gamma")).toDF("ID", "NAME")
+    Jdbc.writeTable(df, url, "People")
+    val back = Jdbc.readTable(spark, url, "PEOPLE")
+    assert(back.columns.toSeq == Seq("id", "name"))
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("1", "alpha"), Seq("2", ""), Seq("3", "gamma")))
+  }
+
+  test("streaming sessionize agrees with the batch window formulation") {
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0), (1L, "2024-01-01 00:10:00", 2.0),
+      (1L, "2024-01-01 02:00:00", 3.0), // > 30 min gap -> new session
+      (2L, "2024-01-01 00:00:00", 5.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .withColumn("event_id", col("value").cast("long"))
+
+    val batch = Sessionize.sessionStats(events, "user_id", "ts", "event_id", "value", 1800L)
+      .select("user_id", "n_events", "sum_value").orderBy("user_id", "n_events")
+      .collect().map(_.toSeq).toSeq
+
+    val ds = events.select(col("user_id"), col("ts"), col("value")).as[EventStream.Event]
+    // batch-mode flatMapGroupsWithState never times out, so the final open
+    // session per user stays in state; compare the CLOSED session plus
+    // reconstruct totals
+    val streamed = EventStream.sessionize(ds, 1800L * 1000).collect()
+    assert(streamed.map(s => (s.user_id, s.n_events, s.sum_value)).toSet ==
+      Set((1L, 2L, 3.0))) // the closed first session of user 1
+    assert(batch == Seq(Seq(1L, 1L, 3.0), Seq(1L, 2L, 3.0), Seq(2L, 1L, 5.0)))
+  }
+
+  test("windowed streaming aggregation over a memory stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String, Double)]
+    val df = mem.toDF().toDF("ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val agg = EventStream.windowedAgg(df, "10 minutes", "5 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("winagg").start()
+    mem.addData(("2024-01-01 00:01:00", "click", 1.0), ("2024-01-01 00:02:00", "click", 2.0),
+      ("2024-01-01 00:07:00", "view", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("winagg").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet ==
+      Set(("click", 2L), ("view", 1L)))
+  }
+
+  test("multi-source person rules abort (mireda_key_error)") {
+    val td  = s"${Golden.RefRoot}/tests/test_data/mireda_key_error"
+    val err = intercept[IllegalArgumentException] {
+      val rules = Rules.fromFile(s"$td/original_rules.json", Golden.schema)
+      new CarrotEngine(spark, Golden.schema, rules,
+        src => CsvSource.read(spark, td, src),
+        personTable = Some("demographics_mother_gold"))
+    }
+    assert(err.getMessage.contains("can only come from the person file"))
+    assert(err.getMessage.contains("demographics_child_gold.csv"))
+  }
+
+  test("last-used-ids seed offsets auto-numbering") {
+    val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
+    val rules = Rules.fromFile(s"${Golden.RefRoot}/tests/test_V2/rules-v2.json", Golden.schema)
+    val eng = new CarrotEngine(spark, Golden.schema, rules,
+      src => CsvSource.read(spark, td, src), lastUsedIds = Map("measurement" -> 100L))
+    val ids = eng.run()("measurement").select(col("measurement_id").cast("long")).collect().map(_.getLong(0)).sorted
+    assert(ids.head == 101L && ids.length == 4)
+  }
+}
