@@ -55,6 +55,61 @@ object SparkEntry {
       .withColumnRenamed("c_custkey", "source_subject")
   }
 
+  /** End-to-end run of the full carrot ETL engine (rules compile → date
+    * normalize → concept map → OMOP projection → auto-number → broadcast
+    * person join) over TPC-H tables posing as health-data sources:
+    * customer = the person file (market segment as the mapped gender code,
+    * a synthetic-but-deterministic birthdate), orders = a measurement feed.
+    * The DuckDB oracle replays the same pipeline in SQL. */
+  private val carrotTpchRules: String =
+    """{"metadata": {"dataset": "tpch"}, "cdm": {
+      |  "person": {"customer_src": {
+      |    "person_id_mapping": {"source_field": "person_id", "dest_field": "person_id"},
+      |    "date_mapping": {"source_field": "birth_datetime", "dest_field": ["birth_datetime"]},
+      |    "concept_mappings": {"gender_source_value": {
+      |      "BUILDING":   {"gender_concept_id": [8507], "gender_source_concept_id": [8507]},
+      |      "AUTOMOBILE": {"gender_concept_id": [8532], "gender_source_concept_id": [8532]},
+      |      "MACHINERY":  {"gender_concept_id": [8551], "gender_source_concept_id": [8551]},
+      |      "HOUSEHOLD":  {"gender_concept_id": [8552], "gender_source_concept_id": [8552]},
+      |      "FURNITURE":  {"gender_concept_id": [8553], "gender_source_concept_id": [8553]},
+      |      "original_value": ["gender_source_value"]}}}},
+      |  "measurement": {"orders_src": {
+      |    "person_id_mapping": {"source_field": "person_id", "dest_field": "person_id"},
+      |    "date_mapping": {"source_field": "measurement_date", "dest_field": ["measurement_datetime"]},
+      |    "concept_mappings": {"val": {
+      |      "*": {"measurement_concept_id": [3025315], "measurement_source_concept_id": [3025315]},
+      |      "original_value": ["measurement_source_value", "value_as_number"]}}}}
+      |}}""".stripMargin
+
+  private def carrotRun(s: SparkSession, dir: String): Map[String, DataFrame] = {
+    val schema = graft.etl.OmopSchema.fromFiles(
+      "/root/reference/carrottransform/config/OMOPCDM_postgresql_5.3_ddl.sql",
+      "/root/reference/carrottransform/config/config.json")
+    val rules = graft.etl.Rules.fromJson(carrotTpchRules, schema)
+    // "file order" is defined as key order here, so the row index comes
+    // from the lazy dense-ID assigner — no RDD round-trip, no global sort
+    def readSource(name: String): DataFrame = name match {
+      case "customer_src" =>
+        val c = tbl(s, dir, "customer")
+          .select(
+            col("c_custkey").cast("string").as("person_id"),
+            col("c_mktsegment").as("gender_source_value"),
+            concat(lit("19"), lpad((col("c_custkey") % 80 + 10).cast("string"), 2, "0"),
+              lit("-01-15")).as("birth_datetime"),
+            col("c_custkey").as("_ord"))
+        IdAssign.withDenseId(c, graft.etl.CsvSource.RowIdx, -1L, col("_ord")).drop("_ord")
+      case "orders_src" =>
+        val o = tbl(s, dir, "orders")
+          .select(
+            col("o_custkey").cast("string").as("person_id"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("measurement_date"),
+            col("o_totalprice").cast("decimal(12,2)").cast("string").as("val"),
+            col("o_orderkey").as("_ord"))
+        IdAssign.withDenseId(o, graft.etl.CsvSource.RowIdx, -1L, col("_ord")).drop("_ord")
+    }
+    new graft.etl.CarrotEngine(s, schema, rules, readSource).run()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- S1/T13: scan + filter + projection (pushdown/pruning) ----
@@ -255,6 +310,21 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       Similarity.lshTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), "vec_id", "embedding", dim = 64, nPlanes = 8, k = 5)
+    }),
+
+    // ---- Full carrot ETL engine end-to-end on TPC-H sources ----
+    "q26_carrot_measurement" -> ((s, dir) => {
+      carrotRun(s, dir)("measurement")
+        .select(col("measurement_id"), col("person_id"), col("measurement_concept_id"),
+          col("measurement_date"), col("measurement_datetime"),
+          col("value_as_number"), col("measurement_source_value"))
+    }),
+
+    "q27_carrot_person" -> ((s, dir) => {
+      carrotRun(s, dir)("person")
+        .select(col("person_id"), col("gender_concept_id"), col("year_of_birth"),
+          col("month_of_birth"), col("day_of_birth"), col("birth_datetime"),
+          col("gender_source_value"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -433,5 +503,33 @@ object SparkEntry {
         |  md5(text) AS content_hash,
         |  CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
         |  CAST(64 + (octet_length(encode(text)) * 31) % 577 AS INT) AS height
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "q26_carrot_measurement" ->
+      """WITH cust AS (SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS pid FROM customer),
+        |o AS (SELECT o_orderkey, o_custkey,
+        |        strftime(o_orderdate, '%Y-%m-%d') AS md,
+        |        CAST(o_totalprice::DECIMAL(12,2) AS VARCHAR) AS val,
+        |        row_number() OVER (ORDER BY o_orderkey) AS mid
+        |      FROM orders)
+        |SELECT CAST(mid AS VARCHAR) AS measurement_id, CAST(pid AS VARCHAR) AS person_id,
+        |  '3025315' AS measurement_concept_id, md AS measurement_date,
+        |  md || ' 00:00:00' AS measurement_datetime,
+        |  val AS value_as_number, val AS measurement_source_value
+        |FROM o JOIN cust ON o.o_custkey = cust.c_custkey""".stripMargin,
+
+    "q27_carrot_person" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    row_number() OVER (ORDER BY c_custkey) AS pid,
+        |    '19' || lpad(CAST(c_custkey % 80 + 10 AS VARCHAR), 2, '0') || '-01-15' AS bd
+        |  FROM customer)
+        |SELECT CAST(pid AS VARCHAR) AS person_id,
+        |  CASE c_mktsegment WHEN 'BUILDING' THEN '8507' WHEN 'AUTOMOBILE' THEN '8532'
+        |    WHEN 'MACHINERY' THEN '8551' WHEN 'HOUSEHOLD' THEN '8552'
+        |    WHEN 'FURNITURE' THEN '8553' ELSE '0' END AS gender_concept_id,
+        |  CAST(1900 + c_custkey % 80 + 10 AS VARCHAR) AS year_of_birth,
+        |  '1' AS month_of_birth, '15' AS day_of_birth,
+        |  bd || ' 00:00:00' AS birth_datetime,
+        |  c_mktsegment AS gender_source_value
+        |FROM cust""".stripMargin)
 }

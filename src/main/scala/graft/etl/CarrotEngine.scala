@@ -157,27 +157,27 @@ final class CarrotEngine(
       val v     = col(cm.sourceField)
       val valid = trim(v) =!= ""
 
-      val lenLit   = typedLit(known.map { case (k, c) => k -> c.length })
-      val fallbackLen: Column =
-        if (fallback.nonEmpty) lit(fallback.length) else lit(null).cast("int")
-      val nCombos = when(valid, coalesce(element_at(lenLit, v), fallbackLen))
+      // ONE literal map value -> array of combos (each combo a
+      // dest->concept map); a single lookup + posexplode per row keeps the
+      // expression tree small (per-dest array literals made the projection
+      // overflow whole-stage codegen into interpreted mode)
+      def comboMaps(cs: Seq[Map[String, Long]]): Seq[Map[String, String]] =
+        cs.map(_.map { case (d, c) => d -> c.toString })
+      val comboLit = typedLit(known.map { case (k, c) => k -> comboMaps(c) })
+      val fbLit: Column =
+        if (fallback.nonEmpty) typedLit(comboMaps(fallback))
+        else lit(null).cast("array<map<string,string>>")
+      val combos = when(valid, coalesce(element_at(comboLit, v), fbLit))
 
       val dests = (known.valuesIterator.flatten ++ fallback.iterator).flatMap(_.keys).toSeq.distinct
-      def conceptArr(d: String): Column = {
-        val knownArr = typedLit(known.map { case (k, c) => k -> c.map(_.get(d).map(_.toString).orNull) })
-        val fbArr: Column =
-          if (fallback.nonEmpty) typedLit(fallback.map(_.get(d).map(_.toString).orNull))
-          else lit(null).cast("array<string>")
-        coalesce(element_at(knownArr, v), fbArr)
-      }
-
-      val exploded = src
-        .withColumn(ComboIdx, explode(sequence(lit(0), nCombos - 1)))
+      // posexplode: the combo index feeds the deterministic auto-number order
+      val posExploded = src.select(col("*") +:
+        Seq(posexplode(combos).as(Seq(ComboIdx, ComboCol))): _*)
 
       val conceptValue: Map[String, Column] =
-        dests.map(d => d -> element_at(conceptArr(d), col(ComboIdx) + 1)).toMap
+        dests.map(d => d -> element_at(col(ComboCol), d)).toMap
 
-      projectOmop(m, exploded, conceptValue,
+      projectOmop(m, posExploded, conceptValue,
         origs = cm.originalValueFields.map(_ -> v).toMap ++ cm.extraCopies.map { case (sf, df) => df -> col(sf) },
         fileIdx = fileIdx, cmIdx = ci, datacol = cm.sourceField)
     }
@@ -342,6 +342,7 @@ object CarrotEngine {
   val RowIdx     = "_row_idx_out"
   val CmIdx      = "_cm_idx"
   val ComboIdx   = "_combo_idx"
+  val ComboCol   = "_combo"
   val ComboOut   = "_combo_idx_out"
   val CompOk     = "_comp_ok"
   val HasComp    = "_has_comp"
