@@ -86,26 +86,25 @@ object SparkEntry {
       "/root/reference/carrottransform/config/OMOPCDM_postgresql_5.3_ddl.sql",
       "/root/reference/carrottransform/config/config.json")
     val rules = graft.etl.Rules.fromJson(carrotTpchRules, schema)
-    // "file order" is defined as key order here, so the row index comes
-    // from the lazy dense-ID assigner — no RDD round-trip, no global sort
+    // `_row_idx` is only an ORDERING key (dense ids are assigned later by
+    // the engine where required), so "file order = key order" is just an
+    // alias of the natural key — no extra shuffle at all
     def readSource(name: String): DataFrame = name match {
       case "customer_src" =>
-        val c = tbl(s, dir, "customer")
+        tbl(s, dir, "customer")
           .select(
             col("c_custkey").cast("string").as("person_id"),
             col("c_mktsegment").as("gender_source_value"),
             concat(lit("19"), lpad((col("c_custkey") % 80 + 10).cast("string"), 2, "0"),
               lit("-01-15")).as("birth_datetime"),
-            col("c_custkey").as("_ord"))
-        IdAssign.withDenseId(c, graft.etl.CsvSource.RowIdx, -1L, col("_ord")).drop("_ord")
+            col("c_custkey").cast("long").as(graft.etl.CsvSource.RowIdx))
       case "orders_src" =>
-        val o = tbl(s, dir, "orders")
+        tbl(s, dir, "orders")
           .select(
             col("o_custkey").cast("string").as("person_id"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("measurement_date"),
             col("o_totalprice").cast("decimal(12,2)").cast("string").as("val"),
-            col("o_orderkey").as("_ord"))
-        IdAssign.withDenseId(o, graft.etl.CsvSource.RowIdx, -1L, col("_ord")).drop("_ord")
+            col("o_orderkey").cast("long").as(graft.etl.CsvSource.RowIdx))
     }
     new graft.etl.CarrotEngine(s, schema, rules, readSource).run()
   }
@@ -325,6 +324,65 @@ object SparkEntry {
         .select(col("person_id"), col("gender_concept_id"), col("year_of_birth"),
           col("month_of_birth"), col("day_of_birth"), col("birth_datetime"),
           col("gender_source_value"))
+    }),
+
+    // ---- Relational coverage: 3-way join + agg + top-k (TPC-H Q3 shape) ----
+    "q28_top_revenue" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = tbl(s, dir, "orders")
+      val l = tbl(s, dir, "lineitem")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- Relational coverage: semi-join (EXISTS) ----
+    "q29_exists_semi" -> ((s, dir) => {
+      val urgent = tbl(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      tbl(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // ---- Relational coverage: top-n per group (window) ----
+    "q30_topn_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ---- Relational coverage: 4-way join with broadcast dims (Q5 shape) ----
+    "q31_revenue_by_nation" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      val o = tbl(s, dir, "orders")
+      val l = tbl(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---- Relational coverage: distinct aggregation + set difference ----
+    "q32_distinct_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    "q33_set_except" -> ((s, dir) => {
+      tbl(s, dir, "customer").select(col("c_custkey"))
+        .except(tbl(s, dir, "orders").select(col("o_custkey")))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -531,5 +589,42 @@ object SparkEntry {
         |  '1' AS month_of_birth, '15' AS day_of_birth,
         |  bd || ' 00:00:00' AS birth_datetime,
         |  c_mktsegment AS gender_source_value
-        |FROM cust""".stripMargin)
+        |FROM cust""".stripMargin,
+
+    "q28_top_revenue" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q29_exists_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q30_topn_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2""".stripMargin,
+
+    "q31_revenue_by_nation" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q32_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q33_set_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey AS c_custkey FROM orders""".stripMargin)
 }

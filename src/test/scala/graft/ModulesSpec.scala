@@ -77,6 +77,33 @@ class ModulesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("demographics_child_gold.csv"))
   }
 
+  test("SQL functions registered via SparkSessionExtensions") {
+    // exercise the injection wiring, then register on the live session's
+    // registry the same way withExtensions would at session build
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("ngram_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.NGramShingles].getName, "ngram_shingles"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NGramShingles(args.head,
+          args(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal].value.asInstanceOf[Int]))
+    val r = spark.sql("SELECT ngram_shingles('a b c d', 2) AS sh").collect()(0).getSeq[String](0)
+    assert(r == Seq("a b", "b c", "c d"))
+  }
+
+  test("use-input-person-ids passes source IDs through") {
+    val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
+    val rules = Rules.fromFile(s"${Golden.RefRoot}/tests/test_V2/rules-v2.json", Golden.schema)
+    val eng = new CarrotEngine(spark, Golden.schema, rules,
+      src => CsvSource.read(spark, td, src), useInputPersonIds = true)
+    val ids = eng.personLookup.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ids("321") == "321" && ids("289") == "289")
+    val pids = eng.run()("person").select("person_id").collect().map(_.getString(0)).toSet
+    assert(pids.subsetOf(Set("321", "789345", "6789", "289")))
+  }
+
   test("last-used-ids seed offsets auto-numbering") {
     val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
     val rules = Rules.fromFile(s"${Golden.RefRoot}/tests/test_V2/rules-v2.json", Golden.schema)
