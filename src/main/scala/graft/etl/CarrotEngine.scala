@@ -49,10 +49,15 @@ final class CarrotEngine(
     pms.head
   }
 
-  /** Raw per-source DataFrames (cached: each source feeds the person lookup
-    * and/or several target branches). */
+  /** Raw per-source DataFrames. Cached only when a source feeds more than
+    * one consumer (person lookup and/or several target branches) —
+    * materializing a single-consumer source costs more than recomputing. */
   private lazy val rawSources: Map[String, DataFrame] =
-    rules.sourceTables.map(s => s -> readSource(s).cache()).toMap
+    rules.sourceTables.map { s =>
+      val consumers = rules.forSource(s).size + (if (s == personMapping.source) 1 else 0)
+      val df = readSource(s)
+      s -> (if (consumers > 1) df.cache() else df)
+    }.toMap
 
   /** J2: the person dictionary, built from the RAW person file (strict
     * date-only birthdate validation — not the lax T1 normalizer). */
