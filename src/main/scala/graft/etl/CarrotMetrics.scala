@@ -41,56 +41,69 @@ object CarrotMetrics {
 
     val parts = Seq.newBuilder[DataFrame]
 
-    // ---- input_count + input_date_fields per source file
+    def keyStruct(src: Column, field: Column, table: Column, ct: String): Column =
+      struct(src.as("source"), field.as("fieldname"), table.as("tablename"), lit(ct).as("count_type"))
+
+    // ---- ONE scan per source file: every per-row counter (input_count,
+    // date drops, empty-value counts per mapped field×target) emitted as an
+    // exploded key array and aggregated in a single shuffle — the reference
+    // increments these in its one pass over the file; so do we.
     for (src <- rules.sourceTables) {
       val raw = e.metricsRaw(src)
-      parts += raw.groupBy().count()
-        .select(keyed(lit(src), lit("all"), lit("all"), lit("all"), lit(""), "input_count", col("count")): _*)
       val dateCols = e.metricsDateCols(src)
-      if (dateCols.nonEmpty) {
-        val dropped = dateCols.map(c => DateNorm.normalise8601(col(c)).isNull).reduce(_ || _)
-        parts += raw.filter(dropped).groupBy().count()
-          .select(keyed(lit(src), lit("all"), lit("all"), lit("all"), lit(""), "input_date_fields", col("count")): _*)
+      val dateOk = dateCols.map(c => DateNorm.normalise8601(col(c)).isNotNull)
+        .reduceOption(_ && _).getOrElse(lit(true))
+
+      val elems = Seq.newBuilder[Column]
+      elems += keyStruct(lit(src), lit("all"), lit("all"), "input_count")
+      if (dateCols.nonEmpty)
+        elems += when(!dateOk, keyStruct(lit(src), lit("all"), lit("all"), "input_date_fields"))
+      for (m <- rules.forSource(src)) {
+        // v1 iterates every mapped data column (term fields AND verbatim-copy
+        // source fields); v2's standard builder counts per concept-mapped
+        // field and its person builder does not count at all.
+        val fields: Seq[String] =
+          if (m.target == "person") {
+            if (rules.v1Compat) m.conceptMappings.take(1).map(_.sourceField) else Seq.empty
+          } else {
+            val extra = if (rules.v1Compat) m.conceptMappings.flatMap(_.extraCopies.map(_._1)) else Seq.empty
+            (m.conceptMappings.map(_.sourceField) ++ extra).distinct
+          }
+        for (f <- fields)
+          elems += when(dateOk && trim(col(f)) === "",
+            keyStruct(lit(src), lit(f), lit(m.target), "invalid_source_fields"))
       }
+      parts += raw
+        .select(explode(array(elems.result(): _*)).as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("k.source"), col("k.fieldname"), col("k.tablename"), col("k.count_type"))
+        .count()
+        .select(col("source"), col("fieldname"), col("tablename"),
+          lit("all").as("concept_id"), lit("").as("additional"),
+          col("count_type"), col("count").cast("long").as("n"))
     }
 
-    // ---- invalid_source_fields per (source, data field, target)
-    for (m <- rules.tables) {
-      val prepared = e.metricsPrepared(m.source)
-      // v1 iterates every mapped data column (term fields AND verbatim-copy
-      // source fields); v2's standard builder counts per concept-mapped
-      // field and its person builder does not count at all.
-      val fields: Seq[String] =
-        if (m.target == "person") {
-          if (rules.v1Compat) m.conceptMappings.take(1).map(_.sourceField) else Seq.empty
-        } else {
-          val extra = if (rules.v1Compat) m.conceptMappings.flatMap(_.extraCopies.map(_._1)) else Seq.empty
-          (m.conceptMappings.map(_.sourceField) ++ extra).distinct
-        }
-      for (f <- fields)
-        parts += prepared.filter(trim(col(f)) === "").groupBy().count()
-          .select(keyed(lit(m.source), lit(f), lit(m.target), lit("all"), lit(""), "invalid_source_fields", col("count")): _*)
-    }
-
-    // ---- invalid_date_fields + invalid_person_ids + output_count per target
+    // ---- per target: invalid_date from the pre-filter candidates (one
+    // pass), then ONE grouped pass over the joined records carrying the
+    // match flag — rollups and the invalid-person count both derive from
+    // the resulting tiny grouped relation.
     for ((target, b) <- e.metricsBuilds) {
       parts += b.candidates.filter(col(HasComp) && !col(CompOk))
         .groupBy(col(SrcCol), col(DatacolCol)).count()
         .select(keyed(col(SrcCol), col(DatacolCol), lit(target), lit("all"), lit(""), "invalid_date_fields", col("count")): _*)
 
-      parts += b.joined.filter(!col(Matched)).groupBy(col(SrcCol)).count()
-        .select(keyed(col(SrcCol), lit("all"), lit(target), lit("all"), lit(""), "invalid_person_ids", col("count")): _*)
-
-      // written records grouped once, then fanned to the rollup keys
       val cols = schema.columns(target)
       val c1   = col(cols(1).toLowerCase) // person: gender_concept_id
       val c2   = col(cols(2).toLowerCase) // person: year_of_birth; else concept id
-      val g = b.joined.filter(col(Matched))
-        .groupBy(col(SrcCol).as("s"), col(DatacolCol).as("f"), c1.as("c1"), c2.as("c2"))
+      val g = b.joined
+        .groupBy(col(Matched).as("m"), col(SrcCol).as("s"), col(DatacolCol).as("f"), c1.as("c1"), c2.as("c2"))
         .count()
 
+      parts += g.filter(!col("m")).groupBy(col("s")).agg(sum(col("count")).as("count"))
+        .select(keyed(col("s"), lit("all"), lit(target), lit("all"), lit(""), "invalid_person_ids", col("count")): _*)
+
       def roll(src: Column, field: Column, table: Column, concept: Column, additional: Column): DataFrame =
-        g.select(keyed(src, field, table, concept, additional, "output_count", col("count")): _*)
+        g.filter(col("m")).select(keyed(src, field, table, concept, additional, "output_count", col("count")): _*)
 
       parts += roll(col("s"), lit("all"), lit("all"), lit("all"), lit(""))
       parts += roll(lit("all"), lit("all"), lit(target), lit("all"), lit(""))
