@@ -110,6 +110,9 @@ final class CarrotEngine(
       // J1: broadcast hash join replacing source person IDs (left join keeps
       // the miss path visible for metrics; result takes the inner slice)
       val pidDest = schema.personIdField.getOrElse(target, "person_id").toLowerCase
+      // no extra persist here: the dense-ID assigner materializes the
+      // numbered candidates internally, so re-deriving `joined` for a
+      // second consumer (metrics) only replays the cheap broadcast join
       val joined = numbered
         .join(broadcast(personLookup), numbered(pidDest) === personLookup("source_subject"), "left")
         .withColumn(Matched, col("target_subject").isNotNull)

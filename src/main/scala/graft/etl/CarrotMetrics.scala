@@ -88,9 +88,17 @@ object CarrotMetrics {
     // match flag — rollups and the invalid-person count both derive from
     // the resulting tiny grouped relation.
     for ((target, b) <- e.metricsBuilds) {
-      parts += b.candidates.filter(col(HasComp) && !col(CompOk))
-        .groupBy(col(SrcCol), col(DatacolCol)).count()
-        .select(keyed(col(SrcCol), col(DatacolCol), lit(target), lit("all"), lit(""), "invalid_date_fields", col("count")): _*)
+      // the component-parse drop can only happen for targets whose date
+      // dests include configured date components (in practice: person) —
+      // statically skip the pre-filter pass everywhere else
+      val compPossible = rules.tables.filter(_.target == target).exists { m =>
+        val treated = if (rules.v1Compat) m.dateDests.takeRight(1) else m.dateDests
+        schema.dateComponents(target).keys.exists(treated.contains)
+      }
+      if (compPossible)
+        parts += b.candidates.filter(col(HasComp) && !col(CompOk))
+          .groupBy(col(SrcCol), col(DatacolCol)).count()
+          .select(keyed(col(SrcCol), col(DatacolCol), lit(target), lit("all"), lit(""), "invalid_date_fields", col("count")): _*)
 
       val cols = schema.columns(target)
       val c1   = col(cols(1).toLowerCase) // person: gender_concept_id
@@ -99,24 +107,38 @@ object CarrotMetrics {
         .groupBy(col(Matched).as("m"), col(SrcCol).as("s"), col(DatacolCol).as("f"), c1.as("c1"), c2.as("c2"))
         .count()
 
-      parts += g.filter(!col("m")).groupBy(col("s")).agg(sum(col("count")).as("count"))
-        .select(keyed(col("s"), lit("all"), lit(target), lit("all"), lit(""), "invalid_person_ids", col("count")): _*)
+      // one pass over the (tiny) grouped relation: every rollup key plus the
+      // invalid-person key is exploded per row and re-summed — not one
+      // aggregation job per rollup level
+      def rk(src: Column, field: Column, table: Column, concept: Column,
+             additional: Column, ct: String): Column =
+        struct(src.as("source"), field.as("fieldname"), table.as("tablename"),
+          concept.as("concept_id"), additional.as("additional"), lit(ct).as("count_type"))
 
-      def roll(src: Column, field: Column, table: Column, concept: Column, additional: Column): DataFrame =
-        g.filter(col("m")).select(keyed(src, field, table, concept, additional, "output_count", col("count")): _*)
-
-      parts += roll(col("s"), lit("all"), lit("all"), lit("all"), lit(""))
-      parts += roll(lit("all"), lit("all"), lit(target), lit("all"), lit(""))
-      parts += roll(col("s"), lit("all"), lit(target), lit("all"), lit(""))
-      if (target == "person") {
-        parts += roll(col("s"), lit("all"), lit(target), col("c1"), lit(""))
-        parts += roll(col("s"), lit("all"), lit(target), col("c1"), col("c2"))
-      } else {
-        parts += roll(col("s"), col("f"), lit(target), col("c2"), lit(""))
-        parts += roll(col("s"), lit("all"), lit(target), col("c2"), lit(""))
-        parts += roll(lit("all"), lit("all"), lit(target), col("c2"), lit(""))
-        parts += roll(lit("all"), lit("all"), lit("all"), col("c2"), lit(""))
+      val rollKeys: Seq[Column] = {
+        val base = Seq(
+          rk(col("s"), lit("all"), lit("all"), lit("all"), lit(""), "output_count"),
+          rk(lit("all"), lit("all"), lit(target), lit("all"), lit(""), "output_count"),
+          rk(col("s"), lit("all"), lit(target), lit("all"), lit(""), "output_count"))
+        val extra =
+          if (target == "person") Seq(
+            rk(col("s"), lit("all"), lit(target), col("c1"), lit(""), "output_count"),
+            rk(col("s"), lit("all"), lit(target), col("c1"), col("c2"), "output_count"))
+          else Seq(
+            rk(col("s"), col("f"), lit(target), col("c2"), lit(""), "output_count"),
+            rk(col("s"), lit("all"), lit(target), col("c2"), lit(""), "output_count"),
+            rk(lit("all"), lit("all"), lit(target), col("c2"), lit(""), "output_count"),
+            rk(lit("all"), lit("all"), lit("all"), col("c2"), lit(""), "output_count"))
+        (base ++ extra).map(k => when(col("m"), k)) :+
+          when(!col("m"), rk(col("s"), lit("all"), lit(target), lit("all"), lit(""), "invalid_person_ids"))
       }
+
+      parts += g
+        .select(col("count"), explode(array(rollKeys: _*)).as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("k.source"), col("k.fieldname"), col("k.tablename"),
+          col("k.concept_id"), col("k.additional"), col("k.count_type"))
+        .agg(sum(col("count")).cast("long").as("n"))
     }
 
     val counts = parts.result().reduce(_.unionByName(_)).filter(col("n") > 0)

@@ -49,11 +49,12 @@ object CsvSource {
     withRowIdx(trimmed.na.fill(""))
   }
 
-  /** Append a dense 0-based file-order index without sorting. */
-  def withRowIdx(df: DataFrame): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField(RowIdx, LongType, nullable = false))
-    df.sparkSession.createDataFrame(
-      df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
-  }
+  /** Append a file-order ORDERING key. `_row_idx` is consumed only for
+    * ordering (auto-number order, first-wins dedupe) — density is never
+    * required — so `monotonically_increasing_id` does the job with no RDD
+    * conversion and no eager job (an RDD `zipWithIndex` runs its count job
+    * at definition time): partition ids follow file-offset order for a
+    * single file's splits, and the id increases within each partition. */
+  def withRowIdx(df: DataFrame): DataFrame =
+    df.withColumn(RowIdx, monotonically_increasing_id())
 }
