@@ -296,12 +296,12 @@ object SparkEntry {
           col("width"), col("height"))
     }),
 
-    // ---- Dedup: SimHash signatures + hamming distance to a reference doc
-    //      (no SQL oracle: xxhash64 is Spark-specific; rows-only check) ----
+    // ---- Dedup: SimHash (md5 family) + hamming distance to a ref doc ----
     "q24_simhash" -> ((s, dir) => {
-      val d  = tbl(s, dir, "documents").select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))
+      val d  = tbl(s, dir, "documents").select(col("doc_id"), Dedup.simhashMd5(col("text")).as("sh"))
       val q  = d.filter(col("doc_id") === 0).select(col("sh").as("qs"))
-      d.crossJoin(broadcast(q)).select(col("doc_id"), col("sh"), Dedup.hamming(col("sh"), col("qs")).as("dist"))
+      d.crossJoin(broadcast(q))
+        .select(col("doc_id"), col("sh"), Dedup.hamming(col("sh"), col("qs")).cast("long").as("dist"))
     }),
 
     // ---- Similarity: LSH-bucketed ANN (rows-only; deterministic planes) ----
@@ -385,7 +385,27 @@ object SparkEntry {
         .except(tbl(s, dir, "orders").select(col("o_custkey")))
     }))
 
+  /** q24's oracle, generated for the 16 simhash bit positions. */
+  private val simhashOracle: String = {
+    val odd = "('1','3','5','7','9','b','d','f')"
+    val ones = (0 until 16).map(j =>
+      s"len(list_filter(hs, h -> substr(h, ${j + 1}, 1) IN $odd)) AS o$j").mkString(",\n  ")
+    val sh = (0 until 16).map(j =>
+      s"(CASE WHEN o$j * 2 >= n THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+       |  list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> md5(w)) AS hs
+       |  FROM documents),
+       |b AS (SELECT doc_id, len(hs) AS n,
+       |  $ones
+       |  FROM t),
+       |s AS (SELECT doc_id, CAST($sh AS BIGINT) AS sh FROM b),
+       |q AS (SELECT sh AS qs FROM s WHERE doc_id = 0)
+       |SELECT doc_id, sh, CAST(bit_count(xor(sh, qs)) AS BIGINT) AS dist
+       |FROM s, q""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q24_simhash" -> simhashOracle,
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,

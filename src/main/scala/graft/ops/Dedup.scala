@@ -134,4 +134,18 @@ object Dedup {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash over the md5 hash family (cross-engine reproducible, unlike
+    * xxhash64): token bit j = parity of hex digit j of md5(token); simhash
+    * bit j = majority vote across tokens. */
+  def simhashMd5(text: Column, bits: Int = 16): Column = {
+    val md5s = transform(split(lower(trim(text)), "\\s+"), w => md5(w))
+    val n = size(md5s)
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val bitCols: Seq[Column] = (0 until bits).map { j =>
+      val ones = size(filter(md5s, m => substring(m, j + 1, 1).isin(oddHex: _*)))
+      when(ones * 2 >= n, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
 }
