@@ -323,11 +323,12 @@ object SparkEntry {
         .select(col("doc_id"), col("sh"), Dedup.hamming(col("sh"), col("qs")).cast("long").as("dist"))
     }),
 
-    // ---- Similarity: LSH-bucketed ANN (rows-only; deterministic planes) ----
+    // ---- Similarity: LSH-bucketed ANN (md5-deterministic planes, oracled) ----
     "q25_ann_lsh" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.lshTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding", dim = 64, nPlanes = 8, k = 5)
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", dim = 64, nPlanes = 8, k = 5)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
 
     // ---- Full carrot ETL engine end-to-end on TPC-H sources ----
@@ -423,8 +424,36 @@ object SparkEntry {
        |FROM s, q""".stripMargin
   }
 
+  /** q25's oracle. The hyperplanes are md5-derived constants
+    * (`Similarity.planeComponent`), so the DuckDB replay inlines them as an
+    * explicit LEFT-ASSOCIATED dot product per plane — the same summation
+    * order as Spark's `aggregate` fold, so the sign (= bucket bit) agrees
+    * bit-for-bit. Cosine via list_cosine_similarity, proven at round-4
+    * parity by q16. */
+  private val annLshOracle: String = {
+    val dim = 64
+    val nPlanes = 8
+    val k = 5
+    val bucket = (0 until nPlanes).map { p =>
+      val terms = (0 until dim)
+        .map(j => s"v[${j + 1}]*(${Similarity.planeComponent(p, j, "graft")})")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+       |j AS (SELECT q.query_id, b.vec_id, list_cosine_similarity(b.v, q.qv) AS s
+       |      FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.query_id),
+       |r AS (SELECT query_id, vec_id, s,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+       |      FROM j)
+       |SELECT query_id, vec_id, round(s, 4) AS sim FROM r WHERE rn <= $k""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q24_simhash" -> simhashOracle,
+    "q25_ann_lsh" -> annLshOracle,
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,

@@ -29,8 +29,10 @@ case class NGramShingles(child: Expression, n: Int)
   override def prettyName: String = "ngram_shingles"
 
   override protected def nullSafeEval(input: Any): Any = {
+    // Locale.ROOT: default-locale toLowerCase diverges from Spark's lower()
+    // (e.g. Turkish dotless ı), breaking bit-parity with the composable form
     val words = input.asInstanceOf[UTF8String].toString
-      .trim.toLowerCase.split("\\s+")
+      .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](words.length * 2)
     val sb = new java.lang.StringBuilder(64)

@@ -74,7 +74,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.0, maxDf: Int = 100): DataFrame = {
     val withSh = shingleSets(df, idCol, textCol, n)
-    val inv = withSh.select(col("_id"), explode(col("_sh")).as("_s"))
+    // exploding an empty set yields no rows, so empty-shingle docs can never
+    // become candidates here — the guard just documents the invariant that
+    // keeps the jaccard denominator nonzero
+    val inv = withSh.filter(col("_size") > 0)
+      .select(col("_id"), explode(col("_sh")).as("_s"))
     val rare = inv.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf).select(col("_s"))
     val rareInv = inv.join(rare, Seq("_s"))
@@ -97,7 +101,11 @@ object Dedup {
                       k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
                       minJaccard: Double = 0.0): DataFrame = {
     val base = shingleSets(df, idCol, textCol, n)
-    val withSigs = base.withColumn("_sigs",
+    // docs shorter than n words have EMPTY shingle sets: every minhash is
+    // null, concat_ws skips nulls, and all such docs would collide into the
+    // same band buckets — then jaccard's 0/0 throws under ANSI mode. An
+    // empty set can't be a near-dup of anything; drop before banding.
+    val withSigs = base.filter(col("_size") > 0).withColumn("_sigs",
       graft.functions.ShingleExprs.minhashSignature(col("_sh"), k))
     val sigCols = (0 until k).map(i => element_at(col("_sigs"), i + 1))
     // bucket join on the narrow (bucket, id) projection — the wide shingle

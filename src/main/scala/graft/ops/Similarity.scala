@@ -19,7 +19,8 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  // nullif: a zero vector yields null similarity, not an ANSI DIVIDE_BY_ZERO
+  def cosine(a: Column, b: Column): Column = dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Brute-force cosine top-k of `df` against one query vector (broadcast). */
   def topK(df: DataFrame, idCol: String, vecCol: String,
@@ -38,7 +39,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane: component j of plane p is
     * derived from md5(seed|p|j) — reproducible with no RNG state, and
     * computable by any engine. Values in [-0.5, 0.5). */
-  private def planeComponent(p: Int, j: Int, seed: String): Double = {
+  private[graft] def planeComponent(p: Int, j: Int, seed: String): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$seed|$p|$j".getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString

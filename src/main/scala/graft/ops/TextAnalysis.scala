@@ -22,7 +22,9 @@ object TextAnalysis {
   /** Characters per token ratio, punctuation density, and a simple
     * quality gate — the usual cheap pre-filters before expensive dedup. */
   def punctRatio(text: Column, punct: String = "[.,!?;:]"): Column =
-    (length(text) - length(regexp_replace(text, punct, ""))) / length(text)
+    // nullif: an empty document must yield null, not an ANSI DIVIDE_BY_ZERO
+    // (Spark 4 runs with ANSI mode on by default)
+    (length(text) - length(regexp_replace(text, punct, ""))) / nullif(length(text), lit(0))
 
   /** Ratio of tokens found in a stopword list — the building block of the
     * n-gram/stopword language-ID heuristic. */
