@@ -3,35 +3,65 @@ package graft.etl
 import org.apache.spark.sql.SparkSession
 
 /** CLI entry point mirroring the reference's `carrot-transform run` surface
-  * (`tools/args.py:340-395`): rules file + input dir + output dir (+ optional
-  * DDL/config overrides, last-used-ids seed, person-ID passthrough,
-  * summary threshold).
+  * (`tools/args.py:340-395`, `cli/subcommands/run.py:28-60`): rules file +
+  * inputs + output (+ optional DDL/config overrides, last-used-ids seed,
+  * person-ID passthrough, summary threshold).
+  *
+  * `--inputs` / `--output` accept a directory, a SQL database URL, or a
+  * `minio:` URL (see [[Dispatch]]). Options fall back to environment
+  * variables with the reference's names (RULES_FILE, INPUTS, OUTPUT, PERSON,
+  * OMOP_DDL_FILE, OMOP_CONFIG_FILE — `tools/args.py:345-368`).
   *
   * Usage:
   *   runMain graft.etl.CarrotCli \
-  *     --rules-file R.json --inputs DIR --output DIR \
-  *     [--omop-ddl-file F] [--omop-config-file F] \
-  *     [--saved-person-id-file F] [--use-input-person-ids N|Y] \
-  *     [--last-used-ids-file F] [--log-file-threshold N] [--sep ,]
+  *     --rules-file R.json --inputs DIR|URL --output DIR|URL \
+  *     [--person NAME] [--omop-ddl-file F] [--omop-config-file F] \
+  *     [--use-input-person-ids N|Y] [--last-used-ids-file F] \
+  *     [--log-file-threshold N] [--sep ,] [--v2 N|Y]
   */
 object CarrotCli {
 
-  def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") => k -> v }.toMap
-    def req(k: String): String = opts.getOrElse(k, sys.error(s"missing required option $k"))
+  /** `--person` accepts a bare table name only (reference
+    * `tools/args.py:18`, PERSON_TABLE_PATTERN). */
+  private val PersonTablePattern = "^[a-zA-Z_][a-zA-Z0-9_]*$"
+
+  /** Option → environment-variable fallback, as in the reference. */
+  private val EnvNames = Map(
+    "--rules-file"       -> "RULES_FILE",
+    "--inputs"           -> "INPUTS",
+    "--output"           -> "OUTPUT",
+    "--person"           -> "PERSON",
+    "--omop-ddl-file"    -> "OMOP_DDL_FILE",
+    "--omop-config-file" -> "OMOP_CONFIG_FILE")
+
+  def main(args: Array[String]): Unit = run(args, sys.env)
+
+  /** Testable entry: argv + an explicit environment. */
+  def run(args: Array[String], env: Map[String, String]): Unit = {
+    val argv = args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") => k -> v }.toMap
+    def opt(k: String): Option[String] = argv.get(k).orElse(EnvNames.get(k).flatMap(env.get))
+    def req(k: String): String = opt(k).getOrElse(sys.error(s"missing required option $k"))
 
     val rulesFile = req("--rules-file")
-    val inputDir  = req("--inputs")
-    val outDir    = req("--output")
-    val ddlFile   = opts.getOrElse("--omop-ddl-file",
+    val inputs    = req("--inputs")
+    val output    = req("--output")
+    val ddlFile   = opt("--omop-ddl-file").getOrElse(
       "/root/reference/carrottransform/config/OMOPCDM_postgresql_5.3_ddl.sql")
-    val cfgFile   = opts.getOrElse("--omop-config-file",
+    val cfgFile   = opt("--omop-config-file").getOrElse(
       "/root/reference/carrottransform/config/config.json")
-    val threshold = opts.getOrElse("--log-file-threshold", "0").toLong
-    val usePids   = opts.getOrElse("--use-input-person-ids", "N") != "N"
-    val sep       = opts.getOrElse("--sep", ",")
+    val threshold = argv.getOrElse("--log-file-threshold", "0").toLong
+    val usePids   = argv.getOrElse("--use-input-person-ids", "N") != "N"
+    val sep       = argv.getOrElse("--sep", ",")
+    val strictV2  = argv.getOrElse("--v2", "N") != "N"
 
-    val lastUsed: Map[String, Long] = opts.get("--last-used-ids-file").map { f =>
+    val person = opt("--person")
+    person.filterNot(_.matches(PersonTablePattern)).foreach { p =>
+      throw new IllegalArgumentException(
+        s"'$p' is not a valid person file/table name. " +
+          "it needs to be just the name without any path or extension")
+    }
+
+    val lastUsed: Map[String, Long] = argv.get("--last-used-ids-file").map { f =>
       // TSV `table \t last_id`, counters resume at last_id + 1 (S6,
       // person_helpers.py:16-24)
       scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty).map { l =>
@@ -42,6 +72,7 @@ object CarrotCli {
     // honor an externally-provided master (spark-submit / cluster); default
     // to all local cores when run standalone
     val master = sys.props.get("spark.master").orElse(sys.env.get("SPARK_MASTER")).getOrElse("local[*]")
+    val preexisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .appName("carrot-transform-spark")
       .master(master)
@@ -51,15 +82,25 @@ object CarrotCli {
 
     val schema = OmopSchema.fromFiles(ddlFile, cfgFile)
     val rules  = Rules.fromFile(rulesFile, schema)
+    // the v2 entry point refuses v1-dialect rules instead of silently
+    // running in compat mode (reference orchestrator.py:309-310)
+    if (strictV2 && rules.v1Compat)
+      throw new IllegalArgumentException("Rules file is not in v2 format!")
+
     val engine = new CarrotEngine(spark, schema, rules,
-      src => CsvSource.read(spark, inputDir, src, sep), usePids, lastUsed,
-      personTable = opts.get("--person"))
+      Dispatch.sourceReader(spark, inputs, sep), usePids, lastUsed,
+      personTable = person)
 
-    TsvSink.writeSingleFile(engine.personIds, s"$outDir/person_ids.tsv")
-    for ((target, df) <- engine.runOrdered())
-      TsvSink.writeSingleFile(df, s"$outDir/$target.tsv")
-    TsvSink.writeSingleFile(engine.summary(threshold), s"$outDir/summary_mapstream.tsv")
+    val write = Dispatch.outputTarget(spark, output)
+    write("person_ids", engine.personIds)
+    // file-ish sinks get the reference's sequential row order; a SQL table
+    // has no observable order, so skip the global sort there
+    val results = if (Dispatch.isSql(output) && !Dispatch.isMinio(output))
+      engine.run() else engine.runOrdered()
+    for ((target, df) <- results) write(target, df)
+    write("summary_mapstream", engine.summary(threshold))
 
-    spark.stop()
+    // a test harness may have handed us its own live session — leave it up
+    if (!preexisting) spark.stop()
   }
 }

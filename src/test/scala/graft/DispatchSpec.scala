@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl._
+
+/** Source/target coordinate dispatch (reference `tools/sources.py:57-73`,
+  * `tools/outputs.py:323-345`): MinIO URL parsing → S3A conf, the SQL-URL
+  * rule, env-var option fallbacks, `--person` validation, strict-v2 mode,
+  * and the reference's connection matrix exercised end-to-end through
+  * `CarrotCli` with an embedded Derby database as BOTH input and output
+  * (`tests/test_integration.py:26-32,105-185`). */
+class DispatchSpec extends AnyFunSuite {
+  private lazy val spark = Golden.spark
+  import spark.implicits._
+
+  private val refUrl = "minio:carrot:secretpass@http://localhost:9000/mybucket/results/run1/"
+
+  test("MinioUrl parses the reference URL format") {
+    val m = Dispatch.MinioUrl.parse(refUrl)
+    assert(m.user == "carrot" && m.password == "secretpass")
+    assert(m.protocol == "http" && m.host == "localhost" && m.port == "9000")
+    assert(m.bucket == "mybucket" && m.folder == "results/run1/")
+    assert(m.endpoint == "http://localhost:9000")
+    assert(m.s3aPath == "s3a://mybucket/results/run1")
+    val noFolder = Dispatch.MinioUrl.parse("minio:u:p@https://minio.example:9443/b")
+    assert(noFolder.folder == "" && noFolder.s3aPath == "s3a://b")
+    intercept[IllegalArgumentException] { Dispatch.MinioUrl.parse("minio:whatever") }
+  }
+
+  test("configureMinio maps the URL onto per-bucket S3A configuration") {
+    val path = Dispatch.configureMinio(spark, Dispatch.MinioUrl.parse(refUrl))
+    assert(path == "s3a://mybucket/results/run1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(conf.get("fs.s3a.bucket.mybucket.endpoint") == "http://localhost:9000")
+    assert(conf.get("fs.s3a.bucket.mybucket.access.key") == "carrot")
+    assert(conf.get("fs.s3a.bucket.mybucket.secret.key") == "secretpass")
+    assert(conf.get("fs.s3a.bucket.mybucket.path.style.access") == "true")
+    assert(conf.get("fs.s3a.bucket.mybucket.connection.ssl.enabled") == "false")
+  }
+
+  test("coordinate classification: minio vs sql vs directory") {
+    assert(Dispatch.isMinio(refUrl))
+    assert(Dispatch.isSql("postgresql://u:p@host/db"))
+    assert(Dispatch.isSql("trino://host:8080/cat"))
+    assert(Dispatch.isSql("jdbc:derby:memory:x;create=true"))
+    assert(!Dispatch.isSql("/tmp/some/dir"))
+    assert(!Dispatch.isSql("relative/dir"))
+    assert(Dispatch.toJdbcUrl("postgresql://h/db") == "jdbc:postgresql://h/db")
+    assert(Dispatch.toJdbcUrl("jdbc:derby:memory:x") == "jdbc:derby:memory:x")
+  }
+
+  // ---- the connection matrix: Derby in AND out through the CLI ----
+
+  test("CarrotCli runs a golden corpus with JDBC input and output") {
+    val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
+    val inUrl  = "jdbc:derby:memory:cli_in;create=true"
+    val outUrl = "jdbc:derby:memory:cli_out;create=true"
+
+    // load the corpus CSVs into the input database, preserving file order
+    // via an explicit _load_idx so the DB scan order is deterministic
+    for (src <- Seq("src_PERSON", "src_SMOKING", "src_WEIGHT")) {
+      val df = CsvSource.read(spark, td, src).drop(CsvSource.RowIdx)
+      Jdbc.writeTable(df, inUrl, src)
+    }
+
+    CarrotCli.run(Array(
+      "--rules-file", s"${Golden.RefRoot}/tests/test_V2/rules-v2.json",
+      "--inputs", inUrl,
+      "--output", outUrl,
+      "--person", "src_PERSON"), env = Map.empty)
+
+    val ids = Jdbc.readTable(spark, outUrl, "person_ids")
+      .select(col("source_subject").as("SOURCE_SUBJECT"), col("target_subject").as("TARGET_SUBJECT"))
+    val person = Jdbc.readTable(spark, outUrl, "person")
+    Golden.assertMatches("person", person, ids, s"$td/v2-out")
+    val meas = Jdbc.readTable(spark, outUrl, "measurement")
+    Golden.assertMatches("measurement", meas, ids, s"$td/v2-out")
+  }
+
+  // ---- option handling ----
+
+  test("options fall back to environment variables (reference envvar names)") {
+    val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
+    val out = java.nio.file.Files.createTempDirectory("cli_env_out").toString
+    CarrotCli.run(Array.empty, env = Map(
+      "RULES_FILE" -> s"${Golden.RefRoot}/tests/test_V2/rules-v2.json",
+      "INPUTS"     -> td,
+      "OUTPUT"     -> out,
+      "PERSON"     -> "src_PERSON"))
+    assert(new java.io.File(s"$out/person.tsv").exists())
+    assert(new java.io.File(s"$out/person_ids.tsv").exists())
+  }
+
+  test("--person rejects names with a path or extension, like the reference") {
+    val err = intercept[IllegalArgumentException] {
+      CarrotCli.run(Array(
+        "--rules-file", "x.json", "--inputs", "/tmp", "--output", "/tmp",
+        "--person", "person.csv"), env = Map.empty)
+    }
+    assert(err.getMessage.contains("'person.csv' is not a valid person file/table name"))
+    assert(err.getMessage.contains("without any path or extension"))
+  }
+
+  test("--v2 refuses a v1-dialect rules file") {
+    val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
+    val err = intercept[IllegalArgumentException] {
+      CarrotCli.run(Array(
+        "--rules-file", s"$td/transform-rules.json",
+        "--inputs", td,
+        "--output", "/tmp/unused_v2_out",
+        "--v2", "Y"), env = Map.empty)
+    }
+    assert(err.getMessage == "Rules file is not in v2 format!")
+  }
+}
