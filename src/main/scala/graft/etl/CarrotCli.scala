@@ -99,6 +99,7 @@ object CarrotCli {
       engine.run() else engine.runOrdered()
     for ((target, df) <- results) write(target, df)
     write("summary_mapstream", engine.summary(threshold))
+    engine.close()
 
     // a test harness may have handed us its own live session — leave it up
     if (!preexisting) spark.stop()

@@ -32,6 +32,18 @@ final class CarrotEngine(
 
   import CarrotEngine._
 
+  /** Lifetime of every cache this engine materializes (raw sources, the
+    * person dictionary, IdAssign positioned snapshots). One-shot processes
+    * can skip close() — JVM exit reclaims — but long-lived sessions must
+    * call it after the last action on the outputs. */
+  private val scope = new graft.ops.CacheScope
+
+  /** Unpersist all engine-held caches. The output DataFrames remain valid
+    * but recompute from source on later actions — in particular, dense IDs
+    * would re-sample their range boundaries, so close only after the last
+    * consumer ran. */
+  def close(): Unit = scope.close()
+
   /** V1/V2 guard (reference `tools/args.py:125-299`): ALL person-table
     * mappings must come from exactly one source table — the person file. */
   private val personMapping: TableMapping = {
@@ -59,14 +71,14 @@ final class CarrotEngine(
       // single-split input would otherwise single-thread every downstream
       // stage (row order is irrelevant here — ordering rides on `_row_idx`)
       val df = graft.ops.Parallelize.ensure(readSource(s))
-      s -> (if (consumers > 1) df.cache() else df)
+      s -> (if (consumers > 1) scope.track(df.cache()) else df)
     }.toMap
 
   /** J2: the person dictionary, built from the RAW person file (strict
     * date-only birthdate validation — not the lax T1 normalizer). */
   lazy val personLookup: DataFrame =
-    PersonLookup.build(rawSources(personMapping.source),
-      personMapping.personIdSource, personMapping.dateSource, useInputPersonIds).cache()
+    scope.track(PersonLookup.build(rawSources(personMapping.source),
+      personMapping.personIdSource, personMapping.dateSource, useInputPersonIds, scope).cache())
 
   /** person_ids sink shape (reference K5). */
   lazy val personIds: DataFrame =
@@ -103,7 +115,7 @@ final class CarrotEngine(
       // (`run.py:266-273` increments before the person_lookup check).
       val numbered = schema.autoNumberField.get(target) match {
         case Some(auto) =>
-          IdAssign.withDenseId(filtered, "_auto", lastUsedIds.getOrElse(target, 0L),
+          IdAssign.withDenseId(filtered, "_auto", lastUsedIds.getOrElse(target, 0L), scope,
               col(FileIdx), col(RowIdx), col(CmIdx), col(ComboOut))
             .withColumn(auto, col("_auto").cast("string"))
             .drop("_auto")

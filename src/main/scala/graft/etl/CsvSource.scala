@@ -54,7 +54,13 @@ object CsvSource {
     * required — so `monotonically_increasing_id` does the job with no RDD
     * conversion and no eager job (an RDD `zipWithIndex` runs its count job
     * at definition time): partition ids follow file-offset order for a
-    * single file's splits, and the id increases within each partition. */
+    * single file's splits, and the id increases within each partition.
+    *
+    * CONTRACT NOTE: "partition order == file-offset order" holds because
+    * FilePartition packing sorts splits by length DESCENDING with a stable
+    * sort, and one file's splits are equal-sized except the last. That is
+    * Spark implementation detail, not API; MultiSplitSpec forces a
+    * many-split read and fails loudly if an upgrade changes the packing. */
   def withRowIdx(df: DataFrame): DataFrame =
     df.withColumn(RowIdx, monotonically_increasing_id())
 }

@@ -23,7 +23,8 @@ object PersonLookup {
 
   /** @param personDf raw person source with `_row_idx` (CsvSource.read) */
   def build(personDf: DataFrame, personIdField: String, birthDateField: String,
-            useInputPersonIds: Boolean): DataFrame = {
+            useInputPersonIds: Boolean,
+            scope: graft.ops.CacheScope = graft.ops.CacheScope.noop): DataFrame = {
     val valid = personDf
       .filter(trim(col(personIdField)) =!= "" && DateNorm.strictDate(col(birthDateField)).isNotNull)
       .select(col(personIdField).as("source_subject"), col(CsvSource.RowIdx))
@@ -39,7 +40,7 @@ object PersonLookup {
       if (useInputPersonIds)
         first.withColumn("target_subject", col("source_subject"))
       else
-        IdAssign.withDenseId(first, "_dense", 0L, col(CsvSource.RowIdx))
+        IdAssign.withDenseId(first, "_dense", 0L, scope, col(CsvSource.RowIdx))
           .withColumn("target_subject", col("_dense").cast("string"))
 
     withId.select(col("source_subject"), col("target_subject"))

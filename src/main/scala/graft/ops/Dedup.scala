@@ -30,11 +30,12 @@ object Dedup {
     * not codegen'd, so this stage dominates); (2) cache — every consumer
     * (inverted index, df filter, candidate verify) reuses the sets instead
     * of re-shingling the corpus. */
-  private[ops] def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    Parallelize.ensure(df.select(col(idCol).as("_id"), col(textCol).as("_t")))
+  private[ops] def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int,
+                               scope: CacheScope = CacheScope.noop): DataFrame = {
+    scope.track(Parallelize.ensure(df.select(col(idCol).as("_id"), col(textCol).as("_t")))
       .select(col("_id"), graft.functions.ShingleExprs.ngramShingles(col("_t"), n).as("_sh"))
       .withColumn("_size", size(col("_sh")))
-      .cache()
+      .cache())
   }
 
   /** Distinct word n-gram shingles of the lower-cased text. */
@@ -72,8 +73,9 @@ object Dedup {
     * sharing no rare shingle cannot be a near-dup of interest when minJaccard
     * is meaningful. Returns (id_a, id_b, jaccard), id_a < id_b. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, minJaccard: Double = 0.0, maxDf: Int = 100): DataFrame = {
-    val withSh = shingleSets(df, idCol, textCol, n)
+                        n: Int = 3, minJaccard: Double = 0.0, maxDf: Int = 100,
+                        scope: CacheScope = CacheScope.noop): DataFrame = {
+    val withSh = shingleSets(df, idCol, textCol, n, scope)
     // exploding an empty set yields no rows, so empty-shingle docs can never
     // become candidates here — the guard just documents the invariant that
     // keeps the jaccard denominator nonzero
@@ -99,8 +101,9 @@ object Dedup {
   /** MinHash-LSH candidate pairs verified with exact Jaccard. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
-                      minJaccard: Double = 0.0): DataFrame = {
-    val base = shingleSets(df, idCol, textCol, n)
+                      minJaccard: Double = 0.0,
+                      scope: CacheScope = CacheScope.noop): DataFrame = {
+    val base = shingleSets(df, idCol, textCol, n, scope)
     // docs shorter than n words have EMPTY shingle sets: every minhash is
     // null, concat_ws skips nulls, and all such docs would collide into the
     // same band buckets — then jaccard's 0/0 throws under ANSI mode. An

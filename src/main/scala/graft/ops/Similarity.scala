@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd scalar loop (graft.functions.DotProduct) — same sequential
+    * summation order as the interpreted zip_with/aggregate fold it replaced,
+    * so results (and LSH bucket signs) are bit-identical. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -53,7 +55,7 @@ object Similarity {
   def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: String = "graft"): Column = {
     val bits: Seq[Column] = (0 until nPlanes).map { p =>
       val plane = typedLit((0 until dim).map(j => planeComponent(p, j, seed)))
-      val proj = aggregate(zip_with(vec, plane, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+      val proj = dot(vec, plane)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

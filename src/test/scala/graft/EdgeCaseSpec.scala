@@ -55,4 +55,47 @@ class EdgeCaseSpec extends AnyFunSuite {
     val r = corpus.select(Dedup.simhashMd5(col("text")).as("sh")).collect()
     assert(r.length == corpus.count())
   }
+
+  test("DotProduct matches the interpreted fold bit-for-bit and survives codegen") {
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 64 + j)), Array.tabulate(64)(j => math.cos(i + j)))
+    }.toDF("id", "a", "b")
+    val fold = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val native = graft.functions.VectorExprs.dotProduct(col("a"), col("b"))
+    val diffs = vecs.select(fold.as("f"), native.as("n"))
+      .filter(col("f") =!= col("n")).count()
+    assert(diffs == 0)
+    // null array -> null result, not an error
+    val n = vecs.select(graft.functions.VectorExprs.dotProduct(
+      lit(null).cast("array<double>"), col("b")).as("d"))
+      .filter(col("d").isNull).count()
+    assert(n == 100)
+  }
+
+  test("engine close() unpersists every cache it created") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
+    val rules = graft.etl.Rules.fromFile(
+      s"${Golden.RefRoot}/tests/test_V2/rules-v2.json", Golden.schema)
+    val eng = new graft.etl.CarrotEngine(spark, Golden.schema, rules,
+      src => graft.etl.CsvSource.read(spark, td, src))
+    eng.run().values.foreach(_.count())
+    assert((sc.getPersistentRDDs.keySet -- before).nonEmpty, "engine should have cached")
+    eng.close()
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      s"leaked caches: ${(sc.getPersistentRDDs.keySet -- before).toSeq.sorted}")
+  }
+
+  test("scoped dedup unpersists its shingle cache") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    graft.ops.CacheScope.withScope { scope =>
+      val n = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        k = 4, rowsPerBand = 2, n = 5, scope = scope).count()
+      assert(n == 1)
+    }
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
 }
