@@ -75,10 +75,28 @@ final class CarrotEngine(
     }.toMap
 
   /** J2: the person dictionary, built from the RAW person file (strict
-    * date-only birthdate validation — not the lax T1 normalizer). */
-  lazy val personLookup: DataFrame =
-    scope.track(PersonLookup.build(rawSources(personMapping.source),
-      personMapping.personIdSource, personMapping.dateSource, useInputPersonIds, scope).cache())
+    * date-only birthdate validation — not the lax T1 normalizer).
+    *
+    * Memoized behind its OWN lock (not an engine lazy val): lazy-val init
+    * synchronizes on the engine instance, and `builds` initializes target
+    * plans on worker threads while holding that monitor — the dictionary
+    * must be initializable from any thread without touching it. */
+  private val personLookupRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  def personLookup: DataFrame = {
+    val cur = personLookupRef.get()
+    if (cur != null) cur
+    else personLookupRef.synchronized {
+      val again = personLookupRef.get()
+      if (again != null) again
+      else {
+        val built = scope.track(PersonLookup.build(rawSources(personMapping.source),
+          personMapping.personIdSource, personMapping.dateSource, useInputPersonIds, scope).cache())
+        personLookupRef.set(built)
+        built
+      }
+    }
+  }
 
   /** person_ids sink shape (reference K5). */
   lazy val personIds: DataFrame =
@@ -103,7 +121,27 @@ final class CarrotEngine(
   final case class TargetBuild(target: String, candidates: DataFrame, joined: DataFrame)
 
   private lazy val builds: Map[String, TargetBuild] = {
-    rules.tables.groupBy(_.target).map { case (target, mappings) =>
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // per-target construction is EAGER (the dense-ID assigner collects its
+    // partition offsets), so run the person-dictionary build and every
+    // target as concurrent Spark jobs — the scheduler interleaves them and
+    // wall-clock becomes max, not sum. EVERY engine lazy val the workers
+    // touch must be forced on THIS thread first: lazy-val init locks the
+    // instance monitor, which this thread holds while initializing `builds`
+    // — a worker hitting an uninitialized lazy val would deadlock against
+    // Await below. (personLookup memoizes behind its own lock instead.)
+    prepared
+    val dictFuture = Future(personLookup)
+    val futures = rules.tables.groupBy(_.target).map { case (target, mappings) =>
+      target -> Future(buildTarget(target, mappings))
+    }
+    Await.result(dictFuture, Duration.Inf)
+    futures.map { case (t, f) => t -> Await.result(f, Duration.Inf) }
+  }
+
+  private def buildTarget(target: String, mappings: Seq[TableMapping]): TargetBuild = {
       val branches = mappings.flatMap { m =>
         if (target == "person") Seq(buildPersonBranch(m)) else buildStandardBranches(m)
       }
@@ -133,8 +171,7 @@ final class CarrotEngine(
         .withColumn(Matched, col("target_subject").isNotNull)
         .withColumn(pidDest, coalesce(col("target_subject"), col(pidDest)))
 
-      target -> TargetBuild(target, candidates, joined)
-    }
+      TargetBuild(target, candidates, joined)
   }
 
   /** All target tables this rules file populates, each as an OMOP-shaped
