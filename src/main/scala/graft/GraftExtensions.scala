@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, MinHashSignature, NGramShingles}
+import graft.functions.{DotProduct, MinHashSignature, NGramShingles, WinnowingFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get them
@@ -37,5 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("winnowing_fingerprints"),
+      new ExpressionInfo(classOf[WinnowingFingerprints].getName, "winnowing_fingerprints"),
+      (args: Seq[Expression]) => WinnowingFingerprints(args.head,
+        intArg(args(1), "k"), intArg(args(2), "w"))))
   }
 }

@@ -403,6 +403,37 @@ object SparkEntry {
     "q33_set_except" -> ((s, dir) => {
       tbl(s, dir, "customer").select(col("c_custkey"))
         .except(tbl(s, dir, "orders").select(col("o_custkey")))
+    }),
+
+    // ---- Text analysis: BPE-ish subword count estimate ----
+    "q34_subword_count" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+    }),
+
+    // ---- Salted skew join: result-identical to the plain equi-join ----
+    "q35_skew_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events").select(col("event_id"), col("user_id"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      graft.ops.SkewJoin.saltedJoin(e, c, "user_id", "c_custkey",
+          factor = 8, saltOn = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+    }),
+
+    // ---- Similarity: IVF ANN (coarse cells + probed exact search) ----
+    "q36_ann_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") >= 8), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          nCentroids = 8, nProbe = 2, k = 5)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
+
+    // ---- Text analysis: winnowing fingerprints (positional near-dup) ----
+    "q37_winnow" -> ((s, dir) => {
+      graft.ops.Parallelize.ensure(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowingFingerprints(col("text"), k = 5, w = 4)).as("fp"))
     }))
 
   /** q24's oracle, generated for the 16 simhash bit positions. */
@@ -694,5 +725,42 @@ object SparkEntry {
 
     "q33_set_except" ->
       """SELECT c_custkey FROM customer
-        |EXCEPT SELECT o_custkey AS c_custkey FROM orders""".stripMargin)
+        |EXCEPT SELECT o_custkey AS c_custkey FROM orders""".stripMargin,
+
+    "q34_subword_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |    + (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS BIGINT) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    "q35_skew_join" ->
+      """SELECT event_id, user_id, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
+
+    "q36_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 8),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT e.vec_id AS id, e.v, c.cid,
+        |        list_cosine_similarity(e.v, c.cv) AS cs FROM e, c),
+        |cells AS (SELECT id, v, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM a) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |qa AS (SELECT q.qid, q.qv, c.cid,
+        |        list_cosine_similarity(q.qv, c.cv) AS cs FROM q, c),
+        |probes AS (SELECT qid, qv, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM qa) WHERE rn <= 2),
+        |j AS (SELECT qid, id, list_cosine_similarity(v, qv) AS s
+        |      FROM cells JOIN probes USING (cid) WHERE id <> qid),
+        |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn FROM j)
+        |SELECT qid AS query_id, id AS vec_id, round(s, 4) AS sim FROM r WHERE rn <= 5""".stripMargin,
+
+    "q37_winnow" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 5 THEN
+        |    list_transform(generate_series(1, len(w) - 4), i -> md5(array_to_string(list_slice(w, i, i + 4), ' ')))
+        |  ELSE [] END AS h FROM t),
+        |m AS (SELECT doc_id, CASE WHEN len(h) >= 4 THEN
+        |    list_distinct(list_transform(generate_series(1, len(h) - 3), j -> list_min(list_slice(h, j, j + 3))))
+        |  ELSE [] END AS fps FROM g)
+        |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin)
 }

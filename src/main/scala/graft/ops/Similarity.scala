@@ -61,6 +61,49 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: partition vectors into coarse cells, search
+    * only the `nProbe` most promising cells per query — the other standard
+    * scale path next to LSH (`lshTopK`).
+    *
+    * Cells are anchored on the first `nCentroids` vectors by id — a
+    * deterministic stand-in for a k-means codebook (production systems
+    * train centroids offline; the assignment/probe dataflow is identical).
+    * Assignment = argmax cosine to a BROADCAST centroid table (map-side,
+    * no shuffle on the big side beyond the cell-key join); probing scores
+    * only the probed cells' lists — never the full corpus.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Parallelize.ensure(
+      df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
+    val cents = df.select(col(idCol).as("_cid"), col(vecCol).cast("array<double>").as("_cv"))
+      .orderBy(col("_cid")).limit(nCentroids)
+
+    def assign(side: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("_csim").desc, col("_cid"))
+      side.crossJoin(broadcast(cents))
+        .withColumn("_csim", cosine(col(vec), col("_cv")))
+        .withColumn("_crn", row_number().over(w))
+        .filter(col("_crn") <= keep)
+        .drop("_cv", "_csim", "_crn")
+    }
+
+    val cells  = assign(e, "_id", "_v", keep = 1)
+    val probes = assign(
+      queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q")),
+      "_qid", "_q", keep = nProbe)
+
+    val w = Window.partitionBy(col("_qid")).orderBy(col("_sim").desc, col("_id"))
+    cells.join(probes, Seq("_cid"))
+      .filter(col("_id") =!= col("_qid"))
+      .withColumn("_sim", cosine(col("_v"), col("_q")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_sim").as("sim"))
+  }
+
   /** LSH-bucketed ANN: score only pairs that share a hyperplane bucket.
     * Returns the per-query top-k among same-bucket candidates. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,

@@ -49,9 +49,27 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
-  /** A BPE-ish subword count approximation: words plus punctuation runs
-    * (cheap token-count estimate for budget accounting). */
-  def subwordCount(text: Column): Column =
-    size(split(trim(text), "\\s+")) +
-      size(filter(split(text, ""), ch => ch.rlike("[.,!?;:]"))).cast("int")
+  /** A BPE-ish subword count approximation: words plus punctuation marks
+    * (cheap token-count estimate for budget accounting). Punctuation is
+    * counted by length difference — a codegen'd string op — instead of a
+    * per-character split+filter walk. */
+  def subwordCount(text: Column, punct: String = "[.,!?;:]"): Column =
+    (size(split(trim(text), "\\s+"))
+      + (length(text) - length(regexp_replace(text, punct, "")))).cast("long")
+
+  /** Winnowing document fingerprints (the standard k-gram/window scheme from
+    * the MOSS local-fingerprinting literature): hash every word k-gram in
+    * ORDER (not a distinct set), slide a window of `w` consecutive hashes,
+    * keep each window's minimum, and return the distinct selected hashes.
+    * Guarantees any shared run of ≥ w+k-1 words contributes a shared
+    * fingerprint — positional, unlike MinHash's set sketch.
+    *
+    * md5 as the hash family: bit-identical in the DuckDB oracle. Row-local,
+    * shuffle-free; built only from codegen-friendly array functions. */
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    // one-pass custom expression: the composable form — transform(sequence)
+    // over array_min(slice(grams, j, w)) — re-evaluates the whole gram
+    // array inside the window lambda (no common-subexpression elimination
+    // across higher-order-function boundaries), going O(n²) in md5 calls
+    graft.functions.ShingleExprs.winnowingFingerprints(text, k, w)
 }

@@ -73,6 +73,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(n == 100)
   }
 
+  test("winnowing expression matches the composable form and guards short docs") {
+    // the reference semantics, composed from built-ins (O(n²) — test-only)
+    def composable(text: org.apache.spark.sql.Column, k: Int, w: Int) = {
+      val t = split(lower(trim(text)), "\\s+")
+      val n = size(t)
+      val grams = transform(sequence(lit(1), n - (k - 1)),
+        i => md5(concat_ws(" ", slice(t, i, lit(k)))))
+      val mins = transform(sequence(lit(1), n - (k - 1) - (w - 1)),
+        j => array_min(slice(grams, j, lit(w))))
+      when(n >= k + w - 1, array_distinct(mins)).otherwise(array().cast("array<string>"))
+    }
+    val docs = Seq(
+      (0L, "a b c d e f g h i j k l m a b c d e f g h"),
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (2L, "exactly eight words are needed for one window"),
+      (3L, "seven words is one too few here"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val diff = docs.select(
+        graft.ops.TextAnalysis.winnowingFingerprints(col("text"), 5, 4).as("fast"),
+        composable(col("text"), 5, 4).as("slow"))
+      .filter(not(col("fast") === col("slow"))).count()
+    assert(diff == 0)
+    val empties = docs.select(col("doc_id"),
+        size(graft.ops.TextAnalysis.winnowingFingerprints(col("text"), 5, 4)).as("n"))
+      .filter(col("n") === 0).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(empties.toSeq == Seq(3L, 4L)) // 7 words and empty text -> no window
+  }
+
   test("engine close() unpersists every cache it created") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
