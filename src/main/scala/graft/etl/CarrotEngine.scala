@@ -123,7 +123,11 @@ final class CarrotEngine(
   private lazy val builds: Map[String, TargetBuild] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    // a small dedicated pool: enough to overlap the Spark jobs (which are
+    // mostly waiting on the cluster), without stampeding the single-JVM
+    // codegen compiler from 32 fork-join workers at once
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     // per-target construction is EAGER (the dense-ID assigner collects its
     // partition offsets), so run the person-dictionary build and every
     // target as concurrent Spark jobs — the scheduler interleaves them and
@@ -137,8 +141,10 @@ final class CarrotEngine(
     val futures = rules.tables.groupBy(_.target).map { case (target, mappings) =>
       target -> Future(buildTarget(target, mappings))
     }
-    Await.result(dictFuture, Duration.Inf)
-    futures.map { case (t, f) => t -> Await.result(f, Duration.Inf) }
+    try {
+      Await.result(dictFuture, Duration.Inf)
+      futures.map { case (t, f) => t -> Await.result(f, Duration.Inf) }
+    } finally pool.shutdown()
   }
 
   private def buildTarget(target: String, mappings: Seq[TableMapping]): TargetBuild = {

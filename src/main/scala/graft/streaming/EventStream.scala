@@ -25,6 +25,31 @@ object EventStream {
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup for a document/event stream: first occurrence
+    * of each key within the watermark horizon survives, later copies are
+    * dropped, and per-key state EXPIRES once the watermark passes it —
+    * bounded state, unlike a bare dropDuplicates (which keeps every key
+    * forever and OOMs an unbounded stream). Pair the key with
+    * `TextAnalysis.fingerprint` for streaming content dedup. */
+  def dedupStream(docs: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stateless quality gate + content fingerprint for a text stream —
+    * column expressions only, so it runs identically on batch and
+    * streaming DataFrames (no state, no shuffle). */
+  def qualityGate(docs: DataFrame, textCol: String,
+                  minTokens: Int = 5, maxPunctRatio: Double = 0.1): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", graft.ops.TextAnalysis.tokenCount(t))
+      .withColumn("punct_ratio", graft.ops.TextAnalysis.punctRatio(t))
+      .withColumn("fp", graft.ops.TextAnalysis.fingerprint(t))
+      .filter(col("n_tokens") >= minTokens &&
+        (col("punct_ratio").isNull || col("punct_ratio") <= maxPunctRatio))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, n_events: Long, sum_value: Double,

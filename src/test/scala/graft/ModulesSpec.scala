@@ -65,6 +65,29 @@ class ModulesSpec extends AnyFunSuite {
       Set(("click", 2L), ("view", 1L)))
   }
 
+  test("streaming dedup drops later duplicates and keeps state bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val df = mem.toDF().toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val deduped = EventStream.dedupStream(
+      EventStream.qualityGate(df, "text", minTokens = 2), "ts", Seq("fp"), "10 minutes")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedupstream").start()
+    mem.addData(
+      (1L, "2024-01-01 00:00:00", "the quick brown fox"),
+      (2L, "2024-01-01 00:01:00", "the quick brown fox"),  // dup of 1
+      (3L, "2024-01-01 00:02:00", "an entirely different doc"),
+      (4L, "2024-01-01 00:03:00", "x"))                    // fails quality gate
+    q.processAllAvailable()
+    mem.addData((5L, "2024-01-01 00:04:00", "the quick brown fox")) // dup, later batch
+    q.processAllAvailable()
+    val ids = spark.table("dedupstream").select("doc_id").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 3L))
+  }
+
   test("multi-source person rules abort (mireda_key_error)") {
     val td  = s"${Golden.RefRoot}/tests/test_data/mireda_key_error"
     val err = intercept[IllegalArgumentException] {

@@ -59,6 +59,23 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS l_b")
   }
 
+  test("IVF ANN broadcasts the codebook and never cross-joins the corpus") {
+    val p = plan("q36_ann_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid assignment must broadcast the codebook\n$p")
+    // the corpus-side candidate join must be an equi-join on the cell id,
+    // not a cartesian product over the vectors
+    assert(!p.contains("CartesianProduct"), s"no corpus cartesian product\n$p")
+  }
+
+  test("winnowing stays codegen-compatible and prunes to the two used columns") {
+    val df = SparkEntry.queries("q37_winnow")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema") && !p.contains("lang"),
+      "scan should read only doc_id and text")
+    assert(df.count() > 0)
+  }
+
   test("salted join spreads a skewed key and preserves results") {
     import graft.ops.SkewJoin
     val spark2 = spark
