@@ -89,16 +89,22 @@ object CarrotCli {
 
     val engine = new CarrotEngine(spark, schema, rules,
       Dispatch.sourceReader(spark, inputs, sep), usePids, lastUsed,
-      personTable = person)
+      personTable = person,
+      cacheJoined = true) // every target is consumed twice: write + summary
 
     val write = Dispatch.outputTarget(spark, output)
-    write("person_ids", engine.personIds)
+    def timed(what: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      if (sys.env.contains("GRAFT_PROF"))
+        System.err.println(f"[prof] cli $what%-22s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    timed("person_ids")(write("person_ids", engine.personIds))
     // file-ish sinks get the reference's sequential row order; a SQL table
     // has no observable order, so skip the global sort there
     val results = if (Dispatch.isSql(output) && !Dispatch.isMinio(output))
       engine.run() else engine.runOrdered()
-    for ((target, df) <- results) write(target, df)
-    write("summary_mapstream", engine.summary(threshold))
+    for ((target, df) <- results) timed(target)(write(target, df))
+    timed("summary_mapstream")(write("summary_mapstream", engine.summary(threshold)))
     engine.close()
 
     // a test harness may have handed us its own live session — leave it up

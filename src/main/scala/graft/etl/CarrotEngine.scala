@@ -28,7 +28,8 @@ final class CarrotEngine(
     readSource: String => DataFrame,
     useInputPersonIds: Boolean = false,
     lastUsedIds: Map[String, Long] = Map.empty,
-    personTable: Option[String] = None) {
+    personTable: Option[String] = None,
+    cacheJoined: Boolean = false) {
 
   import CarrotEngine._
 
@@ -157,10 +158,13 @@ final class CarrotEngine(
       // T12: dense auto-number in processing order, assigned BEFORE the person
       // join — rejected person IDs consume numbers, like the reference
       // (`run.py:266-273` increments before the person_lookup check).
+      // the candidate rows are WIDE (every OMOP column): number a narrow
+      // key-only slice and join the ids back (broadcast when small), so the
+      // wide payload is computed once and never range-shuffled or cached
       val numbered = schema.autoNumberField.get(target) match {
         case Some(auto) =>
-          IdAssign.withDenseId(filtered, "_auto", lastUsedIds.getOrElse(target, 0L), scope,
-              col(FileIdx), col(RowIdx), col(CmIdx), col(ComboOut))
+          IdAssign.withDenseIdJoined(filtered, "_auto", lastUsedIds.getOrElse(target, 0L),
+              scope, Seq(FileIdx, RowIdx, CmIdx, ComboOut))
             .withColumn(auto, col("_auto").cast("string"))
             .drop("_auto")
         case None => filtered
@@ -172,10 +176,14 @@ final class CarrotEngine(
       // no extra persist here: the dense-ID assigner materializes the
       // numbered candidates internally, so re-deriving `joined` for a
       // second consumer (metrics) only replays the cheap broadcast join
-      val joined = numbered
+      val joined0 = numbered
         .join(broadcast(personLookup), numbered(pidDest) === personLookup("source_subject"), "left")
         .withColumn(Matched, col("target_subject").isNotNull)
         .withColumn(pidDest, coalesce(col("target_subject"), col(pidDest)))
+      // callers that consume every target more than once (the CLI: table
+      // write + metrics summary) opt into caching the joined relation, so
+      // the wide candidate pipeline executes exactly once per target
+      val joined = if (cacheJoined) scope.track(joined0.cache()) else joined0
 
       TargetBuild(target, candidates, joined)
   }

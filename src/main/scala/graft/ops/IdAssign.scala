@@ -41,7 +41,13 @@ object IdAssign {
     withDenseId(df, idCol, offset, CacheScope.noop, orderCols: _*)
 
   def withDenseId(df: DataFrame, idCol: String, offset: Long, scope: CacheScope,
-                  orderCols: Column*): DataFrame = {
+                  orderCols: Column*): DataFrame =
+    assignCore(df, idCol, offset, scope, orderCols)._1
+
+  /** Core assignment; also returns the exact row count (free — it falls out
+    * of the offset collection). */
+  private def assignCore(df: DataFrame, idCol: String, offset: Long, scope: CacheScope,
+                         orderCols: Seq[Column]): (DataFrame, Long) = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val sorted = df
       .repartitionByRange(parallelism, orderCols: _*)
@@ -70,8 +76,34 @@ object IdAssign {
     val offCol =
       if (offsets.isEmpty) lit(offset) // empty input: no rows to number
       else element_at(typedLit(offsets), col("_ia_pid"))
-    withPos
+    val result = withPos
       .withColumn(idCol, offCol + col("_ia_pos"))
       .drop("_ia_pid", "_ia_pos")
+    (result, acc - offset)
+  }
+
+  /** Dense IDs for WIDE rows: number a narrow (keyCols-only) projection and
+    * join the IDs back, instead of range-shuffling + sorting + caching the
+    * full payload.
+    *
+    * `withDenseId` materializes its positioned snapshot — for a row of 30
+    * string columns that means the whole upstream pipeline runs through a
+    * range exchange, a sort, and a columnar cache twice (sampler + main).
+    * Numbering only the key columns makes all of that narrow (Catalyst
+    * prunes the payload expressions out of the upstream for the narrow
+    * pass), and the payload is then touched exactly ONCE, by the join.
+    * The join side is picked from the exact row count the offset collection
+    * already produced: small id sets broadcast (the wide side is never
+    * shuffled at all), big ones fall back to a shuffled equi-join — the
+    * 100 TB path, where a multi-billion-row id table can't broadcast.
+    *
+    * `keyCols` MUST be a unique key of `df` (the same precondition dense
+    * ordering already imposes); a duplicate key would duplicate rows. */
+  def withDenseIdJoined(df: DataFrame, idCol: String, offset: Long, scope: CacheScope,
+                        keyCols: Seq[String], broadcastRowLimit: Long = 20_000_000L): DataFrame = {
+    val narrow = df.select(keyCols.map(col): _*)
+    val (ids, total) = assignCore(narrow, idCol, offset, scope, keyCols.map(col))
+    val right = if (total <= broadcastRowLimit) broadcast(ids) else ids
+    df.join(right, keyCols)
   }
 }
