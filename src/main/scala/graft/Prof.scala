@@ -3,7 +3,11 @@ package graft.etl
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
-// temporary profiling harness — not part of the library surface
+// Dev-only phase profiler for the carrot engine (not library surface):
+//   GRAFT_PROF=1 SPARK_GRAFT_SF_DIR=... sbt "runMain graft.etl.Prof"
+// prints per-phase wall times (schema/rules/dictionary/target builds) plus
+// IdAssign's internal collect timings — the breakdown used to find the
+// round-2 bottlenecks (single-split fan-out, wide-row numbering).
 object Prof {
   def t[A](name: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f

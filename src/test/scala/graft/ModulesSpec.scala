@@ -100,6 +100,29 @@ class ModulesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("demographics_child_gold.csv"))
   }
 
+  test("person mapped from a table that is not --person aborts (wrong-person-table)") {
+    // reference tests/test_args.py:87-111 (WrongInputException)
+    val rules = Rules.fromFile(
+      s"${Golden.RefRoot}/tests/test_data/wrong-person-table-rules.json", Golden.schema)
+    val err = intercept[IllegalArgumentException] {
+      new CarrotEngine(spark, Golden.schema, rules,
+        src => sys.error("unused"),
+        personTable = Some("demographics_mother_gold.csv"))
+    }
+    assert(err.getMessage.contains("can only come from the person file"))
+    assert(err.getMessage.contains("src_PERSON.csv"))
+  }
+
+  test("rules with no person mappings abort") {
+    // reference tests/test_data/args/no-person-rules.json (NoPersonMappings)
+    val rules = Rules.fromFile(
+      s"${Golden.RefRoot}/tests/test_data/args/no-person-rules.json", Golden.schema)
+    val err = intercept[RuntimeException] {
+      new CarrotEngine(spark, Golden.schema, rules, src => sys.error("unused"))
+    }
+    assert(err.getMessage.contains("no person table mapping"))
+  }
+
   test("SQL functions registered via SparkSessionExtensions") {
     // exercise the injection wiring, then register on the live session's
     // registry the same way withExtensions would at session build
