@@ -63,4 +63,11 @@ object CsvSource {
     * many-split read and fails loudly if an upgrade changes the packing. */
   def withRowIdx(df: DataFrame): DataFrame =
     df.withColumn(RowIdx, monotonically_increasing_id())
+
+  /** Coerce any typed frame to the engine's verbatim-string contract:
+    * every column cast to string, nulls to the empty string (how the
+    * reference's csv rows look). Used for parquet/JDBC inputs. */
+  def allString(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c =>
+      col(c).cast(org.apache.spark.sql.types.StringType).as(c)): _*).na.fill("")
 }

@@ -78,7 +78,16 @@ object Dispatch {
       val url = toJdbcUrl(coordinate)
       name => CsvSource.withRowIdx(Jdbc.readTable(spark, url, CsvSource.stripCsvExtension(name)))
     } else {
-      name => CsvSource.read(spark, coordinate, name, sep)
+      // a directory source prefers <table>.parquet when present (Spark-
+      // native columnar input — splittable, pushdown-friendly), falling
+      // back to the reference's <table>.csv contract
+      name => {
+        val base = CsvSource.stripCsvExtension(name)
+        val pq = new java.io.File(s"$coordinate/$base.parquet")
+        if (pq.exists())
+          CsvSource.withRowIdx(CsvSource.allString(spark.read.parquet(pq.getPath)))
+        else CsvSource.read(spark, coordinate, name, sep)
+      }
     }
 
   /** A writer of named output tables to a coordinate string. */

@@ -79,6 +79,22 @@ class DispatchSpec extends AnyFunSuite {
     Golden.assertMatches("measurement", meas, ids, s"$td/v2-out")
   }
 
+  test("directory sources prefer <table>.parquet when present") {
+    val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
+    val dir = java.nio.file.Files.createTempDirectory("pq_source").toString
+    val csv = CsvSource.read(spark, td, "src_PERSON").drop(CsvSource.RowIdx)
+    csv.coalesce(1).write.mode("overwrite").parquet(s"$dir/src_PERSON.parquet")
+
+    val read = Dispatch.sourceReader(spark, dir)("src_PERSON.csv")
+    assert(read.columns.contains(CsvSource.RowIdx))
+    assert(read.schema.fields.filter(_.name != CsvSource.RowIdx)
+      .forall(_.dataType == org.apache.spark.sql.types.StringType),
+      "parquet input must be coerced to the verbatim-string contract")
+    val a = csv.collect().map(_.toSeq).toSet
+    val b = read.drop(CsvSource.RowIdx).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   // ---- option handling ----
 
   test("options fall back to environment variables (reference envvar names)") {
