@@ -75,11 +75,39 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
               nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val cents = df.select(col(idCol).as("_cid"), col(vecCol).cast("array<double>").as("_cv"))
+      .orderBy(col("_cid")).limit(nCentroids)
+    ivfTopKWith(cents, df, idCol, vecCol, queries, qIdCol, qVecCol, nProbe, k)
+  }
+
+  /** Train a real IVF codebook with Spark MLlib k-means (seeded —
+    * reproducible for a fixed dataset). Returns a (_cid, _cv) centroid
+    * frame for [[ivfTopKWith]]. Production systems train offline on a
+    * sample and reuse the codebook across queries — do the same: train
+    * once, pass the result to many ivfTopKWith calls. */
+  def ivfTrain(df: DataFrame, vecCol: String, nCentroids: Int, seed: Long = 42L,
+               maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toVec = udf((a: Seq[Double]) => org.apache.spark.ml.linalg.Vectors.dense(a.toArray))
+    val feats = df.select(col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("features", toVec(col("_v")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(maxIter).fit(feats)
+    model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray.toSeq) }.toSeq
+      .toDF("_cid", "_cv")
+  }
+
+  /** IVF search against an explicit centroid codebook (from [[ivfTrain]]
+    * or any other source). Probing ALL cells (`nProbe` = codebook size)
+    * degrades gracefully to exact search — handy as a correctness check. */
+  def ivfTopKWith(cents: DataFrame, df: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qIdCol: String, qVecCol: String,
+                  nProbe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Parallelize.ensure(
       df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
-    val cents = df.select(col(idCol).as("_cid"), col(vecCol).cast("array<double>").as("_cv"))
-      .orderBy(col("_cid")).limit(nCentroids)
 
     def assign(side: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("_csim").desc, col("_cid"))

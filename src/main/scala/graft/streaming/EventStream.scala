@@ -50,6 +50,21 @@ object EventStream {
         (col("punct_ratio").isNull || col("punct_ratio") <= maxPunctRatio))
   }
 
+  /** Watermarked stream-stream interval join: each left event pairs with
+    * right events of the same key whose time falls in
+    * [left.ts, left.ts + maxDelay]. Both sides carry watermarks so the
+    * join state is BOUNDED — Spark drops buffered rows once the watermark
+    * passes the interval (an un-watermarked stream-stream join buffers
+    * forever). Right-side columns must be pre-renamed to avoid collisions:
+    * pass the right frame with `keyCol`/`tsCol` names of its own. */
+  def intervalJoin(left: DataFrame, leftKey: String, leftTs: String,
+                   right: DataFrame, rightKey: String, rightTs: String,
+                   maxDelay: String, watermark: String = "10 minutes"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs " +
+          s"AND $rightTs <= $leftTs + interval $maxDelay"))
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, n_events: Long, sum_value: Double,

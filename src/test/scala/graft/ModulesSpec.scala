@@ -100,6 +100,50 @@ class ModulesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("demographics_child_gold.csv"))
   }
 
+  test("stream-stream interval join pairs events within the delay bound only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, String)]
+    val buys   = MemoryStream[(Long, String)]
+    val l = clicks.toDF().toDF("uid", "cts_s").withColumn("cts", to_timestamp(col("cts_s")))
+    val r = buys.toDF().toDF("buid", "bts_s").withColumn("bts", to_timestamp(col("bts_s")))
+    val joined = EventStream.intervalJoin(l, "uid", "cts", r, "buid", "bts", "5 minutes")
+      .select("uid", "cts_s", "bts_s")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ivjoin").start()
+    clicks.addData((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:00:00"))
+    buys.addData(
+      (1L, "2024-01-01 00:03:00"),  // within 5 min of user 1's click
+      (1L, "2024-01-01 00:09:00"),  // too late
+      (2L, "2023-12-31 23:59:00"))  // before the click
+    q.processAllAvailable()
+    val rows = spark.table("ivjoin").collect().map(r => (r.getLong(0), r.getString(2)))
+    q.stop()
+    assert(rows.toSet == Set((1L, "2024-01-01 00:03:00")))
+  }
+
+  test("KMeans-trained IVF probing all cells equals exact search") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+    val cents = graft.ops.Similarity.ivfTrain(emb, "embedding", nCentroids = 4)
+    assert(cents.count() == 4)
+    // nProbe == nCentroids degrades IVF to exact search: per query, the
+    // result must equal brute-force top-k
+    def n(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue()
+    val ivf = graft.ops.Similarity.ivfTopKWith(cents, emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", nProbe = 4, k = 5)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (n(r, 0), n(r, 1))).toSet
+    val brute = queries.select(col("vec_id").as("qid"), col("embedding").as("qv")).collect().flatMap { qr =>
+      graft.ops.Similarity.topK(
+          emb.filter(col("vec_id") =!= n(qr, 0)), "vec_id", "embedding",
+          spark.createDataFrame(java.util.List.of(qr), qr.schema).select(col("qv")), "qv", 5)
+        .collect().map(r => (n(qr, 0), n(r, 0)))
+    }.toSet
+    assert(ivf == brute)
+  }
+
   test("person mapped from a table that is not --person aborts (wrong-person-table)") {
     // reference tests/test_args.py:87-111 (WrongInputException)
     val rules = Rules.fromFile(
