@@ -429,6 +429,26 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
 
+    // ---- Relational coverage: cheapest supplier per part (Q2 shape:
+    //      window-rank over a computed measure + two broadcast dims) ----
+    "q38_cheapest_supplier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = tbl(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"),
+        // double division on both sides: decimal division rounds at decimal
+        // scale (HALF_UP) and diverges from the oracle's IEEE double result
+        (col("l_extendedprice").cast("double") / col("l_quantity").cast("double")).as("unit"))
+      val w = Window.partitionBy(col("l_partkey")).orderBy(col("unit"), col("l_suppkey"))
+      u.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(tbl(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        // raw double, no round: 2-decimal prices over integer quantities
+        // hit exact .xx5 halves constantly, where round() tie-breaking
+        // differs across engines; the IEEE quotient itself is bit-identical
+        .select(col("l_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          col("unit").as("unit_price"))
+    }),
+
     // ---- Text analysis: winnowing fingerprints (positional near-dup) ----
     "q37_winnow" -> ((s, dir) => {
       graft.ops.Parallelize.ensure(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -753,6 +773,17 @@ object SparkEntry {
         |      FROM cells JOIN probes USING (cid) WHERE id <> qid),
         |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn FROM j)
         |SELECT qid AS query_id, id AS vec_id, round(s, 4) AS sim FROM r WHERE rn <= 5""".stripMargin,
+
+    "q38_cheapest_supplier" ->
+      """WITH u AS (SELECT l_partkey, l_suppkey,
+        |       l_extendedprice::DOUBLE / l_quantity::DOUBLE AS unit FROM lineitem),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey ORDER BY unit, l_suppkey) AS rn FROM u)
+        |SELECT l_partkey, p_name, s_name, n_name, unit AS unit_price
+        |FROM r
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE rn = 1""".stripMargin,
 
     "q37_winnow" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
