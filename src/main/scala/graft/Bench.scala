@@ -11,12 +11,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: spin up executors/codegen and touch each table's footer once,
-    // so per-query timings measure the engine rather than JVM startup
+    // so per-query timings measure the engine rather than JVM startup.
+    // events.parquet carries TIMESTAMP(NANOS) — set nanosAsLong BEFORE the
+    // warmup reads, or the events warmup job fails (r2: a swallowed
+    // "aborting job" ERROR in the official bench log, and a cold events
+    // table for q03).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup skipped $t: ${e.getClass.getSimpleName}")
+      }
     }
     // no clearCache between queries: q26/q27 intentionally share one memoized
     // engine build (its persisted snapshots are plan-internal, not catalog

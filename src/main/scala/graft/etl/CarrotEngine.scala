@@ -62,17 +62,22 @@ final class CarrotEngine(
     pms.head
   }
 
-  /** Raw per-source DataFrames. Cached only when a source feeds more than
-    * one consumer (person lookup and/or several target branches) —
-    * materializing a single-consumer source costs more than recomputing. */
+  /** Raw per-source DataFrames. An under-split source is repartitioned AND
+    * cached (`ensureMaterialized`): the cache is what keeps the regex-heavy
+    * date filter from being pushed back into a single-task scan, and every
+    * source here has ≥2 physical passes anyway (auto-number offsets + final
+    * output, or person dictionary + person branch). Well-split inputs (the
+    * cluster-scale case) are left alone — scan-side filter pushdown is then
+    * the right plan. Row order is irrelevant; ordering rides on `_row_idx`. */
   private lazy val rawSources: Map[String, DataFrame] =
     rules.sourceTables.map { s =>
       val consumers = rules.forSource(s).size + (if (s == personMapping.source) 1 else 0)
-      // fan out before the regex-heavy date/branch pipeline: a compact
-      // single-split input would otherwise single-thread every downstream
-      // stage (row order is irrelevant here — ordering rides on `_row_idx`)
-      val df = graft.ops.Parallelize.ensure(readSource(s))
-      s -> (if (consumers > 1) scope.track(df.cache()) else df)
+      val df = graft.ops.Parallelize.ensureMaterialized(readSource(s), scope)
+      // a well-split multi-consumer source still pays one scan per consumer
+      // unless cached; keep the old multi-consumer cache for that case
+      s -> (if (consumers > 1 && df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+              scope.track(df.cache())
+            else df)
     }.toMap
 
   /** J2: the person dictionary, built from the RAW person file (strict
@@ -108,10 +113,22 @@ final class CarrotEngine(
     * ALL targets (reference mutates `indata[datetime_col]` in place,
     * `run.py:229-242`). */
   private lazy val prepared: Map[String, DataFrame] = rawSources.map { case (src, df) =>
+    // single-pass expression form of DateNorm.normalise8601 — bit-identical
+    // (DateNormSpec), ~10× fewer regex executions on the engine's hottest path
     val out = dateColsOf(src).foldLeft(df) { (d, c) =>
-      d.withColumn(c, DateNorm.normalise8601(col(c)))
+      d.withColumn(c, graft.functions.DateExprs.normalise8601(col(c)))
     }
-    src -> dateColsOf(src).foldLeft(out)((d, c) => d.filter(col(c).isNotNull))
+    val filtered = dateColsOf(src).foldLeft(out)((d, c) => d.filter(col(c).isNotNull))
+    // the normalizer's regex chain is the engine's hottest expression, and it
+    // gets evaluated once in the filter AND once in the projection, per
+    // physical pass (a range exchange alone makes two passes: sample +
+    // shuffle write). When the source is small enough that ensureMaterialized
+    // cached it, cache the normalized view too — the regex then runs exactly
+    // once per row. Large (well-split) sources stay uncached: at scale the
+    // recompute is the right trade against caching a source-sized relation.
+    src -> (if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+              scope.track(filtered.cache())
+            else filtered)
   }
 
   private def dateColsOf(src: String): Seq[String] = rules.forSource(src).map(_.dateSource).distinct
@@ -403,11 +420,15 @@ final class CarrotEngine(
       withDefault.as(lc)
     }
 
+    // CompOk is only consulted when HasComp; skip the strict-date parse
+    // entirely for targets without component fields (e.g. measurement) —
+    // it would otherwise run 6 regexes + 3 calendar parses per output row
+    val hasComp = comps.keys.exists(treatedDests.contains)
     df.select(outCols ++ Seq(
       lit(m.source).as(SrcCol), lit(datacol).as(DatacolCol),
       lit(fileIdx).as(FileIdx), col(CsvSource.RowIdx).as(RowIdx),
       lit(cmIdx).as(CmIdx), col(ComboIdx).as(ComboOut),
-      compDate.isNotNull.as(CompOk), lit(comps.keys.exists(treatedDests.contains)).as(HasComp)): _*)
+      (if (hasComp) compDate.isNotNull else lit(true)).as(CompOk), lit(hasComp).as(HasComp)): _*)
   }
 }
 

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dense sequential ID assignment (reference: carrot-transform auto-number
@@ -17,8 +16,16 @@ import org.apache.spark.sql.functions._
   *
   *   1. range-partition by the ordering key (partitions come out in global
   *      key order), sort within partitions;
-  *   2. per-partition positions via `row_number` over `spark_partition_id`
-  *      (each window partition is exactly one physical partition);
+  *   2. per-partition positions decoded from `monotonically_increasing_id`
+  *      (partition index in the high bits, a 0-based row position in the low
+  *      33 bits — evaluated in row order, i.e. the sorted order). A
+  *      `row_number` window over `spark_partition_id` computes the same
+  *      thing but costs an EXTRA hash exchange + sort: `Window` demands
+  *      clustering by its partition key, and RangePartitioning(orderCols)
+  *      does not satisfy ClusteredDistribution(_pid), so Catalyst inserts
+  *      `Exchange hashpartitioning(_pid)` + a re-sort before the window.
+  *      The id decode needs neither (observed in the round-3 q26 profile);
+  *      it caps partitions at 2^33 rows, far above any sane partition size;
   *   3. per-partition counts are METADATA (≤ one row per partition): collect
   *      them to the driver, prefix-sum in Scala, and inject the pid→offset
   *      map as a literal — no extra shuffle, no join, and no global window
@@ -48,20 +55,31 @@ object IdAssign {
     * of the offset collection). */
   private def assignCore(df: DataFrame, idCol: String, offset: Long, scope: CacheScope,
                          orderCols: Seq[Column]): (DataFrame, Long) = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val sorted = df
-      .repartitionByRange(parallelism, orderCols: _*)
+    // No explicit partition count: REPARTITION_BY_NUM would pin the exchange
+    // at spark.sql.shuffle.partitions even when the data is tiny, while the
+    // by-column form lets AQE coalesce a small range shuffle to few tasks
+    // (task setup dominates below ~64 MB/partition) and keep full width on a
+    // real shuffle. Adjacent-partition coalescing preserves the global range
+    // order, and the collected offsets always match because they are read
+    // from the SAME materialized snapshot as the positions.
+    // _mid = (partition index << 33) | 0-based row position, assigned in the
+    // partition's physical row order = the sorted order. The immediate cache
+    // pins the (nondeterministic) assignment so offsets and positions see one
+    // consistent snapshot.
+    val withPos = df
+      .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .withColumn("_ia_pid", spark_partition_id())
-
-    val wLocal = Window.partitionBy(col("_ia_pid")).orderBy(orderCols: _*)
-    val withPos = sorted.withColumn("_ia_pos", row_number().over(wLocal)).cache()
+      .withColumn("_ia_mid", monotonically_increasing_id())
+      .withColumn("_ia_pid", shiftright(col("_ia_mid"), 33))
+      .withColumn("_ia_pos", col("_ia_mid").bitwiseAND(lit((1L << 33) - 1)) + 1L)
+      .drop("_ia_mid")
+      .cache()
     scope.track(withPos)
 
     // one job: materializes the cache AND returns the per-partition counts
     val t0 = System.nanoTime()
     val countsDf = withPos.groupBy(col("_ia_pid")).agg(count(lit(1)).as("_ia_cnt"))
-    val counts = countsDf.collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val counts = countsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     if (sys.env.contains("GRAFT_PROF")) {
       println(f"[prof]   idassign collect ($idCol) ${(System.nanoTime() - t0) / 1e9}%.2f s")
       countsDf.queryExecution.tracker.phases.foreach { case (p, s) =>
@@ -69,7 +87,7 @@ object IdAssign {
       }
     }
     var acc = offset
-    val offsets: Map[Int, Long] = counts.map { case (pid, cnt) =>
+    val offsets: Map[Long, Long] = counts.map { case (pid, cnt) =>
       val start = acc; acc += cnt; pid -> start
     }.toMap
 

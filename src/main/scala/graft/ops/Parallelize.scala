@@ -22,4 +22,27 @@ object Parallelize {
     if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
     else df
   }
+
+  /** Like `ensure`, but when the input really is under-split, ALSO cache the
+    * repartitioned rows (tracked in `scope`).
+    *
+    * The repartition alone is not enough: Catalyst pushes deterministic
+    * filters back down THROUGH a repartition, so a CPU-heavy predicate (the
+    * carrot date-normalization regexes) lands in the scan stage — which for
+    * a compact single-split file is ONE task, and the whole filter runs
+    * serially no matter how wide the shuffle above it is. A cached relation
+    * is an optimizer barrier: downstream filters become InMemoryTableScan
+    * predicates evaluated on the repartitioned (parallel) partitions.
+    *
+    * An input that is under-split is by definition small (< parallelism ×
+    * maxPartitionBytes), so the cache is bounded; at cluster scale inputs
+    * carry thousands of splits, this is a no-op, and nothing is cached —
+    * filters then push to the scan, which is exactly right when the scan
+    * itself is parallel. */
+  def ensureMaterialized(df: DataFrame, scope: CacheScope): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      scope.track(df.repartition(target).cache())
+    else df
+  }
 }

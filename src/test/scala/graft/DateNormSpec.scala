@@ -49,6 +49,27 @@ class DateNormSpec extends AnyFunSuite {
     assert(norm("2020-1-2", "bad", "") == Seq(null, null, null))
   }
 
+  test("Normalise8601 expression is bit-identical to the composable form") {
+    val corpus = Seq(
+      "2020-01-02", "2020/01/02", "02-01-2020", "02/01/2020",
+      "2020-01-02 11:12", "2020-01-02 11:12:13", "2020-01-02 11:12:13.123456",
+      "2020-01-02 1:2", "2020-01-02 11:12:13 extra", "2020-01-02junk",
+      "2020-13-40", "0102-03-2020", "2020-1-2", "bad", "", " ", "  ",
+      "2020-01/02", "02/01-2020", "0001-02-03", "9999-12-31 23:59:59",
+      "12-34-5678", "2020-01-02 99:99", "2020-01-02 11:12:13.12345",
+      "2020-01-02  11:12", "x 11:12", "11:12 2020-01-02", null)
+    val df = corpus.toDF("raw")
+    val both = df.select(
+      DateNorm.normalise8601(col("raw")).as("a"),
+      graft.functions.DateExprs.normalise8601(col("raw")).as("b"))
+    val rows = both.collect()
+    rows.zip(corpus).foreach { case (r, in) =>
+      val a = if (r.isNullAt(0)) null else r.getString(0)
+      val b = if (r.isNullAt(1)) null else r.getString(1)
+      assert(a == b, s"mismatch for input '$in': composable=$a expr=$b")
+    }
+  }
+
   test("strictDate accepts the three date-only formats, rejects datetimes") {
     assert(strict("1985-03-01") == Seq("1985-03-01"))
     assert(strict("1985-3-1") == Seq("1985-03-01"))   // strptime tolerates non-padded
