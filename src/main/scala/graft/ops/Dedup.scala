@@ -29,9 +29,11 @@ object Dedup {
     * single-thread it (higher-order-function expressions are interpreted,
     * not codegen'd, so this stage dominates); (2) cache — every consumer
     * (inverted index, df filter, candidate verify) reuses the sets instead
-    * of re-shingling the corpus. */
-  private[ops] def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int,
-                               scope: CacheScope = CacheScope.noop): DataFrame = {
+    * of re-shingling the corpus. Public so callers running SEVERAL dedup
+    * flavors over one corpus (LSH + exact Jaccard) shingle it exactly once
+    * and pass the result to the `*Of` variants. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  scope: CacheScope = CacheScope.noop): DataFrame = {
     scope.track(Parallelize.ensure(df.select(col(idCol).as("_id"), col(textCol).as("_t")))
       .select(col("_id"), graft.functions.ShingleExprs.ngramShingles(col("_t"), n).as("_sh"))
       .withColumn("_size", size(col("_sh")))
@@ -74,18 +76,32 @@ object Dedup {
     * is meaningful. Returns (id_a, id_b, jaccard), id_a < id_b. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.0, maxDf: Int = 100,
-                        scope: CacheScope = CacheScope.noop): DataFrame = {
-    val withSh = shingleSets(df, idCol, textCol, n, scope)
+                        scope: CacheScope = CacheScope.noop): DataFrame =
+    ngramJaccardPairsOf(shingleSets(df, idCol, textCol, n, scope), minJaccard, maxDf)
+
+  /** `ngramJaccardPairs` over pre-built [[shingleSets]] output.
+    *
+    * The inverted index is keyed on xxhash64(shingle), NOT the shingle
+    * string: the index is exploded one row per (doc, shingle) and shuffled
+    * twice (df count + candidate self-join), so at corpus scale the keys
+    * dominate shuffle bytes — 8-byte hashes vs whole n-grams. A hash
+    * collision can only (a) merge two shingles' df counts, dropping a
+    * genuinely-rare shingle from the index, or (b) over-generate candidate
+    * pairs, which the exact array_intersect verification filters; at 2^-64
+    * per pair both are vanishingly rare and (b) is harmless anyway. */
+  def ngramJaccardPairsOf(withSh: DataFrame, minJaccard: Double = 0.0,
+                          maxDf: Int = 100): DataFrame = {
     // exploding an empty set yields no rows, so empty-shingle docs can never
     // become candidates here — the guard just documents the invariant that
     // keeps the jaccard denominator nonzero
     val inv = withSh.filter(col("_size") > 0)
       .select(col("_id"), explode(col("_sh")).as("_s"))
-    val rare = inv.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDf).select(col("_s"))
-    val rareInv = inv.join(rare, Seq("_s"))
-    val cands = rareInv.select(col("_id").as("id_a"), col("_s"))
-      .join(rareInv.select(col("_id").as("id_b"), col("_s")), Seq("_s"))
+      .select(col("_id"), xxhash64(col("_s")).as("_h"))
+    val rare = inv.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select(col("_h"))
+    val rareInv = inv.join(rare, Seq("_h"))
+    val cands = rareInv.select(col("_id").as("id_a"), col("_h"))
+      .join(rareInv.select(col("_id").as("id_b"), col("_h")), Seq("_h"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
@@ -102,8 +118,12 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
                       minJaccard: Double = 0.0,
-                      scope: CacheScope = CacheScope.noop): DataFrame = {
-    val base = shingleSets(df, idCol, textCol, n, scope)
+                      scope: CacheScope = CacheScope.noop): DataFrame =
+    minhashLshPairsOf(shingleSets(df, idCol, textCol, n, scope), k, rowsPerBand, minJaccard)
+
+  /** `minhashLshPairs` over pre-built [[shingleSets]] output. */
+  def minhashLshPairsOf(base: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+                        minJaccard: Double = 0.0): DataFrame = {
     // docs shorter than n words have EMPTY shingle sets: every minhash is
     // null, concat_ws skips nulls, and all such docs would collide into the
     // same band buckets — then jaccard's 0/0 throws under ANSI mode. An
