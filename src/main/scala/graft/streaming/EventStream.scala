@@ -70,9 +70,60 @@ object EventStream {
   final case class Session(user_id: Long, n_events: Long, sum_value: Double,
                            start_ms: Long, end_ms: Long)
 
+  /** Production flavor of [[sessionize]]: EventTimeTimeout + watermark.
+    *
+    * The NoTimeout flavor below only closes a session when a LATER event for
+    * the same key arrives — on an unbounded stream, a key that goes quiet
+    * never emits its final session. Here every open session arms an
+    * event-time timeout at `last + gapMs`; when the watermark (driven by
+    * OTHER keys' events) passes that point, Spark invokes the function with
+    * `state.hasTimedOut` and the session is emitted and its state REMOVED —
+    * per-key state is bounded by activity, not key cardinality.
+    *
+    * `events` must carry a watermark on `ts` (`withWatermark`) before the
+    * groupByKey — required by EventTimeTimeout. */
+  def sessionizeEventTime(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new events: close and forget
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.n, s.sum, s.start, s.last))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val out = Seq.newBuilder[Session]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  out += Session(user, s.n, s.sum, s.start, s.last)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout must sit strictly past the current watermark; a
+              // session whose gap horizon the watermark already passed
+              // (late-arriving tail) times out at the next microbatch
+              state.setTimeoutTimestamp(math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
+          }
+        })
+  }
+
   /** Stateful gap-based sessionization: emits a session when `gapMs` of
     * event-time silence passes for a user (processing-time timeout flavor
-    * for bounded tests; swap to EventTimeTimeout + watermark in production). */
+    * for bounded tests; [[sessionizeEventTime]] is the unbounded-stream
+    * production flavor). */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

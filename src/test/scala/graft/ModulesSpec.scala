@@ -88,6 +88,36 @@ class ModulesSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 3L))
   }
 
+  test("event-time sessionize closes a session without a later event for its key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val ds = mem.toDF().toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("value")).as[EventStream.Event]
+    val sessions = EventStream.sessionizeEventTime(ds, gapMs = 30000L)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("etsess").start()
+    // batch 1: user 1's only activity — two events 10s apart
+    mem.addData((1L, "2024-01-01 00:00:10", 1.0), (1L, "2024-01-01 00:00:20", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("etsess").isEmpty) // session still open
+    // batches 2+3: OTHER-key events push the watermark past user 1's
+    // last + gap (00:00:50); user 1 never sends another event
+    mem.addData((2L, "2024-01-01 00:05:00", 9.0))
+    q.processAllAvailable()
+    mem.addData((2L, "2024-01-01 00:10:00", 9.0))
+    q.processAllAvailable()
+    val rows = spark.table("etsess")
+      .select("user_id", "n_events", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    // user 1's session closed with NO later user-1 event (the point of the
+    // test); user 2's first session closed by its own second event's gap cut
+    assert(rows.toSet == Set((1L, 2L, 3.0), (2L, 1L, 9.0)))
+  }
+
   test("multi-source person rules abort (mireda_key_error)") {
     val td  = s"${Golden.RefRoot}/tests/test_data/mireda_key_error"
     val err = intercept[IllegalArgumentException] {
