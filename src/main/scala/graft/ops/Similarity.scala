@@ -109,19 +109,28 @@ object Similarity {
     val e = Parallelize.ensure(
       df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
 
-    def assign(side: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("_csim").desc, col("_cid"))
-      side.crossJoin(broadcast(cents))
-        .withColumn("_csim", cosine(col(vec), col("_cv")))
+    // corpus-side cell assignment is an argmax, not a rank: max_by over the
+    // broadcast codebook aggregates with map-side partials and ONE hash
+    // shuffle on _id — the row_number() window form costs a sort exchange
+    // over the whole corpus. Tie-break matches the window ordering
+    // (_csim desc, _cid asc): lexicographic struct max on (_csim, -_cid).
+    val cells = e.crossJoin(broadcast(cents))
+      .withColumn("_csim", cosine(col("_v"), col("_cv")))
+      .groupBy(col("_id"))
+      .agg(max_by(struct(col("_cid"), col("_v")), struct(col("_csim"), negate(col("_cid")))).as("_best"))
+      .select(col("_id"), col("_best._cid").as("_cid"), col("_best._v").as("_v"))
+
+    // query-side probing keeps the top-nProbe cells per query — a real rank;
+    // the window runs over the (small) query side only
+    val probes = {
+      val w = Window.partitionBy(col("_qid")).orderBy(col("_csim").desc, col("_cid"))
+      queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
+        .crossJoin(broadcast(cents))
+        .withColumn("_csim", cosine(col("_q"), col("_cv")))
         .withColumn("_crn", row_number().over(w))
-        .filter(col("_crn") <= keep)
+        .filter(col("_crn") <= nProbe)
         .drop("_cv", "_csim", "_crn")
     }
-
-    val cells  = assign(e, "_id", "_v", keep = 1)
-    val probes = assign(
-      queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q")),
-      "_qid", "_q", keep = nProbe)
 
     val w = Window.partitionBy(col("_qid")).orderBy(col("_sim").desc, col("_id"))
     cells.join(probes, Seq("_cid"))

@@ -66,6 +66,12 @@ class PlanSpec extends AnyFunSuite {
     // the corpus-side candidate join must be an equi-join on the cell id,
     // not a cartesian product over the vectors
     assert(!p.contains("CartesianProduct"), s"no corpus cartesian product\n$p")
+    // corpus cell assignment is a max_by aggregation (map-side partials, one
+    // hash shuffle), NOT a row_number window - the window form would sort
+    // the whole corpus; windows may only appear on the query side (_qid)
+    assert(p.contains("max_by"), s"cell assignment should aggregate with max_by\n$p")
+    assert(!p.contains("windowspecdefinition(_id#"),
+      s"no corpus-partitioned window in the assignment\n$p")
   }
 
   test("winnowing stays codegen-compatible and prunes to the two used columns") {
