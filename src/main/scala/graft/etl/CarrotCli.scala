@@ -36,9 +36,34 @@ object CarrotCli {
 
   def main(args: Array[String]): Unit = run(args, sys.env)
 
+  private val KnownOptions = Set(
+    "--rules-file", "--inputs", "--output", "--person",
+    "--omop-ddl-file", "--omop-config-file", "--use-input-person-ids",
+    "--last-used-ids-file", "--log-file-threshold", "--sep", "--v2")
+
+  /** Strict `--key value` argv parse: unknown flags, stray positionals and
+    * flags without a value ERROR instead of silently re-pairing everything
+    * after them (the old sliding(2,2) failure mode). */
+  private def parseArgv(args: Array[String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      val k = args(i)
+      if (!k.startsWith("--"))
+        throw new IllegalArgumentException(s"unexpected positional argument '$k'")
+      if (!KnownOptions.contains(k))
+        throw new IllegalArgumentException(s"unknown option $k")
+      if (i + 1 >= args.length || args(i + 1).startsWith("--"))
+        throw new IllegalArgumentException(s"option $k requires a value")
+      out += k -> args(i + 1)
+      i += 2
+    }
+    out.result()
+  }
+
   /** Testable entry: argv + an explicit environment. */
   def run(args: Array[String], env: Map[String, String]): Unit = {
-    val argv = args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") => k -> v }.toMap
+    val argv = parseArgv(args)
     def opt(k: String): Option[String] = argv.get(k).orElse(EnvNames.get(k).flatMap(env.get))
     def req(k: String): String = opt(k).getOrElse(sys.error(s"missing required option $k"))
 
@@ -86,6 +111,13 @@ object CarrotCli {
     // running in compat mode (reference orchestrator.py:309-310)
     if (strictV2 && rules.v1Compat)
       throw new IllegalArgumentException("Rules file is not in v2 format!")
+
+    // V5: warn (never abort) on rules-declared sources without data and
+    // input files without rules (reference file_helpers.py:47-61)
+    Dispatch.listSourceNames(spark, inputs).foreach { avail =>
+      Dispatch.rulesFilesMismatch(rules.sourceTables, avail)
+        .foreach(System.err.println)
+    }
 
     val engine = new CarrotEngine(spark, schema, rules,
       Dispatch.sourceReader(spark, inputs, sep), usePids, lastUsed,

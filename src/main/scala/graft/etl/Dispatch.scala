@@ -46,10 +46,18 @@ object Dispatch {
 
   def isMinio(coordinate: String): Boolean = coordinate.startsWith("minio:")
 
-  /** SQLAlchemy-ish dispatch rule: any `scheme://...` that isn't minio is a
-    * database (reference `sources.py:68-71`); `jdbc:` URLs pass through. */
+  /** Hadoop filesystem schemes route to the directory reader, not JDBC. */
+  private val FsSchemes = Set("file", "hdfs", "s3", "s3a", "s3n",
+    "abfs", "abfss", "gs", "wasb", "wasbs", "viewfs")
+
+  /** SQLAlchemy-ish dispatch rule: any `scheme://...` that isn't minio or a
+    * Hadoop filesystem URI is a database (reference `sources.py:68-71` —
+    * the reference has no filesystem-URI inputs, so the FS carve-out is a
+    * Spark-native extension); `jdbc:` URLs pass through. */
   def isSql(coordinate: String): Boolean =
-    coordinate.startsWith("jdbc:") || coordinate.matches("[\\w]+://.+")
+    coordinate.startsWith("jdbc:") ||
+      (coordinate.matches("[\\w]+://.+") &&
+        !FsSchemes.contains(coordinate.takeWhile(_ != ':')))
 
   def toJdbcUrl(coordinate: String): String =
     if (coordinate.startsWith("jdbc:")) coordinate else s"jdbc:$coordinate"
@@ -80,15 +88,53 @@ object Dispatch {
     } else {
       // a directory source prefers <table>.parquet when present (Spark-
       // native columnar input — splittable, pushdown-friendly), falling
-      // back to the reference's <table>.csv contract
+      // back to the reference's <table>.csv contract. The probe goes
+      // through the Hadoop FileSystem of the coordinate's scheme, so the
+      // fast path works for s3a:///hdfs:// directories too, not just
+      // java.io-visible local paths.
       name => {
         val base = CsvSource.stripCsvExtension(name)
-        val pq = new java.io.File(s"$coordinate/$base.parquet")
-        if (pq.exists())
-          CsvSource.withRowIdx(CsvSource.allString(spark.read.parquet(pq.getPath)))
+        val pq = new org.apache.hadoop.fs.Path(s"$coordinate/$base.parquet")
+        val fs = pq.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(pq))
+          CsvSource.withRowIdx(CsvSource.allString(spark.read.parquet(pq.toString)))
         else CsvSource.read(spark, coordinate, name, sep)
       }
     }
+
+  /** Names of the source tables actually present at an input coordinate:
+    * JDBC metadata for SQL, a Hadoop FileSystem listing (csv/tsv/parquet
+    * stems) for directories and MinIO/S3A. None when the coordinate can't
+    * be enumerated (e.g. listing fails) — callers then skip the V5 check. */
+  def listSourceNames(spark: SparkSession, coordinate: String): Option[Seq[String]] =
+    try {
+      if (isSql(coordinate)) Some(Jdbc.listTables(toJdbcUrl(coordinate)))
+      else {
+        val base = if (isMinio(coordinate)) configureMinio(spark, MinioUrl.parse(coordinate))
+                   else coordinate
+        val path = new org.apache.hadoop.fs.Path(base)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Some(fs.listStatus(path).toSeq.map(_.getPath.getName)
+          .filter(n => n.endsWith(".csv") || n.endsWith(".tsv") || n.endsWith(".parquet")))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** V5 (reference `tools/file_helpers.py:47-61`
+    * `check_files_in_rules_exist`): warn — never abort — when an existing
+    * input file has no mapping rules, or a rules-declared source has no
+    * data. Returns the warning lines (reference wording) so callers can log
+    * them and specs can assert them; names are compared extension-blind so
+    * `demographics.csv` rules match a `demographics.parquet` input. */
+  def rulesFilesMismatch(ruleSources: Seq[String], available: Seq[String]): Seq[String] = {
+    def stem(n: String): String =
+      CsvSource.stripCsvExtension(n.stripSuffix(".parquet").stripSuffix(".tsv"))
+    val ruleStems  = ruleSources.map(stem).toSet
+    val availStems = available.map(stem).toSet
+    available.filterNot(a => ruleStems.contains(stem(a)))
+      .map(a => s"WARNING: no mapping rules found for existing input file - $a") ++
+    ruleSources.filterNot(r => availStems.contains(stem(r)))
+      .map(r => s"WARNING: no data for mapped input file - $r")
+  }
 
   /** A writer of named output tables to a coordinate string. */
   def outputTarget(spark: SparkSession, coordinate: String): (String, DataFrame) => Unit =

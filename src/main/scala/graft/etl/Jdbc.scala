@@ -39,6 +39,18 @@ object Jdbc {
     allString.write.mode("overwrite").jdbc(url, table.toLowerCase, props)
   }
 
+  /** User-table names (lower-cased) via JDBC metadata — powers the V5
+    * rules/files mismatch warning for SQL input coordinates. */
+  def listTables(url: String, props: Properties = new Properties()): Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val out = Seq.newBuilder[String]
+      while (rs.next()) out += rs.getString("TABLE_NAME").toLowerCase
+      out.result()
+    } finally conn.close()
+  }
+
   /** Schema of an all-string OMOP target table (for pre-created sinks). */
   def stringSchema(columns: Seq[String]): StructType =
     StructType(columns.map(c => StructField(c.toLowerCase, StringType)))

@@ -95,6 +95,55 @@ class DispatchSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("parquet preference probes through the Hadoop FileSystem (URI scheme paths)") {
+    val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
+    val dir = java.nio.file.Files.createTempDirectory("pq_fs_source").toString
+    val csv = CsvSource.read(spark, td, "src_PERSON").drop(CsvSource.RowIdx)
+    csv.coalesce(1).write.mode("overwrite").parquet(s"$dir/src_PERSON.parquet")
+    // a file: URI is opaque to java.io.File (the old probe) but resolves
+    // through FileSystem.get like any s3a:///hdfs:// coordinate would
+    val read = Dispatch.sourceReader(spark, s"file://$dir")("src_PERSON")
+    assert(read.columns.contains(CsvSource.RowIdx))
+    assert(read.drop(CsvSource.RowIdx).collect().map(_.toSeq).toSet ==
+      csv.collect().map(_.toSeq).toSet)
+  }
+
+  test("V5: rules/files mismatch produces the reference warnings, both directions") {
+    val warnings = Dispatch.rulesFilesMismatch(
+      ruleSources = Seq("demographics.csv", "observations.csv"),
+      available   = Seq("demographics.parquet", "vaccines.csv"))
+    assert(warnings.toSet == Set(
+      "WARNING: no mapping rules found for existing input file - vaccines.csv",
+      "WARNING: no data for mapped input file - observations.csv"))
+    // extension-blind: a parquet input satisfies a .csv rules declaration
+    assert(!warnings.exists(_.contains("demographics")))
+    // matched coordinate end-to-end: listing a real directory feeds the check
+    val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
+    val avail = Dispatch.listSourceNames(spark, td).get
+    assert(avail.exists(_.startsWith("src_PERSON")))
+    assert(Dispatch.rulesFilesMismatch(Seq("src_PERSON.csv"), avail)
+      .forall(_.contains("no mapping rules found")))
+  }
+
+  test("strict argv: missing values, unknown flags and positionals error out") {
+    val e1 = intercept[IllegalArgumentException] {
+      CarrotCli.run(Array("--rules-file"), env = Map.empty)
+    }
+    assert(e1.getMessage == "option --rules-file requires a value")
+    val e2 = intercept[IllegalArgumentException] {
+      CarrotCli.run(Array("--rules-file", "--inputs"), env = Map.empty)
+    }
+    assert(e2.getMessage == "option --rules-file requires a value")
+    val e3 = intercept[IllegalArgumentException] {
+      CarrotCli.run(Array("--nope", "x"), env = Map.empty)
+    }
+    assert(e3.getMessage == "unknown option --nope")
+    val e4 = intercept[IllegalArgumentException] {
+      CarrotCli.run(Array("stray", "--inputs", "/tmp"), env = Map.empty)
+    }
+    assert(e4.getMessage == "unexpected positional argument 'stray'")
+  }
+
   // ---- option handling ----
 
   test("options fall back to environment variables (reference envvar names)") {
