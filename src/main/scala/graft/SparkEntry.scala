@@ -460,6 +460,54 @@ object SparkEntry {
           col("unit").as("unit_price"))
     }),
 
+    // ---- As-of join: latest order at-or-before each event, per user.
+    //      Union + one keyed shuffle + running last_value — no range-join
+    //      explosion, no broadcast-size limit (ops.AsofJoin) ----
+    "q39_asof_join" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+          col("o_orderkey"), col("o_totalprice"))
+        // dedupe facts at the same (key, date) so "the" as-of row is
+        // well-defined: keep the highest order key's price
+        .groupBy(col("o_custkey"), col("od"))
+        .agg(max(col("o_orderkey")).as("ao_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("ao_totalprice"))
+      val e = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts").cast("date").as("ed"))
+      graft.ops.AsofJoin.asof(e, o, "user_id", "o_custkey", "ed", "od",
+          Seq("ao_orderkey", "ao_totalprice"))
+        .select(col("event_id"), col("user_id"), col("ao_orderkey"), col("ao_totalprice"))
+    }),
+
+    // ---- Relational coverage: native ROLLUP (multi-level aggregation
+    //      in ONE pass — map-side partials per grouping set) ----
+    "q40_rollup" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- Relational coverage: running-frame window family (running sum,
+    //      lag, rank in one pass over one keyed sort) ----
+    "q41_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      tbl(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        row_number().over(w).as("rn"))
+    }),
+
+    // ---- Dedup: embedding-cosine near-dup pairs via LSH buckets ----
+    "q42_embed_neardup" -> ((s, dir) => {
+      Similarity.lshNearDupPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, nPlanes = 4, minSim = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+    }),
+
     // ---- Text analysis: winnowing fingerprints (positional near-dup) ----
     "q37_winnow" -> ((s, dir) => {
       graft.ops.Parallelize.ensure(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -513,7 +561,43 @@ object SparkEntry {
        |SELECT query_id, vec_id, round(s, 4) AS sim FROM r WHERE rn <= $k""".stripMargin
   }
 
+  /** q42's oracle: same inlined md5-derived hyperplanes as q25's
+    * (left-associated dot products — Spark's fold order), 4 planes. */
+  private val embedNearDupOracle: String = {
+    val dim = 64
+    val nPlanes = 4
+    val bucket = (0 until nPlanes).map { p =>
+      val terms = (0 until dim)
+        .map(j => s"v[${j + 1}]*(${Similarity.planeComponent(p, j, "graft")})")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e)
+       |SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+       |       round(list_cosine_similarity(a.v, x.v), 4) AS sim
+       |FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+       |WHERE list_cosine_similarity(a.v, x.v) >= 0.3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q42_embed_neardup" -> embedNearDupOracle,
+
+    "q40_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q41_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS rn
+        |FROM orders""".stripMargin,
     "q24_simhash" -> simhashOracle,
     "q25_ann_lsh" -> annLshOracle,
     "q01_scan_filter" ->
@@ -795,6 +879,15 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE rn = 1""".stripMargin,
+
+    "q39_asof_join" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |             max(o_orderkey) AS ao_orderkey,
+        |             max_by(o_totalprice, o_orderkey) AS ao_totalprice
+        |           FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS ed FROM events)
+        |SELECT e.event_id, e.user_id, o.ao_orderkey, o.ao_totalprice
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ed >= o.od""".stripMargin,
 
     "q37_winnow" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),

@@ -141,6 +141,27 @@ object Similarity {
       .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_sim").as("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors sharing a hyperplane
+    * bucket whose exact cosine clears `minSim`. The bucket equi-join is the
+    * candidate generator (narrow keys, one shuffle) — near-identical
+    * vectors agree on every projection sign, so recall at high `minSim` is
+    * the standard LSH trade; the exact cosine verify runs only within
+    * buckets, never all-pairs. Returns (id_a, id_b, sim), id_a < id_b. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, nPlanes: Int, minSim: Double): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val e = df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .repartition(parallelism, col("_id"))
+      .withColumn("_bucket", lshBucket(col("_v"), dim, nPlanes))
+    val a = e.select(col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
+    val b = e.select(col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
+    a.join(b, Seq("_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** LSH-bucketed ANN: score only pairs that share a hyperplane bucket.
     * Returns the per-query top-k among same-bucket candidates. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,

@@ -34,6 +34,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
   }
 
+  test("asof join: equal-time fact visible, latest wins, no-fact rows keep nulls") {
+    val events = Seq((100L, 1L, 5L), (101L, 1L, 10L), (102L, 1L, 3L), (103L, 2L, 7L))
+      .toDF("event_id", "k", "t")
+    val facts = Seq((1L, 5L, "f@5"), (1L, 8L, "f@8"), (3L, 1L, "other-key"))
+      .toDF("fk", "ft", "label")
+    val out = graft.ops.AsofJoin.asof(events, facts, "k", "fk", "t", "ft", Seq("label"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)).orNull)).toMap
+    assert(out == Map(
+      100L -> "f@5",  // fact at the SAME time is visible (t_right <= t_left)
+      101L -> "f@8",  // most recent of several earlier facts
+      102L -> null,   // before any fact for the key
+      103L -> null))  // key with no facts at all
+  }
+
   test("punctRatio is null (not an error) on an empty document") {
     val r = corpus.select(TextAnalysis.punctRatio(col("text")).as("pr"))
       .filter(col("pr").isNull).count()
