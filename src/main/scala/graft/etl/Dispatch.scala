@@ -96,9 +96,13 @@ object Dispatch {
         val base = CsvSource.stripCsvExtension(name)
         val pq = new org.apache.hadoop.fs.Path(s"$coordinate/$base.parquet")
         val fs = pq.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(pq))
+        if (fs.exists(pq)) {
+          // TIMESTAMP(NANOS) columns reject the vectorized reader outright;
+          // reading nanos as long keeps such files loadable (the engine
+          // casts everything to verbatim strings anyway)
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           CsvSource.withRowIdx(CsvSource.allString(spark.read.parquet(pq.toString)))
-        else CsvSource.read(spark, coordinate, name, sep)
+        } else CsvSource.read(spark, coordinate, name, sep)
       }
     }
 

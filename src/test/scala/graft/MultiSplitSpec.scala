@@ -56,6 +56,21 @@ class MultiSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("IdAssign ids equal global key-order ranks on shuffled multi-partition input") {
+    // pins the monotonically_increasing_id position decode (round 3): ids
+    // must equal the rank of the ordering key regardless of input
+    // partitioning, AQE range-coalescing, or input row order
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val keys = rnd.shuffle((0L until 10000L).toVector)
+    val df = keys.map(k => (k, s"payload$k")).toDF("k", "p").repartition(17)
+    val out = graft.ops.IdAssign.withDenseId(df, "id", 100L, col("k"))
+      .select(col("k"), col("id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 10000)
+    out.foreach { case (k, id) => assert(id == 101L + k, s"key $k got id $id") }
+  }
+
   test("v1 duplications golden still matches under multi-split reads") {
     val td = s"${Golden.RefRoot}/tests/test_data/duplications"
     withTinyPartitions(256) {
