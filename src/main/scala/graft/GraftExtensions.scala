@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, MinHashSignature, NGramShingles, WinnowingFingerprints}
+import graft.functions.{DotProduct, MinHashSignature, NGramShingles, Normalise8601, WinnowingFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get them
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("normalise_8601"),
+      new ExpressionInfo(classOf[Normalise8601].getName, "normalise_8601"),
+      (args: Seq[Expression]) => Normalise8601(args.head)))
     ext.injectFunction((
       FunctionIdentifier("winnowing_fingerprints"),
       new ExpressionInfo(classOf[WinnowingFingerprints].getName, "winnowing_fingerprints"),

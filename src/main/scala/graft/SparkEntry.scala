@@ -508,6 +508,25 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
     }),
 
+    // ---- Relational coverage: exact percentile aggregation (sort-based
+    //      exact quantiles; same linear interpolation as quantile_cont) ----
+    "q43_percentile" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+          round(expr("percentile(l_discount, 0.25)"), 4).as("p25_disc"))
+    }),
+
+    // ---- Relational coverage: native CUBE (all grouping-set combinations
+    //      in one pass) ----
+    "q44_cube" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
     // ---- Text analysis: winnowing fingerprints (positional near-dup) ----
     "q37_winnow" -> ((s, dir) => {
       graft.ops.Parallelize.ensure(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -582,6 +601,18 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q42_embed_neardup" -> embedNearDupOracle,
+
+    "q43_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+        |  round(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q44_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
 
     "q40_rollup" ->
       """SELECT l_returnflag, l_linestatus,
