@@ -508,8 +508,11 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
     }),
 
-    // ---- Relational coverage: exact percentile aggregation (sort-based
-    //      exact quantiles; same linear interpolation as quantile_cont) ----
+    // ---- Relational coverage: exact percentile aggregation (same linear
+    //      interpolation as quantile_cont — cross-engine checkable, which
+    //      t-digest/HLL sketches are not). Exact percentile buffers each
+    //      group's values; at 100 TB swap to approx_percentile (codegen'd
+    //      QuantileSummaries, bounded memory) when ±ε is acceptable ----
     "q43_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
