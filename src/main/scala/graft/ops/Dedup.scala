@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Materialized (_id, _sh, _size) shingle sets.
+  /** Materialized (_id, _sh, _shh, _size) shingle sets: the string shingles
+    * plus a SORTED `array<long>` of xxhash64(shingle) (`_shh`), which is
+    * what the pairwise verify stages intersect — a codegen'd merge-count
+    * over 8-byte keys instead of a per-pair hash set of n-gram strings.
+    * |intersect(h(A), h(B))| == |intersect(A, B)| up to a 2⁻⁶⁴ per-pair
+    * hash collision (which could only over-count), so Jaccard values are
+    * unchanged and cross-engine oracles that intersect the string sets
+    * still agree.
     *
     * Two scale measures: (1) repartition to full parallelism BEFORE the
     * CPU-heavy shingling — a handful of input splits would otherwise
@@ -36,6 +43,7 @@ object Dedup {
                   scope: CacheScope = CacheScope.noop): DataFrame = {
     scope.track(Parallelize.ensure(df.select(col(idCol).as("_id"), col(textCol).as("_t")))
       .select(col("_id"), graft.functions.ShingleExprs.ngramShingles(col("_t"), n).as("_sh"))
+      .withColumn("_shh", array_sort(transform(col("_sh"), s => xxhash64(s))))
       .withColumn("_size", size(col("_sh")))
       .cache())
   }
@@ -87,16 +95,17 @@ object Dedup {
     * dominate shuffle bytes — 8-byte hashes vs whole n-grams. A hash
     * collision can only (a) merge two shingles' df counts, dropping a
     * genuinely-rare shingle from the index, or (b) over-generate candidate
-    * pairs, which the exact array_intersect verification filters; at 2^-64
-    * per pair both are vanishingly rare and (b) is harmless anyway. */
+    * pairs / over-count one common shingle in the merge-count verify; at
+    * 2^-64 per pair all are vanishingly rare and (b) is harmless anyway. */
   def ngramJaccardPairsOf(withSh: DataFrame, minJaccard: Double = 0.0,
                           maxDf: Int = 100): DataFrame = {
     // exploding an empty set yields no rows, so empty-shingle docs can never
     // become candidates here — the guard just documents the invariant that
-    // keeps the jaccard denominator nonzero
+    // keeps the jaccard denominator nonzero. The index explodes the cached
+    // hash array directly — the 8-byte keys the index shuffles on are the
+    // same hashes the verify stage intersects.
     val inv = withSh.filter(col("_size") > 0)
-      .select(col("_id"), explode(col("_sh")).as("_s"))
-      .select(col("_id"), xxhash64(col("_s")).as("_h"))
+      .select(col("_id"), explode(col("_shh")).as("_h"))
     val rare = inv.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf).select(col("_h"))
     val rareInv = inv.join(rare, Seq("_h"))
@@ -105,10 +114,10 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val a = withSh.select(col("_id").as("id_a"), col("_sh").as("sh_a"), col("_size").as("size_a"))
-    val b = withSh.select(col("_id").as("id_b"), col("_sh").as("sh_b"), col("_size").as("size_b"))
+    val a = withSh.select(col("_id").as("id_a"), col("_shh").as("sh_a"), col("_size").as("size_a"))
+    val b = withSh.select(col("_id").as("id_b"), col("_shh").as("sh_b"), col("_size").as("size_b"))
     cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("common", graft.functions.ArrayExprs.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("common") / (col("size_a") + col("size_b") - col("common")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -140,10 +149,10 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val a = base.select(col("_id").as("id_a"), col("_sh").as("sh_a"), col("_size").as("size_a"))
-    val b = base.select(col("_id").as("id_b"), col("_sh").as("sh_b"), col("_size").as("size_b"))
+    val a = base.select(col("_id").as("id_a"), col("_shh").as("sh_a"), col("_size").as("size_a"))
+    val b = base.select(col("_id").as("id_b"), col("_shh").as("sh_b"), col("_size").as("size_b"))
     cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("common", graft.functions.ArrayExprs.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("common") / (col("size_a") + col("size_b") - col("common")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))

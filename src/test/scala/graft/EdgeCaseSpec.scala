@@ -48,6 +48,27 @@ class EdgeCaseSpec extends AnyFunSuite {
       103L -> null))  // key with no facts at all
   }
 
+  test("sorted-long intersect count matches array_intersect, incl. empty/null") {
+    // random sorted distinct long arrays with controlled overlap
+    val rows = (0 until 200).map { i =>
+      val rng = new scala.util.Random(i)
+      val shared = Seq.fill(rng.nextInt(20))(rng.nextLong())
+      val a = (shared ++ Seq.fill(rng.nextInt(30))(rng.nextLong())).distinct.sorted
+      val b = (shared ++ Seq.fill(rng.nextInt(30))(rng.nextLong())).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L)))
+    val df = rows.toDF("a", "b")
+    val diffs = df.select(
+        graft.functions.ArrayExprs.sortedLongIntersectCount(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diffs == 0)
+    val nulls = df.limit(1).select(graft.functions.ArrayExprs.sortedLongIntersectCount(
+        lit(null).cast("array<bigint>"), col("b")).as("c"))
+      .filter(col("c").isNull).count()
+    assert(nulls == 1)
+  }
+
   test("punctRatio is null (not an error) on an empty document") {
     val r = corpus.select(TextAnalysis.punctRatio(col("text")).as("pr"))
       .filter(col("pr").isNull).count()
