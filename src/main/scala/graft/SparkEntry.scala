@@ -160,17 +160,25 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
 
-    // ---- A2: multi-level rollup counts (the metrics grouping-sets) ----
+    // ---- A2: multi-level rollup counts (the metrics grouping-sets).
+    //      Native GROUPING SETS: ONE scan of the fact table (Expand fans
+    //      each row into its 3 grouping sets before partial aggregation) —
+    //      the 3-branch union form scans events three times, which at
+    //      100 TB is three jobs instead of one. grouping() distinguishes
+    //      "aggregated-away" from a genuine null, so the 'ALL' placeholder
+    //      matches the union form even on nullable dimensions ----
     "q03_metrics_rollup" -> ((s, dir) => {
-      val e = tbl(s, dir, "events")
+      tbl(s, dir, "events")
         .select(col("event_type"), col("ts").cast("date").cast("string").as("day"), col("value"))
-      val byType = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        .select(col("event_type"), lit("ALL").as("day"), col("n"), col("sum_value"))
-      val byDay = e.groupBy(col("day")).agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        .select(lit("ALL").as("event_type"), col("day"), col("n"), col("sum_value"))
-      val byBoth = e.groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-      byType.unionByName(byDay).unionByName(byBoth)
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("day")), Seq(col("event_type"), col("day"))),
+          col("event_type"), col("day"))
+        .agg(grouping(col("event_type")).as("_ge"), grouping(col("day")).as("_gd"),
+          count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(
+          when(col("_ge") === 1, lit("ALL")).otherwise(col("event_type")).as("event_type"),
+          when(col("_gd") === 1, lit("ALL")).otherwise(col("day")).as("day"),
+          col("n"), col("sum_value"))
     }),
 
     // ---- J2: person-ID dictionary build (dense IDs, scale-safe) ----
@@ -441,15 +449,21 @@ object SparkEntry {
     }),
 
     // ---- Relational coverage: cheapest supplier per part (Q2 shape:
-    //      window-rank over a computed measure + two broadcast dims) ----
+    //      argmin over a computed measure + broadcast dims). min_by over a
+    //      (unit, l_suppkey) ordering struct computes the same winner as a
+    //      row_number window with map-side partial aggregation and ONE hash
+    //      shuffle — the window form pays a full sort exchange of lineitem
+    //      (round-3 verdict #3; same fix as the IVF cell assignment) ----
     "q38_cheapest_supplier" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val u = tbl(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"),
         // double division on both sides: decimal division rounds at decimal
         // scale (HALF_UP) and diverges from the oracle's IEEE double result
         (col("l_extendedprice").cast("double") / col("l_quantity").cast("double")).as("unit"))
-      val w = Window.partitionBy(col("l_partkey")).orderBy(col("unit"), col("l_suppkey"))
-      u.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      u.groupBy(col("l_partkey"))
+        .agg(min_by(struct(col("l_suppkey"), col("unit")),
+          struct(col("unit"), col("l_suppkey"))).as("_best"))
+        .select(col("l_partkey"), col("_best.l_suppkey").as("l_suppkey"),
+          col("_best.unit").as("unit"))
         .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .join(broadcast(tbl(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))

@@ -74,6 +74,26 @@ class PlanSpec extends AnyFunSuite {
       s"no corpus-partitioned window in the assignment\n$p")
   }
 
+  test("q38 argmin aggregates with min_by - no window, partials before the exchange") {
+    val p = plan("q38_cheapest_supplier")
+    // partial_min_by BEFORE the exchange = map-side combine: the shuffle
+    // carries one candidate per (partition, part), not all of lineitem.
+    // (The SortAggregate's Sort is a per-partition sort on the group key,
+    // not the window form's full sort exchange of the fact table.)
+    assert(p.contains("partial_min_by"), s"argmin should partial-aggregate map-side\n$p")
+    assert(!p.contains("Window"), s"no window over lineitem\n$p")
+    assert(p.indexOf("partial_min_by") > p.indexOf("Exchange hashpartitioning"),
+      s"partial aggregation must sit below (after in tree order) the exchange\n$p")
+  }
+
+  test("q03 grouping sets scan the fact table once") {
+    val p = plan("q03_metrics_rollup")
+    assert(p.contains("Expand"), s"grouping sets should Expand, not union\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"events must be scanned exactly once\n$p")
+    assert(!p.contains("Union"), s"no 3-branch union\n$p")
+  }
+
   test("winnowing stays codegen-compatible and prunes to the two used columns") {
     val df = SparkEntry.queries("q37_winnow")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
