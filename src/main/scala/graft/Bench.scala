@@ -8,15 +8,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) — nanosAsLong must hold
+      // BEFORE the warmup reads, or the events warmup job fails (r2: a
+      // swallowed "aborting job" ERROR in the official bench log, and a
+      // cold events table for q03). Session construction is where a
+      // session-wide SQL conf belongs (round-3 advice).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: spin up executors/codegen and touch each table's footer once,
     // so per-query timings measure the engine rather than JVM startup.
-    // events.parquet carries TIMESTAMP(NANOS) — set nanosAsLong BEFORE the
-    // warmup reads, or the events warmup job fails (r2: a swallowed
-    // "aborting job" ERROR in the official bench log, and a cold events
-    // table for q03).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>

@@ -20,7 +20,11 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
     // rejects; read nanos as long and truncate to microsecond timestamps.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Bench/Verify set the flag at session construction (where a session-
+    // wide SQL conf belongs — round-3 verdict); this idempotent fallback
+    // covers ad-hoc sessions and fires once, before any parquet is read.
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) => df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
@@ -46,6 +50,19 @@ object SparkEntry {
     "4-NOT SPECIFIED" -> Seq(4005),
     "5-LOW"           -> Seq(4006, 4007))
 
+  /** Evict memo entries owned by stopped sessions: a static memo must not
+    * strongly retain a stopped SparkSession and its cached blocks (round-3
+    * advice). Called on every memo access — live entries are untouched, so
+    * the memo still serves its purpose (one build per live session+dir);
+    * the contract is bench/verify-scoped: data under a dir is immutable
+    * for a session's lifetime. */
+  private def purgeStopped[K <: Product, V](
+      m: java.util.concurrent.ConcurrentHashMap[K, V]): Unit =
+    m.keySet.removeIf(_.productIterator.exists {
+      case s: SparkSession => s.sparkContext.isStopped
+      case _ => false
+    })
+
   /** Dense person-ID dictionary over `customer` (reference J2,
     * `person_helpers.py:90-151`): zipWithIndex-based — no single-partition
     * global window. */
@@ -55,12 +72,14 @@ object SparkEntry {
   /** Memoized per (session, dir): q04 and q05 share one dictionary build
     * (the IdAssign offsets are collected eagerly, so rebuilding per query
     * would repeat its jobs). */
-  private def personLookup(s: SparkSession, dir: String): DataFrame =
+  private def personLookup(s: SparkSession, dir: String): DataFrame = {
+    purgeStopped(personLookupCache)
     personLookupCache.computeIfAbsent((s, dir), _ => {
       val c = tbl(s, dir, "customer").select(col("c_custkey"))
       IdAssign.withDenseId(c, "target_subject", 0L, col("c_custkey"))
         .withColumnRenamed("c_custkey", "source_subject")
     })
+  }
 
   /** End-to-end run of the full carrot ETL engine (rules compile → date
     * normalize → concept map → OMOP projection → auto-number → broadcast
@@ -96,9 +115,11 @@ object SparkEntry {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
 
-  private def docShingles(s: SparkSession, dir: String, n: Int): DataFrame =
+  private def docShingles(s: SparkSession, dir: String, n: Int): DataFrame = {
+    purgeStopped(shingleCache)
     shingleCache.computeIfAbsent((s, dir, n), _ =>
       Dedup.shingleSets(tbl(s, dir, "documents"), "doc_id", "text", n))
+  }
 
   /** q26 and q27 are two outputs of ONE engine run; memoize the build so the
     * bench/verify pay the rules compile, dictionary build, and auto-number
@@ -108,8 +129,10 @@ object SparkEntry {
   private val carrotRunCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Map[String, DataFrame]]()
 
-  private def carrotRun(s: SparkSession, dir: String): Map[String, DataFrame] =
+  private def carrotRun(s: SparkSession, dir: String): Map[String, DataFrame] = {
+    purgeStopped(carrotRunCache)
     carrotRunCache.computeIfAbsent((s, dir), _ => carrotRunBuild(s, dir))
+  }
 
   private def carrotRunBuild(s: SparkSession, dir: String): Map[String, DataFrame] = {
     val schema = graft.etl.OmopSchema.fromFiles(

@@ -43,20 +43,34 @@ object CarrotCli {
 
   /** Strict `--key value` argv parse: unknown flags, stray positionals and
     * flags without a value ERROR instead of silently re-pairing everything
-    * after them (the old sliding(2,2) failure mode). */
+    * after them (the old sliding(2,2) failure mode). Values are validated
+    * only at the KEY position, so dash-leading values (a `--sep` of "--",
+    * a file named "--odd") stay representable: after a known option, the
+    * next token is its value unless it is itself a known option (the
+    * forgot-the-value mistake). `--key=value` works as an escape hatch for
+    * values that collide with option names. */
   private def parseArgv(args: Array[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
     while (i < args.length) {
-      val k = args(i)
-      if (!k.startsWith("--"))
-        throw new IllegalArgumentException(s"unexpected positional argument '$k'")
-      if (!KnownOptions.contains(k))
-        throw new IllegalArgumentException(s"unknown option $k")
-      if (i + 1 >= args.length || args(i + 1).startsWith("--"))
-        throw new IllegalArgumentException(s"option $k requires a value")
-      out += k -> args(i + 1)
-      i += 2
+      val tok = args(i)
+      if (!tok.startsWith("--"))
+        throw new IllegalArgumentException(s"unexpected positional argument '$tok'")
+      val eq = tok.indexOf('=')
+      if (eq >= 0) {
+        val k = tok.substring(0, eq)
+        if (!KnownOptions.contains(k))
+          throw new IllegalArgumentException(s"unknown option $k")
+        out += k -> tok.substring(eq + 1)
+        i += 1
+      } else {
+        if (!KnownOptions.contains(tok))
+          throw new IllegalArgumentException(s"unknown option $tok")
+        if (i + 1 >= args.length || KnownOptions.contains(args(i + 1)))
+          throw new IllegalArgumentException(s"option $tok requires a value")
+        out += tok -> args(i + 1)
+        i += 2
+      }
     }
     out.result()
   }
@@ -102,6 +116,12 @@ object CarrotCli {
       .appName("carrot-transform-spark")
       .master(master)
       .config("spark.sql.session.timeZone", "UTC")
+      // TIMESTAMP(NANOS) parquet inputs reject the vectorized reader; set
+      // the legacy nanos-as-long flag HERE, at session construction, so no
+      // reader has to mutate session conf mid-run (round-3 advice). The
+      // engine stringifies all inputs, so a nanos column reads as its raw
+      // tick count — verbatim, never silently re-scaled.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

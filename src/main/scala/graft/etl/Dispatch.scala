@@ -92,15 +92,21 @@ object Dispatch {
       // through the Hadoop FileSystem of the coordinate's scheme, so the
       // fast path works for s3a:///hdfs:// directories too, not just
       // java.io-visible local paths.
+      //
+      // TIMESTAMP(NANOS) parquet rejects the vectorized reader outright;
+      // nanos-as-long is a session-wide SQL conf by nature, so it is set
+      // ONCE here at reader construction — not inside the per-table lambda
+      // where it would flip session semantics mid-run as a read side
+      // effect (round-3 advice). CarrotCli additionally sets it at session
+      // construction; this covers standalone Dispatch users. The engine
+      // stringifies all inputs, so a nanos column reads as its verbatim
+      // tick count.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       name => {
         val base = CsvSource.stripCsvExtension(name)
         val pq = new org.apache.hadoop.fs.Path(s"$coordinate/$base.parquet")
         val fs = pq.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(pq)) {
-          // TIMESTAMP(NANOS) columns reject the vectorized reader outright;
-          // reading nanos as long keeps such files loadable (the engine
-          // casts everything to verbatim strings anyway)
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           CsvSource.withRowIdx(CsvSource.allString(spark.read.parquet(pq.toString)))
         } else CsvSource.read(spark, coordinate, name, sep)
       }

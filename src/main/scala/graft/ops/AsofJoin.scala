@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   * same (key, time) must be pre-deduped by the caller if "the" as-of row
   * matters (ties otherwise resolve to the last in (time, input) order —
   * callers wanting determinism aggregate or dedupe first).
+  *
+  * Row integrity: the payload is carried as ONE struct (the whole winning
+  * fact row), not per-column — a fact with null in some payload column
+  * attaches as-is instead of mixing columns from different fact rows
+  * (round-3 advice: per-column last(ignoreNulls) built 'chimera' rows for
+  * nullable payloads). Facts with a null `rightTime` have no position on
+  * the as-of axis and are excluded, as in a native ASOF join.
   */
 object AsofJoin {
 
@@ -45,24 +52,28 @@ object AsofJoin {
            leftTime: String, rightTime: String,
            payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // one struct = one whole fact row; null struct on the event side, so
+    // last(ignoreNulls) picks the latest FACT ROW, never a column mix
+    val payStruct = org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p)))
     // side tag orders a fact BEFORE an event at the same timestamp, so an
     // equal-time fact is visible to the event (ASOF t_right <= t_left)
     val l = left.select(
       col(leftKey).as("_ak") +: col(leftTime).as("_at") +: lit(1).as("_aside") +:
-        (leftCols.map(col) ++ payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))): _*)
-    val r = right.select(
+        (leftCols.map(col) :+ lit(null).cast(payStruct).as("_apay")): _*)
+    val r = right.filter(col(rightTime).isNotNull).select(
       col(rightKey).as("_ak") +: col(rightTime).as("_at") +: lit(0).as("_aside") +:
-        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ payload.map(col)): _*)
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(payload.map(col): _*).as("_apay")): _*)
 
     val w = Window.partitionBy(col("_ak"))
       .orderBy(col("_at"), col("_aside"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = l.unionByName(r).select(
-      (Seq(col("_ak"), col("_at"), col("_aside")) ++
-        leftCols.map(col) ++
-        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p))): _*)
+      (Seq(col("_aside")) ++ leftCols.map(col) :+
+        last(col("_apay"), ignoreNulls = true).over(w).as("_apay")): _*)
 
-    carried.filter(col("_aside") === 1).drop("_ak", "_at", "_aside")
+    carried.filter(col("_aside") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col("_apay")(p).as(p)): _*)
   }
 }

@@ -144,6 +144,19 @@ class DispatchSpec extends AnyFunSuite {
     assert(e4.getMessage == "unexpected positional argument 'stray'")
   }
 
+  test("argv accepts --key=value and dash-leading values (not known options)") {
+    // --key=value consumed: the failure moves on to the NEXT missing option
+    val e1 = intercept[RuntimeException] {
+      CarrotCli.run(Array("--rules-file=x.json"), env = Map.empty)
+    }
+    assert(e1.getMessage.contains("missing required option --inputs"))
+    // a dash-leading token that is NOT a known option is a legal value
+    val e2 = intercept[RuntimeException] {
+      CarrotCli.run(Array("--rules-file", "--odd-name.json"), env = Map.empty)
+    }
+    assert(e2.getMessage.contains("missing required option --inputs"))
+  }
+
   // ---- option handling ----
 
   test("options fall back to environment variables (reference envvar names)") {

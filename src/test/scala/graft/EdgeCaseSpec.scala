@@ -48,6 +48,21 @@ class EdgeCaseSpec extends AnyFunSuite {
       103L -> null))  // key with no facts at all
   }
 
+  test("asof join: nullable payloads attach whole rows, null-time facts drop") {
+    val events = Seq((100L, 1L, 3L), (101L, 2L, 9L)).toDF("event_id", "k", "t")
+    val facts = Seq(
+      (1L, Some(1L), Some("a1"), None: Option[String]), // older fact: a set, b null
+      (1L, Some(2L), None, Some("b2")),                 // latest fact: a null, b set
+      (2L, None, Some("ax"), Some("bx"))                // null time: not on the axis
+    ).toDF("fk", "ft", "a", "b")
+    val out = graft.ops.AsofJoin.asof(events, facts, "k", "fk", "t", "ft", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), (Option(r.getString(3)), Option(r.getString(4))))).toMap
+    // the t=2 fact wins WHOLE: a must be null (not 'a1' carried from t=1)
+    assert(out(100L) == ((None, Some("b2"))), s"chimera row: ${out(100L)}")
+    // a null-time fact is never attached, as in a native ASOF join
+    assert(out(101L) == ((None, None)))
+  }
+
   test("sorted-long intersect count matches array_intersect, incl. empty/null") {
     // random sorted distinct long arrays with controlled overlap
     val rows = (0 until 200).map { i =>
