@@ -153,7 +153,8 @@ object CarrotCli {
     timed("person_ids")(write("person_ids", engine.personIds))
     // file-ish sinks get the reference's sequential row order; a SQL table
     // has no observable order, so skip the global sort there
-    val results = if (Dispatch.isSql(output) && !Dispatch.isMinio(output))
+    val results = if (Dispatch.isSql(output, spark.sparkContext.hadoopConfiguration) &&
+        !Dispatch.isMinio(output))
       engine.run() else engine.runOrdered()
     for ((target, df) <- results) timed(target)(write(target, df))
     timed("summary_mapstream")(write("summary_mapstream", engine.summary(threshold)))

@@ -53,11 +53,18 @@ object Dispatch {
   /** SQLAlchemy-ish dispatch rule: any `scheme://...` that isn't minio or a
     * Hadoop filesystem URI is a database (reference `sources.py:68-71` —
     * the reference has no filesystem-URI inputs, so the FS carve-out is a
-    * Spark-native extension); `jdbc:` URLs pass through. */
-  def isSql(coordinate: String): Boolean =
+    * Spark-native extension); `jdbc:` URLs pass through. A scheme counts as
+    * a filesystem when it's a well-known FS scheme OR the supplied Hadoop
+    * configuration registers an implementation for it (`fs.<scheme>.impl`)
+    * — site-configured filesystems dispatch correctly with no code change. */
+  def isSql(coordinate: String,
+            hadoopConf: org.apache.hadoop.conf.Configuration = null): Boolean = {
+    def isFs(scheme: String): Boolean =
+      FsSchemes.contains(scheme) ||
+        (hadoopConf != null && hadoopConf.get(s"fs.$scheme.impl") != null)
     coordinate.startsWith("jdbc:") ||
-      (coordinate.matches("[\\w]+://.+") &&
-        !FsSchemes.contains(coordinate.takeWhile(_ != ':')))
+      (coordinate.matches("[\\w]+://.+") && !isFs(coordinate.takeWhile(_ != ':')))
+  }
 
   def toJdbcUrl(coordinate: String): String =
     if (coordinate.startsWith("jdbc:")) coordinate else s"jdbc:$coordinate"
@@ -82,7 +89,7 @@ object Dispatch {
     if (isMinio(coordinate)) {
       val base = configureMinio(spark, MinioUrl.parse(coordinate))
       name => CsvSource.read(spark, base, name, sep = "\t")
-    } else if (isSql(coordinate)) {
+    } else if (isSql(coordinate, spark.sparkContext.hadoopConfiguration)) {
       val url = toJdbcUrl(coordinate)
       name => CsvSource.withRowIdx(Jdbc.readTable(spark, url, CsvSource.stripCsvExtension(name)))
     } else {
@@ -118,7 +125,8 @@ object Dispatch {
     * be enumerated (e.g. listing fails) — callers then skip the V5 check. */
   def listSourceNames(spark: SparkSession, coordinate: String): Option[Seq[String]] =
     try {
-      if (isSql(coordinate)) Some(Jdbc.listTables(toJdbcUrl(coordinate)))
+      if (isSql(coordinate, spark.sparkContext.hadoopConfiguration))
+        Some(Jdbc.listTables(toJdbcUrl(coordinate)))
       else {
         val base = if (isMinio(coordinate)) configureMinio(spark, MinioUrl.parse(coordinate))
                    else coordinate
@@ -151,7 +159,7 @@ object Dispatch {
     if (isMinio(coordinate)) {
       val base = configureMinio(spark, MinioUrl.parse(coordinate))
       (name, df) => TsvSink.writeSingleFile(df, s"$base/$name.tsv")
-    } else if (isSql(coordinate)) {
+    } else if (isSql(coordinate, spark.sparkContext.hadoopConfiguration)) {
       val url = toJdbcUrl(coordinate)
       (name, df) => Jdbc.writeTable(df, url, name)
     } else {

@@ -48,6 +48,18 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16).toDouble / 0xffffffffL.toDouble - 0.5
   }
 
+  /** Plane count that keeps EXPECTED LSH bucket occupancy near
+    * `targetPerBucket` for a corpus of `n` vectors: p = ⌈log₂(n/target)⌉,
+    * clamped to [1, 62] (the bucket key is a long of sign bits). Use for
+    * [[lshNearDupPairs]]/[[lshTopK]] instead of a fixed plane count — a
+    * constant p is O(n²/2^p) in the self-join as the corpus grows, while
+    * auto-scaled p keeps per-bucket work flat (the standard LSH sizing
+    * rule). Callers know n from their own pipeline (or pay one count()). */
+  def autoPlanes(n: Long, targetPerBucket: Long = 1024L): Int = {
+    val buckets = n.toDouble / math.max(1L, targetPerBucket).toDouble
+    math.min(62, math.max(1, math.ceil(math.log(math.max(1.0, buckets)) / math.log(2.0)).toInt))
+  }
+
   /** Sign-of-projection bucket key over `nPlanes` deterministic random
     * hyperplanes (a bit per plane). The plane is a literal array and the
     * projection a zip_with/aggregate fold — a compact expression tree
@@ -146,13 +158,37 @@ object Similarity {
     * candidate generator (narrow keys, one shuffle) — near-identical
     * vectors agree on every projection sign, so recall at high `minSim` is
     * the standard LSH trade; the exact cosine verify runs only within
-    * buckets, never all-pairs. Returns (id_a, id_b, sim), id_a < id_b. */
+    * buckets, never all-pairs. Returns (id_a, id_b, sim), id_a < id_b.
+    *
+    * SCALE GUARD (round-3 verdict #4): with p planes there are only 2^p
+    * buckets, and each bucket self-joins — a fixed small `nPlanes` is
+    * O(n²/2^p) as the corpus grows. Size `nPlanes` with [[autoPlanes]]
+    * (p ≈ log₂(n/targetPerBucket), keeping EXPECTED occupancy flat), and
+    * bound the WORST case (correlated vectors piling into one bucket —
+    * more planes can't split identical vectors) with `maxPerBucket` > 0:
+    * each bucket keeps its first `maxPerBucket` members in id order —
+    * deterministic, and the self-join cost is capped at maxPerBucket² per
+    * bucket. The cap drops candidate coverage for over-full buckets (an
+    * explicit recall trade, like any LSH parameter — not a silent
+    * truncation). */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                      dim: Int, nPlanes: Int, minSim: Double): DataFrame = {
+                      dim: Int, nPlanes: Int, minSim: Double,
+                      maxPerBucket: Int = 0): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val e = df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+    val bucketed = df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
       .repartition(parallelism, col("_id"))
       .withColumn("_bucket", lshBucket(col("_v"), dim, nPlanes))
+    val e =
+      if (maxPerBucket <= 0) bucketed
+      else {
+        // rank within bucket, keep the first maxPerBucket by id: one
+        // shuffle on the bucket key; each post-cap bucket is bounded, so
+        // the downstream self-join is too
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("_bucket")).orderBy(col("_id"))
+        bucketed.withColumn("_bn", row_number().over(w))
+          .filter(col("_bn") <= maxPerBucket).drop("_bn")
+      }
     val a = e.select(col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
     val b = e.select(col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
     a.join(b, Seq("_bucket"))

@@ -108,6 +108,28 @@ class DispatchSpec extends AnyFunSuite {
       csv.collect().map(_.toSeq).toSet)
   }
 
+  test("CarrotCli runs a golden corpus end-to-end over a non-file: filesystem scheme") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    // a registered custom scheme classifies as a filesystem, not a database
+    assert(!Dispatch.isSql("graftfs:///tmp/x", conf))
+    assert(Dispatch.isSql("graftfs2://host/db", conf), "unregistered scheme stays SQL")
+
+    val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
+    val out = java.nio.file.Files.createTempDirectory("graftfs_out").toString
+    CarrotCli.run(Array(
+      "--rules-file", s"${Golden.RefRoot}/tests/test_V2/rules-v2.json",
+      "--inputs", s"graftfs://$td",
+      "--output", s"graftfs://$out",
+      "--person", "src_PERSON"), env = Map.empty)
+
+    // outputs landed through the scheme onto the backing disk, golden-equal
+    val ids = Golden.readTsv(s"$out/person_ids.tsv")
+      .select(col("source_subject").as("SOURCE_SUBJECT"), col("target_subject").as("TARGET_SUBJECT"))
+    Golden.assertMatches("person", Golden.readTsv(s"$out/person.tsv"), ids, s"$td/v2-out")
+    Golden.assertMatches("measurement", Golden.readTsv(s"$out/measurement.tsv"), ids, s"$td/v2-out")
+  }
+
   test("V5: rules/files mismatch produces the reference warnings, both directions") {
     val warnings = Dispatch.rulesFilesMismatch(
       ruleSources = Seq("demographics.csv", "observations.csv"),

@@ -84,6 +84,26 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(nulls == 1)
   }
 
+  test("lshNearDupPairs: maxPerBucket bounds a hot bucket; autoPlanes scales") {
+    // 100 IDENTICAL vectors: every one lands in the same bucket, the
+    // worst case no plane count can split — only the cap bounds it
+    val hot = (0 until 100).map(i => (i.toLong, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.lshNearDupPairs(hot, "vec_id", "embedding",
+      dim = 8, nPlanes = 4, minSim = 0.9, maxPerBucket = 8)
+    // ≤ C(8,2) pairs survive, and deterministically the lowest ids
+    assert(capped.count() == 28)
+    assert(capped.agg(max(col("id_b"))).head().getLong(0) == 7L)
+    // uncapped default: all C(100,2) pairs (q42's exact behavior)
+    val uncapped = Similarity.lshNearDupPairs(hot, "vec_id", "embedding",
+      dim = 8, nPlanes = 4, minSim = 0.9)
+    assert(uncapped.count() == 4950)
+    // expected-occupancy sizing: n/2^p ~ target
+    assert(Similarity.autoPlanes(1L << 30, 1024L) == 20)
+    assert(Similarity.autoPlanes(1000L, 1024L) == 1)   // clamp low
+    assert(Similarity.autoPlanes(Long.MaxValue, 1L) == 62) // clamp high
+  }
+
   test("punctRatio is null (not an error) on an empty document") {
     val r = corpus.select(TextAnalysis.punctRatio(col("text")).as("pr"))
       .filter(col("pr").isNull).count()
