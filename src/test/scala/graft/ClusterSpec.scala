@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Cluster
+
+/** Connected-components label propagation: transitive chains collapse,
+  * the minimum label crosses "up-then-down" paths (reachable only through
+  * a LARGER id), isolated nodes stay singletons, and the loop converges
+  * within the diameter bound without leaking caches. */
+class ClusterSpec extends AnyFunSuite {
+  private lazy val spark = Golden.spark
+  import spark.implicits._
+
+  test("components collapse chains, route min through larger ids, keep singletons") {
+    // {3,5,9}: 5 reaches min 3 only VIA 9 (up-then-down — needs >1 round);
+    // {10..13}: a diameter-3 chain; {20}: isolated
+    val nodes = (Seq(3L, 5L, 9L, 10L, 11L, 12L, 13L, 20L)).toDF("id")
+    val edges = Seq((3L, 9L), (5L, 9L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("a", "b")
+    val got = Cluster.connectedComponents(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L))
+  }
+
+  test("scoped run unpersists every iteration cache") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    graft.ops.CacheScope.withScope { scope =>
+      val nodes = (0L to 12L).toDF("id")
+      val edges = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b") // one long chain
+      val labels = Cluster.connectedComponents(nodes, "id", edges, "a", "b",
+        maxIter = 15, scope = scope)
+      assert(labels.agg(max(col("component"))).head().getLong(0) == 0L)
+    }
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      s"leaked: ${(sc.getPersistentRDDs.keySet -- before).toSeq.sorted}")
+  }
+}
