@@ -593,6 +593,30 @@ object SparkEntry {
           when(col("doc_id") === col("component"), 1).otherwise(0).as("is_canonical"))
     }),
 
+    // ---- Sampling: deterministic md5 train/val/test split (reproducible
+    //      across runs/engines/partitionings — rand() sampling is not) ----
+    "q46_hash_split" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.hashSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    }),
+
+    // ---- Corpus stats: top tf·idf term per doc (linear idf — exactly
+    //      cross-engine reproducible; per-doc argmax via max_by) ----
+    "q47_tfidf_top_term" -> ((s, dir) => {
+      graft.ops.Corpus.tfidfTopTerm(tbl(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ---- Batch packing: token-length buckets (padding-waste control) ----
+    "q48_length_buckets" -> ((s, dir) => {
+      val nt = size(split(trim(col("text")), "\\s+")).cast("long")
+      tbl(s, dir, "documents")
+        .select(TextAnalysis.lengthBucket(col("text"), 20, 9).as("bucket"), nt.as("_nt"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("_nt")).as("min_tokens"), max(col("_nt")).as("max_tokens"))
+    }),
+
     // ---- Text analysis: winnowing fingerprints (positional near-dup) ----
     "q37_winnow" -> ((s, dir) => {
       graft.ops.Parallelize.ensure(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -696,6 +720,32 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
         |  CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_canonical
         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin,
+
+    "q46_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "q47_tfidf_top_term" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf * (n::DOUBLE / df::DOUBLE) AS score
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term DESC) AS rn
+        |      FROM s)
+        |SELECT doc_id, term AS top_term, score FROM r WHERE rn = 1""".stripMargin,
+
+    "q48_length_buckets" ->
+      """WITH t AS (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS nt FROM documents)
+        |SELECT CAST(least(nt // 20, 9) AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  CAST(min(nt) AS BIGINT) AS min_tokens, CAST(max(nt) AS BIGINT) AS max_tokens
+        |FROM t GROUP BY 1""".stripMargin,
 
     "q43_percentile" ->
       """SELECT l_returnflag,

@@ -57,6 +57,34 @@ object TextAnalysis {
     (size(split(trim(text), "\\s+"))
       + (length(text) - length(regexp_replace(text, punct, "")))).cast("long")
 
+  /** Deterministic hash-based dataset split (train/val/test): the split of
+    * a row is a pure function of its key's md5 — stable across runs,
+    * repartitionings, cluster sizes and engines, which rand()-based
+    * sampling can never be. Membership is decided by comparing the first 8
+    * md5 hex chars (lower-case, lexicographic == numeric for fixed-width
+    * hex) against cumulative-fraction thresholds, so fractions are honored
+    * to 2⁻³² granularity. The standard way to cut reproducible training
+    * splits at corpus scale: no shuffle, no state, row-local. */
+  def hashSplit(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive split fractions required")
+    val h = substring(md5(key.cast("string")), 1, 8)
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f / total }.tail
+    val bounds = splits.map(_._1).zip(cum)
+    bounds.init.foldRight(lit(bounds.last._1): Column) { case ((name, c), acc) =>
+      val hex = "%08x".format(math.min((c * 4294967296.0).toLong, 0xffffffffL))
+      when(h < lit(hex), lit(name)).otherwise(acc)
+    }
+  }
+
+  /** Token-length bucket for batch packing / curriculum bucketing: docs of
+    * similar length batch together so padding waste stays bounded. Bucket
+    * `i` holds token counts in [i·width, (i+1)·width), capped at
+    * `maxBucket` (the long tail shares the last bucket). Row-local. */
+  def lengthBucket(text: Column, width: Int, maxBucket: Int): Column =
+    least(floor(size(split(trim(text), "\\s+")) / lit(width.toDouble)), lit(maxBucket.toLong))
+      .cast("long")
+
   /** Winnowing document fingerprints (the standard k-gram/window scheme from
     * the MOSS local-fingerprinting literature): hash every word k-gram in
     * ORDER (not a distinct set), slide a window of `w` consecutive hashes,

@@ -104,6 +104,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.autoPlanes(Long.MaxValue, 1L) == 62) // clamp high
   }
 
+  test("hashSplit is deterministic, honors fractions, covers every label") {
+    val keys = (0L until 2000L).toDF("k")
+    val split = TextAnalysis.hashSplit(col("k"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = keys.select(split.as("s")).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // md5 is uniform: 2000 keys land within a loose band of the fractions
+    assert(counts("train") > 1500 && counts("train") < 1700, counts.toString)
+    // pure function of the key: a second evaluation agrees row-for-row
+    val twice = keys.select(split.as("a"), split.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(twice == 0)
+  }
+
+  test("lengthBucket caps the long tail at maxBucket") {
+    val docs = Seq("a b c", ("w " * 500).trim).toDF("text")
+    val buckets = docs.select(TextAnalysis.lengthBucket(col("text"), 20, 9).as("b"))
+      .collect().map(_.getLong(0)).sorted
+    assert(buckets.toSeq == Seq(0L, 9L))
+  }
+
   test("punctRatio is null (not an error) on an empty document") {
     val r = corpus.select(TextAnalysis.punctRatio(col("text")).as("pr"))
       .filter(col("pr").isNull).count()
