@@ -158,6 +158,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination flags: mark every training document that
+    * shares at least one word n-gram with the held-out/benchmark corpus —
+    * the standard guard against test-set leakage into training data
+    * (the GPT-3/PaLM "13-gram overlap" procedure, parameterized n).
+    *
+    * Scale design: the benchmark side collapses to its DISTINCT n-gram
+    * hashes — benchmarks are tiny relative to a training corpus, so that
+    * set broadcasts and the contamination probe is a map-side semi join on
+    * 8-byte keys; the training corpus is never shuffled at all (flags come
+    * back via a second broadcast of the contaminated-id set's parent —
+    * here a plain left join on the doc id, which AQE turns into a
+    * broadcast when the hit set is small). Set `broadcastBench = false`
+    * for a benchmark too large to broadcast — same plan, shuffle semi-join.
+    *
+    * A 2⁻⁶⁴ xxhash64 collision can only over-flag (claim contamination
+    * that isn't there) — the conservative direction for leakage control.
+    *
+    * Returns (idCol, contaminated 0/1) for every training row. */
+  def contaminationFlags(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, n: Int = 5,
+                         broadcastBench: Boolean = true,
+                         scope: CacheScope = CacheScope.noop): DataFrame =
+    contaminationFlagsOf(shingleSets(train, idCol, textCol, n, scope),
+      shingleSets(bench, idCol, textCol, n, scope), broadcastBench)
+      .withColumnRenamed("_id", idCol)
+
+  /** [[contaminationFlags]] over pre-built [[shingleSets]] outputs (so a
+    * pipeline already shingling for dedup reuses the same cached sets). */
+  def contaminationFlagsOf(trainSh: DataFrame, benchSh: DataFrame,
+                           broadcastBench: Boolean = true): DataFrame = {
+    val benchGrams = benchSh.filter(col("_size") > 0)
+      .select(explode(col("_shh")).as("_h")).distinct()
+    val probe = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    val hits = trainSh.filter(col("_size") > 0)
+      .select(col("_id"), explode(col("_shh")).as("_h"))
+      .join(probe, Seq("_h"), "left_semi")
+      .select(col("_id")).distinct()
+      .withColumn("_c", lit(1))
+    trainSh.select(col("_id"))
+      .join(hits, Seq("_id"), "left")
+      .select(col("_id"), coalesce(col("_c"), lit(0)).as("contaminated"))
+  }
+
   /** 32-bit SimHash: per bit, majority vote over xxhash64(token) bits. */
   def simhash32(text: Column): Column = {
     val t = split(lower(trim(text)), "\\s+")

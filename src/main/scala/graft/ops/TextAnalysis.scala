@@ -85,6 +85,55 @@ object TextAnalysis {
     least(floor(size(split(trim(text), "\\s+")) / lit(width.toDouble)), lit(maxBucket.toLong))
       .cast("long")
 
+  /** Word n-grams of the lower-cased text in positional order, duplicates
+    * KEPT — the denominator of repetition metrics (unlike
+    * [[graft.ops.Dedup.shingles]], which distincts for set similarity).
+    * Texts shorter than n words yield an empty array. */
+  def rawNgrams(text: Column, n: Int): Column = {
+    val w = split(lower(trim(text)), "\\s+")
+    val grams = transform(sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))
+    when(size(w) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * 1 − |distinct| / |total|. The cheap Gopher/RefinedWeb-style repetition
+    * signal — template/boilerplate pages score high and get filtered before
+    * the expensive dedup stages. Null for empty texts (never a
+    * divide-by-zero under ANSI mode). Row-local, shuffle-free. */
+  def dupTokenFrac(text: Column): Column = {
+    val t = tokens(text)
+    lit(1.0) - size(array_distinct(t)) / nullif(size(t), lit(0))
+  }
+
+  /** Fraction of word n-grams that are repeats (1 − distinct/total over
+    * POSITIONAL n-grams) — catches phrase-level boilerplate that token-level
+    * repetition misses. Null when the text has fewer than n words. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val g = rawNgrams(text, n)
+    lit(1.0) - size(array_distinct(g)) / nullif(size(g), lit(0))
+  }
+
+  /** Deterministic per-stratum hash sampling: keep a row iff the first 8 md5
+    * hex chars of its key fall under its stratum's cumulative-fraction
+    * threshold. The standard corpus-rebalancing primitive (e.g. downsample
+    * the dominant language, keep the tail) — a pure row-local filter:
+    * reproducible across runs/partitionings/engines, no shuffle, no
+    * per-group state, unlike `df.stat.sampleBy` (seeded RNG, not
+    * cross-engine stable). Strata absent from `fractions` use
+    * `defaultFraction`. */
+  def stratifiedSampleFilter(key: Column, stratum: Column,
+                             fractions: Map[String, Double],
+                             defaultFraction: Double): Column = {
+    val h = substring(md5(key.cast("string")), 1, 8)
+    def hex(f: Double) = "%08x".format(
+      math.max(0L, math.min((f * 4294967296.0).toLong, 0xffffffffL)))
+    // deterministic build order so the generated plan is stable run-to-run
+    fractions.toSeq.sortBy(_._1).foldLeft(h < lit(hex(defaultFraction))) {
+      case (acc, (s, f)) => when(stratum === lit(s), h < lit(hex(f))).otherwise(acc)
+    }
+  }
+
   /** Winnowing document fingerprints (the standard k-gram/window scheme from
     * the MOSS local-fingerprinting literature): hash every word k-gram in
     * ORDER (not a distinct set), slide a window of `w` consecutive hashes,

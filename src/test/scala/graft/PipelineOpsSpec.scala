@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{BloomJoin, Dedup, TextAnalysis}
+
+/** Round-4 training-pipeline operators: benchmark decontamination,
+  * repetition quality metrics, stratified hash sampling, and the
+  * bloom-filter semi-join reduction. */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = Golden.spark
+  import spark.implicits._
+
+  test("contaminationFlags marks exactly the docs sharing an n-gram with the benchmark") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),     // contains the bench 5-gram
+      (1L, "one two three four five six seven"),       // clean
+      (2L, "short"),                                   // sub-shingle length: clean
+      (3L, "")                                         // empty: clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "xx alpha beta gamma delta epsilon yy")).toDF("doc_id", "text")
+    val flags = Dedup.contaminationFlags(train, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(flags == Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 0))
+    // the shuffle (non-broadcast) path computes the identical flags
+    val shuffled = Dedup.contaminationFlags(train, bench, "doc_id", "text",
+      n = 5, broadcastBench = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(shuffled == flags)
+  }
+
+  test("dup fractions: exact values, null on empty/short docs, raw grams keep dups") {
+    val docs = Seq(
+      (0L, "a b a b"),        // 4 tokens, 2 distinct -> 0.5; 2 bigrams "a b"/"b a"...
+      (1L, "x y z"),          // all distinct -> 0.0
+      (2L, "")                // empty -> null
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+        TextAnalysis.dupTokenFrac(col("text")).as("dt"),
+        TextAnalysis.dupNgramFrac(col("text"), 3).as("d3"))
+      .collect().map(x => x.getLong(0) -> (Option(x.get(1)), Option(x.get(2)))).toMap
+    assert(r(0L)._1.contains(0.5))
+    assert(r(1L)._1.contains(0.0))
+    // empty text splits to [""] — ONE token, so token-dup is 0.0 (matching
+    // the oracle's regexp_split_to_array); the 3-gram frac is null (no grams)
+    assert(r(2L) == ((Some(0.0), None)))
+    // "a b a b": 3-grams are [a b a, b a b] — both distinct -> 0.0
+    assert(r(0L)._2.contains(0.0))
+    // positional duplicates are KEPT by rawNgrams (unlike Dedup.shingles)
+    val grams = docs.filter(col("doc_id") === 0L)
+      .select(TextAnalysis.rawNgrams(col("text"), 2).as("g"))
+      .head.getSeq[String](0)
+    assert(grams == Seq("a b", "b a", "a b"))
+  }
+
+  test("stratifiedSampleFilter: deterministic, per-stratum rates, default fraction") {
+    val rows = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "other"))
+      .toDF("k", "s")
+    val keep = TextAnalysis.stratifiedSampleFilter(col("k"), col("s"),
+      Map("en" -> 0.2), defaultFraction = 0.5)
+    val counts = rows.filter(keep).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2000 keys per stratum; md5 uniformity puts en near 400, other near 1000
+    assert(counts("en") > 300 && counts("en") < 500, counts.toString)
+    assert(counts("other") > 880 && counts("other") < 1120, counts.toString)
+    // membership is a pure function of (key, stratum): stable across evals
+    assert(rows.filter(keep).count() == rows.filter(keep).count())
+    // fraction 0 keeps nothing, 1.0 keeps everything
+    val none = TextAnalysis.stratifiedSampleFilter(col("k"), col("s"),
+      Map.empty, defaultFraction = 0.0)
+    assert(rows.filter(none).count() == 0)
+    val all = TextAnalysis.stratifiedSampleFilter(col("k"), col("s"),
+      Map.empty, defaultFraction = 1.0)
+    assert(rows.filter(all).count() == 4000)
+  }
+
+  test("bloomFilteredJoin equals the plain join and the probe passes every dim key") {
+    val fact = (0L until 5000L).map(i => (i, i % 100)).toDF("fid", "fk")
+    val dim = Seq(3L, 7L, 42L).toDF("dk")
+    val got = BloomJoin.bloomFilteredJoin(fact, dim, "fk", "dk", expectedDimRows = 10L)
+      .select("fid", "fk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .select("fid", "fk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.size == 150) // 50 fact rows per matching key
+  }
+}

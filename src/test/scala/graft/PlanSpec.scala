@@ -102,6 +102,31 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q55 bloom probe filters fact rows below the join, no added shuffle") {
+    val p = plan("q55_bloom_join")
+    assert(p.contains("might_contain"), s"bloom probe must be in the plan\n$p")
+    // the probe must sit on the fact SCAN side, beneath the join — i.e.
+    // inside a Filter, not applied after the join
+    assert(p.indexOf("might_contain") > p.indexOf("Join"),
+      s"probe should filter below the join\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the selective dim should broadcast at this size\n$p")
+  }
+
+  test("q53 heavy hitters ends in TakeOrdered, partial agg before the exchange") {
+    val p = plan("q53_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must TakeOrdered (driver holds k rows, never a global sort)\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"term counts need partial/final aggregation\n$p")
+  }
+
+  test("q49 decontamination broadcasts the benchmark gram set") {
+    val p = plan("q49_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"contamination probe should be a broadcast semi join\n$p")
+  }
+
   test("salted join spreads a skewed key and preserves results") {
     import graft.ops.SkewJoin
     val spark2 = spark
