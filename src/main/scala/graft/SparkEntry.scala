@@ -694,6 +694,26 @@ object SparkEntry {
           "metric", "value")
     }),
 
+    // ---- Join: binned range join — events into the per-user time windows
+    //      that contain them, as a hash equi-join on (user, bin) instead of
+    //      the nested-loop plan a raw BETWEEN join gets ----
+    "q57_range_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("t"))
+      val base = ev.groupBy(col("user_id")).agg(min(col("t")).as("b"))
+      // two synthetic 30-min windows per user anchored at first activity
+      val iv = base.select(col("user_id"), explode(array(
+          struct((col("user_id") * 2).as("interval_id"),
+            col("b").as("s"), (col("b") + 1800L).as("e")),
+          struct((col("user_id") * 2 + 1).as("interval_id"),
+            (col("b") + 3600L).as("s"), (col("b") + 5400L).as("e")))).as("_i"))
+        .select(col("user_id"), col("_i.interval_id").as("interval_id"),
+          col("_i.s").as("s"), col("_i.e").as("e"))
+      graft.ops.RangeJoin.binnedRangeJoin(ev, iv, Seq("user_id"), "t", "s", "e",
+          binWidth = 900L)
+        .select(col("event_id"), col("interval_id"))
+    }),
+
     // ---- Text analysis: winnowing fingerprints (positional near-dup) ----
     "q37_winnow" -> ((s, dir) => {
       graft.ops.Parallelize.ensure(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -888,6 +908,17 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin,
+
+    // q57: the oracle expresses containment as a plain BETWEEN join — the
+    // binning is a physical strategy, invisible in the result
+    "q57_range_join" ->
+      """WITH ev AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS t FROM events),
+        |b AS (SELECT user_id, min(t) AS b FROM ev GROUP BY 1),
+        |iv AS (SELECT user_id, user_id * 2 AS interval_id, b AS s, b + 1800 AS e FROM b
+        |       UNION ALL
+        |       SELECT user_id, user_id * 2 + 1, b + 3600, b + 5400 FROM b)
+        |SELECT ev.event_id, iv.interval_id
+        |FROM ev JOIN iv ON ev.user_id = iv.user_id AND ev.t BETWEEN iv.s AND iv.e""".stripMargin,
 
     "q43_percentile" ->
       """SELECT l_returnflag,

@@ -75,6 +75,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.filter(all).count() == 4000)
   }
 
+  test("binnedRangeJoin matches the naive BETWEEN join across bin widths") {
+    val points = Seq(
+      (1L, 0L), (1L, 5L), (1L, 10L), (1L, 99L), (1L, 100L),
+      (2L, 5L), (3L, 5L)
+    ).toDF("k", "t")
+    val intervals = Seq(
+      (1L, 100L, 0L, 10L),      // catches t=0,5,10
+      (1L, 101L, 10L, 10L),     // single-point interval: t=10
+      (1L, 102L, 50L, 99L),     // catches t=99
+      (2L, 200L, 0L, 4L),       // t=5 just outside
+      (3L, 300L, 6L, 4L),       // inverted: matches nothing
+      (4L, 400L, 0L, 100L)      // key with no points
+    ).toDF("k", "iid", "s", "e")
+    val naive = points.join(intervals, Seq("k"))
+      .filter(col("t") >= col("s") && col("t") <= col("e"))
+      .select("iid", "t").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1L, 3L, 7L, 1000L)) {
+      val binned = graft.ops.RangeJoin.binnedRangeJoin(
+          points, intervals, Seq("k"), "t", "s", "e", binWidth = w)
+        .select("iid", "t").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(binned == naive, s"binWidth=$w")
+    }
+    assert(naive == Set((100L, 0L), (100L, 5L), (100L, 10L), (101L, 10L), (102L, 99L)))
+  }
+
   test("bloomFilteredJoin equals the plain join and the probe passes every dim key") {
     val fact = (0L until 5000L).map(i => (i, i % 100)).toDF("fid", "fk")
     val dim = Seq(3L, 7L, 42L).toDF("dk")

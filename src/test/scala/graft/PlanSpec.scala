@@ -127,6 +127,14 @@ class PlanSpec extends AnyFunSuite {
       s"contamination probe should be a broadcast semi join\n$p")
   }
 
+  test("q57 range join plans as a hash equi-join, never a nested loop") {
+    val p = plan("q57_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binning must yield an equi-join plan\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join\n$p")
+  }
+
   test("salted join spreads a skewed key and preserves results") {
     import graft.ops.SkewJoin
     val spark2 = spark
