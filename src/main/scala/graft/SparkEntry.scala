@@ -714,6 +714,33 @@ object SparkEntry {
         .select(col("event_id"), col("interval_id"))
     }),
 
+    // ---- Chunking: sliding token windows (size 16, overlap 4) — the
+    //      context-window split; chunks hashed to keep the result narrow ----
+    "q58_chunking" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunkTokens(col("text"), 16, 4)).as("_c"))
+        .select(col("doc_id"), col("_c.idx").as("chunk_idx"),
+          md5(col("_c.chunk")).as("chunk_hash"),
+          size(split(col("_c.chunk"), " ")).as("n_chunk_tokens"))
+    }),
+
+    // ---- Packing: deterministic batch assignment — docs of one length
+    //      bucket fill 512-token batches in doc_id order (running-sum
+    //      window per bucket; the order is the determinism contract) ----
+    "q59_pack_batches" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), nt.as("n_tokens"),
+          TextAnalysis.lengthBucket(col("text"), 20, 9).as("bucket"))
+        .withColumn("batch_id",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(512)).cast("long"))
+        .select(col("doc_id"), col("bucket"), col("batch_id"))
+    }),
+
     // ---- Text analysis: winnowing fingerprints (positional near-dup) ----
     "q37_winnow" -> ((s, dir) => {
       graft.ops.Parallelize.ensure(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -908,6 +935,25 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin,
+
+    "q58_chunking" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |n AS (SELECT doc_id, w, 1 + (greatest(len(w) - 16, 0) + 11) // 12 AS nc FROM w),
+        |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  md5(array_to_string(list_slice(w, i * 12 + 1, i * 12 + 16), ' ')) AS chunk_hash,
+        |  CAST(len(list_slice(w, i * 12 + 1, i * 12 + 16)) AS INT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
+
+    "q59_pack_batches" ->
+      """WITH d AS (SELECT doc_id,
+        |  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+        |  CAST(least(len(regexp_split_to_array(trim(text), '\s+')) // 20, 9) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS batch_id
+        |FROM d""".stripMargin,
 
     // q57: the oracle expresses containment as a plain BETWEEN join — the
     // binning is a physical strategy, invisible in the result

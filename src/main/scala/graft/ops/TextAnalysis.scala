@@ -134,6 +134,27 @@ object TextAnalysis {
     }
   }
 
+  /** Sliding-window document chunking: split a document into token windows
+    * of `chunkSize` with `overlap` tokens shared between consecutive chunks
+    * — the context-window preprocessing step of every LLM training
+    * pipeline. Returns `array<struct<idx: int, chunk: string>>`; documents
+    * at most `chunkSize` tokens long yield one chunk (the whole text).
+    * Row-local, shuffle-free; the caller explodes. Chunk count for n
+    * tokens is 1 + ⌈(n − chunkSize) / (chunkSize − overlap)⌉ — every
+    * token is covered, the final chunk may be short. */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > overlap && overlap >= 0, "need chunkSize > overlap >= 0")
+    val stride = chunkSize - overlap
+    val t = tokens(text)
+    val extra = greatest(size(t) - chunkSize, lit(0))
+    // ceil(extra / stride) as floor over non-negative ints — exact, and
+    // the intermediate double is exact too (token counts << 2^53)
+    val nc = (lit(1) + floor((extra + (stride - 1)) / lit(stride))).cast("int")
+    transform(sequence(lit(0), nc - 1), i => struct(
+      i.cast("int").as("idx"),
+      concat_ws(" ", slice(t, i * stride + 1, lit(chunkSize))).as("chunk")))
+  }
+
   /** Winnowing document fingerprints (the standard k-gram/window scheme from
     * the MOSS local-fingerprinting literature): hash every word k-gram in
     * ORDER (not a distinct set), slide a window of `w` consecutive hashes,

@@ -65,6 +65,15 @@ object EventStream {
         expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs " +
           s"AND $rightTs <= $leftTs + interval $maxDelay"))
 
+  /** Stream-static enrichment join: attach reference-table attributes to a
+    * stream. Stream-static inner joins are STATELESS — no watermark, no
+    * buffered state; every microbatch joins against the current static
+    * side — and `broadcast` keeps the stream side shuffle-free. The
+    * standard shape for decorating a high-volume stream with a small dim
+    * (user profile, concept map) at cluster scale. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, n_events: Long, sum_value: Double,

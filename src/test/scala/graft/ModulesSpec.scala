@@ -65,6 +65,27 @@ class ModulesSpec extends AnyFunSuite {
       Set(("click", 2L), ("view", 1L)))
   }
 
+  test("stream-static enrichment joins each microbatch against the dim, stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+    val q = EventStream.enrich(stream, dim, Seq("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    mem.addData((1L, 10.0), (2L, 20.0), (3L, 30.0)) // user 3 not in dim
+    q.processAllAvailable()
+    mem.addData((1L, 11.0))                          // second microbatch
+    q.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    q.stop()
+    assert(rows == Set((1L, 10.0, "gold"), (2L, 20.0, "free"), (1L, 11.0, "gold")))
+    // stateless: the progress log reports no state store rows
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+  }
+
   test("streaming dedup drops later duplicates and keeps state bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext

@@ -100,6 +100,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(naive == Set((100L, 0L), (100L, 5L), (100L, 10L), (101L, 10L), (102L, 99L)))
   }
 
+  test("chunkTokens: full coverage, exact overlap, short docs yield one chunk") {
+    val docs = Seq(
+      (0L, (1 to 40).map("w" + _).mkString(" ")), // 40 tokens: chunks at 0,12,24
+      (1L, "a b c"),                              // shorter than a chunk
+      (2L, (1 to 16).map("w" + _).mkString(" ")), // exactly one chunk
+      (3L, (1 to 17).map("w" + _).mkString(" "))  // one token spills to chunk 2
+    ).toDF("doc_id", "text")
+    val chunks = docs.select(col("doc_id"),
+        explode(graft.ops.TextAnalysis.chunkTokens(col("text"), 16, 4)).as("c"))
+      .select(col("doc_id"), col("c.idx"), col("c.chunk"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byDoc = chunks.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byDoc(1L) == Seq("a b c"))
+    assert(byDoc(2L).size == 1)
+    // 17 tokens, stride 12: chunk0 = 1..16, chunk1 = 13..17 (5 tokens)
+    assert(byDoc(3L).size == 2)
+    assert(byDoc(3L)(1) == (13 to 17).map("w" + _).mkString(" "))
+    // 40 tokens: starts 0,12,24 -> 3 chunks; concatenating de-overlapped
+    // chunks reconstructs the doc (every token covered exactly)
+    assert(byDoc(0L).size == 3)
+    val rebuilt = byDoc(0L).zipWithIndex.map { case (c, i) =>
+      if (i == 0) c else c.split(" ").drop(4).mkString(" ")
+    }.mkString(" ")
+    assert(rebuilt == (1 to 40).map("w" + _).mkString(" "))
+  }
+
   test("bloomFilteredJoin equals the plain join and the probe passes every dim key") {
     val fact = (0L until 5000L).map(i => (i, i % 100)).toDF("fid", "fk")
     val dim = Seq(3L, 7L, 42L).toDF("dk")
