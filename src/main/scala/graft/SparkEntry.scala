@@ -741,6 +741,23 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), col("batch_id"))
     }),
 
+    // ---- Sampling: deterministic weighted sample — keep probability
+    //      scales with document length (quality-weighted soft filter) ----
+    "q60_weighted_sample" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .filter(TextAnalysis.weightedSampleFilter(col("doc_id"),
+          col("n_chars") / lit(400.0)))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // ---- Corpus stats: bigram collocations by lift (linear PMI) ----
+    "q61_bigram_lift" -> ((s, dir) => {
+      graft.ops.Corpus.bigramLift(tbl(s, dir, "documents"), "text", minCount = 5L)
+        .withColumn("lift", round(col("lift"), 4))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // ---- Text analysis: winnowing fingerprints (positional near-dup) ----
     "q37_winnow" -> ((s, dir) => {
       graft.ops.Parallelize.ensure(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -954,6 +971,32 @@ object SparkEntry {
         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
         |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS batch_id
         |FROM d""".stripMargin,
+
+    "q60_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+        |  CAST(floor(least(greatest(n_chars / 400.0, 0.0), 1.0) * 4294967296.0) AS BIGINT)""".stripMargin,
+
+    // q61: ties order by the ROUNDED lift on both sides so the top-20
+    // boundary is engine-independent
+    "q61_bigram_lift" ->
+      """WITH t AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS term FROM t),
+        |fu AS (SELECT term FROM uni WHERE term <> ''),
+        |u AS (SELECT term, count(*) AS c FROM fu GROUP BY 1),
+        |nu AS (SELECT count(*) AS nu FROM fu),
+        |bgs AS (SELECT unnest(CASE WHEN len(w) >= 2
+        |  THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+        |  ELSE [] END) AS bg FROM t),
+        |nb AS (SELECT count(*) AS nb FROM bgs),
+        |b AS (SELECT bg, count(*) AS cab FROM bgs GROUP BY 1 HAVING count(*) >= 5),
+        |j AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, cab FROM b),
+        |s AS (SELECT w1, w2, cab AS n_pair,
+        |        round((cab / nb.nb) / ((u1.c / nu.nu) * (u2.c / nu.nu)), 4) AS lift
+        |      FROM j JOIN u u1 ON j.w1 = u1.term JOIN u u2 ON j.w2 = u2.term
+        |      CROSS JOIN nu CROSS JOIN nb)
+        |SELECT w1, w2, n_pair, lift FROM s
+        |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // q57: the oracle expresses containment as a plain BETWEEN join — the
     // binning is a physical strategy, invisible in the result

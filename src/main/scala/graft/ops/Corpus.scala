@@ -30,6 +30,39 @@ object Corpus {
     * Returns (idCol, top_term, score); documents with no non-empty token
     * produce no row. Ties break toward the lexicographically greatest
     * term (deterministic). */
+  /** Bigram collocation strength as LIFT — observed bigram probability
+    * over the independence expectation:
+    * `(c_ab/N_bigrams) / ((c_a/N_tokens) · (c_b/N_tokens))`. The linear
+    * cousin of PMI (PMI = log₂ lift): same ranking, but exactly
+    * reproducible across engines — see [[tfidfTopTerm]] for the
+    * linear-vs-log rationale. The standard phrase-mining signal
+    * (word2vec's phrase pass, n-gram vocabulary induction).
+    *
+    * Scale shape: two explode→count aggregations (map-side partials),
+    * unigram counts joined back twice on the narrow term key, corpus
+    * totals as broadcast 1-row frames. `minCount` prunes the bigram tail
+    * BEFORE the joins — at corpus scale the join input shrinks from
+    * O(distinct bigrams) to the phrases worth ranking. */
+  def bigramLift(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val base = Parallelize.ensure(docs.select(col(textCol).as("_t")))
+    val uni = base.select(explode(TextAnalysis.tokens(col("_t"))).as("_w"))
+      .filter(col("_w") =!= "")
+    val uc = uni.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+    val nUni = uni.select(count(lit(1)).as("_nu"))
+    val big = base.select(explode(TextAnalysis.rawNgrams(col("_t"), 2)).as("_bg"))
+    val bc = big.groupBy(col("_bg")).agg(count(lit(1)).as("_cab"))
+      .filter(col("_cab") >= minCount)
+    val nBig = big.select(count(lit(1)).as("_nb"))
+    bc.withColumn("w1", element_at(split(col("_bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("_bg"), " "), 2))
+      .join(uc.select(col("_w").as("w1"), col("_c").as("_c1")), Seq("w1"))
+      .join(uc.select(col("_w").as("w2"), col("_c").as("_c2")), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+      .select(col("w1"), col("w2"), col("_cab").as("n_pair"),
+        ((col("_cab") / col("_nb")) /
+          ((col("_c1") / col("_nu")) * (col("_c2") / col("_nu")))).as("lift"))
+  }
+
   def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Parallelize.ensure(
         docs.select(col(idCol).as("_id"), col(textCol).as("_t")))

@@ -134,6 +134,20 @@ object TextAnalysis {
     }
   }
 
+  /** Deterministic WEIGHTED sampling: keep a row with probability
+    * `weight` (clamped to [0,1]) as a pure function of its key — the
+    * quality-weighted variant of [[stratifiedSampleFilter]] (sample
+    * high-quality documents preferentially, keep a trickle of the rest;
+    * the usual soft-filter stage between quality scoring and training).
+    * Compares the key's first 8 md5 hex chars against the weight scaled
+    * to 2³² — row-local, reproducible, cross-engine. */
+  def weightedSampleFilter(key: Column, weight: Column): Column = {
+    val h = conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    // floor before the integer compare: Spark's double→long cast truncates
+    // but DuckDB's rounds, so the explicit floor is the cross-engine form
+    h < floor(least(greatest(weight, lit(0.0)), lit(1.0)) * lit(4294967296.0)).cast("long")
+  }
+
   /** Sliding-window document chunking: split a document into token windows
     * of `chunkSize` with `overlap` tokens shared between consecutive chunks
     * — the context-window preprocessing step of every LLM training

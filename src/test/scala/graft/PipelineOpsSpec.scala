@@ -100,6 +100,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(naive == Set((100L, 0L), (100L, 5L), (100L, 10L), (101L, 10L), (102L, 99L)))
   }
 
+  test("weightedSampleFilter: rate tracks the weight, clamps, deterministic") {
+    val rows = (0L until 3000L).toDF("k")
+    def kept(w: Double): Long = rows.filter(
+      graft.ops.TextAnalysis.weightedSampleFilter(col("k"), lit(w))).count()
+    assert(kept(0.0) == 0)
+    assert(kept(-1.0) == 0)       // clamped
+    assert(kept(1.0) == 3000)
+    assert(kept(5.0) == 3000)     // clamped
+    val half = kept(0.5)
+    assert(half > 1350 && half < 1650, s"p=0.5 kept $half/3000")
+    // monotone in the weight: a kept row stays kept as its weight grows
+    val flips = rows.filter(
+        graft.ops.TextAnalysis.weightedSampleFilter(col("k"), lit(0.3)) &&
+        !graft.ops.TextAnalysis.weightedSampleFilter(col("k"), lit(0.7))).count()
+    assert(flips == 0)
+  }
+
   test("chunkTokens: full coverage, exact overlap, short docs yield one chunk") {
     val docs = Seq(
       (0L, (1 to 40).map("w" + _).mkString(" ")), // 40 tokens: chunks at 0,12,24
