@@ -758,6 +758,16 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ---- Composed cleaning pipeline: gate → dedup → decontaminate →
+    //      chunk, one lazy plan end-to-end (bench = doc_id % 19 == 0) ----
+    "q62_clean_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.ops.Pipeline.cleanCorpus(
+        docs.filter(col("doc_id") % 19 =!= 0),
+        docs.filter(col("doc_id") % 19 === 0),
+        "doc_id", "text")
+    }),
+
     // ---- Text analysis: winnowing fingerprints (positional near-dup) ----
     "q37_winnow" -> ((s, dir) => {
       graft.ops.Parallelize.ensure(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -971,6 +981,36 @@ object SparkEntry {
         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
         |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS batch_id
         |FROM d""".stripMargin,
+
+    // q62: the full cleaning chain replayed as one CTE pipeline — gate,
+    // min-id dedup, 5-gram decontamination vs the bench slice, chunking
+    "q62_clean_pipeline" ->
+      """WITH tr0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 19 <> 0),
+        |be0 AS (SELECT text FROM documents WHERE doc_id % 19 = 0),
+        |g AS (SELECT doc_id, text FROM tr0
+        |      WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 20),
+        |f AS (SELECT doc_id, text,
+        |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM g),
+        |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY fp),
+        |dd AS (SELECT f.doc_id, f.text FROM f JOIN k USING (doc_id)),
+        |dw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM dd),
+        |ds AS (SELECT doc_id, w, CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+        |  ELSE [] END AS sh FROM dw),
+        |bw AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM be0),
+        |bs AS (SELECT DISTINCT unnest(CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+        |  ELSE [] END) AS gr FROM bw),
+        |hit AS (SELECT DISTINCT t.doc_id
+        |        FROM (SELECT doc_id, unnest(sh) AS gr FROM ds) t JOIN bs USING (gr)),
+        |cl AS (SELECT ds.doc_id, ds.w FROM ds LEFT JOIN hit ON ds.doc_id = hit.doc_id
+        |       WHERE hit.doc_id IS NULL),
+        |n AS (SELECT doc_id, w, 1 + (greatest(len(w) - 16, 0) + 11) // 12 AS nc FROM cl),
+        |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  md5(array_to_string(list_slice(w, i * 12 + 1, i * 12 + 16), ' ')) AS chunk_hash,
+        |  CAST(len(list_slice(w, i * 12 + 1, i * 12 + 16)) AS INT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
 
     "q60_weighted_sample" ->
       """SELECT doc_id, n_chars FROM documents

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The standard training-data cleaning pipeline, composed as ONE lazy
+  * declarative plan — the point of building every stage as a column
+  * expression / narrow-key join is that the whole chain fuses into a
+  * handful of stages Catalyst can see through (filters push past each
+  * other, column pruning crosses stage boundaries), instead of N
+  * materialization barriers between N tools.
+  *
+  * Stages: cheap row-local quality gate → exact content dedup (first id
+  * wins) → benchmark decontamination → sliding-window chunking. Heavier
+  * stages see strictly fewer rows; nothing materializes until the sink.
+  */
+object Pipeline {
+
+  /** Clean `docs` against a held-out `bench` corpus and emit training
+    * chunks (idCol, chunk_idx, chunk_hash, n_chunk_tokens).
+    *
+    * One shuffle for the dedup groupBy, one narrow-key shuffle pair for
+    * the contamination probe (bench side broadcast), none for the gate or
+    * the chunking. */
+  def cleanCorpus(docs: DataFrame, bench: DataFrame,
+                  idCol: String, textCol: String,
+                  minTokens: Int = 20, ngram: Int = 5,
+                  chunkSize: Int = 16, overlap: Int = 4,
+                  scope: CacheScope = CacheScope.noop): DataFrame = {
+    val t = col(textCol)
+
+    // 1. quality gate: row-local, evaluated in the scan stage
+    val gated = docs.select(col(idCol).as("_id"), t.as("_text"))
+      .filter(TextAnalysis.tokenCount(col("_text")) >= minTokens)
+
+    // 2. exact dedup, minimum id survives per fingerprint: min_by carries
+    // the whole winning row through ONE partial-aggregated shuffle (no
+    // join-back pass). Cached (scope-owned): both the contamination
+    // shingle build and the chunking branch consume it — uncached, the
+    // corpus scan + dedup shuffle would run twice.
+    val deduped = scope.track(gated
+      .groupBy(TextAnalysis.fingerprint(col("_text")).as("_fp"))
+      .agg(min_by(struct(col("_id"), col("_text")), col("_id")).as("_row"))
+      .select(col("_row._id").as("_id"), col("_row._text").as("_text"))
+      .cache())
+
+    // 3. decontamination against the benchmark's n-gram set
+    val benchR = bench.select(col(idCol).as("_id"), col(textCol).as("_text"))
+    val flags = Dedup.contaminationFlags(deduped, benchR, "_id", "_text", ngram,
+      scope = scope)
+    val clean = deduped.join(flags.filter(col("contaminated") === 0)
+      .select(col("_id")), Seq("_id"), "left_semi")
+
+    // 4. chunk for the context window
+    clean.select(col("_id").as(idCol),
+        explode(TextAnalysis.chunkTokens(col("_text"), chunkSize, overlap)).as("_c"))
+      .select(col(idCol), col("_c.idx").as("chunk_idx"),
+        md5(col("_c.chunk")).as("chunk_hash"),
+        size(split(col("_c.chunk"), " ")).as("n_chunk_tokens"))
+  }
+}

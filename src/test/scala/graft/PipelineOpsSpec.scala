@@ -143,6 +143,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rebuilt == (1 to 40).map("w" + _).mkString(" "))
   }
 
+  test("cleanCorpus: gate, min-id dedup, decontamination, chunking compose; scope owns caches") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val train = Seq(
+      (1L, (1 to 30).map("w" + _).mkString(" ")),            // clean, 30 tokens
+      (2L, (1 to 30).map("w" + _).mkString(" ")),            // exact dup of 1 -> dropped
+      (3L, "too short"),                                     // gated out
+      (4L, "x1 x2 x3 x4 x5 " + (1 to 20).map("b" + _).mkString(" ")) // contaminated
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, (1 to 10).map("b" + _).mkString(" "))).toDF("doc_id", "text")
+    graft.ops.CacheScope.withScope { scope =>
+      val out = graft.ops.Pipeline.cleanCorpus(train, bench, "doc_id", "text",
+          minTokens = 20, ngram = 5, chunkSize = 16, overlap = 4, scope = scope)
+        .collect()
+      // only doc 1 survives: 30 tokens -> chunk starts 0, 12, 24
+      assert(out.map(_.getLong(0)).toSet == Set(1L))
+      assert(out.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2))
+    }
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      s"leaked: ${(sc.getPersistentRDDs.keySet -- before).toSeq.sorted}")
+  }
+
   test("bloomFilteredJoin equals the plain join and the probe passes every dim key") {
     val fact = (0L until 5000L).map(i => (i, i % 100)).toDF("fid", "fk")
     val dim = Seq(3L, 7L, 42L).toDF("dk")
