@@ -768,6 +768,27 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ---- Multimodal: byte-frame sampling in the scan stage — only the
+    //      sampled windows (not whole payloads) reach downstream decode ----
+    "q63_frame_sample" -> ((s, dir) => {
+      val packed = Multimodal.packBinary(tbl(s, dir, "documents"), "doc_id", "text")
+      packed.select(col("doc_id"),
+          explode(Multimodal.sampleFrames(col("payload"), 32, 64, 5)).as("_f"))
+        .select(col("doc_id"), col("_f.frame_idx").as("frame_idx"),
+          md5(col("_f.frame")).as("frame_hash"),
+          octet_length(col("_f.frame")).as("frame_bytes"))
+    }),
+
+    // ---- Embeddings: max-abs int8 quantization (compression prelude) ----
+    "q64_quantize" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      val q = Similarity.quantizeMaxAbs(v)
+      tbl(s, dir, "embeddings").select(col("vec_id"),
+        round(Similarity.quantScale(v), 4).as("scale"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(q).as("q_min"), array_max(q).as("q_max"))
+    }),
+
     // ---- Text analysis: winnowing fingerprints (positional near-dup) ----
     "q37_winnow" -> ((s, dir) => {
       graft.ops.Parallelize.ensure(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -981,6 +1002,34 @@ object SparkEntry {
         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
         |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS batch_id
         |FROM d""".stripMargin,
+
+    // q63: DuckDB has no BLOB substring, but the corpus is pure ASCII
+    // (octet_length(text::BLOB) == strlen(text) for every row), so VARCHAR
+    // slicing is byte-exact and md5(varchar) hashes the same utf-8 bytes
+    // Spark's md5(binary frame) does
+    "q63_frame_sample" ->
+      """WITH p AS (SELECT doc_id, text AS t FROM documents),
+        |n AS (SELECT doc_id, t,
+        |  least(greatest(CAST(floor((strlen(t) - 32) / 64.0) AS INT) + 1, 0), 5) AS nf
+        |  FROM p),
+        |f AS (SELECT doc_id, t, unnest(generate_series(0, nf - 1)) AS i FROM n WHERE nf > 0)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  md5(substring(t, i * 64 + 1, 32)) AS frame_hash,
+        |  CAST(strlen(substring(t, i * 64 + 1, 32)) AS INT) AS frame_bytes
+        |FROM f""".stripMargin,
+
+    // q64: floor(x*scale + 0.5) on both sides — round()'s tie rules differ
+    // across engines, floor doesn't
+    "q64_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  127.0 / nullif(list_max(list_transform(v, x -> abs(x))), 0.0) AS sc FROM e),
+        |q AS (SELECT vec_id, sc,
+        |  list_transform(v, x -> CAST(floor(x * sc + 0.5) AS BIGINT)) AS qv FROM s)
+        |SELECT vec_id, round(sc, 4) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q""".stripMargin,
 
     // q62: the full cleaning chain replayed as one CTE pipeline — gate,
     // min-id dedup, 5-gram decontamination vs the bench slice, chunking

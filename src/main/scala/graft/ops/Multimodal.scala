@@ -31,6 +31,27 @@ object Multimodal {
         md5(bin).as("content_hash")).as("meta"))
   }
 
+  /** Frame sampling over a binary payload: fixed-size byte windows at a
+    * fixed stride, capped at `maxFrames` per row — the video-keyframe /
+    * audio-clip sampling shape. Pure column expressions (`substr` on
+    * binary is codegen'd), so sampling runs INSIDE the scan stage and only
+    * the sampled frames — not whole payloads — flow into downstream
+    * decode. Returns `array<struct<frame_idx: int, frame: binary>>`;
+    * payloads shorter than one frame yield an empty array. */
+  def sampleFrames(payload: org.apache.spark.sql.Column,
+                   frameBytes: Int, stride: Int, maxFrames: Int): org.apache.spark.sql.Column = {
+    require(frameBytes > 0 && stride > 0 && maxFrames > 0, "positive frame params")
+    val n = octet_length(payload)
+    val available = greatest(
+      floor((n - frameBytes).cast("double") / stride).cast("int") + 1, lit(0))
+    val nf = least(available, lit(maxFrames))
+    when(nf > 0,
+      transform(sequence(lit(0), nf - 1), i => struct(
+        i.cast("int").as("frame_idx"),
+        substr(payload, i * stride + 1, lit(frameBytes)).as("frame"))))
+      .otherwise(array().cast("array<struct<frame_idx:int,frame:binary>>"))
+  }
+
   final case class MediaFeature(id: Long, width: Int, height: Int, channels: Int, brightness: Double)
 
   /** STUB decoder — deterministic fake deriving pseudo-dimensions from the

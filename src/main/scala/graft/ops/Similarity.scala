@@ -38,6 +38,21 @@ object Similarity {
       .select(col(idCol), col("_sim").as("sim"))
   }
 
+  /** Max-abs symmetric quantization scale for an embedding: `levels /
+    * max|v_i|` (null for the zero vector). The first step of any
+    * int8/PQ compression pass over an embedding store. */
+  def quantScale(vec: Column, levels: Int = 127): Column =
+    lit(levels.toDouble) / nullif(array_max(transform(vec, x => abs(x))), lit(0.0))
+
+  /** Quantize to integers with the EXACT-arithmetic rounding form
+    * `floor(x·scale + 0.5)` — floor is bit-deterministic across engines,
+    * where `round()`'s half-way tie rules differ (HALF_UP vs banker's).
+    * Dequantize with `q / scale`; max abs error = 0.5/scale. */
+  def quantizeMaxAbs(vec: Column, levels: Int = 127): Column = {
+    val s = quantScale(vec, levels)
+    transform(vec, x => floor(x * s + lit(0.5)).cast("long"))
+  }
+
   /** Deterministic pseudo-random hyperplane: component j of plane p is
     * derived from md5(seed|p|j) — reproducible with no RNG state, and
     * computable by any engine. Values in [-0.5, 0.5). */

@@ -165,6 +165,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"leaked: ${(sc.getPersistentRDDs.keySet -- before).toSeq.sorted}")
   }
 
+  test("sampleFrames: full frames only, cap respected, short payloads empty") {
+    val rows = Seq(
+      (0L, "x" * 200),  // frames at 0,64,128 -> 3 full 32-byte frames
+      (1L, "y" * 500),  // available 8, capped at 5
+      (2L, "z" * 31),   // shorter than one frame -> none
+      (3L, "")
+    ).toDF("id", "t")
+    val packed = graft.ops.Multimodal.packBinary(rows, "id", "t")
+    val frames = packed.select(col("id"),
+        explode(graft.ops.Multimodal.sampleFrames(col("payload"), 32, 64, 5)).as("f"))
+      .select(col("id"), col("f.frame_idx"), octet_length(col("f.frame")).as("len"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byId = frames.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byId == Map(0L -> Seq(0, 1, 2), 1L -> Seq(0, 1, 2, 3, 4)))
+    assert(frames.forall(_._3 == 32), "every sampled frame is full-size")
+  }
+
+  test("quantizeMaxAbs: dequantized error bounded by 0.5/scale, zero vector null") {
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j) * (1 + i)))).toDF("id", "v")
+    val bad = vecs.select(col("id"), col("v"),
+        graft.ops.Similarity.quantScale(col("v")).as("s"),
+        graft.ops.Similarity.quantizeMaxAbs(col("v")).as("q"))
+      .withColumn("err", expr("aggregate(zip_with(v, q, (x, qi) -> abs(x - qi / s)), 0D, (a, e) -> greatest(a, e))"))
+      .filter(col("err") > lit(0.5) / col("s") + lit(1e-12)).count()
+    assert(bad == 0)
+    val z = Seq((0L, Array(0.0, 0.0))).toDF("id", "v")
+      .select(graft.ops.Similarity.quantScale(col("v")).as("s"))
+      .filter(col("s").isNull).count()
+    assert(z == 1)
+  }
+
   test("bloomFilteredJoin equals the plain join and the probe passes every dim key") {
     val fact = (0L until 5000L).map(i => (i, i % 100)).toDF("fid", "fk")
     val dim = Seq(3L, 7L, 42L).toDF("dk")
