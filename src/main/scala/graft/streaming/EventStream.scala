@@ -74,6 +74,24 @@ object EventStream {
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
 
+  /** Streaming ingestion with per-batch relational logic: `foreachBatch`
+    * hands each microbatch to ordinary BATCH DataFrame code (here: exact
+    * dedup within the batch against nothing but itself, then append), so
+    * any operator in this library — dedup, quality gate, chunking — runs
+    * unchanged inside a stream. The (batchId, path) pair plus parquet's
+    * atomic task commit gives effectively-once appends on restart: a
+    * replayed batch overwrites its own directory instead of duplicating.
+    * Combine with [[dedupStream]] upstream for cross-batch key dedup. */
+  def sinkBatches(stream: DataFrame, path: String, checkpoint: String)
+                 (transform: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        transform(batch).write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        ()
+      }
+      .start()
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, n_events: Long, sum_value: Double,

@@ -86,6 +86,24 @@ class ModulesSpec extends AnyFunSuite {
       q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
   }
 
+  test("foreachBatch sink runs batch operators per microbatch, idempotent dirs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.sinkBatches(mem.toDF().toDF("k", "text"), out, ckpt) {
+      batch => batch.dropDuplicates("k") // any batch operator composes here
+    }
+    mem.addData((1L, "a"), (1L, "a-dup"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out).select("k").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L)) // in-batch dup dropped, batches appended
+  }
+
   test("streaming dedup drops later duplicates and keeps state bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
