@@ -779,6 +779,14 @@ object SparkEntry {
           octet_length(col("_f.frame")).as("frame_bytes"))
     }),
 
+    // ---- Embeddings: product-quantization codes (IVF-PQ memory layout:
+    //      64 floats → 4 small ints; deterministic md5 codebook) ----
+    "q65_pq_encode" -> ((s, dir) => {
+      tbl(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.pqEncode(col("embedding").cast("array<double>"),
+          dim = 64, m = 4, k = 8).as("codes"))
+    }),
+
     // ---- Embeddings: max-abs int8 quantization (compression prelude) ----
     "q64_quantize" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
@@ -861,7 +869,32 @@ object SparkEntry {
        |WHERE list_cosine_similarity(a.v, x.v) >= 0.3""".stripMargin
   }
 
+  /** q65's oracle: PQ centroids inlined as constants (md5-derived, like
+    * q25's planes); squared-diff sums left-associated to match the Spark
+    * fold; first-min argmin via list_position(l, list_min(l)). */
+  private val pqOracle: String = {
+    val (dim, m, k) = (64, 4, 8)
+    val sd = dim / m
+    val codeExprs = (0 until m).map { s =>
+      val dists = (0 until k).map { c =>
+        (0 until sd).map { j =>
+          val cent = Similarity.pqCentroid(s, c, j, "graft-pq")
+          s"(v[${s * sd + j + 1}] - ($cent)) * (v[${s * sd + j + 1}] - ($cent))"
+        }.mkString(" + ")
+      }.map(d => s"($d)").mkString(", ")
+      s"CAST(list_position(l$s, list_min(l$s)) - 1 AS INT)" -> s"[$dists] AS l$s"
+    }
+    val lists = codeExprs.map(_._2).mkString(",\n  ")
+    val codes = codeExprs.map(_._1).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT vec_id,
+       |  $lists
+       |  FROM e)
+       |SELECT vec_id, [$codes] AS codes FROM d""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q65_pq_encode" -> pqOracle,
     "q42_embed_neardup" -> embedNearDupOracle,
 
     // q45: the q20 LSH pair pipeline at jaccard >= 0.5, closed into

@@ -53,6 +53,41 @@ object Similarity {
     transform(vec, x => floor(x * s + lit(0.5)).cast("long"))
   }
 
+  /** Product quantization encode: split a dim-d vector into `m` sub-vectors
+    * and encode each by the index of its nearest sub-codebook centroid
+    * (squared-L2, first-min tie-break) — the memory layout behind IVF-PQ
+    * ANN indexes: d floats become m small ints, and distance evaluation
+    * against a query becomes m table lookups.
+    *
+    * Centroids here are md5-derived deterministic constants (the same
+    * scheme as the LSH hyperplanes — engine-independent, RNG-free); a
+    * production index trains them per sub-space with k-means exactly like
+    * [[ivfTrain]] and substitutes the literal table. Row-local,
+    * shuffle-free, one pass. Returns `array<int>` of length `m`. */
+  def pqEncode(vec: Column, dim: Int, m: Int, k: Int, seed: String = "graft-pq"): Column = {
+    require(dim % m == 0 && k > 1, "dim must split evenly into m sub-vectors")
+    val sd = dim / m
+    val codes = (0 until m).map { s =>
+      val dists = array((0 until k).map { c =>
+        (0 until sd).map { j =>
+          val x = element_at(vec, s * sd + j + 1) - lit(pqCentroid(s, c, j, seed))
+          x * x
+        }.reduce(_ + _)
+      }: _*)
+      // first-min argmin over the distance ARRAY: each distance expression
+      // appears exactly once — a when()-fold would nest the running min
+      // into both branches of every step, duplicating subtrees 2^k times
+      // and stalling Catalyst for seconds per query (measured)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    array(codes: _*)
+  }
+
+  /** Deterministic PQ centroid component — the hyperplane scheme with a
+    * disjoint index space per (sub, code). */
+  private[graft] def pqCentroid(sub: Int, code: Int, j: Int, seed: String): Double =
+    planeComponent(sub * 1000 + code, j, seed)
+
   /** Deterministic pseudo-random hyperplane: component j of plane p is
     * derived from md5(seed|p|j) — reproducible with no RNG state, and
     * computable by any engine. Values in [-0.5, 0.5). */

@@ -197,6 +197,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(z == 1)
   }
 
+  test("pqEncode: a vector sitting on sub-codebook centroids encodes to exactly them") {
+    import graft.ops.Similarity
+    val (m, k, sd) = (4, 8, 16)
+    val wantCodes = (0 until m).map(s => (s * 2 + 1) % k)
+    val v = (0 until m).flatMap(s =>
+      (0 until sd).map(j => Similarity.pqCentroid(s, wantCodes(s), j, "graft-pq")))
+    val noisy = v.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) 1e-4 else -1e-4) }
+    val df = Seq((0L, v.toArray), (1L, noisy.toArray)).toDF("id", "v")
+    val got = df.select(col("id"),
+        Similarity.pqEncode(col("v"), dim = 64, m = m, k = k).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(got(0L) == wantCodes, "exact centroid vector")
+    assert(got(1L) == wantCodes, "small perturbation keeps the nearest centroid")
+  }
+
   test("bloomFilteredJoin equals the plain join and the probe passes every dim key") {
     val fact = (0L until 5000L).map(i => (i, i % 100)).toDF("fid", "fk")
     val dim = Seq(3L, 7L, 42L).toDF("dk")
