@@ -787,6 +787,16 @@ object SparkEntry {
           dim = 64, m = 4, k = 8).as("codes"))
     }),
 
+    // ---- Embeddings: PQ asymmetric-distance top-k — the corpus ranked
+    //      by code lookups only; floats touched solely on the query side ----
+    "q66_pq_adc" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.pqTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          dim = 64, m = 4, k = 8, topK = 5)
+        .select(col("query_id"), col("vec_id"), round(col("adist"), 4).as("adist"))
+    }),
+
     // ---- Embeddings: max-abs int8 quantization (compression prelude) ----
     "q64_quantize" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
@@ -869,32 +879,59 @@ object SparkEntry {
        |WHERE list_cosine_similarity(a.v, x.v) >= 0.3""".stripMargin
   }
 
-  /** q65's oracle: PQ centroids inlined as constants (md5-derived, like
-    * q25's planes); squared-diff sums left-associated to match the Spark
-    * fold; first-min argmin via list_position(l, list_min(l)). */
-  private val pqOracle: String = {
+  /** Shared q65/q66 SQL fragment: per sub-space s, the list `l{s}` of k
+    * squared distances from `v`'s sub-vector to the inlined md5-derived
+    * centroids (left-associated sums — Spark's fold order). */
+  private def pqDistLists: String = {
     val (dim, m, k) = (64, 4, 8)
     val sd = dim / m
-    val codeExprs = (0 until m).map { s =>
+    (0 until m).map { s =>
       val dists = (0 until k).map { c =>
         (0 until sd).map { j =>
           val cent = Similarity.pqCentroid(s, c, j, "graft-pq")
           s"(v[${s * sd + j + 1}] - ($cent)) * (v[${s * sd + j + 1}] - ($cent))"
         }.mkString(" + ")
       }.map(d => s"($d)").mkString(", ")
-      s"CAST(list_position(l$s, list_min(l$s)) - 1 AS INT)" -> s"[$dists] AS l$s"
-    }
-    val lists = codeExprs.map(_._2).mkString(",\n  ")
-    val codes = codeExprs.map(_._1).mkString(", ")
+      s"[$dists] AS l$s"
+    }.mkString(",\n  ")
+  }
+
+  /** q65's oracle: PQ centroids inlined as constants (md5-derived, like
+    * q25's planes); first-min argmin via list_position(l, list_min(l)). */
+  private val pqOracle: String = {
+    val codes = (0 until 4)
+      .map(s => s"CAST(list_position(l$s, list_min(l$s)) - 1 AS INT)").mkString(", ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |d AS (SELECT vec_id,
-       |  $lists
+       |  $pqDistLists
        |  FROM e)
        |SELECT vec_id, [$codes] AS codes FROM d""".stripMargin
   }
 
+  /** q66's oracle: corpus codes exactly as q65; per-query LUTs are the
+    * same dist lists over the query vector; ADC distance = 4 lookups,
+    * summed left-associated. */
+  private val pqAdcOracle: String = {
+    val codes = (0 until 4)
+      .map(s => s"CAST(list_position(l$s, list_min(l$s)) - 1 AS INT) AS c$s").mkString(", ")
+    val dist = (0 until 4).map(s => s"q.l$s[d.c$s + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |lists AS (SELECT vec_id, v,
+       |  $pqDistLists
+       |  FROM e),
+       |d AS (SELECT vec_id, $codes FROM lists),
+       |q AS (SELECT vec_id AS query_id, l0, l1, l2, l3 FROM lists WHERE vec_id < 5),
+       |s AS (SELECT q.query_id, d.vec_id, $dist AS dist
+       |      FROM d CROSS JOIN q WHERE d.vec_id <> q.query_id),
+       |r AS (SELECT query_id, vec_id, dist,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+       |      FROM s)
+       |SELECT query_id, vec_id, round(dist, 4) AS adist FROM r WHERE rn <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q65_pq_encode" -> pqOracle,
+    "q66_pq_adc" -> pqAdcOracle,
     "q42_embed_neardup" -> embedNearDupOracle,
 
     // q45: the q20 LSH pair pipeline at jaccard >= 0.5, closed into

@@ -88,6 +88,47 @@ object Similarity {
   private[graft] def pqCentroid(sub: Int, code: Int, j: Int, seed: String): Double =
     planeComponent(sub * 1000 + code, j, seed)
 
+  /** PQ asymmetric-distance (ADC) top-k: rank the corpus against each
+    * query using ONLY the PQ codes. Per query, an m×k lookup table of
+    * squared sub-distances to every centroid is computed ONCE; a corpus
+    * row's approximate distance is then m array lookups summed — the
+    * standard ADC scan of an IVF-PQ index, where the corpus never touches
+    * its original floats at query time.
+    *
+    * Scale shape: the code table is the only corpus-wide input (m small
+    * ints per row); queries + LUTs broadcast; the scan is map-side with a
+    * per-query top-k window over the (tiny) query partition count. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qIdCol: String, qVecCol: String,
+             dim: Int, m: Int, k: Int, topK: Int,
+             seed: String = "graft-pq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sd = dim / m
+    val codes = Parallelize.ensure(
+      df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
+      .select(col("_id"), pqEncode(col("_v"), dim, m, k, seed).as("_codes"))
+    val lutCols = (0 until m).map { s =>
+      array((0 until k).map { c =>
+        (0 until sd).map { j =>
+          val x = element_at(col("_q"), s * sd + j + 1) - lit(pqCentroid(s, c, j, seed))
+          x * x
+        }.reduce(_ + _)
+      }: _*).as(s"_lut$s")
+    }
+    val q = queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
+      .select(col("_qid") +: lutCols: _*)
+    val dist = (0 until m)
+      .map(s => element_at(col(s"_lut$s"), element_at(col("_codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("_qid")).orderBy(col("_dist"), col("_id"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("_id") =!= col("_qid"))
+      .withColumn("_dist", dist)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_dist").as("adist"))
+  }
+
   /** Deterministic pseudo-random hyperplane: component j of plane p is
     * derived from md5(seed|p|j) — reproducible with no RNG state, and
     * computable by any engine. Values in [-0.5, 0.5). */

@@ -212,6 +212,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(1L) == wantCodes, "small perturbation keeps the nearest centroid")
   }
 
+  test("pqTopK ADC distances equal the recomputed code-table lookups") {
+    import graft.ops.Similarity
+    val (dim, m, k, sd) = (64, 4, 8, 16)
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 12L).map(i => (i, Array.fill(dim)(rng.nextDouble() - 0.5)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(df, "vec_id", "embedding",
+        df.filter(col("vec_id") < 2), "vec_id", "embedding",
+        dim, m, k, topK = 11) // >= all candidates: every (q, x) pair present
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // scala-side reference: encode each vector, then ADC = sum over subs of
+    // ||q_sub - centroid(code)||^2, same association order
+    def cent(s: Int, c: Int) = (0 until sd).map(j => Similarity.pqCentroid(s, c, j, "graft-pq"))
+    def sub(v: Array[Double], s: Int) = v.slice(s * sd, (s + 1) * sd)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.reduce(_ + _)
+    def code(v: Array[Double], s: Int) =
+      (0 until k).map(c => d2(sub(v, s), cent(s, c))).zipWithIndex.minBy(_._1)._2
+    for (q <- vecs.take(2); x <- vecs if x._1 != q._1) {
+      val want = (0 until m).map(s => d2(sub(q._2, s), cent(s, code(x._2, s)))).reduce(_ + _)
+      assert(math.abs(got((q._1, x._1)) - want) < 1e-9, s"q=${q._1} x=${x._1}")
+    }
+  }
+
   test("bloomFilteredJoin equals the plain join and the probe passes every dim key") {
     val fact = (0L until 5000L).map(i => (i, i % 100)).toDF("fid", "fk")
     val dim = Seq(3L, 7L, 42L).toDF("dk")
