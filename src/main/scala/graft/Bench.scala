@@ -43,23 +43,42 @@ object Bench {
     val cpu0 = osBean.getProcessCpuTime
     var failed = List.empty[String]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // per-query (wall, cpu) of the best run. A failed run's failure-path
+    // wall time is NOT a plan measurement: it is excluded from min/total,
+    // the query's remaining runs are skipped, and a fully-failed query
+    // reports null (and still fails the exit code). CPU is sampled around
+    // each run and reported for the SAME run as the winning wall time —
+    // wall >> cpu/32 on one run is CPU steal, decidable from the JSON.
     val results = ordered.map { case (name, fn) =>
-      val times = (0 until runs).map { _ =>
+      var best: Option[(Double, Double)] = None
+      var bad = false
+      var i = 0
+      while (i < runs && !bad) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        val c0 = osBean.getProcessCpuTime
+        try {
+          fn(spark, sfDir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+          if (best.forall(_._1 > wall)) best = Some((wall, cpu))
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")
-            failed ::= name
+            bad = true
         }
-        (System.nanoTime() - t0) / 1e9
+        i += 1
       }
-      name -> times.min
+      if (bad) failed ::= name
+      (name, best)
     }
     val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jmap(f: ((Double, Double)) => Double): String = results
+      .map { case (k, b) => "\"" + k + "\":" + b.map(v => f(v).toString).getOrElse("null") }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cpu_sec":$cpuSec}""")
+    val qs = jmap(_._1)
+    val cpus_ = jmap(_._2)
+    val total = results.flatMap(_._2).map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"sf":"$sfDir","runs":$runs,"cpu_sec":$cpuSec}""")
     spark.stop()
     // a broken query must fail the bench loudly, not report a fast time
     if (failed.nonEmpty) {

@@ -780,11 +780,18 @@ object SparkEntry {
     }),
 
     // ---- Embeddings: product-quantization codes (IVF-PQ memory layout:
-    //      64 floats → 4 small ints; deterministic md5 codebook) ----
+    //      64 floats → 4 small ints; deterministic md5 codebook). Codes
+    //      are projected as scalar int columns c0..c3 — the driver's
+    //      comparator sorts column values, and array cells aren't
+    //      sortable there (round-4 verdict #1). Catalyst rewrites
+    //      element_at(array(...), lit) to the direct element, so each
+    //      code is still computed once. ----
     "q65_pq_encode" -> ((s, dir) => {
-      tbl(s, dir, "embeddings").select(col("vec_id"),
+      val enc = tbl(s, dir, "embeddings").select(col("vec_id"),
         Similarity.pqEncode(col("embedding").cast("array<double>"),
-          dim = 64, m = 4, k = 8).as("codes"))
+          dim = 64, m = 4, k = 8).as("_codes"))
+      enc.select(col("vec_id") +: (0 until 4).map(i =>
+        element_at(col("_codes"), i + 1).as(s"c$i")): _*)
     }),
 
     // ---- Embeddings: PQ asymmetric-distance top-k — the corpus ranked
@@ -812,6 +819,35 @@ object SparkEntry {
       graft.ops.Parallelize.ensure(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           explode(TextAnalysis.winnowingFingerprints(col("text"), k = 5, w = 4)).as("fp"))
+    }),
+
+    // ---- Embeddings: IVF×PQ — coarse cells route each query to nProbe
+    //      cells; ONLY those cells' rows are ranked, by PQ codes (ADC).
+    //      The production ANN index shape: ivf routing + pq memory layout
+    //      composed (round-4 verdict #3). Deterministic coarse centroids
+    //      (first 8 corpus vectors, as q36) + md5 PQ codebook (as q65)
+    //      keep it oracle-able ----
+    "q67_ivf_pq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 8)
+      val cents = corpus.select(col("vec_id").as("_cid"),
+          col("embedding").cast("array<double>").as("_cv"))
+        .orderBy(col("_cid")).limit(8)
+      Similarity.ivfPqTopK(cents, corpus, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          Similarity.pqBookConst(64, 4, 8), nProbe = 2, topK = 5)
+        .select(col("query_id"), col("vec_id"), round(col("adist"), 4).as("adist"))
+    }),
+
+    // ---- Multimodal: partition-batched feature extraction over packed
+    //      binary payloads — the mapPartitions codec contract (stub
+    //      decoder is deterministic arithmetic over bytes, so the gate
+    //      oracle replays it in SQL; round-4 verdict #8) ----
+    "q68_media_features" -> ((s, dir) => {
+      val packed = Multimodal.packBinary(tbl(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(packed, "doc_id")
+        .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"),
+          round(col("brightness"), 4).as("brightness"))
     }))
 
   /** q24's oracle, generated for the 16 simhash bit positions. */
@@ -897,15 +933,17 @@ object SparkEntry {
   }
 
   /** q65's oracle: PQ centroids inlined as constants (md5-derived, like
-    * q25's planes); first-min argmin via list_position(l, list_min(l)). */
+    * q25's planes); first-min argmin via list_position(l, list_min(l)).
+    * Codes emitted as scalar columns c0..c3 — matching the Spark side —
+    * because the driver's comparator cannot sort array cells. */
   private val pqOracle: String = {
     val codes = (0 until 4)
-      .map(s => s"CAST(list_position(l$s, list_min(l$s)) - 1 AS INT)").mkString(", ")
+      .map(s => s"CAST(list_position(l$s, list_min(l$s)) - 1 AS INT) AS c$s").mkString(", ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |d AS (SELECT vec_id,
        |  $pqDistLists
        |  FROM e)
-       |SELECT vec_id, [$codes] AS codes FROM d""".stripMargin
+       |SELECT vec_id, $codes FROM d""".stripMargin
   }
 
   /** q66's oracle: corpus codes exactly as q65; per-query LUTs are the
@@ -928,6 +966,56 @@ object SparkEntry {
        |      FROM s)
        |SELECT query_id, vec_id, round(dist, 4) AS adist FROM r WHERE rn <= 5""".stripMargin
   }
+
+  /** q67's oracle: q36's cell/probe CTEs (corpus = vec_id >= 8, first-8
+    * coarse centroids) composed with q65/q66's PQ dist lists — ADC ranks
+    * only probed cells' rows. Left-associated sums throughout (Spark's
+    * fold order). */
+  private val ivfPqOracle: String = {
+    val codeCols = (0 until 4)
+      .map(s => s"CAST(list_position(l$s, list_min(l$s)) - 1 AS INT) AS c$s").mkString(", ")
+    val dist = (0 until 4).map(s => s"ql.l$s[cc.c$s + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |corp AS (SELECT * FROM e WHERE vec_id >= 8),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM corp ORDER BY vec_id LIMIT 8),
+       |a AS (SELECT corp.vec_id AS id, c.cid,
+       |        list_cosine_similarity(corp.v, c.cv) AS cs FROM corp, c),
+       |cells AS (SELECT id, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM a) WHERE rn = 1),
+       |lists AS (SELECT vec_id, v,
+       |  $pqDistLists
+       |  FROM e),
+       |codes AS (SELECT vec_id, $codeCols FROM lists),
+       |cc AS (SELECT cells.id, cells.cid, codes.c0, codes.c1, codes.c2, codes.c3
+       |       FROM cells JOIN codes ON cells.id = codes.vec_id),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |qa AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qv, c.cv) AS cs FROM q, c),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM qa) WHERE rn <= 2),
+       |qlut AS (SELECT vec_id AS qid, l0, l1, l2, l3 FROM lists WHERE vec_id < 5),
+       |sc AS (SELECT p.qid, cc.id, ($dist) AS dist
+       |      FROM cc JOIN probes p ON cc.cid = p.cid JOIN qlut ql ON ql.qid = p.qid
+       |      WHERE cc.id <> p.qid),
+       |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM sc)
+       |SELECT qid AS query_id, id AS vec_id, round(dist, 4) AS adist FROM r WHERE rn <= 5""".stripMargin
+  }
+
+  /** q68's oracle: decodeStub's deterministic arithmetic replayed in SQL —
+    * byte length from the utf-8 blob, byte sum recovered from hex(blob)
+    * nibble pairs (strpos over the hex alphabet). */
+  private val mediaOracle: String =
+    s"""WITH b AS (SELECT doc_id, encode(text) AS bin FROM documents),
+       |m AS (SELECT doc_id, octet_length(bin) AS len, hex(bin) AS hx FROM b),
+       |s AS (SELECT doc_id, len,
+       |  coalesce(list_sum(list_transform(range(1, len + 1), j ->
+       |    (strpos('0123456789ABCDEF', substr(hx, 2*j - 1, 1)) - 1) * 16 +
+       |    (strpos('0123456789ABCDEF', substr(hx, 2*j, 1)) - 1))), 0) AS bsum
+       |  FROM m)
+       |SELECT doc_id, CAST(64 + len % 577 AS INT) AS width,
+       |       CAST(64 + (len * 31) % 577 AS INT) AS height,
+       |       CAST(3 AS INT) AS channels,
+       |       round((bsum % 256) / 255.0, 4) AS brightness
+       |FROM s""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q65_pq_encode" -> pqOracle,
@@ -1494,5 +1582,9 @@ object SparkEntry {
         |m AS (SELECT doc_id, CASE WHEN len(h) >= 4 THEN
         |    list_distinct(list_transform(generate_series(1, len(h) - 3), j -> list_min(list_slice(h, j, j + 3))))
         |  ELSE [] END AS fps FROM g)
-        |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin)
+        |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin,
+
+    "q67_ivf_pq" -> ivfPqOracle,
+
+    "q68_media_features" -> mediaOracle)
 }

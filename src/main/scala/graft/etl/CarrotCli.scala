@@ -17,7 +17,13 @@ import org.apache.spark.sql.SparkSession
   *     --rules-file R.json --inputs DIR|URL --output DIR|URL \
   *     [--person NAME] [--omop-ddl-file F] [--omop-config-file F] \
   *     [--use-input-person-ids N|Y] [--last-used-ids-file F] \
-  *     [--log-file-threshold N] [--sep ,] [--v2 N|Y]
+  *     [--log-file-threshold N] [--sep ,] [--v2 N|Y] \
+  *     [--output-mode single|dir]
+  *
+  * `--output-mode dir` writes each output table as a DIRECTORY of part
+  * files in parallel (the scale path; no sequential single-file merge);
+  * the default `single` matches the reference's one-file-per-table layout
+  * byte for byte.
   */
 object CarrotCli {
 
@@ -39,16 +45,16 @@ object CarrotCli {
   private val KnownOptions = Set(
     "--rules-file", "--inputs", "--output", "--person",
     "--omop-ddl-file", "--omop-config-file", "--use-input-person-ids",
-    "--last-used-ids-file", "--log-file-threshold", "--sep", "--v2")
+    "--last-used-ids-file", "--log-file-threshold", "--sep", "--v2",
+    "--output-mode")
 
   /** Strict `--key value` argv parse: unknown flags, stray positionals and
     * flags without a value ERROR instead of silently re-pairing everything
     * after them (the old sliding(2,2) failure mode). Values are validated
-    * only at the KEY position, so dash-leading values (a `--sep` of "--",
-    * a file named "--odd") stay representable: after a known option, the
-    * next token is its value unless it is itself a known option (the
-    * forgot-the-value mistake). `--key=value` works as an escape hatch for
-    * values that collide with option names. */
+    * only at the KEY position, so non-word dash values (a `--sep` of "--")
+    * stay representable bare; flag-SHAPED bare values (`--\w…`) are
+    * rejected as probable typo'd options and must use the `--key=value`
+    * escape hatch. */
   private def parseArgv(args: Array[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -68,6 +74,15 @@ object CarrotCli {
           throw new IllegalArgumentException(s"unknown option $tok")
         if (i + 1 >= args.length || KnownOptions.contains(args(i + 1)))
           throw new IllegalArgumentException(s"option $tok requires a value")
+        // a bare next-token shaped like a flag is almost always a typo'd
+        // option, not a value ("--person --persn" would silently pass the
+        // literal "--persn" as the person id). Flag-shaped VALUES stay
+        // representable through the --key=value escape hatch; non-word
+        // dash strings (a --sep of "--") are still accepted bare.
+        if (args(i + 1).matches("^--\\w.*"))
+          throw new IllegalArgumentException(
+            s"option $tok got flag-like value '${args(i + 1)}'; " +
+              s"use $tok=${args(i + 1)} if that value is intended")
         out += tok -> args(i + 1)
         i += 2
       }
@@ -92,6 +107,14 @@ object CarrotCli {
     val usePids   = argv.getOrElse("--use-input-person-ids", "N") != "N"
     val sep       = argv.getOrElse("--sep", ",")
     val strictV2  = argv.getOrElse("--v2", "N") != "N"
+    // `single` (default) = reference-compatible one file per table, byte-
+    // exact against the goldens; `dir` = the scale path, a directory of
+    // part files per table written in parallel (skips the sequential
+    // single-file merge — the dominant cost of a large write)
+    val outMode   = argv.getOrElse("--output-mode", "single")
+    if (outMode != "single" && outMode != "dir")
+      throw new IllegalArgumentException(
+        s"--output-mode must be 'single' or 'dir', got '$outMode'")
 
     val person = opt("--person")
     person.filterNot(_.matches(PersonTablePattern)).foreach { p =>
@@ -144,7 +167,7 @@ object CarrotCli {
       personTable = person,
       cacheJoined = true) // every target is consumed twice: write + summary
 
-    val write = Dispatch.outputTarget(spark, output)
+    val write = Dispatch.outputTarget(spark, output, dirMode = outMode == "dir")
     def timed(what: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       if (sys.env.contains("GRAFT_PROF"))

@@ -100,15 +100,16 @@ object Dispatch {
       // fast path works for s3a:///hdfs:// directories too, not just
       // java.io-visible local paths.
       //
-      // TIMESTAMP(NANOS) parquet rejects the vectorized reader outright;
-      // nanos-as-long is a session-wide SQL conf by nature, so it is set
-      // ONCE here at reader construction — not inside the per-table lambda
-      // where it would flip session semantics mid-run as a read side
-      // effect (round-3 advice). CarrotCli additionally sets it at session
-      // construction; this covers standalone Dispatch users. The engine
-      // stringifies all inputs, so a nanos column reads as its verbatim
-      // tick count.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TIMESTAMP(NANOS) parquet rejects the vectorized reader outright
+      // unless spark.sql.legacy.parquet.nanosAsLong holds. That conf is
+      // session-wide by nature and belongs to SESSION CONSTRUCTION, not
+      // here: mutating it as a side effect of building a reader changed
+      // SQL semantics for every other user of a shared session, even when
+      // the source contained no parquet at all (round-4 advice). All
+      // entry points that own a session (CarrotCli, Bench, Verify) set it
+      // in their builders; a standalone Dispatch caller on nanos parquet
+      // gets Spark's error naming the conf to set. The engine stringifies
+      // all inputs, so a nanos column reads as its verbatim tick count.
       name => {
         val base = CsvSource.stripCsvExtension(name)
         val pq = new org.apache.hadoop.fs.Path(s"$coordinate/$base.parquet")
@@ -154,15 +155,25 @@ object Dispatch {
       .map(r => s"WARNING: no data for mapped input file - $r")
   }
 
-  /** A writer of named output tables to a coordinate string. */
-  def outputTarget(spark: SparkSession, coordinate: String): (String, DataFrame) => Unit =
-    if (isMinio(coordinate)) {
-      val base = configureMinio(spark, MinioUrl.parse(coordinate))
-      (name, df) => TsvSink.writeSingleFile(df, s"$base/$name.tsv")
-    } else if (isSql(coordinate, spark.sparkContext.hadoopConfiguration)) {
+  /** A writer of named output tables to a coordinate string.
+    *
+    * `dirMode` selects the scale path for file-ish sinks: each table is a
+    * DIRECTORY of part files written in parallel (`TsvSink.writeDir`)
+    * instead of one sequentially-merged file — the merge is the single
+    * biggest cost of a large ETL write (round-3 profile: 38 s of a 72 s
+    * 3.15 M-row run was the measurement merge). Single-file stays the
+    * default for byte-exact golden compatibility; SQL sinks have no file
+    * layout, so the flag is a no-op there. */
+  def outputTarget(spark: SparkSession, coordinate: String,
+                   dirMode: Boolean = false): (String, DataFrame) => Unit = {
+    def tsv(base: String): (String, DataFrame) => Unit =
+      if (dirMode) (name, df) => TsvSink.writeDir(df, s"$base/$name.tsv")
+      else (name, df) => TsvSink.writeSingleFile(df, s"$base/$name.tsv")
+    if (isMinio(coordinate))
+      tsv(configureMinio(spark, MinioUrl.parse(coordinate)))
+    else if (isSql(coordinate, spark.sparkContext.hadoopConfiguration)) {
       val url = toJdbcUrl(coordinate)
       (name, df) => Jdbc.writeTable(df, url, name)
-    } else {
-      (name, df) => TsvSink.writeSingleFile(df, s"$coordinate/$name.tsv")
-    }
+    } else tsv(coordinate)
+  }
 }

@@ -85,6 +85,13 @@ object Cluster {
       converged = changed == 0
       iter += 1
     }
+    // a maxIter exit without fixpoint would return partially-propagated
+    // labels — silently split components (under-merged dedup clusters)
+    // on any graph whose diameter exceeds maxIter. Fail loudly instead:
+    // the caller chose the cap and can raise it.
+    require(converged,
+      s"connectedComponents did not reach fixpoint in $maxIter rounds; " +
+        "raise maxIter (graph diameter exceeds the cap)")
     labels.select(col("_node").as(idCol), col("_label").as("component"))
   }
 }

@@ -66,11 +66,29 @@ object Similarity {
     * shuffle-free, one pass. Returns `array<int>` of length `m`. */
   def pqEncode(vec: Column, dim: Int, m: Int, k: Int, seed: String = "graft-pq"): Column = {
     require(dim % m == 0 && k > 1, "dim must split evenly into m sub-vectors")
+    pqEncodeWith(vec, pqBookConst(dim, m, k, seed))
+  }
+
+  /** The md5-derived constant codebook as an m×k×(dim/m) literal table —
+    * the default for [[pqEncode]]/[[pqTopK]]; [[pqTrain]] produces the
+    * trained replacement. */
+  def pqBookConst(dim: Int, m: Int, k: Int, seed: String = "graft-pq"): Seq[Seq[Seq[Double]]] = {
     val sd = dim / m
-    val codes = (0 until m).map { s =>
-      val dists = array((0 until k).map { c =>
-        (0 until sd).map { j =>
-          val x = element_at(vec, s * sd + j + 1) - lit(pqCentroid(s, c, j, seed))
+    (0 until m).map(s => (0 until k).map(c => (0 until sd).map(j => pqCentroid(s, c, j, seed))))
+  }
+
+  /** PQ encode against an EXPLICIT codebook (m sub-spaces × k centroids ×
+    * dim/m components) — the trained-codebook path the md5-constant
+    * [[pqEncode]] stands in for. The codebook is literal data inside the
+    * expression tree (a codebook is index METADATA, like a broadcast dim —
+    * m·k·(d/m) doubles, kilobytes), so encoding stays row-local,
+    * shuffle-free and codegen'd. */
+  def pqEncodeWith(vec: Column, book: Seq[Seq[Seq[Double]]]): Column = {
+    val sd = book.head.head.size
+    val codes = book.zipWithIndex.map { case (cents, s) =>
+      val dists = array(cents.map { cent =>
+        cent.zipWithIndex.map { case (cv, j) =>
+          val x = element_at(vec, s * sd + j + 1) - lit(cv)
           x * x
         }.reduce(_ + _)
       }: _*)
@@ -81,6 +99,27 @@ object Similarity {
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
     array(codes: _*)
+  }
+
+  /** Train a real PQ codebook: an independent seeded k-means per sub-space
+    * over that sub-space's slice of the corpus (the construction in Jégou
+    * et al.'s product-quantization paper; same MLlib path as [[ivfTrain]]).
+    * Returns the m×k×(dim/m) table for [[pqEncodeWith]]/[[pqTopKWith]].
+    * Production shape: train once offline on a sample, embed the table in
+    * every encode/search after — m small k-means fits, each one pass over
+    * an sd-wide slice, never the full vectors. */
+  def pqTrain(df: DataFrame, vecCol: String, dim: Int, m: Int, k: Int,
+              seed: Long = 42L, maxIter: Int = 10): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0 && k > 1, "dim must split evenly into m sub-vectors")
+    val sd = dim / m
+    val v = df.select(col(vecCol).cast("array<double>").as("_v"))
+    (0 until m).map { s =>
+      // seed varies per sub-space so sub-codebooks are independent draws
+      ivfTrain(v.select(slice(col("_v"), s * sd + 1, sd).as("_sv")), "_sv", k,
+          seed + s, maxIter)
+        .orderBy(col("_cid")).collect()
+        .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    }
   }
 
   /** Deterministic PQ centroid component — the hyperplane scheme with a
@@ -101,29 +140,97 @@ object Similarity {
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, qIdCol: String, qVecCol: String,
              dim: Int, m: Int, k: Int, topK: Int,
-             seed: String = "graft-pq"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sd = dim / m
-    val codes = Parallelize.ensure(
-      df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
-      .select(col("_id"), pqEncode(col("_v"), dim, m, k, seed).as("_codes"))
-    val lutCols = (0 until m).map { s =>
-      array((0 until k).map { c =>
-        (0 until sd).map { j =>
-          val x = element_at(col("_q"), s * sd + j + 1) - lit(pqCentroid(s, c, j, seed))
+             seed: String = "graft-pq"): DataFrame =
+    pqTopKWith(df, idCol, vecCol, queries, qIdCol, qVecCol,
+      pqBookConst(dim, m, k, seed), topK)
+
+  /** Per-query LUT columns `_lut0.._lut{m-1}` over a `_q` query-vector
+    * column: `_lutS[c]` = squared L2 from `_q`'s sub-vector S to centroid c
+    * — computed ONCE per query, then every corpus distance is m lookups. */
+  private def pqLutCols(book: Seq[Seq[Seq[Double]]]): Seq[Column] = {
+    val sd = book.head.head.size
+    book.zipWithIndex.map { case (cents, s) =>
+      array(cents.map { cent =>
+        cent.zipWithIndex.map { case (cv, j) =>
+          val x = element_at(col("_q"), s * sd + j + 1) - lit(cv)
           x * x
         }.reduce(_ + _)
       }: _*).as(s"_lut$s")
     }
+  }
+
+  /** ADC distance from the LUT columns: m array lookups, summed. */
+  private def pqAdcDist(m: Int): Column = (0 until m)
+    .map(s => element_at(col(s"_lut$s"), element_at(col("_codes"), s + 1) + 1))
+    .reduce(_ + _)
+
+  /** [[pqTopK]] against an explicit codebook (from [[pqTrain]] or any
+    * other source). Same dataflow: corpus → codes once, per-query m×k LUT
+    * broadcast, map-side ADC scan, per-query top-k window. */
+  def pqTopKWith(df: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 book: Seq[Seq[Seq[Double]]], topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = Parallelize.ensure(
+      df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
+      .select(col("_id"), pqEncodeWith(col("_v"), book).as("_codes"))
     val q = queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
-      .select(col("_qid") +: lutCols: _*)
-    val dist = (0 until m)
-      .map(s => element_at(col(s"_lut$s"), element_at(col("_codes"), s + 1) + 1))
-      .reduce(_ + _)
+      .select(col("_qid") +: pqLutCols(book): _*)
     val w = Window.partitionBy(col("_qid")).orderBy(col("_dist"), col("_id"))
     codes.crossJoin(broadcast(q))
       .filter(col("_id") =!= col("_qid"))
-      .withColumn("_dist", dist)
+      .withColumn("_dist", pqAdcDist(book.size))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_dist").as("adist"))
+  }
+
+  /** IVF×PQ — the production ANN index shape: coarse IVF cells route each
+    * query to its `nProbe` most promising cells, and ONLY those cells'
+    * rows are ranked, by PQ codes (ADC), never by their original floats.
+    * The two halves ([[ivfTopKWith]] routing, [[pqTopKWith]] ADC) each
+    * existed alone; this is their composition (round-4 verdict #3).
+    *
+    * Scale shape: ONE corpus pass assigns the coarse cell (argmax over the
+    * broadcast centroid table, map-side partials + one hash shuffle on id)
+    * and PQ-encodes (row-local) — after it the corpus is (id, cell,
+    * m small ints). Queries broadcast with their probe cells and m×k LUTs;
+    * the cell equi-join touches only probed cells; the top-k window runs
+    * per query. Probing ALL cells degrades to exactly [[pqTopKWith]]
+    * (spec-proven), the same graceful-exactness check as ivf.
+    *
+    * @param cents (_cid, _cv) coarse codebook — [[ivfTrain]] output or any
+    *              deterministic stand-in
+    * @param book  m×k×(dim/m) PQ codebook — [[pqTrain]] or [[pqBookConst]] */
+  def ivfPqTopK(cents: DataFrame, df: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qIdCol: String, qVecCol: String,
+                book: Seq[Seq[Seq[Double]]], nProbe: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Parallelize.ensure(
+      df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
+    // cell argmax exactly as ivfTopKWith (max_by, not a corpus-wide
+    // window); PQ codes computed in the same pass, floats dropped after
+    val cells = e.crossJoin(broadcast(cents))
+      .withColumn("_csim", cosine(col("_v"), col("_cv")))
+      .groupBy(col("_id"))
+      .agg(max_by(struct(col("_cid"), col("_v")), struct(col("_csim"), negate(col("_cid")))).as("_best"))
+      .select(col("_id"), col("_best._cid").as("_cid"),
+        pqEncodeWith(col("_best._v"), book).as("_codes"))
+
+    val probes = {
+      val w = Window.partitionBy(col("_qid")).orderBy(col("_csim").desc, col("_cid"))
+      queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
+        .crossJoin(broadcast(cents))
+        .withColumn("_csim", cosine(col("_q"), col("_cv")))
+        .withColumn("_crn", row_number().over(w))
+        .filter(col("_crn") <= nProbe)
+        .select(col("_qid") +: col("_cid") +: pqLutCols(book): _*)
+    }
+
+    val w = Window.partitionBy(col("_qid")).orderBy(col("_dist"), col("_id"))
+    cells.join(broadcast(probes), Seq("_cid"))
+      .filter(col("_id") =!= col("_qid"))
+      .withColumn("_dist", pqAdcDist(book.size))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= topK)
       .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_dist").as("adist"))
@@ -290,25 +397,64 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: score only pairs that share a hyperplane bucket.
-    * Returns the per-query top-k among same-bucket candidates. */
+    * Returns the per-query top-k among same-bucket candidates.
+    *
+    * One bucket signature per vector (`nTables` = 1) has a recall cliff
+    * for near-boundary queries: ONE disagreeing projection sign hides a
+    * true neighbor. `nTables` > 1 builds L independent hash tables
+    * (seed-varied planes — table 0 keeps `seed`, so L = 1 is bit-identical
+    * to the single-table op and the q25 oracle) and a candidate survives
+    * if it collides in ANY table — the standard OR-amplification next to
+    * the banding `minhashLshPairsOf` already uses (round-4 verdict #5).
+    * Recall rises with L at L× the bucketing cost; the exact-cosine verify
+    * still runs only on candidates.
+    *
+    * Scale shape at L > 1: the (table, bucket) equi-join emits NARROW
+    * (query, id) candidate pairs which are deduped BEFORE the wide vectors
+    * re-attach (one candidate-set shuffle on id; queries broadcast) — the
+    * same dedupe-then-re-attach discipline as the MinHash pair path. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
-              dim: Int, nPlanes: Int, k: Int): DataFrame = {
+              dim: Int, nPlanes: Int, k: Int,
+              nTables: Int = 1, seed: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nTables >= 1, "nTables must be >= 1")
     // repartition before the projection math: a single input split would
     // otherwise single-thread the per-row hyperplane projections
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val e = df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
-      .repartition(parallelism, col("_id"))
-      .withColumn("_bucket", lshBucket(col("_v"), dim, nPlanes))
-    val q = queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
-      .withColumn("_bucket", lshBucket(col("_q"), dim, nPlanes))
     val w = Window.partitionBy(col("_qid")).orderBy(col("_sim").desc, col("_id"))
-    e.join(q, Seq("_bucket"))
-      .filter(col("_id") =!= col("_qid"))
-      .withColumn("_sim", cosine(col("_v"), col("_q")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_sim").as("sim"))
+    if (nTables == 1) {
+      val e = df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+        .repartition(parallelism, col("_id"))
+        .withColumn("_bucket", lshBucket(col("_v"), dim, nPlanes, seed))
+      val q = queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
+        .withColumn("_bucket", lshBucket(col("_q"), dim, nPlanes, seed))
+      e.join(q, Seq("_bucket"))
+        .filter(col("_id") =!= col("_qid"))
+        .withColumn("_sim", cosine(col("_v"), col("_q")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k)
+        .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_sim").as("sim"))
+    } else {
+      def tableSeed(t: Int): String = if (t == 0) seed else s"$seed~$t"
+      def withKeys(in: DataFrame, id: String, vec: String): DataFrame =
+        in.select(col(id), posexplode(array((0 until nTables).map(t =>
+          lshBucket(col(vec), dim, nPlanes, tableSeed(t))): _*)).as(Seq("_t", "_bucket")))
+      val corpus = df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+        .repartition(parallelism, col("_id"))
+      val qvecs = queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
+      // candidates: narrow keys only; a pair colliding in several tables
+      // must score once, so dedupe before vectors re-attach
+      val cand = withKeys(corpus, "_id", "_v")
+        .join(withKeys(qvecs, "_qid", "_q"), Seq("_t", "_bucket"))
+        .filter(col("_id") =!= col("_qid"))
+        .select(col("_qid"), col("_id")).distinct()
+      cand.join(corpus, Seq("_id"))
+        .join(broadcast(qvecs), Seq("_qid"))
+        .withColumn("_sim", cosine(col("_v"), col("_q")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k)
+        .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_sim").as("sim"))
+    }
   }
 }

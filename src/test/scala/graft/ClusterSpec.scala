@@ -25,6 +25,20 @@ class ClusterSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L))
   }
 
+  test("non-convergence at maxIter fails loudly instead of splitting components") {
+    // diameter-6 chain, cap of 3: partially-propagated labels would
+    // silently under-merge — the round-4 advice asks for a loud failure
+    graft.ops.CacheScope.withScope { scope =>
+      val nodes = (0L to 6L).toDF("id")
+      val edges = (0L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+      val e = intercept[IllegalArgumentException] {
+        Cluster.connectedComponents(nodes, "id", edges, "a", "b",
+          maxIter = 3, scope = scope)
+      }
+      assert(e.getMessage.contains("did not reach fixpoint"))
+    }
+  }
+
   test("scoped run unpersists every iteration cache") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet

@@ -166,20 +166,61 @@ class DispatchSpec extends AnyFunSuite {
     assert(e4.getMessage == "unexpected positional argument 'stray'")
   }
 
-  test("argv accepts --key=value and dash-leading values (not known options)") {
+  test("argv accepts --key=value; flag-shaped bare values are rejected") {
     // --key=value consumed: the failure moves on to the NEXT missing option
     val e1 = intercept[RuntimeException] {
       CarrotCli.run(Array("--rules-file=x.json"), env = Map.empty)
     }
     assert(e1.getMessage.contains("missing required option --inputs"))
-    // a dash-leading token that is NOT a known option is a legal value
-    val e2 = intercept[RuntimeException] {
+    // a flag-shaped bare token is a probable typo'd option, not a value
+    // (round-4 advice: "--person --persn" must not pass "--persn" as an id)
+    val e2 = intercept[IllegalArgumentException] {
       CarrotCli.run(Array("--rules-file", "--odd-name.json"), env = Map.empty)
     }
-    assert(e2.getMessage.contains("missing required option --inputs"))
+    assert(e2.getMessage.contains("flag-like value"))
+    // ...but stays representable through the = escape hatch
+    val e3 = intercept[RuntimeException] {
+      CarrotCli.run(Array("--rules-file=--odd-name.json"), env = Map.empty)
+    }
+    assert(e3.getMessage.contains("missing required option --inputs"))
+    // a non-word dash value (a --sep of "--") is still accepted bare
+    val e4 = intercept[RuntimeException] {
+      CarrotCli.run(Array("--sep", "--"), env = Map.empty)
+    }
+    assert(e4.getMessage.contains("missing required option --rules-file"))
   }
 
   // ---- option handling ----
+
+  test("--output-mode dir writes each table as a part directory with the same rows") {
+    val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
+    val rules = s"${Golden.RefRoot}/tests/test_V2/rules-v2.json"
+    val single = java.nio.file.Files.createTempDirectory("cli_single").toString
+    val dirOut = java.nio.file.Files.createTempDirectory("cli_dir").toString
+    CarrotCli.run(Array("--rules-file", rules, "--inputs", td,
+      "--output", single, "--person", "src_PERSON"), env = Map.empty)
+    CarrotCli.run(Array("--rules-file", rules, "--inputs", td,
+      "--output", dirOut, "--person", "src_PERSON", "--output-mode", "dir"), env = Map.empty)
+    val pdir = new java.io.File(s"$dirOut/person.tsv")
+    assert(pdir.isDirectory, "dir mode must write a directory per table")
+    assert(pdir.listFiles.exists(_.getName.startsWith("part-")))
+    // same rows either way — the modes differ only in file layout. The
+    // multiset compare (not list) is deliberate: dir mode's contract is
+    // parallel parts, not a global order.
+    for (t <- Seq("person", "person_ids", "observation")) {
+      def rows(path: String): Map[String, Int] =
+        Golden.readTsv(path).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("\t"))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      assert(rows(s"$dirOut/$t.tsv") == rows(s"$single/$t.tsv"), s"table $t")
+    }
+    // an invalid mode errors instead of silently writing single
+    val e = intercept[IllegalArgumentException] {
+      CarrotCli.run(Array("--rules-file", rules, "--inputs", td,
+        "--output", dirOut, "--person", "src_PERSON", "--output-mode", "both"), env = Map.empty)
+    }
+    assert(e.getMessage.contains("--output-mode"))
+  }
 
   test("options fall back to environment variables (reference envvar names)") {
     val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"

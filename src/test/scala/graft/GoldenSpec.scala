@@ -20,6 +20,10 @@ object Golden {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // session-construction home for the nanos conf (Dispatch no longer
+    // sets it as a reader side effect — round-4 advice); the shared test
+    // session reads TIMESTAMP(NANOS) parquet in DispatchSpec
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
   val RefRoot   = "/root/reference"

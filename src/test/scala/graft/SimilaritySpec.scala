@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** Round-5 ANN-ladder depth: trained PQ codebooks beat the md5-constant
+  * stand-in on recall, IVF×PQ probing all cells degrades to the plain ADC
+  * scan, and multi-table LSH recovers recall a single bucket signature
+  * loses at boundaries. All on the driver-generated sf0.001 embeddings
+  * (500 × 64-dim float vectors).
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = Golden.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  private def n(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue()
+
+  /** exact cosine top-k ids per query id (self excluded) — ground truth */
+  private def bruteTruth(k: Int): Map[Long, Set[Long]] =
+    queries.select(col("vec_id").as("qid"), col("embedding").as("qv")).collect().map { qr =>
+      val top = Similarity.topK(
+          emb.filter(col("vec_id") =!= n(qr, 0)), "vec_id", "embedding",
+          spark.createDataFrame(java.util.List.of(qr), qr.schema).select(col("qv")), "qv", k)
+        .collect().map(r => n(r, 0)).toSet
+      n(qr, 0) -> top
+    }.toMap
+
+  private def recallOf(result: Array[(Long, Long)], truth: Map[Long, Set[Long]]): Double = {
+    val hits = result.count { case (q, id) => truth(q).contains(id) }
+    hits.toDouble / truth.values.map(_.size).sum
+  }
+
+  test("pqTrain: per-sub-space k-means codebook lifts ADC recall over md5 constants") {
+    val (dim, m, k, topK) = (64, 4, 8, 10)
+    val truth = bruteTruth(topK)
+    def recallWith(book: Seq[Seq[Seq[Double]]]): Double = recallOf(
+      Similarity.pqTopKWith(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", book, topK)
+        .collect().map(r => (n(r, 0), n(r, 1))), truth)
+
+    val trained = Similarity.pqTrain(emb, "embedding", dim, m, k)
+    assert(trained.size == m && trained.forall(_.size == k)
+      && trained.flatten.forall(_.size == dim / m), "book shape m×k×(dim/m)")
+
+    val rTrained = recallWith(trained)
+    val rConst = recallWith(Similarity.pqBookConst(dim, m, k))
+    info(f"ADC recall@$topK: trained $rTrained%.2f vs constant $rConst%.2f")
+    // md5 constants are uniform noise in [-0.5,0.5); centroids fitted to
+    // the corpus must rank neighbors strictly better
+    assert(rTrained > rConst)
+  }
+
+  test("ivfPqTopK probing all cells equals the whole-corpus ADC scan") {
+    val book = Similarity.pqBookConst(64, 4, 8)
+    val cents = Similarity.ivfTrain(emb, "embedding", nCentroids = 4)
+    val ivfpq = Similarity.ivfPqTopK(cents, emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", book, nProbe = 4, topK = 5)
+      .collect().map(r => (n(r, 0), n(r, 1))).toSet
+    val flat = Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", dim = 64, m = 4, k = 8, topK = 5)
+      .collect().map(r => (n(r, 0), n(r, 1))).toSet
+    assert(ivfpq == flat)
+  }
+
+  test("multi-table LSH recovers recall a single bucket signature loses") {
+    val (dim, nPlanes, k) = (64, 6, 10)
+    val truth = bruteTruth(k)
+    def recallAt(l: Int): Double = recallOf(
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", dim, nPlanes, k, nTables = l)
+        .collect().map(r => (n(r, 0), n(r, 1))), truth)
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    info(f"LSH recall@$k: L=1 $r1%.2f vs L=4 $r4%.2f")
+    // OR-amplification: every table-0 candidate survives, so recall is
+    // monotone in L; with 6 planes per table, 3 extra tables must find
+    // neighbors table 0's signature split away
+    assert(r4 > r1)
+  }
+}
