@@ -31,46 +31,63 @@ object Bench {
     // tables), and nothing else caches across query boundaries
     //
     // Self-defense against the gate machine's episodic co-tenant CPU steal
-    // (round-3 verdict #1: a contiguous alphabetical block of code-unchanged
-    // queries inflated 2-5× in one run): each query runs `runs` times
-    // (default 3) and reports the per-query MIN — one quiet run is enough to
-    // measure the plan, and a steal episode during any single pass no longer
-    // corrupts the regression signal. Process CPU time is reported beside
-    // wall time so steal shows up as wall >> cpu/32.
+    // (round-3 verdict #1; re-confirmed round 5: a mid-run episode held
+    // one query at 75 s whose quiet time is 2.9 s): each query runs `runs`
+    // times and reports the per-query MIN — but the repeats are spread as
+    // FULL PASSES over the whole suite (pass 1 all queries, pass 2 all,
+    // …) instead of back-to-back, because an episode lasting longer than
+    // one query's three consecutive runs corrupts a back-to-back min while
+    // passes minutes apart almost never share it. Same total cost, far
+    // better episode resistance; pass 1 doubles as the warm-up, so the
+    // min still reports warm steady state. Process CPU time is reported
+    // beside wall per query — on this host the guest kernel charges stolen
+    // vCPU time to the process, so an episode shows up as cpu ≫ the quiet
+    // run's cpu at similar wall, decidable from the JSON.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val cpu0 = osBean.getProcessCpuTime
-    var failed = List.empty[String]
+    var failed = Set.empty[String]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // per-query (wall, cpu) of the best run. A failed run's failure-path
-    // wall time is NOT a plan measurement: it is excluded from min/total,
-    // the query's remaining runs are skipped, and a fully-failed query
-    // reports null (and still fails the exit code). CPU is sampled around
-    // each run and reported for the SAME run as the winning wall time —
-    // wall >> cpu/32 on one run is CPU steal, decidable from the JSON.
-    val results = ordered.map { case (name, fn) =>
-      var best: Option[(Double, Double)] = None
-      var bad = false
-      var i = 0
-      while (i < runs && !bad) {
-        val t0 = System.nanoTime()
-        val c0 = osBean.getProcessCpuTime
-        try {
-          fn(spark, sfDir).count()
-          val wall = (System.nanoTime() - t0) / 1e9
-          val cpu = (osBean.getProcessCpuTime - c0) / 1e9
-          if (best.forall(_._1 > wall)) best = Some((wall, cpu))
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
-            bad = true
-        }
-        i += 1
+    // wall time is NOT a plan measurement: the query is excluded from
+    // min/total and skipped in later passes; it reports null and still
+    // fails the exit code.
+    val best = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val c0 = osBean.getProcessCpuTime
+      try {
+        fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        if (best.get(name).forall(_._1 > wall)) best(name) = (wall, cpu)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          failed += name
       }
-      if (bad) failed ::= name
-      (name, best)
     }
+    for (_ <- 0 until runs; (name, fn) <- ordered if !failed(name))
+      measure(name, fn)
+    // targeted re-measure: whatever still looks slow after the passes gets
+    // up to two more runs, slowest first, inside a bounded wall budget —
+    // cheap insurance when an episode straddled a query in every pass (the
+    // re-runs land minutes after pass 1), bounded when the query is
+    // genuinely slow (the budget caps the spend and the min just stands).
+    val retryBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_SEC", "120").toDouble
+    var retrySpent = 0.0
+    for {
+      (name, fn) <- ordered.filter { case (n, _) => !failed(n) && best.get(n).exists(_._1 > 1.0) }
+        .sortBy { case (n, _) => -best(n)._1 }
+      _ <- 0 until 2
+      if retrySpent < retryBudgetSec
+    } {
+      val t0 = System.nanoTime()
+      measure(name, fn)
+      retrySpent += (System.nanoTime() - t0) / 1e9
+    }
+    val results = ordered.map { case (name, _) => (name, best.get(name).filterNot(_ => failed(name))) }
     val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
     def jmap(f: ((Double, Double)) => Double): String = results
       .map { case (k, b) => "\"" + k + "\":" + b.map(v => f(v).toString).getOrElse("null") }
@@ -82,7 +99,7 @@ object Bench {
     spark.stop()
     // a broken query must fail the bench loudly, not report a fast time
     if (failed.nonEmpty) {
-      System.err.println(s"[bench] failed queries: ${failed.sorted.mkString(", ")}")
+      System.err.println(s"[bench] failed queries: ${failed.toSeq.sorted.mkString(", ")}")
       sys.exit(1)
     }
   }

@@ -839,6 +839,24 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("adist"), 4).as("adist"))
     }),
 
+    // ---- Embeddings: residual IVF-PQ (IVFADC) — PQ codes over
+    //      v − coarseCentroid(cell) instead of raw vectors, the actual
+    //      production index construction (residuals quantize with less
+    //      error at the same code budget). Same deterministic setup as
+    //      q67; the per-(query, cell) residual LUT replaces the single
+    //      per-query LUT ----
+    "q69_ivf_pq_residual" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 8)
+      val cents = corpus.select(col("vec_id").as("_cid"),
+          col("embedding").cast("array<double>").as("_cv"))
+        .orderBy(col("_cid")).limit(8)
+      Similarity.ivfPqTopKResidual(cents, corpus, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          Similarity.pqBookConst(64, 4, 8), nProbe = 2, topK = 5)
+        .select(col("query_id"), col("vec_id"), round(col("adist"), 4).as("adist"))
+    }),
+
     // ---- Multimodal: partition-batched feature extraction over packed
     //      binary payloads — the mapPartitions codec contract (stub
     //      decoder is deterministic arithmetic over bytes, so the gate
@@ -915,22 +933,23 @@ object SparkEntry {
        |WHERE list_cosine_similarity(a.v, x.v) >= 0.3""".stripMargin
   }
 
-  /** Shared q65/q66 SQL fragment: per sub-space s, the list `l{s}` of k
-    * squared distances from `v`'s sub-vector to the inlined md5-derived
-    * centroids (left-associated sums — Spark's fold order). */
-  private def pqDistLists: String = {
+  /** Shared q65/q66/q67/q69 SQL fragment: per sub-space s, the list `l{s}`
+    * of k squared distances from `vcol`'s sub-vector to the inlined
+    * md5-derived centroids (left-associated sums — Spark's fold order). */
+  private def pqDistListsOver(vcol: String): String = {
     val (dim, m, k) = (64, 4, 8)
     val sd = dim / m
     (0 until m).map { s =>
       val dists = (0 until k).map { c =>
         (0 until sd).map { j =>
           val cent = Similarity.pqCentroid(s, c, j, "graft-pq")
-          s"(v[${s * sd + j + 1}] - ($cent)) * (v[${s * sd + j + 1}] - ($cent))"
+          s"($vcol[${s * sd + j + 1}] - ($cent)) * ($vcol[${s * sd + j + 1}] - ($cent))"
         }.mkString(" + ")
       }.map(d => s"($d)").mkString(", ")
       s"[$dists] AS l$s"
     }.mkString(",\n  ")
   }
+  private def pqDistLists: String = pqDistListsOver("v")
 
   /** q65's oracle: PQ centroids inlined as constants (md5-derived, like
     * q25's planes); first-min argmin via list_position(l, list_min(l)).
@@ -996,6 +1015,46 @@ object SparkEntry {
        |sc AS (SELECT p.qid, cc.id, ($dist) AS dist
        |      FROM cc JOIN probes p ON cc.cid = p.cid JOIN qlut ql ON ql.qid = p.qid
        |      WHERE cc.id <> p.qid),
+       |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM sc)
+       |SELECT qid AS query_id, id AS vec_id, round(dist, 4) AS adist FROM r WHERE rn <= 5""".stripMargin
+  }
+
+  /** q69's oracle: q67's CTE skeleton with residuals — the corpus code
+    * CTE and the query LUT CTE both run the dist lists over
+    * `list_transform(range(1, 65), i -> v[i] - cv[i])` (the residual in
+    * the row's / probe's cell), matching Spark's `zip_with` subtraction
+    * then identical left-associated sums. */
+  private val ivfPqResidualOracle: String = {
+    val codeCols = (0 until 4)
+      .map(s => s"CAST(list_position(l$s, list_min(l$s)) - 1 AS INT) AS c$s").mkString(", ")
+    val dist = (0 until 4).map(s => s"ql.l$s[cc.c$s + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |corp AS (SELECT * FROM e WHERE vec_id >= 8),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM corp ORDER BY vec_id LIMIT 8),
+       |a AS (SELECT corp.vec_id AS id, c.cid,
+       |        list_cosine_similarity(corp.v, c.cv) AS cs FROM corp, c),
+       |cells AS (SELECT id, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM a) WHERE rn = 1),
+       |cres AS (SELECT cells.id, cells.cid,
+       |        list_transform(range(1, 65), i -> corp.v[i] - c.cv[i]) AS rv
+       |        FROM cells JOIN corp ON corp.vec_id = cells.id JOIN c ON c.cid = cells.cid),
+       |crl AS (SELECT id, cid,
+       |  ${pqDistListsOver("rv")}
+       |  FROM cres),
+       |cc AS (SELECT id, cid, $codeCols FROM crl),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |qa AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qv, c.cv) AS cs FROM q, c),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM qa) WHERE rn <= 2),
+       |qres AS (SELECT p.qid, p.cid,
+       |        list_transform(range(1, 65), i -> q.qv[i] - c.cv[i]) AS rv
+       |        FROM probes p JOIN q ON q.qid = p.qid JOIN c ON c.cid = p.cid),
+       |qlut AS (SELECT qid, cid,
+       |  ${pqDistListsOver("rv")}
+       |  FROM qres),
+       |sc AS (SELECT ql.qid, cc.id, ($dist) AS dist
+       |      FROM cc JOIN qlut ql ON cc.cid = ql.cid
+       |      WHERE cc.id <> ql.qid),
        |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM sc)
        |SELECT qid AS query_id, id AS vec_id, round(dist, 4) AS adist FROM r WHERE rn <= 5""".stripMargin
   }
@@ -1586,5 +1645,7 @@ object SparkEntry {
 
     "q67_ivf_pq" -> ivfPqOracle,
 
-    "q68_media_features" -> mediaOracle)
+    "q68_media_features" -> mediaOracle,
+
+    "q69_ivf_pq_residual" -> ivfPqResidualOracle)
 }

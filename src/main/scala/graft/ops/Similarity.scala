@@ -144,15 +144,15 @@ object Similarity {
     pqTopKWith(df, idCol, vecCol, queries, qIdCol, qVecCol,
       pqBookConst(dim, m, k, seed), topK)
 
-  /** Per-query LUT columns `_lut0.._lut{m-1}` over a `_q` query-vector
-    * column: `_lutS[c]` = squared L2 from `_q`'s sub-vector S to centroid c
+  /** Per-query LUT columns `_lut0.._lut{m-1}` over a query-vector column:
+    * `_lutS[c]` = squared L2 from the vector's sub-vector S to centroid c
     * — computed ONCE per query, then every corpus distance is m lookups. */
-  private def pqLutCols(book: Seq[Seq[Seq[Double]]]): Seq[Column] = {
+  private def pqLutCols(book: Seq[Seq[Seq[Double]]], vec: Column = col("_q")): Seq[Column] = {
     val sd = book.head.head.size
     book.zipWithIndex.map { case (cents, s) =>
       array(cents.map { cent =>
         cent.zipWithIndex.map { case (cv, j) =>
-          val x = element_at(col("_q"), s * sd + j + 1) - lit(cv)
+          val x = element_at(vec, s * sd + j + 1) - lit(cv)
           x * x
         }.reduce(_ + _)
       }: _*).as(s"_lut$s")
@@ -225,6 +225,58 @@ object Similarity {
         .withColumn("_crn", row_number().over(w))
         .filter(col("_crn") <= nProbe)
         .select(col("_qid") +: col("_cid") +: pqLutCols(book): _*)
+    }
+
+    val w = Window.partitionBy(col("_qid")).orderBy(col("_dist"), col("_id"))
+    cells.join(broadcast(probes), Seq("_cid"))
+      .filter(col("_id") =!= col("_qid"))
+      .withColumn("_dist", pqAdcDist(book.size))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_dist").as("adist"))
+  }
+
+  /** Residual IVF-PQ (IVFADC, the construction in Jégou et al.'s PQ
+    * paper): PQ encodes the RESIDUAL `v − coarseCentroid(cell)` instead of
+    * the raw vector. Residuals are smaller and more isotropic than raw
+    * vectors, so the same m×k code budget quantizes them with less error —
+    * this is why production IVF-PQ indexes encode residuals.
+    *
+    * Same dataflow as [[ivfPqTopK]], two deltas, neither changing the
+    * scale shape:
+    *  - corpus pass: the residual (`zip_with(v, cv, _-_)`, row-local) is
+    *    computed in the same single pass that assigns the cell; floats
+    *    still dropped after.
+    *  - query side: the LUT is per (query, probed cell) — distances from
+    *    the QUERY's residual in that cell to the book — so the broadcast
+    *    carries nProbe × m×k doubles per query instead of m×k. Still
+    *    kilobytes; ADC stays m lookups per corpus row.
+    *
+    * With ONE coarse cell this is exactly [[pqTopKWith]] on vectors
+    * shifted by that centroid (spec-proven identity). */
+  def ivfPqTopKResidual(cents: DataFrame, df: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, qIdCol: String, qVecCol: String,
+                        book: Seq[Seq[Seq[Double]]], nProbe: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Parallelize.ensure(
+      df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
+    val cells = e.crossJoin(broadcast(cents))
+      .withColumn("_csim", cosine(col("_v"), col("_cv")))
+      .groupBy(col("_id"))
+      .agg(max_by(struct(col("_cid"), col("_v"), col("_cv")),
+        struct(col("_csim"), negate(col("_cid")))).as("_best"))
+      .select(col("_id"), col("_best._cid").as("_cid"),
+        pqEncodeWith(zip_with(col("_best._v"), col("_best._cv"), _ - _), book).as("_codes"))
+
+    val probes = {
+      val w = Window.partitionBy(col("_qid")).orderBy(col("_csim").desc, col("_cid"))
+      queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
+        .crossJoin(broadcast(cents))
+        .withColumn("_csim", cosine(col("_q"), col("_cv")))
+        .withColumn("_crn", row_number().over(w))
+        .filter(col("_crn") <= nProbe)
+        .withColumn("_rq", zip_with(col("_q"), col("_cv"), _ - _))
+        .select(col("_qid") +: col("_cid") +: pqLutCols(book, col("_rq")): _*)
     }
 
     val w = Window.partitionBy(col("_qid")).orderBy(col("_dist"), col("_id"))

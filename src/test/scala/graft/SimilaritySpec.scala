@@ -67,6 +67,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfpq == flat)
   }
 
+  test("residual IVF-PQ with one coarse cell equals plain ADC on shifted vectors") {
+    // with a single cell every residual is v − c0, so IVFADC must reduce
+    // exactly (same adist doubles) to pqTopKWith over the shifted frame
+    import spark.implicits._
+    val book = Similarity.pqBookConst(64, 4, 8)
+    // MLlib k-means requires k > 1, and one cell needs no training anyway:
+    // any deterministic vector works as the lone centroid
+    val c0vec = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0)
+    val cents = Seq((0L, c0vec)).toDF("_cid", "_cv")
+    val res = Similarity.ivfPqTopKResidual(cents, emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", book, nProbe = 1, topK = 5)
+      .collect().map(r => (n(r, 0), n(r, 1), r.getDouble(2))).toSet
+
+    val c0 = typedlit(c0vec)
+    def shifted(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      zip_with(col("embedding").cast("array<double>"), c0, _ - _).as("sv"))
+    val flat = Similarity.pqTopKWith(shifted(emb), "vec_id", "sv",
+        shifted(queries), "vec_id", "sv", book, topK = 5)
+      .collect().map(r => (n(r, 0), n(r, 1), r.getDouble(2))).toSet
+    assert(res == flat)
+  }
+
   test("multi-table LSH recovers recall a single bucket signature loses") {
     val (dim, nPlanes, k) = (64, 6, 10)
     val truth = bruteTruth(k)
