@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DateNorm
-import graft.ops.{Dedup, IdAssign, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, IdAssign, Multimodal, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -857,6 +857,14 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("adist"), 4).as("adist"))
     }),
 
+    // ---- Documents: corpus-LM fluency score — fraction of each doc's
+    //      bigrams occurring >= 3 times corpus-wide (the integer-exact
+    //      cousin of a perplexity filter; one IEEE division, bit-exact
+    //      across engines) ----
+    "q70_known_bigrams" -> ((s, dir) => {
+      Corpus.knownBigramRatio(tbl(s, dir, "documents"), "doc_id", "text", minCount = 3)
+    }),
+
     // ---- Multimodal: partition-batched feature extraction over packed
     //      binary payloads — the mapPartitions codec contract (stub
     //      decoder is deterministic arithmetic over bytes, so the gate
@@ -1647,5 +1655,23 @@ object SparkEntry {
 
     "q68_media_features" -> mediaOracle,
 
-    "q69_ivf_pq_residual" -> ivfPqResidualOracle)
+    "q69_ivf_pq_residual" -> ivfPqResidualOracle,
+
+    // q70: bigrams replayed exactly as q61's CTEs (raw positional grams
+    // over the whitespace split, empties kept); membership by STRING on
+    // the DuckDB side where the Spark side joins on xxhash64 — counts
+    // differ only on a 2^-64 hash collision (q21's documented discipline)
+    "q70_known_bigrams" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |bgs AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |  THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+        |  ELSE [] END) AS bg FROM t),
+        |c AS (SELECT bg, count(*) AS c FROM bgs GROUP BY 1),
+        |k AS (SELECT bg FROM c WHERE c >= 3),
+        |s AS (SELECT bgs.doc_id, count(*) AS n_bigrams,
+        |        sum(CASE WHEN k.bg IS NOT NULL THEN 1 ELSE 0 END) AS nk
+        |      FROM bgs LEFT JOIN k ON bgs.bg = k.bg GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |       CAST(nk AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS known_ratio
+        |FROM s""".stripMargin)
 }

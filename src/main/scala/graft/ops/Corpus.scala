@@ -63,6 +63,41 @@ object Corpus {
           ((col("_c1") / col("_nu")) * (col("_c2") / col("_nu")))).as("lift"))
   }
 
+  /** Corpus-LM fluency signal: per document, the fraction of its word
+    * bigrams that occur at least `minCount` times in the WHOLE corpus.
+    * Garbled/boilerplate-free natural text scores high (its transitions
+    * are common), shredded or machine-mangled text scores low — the
+    * integer-exact cousin of the CCNet/Gopher perplexity filter. This
+    * repo's linear-not-log convention (see [[tfidfTopTerm]]): counts are
+    * exact integers and the score is ONE IEEE division, so results are
+    * bit-identical across engines — a log-prob LM score would differ in
+    * the last ulp per libm and break exact comparison.
+    *
+    * Scale shape: bigrams are hashed to 8-byte xxhash64 keys at the scan
+    * (strings never shuffle — q21's discipline; counts collide only at
+    * the 2⁻⁶⁴ hash level), counted with map-side partials, pruned to the
+    * ≥ minCount survivors BEFORE the membership join, then one narrow-key
+    * left join marks each document bigram and one groupBy(doc) folds the
+    * flags. Three shuffles, all on 8-byte keys. Documents with fewer than
+    * two tokens have no bigrams and produce no row. */
+  def knownBigramRatio(docs: DataFrame, idCol: String, textCol: String,
+                       minCount: Long): DataFrame = {
+    val bg = Parallelize.ensure(
+        docs.select(col(idCol).as("_id"), col(textCol).as("_t")))
+      .select(col("_id"),
+        explode(TextAnalysis.rawNgrams(col("_t"), 2)).as("_bg"))
+      .select(col("_id"), xxhash64(col("_bg")).as("_h"))
+    val known = bg.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+      .select(col("_h"), lit(1L).as("_k"))
+    bg.join(known, Seq("_h"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("_k"), lit(0L))).as("_nk"))
+      .select(col("_id").as(idCol), col("n_bigrams"),
+        (col("_nk").cast("double") / col("n_bigrams").cast("double")).as("known_ratio"))
+  }
+
   def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Parallelize.ensure(
         docs.select(col(idCol).as("_id"), col(textCol).as("_t")))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{BloomJoin, Dedup, TextAnalysis}
+import graft.ops.{BloomJoin, Corpus, Dedup, TextAnalysis}
 
 /** Round-4 training-pipeline operators: benchmark decontamination,
   * repetition quality metrics, stratified hash sampling, and the
@@ -11,6 +11,23 @@ import graft.ops.{BloomJoin, Dedup, TextAnalysis}
 class PipelineOpsSpec extends AnyFunSuite {
   private lazy val spark = Golden.spark
   import spark.implicits._
+
+  test("knownBigramRatio scores docs by corpus-frequent bigram coverage") {
+    // "a b" occurs 3× corpus-wide (docs 0,1,2) → known at minCount=3;
+    // every other bigram occurs once
+    val docs = Seq(
+      (0L, "a b c"),   // bigrams: "a b"(known), "b c" → 1/2
+      (1L, "a b"),     // "a b" → 1/1
+      (2L, "x a b"),   // "x a", "a b" → 1/2
+      (3L, "p q r"),   // none known → 0/2
+      (4L, "solo"),    // <2 tokens: no row
+      (5L, "")         // empty: no row
+    ).toDF("doc_id", "text")
+    val got = Corpus.knownBigramRatio(docs, "doc_id", "text", minCount = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(
+      0L -> ((2L, 0.5)), 1L -> ((1L, 1.0)), 2L -> ((2L, 0.5)), 3L -> ((2L, 0.0))))
+  }
 
   test("contaminationFlags marks exactly the docs sharing an n-gram with the benchmark") {
     val train = Seq(
