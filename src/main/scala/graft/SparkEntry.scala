@@ -857,6 +857,16 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("adist"), 4).as("adist"))
     }),
 
+    // ---- Events: conversion funnel — how far each user progresses
+    //      through view → click → purchase, each step strictly after the
+    //      previous and within a 24 h conversion window (one user-key
+    //      shuffle + codegen'd array fold; no k-way self-join). Greedy
+    //      earliest-match ≡ the oracle's chained bounded mins ----
+    "q71_funnel" -> ((s, dir) => {
+      Sessionize.funnel(tbl(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapSeconds = Some(86400L))
+    }),
+
     // ---- Documents: corpus-LM fluency score — fraction of each doc's
     //      bigrams occurring >= 3 times corpus-wide (the integer-exact
     //      cousin of a perplexity filter; one IEEE division, bit-exact
@@ -1673,5 +1683,29 @@ object SparkEntry {
         |      FROM bgs LEFT JOIN k ON bgs.bg = k.bg GROUP BY 1)
         |SELECT doc_id, n_bigrams,
         |       CAST(nk AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS known_ratio
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin,
+
+    // q71: the funnel as chained bounded mins — t1 = first view, t2 =
+    // first click in (t1, t1 + 24 h], t3 = first purchase in
+    // (t2, t2 + 24 h]. Strict ts comparisons agree across engines: every
+    // generated ts is microsecond-aligned (verified at all three SFs), so
+    // Spark's micro-truncated reads and DuckDB's TIMESTAMP_NS order
+    // identically and the +24 h boundary is exact in both
+    "q71_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS ts FROM events WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.ts
+        |         AND e.ts <= t1.ts + INTERVAL 86400 SECOND GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.ts
+        |         AND e.ts <= t2.ts + INTERVAL 86400 SECOND GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type IN ('view', 'click', 'purchase'))
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+        |            WHEN t2.user_id IS NOT NULL THEN 2
+        |            WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached
+        |FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+        |       LEFT JOIN t2 ON u.user_id = t2.user_id
+        |       LEFT JOIN t3 ON u.user_id = t3.user_id""".stripMargin)
 }

@@ -12,6 +12,41 @@ class PipelineOpsSpec extends AnyFunSuite {
   private lazy val spark = Golden.spark
   import spark.implicits._
 
+  test("funnel: strict ordering, same-ts ties, missing first step") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    val ev = Seq(
+      // u1 full funnel in order → 3
+      (1L, t(10), "view"), (1L, t(20), "click"), (1L, t(30), "purchase"),
+      // u2 click BEFORE view never re-fires → view only → 1
+      (2L, t(10), "click"), (2L, t(20), "view"),
+      // u3 click at the SAME ts as the first view: strictly-after fails,
+      // the later click rescues step 2 → 2
+      (3L, t(10), "view"), (3L, t(10), "click"), (3L, t(40), "click"),
+      // u4 purchase before click → stuck at click → 2
+      (4L, t(10), "view"), (4L, t(15), "purchase"), (4L, t(20), "click"),
+      // u5 only non-first steps → 0
+      (5L, t(10), "purchase"),
+      // u6 only irrelevant events → no row
+      (6L, t(10), "error")
+    ).toDF("user_id", "ts", "event_type")
+    val got = graft.ops.Sessionize.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 0))
+    // conversion window: u1's click is 10 s after the view — a 5 s window
+    // stops it at step 1 and no later step re-fires (no re-anchoring); an
+    // exactly-10 s window includes the boundary (closed interval)
+    val win = graft.ops.Sessionize.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapSeconds = Some(5L))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(win(1L) == 1)
+    val win10 = graft.ops.Sessionize.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapSeconds = Some(10L))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(win10(1L) == 3)
+  }
+
   test("knownBigramRatio scores docs by corpus-frequent bigram coverage") {
     // "a b" occurs 3× corpus-wide (docs 0,1,2) → known at minCount=3;
     // every other bigram occurs once
