@@ -867,6 +867,15 @@ object SparkEntry {
         Seq("view", "click", "purchase"), maxGapSeconds = Some(86400L))
     }),
 
+    // ---- Events: retention triangle — daily cohorts by first PURCHASE,
+    //      distinct-active-day counts per offset (one user-key shuffle:
+    //      min + collect_set in the same agg, no join back) ----
+    "q72_retention" -> ((s, dir) => {
+      Sessionize.retentionCohorts(
+        tbl(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", periodSeconds = 86400L)
+    }),
+
     // ---- Documents: corpus-LM fluency score — fraction of each doc's
     //      bigrams occurring >= 3 times corpus-wide (the integer-exact
     //      cousin of a perplexity filter; one IEEE division, bit-exact
@@ -1707,5 +1716,16 @@ object SparkEntry {
         |            WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached
         |FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
         |       LEFT JOIN t2 ON u.user_id = t2.user_id
-        |       LEFT JOIN t3 ON u.user_id = t3.user_id""".stripMargin)
+        |       LEFT JOIN t3 ON u.user_id = t3.user_id""".stripMargin,
+
+    // q72: integer-epoch day buckets (floor of epoch-micros / 86400e6 —
+    // no calendar semantics, exact in both engines), first-purchase
+    // cohort, distinct active days per user
+    "q72_retention" ->
+      """WITH w AS (SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS p
+        |           FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, min(p) AS c FROM w GROUP BY 1),
+        |a AS (SELECT DISTINCT w.user_id, f.c, w.p FROM w JOIN f ON w.user_id = f.user_id)
+        |SELECT c AS cohort, CAST(p - c AS INT) AS offset, count(*) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin)
 }

@@ -86,4 +86,34 @@ object Sessionize {
       })
     evs.select(col("_u").as(userCol), folded.getField("r").as("reached"))
   }
+
+  /** Retention cohort matrix: users grouped by the period of their FIRST
+    * event (`cohort`), counted once per later period they were active in
+    * (`offset` periods after their first). The classic product-analytics
+    * retention triangle; run over a filtered frame (e.g. purchases only)
+    * for action-based retention.
+    *
+    * Periods are `floor(epoch_micros / periodSeconds·10⁶)` — pure integer
+    * epochs, no calendar semantics, so every engine computes the exact
+    * same buckets (micros < 2⁵³ are exact in the IEEE division, and a ts
+    * landing exactly on a boundary divides exactly).
+    *
+    * Scale shape: ONE hash shuffle on the user key aggregates each user's
+    * first period AND distinct-period set together (`min` + `collect_set`
+    * in the same agg — no join back to the events), then the exploded
+    * (cohort, offset) pairs — already distinct per user by construction —
+    * aggregate on narrow keys. Per-user state is its distinct-period set:
+    * bounded by the observation window, not event volume. */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0, "periodSeconds must be positive")
+    val period = floor(unix_micros(col(tsCol)) / lit(periodSeconds * 1000000.0)).cast("long")
+    events.select(col(userCol).as("_u"), period.as("_p"))
+      .groupBy(col("_u"))
+      .agg(min(col("_p")).as("_c"), collect_set(col("_p")).as("_ps"))
+      .select(col("_c"), explode(col("_ps")).as("_p"))
+      .select(col("_c").as("cohort"), (col("_p") - col("_c")).cast("int").as("offset"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

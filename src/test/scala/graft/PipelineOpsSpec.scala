@@ -47,6 +47,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(win10(1L) == 3)
   }
 
+  test("retentionCohorts: first-period cohort, distinct-active counts, multi-cohort") {
+    import java.sql.Timestamp
+    def t(day: Long, h: Long = 0) = new Timestamp((day * 86400 + h * 3600) * 1000)
+    val ev = Seq(
+      // u1 first day 0, active days 0 (twice — counted once), 1, 3
+      (1L, t(0)), (1L, t(0, 5)), (1L, t(1)), (1L, t(3)),
+      // u2 first day 0, active day 0 only
+      (2L, t(0, 23)),
+      // u3 first day 2 (a LATER cohort), active days 2 and 3
+      (3L, t(2)), (3L, t(3))
+    ).toDF("user_id", "ts")
+    val got = graft.ops.Sessionize.retentionCohorts(ev, "user_id", "ts", 86400L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0) -> 2L, (0L, 1) -> 1L, (0L, 3) -> 1L,
+      (2L, 0) -> 1L, (2L, 1) -> 1L))
+  }
+
   test("knownBigramRatio scores docs by corpus-frequent bigram coverage") {
     // "a b" occurs 3× corpus-wide (docs 0,1,2) → known at minCount=3;
     // every other bigram occurs once

@@ -80,4 +80,46 @@ class RandomPropertySpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("funnel agrees with a naive chained-bounded-min reference on random streams") {
+    // reference: t1 = min ts of step1; t_{i+1} = min ts of step_{i+1} in
+    // (t_i, t_i + G] — the documented first-touch semantics
+    def ref(evs: Seq[(Long, String)], steps: Seq[String], gapUs: Option[Long]): Int = {
+      var t = Option.empty[Long]
+      var r = 0
+      for (step <- steps) {
+        val cand = evs.filter { case (ts, e) =>
+          e == step && t.forall(p => ts > p && gapUs.forall(g => ts <= p + g))
+        }.map(_._1)
+        if (t.isEmpty || cand.nonEmpty) {
+          if (cand.isEmpty) return r // no step-1 event at all
+          t = Some(cand.min); r += 1
+        } else return r
+      }
+      r
+    }
+    val steps = Seq("a", "b", "c")
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(7000 + seed)
+      // user, ts in whole SECONDS from a narrow range — dense ts
+      // collisions on purpose: ties across users AND within a user
+      val rows = (0 until 400).map { _ =>
+        (rng.nextInt(25).toLong, rng.nextInt(40).toLong,
+          Seq("a", "b", "c", "x")(rng.nextInt(4)))
+      }
+      val df = rows.toDF("user_id", "tsec", "event_type")
+        .withColumn("ts", timestamp_micros(col("tsec") * 1000000L))
+      for (gap <- Seq(None, Some(5L), Some(1L))) {
+        val got = graft.ops.Sessionize.funnel(df, "user_id", "ts", "event_type",
+            steps, maxGapSeconds = gap)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val want = rows.groupBy(_._1).collect {
+          case (u, es) if es.exists(e => steps.contains(e._3)) =>
+            u -> ref(es.map(e => (e._2 * 1000000L, e._3)).filter(e => steps.contains(e._2)),
+              steps, gap.map(_ * 1000000L))
+        }.toMap
+        assert(got == want, s"seed=$seed gap=$gap")
+      }
+    }
+  }
 }
