@@ -135,6 +135,37 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join\n$p")
   }
 
+  test("q71 funnel: one user-key shuffle, no window, no self-join") {
+    val p = plan("q71_funnel")
+    assert(!p.contains("Window"),
+      s"the fold replaces per-user windows\n$p")
+    // exactly one exchange: the user-key groupBy (AQE may re-wrap it, so
+    // count the hashpartitioning exchanges on the data path)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"funnel is ONE shuffle on the user key\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no k-way self-join formulation\n$p")
+  }
+
+  test("q72 retention: one user shuffle feeding narrow-key aggregation") {
+    val p = plan("q72_retention")
+    assert(!p.contains("Join"), s"min+collect_set in one agg — no join back\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"user shuffle + (cohort, offset) shuffle, nothing else\n$p")
+  }
+
+  test("q67/q69 IVF-PQ: probes broadcast, corpus never cartesians against queries") {
+    for (q <- Seq("q67_ivf_pq", "q69_ivf_pq_residual")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: probed-cell join must broadcast the query side\n$p")
+      // the only allowed cartesian is corpus × the 8-row centroid table
+      // (cell assignment) and queries × centroids — both broadcast; the
+      // corpus must never nested-loop against per-query LUT rows
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian product\n$p")
+    }
+  }
+
   test("salted join spreads a skewed key and preserves results") {
     import graft.ops.SkewJoin
     val spark2 = spark
