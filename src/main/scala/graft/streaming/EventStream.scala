@@ -147,6 +147,49 @@ object EventStream {
         })
   }
 
+  final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelState(reached: Int, tMicros: Long)
+  final case class FunnelProgress(user_id: Long, reached: Int)
+
+  /** Streaming flavor of [[graft.ops.Sessionize.funnel]]: per-user funnel
+    * progression maintained as keyed state, one `FunnelProgress` row
+    * emitted whenever a user advances (Append mode — dashboards see each
+    * conversion as it happens). Advancement rule is IDENTICAL to batch:
+    * next step strictly after the step that preceded it and inside the
+    * conversion window, first-touch, no re-anchoring — so per-user state
+    * is two scalars (stage, timestamp), bounded by user cardinality and
+    * never by event volume. Matches the batch operator exactly when each
+    * user's events arrive in event-time order across microbatches (within
+    * a batch they are sorted; the cross-batch caveat is the same one the
+    * NoTimeout sessionize documents). */
+  def funnelStream(events: Dataset[TypedEvent], steps: Seq[String],
+                   maxGapSeconds: Option[Long] = None): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long = (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    val gapUs = maxGapSeconds.map(_ * 1000000L)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[TypedEvent], state: GroupState[FunnelState]) => {
+          val sorted = it.filter(e => steps.contains(e.event_type)).toSeq
+            .sortBy(e => (micros(e.ts), e.event_type))
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val before = s.reached
+          for (e <- sorted if s.reached < steps.size) {
+            val t = micros(e.ts)
+            val inWindow = gapUs.forall(g => t <= s.tMicros + g)
+            if (e.event_type == steps(s.reached) &&
+                (s.reached == 0 || (t > s.tMicros && inWindow)))
+              s = FunnelState(s.reached + 1, t)
+          }
+          if (sorted.isEmpty) Iterator.empty // no step events: no state, no row
+          else if (s.reached != before || state.getOption.isEmpty) {
+            state.update(s)
+            Iterator.single(FunnelProgress(user, s.reached))
+          } else Iterator.empty
+        })
+  }
+
   /** Stateful gap-based sessionization: emits a session when `gapMs` of
     * event-time silence passes for a user (processing-time timeout flavor
     * for bounded tests; [[sessionizeEventTime]] is the unbounded-stream

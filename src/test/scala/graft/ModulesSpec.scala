@@ -104,6 +104,47 @@ class ModulesSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(1L, 2L, 3L)) // in-batch dup dropped, batches appended
   }
 
+  test("streaming funnel emits progress rows and agrees with the batch funnel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val mem = MemoryStream[(Long, String, String)]
+    val ds = mem.toDF().toDF("user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[EventStream.TypedEvent]
+    val q = EventStream.funnelStream(ds, steps, maxGapSeconds = Some(3600L))
+      .writeStream.outputMode("append").format("memory").queryName("funnel").start()
+    // batch 1: u1 view+click; u2 click only (reached 0); u3 nothing relevant
+    mem.addData((1L, "2024-01-01 00:00:00", "view"), (1L, "2024-01-01 00:10:00", "click"),
+      (2L, "2024-01-01 00:00:00", "click"), (3L, "2024-01-01 00:00:00", "error"))
+    q.processAllAvailable()
+    // batch 2: u1 purchases INSIDE the window and completes; u2 views
+    // (progress 0 → 1 emits); a u1 click re-arrival changes nothing (no row)
+    mem.addData((1L, "2024-01-01 00:30:00", "purchase"), (1L, "2024-01-01 00:31:00", "click"),
+      (2L, "2024-01-01 00:40:00", "view"))
+    q.processAllAvailable()
+    val rows = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    q.stop()
+    // progress log: u1 1→2 within batch 1 emits once (final state of the
+    // batch), then 3 on completion; u2 emits 0 then 1; u3 never appears
+    assert(rows.sorted == Seq((1L, 2), (1L, 3), (2L, 0), (2L, 1)))
+    // final per-user state equals the batch operator over the full history
+    val all = Seq(
+      (1L, "2024-01-01 00:00:00", "view"), (1L, "2024-01-01 00:10:00", "click"),
+      (2L, "2024-01-01 00:00:00", "click"), (3L, "2024-01-01 00:00:00", "error"),
+      (1L, "2024-01-01 00:30:00", "purchase"), (1L, "2024-01-01 00:31:00", "click"),
+      (2L, "2024-01-01 00:40:00", "view"))
+      .toDF("user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val batchFinal = Sessionize.funnel(all, "user_id", "ts", "event_type",
+        steps, maxGapSeconds = Some(3600L))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val streamFinal = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(streamFinal == batchFinal)
+  }
+
   test("streaming dedup drops later duplicates and keeps state bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
