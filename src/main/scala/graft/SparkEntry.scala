@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DateNorm
-import graft.ops.{Corpus, Dedup, IdAssign, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, IdAssign, Layout, Multimodal, Scrub, Sessionize, Similarity, Stats, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -893,7 +893,51 @@ object SparkEntry {
       Multimodal.extractFeatures(packed, "doc_id")
         .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"),
           round(col("brightness"), 4).as("brightness"))
-    }))
+    }),
+
+    // ---- PII scrub: email/phone/digit-run masking (row-local regexes,
+    //      identical under Java regex and RE2). The contact line is
+    //      derived deterministically from customer columns so all three
+    //      masking branches fire on real rows ----
+    "q73_pii_mask" -> ((s, dir) => {
+      tbl(s, dir, "customer").select(col("c_custkey"),
+        Scrub.piiMask(concat(
+          col("c_name"), lit(" "),
+          lower(col("c_mktsegment")), lit("."), col("c_custkey").cast("string"),
+          lit("@mail.example ph "),
+          lpad((col("c_custkey") % 90 + 10).cast("string"), 2, "0"), lit("-"),
+          lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"), lit("-"),
+          lpad((col("c_custkey") % 9000 + 1000).cast("string"), 4, "0"))).as("masked"))
+    }),
+
+    // ---- Cross-document duplicated-span fraction (exact-substring dedup
+    //      signal, Lee et al.): share of each doc's positional 3-grams
+    //      occurring in >= 2 docs ----
+    "q74_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpanFrac(tbl(s, dir, "documents"), "doc_id", "text", 3)),
+
+    // ---- Z-order layout key: native codegen'd Morton interleave of
+    //      (l_partkey, l_suppkey) mod 256 — the file-clustering key a
+    //      100 TB writer sorts by for two-column min/max pruning ----
+    "q75_zorder" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          Layout.zorderKey(col("l_partkey"), col("l_suppkey"), 8).as("z"))
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
+    // ---- Tukey-fence outliers per event type: exact per-group quartiles
+    //      broadcast back onto the fact scan (data never shuffles) ----
+    "q76_outliers" -> ((s, dir) =>
+      Stats.iqrOutliers(tbl(s, dir, "events"), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"))),
+
+    // ---- Pairwise source vocabulary Jaccard: dataset-diff diagnostic
+    //      over an inverted token-hash index ----
+    "q77_source_overlap" -> ((s, dir) =>
+      Corpus.sourceOverlap(tbl(s, dir, "documents"), "source", "text")))
 
   /** q24's oracle, generated for the 16 simhash bit positions. */
   private val simhashOracle: String = {
@@ -1102,6 +1146,21 @@ object SparkEntry {
        |       CAST(3 AS INT) AS channels,
        |       round((bsum % 256) / 255.0, 4) AS brightness
        |FROM s""".stripMargin
+
+  /** q75's oracle: the Morton interleave replayed as an explicit 16-term
+    * shift/mask/sum (DuckDB has no bit-interleave builtin — exactness of
+    * [[graft.functions.InterleaveBits]] is integer bit math, identical in
+    * any engine). */
+  private val zorderOracle: String = {
+    val terms = (0 until 8).flatMap(b => Seq(
+      s"((((l_partkey % 256) >> $b) & 1) << ${2 * b})",
+      s"((((l_suppkey % 256) >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  CAST($terms AS BIGINT) AS z
+       |FROM lineitem
+       |ORDER BY z, l_orderkey, l_linenumber
+       |LIMIT 100""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q65_pq_encode" -> pqOracle,
@@ -1727,5 +1786,59 @@ object SparkEntry {
         |f AS (SELECT user_id, min(p) AS c FROM w GROUP BY 1),
         |a AS (SELECT DISTINCT w.user_id, f.c, w.p FROM w JOIN f ON w.user_id = f.user_id)
         |SELECT c AS cohort, CAST(p - c AS INT) AS offset, count(*) AS n_users
-        |FROM a GROUP BY 1, 2""".stripMargin)
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // q73: the same three-pattern replace chain, same order, with RE2's
+    // explicit 'g' flag (Java's regexp_replace is global by default)
+    "q73_pii_mask" ->
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    c_name || ' ' || lower(c_mktsegment) || '.' || CAST(c_custkey AS VARCHAR)
+        |      || '@mail.example ph '
+        |      || CAST(c_custkey % 90 + 10 AS VARCHAR) || '-'
+        |      || CAST(c_custkey % 900 + 100 AS VARCHAR) || '-'
+        |      || CAST(c_custkey % 9000 + 1000 AS VARCHAR),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{2,4}([- .][0-9]{2,4}){2,4}', '<PHONE>', 'g'),
+        |    '[0-9]{6,}', '<ID>', 'g') AS masked
+        |FROM customer""".stripMargin,
+
+    // q74: positional 3-grams (q50's construction), grams in >= 2 distinct
+    // docs marked, one integer division per doc
+    "q74_dup_spans" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |gr AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |  THEN list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+        |  ELSE [] END) AS gm FROM w),
+        |d AS (SELECT gm FROM (SELECT gm, count(DISTINCT doc_id) AS nd FROM gr GROUP BY 1) x WHERE nd >= 2)
+        |SELECT gr.doc_id, count(*) AS n_grams,
+        |  sum(CASE WHEN d.gm IS NOT NULL THEN 1 ELSE 0 END) / count(*) AS dup_frac
+        |FROM gr LEFT JOIN d ON gr.gm = d.gm
+        |GROUP BY 1""".stripMargin,
+
+    "q75_zorder" -> zorderOracle,
+
+    // q76: identical fence arithmetic on both engines' exact
+    // linear-interpolated quartiles (q43 established quantile_cont ≡
+    // Spark percentile)
+    "q76_outliers" ->
+      """WITH f AS (SELECT event_type,
+        |    quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.75) AS p75
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value
+        |FROM events e JOIN f USING (event_type)
+        |WHERE e.value < p25 - 1.5 * (p75 - p25)
+        |   OR e.value > p75 + 1.5 * (p75 - p25)""".stripMargin,
+
+    // q77: distinct (source, token) vocabulary, inverted self-join for
+    // common counts, integer Jaccard with one final division
+    "q77_source_overlap" ->
+      """WITH t AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents),
+        |v AS (SELECT DISTINCT source, w FROM t WHERE w <> ''),
+        |n AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+        |c AS (SELECT a.source AS group_a, b.source AS group_b, count(*) AS common
+        |  FROM v a JOIN v b ON a.w = b.w WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT c.group_a, c.group_b, c.common,
+        |  c.common / (na.n + nb.n - c.common) AS jaccard
+        |FROM c JOIN n na ON c.group_a = na.source JOIN n nb ON c.group_b = nb.source""".stripMargin)
 }

@@ -116,4 +116,43 @@ object Corpus {
       .select(col("_id").as(idCol), col("_best._term").as("top_term"),
         col("_best._score").as("score"))
   }
+
+  /** Pairwise vocabulary Jaccard between dataset partitions (sources,
+    * snapshots, languages): for every pair of `groupCol` values, the
+    * overlap of their distinct token vocabularies — the cheap
+    * dataset-diff diagnostic run before mixing corpora (two crawls with
+    * ~identical vocabulary are probably the same source twice; a shard
+    * with near-zero overlap is probably mislabeled or another language).
+    *
+    * Scale shape: one distinct over (group, token-hash) — tokens collapse
+    * to 8-byte xxhash64 keys at the scan, strings never shuffle — then an
+    * inverted self-join on the hash to count common tokens per pair, and
+    * a broadcast of the tiny per-group vocabulary sizes. Costs
+    * O(pairs-per-token): each token contributes rows only for the groups
+    * it appears in, so with G groups a universal stopword fans out G²/2 —
+    * fine for dataset-level diagnostics (G in the tens/hundreds); for
+    * thousands of groups switch to MinHash signatures per group and
+    * estimate the same Jaccard from G small sketches instead.
+    *
+    * Integer counts and ONE final IEEE division (the repo's linear
+    * reproducibility convention) — bit-identical across engines. */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val vocab = Parallelize.ensure(
+        docs.select(col(groupCol).as("_g"), col(textCol).as("_t")))
+      .select(col("_g"), explode(TextAnalysis.tokens(col("_t"))).as("_w"))
+      .filter(col("_w") =!= "")
+      .select(col("_g"), xxhash64(col("_w")).as("_h"))
+      .distinct()
+    val sizes = vocab.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+    val common = vocab.select(col("_g").as("group_a"), col("_h"))
+      .join(vocab.select(col("_g").as("group_b"), col("_h")), Seq("_h"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes.select(col("_g").as("group_a"), col("_n").as("_na"))), Seq("group_a"))
+      .join(broadcast(sizes.select(col("_g").as("group_b"), col("_n").as("_nb"))), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("common"),
+        (col("common") / (col("_na") + col("_nb") - col("common"))).as("jaccard"))
+  }
 }

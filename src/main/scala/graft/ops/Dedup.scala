@@ -229,4 +229,41 @@ object Dedup {
     }
     bitCols.reduce(_ + _)
   }
+
+  /** Per-document duplicated-span fraction: the share of a document's
+    * POSITIONAL word n-grams that also occur in at least one OTHER
+    * document — the corpus-level signal behind exact-substring
+    * deduplication (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): a doc scoring near 1.0 is boilerplate or a
+    * near-copy even when no single whole-doc fingerprint matches.
+    * Complements [[TextAnalysis.dupNgramFrac]] (repeats WITHIN a doc) —
+    * this measures repeats ACROSS docs.
+    *
+    * Scale shape: n-gram strings collapse to 8-byte xxhash64 keys at the
+    * scan and everything downstream rides those — (doc, hash) distinct →
+    * per-hash doc count (map-side partial) → ≥2 survivors joined back
+    * onto the positional gram stream → one groupBy(doc) fold. Two narrow
+    * hash shuffles plus the final doc-key shuffle; the text itself never
+    * shuffles. A 2⁻⁶⁴ collision can only over-count a span as duplicated
+    * — the conservative direction for a dedup signal.
+    *
+    * Returns (idCol, n_grams, dup_frac); documents shorter than n words
+    * have no n-grams and produce no row. */
+  def dupSpanFrac(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 5): DataFrame = {
+    val grams = Parallelize.ensure(
+        df.select(col(idCol).as("_id"), col(textCol).as("_t")))
+      .select(col("_id"),
+        explode(TextAnalysis.rawNgrams(col("_t"), n)).as("_g"))
+      .select(col("_id"), xxhash64(col("_g")).as("_h"))
+    val dup = grams.distinct()
+      .groupBy(col("_h")).agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= 2)
+      .select(col("_h"), lit(1).as("_dup"))
+    grams.join(dup, Seq("_h"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        (sum(coalesce(col("_dup"), lit(0))) / count(lit(1))).as("dup_frac"))
+      .withColumnRenamed("_id", idCol)
+  }
 }

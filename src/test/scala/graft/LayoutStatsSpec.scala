@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ZOrderExprs
+import graft.ops.{Corpus, Dedup, Layout, Scrub, Stats}
+
+/** Round-5 depth operators: PII scrubbing, Morton/Z-order layout keys,
+  * Tukey-fence outliers, cross-document duplicated spans, and source
+  * vocabulary overlap. */
+class LayoutStatsSpec extends AnyFunSuite {
+  private lazy val spark = Golden.spark
+  import spark.implicits._
+
+  // ---- Scrub ----
+
+  test("piiMask masks emails, phones, and digit runs; leaves short digits") {
+    val rows = Seq(
+      "mail me at john.doe+x@sub.example.org today",
+      "call 25-989-741-2988 or 202 555 0173 now",
+      "account 123456789 balance 42 pin 12345",
+      "v2.1 released 2024-01-15").toDF("t")
+      .select(Scrub.piiMask(col("t")).as("m")).as[String].collect()
+    assert(rows(0) == "mail me at <EMAIL> today")
+    assert(rows(1) == "call <PHONE> or <PHONE> now")
+    // 42 and 12345 are under the 6-digit threshold and survive
+    assert(rows(2) == "account <ID> balance 42 pin 12345")
+    // separator-structured digit groups mask as phone-like — the
+    // documented (and standard) date false-positive of regex PII passes
+    assert(rows(3) == "v2.1 released <PHONE>")
+  }
+
+  test("piiMask replacement tokens are fixed points (no re-matching)") {
+    val once = Seq("a 1234567 b x@y.zz c 12-345-678-9012").toDF("t")
+      .select(Scrub.piiMask(col("t")).as("m")).as[String].collect()(0)
+    val twice = Seq(once).toDF("t")
+      .select(Scrub.piiMask(col("t")).as("m")).as[String].collect()(0)
+    assert(once == "a <ID> b <EMAIL> c <PHONE>")
+    assert(twice == once)
+  }
+
+  // ---- InterleaveBits / Layout ----
+
+  /** Reference model: bit-by-bit interleave on the driver. */
+  private def morton(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (z, i) =>
+      z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("interleaveBits matches the driver model, incl. negatives and edges") {
+    val cases = Seq(0L -> 0L, 1L -> 0L, 0L -> 1L, 255L -> 255L, 170L -> 85L,
+      -1L -> 0L, Long.MaxValue -> Long.MinValue, 12345L -> 54321L)
+    val got = cases.toDF("x", "y")
+      .select(ZOrderExprs.interleaveBits(col("x"), col("y"), 8).as("z"))
+      .as[Long].collect()
+    cases.zip(got).foreach { case ((x, y), z) =>
+      assert(z == morton(x, y, 8), s"($x, $y)")
+    }
+  }
+
+  test("interleaveBits equals the composed-builtin form (codegen cross-check)") {
+    // the same interleave built from 2·bits shift/and Column expressions —
+    // a second, independent evaluation path through Catalyst
+    def composed(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column, bits: Int) =
+      (0 until bits).map { i =>
+        (shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)).cast("long")
+      }.reduce(_ + _)
+    val df = spark.range(0, 2000).select(
+      (col("id") * 2654435761L % 1024).as("x"), (col("id") * 40503L % 1024).as("y"))
+    val diff = df.select(
+        ZOrderExprs.interleaveBits(col("x"), col("y"), 10).as("a"),
+        composed(col("x"), col("y"), 10).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+  }
+
+  test("zorder key walks the true Z-curve (x on even bits)") {
+    val zs = (0 until 16).flatMap(x => (0 until 16).map(y => (x, y)))
+      .sortBy { case (x, y) => morton(x, y, 4) }
+    // the canonical Z-curve prefix — pins the bit assignment (x even,
+    // y odd), which a transposed or row-major flattening would break
+    assert(zs.take(8) == Seq((0, 0), (1, 0), (0, 1), (1, 1),
+      (2, 0), (3, 0), (2, 1), (3, 1)))
+    // and the locality property the layout exists for: most consecutive
+    // steps stay within manhattan distance 3 in BOTH dims (measured
+    // 87.8% on a 16×16 grid; a diagonal-oblivious order like column-major
+    // concentrates distance in one dim instead)
+    val jumps = zs.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+      (x2 - x1).abs + (y2 - y1).abs }.toSeq
+    assert(jumps.count(_ <= 3) >= (jumps.size * 0.85).toInt)
+  }
+
+  test("zorderLayout range-partitions and sorts by the morton key") {
+    val df = spark.range(0, 10000).select(
+      (col("id") % 97).as("x"), (col("id") % 89).as("y"), col("id"))
+    val out = Layout.zorderLayout(df, "x", "y", 7, partitions = 4)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("Sort [_z"), p)
+    // each output partition holds a contiguous, internally-sorted z-range
+    val perPart = out.select(Layout.zorderKey(col("x"), col("y"), 7).as("z"))
+      .rdd.mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq))
+      .collect().filter(_.nonEmpty)
+    perPart.foreach(zs => assert(zs == zs.sorted, "sorted within partition"))
+    val ranges = perPart.map(zs => (zs.head, zs.last)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "disjoint partition ranges")
+      case _ =>
+    }
+  }
+
+  // ---- Stats ----
+
+  test("iqrOutliers flags exactly the Tukey-fence violations per group") {
+    // group a: 1..11 plus 100 — p25 = 3.75, p75 = 9.25, fences [-4.5, 17.5]
+    val a = (1 to 11).map(v => ("a", v.toDouble)) :+ ("a", 100.0)
+    // group b: tight cluster, no outliers
+    val b = (1 to 12).map(v => ("b", 50.0 + (v % 3)))
+    val got = Stats.iqrOutliers((a ++ b).toDF("g", "v"), "g", "v")
+      .select(col("g"), col("v")).as[(String, Double)].collect().toSet
+    assert(got == Set(("a", 100.0)))
+  }
+
+  test("iqrOutliers broadcasts the fence table (fact side never shuffles)") {
+    val df = (1 to 100).map(v => (s"g${v % 3}", v.toDouble)).toDF("g", "v")
+    val p = Stats.iqrOutliers(df, "g", "v").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  // ---- Dedup.dupSpanFrac ----
+
+  test("dupSpanFrac scores shared spans, not within-doc repeats") {
+    val docs = Seq(
+      (0L, "a b c d e"),     // grams: abc bcd cde — abc shared with doc 1
+      (1L, "a b c x y"),     // grams: abc bcx cxy — abc shared
+      (2L, "p q r p q r"),   // within-doc repeat only: pqr qrp rpq pqr — NOT cross-doc
+      (3L, "z z")            // < 3 words: no grams, no row
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanFrac(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList.sortBy(_._1)
+    assert(got == List((0L, 3L, 1.0 / 3), (1L, 3L, 1.0 / 3), (2L, 4L, 0.0)))
+  }
+
+  // ---- Corpus.sourceOverlap ----
+
+  test("sourceOverlap computes pairwise vocabulary Jaccard") {
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "c d"),     // vocab s1 = {a b c d}
+      ("s2", "c d e"),                    // vocab s2 = {c d e}
+      ("s3", "x y")                       // vocab s3 = {x y} — disjoint
+    ).toDF("source", "text")
+    val got = Corpus.sourceOverlap(docs, "source", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // s1∩s2 = {c d}: 2 / (4+3-2) = 0.4; disjoint pairs produce no row
+    assert(got == Map(("s1", "s2") -> ((2L, 0.4))))
+  }
+}

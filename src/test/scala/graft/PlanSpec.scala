@@ -121,6 +121,14 @@ class PlanSpec extends AnyFunSuite {
       s"term counts need partial/final aggregation\n$p")
   }
 
+  test("q75 zorder top-k ends in TakeOrdered with the morton key codegen'd in the scan stage") {
+    val p = plan("q75_zorder")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ordered limit must TakeOrdered, never a global sort\n$p")
+    assert(p.contains("interleave_bits"), s"native expression should appear\n$p")
+    assert(!p.contains("Exchange"), s"no shuffle at all for a top-k scan\n$p")
+  }
+
   test("q49 decontamination broadcasts the benchmark gram set") {
     val p = plan("q49_decontaminate")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),

@@ -122,4 +122,52 @@ class RandomPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dupSpanFrac agrees with a naive cross-document n-gram scan") {
+    val vocab = Seq("a", "b", "c", "d", "e")
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(300 + seed)
+      // tiny vocab forces heavy cross-doc 3-gram sharing; lengths 0..9
+      // cover the no-gram (< n words) edge
+      val docs = (0L until 40L).map(i =>
+        (i, (0 until rng.nextInt(10)).map(_ => vocab(rng.nextInt(5))).mkString(" ")))
+      val grams = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSeq
+      }.toMap
+      val docsPerGram = grams.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.size }
+      val want = grams.collect { case (id, gs) if gs.nonEmpty =>
+        (id, gs.size.toLong,
+          gs.count(g => docsPerGram(g) >= 2).toDouble / gs.size)
+      }.toSet
+      val got = graft.ops.Dedup.dupSpanFrac(docs.toDF("doc_id", "text"), "doc_id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("sourceOverlap agrees with naive pairwise set Jaccard") {
+    val vocab = ('a' to 'j').map(_.toString)
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(400 + seed)
+      val docs = (0 until 60).map { _ =>
+        (s"s${rng.nextInt(4)}",
+          (0 until (1 + rng.nextInt(6))).map(_ => vocab(rng.nextInt(10))).mkString(" "))
+      }
+      val vocabs = docs.groupBy(_._1).map { case (s, ds) =>
+        s -> ds.flatMap(_._2.split("\\s+")).filter(_.nonEmpty).toSet
+      }
+      val keys = vocabs.keys.toSeq.sorted
+      val want = (for {
+        i <- keys.indices; j <- (i + 1) until keys.size
+        va = vocabs(keys(i)); vb = vocabs(keys(j))
+        c = (va & vb).size if c > 0
+      } yield (keys(i), keys(j), c.toLong,
+        c.toDouble / (va.size + vb.size - c))).toSet
+      val got = graft.ops.Corpus.sourceOverlap(docs.toDF("source", "text"), "source", "text")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }
