@@ -937,7 +937,35 @@ object SparkEntry {
     // ---- Pairwise source vocabulary Jaccard: dataset-diff diagnostic
     //      over an inverted token-hash index ----
     "q77_source_overlap" -> ((s, dir) =>
-      Corpus.sourceOverlap(tbl(s, dir, "documents"), "source", "text")))
+      Corpus.sourceOverlap(tbl(s, dir, "documents"), "source", "text")),
+
+    // ---- RFM segmentation: per-customer recency/frequency/monetary with
+    //      distribution-quartile scores (one customer-key shuffle; the
+    //      quartile row broadcasts). Integer epoch days as in q72; the
+    //      monetary sum rounds to cents BEFORE scoring so the quartile
+    //      inputs are engine-exact ----
+    "q78_rfm" -> ((s, dir) => {
+      // o_orderdate is TIMESTAMP_NTZ; cast interprets it in the session
+      // zone (UTC in Verify/Bench) — the same naive reading DuckDB's
+      // epoch_us gives, so day numbers agree
+      val day = floor(unix_micros(col("o_orderdate").cast("timestamp"))
+        / lit(86400000000.0)).cast("long")
+      val a = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(day).as("_last"), count(lit(1)).as("frequency"),
+          round(sum(col("o_totalprice")), 2).as("monetary"))
+      val g = a.select(max(col("_last")).as("_gmax"))
+      val r = a.crossJoin(broadcast(g))
+        .select(col("custkey"), (col("_gmax") - col("_last")).as("recency"),
+          col("frequency"), col("monetary"))
+      Stats.quartileScores(r, Seq("recency", "frequency", "monetary"))
+    }),
+
+    // ---- Equi-depth histogram of order totals: 5 quantile buckets,
+    //      row-local assignment against broadcast boundaries (no ntile
+    //      window — that is ONE partition at any scale) ----
+    "q79_equidepth" -> ((s, dir) =>
+      Stats.equiDepthHistogram(tbl(s, dir, "orders"), "o_totalprice", 5)))
 
   /** q24's oracle, generated for the 16 simhash bit positions. */
   private val simhashOracle: String = {
@@ -1840,5 +1868,45 @@ object SparkEntry {
         |  FROM v a JOIN v b ON a.w = b.w WHERE a.source < b.source GROUP BY 1, 2)
         |SELECT c.group_a, c.group_b, c.common,
         |  c.common / (na.n + nb.n - c.common) AS jaccard
-        |FROM c JOIN n na ON c.group_a = na.source JOIN n nb ON c.group_b = nb.source""".stripMargin)
+        |FROM c JOIN n na ON c.group_a = na.source JOIN n nb ON c.group_b = nb.source""".stripMargin,
+
+    // q78: integer epoch days (q72's construction), cents-rounded
+    // monetary, strict-> quartile scoring — scores are small ints, exact
+    "q78_rfm" ->
+      """WITH a AS (SELECT o_custkey AS custkey,
+        |    max(CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT)) AS lastday,
+        |    count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT custkey, (SELECT max(lastday) FROM a) - lastday AS recency,
+        |    frequency, monetary FROM a),
+        |q AS (SELECT
+        |    quantile_cont(recency, 0.25) AS r1, quantile_cont(recency, 0.5) AS r2, quantile_cont(recency, 0.75) AS r3,
+        |    quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2, quantile_cont(frequency, 0.75) AS f3,
+        |    quantile_cont(monetary, 0.25) AS m1, quantile_cont(monetary, 0.5) AS m2, quantile_cont(monetary, 0.75) AS m3
+        |  FROM r)
+        |SELECT custkey, recency, frequency, monetary,
+        |  1 + CASE WHEN recency > r1 THEN 1 ELSE 0 END + CASE WHEN recency > r2 THEN 1 ELSE 0 END
+        |    + CASE WHEN recency > r3 THEN 1 ELSE 0 END AS recency_score,
+        |  1 + CASE WHEN frequency > f1 THEN 1 ELSE 0 END + CASE WHEN frequency > f2 THEN 1 ELSE 0 END
+        |    + CASE WHEN frequency > f3 THEN 1 ELSE 0 END AS frequency_score,
+        |  1 + CASE WHEN monetary > m1 THEN 1 ELSE 0 END + CASE WHEN monetary > m2 THEN 1 ELSE 0 END
+        |    + CASE WHEN monetary > m3 THEN 1 ELSE 0 END AS monetary_score
+        |FROM r, q""".stripMargin,
+
+    // q79: bucket = 1 + Σ (v > boundary) against the exact k-quantiles —
+    // boundaries interpolate strictly between data values, so membership
+    // is engine-exact
+    "q79_equidepth" ->
+      """WITH q AS (SELECT
+        |    quantile_cont(o_totalprice, 0.2) AS b1, quantile_cont(o_totalprice, 0.4) AS b2,
+        |    quantile_cont(o_totalprice, 0.6) AS b3, quantile_cont(o_totalprice, 0.8) AS b4
+        |  FROM orders),
+        |b AS (SELECT o_totalprice AS v,
+        |    1 + CASE WHEN o_totalprice > b1 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > b2 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > b3 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > b4 THEN 1 ELSE 0 END AS bucket
+        |  FROM orders, q)
+        |SELECT bucket, count(*) AS n, round(min(v), 2) AS lo, round(max(v), 2) AS hi
+        |FROM b GROUP BY 1""".stripMargin)
 }

@@ -39,4 +39,55 @@ object Stats {
       .filter(col(valCol) < col("_lo") || col(valCol) > col("_hi"))
       .drop("_lo", "_hi")
   }
+
+  /** Quartile scores 1–4 for each of `valCols`, appended as
+    * `<col>_score`: `1 + (v > q25) + (v > q50) + (v > q75)` against the
+    * column's own global quartiles — the building block of RFM-style
+    * segmentation (score each metric by its distribution, not by fixed
+    * thresholds).
+    *
+    * ONE tiny aggregate row holds every column's quartiles and is
+    * broadcast onto the input — the data itself never shuffles, and the
+    * scoring comparisons are codegen'd row-local predicates. Strict `>`
+    * makes boundary rows deterministic: a value exactly equal to a
+    * quartile takes the lower score in every engine. */
+  def quartileScores(df: DataFrame, valCols: Seq[String]): DataFrame = {
+    require(valCols.nonEmpty, "need at least one column to score")
+    val qs = df.select(valCols.map(c =>
+      expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"_q_$c")): _*)
+    val scored = valCols.foldLeft(df.crossJoin(broadcast(qs))) { (d, c) =>
+      d.withColumn(s"${c}_score", lit(1)
+        + (col(c) > element_at(col(s"_q_$c"), 1)).cast("int")
+        + (col(c) > element_at(col(s"_q_$c"), 2)).cast("int")
+        + (col(c) > element_at(col(s"_q_$c"), 3)).cast("int"))
+    }
+    scored.drop(valCols.map(c => s"_q_$c"): _*)
+  }
+
+  /** Equi-depth histogram: `k` buckets holding ~equal row counts, each
+    * reported with its count and observed [lo, hi] — the data-profiling
+    * primitive behind range-partition boundary picking and skew
+    * diagnosis (an equi-WIDTH histogram collapses under heavy tails;
+    * equi-depth adapts).
+    *
+    * Boundaries are the exact `(i/k)`-quantiles computed in one tiny
+    * aggregate and broadcast; bucket assignment is `1 + Σ (v > qᵢ)` —
+    * row-local, no global sort, no `ntile` window (an `ntile` over the
+    * corpus is ONE partition at any scale). At 100 TB swap the exact
+    * percentile for `approx_percentile` (same plan, sketch-bounded
+    * memory); counts then wobble by the sketch error instead of being
+    * exactly k-quantile splits. */
+  def equiDepthHistogram(df: DataFrame, valCol: String, k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    val ps = (1 until k).map(i => i.toDouble / k)
+    val bounds = df.select(
+      expr(s"percentile($valCol, array(${ps.mkString(", ")}))").as("_bs"))
+    df.crossJoin(broadcast(bounds))
+      .select(col(valCol).as("_v"),
+        (lit(1) + ps.indices.map(i =>
+          (col(valCol) > element_at(col("_bs"), i + 1)).cast("int")).reduce(_ + _)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("_v")), 2).as("lo"), round(max(col("_v")), 2).as("hi"))
+  }
 }

@@ -111,7 +111,64 @@ class LayoutStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("zorderLayout shrinks per-file min/max ranges in BOTH dims (the pruning evidence)") {
+    // uniform 200×200 grid of (x, y); a hash-scattered write covers
+    // ~the whole domain in every file, a z-clustered write covers a
+    // small tile — per-file min/max stats become selective on either
+    // column, which is exactly what row-group pruning reads
+    val df = spark.range(0, 40000).select(
+      (col("id") * 7919 % 200).as("x"), (col("id") * 104729 % 200).as("y"))
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Layout.zorderLayout(df, "x", "y", 8, partitions = 16)
+      .write.mode("overwrite").parquet(s"$base/clustered")
+    df.repartition(16).write.mode("overwrite").parquet(s"$base/scattered")
+    def spans(dir: String, c: String): Seq[Long] =
+      new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col(c)), max(col(c))).head
+          r.getLong(1) - r.getLong(0)
+        }
+    def avg(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+    for (c <- Seq("x", "y")) {
+      val clustered = avg(spans(s"$base/clustered", c))
+      val scattered = avg(spans(s"$base/scattered", c))
+      assert(clustered < 0.5 * scattered,
+        s"$c: clustered files should cover tiles, got avg span $clustered vs $scattered")
+    }
+    // and nothing was lost in the rearrangement
+    assert(spark.read.parquet(s"$base/clustered").count() == 40000L)
+  }
+
   // ---- Stats ----
+
+  test("quartileScores assigns 1-4 by the column's own quartiles, strict at boundaries") {
+    // 1..8: quartiles 2.75 / 4.5 / 6.25 → scores 1,1,2,2,3,3,4,4
+    val got = (1 to 8).map(_.toDouble).toDF("v")
+      .transform(df => Stats.quartileScores(df, Seq("v")))
+      .orderBy("v").select("v_score").as[Int].collect().toSeq
+    assert(got == Seq(1, 1, 2, 2, 3, 3, 4, 4))
+    // a value EXACTLY on a quartile scores low (strict >): 4 values all
+    // equal → every quartile == v → everyone scores 1
+    val ties = Seq(5.0, 5.0, 5.0, 5.0).toDF("v")
+      .transform(df => Stats.quartileScores(df, Seq("v")))
+      .select("v_score").as[Int].collect().toSeq
+    assert(ties == Seq(1, 1, 1, 1))
+  }
+
+  test("equiDepthHistogram buckets hold ~equal counts with ordered ranges") {
+    val got = (1 to 100).map(_.toDouble).toDF("v")
+      .transform(df => Stats.equiDepthHistogram(df, "v", 4))
+      .orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    assert(got.map(_._2).forall(_ == 25L), got.mkString(","))
+    // ranges tile the domain in order without overlap
+    got.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
 
   test("iqrOutliers flags exactly the Tukey-fence violations per group") {
     // group a: 1..11 plus 100 — p25 = 3.75, p75 = 9.25, fences [-4.5, 17.5]
