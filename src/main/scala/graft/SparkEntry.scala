@@ -965,7 +965,17 @@ object SparkEntry {
     //      row-local assignment against broadcast boundaries (no ntile
     //      window — that is ONE partition at any scale) ----
     "q79_equidepth" -> ((s, dir) =>
-      Stats.equiDepthHistogram(tbl(s, dir, "orders"), "o_totalprice", 5)))
+      Stats.equiDepthHistogram(tbl(s, dir, "orders"), "o_totalprice", 5)),
+
+    // ---- BPE token counts under a FIXED merge table (each operand is a
+    //      char or an earlier merge's product, so the encoder's
+    //      rank-priority loop ≡ rank-order replay ≡ the oracle's
+    //      left-to-right placeholder replace chain). Training itself is
+    //      iterative (BpeSpec pins it against a naive reference) ----
+    "q80_bpe_tokens" -> ((s, dir) =>
+      Corpus.bpeEncode(tbl(s, dir, "documents"), "doc_id", "text",
+          Seq(("t", "h"), ("th", "e"), ("e", "r"), ("er", "s")))
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))))
 
   /** q24's oracle, generated for the 16 simhash bit positions. */
   private val simhashOracle: String = {
@@ -1908,5 +1918,16 @@ object SparkEntry {
         |      + CASE WHEN o_totalprice > b4 THEN 1 ELSE 0 END AS bucket
         |  FROM orders, q)
         |SELECT bucket, count(*) AS n, round(min(v), 2) AS lo, round(max(v), 2) AS hi
-        |FROM b GROUP BY 1""".stripMargin)
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // q80: BPE merges in the string domain — each merged symbol becomes a
+    // fresh control character, replace() scans left-to-right non-
+    // overlapping exactly like the encoder's greedy fold; token count =
+    // surviving non-space characters
+    "q80_bpe_tokens" ->
+      """SELECT doc_id, CAST(length(regexp_replace(
+        |  replace(replace(replace(replace(lower(trim(text)),
+        |    'th', chr(1)), chr(1) || 'e', chr(2)), 'er', chr(3)), chr(3) || 's', chr(4)),
+        |  '\s', '', 'g')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin)
 }

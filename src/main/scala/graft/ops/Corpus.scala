@@ -136,6 +136,130 @@ object Corpus {
     *
     * Integer counts and ONE final IEEE division (the repo's linear
     * reproducibility convention) — bit-identical across engines. */
+  /** Cache + cut lineage (Cluster's iteration discipline): each BPE round
+    * rewrites the symbol arrays, and an uncut plan after R rounds is R
+    * nested fold expressions — Catalyst analysis cost grows per round
+    * until planning, not data, dominates. */
+  private def snapshot(df: DataFrame, scope: CacheScope): DataFrame =
+    scope.track(df.sparkSession.createDataFrame(df.rdd, df.schema).cache())
+
+  /** Distributed byte-pair-encoding vocabulary training (Sennrich et al.):
+    * learn `numMerges` symbol merges from the corpus, most-frequent
+    * adjacent pair first — the tokenizer-training step of an LLM data
+    * pipeline, run where the data already lives instead of sampling it
+    * out to a single machine.
+    *
+    * Returns the merge rules in rank order as (left, right, pairCount);
+    * stops early when the best remaining pair drops under `minPairCount`.
+    * Deterministic: ties break by (left, right) lexicographically, so the
+    * learned vocabulary is independent of partitioning and run order.
+    *
+    * Scale shape: the corpus collapses ONCE to a (word, freq) table —
+    * pair statistics are weighted by word frequency, so each round's cost
+    * is O(distinct words), not O(corpus). Each round is (a) one
+    * pair-count aggregation over exploded adjacent symbol pairs
+    * (map-side partials, narrow struct keys) feeding
+    * `TakeOrderedAndProject(1)` — only the ONE winning rule reaches the
+    * driver, the classic bounded-driver-state exception (IdAssign's
+    * discipline); and (b) a row-local fold that rewrites each word's
+    * symbol array, greedy leftmost non-overlapping. The vocab table is
+    * snapshot-cached per round to cut fold-expression lineage.
+    *
+    * Variant notes: initial symbols are characters with no end-of-word
+    * marker (merges cannot cross word boundaries by construction);
+    * adjacent pairs count overlapping occurrences ("aaa" → (a,a) twice),
+    * matching the reference implementation's counting. */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+               minPairCount: Long = 2L,
+               scope: CacheScope = CacheScope.noop): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, "numMerges must be positive")
+    val words0 = Parallelize.ensure(docs.select(col(textCol).as("_t")))
+      .select(explode(TextAnalysis.tokens(col("_t"))).as("_w"))
+      .filter(col("_w") =!= "")
+      .groupBy(col("_w")).agg(count(lit(1)).as("_f"))
+      .select(filter(split(col("_w"), ""), s => s =!= "").as("_sym"), col("_f"))
+    var words = snapshot(words0, scope)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (continue && merges.size < numMerges) {
+      // sequence(1, 0) counts DOWN in Spark — guard 1-symbol words
+      val pairs = when(size(col("_sym")) >= 2,
+        transform(sequence(lit(1), size(col("_sym")) - 1), j =>
+          struct(element_at(col("_sym"), j).as("a"),
+            element_at(col("_sym"), j + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val best = words.select(col("_f"), explode(pairs).as("_p"))
+        .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+        .agg(sum(col("_f")).as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getAs[Long]("cnt") < minPairCount) continue = false
+      else {
+        val (a, b) = (best(0).getAs[String]("a"), best(0).getAs[String]("b"))
+        merges += ((a, b, best(0).getAs[Long]("cnt")))
+        // greedy leftmost fold: merge (a,b) wherever the accumulator's
+        // last symbol is a FRESH a (a just-merged "aa" no longer equals
+        // "a", so overlaps resolve left-to-right like reference BPE)
+        val next = snapshot(words.withColumn("_sym",
+          aggregate(col("_sym"), array().cast("array<string>"), (acc, s) =>
+            when((size(acc) > 0) && (element_at(acc, -1) === lit(a)) && (s === lit(b)),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(s))))), scope)
+        words.unpersist()
+        words = next
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply learned [[bpeTrain]] merges to text: (id, tokens). The
+    * per-word segmentation loop (apply the lowest-rank applicable merge
+    * until none applies — provably equivalent to replaying merges in
+    * rank order) is data-dependent iteration with no Catalyst
+    * counterpart, so it runs as `mapPartitions` over a broadcast rank
+    * table — the Multimodal-codec justification: one tiny lookup
+    * structure per partition, rows streamed. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.map { case (p, r) => p -> r }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = bc.value
+        it.map { case (id, t) =>
+          (id, t.toLowerCase.trim.split("\\s+").toSeq
+            .filter(_.nonEmpty).flatMap(w => segmentWord(w, rk)))
+        }
+      }.toDF(idCol, "tokens")
+  }
+
+  /** Reference BPE segmentation of one word under a merge-rank table. */
+  private[ops] def segmentWord(w: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var sym = w.map(_.toString).toVector
+    var done = sym.size < 2
+    while (!done) {
+      val best = sym.zip(sym.tail).flatMap(p => ranks.get(p).map(_ -> p))
+        .sortBy(_._1).headOption
+      best match {
+        case None => done = true
+        case Some((_, (a, b))) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < sym.size) {
+            if (i + 1 < sym.size && sym(i) == a && sym(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += sym(i); i += 1 }
+          }
+          sym = out.result()
+          done = sym.size < 2
+      }
+    }
+    sym
+  }
+
   def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val vocab = Parallelize.ensure(
         docs.select(col(groupCol).as("_g"), col(textCol).as("_t")))

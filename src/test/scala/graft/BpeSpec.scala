@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CacheScope, Corpus}
+
+/** Distributed BPE tokenizer training: the learned merge sequence must
+  * equal a naive in-memory reference (same counting, same tie-break),
+  * stay identical under repartitioning, and the encoder must reproduce
+  * the training-time segmentation. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = Golden.spark
+  import spark.implicits._
+
+  /** Naive reference: word-frequency map → merge rules. Overlapping
+    * adjacent pairs counted; ties break (count desc, left asc, right
+    * asc); merges applied greedy leftmost. */
+  private def naiveTrain(words: Map[String, Long], numMerges: Int,
+                         minCount: Long): Seq[(String, String, Long)] = {
+    var ws = words.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (continue && out.size < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sym, f) <- ws; p <- sym.zip(sym.tail))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      val best = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= minCount =>
+          out += ((a, b, c))
+          ws = ws.map { case (sym, f) =>
+            val nb = Vector.newBuilder[String]
+            var i = 0
+            while (i < sym.size) {
+              if (i + 1 < sym.size && sym(i) == a && sym(i + 1) == b) {
+                nb += (a + b); i += 2
+              } else { nb += sym(i); i += 1 }
+            }
+            (nb.result(), f)
+          }
+        case _ => continue = false
+      }
+    }
+    out.toSeq
+  }
+
+  private def wordFreqs(docs: Seq[String]): Map[String, Long] =
+    docs.flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+
+  test("bpeTrain matches the naive reference on seeded random corpora") {
+    val vocabChars = "abcd"
+    for (seed <- 1 to 2) {
+      val rng = new scala.util.Random(500 + seed)
+      val docs = (0 until 50).map(_ =>
+        (0 until (1 + rng.nextInt(8))).map(_ =>
+          (0 until (1 + rng.nextInt(6))).map(_ =>
+            vocabChars(rng.nextInt(4))).mkString).mkString(" "))
+      val want = naiveTrain(wordFreqs(docs), numMerges = 8, minCount = 2L)
+      CacheScope.withScope { scope =>
+        val got = Corpus.bpeTrain(docs.toDF("text"), "text", 8, 2L, scope)
+        assert(got == want, s"seed=$seed")
+      }
+    }
+  }
+
+  test("bpeTrain is invariant under repartitioning (deterministic tie-break)") {
+    val docs = Seq("aa ab aa ab ba", "ab aa ba ba bb", "aa bb ab aa")
+    CacheScope.withScope { scope =>
+      val one = Corpus.bpeTrain(docs.toDF("text").repartition(1), "text", 5, 1L, scope)
+      val many = Corpus.bpeTrain(docs.toDF("text").repartition(7), "text", 5, 1L, scope)
+      assert(one == many)
+      assert(one == naiveTrain(wordFreqs(docs), 5, 1L))
+    }
+  }
+
+  test("bpeTrain stops early when the best pair drops under minPairCount") {
+    val docs = Seq("ab ab ab cd")
+    CacheScope.withScope { scope =>
+      val got = Corpus.bpeTrain(docs.toDF("text"), "text", 10, 2L, scope)
+      // (a,b) appears 3 times; every other pair once — exactly one merge
+      assert(got == Seq(("a", "b", 3L)))
+    }
+  }
+
+  test("bpeEncode reproduces the training-time segmentation on the training corpus") {
+    val docs = Seq("abab baba abba", "baab abab abab", "bbbb aaaa abab")
+    CacheScope.withScope { scope =>
+      val merges = Corpus.bpeTrain(docs.toDF("text"), "text", 6, 1L, scope)
+      // replay training folds in rank order over the word-frequency table
+      var ws = wordFreqs(docs).keys.map(w => w -> w.map(_.toString).toVector).toMap
+      for ((a, b, _) <- merges) ws = ws.map { case (w, sym) =>
+        val nb = Vector.newBuilder[String]
+        var i = 0
+        while (i < sym.size) {
+          if (i + 1 < sym.size && sym(i) == a && sym(i + 1) == b) {
+            nb += (a + b); i += 2
+          } else { nb += sym(i); i += 1 }
+        }
+        w -> nb.result()
+      }
+      val ranks = merges.map { case (a, b, _) => (a, b) }
+      val got = Corpus.bpeEncode(
+          docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+          "doc_id", "text", ranks)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      docs.zipWithIndex.foreach { case (t, i) =>
+        val want = t.split(" ").toSeq.flatMap(ws(_))
+        assert(got(i.toLong) == want, s"doc $i")
+      }
+      // unseen symbols pass through as single characters
+      val unk = Corpus.bpeEncode(Seq((9L, "xyz ab")).toDF("doc_id", "text"),
+        "doc_id", "text", ranks).collect().head.getSeq[String](1)
+      assert(unk.take(3) == Seq("x", "y", "z"))
+    }
+  }
+}
