@@ -80,9 +80,12 @@ object Stats {
   def equiDepthHistogram(df: DataFrame, valCol: String, k: Int): DataFrame = {
     require(k >= 2, "need at least 2 buckets")
     val ps = (1 until k).map(i => i.toDouble / k)
-    val bounds = df.select(
+    // drop nulls explicitly: percentile already ignores them, and a null
+    // value would otherwise surface as a confusing null bucket row
+    val vals = df.filter(col(valCol).isNotNull)
+    val bounds = vals.select(
       expr(s"percentile($valCol, array(${ps.mkString(", ")}))").as("_bs"))
-    df.crossJoin(broadcast(bounds))
+    vals.crossJoin(broadcast(bounds))
       .select(col(valCol).as("_v"),
         (lit(1) + ps.indices.map(i =>
           (col(valCol) > element_at(col("_bs"), i + 1)).cast("int")).reduce(_ + _)).as("bucket"))

@@ -156,6 +156,22 @@ class LayoutStatsSpec extends AnyFunSuite {
     assert(ties == Seq(1, 1, 1, 1))
   }
 
+  test("null hygiene: masks pass nulls through, stats ops drop null values") {
+    val masked = Seq((1L, Option("a 1234567 b")), (2L, None))
+      .toDF("id", "t").select(col("id"), Scrub.piiMask(col("t")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(masked == Map(1L -> Some("a <ID> b"), 2L -> None))
+
+    val vals = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", Some(100.0)), ("a", None)).toDF("g", "v")
+    // null rows neither crash the quartiles nor appear as outliers
+    val out = Stats.iqrOutliers(vals, "g", "v").select("v").as[Double].collect()
+    assert(out.toSeq == Seq(100.0))
+    // and no null bucket row in the histogram
+    val hist = Stats.equiDepthHistogram(vals, "v", 2).collect()
+    assert(hist.forall(!_.isNullAt(0)) && hist.map(_.getLong(1)).sum == 4L)
+  }
+
   test("equiDepthHistogram buckets hold ~equal counts with ordered ranges") {
     val got = (1 to 100).map(_.toDouble).toDF("v")
       .transform(df => Stats.equiDepthHistogram(df, "v", 4))

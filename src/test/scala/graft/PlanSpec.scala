@@ -121,6 +121,17 @@ class PlanSpec extends AnyFunSuite {
       s"term counts need partial/final aggregation\n$p")
   }
 
+  test("no query in the whole contract plans a CartesianProduct") {
+    // broadcast crossJoins of 1-row totals/codebooks plan as
+    // BroadcastNestedLoopJoin and are fine; a CartesianProduct is a
+    // data×data blowup and never acceptable — sweep every entry so a
+    // future query can't regress silently
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      plan(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
+  }
+
   test("q75 zorder top-k ends in TakeOrdered with the morton key codegen'd in the scan stage") {
     val p = plan("q75_zorder")
     assert(p.contains("TakeOrderedAndProject"),
