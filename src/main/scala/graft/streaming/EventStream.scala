@@ -65,6 +65,34 @@ object EventStream {
         expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs " +
           s"AND $rightTs <= $leftTs + interval $maxDelay"))
 
+  /** Stream-side Tukey-fence outlier gate: fences are TRAINED ON HISTORY
+    * by the batch side ([[graft.ops.Stats.iqrOutliers]]'s quartile
+    * computation over the archived table) and applied to the live stream
+    * as a stateless broadcast join + filter — the standard split for
+    * distribution-based monitoring: the expensive distributional fit runs
+    * where the history lives, the stream pays one codegen'd comparison
+    * per row, no state store, no watermark. `keep = "inliers"` drops
+    * anomalies (ingest guard); `"outliers"` keeps only them (alerting).
+    * Keys absent from the fence table pass through when keeping inliers
+    * (no history yet ⇒ nothing to judge against) and never alert. */
+  def outlierGate(stream: DataFrame, history: DataFrame, keyCol: String,
+                  valCol: String, k: Double = 1.5,
+                  keep: String = "inliers"): DataFrame = {
+    require(keep == "inliers" || keep == "outliers", s"bad keep=$keep")
+    val fences = history.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valCol, 0.25)").as("_p25"),
+        expr(s"percentile($valCol, 0.75)").as("_p75"))
+      .select(col(keyCol),
+        (col("_p25") - lit(k) * (col("_p75") - col("_p25"))).as("_lo"),
+        (col("_p75") + lit(k) * (col("_p75") - col("_p25"))).as("_hi"))
+    val joined = stream.join(broadcast(fences), Seq(keyCol), "left")
+    val outlier = col(valCol) < col("_lo") || col(valCol) > col("_hi")
+    val kept =
+      if (keep == "inliers") joined.filter(col("_lo").isNull || !outlier)
+      else joined.filter(outlier === true)
+    kept.drop("_lo", "_hi")
+  }
+
   /** Stream-static enrichment join: attach reference-table attributes to a
     * stream. Stream-static inner joins are STATELESS — no watermark, no
     * buffered state; every microbatch joins against the current static

@@ -86,6 +86,34 @@ class ModulesSpec extends AnyFunSuite {
       q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
   }
 
+  test("outlier gate: history-trained fences filter the stream, stateless, unseen keys pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // history for key "a": 1..11 and 100 → fences [-4.5, 17.5] (q76's arithmetic)
+    val history = ((1 to 11).map(v => ("a", v.toDouble)) :+ ("a", 100.0)).toDF("k", "v")
+    val mem = MemoryStream[(String, Double)]
+    val stream = mem.toDF().toDF("k", "v")
+    val q = EventStream.outlierGate(stream, history, "k", "v")
+      .writeStream.outputMode("append").format("memory").queryName("gated").start()
+    mem.addData(("a", 5.0), ("a", 50.0), ("b", 999.0)) // 50 anomalous; "b" has no history
+    q.processAllAvailable()
+    val kept = spark.table("gated").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(kept == Set(("a", 5.0), ("b", 999.0)))
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    q.stop()
+    // alerting flavor: only the anomaly survives
+    val mem2 = MemoryStream[(String, Double)]
+    val q2 = EventStream.outlierGate(mem2.toDF().toDF("k", "v"), history, "k", "v",
+        keep = "outliers")
+      .writeStream.outputMode("append").format("memory").queryName("alerts").start()
+    mem2.addData(("a", 5.0), ("a", 50.0), ("b", 999.0))
+    q2.processAllAvailable()
+    val alerts = spark.table("alerts").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    q2.stop()
+    assert(alerts == Set(("a", 50.0)))
+  }
+
   test("foreachBatch sink runs batch operators per microbatch, idempotent dirs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
