@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer: fuse sibling scalar percentiles into one array-percentile
+    // buffer (quartile fences/scores build N identical maps otherwise)
+    ext.injectOptimizerRule(_ => graft.plans.FusePercentiles)
     ext.injectFunction((
       FunctionIdentifier("ngram_shingles"),
       new ExpressionInfo(classOf[NGramShingles].getName, "ngram_shingles"),

@@ -16,7 +16,8 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val b = SparkSession.builder().master(s"local[$cpus]")
+    val b = SparkSession.builder().withExtensions(new graft.GraftExtensions)
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     sys.env.get("PROF_CONF").foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>

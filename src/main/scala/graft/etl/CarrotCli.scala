@@ -136,6 +136,7 @@ object CarrotCli {
     val master = sys.props.get("spark.master").orElse(sys.env.get("SPARK_MASTER")).getOrElse("local[*]")
     val preexisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
       .appName("carrot-transform-spark")
       .master(master)
       .config("spark.sql.session.timeZone", "UTC")

@@ -15,6 +15,7 @@ import graft.etl._
   * side's person_ids table. */
 object Golden {
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new GraftExtensions)
     .master("local[4]")
     .appName("graft-golden")
     .config("spark.sql.shuffle.partitions", "4")
