@@ -28,6 +28,7 @@ object Layout {
     * streams straight to `write.parquet` — no extra shuffle. */
   def zorderLayout(df: DataFrame, xCol: String, yCol: String, bits: Int,
                    partitions: Int): DataFrame = {
+    require(partitions >= 1, "partitions must be positive")
     val keyed = df.withColumn("_z", zorderKey(col(xCol), col(yCol), bits))
     keyed.repartitionByRange(partitions, col("_z"))
       .sortWithinPartitions(col("_z"))

@@ -30,8 +30,8 @@ object Stats {
   def iqrOutliers(df: DataFrame, groupCol: String, valCol: String,
                   k: Double = 1.5): DataFrame = {
     val fences = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valCol, 0.25)").as("_p25"),
-           expr(s"percentile($valCol, 0.75)").as("_p75"))
+      .agg(expr(s"percentile(`$valCol`, 0.25)").as("_p25"),
+           expr(s"percentile(`$valCol`, 0.75)").as("_p75"))
       .select(col(groupCol),
         (col("_p25") - lit(k) * (col("_p75") - col("_p25"))).as("_lo"),
         (col("_p75") + lit(k) * (col("_p75") - col("_p25"))).as("_hi"))
@@ -54,7 +54,7 @@ object Stats {
   def quartileScores(df: DataFrame, valCols: Seq[String]): DataFrame = {
     require(valCols.nonEmpty, "need at least one column to score")
     val qs = df.select(valCols.map(c =>
-      expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"_q_$c")): _*)
+      expr(s"percentile(`$c`, array(0.25, 0.5, 0.75))").as(s"_q_$c")): _*)
     val scored = valCols.foldLeft(df.crossJoin(broadcast(qs))) { (d, c) =>
       d.withColumn(s"${c}_score", lit(1)
         + (col(c) > element_at(col(s"_q_$c"), 1)).cast("int")
@@ -84,7 +84,7 @@ object Stats {
     // value would otherwise surface as a confusing null bucket row
     val vals = df.filter(col(valCol).isNotNull)
     val bounds = vals.select(
-      expr(s"percentile($valCol, array(${ps.mkString(", ")}))").as("_bs"))
+      expr(s"percentile(`$valCol`, array(${ps.mkString(", ")}))").as("_bs"))
     vals.crossJoin(broadcast(bounds))
       .select(col(valCol).as("_v"),
         (lit(1) + ps.indices.map(i =>

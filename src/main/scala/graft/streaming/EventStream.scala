@@ -80,8 +80,8 @@ object EventStream {
                   keep: String = "inliers"): DataFrame = {
     require(keep == "inliers" || keep == "outliers", s"bad keep=$keep")
     val fences = history.groupBy(col(keyCol))
-      .agg(expr(s"percentile($valCol, 0.25)").as("_p25"),
-        expr(s"percentile($valCol, 0.75)").as("_p75"))
+      .agg(expr(s"percentile(`$valCol`, 0.25)").as("_p25"),
+        expr(s"percentile(`$valCol`, 0.75)").as("_p75"))
       .select(col(keyCol),
         (col("_p25") - lit(k) * (col("_p75") - col("_p25"))).as("_lo"),
         (col("_p75") + lit(k) * (col("_p75") - col("_p25"))).as("_hi"))
