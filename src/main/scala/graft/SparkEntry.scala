@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DateNorm
-import graft.ops.{Corpus, Dedup, IdAssign, Layout, Multimodal, Scrub, Sessionize, Similarity, Stats, TextAnalysis}
+import graft.ops.{BudgetSelect, Corpus, Dedup, IdAssign, Layout, Multimodal, Scrub, Sessionize, Similarity, Stats, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -975,7 +975,27 @@ object SparkEntry {
     "q80_bpe_tokens" -> ((s, dir) =>
       Corpus.bpeEncode(tbl(s, dir, "documents"), "doc_id", "text",
           Seq(("t", "h"), ("th", "e"), ("e", "r"), ("er", "s")))
-        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))))
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))),
+
+    // ---- Corpus selection under a token budget: cleanest documents
+    //      (ascending punctuation ratio) until 40% of the corpus's tokens
+    //      are spent. The running sum is confined to ONE boundary
+    //      partition (BudgetSelect); whole partitions are admitted or
+    //      dropped from collected per-partition totals. The corpus total
+    //      is one scalar to the driver; integer-division budget is
+    //      engine-exact ----
+    "q81_budget_select" -> ((s, dir) => {
+      val nChars = length(col("text"))
+      val punct  = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+      val scored = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        round(punct / nChars, 6).as("punct_ratio"))
+      val total = scored.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+      BudgetSelect.selectByBudget(scored, "n_tokens", total * 2 / 5,
+          col("punct_ratio").asc, col("doc_id").asc)
+        .select(col("doc_id"), col("n_tokens"), col("punct_ratio"))
+    }))
 
   /** q24's oracle, generated for the 16 simhash bit positions. */
   private val simhashOracle: String = {
@@ -1929,5 +1949,21 @@ object SparkEntry {
         |  replace(replace(replace(replace(lower(trim(text)),
         |    'th', chr(1)), chr(1) || 'e', chr(2)), 'er', chr(3)), chr(3) || 's', chr(4)),
         |  '\s', '', 'g')) AS BIGINT) AS n_tokens
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // q81: the selection is a prefix of the (punct_ratio, doc_id) order,
+    // so one running-sum window reproduces it; the engine's partition-
+    // confined form is equivalent because the selected set is a pure
+    // function of the total order, not the partitioning. Integer token
+    // costs and an integer-division budget keep the cumulative sum
+    // engine-exact (HUGEINT // in DuckDB ≡ Long / in Scala for positives)
+    "q81_budget_select" ->
+      """WITH scored AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text), 6) AS punct_ratio
+        |  FROM documents),
+        |b AS (SELECT sum(n_tokens) * 2 // 5 AS budget FROM scored),
+        |r AS (SELECT *, sum(n_tokens) OVER (ORDER BY punct_ratio, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM scored)
+        |SELECT doc_id, n_tokens, punct_ratio FROM r, b WHERE cum <= budget""".stripMargin)
 }

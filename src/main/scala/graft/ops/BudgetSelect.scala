@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus selection under a cost budget: keep the prefix of the ranked
+  * corpus whose running cost fits the budget — the standard "pick the best
+  * documents until the token budget is spent" step in front of LLM
+  * training (quality-ranked selection, not knapsack packing: the first row
+  * that overflows the budget blocks the tail, so the result is exactly a
+  * prefix of the global order).
+  *
+  * The naive formulation is a running sum over one global window — a
+  * single-partition `WindowExec`, a non-starter at 100 TB (the same trap
+  * [[IdAssign]] documents for `row_number`). This implementation confines
+  * the sequential work to ONE partition:
+  *
+  *   1. range-partition by the ranking key (partitions come out in global
+  *      rank order), sort within partitions; the snapshot is cached so
+  *      every consumer sees one set of partition boundaries (AQE may
+  *      otherwise re-plan the exchange per consumer — the IdAssign
+  *      lesson from round 1);
+  *   2. per-partition cost totals are METADATA (≤ one row per partition):
+  *      collect, prefix-sum on the driver. Every partition is then
+  *      decidable wholesale — fully inside the budget (its prefix offset +
+  *      total ≤ budget: keep every row, a codegen'd filter, NO window) or
+  *      fully outside (offset already past the budget: drop) — except at
+  *      most ONE boundary partition;
+  *   3. only the boundary partition runs a running-cost window, and it is
+  *      keyed by the partition id, so the window state is bounded by one
+  *      partition's rows no matter how large the corpus.
+  *
+  * At 100 TB the full-data path is therefore a range exchange plus a
+  * partition-id filter; the window touches 1/Nth of the data. Rows whose
+  * running cost (inclusive, in `orderCols` order) is ≤ `budget` survive.
+  * Costs must be integral (summed as long): a float cumulative sum is
+  * order-of-addition dependent and would not reproduce across engines or
+  * partitionings. Null costs add nothing (SQL sum semantics) and survive
+  * whenever the running sum at their position fits. `orderCols` must
+  * contain a unique tie-break key (same precondition as [[IdAssign]]).
+  */
+object BudgetSelect {
+
+  def selectByBudget(df: DataFrame, costCol: String, budget: Long,
+                     orderCols: Column*): DataFrame =
+    selectByBudget(df, costCol, budget, CacheScope.noop, orderCols: _*)
+
+  def selectByBudget(df: DataFrame, costCol: String, budget: Long, scope: CacheScope,
+                     orderCols: Column*): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(orderCols.nonEmpty, "orderCols must rank the corpus")
+    val cost = col(costCol).cast("long")
+    // _bs_pid decoded from monotonically_increasing_id's high bits — the
+    // physical partition index, no extra exchange (IdAssign step 2 rationale)
+    val ranged = df
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("_bs_pid", shiftright(monotonically_increasing_id(), 33))
+      .cache()
+    scope.track(ranged)
+
+    // one job: materializes the cache AND returns per-partition cost totals
+    val totals = ranged.groupBy(col("_bs_pid")).agg(sum(cost).as("_bs_tot"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val pref = totals.map { case (pid, tot) => val o = acc; acc += tot; (pid, o, tot) }
+
+    val wholePids = pref.collect { case (pid, o, t) if o + t <= budget => pid }
+    // o == budget still admits leading zero-cost rows (cum stays == budget),
+    // hence <=, not < — at most one partition matches because offsets are
+    // nondecreasing and the first overflow pushes every later offset past
+    // the budget
+    val boundary = pref.find { case (_, o, t) => o <= budget && o + t > budget }
+
+    val whole = ranged.filter(col("_bs_pid").isInCollection(wholePids))
+    val out = boundary match {
+      case Some((pid, off, _)) =>
+        // partitionBy(_bs_pid) on a one-pid frame: a single bounded window
+        // partition without the unpartitioned-window global collapse
+        val w = Window.partitionBy(col("_bs_pid")).orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val edge = ranged.filter(col("_bs_pid") === pid)
+          .withColumn("_bs_cum", sum(cost).over(w) + lit(off))
+          .filter(col("_bs_cum") <= budget)
+          .drop("_bs_cum")
+        whole.unionByName(edge)
+      case None => whole
+    }
+    out.drop("_bs_pid")
+  }
+}
