@@ -995,6 +995,24 @@ object SparkEntry {
       BudgetSelect.selectByBudget(scored, "n_tokens", total * 2 / 5,
           col("punct_ratio").asc, col("doc_id").asc)
         .select(col("doc_id"), col("n_tokens"), col("punct_ratio"))
+    }),
+
+    // ---- Per-group budget selection: every language keeps its cleanest
+    //      30% of tokens — the corpus-mixing shape. Budgets are G driver
+    //      scalars; per-(partition, group) cells classify wholesale and
+    //      only boundary cells (≤ one per group) run a window ----
+    "q82_group_budget" -> ((s, dir) => {
+      val nChars = length(col("text"))
+      val punct  = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+      val scored = tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        round(punct / nChars, 6).as("punct_ratio"))
+      val budgets = scored.groupBy(col("lang")).agg(sum(col("n_tokens")).as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1) * 3 / 10).toMap
+      BudgetSelect.selectByBudgetPerGroup(scored, "lang", "n_tokens", budgets,
+          col("punct_ratio").asc, col("doc_id").asc)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("punct_ratio"))
     }))
 
   /** q24's oracle, generated for the 16 simhash bit positions. */
@@ -1965,5 +1983,19 @@ object SparkEntry {
         |b AS (SELECT sum(n_tokens) * 2 // 5 AS budget FROM scored),
         |r AS (SELECT *, sum(n_tokens) OVER (ORDER BY punct_ratio, doc_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM scored)
-        |SELECT doc_id, n_tokens, punct_ratio FROM r, b WHERE cum <= budget""".stripMargin)
+        |SELECT doc_id, n_tokens, punct_ratio FROM r, b WHERE cum <= budget""".stripMargin,
+
+    // q82: q81's argument per group — the selected set is a pure function
+    // of each group's total order, so a lang-partitioned window replays
+    // the engine's cell-confined form exactly
+    "q82_group_budget" ->
+      """WITH scored AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text), 6) AS punct_ratio
+        |  FROM documents),
+        |b AS (SELECT lang, sum(n_tokens) * 3 // 10 AS budget FROM scored GROUP BY lang),
+        |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY punct_ratio, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM scored)
+        |SELECT r.doc_id, r.lang, r.n_tokens, r.punct_ratio
+        |FROM r JOIN b USING (lang) WHERE cum <= budget""".stripMargin)
 }

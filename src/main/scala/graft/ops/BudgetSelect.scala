@@ -91,4 +91,82 @@ object BudgetSelect {
     }
     out.drop("_bs_pid")
   }
+
+  /** Per-group budget selection — each group keeps its own ranked prefix
+    * under its own budget (the corpus-mixing shape: "30% of each
+    * language's tokens", "cap every source at N"). Groups absent from
+    * `budgets` are dropped entirely (budget 0); a null group value is the
+    * key `None` would have — give it no budget and it is dropped.
+    *
+    * Same confinement argument as [[selectByBudget]], per group: ranking
+    * range-partitions by (group, rank), so every group occupies a
+    * CONTIGUOUS run of partitions and the per-(partition, group) cost
+    * cells number ≈ partitions + groups — still driver metadata. Each
+    * cell is then wholesale in (cell offset + total fits the group
+    * budget), wholesale out, or one of ≤ one boundary cell PER GROUP; the
+    * classification ships back as a broadcast-joined table (no literal
+    * grows with partition count), whole cells pass with no window, and
+    * only boundary-cell rows run the running-cost window, keyed by
+    * (partition id, group) — bounded by one partition's share of one
+    * group no matter the corpus size. */
+  def selectByBudgetPerGroup(df: DataFrame, groupCol: String, costCol: String,
+                             budgets: Map[String, Long],
+                             orderCols: Column*): DataFrame =
+    selectByBudgetPerGroup(df, groupCol, costCol, budgets, CacheScope.noop, orderCols: _*)
+
+  def selectByBudgetPerGroup(df: DataFrame, groupCol: String, costCol: String,
+                             budgets: Map[String, Long], scope: CacheScope,
+                             orderCols: Column*): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must rank within each group")
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val cost = col(costCol).cast("long")
+    val gKey = col(groupCol).cast("string")
+    val ranged = df
+      .repartitionByRange(gKey +: orderCols: _*)
+      .sortWithinPartitions(gKey +: orderCols: _*)
+      .withColumn("_bs_pid", shiftright(monotonically_increasing_id(), 33))
+      .cache()
+    scope.track(ranged)
+
+    // one job: materializes the cache AND returns the per-cell totals;
+    // within a group, ascending pid IS the group's rank order (range
+    // partitioning on (group, rank) keeps each group's rows contiguous
+    // and ordered across partitions)
+    val cells = ranged.groupBy(col("_bs_pid"), gKey.as("_bs_g"))
+      .agg(sum(cost).as("_bs_tot"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+
+    val classified = cells.groupBy(_._2).toSeq.flatMap { case (g, cs) =>
+      val budget = g.flatMap(budgets.get).getOrElse(0L)
+      var acc = 0L
+      cs.sortBy(_._1).flatMap { case (pid, _, tot) =>
+        val off = acc; acc += tot
+        // same boundary rule as the single-budget path (off == budget
+        // still admits leading zero-cost rows); cells past the budget are
+        // simply not emitted — the inner join below drops their rows
+        if (off + tot <= budget) Some((pid, g, 1, 0L, budget))
+        else if (off <= budget) Some((pid, g, 0, off, budget))
+        else None
+      }
+    }
+
+    val sess = df.sparkSession
+    import sess.implicits._
+    val cls = broadcast(classified
+      .toDF("_bs_cpid", "_bs_cg", "_bs_cls", "_bs_off", "_bs_bud"))
+    val joined = ranged.join(cls,
+      col("_bs_pid") === col("_bs_cpid") && (gKey <=> col("_bs_cg")))
+
+    val whole = joined.filter(col("_bs_cls") === 1)
+    val w = Window.partitionBy(col("_bs_pid"), col("_bs_cg")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val edge = joined.filter(col("_bs_cls") === 0)
+      .withColumn("_bs_cum", sum(cost).over(w) + col("_bs_off"))
+      .filter(col("_bs_cum") <= col("_bs_bud"))
+      .drop("_bs_cum")
+    whole.unionByName(edge)
+      .drop("_bs_pid", "_bs_cpid", "_bs_cg", "_bs_cls", "_bs_off", "_bs_bud")
+  }
 }

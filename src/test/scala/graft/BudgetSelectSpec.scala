@@ -80,6 +80,72 @@ class BudgetSelectSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("per-group selection equals the naive per-group ranked prefix") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(70 + seed)
+      val groups = Vector("de", "en", "fr", "ja", "sw")
+      val rows = (0L until 4000L).map(id =>
+        (id, groups(rng.nextInt(groups.size)), rng.nextInt(30).toLong, rng.nextInt(9).toLong))
+      val df = rng.shuffle(rows).toDF("id", "g", "score", "cost").repartition(11)
+      val totals = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+      // mixed budget shapes: none (dropped), zero, partial, full, overfull
+      val budgets = Map(
+        "en" -> totals("en") / 3, "fr" -> 0L, "ja" -> totals("ja"),
+        "sw" -> (totals("sw") + 50L))
+      val got = CacheScope.withScope { scope =>
+        graft.ops.BudgetSelect.selectByBudgetPerGroup(df, "g", "cost", budgets, scope,
+            col("score").asc, col("id").asc)
+          .select("id").collect().map(_.getLong(0)).toSet
+      }
+      val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+        val b = budgets.getOrElse(g, 0L)
+        var acc = 0L
+        rs.sortBy(r => (r._3, r._1)).takeWhile { case (_, _, _, c) =>
+          acc += c; acc <= b
+        }.map(_._1)
+      }.toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("per-group selection survives groups straddling forced partition boundaries") {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val rng = new scala.util.Random(13)
+      // two big groups over 4 range partitions: each group MUST straddle
+      val rows = (0L until 6000L).map(id =>
+        (id, if (rng.nextBoolean()) "a" else "b", rng.nextInt(50).toLong, rng.nextInt(5).toLong))
+      val df = rng.shuffle(rows).toDF("id", "g", "score", "cost").repartition(9)
+      val totals = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+      val budgets = Map("a" -> totals("a") * 3 / 5, "b" -> totals("b") / 4)
+      val got = CacheScope.withScope { scope =>
+        graft.ops.BudgetSelect.selectByBudgetPerGroup(df, "g", "cost", budgets, scope,
+            col("score").asc, col("id").asc)
+          .select("id").collect().map(_.getLong(0)).toSet
+      }
+      val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+        var acc = 0L
+        rs.sortBy(r => (r._3, r._1)).takeWhile { case (_, _, _, c) =>
+          acc += c; acc <= budgets(g)
+        }.map(_._1)
+      }.toSet
+      assert(got == want)
+    } finally spark.conf.set(key, old)
+  }
+
+  test("per-group: null group values have no budget and are dropped") {
+    val df = Seq((1L, Some("en"), 1L, 2L), (2L, None, 1L, 2L), (3L, Some("en"), 2L, 2L))
+      .toDF("id", "g", "score", "cost")
+    val got = CacheScope.withScope { scope =>
+      graft.ops.BudgetSelect.selectByBudgetPerGroup(df, "g", "cost", Map("en" -> 4L), scope,
+          col("score").asc, col("id").asc)
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    assert(got == Set(1L, 3L))
+  }
+
   test("null costs spend nothing and survive while the running sum fits") {
     val df = Seq((1L, 1L, Some(5L)), (2L, 2L, None), (3L, 3L, Some(5L)), (4L, 4L, None))
       .toDF("id", "score", "cost")

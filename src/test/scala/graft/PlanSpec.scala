@@ -132,16 +132,21 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
   }
 
-  test("q81 budget select: range exchange, window bounded by the boundary partition id") {
-    val p = plan("q81_budget_select")
-    assert(p.contains("rangepartitioning"),
-      "ranking must range-partition so partitions come out in global order")
-    // every window must be keyed by the partition id — an unpartitioned
-    // running sum would collapse the corpus into ONE task
-    val specs = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty, s"expected a boundary-partition window in:\n$p")
-    assert(specs.forall(_.startsWith("_bs_pid")),
-      s"window not bounded by partition id: $specs")
+  test("q81/q82 budget select: range exchange, windows bounded by the boundary cell") {
+    for (name <- Seq("q81_budget_select", "q82_group_budget")) {
+      val p = plan(name)
+      assert(p.contains("rangepartitioning"),
+        s"$name: ranking must range-partition so partitions come out in global order")
+      // every window must be keyed by the partition id — an unpartitioned
+      // running sum would collapse the corpus into ONE task
+      val specs = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(specs.nonEmpty, s"$name: expected a boundary-cell window in:\n$p")
+      assert(specs.forall(_.startsWith("_bs_pid")),
+        s"$name: window not bounded by partition id: $specs")
+    }
+    // the per-group classification table must broadcast, never shuffle the corpus
+    assert(plan("q82_group_budget").contains("BroadcastHashJoin"),
+      "q82: cell classification must broadcast-join")
   }
 
   test("q75 zorder top-k ends in TakeOrdered with the morton key codegen'd in the scan stage") {
