@@ -50,6 +50,48 @@ object EventStream {
         (col("punct_ratio").isNull || col("punct_ratio") <= maxPunctRatio))
   }
 
+  final case class BudgetDoc(group: String, doc_id: Long, cost: Long)
+  final case class BudgetState(spent: Long, closed: Boolean)
+  final case class BudgetAdmit(group: String, doc_id: Long, cost: Long, spent: Long)
+
+  /** Streaming flavor of [[graft.ops.BudgetSelect]]: per-group token-budget
+    * admission for a live document stream ("stop ingesting a source once
+    * its budget is spent"). Semantics mirror the batch prefix rule
+    * exactly: docs are admitted in arrival rank (doc_id) order while the
+    * running cost fits the group's budget, and the FIRST overflow CLOSES
+    * the group — later, smaller docs do not slip in (first-fit would
+    * diverge from the batch operator and make results arrival-order
+    * dependent). Per-group state is two scalars (spent, closed), bounded
+    * by group cardinality, never by stream volume. Admitted docs emit in
+    * Append mode with the running spend. Groups absent from `budgets`
+    * admit nothing (budget 0), same as batch.
+    *
+    * Equivalence contract (ModulesSpec): streaming admissions over any
+    * microbatch split == batch `selectByBudgetPerGroup` ranked by doc_id,
+    * as long as each group's docs arrive in doc_id order across batches
+    * (within a batch they are sorted — the same cross-batch caveat the
+    * NoTimeout sessionize documents). */
+  def budgetGate(docs: Dataset[BudgetDoc], budgets: Map[String, Long]): Dataset[BudgetAdmit] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (group: String, it: Iterator[BudgetDoc], state: GroupState[BudgetState]) => {
+          val budget = budgets.getOrElse(group, 0L)
+          // starts open even at budget 0: zero-cost docs fit (spent stays
+          // 0 ≤ 0), matching the batch rule's treatment of free rows
+          var s = state.getOption.getOrElse(BudgetState(0L, closed = false))
+          val out = Seq.newBuilder[BudgetAdmit]
+          for (d <- it.toSeq.sortBy(_.doc_id) if !s.closed) {
+            if (s.spent + d.cost <= budget) {
+              s = s.copy(spent = s.spent + d.cost)
+              out += BudgetAdmit(group, d.doc_id, d.cost, s.spent)
+            } else s = s.copy(closed = true)
+          }
+          state.update(s)
+          out.result().iterator
+        })
+  }
+
   /** Watermarked stream-stream interval join: each left event pairs with
     * right events of the same key whose time falls in
     * [left.ts, left.ts + maxDelay]. Both sides carry watermarks so the

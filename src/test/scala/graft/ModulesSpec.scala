@@ -340,4 +340,42 @@ class ModulesSpec extends AnyFunSuite {
     val ids = eng.run()("measurement").select(col("measurement_id").cast("long")).collect().map(_.getLong(0)).sorted
     assert(ids.head == 101L && ids.length == 4)
   }
+
+  test("budget gate: streaming admissions equal batch per-group selection across microbatches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream.BudgetDoc
+    implicit val sq = spark.sqlContext
+    val budgets = Map("en" -> 10L, "de" -> 3L) // "fr" absent → admits nothing
+    val mem = MemoryStream[BudgetDoc]
+    val q = EventStream.budgetGate(mem.toDS(), budgets)
+      .writeStream.outputMode("append").format("memory").queryName("budgetgate").start()
+    mem.addData(BudgetDoc("en", 1L, 4L), BudgetDoc("en", 2L, 5L),
+      BudgetDoc("de", 1L, 2L), BudgetDoc("fr", 1L, 1L))
+    q.processAllAvailable()
+    // en doc 3 overflows (9+2>10) and CLOSES the group: doc 4 would fit
+    // under first-fit but the batch prefix rule rejects it
+    mem.addData(BudgetDoc("en", 3L, 2L), BudgetDoc("en", 4L, 1L), BudgetDoc("de", 2L, 1L))
+    q.processAllAvailable()
+    // zero-cost docs: fit an exactly-spent open group, never a closed one
+    mem.addData(BudgetDoc("de", 3L, 0L), BudgetDoc("en", 5L, 0L))
+    q.processAllAvailable()
+    val admitted = spark.table("budgetgate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    // per-group state is two scalars: one state row per group seen
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal <= 3))
+    q.stop()
+    assert(admitted == Set(("en", 1L, 4L), ("en", 2L, 9L),
+      ("de", 1L, 2L), ("de", 2L, 3L), ("de", 3L, 3L)))
+
+    // the batch operator on the union, ranked by arrival (doc_id), must
+    // select the identical documents
+    val docs = Seq(("en", 1L, 4L), ("en", 2L, 5L), ("de", 1L, 2L), ("fr", 1L, 1L),
+      ("en", 3L, 2L), ("en", 4L, 1L), ("de", 2L, 1L), ("de", 3L, 0L), ("en", 5L, 0L))
+      .toDF("group", "doc_id", "cost")
+    val batch = graft.ops.BudgetSelect.selectByBudgetPerGroup(
+        docs, "group", "cost", budgets, col("doc_id").asc)
+      .select("group", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(batch == admitted.map(t => (t._1, t._2)))
+  }
 }
