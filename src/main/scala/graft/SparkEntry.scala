@@ -1013,7 +1013,29 @@ object SparkEntry {
       BudgetSelect.selectByBudgetPerGroup(scored, "lang", "n_tokens", budgets,
           col("punct_ratio").asc, col("doc_id").asc)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("punct_ratio"))
+    }),
+
+    // ---- Embedding mean-pooling: per-label class centroids over the
+    //      embedding store, one narrow shuffle with map-side partials (no
+    //      explode, no collect_list). Scalar e00..e63 output columns so
+    //      the comparator sorts (the q65 array-column lesson); round(4)
+    //      absorbs cross-engine summation-order ULPs ----
+    "q83_embed_pool" -> ((s, dir) => {
+      val pooled = Similarity.meanPool(tbl(s, dir, "embeddings"), "label", "embedding", 64)
+      pooled.select(col("label").cast("long").as("label") +:
+        (0 until 64).map(i =>
+          round(element_at(col("pooled"), i + 1), 4).as("e%02d".format(i))): _*)
     }))
+
+  /** q83's oracle, generated for the 64 embedding dimensions. */
+  private val embedPoolOracle: String = {
+    val cols = (0 until 64).map(i =>
+      s"round(avg(CAST(embedding[${i + 1}] AS DOUBLE)), 4) AS e${"%02d".format(i)}")
+      .mkString(",\n  ")
+    s"""SELECT CAST(label AS BIGINT) AS label,
+       |  $cols
+       |FROM embeddings GROUP BY label""".stripMargin
+  }
 
   /** q24's oracle, generated for the 16 simhash bit positions. */
   private val simhashOracle: String = {
@@ -1997,5 +2019,9 @@ object SparkEntry {
         |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY punct_ratio, doc_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM scored)
         |SELECT r.doc_id, r.lang, r.n_tokens, r.punct_ratio
-        |FROM r JOIN b USING (lang) WHERE cum <= budget""".stripMargin)
+        |FROM r JOIN b USING (lang) WHERE cum <= budget""".stripMargin,
+
+    // q83: per-dimension scalar averages — identical aggregation shape to
+    // the engine's one-groupBy plan, rounded on both sides
+    "q83_embed_pool" -> embedPoolOracle)
 }

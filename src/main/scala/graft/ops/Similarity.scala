@@ -38,6 +38,27 @@ object Similarity {
       .select(col(idCol), col("_sim").as("sim"))
   }
 
+  /** Element-wise mean of embedding vectors per group — chunk→document
+    * pooling, per-class centroids, cluster summaries. ONE groupBy with
+    * `dim` scalar `avg(element_at(...))` aggregates: map-side partials
+    * combine before the single narrow shuffle on the group key, and the
+    * plan stays in whole-stage codegen. The alternatives both fail at
+    * scale — `posexplode` inflates the shuffle `dim`×, and
+    * `collect_list`-then-average holds every vector of a group in one
+    * task's memory. Vectors shorter than `dim` contribute nulls (ignored
+    * per element, SQL avg semantics); the result is `array<double>`. */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    // try_element_at: a vector shorter than dim yields null for the
+    // missing element (ANSI element_at would abort the whole job)
+    val avgs = (0 until dim).map(i =>
+      avg(try_element_at(col(vecCol), lit(i + 1)).cast("double")).as(s"_mp_$i"))
+    df.groupBy(col(groupCol))
+      .agg(avgs.head, avgs.tail: _*)
+      .select(col(groupCol),
+        array((0 until dim).map(i => col(s"_mp_$i")): _*).as("pooled"))
+  }
+
   /** Max-abs symmetric quantization scale for an embedding: `levels /
     * max|v_i|` (null for the zero vector). The first step of any
     * int8/PQ compression pass over an embedding store. */

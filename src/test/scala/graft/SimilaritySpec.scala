@@ -105,4 +105,17 @@ class SimilaritySpec extends AnyFunSuite {
     // neighbors table 0's signature split away
     assert(r4 > r1)
   }
+
+  test("meanPool: element-wise group means, short vectors contribute per-element nulls") {
+    val spark2 = Golden.spark
+    import spark2.implicits._
+    val df = Seq((0, Seq(1f, 2f, 10f)), (0, Seq(3f, 4f)), (1, Seq(5f, 6f)))
+      .toDF("g", "v")
+    val got = Similarity.meanPool(df, "g", "v", 3).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Any](1)).toMap
+    // dim 3 exists only in group 0's first vector: avg over the present
+    // elements, not over the row count
+    assert(got(0) == Seq(2.0, 3.0, 10.0))
+    assert(got(1) == Seq(5.0, 6.0, null))
+  }
 }
