@@ -68,6 +68,10 @@ object BudgetSelect {
     var acc = 0L
     val pref = totals.map { case (pid, tot) => val o = acc; acc += tot; (pid, o, tot) }
 
+    // o + t is the cumulative cost after each partition — nondecreasing in
+    // pid — so the fully-admitted partitions are always a PREFIX of the pid
+    // sequence: one <= comparison filters them, not an InSet that grows
+    // with partition count (100k partitions at cluster scale)
     val wholePids = pref.collect { case (pid, o, t) if o + t <= budget => pid }
     // o == budget still admits leading zero-cost rows (cum stays == budget),
     // hence <=, not < — at most one partition matches because offsets are
@@ -75,7 +79,10 @@ object BudgetSelect {
     // the budget
     val boundary = pref.find { case (_, o, t) => o <= budget && o + t > budget }
 
-    val whole = ranged.filter(col("_bs_pid").isInCollection(wholePids))
+    val whole = wholePids.lastOption match {
+      case Some(last) => ranged.filter(col("_bs_pid") <= last)
+      case None       => ranged.filter(lit(false))
+    }
     val out = boundary match {
       case Some((pid, off, _)) =>
         // partitionBy(_bs_pid) on a one-pid frame: a single bounded window
