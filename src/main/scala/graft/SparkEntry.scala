@@ -1025,6 +1025,19 @@ object SparkEntry {
       pooled.select(col("label").cast("long").as("label") +:
         (0 until 64).map(i =>
           round(element_at(col("pooled"), i + 1), 4).as("e%02d".format(i))): _*)
+    }),
+
+    // ---- SemDeDup: semantic dedup survivors — cell-bucketed pairwise
+    //      cosine with the deterministic first-wins survivor rule. Cells
+    //      anchored on the first 8 ids (the q36 centroid convention);
+    //      raw-double >= threshold compare is the q42 boundary discipline ----
+    "q84_semdedup" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = emb.select(col("vec_id").as("_cid"),
+          col("embedding").cast("array<double>").as("_cv"))
+        .orderBy(col("_cid")).limit(8)
+      Similarity.semDedup(cents, emb, "vec_id", "embedding", minSim = 0.3)
+        .select(col("vec_id"), col("cell_id"))
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -2023,5 +2036,21 @@ object SparkEntry {
 
     // q83: per-dimension scalar averages — identical aggregation shape to
     // the engine's one-groupBy plan, rounded on both sides
-    "q83_embed_pool" -> embedPoolOracle)
+    "q83_embed_pool" -> embedPoolOracle,
+
+    // q84: cell assignment replayed exactly as q36's CTEs; the dropped
+    // set is "any lower-id cell-mate >= threshold" (NOT EXISTS), matching
+    // the engine's left_anti against the distinct duplicate ids
+    "q84_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT e.vec_id AS id, e.v, c.cid,
+        |        list_cosine_similarity(e.v, c.cv) AS cs FROM e, c),
+        |cells AS (SELECT id, v, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM a) WHERE rn = 1),
+        |d AS (SELECT DISTINCT x.id FROM cells x JOIN cells y
+        |        ON x.cid = y.cid AND y.id < x.id
+        |      WHERE list_cosine_similarity(x.v, y.v) >= 0.3)
+        |SELECT id AS vec_id, cid AS cell_id FROM cells
+        |WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.id = cells.id)""".stripMargin)
 }

@@ -469,6 +469,67 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** SemDeDup — semantic deduplication by embedding clusters (Abbas et
+    * al. 2023, arXiv:2303.09540): assign every vector to its nearest
+    * coarse centroid, compare pairs only WITHIN a cell, and drop a
+    * document when an earlier (lower-id) cell-mate is `minSim`-similar.
+    * The paper's survivor rule (keep one per ε-ball, random or
+    * farthest-from-centroid) is replaced by the deterministic first-wins
+    * rule every other dedup op here uses: a document survives iff NO
+    * lower-id document in its cell clears `minSim`. Chains collapse to
+    * their first element (b~a and c~b drops both b and c), the same
+    * transitive-drop behavior as the paper's within-ball pruning.
+    *
+    * Scale shape — the reason SemDeDup works at corpus scale: the
+    * quadratic pair search never sees the corpus, only a cell. The
+    * centroid table broadcasts (argmax assignment is map-side partials +
+    * ONE hash shuffle on id, exactly [[ivfTopKWith]]'s corpus pass); the
+    * self-join keys on the cell id, so its cost is Σ|cell|², bounded by
+    * sizing the codebook — `nCentroids` ∝ n / targetCellSize keeps
+    * per-cell work flat as the corpus grows (the paper runs 50k clusters
+    * over LAION). `maxPerCell` > 0 additionally caps the WORST case
+    * (correlated vectors piling into one cell): only the first
+    * `maxPerCell` members (by id) of a cell generate pairs — documents
+    * beyond the cap always survive, an explicit recall trade like
+    * [[lshNearDupPairs]]'s bucket cap, never a silent truncation.
+    *
+    * Returns survivors as (`idCol`, cell_id).
+    *
+    * @param cents (_cid, _cv) coarse codebook — [[ivfTrain]] output or
+    *              any deterministic stand-in */
+  def semDedup(cents: DataFrame, df: DataFrame, idCol: String, vecCol: String,
+               minSim: Double, maxPerCell: Int = 0): DataFrame = {
+    val e = Parallelize.ensure(
+      df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
+    // cell assignment: argmax over the broadcast codebook — max_by with
+    // map-side partials, ONE hash shuffle on _id (never a corpus window);
+    // tie-break (_csim desc, _cid asc) matches the IVF ops
+    val cells = e.crossJoin(broadcast(cents))
+      .withColumn("_csim", cosine(col("_v"), col("_cv")))
+      .groupBy(col("_id"))
+      .agg(max_by(struct(col("_cid"), col("_v")), struct(col("_csim"), negate(col("_cid")))).as("_best"))
+      .select(col("_id"), col("_best._cid").as("_cid"), col("_best._v").as("_v"))
+
+    val paired =
+      if (maxPerCell <= 0) cells
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("_cid")).orderBy(col("_id"))
+        cells.withColumn("_cn", row_number().over(w))
+          .filter(col("_cn") <= maxPerCell).drop("_cn")
+      }
+    // within-cell verify: equi-join on the cell key; the duplicate set is
+    // narrow ids only — vectors never re-attach after scoring
+    val earlier = paired.select(col("_cid"), col("_id").as("_eid"), col("_v").as("_ev"))
+    val dups = paired.join(earlier, Seq("_cid"))
+      .filter(col("_eid") < col("_id"))
+      .filter(cosine(col("_v"), col("_ev")) >= minSim)
+      .select(col("_id")).distinct()
+
+    cells.join(dups, Seq("_id"), "left_anti")
+      .select(col("_id").as(idCol), col("_cid").as("cell_id"))
+  }
+
   /** LSH-bucketed ANN: score only pairs that share a hyperplane bucket.
     * Returns the per-query top-k among same-bucket candidates.
     *

@@ -118,4 +118,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(0) == Seq(2.0, 3.0, 10.0))
     assert(got(1) == Seq(5.0, 6.0, null))
   }
+
+  test("semDedup: first-wins within cells, chains collapse, cross-cell pairs missed") {
+    val spark2 = Golden.spark
+    import spark2.implicits._
+    // unit circle: angle encodes similarity exactly (cos of the angle
+    // difference); centroids anchor cell 0 at 0° and cell 1 at 90°
+    def v(deg: Double): Seq[Double] =
+      Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val cents = Seq((0L, v(0)), (1L, v(90))).toDF("_cid", "_cv")
+    val tau = math.cos(math.toRadians(15)) // ≈ 0.966
+    val docs = Seq(
+      1L -> v(0), 2L -> v(10), 3L -> v(20), // cell 0: 2 ~ 1, 3 ~ 2 but NOT ~ 1
+      4L -> v(90), 5L -> v(80),             // cell 1: 5 ~ 4
+      6L -> v(44), 7L -> v(46)              // 2° apart but split across cells
+    ).toDF("id", "vec")
+
+    val out = Similarity.semDedup(cents, docs, "id", "vec", minSim = tau)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 dropped by 1; 3 dropped by 2 EVEN THOUGH 3 !~ 1 (chain collapse);
+    // 5 dropped by 4; 6/7 both survive — their 0.999 cosine is never
+    // examined across the cell boundary (the SemDeDup approximation)
+    assert(out.keySet == Set(1L, 4L, 6L, 7L))
+    assert(out(1L) == 0L && out(6L) == 0L && out(4L) == 1L && out(7L) == 1L)
+
+    // maxPerCell = 2: only the first two ids per cell generate pairs, so
+    // 3 (cell 0) and 7 (cell 1) sit beyond the cap and always survive;
+    // capped members still dedup among themselves (2 and 5 still drop)
+    val capped = Similarity.semDedup(cents, docs, "id", "vec", minSim = tau, maxPerCell = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == Set(1L, 3L, 4L, 6L, 7L))
+  }
+
+  test("semDedup is partitioning-invariant on the sf0.001 embeddings") {
+    val cents = emb.select(col("vec_id").as("_cid"),
+        col("embedding").cast("array<double>").as("_cv"))
+      .orderBy(col("_cid")).limit(8)
+    def survivors(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Similarity.semDedup(cents, df, "vec_id", "embedding", minSim = 0.3)
+        .collect().map(_.getLong(0)).toSet
+    val base = survivors(emb)
+    assert(base.nonEmpty && base.size < 500, "threshold must actually drop rows")
+    // the survivor set is a pure function of (ids, vectors, codebook) —
+    // physical layout must not leak into it
+    assert(survivors(emb.repartition(37)) == base)
+    assert(survivors(emb.repartition(1)) == base)
+  }
 }
