@@ -26,9 +26,18 @@ object SparkEntry {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
-      case None    => df
+    // Normalize `ts` to session-zone TIMESTAMP whatever the file carried:
+    // TIMESTAMP(NANOS) arrives as long under nanosAsLong (truncate to μs);
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ
+    // (cast reads the naive value in the session zone — UTC in Bench/
+    // Verify, the same instants DuckDB's epoch_us sees). Downstream ops
+    // (`unix_micros` in funnel/retention/sessionize) require TIMESTAMP.
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
     }
   }
 
@@ -1038,6 +1047,31 @@ object SparkEntry {
         .orderBy(col("_cid")).limit(8)
       Similarity.semDedup(cents, emb, "vec_id", "embedding", minSim = 0.3)
         .select(col("vec_id"), col("cell_id"))
+    }),
+
+    // ---- Chunk-level exact dedup (CCNet shape): 10-token chunks, the
+    //      corpus-wide first occurrence survives (first-wins by (doc_id,
+    //      chunk_idx)); chunks ride a 128-bit md5 through both shuffles,
+    //      the text never leaves the scan. Integer counts → engine-exact ----
+    "q85_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(tbl(s, dir, "documents"), "doc_id", "text", 10)),
+
+    // ---- DSIR importance weights: target = English slice; micro-scaled
+    //      linear likelihood ratio in exact int64 (one IEEE division per
+    //      doc at the end — the linear-not-log convention) ----
+    "q86_dsir" -> ((s, dir) =>
+      Corpus.dsirWeights(tbl(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")),
+
+    // ---- Two-stage ANN: PQ-ADC shortlist (30, codes only) → exact-cosine
+    //      rerank (top 5, floats re-read for the shortlist alone) — the
+    //      serving composition over q66's scan ----
+    "q87_ann_rerank" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.pqRerankTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          Similarity.pqBookConst(64, 4, 8), shortlist = 30, topK = 5)
+        .select(col("query_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -1273,9 +1307,39 @@ object SparkEntry {
        |LIMIT 100""".stripMargin
   }
 
+  /** q87's oracle: q66's ADC CTE skeleton widened to a 30-candidate
+    * shortlist, then exact cosine (list_cosine_similarity — q16-proven
+    * parity with the engine's fold) reranks the shortlist only. */
+  private val pqRerankOracle: String = {
+    val codes = (0 until 4)
+      .map(s => s"CAST(list_position(l$s, list_min(l$s)) - 1 AS INT) AS c$s").mkString(", ")
+    val dist = (0 until 4).map(s => s"q.l$s[d.c$s + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |lists AS (SELECT vec_id, v,
+       |  $pqDistLists
+       |  FROM e),
+       |d AS (SELECT vec_id, $codes FROM lists),
+       |q AS (SELECT vec_id AS query_id, l0, l1, l2, l3 FROM lists WHERE vec_id < 5),
+       |s AS (SELECT q.query_id, d.vec_id, $dist AS dist
+       |      FROM d CROSS JOIN q WHERE d.vec_id <> q.query_id),
+       |short AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+       |  FROM s) WHERE rn <= 30),
+       |x AS (SELECT sh.query_id, sh.vec_id,
+       |        list_cosine_similarity(cv.v, qv.v) AS cs
+       |      FROM short sh JOIN e cv ON cv.vec_id = sh.vec_id
+       |                    JOIN e qv ON qv.vec_id = sh.query_id),
+       |r AS (SELECT query_id, vec_id, cs,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rn
+       |      FROM x)
+       |SELECT query_id, vec_id, round(cs, 6) AS cos_sim FROM r WHERE rn <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q65_pq_encode" -> pqOracle,
     "q66_pq_adc" -> pqAdcOracle,
+    "q87_ann_rerank" -> pqRerankOracle,
     "q42_embed_neardup" -> embedNearDupOracle,
 
     // q45: the q20 LSH pair pipeline at jaccard >= 0.5, closed into
@@ -2052,5 +2116,35 @@ object SparkEntry {
         |        ON x.cid = y.cid AND y.id < x.id
         |      WHERE list_cosine_similarity(x.v, y.v) >= 0.3)
         |SELECT id AS vec_id, cid AS cell_id FROM cells
-        |WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.id = cells.id)""".stripMargin)
+        |WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.id = cells.id)""".stripMargin,
+
+    // q85: first occurrence replayed as a row_number window over the chunk
+    // CONTENT (the engine elects on md5(chunk) — identical mod 2^-128
+    // collisions); integer counts on both sides
+    "q85_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |n AS (SELECT doc_id, w, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc FROM t),
+        |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM n),
+        |k AS (SELECT doc_id, i AS ci,
+        |        array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ') AS chunk
+        |      FROM c),
+        |r AS (SELECT doc_id, ci,
+        |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn FROM k)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_chunks
+        |FROM r GROUP BY doc_id""".stripMargin,
+
+    // q86: the engine counts on xxhash64(token), the oracle on the token
+    // string (identical mod 2^-64); integer products and // replay the
+    // exact micro-ratio, and the per-doc mean is the only float op
+    "q86_dsir" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents),
+        |tk AS (SELECT * FROM t WHERE w <> ''),
+        |c AS (SELECT w, count(*) AS cs, count(*) FILTER (WHERE tgt) AS ct FROM tk GROUP BY w),
+        |g AS (SELECT sum(cs) AS ts, sum(ct) AS tt, count(*) AS v FROM c),
+        |q AS (SELECT w, (1000000 * (ct + 1) * (ts + v)) // ((cs + 1) * (tt + v)) AS q FROM c, g)
+        |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(q.q) AS DOUBLE) / count(*) AS lr_micro
+        |FROM tk JOIN q USING (w) GROUP BY tk.doc_id""".stripMargin)
 }

@@ -98,6 +98,65 @@ object Corpus {
         (col("_nk").cast("double") / col("n_bigrams").cast("double")).as("known_ratio"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, Data Selection via
+    * Importance Resampling): score every document by how much more likely
+    * its unigrams are under a TARGET distribution (the rows where
+    * `isTarget` holds — a trusted high-quality slice) than under the full
+    * corpus, with add-one smoothing on both sides. Documents scoring high
+    * are "target-like" and get resampled into the training mix; compose
+    * with [[graft.ops.BudgetSelect]] (rank by the weight) or
+    * `TextAnalysis.hashSplit` for the actual selection pass.
+    *
+    * This repo's linear-not-log convention (see [[tfidfTopTerm]]): the
+    * paper's log-likelihood-ratio feature is replaced by the per-token
+    * MICRO-SCALED LINEAR ratio
+    * `q(w) = ⌊10⁶ · p̂_target(w) / p̂_corpus(w)⌋`, computed entirely in
+    * int64 (`(10⁶·(ct+1)·(Ts+V)) div ((cs+1)·(Tt+V))` — exact integer
+    * products, one integer division), so per-doc sums are order-
+    * independent exact integers and the final per-doc mean is ONE IEEE
+    * division — bit-identical across engines. Rankings agree with the
+    * log form whenever per-token ratios agree in order (monotone map);
+    * the mean-of-ratios vs mean-of-logs aggregation difference is the
+    * price of exact reproducibility. At 100 TB (corpus token counts
+    * beyond ~10¹² the int64 products overflow) lift the three factors to
+    * decimal(38,0) — same plan shape, Spark and DuckDB both compute
+    * 128-bit exact.
+    *
+    * Scale shape: tokens collapse to 8-byte xxhash64 keys at the scan
+    * (strings never shuffle — q21's discipline); ONE groupBy(hash) counts
+    * target and corpus occurrences together (map-side partials); the
+    * corpus totals (Ts, Tt, V) are a broadcast 1-row frame; per-token
+    * scores join back onto the token stream on the same hash key (AQE
+    * reuses the exchange); one groupBy(doc) folds exact integer sums.
+    * A hash collision merges two tokens' counts on BOTH sides of the
+    * ratio — the 2⁻⁶⁴ risk the repo accepts everywhere.
+    *
+    * Returns (idCol, n_tokens, lr_micro): the mean micro-ratio, ~10⁶ for
+    * corpus-average documents, higher for target-like ones. Documents
+    * with no non-empty token produce no row. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val toks = Parallelize.ensure(
+        docs.select(col(idCol).as("_id"), col(textCol).as("_t"), isTarget.as("_tgt")))
+      .select(col("_id"), col("_tgt"), explode(TextAnalysis.tokens(col("_t"))).as("_w"))
+      .filter(col("_w") =!= "")
+      .select(col("_id"), col("_tgt"), xxhash64(col("_w")).as("_h"))
+    val counts = toks.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_cs"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    val totals = counts.agg(sum(col("_cs")).as("_ts"),
+      sum(col("_ct")).as("_tt"), count(lit(1)).as("_v"))
+    val num = lit(1000000L) * (col("_ct") + 1L) * (col("_ts") + col("_v"))
+    val den = (col("_cs") + 1L) * (col("_tt") + col("_v"))
+    val scored = counts.crossJoin(broadcast(totals))
+      .select(col("_h"), ((num - num % den) / den).cast("long").as("_q"))
+    toks.join(scored, Seq("_h"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_q")).as("_sq"))
+      .select(col("_id").as(idCol), col("n_tokens"),
+        (col("_sq").cast("double") / col("n_tokens").cast("double")).as("lr_micro"))
+  }
+
   def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Parallelize.ensure(
         docs.select(col(idCol).as("_id"), col(textCol).as("_t")))

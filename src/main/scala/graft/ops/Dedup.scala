@@ -266,4 +266,53 @@ object Dedup {
         (sum(coalesce(col("_dup"), lit(0))) / count(lit(1))).as("dup_frac"))
       .withColumnRenamed("_id", idCol)
   }
+
+  /** Chunk-level exact dedup (the CCNet shape, Wenzek et al.: dedup at
+    * paragraph granularity rather than whole documents): the token stream
+    * of each document is cut into consecutive fixed-size chunks, and a
+    * chunk survives iff it is the corpus-wide FIRST occurrence of its
+    * normalized content — ordered by (doc id, chunk index), the same
+    * deterministic first-wins rule as [[graft.ops.Similarity.semDedup]].
+    *
+    * Scale shape: chunks collapse to a 128-bit md5 fingerprint at the scan
+    * and only (id, chunk_idx, fingerprint) ever shuffles — the chunk text
+    * stays in the scan stage. First-occurrence election is one
+    * groupBy(fingerprint) with a map-side `min(struct(id, idx))` partial;
+    * the winners join back onto the same fingerprint key, so AQE reuses
+    * the exchange rather than re-shuffling. md5 (not xxhash64) because a
+    * collision here silently DELETES data — at 2⁻¹²⁸ per pair that risk is
+    * negligible even at 100 TB, where 8-byte hashes would not be.
+    *
+    * Returns one row per document: (idCol, n_chunks, kept_chunks) — both
+    * integer counts, engine-exact for cross-oracle comparison. Callers
+    * reconstructing cleaned text instead keep the surviving (idx, chunk)
+    * pairs and re-aggregate ordered by idx. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 10): DataFrame = {
+    val flags = chunkDedupFlags(df, idCol, textCol, chunkTokens)
+    flags.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("_keep").cast("long")).as("kept_chunks"))
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Per-chunk survival flags behind [[chunkDedup]]: one row per
+    * (_id, _ci) positional chunk with `_keep` = corpus-first occurrence. */
+  def chunkDedupFlags(df: DataFrame, idCol: String, textCol: String,
+                      chunkTokens: Int): DataFrame = {
+    val c = chunkTokens
+    val w = split(lower(trim(col("_t"))), "\\s+")
+    val chunks = Parallelize.ensure(
+        df.select(col(idCol).as("_id"), col(textCol).as("_t")))
+      .select(col("_id"), posexplode(
+        transform(sequence(lit(0), ceil(size(w) / lit(c.toDouble)).cast("int") - 1),
+          i => md5(concat_ws(" ", slice(w, i * c + 1, lit(c)))))))
+      .select(col("_id"), col("pos").as("_ci"), col("col").as("_k"))
+    val firsts = chunks.groupBy(col("_k"))
+      .agg(min(struct(col("_id"), col("_ci"))).as("_first"))
+    chunks.join(firsts, Seq("_k"))
+      .select(col("_id"), col("_ci"),
+        (col("_first._id") === col("_id") && col("_first._ci") === col("_ci"))
+          .as("_keep"))
+  }
 }

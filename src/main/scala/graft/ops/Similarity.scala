@@ -206,6 +206,41 @@ object Similarity {
       .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_dist").as("adist"))
   }
 
+  /** Two-stage retrieval — ADC shortlist, exact rerank: the production
+    * serving shape for a PQ index. Stage 1 ranks the WHOLE corpus by PQ
+    * codes only ([[pqTopKWith]] — m array lookups per row, floats never
+    * read) and keeps a `shortlist`-sized candidate set per query; stage 2
+    * re-reads original floats for the shortlist ONLY and reranks by exact
+    * cosine. Compression error affects recall (a true neighbor missing
+    * from the shortlist) but never the final ordering — the standard
+    * accuracy/cost split (Jégou et al., IVFADC + rerank).
+    *
+    * Scale shape: stage 1 is the proven ADC scan (broadcast LUTs,
+    * map-side, per-query top-k window). Stage 2's float re-read is a
+    * BROADCAST of the |Q|·shortlist id set against the corpus scan — the
+    * corpus never shuffles, and only matching rows carry their vector
+    * into the |Q|·shortlist-row rerank, whose window partitions by query.
+    * (At petabyte scale this is the "fetch by rowid from the vector
+    * store" step; here the store is the same parquet scan.) */
+  def pqRerankTopK(df: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, qIdCol: String, qVecCol: String,
+                   book: Seq[Seq[Seq[Double]]], shortlist: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val short = pqTopKWith(df, idCol, vecCol, queries, qIdCol, qVecCol, book, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val corp = df.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val qv = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).cast("array<double>").as("_qv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("_cos").desc, col("vec_id"))
+    corp.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("_cos", cosine(col("_cv"), col("_qv")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      .select(col("query_id"), col("vec_id"), col("_cos").as("cos_sim"))
+  }
+
   /** IVF×PQ — the production ANN index shape: coarse IVF cells route each
     * query to its `nProbe` most promising cells, and ONLY those cells'
     * rows are ranked, by PQ codes (ADC), never by their original floats.

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Corpus, Dedup, Similarity}
+
+/** Round-6 depth operators: chunk-level exact dedup (CCNet shape), DSIR
+  * importance weights, bigram-LM cross-entropy, two-stage ANN rerank, and
+  * contrastive hard-negative mining. */
+class Round6OpsSpec extends AnyFunSuite {
+  private lazy val spark = Golden.spark
+  import spark.implicits._
+
+  // ---- Dedup.chunkDedup ----
+
+  test("chunkDedup keeps corpus-first chunk occurrences only") {
+    val docs = Seq(
+      (0, "a b c d e f g h i j k"),          // 2 chunks: [a..j], [k]
+      (1, "a b c d e f g h i j"),            // dup of doc0 chunk0
+      (2, "A B C D E F G H I J"),            // normalized dup of the same
+      (3, "k"),                              // dup of doc0 chunk1
+      (4, "p q r s t u v w x y p q r s t u v w x y") // within-doc repeat
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, "doc_id", "text", 10)
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("n_chunks"), col("kept_chunks"))
+      .as[(Int, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (0, 2L, 2L), (1, 1L, 0L), (2, 1L, 0L), (3, 1L, 0L), (4, 2L, 1L)))
+  }
+
+  test("chunkDedup first-wins rule is positional, not value-dependent") {
+    // the SAME chunk appearing at a later index of an earlier doc loses to
+    // an earlier index of a later doc? No: order is (doc_id, chunk_idx) —
+    // doc 0 chunk 1 beats doc 1 chunk 0.
+    val docs = Seq(
+      (0, "x x x x x x x x x x z z z z z z z z z z"),
+      (1, "z z z z z z z z z z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, "doc_id", "text", 10)
+      .orderBy("doc_id").as[(Int, Long, Long)].collect()
+    assert(got.toSeq == Seq((0, 2L, 2L), (1, 1L, 0L)))
+  }
+
+  // ---- Corpus.dsirWeights ----
+
+  test("dsirWeights matches the hand-computed micro-ratio model") {
+    // corpus: aa(cs=2, ct=1) bb(1,1) cc(1,0); Ts=4 Tt=2 V=3
+    // q(aa) = 10^6·2·7 // (3·5)  = 933333
+    // q(bb) = 10^6·2·7 // (2·5)  = 1400000
+    // q(cc) = 10^6·1·7 // (2·5)  = 700000
+    val docs = Seq((0, "aa bb", "en"), (1, "aa cc", "fr")).toDF("doc_id", "text", "lang")
+    val got = Corpus.dsirWeights(docs, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id").as[(Int, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      (0, 2L, (933333.0 + 1400000.0) / 2),
+      (1, 2L, (933333.0 + 700000.0) / 2)))
+  }
+
+  test("dsirWeights ranks target-like documents above corpus-average ones") {
+    val docs = (0 until 20).map(i =>
+      if (i % 2 == 0) (i, "clean prose tokens here", "en")
+      else (i, "spam spam noise blob", "xx")).toDF("doc_id", "text", "lang")
+    val w = Corpus.dsirWeights(docs, "doc_id", "text", col("lang") === "en")
+      .select(col("doc_id"), col("lr_micro")).as[(Int, Double)].collect().toMap
+    assert(w(0) > w(1), s"target doc should outscore non-target: $w")
+    assert(w.filterKeys(_ % 2 == 0).values.min > w.filterKeys(_ % 2 == 1).values.max)
+  }
+
+  // ---- Similarity.pqRerankTopK ----
+
+  test("pqRerankTopK with a corpus-wide shortlist equals exact brute-force top-k") {
+    // graceful-exactness: if stage 1 keeps everything, stage 2 IS the
+    // exact ranking — same identity discipline as IVF probe-all
+    val n = 40
+    val dim = 8
+    val emb = (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(j => math.sin(i * 31 + j * 7).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val book = Similarity.pqBookConst(dim, 2, 4)
+    val got = Similarity.pqRerankTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        book, shortlist = n, topK = 5)
+      .select(col("vec_id"), col("cos_sim")).as[(Long, Double)].collect().toSeq
+    val exact = Similarity.topK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "embedding", 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.sortBy(_._1) == exact.sortBy(_._1))
+  }
+
+  test("pqRerankTopK output ordering is exact-cosine, not ADC order") {
+    val n = 40
+    val dim = 8
+    val emb = (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(j => math.cos(i * 13 + j * 3).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val book = Similarity.pqBookConst(dim, 2, 4)
+    val rows = Similarity.pqRerankTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 1), "vec_id", "embedding",
+        book, shortlist = 20, topK = 10)
+      .orderBy(col("cos_sim").desc)
+      .select(col("cos_sim")).as[Double].collect()
+    assert(rows.length == 10)
+    assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
+  }
+}
