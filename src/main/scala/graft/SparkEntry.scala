@@ -1072,6 +1072,24 @@ object SparkEntry {
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           Similarity.pqBookConst(64, 4, 8), shortlist = 30, topK = 5)
         .select(col("query_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
+    // ---- Smoothed bigram-LM fluency: mean add-one transition probability
+    //      under the corpus LM, micro-scaled to exact int64 (q70's
+    //      grown-up sibling; linear-not-log convention) ----
+    "q88_bigram_lm" -> ((s, dir) =>
+      Corpus.bigramLmScore(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- Contrastive hard negatives: per query, top-5 most-similar
+    //      embeddings with a DIFFERENT label — broadcast scan, map-side
+    //      cosine + label filter, per-query top-k window ----
+    "q89_hard_negatives" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding", "label", topK = 5)
+        .select(col("query_id"), col("vec_id"),
+          col("neg_label").cast("int").as("neg_label"),
+          round(col("cos_sim"), 6).as("cos_sim"))
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -2146,5 +2164,38 @@ object SparkEntry {
         |q AS (SELECT w, (1000000 * (ct + 1) * (ts + v)) // ((cs + 1) * (tt + v)) AS q FROM c, g)
         |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(q.q) AS DOUBLE) / count(*) AS lr_micro
-        |FROM tk JOIN q USING (w) GROUP BY tk.doc_id""".stripMargin)
+        |FROM tk JOIN q USING (w) GROUP BY tk.doc_id""".stripMargin,
+
+    // q88: the engine counts on xxhash64(bigram)/xxhash64(word), the
+    // oracle on the strings (identical mod 2^-64); integer // replays the
+    // exact micro-probability, one IEEE division per doc
+    "q88_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS b, w[i] AS w1
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t WHERE len(w) >= 2)),
+        |uni AS (SELECT unnest(w) AS u FROM t),
+        |uc AS (SELECT u, count(*) AS cu FROM uni WHERE u <> '' GROUP BY u),
+        |v AS (SELECT count(*) AS v FROM uc),
+        |bc AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+        |q AS (SELECT bg.doc_id, (1000000 * (bc.cb + 1)) // (uc.cu + v.v) AS q
+        |      FROM bg JOIN bc USING (b) JOIN uc ON uc.u = bg.w1, v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(q) AS DOUBLE) / count(*) AS p_micro
+        |FROM q GROUP BY doc_id""".stripMargin,
+
+    // q89: broadcast-scan replay — cross join queries x corpus, label
+    // mismatch filter, list_cosine_similarity (q16-proven parity), per-
+    // query top-5 window
+    "q89_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e WHERE vec_id < 4),
+        |s AS (SELECT q.query_id, e.vec_id, e.label AS neg_label,
+        |        list_cosine_similarity(e.v, q.qv) AS cs
+        |      FROM e, q WHERE e.label <> q.ql),
+        |r AS (SELECT query_id, vec_id, neg_label, cs,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rn
+        |      FROM s)
+        |SELECT query_id, vec_id, CAST(neg_label AS INT) AS neg_label,
+        |  round(cs, 6) AS cos_sim
+        |FROM r WHERE rn <= 5""".stripMargin)
 }

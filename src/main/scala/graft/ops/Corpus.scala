@@ -98,6 +98,53 @@ object Corpus {
         (col("_nk").cast("double") / col("n_bigrams").cast("double")).as("known_ratio"))
   }
 
+  /** Smoothed bigram-LM fluency score: for each document, the mean
+    * add-one-smoothed transition probability of its word bigrams under a
+    * LM trained on the whole corpus —
+    * `p̂(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V)`. This is [[knownBigramRatio]]'s
+    * grown-up sibling: instead of a binary known/unknown flag per
+    * transition, each transition contributes its actual corpus
+    * probability, so the score separates "common transitions" from
+    * "merely attested" ones — the CCNet/Gopher perplexity-filter signal.
+    *
+    * The linear-not-log convention (see [[tfidfTopTerm]]): perplexity's
+    * geometric mean needs logs, whose last-ulp libm differences break
+    * exact cross-engine comparison, so the transition probabilities are
+    * micro-scaled to exact integers — `q(b) = ⌊10⁶·(c_b+1)/(c_{w₁}+V)⌋`,
+    * one int64 product and one integer division — summed exactly, with
+    * ONE IEEE division per document at the end. Ranking differs from
+    * true perplexity only in arithmetic-vs-geometric aggregation. At
+    * corpora beyond ~10¹² bigrams lift the product to decimal(38,0).
+    *
+    * Scale shape: bigrams and their leading unigrams both collapse to
+    * 8-byte xxhash64 keys at the scan; two count aggregations (map-side
+    * partials), the V scalar broadcast as a 1-row frame, two narrow-key
+    * joins back onto the per-doc bigram stream, one groupBy(doc) fold.
+    * Returns (idCol, n_bigrams, p_micro): documents with fewer than two
+    * tokens produce no row. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = Parallelize.ensure(
+      docs.select(col(idCol).as("_id"), col(textCol).as("_t")))
+    val bg = base.select(col("_id"),
+        explode(TextAnalysis.rawNgrams(col("_t"), 2)).as("_bg"))
+      .select(col("_id"), xxhash64(col("_bg")).as("_hb"),
+        xxhash64(element_at(split(col("_bg"), " "), 1)).as("_h1"))
+    val uni = base.select(explode(TextAnalysis.tokens(col("_t"))).as("_w"))
+      .filter(col("_w") =!= "").select(xxhash64(col("_w")).as("_h1"))
+    val uc = uni.groupBy(col("_h1")).agg(count(lit(1)).as("_cu"))
+    val vocab = uc.agg(count(lit(1)).as("_v"))
+    val bc = bg.groupBy(col("_hb")).agg(count(lit(1)).as("_cb"))
+    val num = lit(1000000L) * (col("_cb") + 1L)
+    val den = col("_cu") + col("_v")
+    bg.join(bc, Seq("_hb")).join(uc, Seq("_h1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("_id"), ((num - num % den) / den).cast("long").as("_q"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_q")).as("_sq"))
+      .select(col("_id").as(idCol), col("n_bigrams"),
+        (col("_sq").cast("double") / col("n_bigrams").cast("double")).as("p_micro"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, Data Selection via
     * Importance Resampling): score every document by how much more likely
     * its unigrams are under a TARGET distribution (the rows where

@@ -206,6 +206,38 @@ object Similarity {
       .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_dist").as("adist"))
   }
 
+  /** Contrastive hard-negative mining: for every query vector, the top-k
+    * most-similar corpus vectors whose LABEL DIFFERS from the query's —
+    * the near-misses a contrastive loss (SimCLR/CLIP-style, triplet)
+    * learns the most from. Easy negatives (random different-label rows)
+    * are plentiful and uninformative; the hard ones are exactly the
+    * different-label rows the similarity function confuses.
+    *
+    * Scale shape: identical to [[topK]]'s broadcast scan — queries (with
+    * their labels) broadcast, the label-mismatch filter and cosine run
+    * map-side in the corpus scan stage, and the only shuffle is the
+    * per-query top-k window over |Q| partitions. For mining negatives
+    * for EVERY corpus row (|Q| = corpus), swap the broadcast for the
+    * bucketed LSH/IVF candidate generators and apply the same
+    * different-label filter on candidates. */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+                    queries: DataFrame, qIdCol: String, qVecCol: String,
+                    qLabelCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corp = Parallelize.ensure(df.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("_cv"), col(labelCol).as("_cl")))
+    val qv = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).cast("array<double>").as("_qv"), col(qLabelCol).as("_ql"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("_cos").desc, col("vec_id"))
+    corp.crossJoin(broadcast(qv))
+      .filter(col("_cl") =!= col("_ql"))
+      .withColumn("_cos", cosine(col("_cv"), col("_qv")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      .select(col("query_id"), col("vec_id"), col("_cl").as("neg_label"),
+        col("_cos").as("cos_sim"))
+  }
+
   /** Two-stage retrieval — ADC shortlist, exact rerank: the production
     * serving shape for a PQ index. Stage 1 ranks the WHOLE corpus by PQ
     * codes only ([[pqTopKWith]] — m array lookups per row, floats never

@@ -89,6 +89,50 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(got.sortBy(_._1) == exact.sortBy(_._1))
   }
 
+  // ---- Corpus.bigramLmScore ----
+
+  test("bigramLmScore matches the hand-computed add-one model") {
+    // corpus: "a b" x2, "a c" — unigrams a:3 b:2? no: docs are
+    // d0="a b b", d1="a b". tokens: a:2 b:3, V=2
+    // bigrams: "a b":2, "b b":1
+    // q("a b") = 10^6·3 // (2+2) = 750000 ; q("b b") = 10^6·2 // (3+2) = 400000
+    // d0 bigrams: "a b","b b" → mean (750000+400000)/2
+    // d1 bigrams: "a b"       → 750000
+    val docs = Seq((0, "a b b"), (1, "a b")).toDF("doc_id", "text")
+    val got = Corpus.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Int, Long, Double)].collect()
+    assert(got.toSeq == Seq((0, 2L, 575000.0), (1, 1L, 750000.0)))
+  }
+
+  test("bigramLmScore scores fluent (common-transition) docs above shredded ones") {
+    val common = (0 until 10).map(i => (i, "the quick brown fox jumps"))
+    val rare = Seq((10, "fox the jumps quick brown"))
+    val got = Corpus.bigramLmScore((common ++ rare).toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("doc_id"), col("p_micro")).as[(Int, Double)].collect().toMap
+    assert(got(0) > got(10), s"common transitions should outscore shuffled: $got")
+  }
+
+  // ---- Similarity.hardNegatives ----
+
+  test("hardNegatives never returns the query's own label and ranks by cosine") {
+    val n = 30
+    val dim = 6
+    val emb = (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(j => math.sin(i + j * 11).toFloat).toArray, i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", "label", topK = 4)
+      .select(col("vec_id"), col("neg_label"), col("cos_sim"))
+      .as[(Long, Int, Double)].collect()
+    assert(got.length == 4)
+    assert(got.forall(_._2 != 0), s"label 0 is the query's own: ${got.toSeq}")
+    // cross-check against brute force over the eligible rows
+    val exact = Similarity.topK(emb.filter(col("label") =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "embedding", 4)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(got.map(_._1).toSeq.sorted == exact.sorted)
+  }
+
   test("pqRerankTopK output ordering is exact-cosine, not ADC order") {
     val n = 40
     val dim = 8
