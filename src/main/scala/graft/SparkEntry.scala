@@ -1090,7 +1090,15 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"),
           col("neg_label").cast("int").as("neg_label"),
           round(col("cos_sim"), 6).as("cos_sim"))
-    }))
+    }),
+
+    // ---- q85's rebuild flavor: the cleaned documents themselves —
+    //      surviving chunks rejoined in order. Output hashed+measured
+    //      (clean_md5, clean_chars) so the gate compares scalars ----
+    "q90_chunk_rebuild" -> ((s, dir) =>
+      Dedup.chunkDedupRebuild(tbl(s, dir, "documents"), "doc_id", "text", 10)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast("long").as("clean_chars"))))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2197,5 +2205,22 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, vec_id, CAST(neg_label AS INT) AS neg_label,
         |  round(cs, 6) AS cos_sim
-        |FROM r WHERE rn <= 5""".stripMargin)
+        |FROM r WHERE rn <= 5""".stripMargin,
+
+    // q90: q85's window replay, then the kept chunks string_agg'd back in
+    // positional order; md5/length compare the rebuilt text as scalars
+    "q90_chunk_rebuild" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |n AS (SELECT doc_id, w, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc FROM t),
+        |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM n),
+        |k AS (SELECT doc_id, i AS ci,
+        |        array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ') AS chunk
+        |      FROM c),
+        |r AS (SELECT doc_id, ci, chunk,
+        |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn FROM k),
+        |g AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS clean_text
+        |      FROM r WHERE rn = 1 GROUP BY doc_id)
+        |SELECT doc_id, md5(clean_text) AS clean_md5,
+        |  CAST(length(clean_text) AS BIGINT) AS clean_chars
+        |FROM g""".stripMargin)
 }

@@ -296,6 +296,40 @@ object Dedup {
       .withColumnRenamed("_id", idCol)
   }
 
+  /** [[chunkDedup]]'s rebuild flavor: the cleaned documents themselves —
+    * surviving chunks re-joined in positional order. The counts flavor
+    * never moves text; reconstruction inherently must (kept chunk text
+    * re-groups into documents), so this costs exactly two text-carrying
+    * movements: the survivor election's hash join on the md5 key, and the
+    * final groupBy(doc) that reassembles the text — both unavoidable
+    * given the output IS the text. Election still combines map-side on
+    * the fingerprint, and dropped chunks exit before the doc shuffle.
+    *
+    * Returns (idCol, clean_text); documents whose every chunk was a
+    * duplicate produce no row (nothing survives to rebuild). */
+  def chunkDedupRebuild(df: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int = 10): DataFrame = {
+    val c = chunkTokens
+    val w = split(lower(trim(col("_t"))), "\\s+")
+    val chunks = Parallelize.ensure(
+        df.select(col(idCol).as("_id"), col(textCol).as("_t")))
+      .select(col("_id"), posexplode(
+        transform(sequence(lit(0), ceil(size(w) / lit(c.toDouble)).cast("int") - 1),
+          i => concat_ws(" ", slice(w, i * c + 1, lit(c))))))
+      .select(col("_id"), col("pos").as("_ci"), col("col").as("_chunk"),
+        md5(col("col")).as("_k"))
+    val firsts = chunks.select(col("_id"), col("_ci"), col("_k"))
+      .groupBy(col("_k"))
+      .agg(min(struct(col("_id"), col("_ci"))).as("_first"))
+    chunks.join(firsts, Seq("_k"))
+      .filter(col("_first._id") === col("_id") && col("_first._ci") === col("_ci"))
+      .groupBy(col("_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("_ci"), col("_chunk")))),
+          s => s.getField("_chunk"))).as("clean_text"))
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** Per-chunk survival flags behind [[chunkDedup]]: one row per
     * (_id, _ci) positional chunk with `_keep` = corpus-first occurrence. */
   def chunkDedupFlags(df: DataFrame, idCol: String, textCol: String,

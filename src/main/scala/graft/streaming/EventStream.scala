@@ -50,6 +50,34 @@ object EventStream {
         (col("punct_ratio").isNull || col("punct_ratio") <= maxPunctRatio))
   }
 
+  /** Stream-static decontamination gate: drop stream documents whose
+    * normalized content fingerprint already exists in a static seen-set —
+    * a benchmark corpus (never train on eval data), or everything ingested
+    * in earlier runs. The ingest-time half of the dedup stack: this gate
+    * keeps history out, [[dedupStream]] keeps within-stream repeats out.
+    *
+    * Stateless by construction: a stream-static LEFT ANTI join re-probes
+    * the static side per microbatch (Spark plans it as a normal batch
+    * join inside the microbatch — broadcast when small), so there is no
+    * state store, no watermark, and the seen-set can be swapped by
+    * restarting the query. md5, not xxhash64, because a false positive
+    * here silently DROPS a good document (q85's collision discipline —
+    * deletion decisions get 128 bits).
+    *
+    * Build `seen` with [[seenFingerprints]] over the historical corpus
+    * (or the benchmark tables for eval decontamination); gram-level
+    * decontamination (q49) stays a batch op — its doc-level verdict needs
+    * a per-doc aggregate that would be stateful here. */
+  def decontaminateStream(docs: DataFrame, textCol: String, seen: DataFrame): DataFrame =
+    docs.withColumn("_fp", md5(lower(trim(col(textCol)))))
+      .join(seen, Seq("_fp"), "left_anti")
+      .drop("_fp")
+
+  /** The static side of [[decontaminateStream]]: distinct md5 fingerprints
+    * of a historical/benchmark corpus (one narrow shuffle, run as batch). */
+  def seenFingerprints(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(md5(lower(trim(col(textCol)))).as("_fp")).distinct()
+
   final case class BudgetDoc(group: String, doc_id: Long, cost: Long)
   final case class BudgetState(spent: Long, closed: Boolean)
   final case class BudgetAdmit(group: String, doc_id: Long, cost: Long, spent: Long)

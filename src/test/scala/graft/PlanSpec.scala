@@ -190,6 +190,51 @@ class PlanSpec extends AnyFunSuite {
       s"user shuffle + (cohort, offset) shuffle, nothing else\n$p")
   }
 
+  test("q85 chunk dedup: no window over the corpus, partial min(struct) election") {
+    val p = plan("q85_chunk_dedup")
+    assert(!p.contains("Window"), s"first-wins is a groupBy election, not a window\n$p")
+    assert(p.contains("partial_min(struct"),
+      s"election must combine map-side before the fingerprint exchange\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q86/q88 corpus-LM scores: narrow-key shuffles only, totals broadcast, no window") {
+    for (q <- Seq("q86_dsir", "q88_bigram_lm")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: corpus scores need no window\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+        s"$q: the 1-row totals frame must broadcast\n$p")
+      assert(p.contains("partial_count"),
+        s"$q: count aggregation must combine map-side\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+  }
+
+  test("q87 two-stage rerank: shortlist broadcasts onto the corpus scan, top-k pushes down") {
+    val p = plan("q87_ann_rerank")
+    // stage-2 float re-read: corpus scan probe side, shortlist + query
+    // vectors broadcast — the corpus itself never exchanges for the join
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"shortlist ids and query vectors both broadcast\n$p")
+    // the only hashpartitioning exchanges are the two per-query top-k
+    // windows (ADC shortlist + exact rerank)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"corpus must not shuffle in either stage\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-limit should push below the window exchange\n$p")
+  }
+
+  test("q89 hard negatives: queries broadcast with pushed filter, single window shuffle") {
+    val p = plan("q89_hard_negatives")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,4)"),
+      s"query-side selection must reach the parquet scan\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross, NOT"),
+      s"label-mismatch filter rides the broadcast join\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"only the per-query top-k window may shuffle\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k should push down\n$p")
+  }
+
   test("q67/q69 IVF-PQ: probes broadcast, corpus never cartesians against queries") {
     for (q <- Seq("q67_ivf_pq", "q69_ivf_pq_residual")) {
       val p = plan(q)

@@ -43,6 +43,19 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0, 2L, 2L), (1, 1L, 0L)))
   }
 
+  test("chunkDedupRebuild reassembles surviving chunks in positional order") {
+    val docs = Seq(
+      (0, "a b c d e f g h i j k l"),   // chunks [a..j], [k l]
+      (1, "a b c d e f g h i j z"),     // chunk0 dup of doc0 → only "z" survives
+      (2, "k l")                        // dup of doc0 chunk1 → nothing survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedupRebuild(docs, "doc_id", "text", 10)
+      .orderBy("doc_id").as[(Int, String)].collect()
+    assert(got.toSeq == Seq(
+      (0, "a b c d e f g h i j k l"),
+      (1, "z")))
+  }
+
   // ---- Corpus.dsirWeights ----
 
   test("dsirWeights matches the hand-computed micro-ratio model") {
@@ -131,6 +144,33 @@ class Round6OpsSpec extends AnyFunSuite {
         emb.filter(col("vec_id") === 0), "embedding", 4)
       .as[(Long, Double)].collect().map(_._1).toSeq
     assert(got.map(_._1).toSeq.sorted == exact.sorted)
+  }
+
+  // ---- EventStream.decontaminateStream ----
+
+  test("stream-static decontamination drops seen fingerprints, stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    implicit val sq = spark.sqlContext
+    val history = Seq((100L, "the benchmark question"), (101L, "old crawl page"))
+      .toDF("doc_id", "text")
+    val seen = EventStream.seenFingerprints(history, "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), "text", seen)
+      .writeStream.outputMode("append").format("memory").queryName("decon").start()
+    // normalization: case/whitespace variants of history must also drop
+    mem.addData((1L, "fresh document"), (2L, "The Benchmark Question  "),
+      (3L, "old crawl page"))
+    q.processAllAvailable()
+    mem.addData((4L, "another fresh one"))
+    q.processAllAvailable()
+    val kept = spark.table("decon").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"got $kept")
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+      "gate must hold no state")
+    q.stop()
   }
 
   test("pqRerankTopK output ordering is exact-cosine, not ADC order") {
