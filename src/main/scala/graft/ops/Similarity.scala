@@ -167,16 +167,27 @@ object Similarity {
 
   /** Per-query LUT columns `_lut0.._lut{m-1}` over a query-vector column:
     * `_lutS[c]` = squared L2 from the vector's sub-vector S to centroid c
-    * — computed ONCE per query, then every corpus distance is m lookups. */
+    * — computed ONCE per query, then every corpus distance is m lookups.
+    *
+    * Deliberately a SMALL higher-order-function tree (codebook as a
+    * nested-array literal, `transform` + `aggregate` fold) rather than
+    * k·(dim/m) unrolled scalar terms per sub-space: the LUT evaluates on
+    * |Q| rows only, where interpreted HOF cost is nil, while the unrolled
+    * form made Catalyst analysis/codegen the dominant cost of every ADC
+    * query (seconds per plan, worse for the residual variant's per-cell
+    * LUT copies). The fold's summation order is the same left-to-right
+    * chain as before — the leading `0.0 +` is bit-exact because squared
+    * terms are non-negative — so the DuckDB oracle replay still agrees
+    * bit-for-bit. */
   private def pqLutCols(book: Seq[Seq[Seq[Double]]], vec: Column = col("_q")): Seq[Column] = {
     val sd = book.head.head.size
     book.zipWithIndex.map { case (cents, s) =>
-      array(cents.map { cent =>
-        cent.zipWithIndex.map { case (cv, j) =>
-          val x = element_at(vec, s * sd + j + 1) - lit(cv)
-          x * x
-        }.reduce(_ + _)
-      }: _*).as(s"_lut$s")
+      val centsLit = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+      transform(centsLit, cent =>
+        aggregate(
+          zip_with(slice(vec, s * sd + 1, sd), cent, (x, cv) => (x - cv) * (x - cv)),
+          lit(0.0), (acc, d) => acc + d)
+      ).as(s"_lut$s")
     }
   }
 
