@@ -49,5 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowingFingerprints].getName, "winnowing_fingerprints"),
       (args: Seq[Expression]) => WinnowingFingerprints(args.head,
         intArg(args(1), "k"), intArg(args(2), "w"))))
+    ext.injectFunction((
+      FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[graft.functions.InterleaveBits].getName, "interleave_bits"),
+      (args: Seq[Expression]) => graft.functions.InterleaveBits(args.head, args(1),
+        intArg(args(2), "bits"))))
   }
 }

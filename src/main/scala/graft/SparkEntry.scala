@@ -1098,7 +1098,12 @@ object SparkEntry {
     "q90_chunk_rebuild" -> ((s, dir) =>
       Dedup.chunkDedupRebuild(tbl(s, dir, "documents"), "doc_id", "text", 10)
         .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
-          length(col("clean_text")).cast("long").as("clean_chars"))))
+          length(col("clean_text")).cast("long").as("clean_chars"))),
+
+    // ---- Dataset card: per-source volumes, language spread, exact-dup
+    //      rate — one source-key shuffle, distinct aggs via Expand ----
+    "q91_dataset_card" -> ((s, dir) =>
+      Corpus.datasetCard(tbl(s, dir, "documents"), "source", "text", "lang")))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2222,5 +2227,17 @@ object SparkEntry {
         |      FROM r WHERE rn = 1 GROUP BY doc_id)
         |SELECT doc_id, md5(clean_text) AS clean_md5,
         |  CAST(length(clean_text) AS BIGINT) AS clean_chars
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin,
+
+    // q91: straight rollup; token count = whitespace-split length on the
+    // lower-trimmed text, identical to the engine's tokenCount
+    "q91_dataset_card" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_frac
+        |FROM documents GROUP BY source""".stripMargin)
 }

@@ -98,6 +98,33 @@ object Corpus {
         (col("_nk").cast("double") / col("n_bigrams").cast("double")).as("known_ratio"))
   }
 
+  /** Dataset card: the per-source summary table a corpus ships with —
+    * document/token/char volumes, language spread, and the exact-dup rate
+    * (1 − distinct-content/docs, the q13 fingerprint diagnostic rolled
+    * up). The first artifact anyone asks for before mixing a source into
+    * a training run, and the cheapest: ONE groupBy on the source key.
+    *
+    * Scale shape: token/char counts are row-local columns folded with
+    * map-side partials; the two DISTINCT aggregates (languages, content
+    * fingerprints) make Spark plan an Expand (3 rows per input — narrow,
+    * metadata-width) feeding the same single source-key shuffle. Content
+    * identity is md5 (deletion-adjacent diagnostic, q85's discipline).
+    * All counts integer; `dup_frac` is the one IEEE division. */
+  def datasetCard(docs: DataFrame, groupCol: String, textCol: String,
+                  langCol: String): DataFrame =
+    docs.select(col(groupCol).as("source"), col(langCol).as("_lang"),
+        TextAnalysis.tokenCount(col(textCol)).as("_nt"),
+        length(col(textCol)).cast("long").as("_nc"),
+        md5(col(textCol)).as("_fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        sum(col("_nc")).as("n_chars"),
+        count_distinct(col("_lang")).as("n_langs"),
+        count_distinct(col("_fp")).as("n_distinct"))
+      .withColumn("dup_frac",
+        (col("n_docs") - col("n_distinct")).cast("double") / col("n_docs").cast("double"))
+
   /** Smoothed bigram-LM fluency score: for each document, the mean
     * add-one-smoothed transition probability of its word bigrams under a
     * LM trained on the whole corpus —

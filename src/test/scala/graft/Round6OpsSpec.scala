@@ -146,6 +146,20 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq.sorted == exact.sorted)
   }
 
+  // ---- Corpus.datasetCard ----
+
+  test("datasetCard rolls up volumes, language spread, and exact-dup rate per source") {
+    val docs = Seq(
+      (0, "a b c", "en", "s1"), (1, "a b c", "en", "s1"), (2, "d e", "fr", "s1"),
+      (3, "x", "en", "s2")).toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.datasetCard(docs, "source", "text", "lang")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("s1", 3L, 8L, 13L, 2L, 2L, 1.0 / 3),
+      ("s2", 1L, 1L, 1L, 1L, 1L, 0.0)))
+  }
+
   // ---- EventStream.decontaminateStream ----
 
   test("stream-static decontamination drops seen fingerprints, stateless") {
