@@ -364,8 +364,15 @@ object Similarity {
       .groupBy(col("_id"))
       .agg(max_by(struct(col("_cid"), col("_v"), col("_cv")),
         struct(col("_csim"), negate(col("_cid")))).as("_best"))
+      // materialize the residual as its OWN attribute before encoding:
+      // inlining the zip_with into pqEncodeWith would substitute the
+      // 64-element subtraction subtree into every one of the k·dim encode
+      // terms (~500 copies — megabytes of expression tree, seconds of
+      // analysis+codegen, measured). CollapseProject keeps the split: it
+      // never re-inlines a non-cheap expression consumed many times.
       .select(col("_id"), col("_best._cid").as("_cid"),
-        pqEncodeWith(zip_with(col("_best._v"), col("_best._cv"), _ - _), book).as("_codes"))
+        zip_with(col("_best._v"), col("_best._cv"), _ - _).as("_rv"))
+      .select(col("_id"), col("_cid"), pqEncodeWith(col("_rv"), book).as("_codes"))
 
     val probes = {
       val w = Window.partitionBy(col("_qid")).orderBy(col("_csim").desc, col("_cid"))

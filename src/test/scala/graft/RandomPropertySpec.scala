@@ -170,4 +170,77 @@ class RandomPropertySpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("chunkDedup agrees with a naive first-occurrence scan") {
+    val vocab = Seq("a", "b", "c")
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(500 + seed)
+      // chunk size 3 over a 3-word vocab forces heavy chunk collisions;
+      // lengths 0..8 cover the empty-text and short-tail edges
+      val docs = (0L until 40L).map(i =>
+        (i, (0 until rng.nextInt(9)).map(_ => vocab(rng.nextInt(3))).mkString(" ")))
+      def chunksOf(t: String): Seq[String] =
+        t.trim.toLowerCase.split("\\s+", -1).grouped(3).map(_.mkString(" ")).toSeq
+      val firsts = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      for ((id, t) <- docs; (c, ci) <- chunksOf(t).zipWithIndex)
+        if (!firsts.contains(c)) firsts(c) = (id, ci)
+      val want = docs.map { case (id, t) =>
+        val cs = chunksOf(t)
+        (id, cs.size.toLong,
+          cs.zipWithIndex.count { case (c, ci) => firsts(c) == (id, ci) }.toLong)
+      }.toSet
+      val got = graft.ops.Dedup.chunkDedup(docs.toDF("doc_id", "text"), "doc_id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("dsirWeights agrees with a naive integer micro-ratio model") {
+    val vocab = Seq("a", "b", "c", "d")
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(600 + seed)
+      val docs = (0L until 30L).map(i =>
+        (i, (0 until (1 + rng.nextInt(6))).map(_ => vocab(rng.nextInt(4))).mkString(" "),
+          if (rng.nextBoolean()) "en" else "xx"))
+      val toks = docs.flatMap { case (id, t, l) =>
+        t.split("\\s+").filter(_.nonEmpty).map(w => (id, w, l == "en")) }
+      val cs = toks.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+      val ct = toks.groupBy(_._2).map { case (w, xs) => w -> xs.count(_._3).toLong }
+      val ts = cs.values.sum; val tt = ct.values.sum; val v = cs.size.toLong
+      def q(w: String): Long =
+        (1000000L * (ct(w) + 1) * (ts + v)) / ((cs(w) + 1) * (tt + v))
+      val want = docs.collect { case (id, t, _) if t.split("\\s+").exists(_.nonEmpty) =>
+        val ws = t.split("\\s+").filter(_.nonEmpty)
+        (id, ws.length.toLong, ws.map(q).sum.toDouble / ws.length)
+      }.toSet
+      val got = graft.ops.Corpus.dsirWeights(
+          docs.toDF("doc_id", "text", "lang"), "doc_id", "text", col("lang") === "en")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("bigramLmScore agrees with a naive add-one bigram LM") {
+    val vocab = Seq("a", "b", "c")
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(700 + seed)
+      val docs = (0L until 30L).map(i =>
+        (i, (0 until rng.nextInt(7)).map(_ => vocab(rng.nextInt(3))).mkString(" ")))
+      def words(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+      val uni = docs.flatMap(d => words(d._2))
+      val cu = uni.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      val v = cu.size.toLong
+      val bgs = docs.flatMap(d => words(d._2).sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+      val cb = bgs.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+      def q(b: String): Long =
+        (1000000L * (cb(b) + 1)) / (cu(b.split(" ")(0)) + v)
+      val want = docs.collect { case (id, t) if words(t).size >= 2 =>
+        val bs = words(t).sliding(2).map(_.mkString(" ")).toSeq
+        (id, bs.size.toLong, bs.map(q).sum.toDouble / bs.size)
+      }.toSet
+      val got = graft.ops.Corpus.bigramLmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }
