@@ -152,10 +152,20 @@ object Corpus {
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = Parallelize.ensure(
       docs.select(col(idCol).as("_id"), col(textCol).as("_t")))
-    val bg = base.select(col("_id"),
-        explode(TextAnalysis.rawNgrams(col("_t"), 2)).as("_bg"))
-      .select(col("_id"), xxhash64(col("_bg")).as("_hb"),
-        xxhash64(element_at(split(col("_bg"), " "), 1)).as("_h1"))
+    // bigram pairs come straight off the token array as (w1, w2) structs —
+    // exploding pre-joined "w1 w2" strings and re-splitting each to
+    // recover w1 doubled the per-row string work (measured 8x-replay:
+    // this pass dominated the operator). The joined form is still what
+    // gets hashed, so keys are unchanged.
+    val w = TextAnalysis.tokens(col("_t"))
+    val pairs = when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2),
+        i => struct(element_at(w, i + 1).as("w1"), element_at(w, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bg = base.select(col("_id"), explode(pairs).as("_p"))
+      .select(col("_id"),
+        xxhash64(concat_ws(" ", col("_p.w1"), col("_p.w2"))).as("_hb"),
+        xxhash64(col("_p.w1")).as("_h1"))
     val uni = base.select(explode(TextAnalysis.tokens(col("_t"))).as("_w"))
       .filter(col("_w") =!= "").select(xxhash64(col("_w")).as("_h1"))
     val uc = uni.groupBy(col("_h1")).agg(count(lit(1)).as("_cu"))
