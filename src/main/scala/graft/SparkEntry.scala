@@ -2179,19 +2179,19 @@ object SparkEntry {
         |  CAST(sum(q.q) AS DOUBLE) / count(*) AS lr_micro
         |FROM tk JOIN q USING (w) GROUP BY tk.doc_id""".stripMargin,
 
-    // q88: the engine counts on xxhash64(bigram)/xxhash64(word), the
-    // oracle on the strings (identical mod 2^-64); integer // replays the
-    // exact micro-probability, one IEEE division per doc
+    // q88: the engine counts on xxhash64 keys, the oracle on the strings
+    // (identical mod 2^-64); conditional-MLE denominator c(w1·) and the
+    // vocabulary both derive from the bigram count table, exactly as the
+    // engine's cached frame; integer // replays the micro-probability
     "q88_bigram_lm" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
-        |bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS b, w[i] AS w1
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i] || ' ' || w[i + 1] AS b
         |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t WHERE len(w) >= 2)),
-        |uni AS (SELECT unnest(w) AS u FROM t),
-        |uc AS (SELECT u, count(*) AS cu FROM uni WHERE u <> '' GROUP BY u),
-        |v AS (SELECT count(*) AS v FROM uc),
-        |bc AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
-        |q AS (SELECT bg.doc_id, (1000000 * (bc.cb + 1)) // (uc.cu + v.v) AS q
-        |      FROM bg JOIN bc USING (b) JOIN uc ON uc.u = bg.w1, v)
+        |bc AS (SELECT b, min(w1) AS w1, min(w2) AS w2, count(*) AS cb FROM bg GROUP BY b),
+        |ld AS (SELECT w1, sum(cb) AS c1 FROM bc GROUP BY w1),
+        |v AS (SELECT count(DISTINCT x) AS v FROM (SELECT w1 AS x FROM bc UNION ALL SELECT w2 FROM bc)),
+        |q AS (SELECT bg.doc_id, (1000000 * (bc.cb + 1)) // (ld.c1 + v.v) AS q
+        |      FROM bg JOIN bc USING (b) JOIN ld ON ld.w1 = bc.w1, v)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  CAST(sum(q) AS DOUBLE) / count(*) AS p_micro
         |FROM q GROUP BY doc_id""".stripMargin,

@@ -109,7 +109,10 @@ object Corpus {
     * fingerprints) make Spark plan an Expand (3 rows per input — narrow,
     * metadata-width) feeding the same single source-key shuffle. Content
     * identity is md5 (deletion-adjacent diagnostic, q85's discipline).
-    * All counts integer; `dup_frac` is the one IEEE division. */
+    * All counts integer; `dup_frac` is the one IEEE division. At 100 TB
+    * swap the fingerprint distinct for `approx_count_distinct` (HLL,
+    * bounded memory) — the card is a diagnostic, the 2% error is free;
+    * the exact form here keeps the oracle gate exact. */
   def datasetCard(docs: DataFrame, groupCol: String, textCol: String,
                   langCol: String): DataFrame =
     docs.select(col(groupCol).as("source"), col(langCol).as("_lang"),
@@ -126,9 +129,11 @@ object Corpus {
         (col("n_docs") - col("n_distinct")).cast("double") / col("n_docs").cast("double"))
 
   /** Smoothed bigram-LM fluency score: for each document, the mean
-    * add-one-smoothed transition probability of its word bigrams under a
-    * LM trained on the whole corpus —
-    * `p̂(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V)`. This is [[knownBigramRatio]]'s
+    * add-one-smoothed conditional transition probability of its word
+    * bigrams under a LM trained on the whole corpus —
+    * `p̂(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V)`, where `c(w₁·)` is the count
+    * of bigrams STARTING with w₁ (the conditional-MLE denominator) and V
+    * the bigram-stream vocabulary. This is [[knownBigramRatio]]'s
     * grown-up sibling: instead of a binary known/unknown flag per
     * transition, each transition contributes its actual corpus
     * probability, so the score separates "common transitions" from
@@ -137,26 +142,28 @@ object Corpus {
     * The linear-not-log convention (see [[tfidfTopTerm]]): perplexity's
     * geometric mean needs logs, whose last-ulp libm differences break
     * exact cross-engine comparison, so the transition probabilities are
-    * micro-scaled to exact integers — `q(b) = ⌊10⁶·(c_b+1)/(c_{w₁}+V)⌋`,
+    * micro-scaled to exact integers — `q(b) = ⌊10⁶·(c_b+1)/(c(w₁·)+V)⌋`,
     * one int64 product and one integer division — summed exactly, with
     * ONE IEEE division per document at the end. Ranking differs from
     * true perplexity only in arithmetic-vs-geometric aggregation. At
     * corpora beyond ~10¹² bigrams lift the product to decimal(38,0).
     *
-    * Scale shape: bigrams and their leading unigrams both collapse to
-    * 8-byte xxhash64 keys at the scan; two count aggregations (map-side
-    * partials), the V scalar broadcast as a 1-row frame, two narrow-key
-    * joins back onto the per-doc bigram stream, one groupBy(doc) fold.
-    * Returns (idCol, n_bigrams, p_micro): documents with fewer than two
-    * tokens produce no row. */
-  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * Scale shape — TWO corpus passes, everything else vocabulary-sized:
+    * bigram pairs come straight off the token array as (w1, w2) structs
+    * (exploding pre-joined "w1 w2" strings and re-splitting doubled the
+    * per-row string work, measured on 8×-replay), hashed to 8-byte keys
+    * at the scan. ONE cached groupBy(bigram-hash) count table carries
+    * `max` of both word hashes, so the leading-word totals (`c(w₁·)` =
+    * sum of bigram counts by first word) and the vocabulary scalar both
+    * derive from it WITHOUT re-reading the corpus — the naive
+    * formulation re-exploded the corpus four times (measured: zero
+    * exchange reuse). One narrow-key join back onto the per-doc stream,
+    * one groupBy(doc) fold. Returns (idCol, n_bigrams, p_micro);
+    * documents with fewer than two tokens produce no row. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    scope: CacheScope = CacheScope.noop): DataFrame = {
     val base = Parallelize.ensure(
       docs.select(col(idCol).as("_id"), col(textCol).as("_t")))
-    // bigram pairs come straight off the token array as (w1, w2) structs —
-    // exploding pre-joined "w1 w2" strings and re-splitting each to
-    // recover w1 doubled the per-row string work (measured 8x-replay:
-    // this pass dominated the operator). The joined form is still what
-    // gets hashed, so keys are unchanged.
     val w = TextAnalysis.tokens(col("_t"))
     val pairs = when(size(w) >= 2,
       transform(sequence(lit(0), size(w) - 2),
@@ -165,15 +172,21 @@ object Corpus {
     val bg = base.select(col("_id"), explode(pairs).as("_p"))
       .select(col("_id"),
         xxhash64(concat_ws(" ", col("_p.w1"), col("_p.w2"))).as("_hb"),
-        xxhash64(col("_p.w1")).as("_h1"))
-    val uni = base.select(explode(TextAnalysis.tokens(col("_t"))).as("_w"))
-      .filter(col("_w") =!= "").select(xxhash64(col("_w")).as("_h1"))
-    val uc = uni.groupBy(col("_h1")).agg(count(lit(1)).as("_cu"))
-    val vocab = uc.agg(count(lit(1)).as("_v"))
-    val bc = bg.groupBy(col("_hb")).agg(count(lit(1)).as("_cb"))
+        xxhash64(col("_p.w1")).as("_h1"), xxhash64(col("_p.w2")).as("_h2"))
+    // _h1/_h2 are functions of _hb (same bigram string), so max() just
+    // picks the value; carrying them makes every later table derivable
+    // from this ONE vocabulary-sized frame
+    val bc = scope.track(bg.groupBy(col("_hb"))
+      .agg(count(lit(1)).as("_cb"), max(col("_h1")).as("_h1"),
+        max(col("_h2")).as("_h2")).cache())
+    val lead = bc.groupBy(col("_h1")).agg(sum(col("_cb")).as("_c1"))
+    val vocab = bc.select(explode(array(col("_h1"), col("_h2"))).as("_h"))
+      .agg(count_distinct(col("_h")).as("_v"))
     val num = lit(1000000L) * (col("_cb") + 1L)
-    val den = col("_cu") + col("_v")
-    bg.join(bc, Seq("_hb")).join(uc, Seq("_h1"))
+    val den = col("_c1") + col("_v")
+    bg.select(col("_id"), col("_hb"))
+      .join(bc.select(col("_hb"), col("_cb"), col("_h1")), Seq("_hb"))
+      .join(lead, Seq("_h1"))
       .crossJoin(broadcast(vocab))
       .select(col("_id"), ((num - num % den) / den).cast("long").as("_q"))
       .groupBy(col("_id"))
@@ -208,26 +221,30 @@ object Corpus {
     *
     * Scale shape: tokens collapse to 8-byte xxhash64 keys at the scan
     * (strings never shuffle — q21's discipline); ONE groupBy(hash) counts
-    * target and corpus occurrences together (map-side partials); the
-    * corpus totals (Ts, Tt, V) are a broadcast 1-row frame; per-token
-    * scores join back onto the token stream on the same hash key (AQE
-    * reuses the exchange); one groupBy(doc) folds exact integer sums.
-    * A hash collision merges two tokens' counts on BOTH sides of the
-    * ratio — the 2⁻⁶⁴ risk the repo accepts everywhere.
+    * target and corpus occurrences together (map-side partials) and is
+    * CACHED — it is vocabulary-sized, and both its consumers (the totals
+    * row and the per-token score join) would otherwise re-explode the
+    * whole corpus (measured: zero exchange reuse, the subtrees differ).
+    * Two corpus passes total: one builds the counts, one streams tokens
+    * into the score join. The corpus totals (Ts, Tt, V) are a broadcast
+    * 1-row frame; one groupBy(doc) folds exact integer sums. A hash
+    * collision merges two tokens' counts on BOTH sides of the ratio —
+    * the 2⁻⁶⁴ risk the repo accepts everywhere.
     *
     * Returns (idCol, n_tokens, lr_micro): the mean micro-ratio, ~10⁶ for
     * corpus-average documents, higher for target-like ones. Documents
     * with no non-empty token produce no row. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-                  isTarget: org.apache.spark.sql.Column): DataFrame = {
+                  isTarget: org.apache.spark.sql.Column,
+                  scope: CacheScope = CacheScope.noop): DataFrame = {
     val toks = Parallelize.ensure(
         docs.select(col(idCol).as("_id"), col(textCol).as("_t"), isTarget.as("_tgt")))
       .select(col("_id"), col("_tgt"), explode(TextAnalysis.tokens(col("_t"))).as("_w"))
       .filter(col("_w") =!= "")
       .select(col("_id"), col("_tgt"), xxhash64(col("_w")).as("_h"))
-    val counts = toks.groupBy(col("_h"))
+    val counts = scope.track(toks.groupBy(col("_h"))
       .agg(count(lit(1)).as("_cs"),
-        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct")).cache())
     val totals = counts.agg(sum(col("_cs")).as("_ts"),
       sum(col("_ct")).as("_tt"), count(lit(1)).as("_v"))
     val num = lit(1000000L) * (col("_ct") + 1L) * (col("_ts") + col("_v"))

@@ -289,6 +289,7 @@ object Dedup {
     * pairs and re-aggregate ordered by idx. */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     val flags = chunkDedupFlags(df, idCol, textCol, chunkTokens)
     flags.groupBy(col("_id"))
       .agg(count(lit(1)).as("n_chunks"),
@@ -309,6 +310,7 @@ object Dedup {
     * duplicate produce no row (nothing survives to rebuild). */
   def chunkDedupRebuild(df: DataFrame, idCol: String, textCol: String,
                         chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     val c = chunkTokens
     val w = split(lower(trim(col("_t"))), "\\s+")
     val chunks = Parallelize.ensure(

@@ -234,6 +234,7 @@ object Similarity {
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
                     queries: DataFrame, qIdCol: String, qVecCol: String,
                     qLabelCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
     import org.apache.spark.sql.expressions.Window
     val corp = Parallelize.ensure(df.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("_cv"), col(labelCol).as("_cl")))
@@ -268,6 +269,7 @@ object Similarity {
   def pqRerankTopK(df: DataFrame, idCol: String, vecCol: String,
                    queries: DataFrame, qIdCol: String, qVecCol: String,
                    book: Seq[Seq[Seq[Double]]], shortlist: Int, topK: Int): DataFrame = {
+    require(shortlist >= topK, s"shortlist ($shortlist) must cover topK ($topK)")
     import org.apache.spark.sql.expressions.Window
     val short = pqTopKWith(df, idCol, vecCol, queries, qIdCol, qVecCol, book, shortlist)
       .select(col("query_id"), col("vec_id"))

@@ -220,20 +220,20 @@ class RandomPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("bigramLmScore agrees with a naive add-one bigram LM") {
+  test("bigramLmScore agrees with a naive add-one conditional bigram LM") {
     val vocab = Seq("a", "b", "c")
     for (seed <- 1 to 3) {
       val rng = new scala.util.Random(700 + seed)
       val docs = (0L until 30L).map(i =>
         (i, (0 until rng.nextInt(7)).map(_ => vocab(rng.nextInt(3))).mkString(" ")))
       def words(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
-      val uni = docs.flatMap(d => words(d._2))
-      val cu = uni.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
-      val v = cu.size.toLong
       val bgs = docs.flatMap(d => words(d._2).sliding(2).filter(_.size == 2).map(_.mkString(" ")))
       val cb = bgs.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+      val c1 = bgs.map(_.split(" ")(0)).groupBy(identity)
+        .map { case (w, xs) => w -> xs.size.toLong }
+      val v = bgs.flatMap(_.split(" ")).distinct.size.toLong
       def q(b: String): Long =
-        (1000000L * (cb(b) + 1)) / (cu(b.split(" ")(0)) + v)
+        (1000000L * (cb(b) + 1)) / (c1(b.split(" ")(0)) + v)
       val want = docs.collect { case (id, t) if words(t).size >= 2 =>
         val bs = words(t).sliding(2).map(_.mkString(" ")).toSeq
         (id, bs.size.toLong, bs.map(q).sum.toDouble / bs.size)

@@ -104,17 +104,15 @@ class Round6OpsSpec extends AnyFunSuite {
 
   // ---- Corpus.bigramLmScore ----
 
-  test("bigramLmScore matches the hand-computed add-one model") {
-    // corpus: "a b" x2, "a c" — unigrams a:3 b:2? no: docs are
-    // d0="a b b", d1="a b". tokens: a:2 b:3, V=2
-    // bigrams: "a b":2, "b b":1
-    // q("a b") = 10^6·3 // (2+2) = 750000 ; q("b b") = 10^6·2 // (3+2) = 400000
-    // d0 bigrams: "a b","b b" → mean (750000+400000)/2
-    // d1 bigrams: "a b"       → 750000
+  test("bigramLmScore matches the hand-computed add-one conditional model") {
+    // docs d0="a b b", d1="a b"
+    // bigrams: "a b":2, "b b":1 ; leading counts c(a·)=2, c(b·)=1 ; V=|{a,b}|=2
+    // q("a b") = 10^6·3 // (2+2) = 750000 ; q("b b") = 10^6·2 // (1+2) = 666666
+    // d0: ("a b","b b") → mean (750000+666666)/2 ; d1: ("a b") → 750000
     val docs = Seq((0, "a b b"), (1, "a b")).toDF("doc_id", "text")
     val got = Corpus.bigramLmScore(docs, "doc_id", "text")
       .orderBy("doc_id").as[(Int, Long, Double)].collect()
-    assert(got.toSeq == Seq((0, 2L, 575000.0), (1, 1L, 750000.0)))
+    assert(got.toSeq == Seq((0, 2L, 708333.0), (1, 1L, 750000.0)))
   }
 
   test("bigramLmScore scores fluent (common-transition) docs above shredded ones") {
