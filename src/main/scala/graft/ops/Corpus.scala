@@ -43,16 +43,21 @@ object Corpus {
     * totals as broadcast 1-row frames. `minCount` prunes the bigram tail
     * BEFORE the joins — at corpus scale the join input shrinks from
     * O(distinct bigrams) to the phrases worth ranking. */
-  def bigramLift(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+  def bigramLift(docs: DataFrame, textCol: String, minCount: Long,
+                 scope: CacheScope = CacheScope.noop): DataFrame = {
     val base = Parallelize.ensure(docs.select(col(textCol).as("_t")))
+    // both count tables are cached (vocabulary-sized) so their totals
+    // derive from them instead of re-exploding the corpus — the naive
+    // form paid FOUR corpus explodes (uni×2 for counts+total, big×2);
+    // this one pays two, one per gram shape
     val uni = base.select(explode(TextAnalysis.tokens(col("_t"))).as("_w"))
       .filter(col("_w") =!= "")
-    val uc = uni.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
-    val nUni = uni.select(count(lit(1)).as("_nu"))
+    val uc = scope.track(uni.groupBy(col("_w")).agg(count(lit(1)).as("_c")).cache())
+    val nUni = uc.agg(sum(col("_c")).as("_nu"))
     val big = base.select(explode(TextAnalysis.rawNgrams(col("_t"), 2)).as("_bg"))
-    val bc = big.groupBy(col("_bg")).agg(count(lit(1)).as("_cab"))
-      .filter(col("_cab") >= minCount)
-    val nBig = big.select(count(lit(1)).as("_nb"))
+    val bcAll = scope.track(big.groupBy(col("_bg")).agg(count(lit(1)).as("_cab")).cache())
+    val bc = bcAll.filter(col("_cab") >= minCount)
+    val nBig = bcAll.agg(sum(col("_cab")).as("_nb"))
     bc.withColumn("w1", element_at(split(col("_bg"), " "), 1))
       .withColumn("w2", element_at(split(col("_bg"), " "), 2))
       .join(uc.select(col("_w").as("w1"), col("_c").as("_c1")), Seq("w1"))
@@ -258,12 +263,17 @@ object Corpus {
         (col("_sq").cast("double") / col("n_tokens").cast("double")).as("lr_micro"))
   }
 
-  def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String,
+                   scope: CacheScope = CacheScope.noop): DataFrame = {
     val toks = Parallelize.ensure(
         docs.select(col(idCol).as("_id"), col(textCol).as("_t")))
       .select(col("_id"), explode(TextAnalysis.tokens(col("_t"))).as("_term"))
       .filter(col("_term") =!= "")
-    val tf = toks.groupBy(col("_id"), col("_term")).agg(count(lit(1)).as("_tf"))
+    // tf feeds both the df aggregation and the score join — cache it (per-
+    // doc vocabulary sized, the post-aggregation frame, NOT the raw token
+    // stream) so the corpus explodes once instead of twice
+    val tf = scope.track(
+      toks.groupBy(col("_id"), col("_term")).agg(count(lit(1)).as("_tf")).cache())
     val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
     val nDocs = docs.select(count_distinct(col(idCol)).as("_n"))
     tf.join(dfreq, Seq("_term"))
@@ -420,13 +430,19 @@ object Corpus {
     sym
   }
 
-  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
-    val vocab = Parallelize.ensure(
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                    scope: CacheScope = CacheScope.noop): DataFrame = {
+    // the distinct (group, token-hash) vocabulary is consumed three times
+    // (sizes + both sides of the pair join) and is group×vocab-sized —
+    // cache it rather than re-explode the corpus per consumer (measured
+    // on sibling ops: duplicated aggregation subtrees never reuse
+    // exchanges)
+    val vocab = scope.track(Parallelize.ensure(
         docs.select(col(groupCol).as("_g"), col(textCol).as("_t")))
       .select(col("_g"), explode(TextAnalysis.tokens(col("_t"))).as("_w"))
       .filter(col("_w") =!= "")
       .select(col("_g"), xxhash64(col("_w")).as("_h"))
-      .distinct()
+      .distinct().cache())
     val sizes = vocab.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
     val common = vocab.select(col("_g").as("group_a"), col("_h"))
       .join(vocab.select(col("_g").as("group_b"), col("_h")), Seq("_h"))
