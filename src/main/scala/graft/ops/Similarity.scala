@@ -531,12 +531,13 @@ object Similarity {
     * truncation). */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       dim: Int, nPlanes: Int, minSim: Double,
-                      maxPerBucket: Int = 0): DataFrame = {
+                      maxPerBucket: Int = 0,
+                      scope: CacheScope = CacheScope.noop): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val bucketed = df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
       .repartition(parallelism, col("_id"))
       .withColumn("_bucket", lshBucket(col("_v"), dim, nPlanes))
-    val e =
+    val capped =
       if (maxPerBucket <= 0) bucketed
       else {
         // rank within bucket, keep the first maxPerBucket by id: one
@@ -547,6 +548,10 @@ object Similarity {
         bucketed.withColumn("_bn", row_number().over(w))
           .filter(col("_bn") <= maxPerBucket).drop("_bn")
       }
+    // both self-join sides consume the bucketed frame; aliasing makes the
+    // subtrees non-identical so nothing reuses — cache it (the bucketed
+    // store IS the candidate index; MEMORY_AND_DISK spills at store scale)
+    val e = scope.track(capped.cache())
     val a = e.select(col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
     val b = e.select(col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
     a.join(b, Seq("_bucket"))
@@ -585,17 +590,23 @@ object Similarity {
     * @param cents (_cid, _cv) coarse codebook — [[ivfTrain]] output or
     *              any deterministic stand-in */
   def semDedup(cents: DataFrame, df: DataFrame, idCol: String, vecCol: String,
-               minSim: Double, maxPerCell: Int = 0): DataFrame = {
+               minSim: Double, maxPerCell: Int = 0,
+               scope: CacheScope = CacheScope.noop): DataFrame = {
     val e = Parallelize.ensure(
       df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
     // cell assignment: argmax over the broadcast codebook — max_by with
     // map-side partials, ONE hash shuffle on _id (never a corpus window);
-    // tie-break (_csim desc, _cid asc) matches the IVF ops
-    val cells = e.crossJoin(broadcast(cents))
+    // tie-break (_csim desc, _cid asc) matches the IVF ops. CACHED: three
+    // consumers (both sides of the pair join + the survivor anti-join)
+    // would otherwise each redo the corpus×centroids argmax — this
+    // materialization IS the index build, done once (MEMORY_AND_DISK
+    // spills at store scale; at cluster scale write it to storage)
+    val cells = scope.track(e.crossJoin(broadcast(cents))
       .withColumn("_csim", cosine(col("_v"), col("_cv")))
       .groupBy(col("_id"))
       .agg(max_by(struct(col("_cid"), col("_v")), struct(col("_csim"), negate(col("_cid")))).as("_best"))
       .select(col("_id"), col("_best._cid").as("_cid"), col("_best._v").as("_v"))
+      .cache())
 
     val paired =
       if (maxPerCell <= 0) cells
