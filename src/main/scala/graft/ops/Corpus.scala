@@ -86,12 +86,16 @@ object Corpus {
     * flags. Three shuffles, all on 8-byte keys. Documents with fewer than
     * two tokens have no bigrams and produce no row. */
   def knownBigramRatio(docs: DataFrame, idCol: String, textCol: String,
-                       minCount: Long): DataFrame = {
-    val bg = Parallelize.ensure(
+                       minCount: Long,
+                       scope: CacheScope = CacheScope.noop): DataFrame = {
+    // (id, hash) stream cached: consumed by the known-count aggregation
+    // AND the membership join — 16 bytes/row vs re-shingling the text
+    val bg = scope.track(Parallelize.ensure(
         docs.select(col(idCol).as("_id"), col(textCol).as("_t")))
       .select(col("_id"),
         explode(TextAnalysis.rawNgrams(col("_t"), 2)).as("_bg"))
       .select(col("_id"), xxhash64(col("_bg")).as("_h"))
+      .cache())
     val known = bg.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount)
       .select(col("_h"), lit(1L).as("_k"))

@@ -250,12 +250,16 @@ object Dedup {
     * Returns (idCol, n_grams, dup_frac); documents shorter than n words
     * have no n-grams and produce no row. */
   def dupSpanFrac(df: DataFrame, idCol: String, textCol: String,
-                  n: Int = 5): DataFrame = {
-    val grams = Parallelize.ensure(
+                  n: Int = 5,
+                  scope: CacheScope = CacheScope.noop): DataFrame = {
+    // (id, hash) stream cached: consumed by the doc-count aggregation AND
+    // the flag join — 16 bytes/row vs re-reading and re-shingling the text
+    val grams = scope.track(Parallelize.ensure(
         df.select(col(idCol).as("_id"), col(textCol).as("_t")))
       .select(col("_id"),
         explode(TextAnalysis.rawNgrams(col("_t"), n)).as("_g"))
       .select(col("_id"), xxhash64(col("_g")).as("_h"))
+      .cache())
     val dup = grams.distinct()
       .groupBy(col("_h")).agg(count(lit(1)).as("_docs"))
       .filter(col("_docs") >= 2)
@@ -288,9 +292,10 @@ object Dedup {
     * reconstructing cleaned text instead keep the surviving (idx, chunk)
     * pairs and re-aggregate ordered by idx. */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
-                 chunkTokens: Int = 10): DataFrame = {
+                 chunkTokens: Int = 10,
+                 scope: CacheScope = CacheScope.noop): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
-    val flags = chunkDedupFlags(df, idCol, textCol, chunkTokens)
+    val flags = chunkDedupFlags(df, idCol, textCol, chunkTokens, scope)
     flags.groupBy(col("_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("_keep").cast("long")).as("kept_chunks"))
@@ -335,15 +340,21 @@ object Dedup {
   /** Per-chunk survival flags behind [[chunkDedup]]: one row per
     * (_id, _ci) positional chunk with `_keep` = corpus-first occurrence. */
   def chunkDedupFlags(df: DataFrame, idCol: String, textCol: String,
-                      chunkTokens: Int): DataFrame = {
+                      chunkTokens: Int,
+                      scope: CacheScope = CacheScope.noop): DataFrame = {
     val c = chunkTokens
     val w = split(lower(trim(col("_t"))), "\\s+")
-    val chunks = Parallelize.ensure(
+    // the (id, idx, fingerprint) stream is ~10% of corpus bytes (the text
+    // stays behind) and feeds BOTH the election and the probe side —
+    // cache it instead of re-reading and re-hashing the full text per
+    // consumer (duplicated subtrees never reuse exchanges, measured)
+    val chunks = scope.track(Parallelize.ensure(
         df.select(col(idCol).as("_id"), col(textCol).as("_t")))
       .select(col("_id"), posexplode(
         transform(sequence(lit(0), ceil(size(w) / lit(c.toDouble)).cast("int") - 1),
           i => md5(concat_ws(" ", slice(w, i * c + 1, lit(c)))))))
       .select(col("_id"), col("pos").as("_ci"), col("col").as("_k"))
+      .cache())
     val firsts = chunks.groupBy(col("_k"))
       .agg(min(struct(col("_id"), col("_ci"))).as("_first"))
     chunks.join(firsts, Seq("_k"))
