@@ -178,10 +178,15 @@ object Corpus {
       transform(sequence(lit(0), size(w) - 2),
         i => struct(element_at(w, i + 1).as("w1"), element_at(w, i + 2).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val bg = base.select(col("_id"), explode(pairs).as("_p"))
+    // the hashed bigram stream (32 bytes/row, text left behind) feeds the
+    // count table AND the per-doc score join — cache it so the corpus is
+    // exploded ONCE (the interpreted pair-transform is the operator's
+    // dominant per-row cost, measured on 8×-replay)
+    val bg = scope.track(base.select(col("_id"), explode(pairs).as("_p"))
       .select(col("_id"),
         xxhash64(concat_ws(" ", col("_p.w1"), col("_p.w2"))).as("_hb"),
         xxhash64(col("_p.w1")).as("_h1"), xxhash64(col("_p.w2")).as("_h2"))
+      .cache())
     // _h1/_h2 are functions of _hb (same bigram string), so max() just
     // picks the value; carrying them makes every later table derivable
     // from this ONE vocabulary-sized frame
@@ -246,11 +251,14 @@ object Corpus {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: org.apache.spark.sql.Column,
                   scope: CacheScope = CacheScope.noop): DataFrame = {
-    val toks = Parallelize.ensure(
+    // hashed token stream cached (17 bytes/row): consumed by the count
+    // build and the score join — one corpus explode, not two
+    val toks = scope.track(Parallelize.ensure(
         docs.select(col(idCol).as("_id"), col(textCol).as("_t"), isTarget.as("_tgt")))
       .select(col("_id"), col("_tgt"), explode(TextAnalysis.tokens(col("_t"))).as("_w"))
       .filter(col("_w") =!= "")
       .select(col("_id"), col("_tgt"), xxhash64(col("_w")).as("_h"))
+      .cache())
     val counts = scope.track(toks.groupBy(col("_h"))
       .agg(count(lit(1)).as("_cs"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct")).cache())
