@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DateNorm
-import graft.ops.{BudgetSelect, Corpus, Dedup, IdAssign, Layout, Multimodal, Scrub, Sessionize, Similarity, Stats, TextAnalysis}
+import graft.ops.{BudgetSelect, Corpus, Dedup, IdAssign, Layout, Multimodal, Pipeline, Scrub, Sessionize, Similarity, Stats, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1103,7 +1103,14 @@ object SparkEntry {
     // ---- Dataset card: per-source volumes, language spread, exact-dup
     //      rate — one source-key shuffle, distinct aggs via Expand ----
     "q91_dataset_card" -> ((s, dir) =>
-      Corpus.datasetCard(tbl(s, dir, "documents"), "source", "text", "lang")))
+      Corpus.datasetCard(tbl(s, dir, "documents"), "source", "text", "lang")),
+
+    // ---- The curation capstone: length gate → chunk-dedup rebuild →
+    //      DSIR weights → 50%-token budget of the highest-weight docs.
+    //      Every stage already proven alone (q85/q90/q86/q81); this is
+    //      their one-plan composition ----
+    "q92_curate" -> ((s, dir) =>
+      Pipeline.curateCorpus(tbl(s, dir, "documents"), "doc_id", "text", "lang")))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2228,6 +2235,36 @@ object SparkEntry {
         |SELECT doc_id, md5(clean_text) AS clean_md5,
         |  CAST(length(clean_text) AS BIGINT) AS clean_chars
         |FROM g""".stripMargin,
+
+    // q92: the q90 rebuild CTEs over the gated corpus, the q86 DSIR CTEs
+    // over the rebuilt text, the q81 running-sum prefix ranked by
+    // (weight DESC, id) — each piece byte-identical to its proven oracle
+    "q92_curate" ->
+      """WITH gated AS (SELECT doc_id, text, lang FROM documents WHERE length(text) >= 200),
+        |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM gated),
+        |n AS (SELECT doc_id, w, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc FROM t),
+        |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM n),
+        |k AS (SELECT doc_id, i AS ci,
+        |        array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ') AS chunk
+        |      FROM c),
+        |r AS (SELECT doc_id, ci, chunk,
+        |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn FROM k),
+        |g AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS clean_text
+        |      FROM r WHERE rn = 1 GROUP BY doc_id),
+        |cd AS (SELECT g.doc_id, g.clean_text, gated.lang FROM g JOIN gated USING (doc_id)),
+        |t2 AS (SELECT doc_id, lang = 'en' AS tgt,
+        |    unnest(regexp_split_to_array(lower(trim(clean_text)), '\s+')) AS w FROM cd),
+        |tk AS (SELECT * FROM t2 WHERE w <> ''),
+        |cnt AS (SELECT w, count(*) AS cs, count(*) FILTER (WHERE tgt) AS ct FROM tk GROUP BY w),
+        |gt AS (SELECT sum(cs) AS ts, sum(ct) AS tt, count(*) AS v FROM cnt),
+        |q AS (SELECT w, (1000000 * (ct + 1) * (ts + v)) // ((cs + 1) * (tt + v)) AS q FROM cnt, gt),
+        |wts AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |        CAST(sum(q.q) AS DOUBLE) / count(*) AS lr_micro
+        |        FROM tk JOIN q USING (w) GROUP BY tk.doc_id),
+        |b AS (SELECT sum(n_tokens) * 1 // 2 AS budget FROM wts),
+        |rr AS (SELECT *, sum(n_tokens) OVER (ORDER BY lr_micro DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM wts)
+        |SELECT doc_id, n_tokens, lr_micro FROM rr, b WHERE cum <= budget""".stripMargin,
 
     // q91: straight rollup; token count = whitespace-split length on the
     // lower-trimmed text, identical to the engine's tokenCount

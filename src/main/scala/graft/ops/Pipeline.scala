@@ -58,4 +58,40 @@ object Pipeline {
         md5(col("_c.chunk")).as("chunk_hash"),
         size(split(col("_c.chunk"), " ")).as("n_chunk_tokens"))
   }
+
+  /** The curation recipe the round-6 operators exist for, composed
+    * end-to-end: length gate → chunk-level exact dedup with text rebuild
+    * (CCNet) → DSIR importance weights against a trusted-language target
+    * → token-budget selection of the highest-weight documents. The modern
+    * pretraining-data shape: dedup BEFORE weighting (duplicates would
+    * inflate their own n-gram likelihoods), weight before selection,
+    * select under an explicit token budget.
+    *
+    * Scale shape is inherited from the parts, each already in its
+    * minimal-scan form (cached narrow streams, vocabulary-sized count
+    * tables, boundary-partition budget windows). The DSIR weight frame —
+    * document-count-sized — is additionally cached here because the
+    * budget step consumes it twice (corpus total + selection filter).
+    *
+    * Returns the selected documents as (idCol, n_tokens, lr_micro),
+    * ranked prefix of the (weight desc, id) order under
+    * `budgetNum/budgetDen` of the CLEANED corpus's tokens. */
+  def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, targetLang: String = "en",
+                   minChars: Int = 200, chunkTokens: Int = 10,
+                   budgetNum: Long = 1, budgetDen: Long = 2,
+                   scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
+    val gated = docs.select(col(idCol), col(textCol), col(langCol))
+      .filter(length(col(textCol)) >= minChars)
+    val rebuilt = Dedup.chunkDedupRebuild(gated, idCol, textCol, chunkTokens)
+    val cleanDocs = rebuilt.join(gated.select(col(idCol), col(langCol)), Seq(idCol))
+    val weights = scope.track(Corpus.dsirWeights(cleanDocs, idCol, "clean_text",
+      col(langCol) === targetLang, scope).cache())
+    val total = weights.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    BudgetSelect.selectByBudget(weights, "n_tokens",
+        total * budgetNum / budgetDen, scope,
+        col("lr_micro").desc, col(idCol).asc)
+      .select(col(idCol), col("n_tokens"), col("lr_micro"))
+  }
 }

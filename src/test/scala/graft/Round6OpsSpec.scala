@@ -158,6 +158,31 @@ class Round6OpsSpec extends AnyFunSuite {
       ("s2", 1L, 1L, 1L, 1L, 1L, 0.0)))
   }
 
+  // ---- Pipeline.curateCorpus ----
+
+  test("curateCorpus gates, dedups, weights, and budget-selects end to end") {
+    import graft.ops.Pipeline
+    // crafted so every stage does work:
+    //  doc 0: long, en, unique            → selected first (target-like)
+    //  doc 1: too short                   → gated out
+    //  doc 2: long, xx, chunk0 dups doc 0 → cleaned shorter, weighted low
+    //  doc 3: long, xx, unique            → competes for the budget tail
+    val u = (w: String, n: Int) => Seq.fill(n)(w).mkString(" ")
+    val docs = Seq(
+      (0L, u("alpha", 30) + " " + u("beta", 30), "en"),
+      (1L, "tiny", "en"),
+      (2L, u("alpha", 30) + " " + u("gamma", 30), "xx"),
+      (3L, u("delta", 60), "xx")
+    ).toDF("doc_id", "text", "lang")
+    val got = Pipeline.curateCorpus(docs, "doc_id", "text", "lang",
+        minChars = 100, chunkTokens = 10, budgetNum = 1, budgetDen = 2)
+      .select(col("doc_id")).as[Long].collect().toSet
+    // cleaned tokens: doc0 60, doc2 30 (10-token alpha chunks all dup
+    // doc0's), doc3 60 → total 150, budget 75 → highest-weight prefix
+    // that fits is doc0 (60 tokens); doc2/doc3 would overflow
+    assert(got == Set(0L), s"got $got")
+  }
+
   // ---- EventStream.decontaminateStream ----
 
   test("stream-static decontamination drops seen fingerprints, stateless") {
