@@ -27,7 +27,14 @@ final class CacheScope private[ops] (live: Boolean) {
 
 object CacheScope {
   /** Shared never-unpersists scope for one-shot processes (CLI, bench)
-    * where the JVM exit reclaims everything anyway. */
+    * where the JVM exit reclaims everything anyway.
+    *
+    * It is the DEFAULT on every operator that caches internally — the
+    * one-shot contract surfaces (Verify/Bench/CLI) rely on the caches to
+    * avoid duplicate corpus scans and reclaim on exit. Long-lived
+    * sessions (notebook, server) calling those operators repeatedly MUST
+    * pass a live scope and `close()` it after their terminal actions, or
+    * the per-call caches accumulate for the JVM lifetime. */
   val noop: CacheScope = new CacheScope(false)
 
   /** Run `f` with a fresh scope, closing it afterwards. NOTE: only safe when

@@ -152,10 +152,11 @@ object Corpus {
     * geometric mean needs logs, whose last-ulp libm differences break
     * exact cross-engine comparison, so the transition probabilities are
     * micro-scaled to exact integers — `q(b) = ⌊10⁶·(c_b+1)/(c(w₁·)+V)⌋`,
-    * one int64 product and one integer division — summed exactly, with
-    * ONE IEEE division per document at the end. Ranking differs from
-    * true perplexity only in arithmetic-vs-geometric aggregation. At
-    * corpora beyond ~10¹² bigrams lift the product to decimal(38,0).
+    * one int64 product and one TRUE integral division (SQL `div`) —
+    * summed exactly, with ONE IEEE division per document at the end.
+    * Ranking differs from true perplexity only in arithmetic-vs-
+    * geometric aggregation. Int64 exact while the hottest bigram's count
+    * stays under 2⁶³/10⁶ ≈ 9·10¹²; beyond that lift to decimal(38,0).
     *
     * Scale shape — TWO corpus passes, everything else vocabulary-sized:
     * bigram pairs come straight off the token array as (w1, w2) structs
@@ -202,7 +203,8 @@ object Corpus {
       .join(bc.select(col("_hb"), col("_cb"), col("_h1")), Seq("_hb"))
       .join(lead, Seq("_h1"))
       .crossJoin(broadcast(vocab))
-      .select(col("_id"), ((num - num % den) / den).cast("long").as("_q"))
+      .withColumn("_num", num).withColumn("_den", den)
+      .select(col("_id"), expr("_num div _den").as("_q"))
       .groupBy(col("_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("_q")).as("_sq"))
       .select(col("_id").as(idCol), col("n_bigrams"),
@@ -228,10 +230,12 @@ object Corpus {
     * division — bit-identical across engines. Rankings agree with the
     * log form whenever per-token ratios agree in order (monotone map);
     * the mean-of-ratios vs mean-of-logs aggregation difference is the
-    * price of exact reproducibility. At 100 TB (corpus token counts
-    * beyond ~10¹² the int64 products overflow) lift the three factors to
-    * decimal(38,0) — same plan shape, Spark and DuckDB both compute
-    * 128-bit exact.
+    * price of exact reproducibility. Int64 bound: the product
+    * `(ct+1)·(Ts+V)` must stay under 2⁶³/10⁶ ≈ 9·10¹² — corpus total
+    * TIMES the hottest target-token count, which a ~10⁹-token corpus
+    * with a frequent target token already exceeds. Beyond it lift the
+    * factors to decimal(38,0) — same plan shape, Spark and DuckDB both
+    * compute 128-bit exact.
     *
     * Scale shape: tokens collapse to 8-byte xxhash64 keys at the scan
     * (strings never shuffle — q21's discipline); ONE groupBy(hash) counts
@@ -266,8 +270,12 @@ object Corpus {
       sum(col("_ct")).as("_tt"), count(lit(1)).as("_v"))
     val num = lit(1000000L) * (col("_ct") + 1L) * (col("_ts") + col("_v"))
     val den = (col("_cs") + 1L) * (col("_tt") + col("_v"))
+    // SQL `div`: TRUE integral division on longs. The (num - num % den) /
+    // den idiom runs as IEEE double division, which goes inexact once num
+    // crosses 2^53 — far below the int64 overflow bound
     val scored = counts.crossJoin(broadcast(totals))
-      .select(col("_h"), ((num - num % den) / den).cast("long").as("_q"))
+      .withColumn("_num", num).withColumn("_den", den)
+      .select(col("_h"), expr("_num div _den").as("_q"))
     toks.join(scored, Seq("_h"))
       .groupBy(col("_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("_q")).as("_sq"))

@@ -314,17 +314,23 @@ object Dedup {
     * Returns (idCol, clean_text); documents whose every chunk was a
     * duplicate produce no row (nothing survives to rebuild). */
   def chunkDedupRebuild(df: DataFrame, idCol: String, textCol: String,
-                        chunkTokens: Int = 10): DataFrame = {
+                        chunkTokens: Int = 10,
+                        scope: CacheScope = CacheScope.noop): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     val c = chunkTokens
     val w = split(lower(trim(col("_t"))), "\\s+")
-    val chunks = Parallelize.ensure(
+    // cached: the election and the probe would otherwise each re-read,
+    // re-split, and re-hash the text. Unlike the counts flavor this
+    // stream carries the chunk STRINGS (the output is the text), so the
+    // cache is corpus-sized — the same bytes the rebuild must move anyway
+    val chunks = scope.track(Parallelize.ensure(
         df.select(col(idCol).as("_id"), col(textCol).as("_t")))
       .select(col("_id"), posexplode(
         transform(sequence(lit(0), ceil(size(w) / lit(c.toDouble)).cast("int") - 1),
           i => concat_ws(" ", slice(w, i * c + 1, lit(c))))))
       .select(col("_id"), col("pos").as("_ci"), col("col").as("_chunk"),
         md5(col("col")).as("_k"))
+      .cache())
     val firsts = chunks.select(col("_id"), col("_ci"), col("_k"))
       .groupBy(col("_k"))
       .agg(min(struct(col("_id"), col("_ci"))).as("_first"))

@@ -84,11 +84,14 @@ object Pipeline {
     require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
     val gated = docs.select(col(idCol), col(textCol), col(langCol))
       .filter(length(col(textCol)) >= minChars)
-    val rebuilt = Dedup.chunkDedupRebuild(gated, idCol, textCol, chunkTokens)
+    val rebuilt = Dedup.chunkDedupRebuild(gated, idCol, textCol, chunkTokens, scope)
     val cleanDocs = rebuilt.join(gated.select(col(idCol), col(langCol)), Seq(idCol))
     val weights = scope.track(Corpus.dsirWeights(cleanDocs, idCol, "clean_text",
       col(langCol) === targetLang, scope).cache())
-    val total = weights.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    // coalesce: sum over an EMPTY weight frame (everything gated out) is
+    // null — the selection is then empty, not an NPE
+    val total = weights.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .collect()(0).getLong(0)
     BudgetSelect.selectByBudget(weights, "n_tokens",
         total * budgetNum / budgetDen, scope,
         col("lr_micro").desc, col(idCol).asc)

@@ -69,14 +69,18 @@ object EventStream {
     * decontamination (q49) stays a batch op — its doc-level verdict needs
     * a per-doc aggregate that would be stateful here. */
   def decontaminateStream(docs: DataFrame, textCol: String, seen: DataFrame): DataFrame =
-    docs.withColumn("_fp", md5(lower(trim(col(textCol)))))
+    docs.withColumn("_fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
       .join(seen, Seq("_fp"), "left_anti")
       .drop("_fp")
 
-  /** The static side of [[decontaminateStream]]: distinct md5 fingerprints
-    * of a historical/benchmark corpus (one narrow shuffle, run as batch). */
+  /** The static side of [[decontaminateStream]]: distinct content
+    * fingerprints of a historical/benchmark corpus (one narrow shuffle,
+    * run as batch). Uses `TextAnalysis.fingerprint` — the SAME identity
+    * the batch dedup half uses (internal whitespace collapsed, not just
+    * trimmed), so the two halves of the dedup stack agree on what "the
+    * same document" means. */
   def seenFingerprints(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(md5(lower(trim(col(textCol)))).as("_fp")).distinct()
+    docs.select(graft.ops.TextAnalysis.fingerprint(col(textCol)).as("_fp")).distinct()
 
   final case class BudgetDoc(group: String, doc_id: Long, cost: Long)
   final case class BudgetState(spent: Long, closed: Boolean)

@@ -183,6 +183,15 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(got == Set(0L), s"got $got")
   }
 
+  test("curateCorpus returns empty (not NPE) when the gate drops everything") {
+    import graft.ops.Pipeline
+    val docs = Seq((0L, "tiny", "en"), (1L, "also tiny", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val got = Pipeline.curateCorpus(docs, "doc_id", "text", "lang",
+      minChars = 100).collect()
+    assert(got.isEmpty)
+  }
+
   // ---- EventStream.decontaminateStream ----
 
   test("stream-static decontamination drops seen fingerprints, stateless") {
@@ -196,9 +205,11 @@ class Round6OpsSpec extends AnyFunSuite {
     val q = EventStream.decontaminateStream(
         mem.toDF().toDF("doc_id", "text"), "text", seen)
       .writeStream.outputMode("append").format("memory").queryName("decon").start()
-    // normalization: case/whitespace variants of history must also drop
+    // normalization: case, edge-whitespace, AND internal-whitespace
+    // variants of history must all drop (fingerprint collapses runs —
+    // the same identity the batch dedup half uses)
     mem.addData((1L, "fresh document"), (2L, "The Benchmark Question  "),
-      (3L, "old crawl page"))
+      (3L, "old  crawl\npage"))
     q.processAllAvailable()
     mem.addData((4L, "another fresh one"))
     q.processAllAvailable()
