@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => WinnowingFingerprints(args.head,
         intArg(args(1), "k"), intArg(args(2), "w"))))
     ext.injectFunction((
+      FunctionIdentifier("chunk_md5s"),
+      new ExpressionInfo(classOf[graft.functions.ChunkMd5s].getName, "chunk_md5s"),
+      (args: Seq[Expression]) => graft.functions.ChunkMd5s(args.head,
+        intArg(args(1), "chunkTokens"))))
+    ext.injectFunction((
       FunctionIdentifier("interleave_bits"),
       new ExpressionInfo(classOf[graft.functions.InterleaveBits].getName, "interleave_bits"),
       (args: Seq[Expression]) => graft.functions.InterleaveBits(args.head, args(1),

@@ -201,6 +201,60 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** md5 hex of each consecutive `c`-token chunk of lower(trim(text)) —
+  * identical to `transform(sequence(0, ceil(n/c)-1), i ->
+  * md5(concat_ws(' ', slice(w, i*c+1, c))))` but one tokenize + one
+  * digest pass per row instead of an interpreted expression-tree walk per
+  * chunk. The chunk-dedup scan stage's hot path. */
+case class ChunkMd5s(child: Expression, c: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(c > 0, s"chunkTokens must be positive, got $c")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "chunk_md5s"
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    // Locale.ROOT: parity with Spark's lower() (NGramShingles rationale).
+    // "".split("\s+") == [""] — one empty chunk, same as the composable form
+    val words = input.asInstanceOf[UTF8String].toString
+      .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val nc = (words.length + c - 1) / c
+    val digest = md5.get()
+    val sb = new java.lang.StringBuilder(128)
+    val out = new Array[Any](nc)
+    var i = 0
+    while (i < nc) {
+      sb.setLength(0)
+      var j = i * c
+      val end = math.min(j + c, words.length)
+      while (j < end) {
+        if (j > i * c) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      digest.reset()
+      val bs = digest.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hx = new java.lang.StringBuilder(32)
+      var b = 0
+      while (b < bs.length) {
+        hx.append(Character.forDigit((bs(b) >> 4) & 0xf, 16))
+        hx.append(Character.forDigit(bs(b) & 0xf, 16))
+        b += 1
+      }
+      out(i) = UTF8String.fromString(hx.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object ShingleExprs {
   def ngramShingles(text: Column, n: Int): Column =
     ColumnBridge.toColumn(NGramShingles(ColumnBridge.toExpr(text), n))
@@ -208,4 +262,6 @@ object ShingleExprs {
     ColumnBridge.toColumn(MinHashSignature(ColumnBridge.toExpr(shingles), k))
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.toColumn(WinnowingFingerprints(ColumnBridge.toExpr(text), k, w))
+  def chunkMd5s(text: Column, chunkTokens: Int): Column =
+    ColumnBridge.toColumn(ChunkMd5s(ColumnBridge.toExpr(text), chunkTokens))
 }

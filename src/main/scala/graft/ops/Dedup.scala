@@ -348,17 +348,16 @@ object Dedup {
   def chunkDedupFlags(df: DataFrame, idCol: String, textCol: String,
                       chunkTokens: Int,
                       scope: CacheScope = CacheScope.noop): DataFrame = {
-    val c = chunkTokens
-    val w = split(lower(trim(col("_t"))), "\\s+")
     // the (id, idx, fingerprint) stream is ~10% of corpus bytes (the text
     // stays behind) and feeds BOTH the election and the probe side —
     // cache it instead of re-reading and re-hashing the full text per
-    // consumer (duplicated subtrees never reuse exchanges, measured)
+    // consumer (duplicated subtrees never reuse exchanges, measured).
+    // ChunkMd5s: one tokenize+digest pass per row (the composable
+    // transform/slice/md5 form walks an interpreted tree per chunk)
     val chunks = scope.track(Parallelize.ensure(
         df.select(col(idCol).as("_id"), col(textCol).as("_t")))
       .select(col("_id"), posexplode(
-        transform(sequence(lit(0), ceil(size(w) / lit(c.toDouble)).cast("int") - 1),
-          i => md5(concat_ws(" ", slice(w, i * c + 1, lit(c)))))))
+        graft.functions.ShingleExprs.chunkMd5s(col("_t"), chunkTokens)))
       .select(col("_id"), col("pos").as("_ci"), col("col").as("_k"))
       .cache())
     val firsts = chunks.groupBy(col("_k"))

@@ -56,6 +56,26 @@ class Round6OpsSpec extends AnyFunSuite {
       (1, "z")))
   }
 
+  test("ChunkMd5s is bit-identical to the composable transform/slice/md5 form") {
+    val texts = Seq("", " ", "a", "A  B\tc", "one two three four five six",
+      "x " * 9 + "x", "x " * 10 + "x", "İstanbul STRASSE ﬀ",
+      (1 to 37).map(i => s"w$i").mkString(" "))
+    val df = texts.toDF("t")
+    for (c <- Seq(1, 3, 10)) {
+      val w = split(lower(trim(col("t"))), "\\s+")
+      val composable = transform(
+        sequence(lit(0), ceil(size(w) / lit(c.toDouble)).cast("int") - 1),
+        i => md5(concat_ws(" ", slice(w, i * c + 1, lit(c)))))
+      val rows = df.select(
+          graft.functions.ShingleExprs.chunkMd5s(col("t"), c).as("fast"),
+          composable.as("slow"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.zip(texts).foreach { case ((fast, slow), t) =>
+        assert(fast == slow, s"c=$c text='$t'")
+      }
+    }
+  }
+
   // ---- Corpus.dsirWeights ----
 
   test("dsirWeights matches the hand-computed micro-ratio model") {
