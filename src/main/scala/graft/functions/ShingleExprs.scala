@@ -29,10 +29,12 @@ case class NGramShingles(child: Expression, n: Int)
   override def prettyName: String = "ngram_shingles"
 
   override protected def nullSafeEval(input: Any): Any = {
-    // Locale.ROOT: default-locale toLowerCase diverges from Spark's lower()
-    // (e.g. Turkish dotless ı), breaking bit-parity with the composable form
-    val words = input.asInstanceOf[UTF8String].toString
-      .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    // Spark-function semantics exactly, via Spark's own implementations:
+    // UTF8String.trim strips ' ' only (Java String.trim also eats \t/\n),
+    // UTF8String.toLowerCase is lower()'s code path, split limit -1 keeps
+    // trailing empties — all three match the composable form bit-for-bit
+    val words = input.asInstanceOf[UTF8String]
+      .trim().toLowerCase().toString.split("\\s+", -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](words.length * 2)
     val sb = new java.lang.StringBuilder(64)
@@ -143,8 +145,9 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString
-      .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    // same Spark-exact normalization as NGramShingles/ChunkMd5s
+    val words = input.asInstanceOf[UTF8String]
+      .trim().toLowerCase().toString.split("\\s+", -1)
     val m = words.length - (k - 1) // number of k-grams
     if (m < w) return new GenericArrayData(Array.empty[Any])
 
@@ -219,10 +222,14 @@ case class ChunkMd5s(child: Expression, c: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    // Locale.ROOT: parity with Spark's lower() (NGramShingles rationale).
-    // "".split("\s+") == [""] — one empty chunk, same as the composable form
-    val words = input.asInstanceOf[UTF8String].toString
-      .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    // Spark-function semantics EXACTLY, via Spark's own implementations:
+    // UTF8String.trim strips ' ' only (Java String.trim would eat \t/\n,
+    // changing tokenization vs the composable form and the SQL oracle),
+    // UTF8String.toLowerCase is what lower() runs, and split limit -1
+    // keeps trailing empty tokens like Spark's split does.
+    // "".split == [""] — one empty chunk, same as the composable form
+    val words = input.asInstanceOf[UTF8String]
+      .trim().toLowerCase().toString.split("\\s+", -1)
     val nc = (words.length + c - 1) / c
     val digest = md5.get()
     val sb = new java.lang.StringBuilder(128)

@@ -82,8 +82,11 @@ object Pipeline {
                    budgetNum: Long = 1, budgetDen: Long = 2,
                    scope: CacheScope = CacheScope.noop): DataFrame = {
     require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
-    val gated = docs.select(col(idCol), col(textCol), col(langCol))
-      .filter(length(col(textCol)) >= minChars)
+    // cached: the rebuild and the (id, lang) metadata join both consume
+    // the gated frame, and the length gate forces a full text read to
+    // re-evaluate — uncached, that is a second corpus scan per call
+    val gated = scope.track(docs.select(col(idCol), col(textCol), col(langCol))
+      .filter(length(col(textCol)) >= minChars).cache())
     val rebuilt = Dedup.chunkDedupRebuild(gated, idCol, textCol, chunkTokens, scope)
     val cleanDocs = rebuilt.join(gated.select(col(idCol), col(langCol)), Seq(idCol))
     val weights = scope.track(Corpus.dsirWeights(cleanDocs, idCol, "clean_text",

@@ -57,8 +57,12 @@ class Round6OpsSpec extends AnyFunSuite {
   }
 
   test("ChunkMd5s is bit-identical to the composable transform/slice/md5 form") {
+    // includes the divergence traps between Java and Spark string
+    // semantics: leading tab (Spark trim strips ' ' only), trailing
+    // newline (Spark split keeps trailing empty tokens), CR/LF runs
     val texts = Seq("", " ", "a", "A  B\tc", "one two three four five six",
       "x " * 9 + "x", "x " * 10 + "x", "İstanbul STRASSE ﬀ",
+      "\thello world", "hello world\n", " \t a\r\nb \n ", "a b",
       (1 to 37).map(i => s"w$i").mkString(" "))
     val df = texts.toDF("t")
     for (c <- Seq(1, 3, 10)) {
@@ -197,9 +201,12 @@ class Round6OpsSpec extends AnyFunSuite {
     val got = Pipeline.curateCorpus(docs, "doc_id", "text", "lang",
         minChars = 100, chunkTokens = 10, budgetNum = 1, budgetDen = 2)
       .select(col("doc_id")).as[Long].collect().toSet
-    // cleaned tokens: doc0 60, doc2 30 (10-token alpha chunks all dup
-    // doc0's), doc3 60 → total 150, budget 75 → highest-weight prefix
-    // that fits is doc0 (60 tokens); doc2/doc3 would overflow
+    // the election is corpus-wide AND within-doc: repeated 10-token
+    // chunks of the same word collapse to their first occurrence, so the
+    // cleaned docs are doc0 = "alpha…"+"beta…" (20 tokens), doc2 =
+    // "gamma…" (10; its alpha chunks lose to doc0's), doc3 = "delta…"
+    // (10) → total 40, budget 20 → the highest-weight doc0 fills the
+    // budget exactly; doc2/doc3 would overflow
     assert(got == Set(0L), s"got $got")
   }
 
