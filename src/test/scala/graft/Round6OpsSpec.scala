@@ -80,6 +80,19 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-6 operators drop null-text rows instead of failing") {
+    val docs = Seq((0, "a b c d", "en"), (1, null, "en"), (2, "a b", null))
+      .toDF("doc_id", "text", "lang")
+    // null text → no chunks/tokens → absent from results; null lang is a
+    // non-target, not an error
+    assert(Dedup.chunkDedup(docs, "doc_id", "text", 2)
+      .select("doc_id").as[Int].collect().toSet == Set(0, 2))
+    assert(Corpus.dsirWeights(docs, "doc_id", "text", col("lang") === "en")
+      .select("doc_id").as[Int].collect().toSet == Set(0, 2))
+    assert(Corpus.bigramLmScore(docs, "doc_id", "text")
+      .select("doc_id").as[Int].collect().toSet == Set(0, 2))
+  }
+
   // ---- Corpus.dsirWeights ----
 
   test("dsirWeights matches the hand-computed micro-ratio model") {
