@@ -261,6 +261,20 @@ class Round6OpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("decontaminateStream applied to a batch frame gives the same survivors") {
+    import graft.streaming.EventStream
+    val history = Seq((9L, "seen before")).toDF("doc_id", "text")
+    val seen = EventStream.seenFingerprints(history, "text")
+    val batch = Seq((1L, "fresh"), (2L, "Seen  Before"), (3L, "also fresh"))
+      .toDF("doc_id", "text")
+    // stateless column ops + anti-join: the same function runs on batch
+    // frames unchanged — the identity the qualityGate doc promises holds
+    // for the decontamination gate too
+    val got = EventStream.decontaminateStream(batch, "text", seen)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
   test("pqRerankTopK output ordering is exact-cosine, not ADC order") {
     val n = 40
     val dim = 8
