@@ -104,23 +104,17 @@ object Similarity {
     * expression tree (a codebook is index METADATA, like a broadcast dim —
     * m·k·(d/m) doubles, kilobytes), so encoding stays row-local,
     * shuffle-free and codegen'd. */
-  def pqEncodeWith(vec: Column, book: Seq[Seq[Seq[Double]]]): Column = {
-    val sd = book.head.head.size
-    val codes = book.zipWithIndex.map { case (cents, s) =>
-      val dists = array(cents.map { cent =>
-        cent.zipWithIndex.map { case (cv, j) =>
-          val x = element_at(vec, s * sd + j + 1) - lit(cv)
-          x * x
-        }.reduce(_ + _)
-      }: _*)
-      // first-min argmin over the distance ARRAY: each distance expression
-      // appears exactly once — a when()-fold would nest the running min
-      // into both branches of every step, duplicating subtrees 2^k times
-      // and stalling Catalyst for seconds per query (measured)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    array(codes: _*)
-  }
+  def pqEncodeWith(vec: Column, book: Seq[Seq[Seq[Double]]]): Column =
+    // native expression: the codebook is ONE reference object and the
+    // nearest-centroid search one codegen'd loop. The previous composable
+    // form (m unrolled distance arrays of k·(dim/m) scalar terms, argmin
+    // via array_position(array_min)) was bit-identical but put ~512 leaf
+    // terms in the tree at (64,4,8) — Catalyst analysis+codegen cost
+    // scaled with k·dim and dominated every PQ query's wall time
+    // (measured: q65–q69 each paid seconds of plan time per call).
+    // Arithmetic order and first-min tie-break are unchanged, so the
+    // DuckDB oracles and every downstream ADC shape agree bit-for-bit.
+    graft.functions.VectorExprs.pqEncode(vec, book)
 
   /** Train a real PQ codebook: an independent seeded k-means per sub-space
     * over that sub-space's slice of the corpus (the construction in Jégou
