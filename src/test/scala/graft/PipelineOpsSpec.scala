@@ -306,6 +306,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PqEncode native expression: interpreted eval == codegen'd plan; null/short contracts") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val (dim, m, k) = (64, 4, 8)
+    val book = Similarity.pqBookConst(dim, m, k)
+    val rng = new scala.util.Random(99)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(dim)(rng.nextGaussian()))).toArray
+    // codegen path: through a DataFrame plan (whole-stage codegen compiles
+    // the doGenCode loop)
+    val viaPlan = vecs.toSeq.toDF("id", "v")
+      .select(col("id"), Similarity.pqEncode(col("v"), dim, m, k).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    // interpreted path: Expression.eval over a literal child (no codegen)
+    val flatBook = book.map(_.map(_.toArray).toArray).toArray
+    for ((id, v) <- vecs) {
+      val expr = graft.functions.PqEncode(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(v,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+        flatBook)
+      val got = expr.eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+      assert(got == viaPlan(id), s"interpreted != codegen for vec $id")
+    }
+    // null vector → null row value; short vector → error naming the need
+    val nulled = Seq((0L, null: Array[Double])).toDF("id", "v")
+      .select(Similarity.pqEncode(col("v"), dim, m, k).as("c"))
+      .collect()(0)
+    assert(nulled.isNullAt(0))
+    val err = intercept[Exception] {
+      Seq((0L, Array(1.0, 2.0))).toDF("id", "v")
+        .select(Similarity.pqEncode(col("v"), dim, m, k).as("c")).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("bloomFilteredJoin equals the plain join and the probe passes every dim key") {
     val fact = (0L until 5000L).map(i => (i, i % 100)).toDF("fid", "fk")
     val dim = Seq(3L, 7L, 42L).toDF("dk")
