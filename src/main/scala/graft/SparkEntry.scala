@@ -1110,7 +1110,30 @@ object SparkEntry {
     //      Every stage already proven alone (q85/q90/q86/q81); this is
     //      their one-plan composition ----
     "q92_curate" -> ((s, dir) =>
-      Pipeline.curateCorpus(tbl(s, dir, "documents"), "doc_id", "text", "lang")))
+      Pipeline.curateCorpus(tbl(s, dir, "documents"), "doc_id", "text", "lang")),
+
+    // ---- Boilerplate removal: chunks in >= 2 distinct docs dropped from
+    //      EVERY doc (frequency threshold, not first-wins); doc-frequency
+    //      shuffles 20-byte (md5, id) rows, the small boilerplate set
+    //      broadcasts, rebuild compared as scalars ----
+    "q93_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateRemove(tbl(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 10, minDocs = 2)),
+
+    // ---- Record-linkage fuzzy dedup: (lang, first-token) blocking,
+    //      within-block Levenshtein on an 80-char prefix ----
+    "q94_fuzzy_pairs" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup.fuzzyDupPairs(d, "doc_id", "text",
+        Seq(col("lang"), element_at(split(lower(trim(col("text"))), "\\s+"), 1)),
+        maxEdit = 20, prefixChars = 80)
+    }),
+
+    // ---- Temperature mixing: per-language sampling weights n^0.5 and a
+    //      largest-remainder 1000-doc allocation that sums exactly ----
+    "q95_temperature_mix" -> ((s, dir) =>
+      Corpus.temperatureMix(tbl(s, dir, "documents"), "lang",
+        alpha = 0.5, budget = 1000L)))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2276,5 +2299,54 @@ object SparkEntry {
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
         |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_frac
-        |FROM documents GROUP BY source""".stripMargin)
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // q93: q85's chunk CTEs, then doc-frequency per chunk CONTENT (the
+    // engine counts per md5(chunk) — identical mod 2^-128) and a
+    // threshold flag; zero-survivor docs rebuild the empty string on
+    // both sides (coalesce ↔ concat_ws-over-empty)
+    "q93_boilerplate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |n AS (SELECT doc_id, w, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc FROM t),
+        |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM n),
+        |k AS (SELECT doc_id, i AS ci,
+        |        array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ') AS chunk
+        |      FROM c),
+        |f AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM k GROUP BY chunk),
+        |m AS (SELECT k.doc_id, k.ci, k.chunk, f.df >= 2 AS bp FROM k JOIN f USING (chunk)),
+        |g AS (SELECT doc_id, count(*) AS n_chunks,
+        |        count(*) FILTER (WHERE NOT bp) AS kept_chunks,
+        |        coalesce(string_agg(chunk, ' ' ORDER BY ci) FILTER (WHERE NOT bp), '') AS ct
+        |      FROM m GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(kept_chunks AS BIGINT) AS kept_chunks,
+        |  md5(ct) AS clean_md5, CAST(length(ct) AS BIGINT) AS clean_chars
+        |FROM g""".stripMargin,
+
+    // q94: blocking replayed as an equi-join on (lang, first token);
+    // DuckDB's levenshtein is the same plain edit distance as Spark's
+    "q94_fuzzy_pairs" ->
+      """WITH d AS (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
+        |b AS (SELECT doc_id, lang, split_part(t, ' ', 1) AS tok1,
+        |        substr(t, 1, 80) AS pfx FROM d)
+        |SELECT x.doc_id AS id1, y.doc_id AS id2,
+        |  CAST(levenshtein(x.pfx, y.pfx) AS INT) AS edit_dist
+        |FROM b x JOIN b y ON x.lang = y.lang AND x.tok1 = y.tok1
+        |WHERE x.doc_id < y.doc_id AND levenshtein(x.pfx, y.pfx) <= 20""".stripMargin,
+
+    // q95: n^0.5 temperature weights (rounded — the Σ n^α total may
+    // differ in the last ulp across engines) and the largest-remainder
+    // allocation; integer floors/ranks replay exactly
+    "q95_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT sum(power(n_docs, 0.5)) AS tot FROM c),
+        |w AS (SELECT lang, n_docs, power(n_docs, 0.5) / tot AS wt FROM c, t),
+        |b AS (SELECT lang, n_docs, wt,
+        |        CAST(floor(wt * 1000) AS BIGINT) AS base,
+        |        wt * 1000 - floor(wt * 1000) AS frac FROM w),
+        |r AS (SELECT *, row_number() OVER (ORDER BY frac DESC, lang) AS rk,
+        |        (SELECT 1000 - sum(base) FROM b) AS rem FROM b)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, round(wt, 6) AS weight,
+        |  CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r""".stripMargin)
 }

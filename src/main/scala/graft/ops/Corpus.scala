@@ -475,4 +475,43 @@ object Corpus {
       .select(col("group_a"), col("group_b"), col("common"),
         (col("common") / (col("_na") + col("_nb") - col("common"))).as("jaccard"))
   }
+
+  /** Temperature-weighted corpus mixing — the multilingual/multi-source
+    * sampling-rate table (the `p_i ∝ n_i^α` rule of multilingual LM
+    * training: α < 1 up-samples tail groups, α = 1 is proportional,
+    * α = 0 uniform). For each group: its document count, its normalized
+    * temperature weight `n^α / Σ n^α`, and an integer per-group
+    * allocation of `budget` documents by largest-remainder rounding
+    * (floor everyone, then hand the leftover units to the largest
+    * fractional parts, frac-desc / group-asc deterministic) — so the
+    * allocations always sum EXACTLY to the budget, which floor or
+    * round alone cannot guarantee.
+    *
+    * Scale shape: one narrow count shuffle over the corpus; everything
+    * after runs on the GROUP-cardinality table (dozens of rows — a mixing
+    * table is driver-scale metadata by definition), which is why the
+    * single-partition ranking window over it is not a scale hazard: the
+    * window's input is the group list, never corpus rows. */
+  def temperatureMix(docs: DataFrame, groupCol: String, alpha: Double,
+                     budget: Long): DataFrame = {
+    require(alpha >= 0, s"alpha must be non-negative, got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col(groupCol).as("_g")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(pow(col("n_docs"), alpha)).as("_tot"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("_w", pow(col("n_docs"), alpha) / col("_tot"))
+      .withColumn("_base", floor(col("_w") * budget).cast("long"))
+      .withColumn("_frac", col("_w") * budget - col("_base"))
+    // group-table-only windows: rank by fractional part, and the total
+    // floored allocation (the remainder is budget minus it)
+    val wAll = Window.partitionBy()
+    val rk = Window.partitionBy().orderBy(col("_frac").desc, col("_g"))
+    based
+      .withColumn("_rem", lit(budget) - sum(col("_base")).over(wAll))
+      .withColumn("_rk", row_number().over(rk))
+      .select(col("_g").as(groupCol), col("n_docs"),
+        round(col("_w"), 6).as("weight"),
+        (col("_base") + when(col("_rk") <= col("_rem"), 1L).otherwise(0L)).as("alloc"))
+  }
 }

@@ -367,4 +367,100 @@ object Dedup {
         (col("_first._id") === col("_id") && col("_first._ci") === col("_ci"))
           .as("_keep"))
   }
+
+  /** Boilerplate removal — the FREQUENCY-threshold complement of
+    * [[chunkDedup]]'s first-wins rule (CCNet, Wenzek et al.: drop
+    * paragraphs repeated across many pages — headers, footers, nav,
+    * license blurbs). A segment is boilerplate iff it occurs in at least
+    * `minDocs` DISTINCT documents, and then EVERY occurrence is removed —
+    * including the first, which is what distinguishes boilerplate
+    * stripping from dedup (dedup keeps one copy; boilerplate is noise in
+    * all copies). Segments are the same normalized fixed-size token
+    * windows as [[chunkDedup]] (paragraph-delimiter segmentation drops in
+    * by swapping the splitter; this corpus has no newlines).
+    *
+    * Scale shape: the doc-frequency count shuffles only (md5, doc id) —
+    * 20-byte rows, text stays in the scan stage. The boilerplate set is
+    * then SMALL BY CONSTRUCTION (segments repeated across ≥ minDocs docs
+    * are rare in any non-degenerate corpus — the distinct-segment tail is
+    * what's huge), so it broadcasts and marking is a map-side join: the
+    * corpus-sized chunk stream never shuffles for the verdict. The only
+    * text-carrying movement is the final per-doc rebuild, which is the
+    * output. Every doc yields a row (a fully-boilerplate doc keeps
+    * kept_chunks = 0 and the empty string), so downstream joins never
+    * silently lose documents.
+    *
+    * Returns (idCol, n_chunks, kept_chunks, clean_md5, clean_chars):
+    * counts plus the rebuilt text compared as scalars (md5 + length). */
+  def boilerplateRemove(df: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int = 10, minDocs: Int = 2,
+                        scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2 (1 would drop everything), got $minDocs")
+    val c = chunkTokens
+    val w = split(lower(trim(col("_t"))), "\\s+")
+    // text-carrying chunk stream (the rebuild needs the strings), cached:
+    // it feeds both the doc-frequency count and the rebuild
+    val chunks = scope.track(Parallelize.ensure(
+        df.select(col(idCol).as("_id"), col(textCol).as("_t")))
+      .select(col("_id"), posexplode(
+        transform(sequence(lit(0), ceil(size(w) / lit(c.toDouble)).cast("int") - 1),
+          i => concat_ws(" ", slice(w, i * c + 1, lit(c))))))
+      .select(col("_id"), col("pos").as("_ci"), col("col").as("_chunk"),
+        md5(col("col")).as("_k"))
+      .cache())
+    val boiler = chunks.select(col("_k"), col("_id"))
+      .groupBy(col("_k"))
+      .agg(countDistinct(col("_id")).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("_k"), lit(true).as("_bp"))
+    chunks.join(broadcast(boiler), Seq("_k"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_bp").isNull, 1L).otherwise(0L)).as("kept_chunks"),
+        // collect_list drops nulls, so only surviving chunks re-assemble;
+        // zero survivors → empty array → concat_ws gives "" (md5-defined)
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("_bp").isNull,
+            struct(col("_ci"), col("_chunk"))))),
+          s => s.getField("_chunk"))).as("_ct"))
+      .select(col("_id").as(idCol), col("n_chunks"), col("kept_chunks"),
+        md5(col("_ct")).as("clean_md5"),
+        length(col("_ct")).cast("long").as("clean_chars"))
+  }
+
+  /** Blocked fuzzy duplicate pairs — record-linkage dedup for
+    * NEAR-IDENTICAL strings that hash differently (OCR noise, whitespace
+    * drift, trailing edits), where set-similarity (minhash/Jaccard) is
+    * overkill and edit distance is the right metric. Classic blocking:
+    * candidates are pairs agreeing on a cheap deterministic block key
+    * (here `blockCols`, e.g. language + first token), and only
+    * within-block pairs pay the O(len²) Levenshtein verify on a bounded
+    * `prefixChars` prefix. Pairs are emitted once (id1 < id2) with their
+    * distance ≤ maxEdit.
+    *
+    * Scale shape: one shuffle on the block key; block sizes bound the
+    * quadratic term (the operator never cross-joins the corpus), and the
+    * prefix cap bounds each verify at O(prefixChars²) regardless of
+    * document length. Skewed blocks are the operator's known hazard —
+    * compose with [[SkewJoin]]'s salting or tighten the key (more
+    * columns) when a block key concentrates; both sides of the self-join
+    * ride the same exchange, so AQE reuses it. */
+  def fuzzyDupPairs(df: DataFrame, idCol: String, textCol: String,
+                    blockCols: Seq[Column], maxEdit: Int,
+                    prefixChars: Int = 80): DataFrame = {
+    require(maxEdit >= 0, s"maxEdit must be non-negative, got $maxEdit")
+    require(prefixChars > 0, s"prefixChars must be positive, got $prefixChars")
+    val base = Parallelize.ensure(df.select(
+      col(idCol).as("_id"),
+      substring(lower(trim(col(textCol))), 1, prefixChars).as("_pfx"),
+      struct(blockCols: _*).as("_blk")))
+    val l = base.select(col("_id").as("id1"), col("_pfx").as("_p1"), col("_blk"))
+    val r = base.select(col("_id").as("id2"), col("_pfx").as("_p2"), col("_blk"))
+    l.join(r, Seq("_blk"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("_p1"), col("_p2")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxEdit)
+  }
 }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Corpus, Dedup}
+
+/** Round-5 curation operators: frequency-threshold boilerplate removal,
+  * blocked fuzzy (edit-distance) duplicate pairs, and temperature-weighted
+  * source mixing with largest-remainder allocation. */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = Golden.spark
+  import spark.implicits._
+
+  // ---- Dedup.boilerplateRemove ----
+
+  test("boilerplateRemove drops EVERY occurrence of frequent chunks, including the first") {
+    // chunkTokens=2: "c1 c2" is the shared boilerplate chunk (3 docs);
+    // each doc also has unique content. Doc 3 is ONLY boilerplate.
+    val docs = Seq(
+      (0, "c1 c2 u0 v0"),
+      (1, "c1 c2 u1 v1"),
+      (2, "u2 v2 c1 c2"),
+      (3, "c1 c2")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateRemove(docs, "doc_id", "text", chunkTokens = 2, minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(got.toSeq == Seq(
+      (0, 2L, 1L, m("u0 v0"), 5L),
+      (1, 2L, 1L, m("u1 v1"), 5L),
+      (2, 2L, 1L, m("u2 v2"), 5L),
+      (3, 1L, 0L, m(""), 0L))) // fully-boilerplate doc still yields a row
+  }
+
+  test("boilerplateRemove counts DISTINCT docs — within-doc repetition never triggers the threshold") {
+    val docs = Seq(
+      (0, "r1 r2 r1 r2 r1 r2"), // same chunk 3x in ONE doc: df=1, kept
+      (1, "s1 s2")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateRemove(docs, "doc_id", "text", chunkTokens = 2, minDocs = 2)
+      .orderBy("doc_id").select("doc_id", "n_chunks", "kept_chunks")
+      .as[(Int, Long, Long)].collect()
+    assert(got.toSeq == Seq((0, 3L, 3L), (1, 1L, 1L)))
+  }
+
+  test("boilerplateRemove normalizes case/whitespace before matching, like chunkDedup") {
+    val docs = Seq(
+      (0, "  Hdr Foot  body0"),
+      (1, "hdr foot body1")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateRemove(docs, "doc_id", "text", chunkTokens = 2, minDocs = 2)
+      .orderBy("doc_id").select("doc_id", "kept_chunks")
+      .as[(Int, Long)].collect()
+    // "hdr foot" matches across both docs after lower(trim); the bodies
+    // pad their final short chunk and stay unique
+    assert(got.toSeq == Seq((0, 1L), (1, 1L)))
+  }
+
+  // ---- Dedup.fuzzyDupPairs ----
+
+  test("fuzzyDupPairs: within-block near-matches pair once; cross-block twins never meet") {
+    val docs = Seq(
+      (0L, "en", "alpha beta gamma delta"),
+      (1L, "en", "alpha beta gamme delta"),   // 1 edit from doc 0, same block
+      (2L, "en", "alpha beta gamma delta"),   // exact dup of doc 0
+      (3L, "de", "alpha beta gamma delta"),   // identical TEXT, different lang block
+      (4L, "en", "omega beta gamma delta"),   // different first token → different block
+      (5L, "en", "zzz yyy xxx www")
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.fuzzyDupPairs(docs, "doc_id", "text",
+        Seq(col("lang"), element_at(split(lower(trim(col("text"))), "\\s+"), 1)),
+        maxEdit = 3, prefixChars = 80)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Int)].collect()
+    // (0,1) dist 1, (0,2) dist 0, (1,2) dist 1 — each pair exactly once,
+    // id1 < id2; docs 3/4 blocked away despite textual closeness
+    assert(got.toSeq == Seq((0L, 1L, 1), (0L, 2L, 0), (1L, 2L, 1)))
+  }
+
+  test("fuzzyDupPairs caps the verify at prefixChars — tail edits beyond it are invisible") {
+    val base = "same same same same "
+    val docs = Seq(
+      (0L, "en", base + "tail-one"),
+      (1L, "en", base + "completely-different-ending-text")
+    ).toDF("doc_id", "lang", "text")
+    val within = Dedup.fuzzyDupPairs(docs, "doc_id", "text", Seq(col("lang")),
+      maxEdit = 0, prefixChars = base.length).as[(Long, Long, Int)].collect()
+    assert(within.toSeq == Seq((0L, 1L, 0)), "prefix-identical pair at dist 0")
+    val beyond = Dedup.fuzzyDupPairs(docs, "doc_id", "text", Seq(col("lang")),
+      maxEdit = 0, prefixChars = 200).count()
+    assert(beyond == 0, "full-length compare sees the differing tails")
+  }
+
+  // ---- Corpus.temperatureMix ----
+
+  test("temperatureMix: sqrt weights, largest-remainder allocation sums exactly to budget") {
+    // counts 1/4/16 → sqrt 1/2/4, tot 7; budget 10 → raw 1.428/2.857/5.714,
+    // floors 1/2/5 (=8), remainder 2 → fracs .857 (g4), .714 (g16), .428 (g1)
+    val docs = (Seq.fill(1)("g1") ++ Seq.fill(4)("g4") ++ Seq.fill(16)("g16"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "grp")
+    val got = Corpus.temperatureMix(docs, "grp", alpha = 0.5, budget = 10L)
+      .orderBy("grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2, t._4)).toSeq ==
+      Seq(("g1", 1L, 1L), ("g16", 16L, 6L), ("g4", 4L, 3L)))
+    assert(got.map(_._4).sum == 10L, "allocations sum exactly to the budget")
+    assert(math.abs(got.find(_._1 == "g1").get._3 - 1.0 / 7) < 1e-6)
+  }
+
+  test("temperatureMix: alpha=1 is proportional, alpha=0 is uniform") {
+    val docs = (Seq.fill(30)("a") ++ Seq.fill(10)("b")).zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toDF("id", "grp")
+    val prop = Corpus.temperatureMix(docs, "grp", alpha = 1.0, budget = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(prop == Map("a" -> 75L, "b" -> 25L))
+    val unif = Corpus.temperatureMix(docs, "grp", alpha = 0.0, budget = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(unif == Map("a" -> 50L, "b" -> 50L))
+  }
+}
