@@ -163,6 +163,33 @@ class PlanSpec extends AnyFunSuite {
       s"contamination probe should be a broadcast semi join\n$p")
   }
 
+  test("q93 boilerplate: frequent-chunk set broadcasts onto the chunk stream") {
+    val p = plan("q93_boilerplate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the boilerplate verdict must be a broadcast join, not a corpus shuffle\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q94 fuzzy pairs: blocked self-join is an equi-join on the block key") {
+    val p = plan("q94_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must keep the self-join keyed — quadratic only within blocks\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi-join on _blk\n$p")
+  }
+
+  test("q95 temperature mix: windows run on the group table, after the corpus collapses") {
+    val df = SparkEntry.queries("q95_temperature_mix")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus-side work is ONE partial/final count; both windows sit
+    // above the aggregated group table (5 rows), not the corpus scan
+    assert(p.contains("HashAggregate"), p)
+    val windowIdx = p.indexOf("Window")
+    val scanIdx = p.lastIndexOf("Scan parquet")
+    assert(windowIdx >= 0 && scanIdx > windowIdx,
+      s"windows must be upstream consumers of the aggregate, not of the scan\n$p")
+  }
+
   test("q57 range join plans as a hash equi-join, never a nested loop") {
     val p = plan("q57_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
