@@ -82,6 +82,69 @@ object EventStream {
   def seenFingerprints(docs: DataFrame, textCol: String): DataFrame =
     docs.select(graft.ops.TextAnalysis.fingerprint(col(textCol)).as("_fp")).distinct()
 
+  /** Ingest-time boilerplate scrub: strip a KNOWN boilerplate-chunk set
+    * (mined from history by [[boilerplateKeys]]) out of every arriving
+    * document — headers, footers, license blurbs removed before a byte of
+    * noise lands in the lake. The streaming half of
+    * [[graft.ops.Dedup.boilerplateRemove]]: the batch op DISCOVERS the
+    * frequent chunks over a corpus; this gate APPLIES a mined set to the
+    * live stream, where frequency counting is impossible without
+    * unbounded state.
+    *
+    * Stateless and row-local by construction: the chunk set is gate
+    * METADATA (small by construction — segments repeating across many
+    * docs are rare; same argument as the batch op's broadcast), embedded
+    * as a literal array, so the scrub is pure column expressions in the
+    * stream's scan stage — no state store, no watermark, no join, and an
+    * updated set ships by restarting the query, exactly like
+    * [[budgetGate]]'s budgets and [[outlierGate]]'s fences.
+    *
+    * Segmentation and normalization are the batch op's exactly (lowered,
+    * trimmed, `\s+`-split, fixed token windows, md5 keys), so a doc
+    * scrubbed here equals the batch rebuild of the same doc —
+    * spec-pinned. Appends (n_chunks, kept_chunks, clean_text). */
+  def boilerplateScrub(docs: DataFrame, textCol: String,
+                       boilerKeys: Seq[String], chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    val c = chunkTokens
+    val w = split(lower(trim(col(textCol))), "\\s+")
+    val chunks = transform(
+      sequence(lit(0), ceil(size(w) / lit(c.toDouble)).cast("int") - 1),
+      i => concat_ws(" ", slice(w, i * c + 1, lit(c))))
+    val kept = filter(chunks, ch => !array_contains(
+      lit(boilerKeys.toArray), md5(ch)))
+    docs
+      .withColumn("n_chunks", size(chunks).cast("long"))
+      .withColumn("kept_chunks", size(kept).cast("long"))
+      .withColumn("clean_text", concat_ws(" ", kept))
+  }
+
+  /** The mined side of [[boilerplateScrub]]: the batch op's frequent-chunk
+    * keys, collected. Driver-side collect is the POINT here — the set is
+    * gate configuration for a long-running stream (like a benchmark list
+    * or a budget map), and it is small by the same argument that lets the
+    * batch op broadcast it. `maxKeys` guards the degenerate corpus where
+    * "boilerplate" would be corpus-sized (a template farm): crossing it
+    * fails loudly rather than silently building a driver-sized gate. */
+  def boilerplateKeys(history: DataFrame, idCol: String, textCol: String,
+                      chunkTokens: Int, minDocs: Int,
+                      maxKeys: Int = 1000000): Seq[String] = {
+    val c = chunkTokens
+    val w = split(lower(trim(col(textCol))), "\\s+")
+    val keys = history
+      .select(col(idCol).as("_id"), explode(transform(
+        sequence(lit(0), ceil(size(w) / lit(c.toDouble)).cast("int") - 1),
+        i => md5(concat_ws(" ", slice(w, i * c + 1, lit(c)))))).as("_k"))
+      .groupBy(col("_k")).agg(countDistinct(col("_id")).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .limit(maxKeys + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(keys.size <= maxKeys,
+      s"boilerplate set exceeds maxKeys=$maxKeys — this corpus's 'frequent' " +
+        "chunks are not rare; raise minDocs or use the batch op's broadcast path")
+    keys
+  }
+
   final case class BudgetDoc(group: String, doc_id: Long, cost: Long)
   final case class BudgetState(spent: Long, closed: Boolean)
   final case class BudgetAdmit(group: String, doc_id: Long, cost: Long, spent: Long)

@@ -58,6 +58,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0, 1L), (1, 1L)))
   }
 
+  test("boilerplateScrub stream gate matches the batch rebuild doc-for-doc, stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (0L, "c1 c2 u0 v0"),
+      (1L, "c1 c2 u1 v1"),
+      (2L, "u2 v2 c1 c2"),
+      (3L, "c1 c2")
+    ).toDF("doc_id", "text")
+    val keys = EventStream.boilerplateKeys(corpus, "doc_id", "text",
+      chunkTokens = 2, minDocs = 2)
+    assert(keys.size == 1, "exactly the shared 'c1 c2' chunk is boilerplate")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.boilerplateScrub(mem.toDF().toDF("doc_id", "text"),
+        "text", keys, chunkTokens = 2)
+      .select(col("doc_id"), col("n_chunks"), col("kept_chunks"),
+        md5(col("clean_text")).as("clean_md5"),
+        length(col("clean_text")).cast("long").as("clean_chars"))
+      .writeStream.outputMode("append").format("memory").queryName("bp").start()
+    mem.addData((0L, "c1 c2 u0 v0"), (3L, "c1 c2"))
+    q.processAllAvailable()
+    mem.addData((2L, "u2 v2 c1 c2")) // second microbatch — same verdicts
+    q.processAllAvailable()
+    val streamed = spark.table("bp").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0), "stateless gate")
+    q.stop()
+    val batch = Dedup.boilerplateRemove(corpus, "doc_id", "text",
+        chunkTokens = 2, minDocs = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    for (id <- streamed.keys) assert(streamed(id) == batch(id), s"doc $id")
+  }
+
   // ---- Dedup.fuzzyDupPairs ----
 
   test("fuzzyDupPairs: within-block near-matches pair once; cross-block twins never meet") {
