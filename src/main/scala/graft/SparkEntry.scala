@@ -1133,7 +1133,25 @@ object SparkEntry {
     //      largest-remainder 1000-doc allocation that sums exactly ----
     "q95_temperature_mix" -> ((s, dir) =>
       Corpus.temperatureMix(tbl(s, dir, "documents"), "lang",
-        alpha = 0.5, budget = 1000L)))
+        alpha = 0.5, budget = 1000L)),
+
+    // ---- Incremental ingestion dedup: even doc_ids play the historical
+    //      snapshot, odd the arriving batch; batch fingerprints broadcast
+    //      onto the history scan (history never shuffles) ----
+    "q96_incr_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup.incrementalDedup(d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        d.filter(col("doc_id") % 2 === 0), "text")
+    }),
+
+    // ---- Incremental near-dup probe: best historical near-duplicate per
+    //      new doc, LSH bands across the two sides + exact Jaccard ----
+    "q97_incr_neardup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup.incrementalNearDups(d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        k = 4, rowsPerBand = 2, n = 5, minJaccard = 0.2)
+    }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2348,5 +2366,49 @@ object SparkEntry {
         |        (SELECT 1000 - sum(base) FROM b) AS rem FROM b)
         |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, round(wt, 6) AS weight,
         |  CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin,
+
+    // q96: the fingerprint identity replayed on both halves; verdict
+    // precedence (history beats batch-first) and the min-id election are
+    // plain SQL
+    "q96_incr_dedup" ->
+      """WITH nw AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |            FROM documents WHERE doc_id % 2 = 1),
+        |h AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |      FROM documents WHERE doc_id % 2 = 0),
+        |f AS (SELECT fp, min(doc_id) AS first FROM nw GROUP BY fp)
+        |SELECT nw.doc_id,
+        |  CASE WHEN h.fp IS NOT NULL THEN 'dup_history'
+        |       WHEN nw.doc_id = f.first THEN 'kept'
+        |       ELSE 'dup_batch' END AS verdict
+        |FROM nw JOIN f USING (fp) LEFT JOIN h ON h.fp = nw.fp""".stripMargin,
+
+    // q97: q20's shingle/signature/band CTEs built per half; candidates
+    // join across halves on the band bucket; best match replayed as a
+    // row_number window ordered (jaccard DESC, hist_id) — the engine's
+    // max(struct) with the SAME unrounded double
+    "q97_incr_neardup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+        |  ELSE [] END AS sh FROM w),
+        |sig AS (SELECT doc_id, sh, len(sh) AS sz,
+        |  list_min(list_transform(sh, x -> md5('0|'||x))) AS s0,
+        |  list_min(list_transform(sh, x -> md5('1|'||x))) AS s1,
+        |  list_min(list_transform(sh, x -> md5('2|'||x))) AS s2,
+        |  list_min(list_transform(sh, x -> md5('3|'||x))) AS s3 FROM s WHERE len(sh) > 0),
+        |band AS (SELECT doc_id, sh, sz, unnest(['0#'||s0||'#'||s1, '1#'||s2||'#'||s3]) AS bucket FROM sig),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id,
+        |                n.sh AS sh_n, n.sz AS sz_n, h.sh AS sh_h, h.sz AS sz_h
+        |         FROM band n JOIN band h ON n.bucket = h.bucket
+        |         WHERE n.doc_id % 2 = 1 AND h.doc_id % 2 = 0),
+        |j AS (SELECT new_id, hist_id, sz_n, sz_h,
+        |        len(list_intersect(sh_n, sh_h)) AS common FROM cand),
+        |v AS (SELECT new_id, hist_id,
+        |        common / (sz_n + sz_h - common) AS jac FROM j
+        |      WHERE common / (sz_n + sz_h - common) >= 0.2),
+        |r AS (SELECT new_id, hist_id, jac,
+        |        row_number() OVER (PARTITION BY new_id ORDER BY jac DESC, hist_id) AS rn FROM v)
+        |SELECT new_id AS doc_id, hist_id, round(jac, 4) AS jaccard
+        |FROM r WHERE rn = 1""".stripMargin)
 }

@@ -368,6 +368,93 @@ object Dedup {
           .as("_keep"))
   }
 
+  /** Incremental exact dedup — the PRODUCTION ingestion shape: a new
+    * batch arrives, everything already ingested lives only as a
+    * fingerprint snapshot, and each new document gets one of three
+    * verdicts: `dup_history` (content already in the snapshot),
+    * `dup_batch` (a non-first repeat WITHIN the new batch), `kept`
+    * (first sight ever). Within-batch election is the same deterministic
+    * first-wins (min id) rule as the corpus-wide operators, and content
+    * identity is [[graft.ops.TextAnalysis.fingerprint]] — the SAME
+    * identity the batch dedup and the streaming decontamination gate use,
+    * so all three agree on what "the same document" means.
+    *
+    * Scale shape — the asymmetry is the whole point: history is the HUGE
+    * side (every fingerprint ever ingested) and the new batch is small,
+    * so the batch's distinct fingerprints BROADCAST onto the history scan
+    * and only matching fingerprints (≤ batch-sized) come back — history
+    * never shuffles, never moves text, and is read once. The new batch
+    * pays one narrow fingerprint shuffle for its first-wins election.
+    * 100 TB of history vs a 10 GB daily batch is exactly this plan. */
+  def incrementalDedup(newDocs: DataFrame, idCol: String, textCol: String,
+                       history: DataFrame, historyTextCol: String,
+                       scope: CacheScope = CacheScope.noop): DataFrame = {
+    val nfp = scope.track(Parallelize.ensure(newDocs.select(
+        col(idCol).as("_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("_fp")))
+      .cache())
+    // batch fingerprints broadcast ONTO history; the semi join keeps only
+    // snapshot fingerprints the batch actually mentions — a tiny set
+    val hits = history
+      .select(TextAnalysis.fingerprint(col(historyTextCol)).as("_fp"))
+      .join(broadcast(nfp.select(col("_fp")).distinct()), Seq("_fp"), "left_semi")
+      .distinct()
+      .withColumn("_inHist", lit(true))
+    val firsts = nfp.groupBy(col("_fp")).agg(min(col("_id")).as("_first"))
+    nfp.join(broadcast(hits), Seq("_fp"), "left")
+      .join(firsts, Seq("_fp"))
+      .select(col("_id").as(idCol),
+        when(col("_inHist"), lit("dup_history"))
+          .when(col("_id") === col("_first"), lit("kept"))
+          .otherwise(lit("dup_batch")).as("verdict"))
+  }
+
+  /** Incremental NEAR-dup probe — [[incrementalDedup]]'s fuzzy layer: for
+    * each new document, its best near-duplicate in the historical corpus
+    * by MinHash-LSH candidates verified with exact n-gram Jaccard. New
+    * docs with no history collision above `minJaccard` produce no row
+    * (they are clean; the exact layer already handled identity).
+    *
+    * Same banding discipline as [[minhashLshPairsOf]]: candidates come
+    * from a band-bucket equi-join between the two sides' narrow
+    * (bucket, id) projections — never a cross join — and only candidates
+    * pay the sorted-hash merge-count verify. Best match per new doc is
+    * deterministic: highest Jaccard, ties to the lowest history id.
+    * History shingles once per probe batch here; a standing index
+    * materializes the history side's bands/shingle hashes and reuses
+    * them across batches (the snapshot discipline of the exact layer). */
+  def incrementalNearDups(newDocs: DataFrame, history: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 4, rowsPerBand: Int = 2, n: Int = 5,
+                          minJaccard: Double = 0.2,
+                          scope: CacheScope = CacheScope.noop): DataFrame = {
+    def sides(df: DataFrame) = {
+      val base = shingleSets(df, idCol, textCol, n, scope).filter(col("_size") > 0)
+      val withSigs = base.withColumn("_sigs",
+        graft.functions.ShingleExprs.minhashSignature(col("_sh"), k))
+      val sigCols = (0 until k).map(i => element_at(col("_sigs"), i + 1))
+      (base, withSigs.select(col("_id"),
+        explode(array(bandKeys(sigCols, rowsPerBand): _*)).as("_bucket")))
+    }
+    val (newBase, newBands) = sides(newDocs)
+    val (histBase, histBands) = sides(history)
+    val cands = newBands.select(col("_bucket"), col("_id").as("new_id"))
+      .join(histBands.select(col("_bucket"), col("_id").as("hist_id")), Seq("_bucket"))
+      .select(col("new_id"), col("hist_id"))
+      .distinct()
+    val nv = newBase.select(col("_id").as("new_id"), col("_shh").as("sh_n"), col("_size").as("sz_n"))
+    val hv = histBase.select(col("_id").as("hist_id"), col("_shh").as("sh_h"), col("_size").as("sz_h"))
+    cands.join(nv, Seq("new_id")).join(hv, Seq("hist_id"))
+      .withColumn("_common", graft.functions.ArrayExprs.sortedLongIntersectCount(col("sh_n"), col("sh_h")))
+      .withColumn("_j", col("_common") / (col("sz_n") + col("sz_h") - col("_common")))
+      .filter(col("_j") >= minJaccard)
+      .groupBy(col("new_id"))
+      .agg(max(struct(col("_j").as("_j"), negate(col("hist_id")).as("_nh"))).as("_best"))
+      .select(col("new_id").as(idCol),
+        negate(col("_best._nh")).as("hist_id"),
+        round(col("_best._j"), 4).as("jaccard"))
+  }
+
   /** Boilerplate removal — the FREQUENCY-threshold complement of
     * [[chunkDedup]]'s first-wins rule (CCNet, Wenzek et al.: drop
     * paragraphs repeated across many pages — headers, footers, nav,

@@ -128,6 +128,51 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(beyond == 0, "full-length compare sees the differing tails")
   }
 
+  // ---- Dedup.incrementalDedup / incrementalNearDups ----
+
+  test("incrementalDedup: history beats batch-first; within-batch first-wins; normalization shared") {
+    val history = Seq((100L, "seen before"), (101L, "other old doc")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "  Seen   BEFORE "), // whitespace/case variant of history → dup_history
+      (2L, "fresh content"),    // first sight → kept
+      (3L, "fresh content"),    // within-batch repeat → dup_batch
+      (4L, "also new")          // kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, "doc_id", "text", history, "text")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, "dup_history"), (2L, "kept"), (3L, "dup_batch"), (4L, "kept")))
+  }
+
+  test("incrementalDedup: a batch doc duplicated in BOTH history and batch is dup_history everywhere") {
+    val history = Seq((9L, "x y z")).toDF("doc_id", "text")
+    val batch = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, "doc_id", "text", history, "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "dup_history", 2L -> "dup_history"),
+      "history precedence applies to every batch copy, not just the non-first")
+  }
+
+  test("incrementalNearDups: best history match per new doc, clean docs absent, ties to lowest id") {
+    val near = "a b c d e f g h i j k l"       // 8 5-gram shingles
+    val history = Seq(
+      (100L, near),                            // exact shingle match
+      (101L, near),                            // identical twin — tie on jaccard
+      (102L, "totally different words here entirely unrelated stream")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, near + " m"),                       // 9 shingles, 8 common → j = 8/9
+      (2L, "nothing like anything in the history corpus at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(batch, history, "doc_id", "text",
+        k = 4, rowsPerBand = 2, n = 5, minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1, "the clean doc must produce no row")
+    val (id, hist, j) = got(0)
+    assert(id == 1L && hist == 100L, "jaccard tie resolved to the LOWEST history id")
+    assert(math.abs(j - math.round(8.0 / 9 * 10000) / 10000.0) < 1e-9)
+  }
+
   // ---- Corpus.temperatureMix ----
 
   test("temperatureMix: sqrt weights, largest-remainder allocation sums exactly to budget") {
