@@ -190,6 +190,19 @@ class PlanSpec extends AnyFunSuite {
       s"windows must be upstream consumers of the aggregate, not of the scan\n$p")
   }
 
+  test("q96 incremental dedup: batch fingerprints broadcast onto history, no history shuffle for the verdict") {
+    val p = plan("q96_incr_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"both the history probe and the hit-set re-attach must broadcast\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q97 incremental near-dups: band-bucket equi-join across sides, never a cross join") {
+    val p = plan("q97_incr_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the bucket equi-join\n$p")
+  }
+
   test("q57 range join plans as a hash equi-join, never a nested loop") {
     val p = plan("q57_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
