@@ -1151,7 +1151,25 @@ object SparkEntry {
       Dedup.incrementalNearDups(d.filter(col("doc_id") % 2 === 1),
         d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         k = 4, rowsPerBand = 2, n = 5, minJaccard = 0.2)
-    }))
+    }),
+
+    // ---- Hashed-feature linear quality score: integer micro-weights,
+    //      one md5 per token, row-local ----
+    "q98_quality_lm" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        // raw double, deliberately UNROUNDED: isum and n are identical
+        //      integers in both engines, so the divisions produce
+        //      bit-identical doubles — but Spark's round() (BigDecimal
+        //      HALF_UP) and DuckDB's (float-multiply) can disagree at a
+        //      decimal boundary on that same double (measured at sf0.001)
+        TextAnalysis.hashedLinearScore(col("text")).as("q_score"))),
+
+    // ---- Temperature mixing APPLIED: exactly alloc docs per language in
+    //      deterministic md5(id) order ----
+    "q99_temperature_sample" -> ((s, dir) =>
+      Corpus.temperatureSample(tbl(s, dir, "documents"), "doc_id", "lang",
+        alpha = 0.5, budget = 300L)))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2410,5 +2428,36 @@ object SparkEntry {
         |r AS (SELECT new_id, hist_id, jac,
         |        row_number() OVER (PARTITION BY new_id ORDER BY jac DESC, hist_id) AS rn FROM v)
         |SELECT new_id AS doc_id, hist_id, round(jac, 4) AS jaccard
-        |FROM r WHERE rn = 1""".stripMargin)
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // q98: integer micro-weights from the md5 hex prefix (the q86/q88
+    // order-independent-sum trick); the only float op is the final
+    // division, replayed in the same left-associated order
+    "q98_quality_lm" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents),
+        |tk AS (SELECT * FROM t WHERE w <> ''),
+        |s AS (SELECT doc_id, count(*) AS n,
+        |        sum(('0x' || substr(md5('graft-q|' || w), 1, 6))::BIGINT % 2000001 - 1000000) AS isum
+        |      FROM tk GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(s.isum AS DOUBLE) / s.n / 1000000 AS q_score
+        |FROM documents d JOIN s ON d.doc_id = s.doc_id""".stripMargin,
+
+    // q99: the q95 allocation CTEs at budget 300, applied as a per-group
+    // md5(id)-ordered prefix — exact COUNTS, not rates
+    "q99_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT sum(power(n_docs, 0.5)) AS tot FROM c),
+        |w AS (SELECT lang, n_docs, power(n_docs, 0.5) / tot AS wt FROM c, t),
+        |b AS (SELECT lang, CAST(floor(wt * 300) AS BIGINT) AS base,
+        |        wt * 300 - floor(wt * 300) AS frac FROM w),
+        |r AS (SELECT *, row_number() OVER (ORDER BY frac DESC, lang) AS rk,
+        |        (SELECT 300 - sum(base) FROM b) AS rem FROM b),
+        |a AS (SELECT lang, base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS alloc FROM r),
+        |s AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)
+        |SELECT s.doc_id, s.lang FROM s JOIN a USING (lang) WHERE s.rn <= a.alloc""".stripMargin)
 }

@@ -514,4 +514,32 @@ object Corpus {
         round(col("_w"), 6).as("weight"),
         (col("_base") + when(col("_rk") <= col("_rem"), 1L).otherwise(0L)).as("alloc"))
   }
+
+  /** [[temperatureMix]] APPLIED: draw exactly each group's allocation of
+    * documents, deterministically — per group, the first `alloc` docs in
+    * md5(id) order (a seedable random permutation that every engine and
+    * every re-run agrees on; the md5-threshold samplers give exact RATES,
+    * this gives exact COUNTS, which is what a mixing budget demands). A
+    * group whose allocation exceeds its size contributes all its docs.
+    *
+    * Scale shape: the mixing table comes from [[temperatureMix]] (one
+    * narrow count shuffle + group-table windows) and broadcasts; the
+    * per-group rank is a window partitioned by group over the corpus —
+    * a real sort, priced accordingly, and the skew hazard of a dominant
+    * group is the window's partition (mitigate with a composite group
+    * key, or fall back to hash-threshold RATE sampling when exact counts
+    * aren't worth a sort of the corpus). */
+  def temperatureSample(docs: DataFrame, idCol: String, groupCol: String,
+                        alpha: Double, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mix = temperatureMix(docs, groupCol, alpha, budget)
+      .select(col(groupCol), col("alloc"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), col(groupCol))
+      .withColumn("_rn", row_number().over(w))
+      .join(broadcast(mix), Seq(groupCol))
+      .filter(col("_rn") <= col("alloc"))
+      .select(col(idCol), col(groupCol))
+  }
 }

@@ -49,6 +49,28 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Hashed-feature linear quality score — the deterministic skeleton of
+    * a fasttext-style quality classifier: each token hashes to a signed
+    * integer micro-weight (md5-derived — engine-independent, the repo's
+    * RNG-free constant discipline; a TRAINED model ships its weights the
+    * same way, as a seed→table swap), the document score is the mean
+    * token weight. The per-token weights are exact int64s and the sum is
+    * integer (order-independent — the q86/q88 micro-ratio trick), so the
+    * only float op is the final division and cross-engine oracles agree
+    * bit-for-bit. Row-local, shuffle-free, one md5 per token.
+    *
+    * Score = Σ w(tok) / (n_tokens · microScale) ∈ ~[-1, 1], where
+    * w(tok) = (first 6 md5 hex digits of "seed|tok") mod (2·scale+1)
+    * − scale. */
+  def hashedLinearScore(text: Column, seed: String = "graft-q",
+                        microScale: Long = 1000000L): Column = {
+    val t = filter(tokens(text), w => w =!= "")
+    val w = aggregate(t, lit(0L), (acc, tok) => acc +
+      conv(substring(md5(concat(lit(seed + "|"), tok)), 1, 6), 16, 10).cast("long")
+        % lit(2 * microScale + 1) - lit(microScale))
+    when(size(t) > 0, w.cast("double") / size(t) / microScale)
+  }
+
   /** A BPE-ish subword count approximation: words plus punctuation marks
     * (cheap token-count estimate for budget accounting). Punctuation is
     * counted by length difference — a codegen'd string op — instead of a

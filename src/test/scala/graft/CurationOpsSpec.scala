@@ -189,6 +189,49 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(math.abs(got.find(_._1 == "g1").get._3 - 1.0 / 7) < 1e-6)
   }
 
+  test("hashedLinearScore: mean of md5-derived token micro-weights, repetition-invariant, null on empty") {
+    import graft.ops.TextAnalysis
+    // scala-side replica of the weight arithmetic for one token
+    def w(tok: String): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex("graft-q|" + tok).substring(0, 6), 16) % 2000001L - 1000000L
+    val docs = Seq(
+      (0L, "alpha"),
+      (1L, "alpha alpha alpha"),  // mean over repeats == single-token score
+      (2L, "alpha beta"),
+      (3L, "   ")
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.hashedLinearScore(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val sAlpha = w("alpha").toDouble / 1 / 1000000
+    assert(math.abs(got(0L).get - sAlpha) < 1e-12)
+    assert(got(1L).get == got(0L).get, "repetition leaves the mean unchanged")
+    val sMix = ((w("alpha") + w("beta")).toDouble / 2) / 1000000
+    assert(math.abs(got(2L).get - sMix) < 1e-12)
+    assert(got(3L).isEmpty, "whitespace-only text scores null, not 0/0")
+  }
+
+  test("temperatureSample draws exactly the mixing allocation per group, deterministically") {
+    val docs = (Seq.fill(40)("big") ++ Seq.fill(10)("small") ++ Seq.fill(2)("tiny"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("doc_id", "grp")
+    val mix = Corpus.temperatureMix(docs, "grp", 0.5, 20L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val sampled = Corpus.temperatureSample(docs, "doc_id", "grp", 0.5, 20L)
+    val byGroup = sampled.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-group counts equal the allocation, capped by group size
+    for ((g, alloc) <- mix) {
+      val size = docs.filter(col("grp") === g).count()
+      assert(byGroup.getOrElse(g, 0L) == math.min(alloc, size), s"group $g")
+    }
+    // deterministic: a second run draws the identical id set
+    val ids1 = sampled.collect().map(_.getLong(0)).toSet
+    val ids2 = Corpus.temperatureSample(docs, "doc_id", "grp", 0.5, 20L)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("temperatureMix: alpha=1 is proportional, alpha=0 is uniform") {
     val docs = (Seq.fill(30)("a") ++ Seq.fill(10)("b")).zipWithIndex
       .map { case (g, i) => (i.toLong, g) }.toDF("id", "grp")
