@@ -232,6 +232,75 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("curation operators drop null-text rows instead of failing") {
+    val docs = Seq((0L, "a b c d", "en"), (1L, null, "en"), (2L, "a b", "de"))
+      .toDF("doc_id", "text", "lang")
+    // null text → no chunks / null fingerprint / null prefix → absent
+    assert(Dedup.boilerplateRemove(docs, "doc_id", "text", 2, 2)
+      .select("doc_id").as[Long].collect().toSet == Set(0L, 2L))
+    assert(Dedup.incrementalDedup(docs, "doc_id", "text",
+        Seq((9L, "a b c d")).toDF("doc_id", "text"), "text")
+      .select("doc_id").as[Long].collect().toSet == Set(0L, 2L))
+    assert(Dedup.fuzzyDupPairs(docs, "doc_id", "text", Seq(col("lang")), 100, 80)
+      .count() == 0) // the null-text doc never pairs, even within its block
+    // null text scores null, and the mixing table counts the DOC (its
+    // group membership is real even if its text is empty)
+    val s = docs.select(graft.ops.TextAnalysis.hashedLinearScore(col("text")).as("s"))
+      .filter(col("s").isNull).count()
+    assert(s == 1)
+    assert(Corpus.temperatureMix(docs, "lang", 0.5, 10L)
+      .agg(sum("n_docs")).as[Long].collect()(0) == 3L)
+  }
+
+  test("boilerplateRemove agrees with a naive frequency scan on random corpora") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e")
+      val docs = (0 until 60).map(i => (i.toLong,
+        (0 until (1 + rng.nextInt(8))).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")))
+      def chunksOf(t: String): Seq[String] = {
+        val w = t.trim.toLowerCase.split("\\s+").toSeq
+        (0 until math.ceil(w.size / 2.0).toInt).map(i => w.slice(i * 2, i * 2 + 2).mkString(" "))
+      }
+      val docFreq = docs.flatMap { case (id, t) => chunksOf(t).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (ch, xs) => ch -> xs.size }
+      val boiler = docFreq.filter(_._2 >= 2).keySet
+      val want = docs.map { case (id, t) =>
+        val ch = chunksOf(t)
+        val kept = ch.filterNot(boiler)
+        val clean = kept.mkString(" ")
+        id -> (ch.size.toLong, kept.size.toLong,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(clean), clean.length.toLong)
+      }.toMap
+      val got = Dedup.boilerplateRemove(docs.toDF("doc_id", "text"), "doc_id", "text", 2, 2)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("incrementalDedup agrees with a naive verdict scan on random corpora") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val vocab = Vector("x", "y", "z")
+      def doc() = (0 until (1 + rng.nextInt(3))).map(_ => vocab(rng.nextInt(3))).mkString("  ")
+      val history = (100L until 130L).map(i => (i, doc()))
+      val batch = (0L until 40L).map(i => (i, doc()))
+      def fp(t: String) = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(t.replaceAll("\\s+", " ").trim.toLowerCase)
+      val histFps = history.map(h => fp(h._2)).toSet
+      val firstOf = batch.groupBy(b => fp(b._2)).map { case (k, xs) => k -> xs.map(_._1).min }
+      val want = batch.map { case (id, t) =>
+        id -> (if (histFps(fp(t))) "dup_history"
+               else if (firstOf(fp(t)) == id) "kept"
+               else "dup_batch")
+      }.toMap
+      val got = Dedup.incrementalDedup(batch.toDF("doc_id", "text"), "doc_id", "text",
+          history.toDF("doc_id", "text"), "text")
+        .as[(Long, String)].collect().toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("temperatureMix: alpha=1 is proportional, alpha=0 is uniform") {
     val docs = (Seq.fill(30)("a") ++ Seq.fill(10)("b")).zipWithIndex
       .map { case (g, i) => (i.toLong, g) }.toDF("id", "grp")
