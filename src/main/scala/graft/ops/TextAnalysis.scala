@@ -49,6 +49,12 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Deflate compression ratio — see [[graft.functions.DeflateRatio]];
+    * the Gopher-style repetitiveness filter drops docs below `minRatio`
+    * (templated/looping junk compresses hard). */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    graft.functions.CompressExprs.deflateRatio(text, level)
+
   /** Hashed-feature linear quality score — the deterministic skeleton of
     * a fasttext-style quality classifier: each token hashes to a signed
     * integer micro-weight (md5-derived — engine-independent, the repo's

@@ -301,6 +301,24 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compressionRatio orders repetitive below diverse text, bounded, deterministic, null-safe") {
+    import graft.ops.TextAnalysis
+    val rng = new scala.util.Random(5)
+    val repetitive = Seq.fill(200)("buy now click here").mkString(" ")
+    val diverse = Seq.fill(200)(rng.alphanumeric.take(8).mkString).mkString(" ")
+    val docs = Seq((0L, repetitive), (1L, diverse), (2L, null), (3L, ""))
+      .toDF("doc_id", "text")
+    def run() = docs.select(col("doc_id"),
+        TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val got = run()
+    assert(got(0L).get < 0.05, s"looping text compresses hard: ${got(0L)}")
+    assert(got(1L).get > 0.5, s"high-entropy text barely compresses: ${got(1L)}")
+    assert(got(0L).get > 0 && got(1L).get < 1.2, "ratios in sane bounds")
+    assert(got(2L).isEmpty && got(3L).isEmpty, "null and empty text have no ratio")
+    assert(run() == got, "deterministic across runs")
+  }
+
   test("temperatureMix: alpha=1 is proportional, alpha=0 is uniform") {
     val docs = (Seq.fill(30)("a") ++ Seq.fill(10)("b")).zipWithIndex
       .map { case (g, i) => (i.toLong, g) }.toDF("id", "grp")
