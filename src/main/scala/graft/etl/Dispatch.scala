@@ -110,19 +110,24 @@ object Dispatch {
       // in their builders; a standalone Dispatch caller on nanos parquet
       // gets Spark's error naming the conf to set. The engine stringifies
       // all inputs, so a nanos column reads as its verbatim tick count.
+      // ORC gets the same treatment as parquet (built into Spark, same
+      // splittable/pushdown properties); parquet wins when both exist.
       name => {
         val base = CsvSource.stripCsvExtension(name)
         val pq = new org.apache.hadoop.fs.Path(s"$coordinate/$base.parquet")
+        val orc = new org.apache.hadoop.fs.Path(s"$coordinate/$base.orc")
         val fs = pq.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(pq)) {
           CsvSource.withRowIdx(CsvSource.allString(spark.read.parquet(pq.toString)))
+        } else if (fs.exists(orc)) {
+          CsvSource.withRowIdx(CsvSource.allString(spark.read.orc(orc.toString)))
         } else CsvSource.read(spark, coordinate, name, sep)
       }
     }
 
   /** Names of the source tables actually present at an input coordinate:
     * JDBC metadata for SQL, a Hadoop FileSystem listing (csv/tsv/parquet
-    * stems) for directories and MinIO/S3A. None when the coordinate can't
+    * stems, orc included) for directories and MinIO/S3A. None when the coordinate can't
     * be enumerated (e.g. listing fails) — callers then skip the V5 check. */
   def listSourceNames(spark: SparkSession, coordinate: String): Option[Seq[String]] =
     try {
@@ -134,7 +139,8 @@ object Dispatch {
         val path = new org.apache.hadoop.fs.Path(base)
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
         Some(fs.listStatus(path).toSeq.map(_.getPath.getName)
-          .filter(n => n.endsWith(".csv") || n.endsWith(".tsv") || n.endsWith(".parquet")))
+          .filter(n => n.endsWith(".csv") || n.endsWith(".tsv")
+            || n.endsWith(".parquet") || n.endsWith(".orc")))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

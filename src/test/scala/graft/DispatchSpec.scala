@@ -95,6 +95,27 @@ class DispatchSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("directory sources accept <table>.orc with the same verbatim-string contract; parquet wins over orc") {
+    val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
+    val dir = java.nio.file.Files.createTempDirectory("orc_source").toString
+    val csv = CsvSource.read(spark, td, "src_PERSON").drop(CsvSource.RowIdx)
+    csv.coalesce(1).write.mode("overwrite").orc(s"$dir/src_PERSON.orc")
+
+    val read = Dispatch.sourceReader(spark, dir)("src_PERSON.csv")
+    assert(read.columns.contains(CsvSource.RowIdx))
+    assert(read.schema.fields.filter(_.name != CsvSource.RowIdx)
+      .forall(_.dataType == org.apache.spark.sql.types.StringType),
+      "orc input must be coerced to the verbatim-string contract")
+    assert(read.drop(CsvSource.RowIdx).collect().map(_.toSeq).toSet ==
+      csv.collect().map(_.toSeq).toSet)
+    // precedence: when both columnar forms exist, parquet is read (a
+    // poisoned orc twin would fail loudly if it ever won)
+    csv.limit(1).coalesce(1).write.mode("overwrite").parquet(s"$dir/src_PERSON.parquet")
+    assert(Dispatch.sourceReader(spark, dir)("src_PERSON").count() == 1)
+    assert(Dispatch.listSourceNames(spark, dir).get.toSet ==
+      Set("src_PERSON.orc", "src_PERSON.parquet"))
+  }
+
   test("parquet preference probes through the Hadoop FileSystem (URI scheme paths)") {
     val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
     val dir = java.nio.file.Files.createTempDirectory("pq_fs_source").toString
