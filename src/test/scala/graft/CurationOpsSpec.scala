@@ -173,6 +173,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(math.abs(j - math.round(8.0 / 9 * 10000) / 10000.0) < 1e-9)
   }
 
+  test("incremental dedup runs per microbatch via the foreachBatch sink — the full ingestion loop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    implicit val sq = spark.sqlContext
+    val history = Seq((100L, "already ingested doc")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("incr_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("incr_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.sinkBatches(mem.toDF().toDF("doc_id", "text"), out, ckpt) {
+      batch => Dedup.incrementalDedup(batch, "doc_id", "text", history, "text")
+    }
+    mem.addData((1L, "already   INGESTED doc"), (2L, "new doc"), (3L, "new doc"))
+    q.processAllAvailable()
+    // a later microbatch deduping only against HISTORY (not batch 0 —
+    // that's what the fingerprint-snapshot update would add): 4 repeats
+    // batch 0's "new doc" and is judged fresh here, by design
+    mem.addData((4L, "new doc"))
+    q.processAllAvailable()
+    q.stop()
+    val verdicts = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts == Map(1L -> "dup_history", 2L -> "kept",
+      3L -> "dup_batch", 4L -> "kept"))
+  }
+
   // ---- Corpus.temperatureMix ----
 
   test("temperatureMix: sqrt weights, largest-remainder allocation sums exactly to budget") {
