@@ -1169,7 +1169,14 @@ object SparkEntry {
     //      deterministic md5(id) order ----
     "q99_temperature_sample" -> ((s, dir) =>
       Corpus.temperatureSample(tbl(s, dir, "documents"), "doc_id", "lang",
-        alpha = 0.5, budget = 300L)))
+        alpha = 0.5, budget = 300L)),
+
+    // ---- Concat-and-chunk sequence packing: each doc's span in the
+    //      512-token global sequence stream; running offsets confined to
+    //      per-partition windows (BudgetSelect discipline) ----
+    "q100_sequence_pack" -> ((s, dir) =>
+      TextAnalysis.sequencePack(tbl(s, dir, "documents"), "doc_id", "text",
+        seqLen = 512)))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2459,5 +2466,20 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY lang
         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |      FROM documents)
-        |SELECT s.doc_id, s.lang FROM s JOIN a USING (lang) WHERE s.rn <= a.alloc""".stripMargin)
+        |SELECT s.doc_id, s.lang FROM s JOIN a USING (lang) WHERE s.rn <= a.alloc""".stripMargin,
+
+    // q100: the running offset replayed as one SQL window (fine at oracle
+    // scale; the engine's per-partition form is the 100 TB path); integer
+    // // division mirrors Spark's div
+    "q100_sequence_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n FROM documents),
+        |o AS (SELECT doc_id, n,
+        |        coalesce(sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(off AS BIGINT) AS start_off,
+        |  CAST(off // 512 AS BIGINT) AS seq_first,
+        |  CAST((off + n - 1) // 512 AS BIGINT) AS seq_last
+        |FROM o""".stripMargin)
 }

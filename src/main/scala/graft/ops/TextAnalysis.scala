@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -212,4 +212,54 @@ object TextAnalysis {
     // array inside the window lambda (no common-subexpression elimination
     // across higher-order-function boundaries), going O(n²) in md5 calls
     graft.functions.ShingleExprs.winnowingFingerprints(text, k, w)
+
+  /** Fixed-length sequence packing — the GPT-pretraining concat-and-chunk
+    * layout: the corpus token stream, concatenated in id order, is cut
+    * into sequences of exactly `seqLen` tokens, and each document learns
+    * which sequences it lands in: its global starting offset and the
+    * first/last sequence indexes it touches ([[chunkTokens]] cuts WITHIN
+    * a document; this packs ACROSS documents, so short docs share
+    * sequences and long docs span several).
+    *
+    * The global running offset is the [[BudgetSelect]] discipline, not a
+    * single-partition window: range-partition by id (partitions come out
+    * in global order), per-partition token totals are metadata (one row
+    * per partition — collected, prefix-summed on the driver, broadcast
+    * back), and each partition's rows take partition offset + a
+    * WITHIN-partition exclusive running sum — every window is keyed by
+    * the partition id, so window state is bounded by one partition's rows
+    * at any corpus size, and all partitions run in parallel (unlike
+    * BudgetSelect, every row needs its offset, so every partition runs
+    * its bounded window — there is no wholesale-decidable case).
+    *
+    * Returns (idCol, n_tokens, start_off, seq_first, seq_last). Integral
+    * arithmetic throughout — offsets are exact and engine-independent. */
+  def sequencePack(df: DataFrame, idCol: String, textCol: String, seqLen: Int,
+                   scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df
+      .select(col(idCol).as("_id"), tokenCount(col(textCol)).as("n_tokens"))
+      .repartitionByRange(col("_id"))
+      .sortWithinPartitions(col("_id"))
+      .withColumn("_sp_pid", shiftright(monotonically_increasing_id(), 33))
+      .cache()
+    scope.track(ranged)
+    val totals = ranged.groupBy(col("_sp_pid")).agg(sum(col("n_tokens")).as("_t"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, tot) => val o = acc; acc += tot; (pid, o) }
+    val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("_sp_pid", "_sp_off")
+    val w = Window.partitionBy(col("_sp_pid")).orderBy(col("_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offDf), Seq("_sp_pid"))
+      .withColumn("start_off",
+        col("_sp_off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("_id").as(idCol), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $seqLen").as("seq_first"),
+        expr(s"(start_off + n_tokens - 1) div $seqLen").as("seq_last"))
+  }
 }

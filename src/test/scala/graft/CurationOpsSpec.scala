@@ -326,6 +326,29 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequencePack: offsets equal the naive concat scan, partitioning-invariant, spans correct") {
+    import graft.ops.TextAnalysis
+    val rng = new scala.util.Random(11)
+    val docs = (0L until 200L).map(i =>
+      (i, (0 until (1 + rng.nextInt(30))).map(_ => "w").mkString(" ")))
+    // shuffled, many-partition input: global order must come from ids,
+    // not arrival order
+    val df = spark.createDataFrame(rng.shuffle(docs)).toDF("doc_id", "text").repartition(7)
+    val got = TextAnalysis.sequencePack(df, "doc_id", "text", seqLen = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    var off = 0L
+    for ((id, t) <- docs) {
+      val n = t.split("\\s+").length.toLong
+      val want = (n, off, off / 16, (off + n - 1) / 16)
+      assert(got(id) == want, s"doc $id")
+      off += n
+    }
+    // spans: a doc crossing a 16-token boundary reports both sequences
+    val crossing = got.collect { case (_, (_, o, f, l)) if l > f => (o, f, l) }
+    assert(crossing.nonEmpty, "the corpus must contain boundary-crossing docs")
+    assert(crossing.forall { case (o, f, l) => o / 16 == f && l >= f })
+  }
+
   test("compressionRatio orders repetitive below diverse text, bounded, deterministic, null-safe") {
     import graft.ops.TextAnalysis
     val rng = new scala.util.Random(5)
