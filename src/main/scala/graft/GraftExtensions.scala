@@ -59,5 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.InterleaveBits].getName, "interleave_bits"),
       (args: Seq[Expression]) => graft.functions.InterleaveBits(args.head, args(1),
         intArg(args(2), "bits"))))
+    ext.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[graft.functions.CharEntropy].getName, "char_entropy"),
+      (args: Seq[Expression]) => graft.functions.CharEntropy(args.head)))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DateNorm
-import graft.ops.{BudgetSelect, Corpus, Dedup, IdAssign, Layout, Multimodal, Pipeline, Scrub, Sessionize, Similarity, Stats, TextAnalysis}
+import graft.ops.{BudgetSelect, Corpus, Dedup, IdAssign, Layout, Multimodal, Pipeline, Scrub, Sessionize, Shard, Similarity, Stats, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1176,7 +1176,38 @@ object SparkEntry {
     //      per-partition windows (BudgetSelect discipline) ----
     "q100_sequence_pack" -> ((s, dir) =>
       TextAnalysis.sequencePack(tbl(s, dir, "documents"), "doc_id", "text",
-        seqLen = 512)))
+        seqLen = 512)),
+
+    // ---- Size-balanced shard packing: serpentine round-robin over the
+    //      token-count-DESC dense rank (IdAssign — no global window);
+    //      the deterministic parallel stand-in for greedy LPT binning ----
+    "q101_shard_pack" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Shard.balancedAssign(d, "doc_id", "n_tokens", nShards = 8)
+        .select(col("doc_id"), col("n_tokens"), col("shard"))
+    }),
+
+    // ---- Per-source score calibration: percent_rank of the quality
+    //      signal WITHIN its source — one global threshold then means
+    //      "top X% of each source" (cross-source comparability) ----
+    "q102_calibrate" -> ((s, dir) => {
+      val nChars = length(col("text"))
+      val punct  = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+      val scored = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), (punct / nChars).as("pr"))
+      Stats.calibrateScores(scored, "source", "pr")
+        .select(col("doc_id"), col("source"), round(col("pr"), 6).as("punct_ratio"),
+          round(col("pr_cal"), 6).as("cal"))
+    }),
+
+    // ---- Char-level Shannon entropy: one-pass native expression
+    //      (row-local, shuffle-free) vs the SQL form's row-per-character
+    //      explode; the gibberish/encoded-blob quality signal ----
+    "q103_char_entropy" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        round(graft.functions.EntropyExprs.charEntropy(col("text")), 4)
+          .as("entropy"))))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2481,5 +2512,40 @@ object SparkEntry {
         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(off AS BIGINT) AS start_off,
         |  CAST(off // 512 AS BIGINT) AS seq_first,
         |  CAST((off + n - 1) // 512 AS BIGINT) AS seq_last
-        |FROM o""".stripMargin)
+        |FROM o""".stripMargin,
+
+    // the serpentine rule is pure arithmetic over the size-DESC rank, so
+    // the oracle replays it from row_number(); Spark's rank comes from
+    // IdAssign (range partition + offsets), same total order
+    "q101_shard_pack" ->
+      """WITH r AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |rk AS (SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS pos FROM r)
+        |SELECT doc_id, n_tokens,
+        |  CAST(CASE WHEN pos % 16 < 8 THEN pos % 16 ELSE 15 - (pos % 16) END AS INT) AS shard
+        |FROM rk""".stripMargin,
+
+    "q102_calibrate" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text) AS pr
+        |  FROM documents)
+        |SELECT doc_id, source, round(pr, 6) AS punct_ratio,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY pr), 6) AS cal
+        |FROM s""".stripMargin,
+
+    // row-per-character explode + two aggregations — correct at oracle
+    // scale, exactly the shape the native one-pass expression avoids;
+    // round(4) absorbs final-ulp log2/summation-order differences
+    "q103_char_entropy" ->
+      """WITH c AS (SELECT doc_id, ch, count(*)::DOUBLE AS cnt
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+        |        FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        |  GROUP BY doc_id, ch),
+        |t AS (SELECT doc_id, sum(cnt) AS tot FROM c GROUP BY doc_id),
+        |e AS (SELECT c.doc_id, sum(-(cnt/tot)*log2(cnt/tot)) AS ent
+        |      FROM c JOIN t USING (doc_id) GROUP BY c.doc_id)
+        |SELECT d.doc_id, round(e.ent, 4) AS entropy
+        |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id""".stripMargin)
 }

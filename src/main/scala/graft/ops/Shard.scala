@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Size-balanced shard assignment — the last step of a training-data
+  * pipeline: the curated corpus must be written as N shards whose token
+  * totals are near-equal, or data-parallel training ranks idle on the
+  * small shards while the big one streams (and a skewed shard skews the
+  * within-epoch example distribution).
+  *
+  * Strategy: serpentine (boustrophedon) round-robin over the size-DESC
+  * rank — rank 1..n fill shards 0..n-1, ranks n+1..2n fill them BACK in
+  * reverse, and so on. Each full serpentine cycle gives every shard
+  * exactly one document from each "size band", and the reversal pairs a
+  * band's largest remainder with the next band's smallest — the classic
+  * deterministic approximation of longest-processing-time scheduling
+  * that needs NO sequential state (unlike greedy least-loaded-bin, which
+  * is inherently one-at-a-time and cannot be expressed as a parallel
+  * plan). Imbalance after a cycle is bounded by the within-band size
+  * spread, so shard totals converge as documents/shard grows — exactly
+  * the 100-TB regime (millions of documents per shard).
+  *
+  * Scale shape: the only global structure is the size-DESC dense rank,
+  * which [[IdAssign.withDenseId]] provides via range partition +
+  * per-partition positions + broadcast offsets — NO single-partition
+  * window, no sequential pass. The shard number is then row-local
+  * arithmetic on the rank. Writing the shards afterwards is
+  * `repartition(n, col(shardCol))` + a partitioned write — one hash
+  * shuffle on a small int key.
+  *
+  * The rule is pure arithmetic over a deterministic rank, so any engine
+  * can replay it — the DuckDB oracle recomputes the same assignment from
+  * `row_number() OVER (ORDER BY size DESC, id)`.
+  */
+object Shard {
+
+  /** Adds `shardCol` (0-based int) assigning each row to one of
+    * `nShards` size-balanced shards. `sizeCol` is the balance weight
+    * (token count, byte length); `idCol` breaks size ties so the
+    * assignment is total-order deterministic. */
+  def balancedAssign(df: DataFrame, idCol: String, sizeCol: String,
+                     nShards: Int, shardCol: String = "shard",
+                     scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val ranked = IdAssign.withDenseId(df, "_srank", 0L, scope,
+      col(sizeCol).desc, col(idCol).asc)
+    ranked.withColumn(shardCol, serpentine(col("_srank") - 1, nShards))
+      .drop("_srank")
+  }
+
+  /** Serpentine position→shard: pos runs 0,1,2,…; within each cycle of
+    * 2n the first n go forward (0..n-1), the second n backward
+    * (n-1..0). */
+  private[ops] def serpentine(pos: Column, n: Int): Column = {
+    val cyc = pos % (2L * n)
+    when(cyc < n, cyc).otherwise(lit(2L * n - 1) - cyc).cast("int")
+  }
+
+  /** Per-shard balance report: row count, total/min/max weight per
+    * shard — the number a pipeline asserts on before shipping shards to
+    * trainers (max/min total near 1 = balanced). One narrow shuffle on
+    * the shard key. */
+  def shardStats(assigned: DataFrame, sizeCol: String,
+                 shardCol: String = "shard"): DataFrame =
+    assigned.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).as("total_size"),
+        min(col(sizeCol)).as("min_size"),
+        max(col(sizeCol)).as("max_size"))
+
+  /** Writes `assigned` as one directory per shard
+    * (`…/shard=<k>/part-*.parquet`) — `nShards` output tasks, each
+    * writing exactly its shard, via ONE hash shuffle on the shard key.
+    * The directory layout is Hive-partitioned, so downstream readers
+    * get shard pruning for free. */
+  def writeShards(assigned: DataFrame, path: String, nShards: Int,
+                  shardCol: String = "shard"): Unit =
+    assigned.repartition(nShards, col(shardCol))
+      .write.mode("overwrite").partitionBy(shardCol).parquet(path)
+}

@@ -93,4 +93,36 @@ object Stats {
       .agg(count(lit(1)).as("n"),
         round(min(col("_v")), 2).as("lo"), round(max(col("_v")), 2).as("hi"))
   }
+
+  /** Per-group score calibration: appends `<scoreCol>_cal` =
+    * `percent_rank` of the score WITHIN its `groupCol` group — the
+    * position of the row in its own group's score distribution, in
+    * [0, 1].
+    *
+    * Why a pipeline needs it: quality scores are not comparable across
+    * heterogeneous sources (a web-crawl dump's "0.6" and a curated
+    * corpus's "0.6" mean different things — the distributions differ in
+    * location and spread), so one global threshold over-prunes the harsh
+    * source and under-prunes the lenient one. Rank-normalizing within
+    * source first (the FineWeb/CCNet per-dump practice) makes "keep the
+    * top 30 % of EACH source" a single global predicate `cal >= 0.7`.
+    *
+    * Rank calibration, not z-scores, deliberately: quality-signal
+    * distributions are skewed and heavy-tailed, where mean/stddev are
+    * dominated by the tail; percent_rank is distribution-free and lands
+    * in [0,1] for every source.
+    *
+    * Scale shape: ONE window partitioned by group — a hash shuffle on
+    * the group key and a within-partition sort. Groups are sources
+    * (dozens to thousands), each orders of magnitude below executor
+    * memory at healthy source granularity; a pathological mega-source
+    * would need the same salting treatment as any skewed key. Ties get
+    * equal ranks in every engine (percent_rank is tie-stable), so the
+    * result is deterministic without a tie-break column. */
+  def calibrateScores(df: DataFrame, groupCol: String,
+                      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    df.withColumn(s"${scoreCol}_cal", percent_rank().over(w))
+  }
 }

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.EntropyExprs
+import graft.ops.{Shard, Stats}
+
+/** Round-5 continuation operators: size-balanced shard packing,
+  * per-group score calibration, char-level Shannon entropy. */
+class ShardCalibSpec extends AnyFunSuite {
+  private lazy val spark = Golden.spark
+  import spark.implicits._
+
+  // ---- Shard ----
+
+  /** Driver model of the serpentine rule over the size-DESC rank. */
+  private def model(sizes: Seq[(Long, Long)], n: Int): Map[Long, Int] =
+    sizes.sortBy { case (id, sz) => (-sz, id) }.zipWithIndex.map {
+      case ((id, _), pos) =>
+        val cyc = pos % (2 * n)
+        id -> (if (cyc < n) cyc else 2 * n - 1 - cyc)
+    }.toMap
+
+  test("balancedAssign matches the serpentine driver model, ties broken by id") {
+    val rows = Seq((1L, 10L), (2L, 10L), (3L, 7L), (4L, 30L), (5L, 2L),
+      (6L, 10L), (7L, 25L), (8L, 1L), (9L, 14L), (10L, 14L))
+    val got = Shard.balancedAssign(rows.toDF("id", "sz"), "id", "sz", nShards = 3)
+      .select(col("id"), col("shard")).as[(Long, Int)].collect().toMap
+    assert(got == model(rows, 3))
+  }
+
+  test("balancedAssign is partition-layout independent and balances a skewed corpus") {
+    // skewed but realistic sizes: spread ~1..1000, no single document
+    // comparable to a whole shard's total (the regime the snake rule is
+    // for; a corpus of 5 giant docs and confetti is a bin-packing
+    // adversary no fixed assignment rule balances)
+    val rows = (1L to 500L).map(i => (i, 1L + (i * i) % 997))
+    val df1 = spark.createDataFrame(rows).toDF("id", "sz")
+    val df8 = spark.createDataFrame(rows).toDF("id", "sz").repartition(8)
+    val a1 = Shard.balancedAssign(df1, "id", "sz", 4)
+      .select(col("id"), col("shard")).as[(Long, Int)].collect().toMap
+    val a8 = Shard.balancedAssign(df8, "id", "sz", 4)
+      .select(col("id"), col("shard")).as[(Long, Int)].collect().toMap
+    assert(a1 == a8)
+    val stats = Shard.shardStats(
+        Shard.balancedAssign(df1, "id", "sz", 4), "sz")
+      .select(col("total_size")).as[Long].collect()
+    assert(stats.length == 4)
+    // serpentine bounds the imbalance by the within-cycle spread; on this
+    // corpus shard totals must sit within a couple percent of each other
+    assert(stats.max.toDouble / stats.min <= 1.02,
+      s"imbalanced: ${stats.toSeq}")
+    // every row lands in exactly one shard and totals are conserved
+    assert(stats.sum == rows.map(_._2).sum)
+  }
+
+  test("serpentine pairs each band's largest with the next band's smallest") {
+    // 2n giants over n shards: the snake gives every shard EXACTLY two,
+    // pairing rank i with rank 2n-1-i (largest with smallest) — the
+    // property plain round-robin lacks (it stacks ranks 0 and n on one
+    // shard). Tail docs then fill in around near-equal giant pairs.
+    val giants = (1L to 8L).map(i => (i, 1000000L - i * 100000L))
+    val tail = (9L to 200L).map(i => (i, 1L + i % 53))
+    val perShard = Shard.balancedAssign(
+        spark.createDataFrame(giants ++ tail).toDF("id", "sz"), "id", "sz", 4)
+      .filter(col("id") <= 8).select(col("id"), col("shard"))
+      .as[(Long, Int)].collect().groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted.toSeq).toMap
+    assert(perShard == Map(0 -> Seq(1L, 8L), 1 -> Seq(2L, 7L),
+      2 -> Seq(3L, 6L), 3 -> Seq(4L, 5L)))
+  }
+
+  test("writeShards writes hive-partitioned dirs; readback row- and shard-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val rows = (1L to 100L).map(i => (i, 1L + i % 13))
+    val assigned = Shard.balancedAssign(
+      spark.createDataFrame(rows).toDF("id", "sz"), "id", "sz", 5)
+    Shard.writeShards(assigned, dir, 5)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    assert(back.select(col("shard")).distinct().as[Int].collect().sorted.toSeq
+      == (0 until 5))
+    // partition pruning: one shard's read plan scans one directory
+    val expected = assigned.filter(col("shard") === 2)
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    val pruned = back.filter(col("shard") === 2)
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    assert(pruned == expected)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  // ---- calibrateScores ----
+
+  test("calibrateScores is per-group percent_rank, tie-stable, 0 for singleton groups") {
+    val rows = Seq(
+      ("a", 1L, 0.5), ("a", 2L, 0.1), ("a", 3L, 0.5), ("a", 4L, 0.9),
+      ("b", 5L, 100.0), // singleton group
+      ("c", 6L, 2.0), ("c", 7L, 1.0))
+    val got = Stats.calibrateScores(rows.toDF("src", "id", "s"), "src", "s")
+      .select(col("id"), col("s_cal")).as[(Long, Double)].collect().toMap
+    // group a (n=4): ranks of 0.1,0.5,0.5,0.9 -> 0, 1/3, 1/3, 1
+    assert(got(2L) == 0.0 && got(4L) == 1.0)
+    assert(math.abs(got(1L) - 1.0 / 3) < 1e-15 && got(1L) == got(3L))
+    assert(got(5L) == 0.0)
+    assert(got(6L) == 1.0 && got(7L) == 0.0)
+  }
+
+  test("calibrateScores makes a per-source top-30% predicate uniform") {
+    // two sources with disjoint score ranges: a global raw threshold
+    // would keep only source b; the calibrated threshold keeps ~30% of each
+    val rows = (1L to 100L).map(i => ("a", i, i * 0.001)) ++
+               (101L to 200L).map(i => ("b", i, 10.0 + i))
+    val kept = Stats.calibrateScores(
+        spark.createDataFrame(rows).toDF("src", "id", "s"), "src", "s")
+      .filter(col("s_cal") >= 0.7)
+      .groupBy(col("src")).count().as[(String, Long)].collect().toMap
+    assert(kept("a") == 30 && kept("b") == 30)
+  }
+
+  // ---- CharEntropy ----
+
+  /** Driver model: code-point tally, ascending-order term sum. */
+  private def entModel(s: String): Double = {
+    val cps = s.codePoints().toArray
+    val counts = cps.groupBy(identity).map { case (c, a) => (c, a.length.toLong) }
+    counts.keys.toSeq.sorted.foldLeft(0.0) { (e, c) =>
+      val p = counts(c).toDouble / cps.length
+      e - p * (math.log(p) / math.log(2.0))
+    }
+  }
+
+  test("charEntropy: exact values on uniform alphabets, null on empty/null") {
+    val got = Seq("aaaa", "abab", "abcdabcd", "", null)
+      .toDF("t").select(EntropyExprs.charEntropy(col("t")).as("e"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).contains(0.0))
+    assert(got(1).contains(1.0))
+    assert(got(2).contains(2.0))
+    assert(got(3).isEmpty && got(4).isEmpty)
+  }
+
+  test("charEntropy counts code points, not UTF-16 units, and matches the model") {
+    // U+1F600 is a surrogate pair in UTF-16: "😀😀" is ONE distinct code
+    // point repeated -> entropy 0; a code-unit tally would see 2 symbols
+    val texts = Seq("😀😀", "naïve café",
+      "the quick brown fox", "0123456789abcdef")
+    val got = texts.toDF("t")
+      .select(EntropyExprs.charEntropy(col("t")).as("e")).as[Double].collect()
+    assert(got(0) == 0.0)
+    texts.zip(got).foreach { case (t, e) =>
+      assert(math.abs(e - entModel(t)) < 1e-12, t)
+    }
+  }
+
+  test("char_entropy is registered as a SQL function") {
+    val e = spark.sql("SELECT char_entropy('abab') AS e").as[Double].collect()(0)
+    assert(e == 1.0)
+  }
+}
