@@ -1207,7 +1207,23 @@ object SparkEntry {
     "q103_char_entropy" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         round(graft.functions.EntropyExprs.charEntropy(col("text")), 4)
-          .as("entropy"))))
+          .as("entropy"))),
+
+    // ---- Epoch-shuffled sequence packing: q100's concat-and-chunk
+    //      stream re-ordered by md5(seed|epoch|id) — a new deterministic
+    //      permutation per training epoch, no shuffled corpus copy ----
+    "q104_epoch_pack" -> ((s, dir) =>
+      TextAnalysis.epochShuffledPack(tbl(s, dir, "documents"), "doc_id",
+        "text", seqLen = 512, epoch = 1)),
+
+    // ---- Source-precedence chunk dedup: a duplicated chunk keeps its
+    //      most-TRUSTED occurrence (priority tiers from the source id),
+    //      not its lowest-id one; ties fall back to (id, position) ----
+    "q105_precedence_dedup" -> ((s, dir) =>
+      Dedup.chunkPrecedenceDedup(
+        tbl(s, dir, "documents")
+          .withColumn("prio", substring(col("source"), 4, 10).cast("int") % 3),
+        "doc_id", "text", "prio", chunkTokens = 10)))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2547,5 +2563,40 @@ object SparkEntry {
         |e AS (SELECT c.doc_id, sum(-(cnt/tot)*log2(cnt/tot)) AS ent
         |      FROM c JOIN t USING (doc_id) GROUP BY c.doc_id)
         |SELECT d.doc_id, round(e.ent, 4) AS entropy
-        |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id""".stripMargin)
+        |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id""".stripMargin,
+
+    // q100's running-sum replay with the md5 permutation as the stream
+    // order — both engines hash the same 'seed|epoch|id' string
+    "q104_epoch_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n,
+        |    md5('graft-epoch|1|' || CAST(doc_id AS VARCHAR)) AS ok
+        |  FROM documents),
+        |o AS (SELECT doc_id, n,
+        |        coalesce(sum(n) OVER (ORDER BY ok, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(off AS BIGINT) AS start_off,
+        |  CAST(off // 512 AS BIGINT) AS seq_first,
+        |  CAST((off + n - 1) // 512 AS BIGINT) AS seq_last
+        |FROM o""".stripMargin,
+
+    // q85's chunk replay + a priority-first election window; priority
+    // tiers derive from the source number so tiers tie across sources
+    "q105_precedence_dedup" ->
+      """WITH t AS (SELECT doc_id, CAST(substr(source, 4) AS INT) % 3 AS prio,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |n AS (SELECT doc_id, prio, w, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc FROM t),
+        |c AS (SELECT doc_id, prio, w, unnest(generate_series(0, nc - 1)) AS i FROM n),
+        |k AS (SELECT doc_id, prio, i AS ci,
+        |        md5(array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ')) AS fp
+        |      FROM c),
+        |r AS (SELECT fp, doc_id, prio,
+        |        row_number() OVER (PARTITION BY fp ORDER BY prio, doc_id, ci) AS rn FROM k)
+        |SELECT fp,
+        |  CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+        |  CAST(max(CASE WHEN rn = 1 THEN prio END) AS INT) AS keep_prio,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT prio) AS BIGINT) AS n_prios
+        |FROM r GROUP BY fp""".stripMargin)
 }

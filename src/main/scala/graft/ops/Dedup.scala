@@ -368,6 +368,57 @@ object Dedup {
           .as("_keep"))
   }
 
+  /** Source-precedence exact dedup — when the same content appears in
+    * several sources, keep the copy from the MOST TRUSTED source instead
+    * of the lowest id (the Pile/Dolma practice: a curated corpus's copy
+    * beats the web crawl's, which may carry extraction noise around the
+    * same text). Survivor per content group = lowest (priority, id) —
+    * min-id dedup is the special case where every priority ties.
+    *
+    * `prioCol`: a numeric column, LOWER = more trusted. In production a
+    * broadcast-joined source→priority dim or a literal map; any
+    * row-local expression works.
+    *
+    * Returns one row per distinct content: fingerprint, surviving id and
+    * its priority, copy count, distinct priority-level count. Scale
+    * shape = [[TextAnalysis.fingerprint]] exact dedup: ONE shuffle on
+    * the md5 fingerprint carrying (id, prio) — the text never moves;
+    * `min_by` aggregates map-side. */
+  def precedenceDedup(df: DataFrame, idCol: String, textCol: String,
+                      prioCol: String): DataFrame =
+    electByPrecedence(df.select(
+      TextAnalysis.fingerprint(col(textCol)).as("fp"),
+      col(idCol).as("_id"), col(prioCol).as("_prio")))
+
+  /** [[precedenceDedup]] at CHUNK granularity: the same boilerplate
+    * paragraph appearing under several sources keeps its most-trusted
+    * occurrence (ties → lowest id, then earliest position). The chunk
+    * stream rides [[graft.functions.ShingleExprs.chunkMd5s]] (one
+    * tokenize+digest pass per row); the election shuffles only
+    * (fingerprint, id, prio, idx) — ~10% of corpus bytes. */
+  def chunkPrecedenceDedup(df: DataFrame, idCol: String, textCol: String,
+                           prioCol: String, chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    electByPrecedence(Parallelize.ensure(
+        df.select(col(idCol).as("_id"), col(prioCol).as("_prio"), col(textCol).as("_t")))
+      .select(col("_id"), col("_prio"), posexplode(
+        graft.functions.ShingleExprs.chunkMd5s(col("_t"), chunkTokens)))
+      .select(col("col").as("fp"), col("_id"), col("_prio"), col("pos").as("_ci")))
+  }
+
+  /** Election core: per fp, the winner is min (prio, id[, idx]). */
+  private def electByPrecedence(keyed: DataFrame): DataFrame = {
+    // order struct: (_prio, _id[, _ci]) — priority first, id tie-break
+    val ord = struct(col("_prio") +: col("_id") +:
+      (if (keyed.columns.contains("_ci")) Seq(col("_ci")) else Nil): _*)
+    keyed.groupBy(col("fp"))
+      .agg(min_by(struct(col("_id"), col("_prio")), ord).as("_win"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("_prio")).as("n_prios"))
+      .select(col("fp"), col("_win._id").as("keep_id"),
+        col("_win._prio").as("keep_prio"), col("n_copies"), col("n_prios"))
+  }
+
   /** Incremental exact dedup — the PRODUCTION ingestion shape: a new
     * batch arrives, everything already ingested lives only as a
     * fingerprint snapshot, and each new document gets one of three

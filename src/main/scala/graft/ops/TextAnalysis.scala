@@ -235,13 +235,42 @@ object TextAnalysis {
     * Returns (idCol, n_tokens, start_off, seq_first, seq_last). Integral
     * arithmetic throughout — offsets are exact and engine-independent. */
   def sequencePack(df: DataFrame, idCol: String, textCol: String, seqLen: Int,
-                   scope: CacheScope = CacheScope.noop): DataFrame = {
+                   scope: CacheScope = CacheScope.noop): DataFrame =
+    sequencePackBy(df, idCol, textCol, seqLen, None, scope)
+
+  /** [[sequencePack]] with the stream order shuffled per training epoch:
+    * the concatenation order is `md5(seed|epoch|id)` instead of id — a
+    * deterministic pseudorandom permutation, so every epoch presents the
+    * corpus in a different sequence layout (the standard pretraining
+    * practice: re-shuffle between epochs so batch composition differs)
+    * WITHOUT materializing a shuffled copy of the corpus. Changing
+    * `epoch` re-keys the range exchange only; token totals, sequence
+    * count, and per-doc spans' coverage are invariant. Any engine can
+    * replay the order (md5 of a plain string), so the result stays
+    * oracle-able. */
+  def epochShuffledPack(df: DataFrame, idCol: String, textCol: String,
+                        seqLen: Int, epoch: Int, seed: String = "graft-epoch",
+                        scope: CacheScope = CacheScope.noop): DataFrame =
+    sequencePackBy(df, idCol, textCol, seqLen,
+      Some(md5(concat_ws("|", lit(seed), lit(epoch.toString),
+        col(idCol).cast("string")))), scope)
+
+  /** Core packing with a pluggable stream order. `orderKey` (evaluated
+    * against `df`'s columns) defines the concatenation order, tie-broken
+    * by id for a total order; None = id order. Same scale discipline as
+    * [[sequencePack]]'s doc: range partition on the order key, driver
+    * prefix sums over per-partition totals, bounded per-partition
+    * windows. */
+  private def sequencePackBy(df: DataFrame, idCol: String, textCol: String,
+                             seqLen: Int, orderKey: Option[org.apache.spark.sql.Column],
+                             scope: CacheScope): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     import org.apache.spark.sql.expressions.Window
     val ranged = df
-      .select(col(idCol).as("_id"), tokenCount(col(textCol)).as("n_tokens"))
-      .repartitionByRange(col("_id"))
-      .sortWithinPartitions(col("_id"))
+      .select(col(idCol).as("_id"), tokenCount(col(textCol)).as("n_tokens"),
+        orderKey.getOrElse(col(idCol)).as("_ok"))
+      .repartitionByRange(col("_ok"), col("_id"))
+      .sortWithinPartitions(col("_ok"), col("_id"))
       .withColumn("_sp_pid", shiftright(monotonically_increasing_id(), 33))
       .cache()
     scope.track(ranged)
@@ -253,7 +282,7 @@ object TextAnalysis {
     val offsets = totals.map { case (pid, tot) => val o = acc; acc += tot; (pid, o) }
     val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
       .toDF("_sp_pid", "_sp_off")
-    val w = Window.partitionBy(col("_sp_pid")).orderBy(col("_id"))
+    val w = Window.partitionBy(col("_sp_pid")).orderBy(col("_ok"), col("_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     ranged.join(broadcast(offDf), Seq("_sp_pid"))
       .withColumn("start_off",

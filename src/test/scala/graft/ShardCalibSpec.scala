@@ -157,4 +157,80 @@ class ShardCalibSpec extends AnyFunSuite {
     val e = spark.sql("SELECT char_entropy('abab') AS e").as[Double].collect()(0)
     assert(e == 1.0)
   }
+
+  // ---- epochShuffledPack ----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("epochShuffledPack: offsets are exclusive prefix sums in md5 order; layout-independent") {
+    import graft.ops.TextAnalysis
+    val docs = (1L to 40L).map(i => (i, ("w " * (1 + (i % 7)).toInt).trim))
+    val df = spark.createDataFrame(docs).toDF("id", "text").repartition(7)
+    val got = TextAnalysis.epochShuffledPack(df, "id", "text", seqLen = 8, epoch = 3)
+      .select(col("id"), col("n_tokens"), col("start_off"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // driver model: docs ordered by md5('graft-epoch|3|'+id), running offsets
+    val ordered = docs.map { case (i, t) =>
+      (i, t.split("\\s+").length.toLong, md5hex(s"graft-epoch|3|$i")) }
+      .sortBy { case (i, _, h) => (h, i) }
+    var off = 0L
+    val model = ordered.map { case (i, n, _) =>
+      val o = off; off += n; (i, n, o) }.sortBy(_._1)
+    assert(got.toSeq == model)
+    // coverage: the stream is gapless — total tokens = max(start+len)
+    assert(off == got.map(_._2).sum)
+  }
+
+  test("epochShuffledPack: epochs permute the stream but keep totals and spans") {
+    import graft.ops.TextAnalysis
+    val docs = (1L to 60L).map(i => (i, ("tok " * (1 + (i % 11)).toInt).trim))
+    val df = spark.createDataFrame(docs).toDF("id", "text")
+    def packed(e: Int) = TextAnalysis.epochShuffledPack(df, "id", "text", 16, e)
+      .select(col("id"), col("start_off")).as[(Long, Long)].collect().toMap
+    val e1 = packed(1); val e2 = packed(2)
+    assert(e1 != e2, "epochs must produce different permutations")
+    assert(e1.keySet == e2.keySet)
+    // both streams cover the same [0, total) range of offsets
+    assert(e1.values.min == 0L && e2.values.min == 0L)
+  }
+
+  // ---- precedence dedup ----
+
+  test("precedenceDedup: trusted source wins over lower id; all-tied reduces to min-id") {
+    import graft.ops.Dedup
+    val rows = Seq(
+      (1L, "shared text body", 2), // web copy, lower id
+      (2L, "shared text body", 0), // curated copy wins despite higher id
+      (3L, "unique a", 1),
+      (4L, "shared text body", 1))
+    val got = Dedup.precedenceDedup(
+        spark.createDataFrame(rows).toDF("id", "text", "prio"), "id", "text", "prio")
+      .select(col("keep_id"), col("keep_prio"), col("n_copies"), col("n_prios"))
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2L, 0, 3L, 3L), (3L, 1, 1L, 1L)))
+    // all priorities equal -> q13's min-id election
+    val tied = Dedup.precedenceDedup(
+        spark.createDataFrame(rows.map { case (i, t, _) => (i, t, 5) })
+          .toDF("id", "text", "prio"), "id", "text", "prio")
+      .select(col("keep_id")).as[Long].collect().sorted
+    assert(tied.toSeq == Seq(1L, 3L))
+  }
+
+  test("chunkPrecedenceDedup: winner is min (prio, id, pos) per chunk fingerprint") {
+    import graft.ops.Dedup
+    // chunk size 2: doc 1 = [a b][c d], doc 2 = [c d][e f], doc 3 = [a b]
+    val rows = Seq((1L, "a b c d", 1), (2L, "c d e f", 0), (3L, "a b", 0))
+    val got = Dedup.chunkPrecedenceDedup(
+        spark.createDataFrame(rows).toDF("id", "text", "prio"),
+        "id", "text", "prio", chunkTokens = 2)
+      .select(col("fp"), col("keep_id"), col("keep_prio"), col("n_copies"))
+      .as[(String, Long, Int, Long)].collect()
+    val byFp = got.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(byFp(md5hex("a b")) == ((3L, 0, 2L)))   // prio 0 beats doc 1's prio 1
+    assert(byFp(md5hex("c d")) == ((2L, 0, 2L)))   // prio 0 beats doc 1's prio 1
+    assert(byFp(md5hex("e f")) == ((2L, 0, 1L)))
+    assert(got.length == 3)
+  }
 }
