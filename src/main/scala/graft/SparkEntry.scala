@@ -1223,7 +1223,19 @@ object SparkEntry {
       Dedup.chunkPrecedenceDedup(
         tbl(s, dir, "documents")
           .withColumn("prio", substring(col("source"), 4, 10).cast("int") % 3),
-        "doc_id", "text", "prio", chunkTokens = 10)))
+        "doc_id", "text", "prio", chunkTokens = 10)),
+
+    // ---- Sequence ASSEMBLY: the packed spans materialized into the
+    //      actual fixed-512-token training sequences (docs split across
+    //      boundaries, fragments reassembled by offset; one seq_id
+    //      shuffle, bounded groups) ----
+    "q106_seq_assemble" -> ((s, dir) =>
+      TextAnalysis.sequenceAssemble(tbl(s, dir, "documents"), "doc_id",
+          "text", seqLen = 512)
+        // hash the 512-token text so the compare rides a scalar; token
+        // counts/doc counts pin the structure independently
+        .select(col("seq_id"), md5(col("seq_text")).as("seq_md5"),
+          col("n_docs"), col("n_tokens"))))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2598,5 +2610,31 @@ object SparkEntry {
         |  CAST(max(CASE WHEN rn = 1 THEN prio END) AS INT) AS keep_prio,
         |  CAST(count(*) AS BIGINT) AS n_copies,
         |  CAST(count(DISTINCT prio) AS BIGINT) AS n_prios
-        |FROM r GROUP BY fp""".stripMargin)
+        |FROM r GROUP BY fp""".stripMargin,
+
+    // q100's running sum, then each doc exploded over its touched
+    // sequences; list_slice is END-INCLUSIVE (Spark's slice takes a
+    // LENGTH) — both cut the same [fs, fe) token window
+    "q106_seq_assemble" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n FROM documents),
+        |o AS (SELECT doc_id, w, n,
+        |        coalesce(sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM t),
+        |x AS (SELECT doc_id, w, n, off,
+        |        unnest(generate_series(CAST(off // 512 AS BIGINT),
+        |          CAST((off + n - 1) // 512 AS BIGINT))) AS seq_id
+        |      FROM o),
+        |f AS (SELECT seq_id, greatest(seq_id * 512, off) AS fs,
+        |        least((seq_id + 1) * 512, off + n) AS fe, w, off FROM x),
+        |g AS (SELECT seq_id, fs, fe - fs AS fl,
+        |        array_to_string(list_slice(w, CAST(fs - off + 1 AS INT),
+        |          CAST(fe - off AS INT)), ' ') AS frag
+        |      FROM f)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+        |  md5(string_agg(frag, ' ' ORDER BY fs)) AS seq_md5,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(fl) AS BIGINT) AS n_tokens
+        |FROM g GROUP BY seq_id""".stripMargin)
 }

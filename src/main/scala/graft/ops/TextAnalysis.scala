@@ -255,6 +255,46 @@ object TextAnalysis {
       Some(md5(concat_ws("|", lit(seed), lit(epoch.toString),
         col(idCol).cast("string")))), scope)
 
+  /** Materializes the packed TRAINING SEQUENCES [[sequencePack]] only
+    * indexes: every document is exploded into the (few) sequences its
+    * span touches, each fragment is the token slice that lands there,
+    * and sequences reassemble by fragment offset — the actual
+    * fixed-`seqLen` examples a trainer reads, with documents crossing
+    * sequence boundaries exactly as the concat-and-chunk layout
+    * dictates. Returns (seq_id, seq_text, n_docs, n_tokens); every
+    * sequence has exactly `seqLen` tokens except the final remainder.
+    *
+    * Scale shape: the span index is the proven pack (range exchange +
+    * driver prefix sums); fragments are ≤ n_tokens/seqLen + 1 rows per
+    * doc (the explode multiplies rows, not bytes — each token is
+    * emitted once); assembly is ONE shuffle on seq_id with bounded
+    * groups (a group holds at most seqLen tokens), the
+    * [[graft.ops.Dedup.chunkDedupRebuild]] collect-sort-concat pattern.
+    * Token text moves through exactly one exchange — there is no way to
+    * build cross-document sequences without moving the tokens once. */
+  def sequenceAssemble(df: DataFrame, idCol: String, textCol: String,
+                       seqLen: Int,
+                       scope: CacheScope = CacheScope.noop): DataFrame = {
+    val spans = sequencePack(df, idCol, textCol, seqLen, scope)
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_w"))
+    spans.join(toks, Seq(idCol))
+      .select(col("start_off"), col("n_tokens"), col("_w"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .withColumn("_fs", greatest(col("seq_id") * seqLen, col("start_off")))
+      .withColumn("_fe", least((col("seq_id") + 1) * seqLen,
+        col("start_off") + col("n_tokens")))
+      .select(col("seq_id"), col("_fs"), (col("_fe") - col("_fs")).as("_fl"),
+        concat_ws(" ", slice(col("_w"),
+          (col("_fs") - col("start_off") + 1).cast("int"),
+          (col("_fe") - col("_fs")).cast("int"))).as("_frag"))
+      .groupBy(col("seq_id"))
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("_fs"), col("_frag")))),
+          s => s.getField("_frag"))).as("seq_text"),
+        count(lit(1)).as("n_docs"),
+        sum(col("_fl")).as("n_tokens"))
+  }
+
   /** Core packing with a pluggable stream order. `orderKey` (evaluated
     * against `df`'s columns) defines the concatenation order, tie-broken
     * by id for a total order; None = id order. Same scale discipline as

@@ -196,6 +196,27 @@ class ShardCalibSpec extends AnyFunSuite {
     assert(e1.values.min == 0L && e2.values.min == 0L)
   }
 
+  test("sequenceAssemble: reassembled stream equals the concatenated corpus, fixed-length cuts") {
+    import graft.ops.TextAnalysis
+    val docs = (1L to 30L).map(i =>
+      (i, (1 to (3 + (i % 5)).toInt).map(j => s"d${i}t$j").mkString(" ")))
+    val df = spark.createDataFrame(docs).toDF("id", "text").repartition(5)
+    val seqs = TextAnalysis.sequenceAssemble(df, "id", "text", seqLen = 16)
+      .select(col("seq_id"), col("seq_text"), col("n_docs"), col("n_tokens"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val stream = docs.sortBy(_._1).map(_._2).mkString(" ").split(" ").toSeq
+    // sequence ids are dense from 0; all but the last hold exactly 16 tokens
+    assert(seqs.map(_._1).toSeq == seqs.indices.map(_.toLong))
+    seqs.dropRight(1).foreach { case (_, t, _, n) =>
+      assert(n == 16 && t.split(" ").length == 16)
+    }
+    // glueing the sequences back reproduces the corpus token stream exactly
+    assert(seqs.flatMap(_._2.split(" ")).toSeq == stream)
+    // docs longer than a remainder cross boundaries: fragment doc counts
+    // sum to docs + crossings
+    assert(seqs.map(_._3).sum >= docs.length)
+  }
+
   // ---- precedence dedup ----
 
   test("precedenceDedup: trusted source wins over lower id; all-tied reduces to min-id") {
