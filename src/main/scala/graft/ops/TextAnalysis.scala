@@ -238,6 +238,20 @@ object TextAnalysis {
                    scope: CacheScope = CacheScope.noop): DataFrame =
     sequencePackBy(df, idCol, textCol, seqLen, None, scope)
 
+  /** [[sequencePack]] resuming from a prior global token offset — the
+    * incremental-ingestion form: a new slice of corpus packs as the
+    * CONTINUATION of the stream already packed (offsets, sequence
+    * indexes continue where the last slice stopped), without touching
+    * the packed history. `startOffset` is the token total packed so far
+    * (the previous call's `max(start_off + n_tokens)`). Used by the
+    * streaming packing sink, where each microbatch extends the stream. */
+  def sequencePackFrom(df: DataFrame, idCol: String, textCol: String,
+                       seqLen: Int, startOffset: Long,
+                       scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(startOffset >= 0, s"startOffset must be >= 0, got $startOffset")
+    sequencePackBy(df, idCol, textCol, seqLen, None, scope, startOffset)
+  }
+
   /** [[sequencePack]] with the stream order shuffled per training epoch:
     * the concatenation order is `md5(seed|epoch|id)` instead of id — a
     * deterministic pseudorandom permutation, so every epoch presents the
@@ -303,7 +317,7 @@ object TextAnalysis {
     * windows. */
   private def sequencePackBy(df: DataFrame, idCol: String, textCol: String,
                              seqLen: Int, orderKey: Option[org.apache.spark.sql.Column],
-                             scope: CacheScope): DataFrame = {
+                             scope: CacheScope, startOffset: Long = 0L): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     import org.apache.spark.sql.expressions.Window
     val ranged = df
@@ -318,7 +332,7 @@ object TextAnalysis {
       .collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
       .sortBy(_._1)
-    var acc = 0L
+    var acc = startOffset
     val offsets = totals.map { case (pid, tot) => val o = acc; acc += tot; (pid, o) }
     val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
       .toDF("_sp_pid", "_sp_off")

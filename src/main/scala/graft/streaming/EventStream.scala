@@ -257,6 +257,42 @@ object EventStream {
       }
       .start()
 
+  /** Continuous sequence packing — the ingest-time half of the
+    * concat-and-chunk layout: each microbatch packs as the CONTINUATION
+    * of the token stream packed so far
+    * ([[graft.ops.TextAnalysis.sequencePackFrom]] with the running
+    * offset), so the union of all batch outputs is one gapless global
+    * stream of fixed-`seqLen` sequence spans — documents arriving later
+    * simply extend it. Per batch: the proven pack plan (range exchange,
+    * driver prefix sums, bounded windows) plus ONE narrow count — the
+    * offset advance is the batch's exact token total.
+    *
+    * The running offset is per query RUN (an in-memory counter seeded by
+    * `initialOffset`): on restart, re-seed with the packed history's
+    * `max(start_off + n_tokens)` — it is NOT recovered from the
+    * checkpoint, the one honest gap vs a stateful-operator rewrite. A
+    * restart that replays the LAST batch overwrites its own directory
+    * (same effectively-once contract as [[sinkBatches]]) but would
+    * re-pack it at the advanced offset — hence the re-seed rule. */
+  def packingSink(stream: DataFrame, idCol: String, textCol: String,
+                  seqLen: Int, path: String, checkpoint: String,
+                  initialOffset: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery = {
+    val offset = new java.util.concurrent.atomic.AtomicLong(initialOffset)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val packed = graft.ops.TextAnalysis.sequencePackFrom(
+          batch.toDF(), idCol, textCol, seqLen, offset.get())
+        packed.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        val batchTokens = batch.toDF()
+          .agg(coalesce(sum(graft.ops.TextAnalysis.tokenCount(col(textCol))), lit(0L)))
+          .head().getLong(0)
+        offset.addAndGet(batchTokens)
+        ()
+      }
+      .start()
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, n_events: Long, sum_value: Double,

@@ -217,6 +217,33 @@ class ShardCalibSpec extends AnyFunSuite {
     assert(seqs.map(_._3).sum >= docs.length)
   }
 
+  test("packingSink: streamed batches pack as one gapless continuation of the batch layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.TextAnalysis
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("packsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("packckpt").toString
+    val docs = (1L to 50L).map(i => (i, ("w " * (2 + (i % 9)).toInt).trim))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.packingSink(
+      mem.toDF().toDF("id", "text"), "id", "text", 16, out, ckpt)
+    // three ascending-id batches = the batch stream in arrival order
+    mem.addData(docs.take(20): _*); q.processAllAvailable()
+    mem.addData(docs.slice(20, 40): _*); q.processAllAvailable()
+    mem.addData(docs.drop(40): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select(col("id"), col("n_tokens"), col("start_off"), col("seq_first"), col("seq_last"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val batch = TextAnalysis.sequencePack(
+        spark.createDataFrame(docs).toDF("id", "text"), "id", "text", 16)
+      .select(col("id"), col("n_tokens"), col("start_off"), col("seq_first"), col("seq_last"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
   // ---- precedence dedup ----
 
   test("precedenceDedup: trusted source wins over lower id; all-tied reduces to min-id") {
