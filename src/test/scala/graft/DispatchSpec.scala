@@ -276,4 +276,24 @@ class DispatchSpec extends AnyFunSuite {
     }
     assert(err.getMessage == "Rules file is not in v2 format!")
   }
+
+  test("postgres dialect: the all-string sink creates TEXT columns (no server needed)") {
+    // the reference's Postgres sink creates every OMOP column as Text
+    // (tools/outputs.py K2). A live server is environmental, but the
+    // DDL the writer would emit is decided by Spark's PostgresDialect —
+    // pin the three decisions that define it: StringType maps to TEXT,
+    // identifiers quote the lower-cased names Jdbc.writeTable produces,
+    // and the dialect actually claims postgresql: URLs.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types.StringType
+    val url = "jdbc:postgresql://db:5432/omop"
+    val d = JdbcDialects.get(url)
+    assert(d.canHandle(url))
+    assert(d.getJDBCType(StringType).map(_.databaseTypeDefinition).contains("TEXT"))
+    assert(d.quoteIdentifier("person_id") == "\"person_id\"")
+    // the schema the K2 sink would create: every column TEXT
+    val schema = Jdbc.stringSchema(Seq("PERSON_ID", "Gender_Concept_Id"))
+    assert(schema.fields.forall(_.dataType == StringType))
+    assert(schema.fieldNames.toSeq == Seq("person_id", "gender_concept_id"))
+  }
 }
