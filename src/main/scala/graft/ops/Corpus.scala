@@ -137,6 +137,40 @@ object Corpus {
       .withColumn("dup_frac",
         (col("n_docs") - col("n_distinct")).cast("double") / col("n_docs").cast("double"))
 
+  /** [[datasetCard]]'s bounded-memory sibling — the honest 100 TB path:
+    * the exact card's `count_distinct(fingerprint)` holds every distinct
+    * md5 in aggregation state (fine at gate scale, corpus-sized at
+    * 100 TB), while this one rides HyperLogLog++ sketches
+    * (`approx_count_distinct`, default rsd 5 %) and a KLL-style quantile
+    * sketch (`percentile_approx`) — per-group state is CONSTANT
+    * (kilobytes) regardless of corpus size, sketches merge map-side, and
+    * the one shuffle carries sketch buffers, not value sets. Counts and
+    * sums stay exact (they always were constant-state).
+    *
+    * Adds token-length p50/p90 (the packing/truncation planning numbers)
+    * — affordable here precisely because the sketch is bounded.
+    * Deliberately NOT oracle-able: HLL/KLL estimates are
+    * implementation-defined, so it is pinned by a tolerance spec against
+    * the exact card (the [[graft.functions.DeflateRatio]] evidence
+    * discipline). */
+  def datasetCardApprox(docs: DataFrame, groupCol: String, textCol: String,
+                        langCol: String, rsd: Double = 0.05): DataFrame =
+    docs.select(col(groupCol).as("source"), col(langCol).as("_lang"),
+        TextAnalysis.tokenCount(col(textCol)).as("_nt"),
+        length(col(textCol)).cast("long").as("_nc"),
+        md5(col(textCol)).as("_fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        sum(col("_nc")).as("n_chars"),
+        approx_count_distinct(col("_lang"), rsd).as("n_langs"),
+        approx_count_distinct(col("_fp"), rsd).as("n_distinct"),
+        percentile_approx(col("_nt"), lit(0.5), lit(10000)).as("p50_tokens"),
+        percentile_approx(col("_nt"), lit(0.9), lit(10000)).as("p90_tokens"))
+      .withColumn("dup_frac",
+        greatest(col("n_docs") - col("n_distinct"), lit(0L)).cast("double")
+          / col("n_docs").cast("double"))
+
   /** Smoothed bigram-LM fluency score: for each document, the mean
     * add-one-smoothed conditional transition probability of its word
     * bigrams under a LM trained on the whole corpus —

@@ -244,6 +244,32 @@ class ShardCalibSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
+  test("datasetCardApprox tracks the exact card within sketch tolerance; exact fields identical") {
+    import graft.ops.Corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = Corpus.datasetCard(docs, "source", "text", "lang")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_distinct"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Corpus.datasetCardApprox(docs, "source", "text", "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (src, a) =>
+      val e = exact(src)
+      // counts and sums are exact in both flavors
+      assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2)
+        && a.getLong(3) == e.getLong(3), src)
+      // HLL estimates within 4x the 5% rsd of truth (loose, deterministic)
+      def within(est: Long, truth: Long) =
+        math.abs(est - truth) <= math.max(1L, (truth * 0.2).toLong)
+      assert(within(a.getLong(4), e.getLong(4)), s"$src langs")
+      assert(within(a.getLong(5), e.getLong(5)), s"$src distinct")
+      // quantiles are real observed token counts in order
+      val (p50, p90) = (a.getLong(6), a.getLong(7))
+      assert(p50 <= p90 && p50 > 0, src)
+    }
+  }
+
   // ---- precedence dedup ----
 
   test("precedenceDedup: trusted source wins over lower id; all-tied reduces to min-id") {
