@@ -1235,7 +1235,24 @@ object SparkEntry {
         // hash the 512-token text so the compare rides a scalar; token
         // counts/doc counts pin the structure independently
         .select(col("seq_id"), md5(col("seq_text")).as("seq_md5"),
-          col("n_docs"), col("n_tokens"))))
+          col("n_docs"), col("n_tokens"))),
+
+    // ---- Forward as-of join: each event attaches the NEXT fact at or
+    //      after it (q39's mirror — first(ignoreNulls) over the
+    //      following frame, same one-shuffle union plan) ----
+    "q107_asof_forward" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+          col("o_orderkey"), col("o_totalprice"))
+        .groupBy(col("o_custkey"), col("od"))
+        .agg(max(col("o_orderkey")).as("ao_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("ao_totalprice"))
+      val e = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts").cast("date").as("ed"))
+      graft.ops.AsofJoin.asofForward(e, o, "user_id", "o_custkey", "ed", "od",
+          Seq("ao_orderkey", "ao_totalprice"))
+        .select(col("event_id"), col("user_id"), col("ao_orderkey"), col("ao_totalprice"))
+    }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2636,5 +2653,14 @@ object SparkEntry {
         |  md5(string_agg(frag, ' ' ORDER BY fs)) AS seq_md5,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(fl) AS BIGINT) AS n_tokens
-        |FROM g GROUP BY seq_id""".stripMargin)
+        |FROM g GROUP BY seq_id""".stripMargin,
+
+    "q107_asof_forward" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |             max(o_orderkey) AS ao_orderkey,
+        |             max_by(o_totalprice, o_orderkey) AS ao_totalprice
+        |           FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS ed FROM events)
+        |SELECT e.event_id, e.user_id, o.ao_orderkey, o.ao_totalprice
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ed <= o.od""".stripMargin)
 }

@@ -76,4 +76,44 @@ object AsofJoin {
     carried.filter(col("_aside") === 1)
       .select(leftCols.map(col) ++ payload.map(p => col("_apay")(p).as(p)): _*)
   }
+
+  /** Forward as-of: for each left row, the single right row with the
+    * SMALLEST `rightTime >= leftTime` for the same key — "the next fact
+    * at or after the event" (next price tick, next label, next
+    * follow-up). The exact mirror of [[asof]]: same tag-union, same ONE
+    * key shuffle and within-key sort, but the carried value is the
+    * nearest fact AHEAD (`first(ignoreNulls)` over the
+    * current-row-to-unbounded-FOLLOWING frame). Equal-time facts are
+    * visible to the event, so the tag now orders a fact AFTER an event
+    * at the same timestamp. Ties at the same (key, time) resolve to the
+    * first in input order — pre-dedupe for determinism, as with [[asof]].
+    * A match-window bound (pandas-style `tolerance`) composes by
+    * including `rightTime` in `payload` and post-filtering the gap. */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTime: String, rightTime: String,
+                  payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payStruct = org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p)))
+    // tags flipped vs asof: event (0) before fact (1) at equal time, so
+    // the event's FOLLOWING frame includes the equal-time fact
+    val l = left.select(
+      col(leftKey).as("_ak") +: col(leftTime).as("_at") +: lit(0).as("_aside") +:
+        (leftCols.map(col) :+ lit(null).cast(payStruct).as("_apay")): _*)
+    val r = right.filter(col(rightTime).isNotNull).select(
+      col(rightKey).as("_ak") +: col(rightTime).as("_at") +: lit(1).as("_aside") +:
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(payload.map(col): _*).as("_apay")): _*)
+
+    val w = Window.partitionBy(col("_ak"))
+      .orderBy(col("_at"), col("_aside"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val carried = l.unionByName(r).select(
+      (Seq(col("_aside")) ++ leftCols.map(col) :+
+        first(col("_apay"), ignoreNulls = true).over(w).as("_apay")): _*)
+
+    carried.filter(col("_aside") === 0)
+      .select(leftCols.map(col) ++ payload.map(p => col("_apay")(p).as(p)): _*)
+  }
 }

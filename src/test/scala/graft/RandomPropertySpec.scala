@@ -32,6 +32,25 @@ class RandomPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("forward asof agrees with a naive earliest-at-or-after scan on random data") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(40 + seed)
+      val events = (0 until 120).map(i => (i.toLong, rng.nextInt(5).toLong, rng.nextInt(50).toLong))
+      val facts = rng.shuffle(
+        (for (k <- 0L until 5L; t <- 0L until 60L) yield (k, t)).toSeq)
+        .take(80).map { case (k, t) => (k, t, s"p$k-$t") }
+      val ev = events.toDF("event_id", "k", "t")
+      val fa = facts.toDF("fk", "ft", "payload")
+      val got = graft.ops.AsofJoin.asofForward(ev, fa, "k", "fk", "t", "ft", Seq("payload"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+      val want = events.map { case (id, k, t) =>
+        id -> facts.filter(f => f._1 == k && f._2 >= t)
+          .sortBy(_._2).headOption.map(_._3)
+      }.toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("binnedRangeJoin agrees with the naive BETWEEN join on random intervals") {
     for (seed <- 1 to 3) {
       val rng = new scala.util.Random(100 + seed)
