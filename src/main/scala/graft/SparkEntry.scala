@@ -1252,6 +1252,59 @@ object SparkEntry {
       graft.ops.AsofJoin.asofForward(e, o, "user_id", "o_custkey", "ed", "od",
           Seq("ao_orderkey", "ao_totalprice"))
         .select(col("event_id"), col("user_id"), col("ao_orderkey"), col("ao_totalprice"))
+    }),
+
+    // ---- Embeddings: Johnson–Lindenstrauss random projection 64→8 —
+    //      the row-local dimensionality-reduction front-end of the ANN
+    //      ladder (md5-derived planes, like q25's buckets but un-signed).
+    //      Components emitted as scalar columns (the q65 lesson);
+    //      element_at(array(...), lit) collapses to the single component ----
+    "q108_random_proj" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      val proj = Similarity.randomProject(v, 64, 8)
+      tbl(s, dir, "embeddings").select(col("vec_id") +: (0 until 8).map(i =>
+        round(element_at(proj, i + 1), 4).as(s"r$i")): _*)
+    }),
+
+    // ---- Documents: train→eval split-leakage audit — chunk-level exact
+    //      overlap of every val/test doc against the train split's chunk
+    //      set (q46's md5 split × q85's chunk digests, one hash join) ----
+    "q109_split_leakage" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").withColumn("split",
+        TextAnalysis.hashSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      Dedup.splitLeakage(d, "doc_id", "text", "split", "train", 10)
+    }),
+
+    // ---- Documents: cross-source duplication matrix — q20's verified
+    //      MinHash-LSH near-dup pairs rolled up to unordered source
+    //      pairs (which sources re-host each other's content) ----
+    "q110_source_dup_matrix" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairsOf(docShingles(s, dir, 5), k = 4, rowsPerBand = 2)
+      Dedup.crossGroupMatrix(pairs,
+        tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source")
+        .withColumnRenamed("group_a", "source_a")
+        .withColumnRenamed("group_b", "source_b")
+    }),
+
+    // ---- Documents: per-source cap — at most 50 docs per source by
+    //      deterministic md5 priority (the per-domain quota rule) ----
+    "q111_source_cap" -> ((s, dir) =>
+      TextAnalysis.groupCap(tbl(s, dir, "documents"), "source", "doc_id", 50)
+        .select(col("doc_id"), col("source"), col("cap_rank"))),
+
+    // ---- Embeddings: ANN recall@5 — LSH top-k (q25's rung) measured
+    //      against the exact per-query top-k; the evaluation harness of
+    //      the whole approximate ladder ----
+    "q112_ann_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", dim = 64, nPlanes = 8, k = 5)
+      val exact = Similarity.exactTopK(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(approx, exact, "query_id", "vec_id", 5)
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -1308,6 +1361,53 @@ object SparkEntry {
        |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
        |      FROM j)
        |SELECT query_id, vec_id, round(s, 4) AS sim FROM r WHERE rn <= $k""".stripMargin
+  }
+
+  /** q108's oracle: the projection matrix is md5-derived constants
+    * (`Similarity.planeComponent`, seed "graft-rp"), inlined as
+    * left-associated dot products — the same summation order as the
+    * codegen'd DotProduct loop; the trailing `+ 0.0` normalizes −0.0
+    * identically on both sides. */
+  private val randomProjOracle: String = {
+    val cols = (0 until 8).map { p =>
+      val terms = (0 until 64)
+        .map(j => s"v[${j + 1}]*(${Similarity.planeComponent(p, j, "graft-rp")})")
+        .mkString(" + ")
+      s"round(($terms) + 0.0, 4) AS r$p"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT vec_id, $cols FROM e""".stripMargin
+  }
+
+  /** q112's oracle: q25's inlined-hyperplane LSH top-5 (the approximate
+    * side) LEFT-joined against the exact per-query top-5 — count of hits
+    * over k. Same tie order (sim DESC, vec_id) on both rungs. */
+  private val annRecallOracle: String = {
+    val dim = 64
+    val nPlanes = 8
+    val bucket = (0 until nPlanes).map { p =>
+      val terms = (0 until dim)
+        .map(j => s"v[${j + 1}]*(${Similarity.planeComponent(p, j, "graft")})")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+       |aj AS (SELECT q.query_id, b.vec_id,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_cosine_similarity(b.v, q.qv) DESC, b.vec_id) AS rn
+       |       FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.query_id),
+       |ap AS (SELECT query_id, vec_id FROM aj WHERE rn <= 5),
+       |ex AS (SELECT q.query_id, e.vec_id,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id) AS rn
+       |       FROM e JOIN q ON e.vec_id <> q.query_id),
+       |ek AS (SELECT query_id, vec_id FROM ex WHERE rn <= 5)
+       |SELECT ek.query_id, CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(ap.vec_id) AS DOUBLE) / 5.0 AS recall
+       |FROM ek LEFT JOIN ap ON ek.query_id = ap.query_id AND ek.vec_id = ap.vec_id
+       |GROUP BY ek.query_id""".stripMargin
   }
 
   /** q42's oracle: same inlined md5-derived hyperplanes as q25's
@@ -2662,5 +2762,62 @@ object SparkEntry {
         |           FROM orders GROUP BY 1, 2),
         |e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS ed FROM events)
         |SELECT e.event_id, e.user_id, o.ao_orderkey, o.ao_totalprice
-        |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ed <= o.od""".stripMargin)
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ed <= o.od""".stripMargin,
+
+    "q108_random_proj" -> randomProjOracle,
+
+    // q109: q46's md5 split thresholds × q85's positional-chunk CTEs,
+    // chunk keys md5'd to mirror ChunkMd5s digests exactly
+    "q109_split_leakage" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split FROM documents),
+        |n AS (SELECT doc_id, split, w, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc FROM t),
+        |c AS (SELECT doc_id, split, w, unnest(generate_series(0, nc - 1)) AS i FROM n),
+        |k AS (SELECT doc_id, split,
+        |        md5(array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ')) AS k
+        |      FROM c),
+        |tr AS (SELECT DISTINCT k FROM k WHERE split = 'train'),
+        |ev AS (SELECT k.doc_id, k.split, tr.k IS NOT NULL AS hit
+        |       FROM k LEFT JOIN tr ON k.k = tr.k WHERE k.split <> 'train')
+        |SELECT doc_id, split, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_leaked,
+        |  CAST(count(*) FILTER (WHERE hit) AS DOUBLE) / count(*) AS leak_frac
+        |FROM ev GROUP BY doc_id, split""".stripMargin,
+
+    // q110: q20's pair CTEs (unrounded jaccard) rolled up to unordered
+    // source pairs; max (order-independent), not avg
+    "q110_source_dup_matrix" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+        |  ELSE [] END AS sh FROM w),
+        |sig AS (SELECT doc_id, sh, len(sh) AS sz,
+        |  list_min(list_transform(sh, x -> md5('0|'||x))) AS s0,
+        |  list_min(list_transform(sh, x -> md5('1|'||x))) AS s1,
+        |  list_min(list_transform(sh, x -> md5('2|'||x))) AS s2,
+        |  list_min(list_transform(sh, x -> md5('3|'||x))) AS s3 FROM s),
+        |band AS (SELECT doc_id, sh, sz, unnest(['0#'||s0||'#'||s1, '1#'||s2||'#'||s3]) AS bucket FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b,
+        |                a.sz AS sz_a, b.sz AS sz_b
+        |         FROM band a JOIN band b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |p AS (SELECT id_a, id_b, common / (sz_a + sz_b - common) AS j
+        |      FROM (SELECT id_a, id_b, sz_a, sz_b, len(list_intersect(sh_a, sh_b)) AS common FROM cand)),
+        |l AS (SELECT doc_id, source FROM documents)
+        |SELECT least(la.source, lb.source) AS source_a,
+        |  greatest(la.source, lb.source) AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs, round(max(j), 4) AS max_jaccard
+        |FROM p JOIN l la ON p.id_a = la.doc_id JOIN l lb ON p.id_b = lb.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q111_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cap_rank
+        |FROM documents)
+        |SELECT doc_id, source, CAST(cap_rank AS BIGINT) AS cap_rank
+        |FROM r WHERE cap_rank <= 50""".stripMargin,
+
+    "q112_ann_recall" -> annRecallOracle)
 }

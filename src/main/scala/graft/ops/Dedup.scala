@@ -368,6 +368,63 @@ object Dedup {
           .as("_keep"))
   }
 
+  /** Train→eval split-leakage audit: for every NON-train document, how
+    * many of its `chunkTokens`-token chunks also appear anywhere in the
+    * train split. The decontamination check run BETWEEN a corpus's own
+    * splits (the within-corpus twin of [[decontaminate]]'s corpus-vs-
+    * benchmark gate): chunk-level exact overlap is the signal Lee et al.
+    * and the GPT-3 appendix use to detect eval answers memorized from
+    * train.
+    *
+    * Scale shape: one [[graft.functions.ShingleExprs.chunkMd5s]] pass per
+    * row (text never moves again), train-side chunk keys `distinct` on
+    * the 16-byte digest (map-side combine), then ONE equi-join eval-chunks
+    * ⋈ train-keys on the digest and a per-doc count. At 100 TB both sides
+    * of the join are ~3% of corpus bytes (hashes + ids only). */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   splitCol: String, trainSplit: String,
+                   chunkTokens: Int): DataFrame = {
+    val chunks = Parallelize.ensure(
+        df.select(col(idCol).as("_id"), col(splitCol).as("_split"), col(textCol).as("_t")))
+      .select(col("_id"), col("_split"),
+        explode(graft.functions.ShingleExprs.chunkMd5s(col("_t"), chunkTokens)).as("_k"))
+    val trainKeys = chunks.filter(col("_split") === trainSplit)
+      .select(col("_k")).distinct()
+    chunks.filter(col("_split") =!= trainSplit)
+      .join(trainKeys.withColumn("_hit", lit(1L)), Seq("_k"), "left")
+      .groupBy(col("_id"), col("_split"))
+      .agg(count(lit(1)).as("n_chunks"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_leaked"))
+      .withColumn("leak_frac", col("n_leaked").cast("double") / col("n_chunks"))
+      .withColumnRenamed("_id", idCol)
+      .withColumnRenamed("_split", splitCol)
+  }
+
+  /** Cross-group duplication matrix: near-dup pairs (any generator —
+    * [[minhashLshPairs]], [[ngramJaccardPairsOf]], fuzzy blocking) rolled
+    * up to the GROUP level (source, domain, crawl snapshot, …): per
+    * unordered group pair, how many verified near-dup pairs cross it and
+    * the worst similarity seen. The dataset-diff diagnostic that tells a
+    * curator WHICH sources re-host each other's content before choosing
+    * [[precedenceDedup]] priorities.
+    *
+    * Scale shape: the pair stream is already candidate-verified and
+    * narrow (two ids + a score); two equi-joins attach the group labels
+    * (shuffle on id), and the matrix agg combines map-side to at most
+    * |groups|² rows. `max` (not avg) keeps the score order-independent —
+    * bit-identical under any partitioning. */
+  def crossGroupMatrix(pairs: DataFrame, labels: DataFrame,
+                       idCol: String, groupCol: String): DataFrame = {
+    val la = labels.select(col(idCol).as("id_a"), col(groupCol).as("_ga"))
+    val lb = labels.select(col(idCol).as("id_b"), col(groupCol).as("_gb"))
+    pairs.join(la, Seq("id_a")).join(lb, Seq("id_b"))
+      .select(least(col("_ga"), col("_gb")).as("group_a"),
+        greatest(col("_ga"), col("_gb")).as("group_b"), col("jaccard"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(max(col("jaccard")), 4).as("max_jaccard"))
+  }
+
   /** Source-precedence exact dedup — when the same content appears in
     * several sources, keep the copy from the MOST TRUSTED source instead
     * of the lowest id (the Pile/Dolma practice: a curated corpus's copy

@@ -59,6 +59,69 @@ object Similarity {
         array((0 until dim).map(i => col(s"_mp_$i")): _*).as("pooled"))
   }
 
+  /** Per-query exact cosine top-k — [[topK]] generalized to a QUERY SET:
+    * queries broadcast, similarities map-side in the corpus scan, ONE
+    * shuffle for the per-query top-k window (|Q| partitions). The ground
+    * truth every approximate rung ([[lshTopK]]/[[ivfTopK]]/[[pqTopK]]) is
+    * measured against via [[recallAtK]]. */
+  def exactTopK(df: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qIdCol: String, qVecCol: String,
+                k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Parallelize.ensure(
+      df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
+    val q = queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
+    val w = Window.partitionBy(col("_qid")).orderBy(col("_sim").desc, col("_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("_id") =!= col("_qid"))
+      .withColumn("_sim", cosine(col("_v"), col("_q")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_sim").as("sim"))
+  }
+
+  /** Johnson–Lindenstrauss random projection: `outDim` components, each
+    * the dot product of the vector with a deterministic md5-derived
+    * hyperplane ([[planeComponent]] — the same family [[lshBucket]] signs,
+    * kept un-signed here). The cheap dimensionality-reduction front-end of
+    * the ANN/clustering ladder: at 100 TB the projection runs row-local in
+    * the scan stage (codegen'd [[graft.functions.VectorExprs.DotProduct]]
+    * per component, no shuffle, no trained state to ship), and every
+    * downstream distance on the 8–32-dim sketch costs `outDim/dim` of the
+    * original FLOPs with JL-bounded distortion.
+    *
+    * `+ 0.0` normalizes a −0.0 projection (the engines agree on every
+    * other bit: both sides sum left-associated from the same constants). */
+  def randomProject(vec: Column, dim: Int, outDim: Int,
+                    seed: String = "graft-rp"): Column = {
+    require(outDim > 0 && dim > 0, s"dims must be positive, got $dim->$outDim")
+    array((0 until outDim).map { p =>
+      val plane = typedLit((0 until dim).map(j => planeComponent(p, j, seed)))
+      dot(vec, plane) + lit(0.0)
+    }: _*)
+  }
+
+  /** Recall@k of an approximate neighbor result against the exact one:
+    * per query, the fraction of true top-k ids the approximate search
+    * returned. The evaluation harness every ANN deployment needs before
+    * trading recall for probe count — both inputs are (query, id) frames
+    * from any rung of the ladder ([[lshTopK]], [[ivfTopK]], [[pqTopK]],
+    * [[ivfPqTopK]] vs [[topK]]-per-query ground truth).
+    *
+    * Scale shape: ONE equi-join on narrow (query, id) keys, then a
+    * per-query count — no vectors move. Division by the literal k is one
+    * IEEE op, bit-exact across engines. */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+                qCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    exact.select(col(qCol), col(idCol))
+      .join(approx.select(col(qCol), col(idCol), lit(1L).as("_hit")),
+        Seq(qCol, idCol), "left")
+      .groupBy(col(qCol))
+      .agg(coalesce(sum(col("_hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / lit(k.toDouble))
+  }
+
   /** Max-abs symmetric quantization scale for an embedding: `levels /
     * max|v_i|` (null for the zero vector). The first step of any
     * int8/PQ compression pass over an embedding store. */

@@ -162,6 +162,27 @@ object TextAnalysis {
     }
   }
 
+  /** Per-group cap: keep at most `cap` rows per group, chosen by a
+    * deterministic md5 priority over the row key (ties → the key itself).
+    * The "at most N pages per domain" rule every crawl-curation pipeline
+    * applies so no single domain dominates the mixture (RefinedWeb/C4
+    * practice) — with a content-stable choice of WHICH rows survive, so
+    * reruns and engines agree (a `rand()`-ranked cap is neither).
+    *
+    * Scale shape: one shuffle on the group key and a per-group
+    * `row_number` window — no global window, and AQE splits a skewed
+    * group's sort spill. Returns the surviving rows with their
+    * `cap_rank` (1-based priority order within the group). */
+  def groupCap(df: DataFrame, groupCol: String, keyCol: String,
+               cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= cap)
+  }
+
   /** Deterministic WEIGHTED sampling: keep a row with probability
     * `weight` (clamped to [0,1]) as a pure function of its key — the
     * quality-weighted variant of [[stratifiedSampleFilter]] (sample
