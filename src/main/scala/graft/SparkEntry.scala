@@ -1305,6 +1305,26 @@ object SparkEntry {
       val exact = Similarity.exactTopK(emb, "vec_id", "embedding",
         qs, "vec_id", "embedding", k = 5)
       Similarity.recallAtK(approx, exact, "query_id", "vec_id", 5)
+    }),
+
+    // ---- Documents: Okapi BM25 against a fixed keyword query — the
+    //      retrieval scorer for keyword corpus selection; per-term
+    //      partials summed in query-term order (never a partitioning-
+    //      dependent float sum), ln-idf ulp absorbed by round(4) ----
+    "q113_bm25" -> ((s, dir) =>
+      Corpus.bm25Score(tbl(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "hash", "spark"))),
+
+    // ---- Embeddings: cluster-quota diversity sampling — nearest-cell
+    //      assignment (q36's coarse codebook) composed with the per-group
+    //      cap: at most 20 vectors per cell by md5 priority ----
+    "q114_cluster_quota" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = emb.select(col("vec_id").as("_cid"),
+          col("embedding").cast("array<double>").as("_cv"))
+        .orderBy(col("_cid")).limit(8)
+      val cells = Similarity.ivfAssign(cents, emb, "vec_id", "embedding")
+      TextAnalysis.groupCap(cells, "cell_id", "vec_id", 20)
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -2819,5 +2839,41 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(cap_rank AS BIGINT) AS cap_rank
         |FROM r WHERE cap_rank <= 50""".stripMargin,
 
-    "q112_ann_recall" -> annRecallOracle)
+    "q112_ann_recall" -> annRecallOracle,
+
+    // q113: each arithmetic step written in the engine's association
+    // order (k1+1 computed, not inlined, so both engines run the same
+    // IEEE add); per-term CASE aggregates summed in query-term order
+    "q113_bm25" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM t),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sl FROM d),
+        |tk AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |       WHERE term IN ('vector', 'hash', 'spark') GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |        * (tf.tf * (1.2 + 1.0))
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(st.sl AS DOUBLE) / st.n))) AS sc
+        |      FROM tf JOIN dfq USING (term), st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+        |  round(coalesce(max(CASE WHEN term = 'vector' THEN sc END), 0.0)
+        |      + coalesce(max(CASE WHEN term = 'hash' THEN sc END), 0.0)
+        |      + coalesce(max(CASE WHEN term = 'spark' THEN sc END), 0.0), 4) AS bm25
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    // q114: q36's nearest-cell CTEs over the FULL vector set + q111's
+    // md5-priority cap within each cell
+    "q114_cluster_quota" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT e.vec_id AS id, c.cid, list_cosine_similarity(e.v, c.cv) AS cs FROM e, c),
+        |cells AS (SELECT id, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM a) WHERE rn = 1),
+        |r AS (SELECT id, cid, row_number() OVER (PARTITION BY cid
+        |        ORDER BY md5(CAST(id AS VARCHAR)), id) AS cap_rank FROM cells)
+        |SELECT id AS vec_id, CAST(cid AS BIGINT) AS cell_id,
+        |  CAST(cap_rank AS BIGINT) AS cap_rank
+        |FROM r WHERE cap_rank <= 20""".stripMargin)
 }

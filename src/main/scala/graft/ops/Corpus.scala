@@ -43,6 +43,55 @@ object Corpus {
     * totals as broadcast 1-row frames. `minCount` prunes the bigram tail
     * BEFORE the joins — at corpus scale the join input shrinks from
     * O(distinct bigrams) to the phrases worth ranking. */
+  /** Okapi BM25 score of every document against a FIXED term list — the
+    * retrieval scorer behind keyword-based corpus selection and
+    * retrieval-shaped decontamination (score docs against benchmark
+    * prompts, drop high scorers). Standard parameters k1 (term-frequency
+    * saturation) and b (length normalization); idf is the
+    * `ln((N − df + ½)/(df + ½) + 1)` Robertson–Spärck Jones form.
+    *
+    * Unlike [[tfidfTopTerm]] (linear idf, bit-exact), BM25's definition
+    * IS logarithmic — the last-ulp libm differences across engines are
+    * absorbed by rounding the emitted score (the [[graft.functions
+    * .EntropyExprs]] q103 precedent), and the per-term partial scores are
+    * summed in QUERY-TERM ORDER via fixed-order conditional aggregates,
+    * never a partitioning-dependent float sum.
+    *
+    * Scale shape: tokens explode → filter to the broadcast term list
+    * (the corpus shrinks to matching tokens BEFORE any shuffle) → one
+    * (doc, term) count agg; df and the corpus length stats are
+    * vocabulary-/1-row-sized broadcast frames. Returns one row per doc
+    * with ≥ 1 matching term: (idCol, n_matched, bm25). */
+  def bm25Score(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                roundTo: Int = 4): DataFrame = {
+    require(terms.nonEmpty, "bm25Score needs at least one query term")
+    val toks = Parallelize.ensure(
+        docs.select(col(idCol).as("_id"), col(textCol).as("_t")))
+      .select(col("_id"), TextAnalysis.tokens(col("_t")).as("_w"))
+      .select(col("_id"), size(col("_w")).cast("long").as("_dl"), col("_w"))
+    val stats = toks.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sl"))
+    val tf = toks.select(col("_id"), col("_dl"), explode(col("_w")).as("_term"))
+      .filter(col("_term").isin(terms: _*))
+      .groupBy(col("_id"), col("_dl"), col("_term"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+    val scored = tf.join(broadcast(dfq), Seq("_term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_avgdl", col("_sl").cast("double") / col("_n"))
+      .withColumn("_idf",
+        log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0))
+      .withColumn("_s",
+        col("_idf") * (col("_tf") * lit(k1 + 1.0)) /
+          (col("_tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("_dl") / col("_avgdl"))))
+    scored.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        round(terms.map(t =>
+            coalesce(max(when(col("_term") === lit(t), col("_s"))), lit(0.0)))
+          .reduce(_ + _), roundTo).as("bm25"))
+      .withColumnRenamed("_id", idCol)
+  }
+
   def bigramLift(docs: DataFrame, textCol: String, minCount: Long,
                  scope: CacheScope = CacheScope.noop): DataFrame = {
     val base = Parallelize.ensure(docs.select(col(textCol).as("_t")))

@@ -507,6 +507,25 @@ object Similarity {
     ivfTopKWith(cents, df, idCol, vecCol, queries, qIdCol, qVecCol, nProbe, k)
   }
 
+  /** Nearest-centroid cell assignment against a broadcast codebook —
+    * the corpus half of every IVF op exposed on its own, so cluster
+    * structure can feed non-search consumers too: cluster-quota
+    * diversity sampling ([[graft.ops.TextAnalysis.groupCap]] per cell),
+    * per-cluster dataset cards, SemDeDup-style cell partitioning.
+    * Argmax = `max_by` over the broadcast cross join (map-side partials
+    * + ONE hash shuffle on id, no corpus-wide window); ties break to the
+    * lowest cell id. Returns (idCol, cell_id). */
+  def ivfAssign(cents: DataFrame, df: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    val e = Parallelize.ensure(
+      df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
+    e.crossJoin(broadcast(cents))
+      .withColumn("_csim", cosine(col("_v"), col("_cv")))
+      .groupBy(col("_id"))
+      .agg(max_by(col("_cid"), struct(col("_csim"), negate(col("_cid")))).as("cell_id"))
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** Train a real IVF codebook with Spark MLlib k-means (seeded —
     * reproducible for a fixed dataset). Returns a (_cid, _cv) centroid
     * frame for [[ivfTopKWith]]. Production systems train offline on a

@@ -114,6 +114,75 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(d2(proj(0L), proj(1L)) < d2(proj(0L), proj(2L)))
   }
 
+  // ---- Corpus.bm25Score ----
+
+  test("bm25Score replays the Okapi formula exactly on a hand corpus") {
+    import graft.ops.Corpus
+    val docs = Seq(
+      (0L, "cat dog cat"),     // tf(cat)=2, dl=3
+      (1L, "cat fish"),        // tf(cat)=1, dl=2
+      (2L, "fish fish fish")   // no match
+    ).toDF("doc_id", "text")
+    val got = Corpus.bm25Score(docs, "doc_id", "text", Seq("cat"), k1 = 1.2, b = 0.75)
+      .select(col("doc_id"), col("n_matched"), col("bm25"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // N=3, df(cat)=2, avgdl=8/3
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def s(tf: Long, dl: Long) =
+      idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (8.0 / 3.0)))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1).toSeq == Seq(0L, 1L))           // doc 2 absent: no match
+    assert(got.map(_._2).toSeq == Seq(1L, 1L))
+    assert(got.map(_._3).toSeq == Seq(r4(s(2, 3)), r4(s(1, 2))))
+  }
+
+  test("bm25Score saturates term frequency sub-linearly") {
+    import graft.ops.Corpus
+    val docs = Seq(
+      (0L, "x a b c"), (1L, "x x a b"), (2L, "x x x a"), (3L, "y y y y")
+    ).toDF("doc_id", "text")
+    val sc = Corpus.bm25Score(docs, "doc_id", "text", Seq("x"))
+      .select(col("doc_id"), col("bm25")).as[(Long, Double)].collect().toMap
+    assert(sc(0L) < sc(1L) && sc(1L) < sc(2L))   // monotone in tf
+    assert(sc(2L) < 3 * sc(0L))                  // but sub-linear (saturation)
+  }
+
+  test("bm25Score sums multi-term scores in query-term order") {
+    import graft.ops.Corpus
+    val docs = Seq((0L, "p q"), (1L, "p"), (2L, "q")).toDF("doc_id", "text")
+    val both = Corpus.bm25Score(docs, "doc_id", "text", Seq("p", "q"))
+      .select(col("doc_id"), col("n_matched")).as[(Long, Long)].collect().toMap
+    assert(both == Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+  }
+
+  // ---- Similarity.ivfAssign ----
+
+  test("ivfAssign maps each vector to its nearest centroid, ties to lowest cell") {
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("_cid", "_cv")
+    val vecs = Seq(
+      (10L, Seq(0.9, 0.1)),   // cell 0
+      (11L, Seq(0.1, 0.9)),   // cell 1
+      (12L, Seq(1.0, 1.0))    // exact tie → lowest cid = 0
+    ).toDF("vec_id", "v")
+    val got = Similarity.ivfAssign(cents, vecs, "vec_id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 0L, 11L -> 1L, 12L -> 0L))
+  }
+
+  test("ivfAssign + groupCap bounds every cell at the quota") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.select(col("vec_id").as("_cid"),
+        col("embedding").cast("array<double>").as("_cv"))
+      .orderBy(col("_cid")).limit(4)
+    val cells = Similarity.ivfAssign(cents, emb, "vec_id", "embedding")
+    val total = cells.count()
+    val capped = TextAnalysis.groupCap(cells, "cell_id", "vec_id", 5)
+    val perCell = capped.groupBy("cell_id").count().as[(Long, Long)].collect()
+    assert(perCell.forall(_._2 <= 5))
+    assert(capped.count() <= total)
+  }
+
   // ---- Similarity.recallAtK / exactTopK ----
 
   test("recallAtK is 1.0 against itself and counts partial overlap") {
