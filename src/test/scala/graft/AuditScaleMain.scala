@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: do the corpus-audit operators scale? Replays the sf0.1
+  * documents/embeddings tables K× (ids offset per copy, content
+  * identical) and times split-leakage, BM25, group-cap, JL projection,
+  * cluster-quota, and ANN recall at 1× and K×. Identical replicated text
+  * is the WORST case for splitLeakage — every replica of a train chunk
+  * leaks into every eval replica — and replicated vectors pile K rows
+  * into every cell/bucket.
+  *
+  * Usage: sbt "Test/runMain graft.AuditScaleMain [K]"   (default 16)
+  */
+object AuditScaleMain {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 16
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(100000).selectExpr("sum(id)").collect()
+    import graft.ops.{Corpus, Dedup, Similarity, TextAnalysis}
+
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val nd = docs.count()
+    val ne = emb.count()
+    def replayDocs(copies: Int): DataFrame =
+      (0 until copies).map(i =>
+        docs.select((col("doc_id") + lit(i.toLong * nd)).as("doc_id"),
+          col("text"), col("source"))).reduce(_ unionAll _)
+    def replayEmb(copies: Int): DataFrame =
+      (0 until copies).map(i =>
+        emb.select((col("vec_id") + lit(i.toLong * ne)).as("vec_id"),
+          col("embedding"))).reduce(_ unionAll _)
+
+    def time(what: String, df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      println(f"SCALE $what: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+    }
+
+    for ((label, copies) <- Seq("1x" -> 1, s"${k}x" -> k)) {
+      val d = replayDocs(copies)
+      val e = replayEmb(copies)
+      val split = d.withColumn("split", TextAnalysis.hashSplit(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      time(s"splitLeakage   $label",
+        Dedup.splitLeakage(split, "doc_id", "text", "split", "train", 10))
+      time(s"bm25Score      $label",
+        Corpus.bm25Score(d, "doc_id", "text", Seq("vector", "hash", "spark")))
+      time(s"groupCap       $label",
+        TextAnalysis.groupCap(d, "source", "doc_id", 50))
+      time(s"randomProject  $label",
+        e.select(col("vec_id"),
+          Similarity.randomProject(col("embedding").cast("array<double>"), 64, 8).as("p")))
+      val cents = emb.select(col("vec_id").as("_cid"),
+          col("embedding").cast("array<double>").as("_cv"))
+        .orderBy(col("_cid")).limit(8)
+      time(s"clusterQuota   $label",
+        TextAnalysis.groupCap(
+          Similarity.ivfAssign(cents, e, "vec_id", "embedding"),
+          "cell_id", "vec_id", 1024))
+      val queries = emb.filter(col("vec_id") < 5)
+      time(s"annRecall      $label", {
+        val approx = Similarity.lshTopK(e, "vec_id", "embedding",
+          queries, "vec_id", "embedding", dim = 64,
+          nPlanes = Similarity.autoPlanes(ne * copies, 64), k = 5)
+        val exact = Similarity.exactTopK(e, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        Similarity.recallAtK(approx, exact, "query_id", "vec_id", 5)
+      })
+    }
+    spark.stop()
+  }
+}

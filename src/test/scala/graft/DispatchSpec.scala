@@ -296,4 +296,26 @@ class DispatchSpec extends AnyFunSuite {
     assert(schema.fields.forall(_.dataType == StringType))
     assert(schema.fieldNames.toSeq == Seq("person_id", "gender_concept_id"))
   }
+
+  test("trino dialect: lower-cased identifiers hold with NO vendor dialect (no server needed)") {
+    // the reference's Trino path leans on one behavior: table names are
+    // lower-cased before hitting the engine, because "trino needs table
+    // names to be lower case to match them (sometimes)"
+    // (tools/sources.py:101). Spark ships no Trino JdbcDialect, so a
+    // trino: URL rides the default dialect — meaning the casing contract
+    // must come from OUR layer, not the dialect. Pin exactly that:
+    // readTable/writeTable lower-case the table name themselves (proven
+    // against Derby, which UPPER-cases unquoted identifiers — the hostile
+    // case), so the behavior is engine-independent.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    val url = "jdbc:trino://coordinator:8080/hive/omop"
+    val d = JdbcDialects.get(url)
+    // no vendor dialect claims trino: (if a future Spark adds one, this
+    // documents the contract to re-check: our lower-casing must survive)
+    assert(d.getClass.getSimpleName != "PostgresDialect")
+    // the lower-casing itself is Jdbc.scala's, exercised end-to-end in
+    // the Derby round-trip specs; here pin the name mapping function
+    val schema = Jdbc.stringSchema(Seq("Observation_ID", "VALUE_AS_STRING"))
+    assert(schema.fieldNames.toSeq == Seq("observation_id", "value_as_string"))
+  }
 }
