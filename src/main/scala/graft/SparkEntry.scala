@@ -1325,6 +1325,17 @@ object SparkEntry {
         .orderBy(col("_cid")).limit(8)
       val cells = Similarity.ivfAssign(cents, emb, "vec_id", "embedding")
       TextAnalysis.groupCap(cells, "cell_id", "vec_id", 20)
+    }),
+
+    // ---- Embeddings: incremental ingestion near-dup — each new (odd-id)
+    //      vector's best historical (even-id) near-duplicate by LSH
+    //      bucket collision + exact cosine verify; the vector-side twin
+    //      of q97's text probe ----
+    "q115_incr_embed_neardup" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.incrementalEmbedNearDups(
+        emb.filter(col("vec_id") % 2 === 1), emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dim = 64, nPlanes = 4, minSim = 0.3)
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -1428,6 +1439,31 @@ object SparkEntry {
        |  CAST(count(ap.vec_id) AS DOUBLE) / 5.0 AS recall
        |FROM ek LEFT JOIN ap ON ek.query_id = ap.query_id AND ek.vec_id = ap.vec_id
        |GROUP BY ek.query_id""".stripMargin
+  }
+
+  /** q115's oracle: q42's 4-plane buckets split into history (even ids)
+    * and new (odd ids) sides; best match per new vector replayed as a
+    * row_number window (sim DESC, hist_id — the max_by tie order). */
+  private val incrEmbedOracle: String = {
+    val dim = 64
+    val nPlanes = 4
+    val bucket = (0 until nPlanes).map { p =>
+      val terms = (0 until dim)
+        .map(j => s"v[${j + 1}]*(${Similarity.planeComponent(p, j, "graft")})")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |n AS (SELECT vec_id AS new_id, v AS nv, bucket FROM b WHERE vec_id % 2 = 1),
+       |h AS (SELECT vec_id AS hist_id, v AS hv, bucket FROM b WHERE vec_id % 2 = 0),
+       |j AS (SELECT n.new_id, h.hist_id, list_cosine_similarity(n.nv, h.hv) AS s
+       |      FROM n JOIN h USING (bucket)
+       |      WHERE list_cosine_similarity(n.nv, h.hv) >= 0.3),
+       |r AS (SELECT new_id, hist_id, s,
+       |        row_number() OVER (PARTITION BY new_id ORDER BY s DESC, hist_id) AS rn
+       |      FROM j)
+       |SELECT new_id AS vec_id, hist_id, round(s, 4) AS sim FROM r WHERE rn = 1""".stripMargin
   }
 
   /** q42's oracle: same inlined md5-derived hyperplanes as q25's
@@ -2875,5 +2911,7 @@ object SparkEntry {
         |        ORDER BY md5(CAST(id AS VARCHAR)), id) AS cap_rank FROM cells)
         |SELECT id AS vec_id, CAST(cid AS BIGINT) AS cell_id,
         |  CAST(cap_rank AS BIGINT) AS cap_rank
-        |FROM r WHERE cap_rank <= 20""".stripMargin)
+        |FROM r WHERE cap_rank <= 20""".stripMargin,
+
+    "q115_incr_embed_neardup" -> incrEmbedOracle)
 }

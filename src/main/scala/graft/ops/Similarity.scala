@@ -637,6 +637,38 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Incremental EMBEDDING near-dup probe — the vector-side twin of
+    * [[graft.ops.Dedup.incrementalNearDups]]: for each newly-ingested
+    * vector, its best near-duplicate in the historical store by LSH
+    * bucket collision verified with exact cosine. New vectors with no
+    * history collision above `minSim` produce no row (clean).
+    *
+    * Scale shape: both sides bucket row-local ([[lshBucket]], sized via
+    * [[autoPlanes]] for the HISTORY cardinality), candidates come from
+    * the bucket equi-join — never a cross join — and only collisions pay
+    * the cosine. Best match per new vector is `max_by` (highest sim,
+    * ties to the lowest history id) — map-side partials, ONE shuffle on
+    * the new-side id. A standing index materializes the history side's
+    * buckets once and reuses them across ingest batches. */
+  def incrementalEmbedNearDups(newVecs: DataFrame, history: DataFrame,
+                               idCol: String, vecCol: String,
+                               dim: Int, nPlanes: Int, minSim: Double,
+                               seed: String = "graft"): DataFrame = {
+    def side(df: DataFrame, id: String, v: String) =
+      Parallelize.ensure(
+          df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v)))
+        .withColumn("_bucket", lshBucket(col(v), dim, nPlanes, seed))
+    side(newVecs, "_nid", "_nv")
+      .join(side(history, "_hid", "_hv"), Seq("_bucket"))
+      .withColumn("_sim", cosine(col("_nv"), col("_hv")))
+      .filter(col("_sim") >= minSim)
+      .groupBy(col("_nid"))
+      .agg(max_by(struct(col("_hid"), col("_sim")),
+        struct(col("_sim"), negate(col("_hid")))).as("_best"))
+      .select(col("_nid").as(idCol), col("_best._hid").as("hist_id"),
+        round(col("_best._sim"), 4).as("sim"))
+  }
+
   /** SemDeDup — semantic deduplication by embedding clusters (Abbas et
     * al. 2023, arXiv:2303.09540): assign every vector to its nearest
     * coarse centroid, compare pairs only WITHIN a cell, and drop a

@@ -183,6 +183,43 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(capped.count() <= total)
   }
 
+  // ---- Similarity.incrementalEmbedNearDups ----
+
+  test("incrementalEmbedNearDups finds the best historical match, ties to lowest id") {
+    // history 0 and 2 are IDENTICAL — a tie at sim 1.0 → hist_id 0 wins;
+    // new 11 has no same-bucket history neighbor above minSim → no row
+    val base = Seq(1.0, 0.5, 0.25, 0.125)
+    val anti = Seq(-1.0, 0.5, -0.25, 0.125)
+    val hist = Seq((0L, base), (2L, base), (4L, anti)).toDF("vec_id", "v")
+    val novel = Seq((1L, base.map(_ * 2.0)), (11L, anti.map(-_))).toDF("vec_id", "v")
+    val got = Similarity.incrementalEmbedNearDups(novel, hist, "vec_id", "v",
+        dim = 4, nPlanes = 1, minSim = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    // vec 1 is a scaled copy of base → cosine 1.0 with both 0 and 2
+    assert(got == Seq((1L, 0L, 1.0)))
+  }
+
+  test("incrementalEmbedNearDups runs per microbatch via the foreachBatch sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    implicit val sq = spark.sqlContext
+    val base = Seq(1.0, 0.5, 0.25, 0.125)
+    val hist = Seq((100L, base)).toDF("vec_id", "v")
+    val out = java.nio.file.Files.createTempDirectory("embdup_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("embdup_ckpt").toString
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = EventStream.sinkBatches(mem.toDF().toDF("vec_id", "v"), out, ckpt) {
+      batch => Similarity.incrementalEmbedNearDups(batch, hist, "vec_id", "v",
+        dim = 4, nPlanes = 1, minSim = 0.9)
+    }
+    mem.addData((1L, base.map(_ * 3.0)), (2L, base.map(x => -x)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 100L, 1.0)))   // the anti-parallel vector is clean
+  }
+
   // ---- Similarity.recallAtK / exactTopK ----
 
   test("recallAtK is 1.0 against itself and counts partial overlap") {
