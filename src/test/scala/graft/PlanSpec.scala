@@ -287,6 +287,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q113 bm25: term filter runs in the scan stage, df/length stats broadcast") {
+    val p = plan("q113_bm25")
+    // the corpus shrinks to matching tokens BEFORE any exchange: the isin
+    // filter must sit under the first aggregate, not after a shuffle
+    assert(p.contains("_term#") && p.contains("INSET") || p.contains("_term"),
+      s"term filter present\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df table and corpus stats must broadcast\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q109 split leakage: digest equi-join, never a nested loop") {
+    val p = plan("q109_split_leakage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"leak probe is an equi-join on the chunk digest\n$p")
+  }
+
+  test("q111/q114 group caps: window partitioned by the group key, no global window") {
+    for ((q, key) <- Seq("q111_source_cap" -> "source",
+                         "q114_cluster_quota" -> "cell_id")) {
+      val p = plan(q)
+      // the windowspecdefinition must open with the group key — an empty
+      // partition list (global window) would read "windowspecdefinition(md5("
+      assert(s"windowspecdefinition\\($key#".r.findFirstIn(p).isDefined,
+        s"$q: window must partition by $key\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: the cap filter should push down as a group limit\n$p")
+    }
+  }
+
+  test("q115 incremental embed near-dups: bucket equi-join across sides") {
+    val p = plan("q115_incr_embed_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates come from the bucket equi-join only\n$p")
+    assert(p.contains("partial_max"),
+      s"best-match election combines map-side before the id exchange\n$p")
+  }
+
   test("salted join spreads a skewed key and preserves results") {
     import graft.ops.SkewJoin
     val spark2 = spark
