@@ -1336,6 +1336,19 @@ object SparkEntry {
       Similarity.incrementalEmbedNearDups(
         emb.filter(col("vec_id") % 2 === 1), emb.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", dim = 64, nPlanes = 4, minSim = 0.3)
+    }),
+
+    // ---- Dedup: quality-elected survivors — q45's near-dup clusters
+    //      keep their LONGEST member (most tokens, ties lowest id)
+    //      instead of the min-id root: the production "keep the best
+    //      extraction" rule ----
+    "q116_cluster_elect" -> ((s, dir) => {
+      val scored = tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Cluster.electSurvivors(docClusters(s, dir), "doc_id", "component",
+          scored, "doc_id", "n_tokens")
+        .select(col("component").as("cluster_id"), col("survivor_id"),
+          col("survivor_score").as("survivor_tokens"), col("n_members"))
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -2913,5 +2926,40 @@ object SparkEntry {
         |  CAST(cap_rank AS BIGINT) AS cap_rank
         |FROM r WHERE cap_rank <= 20""".stripMargin,
 
-    "q115_incr_embed_neardup" -> incrEmbedOracle)
+    "q115_incr_embed_neardup" -> incrEmbedOracle,
+
+    // q116: q45's recursive-CTE components + a per-cluster best-member
+    // window (token count DESC, doc_id — the max_by tie order)
+    "q116_cluster_elect" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+        |  ELSE [] END AS sh FROM w),
+        |sig AS (SELECT doc_id, sh, len(sh) AS sz,
+        |  list_min(list_transform(sh, x -> md5('0|'||x))) AS s0,
+        |  list_min(list_transform(sh, x -> md5('1|'||x))) AS s1,
+        |  list_min(list_transform(sh, x -> md5('2|'||x))) AS s2,
+        |  list_min(list_transform(sh, x -> md5('3|'||x))) AS s3 FROM s),
+        |band AS (SELECT doc_id, sh, sz, unnest(['0#'||s0||'#'||s1, '1#'||s2||'#'||s3]) AS bucket FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b,
+        |                a.sz AS sz_a, b.sz AS sz_b
+        |         FROM band a JOIN band b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |pair AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, sz_a, sz_b,
+        |                len(list_intersect(sh_a, sh_b)) AS common FROM cand)
+        |         WHERE common / (sz_a + sz_b - common) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pair UNION SELECT id_b, id_a FROM pair),
+        |reach AS (SELECT a AS node, b AS reached FROM e
+        |          UNION
+        |          SELECT r.node, e.b FROM reach r JOIN e ON r.reached = e.a WHERE e.b <> r.node),
+        |lab AS (SELECT node, least(node, min(reached)) AS cluster_id FROM reach GROUP BY node),
+        |comp AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |         FROM documents d LEFT JOIN lab l ON d.doc_id = l.node),
+        |tok AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS nt FROM documents),
+        |j AS (SELECT comp.cluster_id, comp.doc_id, tok.nt FROM comp JOIN tok USING (doc_id)),
+        |r AS (SELECT cluster_id, doc_id, nt,
+        |        row_number() OVER (PARTITION BY cluster_id ORDER BY nt DESC, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY cluster_id) AS n FROM j)
+        |SELECT cluster_id, doc_id AS survivor_id, nt AS survivor_tokens,
+        |  CAST(n AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1""".stripMargin)
 }

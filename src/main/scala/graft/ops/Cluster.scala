@@ -94,4 +94,30 @@ object Cluster {
         "raise maxIter (graph diameter exceeds the cap)")
     labels.select(col("_node").as(idCol), col("_label").as("component"))
   }
+
+  /** Quality-based survivor election over resolved components: per
+    * cluster keep the HIGHEST-scoring member (ties → lowest id) — the
+    * production dedup rule ([[connectedComponents]]'s min-id canonical is
+    * the arbitrary-but-stable default; real pipelines keep the best
+    * extraction of a duplicated page, the longest of two truncations).
+    * `scores` is any (id, score) frame — token count, a quality model,
+    * a [[graft.ops.Stats]] calibrated rank.
+    *
+    * Scale shape: ONE equi-join on the id and ONE component-key
+    * aggregation; `max_by` combines map-side, so reduce-side state is one
+    * (id, score) pair per cluster regardless of cluster size. Returns
+    * (componentCol, survivor_id, survivor_score, n_members). */
+  def electSurvivors(components: DataFrame, idCol: String, componentCol: String,
+                     scores: DataFrame, scoreIdCol: String,
+                     scoreCol: String): DataFrame = {
+    components.select(col(idCol).as("_id"), col(componentCol).as("_comp"))
+      .join(scores.select(col(scoreIdCol).as("_id"), col(scoreCol).as("_score")),
+        Seq("_id"))
+      .groupBy(col("_comp"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(struct(col("_id"), col("_score")),
+          struct(col("_score"), negate(col("_id")))).as("_best"))
+      .select(col("_comp").as(componentCol), col("_best._id").as("survivor_id"),
+        col("_best._score").as("survivor_score"), col("n_members"))
+  }
 }

@@ -220,6 +220,45 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 100L, 1.0)))   // the anti-parallel vector is clean
   }
 
+  // ---- Cluster.electSurvivors ----
+
+  test("electSurvivors keeps the highest score per cluster, ties to lowest id") {
+    import graft.ops.Cluster
+    val comp = Seq((0L, 0L), (1L, 0L), (2L, 0L), (7L, 7L), (8L, 7L), (9L, 9L))
+      .toDF("doc_id", "component")
+    val scores = Seq((0L, 5L), (1L, 9L), (2L, 9L), (7L, 1L), (8L, 1L), (9L, 4L))
+      .toDF("doc_id", "n_tokens")
+    val got = Cluster.electSurvivors(comp, "doc_id", "component",
+        scores, "doc_id", "n_tokens")
+      .orderBy("component")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 9L, 3L),   // best score 9 shared by 1 and 2 → lowest id 1
+      (7L, 7L, 1L, 2L),   // score tie → lowest id
+      (9L, 9L, 4L, 1L)))  // singleton keeps itself
+  }
+
+  // ---- Null-robustness for the audit batch ----
+
+  test("audit operators drop or isolate null-text/null-key rows instead of failing") {
+    import graft.ops.Corpus
+    val docs = Seq((0L, "a b c", "s1"), (1L, null, "s1"), (2L, "a b", null))
+      .toDF("doc_id", "text", "source")
+    // bm25: the null-text doc has no tokens → absent from the scores
+    val bm = Corpus.bm25Score(docs, "doc_id", "text", Seq("a"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(bm == Set(0L, 2L))
+    // splitLeakage: null text explodes to no chunks → absent
+    val split = docs.withColumn("split",
+      when(col("doc_id") === 0, "train").otherwise("val"))
+    val leak = Dedup.splitLeakage(split, "doc_id", "text", "split", "train", 10)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(leak == Set(2L))
+    // groupCap: a null group is its own group, still capped
+    val capped = TextAnalysis.groupCap(docs, "source", "doc_id", 1)
+    assert(capped.count() == 2)   // one from s1, one from the null group
+  }
+
   // ---- Similarity.recallAtK / exactTopK ----
 
   test("recallAtK is 1.0 against itself and counts partial overlap") {
