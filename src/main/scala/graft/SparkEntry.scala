@@ -1349,7 +1349,15 @@ object SparkEntry {
           scored, "doc_id", "n_tokens")
         .select(col("component").as("cluster_id"), col("survivor_id"),
           col("survivor_score").as("survivor_tokens"), col("n_members"))
-    }))
+    }),
+
+    // ---- Documents: release-audit capstone — domain cap → md5 split →
+    //      chunk-leakage probe, rolled up to the per-split go/no-go row
+    //      (q111 × q46 × q109 in ONE lazy plan) ----
+    "q117_audit_report" -> ((s, dir) =>
+      Pipeline.auditReport(tbl(s, dir, "documents"), "doc_id", "text",
+        "source", 50, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        "train", 10)))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2961,5 +2969,30 @@ object SparkEntry {
         |        count(*) OVER (PARTITION BY cluster_id) AS n FROM j)
         |SELECT cluster_id, doc_id AS survivor_id, nt AS survivor_tokens,
         |  CAST(n AS BIGINT) AS n_members
-        |FROM r WHERE rn = 1""".stripMargin)
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // q117: q111's cap CTE × q46's split thresholds × q109's chunk-leak
+    // CTEs, rolled up per split; leak_rate = one division of exact sums
+    "q117_audit_report" ->
+      """WITH capped AS (SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)
+        |  WHERE rn <= 50),
+        |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split FROM capped),
+        |n AS (SELECT doc_id, split, w, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc FROM t),
+        |c AS (SELECT doc_id, split, w, unnest(generate_series(0, nc - 1)) AS i FROM n),
+        |k AS (SELECT doc_id, split,
+        |        md5(array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ')) AS k
+        |      FROM c),
+        |tr AS (SELECT DISTINCT k FROM k WHERE split = 'train'),
+        |ev AS (SELECT k.doc_id, k.split, tr.k IS NOT NULL AS hit
+        |       FROM k LEFT JOIN tr ON k.k = tr.k WHERE k.split <> 'train')
+        |SELECT split, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_leaked,
+        |  CAST(count(*) FILTER (WHERE hit) AS DOUBLE) / count(*) AS leak_rate
+        |FROM ev GROUP BY split""".stripMargin)
 }

@@ -100,4 +100,32 @@ object Pipeline {
         col("lr_micro").desc, col(idCol).asc)
       .select(col(idCol), col("n_tokens"), col("lr_micro"))
   }
+
+  /** Pre-training release audit, composed as ONE lazy plan: per-group cap
+    * (domain quota) → deterministic split assignment → chunk-level
+    * train→eval leakage — rolled up to a per-split report (docs, chunks,
+    * leaked chunks, leak rate). The go/no-go dashboard row a release
+    * gate reads before a corpus ships: a leak_rate above the noise floor
+    * means the split function leaks near-identical pages across the
+    * boundary (usually because dedup ran AFTER splitting).
+    *
+    * Scale shape is its parts': one group-key window for the cap, one
+    * digest equi-join for the probe, then a |splits|-row aggregate.
+    * `leak_rate` = one IEEE division of two exact sums — engine-stable
+    * under any partitioning. Only non-train splits appear (train cannot
+    * leak into itself). */
+  def auditReport(docs: DataFrame, idCol: String, textCol: String,
+                  groupCol: String, cap: Int,
+                  splits: Seq[(String, Double)], trainSplit: String,
+                  chunkTokens: Int): DataFrame = {
+    val capped = TextAnalysis.groupCap(docs, groupCol, idCol, cap)
+      .withColumn("_split", TextAnalysis.hashSplit(col(idCol), splits))
+    val leaks = Dedup.splitLeakage(capped, idCol, textCol, "_split",
+      trainSplit, chunkTokens)
+    leaks.groupBy(col("_split").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("n_leaked")).as("n_leaked"))
+      .withColumn("leak_rate", col("n_leaked").cast("double") / col("n_chunks"))
+  }
 }

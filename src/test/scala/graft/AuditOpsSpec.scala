@@ -238,6 +238,39 @@ class AuditOpsSpec extends AnyFunSuite {
       (9L, 9L, 4L, 1L)))  // singleton keeps itself
   }
 
+  // ---- Pipeline.auditReport ----
+
+  test("auditReport rolls cap + split + leakage into per-split rows") {
+    import graft.ops.Pipeline
+    // two sources; cap 2 per source by md5 priority; leak is then
+    // whatever chunk overlap survives — pin the structural contract:
+    // only non-train splits appear, counts are per-split sums, and
+    // leak_rate = n_leaked / n_chunks exactly
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"tok$i a b c d e f g h i j", s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val got = Pipeline.auditReport(docs, "doc_id", "text", "source", 10,
+        Seq("train" -> 0.5, "val" -> 0.5), "train", 10)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet.subsetOf(Set("val")))
+    got.foreach { case (_, nDocs, nChunks, nLeaked, rate) =>
+      assert(nDocs > 0 && nChunks >= nDocs && nLeaked <= nChunks)
+      assert(rate == nLeaked.toDouble / nChunks)
+    }
+  }
+
+  test("auditReport caps before splitting: over-quota docs never reach the probe") {
+    import graft.ops.Pipeline
+    val docs = (0 until 30).map(i => (i.toLong, "same text here", "only"))
+      .toDF("doc_id", "text", "source")
+    val got = Pipeline.auditReport(docs, "doc_id", "text", "source", 4,
+      Seq("train" -> 0.5, "val" -> 0.5), "train", 10)
+    // at most 4 docs total survive the cap, split across train/val —
+    // the report's doc count can never exceed the cap (an all-train
+    // draw reports nothing: sum over the empty frame is null → 0)
+    assert(got.agg(coalesce(sum(col("n_docs")), lit(0L))).as[Long].head() <= 4)
+  }
+
   // ---- Null-robustness for the audit batch ----
 
   test("audit operators drop or isolate null-text/null-key rows instead of failing") {
