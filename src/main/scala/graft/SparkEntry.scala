@@ -1357,7 +1357,19 @@ object SparkEntry {
     "q117_audit_report" -> ((s, dir) =>
       Pipeline.auditReport(tbl(s, dir, "documents"), "doc_id", "text",
         "source", 50, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-        "train", 10)))
+        "train", 10)),
+
+    // ---- Embeddings: multi-probe LSH ANN — q25's rung with the query's
+    //      Hamming-1 neighbor buckets probed too (Lv et al.): recall of
+    //      extra hash tables at 1/L of the index memory; corpus index
+    //      unchanged, only the query side explodes ×(nPlanes+1) ----
+    "q118_ann_multiprobe" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          dim = 64, nPlanes = 8, k = 5)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"))
+    }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -1485,6 +1497,31 @@ object SparkEntry {
        |        row_number() OVER (PARTITION BY new_id ORDER BY s DESC, hist_id) AS rn
        |      FROM j)
        |SELECT new_id AS vec_id, hist_id, round(s, 4) AS sim FROM r WHERE rn = 1""".stripMargin
+  }
+
+  /** q118's oracle: q25's inlined 8-plane buckets with the join widened
+    * to Hamming ≤ 1 between corpus and query buckets — exactly the
+    * candidate set the Spark side reaches via the probe-key explode. */
+  private val annMultiProbeOracle: String = {
+    val dim = 64
+    val nPlanes = 8
+    val k = 5
+    val bucket = (0 until nPlanes).map { p =>
+      val terms = (0 until dim)
+        .map(j => s"v[${j + 1}]*(${Similarity.planeComponent(p, j, "graft")})")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS bq FROM b WHERE vec_id < 5),
+       |j AS (SELECT q.query_id, b.vec_id, list_cosine_similarity(b.v, q.qv) AS s
+       |      FROM b JOIN q ON bit_count(xor(b.bucket, q.bq)) <= 1
+       |       AND b.vec_id <> q.query_id),
+       |r AS (SELECT query_id, vec_id, s,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+       |      FROM j)
+       |SELECT query_id, vec_id, round(s, 4) AS sim FROM r WHERE rn <= $k""".stripMargin
   }
 
   /** q42's oracle: same inlined md5-derived hyperplanes as q25's
@@ -2994,5 +3031,7 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_chunks,
         |  CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_leaked,
         |  CAST(count(*) FILTER (WHERE hit) AS DOUBLE) / count(*) AS leak_rate
-        |FROM ev GROUP BY split""".stripMargin)
+        |FROM ev GROUP BY split""".stripMargin,
+
+    "q118_ann_multiprobe" -> annMultiProbeOracle)
 }

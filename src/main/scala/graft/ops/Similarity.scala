@@ -753,6 +753,42 @@ object Similarity {
     * (query, id) candidate pairs which are deduped BEFORE the wide vectors
     * re-attach (one candidate-set shuffle on id; queries broadcast) — the
     * same dedupe-then-re-attach discipline as the MinHash pair path. */
+  /** Multi-probe LSH top-k (Lv et al., VLDB'07): instead of L extra hash
+    * TABLES ([[lshTopK]]'s `nTables`), probe the query's own bucket plus
+    * every Hamming-distance-1 neighbor bucket — a near-boundary neighbor
+    * differs in exactly the plane whose projection sits closest to zero,
+    * so single-bit flips recover most of the recall extra tables buy at
+    * 1/L of the index memory. Candidates = corpus vectors within Hamming
+    * ≤ 1 of the query bucket.
+    *
+    * Scale shape: the CORPUS side is untouched (one bucket per vector —
+    * same standing index as single-probe); only the query side explodes
+    * ×(nPlanes+1), and since every probe key is a distinct value a
+    * (query, id) pair matches at most once — no dedup pass needed. Same
+    * bucket equi-join + per-query top-k window as [[lshTopK]]. */
+  def lshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, qIdCol: String, qVecCol: String,
+                        dim: Int, nPlanes: Int, k: Int,
+                        seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val w = Window.partitionBy(col("_qid")).orderBy(col("_sim").desc, col("_id"))
+    val e = df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .repartition(parallelism, col("_id"))
+      .withColumn("_bucket", lshBucket(col("_v"), dim, nPlanes, seed))
+    val probes = (lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
+      .map(m => col("_b0").bitwiseXOR(m))
+    val q = queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
+      .withColumn("_b0", lshBucket(col("_q"), dim, nPlanes, seed))
+      .select(col("_qid"), col("_q"), explode(array(probes: _*)).as("_bucket"))
+    e.join(q, Seq("_bucket"))
+      .filter(col("_id") =!= col("_qid"))
+      .withColumn("_sim", cosine(col("_v"), col("_q")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_sim").as("sim"))
+  }
+
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
               dim: Int, nPlanes: Int, k: Int,

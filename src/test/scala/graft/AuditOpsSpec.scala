@@ -220,6 +220,47 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 100L, 1.0)))   // the anti-parallel vector is clean
   }
 
+  // ---- Similarity.lshTopKMultiProbe ----
+
+  test("multi-probe LSH recall dominates single-probe for every query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.exactTopK(emb, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 5)
+    def recall(approx: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(approx, exact, "query_id", "vec_id", 5)
+        .select(col("query_id"), col("recall")).as[(Long, Double)].collect().toMap
+    val single = recall(Similarity.lshTopK(emb, "vec_id", "embedding",
+      qs, "vec_id", "embedding", dim = 64, nPlanes = 6, k = 5))
+    val multi = recall(Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding",
+      qs, "vec_id", "embedding", dim = 64, nPlanes = 6, k = 5))
+    // the multi-probe candidate set is a superset (Hamming 0 ⊂ Hamming ≤ 1),
+    // so per-query recall can only improve
+    single.keys.foreach { q =>
+      assert(multi.getOrElse(q, 0.0) >= single(q),
+        s"query $q: multi ${multi.get(q)} < single ${single(q)}")
+    }
+  }
+
+  test("multi-probe candidates are exactly the Hamming<=1 buckets") {
+    // 2 planes, vectors placed so buckets differ in known bit counts
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+    val qs = emb.filter(col("vec_id") < 2)
+    val multi = Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", dim = 64, nPlanes = 2, k = 1000)
+      .select(col("query_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    // replay: bucket every vector, keep pairs with bit_count(xor) <= 1
+    val b = emb.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding").cast("array<double>"), 64, 2).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val want = (for {
+      q <- b.keys.filter(_ < 2); c <- b.keys if c != q
+      if java.lang.Long.bitCount(b(q) ^ b(c)) <= 1
+    } yield (q, c)).toSet
+    assert(multi == want)
+  }
+
   // ---- Cluster.electSurvivors ----
 
   test("electSurvivors keeps the highest score per cluster, ties to lowest id") {
