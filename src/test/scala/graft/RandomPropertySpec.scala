@@ -262,4 +262,77 @@ class RandomPropertySpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("splitLeakage agrees with a naive chunk-set intersection on random corpora") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(300 + seed)
+      val vocab = Seq("a", "b", "c", "d")
+      def text() = Seq.fill(1 + rng.nextInt(25))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      val docs = (0 until 60).map(i =>
+        (i.toLong, text(), if (rng.nextInt(3) == 0) "eval" else "train"))
+      def chunks(t: String): Seq[String] =
+        t.toLowerCase.split("\\s+", -1).grouped(5).map(_.mkString(" ")).toSeq
+      val train = docs.filter(_._3 == "train").flatMap(d => chunks(d._2)).toSet
+      val want = docs.filter(_._3 != "train").map { case (id, t, s) =>
+        val cs = chunks(t)
+        (id, s, cs.size.toLong, cs.count(train.contains).toLong)
+      }.toSet
+      val got = graft.ops.Dedup.splitLeakage(
+          docs.toDF("doc_id", "text", "split"), "doc_id", "text", "split", "train", 5)
+        .select(col("doc_id"), col("split"), col("n_chunks"), col("n_leaked"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("bm25Score agrees with a naive in-memory Okapi scorer on random corpora") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(400 + seed)
+      val vocab = Seq("x", "y", "z", "w", "v")
+      def text() = Seq.fill(1 + rng.nextInt(20))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      val docs = (0 until 50).map(i => (i.toLong, text()))
+      val terms = Seq("x", "y")
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+", -1).toSeq }.toMap
+      val n = docs.size.toLong
+      val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+      val dfm = terms.map(t => t -> toks.values.count(_.contains(t)).toLong).toMap
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = docs.flatMap { case (id, _) =>
+        val matched = terms.filter(t => toks(id).contains(t))
+        if (matched.isEmpty) None else Some {
+          val score = terms.map { t =>
+            val tf = toks(id).count(_ == t).toLong
+            if (tf == 0) 0.0
+            else {
+              val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+              idf * (tf * (1.2 + 1.0)) /
+                (tf + 1.2 * (1.0 - 0.75 + 0.75 * toks(id).size / avgdl))
+            }
+          }.reduce(_ + _)
+          (id, matched.size.toLong, r4(score))
+        }
+      }.toSet
+      val got = graft.ops.Corpus.bm25Score(docs.toDF("doc_id", "text"), "doc_id", "text", terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("electSurvivors agrees with a naive per-component max scan on random clusters") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(500 + seed)
+      val members = (0 until 80).map(i => (i.toLong, rng.nextInt(10).toLong))
+      val scores = members.map { case (id, _) => (id, rng.nextInt(5).toLong) }
+      val want = members.groupBy(_._2).map { case (comp, ms) =>
+        val scored = ms.map { case (id, _) => (id, scores.find(_._1 == id).get._2) }
+        val best = scored.maxBy { case (id, s) => (s, -id) }
+        (comp, best._1, best._2, ms.size.toLong)
+      }.toSet
+      val got = graft.ops.Cluster.electSurvivors(
+          members.toDF("id", "comp"), "id", "comp",
+          scores.toDF("id", "score"), "id", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }
