@@ -1262,8 +1262,13 @@ object SparkEntry {
     "q108_random_proj" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
       val proj = Similarity.randomProject(v, 64, 8)
+      // + 0.0 AFTER the round: a component in (−5e−5, 0) rounds to −0.0
+      // in DuckDB (C round keeps the sign) but +0.0 in Spark (BigDecimal
+      // has no signed zero) — the values compare equal, but the driver
+      // SORTS rows by string, where "-0.0" ≠ "0.0" misaligns every row
+      // after it (bit us at sf0.1). Both sides normalize identically.
       tbl(s, dir, "embeddings").select(col("vec_id") +: (0 until 8).map(i =>
-        round(element_at(proj, i + 1), 4).as(s"r$i")): _*)
+        (round(element_at(proj, i + 1), 4) + lit(0.0)).as(s"r$i")): _*)
     }),
 
     // ---- Documents: train→eval split-leakage audit — chunk-level exact
@@ -1368,7 +1373,8 @@ object SparkEntry {
       Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           dim = 64, nPlanes = 8, k = 5)
-        .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"))
+        .select(col("query_id"), col("vec_id"),
+          (round(col("sim"), 4) + lit(0.0)).as("sim"))
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -1437,7 +1443,7 @@ object SparkEntry {
       val terms = (0 until 64)
         .map(j => s"v[${j + 1}]*(${Similarity.planeComponent(p, j, "graft-rp")})")
         .mkString(" + ")
-      s"round(($terms) + 0.0, 4) AS r$p"
+      s"round(($terms) + 0.0, 4) + 0.0 AS r$p"
     }.mkString(",\n  ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
        |SELECT vec_id, $cols FROM e""".stripMargin
@@ -1496,7 +1502,7 @@ object SparkEntry {
        |r AS (SELECT new_id, hist_id, s,
        |        row_number() OVER (PARTITION BY new_id ORDER BY s DESC, hist_id) AS rn
        |      FROM j)
-       |SELECT new_id AS vec_id, hist_id, round(s, 4) AS sim FROM r WHERE rn = 1""".stripMargin
+       |SELECT new_id AS vec_id, hist_id, round(s, 4) + 0.0 AS sim FROM r WHERE rn = 1""".stripMargin
   }
 
   /** q118's oracle: q25's inlined 8-plane buckets with the join widened
@@ -1521,7 +1527,7 @@ object SparkEntry {
        |r AS (SELECT query_id, vec_id, s,
        |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
        |      FROM j)
-       |SELECT query_id, vec_id, round(s, 4) AS sim FROM r WHERE rn <= $k""".stripMargin
+       |SELECT query_id, vec_id, round(s, 4) + 0.0 AS sim FROM r WHERE rn <= $k""".stripMargin
   }
 
   /** q42's oracle: same inlined md5-derived hyperplanes as q25's
@@ -2925,10 +2931,13 @@ object SparkEntry {
         |FROM p JOIN l la ON p.id_a = la.doc_id JOIN l lb ON p.id_b = lb.doc_id
         |GROUP BY 1, 2""".stripMargin,
 
+    // q111/q114/q117: the cap priority is md5('graft-cap|' || key) — the
+    // salt decorrelates it from hashSplit's unsalted md5(key) (an
+    // unsalted cap keeps exactly the below-train-boundary hashes)
     "q111_source_cap" ->
       """WITH r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source
-        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cap_rank
+        |    ORDER BY md5('graft-cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS cap_rank
         |FROM documents)
         |SELECT doc_id, source, CAST(cap_rank AS BIGINT) AS cap_rank
         |FROM r WHERE cap_rank <= 50""".stripMargin,
@@ -2966,7 +2975,7 @@ object SparkEntry {
         |cells AS (SELECT id, cid FROM (
         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM a) WHERE rn = 1),
         |r AS (SELECT id, cid, row_number() OVER (PARTITION BY cid
-        |        ORDER BY md5(CAST(id AS VARCHAR)), id) AS cap_rank FROM cells)
+        |        ORDER BY md5('graft-cap|' || CAST(id AS VARCHAR)), id) AS cap_rank FROM cells)
         |SELECT id AS vec_id, CAST(cid AS BIGINT) AS cell_id,
         |  CAST(cap_rank AS BIGINT) AS cap_rank
         |FROM r WHERE cap_rank <= 20""".stripMargin,
@@ -3013,7 +3022,7 @@ object SparkEntry {
     "q117_audit_report" ->
       """WITH capped AS (SELECT doc_id, text FROM (
         |    SELECT doc_id, text, row_number() OVER (PARTITION BY source
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)
+        |      ORDER BY md5('graft-cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)
         |  WHERE rn <= 50),
         |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'

@@ -64,15 +64,22 @@ object Corpus {
     * with ≥ 1 matching term: (idCol, n_matched, bm25). */
   def bm25Score(docs: DataFrame, idCol: String, textCol: String,
                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-                roundTo: Int = 4): DataFrame = {
+                roundTo: Int = 4,
+                scope: CacheScope = CacheScope.noop): DataFrame = {
     require(terms.nonEmpty, "bm25Score needs at least one query term")
-    val toks = Parallelize.ensure(
+    // ONE corpus scan: project each doc to (length, matching tokens) and
+    // cache that narrow frame — the length/count stats and the tf table
+    // both read it, so the text is tokenized once. The cached rows carry
+    // only the query terms' occurrences (duplicates kept for tf), a
+    // vanishing fraction of corpus bytes for any real keyword list.
+    val base = scope.track(Parallelize.ensure(
         docs.select(col(idCol).as("_id"), col(textCol).as("_t")))
       .select(col("_id"), TextAnalysis.tokens(col("_t")).as("_w"))
-      .select(col("_id"), size(col("_w")).cast("long").as("_dl"), col("_w"))
-    val stats = toks.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sl"))
-    val tf = toks.select(col("_id"), col("_dl"), explode(col("_w")).as("_term"))
-      .filter(col("_term").isin(terms: _*))
+      .select(col("_id"), size(col("_w")).cast("long").as("_dl"),
+        filter(col("_w"), t => t.isin(terms: _*)).as("_m"))
+      .cache())
+    val stats = base.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sl"))
+    val tf = base.select(col("_id"), col("_dl"), explode(col("_m")).as("_term"))
       .groupBy(col("_id"), col("_dl"), col("_term"))
       .agg(count(lit(1)).as("_tf"))
     val dfq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))

@@ -383,11 +383,18 @@ object Dedup {
     * of the join are ~3% of corpus bytes (hashes + ids only). */
   def splitLeakage(df: DataFrame, idCol: String, textCol: String,
                    splitCol: String, trainSplit: String,
-                   chunkTokens: Int): DataFrame = {
-    val chunks = Parallelize.ensure(
+                   chunkTokens: Int,
+                   scope: CacheScope = CacheScope.noop): DataFrame = {
+    // cache the digest stream: BOTH the train-key build and the eval
+    // probe consume it, and re-reading means tokenizing + digesting the
+    // full corpus twice (the chunkDedupFlags lesson — duplicated
+    // subtrees never reuse exchanges). The cached frame is ~3% of corpus
+    // bytes (ids + 16-byte digests; the text stays behind).
+    val chunks = scope.track(Parallelize.ensure(
         df.select(col(idCol).as("_id"), col(splitCol).as("_split"), col(textCol).as("_t")))
       .select(col("_id"), col("_split"),
         explode(graft.functions.ShingleExprs.chunkMd5s(col("_t"), chunkTokens)).as("_k"))
+      .cache())
     val trainKeys = chunks.filter(col("_split") === trainSplit)
       .select(col("_k")).distinct()
     chunks.filter(col("_split") =!= trainSplit)

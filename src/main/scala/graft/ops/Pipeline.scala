@@ -117,11 +117,12 @@ object Pipeline {
   def auditReport(docs: DataFrame, idCol: String, textCol: String,
                   groupCol: String, cap: Int,
                   splits: Seq[(String, Double)], trainSplit: String,
-                  chunkTokens: Int): DataFrame = {
+                  chunkTokens: Int,
+                  scope: CacheScope = CacheScope.noop): DataFrame = {
     val capped = TextAnalysis.groupCap(docs, groupCol, idCol, cap)
       .withColumn("_split", TextAnalysis.hashSplit(col(idCol), splits))
     val leaks = Dedup.splitLeakage(capped, idCol, textCol, "_split",
-      trainSplit, chunkTokens)
+      trainSplit, chunkTokens, scope)
     leaks.groupBy(col("_split").as("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chunks")).as("n_chunks"),

@@ -666,7 +666,10 @@ object Similarity {
       .agg(max_by(struct(col("_hid"), col("_sim")),
         struct(col("_sim"), negate(col("_hid")))).as("_best"))
       .select(col("_nid").as(idCol), col("_best._hid").as("hist_id"),
-        round(col("_best._sim"), 4).as("sim"))
+        // + 0.0 after the round: BigDecimal rounding drops a −0.0 sign
+        // that C-family engines keep — normalize so comparators that
+        // sort by string agree (the q108 sf0.1 lesson)
+        (round(col("_best._sim"), 4) + lit(0.0)).as("sim"))
   }
 
   /** SemDeDup — semantic deduplication by embedding clusters (Abbas et

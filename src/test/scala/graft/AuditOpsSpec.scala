@@ -75,6 +75,21 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(ranks.values.toSet == Set(Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("groupCap priority is independent of the hashSplit assignment") {
+    // REGRESSION (sf0.1 audit report came back empty): an unsalted cap
+    // priority md5(key) is the same function hashSplit thresholds, so a
+    // binding cap keeps exactly the below-train-boundary keys — every
+    // survivor lands in train. With the salted priority, a binding cap
+    // must keep docs from BOTH sides of the split boundary.
+    val df = (0 until 400).map(i => (i.toLong, "g")).toDF("id", "grp")
+    val splits = TextAnalysis.groupCap(df, "grp", "id", 100)
+      .withColumn("split",
+        TextAnalysis.hashSplit(col("id"), Seq("train" -> 0.8, "val" -> 0.2)))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits.keySet == Set("train", "val"),
+      s"capped survivors must span the split boundary, got $splits")
+  }
+
   test("groupCap survivor set is content-stable under repartitioning") {
     val df = (0 until 60).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "grp")
     val a = TextAnalysis.groupCap(df, "grp", "id", 7)
