@@ -227,6 +227,41 @@ object Corpus {
         greatest(col("n_docs") - col("n_distinct"), lit(0L)).cast("double")
           / col("n_docs").cast("double"))
 
+  /** Count–min-sketch watchlist counting: estimated corpus frequency for
+    * each term of a given CANDIDATE list, from ONE pass with CONSTANT
+    * aggregation state — the third sketch next to the dataset card's HLL
+    * and KLL. The exact path (explode → groupBy term) shuffles the whole
+    * distinct-term table; the sketch path's state is the fixed
+    * `d×w` counter array (Cormode–Muthukrishnan: w = ⌈e/ε⌉, d =
+    * ⌈ln(1/δ)⌉), merged map-side like any typed aggregate. Use when the
+    * question is "how often do THESE terms occur" (watchlist, blocklist,
+    * probe vocabulary) over a corpus too large to justify a full term
+    * count — the estimate never undercounts, and overcounts by at most
+    * ε·N tokens with probability 1−δ.
+    *
+    * Estimation probes the merged sketch once on the driver (it is
+    * kilobytes); the corpus never shuffles. Honestly not oracle-able —
+    * the sketch layout is implementation-defined — so the gate is a
+    * tolerance spec against exact counts, the [[datasetCardApprox]]
+    * discipline. */
+  def cmsWatchlistCounts(docs: DataFrame, textCol: String,
+                         watchlist: Seq[String], eps: Double = 0.001,
+                         confidence: Double = 0.99,
+                         seed: Int = 42): Seq[(String, Long)] = {
+    require(watchlist.nonEmpty, "watchlist must be non-empty")
+    val sketchBytes = Parallelize.ensure(docs.select(col(textCol).as("_t")))
+      .select(explode(TextAnalysis.tokens(col("_t"))).as("_term"))
+      .agg(count_min_sketch(col("_term"), lit(eps), lit(confidence), lit(seed))
+        .as("_cms"))
+      .collect()(0).getAs[Array[Byte]](0)
+    if (sketchBytes == null) watchlist.map(_ -> 0L)   // empty corpus
+    else {
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketchBytes))
+      watchlist.map(t => t -> cms.estimateCount(t))
+    }
+  }
+
   /** Smoothed bigram-LM fluency score: for each document, the mean
     * add-one-smoothed conditional transition probability of its word
     * bigrams under a LM trained on the whole corpus —

@@ -327,6 +327,34 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(got.agg(coalesce(sum(col("n_docs")), lit(0L))).as[Long].head() <= 4)
   }
 
+  // ---- Corpus.cmsWatchlistCounts ----
+
+  test("CMS watchlist counts never undercount and stay within the eps bound") {
+    import graft.ops.Corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val watch = Seq("join", "hash", "vector", "no-such-term")
+    val est = Corpus.cmsWatchlistCounts(docs, "text", watch,
+      eps = 0.001, confidence = 0.99).toMap
+    val exact = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .filter(col("t").isin(watch: _*))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    val nTokens = docs.select(sum(TextAnalysis.tokenCount(col("text"))))
+      .as[Long].head()
+    watch.foreach { t =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(est(t) >= truth, s"$t: CMS must never undercount")
+      assert(est(t) <= truth + math.ceil(0.001 * 2 * nTokens).toLong,
+        s"$t: overcount beyond the eps bound (est ${est(t)}, true $truth, N $nTokens)")
+    }
+  }
+
+  test("CMS watchlist on an empty corpus reports zero for every term") {
+    import graft.ops.Corpus
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Corpus.cmsWatchlistCounts(docs, "text", Seq("x", "y")) ==
+      Seq("x" -> 0L, "y" -> 0L))
+  }
+
   // ---- Null-robustness for the audit batch ----
 
   test("audit operators drop or isolate null-text/null-key rows instead of failing") {
