@@ -9,40 +9,6 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  /** The highest-weighted term per document by tf·idf, with idf as the
-    * LINEAR inverse document frequency N/df.
-    *
-    * Why linear rather than log: N/df is one IEEE division and one
-    * multiply — bit-identical across engines, so the scores (and the
-    * argmax) are exactly reproducible and cross-engine checkable. Log-idf
-    * is a one-line swap (`log(nDocs / df)`) whose last-ulp libm
-    * differences across engines make exact score comparison impossible;
-    * rankings are unaffected for any monotone idf when comparing terms of
-    * equal tf, but tf·idf mixes the two, so the conservative choice is the
-    * exactly-reproducible weighting.
-    *
-    * Scale shape: explode → (doc, term) count → term df join → per-doc
-    * argmax via max_by — three hash shuffles on narrow keys, map-side
-    * partials everywhere, no window over the corpus. The corpus size is an
-    * aggregate scalar cross-joined as a broadcast 1-row frame (never a
-    * driver-side collect).
-    *
-    * Returns (idCol, top_term, score); documents with no non-empty token
-    * produce no row. Ties break toward the lexicographically greatest
-    * term (deterministic). */
-  /** Bigram collocation strength as LIFT — observed bigram probability
-    * over the independence expectation:
-    * `(c_ab/N_bigrams) / ((c_a/N_tokens) · (c_b/N_tokens))`. The linear
-    * cousin of PMI (PMI = log₂ lift): same ranking, but exactly
-    * reproducible across engines — see [[tfidfTopTerm]] for the
-    * linear-vs-log rationale. The standard phrase-mining signal
-    * (word2vec's phrase pass, n-gram vocabulary induction).
-    *
-    * Scale shape: two explode→count aggregations (map-side partials),
-    * unigram counts joined back twice on the narrow term key, corpus
-    * totals as broadcast 1-row frames. `minCount` prunes the bigram tail
-    * BEFORE the joins — at corpus scale the join input shrinks from
-    * O(distinct bigrams) to the phrases worth ranking. */
   /** Okapi BM25 score of every document against a FIXED term list — the
     * retrieval scorer behind keyword-based corpus selection and
     * retrieval-shaped decontamination (score docs against benchmark
@@ -99,6 +65,19 @@ object Corpus {
       .withColumnRenamed("_id", idCol)
   }
 
+  /** Bigram collocation strength as LIFT — observed bigram probability
+    * over the independence expectation:
+    * `(c_ab/N_bigrams) / ((c_a/N_tokens) · (c_b/N_tokens))`. The linear
+    * cousin of PMI (PMI = log₂ lift): same ranking, but exactly
+    * reproducible across engines — see [[tfidfTopTerm]] for the
+    * linear-vs-log rationale. The standard phrase-mining signal
+    * (word2vec's phrase pass, n-gram vocabulary induction).
+    *
+    * Scale shape: two explode→count aggregations (map-side partials),
+    * unigram counts joined back twice on the narrow term key, corpus
+    * totals as broadcast 1-row frames. `minCount` prunes the bigram tail
+    * BEFORE the joins — at corpus scale the join input shrinks from
+    * O(distinct bigrams) to the phrases worth ranking. */
   def bigramLift(docs: DataFrame, textCol: String, minCount: Long,
                  scope: CacheScope = CacheScope.noop): DataFrame = {
     val base = Parallelize.ensure(docs.select(col(textCol).as("_t")))
@@ -408,6 +387,27 @@ object Corpus {
         (col("_sq").cast("double") / col("n_tokens").cast("double")).as("lr_micro"))
   }
 
+  /** The highest-weighted term per document by tf·idf, with idf as the
+    * LINEAR inverse document frequency N/df.
+    *
+    * Why linear rather than log: N/df is one IEEE division and one
+    * multiply — bit-identical across engines, so the scores (and the
+    * argmax) are exactly reproducible and cross-engine checkable. Log-idf
+    * is a one-line swap (`log(nDocs / df)`) whose last-ulp libm
+    * differences across engines make exact score comparison impossible;
+    * rankings are unaffected for any monotone idf when comparing terms of
+    * equal tf, but tf·idf mixes the two, so the conservative choice is the
+    * exactly-reproducible weighting.
+    *
+    * Scale shape: explode → (doc, term) count → term df join → per-doc
+    * argmax via max_by — three hash shuffles on narrow keys, map-side
+    * partials everywhere, no window over the corpus. The corpus size is an
+    * aggregate scalar cross-joined as a broadcast 1-row frame (never a
+    * driver-side collect).
+    *
+    * Returns (idCol, top_term, score); documents with no non-empty token
+    * produce no row. Ties break toward the lexicographically greatest
+    * term (deterministic). */
   def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String,
                    scope: CacheScope = CacheScope.noop): DataFrame = {
     val toks = Parallelize.ensure(

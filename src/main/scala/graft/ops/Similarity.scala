@@ -739,23 +739,6 @@ object Similarity {
       .select(col("_id").as(idCol), col("_cid").as("cell_id"))
   }
 
-  /** LSH-bucketed ANN: score only pairs that share a hyperplane bucket.
-    * Returns the per-query top-k among same-bucket candidates.
-    *
-    * One bucket signature per vector (`nTables` = 1) has a recall cliff
-    * for near-boundary queries: ONE disagreeing projection sign hides a
-    * true neighbor. `nTables` > 1 builds L independent hash tables
-    * (seed-varied planes — table 0 keeps `seed`, so L = 1 is bit-identical
-    * to the single-table op and the q25 oracle) and a candidate survives
-    * if it collides in ANY table — the standard OR-amplification next to
-    * the banding `minhashLshPairsOf` already uses (round-4 verdict #5).
-    * Recall rises with L at L× the bucketing cost; the exact-cosine verify
-    * still runs only on candidates.
-    *
-    * Scale shape at L > 1: the (table, bucket) equi-join emits NARROW
-    * (query, id) candidate pairs which are deduped BEFORE the wide vectors
-    * re-attach (one candidate-set shuffle on id; queries broadcast) — the
-    * same dedupe-then-re-attach discipline as the MinHash pair path. */
   /** Multi-probe LSH top-k (Lv et al., VLDB'07): instead of L extra hash
     * TABLES ([[lshTopK]]'s `nTables`), probe the query's own bucket plus
     * every Hamming-distance-1 neighbor bucket — a near-boundary neighbor
@@ -792,6 +775,23 @@ object Similarity {
       .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_sim").as("sim"))
   }
 
+  /** LSH-bucketed ANN: score only pairs that share a hyperplane bucket.
+    * Returns the per-query top-k among same-bucket candidates.
+    *
+    * One bucket signature per vector (`nTables` = 1) has a recall cliff
+    * for near-boundary queries: ONE disagreeing projection sign hides a
+    * true neighbor. `nTables` > 1 builds L independent hash tables
+    * (seed-varied planes — table 0 keeps `seed`, so L = 1 is bit-identical
+    * to the single-table op and the q25 oracle) and a candidate survives
+    * if it collides in ANY table — the standard OR-amplification next to
+    * the banding `minhashLshPairsOf` already uses (round-4 verdict #5).
+    * Recall rises with L at L× the bucketing cost; the exact-cosine verify
+    * still runs only on candidates.
+    *
+    * Scale shape at L > 1: the (table, bucket) equi-join emits NARROW
+    * (query, id) candidate pairs which are deduped BEFORE the wide vectors
+    * re-attach (one candidate-set shuffle on id; queries broadcast) — the
+    * same dedupe-then-re-attach discipline as the MinHash pair path. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
               dim: Int, nPlanes: Int, k: Int,

@@ -57,9 +57,14 @@ object AuditScaleMain {
         Corpus.bm25Score(d, "doc_id", "text", Seq("vector", "hash", "spark")))
       time(s"groupCap       $label",
         TextAnalysis.groupCap(d, "source", "doc_id", 50))
+      // fold the WHOLE projected array into a scalar so no component is
+      // pruned away under count(1) (round-5 review: the bare select
+      // measured a parquet scan, not the dot products)
       time(s"randomProject  $label",
-        e.select(col("vec_id"),
-          Similarity.randomProject(col("embedding").cast("array<double>"), 64, 8).as("p")))
+        e.select(aggregate(
+            Similarity.randomProject(col("embedding").cast("array<double>"), 64, 8),
+            lit(0.0), (a, x) => a + x).as("p"))
+          .agg(sum(col("p")).as("s")))
       val cents = emb.select(col("vec_id").as("_cid"),
           col("embedding").cast("array<double>").as("_cv"))
         .orderBy(col("_cid")).limit(8)

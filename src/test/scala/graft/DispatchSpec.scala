@@ -310,9 +310,12 @@ class DispatchSpec extends AnyFunSuite {
     import org.apache.spark.sql.jdbc.JdbcDialects
     val url = "jdbc:trino://coordinator:8080/hive/omop"
     val d = JdbcDialects.get(url)
-    // no vendor dialect claims trino: (if a future Spark adds one, this
-    // documents the contract to re-check: our lower-casing must survive)
-    assert(d.getClass.getSimpleName != "PostgresDialect")
+    // pin that the DEFAULT (no-op) dialect handles trino: — if a future
+    // Spark ships a TrinoDialect this fails loudly, flagging the
+    // contract to re-check (our lower-casing must survive its casing
+    // rules); `!= PostgresDialect` could never detect that
+    assert(d.getClass.getSimpleName.startsWith("NoopDialect"),
+      s"expected Spark's default dialect for trino:, got ${d.getClass.getName}")
     // the lower-casing itself is Jdbc.scala's, exercised end-to-end in
     // the Derby round-trip specs; here pin the name mapping function
     val schema = Jdbc.stringSchema(Seq("Observation_ID", "VALUE_AS_STRING"))

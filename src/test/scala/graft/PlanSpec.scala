@@ -287,12 +287,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q113 bm25: term filter runs in the scan stage, df/length stats broadcast") {
-    val p = plan("q113_bm25")
-    // the corpus shrinks to matching tokens BEFORE any exchange: the isin
-    // filter must sit under the first aggregate, not after a shuffle
-    assert(p.contains("_term#") && p.contains("INSET") || p.contains("_term"),
-      s"term filter present\n$p")
+  test("q113 bm25: raw text never crosses an exchange, stats broadcast") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val wrapped = SparkEntry.queries("q113_bm25")(spark, dir)
+      .queryExecution.executedPlan
+    // AQE hides the inner plan from collect() — unwrap it first
+    val exec = wrapped match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the scale claim, checked structurally (a string match on the plan
+    // was vacuous — round-5 review): every shuffle's input carries only
+    // ids, lengths, matched tokens, or aggregates — never the raw text
+    // or full token array, which must die in the scan-stage projection
+    val exchanges = exec.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, s"expected at least one shuffle\n$exec")
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.exists(c => c == "_t" || c == "_w" || c == "text"),
+        s"raw text/token column crosses a shuffle: $cols\n$exec")
+    }
+    val p = exec.toString
     assert(p.contains("BroadcastHashJoin"),
       s"df table and corpus stats must broadcast\n$p")
     assert(!p.contains("CartesianProduct"), p)
