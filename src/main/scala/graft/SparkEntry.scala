@@ -1375,6 +1375,19 @@ object SparkEntry {
           dim = 64, nPlanes = 8, k = 5)
         .select(col("query_id"), col("vec_id"),
           (round(col("sim"), 4) + lit(0.0)).as("sim"))
+    }),
+
+    // ---- Embeddings: semantic decontamination — drop training vectors
+    //      (id ≥ 20) whose cosine to any benchmark vector (id < 20)
+    //      reaches 0.3; the embedding twin of q49's n-gram gate,
+    //      paraphrase-sensitive where n-grams are not ----
+    "q119_semantic_decontam" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+          emb.filter(col("vec_id") >= 20), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          dim = 64, nPlanes = 4, minSim = 0.3)
+        .select(col("vec_id"), col("label"))
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -1528,6 +1541,28 @@ object SparkEntry {
        |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
        |      FROM j)
        |SELECT query_id, vec_id, round(s, 4) + 0.0 AS sim FROM r WHERE rn <= $k""".stripMargin
+  }
+
+  /** q119's oracle: q42's 4-plane buckets; training vectors (id ≥ 20)
+    * survive unless a same-bucket benchmark vector (id < 20) clears the
+    * cosine threshold — the Spark side's bucket-join + left-anti replay. */
+  private val semanticDecontamOracle: String = {
+    val dim = 64
+    val nPlanes = 4
+    val bucket = (0 until nPlanes).map { p =>
+      val terms = (0 until dim)
+        .map(j => s"v[${j + 1}]*(${Similarity.planeComponent(p, j, "graft")})")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, label, v, $bucket AS bucket FROM e),
+       |tr AS (SELECT * FROM b WHERE vec_id >= 20),
+       |bm AS (SELECT vec_id AS bid, v AS bv, bucket FROM b WHERE vec_id < 20),
+       |hit AS (SELECT DISTINCT tr.vec_id FROM tr JOIN bm USING (bucket)
+       |        WHERE list_cosine_similarity(tr.v, bm.bv) >= 0.3)
+       |SELECT tr.vec_id, tr.label FROM tr LEFT JOIN hit ON tr.vec_id = hit.vec_id
+       |WHERE hit.vec_id IS NULL""".stripMargin
   }
 
   /** q42's oracle: same inlined md5-derived hyperplanes as q25's
@@ -3042,5 +3077,7 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE hit) AS DOUBLE) / count(*) AS leak_rate
         |FROM ev GROUP BY split""".stripMargin,
 
-    "q118_ann_multiprobe" -> annMultiProbeOracle)
+    "q118_ann_multiprobe" -> annMultiProbeOracle,
+
+    "q119_semantic_decontam" -> semanticDecontamOracle)
 }

@@ -672,6 +672,31 @@ object Similarity {
         (round(col("_best._sim"), 4) + lit(0.0)).as("sim"))
   }
 
+  /** Semantic decontamination — the EMBEDDING-level twin of the n-gram
+    * gate ([[graft.ops.Dedup.decontaminate]]): drop every training vector
+    * whose cosine to ANY benchmark vector reaches `minSim`. N-gram
+    * overlap misses paraphrases; embedding similarity catches them — the
+    * two gates compose (run both, keep the intersection of survivors).
+    *
+    * Built on [[incrementalEmbedNearDups]] with the benchmark as the
+    * "history" side: LSH bucket collision proposes candidates, exact
+    * cosine verifies, and ONE left-anti join removes the matches. The
+    * training corpus never shuffles beyond its bucket keys; the benchmark
+    * (always small) pays the same row-local bucketing. Returns survivors
+    * as (idCol, plus any columns of `df` projected through). */
+  def semanticDecontaminate(df: DataFrame, idCol: String, vecCol: String,
+                            bench: DataFrame, benchIdCol: String,
+                            benchVecCol: String,
+                            dim: Int, nPlanes: Int,
+                            minSim: Double, seed: String = "graft"): DataFrame = {
+    val contaminated = incrementalEmbedNearDups(
+        df.select(col(idCol), col(vecCol)),
+        bench.select(col(benchIdCol).as(idCol), col(benchVecCol).as(vecCol)),
+        idCol, vecCol, dim, nPlanes, minSim, seed)
+      .select(col(idCol))
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup — semantic deduplication by embedding clusters (Abbas et
     * al. 2023, arXiv:2303.09540): assign every vector to its nearest
     * coarse centroid, compare pairs only WITHIN a cell, and drop a

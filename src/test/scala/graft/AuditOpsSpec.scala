@@ -276,6 +276,33 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(multi == want)
   }
 
+  // ---- Similarity.semanticDecontaminate ----
+
+  test("semanticDecontaminate drops scaled copies of benchmark vectors, keeps the rest") {
+    val base = Seq(1.0, 0.5, 0.25, 0.125)
+    val bench = Seq((0L, base)).toDF("vec_id", "v")
+    val train = Seq(
+      (10L, base.map(_ * 2.0)),   // cosine 1.0 with the benchmark → dropped
+      (11L, base.map(x => -x)),   // anti-parallel → different bucket, kept
+      (12L, Seq(0.1, -1.0, 0.2, -0.4))  // unrelated → kept
+    ).toDF("vec_id", "v")
+    val kept = Similarity.semanticDecontaminate(train, "vec_id", "v",
+        bench, "vec_id", "v", dim = 4, nPlanes = 1, minSim = 0.9)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(!kept.contains(10L), "the scaled benchmark copy must be dropped")
+    assert(kept.contains(11L), "anti-parallel survives (different sign bucket)")
+    assert((kept - 11L - 12L).isEmpty && kept.subsetOf(Set(11L, 12L)))
+  }
+
+  test("semanticDecontaminate projects all training columns through") {
+    val bench = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "v")
+    val train = Seq((10L, Seq(0.0, 1.0), "keep-me")).toDF("vec_id", "v", "tag")
+    val out = Similarity.semanticDecontaminate(train, "vec_id", "v",
+      bench, "vec_id", "v", dim = 2, nPlanes = 1, minSim = 0.9)
+    assert(out.columns.toSeq == Seq("vec_id", "v", "tag"))
+    assert(out.select(col("tag")).as[String].collect().toSeq == Seq("keep-me"))
+  }
+
   // ---- Cluster.electSurvivors ----
 
   test("electSurvivors keeps the highest score per cluster, ties to lowest id") {
