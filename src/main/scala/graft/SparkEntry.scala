@@ -1388,6 +1388,16 @@ object SparkEntry {
           emb.filter(col("vec_id") < 20), "vec_id", "embedding",
           dim = 64, nPlanes = 4, minSim = 0.3)
         .select(col("vec_id"), col("label"))
+    }),
+
+    // ---- Dedup: snapshot delta — the write-back half of q96's
+    //      ingestion loop: the batch rows (id, fp) that EXTEND the
+    //      fingerprint snapshot (production appends the delta; it never
+    //      rewrites history) ----
+    "q120_snapshot_delta" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup.snapshotDelta(d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        d.filter(col("doc_id") % 2 === 0), "text")
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -3079,5 +3089,17 @@ object SparkEntry {
 
     "q118_ann_multiprobe" -> annMultiProbeOracle,
 
-    "q119_semantic_decontam" -> semanticDecontamOracle)
+    "q119_semantic_decontam" -> semanticDecontamOracle,
+
+    // q120: q96's verdict CTEs filtered to the kept rows, with the
+    // fingerprint carried — the snapshot-extending delta
+    "q120_snapshot_delta" ->
+      """WITH nw AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |            FROM documents WHERE doc_id % 2 = 1),
+        |h AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |      FROM documents WHERE doc_id % 2 = 0),
+        |f AS (SELECT fp, min(doc_id) AS first FROM nw GROUP BY fp)
+        |SELECT nw.doc_id, nw.fp
+        |FROM nw JOIN f USING (fp) LEFT JOIN h ON h.fp = nw.fp
+        |WHERE h.fp IS NULL AND nw.doc_id = f.first""".stripMargin)
 }

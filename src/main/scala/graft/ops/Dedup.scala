@@ -524,6 +524,29 @@ object Dedup {
           .otherwise(lit("dup_batch")).as("verdict"))
   }
 
+  /** Snapshot DELTA — the write-back half of the [[incrementalDedup]]
+    * ingestion loop: the batch rows that extend the fingerprint snapshot,
+    * as (id, fp). The new snapshot is `old ∪ delta`; returning ONLY the
+    * delta is deliberate — production appends these rows to the snapshot
+    * table (one partition per ingest batch), it never rewrites 100 TB of
+    * history to add a day's data. The q96 verdict stream tells you what
+    * was dropped; this is what the next batch dedupes against.
+    *
+    * Scale shape: the verdict path is [[incrementalDedup]]'s (batch
+    * fingerprints broadcast onto the history scan, history never
+    * shuffles); the delta itself derives from the batch-side cached
+    * fingerprint frame with no further corpus read. */
+  def snapshotDelta(newDocs: DataFrame, idCol: String, textCol: String,
+                    history: DataFrame, historyTextCol: String,
+                    scope: CacheScope = CacheScope.noop): DataFrame = {
+    val verdicts = incrementalDedup(newDocs, idCol, textCol,
+      history, historyTextCol, scope)
+    newDocs.select(col(idCol),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .join(verdicts.filter(col("verdict") === "kept").select(col(idCol)),
+        Seq(idCol), "left_semi")
+  }
+
   /** Incremental NEAR-dup probe — [[incrementalDedup]]'s fuzzy layer: for
     * each new document, its best near-duplicate in the historical corpus
     * by MinHash-LSH candidates verified with exact n-gram Jaccard. New

@@ -276,6 +276,30 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(multi == want)
   }
 
+  // ---- Dedup.snapshotDelta ----
+
+  test("snapshotDelta emits exactly the kept batch rows with their fingerprints") {
+    val history = Seq((100L, "seen before")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "SEEN   before"),  // normalizes to the history fp → excluded
+      (2L, "fresh one"),      // kept
+      (3L, "fresh one"),      // dup within batch → excluded (2 is first)
+      (4L, "fresh two")       // kept
+    ).toDF("doc_id", "text")
+    val delta = Dedup.snapshotDelta(batch, "doc_id", "text", history, "text")
+      .as[(Long, String)].collect().toMap
+    assert(delta.keySet == Set(2L, 4L))
+    // replaying the delta as the next batch's history drops repeats:
+    // simulate by unioning fps and re-running verdicts on a repeat batch
+    val hist2 = history.select(col("text"))
+      .unionByName(batch.filter(col("doc_id").isin(2L, 4L)).select(col("text")))
+    val repeat = Seq((9L, "fresh one")).toDF("doc_id", "text")
+    val v2 = Dedup.incrementalDedup(repeat, "doc_id", "text", hist2, "text")
+      .as[(Long, String)].collect().toMap
+    assert(v2 == Map(9L -> "dup_history"),
+      "a delta-extended snapshot must catch the repeat")
+  }
+
   // ---- Similarity.semanticDecontaminate ----
 
   test("semanticDecontaminate drops scaled copies of benchmark vectors, keeps the rest") {
