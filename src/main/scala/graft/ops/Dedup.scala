@@ -503,7 +503,16 @@ object Dedup {
     * 100 TB of history vs a 10 GB daily batch is exactly this plan. */
   def incrementalDedup(newDocs: DataFrame, idCol: String, textCol: String,
                        history: DataFrame, historyTextCol: String,
-                       scope: CacheScope = CacheScope.noop): DataFrame = {
+                       scope: CacheScope = CacheScope.noop): DataFrame =
+    incrementalVerdicts(newDocs, idCol, textCol, history, historyTextCol, scope)
+      .select(col("_id").as(idCol), col("verdict"))
+
+  /** Shared verdict core of [[incrementalDedup]]/[[snapshotDelta]]:
+    * one row per batch doc as (_id, _fp, verdict). */
+  private def incrementalVerdicts(newDocs: DataFrame, idCol: String,
+                                  textCol: String, history: DataFrame,
+                                  historyTextCol: String,
+                                  scope: CacheScope): DataFrame = {
     val nfp = scope.track(Parallelize.ensure(newDocs.select(
         col(idCol).as("_id"),
         TextAnalysis.fingerprint(col(textCol)).as("_fp")))
@@ -518,7 +527,7 @@ object Dedup {
     val firsts = nfp.groupBy(col("_fp")).agg(min(col("_id")).as("_first"))
     nfp.join(broadcast(hits), Seq("_fp"), "left")
       .join(firsts, Seq("_fp"))
-      .select(col("_id").as(idCol),
+      .select(col("_id"), col("_fp"),
         when(col("_inHist"), lit("dup_history"))
           .when(col("_id") === col("_first"), lit("kept"))
           .otherwise(lit("dup_batch")).as("verdict"))
@@ -534,18 +543,18 @@ object Dedup {
     *
     * Scale shape: the verdict path is [[incrementalDedup]]'s (batch
     * fingerprints broadcast onto the history scan, history never
-    * shuffles); the delta itself derives from the batch-side cached
-    * fingerprint frame with no further corpus read. */
+    * shuffles); the delta derives from the SAME cached fingerprint frame
+    * the verdicts rode — no second corpus read, no join back. (The first
+    * cut re-fingerprinted `newDocs` and semi-joined against the verdict
+    * subtree; at 16× replay that duplicated the whole verdict pipeline
+    * inside one plan and ran 50× slower than the verdicts alone —
+    * measured, which is why the shared core exists.) */
   def snapshotDelta(newDocs: DataFrame, idCol: String, textCol: String,
                     history: DataFrame, historyTextCol: String,
-                    scope: CacheScope = CacheScope.noop): DataFrame = {
-    val verdicts = incrementalDedup(newDocs, idCol, textCol,
-      history, historyTextCol, scope)
-    newDocs.select(col(idCol),
-        TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .join(verdicts.filter(col("verdict") === "kept").select(col(idCol)),
-        Seq(idCol), "left_semi")
-  }
+                    scope: CacheScope = CacheScope.noop): DataFrame =
+    incrementalVerdicts(newDocs, idCol, textCol, history, historyTextCol, scope)
+      .filter(col("verdict") === "kept")
+      .select(col("_id").as(idCol), col("_fp").as("fp"))
 
   /** Incremental NEAR-dup probe — [[incrementalDedup]]'s fuzzy layer: for
     * each new document, its best near-duplicate in the historical corpus

@@ -72,6 +72,18 @@ object AuditScaleMain {
         TextAnalysis.groupCap(
           Similarity.ivfAssign(cents, e, "vec_id", "embedding"),
           "cell_id", "vec_id", 1024))
+      // replication is the worst case for the benchmark gate too: every
+      // replica of a benchmark-similar vector must be caught
+      time(s"semDecontam    $label",
+        Similarity.semanticDecontaminate(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          dim = 64, nPlanes = Similarity.autoPlanes(ne * copies, 256),
+          minSim = 0.95))
+      time(s"snapshotDelta  $label",
+        graft.ops.Dedup.snapshotDelta(
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          d.filter(col("doc_id") % 2 === 0), "text"))
       val queries = emb.filter(col("vec_id") < 5)
       time(s"annRecall      $label", {
         val approx = Similarity.lshTopK(e, "vec_id", "embedding",
