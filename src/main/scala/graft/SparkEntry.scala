@@ -1555,7 +1555,15 @@ object SparkEntry {
 
   /** q119's oracle: q42's 4-plane buckets; training vectors (id ≥ 20)
     * survive unless a same-bucket benchmark vector (id < 20) clears the
-    * cosine threshold — the Spark side's bucket-join + left-anti replay. */
+    * cosine threshold — the Spark side's bucket-join + left-anti replay.
+    *
+    * Residual risk, shared with q42/q115 since round 2: the threshold
+    * compares an UNROUNDED cosine, so a pair within one ulp of 0.3 could
+    * in principle flip set membership between engines (rounding the
+    * output can't absorb a membership flip, and quantizing the compare
+    * only moves the boundary). Empirically the two engines' cosines have
+    * been bit-identical across every SF for 5 rounds (q16's unrounded
+    * ORDER BY parity); accepted and documented rather than hidden. */
   private val semanticDecontamOracle: String = {
     val dim = 64
     val nPlanes = 4
@@ -1873,9 +1881,12 @@ object SparkEntry {
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // q52/q60/q99: the samplers hash a SALTED keyspace (md5('<seed>|key'))
+    // so their thresholds are independent of hashSplit's unsalted md5 —
+    // the q117 correlated-hash lesson applied to the whole sampler family
     "q52_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |WHERE substr(md5('graft-strat|' || CAST(doc_id AS VARCHAR)), 1, 8) <
         |  (CASE WHEN lang = 'en' THEN '33333333' ELSE '80000000' END)""".stripMargin,
 
     "q53_heavy_hitters" ->
@@ -1986,7 +1997,7 @@ object SparkEntry {
 
     "q60_weighted_sample" ->
       """SELECT doc_id, n_chars FROM documents
-        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+        |WHERE ('0x' || substr(md5('graft-weight|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
         |  CAST(floor(least(greatest(n_chars / 400.0, 0.0), 1.0) * 4294967296.0) AS BIGINT)""".stripMargin,
 
     // q61: ties order by the ROUNDED lift on both sides so the top-20
@@ -2805,7 +2816,7 @@ object SparkEntry {
         |a AS (SELECT lang, base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS alloc FROM r),
         |s AS (SELECT doc_id, lang,
         |        row_number() OVER (PARTITION BY lang
-        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |          ORDER BY md5('graft-temp|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |      FROM documents)
         |SELECT s.doc_id, s.lang FROM s JOIN a USING (lang) WHERE s.rn <= a.alloc""".stripMargin,
 

@@ -655,12 +655,17 @@ object Corpus {
     * key, or fall back to hash-threshold RATE sampling when exact counts
     * aren't worth a sort of the corpus). */
   def temperatureSample(docs: DataFrame, idCol: String, groupCol: String,
-                        alpha: Double, budget: Long): DataFrame = {
+                        alpha: Double, budget: Long,
+                        seed: String = "graft-temp"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mix = temperatureMix(docs, groupCol, alpha, budget)
       .select(col(groupCol), col("alloc"))
+    // salted permutation (the groupCap lesson): ranking by unsalted
+    // md5(id) would keep exactly the below-threshold hashes hashSplit
+    // puts in train — a group sampled at < the train share would land
+    // 100% of its draw inside the train split when the two compose
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy(md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), col(idCol))
     docs.select(col(idCol), col(groupCol))
       .withColumn("_rn", row_number().over(w))
       .join(broadcast(mix), Seq(groupCol))

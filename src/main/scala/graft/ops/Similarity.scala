@@ -678,9 +678,11 @@ object Similarity {
     * overlap misses paraphrases; embedding similarity catches them — the
     * two gates compose (run both, keep the intersection of survivors).
     *
-    * Built on [[incrementalEmbedNearDups]] with the benchmark as the
-    * "history" side: LSH bucket collision proposes candidates, exact
-    * cosine verifies, and ONE left-anti join removes the matches. The
+    * ONE left-anti join does everything: the bucket equality is the hash
+    * key, the cosine threshold rides as the join's residual condition —
+    * no aggregate, no best-match struct, no join-back (the first cut
+    * reused [[incrementalEmbedNearDups]] and paid its `max_by` shuffle
+    * computing a best match the anti-join immediately discarded). The
     * training corpus never shuffles beyond its bucket keys; the benchmark
     * (always small) pays the same row-local bucketing. Returns survivors
     * as (idCol, plus any columns of `df` projected through). */
@@ -689,12 +691,14 @@ object Similarity {
                             benchVecCol: String,
                             dim: Int, nPlanes: Int,
                             minSim: Double, seed: String = "graft"): DataFrame = {
-    val contaminated = incrementalEmbedNearDups(
-        df.select(col(idCol), col(vecCol)),
-        bench.select(col(benchIdCol).as(idCol), col(benchVecCol).as(vecCol)),
-        idCol, vecCol, dim, nPlanes, minSim, seed)
-      .select(col(idCol))
-    df.join(contaminated, Seq(idCol), "left_anti")
+    val e = df.withColumn("_v", col(vecCol).cast("array<double>"))
+      .withColumn("_bucket", lshBucket(col("_v"), dim, nPlanes, seed))
+    val bm = Parallelize.ensure(
+        bench.select(col(benchVecCol).cast("array<double>").as("_bv")))
+      .withColumn("_bbucket", lshBucket(col("_bv"), dim, nPlanes, seed))
+    e.join(bm, e("_bucket") === bm("_bbucket")
+        && cosine(col("_v"), col("_bv")) >= minSim, "left_anti")
+      .drop("_v", "_bucket")
   }
 
   /** SemDeDup — semantic deduplication by embedding clusters (Abbas et

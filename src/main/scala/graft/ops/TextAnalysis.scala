@@ -152,8 +152,12 @@ object TextAnalysis {
     * `defaultFraction`. */
   def stratifiedSampleFilter(key: Column, stratum: Column,
                              fractions: Map[String, Double],
-                             defaultFraction: Double): Column = {
-    val h = substring(md5(key.cast("string")), 1, 8)
+                             defaultFraction: Double,
+                             seed: String = "graft-strat"): Column = {
+    // salted keyspace (the groupCap lesson): an unsalted threshold on
+    // md5(key) is the same function hashSplit thresholds, so a fraction
+    // f ≤ the train share selects ONLY train-split rows when composed
+    val h = substring(md5(concat(lit(s"$seed|"), key.cast("string"))), 1, 8)
     def hex(f: Double) = "%08x".format(
       math.max(0L, math.min((f * 4294967296.0).toLong, 0xffffffffL)))
     // deterministic build order so the generated plan is stable run-to-run
@@ -199,8 +203,11 @@ object TextAnalysis {
     * the usual soft-filter stage between quality scoring and training).
     * Compares the key's first 8 md5 hex chars against the weight scaled
     * to 2³² — row-local, reproducible, cross-engine. */
-  def weightedSampleFilter(key: Column, weight: Column): Column = {
-    val h = conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+  def weightedSampleFilter(key: Column, weight: Column,
+                           seed: String = "graft-weight"): Column = {
+    // salted keyspace — see stratifiedSampleFilter/groupCap
+    val h = conv(substring(md5(concat(lit(s"$seed|"), key.cast("string"))), 1, 8),
+      16, 10).cast("long")
     // floor before the integer compare: Spark's double→long cast truncates
     // but DuckDB's rounds, so the explicit floor is the cross-engine form
     h < floor(least(greatest(weight, lit(0.0)), lit(1.0)) * lit(4294967296.0)).cast("long")

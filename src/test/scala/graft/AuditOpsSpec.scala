@@ -90,6 +90,27 @@ class AuditOpsSpec extends AnyFunSuite {
       s"capped survivors must span the split boundary, got $splits")
   }
 
+  test("every sampler's keyspace is independent of the hashSplit assignment") {
+    // the q117 lesson generalized (round-5 review): stratified/weighted/
+    // temperature samplers threshold or rank a SALTED md5, so composing
+    // any of them with hashSplit must span the split boundary. At
+    // fraction 0.5 an UNSALTED threshold selects only below-train-
+    // boundary keys (train share 0.8) — all three would come back
+    // train-only.
+    import graft.ops.Corpus
+    val df = (0 until 400).map(i => (i.toLong, "g")).toDF("id", "grp")
+    def splitsOf(sampled: org.apache.spark.sql.DataFrame): Set[String] =
+      sampled.withColumn("split",
+          TextAnalysis.hashSplit(col("id"), Seq("train" -> 0.8, "val" -> 0.2)))
+        .select("split").distinct().as[String].collect().toSet
+    assert(splitsOf(df.filter(TextAnalysis.stratifiedSampleFilter(
+      col("id"), col("grp"), Map("g" -> 0.5), 0.5))) == Set("train", "val"))
+    assert(splitsOf(df.filter(TextAnalysis.weightedSampleFilter(
+      col("id"), lit(0.5)))) == Set("train", "val"))
+    assert(splitsOf(Corpus.temperatureSample(df, "id", "grp", 1.0, 200L)
+      .select(col("id"))) == Set("train", "val"))
+  }
+
   test("groupCap survivor set is content-stable under repartitioning") {
     val df = (0 until 60).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "grp")
     val a = TextAnalysis.groupCap(df, "grp", "id", 7)

@@ -57,14 +57,14 @@ object AuditScaleMain {
         Corpus.bm25Score(d, "doc_id", "text", Seq("vector", "hash", "spark")))
       time(s"groupCap       $label",
         TextAnalysis.groupCap(d, "source", "doc_id", 50))
-      // fold the WHOLE projected array into a scalar so no component is
-      // pruned away under count(1) (round-5 review: the bare select
-      // measured a parquet scan, not the dot products)
+      // a FILTER on the folded projection forces the dot products: both a
+      // bare select and an agg(sum) are pruned under count(1) — verified
+      // (round-5 review, twice); a data-dependent predicate cannot be
       time(s"randomProject  $label",
         e.select(aggregate(
             Similarity.randomProject(col("embedding").cast("array<double>"), 64, 8),
             lit(0.0), (a, x) => a + x).as("p"))
-          .agg(sum(col("p")).as("s")))
+          .filter(col("p") > lit(-1e18)))
       val cents = emb.select(col("vec_id").as("_cid"),
           col("embedding").cast("array<double>").as("_cv"))
         .orderBy(col("_cid")).limit(8)
