@@ -341,6 +341,15 @@ class PlanSpec extends AnyFunSuite {
       s"best-match election combines map-side before the id exchange\n$p")
   }
 
+  test("q119 semantic decontamination is ONE anti-join, no aggregate, no nested loop") {
+    val p = plan("q119_semantic_decontam")
+    assert(p.contains("LeftAnti"), s"survivors come from a left-anti join\n$p")
+    assert(!p.contains("HashAggregate") || !p.contains("max_by"),
+      s"no best-match aggregate — the anti-join needs only existence\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket equality must be the hash key, cosine the residual\n$p")
+  }
+
   test("salted join spreads a skewed key and preserves results") {
     import graft.ops.SkewJoin
     val spark2 = spark
