@@ -1390,6 +1390,18 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
     }),
 
+    // ---- Dedup: n-gram containment pairs — the asymmetric dup signal
+    //      (|A∩B|/|A|): a paragraph quoted inside a 100× longer page
+    //      scores ~1% Jaccard but ~100% containment; shares q20/q21's
+    //      shingle cache and rare-shingle index ----
+    "q121_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairsOf(docShingles(s, dir, 5),
+          minContainment = 0.4, maxDf = 10)
+        .select(col("id_small"), col("id_big"),
+          col("size_small").cast("long").as("size_small"),
+          col("size_big").cast("long").as("size_big"),
+          round(col("containment"), 4).as("containment"))),
+
     // ---- Dedup: snapshot delta — the write-back half of q96's
     //      ingestion loop: the batch rows (id, fp) that EXTEND the
     //      fingerprint snapshot (production appends the delta; it never
@@ -3112,5 +3124,28 @@ object SparkEntry {
         |f AS (SELECT fp, min(doc_id) AS first FROM nw GROUP BY fp)
         |SELECT nw.doc_id, nw.fp
         |FROM nw JOIN f USING (fp) LEFT JOIN h ON h.fp = nw.fp
-        |WHERE h.fp IS NULL AND nw.doc_id = f.first""".stripMargin)
+        |WHERE h.fp IS NULL AND nw.doc_id = f.first""".stripMargin,
+
+    // q121: q21's rare-shingle CTEs with the asymmetric containment
+    // metric and the small/big role split
+    "q121_containment" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+        |  ELSE [] END AS sh FROM w),
+        |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 10),
+        |rinv AS (SELECT i.doc_id, i.g FROM inv i JOIN rare r ON i.g = r.g),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM rinv a JOIN rinv b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |f AS (SELECT doc_id, sh, len(sh) AS sz FROM s),
+        |j AS (SELECT id_a, id_b, fa.sz AS sz_a, fb.sz AS sz_b,
+        |             len(list_intersect(fa.sh, fb.sh)) AS common
+        |      FROM cand JOIN f fa ON id_a = fa.doc_id JOIN f fb ON id_b = fb.doc_id)
+        |SELECT CASE WHEN sz_a <= sz_b THEN id_a ELSE id_b END AS id_small,
+        |  CASE WHEN sz_a <= sz_b THEN id_b ELSE id_a END AS id_big,
+        |  CAST(least(sz_a, sz_b) AS BIGINT) AS size_small,
+        |  CAST(greatest(sz_a, sz_b) AS BIGINT) AS size_big,
+        |  round(common / least(sz_a, sz_b), 4) AS containment
+        |FROM j WHERE common / least(sz_a, sz_b) >= 0.4""".stripMargin)
 }

@@ -123,6 +123,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT pairs — the asymmetric cousin of
+    * [[ngramJaccardPairsOf]]: `|A∩B| / |A|`, the fraction of the SMALLER
+    * side's shingles the other document carries. Jaccard misses
+    * subsumption (a paragraph quoted inside a 100× longer page scores
+    * |∩|/|∪| ≈ 1%); containment scores it ≈ 100% — the signal for quote
+    * extraction, subset-document dedup, and "is this doc just a wrapper
+    * around that one". Emitted per ordered role: `id_small` is the
+    * contained side (ties on size → lower id), with both directions'
+    * sizes kept so the caller can post-filter.
+    *
+    * Same scale shape as the Jaccard op: rare-shingle inverted index on
+    * 8-byte hashes proposes, sorted-merge intersect verifies, candidates
+    * dedupe before the wide arrays re-attach. (A doc fully contained in
+    * a hot page still shares its RARE shingles with it — rarity is a
+    * corpus property, not a pair property — so the index proposes
+    * subsumption pairs as readily as near-dup pairs.) */
+  def ngramContainmentPairsOf(withSh: DataFrame, minContainment: Double = 0.0,
+                              maxDf: Int = 100): DataFrame = {
+    val inv = withSh.filter(col("_size") > 0)
+      .select(col("_id"), explode(col("_shh")).as("_h"))
+    val rare = inv.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select(col("_h"))
+    val rareInv = inv.join(rare, Seq("_h"))
+    val cands = rareInv.select(col("_id").as("id_a"), col("_h"))
+      .join(rareInv.select(col("_id").as("id_b"), col("_h")), Seq("_h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val a = withSh.select(col("_id").as("id_a"), col("_shh").as("sh_a"), col("_size").as("size_a"))
+    val b = withSh.select(col("_id").as("id_b"), col("_shh").as("sh_b"), col("_size").as("size_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("common", graft.functions.ArrayExprs.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("containment",
+        col("common") / least(col("size_a"), col("size_b")))
+      .filter(col("containment") >= minContainment)
+      .select(
+        when(col("size_a") <= col("size_b"), col("id_a")).otherwise(col("id_b")).as("id_small"),
+        when(col("size_a") <= col("size_b"), col("id_b")).otherwise(col("id_a")).as("id_big"),
+        least(col("size_a"), col("size_b")).as("size_small"),
+        greatest(col("size_a"), col("size_b")).as("size_big"),
+        col("containment"))
+  }
+
   /** MinHash-LSH candidate pairs verified with exact Jaccard. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,

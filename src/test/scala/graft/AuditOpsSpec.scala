@@ -297,6 +297,33 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(multi == want)
   }
 
+  // ---- Dedup.ngramContainmentPairsOf ----
+
+  test("containment scores subsumption that Jaccard misses") {
+    // doc 1 is doc 0's text verbatim inside a much longer page: its
+    // shingles are a subset, so containment is 1.0 while Jaccard is low
+    val quote = (1 to 8).map(i => s"q$i").mkString(" ")
+    val page = quote + " " + (1 to 60).map(i => s"p$i").mkString(" ")
+    val docs = Seq((0L, quote), (1L, page)).toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val cont = Dedup.ngramContainmentPairsOf(sets, minContainment = 0.9, maxDf = 100)
+      .select(col("id_small"), col("id_big"), col("containment"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont == Seq((0L, 1L, 1.0)), "full quote → containment 1.0, small side first")
+    val jac = Dedup.ngramJaccardPairsOf(sets, minJaccard = 0.0, maxDf = 100)
+      .select(col("jaccard")).as[Double].collect()
+    assert(jac.forall(_ < 0.15), "the same pair is invisible to a Jaccard threshold")
+  }
+
+  test("containment size-tie breaks to the lower id and respects the threshold") {
+    val a = (1 to 6).map(i => s"w$i").mkString(" ")
+    val docs = Seq((5L, a), (9L, a), (7L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairsOf(
+        Dedup.shingleSets(docs, "doc_id", "text", 3), minContainment = 0.5, maxDf = 100)
+      .select(col("id_small"), col("id_big")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 9L)), "equal sizes → lower id is id_small; x-doc shares nothing")
+  }
+
   // ---- Dedup.snapshotDelta ----
 
   test("snapshotDelta emits exactly the kept batch rows with their fingerprints") {
