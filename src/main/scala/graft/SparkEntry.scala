@@ -1402,6 +1402,13 @@ object SparkEntry {
           col("size_big").cast("long").as("size_big"),
           round(col("containment"), 4).as("containment"))),
 
+    // ---- Corpus diff: term drift — the most over/under-represented
+    //      terms in the en slice vs the whole corpus (q86's integer
+    //      micro-ratio per TERM, surfaced as a report) ----
+    "q122_term_drift" -> ((s, dir) =>
+      Corpus.termDrift(tbl(s, dir, "documents"), "text",
+        col("lang") === "en", topK = 20)),
+
     // ---- Dedup: snapshot delta — the write-back half of q96's
     //      ingestion loop: the batch rows (id, fp) that EXTEND the
     //      fingerprint snapshot (production appends the delta; it never
@@ -3147,5 +3154,21 @@ object SparkEntry {
         |  CAST(least(sz_a, sz_b) AS BIGINT) AS size_small,
         |  CAST(greatest(sz_a, sz_b) AS BIGINT) AS size_big,
         |  round(common / least(sz_a, sz_b), 4) AS containment
-        |FROM j WHERE common / least(sz_a, sz_b) >= 0.4""".stripMargin)
+        |FROM j WHERE common / least(sz_a, sz_b) >= 0.4""".stripMargin,
+
+    // q122: q86's smoothed integer micro-ratio per term (// replays
+    // Spark's div exactly), two ordered heads with (ratio, term) ties
+    "q122_term_drift" ->
+      """WITH t AS (SELECT lang = 'en' AS tgt,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents),
+        |tk AS (SELECT * FROM t WHERE w <> ''),
+        |c AS (SELECT w, count(*) AS cs, count(*) FILTER (WHERE tgt) AS ct FROM tk GROUP BY w),
+        |g AS (SELECT sum(cs) AS ts, sum(ct) AS tt, count(*) AS v FROM c),
+        |q AS (SELECT w, cs, ct,
+        |        (1000000 * (ct + 1) * (ts + v)) // ((cs + 1) * (tt + v)) AS q FROM c, g),
+        |o AS (SELECT 'over' AS direction, w, cs, ct, q FROM q ORDER BY q DESC, w LIMIT 20),
+        |u AS (SELECT 'under' AS direction, w, cs, ct, q FROM q ORDER BY q ASC, w LIMIT 20)
+        |SELECT direction, w AS term, CAST(cs AS BIGINT) AS n_total,
+        |  CAST(ct AS BIGINT) AS n_target, CAST(q AS BIGINT) AS lr_micro
+        |FROM (SELECT * FROM o UNION ALL SELECT * FROM u)""".stripMargin)
 }

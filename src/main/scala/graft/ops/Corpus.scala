@@ -387,6 +387,45 @@ object Corpus {
         (col("_sq").cast("double") / col("n_tokens").cast("double")).as("lr_micro"))
   }
 
+  /** Term-drift report — [[dsirWeights]]'s per-TERM quotient table
+    * surfaced for humans: the `topK` most over- and under-represented
+    * terms in the target slice vs the whole corpus, scored by the same
+    * add-one-smoothed integer micro-ratio
+    * `10⁶·(ct+1)(ts+v) div (cs+1)(tt+v)` (bit-exact across engines, no
+    * logs). The dataset-diff diagnostic run between crawl snapshots,
+    * before/after a filter, or across sources: "what did this change
+    * amplify or suppress".
+    *
+    * Scale shape: one explode → one term-keyed count agg (map-side
+    * partials; the table is VOCABULARY-sized — the term strings shuffle
+    * here, unlike dsir's hashed scoring path, because a drift report
+    * keyed by hashes is unreadable), totals broadcast, two
+    * `TakeOrderedAndProject` heads. Ties order by (ratio, term). */
+  def termDrift(docs: DataFrame, textCol: String,
+                isTarget: org.apache.spark.sql.Column, topK: Int): DataFrame = {
+    val toks = Parallelize.ensure(
+        docs.select(col(textCol).as("_t"), isTarget.as("_tgt")))
+      .select(col("_tgt"), explode(TextAnalysis.tokens(col("_t"))).as("_w"))
+      .filter(col("_w") =!= "")
+    val counts = toks.groupBy(col("_w"))
+      .agg(count(lit(1)).as("_cs"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    val totals = counts.agg(sum(col("_cs")).as("_ts"),
+      sum(col("_ct")).as("_tt"), count(lit(1)).as("_v"))
+    val scored = counts.crossJoin(broadcast(totals))
+      .withColumn("_num", lit(1000000L) * (col("_ct") + 1L) * (col("_ts") + col("_v")))
+      .withColumn("_den", (col("_cs") + 1L) * (col("_tt") + col("_v")))
+      .select(col("_w").as("term"), col("_cs").as("n_total"),
+        col("_ct").as("n_target"), expr("_num div _den").as("lr_micro"))
+    val over = scored.orderBy(col("lr_micro").desc, col("term")).limit(topK)
+      .withColumn("direction", lit("over"))
+    val under = scored.orderBy(col("lr_micro").asc, col("term")).limit(topK)
+      .withColumn("direction", lit("under"))
+    over.unionByName(under)
+      .select(col("direction"), col("term"), col("n_total"),
+        col("n_target"), col("lr_micro"))
+  }
+
   /** The highest-weighted term per document by tf·idf, with idf as the
     * LINEAR inverse document frequency N/df.
     *

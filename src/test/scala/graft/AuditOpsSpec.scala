@@ -297,6 +297,34 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(multi == want)
   }
 
+  // ---- Corpus.termDrift ----
+
+  test("termDrift surfaces the terms a slice amplifies and suppresses") {
+    import graft.ops.Corpus
+    // "hot" appears only in the target slice, "cold" only outside it
+    val docs = Seq(
+      (0L, "hot hot shared", "en"), (1L, "hot shared", "en"),
+      (2L, "cold shared", "de"), (3L, "cold cold shared", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = Corpus.termDrift(docs, "text", col("lang") === "en", topK = 1)
+      .select(col("direction"), col("term")).as[(String, String)].collect().toMap
+    assert(got == Map("over" -> "hot", "under" -> "cold"))
+  }
+
+  test("termDrift ratios replay the dsir integer micro-ratio exactly") {
+    import graft.ops.Corpus
+    val docs = Seq((0L, "a a b", "en"), (1L, "b c", "de")).toDF("doc_id", "text", "lang")
+    val got = Corpus.termDrift(docs, "text", col("lang") === "en", topK = 3)
+      .filter(col("direction") === "over")
+      .select(col("term"), col("n_total"), col("n_target"), col("lr_micro"))
+      .as[(String, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // counts: a cs=2 ct=2; b cs=2 ct=1; c cs=1 ct=0; ts=5 tt=3 v=3
+    def q(cs: Long, ct: Long) = 1000000L * (ct + 1) * (5 + 3) / ((cs + 1) * (3 + 3))
+    assert(got("a") == ("a", 2L, 2L, q(2, 2)))
+    assert(got("b") == ("b", 2L, 1L, q(2, 1)))
+    assert(got("c") == ("c", 1L, 0L, q(1, 0)))
+  }
+
   // ---- Dedup.ngramContainmentPairsOf ----
 
   test("containment scores subsumption that Jaccard misses") {
