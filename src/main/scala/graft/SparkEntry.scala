@@ -1402,6 +1402,14 @@ object SparkEntry {
           col("size_big").cast("long").as("size_big"),
           round(col("containment"), 4).as("containment"))),
 
+    // ---- Packing: per-sequence document boundaries — the relative
+    //      fragment starts a trainer masks cross-document attention at
+    //      (q106's assembly, metadata column) ----
+    "q123_seq_boundaries" -> ((s, dir) =>
+      TextAnalysis.sequenceAssemble(tbl(s, dir, "documents"), "doc_id",
+          "text", seqLen = 512)
+        .select(col("seq_id"), col("boundaries"), col("n_docs"))),
+
     // ---- Corpus diff: term drift — the most over/under-represented
     //      terms in the en slice vs the whole corpus (q86's integer
     //      micro-ratio per TERM, surfaced as a report) ----
@@ -3170,5 +3178,24 @@ object SparkEntry {
         |u AS (SELECT 'under' AS direction, w, cs, ct, q FROM q ORDER BY q ASC, w LIMIT 20)
         |SELECT direction, w AS term, CAST(cs AS BIGINT) AS n_total,
         |  CAST(ct AS BIGINT) AS n_target, CAST(q AS BIGINT) AS lr_micro
-        |FROM (SELECT * FROM o UNION ALL SELECT * FROM u)""".stripMargin)
+        |FROM (SELECT * FROM o UNION ALL SELECT * FROM u)""".stripMargin,
+
+    // q123: q106's fragment CTEs; boundaries = fragment starts relative
+    // to the sequence, dash-joined in fragment order
+    "q123_seq_boundaries" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n FROM documents),
+        |o AS (SELECT doc_id, n,
+        |        coalesce(sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM t),
+        |x AS (SELECT doc_id, n, off,
+        |        unnest(generate_series(CAST(off // 512 AS BIGINT),
+        |          CAST((off + n - 1) // 512 AS BIGINT))) AS seq_id
+        |      FROM o),
+        |f AS (SELECT seq_id, greatest(seq_id * 512, off) AS fs FROM x)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+        |  string_agg(CAST(fs - seq_id * 512 AS VARCHAR), '-' ORDER BY fs) AS boundaries,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM f GROUP BY seq_id""".stripMargin)
 }

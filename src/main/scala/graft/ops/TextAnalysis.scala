@@ -335,6 +335,7 @@ object TextAnalysis {
       .withColumn("_fe", least((col("seq_id") + 1) * seqLen,
         col("start_off") + col("n_tokens")))
       .select(col("seq_id"), col("_fs"), (col("_fe") - col("_fs")).as("_fl"),
+        (col("_fs") - col("seq_id") * seqLen).as("_rel"),
         concat_ws(" ", slice(col("_w"),
           (col("_fs") - col("start_off") + 1).cast("int"),
           (col("_fe") - col("_fs")).cast("int"))).as("_frag"))
@@ -343,7 +344,14 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("_fs"), col("_frag")))),
           s => s.getField("_frag"))).as("seq_text"),
         count(lit(1)).as("n_docs"),
-        sum(col("_fl")).as("n_tokens"))
+        sum(col("_fl")).as("n_tokens"),
+        // fragment starts RELATIVE to the sequence, dash-joined — the
+        // attention-mask metadata a trainer needs to stop cross-document
+        // attention inside a packed sequence (a scalar string, not an
+        // array: comparators sort rows by value — the q65 lesson)
+        concat_ws("-", transform(
+          array_sort(collect_list(struct(col("_fs"), col("_rel")))),
+          s => s.getField("_rel"))).as("boundaries"))
   }
 
   /** Core packing with a pluggable stream order. `orderKey` (evaluated

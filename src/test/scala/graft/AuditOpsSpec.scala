@@ -297,6 +297,20 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(multi == want)
   }
 
+  // ---- TextAnalysis.sequenceAssemble boundaries ----
+
+  test("sequence boundaries mark every fragment start, continuations at 0") {
+    // docs of 3/4/5 tokens packed at seqLen 4: token stream positions
+    // doc0=[0,3) doc1=[3,7) doc2=[7,12) → seq0 frags at 0,3; seq1 frags
+    // at 0 (doc1 continuation), 3; seq2 frag at 0 (doc2 continuation)
+    val docs = Seq((0L, "a b c"), (1L, "d e f g"), (2L, "h i j k l"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.sequenceAssemble(docs, "doc_id", "text", seqLen = 4)
+      .select(col("seq_id"), col("boundaries"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "0-3", 1L -> "0-3", 2L -> "0"))
+  }
+
   // ---- Corpus.termDrift ----
 
   test("termDrift surfaces the terms a slice amplifies and suppresses") {
