@@ -1410,6 +1410,13 @@ object SparkEntry {
           "text", seqLen = 512)
         .select(col("seq_id"), col("boundaries"), col("n_docs"))),
 
+    // ---- Corpus diff: exact two-sample KS distance — does the en
+    //      slice's length distribution differ from the rest's? Integer
+    //      numerators throughout, ONE division at the end ----
+    "q124_ks_drift" -> ((s, dir) =>
+      Stats.ksDistance(tbl(s, dir, "documents"), "n_chars",
+        col("lang") === "en")),
+
     // ---- Corpus diff: term drift — the most over/under-represented
     //      terms in the en slice vs the whole corpus (q86's integer
     //      micro-ratio per TERM, surfaced as a report) ----
@@ -3197,5 +3204,21 @@ object SparkEntry {
         |SELECT CAST(seq_id AS BIGINT) AS seq_id,
         |  string_agg(CAST(fs - seq_id * 512 AS VARCHAR), '-' ORDER BY fs) AS boundaries,
         |  CAST(count(*) AS BIGINT) AS n_docs
-        |FROM f GROUP BY seq_id""".stripMargin)
+        |FROM f GROUP BY seq_id""".stripMargin,
+
+    // q124: integer KS — cumulative counts per distinct value, the max
+    // over |cA·nB − cB·nA| exact, one division at the end
+    "q124_ks_drift" ->
+      """WITH c AS (SELECT n_chars AS v,
+        |    count(*) FILTER (WHERE lang = 'en') AS ca,
+        |    count(*) FILTER (WHERE lang <> 'en') AS cb
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+        |k AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+        |        sum(cb) OVER (ORDER BY v) AS cumb FROM c)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |  CAST(max(abs(k.cuma * t.nb - k.cumb * t.na)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(k.cuma * t.nb - k.cumb * t.na)) AS DOUBLE)
+        |    / CAST(t.na * t.nb AS DOUBLE) AS ks
+        |FROM k, t GROUP BY t.na, t.nb""".stripMargin)
 }

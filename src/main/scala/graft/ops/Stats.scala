@@ -94,6 +94,52 @@ object Stats {
         round(min(col("_v")), 2).as("lo"), round(max(col("_v")), 2).as("hi"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance between a slice's and
+    * the rest's distribution of `valCol`: `D = max_x |F_A(x) − F_B(x)|`
+    * — the numeric drift gate next to [[graft.ops.Corpus.termDrift]]'s
+    * text one (did a new crawl snapshot / filter change shift the length
+    * or score distribution?).
+    *
+    * Bit-exact across engines by INTEGER arithmetic throughout:
+    * `D = max |cA·nB − cB·nA| / (nA·nB)` where cA/cB are cumulative
+    * counts at each distinct value — the max runs over exact int64
+    * numerators, and the single IEEE division happens once at the end.
+    * (The float form `max |cA/nA − cB/nB|` accumulates division
+    * differences across engines at every step.)
+    *
+    * Scale shape: one groupBy on the value (map-side partials, output
+    * VALUE-DOMAIN-sized), then a cumulative window over distinct values
+    * — unpartitioned, which is safe for the discrete/bounded domains a
+    * drift gate monitors (lengths, scores, bucket ids: thousands of
+    * rows), the same deliberate group-table-window reasoning as
+    * [[graft.ops.Corpus.temperatureMix]]. For a continuous unbounded
+    * metric, bucketize first ([[equiDepthHistogram]]'s boundaries) and
+    * run the KS over buckets. Returns ONE row:
+    * (n_a, n_b, d_num, ks). */
+  def ksDistance(df: DataFrame, valCol: String,
+                 isA: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(valCol).isNotNull)
+      .select(col(valCol).as("_v"), isA.as("_a"))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_a"), 0L).otherwise(1L)).as("_cb"))
+    val totals = counts.agg(sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("_cuma", sum(col("_ca")).over(w))
+      .withColumn("_cumb", sum(col("_cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("_dnum",
+        abs(col("_cuma") * col("_nb") - col("_cumb") * col("_na")))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        max(col("_dnum")).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
   /** Per-group score calibration: appends `<scoreCol>_cal` =
     * `percent_rank` of the score WITHIN its `groupCol` group — the
     * position of the row in its own group's score distribution, in

@@ -297,6 +297,29 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(multi == want)
   }
 
+  // ---- Stats.ksDistance ----
+
+  test("ksDistance replays the exact integer KS on a hand sample") {
+    import graft.ops.Stats
+    // A = {1,2,2,3}, B = {2,3,3,4}; at v=1: |1·4−0·4|=4; v=2: |3·4−1·4|=8;
+    // v=3: |4·4−3·4|=4; v=4: 0 → D = 8/16 = 0.5
+    val df = (Seq(1, 2, 2, 3).map((_, true)) ++ Seq(2, 3, 3, 4).map((_, false)))
+      .toDF("v", "a")
+    val got = Stats.ksDistance(df, "v", col("a"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((4L, 4L, 8L, 0.5)))
+  }
+
+  test("ksDistance is 0 for identical distributions and ignores nulls") {
+    import graft.ops.Stats
+    val df = Seq((Some(1), true), (Some(2), true), (Some(1), false),
+        (Some(2), false), (None, true))
+      .toDF("v", "a")
+    val got = Stats.ksDistance(df, "v", col("a"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((2L, 2L, 0L, 0.0)))
+  }
+
   // ---- TextAnalysis.sequenceAssemble boundaries ----
 
   test("sequence boundaries mark every fragment start, continuations at 0") {
