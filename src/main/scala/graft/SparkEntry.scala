@@ -1410,6 +1410,12 @@ object SparkEntry {
           "text", seqLen = 512)
         .select(col("seq_id"), col("boundaries"), col("n_docs"))),
 
+    // ---- Dedup: subset dedup — q121's containment made actionable:
+    //      drop docs ≥ 0.4-contained in a larger doc, keep the big side ----
+    "q125_subset_dedup" -> ((s, dir) =>
+      Dedup.subsetDedup(docShingles(s, dir, 5), minContainment = 0.4, maxDf = 10)
+        .select(col("_id").as("doc_id"))),
+
     // ---- Corpus diff: exact two-sample KS distance — does the en
     //      slice's length distribution differ from the rest's? Integer
     //      numerators throughout, ONE division at the end ----
@@ -3220,5 +3226,25 @@ object SparkEntry {
         |  CAST(max(abs(k.cuma * t.nb - k.cumb * t.na)) AS BIGINT) AS d_num,
         |  CAST(max(abs(k.cuma * t.nb - k.cumb * t.na)) AS DOUBLE)
         |    / CAST(t.na * t.nb AS DOUBLE) AS ks
-        |FROM k, t GROUP BY t.na, t.nb""".stripMargin)
+        |FROM k, t GROUP BY t.na, t.nb""".stripMargin,
+
+    // q125: q121's containment CTEs → anti-join the contained side out
+    "q125_subset_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+        |  ELSE [] END AS sh FROM w),
+        |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 10),
+        |rinv AS (SELECT i.doc_id, i.g FROM inv i JOIN rare r ON i.g = r.g),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM rinv a JOIN rinv b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |f AS (SELECT doc_id, sh, len(sh) AS sz FROM s),
+        |j AS (SELECT id_a, id_b, fa.sz AS sz_a, fb.sz AS sz_b,
+        |             len(list_intersect(fa.sh, fb.sh)) AS common
+        |      FROM cand JOIN f fa ON id_a = fa.doc_id JOIN f fb ON id_b = fb.doc_id),
+        |drop AS (SELECT DISTINCT CASE WHEN sz_a <= sz_b THEN id_a ELSE id_b END AS doc_id
+        |         FROM j WHERE common / least(sz_a, sz_b) >= 0.4)
+        |SELECT s.doc_id FROM s LEFT JOIN drop d ON s.doc_id = d.doc_id
+        |WHERE d.doc_id IS NULL""".stripMargin)
 }

@@ -166,6 +166,28 @@ object Dedup {
         col("containment"))
   }
 
+  /** Subset dedup — [[ngramContainmentPairsOf]] made actionable: drop
+    * every document whose shingles are ≥ `minContainment` contained in a
+    * LARGER document (the quote, the excerpt, the wrapper page's inner
+    * article), keep the big side. Size ties drop the higher id (the
+    * containment op's role split), so mutual containment (near-identical
+    * docs) still keeps exactly one copy. Returns surviving (_id)s from
+    * the shingle frame — join back to the corpus for the rows.
+    *
+    * One extra step over the pair op: a LEFT-ANTI of the shingle ids
+    * against the distinct contained side. A doc contained in several
+    * bigger docs appears in the drop set once (distinct); chains (A ⊂ B
+    * ⊂ C) drop A and B — both are genuinely contained in C by
+    * transitivity of the subset relation at containment 1.0, and at
+    * lower thresholds each drop is still individually justified by its
+    * own witness pair. */
+  def subsetDedup(withSh: DataFrame, minContainment: Double,
+                  maxDf: Int = 100): DataFrame = {
+    val dropped = ngramContainmentPairsOf(withSh, minContainment, maxDf)
+      .select(col("id_small").as("_id")).distinct()
+    withSh.select(col("_id")).join(dropped, Seq("_id"), "left_anti")
+  }
+
   /** MinHash-LSH candidate pairs verified with exact Jaccard. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,

@@ -380,6 +380,17 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(jac.forall(_ < 0.15), "the same pair is invisible to a Jaccard threshold")
   }
 
+  test("subsetDedup drops the contained doc, keeps the container, once per chain") {
+    val quote = (1 to 8).map(i => s"q$i").mkString(" ")
+    val page = quote + " " + (1 to 40).map(i => s"p$i").mkString(" ")
+    val other = (1 to 10).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, quote), (1L, page), (2L, other)).toDF("doc_id", "text")
+    val kept = Dedup.subsetDedup(
+        Dedup.shingleSets(docs, "doc_id", "text", 3), minContainment = 0.9, maxDf = 100)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), "the quote is dropped, the page and the unrelated doc stay")
+  }
+
   test("containment size-tie breaks to the lower id and respects the threshold") {
     val a = (1 to 6).map(i => s"w$i").mkString(" ")
     val docs = Seq((5L, a), (9L, a), (7L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
