@@ -108,36 +108,81 @@ object Stats {
     * differences across engines at every step.)
     *
     * Scale shape: one groupBy on the value (map-side partials, output
-    * VALUE-DOMAIN-sized), then a cumulative window over distinct values
-    * — unpartitioned, which is safe for the discrete/bounded domains a
-    * drift gate monitors (lengths, scores, bucket ids: thousands of
-    * rows), the same deliberate group-table-window reasoning as
-    * [[graft.ops.Corpus.temperatureMix]]. For a continuous unbounded
-    * metric, bucketize first ([[equiDepthHistogram]]'s boundaries) and
-    * run the KS over buckets. Returns ONE row:
-    * (n_a, n_b, d_num, ks). */
+    * VALUE-DOMAIN-sized), then the cumulative counts via the repo's
+    * range-partition + driver-prefix-sum discipline
+    * ([[BudgetSelect.selectByBudget]], [[TextAnalysis.sequencePackBy]]):
+    * the distinct-value table range-partitions on the value (partitions
+    * come out in global value order), per-partition (ca, cb) totals are
+    * METADATA (one row per partition — collected and prefix-summed on the
+    * driver), and each partition then computes its own CDF segment under
+    * a window KEYED BY THE PARTITION ID with its offsets broadcast-joined
+    * on. No partition ever sees more than its slice — a CONTINUOUS metric
+    * (quality scores, losses: distinct values ≈ row count) stays
+    * multi-partition instead of funneling the corpus through one task,
+    * which is exactly the advertised drift-gate use.
+    *
+    * Degenerate inputs return ZERO rows, not a null row: KS between an
+    * empty sample and anything is undefined (the n_a·n_b denominator is
+    * 0), and the all-null row Spark's global agg would produce disagrees
+    * with a SQL GROUP BY oracle that yields no groups — so the operator
+    * requires both samples non-empty and says so with an empty frame.
+    *
+    * Driver note: the prefix sums make this operator EAGER (it runs the
+    * aggregation job at call time, like [[BudgetSelect]]). Returns ONE
+    * row: (n_a, n_b, d_num, ks). */
   def ksDistance(df: DataFrame, valCol: String,
-                 isA: org.apache.spark.sql.Column): DataFrame = {
+                 isA: org.apache.spark.sql.Column,
+                 scope: CacheScope = CacheScope.noop): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = df.filter(col(valCol).isNotNull)
+    val sess = df.sparkSession
+    import sess.implicits._
+    // distinct-value count table, range-partitioned by value: _pid decoded
+    // from monotonically_increasing_id's high bits is the physical
+    // partition index (the IdAssign/BudgetSelect idiom — no extra
+    // exchange). Cached: the per-partition totals job and the CDF job both
+    // consume it, and an uncached range exchange could re-sample its
+    // boundaries between the two (shifting rows across _pid values).
+    val counts = scope.track(df.filter(col(valCol).isNotNull)
       .select(col(valCol).as("_v"), isA.as("_a"))
       .groupBy(col("_v"))
       .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
         sum(when(col("_a"), 0L).otherwise(1L)).as("_cb"))
-    val totals = counts.agg(sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
-    val w = Window.orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts
-      .withColumn("_cuma", sum(col("_ca")).over(w))
-      .withColumn("_cumb", sum(col("_cb")).over(w))
-      .crossJoin(broadcast(totals))
-      .withColumn("_dnum",
-        abs(col("_cuma") * col("_nb") - col("_cumb") * col("_na")))
-      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
-        max(col("_dnum")).as("d_num"))
-      .select(col("n_a"), col("n_b"), col("d_num"),
-        (col("d_num").cast("double")
-          / (col("n_a") * col("n_b")).cast("double")).as("ks"))
+      .repartitionByRange(col("_v"))
+      .sortWithinPartitions(col("_v"))
+      .withColumn("_pid", shiftright(monotonically_increasing_id(), 33))
+      .cache())
+    // one job: materializes the cache AND returns per-partition totals —
+    // metadata-sized (≤ one row per partition), the bounded-driver-state
+    // exception
+    val parts = counts.groupBy(col("_pid"))
+      .agg(sum(col("_ca")).as("_ta"), sum(col("_cb")).as("_tb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accA = 0L; var accB = 0L
+    val offs = parts.map { case (pid, ta, tb) =>
+      val o = (pid, accA, accB); accA += ta; accB += tb; o
+    }
+    val (na, nb) = (accA, accB)
+    if (na == 0L || nb == 0L)
+      Seq.empty[(Long, Long, Long, Double)].toDF("n_a", "n_b", "d_num", "ks")
+    else {
+      val offDf = broadcast(offs.toSeq.toDF("_opid", "_offa", "_offb"))
+      // window keyed by the partition id: each window partition holds ONE
+      // range-partition's rows — the CDF is computed in parallel slices,
+      // never through a single global-ordered task
+      val w = Window.partitionBy(col("_pid")).orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.join(offDf, col("_pid") === col("_opid"))
+        .withColumn("_cuma", sum(col("_ca")).over(w) + col("_offa"))
+        .withColumn("_cumb", sum(col("_cb")).over(w) + col("_offb"))
+        .withColumn("_dnum",
+          abs(col("_cuma") * lit(nb) - col("_cumb") * lit(na)))
+        .agg(max(col("_dnum")).as("d_num"))
+        .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("d_num"),
+          (col("d_num").cast("double")
+            / (lit(na) * lit(nb)).cast("double")).as("ks"))
+    }
   }
 
   /** Per-group score calibration: appends `<scoreCol>_cal` =

@@ -320,6 +320,40 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(got == ((2L, 2L, 0L, 0.0)))
   }
 
+  test("ksDistance returns zero rows on empty or one-sided input") {
+    import graft.ops.Stats
+    // a SQL GROUP-BY oracle yields no groups on these inputs; the operator
+    // must agree (zero rows), not emit an all-null or NaN row
+    val empty = Seq.empty[(Option[Int], Boolean)].toDF("v", "a")
+    assert(Stats.ksDistance(empty, "v", col("a")).count() == 0)
+    val oneSided = Seq((1, true), (2, true)).toDF("v", "a")
+    assert(Stats.ksDistance(oneSided, "v", col("a")).count() == 0)
+    val allNull = Seq((Option.empty[Int], true), (None, false)).toDF("v", "a")
+    assert(Stats.ksDistance(allNull, "v", col("a")).count() == 0)
+  }
+
+  test("ksDistance prefix-sum CDF matches a driver replay on a wide domain") {
+    import graft.ops.Stats
+    // domain (997 distinct values) ≫ shuffle partitions: the CDF runs as
+    // per-range-partition windows whose offsets must compose exactly
+    val df = spark.range(5000).select(
+      (col("id") % 997).as("v"), (col("id") % 3 === 0).as("a"))
+    val res = Stats.ksDistance(df, "v", col("a"))
+    // the window must be keyed by the partition id, not global
+    assert(res.queryExecution.optimizedPlan.toString.contains("_pid"))
+    val got = res.as[(Long, Long, Long, Double)].head()
+    val rows = df.as[(Long, Boolean)].collect()
+    val na = rows.count(_._2).toLong
+    val nb = rows.size - na
+    var (ca, cb, best) = (0L, 0L, 0L)
+    for (v <- rows.map(_._1).distinct.sorted) {
+      ca += rows.count(r => r._1 == v && r._2)
+      cb += rows.count(r => r._1 == v && !r._2)
+      best = math.max(best, math.abs(ca * nb - cb * na))
+    }
+    assert(got == ((na, nb, best, best.toDouble / (na * nb).toDouble)))
+  }
+
   // ---- TextAnalysis.sequenceAssemble boundaries ----
 
   test("sequence boundaries mark every fragment start, continuations at 0") {

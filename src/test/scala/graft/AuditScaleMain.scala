@@ -84,6 +84,14 @@ object AuditScaleMain {
         graft.ops.Dedup.snapshotDelta(
           d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
           d.filter(col("doc_id") % 2 === 0), "text"))
+      // CONTINUOUS drift metric (distinct values ≈ row count — the case
+      // the old global-window CDF funneled through one task): the hash
+      // makes every row its own distinct value, so the prefix-sum path
+      // must hold the CDF in parallel range slices
+      time(s"ksDistance     $label",
+        graft.ops.Stats.ksDistance(
+          d.withColumn("_m", xxhash64(col("doc_id"), col("text"))),
+          "_m", col("doc_id") % 2 === 0))
       val queries = emb.filter(col("vec_id") < 5)
       time(s"annRecall      $label", {
         val approx = Similarity.lshTopK(e, "vec_id", "embedding",
