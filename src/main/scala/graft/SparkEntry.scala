@@ -3170,15 +3170,17 @@ object SparkEntry {
         |j AS (SELECT id_a, id_b, fa.sz AS sz_a, fb.sz AS sz_b,
         |             len(list_intersect(fa.sh, fb.sh)) AS common
         |      FROM cand JOIN f fa ON id_a = fa.doc_id JOIN f fb ON id_b = fb.doc_id)
-        |SELECT CASE WHEN sz_a <= sz_b THEN id_a ELSE id_b END AS id_small,
-        |  CASE WHEN sz_a <= sz_b THEN id_b ELSE id_a END AS id_big,
+        |SELECT CASE WHEN sz_a < sz_b THEN id_a ELSE id_b END AS id_small,
+        |  CASE WHEN sz_a < sz_b THEN id_b ELSE id_a END AS id_big,
         |  CAST(least(sz_a, sz_b) AS BIGINT) AS size_small,
         |  CAST(greatest(sz_a, sz_b) AS BIGINT) AS size_big,
         |  round(common / least(sz_a, sz_b), 4) AS containment
         |FROM j WHERE common / least(sz_a, sz_b) >= 0.4""".stripMargin,
 
-    // q122: q86's smoothed integer micro-ratio per term (// replays
-    // Spark's div exactly), two ordered heads with (ratio, term) ties
+    // q122: q86's smoothed micro-ratio per term — exact integer
+    // numerator/denominator (HUGEINT there, decimal(38,0) in Spark: no
+    // int64 overflow at corpus scale), ONE double division; two ordered
+    // heads with (ratio, term) ties
     "q122_term_drift" ->
       """WITH t AS (SELECT lang = 'en' AS tgt,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents),
@@ -3186,11 +3188,12 @@ object SparkEntry {
         |c AS (SELECT w, count(*) AS cs, count(*) FILTER (WHERE tgt) AS ct FROM tk GROUP BY w),
         |g AS (SELECT sum(cs) AS ts, sum(ct) AS tt, count(*) AS v FROM c),
         |q AS (SELECT w, cs, ct,
-        |        (1000000 * (ct + 1) * (ts + v)) // ((cs + 1) * (tt + v)) AS q FROM c, g),
+        |        CAST(1000000 * (ct + 1) * (ts + v) AS DOUBLE)
+        |          / CAST((cs + 1) * (tt + v) AS DOUBLE) AS q FROM c, g),
         |o AS (SELECT 'over' AS direction, w, cs, ct, q FROM q ORDER BY q DESC, w LIMIT 20),
         |u AS (SELECT 'under' AS direction, w, cs, ct, q FROM q ORDER BY q ASC, w LIMIT 20)
         |SELECT direction, w AS term, CAST(cs AS BIGINT) AS n_total,
-        |  CAST(ct AS BIGINT) AS n_target, CAST(q AS BIGINT) AS lr_micro
+        |  CAST(ct AS BIGINT) AS n_target, q AS lr_micro
         |FROM (SELECT * FROM o UNION ALL SELECT * FROM u)""".stripMargin,
 
     // q123: q106's fragment CTEs; boundaries = fragment starts relative
@@ -3243,7 +3246,7 @@ object SparkEntry {
         |j AS (SELECT id_a, id_b, fa.sz AS sz_a, fb.sz AS sz_b,
         |             len(list_intersect(fa.sh, fb.sh)) AS common
         |      FROM cand JOIN f fa ON id_a = fa.doc_id JOIN f fb ON id_b = fb.doc_id),
-        |drop AS (SELECT DISTINCT CASE WHEN sz_a <= sz_b THEN id_a ELSE id_b END AS doc_id
+        |drop AS (SELECT DISTINCT CASE WHEN sz_a < sz_b THEN id_a ELSE id_b END AS doc_id
         |         FROM j WHERE common / least(sz_a, sz_b) >= 0.4)
         |SELECT s.doc_id FROM s LEFT JOIN drop d ON s.doc_id = d.doc_id
         |WHERE d.doc_id IS NULL""".stripMargin)

@@ -115,8 +115,11 @@ object Cluster {
         Seq("_id"))
       .groupBy(col("_comp"))
       .agg(count(lit(1)).as("n_members"),
-        max_by(struct(col("_id"), col("_score")),
-          struct(col("_score"), negate(col("_id")))).as("_best"))
+        // min over (-score, id): highest score, ties to the lowest id —
+        // id stays un-negated, so string doc ids order fine (the generic
+        // contract the minhash/connectedComponents siblings already honor)
+        min_by(struct(col("_id"), col("_score")),
+          struct(negate(col("_score")), col("_id"))).as("_best"))
       .select(col("_comp").as(componentCol), col("_best._id").as("survivor_id"),
         col("_best._score").as("survivor_score"), col("n_members"))
   }

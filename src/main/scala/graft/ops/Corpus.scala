@@ -389,10 +389,12 @@ object Corpus {
 
   /** Term-drift report — [[dsirWeights]]'s per-TERM quotient table
     * surfaced for humans: the `topK` most over- and under-represented
-    * terms in the target slice vs the whole corpus, scored by the same
-    * add-one-smoothed integer micro-ratio
-    * `10⁶·(ct+1)(ts+v) div (cs+1)(tt+v)` (bit-exact across engines, no
-    * logs). The dataset-diff diagnostic run between crawl snapshots,
+    * terms in the target slice vs the whole corpus, scored by the
+    * add-one-smoothed micro-ratio `10⁶·(ct+1)(ts+v) / (cs+1)(tt+v)` —
+    * numerator and denominator exact in decimal(38,0), one IEEE division
+    * at the end (still bit-identical across engines: exact-int-to-double
+    * is correctly rounded in both, no logs involved). The dataset-diff
+    * diagnostic run between crawl snapshots,
     * before/after a filter, or across sources: "what did this change
     * amplify or suppress".
     *
@@ -412,11 +414,22 @@ object Corpus {
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
     val totals = counts.agg(sum(col("_cs")).as("_ts"),
       sum(col("_ct")).as("_tt"), count(lit(1)).as("_v"))
+    // decimal(38,0) intermediates, ONE double division at the end: the
+    // int64 form overflows once (ct+1)·(ts+v) passes ~9.2e18/1e6 — a
+    // ~1e10-token corpus with a ~1e3-frequency term, reachable in the
+    // 100 TB domain this report targets. This is the human-facing report
+    // path (dsirWeights keeps the bit-exact integer quotient for
+    // scoring); exact-int → nearest-double is correctly rounded in both
+    // engines, so the ratio still compares bit-identically.
     val scored = counts.crossJoin(broadcast(totals))
-      .withColumn("_num", lit(1000000L) * (col("_ct") + 1L) * (col("_ts") + col("_v")))
-      .withColumn("_den", (col("_cs") + 1L) * (col("_tt") + col("_v")))
+      .withColumn("_num", lit(1000000L).cast("decimal(38,0)")
+        * (col("_ct") + 1L).cast("decimal(38,0)")
+        * (col("_ts") + col("_v")).cast("decimal(38,0)"))
+      .withColumn("_den", (col("_cs") + 1L).cast("decimal(38,0)")
+        * (col("_tt") + col("_v")).cast("decimal(38,0)"))
       .select(col("_w").as("term"), col("_cs").as("n_total"),
-        col("_ct").as("n_target"), expr("_num div _den").as("lr_micro"))
+        col("_ct").as("n_target"),
+        (col("_num").cast("double") / col("_den").cast("double")).as("lr_micro"))
     val over = scored.orderBy(col("lr_micro").desc, col("term")).limit(topK)
       .withColumn("direction", lit("over"))
     val under = scored.orderBy(col("lr_micro").asc, col("term")).limit(topK)

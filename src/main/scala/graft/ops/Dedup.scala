@@ -138,7 +138,11 @@ object Dedup {
     * dedupe before the wide arrays re-attach. (A doc fully contained in
     * a hot page still shares its RARE shingles with it — rarity is a
     * corpus property, not a pair property — so the index proposes
-    * subsumption pairs as readily as near-dup pairs.) */
+    * subsumption pairs as readily as near-dup pairs.) Size ties make
+    * the HIGHER id the contained side, so [[subsetDedup]]'s drop of
+    * `id_small` keeps the LOWEST id — the repo's canonical min-id
+    * survivor convention (round-5 advice: the previous `<=` split kept
+    * the higher id on mutual containment). */
   def ngramContainmentPairsOf(withSh: DataFrame, minContainment: Double = 0.0,
                               maxDf: Int = 100): DataFrame = {
     val inv = withSh.filter(col("_size") > 0)
@@ -159,8 +163,8 @@ object Dedup {
         col("common") / least(col("size_a"), col("size_b")))
       .filter(col("containment") >= minContainment)
       .select(
-        when(col("size_a") <= col("size_b"), col("id_a")).otherwise(col("id_b")).as("id_small"),
-        when(col("size_a") <= col("size_b"), col("id_b")).otherwise(col("id_a")).as("id_big"),
+        when(col("size_a") < col("size_b"), col("id_a")).otherwise(col("id_b")).as("id_small"),
+        when(col("size_a") < col("size_b"), col("id_b")).otherwise(col("id_a")).as("id_big"),
         least(col("size_a"), col("size_b")).as("size_small"),
         greatest(col("size_a"), col("size_b")).as("size_big"),
         col("containment"))
@@ -169,9 +173,10 @@ object Dedup {
   /** Subset dedup — [[ngramContainmentPairsOf]] made actionable: drop
     * every document whose shingles are ≥ `minContainment` contained in a
     * LARGER document (the quote, the excerpt, the wrapper page's inner
-    * article), keep the big side. Size ties drop the higher id (the
-    * containment op's role split), so mutual containment (near-identical
-    * docs) still keeps exactly one copy. Returns surviving (_id)s from
+    * article), keep the big side. Size ties drop the HIGHER id (the
+    * containment op's `<` role split makes the higher id the contained
+    * side on ties), so mutual containment (near-identical docs) keeps
+    * exactly one copy — the lowest id, the repo's canonical survivor. Returns surviving (_id)s from
     * the shingle frame — join back to the corpus for the rows.
     *
     * One extra step over the pair op: a LEFT-ANTI of the shingle ids
@@ -661,9 +666,12 @@ object Dedup {
       .withColumn("_j", col("_common") / (col("sz_n") + col("sz_h") - col("_common")))
       .filter(col("_j") >= minJaccard)
       .groupBy(col("new_id"))
-      .agg(max(struct(col("_j").as("_j"), negate(col("hist_id")).as("_nh"))).as("_best"))
+      // min_by over (-jaccard, hist_id): best match, ties to the lowest
+      // history id — ids never negated, so string doc ids work too
+      .agg(min_by(struct(col("hist_id"), col("_j")),
+        struct(negate(col("_j")), col("hist_id"))).as("_best"))
       .select(col("new_id").as(idCol),
-        negate(col("_best._nh")).as("hist_id"),
+        col("_best.hist_id").as("hist_id"),
         round(col("_best._j"), 4).as("jaccard"))
   }
 

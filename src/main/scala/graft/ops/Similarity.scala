@@ -371,7 +371,7 @@ object Similarity {
     val cells = e.crossJoin(broadcast(cents))
       .withColumn("_csim", cosine(col("_v"), col("_cv")))
       .groupBy(col("_id"))
-      .agg(max_by(struct(col("_cid"), col("_v")), struct(col("_csim"), negate(col("_cid")))).as("_best"))
+      .agg(min_by(struct(col("_cid"), col("_v")), struct(negate(col("_csim")), col("_cid"))).as("_best"))
       .select(col("_id"), col("_best._cid").as("_cid"),
         pqEncodeWith(col("_best._v"), book).as("_codes"))
 
@@ -421,8 +421,8 @@ object Similarity {
     val cells = e.crossJoin(broadcast(cents))
       .withColumn("_csim", cosine(col("_v"), col("_cv")))
       .groupBy(col("_id"))
-      .agg(max_by(struct(col("_cid"), col("_v"), col("_cv")),
-        struct(col("_csim"), negate(col("_cid")))).as("_best"))
+      .agg(min_by(struct(col("_cid"), col("_v"), col("_cv")),
+        struct(negate(col("_csim")), col("_cid"))).as("_best"))
       // materialize the residual as its OWN attribute before encoding:
       // inlining the zip_with into pqEncodeWith would substitute the
       // 64-element subtraction subtree into every one of the k·dim encode
@@ -522,7 +522,7 @@ object Similarity {
     e.crossJoin(broadcast(cents))
       .withColumn("_csim", cosine(col("_v"), col("_cv")))
       .groupBy(col("_id"))
-      .agg(max_by(col("_cid"), struct(col("_csim"), negate(col("_cid")))).as("cell_id"))
+      .agg(min_by(col("_cid"), struct(negate(col("_csim")), col("_cid"))).as("cell_id"))
       .withColumnRenamed("_id", idCol)
   }
 
@@ -559,11 +559,12 @@ object Similarity {
     // broadcast codebook aggregates with map-side partials and ONE hash
     // shuffle on _id — the row_number() window form costs a sort exchange
     // over the whole corpus. Tie-break matches the window ordering
-    // (_csim desc, _cid asc): lexicographic struct max on (_csim, -_cid).
+    // (_csim desc, _cid asc): lexicographic struct min on (-_csim, _cid)
+    // — the id is never negated, so string cell ids order fine too.
     val cells = e.crossJoin(broadcast(cents))
       .withColumn("_csim", cosine(col("_v"), col("_cv")))
       .groupBy(col("_id"))
-      .agg(max_by(struct(col("_cid"), col("_v")), struct(col("_csim"), negate(col("_cid")))).as("_best"))
+      .agg(min_by(struct(col("_cid"), col("_v")), struct(negate(col("_csim")), col("_cid"))).as("_best"))
       .select(col("_id"), col("_best._cid").as("_cid"), col("_best._v").as("_v"))
 
     // query-side probing keeps the top-nProbe cells per query — a real rank;
@@ -663,8 +664,8 @@ object Similarity {
       .withColumn("_sim", cosine(col("_nv"), col("_hv")))
       .filter(col("_sim") >= minSim)
       .groupBy(col("_nid"))
-      .agg(max_by(struct(col("_hid"), col("_sim")),
-        struct(col("_sim"), negate(col("_hid")))).as("_best"))
+      .agg(min_by(struct(col("_hid"), col("_sim")),
+        struct(negate(col("_sim")), col("_hid"))).as("_best"))
       .select(col("_nid").as(idCol), col("_best._hid").as("hist_id"),
         // + 0.0 after the round: BigDecimal rounding drops a −0.0 sign
         // that C-family engines keep — normalize so comparators that
@@ -744,7 +745,7 @@ object Similarity {
     val cells = scope.track(e.crossJoin(broadcast(cents))
       .withColumn("_csim", cosine(col("_v"), col("_cv")))
       .groupBy(col("_id"))
-      .agg(max_by(struct(col("_cid"), col("_v")), struct(col("_csim"), negate(col("_cid")))).as("_best"))
+      .agg(min_by(struct(col("_cid"), col("_v")), struct(negate(col("_csim")), col("_cid"))).as("_best"))
       .select(col("_id"), col("_best._cid").as("_cid"), col("_best._v").as("_v"))
       .cache())
 

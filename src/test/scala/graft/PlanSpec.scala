@@ -66,10 +66,10 @@ class PlanSpec extends AnyFunSuite {
     // the corpus-side candidate join must be an equi-join on the cell id,
     // not a cartesian product over the vectors
     assert(!p.contains("CartesianProduct"), s"no corpus cartesian product\n$p")
-    // corpus cell assignment is a max_by aggregation (map-side partials, one
+    // corpus cell assignment is a min_by aggregation (map-side partials, one
     // hash shuffle), NOT a row_number window - the window form would sort
     // the whole corpus; windows may only appear on the query side (_qid)
-    assert(p.contains("max_by"), s"cell assignment should aggregate with max_by\n$p")
+    assert(p.contains("min_by"), s"cell assignment should aggregate with min_by\n$p")
     assert(!p.contains("windowspecdefinition(_id#"),
       s"no corpus-partitioned window in the assignment\n$p")
   }
@@ -337,7 +337,7 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q115_incr_embed_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidates come from the bucket equi-join only\n$p")
-    assert(p.contains("partial_max"),
+    assert(p.contains("partial_min"),
       s"best-match election combines map-side before the id exchange\n$p")
   }
 
