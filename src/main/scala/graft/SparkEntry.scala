@@ -1438,6 +1438,37 @@ object SparkEntry {
       val d = tbl(s, dir, "documents")
       Dedup.snapshotDelta(d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         d.filter(col("doc_id") % 2 === 0), "text")
+    }),
+
+    // ---- Incremental near-dups via the STANDING index: q97's probe
+    //      against a prebuilt NearDupIndex (the production consecutive-
+    //      batch shape — history shingled once, probes ride the cached
+    //      frames). Same relational semantics, same oracle as q97 ----
+    "q126_incr_neardup_idx" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val idx = Dedup.buildNearDupIndex(d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 4, rowsPerBand = 2, n = 5)
+      Dedup.incrementalNearDupsWith(d.filter(col("doc_id") % 2 === 1), idx,
+        "doc_id", "text", minJaccard = 0.2)
+    }),
+
+    // ---- Vector twin: q115's probe via a prebuilt EmbedIndex ----
+    "q127_incr_embed_idx" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val idx = Similarity.buildEmbedIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dim = 64, nPlanes = 4)
+      Similarity.incrementalEmbedNearDupsWith(emb.filter(col("vec_id") % 2 === 1),
+        idx, "vec_id", "embedding", minSim = 0.3)
+    }),
+
+    // ---- Fuzzy blocking with the skew cap WIRED (cap far above every
+    //      real block at gate SFs, so output ≡ q94 — the binding
+    //      behavior is spec-tested on an adversarial hot block) ----
+    "q128_fuzzy_capped" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup.fuzzyDupPairs(d, "doc_id", "text",
+        Seq(col("lang"), element_at(split(lower(trim(col("text"))), "\\s+"), 1)),
+        maxEdit = 20, prefixChars = 80, maxBlockSize = 1000000)
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -1829,7 +1860,7 @@ object SparkEntry {
        |SELECT query_id, vec_id, round(cs, 6) AS cos_sim FROM r WHERE rn <= 5""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q65_pq_encode" -> pqOracle,
     "q66_pq_adc" -> pqAdcOracle,
     "q87_ann_rerank" -> pqRerankOracle,
@@ -3250,4 +3281,15 @@ object SparkEntry {
         |         FROM j WHERE common / least(sz_a, sz_b) >= 0.4)
         |SELECT s.doc_id FROM s LEFT JOIN drop d ON s.doc_id = d.doc_id
         |WHERE d.doc_id IS NULL""".stripMargin)
+
+  /** Queries exercising an ALTERNATE engine path of an operator whose
+    * relational semantics — and therefore oracle — are identical to an
+    * existing gate query: the standing-index probes (q126/q127) must
+    * replay q97/q115, and the capped fuzzy blocking (q128, cap above
+    * every real block at gate SFs) must replay q94. One oracle, two
+    * engine paths — divergence between the paths fails the gate. */
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "q126_incr_neardup_idx" -> oracleSqlBase("q97_incr_neardup"),
+    "q127_incr_embed_idx" -> oracleSqlBase("q115_incr_embed_neardup"),
+    "q128_fuzzy_capped" -> oracleSqlBase("q94_fuzzy_pairs"))
 }

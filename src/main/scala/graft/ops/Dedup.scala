@@ -626,6 +626,44 @@ object Dedup {
       .filter(col("verdict") === "kept")
       .select(col("_id").as(idCol), col("_fp").as("fp"))
 
+  /** Standing MinHash-LSH index over a historical corpus: the history
+    * side's shingle-hash sets ([[shingleSets]] output, `_size > 0`) and
+    * its exploded (bucket, id) band stream, both MATERIALIZED (cached;
+    * at cluster scale write both frames to storage and read them back) —
+    * the fuzzy layer's answer to the exact layer's fingerprint snapshot
+    * (q96/q120 discipline). Build once, probe every ingest batch with
+    * [[incrementalNearDupsWith]]: the daily cost becomes shingling the
+    * BATCH, not re-shingling 100 TB of history per probe.
+    *
+    * `shingleFrame` is what the verify stage re-attaches (id, sorted
+    * hashes, size); `bandFrame` is what candidates equi-join on. The
+    * banding parameters ride along so probes band the new side
+    * identically. */
+  final case class NearDupIndex private[ops] (
+      shingleFrame: DataFrame, bandFrame: DataFrame,
+      k: Int, rowsPerBand: Int, n: Int)
+
+  /** Materialize a [[NearDupIndex]] for `history`. One pass: shingle
+    * sets cached by [[shingleSets]], signatures banded once, the band
+    * stream cached on top — consumers across batches hit the caches
+    * instead of recomputing either. */
+  def buildNearDupIndex(history: DataFrame, idCol: String, textCol: String,
+                        k: Int = 4, rowsPerBand: Int = 2, n: Int = 5,
+                        scope: CacheScope = CacheScope.noop): NearDupIndex = {
+    val base = shingleSets(history, idCol, textCol, n, scope).filter(col("_size") > 0)
+    NearDupIndex(base, scope.track(bandStream(base, k, rowsPerBand).cache()),
+      k, rowsPerBand, n)
+  }
+
+  /** (_id, _bucket) band stream of a `_size > 0` [[shingleSets]] frame. */
+  private def bandStream(base: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val withSigs = base.withColumn("_sigs",
+      graft.functions.ShingleExprs.minhashSignature(col("_sh"), k))
+    val sigCols = (0 until k).map(i => element_at(col("_sigs"), i + 1))
+    withSigs.select(col("_id"),
+      explode(array(bandKeys(sigCols, rowsPerBand): _*)).as("_bucket"))
+  }
+
   /** Incremental NEAR-dup probe — [[incrementalDedup]]'s fuzzy layer: for
     * each new document, its best near-duplicate in the historical corpus
     * by MinHash-LSH candidates verified with exact n-gram Jaccard. New
@@ -637,30 +675,38 @@ object Dedup {
     * (bucket, id) projections — never a cross join — and only candidates
     * pay the sorted-hash merge-count verify. Best match per new doc is
     * deterministic: highest Jaccard, ties to the lowest history id.
-    * History shingles once per probe batch here; a standing index
-    * materializes the history side's bands/shingle hashes and reuses
-    * them across batches (the snapshot discipline of the exact layer). */
+    *
+    * This convenience overload shingles the history per call — fine for
+    * a one-off. A PRODUCTION ingest loop probing the same history every
+    * batch should [[buildNearDupIndex]] once and call
+    * [[incrementalNearDupsWith]] per batch instead. */
   def incrementalNearDups(newDocs: DataFrame, history: DataFrame,
                           idCol: String, textCol: String,
                           k: Int = 4, rowsPerBand: Int = 2, n: Int = 5,
                           minJaccard: Double = 0.2,
-                          scope: CacheScope = CacheScope.noop): DataFrame = {
-    def sides(df: DataFrame) = {
-      val base = shingleSets(df, idCol, textCol, n, scope).filter(col("_size") > 0)
-      val withSigs = base.withColumn("_sigs",
-        graft.functions.ShingleExprs.minhashSignature(col("_sh"), k))
-      val sigCols = (0 until k).map(i => element_at(col("_sigs"), i + 1))
-      (base, withSigs.select(col("_id"),
-        explode(array(bandKeys(sigCols, rowsPerBand): _*)).as("_bucket")))
-    }
-    val (newBase, newBands) = sides(newDocs)
-    val (histBase, histBands) = sides(history)
+                          scope: CacheScope = CacheScope.noop): DataFrame =
+    incrementalNearDupsWith(newDocs,
+      buildNearDupIndex(history, idCol, textCol, k, rowsPerBand, n, scope),
+      idCol, textCol, minJaccard, scope)
+
+  /** [[incrementalNearDups]] against a prebuilt [[NearDupIndex]]: only
+    * the NEW batch is shingled and banded — the history side rides the
+    * index's materialized frames, so consecutive batches never trigger a
+    * history re-shingle (plan-asserted in the spec). */
+  def incrementalNearDupsWith(newDocs: DataFrame, index: NearDupIndex,
+                              idCol: String, textCol: String,
+                              minJaccard: Double = 0.2,
+                              scope: CacheScope = CacheScope.noop): DataFrame = {
+    val newBase = shingleSets(newDocs, idCol, textCol, index.n, scope)
+      .filter(col("_size") > 0)
+    val newBands = bandStream(newBase, index.k, index.rowsPerBand)
     val cands = newBands.select(col("_bucket"), col("_id").as("new_id"))
-      .join(histBands.select(col("_bucket"), col("_id").as("hist_id")), Seq("_bucket"))
+      .join(index.bandFrame.select(col("_bucket"), col("_id").as("hist_id")),
+        Seq("_bucket"))
       .select(col("new_id"), col("hist_id"))
       .distinct()
     val nv = newBase.select(col("_id").as("new_id"), col("_shh").as("sh_n"), col("_size").as("sz_n"))
-    val hv = histBase.select(col("_id").as("hist_id"), col("_shh").as("sh_h"), col("_size").as("sz_h"))
+    val hv = index.shingleFrame.select(col("_id").as("hist_id"), col("_shh").as("sh_h"), col("_size").as("sz_h"))
     cands.join(nv, Seq("new_id")).join(hv, Seq("hist_id"))
       .withColumn("_common", graft.functions.ArrayExprs.sortedLongIntersectCount(col("sh_n"), col("sh_h")))
       .withColumn("_j", col("_common") / (col("sz_n") + col("sz_h") - col("_common")))
@@ -750,20 +796,39 @@ object Dedup {
     * quadratic term (the operator never cross-joins the corpus), and the
     * prefix cap bounds each verify at O(prefixChars²) regardless of
     * document length. Skewed blocks are the operator's known hazard —
-    * compose with [[SkewJoin]]'s salting or tighten the key (more
-    * columns) when a block key concentrates; both sides of the self-join
-    * ride the same exchange, so AQE reuses it. */
+    * `maxBlockSize` > 0 is the wired-in escape (the `maxPerBucket`
+    * pattern from [[graft.ops.Similarity.lshNearDupPairs]]): each block
+    * keeps only its first `maxBlockSize` members in id order, so the
+    * per-task pair count is capped at maxBlockSize²/2 even when a
+    * template farm funnels a million near-identical records into one
+    * block key. Deterministic, and an explicit recall trade on oversize
+    * blocks only — blocks at or under the cap are untouched. With the
+    * cap off, tighten the key (more columns) when a block concentrates;
+    * both sides of the self-join ride the same exchange, so AQE reuses
+    * it. */
   def fuzzyDupPairs(df: DataFrame, idCol: String, textCol: String,
                     blockCols: Seq[Column], maxEdit: Int,
-                    prefixChars: Int = 80): DataFrame = {
+                    prefixChars: Int = 80, maxBlockSize: Int = 0): DataFrame = {
     require(maxEdit >= 0, s"maxEdit must be non-negative, got $maxEdit")
     require(prefixChars > 0, s"prefixChars must be positive, got $prefixChars")
     val base = Parallelize.ensure(df.select(
       col(idCol).as("_id"),
       substring(lower(trim(col(textCol))), 1, prefixChars).as("_pfx"),
       struct(blockCols: _*).as("_blk")))
-    val l = base.select(col("_id").as("id1"), col("_pfx").as("_p1"), col("_blk"))
-    val r = base.select(col("_id").as("id2"), col("_pfx").as("_p2"), col("_blk"))
+    val capped =
+      if (maxBlockSize <= 0) base
+      else {
+        // rank within block, keep the first maxBlockSize by id: one
+        // shuffle on the block key (the same exchange the self-join
+        // needs anyway); the rank itself is O(|block| log |block|) per
+        // task — linearithmic, vs the quadratic join it guards
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("_blk")).orderBy(col("_id"))
+        base.withColumn("_bn", row_number().over(w))
+          .filter(col("_bn") <= maxBlockSize).drop("_bn")
+      }
+    val l = capped.select(col("_id").as("id1"), col("_pfx").as("_p1"), col("_blk"))
+    val r = capped.select(col("_id").as("id2"), col("_pfx").as("_p2"), col("_blk"))
     l.join(r, Seq("_blk"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),

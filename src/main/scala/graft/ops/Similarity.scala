@@ -647,20 +647,53 @@ object Similarity {
     * Scale shape: both sides bucket row-local ([[lshBucket]], sized via
     * [[autoPlanes]] for the HISTORY cardinality), candidates come from
     * the bucket equi-join — never a cross join — and only collisions pay
-    * the cosine. Best match per new vector is `max_by` (highest sim,
-    * ties to the lowest history id) — map-side partials, ONE shuffle on
-    * the new-side id. A standing index materializes the history side's
-    * buckets once and reuses them across ingest batches. */
+    * the cosine. Best match per new vector is min_by over (−sim, id)
+    * (highest sim, ties to the lowest history id) — map-side partials,
+    * ONE shuffle on the new-side id.
+    *
+    * This convenience overload buckets the history per call — fine for a
+    * one-off. A production ingest loop should [[buildEmbedIndex]] once
+    * and call [[incrementalEmbedNearDupsWith]] per batch (the standing-
+    * index discipline of the exact fingerprint snapshot). */
   def incrementalEmbedNearDups(newVecs: DataFrame, history: DataFrame,
                                idCol: String, vecCol: String,
                                dim: Int, nPlanes: Int, minSim: Double,
-                               seed: String = "graft"): DataFrame = {
-    def side(df: DataFrame, id: String, v: String) =
-      Parallelize.ensure(
-          df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v)))
-        .withColumn("_bucket", lshBucket(col(v), dim, nPlanes, seed))
-    side(newVecs, "_nid", "_nv")
-      .join(side(history, "_hid", "_hv"), Seq("_bucket"))
+                               seed: String = "graft"): DataFrame =
+    incrementalEmbedNearDupsWith(newVecs,
+      buildEmbedIndex(history, idCol, vecCol, dim, nPlanes, seed),
+      idCol, vecCol, minSim)
+
+  /** Standing LSH bucket index over a historical vector store: the
+    * (id, vector, bucket) frame MATERIALIZED (cached; at cluster scale
+    * a stored table) plus the hashing parameters so probes bucket the
+    * new side under the SAME hyperplanes — the vector twin of
+    * [[graft.ops.Dedup.NearDupIndex]]. Build once, probe every ingest
+    * batch: the daily cost is bucketing the batch, never re-bucketing
+    * the store. */
+  final case class EmbedIndex private[ops] (
+      bucketed: DataFrame, dim: Int, nPlanes: Int, seed: String)
+
+  /** Materialize an [[EmbedIndex]] for `history` (size `nPlanes` via
+    * [[autoPlanes]] on the HISTORY cardinality — expected occupancy is a
+    * property of the store, not the batch). */
+  def buildEmbedIndex(history: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, nPlanes: Int, seed: String = "graft",
+                      scope: CacheScope = CacheScope.noop): EmbedIndex =
+    EmbedIndex(scope.track(Parallelize.ensure(
+        history.select(col(idCol).as("_hid"), col(vecCol).cast("array<double>").as("_hv")))
+      .withColumn("_bucket", lshBucket(col("_hv"), dim, nPlanes, seed))
+      .cache()), dim, nPlanes, seed)
+
+  /** [[incrementalEmbedNearDups]] against a prebuilt [[EmbedIndex]]:
+    * only the batch is bucketed; the store rides the index's cached
+    * frame across consecutive batches. */
+  def incrementalEmbedNearDupsWith(newVecs: DataFrame, index: EmbedIndex,
+                                   idCol: String, vecCol: String,
+                                   minSim: Double): DataFrame = {
+    Parallelize.ensure(
+        newVecs.select(col(idCol).as("_nid"), col(vecCol).cast("array<double>").as("_nv")))
+      .withColumn("_bucket", lshBucket(col("_nv"), index.dim, index.nPlanes, index.seed))
+      .join(index.bucketed, Seq("_bucket"))
       .withColumn("_sim", cosine(col("_nv"), col("_hv")))
       .filter(col("_sim") >= minSim)
       .groupBy(col("_nid"))

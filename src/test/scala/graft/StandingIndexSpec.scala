@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CacheScope, Dedup, Similarity}
+
+/** Round-6 ingestion-loop hardening: the standing near-dup indexes
+  * (text MinHash-LSH and vector LSH) that let consecutive ingest batches
+  * probe ONE materialized history instead of re-shingling/re-bucketing
+  * it per batch, and the skew cap wired into fuzzy blocking. */
+class StandingIndexSpec extends AnyFunSuite {
+  private lazy val spark = Golden.spark
+  import spark.implicits._
+
+  // docs where every third id shares one template text (near-dup fodder)
+  // and the rest are unique
+  private def mkText(i: Int): String =
+    if (i % 3 == 0) "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    else s"unique w$i x$i y$i z$i a$i b$i c$i d$i e$i f$i"
+  private def docs(ids: Range) =
+    ids.map(i => (i.toLong, mkText(i))).toDF("doc_id", "text")
+
+  test("standing text index: two consecutive batches match the per-batch path") {
+    CacheScope.withScope { scope =>
+      val history = docs(0 until 21)
+      val idx = Dedup.buildNearDupIndex(history, "doc_id", "text",
+        k = 4, rowsPerBand = 2, n = 5, scope = scope)
+      for (batch <- Seq(docs(21 until 30), docs(30 until 42))) {
+        val got = Dedup.incrementalNearDupsWith(batch, idx, "doc_id", "text",
+            minJaccard = 0.2, scope = scope)
+          .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+        val want = Dedup.incrementalNearDups(batch, history, "doc_id", "text",
+            k = 4, rowsPerBand = 2, n = 5, minJaccard = 0.2, scope = scope)
+          .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+        assert(got == want && got.nonEmpty)
+      }
+    }
+  }
+
+  test("standing text index probe plan never re-shingles history") {
+    CacheScope.withScope { scope =>
+      val history = docs(0 until 21)
+      val idx = Dedup.buildNearDupIndex(history, "doc_id", "text",
+        k = 4, rowsPerBand = 2, n = 5, scope = scope)
+      // materialize the index (a real ingest loop does this once), then
+      // probe a SECOND batch: its plan must band only the batch side
+      idx.shingleFrame.count(); idx.bandFrame.count()
+      Dedup.incrementalNearDupsWith(docs(21 until 30), idx, "doc_id", "text",
+        minJaccard = 0.2, scope = scope).count()
+      val probe = Dedup.incrementalNearDupsWith(docs(30 until 42), idx,
+        "doc_id", "text", minJaccard = 0.2, scope = scope)
+      // traverse the LOGICAL plan: InMemoryRelation is a leaf there (its
+      // cached recipe is a field, not a child), so a Generate found in
+      // the walk is one that would actually RUN. Exactly one — the
+      // batch's band explode; a history re-shingle would add a second.
+      val plan = probe.queryExecution.optimizedPlan
+      val gens = plan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+      assert(gens.length == 1,
+        s"history must not re-band on a second batch\n$plan")
+      val caches = plan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+      assert(caches.length >= 2,
+        s"history side must ride the materialized index frames\n$plan")
+    }
+  }
+
+  test("standing embed index: two consecutive batches match the per-batch path") {
+    CacheScope.withScope { scope =>
+      def vecs(ids: Range) = ids.map { i =>
+        val base = if (i % 3 == 0) Seq(1.0, 0.2, 0.1, 0.0)
+          else Seq(-1.0, i.toDouble / 100, 1.0, -0.5)
+        (i.toLong, base)
+      }.toDF("vec_id", "embedding")
+      val history = vecs(0 until 21)
+      val idx = Similarity.buildEmbedIndex(history, "vec_id", "embedding",
+        dim = 4, nPlanes = 2, scope = scope)
+      idx.bucketed.count()
+      for (batch <- Seq(vecs(21 until 30), vecs(30 until 42))) {
+        val got = Similarity.incrementalEmbedNearDupsWith(batch, idx,
+            "vec_id", "embedding", minSim = 0.9)
+          .orderBy("vec_id").as[(Long, Long, Double)].collect().toSeq
+        val want = Similarity.incrementalEmbedNearDups(batch, history,
+            "vec_id", "embedding", dim = 4, nPlanes = 2, minSim = 0.9)
+          .orderBy("vec_id").as[(Long, Long, Double)].collect().toSeq
+        assert(got == want && got.nonEmpty)
+        assert(Similarity.incrementalEmbedNearDupsWith(batch, idx,
+          "vec_id", "embedding", minSim = 0.9)
+          .queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      }
+    }
+  }
+
+  // ---- fuzzyDupPairs maxBlockSize ----
+
+  test("fuzzyDupPairs cap bounds the hot block, healthy blocks stay exact") {
+    // adversarial skew: 50 near-identical docs share one block key; two
+    // healthy blocks of 3. Cap 10 → hot-block work is 10²/2, healthy
+    // blocks untouched.
+    val hot = (0 until 50).map(i => (i.toLong, "hot", s"the same template text body $i"))
+    val healthy = Seq(
+      (100L, "a", "apple pie recipe one"), (101L, "a", "apple pie recipe two"),
+      (102L, "a", "apple pie recipe ten"),
+      (200L, "b", "zebra crossing sign x"), (201L, "b", "zebra crossing sign y"),
+      (202L, "b", "totally different content here"))
+    val df = (hot ++ healthy).toDF("doc_id", "lang", "text")
+    val blocks = Seq(col("lang"))
+    val uncapped = Dedup.fuzzyDupPairs(df, "doc_id", "text", blocks, maxEdit = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    val capped = Dedup.fuzzyDupPairs(df, "doc_id", "text", blocks, maxEdit = 5,
+        maxBlockSize = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    def healthyOnly(s: Set[(Long, Long, Int)]) = s.filter(_._1 >= 100L)
+    assert(healthyOnly(capped) == healthyOnly(uncapped),
+      "blocks at or under the cap must be untouched")
+    assert(healthyOnly(uncapped).nonEmpty)
+    // hot block: uncapped = C(50,2) pairs of near-identical text; capped
+    // keeps the first 10 ids → exactly C(10,2), and exactly the pairs of
+    // the 10 lowest ids (deterministic, not sampled)
+    val hotCapped = capped.filter(_._1 < 100L)
+    assert(capped.size < uncapped.size)
+    assert(hotCapped == uncapped.filter(p => p._1 < 10L && p._2 < 10L))
+    assert(hotCapped.size == 45)
+  }
+}
