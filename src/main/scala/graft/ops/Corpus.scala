@@ -535,11 +535,59 @@ object Corpus {
     * Variant notes: initial symbols are characters with no end-of-word
     * marker (merges cannot cross word boundaries by construction);
     * adjacent pairs count overlapping occurrences ("aaa" → (a,a) twice),
-    * matching the reference implementation's counting. */
+    * matching the reference implementation's counting.
+    *
+    * `batchMerges` > 1 (round-5 verdict #5) amortizes the driver
+    * round-trips: a 32k-merge production vocabulary at one Spark job per
+    * merge is 32k scheduling round-trips — hours of pure latency at the
+    * measured 0.3–0.7 s/round. Each round collects the top
+    * `4·batchMerges` pairs once and accepts, in rank order, the longest
+    * PREFIX of pairwise-disjoint pairs, stopping at the FIRST candidate
+    * that shares a symbol with an accepted one; all accepted folds then
+    * apply in ONE rewrite job (rule order immaterial on disjoint rules).
+    *
+    * Why prefix-until-conflict and not skip-and-continue: disjoint
+    * pairs' adjacency counts are invariant under each other's merges (a
+    * merge only consumes its own two symbols and only creates
+    * adjacencies involving its output), so an accepted prefix replays
+    * the sequential recounts — any pair that could STRICTLY outrank a
+    * prefix member after the earlier merges (including newly CREATED
+    * compound pairs, whose count is bounded by some pre-existing
+    * OVERLAPPING pair's count) would itself rank above that member in
+    * the collected list and trigger the stop first. Skipping a
+    * conflicting candidate and continuing instead REORDERS the learned
+    * vocabulary arbitrarily (measured: on a seeded 4-letter corpus the
+    * skip heuristic diverged from sequential at merge 5, electing
+    * (d,b,32) where the sequential recount chooses (b,c,37)).
+    *
+    * The ONE residual divergence class (provable, and measured once on
+    * the sf corpus at merge 26): a compound pair CREATED by an earlier
+    * merge of the same batch can tie a later batch member at EXACTLY
+    * equal count and win the lexicographic tie-break — sequential then
+    * emits the two rules in the opposite order. Exact-tie chains are a
+    * word's internal merge ladder (every pair along "column" counts the
+    * word's frequency), so corpora with mid-vocabulary words hit the
+    * swap occasionally. Catching it would need the compound's exact
+    * count, which only the next round's recount knows — i.e. batch size
+    * 1; every sound static guard collapses to that. The swap exchanges
+    * two symbol-disjoint rules in the rank list, so the rule SET and its
+    * counts are unchanged (BpeBenchMain pins set equality on the real
+    * corpus; the spec pins full sequence equality at M=1 — always exact
+    * — and on the spec corpora at M>1). */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
                minPairCount: Long = 2L,
-               scope: CacheScope = CacheScope.noop): Seq[(String, String, Long)] = {
+               scope: CacheScope = CacheScope.noop,
+               batchMerges: Int = 1): Seq[(String, String, Long)] =
+    bpeTrainWithRounds(docs, textCol, numMerges, minPairCount, scope, batchMerges)._1
+
+  /** [[bpeTrain]] exposing the Spark-round count alongside the rules —
+    * the batching win is rounds, and the bench pins it. */
+  def bpeTrainWithRounds(docs: DataFrame, textCol: String, numMerges: Int,
+                         minPairCount: Long = 2L,
+                         scope: CacheScope = CacheScope.noop,
+                         batchMerges: Int = 1): (Seq[(String, String, Long)], Int) = {
     require(numMerges >= 1, "numMerges must be positive")
+    require(batchMerges >= 1, "batchMerges must be positive")
     val words0 = Parallelize.ensure(docs.select(col(textCol).as("_t")))
       .select(explode(TextAnalysis.tokens(col("_t"))).as("_w"))
       .filter(col("_w") =!= "")
@@ -547,36 +595,59 @@ object Corpus {
       .select(filter(split(col("_w"), ""), s => s =!= "").as("_sym"), col("_f"))
     var words = snapshot(words0, scope)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var rounds = 0
     var continue = true
     while (continue && merges.size < numMerges) {
+      val want = math.min(batchMerges, numMerges - merges.size)
       // sequence(1, 0) counts DOWN in Spark — guard 1-symbol words
       val pairs = when(size(col("_sym")) >= 2,
         transform(sequence(lit(1), size(col("_sym")) - 1), j =>
           struct(element_at(col("_sym"), j).as("a"),
             element_at(col("_sym"), j + 1).as("b"))))
         .otherwise(array().cast("array<struct<a:string,b:string>>"))
-      val best = words.select(col("_f"), explode(pairs).as("_p"))
+      // top 4·want rows (oversampled so overlap rejections can still fill
+      // the batch) — still TakeOrderedAndProject, still bounded driver state
+      val top = words.select(col("_f"), explode(pairs).as("_p"))
         .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
         .agg(sum(col("_f")).as("cnt"))
         .orderBy(desc("cnt"), asc("a"), asc("b"))
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getAs[Long]("cnt") < minPairCount) continue = false
+        .limit(math.max(4 * want, 4)).collect()
+      rounds += 1
+      if (top.isEmpty || top(0).getAs[Long]("cnt") < minPairCount) continue = false
       else {
-        val (a, b) = (best(0).getAs[String]("a"), best(0).getAs[String]("b"))
-        merges += ((a, b, best(0).getAs[Long]("cnt")))
-        // greedy leftmost fold: merge (a,b) wherever the accumulator's
-        // last symbol is a FRESH a (a just-merged "aa" no longer equals
-        // "a", so overlaps resolve left-to-right like reference BPE)
-        val next = snapshot(words.withColumn("_sym",
-          aggregate(col("_sym"), array().cast("array<string>"), (acc, s) =>
+        // longest disjoint PREFIX in rank order; the first conflicting
+        // candidate ends the batch (see the docstring's exactness
+        // argument — skipping it would reorder the vocabulary)
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val it = top.iterator
+        var stop = false
+        while (it.hasNext && accepted.size < want && !stop) {
+          val r = it.next()
+          val (a, b, cnt) = (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt"))
+          if (cnt < minPairCount || used(a) || used(b)) stop = true
+          else {
+            accepted += ((a, b, cnt))
+            used += a; used += b; used += (a + b)
+          }
+        }
+        merges ++= accepted
+        // ONE rewrite job applies every accepted fold, rank order first:
+        // greedy leftmost per rule (a just-merged "aa" no longer equals
+        // "a", so overlaps resolve left-to-right like reference BPE);
+        // disjointness makes the rule order immaterial across rules
+        val folded = accepted.foldLeft(col("_sym")) { case (c, (a, b, _)) =>
+          aggregate(c, array().cast("array<string>"), (acc, s) =>
             when((size(acc) > 0) && (element_at(acc, -1) === lit(a)) && (s === lit(b)),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, array(s))))), scope)
+              .otherwise(concat(acc, array(s))))
+        }
+        val next = snapshot(words.withColumn("_sym", folded), scope)
         words.unpersist()
         words = next
       }
     }
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 
   /** Apply learned [[bpeTrain]] merges to text: (id, tokens). The

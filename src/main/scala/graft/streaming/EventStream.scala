@@ -267,30 +267,78 @@ object EventStream {
     * driver prefix sums, bounded windows) plus ONE narrow count — the
     * offset advance is the batch's exact token total.
     *
-    * The running offset is per query RUN (an in-memory counter seeded by
-    * `initialOffset`): on restart, re-seed with the packed history's
-    * `max(start_off + n_tokens)` — it is NOT recovered from the
-    * checkpoint, the one honest gap vs a stateful-operator rewrite. A
-    * restart that replays the LAST batch overwrites its own directory
-    * (same effectively-once contract as [[sinkBatches]]) but would
-    * re-pack it at the advanced offset — hence the re-seed rule. */
+    * The running offset is CHECKPOINT-RECOVERABLE: every batch writes a
+    * one-row (batch_id, start_off, n_tokens) record to
+    * `<path>/_offsets/batch=<id>` AFTER its data commit
+    * ([[PackOffsetStore]]). A restarted query re-seeds from
+    * `max(start_off + n_tokens)` over the recorded batches, and a
+    * REPLAYED batch (foreachBatch re-delivery after a crash between data
+    * and record, or a restart that re-runs the last uncommitted epoch)
+    * finds its own record — or recomputes the same start from its
+    * predecessors — and overwrites its own directory at the ORIGINAL
+    * offset: the union stays gapless across any stop/start sequence.
+    * `initialOffset` only seeds an empty store (continuing an externally
+    * packed history). */
   def packingSink(stream: DataFrame, idCol: String, textCol: String,
                   seqLen: Int, path: String, checkpoint: String,
                   initialOffset: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery = {
-    val offset = new java.util.concurrent.atomic.AtomicLong(initialOffset)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val start = PackOffsetStore.startFor(
+          PackOffsetStore.read(sess, path), batchId, initialOffset)
         val packed = graft.ops.TextAnalysis.sequencePackFrom(
-          batch.toDF(), idCol, textCol, seqLen, offset.get())
+          batch.toDF(), idCol, textCol, seqLen, start)
         packed.write.mode("overwrite").parquet(s"$path/batch=$batchId")
         val batchTokens = batch.toDF()
           .agg(coalesce(sum(graft.ops.TextAnalysis.tokenCount(col(textCol))), lit(0L)))
           .head().getLong(0)
-        offset.addAndGet(batchTokens)
+        // record LAST: a record's existence implies its data committed,
+        // so a crash between the two replays the batch into the same
+        // directory at the same start
+        PackOffsetStore.record(sess, path, batchId, start, batchTokens)
         ()
       }
       .start()
+  }
+
+  /** [[packingSink]]'s transactional offset ledger: one tiny parquet per
+    * batch under `<path>/_offsets/batch=<id>`, written after the batch's
+    * data commit. State per batch is ONE (batch_id, start_off, n_tokens)
+    * row — driver metadata, read back in one small scan per microbatch
+    * (ledger size = batch count; compact it alongside the data when a
+    * long-lived ingestion accumulates many batches). Overwrite-on-replay
+    * keeps the ledger idempotent under foreachBatch's at-least-once
+    * batch delivery. */
+  private[graft] object PackOffsetStore {
+    /** All recorded (batch_id, start_off, n_tokens), unordered. */
+    def read(spark: SparkSession, path: String): Seq[(Long, Long, Long)] = {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/_offsets")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) Seq.empty
+      else spark.read.parquet(dir.toString)
+        .select(col("batch_id"), col("start_off"), col("n_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+
+    /** The pack start for `batchId`: its own recorded start on replay
+      * (idempotent re-delivery), else the max end of every PRIOR batch —
+      * max-of, not sum-of, so a replayed predecessor's overwritten record
+      * cannot double-count. */
+    def startFor(records: Seq[(Long, Long, Long)], batchId: Long,
+                 initialOffset: Long): Long =
+      records.find(_._1 == batchId).map(_._2).getOrElse(
+        records.collect { case (b, s, n) if b < batchId => s + n }
+          .foldLeft(initialOffset)(math.max))
+
+    def record(spark: SparkSession, path: String, batchId: Long,
+               start: Long, nTokens: Long): Unit = {
+      import spark.implicits._
+      Seq((batchId, start, nTokens)).toDF("batch_id", "start_off", "n_tokens")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/_offsets/batch=$batchId")
+    }
   }
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)

@@ -56,6 +56,23 @@ object BpeBenchMain {
 
     val merges = train(docs, s"train $nDocs docs")
     val merges4x = train(docs4x, s"train ${nDocs * 4} docs (4x replay)")
+    // prefix-batched rounds (round-6): identical vocabulary, fewer driver
+    // round-trips; the fill factor is corpus-dependent — report it
+    CacheScope.withScope { scope =>
+      val t0 = System.nanoTime()
+      val (batched, rounds) = Corpus.bpeTrainWithRounds(docs, "text", nMerges,
+        minPairCount = 2L, scope = scope, batchMerges = 8)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // rule SET + counts must match sequential exactly; the sequence may
+      // swap adjacent equal-count disjoint rules (the documented tie
+      // class — see bpeTrain's docstring)
+      require(batched.toSet == merges.toSet && batched.size == merges.size,
+        "prefix-batched training must learn the sequential rule set")
+      val swaps = batched.zip(merges).count { case (x, y) => x != y }
+      println(f"[bpebench] batched(8): ${batched.size} merges in $rounds rounds " +
+        f"($sec%.1f s; ${batched.size.toDouble / rounds}%.1f merges/round vs 1.0 " +
+        f"sequential; $swaps tie-swapped positions)")
+    }
     // counts scale by exactly 4 (every word is replayed 4x); the learned
     // rule sequence must be identical
     require(merges.map { case (a, b, _) => (a, b) } ==

@@ -84,6 +84,48 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("batched BPE (batchMerges > 1) learns the sequential vocabulary") {
+    // pin: the non-interacting-pair batching must reproduce the
+    // sequential rules AND counts on the spec corpora (disjointness makes
+    // each accepted pair's count exactly the sequential recount)
+    val vocabChars = "abcd"
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(700 + seed)
+      val docs = (0 until 60).map(_ =>
+        (0 until (1 + rng.nextInt(8))).map(_ =>
+          (0 until (1 + rng.nextInt(6))).map(_ =>
+            vocabChars(rng.nextInt(4))).mkString).mkString(" "))
+      CacheScope.withScope { scope =>
+        val seqRules = Corpus.bpeTrain(docs.toDF("text"), "text", 12, 2L, scope)
+        val batched = Corpus.bpeTrain(docs.toDF("text"), "text", 12, 2L, scope,
+          batchMerges = 4)
+        assert(batched == seqRules, s"seed=$seed")
+        assert(seqRules == naiveTrain(wordFreqs(docs), 12, 2L), s"seed=$seed naive")
+      }
+    }
+  }
+
+  test("batched BPE reaches the ruleset in >= 5x fewer Spark rounds") {
+    // letter-disjoint top pairs (the friendly case for prefix batching):
+    // 13 bigram words over distinct letters, strictly descending
+    // frequencies — every batch prefix fills completely
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val docs = (0 until 13).map { k =>
+      val w = s"${letters(2 * k)}${letters(2 * k + 1)}"
+      Seq.fill(100 - 2 * k)(w).mkString(" ")
+    }
+    CacheScope.withScope { scope =>
+      val (seqRules, seqRounds) =
+        Corpus.bpeTrainWithRounds(docs.toDF("text"), "text", 12, 2L, scope, 1)
+      val (batRules, batRounds) =
+        Corpus.bpeTrainWithRounds(docs.toDF("text"), "text", 12, 2L, scope, 8)
+      assert(batRules == seqRules)
+      assert(seqRules.size == 12 && seqRounds == 12, "sequential = one round per merge")
+      assert(batRounds * 5 <= seqRounds,
+        s"batching must amortize rounds: $batRounds vs $seqRounds")
+    }
+  }
+
   test("bpeEncode reproduces the training-time segmentation on the training corpus") {
     val docs = Seq("abab baba abba", "baab abab abab", "bbbb aaaa abab")
     CacheScope.withScope { scope =>

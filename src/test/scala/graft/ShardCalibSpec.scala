@@ -244,6 +244,51 @@ class ShardCalibSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
+  test("packingSink recovers the running offset across a stop/restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.TextAnalysis
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("packsink2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("packckpt2").toString
+    val docs = (1L to 50L).map(i => (i, ("w " * (2 + (i % 9)).toInt).trim))
+    val mem = MemoryStream[(Long, String)]
+    // run 1: two batches, then STOP — the round-5 in-memory AtomicLong
+    // died here and a restart re-packed from the seed, overlapping ids
+    val q1 = graft.streaming.EventStream.packingSink(
+      mem.toDF().toDF("id", "text"), "id", "text", 16, out, ckpt)
+    mem.addData(docs.take(20): _*); q1.processAllAvailable()
+    mem.addData(docs.slice(20, 35): _*); q1.processAllAvailable()
+    q1.stop()
+    // run 2: fresh query object, same checkpoint + sink — the offset
+    // ledger must re-seed at the packed history's end
+    val q2 = graft.streaming.EventStream.packingSink(
+      mem.toDF().toDF("id", "text"), "id", "text", 16, out, ckpt)
+    mem.addData(docs.drop(35): _*); q2.processAllAvailable()
+    q2.stop()
+    val streamed = spark.read.parquet(out)
+      .select(col("id"), col("n_tokens"), col("start_off"), col("seq_first"), col("seq_last"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val batch = TextAnalysis.sequencePack(
+        spark.createDataFrame(docs).toDF("id", "text"), "id", "text", 16)
+      .select(col("id"), col("n_tokens"), col("start_off"), col("seq_first"), col("seq_last"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      "restarted stream must continue the gapless batch-equivalent layout")
+    // ledger semantics directly: a REPLAYED batch reuses its recorded
+    // start (idempotent), a successor seeds at max end, and the seed only
+    // applies to an empty ledger
+    val recs = graft.streaming.EventStream.PackOffsetStore.read(spark, out)
+    assert(recs.map(_._1).sorted == Seq(0L, 1L, 2L))
+    val byId = recs.map(r => r._1 -> r).toMap
+    assert(graft.streaming.EventStream.PackOffsetStore.startFor(recs, 1L, 999L)
+      == byId(1L)._2, "replay must reuse the recorded start, not the seed")
+    assert(graft.streaming.EventStream.PackOffsetStore.startFor(recs, 3L, 0L)
+      == byId(2L)._2 + byId(2L)._3)
+    assert(graft.streaming.EventStream.PackOffsetStore.startFor(Seq.empty, 0L, 42L) == 42L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
   test("datasetCardApprox tracks the exact card within sketch tolerance; exact fields identical") {
     import graft.ops.Corpus
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
