@@ -97,6 +97,14 @@ object Bench {
     val cpus_ = jmap(_._2)
     val total = results.flatMap(_._2).map(_._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"sf":"$sfDir","runs":$runs,"cpu_sec":$cpuSec}""")
+    // compact summary LAST: the harness archives only a bounded tail of
+    // stdout, which in round 5 clipped the wall map out of the big line —
+    // this line always fits the tail and carries the headline evidence
+    val slowest = results.flatMap { case (n, b) => b.map(v => n -> v._1) }
+      .sortBy(-_._2).take(10)
+      .map { case (n, w) => "\"" + n + "\":" + math.round(w * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"summary","total":${math.round(total * 1000) / 1000.0},"cpu_sec":${math.round(cpuSec * 10) / 10.0},"queries_ok":${results.count(_._2.isDefined)},"failed":${failed.size},"slowest":$slowest}""")
     spark.stop()
     // a broken query must fail the bench loudly, not report a fast time
     if (failed.nonEmpty) {

@@ -18,26 +18,53 @@ object Stats {
     * cross-engine semantics) so the fences are bit-identical across
     * engines: both engines sort the group, pick the same two neighbors,
     * and run the same IEEE interpolation/fence arithmetic. Exact
-    * per-group percentiles sort each group's values; at 100 TB swap in
-    * `approx_percentile` (bounded-memory KLL sketch, same plan shape) —
-    * fences move by the sketch error but the operator is otherwise
-    * unchanged.
+    * per-group percentiles sort each group's values; at 100 TB call
+    * [[iqrOutliersApprox]] (bounded-memory rank sketch, same plan
+    * shape) — fences move by the sketch error but the operator is
+    * otherwise unchanged.
     *
     * Plan shape: one groupBy over the narrow (group, value) projection
     * producing a tiny per-group fence table (rows = groups), broadcast
     * back onto the fact scan — the data never shuffles, only the
     * fences do. */
   def iqrOutliers(df: DataFrame, groupCol: String, valCol: String,
-                  k: Double = 1.5): DataFrame = {
+                  k: Double = 1.5): DataFrame =
+    iqrOutliersImpl(df, groupCol, valCol, k, accuracy = 0)
+
+  /** [[iqrOutliers]] on `approx_percentile` — the SELECTABLE 100 TB
+    * flavor (round-5 verdict #6): per-group quartiles come from a
+    * bounded-memory rank sketch (state ∝ `accuracy`, ~accuracy values
+    * per group) instead of the exact percentile's sort of each group's
+    * full value list (state ∝ |group| — fine for gate-sized groups,
+    * executor-memory-bound at 100 TB). Same plan shape; fences move by
+    * at most the sketch's 1/accuracy rank error, so borderline rows near
+    * a fence may flip — the tolerance spec quantifies it at sf0.01. */
+  def iqrOutliersApprox(df: DataFrame, groupCol: String, valCol: String,
+                        k: Double = 1.5, accuracy: Int = 10000): DataFrame = {
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    iqrOutliersImpl(df, groupCol, valCol, k, accuracy)
+  }
+
+  private def iqrOutliersImpl(df: DataFrame, groupCol: String, valCol: String,
+                              k: Double, accuracy: Int): DataFrame = {
     val fences = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile(`$valCol`, 0.25)").as("_p25"),
-           expr(s"percentile(`$valCol`, 0.75)").as("_p75"))
+      .agg(pct(valCol, "0.25", accuracy).as("_p25"),
+           pct(valCol, "0.75", accuracy).as("_p75"))
       .select(col(groupCol),
         (col("_p25") - lit(k) * (col("_p75") - col("_p25"))).as("_lo"),
         (col("_p75") + lit(k) * (col("_p75") - col("_p25"))).as("_hi"))
     df.join(broadcast(fences), Seq(groupCol))
       .filter(col(valCol) < col("_lo") || col(valCol) > col("_hi"))
       .drop("_lo", "_hi")
+  }
+
+  /** `percentile` (exact, accuracy = 0) or `approx_percentile` with the
+    * given sketch accuracy. approx_percentile returns the value type
+    * (not double) — cast so both flavors produce identical schemas. */
+  private def pct(c: String, probs: String, accuracy: Int) = {
+    val castTo = if (probs.startsWith("array")) "array<double>" else "double"
+    if (accuracy <= 0) expr(s"percentile(`$c`, $probs)").cast(castTo)
+    else expr(s"approx_percentile(`$c`, $probs, $accuracy)").cast(castTo)
   }
 
   /** Quartile scores 1–4 for each of `valCols`, appended as
@@ -51,10 +78,25 @@ object Stats {
     * scoring comparisons are codegen'd row-local predicates. Strict `>`
     * makes boundary rows deterministic: a value exactly equal to a
     * quartile takes the lower score in every engine. */
-  def quartileScores(df: DataFrame, valCols: Seq[String]): DataFrame = {
+  def quartileScores(df: DataFrame, valCols: Seq[String]): DataFrame =
+    quartileScoresImpl(df, valCols, accuracy = 0)
+
+  /** [[quartileScores]] on `approx_percentile` (bounded-memory sketch;
+    * see [[iqrOutliersApprox]] for the state-size argument). Scores of
+    * rows whose value sits within the sketch's rank error of a quartile
+    * may shift by one step; the tolerance spec bounds the disagreement
+    * fraction at sf0.01. */
+  def quartileScoresApprox(df: DataFrame, valCols: Seq[String],
+                           accuracy: Int = 10000): DataFrame = {
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    quartileScoresImpl(df, valCols, accuracy)
+  }
+
+  private def quartileScoresImpl(df: DataFrame, valCols: Seq[String],
+                                 accuracy: Int): DataFrame = {
     require(valCols.nonEmpty, "need at least one column to score")
     val qs = df.select(valCols.map(c =>
-      expr(s"percentile(`$c`, array(0.25, 0.5, 0.75))").as(s"_q_$c")): _*)
+      pct(c, "array(0.25, 0.5, 0.75)", accuracy).as(s"_q_$c")): _*)
     val scored = valCols.foldLeft(df.crossJoin(broadcast(qs))) { (d, c) =>
       d.withColumn(s"${c}_score", lit(1)
         + (col(c) > element_at(col(s"_q_$c"), 1)).cast("int")
@@ -73,18 +115,32 @@ object Stats {
     * Boundaries are the exact `(i/k)`-quantiles computed in one tiny
     * aggregate and broadcast; bucket assignment is `1 + Σ (v > qᵢ)` —
     * row-local, no global sort, no `ntile` window (an `ntile` over the
-    * corpus is ONE partition at any scale). At 100 TB swap the exact
-    * percentile for `approx_percentile` (same plan, sketch-bounded
-    * memory); counts then wobble by the sketch error instead of being
-    * exactly k-quantile splits. */
-  def equiDepthHistogram(df: DataFrame, valCol: String, k: Int): DataFrame = {
+    * corpus is ONE partition at any scale). At 100 TB call
+    * [[equiDepthHistogramApprox]] (same plan, sketch-bounded memory);
+    * counts then wobble by the sketch error instead of being exactly
+    * k-quantile splits. */
+  def equiDepthHistogram(df: DataFrame, valCol: String, k: Int): DataFrame =
+    equiDepthHistogramImpl(df, valCol, k, accuracy = 0)
+
+  /** [[equiDepthHistogram]] on `approx_percentile` (bounded-memory
+    * sketch; see [[iqrOutliersApprox]]). Bucket counts wobble by the
+    * sketch's rank error instead of being exact k-quantile splits — the
+    * documented "100 TB swap", now a call instead of a rewrite. */
+  def equiDepthHistogramApprox(df: DataFrame, valCol: String, k: Int,
+                               accuracy: Int = 10000): DataFrame = {
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    equiDepthHistogramImpl(df, valCol, k, accuracy)
+  }
+
+  private def equiDepthHistogramImpl(df: DataFrame, valCol: String, k: Int,
+                                     accuracy: Int): DataFrame = {
     require(k >= 2, "need at least 2 buckets")
     val ps = (1 until k).map(i => i.toDouble / k)
     // drop nulls explicitly: percentile already ignores them, and a null
     // value would otherwise surface as a confusing null bucket row
     val vals = df.filter(col(valCol).isNotNull)
     val bounds = vals.select(
-      expr(s"percentile(`$valCol`, array(${ps.mkString(", ")}))").as("_bs"))
+      pct(valCol, s"array(${ps.mkString(", ")})", accuracy).as("_bs"))
     vals.crossJoin(broadcast(bounds))
       .select(col(valCol).as("_v"),
         (lit(1) + ps.indices.map(i =>
