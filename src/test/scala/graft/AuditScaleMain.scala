@@ -92,6 +92,14 @@ object AuditScaleMain {
         graft.ops.Stats.ksDistance(
           d.withColumn("_m", xxhash64(col("doc_id"), col("text"))),
           "_m", col("doc_id") % 2 === 0))
+      // ONE mega-group with all-distinct scores: the old per-group rank
+      // window put every row through a single task; the tally-table
+      // prefix-sum path must spread it
+      time(s"calibMegaGroup $label",
+        graft.ops.Stats.calibrateScores(
+          d.select(col("doc_id"), lit("g").as("_g"),
+            xxhash64(col("doc_id"), col("text")).cast("double").as("_s")),
+          "_g", "_s"))
       val queries = emb.filter(col("vec_id") < 5)
       time(s"annRecall      $label", {
         val approx = Similarity.lshTopK(e, "vec_id", "embedding",

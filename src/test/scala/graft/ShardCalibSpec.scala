@@ -106,6 +106,26 @@ class ShardCalibSpec extends AnyFunSuite {
     assert(got(6L) == 1.0 && got(7L) == 0.0)
   }
 
+  test("calibrateScores rank path is partition-bounded on a mega-group") {
+    import graft.ops.Stats
+    // one group, 1999 distinct scores over 5000 rows: the rank must come
+    // from the tally-table prefix sums (windows keyed by _cs_pid), never
+    // a whole-group window task
+    val df = spark.range(5000).select(lit("one").as("g"),
+      (col("id") % 1999).cast("double").as("s"))
+    val out = Stats.calibrateScores(df, "g", "s")
+    assert(out.queryExecution.optimizedPlan.toString.contains("_cs_pid"))
+    val got = out.select(col("s"), col("s_cal")).distinct()
+      .as[(Double, Double)].collect().toMap
+    // driver replay: residues 0..1001 occur 3x, 1002..1998 occur 2x
+    def cnt(r: Long) = if (r <= 1001) 3L else 2L
+    var before = 0L
+    for (r <- 0L until 1999L) {
+      assert(got(r.toDouble) == before.toDouble / 4999.0, s"residue $r")
+      before += cnt(r)
+    }
+  }
+
   test("calibrateScores makes a per-source top-30% predicate uniform") {
     // two sources with disjoint score ranges: a global raw threshold
     // would keep only source b; the calibrated threshold keeps ~30% of each
