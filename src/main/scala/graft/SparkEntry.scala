@@ -1461,6 +1461,18 @@ object SparkEntry {
         idx, "vec_id", "embedding", minSim = 0.3)
     }),
 
+    // ---- Bloom-prefiltered incremental dedup: q96's verdicts with the
+    //      O(bits) sketch triaging definite-novel rows off the history
+    //      probe — bit-identical by Bloom's one-sided error, so it runs
+    //      against q96's oracle ----
+    "q129_incr_dedup_bloom" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val hist = d.filter(col("doc_id") % 2 === 0)
+      val bloom = Dedup.bloomSnapshot(hist, "text", expectedItems = 10000L)
+      Dedup.incrementalDedupBloom(d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", hist, "text", bloom)
+    }),
+
     // ---- Fuzzy blocking with the skew cap WIRED (cap far above every
     //      real block at gate SFs, so output ≡ q94 — the binding
     //      behavior is spec-tested on an adversarial hot block) ----
@@ -3291,5 +3303,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "q126_incr_neardup_idx" -> oracleSqlBase("q97_incr_neardup"),
     "q127_incr_embed_idx" -> oracleSqlBase("q115_incr_embed_neardup"),
-    "q128_fuzzy_capped" -> oracleSqlBase("q94_fuzzy_pairs"))
+    "q128_fuzzy_capped" -> oracleSqlBase("q94_fuzzy_pairs"),
+    "q129_incr_dedup_bloom" -> oracleSqlBase("q96_incr_dedup"))
 }

@@ -578,20 +578,32 @@ object Dedup {
       .select(col("_id").as(idCol), col("verdict"))
 
   /** Shared verdict core of [[incrementalDedup]]/[[snapshotDelta]]:
-    * one row per batch doc as (_id, _fp, verdict). */
+    * one row per batch doc as (_id, _fp, verdict). With a
+    * `bloomPrefilter`, only fingerprints the sketch says MIGHT be in
+    * history join the probe set — definitive-novel rows (the common case
+    * on a healthy ingest) never reach the history scan's broadcast, and
+    * Bloom's one-sided error (no false negatives) keeps the verdicts
+    * bit-identical to the unfiltered path. */
   private def incrementalVerdicts(newDocs: DataFrame, idCol: String,
                                   textCol: String, history: DataFrame,
                                   historyTextCol: String,
-                                  scope: CacheScope): DataFrame = {
+                                  scope: CacheScope,
+                                  bloomPrefilter: Option[Array[Byte]] = None): DataFrame = {
     val nfp = scope.track(Parallelize.ensure(newDocs.select(
         col(idCol).as("_id"),
         TextAnalysis.fingerprint(col(textCol)).as("_fp")))
       .cache())
     // batch fingerprints broadcast ONTO history; the semi join keeps only
     // snapshot fingerprints the batch actually mentions — a tiny set
+    val probeFps = bloomPrefilter match {
+      case Some(bytes) => nfp
+        .filter(graft.functions.BloomExprs.mightContain(col("_fp"), bytes))
+        .select(col("_fp")).distinct()
+      case None => nfp.select(col("_fp")).distinct()
+    }
     val hits = history
       .select(TextAnalysis.fingerprint(col(historyTextCol)).as("_fp"))
-      .join(broadcast(nfp.select(col("_fp")).distinct()), Seq("_fp"), "left_semi")
+      .join(broadcast(probeFps), Seq("_fp"), "left_semi")
       .distinct()
       .withColumn("_inHist", lit(true))
     val firsts = nfp.groupBy(col("_fp")).agg(min(col("_id")).as("_first"))
@@ -602,6 +614,58 @@ object Dedup {
           .when(col("_id") === col("_first"), lit("kept"))
           .otherwise(lit("dup_batch")).as("verdict"))
   }
+
+  /** Bloom SNAPSHOT of a corpus's content fingerprints — the O(bits)
+    * sidecar of the exact fingerprint snapshot (q96/q120 discipline):
+    * `n·ln(1/fpp)·1.44` bits regardless of corpus bytes (~120 MB for
+    * 100 M documents at 1 % fpp), built in one distributed pass
+    * (`stat.bloomFilter` merges per-partition sketches) and small enough
+    * to live beside the ingest job like any broadcast dim. Identity is
+    * [[TextAnalysis.fingerprint]] — the SAME identity every exact-layer
+    * operator uses, so the sketch and the snapshot always agree on what
+    * "the same document" means. Returns the serialized sketch. */
+  def bloomSnapshot(history: DataFrame, textCol: String,
+                    expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
+    val bf = history
+      .select(TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+      .stat.bloomFilter("_fp", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Row-local Bloom verdicts for a new batch against a
+    * [[bloomSnapshot]]: `kept` (definitively never seen — Bloom has no
+    * false negatives) or `maybe_dup` (in the sketch: a true duplicate,
+    * or a false positive at ≈ the build fpp). ZERO data movement: the
+    * probe is one codegen'd expression per row against the plan-shipped
+    * sketch — no history I/O, no shuffle, no join. The triage stage of
+    * a 100 TB ingest front door: most of a healthy batch resolves to
+    * `kept` here, and only the maybes proceed to the exact check
+    * ([[incrementalDedupBloom]] composes both). */
+  def bloomVerdicts(newDocs: DataFrame, idCol: String, textCol: String,
+                    bloom: Array[Byte]): DataFrame =
+    newDocs.select(col(idCol),
+      when(graft.functions.BloomExprs.mightContain(
+          TextAnalysis.fingerprint(col(textCol)), bloom),
+        lit("maybe_dup")).otherwise(lit("kept")).as("verdict"))
+
+  /** [[incrementalDedup]] with a [[bloomSnapshot]] prefilter: verdicts
+    * BIT-IDENTICAL to the exact path (one-sided Bloom error — spec-
+    * pinned), but only fingerprints the sketch flags ever reach the
+    * history scan's broadcast probe set. On a healthy ingest (mostly
+    * novel content) that set shrinks from |batch| to the duplicate
+    * count + fpp·|batch| — the difference between broadcasting a
+    * 10 GB batch's fingerprints and broadcasting a few MB. */
+  def incrementalDedupBloom(newDocs: DataFrame, idCol: String, textCol: String,
+                            history: DataFrame, historyTextCol: String,
+                            bloom: Array[Byte],
+                            scope: CacheScope = CacheScope.noop): DataFrame =
+    incrementalVerdicts(newDocs, idCol, textCol, history, historyTextCol,
+      scope, Some(bloom))
+      .select(col("_id").as(idCol), col("verdict"))
 
   /** Snapshot DELTA — the write-back half of the [[incrementalDedup]]
     * ingestion loop: the batch rows that extend the fingerprint snapshot,

@@ -82,6 +82,26 @@ object EventStream {
   def seenFingerprints(docs: DataFrame, textCol: String): DataFrame =
     docs.select(graft.ops.TextAnalysis.fingerprint(col(textCol)).as("_fp")).distinct()
 
+  /** Bloom front door for a stream — [[decontaminateStream]] with the
+    * seen-set collapsed to a [[graft.ops.Dedup.bloomSnapshot]] sketch:
+    * drops every document the sketch flags. NO join at all, not even
+    * stream-static: the probe is one codegen'd row-local expression, so
+    * the microbatch never touches the historical corpus and the gate
+    * costs the same at 100 TB of history as at 100 rows.
+    *
+    * The trade vs the exact gate, stated plainly: Bloom's error is
+    * one-sided in the WRONG direction for a drop decision — a false
+    * positive (≈ the build fpp) drops a GOOD document. Use this gate
+    * where ingest volume dwarfs the value of any single document (web
+    * crawl front door) and the exact gate where it doesn't; or run this
+    * first and route its drops through the exact check instead of
+    * discarding (the [[graft.ops.Dedup.incrementalDedupBloom]]
+    * composition). */
+  def bloomGateStream(docs: DataFrame, textCol: String,
+                      bloom: Array[Byte]): DataFrame =
+    docs.filter(!graft.functions.BloomExprs.mightContain(
+      graft.ops.TextAnalysis.fingerprint(col(textCol)), bloom))
+
   /** Ingest-time boilerplate scrub: strip a KNOWN boilerplate-chunk set
     * (mined from history by [[boilerplateKeys]]) out of every arriving
     * document — headers, footers, license blurbs removed before a byte of
