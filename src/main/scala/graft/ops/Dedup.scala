@@ -719,6 +719,54 @@ object Dedup {
       k, rowsPerBand, n)
   }
 
+  /** Persist a [[NearDupIndex]]: the shingle-HASH frame (the string
+    * shingles are build-time scaffolding — probes intersect `_shh` and
+    * band only the batch side, so they don't ship), the band stream, and
+    * a one-row params table, each as parquet under `path`. This is the
+    * "at cluster scale write both frames to storage" half of the
+    * standing-index contract: the index survives the JVM, and tomorrow's
+    * ingest job [[loadNearDupIndex]]s it instead of re-shingling 100 TB. */
+  def saveNearDupIndex(index: NearDupIndex, path: String): Unit = {
+    val sess = index.shingleFrame.sparkSession
+    import sess.implicits._
+    index.shingleFrame.select(col("_id"), col("_shh"), col("_size"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    index.bandFrame.write.mode("overwrite").parquet(s"$path/bands")
+    Seq((index.k, index.rowsPerBand, index.n))
+      .toDF("k", "rows_per_band", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a [[saveNearDupIndex]]'d index; frames come back cached (the
+    * point of a standing index — every batch of the day probes them). */
+  def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       scope: CacheScope = CacheScope.noop): NearDupIndex = {
+    val p = spark.read.parquet(s"$path/params").head()
+    NearDupIndex(
+      scope.track(spark.read.parquet(s"$path/shingles").cache()),
+      scope.track(spark.read.parquet(s"$path/bands").cache()),
+      p.getAs[Int]("k"), p.getAs[Int]("rows_per_band"), p.getAs[Int]("n"))
+  }
+
+  /** Extend a [[NearDupIndex]] with a newly-ingested batch — the fuzzy
+    * layer's write-back half, mirroring [[snapshotDelta]]'s exact-layer
+    * discipline: shingle/band ONLY the batch and union it onto the
+    * standing frames (in production, append the same projections to the
+    * saved parquet — never rewrite history). Typical loop per batch:
+    * probe with [[incrementalNearDupsWith]], drop/flag, then extend the
+    * index with the kept rows for the next batch. */
+  def extendNearDupIndex(index: NearDupIndex, newDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         scope: CacheScope = CacheScope.noop): NearDupIndex = {
+    val base = shingleSets(newDocs, idCol, textCol, index.n, scope)
+      .filter(col("_size") > 0)
+    index.copy(
+      shingleFrame = index.shingleFrame.select(col("_id"), col("_shh"), col("_size"))
+        .unionByName(base.select(col("_id"), col("_shh"), col("_size"))),
+      bandFrame = index.bandFrame
+        .unionByName(scope.track(bandStream(base, index.k, index.rowsPerBand).cache())))
+  }
+
   /** (_id, _bucket) band stream of a `_size > 0` [[shingleSets]] frame. */
   private def bandStream(base: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val withSigs = base.withColumn("_sigs",

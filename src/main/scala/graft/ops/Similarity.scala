@@ -684,6 +684,36 @@ object Similarity {
       .withColumn("_bucket", lshBucket(col("_hv"), dim, nPlanes, seed))
       .cache()), dim, nPlanes, seed)
 
+  /** Persist an [[EmbedIndex]] (bucketed store + params) as parquet —
+    * the standing index survives the JVM; tomorrow's ingest
+    * [[loadEmbedIndex]]s it instead of re-bucketing the store. */
+  def saveEmbedIndex(index: EmbedIndex, path: String): Unit = {
+    val sess = index.bucketed.sparkSession
+    import sess.implicits._
+    index.bucketed.write.mode("overwrite").parquet(s"$path/buckets")
+    Seq((index.dim, index.nPlanes, index.seed))
+      .toDF("dim", "n_planes", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a [[saveEmbedIndex]]'d index; the store comes back cached. */
+  def loadEmbedIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     scope: CacheScope = CacheScope.noop): EmbedIndex = {
+    val p = spark.read.parquet(s"$path/params").head()
+    EmbedIndex(scope.track(spark.read.parquet(s"$path/buckets").cache()),
+      p.getAs[Int]("dim"), p.getAs[Int]("n_planes"), p.getAs[String]("seed"))
+  }
+
+  /** Extend an [[EmbedIndex]] with a newly-ingested batch: bucket ONLY
+    * the batch under the index's hyperplanes and union (in production,
+    * append the same projection to the saved parquet). */
+  def extendEmbedIndex(index: EmbedIndex, newVecs: DataFrame,
+                       idCol: String, vecCol: String): EmbedIndex =
+    index.copy(bucketed = index.bucketed.unionByName(
+      Parallelize.ensure(newVecs.select(col(idCol).as("_hid"),
+          col(vecCol).cast("array<double>").as("_hv")))
+        .withColumn("_bucket", lshBucket(col("_hv"), index.dim, index.nPlanes, index.seed))))
+
   /** [[incrementalEmbedNearDups]] against a prebuilt [[EmbedIndex]]:
     * only the batch is bucketed; the store rides the index's cached
     * frame across consecutive batches. */

@@ -92,6 +92,22 @@ object AuditScaleMain {
         graft.ops.Stats.ksDistance(
           d.withColumn("_m", xxhash64(col("doc_id"), col("text"))),
           "_m", col("doc_id") % 2 === 0))
+      // standing-index value proposition measured: a small daily batch
+      // probed against K×-replayed history. The per-batch overload pays
+      // the full history re-shingle every probe; the standing index pays
+      // it once (build, timed) and probes ride the cached frames
+      val probeBatch = d.filter(col("doc_id") % 500 === 7)
+        .select((col("doc_id") + lit(100000000L)).as("doc_id"), col("text"))
+      time(s"nearDupPerBatch $label",
+        Dedup.incrementalNearDups(probeBatch, d, "doc_id", "text",
+          k = 4, rowsPerBand = 2, n = 5, minJaccard = 0.2))
+      val ndIdx = Dedup.buildNearDupIndex(d, "doc_id", "text",
+        k = 4, rowsPerBand = 2, n = 5)
+      time(s"nearDupIdxBuild $label",
+        ndIdx.bandFrame.select(count(lit(1))))
+      time(s"nearDupIdxProbe $label",
+        Dedup.incrementalNearDupsWith(probeBatch, ndIdx, "doc_id", "text",
+          minJaccard = 0.2))
       // ONE mega-group with all-distinct scores: the old per-group rank
       // window put every row through a single task; the tally-table
       // prefix-sum path must spread it

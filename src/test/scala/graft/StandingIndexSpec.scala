@@ -92,6 +92,63 @@ class StandingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup index survives save/load and extends batch-by-batch") {
+    CacheScope.withScope { scope =>
+      val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
+      val history = docs(0 until 21)
+      val built = Dedup.buildNearDupIndex(history, "doc_id", "text",
+        k = 4, rowsPerBand = 2, n = 5, scope = scope)
+      Dedup.saveNearDupIndex(built, dir)
+      // a FRESH session-side load (no lineage back to the corpus) must
+      // probe identically to the in-memory build
+      val loaded = Dedup.loadNearDupIndex(spark, dir, scope)
+      assert((loaded.k, loaded.rowsPerBand, loaded.n) == (4, 2, 5))
+      val batch1 = docs(21 until 30)
+      def probe(idx: Dedup.NearDupIndex, b: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalNearDupsWith(b, idx, "doc_id", "text",
+            minJaccard = 0.2, scope = scope)
+          .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+      assert(probe(loaded, batch1) == probe(built, batch1))
+
+      // extend with batch1, then a batch-2 near-dup OF A BATCH-1 DOC must
+      // surface (it is absent from the unextended index)
+      val extended = Dedup.extendNearDupIndex(loaded, batch1, "doc_id", "text", scope)
+      val b1Unique = 22L // 22 % 3 != 0 -> unique text in batch1
+      val echo = Seq((99L, mkText(22))).toDF("doc_id", "text")
+      assert(probe(loaded, echo).isEmpty, "unextended index cannot know batch1")
+      val hits = probe(extended, echo)
+      assert(hits == Seq((99L, b1Unique, 1.0)))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("embed index survives save/load and extends batch-by-batch") {
+    CacheScope.withScope { scope =>
+      val dir = java.nio.file.Files.createTempDirectory("embidx").toString
+      def vecs(ids: Range) = ids.map { i =>
+        (i.toLong, Seq(math.cos(i * 0.7), math.sin(i * 0.7), 0.1 * (i % 3), 0.5))
+      }.toDF("vec_id", "embedding")
+      val built = Similarity.buildEmbedIndex(vecs(0 until 20), "vec_id", "embedding",
+        dim = 4, nPlanes = 3, scope = scope)
+      Similarity.saveEmbedIndex(built, dir)
+      val loaded = Similarity.loadEmbedIndex(spark, dir, scope)
+      assert((loaded.dim, loaded.nPlanes, loaded.seed) == (4, 3, "graft"))
+      val batch = vecs(20 until 28)
+      def probe(idx: Similarity.EmbedIndex, b: org.apache.spark.sql.DataFrame) =
+        Similarity.incrementalEmbedNearDupsWith(b, idx, "vec_id", "embedding",
+            minSim = 0.98)
+          .orderBy("vec_id").as[(Long, Long, Double)].collect().toSeq
+      assert(probe(loaded, batch) == probe(built, batch))
+      // extend with batch; an exact echo of a batch vector must now hit it
+      val extended = Similarity.extendEmbedIndex(loaded, batch, "vec_id", "embedding")
+      val echo = Seq((99L, Seq(math.cos(21 * 0.7), math.sin(21 * 0.7), 0.1 * (21 % 3), 0.5)))
+        .toDF("vec_id", "embedding")
+      assert(probe(loaded, echo).forall(_._2 != 21L))
+      assert(probe(extended, echo).exists(_._2 == 21L))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   // ---- fuzzyDupPairs maxBlockSize ----
 
   test("fuzzyDupPairs cap bounds the hot block, healthy blocks stay exact") {
