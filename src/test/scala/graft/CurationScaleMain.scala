@@ -57,12 +57,20 @@ object CurationScaleMain {
       time(s"tempMix      $label",
         graft.ops.Corpus.temperatureMix(docs, "lang", 0.5, 1000L))
     }
-    // quadratic-by-design: smaller replay, growth factor is the message
+    // quadratic-by-design: smaller replay, growth factor is the message —
+    // and the round-8 maxBlockSize cap is the escape: replication grows
+    // every block K×, but the capped run's per-block work (and the pair
+    // output) stays bounded at the cap no matter how the corpus grows
     val fk = math.max(2, k / 4)
     for ((label, copies) <- Seq("1x" -> 1, s"${fk}x" -> fk)) {
       val docs = replay(copies)
       time(s"fuzzyPairs   $label",
         graft.ops.Dedup.fuzzyDupPairs(docs, "doc_id", "text", blockKey, 20, 80))
+      graft.ops.CacheScope.withScope { scope =>
+        time(s"fuzzyCapped  $label",
+          graft.ops.Dedup.fuzzyDupPairs(docs, "doc_id", "text", blockKey, 20, 80,
+            maxBlockSize = 25, scope = scope))
+      }
     }
     spark.stop()
   }

@@ -335,4 +335,28 @@ class RandomPropertySpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("calibrateScores agrees with naive percent_rank on random grouped scores") {
+    // heavy ties + null groups + singleton groups: the tally-table
+    // prefix-sum ranks must replay (# strictly smaller)/(n-1) exactly
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(900 + seed)
+      val rows = (0 until 300).map { i =>
+        val g = if (rng.nextInt(20) == 0) null
+          else s"g${rng.nextInt(5)}"
+        (i.toLong, g, rng.nextInt(8).toDouble / 2.0)
+      }
+      val want = rows.groupBy(_._2).flatMap { case (_, ms) =>
+        val n = ms.size
+        ms.map { case (id, _, s) =>
+          val smaller = ms.count(_._3 < s)
+          id -> (if (n == 1) 0.0 else smaller.toDouble / (n - 1).toDouble)
+        }
+      }
+      val got = graft.ops.Stats.calibrateScores(
+          rows.toDF("id", "grp", "s"), "grp", "s")
+        .select(col("id"), col("s_cal")).as[(Long, Double)].collect().toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }
