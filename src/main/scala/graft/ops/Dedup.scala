@@ -628,9 +628,15 @@ object Dedup {
                     expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
-    val bf = history
+    val src = history
       .select(TextAnalysis.fingerprint(col(textCol)).as("_fp"))
-      .stat.bloomFilter("_fp", expectedItems, fpp)
+      .na.drop(Seq("_fp"))
+    // Spark 4's stat.bloomFilter NPEs on zero rows (the underlying agg
+    // yields a null buffer); an empty history legitimately means "no
+    // content ever seen" — hand back an empty sketch of the same sizing
+    val bf =
+      if (src.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else src.stat.bloomFilter("_fp", expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

@@ -341,6 +341,17 @@ class PlanSpec extends AnyFunSuite {
       s"best-match election combines map-side before the id exchange\n$p")
   }
 
+  test("q129 bloom prefilter probes row-local below the history semi-join") {
+    val p = plan("q129_incr_dedup_bloom")
+    // the sketch probe must be a plan expression (codegen'd, row-local),
+    // sitting on the batch side that BUILDS the broadcast probe set
+    assert(p.contains("bloom_might_contain"), s"probe expression missing\n$p")
+    // history still joins the (now bloom-shrunk) fingerprint set via a
+    // broadcast left-semi — never a cartesian, never a history shuffle
+    assert(p.contains("LeftSemi"), s"history probe should stay a semi join\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q119 semantic decontamination is ONE anti-join, no aggregate, no nested loop") {
     val p = plan("q119_semantic_decontam")
     assert(p.contains("LeftAnti"), s"survivors come from a left-anti join\n$p")

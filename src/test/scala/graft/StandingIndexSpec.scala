@@ -149,6 +149,38 @@ class StandingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate inputs: empty batches, empty histories, empty blooms") {
+    CacheScope.withScope { scope =>
+      val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val some = docs(0 until 10)
+      // empty batch against a real index → no rows, no error
+      val idx = Dedup.buildNearDupIndex(some, "doc_id", "text", scope = scope)
+      assert(Dedup.incrementalNearDupsWith(none, idx, "doc_id", "text",
+        scope = scope).count() == 0)
+      // real batch against an EMPTY history index → no rows
+      val emptyIdx = Dedup.buildNearDupIndex(none, "doc_id", "text", scope = scope)
+      assert(Dedup.incrementalNearDupsWith(some, emptyIdx, "doc_id", "text",
+        scope = scope).count() == 0)
+      // extending with an empty batch is the identity on probes
+      val ext = Dedup.extendNearDupIndex(idx, none, "doc_id", "text", scope)
+      val probe = docs(10 until 15)
+      assert(Dedup.incrementalNearDupsWith(probe, ext, "doc_id", "text",
+          scope = scope).collect().toSeq
+        == Dedup.incrementalNearDupsWith(probe, idx, "doc_id", "text",
+          scope = scope).collect().toSeq)
+      // bloom of an EMPTY history: everything is definitively kept
+      val bloom = Dedup.bloomSnapshot(none, "text", expectedItems = 10)
+      val v = Dedup.bloomVerdicts(some, "doc_id", "text", bloom)
+        .select(col("verdict")).distinct().as[String].collect().toSeq
+      assert(v == Seq("kept"))
+      // null text fingerprints to null → probe is null-safe (row kept:
+      // a null can't have been ingested before)
+      val withNull = Seq((1L, Option.empty[String]), (2L, Some("x y z")))
+        .toDF("doc_id", "text")
+      assert(Dedup.bloomVerdicts(withNull, "doc_id", "text", bloom).count() == 2)
+    }
+  }
+
   // ---- fuzzyDupPairs maxBlockSize ----
 
   test("fuzzyDupPairs cap bounds the hot block, healthy blocks stay exact") {
