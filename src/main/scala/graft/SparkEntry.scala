@@ -1461,6 +1461,16 @@ object SparkEntry {
         idx, "vec_id", "embedding", minSim = 0.3)
     }),
 
+    // ---- Corpus snapshot diff: what changed between v1 (doc_id % 3
+    //      != 0) and v2 (doc_id % 2 != 0) at content granularity —
+    //      added/removed/kept per fingerprint, copy counts per side;
+    //      only 16-byte fingerprints ever shuffle ----
+    "q130_corpus_diff" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup.corpusDiff(d.filter(col("doc_id") % 3 =!= 0), "text",
+        d.filter(col("doc_id") % 2 =!= 0), "text")
+    }),
+
     // ---- Bloom-prefiltered incremental dedup: q96's verdicts with the
     //      O(bits) sketch triaging definite-novel rows off the history
     //      probe — bit-identical by Bloom's one-sided error, so it runs
@@ -3292,7 +3302,22 @@ object SparkEntry {
         |drop AS (SELECT DISTINCT CASE WHEN sz_a < sz_b THEN id_a ELSE id_b END AS doc_id
         |         FROM j WHERE common / least(sz_a, sz_b) >= 0.4)
         |SELECT s.doc_id FROM s LEFT JOIN drop d ON s.doc_id = d.doc_id
-        |WHERE d.doc_id IS NULL""".stripMargin)
+        |WHERE d.doc_id IS NULL""".stripMargin,
+
+    // q130: per-fingerprint full-outer diff of the two snapshot halves;
+    // same md5 normalization as q96's fingerprint identity
+    "q130_corpus_diff" ->
+      """WITH o AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |             count(*) AS no FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+        |n AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |        count(*) AS nn FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1)
+        |SELECT coalesce(o.fp, n.fp) AS fp,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |       WHEN n.fp IS NULL THEN 'removed'
+        |       ELSE 'kept' END AS status,
+        |  CAST(coalesce(no, 0) AS BIGINT) AS n_old,
+        |  CAST(coalesce(nn, 0) AS BIGINT) AS n_new
+        |FROM o FULL OUTER JOIN n ON o.fp = n.fp""".stripMargin)
 
   /** Queries exercising an ALTERNATE engine path of an operator whose
     * relational semantics — and therefore oracle — are identical to an

@@ -615,6 +615,36 @@ object Dedup {
           .otherwise(lit("dup_batch")).as("verdict"))
   }
 
+  /** Corpus snapshot DIFF — the release-audit question "what changed
+    * between corpus v1 and v2" answered at CONTENT granularity: one row
+    * per distinct fingerprint with each version's copy count and a
+    * verdict — `added` (only in new), `removed` (only in old), `kept`
+    * (in both; counts may still differ — dedup ran, copies shifted).
+    * Identity is [[TextAnalysis.fingerprint]], the same identity the
+    * whole exact-dedup family uses. The summary a curator reads next to
+    * [[graft.ops.Corpus.termDrift]] (what the change did to content) and
+    * [[graft.ops.Stats.ksDistance]] (what it did to distributions).
+    *
+    * Scale shape: each side collapses to its distinct-fingerprint count
+    * table with map-side partials (text never shuffles — only 16-byte
+    * fingerprints move), then ONE full-outer equi-join on the
+    * fingerprint. Both inputs at 100 TB cost two fingerprint shuffles
+    * total. */
+  def corpusDiff(oldDocs: DataFrame, oldTextCol: String,
+                 newDocs: DataFrame, newTextCol: String): DataFrame = {
+    def side(df: DataFrame, c: String, as: String) =
+      df.select(TextAnalysis.fingerprint(col(c)).as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as(as))
+    side(oldDocs, oldTextCol, "_no").join(
+        side(newDocs, newTextCol, "_nn"), Seq("fp"), "full_outer")
+      .select(col("fp"),
+        when(col("_no").isNull, lit("added"))
+          .when(col("_nn").isNull, lit("removed"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("_no"), lit(0L)).as("n_old"),
+        coalesce(col("_nn"), lit(0L)).as("n_new"))
+  }
+
   /** Bloom SNAPSHOT of a corpus's content fingerprints — the O(bits)
     * sidecar of the exact fingerprint snapshot (q96/q120 discipline):
     * `n·ln(1/fpp)·1.44` bits regardless of corpus bytes (~120 MB for

@@ -460,6 +460,20 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(kept == Seq(2L), "three identical docs → min id survives")
   }
 
+  test("corpusDiff classifies added/removed/kept content with copy counts") {
+    val v1 = Seq((0L, "alpha text"), (1L, "beta text"), (2L, "beta  TEXT"),
+      (3L, "gamma text")).toDF("id", "text")
+    val v2 = Seq((0L, "Alpha   text"), (1L, "delta text"), (2L, "beta text"))
+      .toDF("id", "text")
+    val got = Dedup.corpusDiff(v1, "text", v2, "text")
+      .select(col("status"), col("n_old"), col("n_new"))
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    // alpha kept 1→1 (normalization folds case/whitespace), beta kept 2→1,
+    // gamma removed, delta added
+    assert(got == Seq(("added", 0L, 1L), ("kept", 1L, 1L), ("kept", 2L, 1L),
+      ("removed", 1L, 0L)))
+  }
+
   // ---- Dedup.snapshotDelta ----
 
   test("snapshotDelta emits exactly the kept batch rows with their fingerprints") {
