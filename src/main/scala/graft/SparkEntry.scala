@@ -1478,7 +1478,12 @@ object SparkEntry {
     "q129_incr_dedup_bloom" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       val hist = d.filter(col("doc_id") % 2 === 0)
-      val bloom = Dedup.bloomSnapshot(hist, "text", expectedItems = 10000L)
+      // sketch capacity SIZED FROM THE HISTORY (one narrow count): a
+      // constant saturates at larger SFs (fpp → 1, the prefilter passes
+      // everything — verdicts stay right by one-sided error, but the
+      // bench would measure a degenerate sketch)
+      val bloom = Dedup.bloomSnapshot(hist, "text",
+        expectedItems = math.max(1000L, hist.count()))
       Dedup.incrementalDedupBloom(d.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", hist, "text", bloom)
     }),

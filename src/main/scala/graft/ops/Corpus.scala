@@ -625,7 +625,12 @@ object Corpus {
         while (it.hasNext && accepted.size < want && !stop) {
           val r = it.next()
           val (a, b, cnt) = (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt"))
-          if (cnt < minPairCount || used(a) || used(b)) stop = true
+          // used(a + b): a candidate whose OUTPUT equals an accepted
+          // symbol is a conflict too — its merge mints fresh copies of
+          // that symbol, changing accepted pairs' adjacency counts (the
+          // reverse order was always caught via used += a+b; the guard
+          // must be symmetric)
+          if (cnt < minPairCount || used(a) || used(b) || used(a + b)) stop = true
           else {
             accepted += ((a, b, cnt))
             used += a; used += b; used += (a + b)
@@ -770,29 +775,47 @@ object Corpus {
     * this gives exact COUNTS, which is what a mixing budget demands). A
     * group whose allocation exceeds its size contributes all its docs.
     *
-    * Scale shape: the mixing table comes from [[temperatureMix]] (one
-    * narrow count shuffle + group-table windows) and broadcasts; the
-    * per-group rank is a window partitioned by group over the corpus —
-    * a real sort, priced accordingly, and the skew hazard of a dominant
-    * group is the window's partition (mitigate with a composite group
-    * key, or fall back to hash-threshold RATE sampling when exact counts
-    * aren't worth a sort of the corpus). */
+    * Scale shape (round-7: the per-group rank window removed — the
+    * allocation limit is a COLUMN, so `WindowGroupLimit` can never prune
+    * below the shuffle the way [[TextAnalysis.groupCap]]'s literal cap
+    * does, and the op's intended use is corpus mixing where the DOMINANT
+    * source's allocation is millions of docs: a window partitioned by
+    * group would funnel most of the corpus through one task's sort).
+    * Instead: the mixing table from [[temperatureMix]] is GROUP-
+    * cardinality metadata (dozens of rows — collected), and the draw is
+    * [[BudgetSelect.selectByBudgetPerGroup]] with unit cost — running
+    * COUNT ≤ alloc in salted-md5 order is exactly "first alloc rows per
+    * group". The corpus pays one range exchange on (group, md5, id);
+    * per-(partition, group) counts are driver metadata; whole cells pass
+    * with a codegen'd filter and only each group's single boundary cell
+    * runs a window, keyed by (partition, group) — a dominant group's
+    * draw spans MANY partitions instead of one task
+    * (CurationScaleMain's dominant-group replay row pins it).
+    *
+    * Driver note: the collected mix table and BudgetSelect's prefix sums
+    * make this operator EAGER at call time (like [[Stats.calibrateScores]]).
+    * Complete actions on the result before `scope` closes. */
   def temperatureSample(docs: DataFrame, idCol: String, groupCol: String,
                         alpha: Double, budget: Long,
-                        seed: String = "graft-temp"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val mix = temperatureMix(docs, groupCol, alpha, budget)
-      .select(col(groupCol), col("alloc"))
+                        seed: String = "graft-temp",
+                        scope: CacheScope = CacheScope.noop): DataFrame = {
+    // group-cardinality metadata by definition (a mixing table row per
+    // source/language) — the bounded-driver-state exception
+    val allocs = temperatureMix(docs, groupCol, alpha, budget)
+      .select(col(groupCol).cast("string").as("_g"), col("alloc"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .toMap
     // salted permutation (the groupCap lesson): ranking by unsalted
     // md5(id) would keep exactly the below-threshold hashes hashSplit
     // puts in train — a group sampled at < the train share would land
-    // 100% of its draw inside the train split when the two compose
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), col(idCol))
-    docs.select(col(idCol), col(groupCol))
-      .withColumn("_rn", row_number().over(w))
-      .join(broadcast(mix), Seq(groupCol))
-      .filter(col("_rn") <= col("alloc"))
+    // 100% of its draw inside the train split when the two compose.
+    // A null group never matches the mix table (equi-join semantics of
+    // the old form, budget-less under the new) — dropped either way.
+    BudgetSelect.selectByBudgetPerGroup(
+        docs.select(col(idCol), col(groupCol)).withColumn("_ts_one", lit(1L)),
+        groupCol, "_ts_one", allocs, scope,
+        md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), col(idCol))
       .select(col(idCol), col(groupCol))
   }
 }

@@ -936,9 +936,11 @@ object Dedup {
     * overkill and edit distance is the right metric. Classic blocking:
     * candidates are pairs agreeing on a cheap deterministic block key
     * (here `blockCols`, e.g. language + first token), and only
-    * within-block pairs pay the O(len²) Levenshtein verify on a bounded
-    * `prefixChars` prefix. Pairs are emitted once (id1 < id2) with their
-    * distance ≤ maxEdit.
+    * within-block pairs pay the Levenshtein verify on a bounded
+    * `prefixChars` prefix — the BANDED 3-arg form, whose DP abandons a
+    * pair the moment every path exceeds `maxEdit`, so each verify is
+    * O(prefixChars·maxEdit), not O(prefixChars²). Pairs are emitted once
+    * (id1 < id2) with their exact distance ≤ maxEdit.
     *
     * Scale shape: one shuffle on the block key; block sizes bound the
     * quadratic term (the operator never cross-joins the corpus), and the
@@ -985,8 +987,13 @@ object Dedup {
     val r = capped.select(col("_id").as("id2"), col("_pfx").as("_p2"), col("_blk"))
     l.join(r, Seq("_blk"))
       .filter(col("id1") < col("id2"))
+      // 3-arg banded levenshtein: the DP early-exits once a row's minimum
+      // exceeds maxEdit, turning each verify from O(prefix²) into
+      // O(prefix·maxEdit) — on the hottest loop of the operator, for free
+      // (distance > maxEdit returns −1, which the >= 0 filter drops; a
+      // within-band distance is EXACT, so outputs are unchanged)
       .select(col("id1"), col("id2"),
-        levenshtein(col("_p1"), col("_p2")).as("edit_dist"))
-      .filter(col("edit_dist") <= maxEdit)
+        levenshtein(col("_p1"), col("_p2"), maxEdit).as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
   }
 }

@@ -185,7 +185,16 @@ object Stats {
     *
     * Driver note: the prefix sums make this operator EAGER (it runs the
     * aggregation job at call time, like [[BudgetSelect]]). Returns ONE
-    * row: (n_a, n_b, d_num, ks). */
+    * row: (n_a, n_b, d_num, ks).
+    *
+    * CACHE-LIFETIME HAZARD (the [[IdAssign]] snapshot contract, restated
+    * because correctness rides on it here too): the returned frame's
+    * `_pid` values are only meaningful against the CACHED range exchange
+    * the driver offsets were collected from. Run every action on the
+    * result BEFORE the owning `scope` closes/unpersists — a re-evaluation
+    * after unpersist may re-sample range boundaries, shifting rows across
+    * `_pid` values while the joined offsets stay stale, silently
+    * mis-summing the CDF. */
   def ksDistance(df: DataFrame, valCol: String,
                  isA: org.apache.spark.sql.Column,
                  scope: CacheScope = CacheScope.noop): DataFrame = {
@@ -277,13 +286,28 @@ object Stats {
     * groups pin 0.0).
     *
     * Driver note: the prefix sums make this operator EAGER at call time
-    * (like [[BudgetSelect]]). */
+    * (like [[BudgetSelect]]).
+    *
+    * CACHE-LIFETIME HAZARD (see [[ksDistance]] — same mechanism): the
+    * result joins driver-collected per-`_cs_pid` offsets against the
+    * CACHED range exchange they were collected from. Complete every
+    * action on the result before the owning `scope` closes; re-evaluating
+    * after unpersist can re-sample range boundaries and pair rows with
+    * stale offsets. */
   def calibrateScores(df: DataFrame, groupCol: String, scoreCol: String,
                       scope: CacheScope = CacheScope.noop): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
     val sess = df.sparkSession
     import sess.implicits._
-    val g = col(groupCol).cast("string")
+    // float group keys: + 0.0 folds IEEE −0.0 into +0.0 BEFORE the string
+    // cast ("−0.0" and "0.0" would otherwise split one group in two —
+    // the window percent_rank this op replays partitions them together)
+    val g = (df.schema(groupCol).dataType match {
+      case DoubleType => col(groupCol) + lit(0.0d)
+      case FloatType  => col(groupCol) + lit(0.0f)
+      case _          => col(groupCol)
+    }).cast("string")
     // distinct (group, score) tallies, range-partitioned so each group's
     // scores are contiguous and ordered across partitions; cached — the
     // cell-total job and the rank job must see one set of boundaries

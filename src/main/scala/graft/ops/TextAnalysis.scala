@@ -183,9 +183,18 @@ object TextAnalysis {
     * hash a DIFFERENT keyspace; the seed makes that explicit.
     *
     * Scale shape: one shuffle on the group key and a per-group
-    * `row_number` window — no global window, and AQE splits a skewed
-    * group's sort spill. Returns the surviving rows with their
-    * `cap_rank` (1-based priority order within the group). */
+    * `row_number` window — no global window. What protects a SKEWED
+    * group is `WindowGroupLimit`: the literal `cap_rank <= cap` filter
+    * lets Spark push a partial per-group top-`cap` BELOW the exchange
+    * (each map task forwards at most `cap` rows per group it sees), so a
+    * million-row group never funnels through one task's sort. That
+    * pushdown only fires while `cap` stays at or under
+    * `spark.sql.window.group.limit.threshold` (default 1000) — keep the
+    * cap within it, or raise the conf alongside; PlanSpec pins the
+    * partial limit below the exchange so a regression is caught. (AQE
+    * does NOT split window partitions — the limit rule is the actual
+    * mechanism.) Returns the surviving rows with their `cap_rank`
+    * (1-based priority order within the group). */
   def groupCap(df: DataFrame, groupCol: String, keyCol: String,
                cap: Int, seed: String = "graft-cap"): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")

@@ -96,11 +96,17 @@ object EventStream {
     * crawl front door) and the exact gate where it doesn't; or run this
     * first and route its drops through the exact check instead of
     * discarding (the [[graft.ops.Dedup.incrementalDedupBloom]]
-    * composition). */
+    * composition).
+    *
+    * Null text KEEPS the row (`coalesce(..., true)`): a null fingerprint
+    * makes the probe null, and a bare filter would silently drop the row
+    * — where [[decontaminateStream]]'s left-anti join keeps it (null
+    * never equi-joins). The two gates are documented as drop-in
+    * replacements, so they must agree on null text. */
   def bloomGateStream(docs: DataFrame, textCol: String,
                       bloom: Array[Byte]): DataFrame =
-    docs.filter(!graft.functions.BloomExprs.mightContain(
-      graft.ops.TextAnalysis.fingerprint(col(textCol)), bloom))
+    docs.filter(coalesce(!graft.functions.BloomExprs.mightContain(
+      graft.ops.TextAnalysis.fingerprint(col(textCol)), bloom), lit(true)))
 
   /** Ingest-time boilerplate scrub: strip a KNOWN boilerplate-chunk set
     * (mined from history by [[boilerplateKeys]]) out of every arriving

@@ -257,6 +257,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("temperatureSample (BudgetSelect form) replays the per-group window draw on a skewed corpus") {
+    import org.apache.spark.sql.expressions.Window
+    // one dominant group (90%), two tails — the shape the round-7 rewrite
+    // exists for; equality against the old window form proves the range-
+    // partitioned running count picks the SAME first-alloc rows per group
+    val docs = (0L until 1000L).map { i =>
+      (i, if (i % 10 == 0) (if (i % 20 == 0) "de" else "fr") else "en")
+    }.toDF("doc_id", "grp")
+    // budget sized so every group's allocation fits its membership
+    // (en≈204 of 900, fr/de≈48 of 50) — the draw then sums EXACTLY
+    val budget = 300L
+    val mix = Corpus.temperatureMix(docs, "grp", 0.5, budget)
+      .select(col("grp"), col("alloc"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(md5(concat(lit("graft-temp|"), col("doc_id").cast("string"))), col("doc_id"))
+    val reference = docs.withColumn("_rn", row_number().over(w))
+      .join(broadcast(mix), Seq("grp"))
+      .filter(col("_rn") <= col("alloc"))
+      .select("doc_id").as[Long].collect().toSet
+    val got = Corpus.temperatureSample(docs, "doc_id", "grp", 0.5, budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == reference)
+    assert(got.size == budget, "largest-remainder allocations sum exactly to the budget")
+  }
+
   test("curation operators drop null-text rows instead of failing") {
     val docs = Seq((0L, "a b c d", "en"), (1L, null, "en"), (2L, "a b", "de"))
       .toDF("doc_id", "text", "lang")

@@ -57,6 +57,54 @@ object CurationScaleMain {
       time(s"tempMix      $label",
         graft.ops.Corpus.temperatureMix(docs, "lang", 0.5, 1000L))
     }
+    // round-7: temperatureSample's mega-group fix — ONE dominant group
+    // (~98% of docs land in "en") at replay scale. The old per-group
+    // window form (inlined below as the A/B reference) funnels the
+    // dominant group's entire membership through ONE task's sort because
+    // its alloc limit is a column (WindowGroupLimit can never prune);
+    // the shipped BudgetSelect form range-partitions the group across
+    // the cluster — the printed pid spread is the direct evidence.
+    def windowedSample(docs: DataFrame, budget: Long): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val mix = graft.ops.Corpus.temperatureMix(docs, "lang", 0.5, budget)
+        .select(col("lang"), col("alloc"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("graft-temp|"), col("doc_id").cast("string"))), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"))
+        .withColumn("_rn", row_number().over(w))
+        .join(broadcast(mix), Seq("lang"))
+        .filter(col("_rn") <= col("alloc"))
+        .select(col("doc_id"), col("lang"))
+    }
+    // AQE coalescing OFF for this section (the BudgetSelectSpec pattern):
+    // the replayed corpus is megabytes, so AQE folds the range exchange
+    // to ONE partition and the harness would measure a collapse that
+    // cannot happen at 100 TB (where every range partition is at target
+    // size). The claim under test is the partition SPREAD of the
+    // dominant group's rank — keep the exchange honest.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    for ((label, copies) <- Seq("1x" -> 1, s"${k}x" -> k)) {
+      val docs = replay(copies).withColumn("lang",
+        when(col("doc_id") % 50 === 0, col("lang")).otherwise(lit("en")))
+      val budget = n * copies / 2
+      graft.ops.CacheScope.withScope { scope =>
+        time(s"tempSample budget $label",
+          graft.ops.Corpus.temperatureSample(docs, "doc_id", "lang", 0.5, budget,
+            scope = scope))
+      }
+      // the rank's partition spread for the dominant group under the
+      // shipped form's range exchange (the windowed form's spread is 1
+      // by construction)
+      val pids = docs.select(col("doc_id"), col("lang"))
+        .repartitionByRange(col("lang").cast("string"),
+          md5(concat(lit("graft-temp|"), col("doc_id").cast("string"))), col("doc_id"))
+        .withColumn("_pid", shiftright(monotonically_increasing_id(), 33))
+        .filter(col("lang") === "en")
+        .select(countDistinct(col("_pid"))).head().getLong(0)
+      println(s"SCALE tempSample dominant-group range-partition spread $label: $pids pids")
+      time(s"tempSample window $label", windowedSample(docs, budget))
+    }
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     // quadratic-by-design: smaller replay, growth factor is the message —
     // and the round-8 maxBlockSize cap is the escape: replication grows
     // every block K×, but the capped run's per-block work (and the pair
