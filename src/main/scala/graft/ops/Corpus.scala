@@ -510,6 +510,23 @@ object Corpus {
   private def snapshot(df: DataFrame, scope: CacheScope): DataFrame =
     scope.track(df.sparkSession.createDataFrame(df.rdd, df.schema).cache())
 
+  /** [[snapshot]] that ALSO truncates the physical RDD lineage with an
+    * eager localCheckpoint. The per-round snapshots cut the LOGICAL plan,
+    * but each round still appends a few frames to the task-serialized
+    * RDD chain, and ~50+ rounds overflow the deserialization stack
+    * (StackOverflowError, measured at the round-7 1k-merge BPE bench).
+    * Interposed every 16 rounds — cheap, the words table is
+    * vocabulary-sized and already materialized each round. (The
+    * checkpointed blocks free on RDD GC rather than through the scope —
+    * bounded: one vocab-sized copy per 16 rounds, superseded as the
+    * previous one goes unreachable.) */
+  private def snapshotCut(df: DataFrame, scope: CacheScope): DataFrame = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    rdd.count() // first job materializes the checkpoint and cuts the chain
+    scope.track(df.sparkSession.createDataFrame(rdd, df.schema).cache())
+  }
+
   /** Distributed byte-pair-encoding vocabulary training (Sennrich et al.):
     * learn `numMerges` symbol merges from the corpus, most-frequent
     * adjacent pair first — the tokenizer-training step of an LLM data
@@ -560,20 +577,27 @@ object Corpus {
     * skip heuristic diverged from sequential at merge 5, electing
     * (d,b,32) where the sequential recount chooses (b,c,37)).
     *
-    * The ONE residual divergence class (provable, and measured once on
-    * the sf corpus at merge 26): a compound pair CREATED by an earlier
-    * merge of the same batch can tie a later batch member at EXACTLY
-    * equal count and win the lexicographic tie-break — sequential then
-    * emits the two rules in the opposite order. Exact-tie chains are a
-    * word's internal merge ladder (every pair along "column" counts the
-    * word's frequency), so corpora with mid-vocabulary words hit the
-    * swap occasionally. Catching it would need the compound's exact
-    * count, which only the next round's recount knows — i.e. batch size
-    * 1; every sound static guard collapses to that. The swap exchanges
-    * two symbol-disjoint rules in the rank list, so the rule SET and its
-    * counts are unchanged (BpeBenchMain pins set equality on the real
-    * corpus; the spec pins full sequence equality at M=1 — always exact
-    * — and on the spec corpora at M>1). */
+    * The exact-tie leak, and how the TIE-GROUP SCAN closes it (round-7;
+    * round 6 shipped this as a documented residual divergence): a
+    * compound pair CREATED by an earlier merge of the same batch can tie
+    * a later batch member at EXACTLY equal count and win the
+    * lexicographic tie-break — on the regenerated sf corpus the batch
+    * accepted (lu,m) where sequential elects the (c,o)-enabled compound
+    * (co,lu) at the same count, a different rule SET (the "column"
+    * ladder forks), not just a swap. The compound is invisible to the
+    * list (it doesn't exist until the merge applies), but its count is
+    * BOUNDED by a pre-batch pair that overlaps the accepted merge
+    * ((x·ab) by (x,a); (ab·x) by (b,x)) — and that bounding pair IS in
+    * the list, at-or-above the tied candidate. Strictly above → the
+    * prefix iteration hits it and stops before the candidate; exactly
+    * tied → it may sort lexicographically after the candidate, so the
+    * accept loop scans the candidate's ENTIRE tie group (before
+    * accepting from it, and again after every acceptance) and ends the
+    * batch on any conflict — with a degrade-to-1 fallback when the tie
+    * group is truncated by the collect limit. With the scan, batched
+    * training reproduces the sequential rule SEQUENCE exactly
+    * (BpeBenchMain pins it on the real corpus at 1k merges; the spec on
+    * seeded corpora at M>1). */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
                minPairCount: Long = 2L,
                scope: CacheScope = CacheScope.noop,
@@ -618,23 +642,71 @@ object Corpus {
         // longest disjoint PREFIX in rank order; the first conflicting
         // candidate ends the batch (see the docstring's exactness
         // argument — skipping it would reorder the vocabulary)
+        val entries = top.map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+          r.getAs[Long]("cnt"))).toSeq
         val used = scala.collection.mutable.Set.empty[String]
         val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        val it = top.iterator
+        val acceptedPairs = scala.collection.mutable.Set.empty[(String, String)]
+        // used(a + b): a candidate whose OUTPUT equals an accepted symbol
+        // is a conflict too — its merge mints fresh copies of that
+        // symbol, changing accepted pairs' adjacency counts (the reverse
+        // order was always caught via used += a+b; the guard is
+        // symmetric)
+        def conflicts(a: String, b: String): Boolean =
+          used(a) || used(b) || used(a + b)
+        // the TIE-GROUP scan (round-7; closes what round 6 documented as
+        // the residual divergence class): a compound pair CREATED by an
+        // accepted merge (a,b) — (x·ab) or (ab·x) — is bounded by a
+        // pre-batch pair that OVERLAPS (a,b) ((x,a) resp. (b,x)), so a
+        // compound can only outrank a later candidate if some conflicting
+        // entry sits at-or-above that candidate's count in THIS collected
+        // list. Strictly above → the iteration hits it first and stops;
+        // EXACTLY TIED → it may sit after the candidate in lex order,
+        // which is the leak: the batch accepts the candidate while the
+        // sequential recount elects the lex-smaller compound (measured on
+        // the regenerated sf corpus: batch took (lu,m) where sequential
+        // takes the (c,o)-enabled compound (co,lu) at the same count —
+        // a different rule SET, not just a swap). So before touching a
+        // tie group, scan the WHOLE group for conflicts, and rescan
+        // after every acceptance; any hit ends the batch at the group.
+        // With it, batched == sequential as a SEQUENCE — the earlier
+        // "every sound static guard collapses to batch size 1" claim was
+        // wrong, because the bounding pair is always visible in the list.
+        def groupConflicted(cnt: Long): Boolean =
+          entries.exists(e => e._3 == cnt && !acceptedPairs((e._1, e._2))
+            && conflicts(e._1, e._2))
+        // a tie group running into the collect limit may be TRUNCATED —
+        // its unseen tail can't be scanned, so it can't be accepted from
+        def groupTruncated(cnt: Long): Boolean =
+          entries.length == math.max(4 * want, 4) && entries.last._3 == cnt
+        val it = entries.iterator
         var stop = false
+        var curCnt = -1L
         while (it.hasNext && accepted.size < want && !stop) {
-          val r = it.next()
-          val (a, b, cnt) = (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt"))
-          // used(a + b): a candidate whose OUTPUT equals an accepted
-          // symbol is a conflict too — its merge mints fresh copies of
-          // that symbol, changing accepted pairs' adjacency counts (the
-          // reverse order was always caught via used += a+b; the guard
-          // must be symmetric)
-          if (cnt < minPairCount || used(a) || used(b) || used(a + b)) stop = true
+          val (a, b, cnt) = it.next()
+          if (cnt < minPairCount) stop = true
           else {
-            accepted += ((a, b, cnt))
-            used += a; used += b; used += (a + b)
+            if (cnt != curCnt) {
+              curCnt = cnt
+              if (groupConflicted(cnt) || groupTruncated(cnt)) stop = true
+            }
+            if (!stop) {
+              if (conflicts(a, b)) stop = true
+              else {
+                accepted += ((a, b, cnt))
+                acceptedPairs += ((a, b))
+                used += a; used += b; used += (a + b)
+                if (groupConflicted(cnt)) stop = true
+              }
+            }
           }
+        }
+        if (accepted.isEmpty && top(0).getAs[Long]("cnt") >= minPairCount) {
+          // the head's own tie group was truncated by the collect limit:
+          // degrade to batch size 1 for this round — the list head IS the
+          // sequential election, so accepting it alone is always exact
+          val r = top(0)
+          accepted += ((r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt")))
         }
         merges ++= accepted
         // ONE rewrite job applies every accepted fold, rank order first:
@@ -647,12 +719,138 @@ object Corpus {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
               .otherwise(concat(acc, array(s))))
         }
-        val next = snapshot(words.withColumn("_sym", folded), scope)
+        val rewritten = words.withColumn("_sym", folded)
+        val next =
+          if (rounds % 16 == 0) snapshotCut(rewritten, scope)
+          else snapshot(rewritten, scope)
         words.unpersist()
         words = next
       }
     }
     (merges.toSeq, rounds)
+  }
+
+  /** Driver-LOCAL BPE trainer — the production-vocabulary fast path
+    * (round-7). The economics: [[bpeTrain]] pays one Spark job per round
+    * and prefix batching fills only ~1.8 merges/round on realistic
+    * corpora (BASELINE.md), so a 32k-merge production vocabulary is
+    * ~18k scheduling round-trips — hours of pure latency — while the
+    * data those rounds iterate over is just the (word, freq) table,
+    * which is VOCABULARY-sized: it grows with distinct words (~10⁷ rows
+    * even for a 100 TB corpus), not corpus bytes. So: ONE distributed
+    * reduction collapses the corpus to that table (the only part of
+    * training that touches the data), it collects to the driver —
+    * bounded by `maxDistinctWords`, crossing it fails loudly — and the
+    * merge loop runs in-process over the standard fast-BPE structure: a
+    * pair→count map, a pair→containing-words index, and a lazy-deletion
+    * max-heap, so each merge touches only the words that contain its
+    * pair instead of re-aggregating the whole table.
+    *
+    * Semantics are [[bpeTrain]]'s at batchMerges = 1 EXACTLY (equality
+    * spec-pinned): same tokenization (the same distributed collapse),
+    * same overlapping adjacent-pair counts weighted by word frequency,
+    * same (count desc, left asc, right asc) tie-break, same greedy
+    * leftmost non-overlapping rewrite, same `minPairCount` stop.
+    * [[bpeTrain]] remains the fallback when the distinct-word table
+    * exceeds driver memory — raise `maxDistinctWords` deliberately, not
+    * reflexively. */
+  def bpeTrainLocal(docs: DataFrame, textCol: String, numMerges: Int,
+                    minPairCount: Long = 2L,
+                    maxDistinctWords: Int = 20000000): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, "numMerges must be positive")
+    val rows = Parallelize.ensure(docs.select(col(textCol).as("_t")))
+      .select(explode(TextAnalysis.tokens(col("_t"))).as("_w"))
+      .filter(col("_w") =!= "")
+      .groupBy(col("_w")).agg(count(lit(1)).as("_f"))
+      .limit(maxDistinctWords + 1)
+      .collect()
+    require(rows.length <= maxDistinctWords,
+      s"distinct-word table exceeds maxDistinctWords=$maxDistinctWords — " +
+        "use the distributed bpeTrain, or raise the bound if the driver has headroom")
+
+    import scala.collection.mutable
+    val words = rows.map(r => r.getString(0).map(_.toString).toArray)
+    val freq = rows.map(_.getLong(1))
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // pair → indexes of words that contained it at SOME point; entries go
+    // stale after rewrites and are re-validated at merge time (cheaper
+    // than eagerly pruning sets on every removal)
+    val occur = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def tally(i: Int, sign: Long, touched: mutable.Set[(String, String)]): Unit = {
+      val s = words(i)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freq(i)
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0) occur.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        touched += p
+        j += 1
+      }
+    }
+    val noTouch = mutable.Set.empty[(String, String)]
+    for (i <- words.indices) tally(i, 1L, noTouch)
+
+    // lazy-deletion heap: entries are (count, a, b) snapshots; an entry is
+    // valid iff its count still equals the live map's. Max order = count
+    // desc, then (a, b) ASC — the exact distributed tie-break
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val ca = y._2.compareTo(x._2)
+          if (ca != 0) ca else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+
+    def rewrite(sym: Array[String], a: String, b: String): Array[String] = {
+      // greedy leftmost non-overlapping — bpeTrain's fold verbatim
+      val out = mutable.ArrayBuffer.empty[String]
+      for (s <- sym) {
+        if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
+        else out += s
+      }
+      out.toArray
+    }
+    def containsPair(sym: Array[String], a: String, b: String): Boolean = {
+      var j = 0
+      while (j + 1 < sym.length) {
+        if (sym(j) == a && sym(j + 1) == b) return true
+        j += 1
+      }
+      false
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (continue && merges.size < numMerges) {
+      var best: Option[(Long, String, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val top = heap.dequeue()
+        if (counts.getOrElse((top._2, top._3), 0L) == top._1) best = Some(top)
+      }
+      best match {
+        case Some((c, a, b)) if c >= minPairCount =>
+          merges += ((a, b, c))
+          val touched = mutable.Set.empty[(String, String)]
+          occur.remove((a, b)).foreach(_.foreach { i =>
+            if (containsPair(words(i), a, b)) {
+              tally(i, -1L, touched)
+              words(i) = rewrite(words(i), a, b)
+              tally(i, 1L, touched)
+            }
+          })
+          touched.foreach { p =>
+            counts.get(p).foreach(c2 => heap.enqueue((c2, p._1, p._2)))
+          }
+        case _ => continue = false
+      }
+    }
+    merges.toSeq
   }
 
   /** Apply learned [[bpeTrain]] merges to text: (id, tokens). The

@@ -773,6 +773,34 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
+  /** APPEND a newly-ingested batch to a [[saveNearDupIndex]]'d index ON
+    * DISK — the persistence half [[extendNearDupIndex]] only promised:
+    * shingle/band ONLY the batch under the saved banding parameters and
+    * `mode("append")` its projections onto the stored parquet. History is
+    * never rewritten (the `snapshotDelta` append-never-rewrite
+    * discipline, now for the fuzzy layer): a daily loop over a 100 TB
+    * history writes one batch-sized parquet delta per day, where
+    * re-`save`-ing the extended index would rewrite the WHOLE history
+    * every batch — and, worse, holds an ever-growing union lineage in
+    * memory across batches. Probes after a reload see one flat table.
+    *
+    * The batch is shingled ONCE (cached via `scope`) for both writes —
+    * complete the call before the scope closes. Parameters ride the
+    * stored params table, so the batch is banded identically to the
+    * build; callers never re-state k/rowsPerBand/n (and cannot get them
+    * wrong). */
+  def appendNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         newDocs: DataFrame, idCol: String, textCol: String,
+                         scope: CacheScope = CacheScope.noop): Unit = {
+    val p = spark.read.parquet(s"$path/params").head()
+    val (k, rpb, n) =
+      (p.getAs[Int]("k"), p.getAs[Int]("rows_per_band"), p.getAs[Int]("n"))
+    val base = shingleSets(newDocs, idCol, textCol, n, scope).filter(col("_size") > 0)
+    base.select(col("_id"), col("_shh"), col("_size"))
+      .write.mode("append").parquet(s"$path/shingles")
+    bandStream(base, k, rpb).write.mode("append").parquet(s"$path/bands")
+  }
+
   /** Load a [[saveNearDupIndex]]'d index; frames come back cached (the
     * point of a standing index — every batch of the day probes them). */
   def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -787,8 +815,9 @@ object Dedup {
   /** Extend a [[NearDupIndex]] with a newly-ingested batch — the fuzzy
     * layer's write-back half, mirroring [[snapshotDelta]]'s exact-layer
     * discipline: shingle/band ONLY the batch and union it onto the
-    * standing frames (in production, append the same projections to the
-    * saved parquet — never rewrite history). Typical loop per batch:
+    * standing frames — the IN-MEMORY form; [[appendNearDupIndex]] is the
+    * on-disk form (append the same projections to the saved parquet,
+    * never rewrite history). Typical loop per batch:
     * probe with [[incrementalNearDupsWith]], drop/flag, then extend the
     * index with the kept rows for the next batch. */
   def extendNearDupIndex(index: NearDupIndex, newDocs: DataFrame,

@@ -704,9 +704,26 @@ object Similarity {
       p.getAs[Int]("dim"), p.getAs[Int]("n_planes"), p.getAs[String]("seed"))
   }
 
+  /** APPEND a newly-ingested batch to a [[saveEmbedIndex]]'d index ON
+    * DISK — the vector twin of [[graft.ops.Dedup.appendNearDupIndex]]:
+    * bucket ONLY the batch under the STORED hyperplane parameters (read
+    * back, so the batch is hashed exactly as the build was) and
+    * `mode("append")` the projection onto the stored parquet. History is
+    * never rewritten and no cross-batch union lineage accumulates; a
+    * reload probes one flat table. */
+  def appendEmbedIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val p = spark.read.parquet(s"$path/params").head()
+    Parallelize.ensure(newVecs.select(col(idCol).as("_hid"),
+        col(vecCol).cast("array<double>").as("_hv")))
+      .withColumn("_bucket", lshBucket(col("_hv"), p.getAs[Int]("dim"),
+        p.getAs[Int]("n_planes"), p.getAs[String]("seed")))
+      .write.mode("append").parquet(s"$path/buckets")
+  }
+
   /** Extend an [[EmbedIndex]] with a newly-ingested batch: bucket ONLY
-    * the batch under the index's hyperplanes and union (in production,
-    * append the same projection to the saved parquet). */
+    * the batch under the index's hyperplanes and union — the IN-MEMORY
+    * form; [[appendEmbedIndex]] is the on-disk form. */
   def extendEmbedIndex(index: EmbedIndex, newVecs: DataFrame,
                        idCol: String, vecCol: String): EmbedIndex =
     index.copy(bucketed = index.bucketed.unionByName(

@@ -332,11 +332,24 @@ object EventStream {
   /** [[packingSink]]'s transactional offset ledger: one tiny parquet per
     * batch under `<path>/_offsets/batch=<id>`, written after the batch's
     * data commit. State per batch is ONE (batch_id, start_off, n_tokens)
-    * row — driver metadata, read back in one small scan per microbatch
-    * (ledger size = batch count; compact it alongside the data when a
-    * long-lived ingestion accumulates many batches). Overwrite-on-replay
-    * keeps the ledger idempotent under foreachBatch's at-least-once
-    * batch delivery. */
+    * row — driver metadata, read back in one small scan per microbatch.
+    * Overwrite-on-replay keeps the ledger idempotent under foreachBatch's
+    * at-least-once batch delivery.
+    *
+    * The ledger is COMPACTED opportunistically by [[record]] (round-7):
+    * without it a year of 1-minute batches is ~500k parquet dirs scanned
+    * every microbatch. Compaction needs no rewrite at all — batch starts
+    * are `max(end of priors)`, and ends are NONDECREASING in batch id
+    * (every start is the max end of its predecessors), so among records
+    * at or below any horizon the LARGEST batch id alone determines every
+    * later start: the older records are pure history and their dirs can
+    * simply be DELETED. [[compact]] keeps the newest record at-or-below
+    * the horizon and drops the rest; per-batch rows ABOVE the horizon
+    * are preserved untouched, so any batch foreachBatch can still
+    * re-deliver (its replay horizon is the last uncommitted epoch; the
+    * default `keepLast` margin is far wider) finds its own recorded
+    * start. The scan cost per microbatch is then bounded at
+    * ~`keepLast + 1` dirs regardless of stream lifetime. */
   private[graft] object PackOffsetStore {
     /** All recorded (batch_id, start_off, n_tokens), unordered. */
     def read(spark: SparkSession, path: String): Seq[(Long, Long, Long)] = {
@@ -358,12 +371,40 @@ object EventStream {
         records.collect { case (b, s, n) if b < batchId => s + n }
           .foldLeft(initialOffset)(math.max))
 
+    /** Record a committed batch, then opportunistically [[compact]]
+      * everything `keepLast` batches behind it (skip with
+      * `keepLast < 0`). */
     def record(spark: SparkSession, path: String, batchId: Long,
-               start: Long, nTokens: Long): Unit = {
+               start: Long, nTokens: Long, keepLast: Int = 8): Unit = {
       import spark.implicits._
       Seq((batchId, start, nTokens)).toDF("batch_id", "start_off", "n_tokens")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/_offsets/batch=$batchId")
+      if (keepLast >= 0) compact(spark, path, batchId - keepLast)
+    }
+
+    /** Drop every ledger dir STRICTLY below the newest record at-or-below
+      * `upTo` (see the object doc for why deletion alone is sound —
+      * monotone ends make the survivor carry all its predecessors'
+      * information). Records above `upTo` are never touched. Deleting a
+      * dir is atomic per-batch and crash-safe: a compaction interrupted
+      * midway just leaves extra still-valid records for the next call. */
+    def compact(spark: SparkSession, path: String, upTo: Long): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/_offsets")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) return
+      val ids = fs.listStatus(dir).iterator
+        .map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        .toSeq
+      val folded = ids.filter(_ <= upTo)
+      if (folded.size > 1) {
+        val survivor = folded.max
+        folded.filter(_ < survivor).foreach { id =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/_offsets/batch=$id"), true)
+        }
+      }
     }
   }
 

@@ -63,15 +63,35 @@ object BpeBenchMain {
       val (batched, rounds) = Corpus.bpeTrainWithRounds(docs, "text", nMerges,
         minPairCount = 2L, scope = scope, batchMerges = 8)
       val sec = (System.nanoTime() - t0) / 1e9
-      // rule SET + counts must match sequential exactly; the sequence may
-      // swap adjacent equal-count disjoint rules (the documented tie
-      // class — see bpeTrain's docstring)
-      require(batched.toSet == merges.toSet && batched.size == merges.size,
-        "prefix-batched training must learn the sequential rule set")
-      val swaps = batched.zip(merges).count { case (x, y) => x != y }
+      // round-7 tie-group scan: the batched SEQUENCE must equal the
+      // sequential one exactly (the former set-level tolerance recorded
+      // a leak the scan has since closed)
+      require(batched == merges,
+        "prefix-batched training must learn the sequential rule sequence")
       println(f"[bpebench] batched(8): ${batched.size} merges in $rounds rounds " +
-        f"($sec%.1f s; ${batched.size.toDouble / rounds}%.1f merges/round vs 1.0 " +
-        f"sequential; $swaps tie-swapped positions)")
+        f"($sec%.1f s; ${batched.size.toDouble / rounds}%.1f merges/round vs 1.0 sequential)")
+    }
+    // round-7: the driver-local trainer at production-vocabulary scale.
+    // The (word, freq) table collects ONCE (one distributed reduction);
+    // the merge loop then runs in-process over the pair-index + heap —
+    // no per-merge Spark round-trips, which is the whole cost of the
+    // distributed path at 32k-merge vocabularies.
+    locally {
+      val bigMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_LOCAL_MERGES", "1000").toInt
+      val tL0 = System.nanoTime()
+      val localRules = Corpus.bpeTrainLocal(docs, "text", bigMerges, minPairCount = 2L)
+      val localSec = (System.nanoTime() - tL0) / 1e9
+      println(f"[bpebench] local($bigMerges): ${localRules.size} merges in $localSec%.1f s")
+      CacheScope.withScope { scope =>
+        val tD0 = System.nanoTime()
+        val (distRules, rounds) = Corpus.bpeTrainWithRounds(docs, "text", bigMerges,
+          minPairCount = 2L, scope = scope, batchMerges = 8)
+        val distSec = (System.nanoTime() - tD0) / 1e9
+        println(f"[bpebench] distributed($bigMerges, batched 8): ${distRules.size} merges " +
+          f"in $rounds rounds, $distSec%.1f s — local is ${distSec / localSec}%.1fx faster")
+        require(localRules == distRules,
+          "local trainer must learn the distributed rule sequence")
+      }
     }
     // counts scale by exactly 4 (every word is replayed 4x); the learned
     // rule sequence must be identical

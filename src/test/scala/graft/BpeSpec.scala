@@ -65,6 +65,32 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrainLocal equals bpeTrain and the naive reference on seeded random corpora") {
+    val vocabChars = "abcd"
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(900 + seed)
+      val docs = (0 until 50).map(_ =>
+        (0 until (1 + rng.nextInt(8))).map(_ =>
+          (0 until (1 + rng.nextInt(6))).map(_ =>
+            vocabChars(rng.nextInt(4))).mkString).mkString(" "))
+      val want = naiveTrain(wordFreqs(docs), numMerges = 10, minCount = 2L)
+      val local = Corpus.bpeTrainLocal(docs.toDF("text"), "text", 10, 2L)
+      assert(local == want, s"seed=$seed vs naive")
+      CacheScope.withScope { scope =>
+        val dist = Corpus.bpeTrain(docs.toDF("text"), "text", 10, 2L, scope)
+        assert(local == dist, s"seed=$seed vs distributed")
+      }
+    }
+    // early stop and the word-table guard
+    assert(Corpus.bpeTrainLocal(Seq("ab ab ab cd").toDF("text"), "text", 10, 2L)
+      == Seq(("a", "b", 3L)))
+    val e = intercept[IllegalArgumentException] {
+      Corpus.bpeTrainLocal(Seq("a b c d e f g h").toDF("text"), "text", 5,
+        minPairCount = 1L, maxDistinctWords = 3)
+    }
+    assert(e.getMessage.contains("maxDistinctWords"))
+  }
+
   test("bpeTrain is invariant under repartitioning (deterministic tie-break)") {
     val docs = Seq("aa ab aa ab ba", "ab aa ba ba bb", "aa bb ab aa")
     CacheScope.withScope { scope =>

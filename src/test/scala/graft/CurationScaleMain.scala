@@ -105,6 +105,37 @@ object CurationScaleMain {
       time(s"tempSample window $label", windowedSample(docs, budget))
     }
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // round-7: standing-index persistence — append vs rewrite at Kx
+    // history. The daily-loop question: with a Kx-replayed history index
+    // on disk, does adding one 1x batch cost a batch (append) or the
+    // whole history (extend + re-save)?
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("ndx16").toString
+      def secs(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      graft.ops.CacheScope.withScope { scope =>
+        val hist = replay(k)
+        val idx = graft.ops.Dedup.buildNearDupIndex(hist, "doc_id", "text", scope = scope)
+        val tSave = secs(graft.ops.Dedup.saveNearDupIndex(idx, dir))
+        println(f"SCALE index save (build+write ${k}x history): $tSave%.2f s")
+        val batch = base.select((col("doc_id") + lit(k.toLong * n)).as("doc_id"),
+          col("text"), col("lang"))
+        val tAppend = secs(graft.ops.CacheScope.withScope { s2 =>
+          graft.ops.Dedup.appendNearDupIndex(spark, dir, batch, "doc_id", "text", s2)
+        })
+        println(f"SCALE index append (1x batch onto ${k}x history): $tAppend%.2f s")
+        val tRewrite = secs(graft.ops.CacheScope.withScope { s2 =>
+          val ext = graft.ops.Dedup.extendNearDupIndex(
+            graft.ops.Dedup.loadNearDupIndex(spark, dir, s2),
+            batch, "doc_id", "text", s2)
+          graft.ops.Dedup.saveNearDupIndex(ext,
+            java.nio.file.Files.createTempDirectory("ndx16rw").toString)
+        })
+        println(f"SCALE index rewrite (extend + full re-save): $tRewrite%.2f s")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
     // quadratic-by-design: smaller replay, growth factor is the message —
     // and the round-8 maxBlockSize cap is the escape: replication grows
     // every block K×, but the capped run's per-block work (and the pair

@@ -309,6 +309,70 @@ class ShardCalibSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
+  test("PackOffsetStore compaction bounds the ledger; starts and replay are unchanged") {
+    import graft.streaming.EventStream.PackOffsetStore
+    val out = java.nio.file.Files.createTempDirectory("packcompact").toString
+    // a long-lived ingestion: 30 batches, 10 tokens each, keepLast = 4
+    var start = 0L
+    for (b <- 0L until 30L) {
+      start = PackOffsetStore.startFor(PackOffsetStore.read(spark, out), b, 0L)
+      PackOffsetStore.record(spark, out, b, start, 10L, keepLast = 4)
+    }
+    val dirs = new java.io.File(s"$out/_offsets").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    // bounded: the survivor at the horizon + the keepLast newest rows —
+    // NOT 30 dirs (the 500k-dirs-per-year hazard the compaction closes)
+    assert(dirs.size <= 6, s"ledger must stay bounded, got ${dirs.size}: $dirs")
+    val recs = PackOffsetStore.read(spark, out)
+    // the next batch still seeds at the true total end
+    assert(PackOffsetStore.startFor(recs, 30L, 0L) == 300L)
+    // replay of any SURVIVING batch reuses its exact recorded start
+    assert(PackOffsetStore.startFor(recs, 29L, 999L) == 290L)
+    // the horizon survivor itself is replayable too (its record is kept)
+    val survivor = recs.map(_._1).min
+    assert(PackOffsetStore.startFor(recs, survivor, 999L) == survivor * 10L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
+  test("PackOffsetStore crash window: death between data commit and record leaves no gap or overlap") {
+    import graft.streaming.EventStream.PackOffsetStore
+    import graft.ops.TextAnalysis
+    val out = java.nio.file.Files.createTempDirectory("packcrash").toString
+    val docs = (1L to 30L).map(i => (i, ("w " * (2 + (i % 9)).toInt).trim))
+    def deliver(batchId: Long, slice: Seq[(Long, String)], crashBeforeRecord: Boolean): Unit = {
+      // replays packingSink's foreachBatch body verbatim: data commit
+      // first, record last
+      val df = spark.createDataFrame(slice).toDF("id", "text")
+      val start = PackOffsetStore.startFor(PackOffsetStore.read(spark, out), batchId, 0L)
+      TextAnalysis.sequencePackFrom(df, "id", "text", 16, start)
+        .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+      if (!crashBeforeRecord) {
+        val n = df.agg(coalesce(sum(TextAnalysis.tokenCount(col("text"))), lit(0L)))
+          .head().getLong(0)
+        PackOffsetStore.record(spark, out, batchId, start, n)
+      }
+    }
+    deliver(0L, docs.take(10), crashBeforeRecord = false)
+    // batch 1 commits its DATA, then dies before the ledger write — the
+    // documented crash window
+    deliver(1L, docs.slice(10, 20), crashBeforeRecord = true)
+    // restart: foreachBatch re-delivers batch 1 (its epoch never
+    // committed); with no own record it recomputes the SAME start from
+    // its predecessors and overwrites its own dir at the original offset
+    deliver(1L, docs.slice(10, 20), crashBeforeRecord = false)
+    deliver(2L, docs.drop(20), crashBeforeRecord = false)
+    val streamed = spark.read.parquet(out)
+      .select(col("id"), col("n_tokens"), col("start_off"), col("seq_first"), col("seq_last"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val batch = TextAnalysis.sequencePack(
+        spark.createDataFrame(docs).toDF("id", "text"), "id", "text", 16)
+      .select(col("id"), col("n_tokens"), col("start_off"), col("seq_first"), col("seq_last"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      "crash-then-replay must reproduce the gapless batch-equivalent layout")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("datasetCardApprox tracks the exact card within sketch tolerance; exact fields identical") {
     import graft.ops.Corpus
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")

@@ -149,6 +149,68 @@ class StandingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendNearDupIndex on disk equals extendNearDupIndex in memory across two batches") {
+    CacheScope.withScope { scope =>
+      val dir = java.nio.file.Files.createTempDirectory("ndappend").toString
+      val history = docs(0 until 21)
+      val built = Dedup.buildNearDupIndex(history, "doc_id", "text",
+        k = 4, rowsPerBand = 2, n = 5, scope = scope)
+      Dedup.saveNearDupIndex(built, dir)
+      val b1 = docs(21 until 30)
+      val b2 = docs(30 until 42)
+      def probe(idx: Dedup.NearDupIndex, b: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalNearDupsWith(b, idx, "doc_id", "text",
+            minJaccard = 0.2, scope = scope)
+          .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+      // batch 1 appended on disk ≡ batch 1 extended in memory
+      Dedup.appendNearDupIndex(spark, dir, b1, "doc_id", "text", scope)
+      val mem1 = Dedup.extendNearDupIndex(built, b1, "doc_id", "text", scope)
+      val got1 = probe(Dedup.loadNearDupIndex(spark, dir, scope), b2)
+      assert(got1 == probe(mem1, b2) && got1.nonEmpty)
+      // consecutive batch: append b2 too; an echo of a b2-only doc must
+      // surface through the RELOADED flat table exactly as in memory
+      Dedup.appendNearDupIndex(spark, dir, b2, "doc_id", "text", scope)
+      val mem2 = Dedup.extendNearDupIndex(mem1, b2, "doc_id", "text", scope)
+      val echo = Seq((99L, mkText(31)), (98L, mkText(22))).toDF("doc_id", "text")
+      val got2 = probe(Dedup.loadNearDupIndex(spark, dir, scope), echo)
+      assert(got2 == probe(mem2, echo))
+      assert(got2.map(r => (r._1, r._2)).toSet == Set((99L, 31L), (98L, 22L)),
+        "appended batches must be probe-visible after a reload")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("appendEmbedIndex on disk equals extendEmbedIndex in memory across two batches") {
+    CacheScope.withScope { scope =>
+      val dir = java.nio.file.Files.createTempDirectory("embappend").toString
+      def vecs(ids: Range) = ids.map { i =>
+        (i.toLong, Seq(math.cos(i * 0.7), math.sin(i * 0.7), 0.1 * (i % 3), 0.5))
+      }.toDF("vec_id", "embedding")
+      val built = Similarity.buildEmbedIndex(vecs(0 until 20), "vec_id", "embedding",
+        dim = 4, nPlanes = 3, scope = scope)
+      Similarity.saveEmbedIndex(built, dir)
+      val b1 = vecs(20 until 28)
+      val b2 = vecs(28 until 35)
+      def probe(idx: Similarity.EmbedIndex, b: org.apache.spark.sql.DataFrame) =
+        Similarity.incrementalEmbedNearDupsWith(b, idx, "vec_id", "embedding",
+            minSim = 0.98)
+          .orderBy("vec_id").as[(Long, Long, Double)].collect().toSeq
+      Similarity.appendEmbedIndex(spark, dir, b1, "vec_id", "embedding")
+      val mem1 = Similarity.extendEmbedIndex(built, b1, "vec_id", "embedding")
+      val got1 = probe(Similarity.loadEmbedIndex(spark, dir, scope), b2)
+      assert(got1 == probe(mem1, b2))
+      Similarity.appendEmbedIndex(spark, dir, b2, "vec_id", "embedding")
+      val mem2 = Similarity.extendEmbedIndex(mem1, b2, "vec_id", "embedding")
+      val echo = Seq((99L, Seq(math.cos(30 * 0.7), math.sin(30 * 0.7), 0.1 * (30 % 3), 0.5)))
+        .toDF("vec_id", "embedding")
+      val got2 = probe(Similarity.loadEmbedIndex(spark, dir, scope), echo)
+      assert(got2 == probe(mem2, echo))
+      assert(got2.exists(_._2 == 30L),
+        "the second appended batch must be probe-visible after a reload")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("degenerate inputs: empty batches, empty histories, empty blooms") {
     CacheScope.withScope { scope =>
       val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
