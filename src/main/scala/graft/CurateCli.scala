@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
+
+/** CLI front door for the curation surface — the reference is a CLI tool
+  * end-to-end (`cli/command.py:9-21`, which fronts the ETL the same way
+  * [[graft.etl.CarrotCli]] does); the 100+ dedup/curation operators here
+  * deserve the same: a data engineer runs `clean`/`curate`/`audit`/`dedup`
+  * over JSONL or parquet without writing a line of Scala.
+  *
+  * Usage:
+  *   runMain graft.CurateCli <command> --in PATH --out PATH [options]
+  *
+  * Commands (each a composed pipeline already proven by a gate query):
+  *   curate  — [[Pipeline.curateCorpus]]: length gate → chunk-dedup
+  *             rebuild → DSIR weights → token-budget selection (q92)
+  *   clean   — [[Pipeline.cleanCorpus]]: quality gate → exact dedup →
+  *             benchmark decontamination → chunking (needs `--bench`)
+  *   audit   — [[Pipeline.auditReport]]: domain cap → split assignment →
+  *             train→eval leakage rollup (q117)
+  *   dedup   — incremental ingest dedup against a STANDING fingerprint
+  *             snapshot dir ([[Dedup.incrementalDedupSnapshot]], q96/q120
+  *             discipline): probes the snapshot, writes per-doc verdicts,
+  *             and appends the batch's kept (id, fp) delta back to the
+  *             snapshot (append-only — history is never rewritten;
+  *             `--update-snapshot N` to probe read-only)
+  *
+  * I/O: `--in`/`--out`/`--bench` take a parquet path or JSONL
+  * (`.json`/`.jsonl` extension, or force with `--in-format`/`--out-format
+  * jsonl|parquet`). Output is written as a directory of part files (the
+  * scale path — these corpora don't fit one file).
+  *
+  * Defaults mirror the gate queries so a bare `curate`/`audit` run on the
+  * documents table reproduces q92/q117 exactly (spec-pinned). */
+object CurateCli {
+
+  private val KnownOptions = Set(
+    "--in", "--out", "--bench", "--snapshot", "--in-format", "--out-format",
+    "--id-col", "--text-col", "--lang-col", "--group-col", "--target-lang",
+    "--min-chars", "--chunk-tokens", "--budget-num", "--budget-den",
+    "--min-tokens", "--ngram", "--chunk-size", "--overlap",
+    "--cap", "--splits", "--train-split", "--update-snapshot")
+
+  /** Strict `--key value` argv parse (the [[graft.etl.CarrotCli]]
+    * discipline: unknown flags and dangling values error loudly). */
+  private def parseArgv(args: Array[String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      val tok = args(i)
+      if (!tok.startsWith("--"))
+        throw new IllegalArgumentException(s"unexpected positional argument '$tok'")
+      val eq = tok.indexOf('=')
+      if (eq >= 0) {
+        val k = tok.substring(0, eq)
+        if (!KnownOptions.contains(k))
+          throw new IllegalArgumentException(s"unknown option $k")
+        out += k -> tok.substring(eq + 1)
+        i += 1
+      } else {
+        if (!KnownOptions.contains(tok))
+          throw new IllegalArgumentException(s"unknown option $tok")
+        if (i + 1 >= args.length || KnownOptions.contains(args(i + 1)))
+          throw new IllegalArgumentException(s"option $tok requires a value")
+        out += tok -> args(i + 1)
+        i += 2
+      }
+    }
+    out.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup> --in PATH --out PATH [options]")
+    run(args.head, parseArgv(args.tail))
+  }
+
+  /** Testable entry: command + parsed options against the current (or a
+    * fresh) session. */
+  def run(command: String, argv: Map[String, String]): Unit = {
+    if (!Set("clean", "curate", "audit", "dedup").contains(command))
+      throw new IllegalArgumentException(
+        s"unknown command '$command' (expected clean, curate, audit or dedup)")
+    def req(k: String): String = argv.getOrElse(k, sys.error(s"missing required option $k"))
+    val master = sys.props.get("spark.master").orElse(sys.env.get("SPARK_MASTER")).getOrElse("local[*]")
+    val preexisting = SparkSession.getDefaultSession.isDefined
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .appName("graft-curate")
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def fmt(path: String, key: String): String = argv.get(key) match {
+      case Some(f @ ("jsonl" | "parquet")) => f
+      case Some(other) => throw new IllegalArgumentException(
+        s"$key must be jsonl or parquet, got '$other'")
+      case None => if (path.endsWith(".json") || path.endsWith(".jsonl")) "jsonl" else "parquet"
+    }
+    def read(path: String): DataFrame = fmt(path, "--in-format") match {
+      case "jsonl" => spark.read.json(path)
+      case _       => spark.read.parquet(path)
+    }
+    def write(df: DataFrame, path: String): Unit = fmt(path, "--out-format") match {
+      case "jsonl" => df.write.mode("overwrite").json(path)
+      case _       => df.write.mode("overwrite").parquet(path)
+    }
+
+    val idCol   = argv.getOrElse("--id-col", "doc_id")
+    val textCol = argv.getOrElse("--text-col", "text")
+    val in = read(req("--in"))
+    val out = req("--out")
+
+    CacheScope.withScope { scope =>
+      command match {
+        case "curate" =>
+          write(Pipeline.curateCorpus(in, idCol, textCol,
+            argv.getOrElse("--lang-col", "lang"),
+            argv.getOrElse("--target-lang", "en"),
+            argv.getOrElse("--min-chars", "200").toInt,
+            argv.getOrElse("--chunk-tokens", "10").toInt,
+            argv.getOrElse("--budget-num", "1").toLong,
+            argv.getOrElse("--budget-den", "2").toLong, scope), out)
+
+        case "clean" =>
+          write(Pipeline.cleanCorpus(in, read(req("--bench")), idCol, textCol,
+            argv.getOrElse("--min-tokens", "20").toInt,
+            argv.getOrElse("--ngram", "5").toInt,
+            argv.getOrElse("--chunk-size", "16").toInt,
+            argv.getOrElse("--overlap", "4").toInt, scope), out)
+
+        case "audit" =>
+          // "train=0.8,val=0.1,test=0.1" — order-preserving (split
+          // boundaries stack in declaration order, like the gate query)
+          val splits = argv.getOrElse("--splits", "train=0.8,val=0.1,test=0.1")
+            .split(",").toSeq.map { part =>
+              val Array(name, frac) = part.split("=")
+              name.trim -> frac.trim.toDouble
+            }
+          write(Pipeline.auditReport(in, idCol, textCol,
+            argv.getOrElse("--group-col", "source"),
+            argv.getOrElse("--cap", "50").toInt,
+            splits, argv.getOrElse("--train-split", "train"),
+            argv.getOrElse("--chunk-tokens", "10").toInt, scope), out)
+
+        case "dedup" =>
+          import spark.implicits._
+          val snapDir = req("--snapshot")
+          val fs = new org.apache.hadoop.fs.Path(snapDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val snapshot =
+            if (fs.exists(new org.apache.hadoop.fs.Path(snapDir)))
+              spark.read.parquet(snapDir).select(col("fp"))
+            else Seq.empty[String].toDF("fp")
+          val verdicts = scope.track(
+            Dedup.incrementalDedupSnapshot(in, idCol, textCol, snapshot,
+              scope = scope).cache())
+          write(verdicts, out)
+          if (argv.getOrElse("--update-snapshot", "Y") != "N") {
+            // the write-back half (q120): ONLY the kept rows' (id, fp)
+            // extend the snapshot, appended — never rewritten
+            in.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+              .join(verdicts.filter(col("verdict") === "kept").select(col(idCol)),
+                Seq(idCol), "left_semi")
+              .write.mode("append").parquet(snapDir)
+          }
+
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+    }
+    if (!preexisting) spark.stop()
+  }
+}

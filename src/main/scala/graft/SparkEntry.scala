@@ -1496,6 +1496,19 @@ object SparkEntry {
       Dedup.fuzzyDupPairs(d, "doc_id", "text",
         Seq(col("lang"), element_at(split(lower(trim(col("text"))), "\\s+"), 1)),
         maxEdit = 20, prefixChars = 80, maxBlockSize = 1000000)
+    }),
+
+    // ---- Incremental dedup via the MATERIALIZED fingerprint snapshot:
+    //      q96's verdicts with the history side played by its (fp)
+    //      snapshot table — the production loop shape (snapshot probe +
+    //      append-only delta, the CurateCli `dedup` command); bit-equal
+    //      by construction, so it runs against q96's oracle ----
+    "q131_incr_dedup_snapshot" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val snap = d.filter(col("doc_id") % 2 === 0)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      Dedup.incrementalDedupSnapshot(d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", snap)
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -3334,5 +3347,6 @@ object SparkEntry {
     "q126_incr_neardup_idx" -> oracleSqlBase("q97_incr_neardup"),
     "q127_incr_embed_idx" -> oracleSqlBase("q115_incr_embed_neardup"),
     "q128_fuzzy_capped" -> oracleSqlBase("q94_fuzzy_pairs"),
-    "q129_incr_dedup_bloom" -> oracleSqlBase("q96_incr_dedup"))
+    "q129_incr_dedup_bloom" -> oracleSqlBase("q96_incr_dedup"),
+    "q131_incr_dedup_snapshot" -> oracleSqlBase("q96_incr_dedup"))
 }

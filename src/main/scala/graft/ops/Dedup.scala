@@ -615,6 +615,36 @@ object Dedup {
           .otherwise(lit("dup_batch")).as("verdict"))
   }
 
+  /** [[incrementalDedup]] against a MATERIALIZED fingerprint snapshot —
+    * the (id, fp) table [[snapshotDelta]] writes — instead of raw history
+    * documents. This is the loop a production ingest actually runs: the
+    * snapshot IS the history (no corpus text is ever re-read, 16-byte
+    * fingerprints stand in for 100 TB of documents), each batch probes
+    * it and appends its own delta. Same three verdicts, same broadcast
+    * asymmetry (the batch's distinct fingerprints broadcast onto the
+    * snapshot scan; the snapshot never shuffles), gated against q96's
+    * oracle (one oracle, two paths — the q126-q129 discipline). */
+  def incrementalDedupSnapshot(newDocs: DataFrame, idCol: String, textCol: String,
+                               snapshot: DataFrame, fpCol: String = "fp",
+                               scope: CacheScope = CacheScope.noop): DataFrame = {
+    val nfp = scope.track(Parallelize.ensure(newDocs.select(
+        col(idCol).as("_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("_fp")))
+      .cache())
+    val probeFps = nfp.select(col("_fp")).distinct()
+    val hits = snapshot.select(col(fpCol).as("_fp"))
+      .join(broadcast(probeFps), Seq("_fp"), "left_semi")
+      .distinct()
+      .withColumn("_inHist", lit(true))
+    val firsts = nfp.groupBy(col("_fp")).agg(min(col("_id")).as("_first"))
+    nfp.join(broadcast(hits), Seq("_fp"), "left")
+      .join(firsts, Seq("_fp"))
+      .select(col("_id").as(idCol),
+        when(col("_inHist"), lit("dup_history"))
+          .when(col("_id") === col("_first"), lit("kept"))
+          .otherwise(lit("dup_batch")).as("verdict"))
+  }
+
   /** Corpus snapshot DIFF — the release-audit question "what changed
     * between corpus v1 and v2" answered at CONTENT granularity: one row
     * per distinct fingerprint with each version's copy count and a

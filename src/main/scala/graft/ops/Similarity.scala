@@ -475,6 +475,54 @@ object Similarity {
     math.min(62, math.max(1, math.ceil(math.log(math.max(1.0, buckets)) / math.log(2.0)).toInt))
   }
 
+  /** Shortlist size that scales WITH the corpus — the frontier rule
+    * (BASELINE.md §ANN frontier, measured): recall at a FIXED shortlist
+    * decays as the corpus grows (0.940 → 0.860 at 4× for m=16 rerank,
+    * shortlist 100) because a constant candidate set is a shrinking
+    * FRACTION of the ranking. Hold `shortlist/n ≈ frac` instead; the
+    * default 0.2 is the measured 0.94-recall operating point (shortlist
+    * 100 of n=500), floored at `topK` so tiny corpora stay valid.
+    * AnnFrontierSpec pins the flatness: auto-sized recall moves ≤ 0.05
+    * across the same 4× where the fixed setting loses 0.08. */
+  def autoShortlist(n: Long, topK: Int, frac: Double = 0.2): Int = {
+    require(topK > 0 && frac > 0 && frac <= 1,
+      s"need topK > 0 and frac in (0,1], got $topK / $frac")
+    math.max(topK, math.ceil(frac * math.max(0L, n)).toInt)
+  }
+
+  /** Probe count that scales with the codebook — the IVF half of the
+    * same rule: with cells sized for constant occupancy (nCells ∝ n,
+    * the [[autoPlanes]] discipline), holding the probed fraction
+    * `probes/cells ≈ scanFrac` holds the SCANNED SHARE of the corpus,
+    * and with it recall, flat as both grow; a fixed probe count shrinks
+    * to nothing as the codebook multiplies. Default 0.5 is the measured
+    * 0.815-recall point (probe 8 of 16). Clamped to [1, nCells]. */
+  def autoProbe(nCells: Int, scanFrac: Double = 0.5): Int = {
+    require(nCells > 0 && scanFrac > 0 && scanFrac <= 1,
+      s"need nCells > 0 and scanFrac in (0,1], got $nCells / $scanFrac")
+    math.min(nCells, math.max(1, math.ceil(scanFrac * nCells).toInt))
+  }
+
+  /** [[pqRerankTopK]] with the shortlist [[autoShortlist]]-sized from the
+    * corpus cardinality. Pass `n` when the pipeline already knows it;
+    * n < 0 pays one count(). */
+  def pqRerankTopKAuto(df: DataFrame, idCol: String, vecCol: String,
+                       queries: DataFrame, qIdCol: String, qVecCol: String,
+                       book: Seq[Seq[Seq[Double]]], topK: Int,
+                       frac: Double = 0.2, n: Long = -1L): DataFrame = {
+    val nn = if (n >= 0) n else df.count()
+    pqRerankTopK(df, idCol, vecCol, queries, qIdCol, qVecCol, book,
+      autoShortlist(nn, topK, frac), topK)
+  }
+
+  /** [[ivfTopKWith]] with the probe count [[autoProbe]]-sized from the
+    * codebook (which is small — the count is metadata). */
+  def ivfTopKAuto(cents: DataFrame, df: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qIdCol: String, qVecCol: String,
+                  k: Int, scanFrac: Double = 0.5): DataFrame =
+    ivfTopKWith(cents, df, idCol, vecCol, queries, qIdCol, qVecCol,
+      autoProbe(cents.count().toInt, scanFrac), k)
+
   /** Sign-of-projection bucket key over `nPlanes` deterministic random
     * hyperplanes (a bit per plane). The plane is a literal array and the
     * projection a zip_with/aggregate fold — a compact expression tree

@@ -55,6 +55,50 @@ class AnnFrontierSpec extends AnyFunSuite {
     assert(p8 > 0.5, s"probing half the codebook should recover most of top-$k ($p8)")
   }
 
+  test("auto-sized shortlist holds recall flat across the 4x corpus where the fixed one decays") {
+    // the frontier's scaling rule wired into a default: shortlist 100 is
+    // the 0.94-recall point at n=500 but a shrinking fraction at n=2000;
+    // autoShortlist holds shortlist/n, so its recall must stay flat
+    // (±0.05) across the same 4x where the fixed setting measurably decays
+    def recallAt(emb: DataFrame, shortlist: Long => Int): Double = {
+      val qs = emb.filter(col("vec_id") < 20)
+      val ex = Similarity.exactTopK(emb, "vec_id", "embedding", qs, "vec_id", "embedding", k)
+      val book = Similarity.pqTrain(emb, "embedding", dim = 64, m = 16, k = 16)
+      val approx = Similarity.pqRerankTopK(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", book, shortlist(emb.count()), k)
+      Similarity.recallAtK(approx, ex, "query_id", "vec_id", k)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    }
+    val large = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // at n=500, autoShortlist(n, k) IS 100 — the fixed and auto paths
+    // coincide by construction, so the small corpus is measured once
+    assert(Similarity.autoShortlist(500L, k) == 100)
+    val small = recallAt(emb, n => Similarity.autoShortlist(n, k))
+    val fixedLarge = recallAt(large, _ => 100)
+    val autoLarge = recallAt(large, n => Similarity.autoShortlist(n, k))
+    assert(small - fixedLarge > 0.05,
+      s"the fixed shortlist should measurably decay at 4x ($small -> $fixedLarge)")
+    assert(math.abs(small - autoLarge) <= 0.05,
+      s"auto-sized recall must stay flat ($small -> $autoLarge)")
+    assert(autoLarge > fixedLarge)
+  }
+
+  test("autoProbe holds the probed fraction; ivfTopKAuto equals the explicit-probe plan") {
+    // probes scale with the codebook: 8 of 16, 32 of 64 — the fraction,
+    // not the count, is the invariant
+    assert(Similarity.autoProbe(16) == 8 && Similarity.autoProbe(64) == 32)
+    assert(Similarity.autoProbe(1) == 1 && Similarity.autoProbe(16, 0.25) == 4)
+    val cents = Similarity.ivfTrain(emb, "embedding", nCentroids = 16)
+    val auto = Similarity.ivfTopKAuto(cents, emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = k)
+      .as[(Long, Long, Double)].collect().toSet
+    val explicit = Similarity.ivfTopKWith(cents, emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", nProbe = 8, k = k)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == explicit && auto.nonEmpty)
+  }
+
   test("PQ rerank recall is monotone in the shortlist (supersets reranked)") {
     val book = Similarity.pqTrain(emb, "embedding", dim = 64, m = 8, k = 16)
     def rr(sl: Int) = recall(Similarity.pqRerankTopK(emb, "vec_id", "embedding",

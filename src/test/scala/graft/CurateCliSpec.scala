@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Pipeline}
+
+/** The curation CLI front door must reproduce the gate queries it fronts
+  * — same defaults, same rows — over both parquet and JSONL, and its
+  * `dedup` command must run the standing-snapshot ingest loop
+  * (probe → verdicts → append-only delta) across consecutive batches. */
+class CurateCliSpec extends AnyFunSuite {
+  private lazy val spark = Golden.spark
+  import spark.implicits._
+
+  private val docsPath = "/root/testdata/sf0.01/documents.parquet"
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def rm(paths: String*): Unit =
+    paths.foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+
+  test("curate command reproduces q92's oracled output") {
+    val out = tmp("cli-curate")
+    CurateCli.run("curate", Map("--in" -> docsPath, "--out" -> out))
+    val got = spark.read.parquet(out)
+      .select("doc_id", "n_tokens", "lr_micro")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val want = Pipeline.curateCorpus(
+        spark.read.parquet(docsPath), "doc_id", "text", "lang")
+      .select("doc_id", "n_tokens", "lr_micro")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+    rm(out)
+  }
+
+  test("audit command reproduces q117's oracled output") {
+    val out = tmp("cli-audit")
+    CurateCli.run("audit", Map("--in" -> docsPath, "--out" -> out))
+    val got = spark.read.parquet(out)
+      .select("split", "n_docs", "n_chunks", "n_leaked", "leak_rate")
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val want = Pipeline.auditReport(spark.read.parquet(docsPath),
+        "doc_id", "text", "source", 50,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "train", 10)
+      .select("split", "n_docs", "n_chunks", "n_leaked", "leak_rate")
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+    rm(out)
+  }
+
+  test("clean command reproduces the cleanCorpus pipeline") {
+    val out = tmp("cli-clean")
+    val benchDir = tmp("cli-bench")
+    val docs = spark.read.parquet(docsPath)
+    docs.filter(col("doc_id") % 97 === 0).write.mode("overwrite").parquet(benchDir)
+    CurateCli.run("clean", Map("--in" -> docsPath, "--out" -> out,
+      "--bench" -> s"$benchDir"))
+    val got = spark.read.parquet(out)
+      .select("doc_id", "chunk_idx", "chunk_hash")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = Pipeline.cleanCorpus(docs, spark.read.parquet(benchDir),
+        "doc_id", "text")
+      .select("doc_id", "chunk_idx", "chunk_hash")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == want && got.nonEmpty)
+    rm(out, benchDir)
+  }
+
+  test("dedup command runs the standing-snapshot loop: two batches equal q96's verdict semantics") {
+    val snap = tmp("cli-snap"); rm(snap) // must start absent: empty history
+    val out1 = tmp("cli-dedup1"); val out2 = tmp("cli-dedup2")
+    val evenDir = tmp("cli-even"); val oddDir = tmp("cli-odd")
+    val d = spark.read.parquet(docsPath)
+    d.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(evenDir)
+    d.filter(col("doc_id") % 2 === 1).write.mode("overwrite").parquet(oddDir)
+    // batch 1 seeds the snapshot (kept rows only — the q120 delta rule)
+    CurateCli.run("dedup", Map("--in" -> evenDir, "--out" -> out1, "--snapshot" -> snap))
+    assert(spark.read.parquet(out1).filter(col("verdict") === "dup_history").count() == 0,
+      "an empty snapshot cannot produce history duplicates")
+    // batch 2 probes the snapshot the CLI itself appended — its verdicts
+    // must equal the one-shot q96 path over raw history docs
+    CurateCli.run("dedup", Map("--in" -> oddDir, "--out" -> out2, "--snapshot" -> snap))
+    val got = spark.read.parquet(out2)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val want = Dedup.incrementalDedup(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        d.filter(col("doc_id") % 2 === 0), "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+    // read-only probe leaves the snapshot untouched
+    val before = spark.read.parquet(snap).count()
+    val out3 = tmp("cli-dedup3")
+    CurateCli.run("dedup", Map("--in" -> oddDir, "--out" -> out3,
+      "--snapshot" -> snap, "--update-snapshot" -> "N"))
+    assert(spark.read.parquet(snap).count() == before)
+    rm(snap, out1, out2, out3, evenDir, oddDir)
+  }
+
+  test("JSONL in and out round-trips the dedup verdicts") {
+    val d = spark.read.parquet(docsPath).select("doc_id", "text")
+    val inJson = tmp("cli-json-in"); val outJson = tmp("cli-json-out") + "/v.jsonl"
+    val outPq = tmp("cli-pq-out"); val snapA = tmp("cli-snapA"); val snapB = tmp("cli-snapB")
+    rm(snapA); rm(snapB)
+    d.write.mode("overwrite").json(inJson)
+    CurateCli.run("dedup", Map("--in" -> inJson, "--in-format" -> "jsonl",
+      "--out" -> outJson, "--snapshot" -> snapA))
+    CurateCli.run("dedup", Map("--in" -> docsPath, "--out" -> outPq, "--snapshot" -> snapB))
+    val got = spark.read.json(outJson)
+      .select(col("doc_id").cast("long"), col("verdict"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val want = spark.read.parquet(outPq)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+    rm(inJson, new java.io.File(outJson).getParent, outPq, snapA, snapB)
+  }
+
+  test("argv hygiene: unknown command and malformed options fail loudly") {
+    intercept[IllegalArgumentException] {
+      CurateCli.run("frobnicate", Map("--in" -> "x", "--out" -> "y"))
+    }
+    intercept[IllegalArgumentException] {
+      CurateCli.main(Array("curate", "--bogus", "x"))
+    }
+    intercept[IllegalArgumentException] {
+      CurateCli.main(Array("curate", "--in"))
+    }
+  }
+}

@@ -321,6 +321,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q111/q114 group caps: window partitioned by the group key, no global window") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
     for ((q, key) <- Seq("q111_source_cap" -> "source",
                          "q114_cluster_quota" -> "cell_id")) {
       val p = plan(q)
@@ -328,8 +331,25 @@ class PlanSpec extends AnyFunSuite {
       // partition list (global window) would read "windowspecdefinition(md5("
       assert(s"windowspecdefinition\\($key#".r.findFirstIn(p).isDefined,
         s"$q: window must partition by $key\n$p")
-      assert(p.contains("WindowGroupLimit"),
-        s"$q: the cap filter should push down as a group limit\n$p")
+      // the PARTIAL group limit must sit BELOW the window's exchange —
+      // that is what protects a skewed group at scale (each map task
+      // forwards at most cap rows per group; NOT an AQE effect — see the
+      // groupCap docstring). The rule only fires while cap ≤
+      // spark.sql.window.group.limit.threshold (default 1000): this
+      // assert catches a future cap-above-threshold (or conf) regression
+      // that would silently funnel whole groups through single tasks.
+      val wrapped = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val exec = wrapped match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val partialBelowExchange = exec.collect {
+        case e: ShuffleExchangeExec => e.child.collect {
+          case w: WindowGroupLimitExec if w.mode.toString == "Partial" => w
+        }.nonEmpty
+      }.exists(identity)
+      assert(partialBelowExchange,
+        s"$q: partial WindowGroupLimit must run below the exchange\n$exec")
     }
   }
 
