@@ -29,9 +29,11 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             `--update-snapshot N` to probe read-only)
   *
   * I/O: `--in`/`--out`/`--bench` take a parquet path or JSONL
-  * (`.json`/`.jsonl` extension, or force with `--in-format`/`--out-format
-  * jsonl|parquet`). Output is written as a directory of part files (the
-  * scale path — these corpora don't fit one file).
+  * (`.json`/`.jsonl` extension, or force with `--in-format`/`--out-format`/
+  * `--bench-format jsonl|parquet` — each path has its OWN override, so a
+  * JSONL corpus can decontaminate against a parquet benchmark). Output is
+  * written as a directory of part files (the scale path — these corpora
+  * don't fit one file).
   *
   * Defaults mirror the gate queries so a bare `curate`/`audit` run on the
   * documents table reproduces q92/q117 exactly (spec-pinned). */
@@ -42,7 +44,7 @@ object CurateCli {
     "--id-col", "--text-col", "--lang-col", "--group-col", "--target-lang",
     "--min-chars", "--chunk-tokens", "--budget-num", "--budget-den",
     "--min-tokens", "--ngram", "--chunk-size", "--overlap",
-    "--cap", "--splits", "--train-split", "--update-snapshot")
+    "--cap", "--splits", "--train-split", "--update-snapshot", "--bench-format")
 
   /** Strict `--key value` argv parse (the [[graft.etl.CarrotCli]]
     * discipline: unknown flags and dangling values error loudly). */
@@ -101,10 +103,14 @@ object CurateCli {
         s"$key must be jsonl or parquet, got '$other'")
       case None => if (path.endsWith(".json") || path.endsWith(".jsonl")) "jsonl" else "parquet"
     }
-    def read(path: String): DataFrame = fmt(path, "--in-format") match {
+    // `--in-format` governs ONLY `--in`; the benchmark file gets its own
+    // `--bench-format` (else extension sniffing) so forcing the corpus to
+    // JSONL cannot silently misread a parquet benchmark, and vice versa
+    def readAs(path: String, fmtKey: String): DataFrame = fmt(path, fmtKey) match {
       case "jsonl" => spark.read.json(path)
       case _       => spark.read.parquet(path)
     }
+    def read(path: String): DataFrame = readAs(path, "--in-format")
     def write(df: DataFrame, path: String): Unit = fmt(path, "--out-format") match {
       case "jsonl" => df.write.mode("overwrite").json(path)
       case _       => df.write.mode("overwrite").parquet(path)
@@ -127,7 +133,7 @@ object CurateCli {
             argv.getOrElse("--budget-den", "2").toLong, scope), out)
 
         case "clean" =>
-          write(Pipeline.cleanCorpus(in, read(req("--bench")), idCol, textCol,
+          write(Pipeline.cleanCorpus(in, readAs(req("--bench"), "--bench-format"), idCol, textCol,
             argv.getOrElse("--min-tokens", "20").toInt,
             argv.getOrElse("--ngram", "5").toInt,
             argv.getOrElse("--chunk-size", "16").toInt,
@@ -149,6 +155,16 @@ object CurateCli {
 
         case "dedup" =>
           import spark.implicits._
+          // a mutating default gated on one exact string is a footgun:
+          // "n"/"no"/"false" must not silently fall through to APPEND —
+          // validate against the explicit Y/N set (parseArgv's fail-loud
+          // discipline) BEFORE any work touches the standing snapshot
+          val updateSnapshot = argv.getOrElse("--update-snapshot", "Y") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--update-snapshot must be Y or N, got '$other'")
+          }
           val snapDir = req("--snapshot")
           val fs = new org.apache.hadoop.fs.Path(snapDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -160,7 +176,7 @@ object CurateCli {
             Dedup.incrementalDedupSnapshot(in, idCol, textCol, snapshot,
               scope = scope).cache())
           write(verdicts, out)
-          if (argv.getOrElse("--update-snapshot", "Y") != "N") {
+          if (updateSnapshot) {
             // the write-back half (q120): ONLY the kept rows' (id, fp)
             // extend the snapshot, appended — never rewritten
             in.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))

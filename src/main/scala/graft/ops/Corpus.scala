@@ -769,7 +769,13 @@ object Corpus {
         "use the distributed bpeTrain, or raise the bound if the driver has headroom")
 
     import scala.collection.mutable
-    val words = rows.map(r => r.getString(0).map(_.toString).toArray)
+    // split per CODE POINT, not UTF-16 code unit: the distributed side's
+    // `split(col, "")` is a Java-regex zero-width split, which never cuts
+    // inside a surrogate pair — a per-char split here would hand non-BMP
+    // text (emoji, rare CJK) to the trainer as lone-surrogate symbols and
+    // silently break the spec-pinned bpeTrain equality
+    val words = rows.map(r =>
+      r.getString(0).codePoints().toArray.map(cp => new String(Character.toChars(cp))))
     val freq = rows.map(_.getLong(1))
     val counts = mutable.HashMap.empty[(String, String), Long]
     // pair → indexes of words that contained it at SOME point; entries go

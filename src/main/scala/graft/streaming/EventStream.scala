@@ -367,9 +367,23 @@ object EventStream {
       * cannot double-count. */
     def startFor(records: Seq[(Long, Long, Long)], batchId: Long,
                  initialOffset: Long): Long =
-      records.find(_._1 == batchId).map(_._2).getOrElse(
+      records.find(_._1 == batchId).map(_._2).getOrElse {
+        // a batch BELOW the compaction horizon whose own record was
+        // folded away has lost its original offset: recomputing from
+        // "predecessors" would find none and silently restart the pack
+        // at initialOffset, overwriting offset 0. Structured streaming
+        // only replays the last uncommitted epoch (always at-or-above
+        // the horizon at keepLast >= 1), so hitting this is a direct
+        // caller misusing the ledger — fail loudly instead of corrupting
+        if (records.nonEmpty && batchId < records.map(_._1).min)
+          throw new IllegalStateException(
+            s"batch $batchId is below the ledger's compaction horizon " +
+              s"(oldest surviving record: batch ${records.map(_._1).min}) — " +
+              "its original start offset is unrecoverable; replay only " +
+              "batches at or above the horizon, or record() with a wider keepLast")
         records.collect { case (b, s, n) if b < batchId => s + n }
-          .foldLeft(initialOffset)(math.max))
+          .foldLeft(initialOffset)(math.max)
+      }
 
     /** Record a committed batch, then opportunistically [[compact]]
       * everything `keepLast` batches behind it (skip with

@@ -81,6 +81,34 @@ class BpeSpec extends AnyFunSuite {
         assert(local == dist, s"seed=$seed vs distributed")
       }
     }
+    // non-BMP text (surrogate pairs): the local trainer must split per
+    // CODE POINT like the distributed `split(col, "")` — a per-code-unit
+    // split would elect lone-surrogate symbols and diverge (round-8 fix)
+    locally {
+      val emojiDocs = Seq("😀a 😀a 😀b 😀b 😀b",
+        "x😁 x😁 x😁 😀a")
+      val local = Corpus.bpeTrainLocal(emojiDocs.toDF("text"), "text", 4, 2L)
+      CacheScope.withScope { scope =>
+        val dist = Corpus.bpeTrain(emojiDocs.toDF("text"), "text", 4, 2L, scope)
+        assert(local == dist, "non-BMP local/distributed divergence")
+      }
+      // every elected symbol is well-formed UTF-16 — no lone surrogates
+      def wellFormed(s: String): Boolean = {
+        var i = 0
+        while (i < s.length) {
+          if (Character.isHighSurrogate(s.charAt(i))) {
+            if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1))) return false
+            i += 2
+          } else if (Character.isLowSurrogate(s.charAt(i))) return false
+          else i += 1
+        }
+        true
+      }
+      for ((a, b, _) <- local; s <- Seq(a, b))
+        assert(wellFormed(s), s"lone surrogate in symbol '$s'")
+      assert(local.exists { case (a, _, _) => a.startsWith("😀") || a.startsWith("x") },
+        "expected a merge involving the emoji or its neighbor")
+    }
     // early stop and the word-table guard
     assert(Corpus.bpeTrainLocal(Seq("ab ab ab cd").toDF("text"), "text", 10, 2L)
       == Seq(("a", "b", 3L)))

@@ -114,6 +114,58 @@ class CurateCliSpec extends AnyFunSuite {
     rm(inJson, new java.io.File(outJson).getParent, outPq, snapA, snapB)
   }
 
+  test("--update-snapshot rejects anything outside the Y/N set instead of silently mutating") {
+    val snap = tmp("cli-snap-yn"); rm(snap)
+    val out1 = tmp("cli-yn1")
+    CurateCli.run("dedup", Map("--in" -> docsPath, "--out" -> out1, "--snapshot" -> snap))
+    val before = spark.read.parquet(snap).count()
+    // "n", "no", "false", "0" used to fall through to the MUTATING
+    // default — each must now fail loudly, and the snapshot stay intact
+    for (bad <- Seq("n", "no", "false", "0", "y", "yes")) {
+      val out = tmp(s"cli-yn-bad")
+      val e = intercept[IllegalArgumentException] {
+        CurateCli.run("dedup", Map("--in" -> docsPath, "--out" -> out,
+          "--snapshot" -> snap, "--update-snapshot" -> bad))
+      }
+      assert(e.getMessage.contains("--update-snapshot"), s"value '$bad'")
+      rm(out)
+    }
+    assert(spark.read.parquet(snap).count() == before,
+      "a rejected flag must not have touched the standing snapshot")
+    rm(snap, out1)
+  }
+
+  test("--bench-format decouples the benchmark file's format from --in-format") {
+    val d = spark.read.parquet(docsPath)
+    val inJson = tmp("cli-bf-in")
+    d.select("doc_id", "text").write.mode("overwrite").json(inJson)
+    val benchPq = tmp("cli-bf-bench")
+    d.filter(col("doc_id") % 97 === 0).write.mode("overwrite").parquet(benchPq)
+    // JSONL corpus + PARQUET benchmark: before round-8 the forced
+    // --in-format jsonl leaked onto --bench and misread the parquet
+    val out = tmp("cli-bf-out")
+    CurateCli.run("clean", Map("--in" -> inJson, "--in-format" -> "jsonl",
+      "--out" -> out, "--bench" -> benchPq, "--bench-format" -> "parquet"))
+    val got = spark.read.parquet(out)
+      .select(col("doc_id").cast("long"), col("chunk_idx").cast("int"), col("chunk_hash"))
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = Pipeline.cleanCorpus(d.select("doc_id", "text"),
+        d.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+      .select("doc_id", "chunk_idx", "chunk_hash")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == want && got.nonEmpty)
+    // and with NO --bench-format, the benchmark falls back to extension
+    // sniffing (parquet here), not to --in-format's jsonl
+    val out2 = tmp("cli-bf-out2")
+    CurateCli.run("clean", Map("--in" -> inJson, "--in-format" -> "jsonl",
+      "--out" -> out2, "--bench" -> benchPq))
+    val got2 = spark.read.parquet(out2)
+      .select(col("doc_id").cast("long"), col("chunk_idx").cast("int"), col("chunk_hash"))
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got2 == want)
+    rm(inJson, benchPq, out, out2)
+  }
+
   test("argv hygiene: unknown command and malformed options fail loudly") {
     intercept[IllegalArgumentException] {
       CurateCli.run("frobnicate", Map("--in" -> "x", "--out" -> "y"))

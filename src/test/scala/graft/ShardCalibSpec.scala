@@ -331,6 +331,13 @@ class ShardCalibSpec extends AnyFunSuite {
     // the horizon survivor itself is replayable too (its record is kept)
     val survivor = recs.map(_._1).min
     assert(PackOffsetStore.startFor(recs, survivor, 999L) == survivor * 10L)
+    // a batch BELOW the horizon has lost its record — recomputing would
+    // silently restart the pack at initialOffset (overwriting offset 0),
+    // so startFor must refuse instead (round-8 guard)
+    val below = intercept[IllegalStateException] {
+      PackOffsetStore.startFor(recs, survivor - 1L, 0L)
+    }
+    assert(below.getMessage.contains("compaction horizon"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
