@@ -21,6 +21,11 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             benchmark decontamination → chunking (needs `--bench`)
   *   audit   — [[Pipeline.auditReport]]: domain cap → split assignment →
   *             train→eval leakage rollup (q117)
+  *   bpe     — tokenizer training over the corpus: the driver-local
+  *             fast path ([[graft.ops.Corpus.bpeTrainLocal]] — one
+  *             distributed (word, freq) collapse, in-process merges),
+  *             writing the learned rules as (rank, left, right,
+  *             pair_count) in rank order
   *   dedup   — incremental ingest dedup against a STANDING fingerprint
   *             snapshot dir ([[Dedup.incrementalDedupSnapshot]], q96/q120
   *             discipline): probes the snapshot, writes per-doc verdicts,
@@ -44,7 +49,8 @@ object CurateCli {
     "--id-col", "--text-col", "--lang-col", "--group-col", "--target-lang",
     "--min-chars", "--chunk-tokens", "--budget-num", "--budget-den",
     "--min-tokens", "--ngram", "--chunk-size", "--overlap",
-    "--cap", "--splits", "--train-split", "--update-snapshot", "--bench-format")
+    "--cap", "--splits", "--train-split", "--update-snapshot", "--bench-format",
+    "--merges", "--min-pair-count", "--max-distinct-words")
 
   /** Strict `--key value` argv parse (the [[graft.etl.CarrotCli]]
     * discipline: unknown flags and dangling values error loudly). */
@@ -82,9 +88,9 @@ object CurateCli {
   /** Testable entry: command + parsed options against the current (or a
     * fresh) session. */
   def run(command: String, argv: Map[String, String]): Unit = {
-    if (!Set("clean", "curate", "audit", "dedup").contains(command))
+    if (!Set("clean", "curate", "audit", "dedup", "bpe").contains(command))
       throw new IllegalArgumentException(
-        s"unknown command '$command' (expected clean, curate, audit or dedup)")
+        s"unknown command '$command' (expected clean, curate, audit, dedup or bpe)")
     def req(k: String): String = argv.getOrElse(k, sys.error(s"missing required option $k"))
     val master = sys.props.get("spark.master").orElse(sys.env.get("SPARK_MASTER")).getOrElse("local[*]")
     val preexisting = SparkSession.getDefaultSession.isDefined
@@ -152,6 +158,19 @@ object CurateCli {
             argv.getOrElse("--cap", "50").toInt,
             splits, argv.getOrElse("--train-split", "train"),
             argv.getOrElse("--chunk-tokens", "10").toInt, scope), out)
+
+        case "bpe" =>
+          import spark.implicits._
+          // rank order IS the vocabulary: encoders must apply rules in
+          // learned order, so it is materialized as an explicit column
+          val rules = graft.ops.Corpus.bpeTrainLocal(in, textCol,
+            argv.getOrElse("--merges", "1000").toInt,
+            argv.getOrElse("--min-pair-count", "2").toLong,
+            argv.getOrElse("--max-distinct-words", "20000000").toInt)
+          write(rules.zipWithIndex
+            .map { case ((a, b, n), i) => (i, a, b, n) }
+            .toDF("rank", "left", "right", "pair_count")
+            .coalesce(1), out)
 
         case "dedup" =>
           import spark.implicits._

@@ -1509,6 +1509,20 @@ object SparkEntry {
         .select(TextAnalysis.fingerprint(col("text")).as("fp"))
       Dedup.incrementalDedupSnapshot(d.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", snap)
+    }),
+
+    // ---- Per-group WEIGHTED quantiles (round-8): the smallest price at
+    //      which a return-flag's cumulative quantity mass reaches q of
+    //      its total — the "half the tokens sit below length X" family.
+    //      Exact decimal cums + exact driver-side thresholds; cums ride
+    //      the distinct tally table under the range-partition +
+    //      prefix-sum discipline (no per-group mega-window) ----
+    "q132_weighted_quantile" -> ((s, dir) => {
+      Stats.weightedQuantiles(
+          tbl(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_extendedprice"), col("l_quantity").cast("bigint").as("_w")),
+          "l_returnflag", "l_extendedprice", "_w", Seq(0.25, 0.5, 0.75, 0.9))
+        .select(col("l_returnflag"), col("q"), col("wq").as("wq_price"))
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -3348,5 +3362,23 @@ object SparkEntry {
     "q127_incr_embed_idx" -> oracleSqlBase("q115_incr_embed_neardup"),
     "q128_fuzzy_capped" -> oracleSqlBase("q94_fuzzy_pairs"),
     "q129_incr_dedup_bloom" -> oracleSqlBase("q96_incr_dedup"),
-    "q131_incr_dedup_snapshot" -> oracleSqlBase("q96_incr_dedup"))
+    "q131_incr_dedup_snapshot" -> oracleSqlBase("q96_incr_dedup"),
+
+    // q132: weighted lower quantile — min v with cum weight(≤v) >= q·total.
+    // Integer weights keep every sum exact; the threshold compare is done
+    // in INTEGER arithmetic (cw·100 >= 100q·tw, 100q integral for these
+    // qs) so no float or decimal-overflow semantics are in play on either
+    // engine (Spark's side holds exact scale-6 decimals and exact
+    // driver-computed ceilings — same real-number predicate)
+    "q132_weighted_quantile" ->
+      """WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem WHERE l_quantity > 0),
+        |d AS (SELECT g, v, SUM(w) AS w FROM t GROUP BY g, v),
+        |c AS (SELECT g, v, SUM(w) OVER (PARTITION BY g ORDER BY v) AS cw,
+        |    SUM(w) OVER (PARTITION BY g) AS tw FROM d),
+        |qs AS (SELECT UNNEST([0.25, 0.5, 0.75, 0.9]) AS q)
+        |SELECT c.g AS l_returnflag, CAST(qs.q AS DOUBLE) AS q, MIN(c.v) AS wq_price
+        |FROM c, qs
+        |WHERE c.cw * 100 >= CAST(round(qs.q * 100) AS BIGINT) * c.tw
+        |GROUP BY 1, 2""".stripMargin)
 }

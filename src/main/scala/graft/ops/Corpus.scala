@@ -241,6 +241,54 @@ object Corpus {
     }
   }
 
+  /** One batch's contribution to the standing distinct-count ledger: a
+    * DataSketches HLL sketch of `valueCol` per group (2^lgK bytes,
+    * mergeable). See [[cardLedgerAppend]] for the ledger discipline. */
+  def cardLedgerSketch(batch: DataFrame, groupCol: String, valueCol: String,
+                       lgK: Int = 12): DataFrame =
+    batch.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("sketch"))
+
+  /** Standing distinct-count ledger (round-8): the incremental sibling of
+    * [[datasetCardApprox]]'s one-shot HLL counts. A daily 100 TB loop
+    * needs "distinct fingerprints / tokens per source, corpus-to-date"
+    * every batch, but re-aggregating history for it costs a full-corpus
+    * pass per day. HLL sketches are MERGEABLE (union of per-batch
+    * sketches ≡ sketch of the unioned data — the DataSketches set
+    * property), so the ledger stores one (group, sketch) row-set per
+    * batch under `dir/batch=<id>` and [[cardLedgerEstimate]] answers
+    * from sketch bytes alone: per-batch cost rides the batch, history is
+    * NEVER rescanned, and the ledger read is kilobytes × batches × groups
+    * — [[graft.streaming.EventStream]]'s PackOffsetStore discipline at
+    * sketch scale.
+    *
+    * Overwrite-per-batch-dir keeps replay idempotent (at-least-once
+    * delivery re-writes the same dir), and HLL union is itself
+    * idempotent (unioning a sketch with itself changes nothing), so even
+    * a DOUBLE-append of identical content under two batch ids cannot
+    * inflate the estimate — both layers are spec-pinned. One `lgK` per
+    * ledger: unions reject mismatched lgK rather than silently degrade
+    * to the coarser sketch.
+    *
+    * Honestly not oracle-able (estimates are implementation-defined);
+    * pinned by tolerance specs against exact distincts, the
+    * [[datasetCardApprox]] discipline. */
+  def cardLedgerAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       batch: DataFrame, groupCol: String, valueCol: String,
+                       batchId: Long, lgK: Int = 12): Unit =
+    cardLedgerSketch(batch, groupCol, valueCol, lgK)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+
+  /** Corpus-to-date distinct estimates from the ledger alone: one union
+    * per group over per-batch sketch bytes — no data rescan. Returns
+    * (group, distinct_est). */
+  def cardLedgerEstimate(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("group"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_est"))
+
   /** Smoothed bigram-LM fluency score: for each document, the mean
     * add-one-smoothed conditional transition probability of its word
     * bigrams under a LM trained on the whole corpus —

@@ -345,4 +345,102 @@ object Stats {
     df.join(ranks, g <=> col("_cs_g") && (col(scoreCol) <=> col("_cs_s")))
       .drop("_cs_g", "_cs_s")
   }
+
+  /** Per-group WEIGHTED lower quantiles: for each group and each `q` in
+    * `qs`, the smallest value `v` such that the summed weight of rows at
+    * or below `v` reaches `q` × the group's total weight.
+    *
+    * Why a pipeline needs it: corpus statistics that matter are usually
+    * token-mass-weighted, not row-weighted — "half the TOKENS sit in
+    * documents shorter than X" is a different (and more actionable)
+    * number than the median document length, because a handful of
+    * megadocs carry most of the mass. Weighted quantiles answer sizing
+    * questions (context-window coverage, per-source token budgets,
+    * shard balance) that `percentile`/`approx_percentile` — both
+    * row-weighted — cannot.
+    *
+    * Exactness across engines: cumulative weights ride decimal(38,6)
+    * (weights cast once; sums are exact far beyond corpus scale), and
+    * the `q × total` thresholds are computed on the DRIVER with exact
+    * BigDecimal arithmetic, then ceiling-rounded to the cum grid's
+    * scale-6 — `cum >= ceil6(q·total)` is equivalent to the real-number
+    * `cum >= q·total` because cums are scale-6 multiples, so the plan
+    * contains a pure decimal COMPARE, no float arithmetic anywhere.
+    *
+    * Scale shape ([[calibrateScores]]'s discipline): cumulative weights
+    * ride the DISTINCT (group, value) tally table, not the rows — range
+    * partition on (group, value), per-(partition, group) cell totals
+    * collected as driver metadata and prefix-summed per group, windows
+    * bounded by one partition's share of one group. The corpus pays one
+    * groupBy; no task ever holds a whole group, so a dominant source
+    * cannot funnel the sort through one task. Thresholds and offsets
+    * broadcast (groups × qs rows). Rows with null or non-positive
+    * weight are excluded (a ≤0 weight would break cum monotonicity);
+    * groups left with no rows produce no output.
+    *
+    * Driver note: eager at call time (prefix sums + thresholds), and the
+    * [[ksDistance]] cache-lifetime hazard applies — finish every action
+    * on the result before the owning `scope` closes. */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                        weightCol: String, qs: Seq[Double],
+                        scope: CacheScope = CacheScope.noop): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    require(qs.nonEmpty, "qs must be non-empty")
+    require(qs.forall(q => q > 0.0 && q <= 1.0), s"each q must be in (0, 1], got $qs")
+    val sess = df.sparkSession
+    import sess.implicits._
+    // float group keys: fold IEEE −0.0 into +0.0 before the string cast
+    // (the calibrateScores rule — one group must not split in two)
+    val g = (df.schema(groupCol).dataType match {
+      case DoubleType => col(groupCol) + lit(0.0d)
+      case FloatType  => col(groupCol) + lit(0.0f)
+      case _          => col(groupCol)
+    }).cast("string")
+    val tallies = scope.track(df
+      .filter(col(valCol).isNotNull && col(weightCol).isNotNull
+        && col(weightCol) > lit(0))
+      .groupBy(g.as("_wq_g"), col(valCol).as("_wq_v"))
+      .agg(sum(col(weightCol).cast("decimal(38,6)")).as("_wq_w"),
+        first(col(groupCol)).as("_wq_orig"))
+      .repartitionByRange(col("_wq_g"), col("_wq_v"))
+      .sortWithinPartitions(col("_wq_g"), col("_wq_v"))
+      .withColumn("_wq_pid", shiftright(monotonically_increasing_id(), 33))
+      .cache())
+    val cells = tallies.groupBy(col("_wq_pid"), col("_wq_g"))
+      .agg(sum(col("_wq_w")).as("_t"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDecimal(2)))
+    val zero = java.math.BigDecimal.ZERO
+    val offRows = cells.groupBy(_._2).toSeq.flatMap { case (gv, cs) =>
+      var acc = zero
+      cs.sortBy(_._1).map { case (pid, _, t) =>
+        val off = acc; acc = acc.add(t)
+        (pid, gv.orNull, BigDecimal(off).setScale(6))
+      }
+    }
+    // exact q·total per (group, q), ceiling-rounded onto the scale-6 cum
+    // grid — preserves `cum >= q·total` exactly (see doc above)
+    val thrRows = cells.groupBy(_._2).toSeq.flatMap { case (gv, cs) =>
+      val total = cs.map(_._3).foldLeft(zero)(_.add(_))
+      qs.map { q =>
+        val thr = total.multiply(new java.math.BigDecimal(q.toString))
+          .setScale(6, java.math.RoundingMode.CEILING)
+        (gv.orNull, q, BigDecimal(thr))
+      }
+    }
+    val offDf = broadcast(offRows.toDF("_wq_opid", "_wq_og", "_wq_off")
+      .withColumn("_wq_off", col("_wq_off").cast("decimal(38,6)")))
+    val thrDf = broadcast(thrRows.toDF("_wq_tg", "q", "_wq_thr")
+      .withColumn("_wq_thr", col("_wq_thr").cast("decimal(38,6)")))
+    val w = Window.partitionBy(col("_wq_pid"), col("_wq_g")).orderBy(col("_wq_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tallies.join(offDf,
+        col("_wq_pid") === col("_wq_opid") && (col("_wq_g") <=> col("_wq_og")))
+      .withColumn("_wq_cum", sum(col("_wq_w")).over(w) + col("_wq_off"))
+      .join(thrDf, (col("_wq_g") <=> col("_wq_tg")) && col("_wq_cum") >= col("_wq_thr"))
+      .groupBy(col("_wq_g"), col("q"))
+      .agg(min(col("_wq_v")).as("wq"), first(col("_wq_orig")).as("_wq_o2"))
+      .select(col("_wq_o2").as(groupCol), col("q"), col("wq"))
+  }
 }

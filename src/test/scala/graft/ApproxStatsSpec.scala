@@ -87,4 +87,47 @@ class ApproxStatsSpec extends AnyFunSuite {
     val flips = (exFl diff apFl) union (apFl diff exFl)
     assert(flips.size <= 3 * tol, s"${flips.size} outlier flips — past the rank error")
   }
+
+  // ---- cardLedger: the standing HLL distinct-count ledger (round-8) ----
+
+  test("cardLedger estimates the unioned distinct within HLL tolerance, never rescanning batches") {
+    import graft.ops.Corpus
+    val dir = java.nio.file.Files.createTempDirectory("cardledger").toString
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("source"), md5(col("text")).as("fp"), col("doc_id"))
+    // three overlapping batches (thirds by doc_id, plus a shared slice)
+    val batches = Seq(
+      d.filter(col("doc_id") % 3 === 0),
+      d.filter(col("doc_id") % 3 === 1).unionAll(d.filter(col("doc_id") % 30 === 0)),
+      d.filter(col("doc_id") % 3 === 2))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Corpus.cardLedgerAppend(spark, dir, b, "source", "fp", i.toLong)
+    }
+    val est = Corpus.cardLedgerEstimate(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val exact = d.groupBy(col("source").cast("string").as("g"))
+      .agg(count_distinct(col("fp")).as("n")).as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    for ((g, n) <- exact)
+      assert(math.abs(est(g) - n) <= math.max(2L, (0.05 * n).toLong),
+        s"group $g: est ${est(g)} vs exact $n — past HLL(lgK=12) tolerance")
+    // double-append of IDENTICAL content under a NEW batch id: HLL union
+    // is idempotent, so the estimate must not move by a single count
+    Corpus.cardLedgerAppend(spark, dir, batches(0), "source", "fp", 99L)
+    val est2 = Corpus.cardLedgerEstimate(spark, dir).as[(String, Long)].collect().toMap
+    assert(est2 == est, "re-ingested content inflated the distinct estimate")
+    // replay of the SAME batch id overwrites its dir: ledger stays bounded
+    Corpus.cardLedgerAppend(spark, dir, batches(1), "source", "fp", 1L)
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).count(_.startsWith("batch="))
+    assert(dirs == 4, s"replay must overwrite, not accumulate (got $dirs dirs)")
+    assert(Corpus.cardLedgerEstimate(spark, dir).as[(String, Long)].collect().toMap == est)
+    // a genuinely NEW value set must move the estimate upward
+    Corpus.cardLedgerAppend(spark, dir,
+      d.select(col("source"), md5(concat(col("fp"), lit("~v2"))).as("fp"), col("doc_id")),
+      "source", "fp", 100L)
+    val est3 = Corpus.cardLedgerEstimate(spark, dir).as[(String, Long)].collect().toMap
+    assert(exact.keys.forall(g => est3(g) > est(g)),
+      "doubling the distinct universe must raise every group's estimate")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

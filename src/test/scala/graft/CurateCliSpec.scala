@@ -166,6 +166,25 @@ class CurateCliSpec extends AnyFunSuite {
     rm(inJson, benchPq, out, out2)
   }
 
+  test("bpe command trains the local vocabulary and writes rules in rank order") {
+    val out = tmp("cli-bpe")
+    CurateCli.run("bpe", Map("--in" -> docsPath, "--out" -> out, "--merges" -> "30"))
+    val got = spark.read.parquet(out)
+      .select("rank", "left", "right", "pair_count")
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val want = graft.ops.Corpus.bpeTrainLocal(
+        spark.read.parquet(docsPath), "text", 30, 2L)
+      .zipWithIndex.map { case ((a, b, n), i) => (i, a, b, n) }
+    assert(got == want && got.size == 30)
+    // the written vocabulary drives the encoder directly
+    val rules = got.map { case (_, a, b, _) => (a, b) }
+    val n = graft.ops.Corpus.bpeEncode(
+        spark.read.parquet(docsPath).limit(50), "doc_id", "text", rules)
+      .count()
+    assert(n == 50)
+    rm(out)
+  }
+
   test("argv hygiene: unknown command and malformed options fail loudly") {
     intercept[IllegalArgumentException] {
       CurateCli.run("frobnicate", Map("--in" -> "x", "--out" -> "y"))

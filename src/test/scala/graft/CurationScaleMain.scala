@@ -151,6 +151,34 @@ object CurationScaleMain {
             maxBlockSize = 25, scope = scope))
       }
     }
+    // round-7: the BANDED 3-arg levenshtein verify vs the 2-arg
+    // full-matrix form it replaced, on the shape the band pays off:
+    // LONG prefixes (the whole verify is the DP) with a TIGHT edit
+    // budget (most pairs abandon after a few rows). Same blocks, same
+    // pairs out — the A/B inlines the old 2-arg verify verbatim.
+    locally {
+      val docs = replay(4)
+      val (prefix, maxEdit) = (400, 5)
+      val base = docs.select(col("doc_id").as("_id"),
+        substring(lower(trim(col("text"))), 1, prefix).as("_pfx"),
+        struct(blockKey: _*).as("_blk"))
+      val l = base.select(col("_id").as("id1"), col("_pfx").as("_p1"), col("_blk"))
+      val r = base.select(col("_id").as("id2"), col("_pfx").as("_p2"), col("_blk"))
+      val joined = l.join(r, Seq("_blk")).filter(col("id1") < col("id2"))
+      def timePairs(what: String, d: => DataFrame): Unit = {
+        d.count() // warm
+        val t0 = System.nanoTime(); val n = d.count()
+        println(f"SCALE $what: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n pairs)")
+      }
+      timePairs(s"lev banded   prefix=$prefix maxEdit=$maxEdit 4x",
+        joined.select(col("id1"), col("id2"),
+            levenshtein(col("_p1"), col("_p2"), maxEdit).as("edit_dist"))
+          .filter(col("edit_dist") >= 0))
+      timePairs(s"lev 2-arg    prefix=$prefix maxEdit=$maxEdit 4x",
+        joined.select(col("id1"), col("id2"),
+            levenshtein(col("_p1"), col("_p2")).as("edit_dist"))
+          .filter(col("edit_dist") <= maxEdit))
+    }
     spark.stop()
   }
 }

@@ -138,6 +138,75 @@ class ShardCalibSpec extends AnyFunSuite {
     assert(kept("a") == 30 && kept("b") == 30)
   }
 
+  // ---- weightedQuantiles ----
+
+  /** Driver model: exact integer cums, min v with cum >= q*total. */
+  private def wqModel(rows: Seq[(String, Double, Long)], qs: Seq[Double])
+      : Map[(String, Double), Double] =
+    rows.filter(_._3 > 0L).groupBy(_._1).flatMap { case (g, rs) =>
+      val tally = rs.groupBy(_._2).map { case (v, vs) => (v, vs.map(_._3).sum) }
+        .toSeq.sortBy(_._1)
+      val total = tally.map(_._2).sum
+      qs.map { q =>
+        var cum = 0L
+        // integer-exact threshold compare: cum*denom >= num*total with
+        // q = num/denom from the decimal literal
+        val bd = new java.math.BigDecimal(q.toString)
+        val den = java.math.BigDecimal.TEN.pow(bd.scale()).longValueExact()
+        val num = bd.movePointRight(bd.scale()).longValueExact()
+        val v = tally.collectFirst {
+          case (v, w) if { cum += w; cum * den >= num * total } => v
+        }.get
+        (g, q) -> v
+      }
+    }
+
+  test("weightedQuantiles matches the exact driver model on random grouped data") {
+    val rng = new scala.util.Random(4242)
+    val rows = (1 to 600).map { _ =>
+      (s"g${rng.nextInt(4)}", (rng.nextInt(50) + 1).toDouble, rng.nextInt(9).toLong + 1L)
+    }
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = Stats.weightedQuantiles(
+        spark.createDataFrame(rows).toDF("g", "v", "w"), "g", "v", "w", qs)
+      .as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == wqModel(rows, qs))
+  }
+
+  test("weightedQuantiles: boundary is inclusive, q=1 is the max, w<=0 and null excluded") {
+    // four unit weights: cum at the 2nd value is exactly 0.5*total — the
+    // lower weighted quantile is v2, NOT v3 (inclusive >= boundary)
+    val rows = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 1L), ("a", 4.0, 1L),
+      // b: one heavy doc carries 90% of the mass — weighted median is 9.0
+      ("b", 1.0, 1L), ("b", 9.0, 9L),
+      // c: only nonpositive weights — group must vanish
+      ("c", 5.0, 0L), ("c", 6.0, -3L))
+    val got = Stats.weightedQuantiles(
+        spark.createDataFrame(rows).toDF("g", "v", "w"), "g", "v", "w",
+        Seq(0.5, 1.0))
+      .as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", 0.5)) == 2.0)
+    assert(got(("a", 1.0)) == 4.0)
+    assert(got(("b", 0.5)) == 9.0, "row-median would say 1.0; mass-median is the heavy doc")
+    assert(got(("b", 1.0)) == 9.0)
+    assert(!got.keySet.exists(_._1 == "c"))
+  }
+
+  test("weightedQuantiles cum path is partition-bounded on a mega-group") {
+    // one dominant group, many distinct values: the cum must ride the
+    // range-partitioned tally (windows keyed by _wq_pid), never one
+    // whole-group window task — the temperatureSample lesson
+    val df = spark.range(6000).select(lit("one").as("g"),
+      (col("id") % 2000).cast("double").as("v"), (col("id") % 7 + 1L).as("w"))
+    val out = Stats.weightedQuantiles(df, "g", "v", "w", Seq(0.5))
+    assert(out.queryExecution.optimizedPlan.toString.contains("_wq_pid"))
+    val rows = df.as[(String, Double, Long)].collect().toSeq
+    assert(out.as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap == wqModel(rows, Seq(0.5)))
+  }
+
   // ---- CharEntropy ----
 
   /** Driver model: code-point tally, ascending-order term sum. */
