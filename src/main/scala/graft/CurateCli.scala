@@ -44,17 +44,34 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   * documents table reproduces q92/q117 exactly (spec-pinned). */
 object CurateCli {
 
-  private val KnownOptions = Set(
-    "--in", "--out", "--bench", "--snapshot", "--in-format", "--out-format",
-    "--id-col", "--text-col", "--lang-col", "--group-col", "--target-lang",
-    "--min-chars", "--chunk-tokens", "--budget-num", "--budget-den",
-    "--min-tokens", "--ngram", "--chunk-size", "--overlap",
-    "--cap", "--splits", "--train-split", "--update-snapshot", "--bench-format",
-    "--merges", "--min-pair-count", "--max-distinct-words")
+  private val CommonOptions = Set(
+    "--in", "--out", "--in-format", "--out-format", "--id-col", "--text-col")
+
+  /** Per-COMMAND allowed-option sets (round-8 advice): a global known set
+    * silently accepted `--merges` on `dedup` — syntactically valid,
+    * semantically ignored, exactly the quiet-misconfiguration class the
+    * strict parse exists to kill. Now `curate --merges 30` fails as
+    * loudly as a typo'd flag. */
+  private val CommandOptions: Map[String, Set[String]] = Map(
+    "curate" -> (CommonOptions ++ Set("--lang-col", "--target-lang",
+      "--min-chars", "--chunk-tokens", "--budget-num", "--budget-den")),
+    "clean" -> (CommonOptions ++ Set("--bench", "--bench-format",
+      "--min-tokens", "--ngram", "--chunk-size", "--overlap")),
+    "audit" -> (CommonOptions ++ Set("--group-col", "--cap", "--splits",
+      "--train-split", "--chunk-tokens")),
+    "bpe" -> (CommonOptions ++ Set("--merges", "--min-pair-count",
+      "--max-distinct-words")),
+    "dedup" -> (CommonOptions ++ Set("--snapshot", "--update-snapshot")))
+
+  private def optionsFor(command: String): Set[String] =
+    CommandOptions.getOrElse(command, throw new IllegalArgumentException(
+      s"unknown command '$command' (expected ${CommandOptions.keys.toSeq.sorted.mkString(", ")})"))
 
   /** Strict `--key value` argv parse (the [[graft.etl.CarrotCli]]
-    * discipline: unknown flags and dangling values error loudly). */
-  private def parseArgv(args: Array[String]): Map[String, String] = {
+    * discipline: unknown flags and dangling values error loudly),
+    * validated against the COMMAND's own option set. */
+  private def parseArgv(args: Array[String],
+                        KnownOptions: Set[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
     while (i < args.length) {
@@ -81,16 +98,18 @@ object CurateCli {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup> --in PATH --out PATH [options]")
-    run(args.head, parseArgv(args.tail))
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|bpe> --in PATH --out PATH [options]")
+    run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
   /** Testable entry: command + parsed options against the current (or a
-    * fresh) session. */
+    * fresh) session. Re-validates keys against the command's option set
+    * (specs call this directly, bypassing [[parseArgv]]). */
   def run(command: String, argv: Map[String, String]): Unit = {
-    if (!Set("clean", "curate", "audit", "dedup", "bpe").contains(command))
+    val stray = argv.keySet -- optionsFor(command)
+    if (stray.nonEmpty)
       throw new IllegalArgumentException(
-        s"unknown command '$command' (expected clean, curate, audit, dedup or bpe)")
+        s"option${if (stray.size > 1) "s" else ""} not valid for '$command': ${stray.toSeq.sorted.mkString(", ")}")
     def req(k: String): String = argv.getOrElse(k, sys.error(s"missing required option $k"))
     val master = sys.props.get("spark.master").orElse(sys.env.get("SPARK_MASTER")).getOrElse("local[*]")
     val preexisting = SparkSession.getDefaultSession.isDefined

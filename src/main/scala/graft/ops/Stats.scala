@@ -366,6 +366,12 @@ object Stats {
     * scale-6 — `cum >= ceil6(q·total)` is equivalent to the real-number
     * `cum >= q·total` because cums are scale-6 multiples, so the plan
     * contains a pure decimal COMPARE, no float arithmetic anywhere.
+    * The exactness contract therefore covers weights REPRESENTABLE AT
+    * SCALE 6 — integers (token counts, byte sizes: the intended use) and
+    * fractions down to 1e-6. A fractional weight below ~5e-7 passes the
+    * `> 0` filter but rounds to zero mass in the decimal cast; if you
+    * have sub-micro weights, rescale them (quantiles are scale-free in
+    * the weights) rather than expecting sub-scale-6 exactness.
     *
     * Scale shape ([[calibrateScores]]'s discipline): cumulative weights
     * ride the DISTINCT (group, value) tally table, not the rows — range
@@ -392,17 +398,23 @@ object Stats {
     import sess.implicits._
     // float group keys: fold IEEE −0.0 into +0.0 before the string cast
     // (the calibrateScores rule — one group must not split in two)
-    val g = (df.schema(groupCol).dataType match {
+    val gFolded = df.schema(groupCol).dataType match {
       case DoubleType => col(groupCol) + lit(0.0d)
       case FloatType  => col(groupCol) + lit(0.0f)
       case _          => col(groupCol)
-    }).cast("string")
+    }
+    val g = gFolded.cast("string")
     val tallies = scope.track(df
       .filter(col(valCol).isNotNull && col(weightCol).isNotNull
         && col(weightCol) > lit(0))
       .groupBy(g.as("_wq_g"), col(valCol).as("_wq_v"))
+      // the output label is the FOLDED key, not first(raw): a ±0.0 float
+      // group folds into one group either way, but first() across
+      // partitions would flap between the two sign representations
+      // run-to-run (round-8 advice) — the folded value is the one
+      // deterministic representative
       .agg(sum(col(weightCol).cast("decimal(38,6)")).as("_wq_w"),
-        first(col(groupCol)).as("_wq_orig"))
+        first(gFolded).as("_wq_orig"))
       .repartitionByRange(col("_wq_g"), col("_wq_v"))
       .sortWithinPartitions(col("_wq_g"), col("_wq_v"))
       .withColumn("_wq_pid", shiftright(monotonically_increasing_id(), 33))

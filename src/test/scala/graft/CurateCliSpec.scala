@@ -196,4 +196,20 @@ class CurateCliSpec extends AnyFunSuite {
       CurateCli.main(Array("curate", "--in"))
     }
   }
+
+  test("options are validated PER COMMAND: another command's flag fails instead of being ignored") {
+    // --merges is a bpe flag: on dedup it used to parse fine and do
+    // nothing (round-8 advice) — now it fails as loudly as a typo
+    val e1 = intercept[IllegalArgumentException] {
+      CurateCli.run("dedup", Map("--in" -> "x", "--out" -> "y",
+        "--snapshot" -> "s", "--merges" -> "30"))
+    }
+    assert(e1.getMessage.contains("--merges") && e1.getMessage.contains("dedup"))
+    intercept[IllegalArgumentException] {
+      CurateCli.main(Array("bpe", "--in", "x", "--out", "y", "--snapshot", "s"))
+    }
+    intercept[IllegalArgumentException] {
+      CurateCli.run("curate", Map("--in" -> "x", "--out" -> "y", "--bench" -> "b"))
+    }
+  }
 }

@@ -194,6 +194,24 @@ class ShardCalibSpec extends AnyFunSuite {
     assert(!got.keySet.exists(_._1 == "c"))
   }
 
+  test("weightedQuantiles: a ±0.0 double group folds to ONE group with a deterministic +0.0 label") {
+    // −0.0 and +0.0 rows must form one group (they compare equal), and
+    // the emitted label must be the FOLDED key — first(raw) across
+    // partitions could flap between "-0.0" and "0.0" run-to-run
+    // (round-8 advice). 8 partitions with the −0.0 rows deliberately
+    // scattered so first() would be partition-order dependent.
+    val rows = Seq((-0.0, 1.0, 1L), (0.0, 2.0, 1L), (-0.0, 3.0, 1L), (0.0, 4.0, 1L))
+    val df = spark.createDataFrame(rows).toDF("g", "v", "w").repartition(8)
+    (1 to 3).foreach { _ =>
+      val got = Stats.weightedQuantiles(df, "g", "v", "w", Seq(0.5, 1.0))
+        .as[(Double, Double, Double)].collect().toSeq
+      assert(got.length == 2, "one folded group × two qs")
+      assert(got.forall { case (g, _, _) =>
+        java.lang.Double.doubleToRawLongBits(g) == 0L }, s"label must be +0.0, got $got")
+      assert(got.map(r => r._2 -> r._3).toMap == Map(0.5 -> 2.0, 1.0 -> 4.0))
+    }
+  }
+
   test("weightedQuantiles cum path is partition-bounded on a mega-group") {
     // one dominant group, many distinct values: the cum must ride the
     // range-partitioned tally (windows keyed by _wq_pid), never one
