@@ -1523,6 +1523,24 @@ object SparkEntry {
             col("l_extendedprice"), col("l_quantity").cast("bigint").as("_w")),
           "l_returnflag", "l_extendedprice", "_w", Seq(0.25, 0.5, 0.75, 0.9))
         .select(col("l_returnflag"), col("q"), col("wq").as("wq_price"))
+    }),
+
+    // ---- q67's search via the STANDING IVF-PQ index (round-9): the
+    //      production serving shape — the corpus pass (cell argmax + PQ
+    //      encode) runs ONCE at build; the search ranks coded rows only,
+    //      never re-touching corpus floats. Same relational semantics,
+    //      same oracle as q67 (the q126/q127 discipline) ----
+    "q133_ivf_pq_standing" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 8)
+      val cents = corpus.select(col("vec_id").as("_cid"),
+          col("embedding").cast("array<double>").as("_cv"))
+        .orderBy(col("_cid")).limit(8)
+      val idx = Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
+        cents, Similarity.pqBookConst(64, 4, 8), dim = 64)
+      Similarity.ivfPqTopKWith(idx, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", nProbe = 2, topK = 5)
+        .select(col("query_id"), col("vec_id"), round(col("adist"), 4).as("adist"))
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -3363,6 +3381,7 @@ object SparkEntry {
     "q128_fuzzy_capped" -> oracleSqlBase("q94_fuzzy_pairs"),
     "q129_incr_dedup_bloom" -> oracleSqlBase("q96_incr_dedup"),
     "q131_incr_dedup_snapshot" -> oracleSqlBase("q96_incr_dedup"),
+    "q133_ivf_pq_standing" -> oracleSqlBase("q67_ivf_pq"),
 
     // q132: weighted lower quantile — min v with cum weight(≤v) >= q·total.
     // Integer weights keep every sum exact; the threshold compare is done

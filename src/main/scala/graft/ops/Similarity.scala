@@ -362,19 +362,39 @@ object Similarity {
     * @param book  m×k×(dim/m) PQ codebook — [[pqTrain]] or [[pqBookConst]] */
   def ivfPqTopK(cents: DataFrame, df: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, qIdCol: String, qVecCol: String,
-                book: Seq[Seq[Seq[Double]]], nProbe: Int, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                book: Seq[Seq[Seq[Double]]], nProbe: Int, topK: Int): DataFrame =
+    ivfPqSearch(ivfPqEncode(cents, df, idCol, vecCol, book), cents,
+      queries, qIdCol, qVecCol, book, nProbe, topK)
+
+  /** The IVF-PQ CORPUS pass: one scan assigns the coarse cell (argmax
+    * over the broadcast centroid table — max_by with map-side partials,
+    * never a corpus-wide window) and PQ-encodes (row-local); after it
+    * the corpus is (_id, _cid, _codes) — m small ints per row, floats
+    * dropped. This is the expensive half of every IVF-PQ search and the
+    * thing a STANDING index ([[buildIvfPqIndex]]) pays exactly once. */
+  private def ivfPqEncode(cents: DataFrame, df: DataFrame,
+                          idCol: String, vecCol: String,
+                          book: Seq[Seq[Seq[Double]]]): DataFrame = {
     val e = Parallelize.ensure(
       df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
-    // cell argmax exactly as ivfTopKWith (max_by, not a corpus-wide
-    // window); PQ codes computed in the same pass, floats dropped after
-    val cells = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("_csim", cosine(col("_v"), col("_cv")))
       .groupBy(col("_id"))
       .agg(min_by(struct(col("_cid"), col("_v")), struct(negate(col("_csim")), col("_cid"))).as("_best"))
       .select(col("_id"), col("_best._cid").as("_cid"),
         pqEncodeWith(col("_best._v"), book).as("_codes"))
+  }
 
+  /** The IVF-PQ SEARCH half over an already-encoded corpus: queries
+    * broadcast with their probe cells and m×k LUTs, the cell equi-join
+    * touches only probed cells, ADC is m array lookups per candidate,
+    * top-k per query. Corpus floats are never touched — `cells` carries
+    * codes only. */
+  private def ivfPqSearch(cells: DataFrame, cents: DataFrame,
+                          queries: DataFrame, qIdCol: String, qVecCol: String,
+                          book: Seq[Seq[Seq[Double]]],
+                          nProbe: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val probes = {
       val w = Window.partitionBy(col("_qid")).orderBy(col("_csim").desc, col("_cid"))
       queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
@@ -451,6 +471,103 @@ object Similarity {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= topK)
       .select(col("_qid").as("query_id"), col("_id").as("vec_id"), col("_dist").as("adist"))
+  }
+
+  /** Standing IVF-PQ index — the build-once/probe-forever form of the
+    * rung this file calls the production 100 TB ANN shape (round-8
+    * verdict #1). [[ivfPqTopK]] re-runs its corpus pass (cell argmax +
+    * PQ encode over every vector) per CALL; at corpus scale that pass IS
+    * the search cost, and it produces the same (id, cell, codes) table
+    * every time. This index materializes that table once, alongside the
+    * coarse centroids and PQ codebook that define the encoding, so a
+    * search session touches corpus floats ZERO times — the
+    * [[graft.ops.Dedup.NearDupIndex]] / [[EmbedIndex]] discipline on the
+    * ANN serving path.
+    *
+    * `coded` is (_id, _cid, _codes): m small ints per corpus row — at
+    * m=8, ~40 bytes/vector vs 512 for 64 raw doubles, the 10×+ memory
+    * squeeze that lets a 100 TB vector corpus serve from RAM-adjacent
+    * storage. `cents`/`book` are kilobytes and ride broadcasts. */
+  final case class IvfPqIndex private[ops] (
+      coded: DataFrame, cents: DataFrame,
+      book: Seq[Seq[Seq[Double]]], dim: Int)
+
+  /** Materialize an [[IvfPqIndex]]: ONE corpus pass ([[ivfPqEncode]] —
+    * broadcast-centroid argmax + row-local PQ encode, one hash shuffle
+    * on id), cached. At cluster scale follow with [[saveIvfPqIndex]] and
+    * serve from the stored table. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      cents: DataFrame, book: Seq[Seq[Seq[Double]]], dim: Int,
+                      scope: CacheScope = CacheScope.noop): IvfPqIndex =
+    IvfPqIndex(scope.track(ivfPqEncode(cents, corpus, idCol, vecCol, book).cache()),
+      scope.track(cents.cache()), book, dim)
+
+  /** IVF-PQ search against a prebuilt [[IvfPqIndex]]: the query side of
+    * [[ivfPqTopK]] (probe routing + LUT broadcast + ADC + per-query
+    * top-k) with the corpus side played by the index's coded table — no
+    * cell assignment, no PQ encode, no corpus-float read. Probing all
+    * cells still degrades gracefully to exact ADC ranking. */
+  def ivfPqTopKWith(index: IvfPqIndex, queries: DataFrame,
+                    qIdCol: String, qVecCol: String,
+                    nProbe: Int, topK: Int): DataFrame =
+    ivfPqSearch(index.coded, index.cents, queries, qIdCol, qVecCol,
+      index.book, nProbe, topK)
+
+  /** Persist an [[IvfPqIndex]]: the coded corpus, the coarse centroids,
+    * the PQ codebook (flattened to (sub, code, comps) rows), and a
+    * one-row params table, each as parquet under `path`. The index
+    * survives the JVM; tomorrow's search session [[loadIvfPqIndex]]s it
+    * instead of re-encoding 100 TB of vectors. */
+  def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    val sess = index.coded.sparkSession
+    import sess.implicits._
+    index.coded.write.mode("overwrite").parquet(s"$path/coded")
+    index.cents.select(col("_cid"), col("_cv"))
+      .write.mode("overwrite").parquet(s"$path/cents")
+    val rows = for {
+      (codes, sub) <- index.book.zipWithIndex
+      (comps, code) <- codes.zipWithIndex
+    } yield (sub, code, comps)
+    rows.toDF("sub", "code", "comps")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/book")
+    Seq((index.dim, index.book.size, index.book.head.size))
+      .toDF("dim", "m", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Read back a [[saveIvfPqIndex]]'d codebook as the m×k×(dim/m) nested
+    * Seq the encode/LUT builders take. Driver-sized by construction. */
+  private def readPqBook(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(s"$path/book")
+      .select(col("sub"), col("code"), col("comps"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+
+  /** Load a [[saveIvfPqIndex]]'d index; the coded table and centroids
+    * come back cached (every query batch of the day probes them). */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     scope: CacheScope = CacheScope.noop): IvfPqIndex = {
+    val p = spark.read.parquet(s"$path/params").head()
+    IvfPqIndex(scope.track(spark.read.parquet(s"$path/coded").cache()),
+      scope.track(spark.read.parquet(s"$path/cents").cache()),
+      readPqBook(spark, path), p.getAs[Int]("dim"))
+  }
+
+  /** APPEND a newly-ingested batch to a [[saveIvfPqIndex]]'d index ON
+    * DISK — the [[appendEmbedIndex]] discipline on the ANN serving path:
+    * encode ONLY the batch under the STORED centroids and codebook (read
+    * back, so the batch is coded exactly as the build was) and
+    * `mode("append")` it onto the stored coded table. History is never
+    * re-encoded or rewritten; a daily 100 TB loop writes one batch-sized
+    * parquet delta per day, and a reload probes one flat table. */
+  def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/cents")
+    ivfPqEncode(cents, newVecs, idCol, vecCol, readPqBook(spark, path))
+      .write.mode("append").parquet(s"$path/coded")
   }
 
   /** Deterministic pseudo-random hyperplane: component j of plane p is

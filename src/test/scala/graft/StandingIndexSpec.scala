@@ -211,6 +211,81 @@ class StandingIndexSpec extends AnyFunSuite {
     }
   }
 
+  // ---- standing IVF-PQ index (round-9): the ANN serving path's
+  //      build-once/probe-forever form ----
+
+  private def pqVecs(ids: Range) = ids.map { i =>
+    (i.toLong, (0 until 8).map(j => math.cos(i * 0.37 + j * 1.1)).toSeq)
+  }.toDF("vec_id", "emb")
+
+  test("standing IVF-PQ index: search equals the one-shot ivfPqTopK") {
+    CacheScope.withScope { scope =>
+      val corpus = pqVecs(4 until 44)
+      val queries = pqVecs(0 until 3).toDF("vec_id", "qv")
+      val cents = corpus.select(col("vec_id").as("_cid"),
+        col("emb").cast("array<double>").as("_cv")).orderBy("_cid").limit(4)
+      val book = Similarity.pqBookConst(8, 2, 4)
+      val want = Similarity.ivfPqTopK(cents, corpus, "vec_id", "emb",
+          queries, "vec_id", "qv", book, nProbe = 2, topK = 3)
+        .orderBy("query_id", "vec_id").as[(Long, Long, Double)].collect().toSeq
+      val idx = Similarity.buildIvfPqIndex(corpus, "vec_id", "emb",
+        cents, book, dim = 8, scope = scope)
+      val got = Similarity.ivfPqTopKWith(idx, queries, "vec_id", "qv",
+          nProbe = 2, topK = 3)
+        .orderBy("query_id", "vec_id").as[(Long, Long, Double)].collect().toSeq
+      assert(got == want && got.nonEmpty)
+    }
+  }
+
+  test("IVF-PQ index survives save/load/append; a loaded search plan runs zero encode work") {
+    CacheScope.withScope { scope =>
+      val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+      val corpus = pqVecs(4 until 44)
+      val queries = pqVecs(0 until 3).toDF("vec_id", "qv")
+      val cents = corpus.select(col("vec_id").as("_cid"),
+        col("emb").cast("array<double>").as("_cv")).orderBy("_cid").limit(4)
+      val book = Similarity.pqBookConst(8, 2, 4)
+      val built = Similarity.buildIvfPqIndex(corpus, "vec_id", "emb",
+        cents, book, dim = 8, scope = scope)
+      Similarity.saveIvfPqIndex(built, dir)
+
+      def search(idx: Similarity.IvfPqIndex) =
+        Similarity.ivfPqTopKWith(idx, queries, "vec_id", "qv",
+            nProbe = 2, topK = 3)
+          .orderBy("query_id", "vec_id").as[(Long, Long, Double)].collect().toSeq
+      val loaded = Similarity.loadIvfPqIndex(spark, dir, scope)
+      assert(loaded.dim == 8 && loaded.book == book, "params and codebook round-trip")
+      assert(search(loaded) == search(built) && search(built).nonEmpty)
+
+      // the serving contract: a search over the LOADED index performs NO
+      // cell assignment or PQ encode — pq_encode appears nowhere in the
+      // plan (the logical walk treats the cached coded table as a leaf,
+      // so a hit would be work that actually runs), and every file read
+      // is under the index dir (corpus floats are never touched)
+      val probe = Similarity.ivfPqTopKWith(loaded, queries, "vec_id", "qv",
+        nProbe = 2, topK = 3)
+      assert(!probe.queryExecution.optimizedPlan.toString.contains("pq_encode"),
+        "loaded search must not re-encode")
+      val scanPaths = probe.queryExecution.executedPlan.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(scanPaths.forall(_.contains(dir)),
+        s"search must read only the index, got $scanPaths")
+
+      // append on disk ≡ build over the union (the appendEmbedIndex
+      // contract): batch encoded under the STORED cents+book
+      val b1 = pqVecs(44 until 52)
+      Similarity.appendIvfPqIndex(spark, dir, b1, "vec_id", "emb")
+      val reloaded = Similarity.loadIvfPqIndex(spark, dir, scope)
+      val unioned = Similarity.buildIvfPqIndex(corpus.unionByName(b1),
+        "vec_id", "emb", cents, book, dim = 8, scope = scope)
+      assert(search(reloaded) == search(unioned))
+      assert(reloaded.coded.count() == 48, "40 built + 8 appended rows")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("degenerate inputs: empty batches, empty histories, empty blooms") {
     CacheScope.withScope { scope =>
       val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
