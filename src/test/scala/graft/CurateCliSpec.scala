@@ -96,6 +96,62 @@ class CurateCliSpec extends AnyFunSuite {
     rm(snap, out1, out2, out3, evenDir, oddDir)
   }
 
+  test("neardup command runs the standing-index loop: two batches equal q126's probe semantics") {
+    val idx = tmp("cli-ndidx"); rm(idx) // must start absent
+    val out1 = tmp("cli-nd1"); val out2 = tmp("cli-nd2")
+    val evenDir = tmp("cli-nd-even"); val oddDir = tmp("cli-nd-odd")
+    val d = spark.read.parquet(docsPath)
+    d.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(evenDir)
+    d.filter(col("doc_id") % 2 === 1).write.mode("overwrite").parquet(oddDir)
+    // batch 1 founds the index: no history yet, so zero verdicts — but
+    // with the probe's schema, and the index dir materializes
+    CurateCli.run("neardup", Map("--in" -> evenDir, "--out" -> out1, "--index" -> idx))
+    val o1 = spark.read.parquet(out1)
+    assert(o1.count() == 0 && o1.columns.toSeq == Seq("doc_id", "hist_id", "jaccard"))
+    // batch 2 probes the index batch 1 founded — rows must equal the
+    // q126 gate path (standing index over even docs, odd batch probe)
+    CurateCli.run("neardup", Map("--in" -> oddDir, "--out" -> out2, "--index" -> idx))
+    val got = spark.read.parquet(out2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val want = Dedup.incrementalNearDups(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 4, rowsPerBand = 2, n = 5, minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+    // run 2 appended the odd batch: an echo of an odd doc must now hit
+    // it at jaccard 1.0; with --update-index N the index stays frozen
+    // a corpus-UNIQUE odd text: if the text also lived under an even id,
+    // the 1.0 tie could break to the even side and the assert would flap
+    val oddDoc = d.groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("c"))
+      .filter(col("c") === 1 && col("doc_id") % 2 === 1)
+      .orderBy("doc_id").select("text").head().getString(0)
+    val echoDir = tmp("cli-nd-echo"); val out3 = tmp("cli-nd3"); val out4 = tmp("cli-nd4")
+    Seq((900001L, oddDoc)).toDF("doc_id", "text").write.mode("overwrite").parquet(echoDir)
+    CurateCli.run("neardup", Map("--in" -> echoDir, "--out" -> out3,
+      "--index" -> idx, "--update-index" -> "N"))
+    val hits = spark.read.parquet(out3).as[(Long, Long, Double)].collect().toSeq
+    assert(hits.exists(h => h._2 % 2 == 1 && h._3 == 1.0),
+      "the appended odd batch must be probe-visible")
+    val shingleRows = spark.read.parquet(s"$idx/shingles").count()
+    CurateCli.run("neardup", Map("--in" -> echoDir, "--out" -> out4,
+      "--index" -> idx, "--update-index" -> "N"))
+    assert(spark.read.parquet(s"$idx/shingles").count() == shingleRows,
+      "read-only probe must not extend the index")
+    // restating a banding parameter that disagrees with the stored index
+    // fails loudly instead of being silently overridden
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("neardup", Map("--in" -> echoDir, "--out" -> out4,
+        "--index" -> idx, "--minhash-k" -> "6"))
+    }
+    assert(e.getMessage.contains("--minhash-k") && e.getMessage.contains("stored index"))
+    intercept[IllegalArgumentException] {
+      CurateCli.run("neardup", Map("--in" -> echoDir, "--out" -> out4,
+        "--index" -> idx, "--update-index" -> "yes"))
+    }
+    rm(idx, out1, out2, out3, out4, evenDir, oddDir, echoDir)
+  }
+
   test("JSONL in and out round-trips the dedup verdicts") {
     val d = spark.read.parquet(docsPath).select("doc_id", "text")
     val inJson = tmp("cli-json-in"); val outJson = tmp("cli-json-out") + "/v.jsonl"
