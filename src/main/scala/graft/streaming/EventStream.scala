@@ -329,6 +329,33 @@ object EventStream {
       .start()
   }
 
+  /** Maintain the corpus-to-date distinct-count ledger AT INGEST TIME —
+    * [[graft.ops.Corpus.cardLedgerAppend]] as a streaming sink (round-8
+    * verdict #6): every microbatch contributes its (group, HLL sketch)
+    * row-set under `ledgerDir/batch=<id>`, so "distinct fingerprints per
+    * source, corpus-to-date" ([[graft.ops.Corpus.cardLedgerEstimate]])
+    * is answerable at any moment WITHOUT ever rescanning ingested data —
+    * the dataset card stays current as a side effect of ingest.
+    *
+    * Exactly-once is free here: foreachBatch's at-least-once re-delivery
+    * overwrites the same `batch=<id>` dir (idempotent), and even a
+    * re-delivery under a different id cannot inflate the estimate — HLL
+    * union is idempotent on content. `keepLast` bounds the ledger dir
+    * count via [[graft.ops.Corpus.cardLedgerCompact]] (default 8, the
+    * PackOffsetStore margin: far wider than foreachBatch's one-epoch
+    * replay horizon). */
+  def cardLedgerSink(stream: DataFrame, groupCol: String, valueCol: String,
+                     ledgerDir: String, checkpoint: String,
+                     lgK: Int = 12, keepLast: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Corpus.cardLedgerAppend(batch.sparkSession, ledgerDir,
+          batch.toDF(), groupCol, valueCol, batchId, lgK, keepLast)
+        ()
+      }
+      .start()
+
   /** [[packingSink]]'s transactional offset ledger: one tiny parquet per
     * batch under `<path>/_offsets/batch=<id>`, written after the batch's
     * data commit. State per batch is ONE (batch_id, start_off, n_tokens)

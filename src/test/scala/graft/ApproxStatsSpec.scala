@@ -130,4 +130,103 @@ class ApproxStatsSpec extends AnyFunSuite {
       "doubling the distinct universe must raise every group's estimate")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("cardLedgerCompact folds sub-horizon dirs invariantly; below-horizon appends fail loudly") {
+    import graft.ops.Corpus
+    val dir = java.nio.file.Files.createTempDirectory("cardcompact").toString
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("source"), md5(col("text")).as("fp"), col("doc_id"))
+    def batch(i: Int) = d.filter(col("doc_id") % 4 === i)
+    (0 to 3).foreach(i =>
+      Corpus.cardLedgerAppend(spark, dir, batch(i), "source", "fp", i.toLong))
+    def dirs() = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    val before = Corpus.cardLedgerEstimate(spark, dir)
+      .as[(String, Long)].collect().toMap
+
+    // fold batches 0..2 into batch=2; batch=3 untouched
+    Corpus.cardLedgerCompact(spark, dir, upTo = 2L)
+    assert(dirs() == Seq("batch=2", "batch=3"), s"got ${dirs()}")
+    val after = Corpus.cardLedgerEstimate(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(after == before, "HLL union is associative — the fold must not move a single estimate")
+
+    // replaying a SURVIVING id (3) is the idempotent overwrite path...
+    Corpus.cardLedgerAppend(spark, dir, batch(3), "source", "fp", 3L)
+    assert(Corpus.cardLedgerEstimate(spark, dir)
+      .as[(String, Long)].collect().toMap == before)
+    // ...replaying the HORIZON id (2) is a NO-OP: its mass is already in
+    // the snapshot, and an overwrite would drop batches 0-1's folded mass
+    Corpus.cardLedgerAppend(spark, dir, batch(2), "source", "fp", 2L)
+    assert(Corpus.cardLedgerEstimate(spark, dir)
+      .as[(String, Long)].collect().toMap == before,
+      "horizon re-delivery must not replace the snapshot with a raw batch sketch")
+    // ...but a FOLDED id (1) lost its dir: silent re-append would reopen
+    // the dir creep — it must throw instead (PackOffsetStore discipline)
+    val e = intercept[IllegalStateException] {
+      Corpus.cardLedgerAppend(spark, dir, batch(1), "source", "fp", 1L)
+    }
+    assert(e.getMessage.contains("compaction horizon"))
+    assert(dirs() == Seq("batch=2", "batch=3"), "the failed append must leave nothing behind")
+
+    // double-append of identical content above the horizon stays safe
+    Corpus.cardLedgerAppend(spark, dir, batch(0), "source", "fp", 7L)
+    assert(Corpus.cardLedgerEstimate(spark, dir)
+      .as[(String, Long)].collect().toMap == before)
+
+    // a second compact folds the new tail onto the same snapshot and a
+    // stale staging dir (simulated crash leftover) is self-repaired
+    new java.io.File(s"$dir/_compact_tmp").mkdirs()
+    Corpus.cardLedgerCompact(spark, dir, upTo = 7L)
+    assert(dirs() == Seq("batch=7"))
+    assert(!new java.io.File(s"$dir/_compact_tmp").exists())
+    assert(Corpus.cardLedgerEstimate(spark, dir)
+      .as[(String, Long)].collect().toMap == before)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("cardLedgerSink maintains the ledger at ingest time; streamed == batch-mode; bounded dirs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Corpus
+    implicit val sq = spark.sqlContext
+    val ledger = java.nio.file.Files.createTempDirectory("cardsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cardsinkckpt").toString
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("source").cast("string"), md5(col("text")).as("fp"), col("doc_id"))
+      .as[(String, String, Long)].collect().toSeq
+    val mem = MemoryStream[(String, String, Long)]
+    val q = graft.streaming.EventStream.cardLedgerSink(
+      mem.toDF().toDF("source", "fp", "doc_id"), "source", "fp",
+      ledger, ckpt, keepLast = 1)
+    val thirds = Seq(d.filter(_._3 % 3 == 0), d.filter(_._3 % 3 == 1), d.filter(_._3 % 3 == 2))
+    thirds.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // streamed ledger answers ≡ a batch-mode ledger over the same batches
+    val batchDir = java.nio.file.Files.createTempDirectory("cardbatch").toString
+    thirds.zipWithIndex.foreach { case (b, i) =>
+      Corpus.cardLedgerAppend(spark, batchDir,
+        b.toDF("source", "fp", "doc_id"), "source", "fp", i.toLong)
+    }
+    val streamed = Corpus.cardLedgerEstimate(spark, ledger)
+      .as[(String, Long)].collect().toMap
+    assert(streamed == Corpus.cardLedgerEstimate(spark, batchDir)
+      .as[(String, Long)].collect().toMap)
+    // ...and within HLL tolerance of the exact distincts over the union
+    val exact = d.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).distinct.size.toLong }
+    assert(streamed.keySet == exact.keySet)
+    for ((g, n) <- exact)
+      assert(math.abs(streamed(g) - n) <= math.max(2L, (0.05 * n).toLong))
+    // keepLast=1 compacted on the fly: dirs bounded at ~keepLast+1
+    val nDirs = new java.io.File(ledger).listFiles().map(_.getName)
+      .count(_.startsWith("batch="))
+    assert(nDirs <= 2, s"ingest-time compaction must bound the ledger (got $nDirs dirs)")
+    // re-delivery of the last epoch (what foreachBatch replays after a
+    // crash) is a no-op on the estimate
+    Corpus.cardLedgerAppend(spark, ledger,
+      thirds(2).toDF("source", "fp", "doc_id"), "source", "fp", 2L, keepLast = 1)
+    assert(Corpus.cardLedgerEstimate(spark, ledger)
+      .as[(String, Long)].collect().toMap == streamed)
+    Seq(ledger, ckpt, batchDir).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
 }
