@@ -1541,7 +1541,16 @@ object SparkEntry {
       Similarity.ivfPqTopKWith(idx, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", nProbe = 2, topK = 5)
         .select(col("query_id"), col("vec_id"), round(col("adist"), 4).as("adist"))
-    }))
+    }),
+
+    // ---- Dataset card with TOKEN-MASS length quantiles (round-9):
+    //      q91's card plus "half/90% of the TOKENS sit in docs shorter
+    //      than X" — the sizing numbers a context-window or packing
+    //      decision needs (row-weighted medians hide the megadoc mass).
+    //      Rides q132's weighted-quantile machinery on (source,
+    //      n_tokens, n_tokens) ----
+    "q134_card_token_mass" -> ((s, dir) =>
+      Corpus.datasetCardWeighted(tbl(s, dir, "documents"), "source", "text", "lang")))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -3399,5 +3408,33 @@ object SparkEntry {
         |SELECT c.g AS l_returnflag, CAST(qs.q AS DOUBLE) AS q, MIN(c.v) AS wq_price
         |FROM c, qs
         |WHERE c.cw * 100 >= CAST(round(qs.q * 100) AS BIGINT) * c.tw
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q134: q91's card + token-mass length quantiles. Integer weights
+    // (token counts) keep the threshold compare integral on both
+    // engines: cum >= q·total with q ∈ {1/2, 9/10} is cw·2 >= tw and
+    // cw·10 >= 9·tw exactly (Spark's side holds exact scale-6 decimals
+    // and exact driver ceilings — the same real-number predicate)
+    "q134_card_token_mass" ->
+      """WITH t AS (SELECT source, lang, text,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS nt,
+        |    md5(text) AS fp FROM documents),
+        |card AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+        |    CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / count(*) AS dup_frac
+        |  FROM t GROUP BY source),
+        |d AS (SELECT source, nt, SUM(nt) AS w FROM t WHERE nt > 0 GROUP BY source, nt),
+        |c AS (SELECT source, nt,
+        |    SUM(w) OVER (PARTITION BY source ORDER BY nt) AS cw,
+        |    SUM(w) OVER (PARTITION BY source) AS tw FROM d),
+        |p50 AS (SELECT source, CAST(MIN(nt) AS BIGINT) AS p50_tokens_mass
+        |  FROM c WHERE cw * 2 >= tw GROUP BY source),
+        |p90 AS (SELECT source, CAST(MIN(nt) AS BIGINT) AS p90_tokens_mass
+        |  FROM c WHERE cw * 10 >= 9 * tw GROUP BY source)
+        |SELECT card.*, p50.p50_tokens_mass, p90.p90_tokens_mass
+        |FROM card LEFT JOIN p50 USING (source) LEFT JOIN p90 USING (source)""".stripMargin)
 }

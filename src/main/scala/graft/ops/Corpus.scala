@@ -206,6 +206,49 @@ object Corpus {
         greatest(col("n_docs") - col("n_distinct"), lit(0L)).cast("double")
           / col("n_docs").cast("double"))
 
+  /** [[datasetCard]] plus the TOKEN-MASS document-length quantiles
+    * (round-8 verdict #7): `p50_tokens_mass` / `p90_tokens_mass` are the
+    * smallest doc length (in tokens) at which the source's cumulative
+    * TOKEN mass reaches 50% / 90% — "half the tokens sit in docs shorter
+    * than X". That is the number a context-window or packing decision
+    * actually needs: the row-weighted medians in [[datasetCardApprox]]
+    * say where the typical DOCUMENT is, but a handful of megadocs carry
+    * most of the mass, and it's mass a token budget buys.
+    *
+    * One cached narrow projection (the token-count scan is the cost)
+    * feeds both the card aggregate and the weighted-quantile tally;
+    * the quantile frames are groups×2 rows and broadcast back onto the
+    * card. Zero-token docs are counted in the card but carry no mass.
+    * Eager at call time ([[graft.ops.Stats.weightedQuantiles]]'s driver
+    * prefix sums); finish actions before `scope` closes. The bounded-
+    * state approx flavor at 100 TB is
+    * [[graft.ops.Stats.weightedQuantilesApprox]] over the same columns
+    * (spec-pinned tolerance, the [[datasetCardApprox]] discipline). */
+  def datasetCardWeighted(docs: DataFrame, groupCol: String, textCol: String,
+                          langCol: String,
+                          scope: CacheScope = CacheScope.noop): DataFrame = {
+    val base = scope.track(docs.select(col(groupCol).as("source"),
+        col(langCol).as("_lang"),
+        TextAnalysis.tokenCount(col(textCol)).as("_nt"),
+        length(col(textCol)).cast("long").as("_nc"),
+        md5(col(textCol)).as("_fp")).cache())
+    val card = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        sum(col("_nc")).as("n_chars"),
+        count_distinct(col("_lang")).as("n_langs"),
+        count_distinct(col("_fp")).as("n_distinct"))
+      .withColumn("dup_frac",
+        (col("n_docs") - col("n_distinct")).cast("double") / col("n_docs").cast("double"))
+    val wq = Stats.weightedQuantiles(base, "source", "_nt", "_nt",
+      Seq(0.5, 0.9), scope)
+    card
+      .join(broadcast(wq.filter(col("q") === 0.5)
+        .select(col("source"), col("wq").as("p50_tokens_mass"))), Seq("source"), "left")
+      .join(broadcast(wq.filter(col("q") === 0.9)
+        .select(col("source"), col("wq").as("p90_tokens_mass"))), Seq("source"), "left")
+  }
+
   /** Count–min-sketch watchlist counting: estimated corpus frequency for
     * each term of a given CANDIDATE list, from ONE pass with CONSTANT
     * aggregation state — the third sketch next to the dataset card's HLL

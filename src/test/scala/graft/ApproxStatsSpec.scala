@@ -88,6 +88,53 @@ class ApproxStatsSpec extends AnyFunSuite {
     assert(flips.size <= 3 * tol, s"${flips.size} outlier flips — past the rank error")
   }
 
+  // ---- weightedQuantilesApprox: the bounded-state token-mass flavor ----
+
+  test("weightedQuantilesApprox is one-sided within a bin factor of exact; rejects v <= 0") {
+    import graft.ops.Corpus
+    val rng = new scala.util.Random(77)
+    val rows = (1 to 800).map { _ =>
+      (s"g${rng.nextInt(4)}", math.exp(rng.nextGaussian() * 2 + 3), rng.nextInt(9).toLong + 1L)
+    }
+    val df = spark.createDataFrame(rows).toDF("g", "v", "w")
+    val qs = Seq(0.25, 0.5, 0.9, 1.0)
+    val exact = Stats.weightedQuantiles(df, "g", "v", "w", qs)
+      .as[(String, Double, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val approx = Stats.weightedQuantilesApprox(df, "g", "v", "w", qs)
+      .as[(String, Double, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val binFactor = math.pow(2.0, 1.0 / 8)
+    assert(approx.keySet == exact.keySet)
+    for ((k, ex) <- exact) {
+      assert(approx(k) >= ex * (1 - 1e-9), s"$k: approx ${approx(k)} below exact $ex")
+      assert(approx(k) <= ex * binFactor * (1 + 1e-9),
+        s"$k: approx ${approx(k)} past the bin factor of exact $ex")
+    }
+    // the card composition at sf0.01: approx token-mass lengths track
+    // the exact card columns within the same factor
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val cardEx = Corpus.datasetCardWeighted(docs, "source", "text", "lang")
+      .select(col("source"), col("p50_tokens_mass"), col("p90_tokens_mass"))
+      .as[(String, Long, Long)].collect().toSeq
+    val cardAp = Stats.weightedQuantilesApprox(
+        docs.select(col("source"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("nt")),
+        "source", "nt", "nt", Seq(0.5, 0.9))
+      .as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(cardEx.nonEmpty)
+    for ((src, p50, p90) <- cardEx) {
+      assert(cardAp((src, 0.5)) >= p50 && cardAp((src, 0.5)) <= p50 * binFactor * (1 + 1e-9))
+      assert(cardAp((src, 0.9)) >= p90 && cardAp((src, 0.9)) <= p90 * binFactor * (1 + 1e-9))
+    }
+    // log bins need positive values: a zero must fail loudly, not vanish
+    val e = intercept[IllegalArgumentException] {
+      Stats.weightedQuantilesApprox(
+        spark.createDataFrame(Seq(("a", 0.0, 1L))).toDF("g", "v", "w"),
+        "g", "v", "w", Seq(0.5))
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
   // ---- cardLedger: the standing HLL distinct-count ledger (round-8) ----
 
   test("cardLedger estimates the unioned distinct within HLL tolerance, never rescanning batches") {
