@@ -41,6 +41,13 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             dir is founded from the first batch; banding parameters
   *             (`--minhash-k`/`--rows-per-band`/`--ngram`) are fixed at
   *             build time and restating a disagreeing value fails loudly
+  *   embeddup — the VECTOR rung of the loop: probe the batch's
+  *             embeddings against a standing LSH bucket index
+  *             ([[graft.ops.Similarity.incrementalEmbedNearDupsWith]],
+  *             q115/q127 discipline), then append the batch's buckets
+  *             (`--update-index N` read-only). Founded from the first
+  *             batch (`--dim` defaults to the data's width, `--planes`
+  *             to the occupancy rule); stored hashing params win
   *
   * I/O: `--in`/`--out`/`--bench` take a parquet path or JSONL
   * (`.json`/`.jsonl` extension, or force with `--in-format`/`--out-format`/
@@ -72,7 +79,9 @@ object CurateCli {
       "--max-distinct-words")),
     "dedup" -> (CommonOptions ++ Set("--snapshot", "--update-snapshot")),
     "neardup" -> (CommonOptions ++ Set("--index", "--update-index",
-      "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram")))
+      "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram")),
+    "embeddup" -> (CommonOptions ++ Set("--index", "--update-index",
+      "--min-sim", "--vec-col", "--dim", "--planes")))
 
   private def optionsFor(command: String): Set[String] =
     CommandOptions.getOrElse(command, throw new IllegalArgumentException(
@@ -278,6 +287,50 @@ object CurateCli {
                 argv.getOrElse("--minhash-k", "4").toInt,
                 argv.getOrElse("--rows-per-band", "2").toInt,
                 argv.getOrElse("--ngram", "5").toInt, scope), idxDir)
+          }
+
+        case "embeddup" =>
+          // the VECTOR rung of the same loop (q115/q127 discipline):
+          // probe the batch's embeddings against the standing LSH bucket
+          // index, append the batch's buckets unless read-only
+          val updateIndex = argv.getOrElse("--update-index", "Y") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--update-index must be Y or N, got '$other'")
+          }
+          val idxDir = req("--index")
+          val minSim = argv.getOrElse("--min-sim", "0.3").toDouble
+          val vecCol = argv.getOrElse("--vec-col", "embedding")
+          val eidCol = argv.getOrElse("--id-col", "vec_id")
+          val fs = new org.apache.hadoop.fs.Path(idxDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))) {
+            val idx = graft.ops.Similarity.loadEmbedIndex(spark, idxDir, scope)
+            for ((flag, stored) <- Seq("--dim" -> idx.dim, "--planes" -> idx.nPlanes);
+                stated <- argv.get(flag))
+              if (stated.toInt != stored)
+                throw new IllegalArgumentException(
+                  s"$flag ${stated} disagrees with the stored index ($stored) — " +
+                    "hashing parameters are fixed at build time")
+            write(graft.ops.Similarity.incrementalEmbedNearDupsWith(in, idx,
+              eidCol, vecCol, minSim), out)
+            if (updateIndex)
+              graft.ops.Similarity.appendEmbedIndex(spark, idxDir, in, eidCol, vecCol)
+          } else {
+            write(in.select(col(eidCol), col(eidCol).as("hist_id"),
+              lit(0.0).as("sim")).limit(0), out)
+            if (updateIndex) {
+              // dim defaults to the data's own width; plane count to the
+              // occupancy-targeting rule on the founding batch's size
+              val dim = argv.get("--dim").map(_.toInt).getOrElse(
+                in.select(size(col(vecCol))).head().getInt(0))
+              val planes = argv.get("--planes").map(_.toInt).getOrElse(
+                graft.ops.Similarity.autoPlanes(in.count()))
+              graft.ops.Similarity.saveEmbedIndex(
+                graft.ops.Similarity.buildEmbedIndex(in, eidCol, vecCol,
+                  dim, planes, scope = scope), idxDir)
+            }
           }
 
         case other => throw new IllegalStateException(s"unreachable: $other")

@@ -1550,7 +1550,24 @@ object SparkEntry {
     //      Rides q132's weighted-quantile machinery on (source,
     //      n_tokens, n_tokens) ----
     "q134_card_token_mass" -> ((s, dir) =>
-      Corpus.datasetCardWeighted(tbl(s, dir, "documents"), "source", "text", "lang")))
+      Corpus.datasetCardWeighted(tbl(s, dir, "documents"), "source", "text", "lang")),
+
+    // ---- q69's IVFADC search via the standing index (round-9): the
+    //      residual code space behind the same build-once/probe-forever
+    //      discipline as q133 — the flag rides the params table so
+    //      appends/searches can never mix code spaces. Replays q69 ----
+    "q135_ivfadc_standing" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 8)
+      val cents = corpus.select(col("vec_id").as("_cid"),
+          col("embedding").cast("array<double>").as("_cv"))
+        .orderBy(col("_cid")).limit(8)
+      val idx = Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
+        cents, Similarity.pqBookConst(64, 4, 8), dim = 64, residual = true)
+      Similarity.ivfPqTopKWith(idx, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", nProbe = 2, topK = 5)
+        .select(col("query_id"), col("vec_id"), round(col("adist"), 4).as("adist"))
+    }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -3391,6 +3408,7 @@ object SparkEntry {
     "q129_incr_dedup_bloom" -> oracleSqlBase("q96_incr_dedup"),
     "q131_incr_dedup_snapshot" -> oracleSqlBase("q96_incr_dedup"),
     "q133_ivf_pq_standing" -> oracleSqlBase("q67_ivf_pq"),
+    "q135_ivfadc_standing" -> oracleSqlBase("q69_ivf_pq_residual"),
 
     // q132: weighted lower quantile — min v with cum weight(≤v) >= q·total.
     // Integer weights keep every sum exact; the threshold compare is done

@@ -434,11 +434,18 @@ object Similarity {
     * shifted by that centroid (spec-proven identity). */
   def ivfPqTopKResidual(cents: DataFrame, df: DataFrame, idCol: String, vecCol: String,
                         queries: DataFrame, qIdCol: String, qVecCol: String,
-                        book: Seq[Seq[Seq[Double]]], nProbe: Int, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                        book: Seq[Seq[Seq[Double]]], nProbe: Int, topK: Int): DataFrame =
+    ivfPqSearchResidual(ivfPqEncodeResidual(cents, df, idCol, vecCol, book),
+      cents, queries, qIdCol, qVecCol, book, nProbe, topK)
+
+  /** [[ivfPqEncode]]'s residual twin: the SAME single corpus pass, but
+    * the PQ codes cover `v − coarseCentroid(cell)`. */
+  private def ivfPqEncodeResidual(cents: DataFrame, df: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  book: Seq[Seq[Seq[Double]]]): DataFrame = {
     val e = Parallelize.ensure(
       df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
-    val cells = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("_csim", cosine(col("_v"), col("_cv")))
       .groupBy(col("_id"))
       .agg(min_by(struct(col("_cid"), col("_v"), col("_cv")),
@@ -452,7 +459,17 @@ object Similarity {
       .select(col("_id"), col("_best._cid").as("_cid"),
         zip_with(col("_best._v"), col("_best._cv"), _ - _).as("_rv"))
       .select(col("_id"), col("_cid"), pqEncodeWith(col("_rv"), book).as("_codes"))
+  }
 
+  /** [[ivfPqSearch]]'s residual twin: the LUT is per (query, probed
+    * cell) — distances from the QUERY's residual in that cell — so the
+    * broadcast carries nProbe × m×k doubles per query instead of m×k.
+    * Still kilobytes; ADC stays m lookups per coded row. */
+  private def ivfPqSearchResidual(cells: DataFrame, cents: DataFrame,
+                                  queries: DataFrame, qIdCol: String, qVecCol: String,
+                                  book: Seq[Seq[Seq[Double]]],
+                                  nProbe: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val probes = {
       val w = Window.partitionBy(col("_qid")).orderBy(col("_csim").desc, col("_cid"))
       queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
@@ -487,10 +504,14 @@ object Similarity {
     * `coded` is (_id, _cid, _codes): m small ints per corpus row — at
     * m=8, ~40 bytes/vector vs 512 for 64 raw doubles, the 10×+ memory
     * squeeze that lets a 100 TB vector corpus serve from RAM-adjacent
-    * storage. `cents`/`book` are kilobytes and ride broadcasts. */
+    * storage. `cents`/`book` are kilobytes and ride broadcasts.
+    * `residual = true` stores IVFADC codes ([[ivfPqTopKResidual]]'s
+    * construction — PQ over `v − coarseCentroid(cell)`, the actual
+    * production encoding); the flag persists in the params table so
+    * appends and searches can never mix the two code spaces. */
   final case class IvfPqIndex private[ops] (
       coded: DataFrame, cents: DataFrame,
-      book: Seq[Seq[Seq[Double]]], dim: Int)
+      book: Seq[Seq[Seq[Double]]], dim: Int, residual: Boolean = false)
 
   /** Materialize an [[IvfPqIndex]]: ONE corpus pass ([[ivfPqEncode]] —
     * broadcast-centroid argmax + row-local PQ encode, one hash shuffle
@@ -498,9 +519,11 @@ object Similarity {
     * serve from the stored table. */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       cents: DataFrame, book: Seq[Seq[Seq[Double]]], dim: Int,
+                      residual: Boolean = false,
                       scope: CacheScope = CacheScope.noop): IvfPqIndex =
-    IvfPqIndex(scope.track(ivfPqEncode(cents, corpus, idCol, vecCol, book).cache()),
-      scope.track(cents.cache()), book, dim)
+    IvfPqIndex(scope.track((if (residual) ivfPqEncodeResidual(cents, corpus, idCol, vecCol, book)
+        else ivfPqEncode(cents, corpus, idCol, vecCol, book)).cache()),
+      scope.track(cents.cache()), book, dim, residual)
 
   /** IVF-PQ search against a prebuilt [[IvfPqIndex]]: the query side of
     * [[ivfPqTopK]] (probe routing + LUT broadcast + ADC + per-query
@@ -510,8 +533,12 @@ object Similarity {
   def ivfPqTopKWith(index: IvfPqIndex, queries: DataFrame,
                     qIdCol: String, qVecCol: String,
                     nProbe: Int, topK: Int): DataFrame =
-    ivfPqSearch(index.coded, index.cents, queries, qIdCol, qVecCol,
-      index.book, nProbe, topK)
+    if (index.residual)
+      ivfPqSearchResidual(index.coded, index.cents, queries, qIdCol, qVecCol,
+        index.book, nProbe, topK)
+    else
+      ivfPqSearch(index.coded, index.cents, queries, qIdCol, qVecCol,
+        index.book, nProbe, topK)
 
   /** Persist an [[IvfPqIndex]]: the coded corpus, the coarse centroids,
     * the PQ codebook (flattened to (sub, code, comps) rows), and a
@@ -530,8 +557,8 @@ object Similarity {
     } yield (sub, code, comps)
     rows.toDF("sub", "code", "comps")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/book")
-    Seq((index.dim, index.book.size, index.book.head.size))
-      .toDF("dim", "m", "k")
+    Seq((index.dim, index.book.size, index.book.head.size, index.residual))
+      .toDF("dim", "m", "k", "residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
@@ -553,7 +580,7 @@ object Similarity {
     val p = spark.read.parquet(s"$path/params").head()
     IvfPqIndex(scope.track(spark.read.parquet(s"$path/coded").cache()),
       scope.track(spark.read.parquet(s"$path/cents").cache()),
-      readPqBook(spark, path), p.getAs[Int]("dim"))
+      readPqBook(spark, path), p.getAs[Int]("dim"), p.getAs[Boolean]("residual"))
   }
 
   /** APPEND a newly-ingested batch to a [[saveIvfPqIndex]]'d index ON
@@ -566,7 +593,11 @@ object Similarity {
   def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
     val cents = spark.read.parquet(s"$path/cents")
-    ivfPqEncode(cents, newVecs, idCol, vecCol, readPqBook(spark, path))
+    val book = readPqBook(spark, path)
+    val residual = spark.read.parquet(s"$path/params").head()
+      .getAs[Boolean]("residual")
+    (if (residual) ivfPqEncodeResidual(cents, newVecs, idCol, vecCol, book)
+     else ivfPqEncode(cents, newVecs, idCol, vecCol, book))
       .write.mode("append").parquet(s"$path/coded")
   }
 

@@ -152,6 +152,50 @@ class CurateCliSpec extends AnyFunSuite {
     rm(idx, out1, out2, out3, out4, evenDir, oddDir, echoDir)
   }
 
+  test("embeddup command runs the standing embed-index loop: two batches equal q127's probe semantics") {
+    import graft.ops.Similarity
+    val idx = tmp("cli-embidx"); rm(idx)
+    val out1 = tmp("cli-emb1"); val out2 = tmp("cli-emb2")
+    val evenDir = tmp("cli-emb-even"); val oddDir = tmp("cli-emb-odd")
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    e.filter(col("vec_id") % 2 === 0).write.mode("overwrite").parquet(evenDir)
+    e.filter(col("vec_id") % 2 === 1).write.mode("overwrite").parquet(oddDir)
+    // batch 1 founds the index under q127's parameters
+    CurateCli.run("embeddup", Map("--in" -> evenDir, "--out" -> out1,
+      "--index" -> idx, "--dim" -> "64", "--planes" -> "4"))
+    val o1 = spark.read.parquet(out1)
+    assert(o1.count() == 0 && o1.columns.toSeq == Seq("vec_id", "hist_id", "sim"))
+    // batch 2's probe must equal the q127 gate path
+    CurateCli.run("embeddup", Map("--in" -> oddDir, "--out" -> out2, "--index" -> idx))
+    val got = spark.read.parquet(out2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val want = Similarity.incrementalEmbedNearDups(
+        e.filter(col("vec_id") % 2 === 1), e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dim = 64, nPlanes = 4, minSim = 0.3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+    // appended batch probe-visible; read-only freeze; stored params win
+    val echoDir = tmp("cli-emb-echo"); val out3 = tmp("cli-emb3")
+    e.filter(col("vec_id") === 1).select((col("vec_id") + 900000L).as("vec_id"),
+      col("embedding")).write.mode("overwrite").parquet(echoDir)
+    CurateCli.run("embeddup", Map("--in" -> echoDir, "--out" -> out3,
+      "--index" -> idx, "--update-index" -> "N"))
+    val hits = spark.read.parquet(out3).as[(Long, Long, Double)].collect().toSeq
+    assert(hits.exists(h => h._2 == 1L && h._3 == 1.0),
+      "the appended odd batch must be probe-visible at cosine 1.0")
+    val bucketRows = spark.read.parquet(s"$idx/buckets").count()
+    CurateCli.run("embeddup", Map("--in" -> echoDir, "--out" -> out3,
+      "--index" -> idx, "--update-index" -> "N"))
+    assert(spark.read.parquet(s"$idx/buckets").count() == bucketRows)
+    val err = intercept[IllegalArgumentException] {
+      CurateCli.run("embeddup", Map("--in" -> echoDir, "--out" -> out3,
+        "--index" -> idx, "--planes" -> "7"))
+    }
+    assert(err.getMessage.contains("--planes") && err.getMessage.contains("stored index"))
+    rm(idx, out1, out2, out3, evenDir, oddDir, echoDir)
+  }
+
   test("JSONL in and out round-trips the dedup verdicts") {
     val d = spark.read.parquet(docsPath).select("doc_id", "text")
     val inJson = tmp("cli-json-in"); val outJson = tmp("cli-json-out") + "/v.jsonl"

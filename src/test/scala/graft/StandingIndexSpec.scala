@@ -286,6 +286,45 @@ class StandingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("residual (IVFADC) standing index: same contract in the residual code space") {
+    CacheScope.withScope { scope =>
+      val dir = java.nio.file.Files.createTempDirectory("ivfadcidx").toString
+      val corpus = pqVecs(4 until 44)
+      val queries = pqVecs(0 until 3).toDF("vec_id", "qv")
+      val cents = corpus.select(col("vec_id").as("_cid"),
+        col("emb").cast("array<double>").as("_cv")).orderBy("_cid").limit(4)
+      val book = Similarity.pqBookConst(8, 2, 4)
+      def search(idx: Similarity.IvfPqIndex) =
+        Similarity.ivfPqTopKWith(idx, queries, "vec_id", "qv",
+            nProbe = 2, topK = 3)
+          .orderBy("query_id", "vec_id").as[(Long, Long, Double)].collect().toSeq
+      val built = Similarity.buildIvfPqIndex(corpus, "vec_id", "emb",
+        cents, book, dim = 8, residual = true, scope = scope)
+      val want = Similarity.ivfPqTopKResidual(cents, corpus, "vec_id", "emb",
+          queries, "vec_id", "qv", book, nProbe = 2, topK = 3)
+        .orderBy("query_id", "vec_id").as[(Long, Long, Double)].collect().toSeq
+      assert(search(built) == want && want.nonEmpty)
+      // the residual flag must round-trip — a load that lost it would
+      // silently search residual codes with raw-vector LUTs
+      Similarity.saveIvfPqIndex(built, dir)
+      val loaded = Similarity.loadIvfPqIndex(spark, dir, scope)
+      assert(loaded.residual, "residual flag must persist")
+      assert(search(loaded) == want)
+      // appends encode the batch in the SAME (residual) code space
+      val b1 = pqVecs(44 until 52)
+      Similarity.appendIvfPqIndex(spark, dir, b1, "vec_id", "emb")
+      val unioned = Similarity.buildIvfPqIndex(corpus.unionByName(b1),
+        "vec_id", "emb", cents, book, dim = 8, residual = true, scope = scope)
+      assert(search(Similarity.loadIvfPqIndex(spark, dir, scope)) == search(unioned))
+      // and the two code spaces genuinely differ on this data — the flag
+      // is load-bearing, not decorative
+      val raw = Similarity.buildIvfPqIndex(corpus, "vec_id", "emb",
+        cents, book, dim = 8, scope = scope)
+      assert(search(raw) != want, "raw and residual ADC should rank differently here")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("degenerate inputs: empty batches, empty histories, empty blooms") {
     CacheScope.withScope { scope =>
       val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
