@@ -1567,6 +1567,21 @@ object SparkEntry {
       Similarity.ivfPqTopKWith(idx, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", nProbe = 2, topK = 5)
         .select(col("query_id"), col("vec_id"), round(col("adist"), 4).as("adist"))
+    }),
+
+    // ---- Standing-index routing balance (round-9): vectors per coarse
+    //      cell, empty cells included — the staleness signal that says
+    //      when append-only drift warrants a codebook rebuild. One
+    //      narrow groupBy on the coded table ----
+    "q136_ivf_pq_occupancy" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 8)
+      val cents = corpus.select(col("vec_id").as("_cid"),
+          col("embedding").cast("array<double>").as("_cv"))
+        .orderBy(col("_cid")).limit(8)
+      val idx = Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
+        cents, Similarity.pqBookConst(64, 4, 8), dim = 64)
+      Similarity.ivfPqIndexStats(idx)
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -3409,6 +3424,21 @@ object SparkEntry {
     "q131_incr_dedup_snapshot" -> oracleSqlBase("q96_incr_dedup"),
     "q133_ivf_pq_standing" -> oracleSqlBase("q67_ivf_pq"),
     "q135_ivfadc_standing" -> oracleSqlBase("q69_ivf_pq_residual"),
+
+    // q136: the coarse-cell occupancy of q67's deterministic index setup
+    // — the assignment CTE of the IVF-PQ oracle, grouped, with reserved
+    // (empty) cells kept via the left join
+    "q136_ivf_pq_occupancy" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |corp AS (SELECT * FROM e WHERE vec_id >= 8),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM corp ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT corp.vec_id AS id, c.cid,
+        |        list_cosine_similarity(corp.v, c.cv) AS cs FROM corp, c),
+        |cells AS (SELECT id, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM a) WHERE rn = 1),
+        |occ AS (SELECT cid, count(*) AS n FROM cells GROUP BY cid)
+        |SELECT c.cid AS cell_id, CAST(coalesce(occ.n, 0) AS BIGINT) AS n_vectors
+        |FROM c LEFT JOIN occ ON c.cid = occ.cid""".stripMargin,
 
     // q132: weighted lower quantile — min v with cum weight(≤v) >= q·total.
     // Integer weights keep every sum exact; the threshold compare is done

@@ -831,6 +831,16 @@ object Dedup {
     bandStream(base, k, rpb).write.mode("append").parquet(s"$path/bands")
   }
 
+  /** Compact an appended [[saveNearDupIndex]] store's shingle and band
+    * tables into ~128 MB files ([[graft.ops.StoreCompact]]): append-only
+    * ingest leaves one file group per batch; probes pay the listing/open
+    * cost. Offline maintenance, probe-invariant (spec-pinned). */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    StoreCompact.compactParquetDir(spark, s"$path/shingles")
+    StoreCompact.compactParquetDir(spark, s"$path/bands")
+  }
+
   /** Load a [[saveNearDupIndex]]'d index; frames come back cached (the
     * point of a standing index — every batch of the day probes them). */
   def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -601,6 +601,38 @@ object Similarity {
       .write.mode("append").parquet(s"$path/coded")
   }
 
+  /** Compact an appended [[saveIvfPqIndex]] store's coded table into
+    * ~128 MB files ([[StoreCompact]]): append-only ingest leaves one
+    * file group per batch; probes pay the listing/open cost. Offline
+    * maintenance, probe-invariant (spec-pinned). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit =
+    StoreCompact.compactParquetDir(spark, s"$path/coded")
+
+  /** Compact an appended [[saveEmbedIndex]] store's bucket table —
+    * [[compactIvfPqIndex]]'s LSH twin. */
+  def compactEmbedIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit =
+    StoreCompact.compactParquetDir(spark, s"$path/buckets")
+
+  /** Routing-balance diagnostic for an [[IvfPqIndex]]: vectors per
+    * coarse cell, INCLUDING empty cells (a cell the codebook reserves
+    * but no vector lands in is the staleness signal). Append-only
+    * ingest degrades balance as the corpus drifts away from the
+    * centroids the index was built with — probed-cell cost is
+    * Σ|probed cells|, so a hot cell is a hot probe. Watch
+    * `max(n_vectors) / (n_total / n_cells)`; when the imbalance factor
+    * drifts past a few ×, rebuild ([[buildIvfPqIndex]] with fresh
+    * [[ivfTrain]] centroids) — the build cost the standing index
+    * amortizes anyway. One narrow groupBy on the coded table; the
+    * centroid side broadcasts. Returns (cell_id, n_vectors). */
+  def ivfPqIndexStats(index: IvfPqIndex): DataFrame =
+    index.cents.select(col("_cid"))
+      .join(index.coded.groupBy(col("_cid"))
+        .agg(count(lit(1)).as("_n")), Seq("_cid"), "left")
+      .select(col("_cid").as("cell_id"),
+        coalesce(col("_n"), lit(0L)).as("n_vectors"))
+
   /** Deterministic pseudo-random hyperplane: component j of plane p is
     * derived from md5(seed|p|j) — reproducible with no RNG state, and
     * computable by any engine. Values in [-0.5, 0.5). */

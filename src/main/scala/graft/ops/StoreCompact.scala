@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for append-only standing-index stores.
+  *
+  * Every standing index here grows by `mode("append")` parquet deltas —
+  * one file group per ingest batch ([[Dedup.appendNearDupIndex]],
+  * [[Similarity.appendEmbedIndex]], [[Similarity.appendIvfPqIndex]]).
+  * That is the right WRITE shape (history is never rewritten), but a
+  * year of daily appends leaves ~365 file groups per store: every
+  * probe's scan pays the listing and per-file open cost, and files
+  * shrink toward the batch size instead of the scan-optimal ~128 MB.
+  * This is the offset/card-ledger dir-creep hazard
+  * ([[graft.streaming.EventStream]] PackOffsetStore.compact,
+  * [[Corpus.cardLedgerCompact]]) at the data layer.
+  *
+  * [[compactParquetDir]] rewrites one flat parquet dir into
+  * size-targeted files (total bytes / 128 MB — no parallelism floor:
+  * parquet is row-group-splittable, so even one large file scans in
+  * parallel, and fewer files is the whole point). Run it OFFLINE on a
+  * maintenance cadence — weekly, or when file count exceeds a few ×
+  * the target — never inside the ingest loop.
+  *
+  * Crash safety (the cardLedgerCompact swap): the rewrite lands in an
+  * underscore-invisible staging dir first, then swaps in via two
+  * renames with the original kept aside until the staged copy is in
+  * place; a stale aside dir (death mid-swap) is restored or dropped on
+  * the next call. Readers between the renames see a missing dir for
+  * the duration of one filesystem metadata op; on a store with atomic
+  * rename (HDFS, local) a concurrent probe either sees the old or the
+  * new files, both complete. */
+private[ops] object StoreCompact {
+
+  /** Rewrite the parquet dir at `dir` into ~128 MB files (at least
+    * `defaultParallelism` of them). No-op if the dir is absent. */
+  def compactParquetDir(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def aside = new org.apache.hadoop.fs.Path(
+      root.getParent, "_compact_old_" + root.getName)
+    def tmp = new org.apache.hadoop.fs.Path(
+      root.getParent, "_compact_tmp_" + root.getName)
+    // self-repair a crashed previous swap: aside without the live dir
+    // means death between the two renames — restore; otherwise the
+    // aside/tmp are stale copies — drop
+    if (fs.exists(aside)) {
+      if (!fs.exists(root)) fs.rename(aside, root) else fs.delete(aside, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (!fs.exists(root)) return
+
+    val bytes = fs.getContentSummary(root).getLength
+    val target = math.min(bytes / (128L << 20) + 1, 1000000L).toInt
+    spark.read.parquet(dir).repartition(target)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(root, aside)
+    fs.rename(tmp, root)
+    fs.delete(aside, true)
+  }
+}

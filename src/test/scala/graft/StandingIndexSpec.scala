@@ -325,6 +325,84 @@ class StandingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("store compaction: appended index stores shrink to size-targeted files, probes invariant") {
+    CacheScope.withScope { scope =>
+      def dataFiles(p: String) = new java.io.File(p).listFiles()
+        .map(_.getName).count(f => f.endsWith(".parquet") && !f.startsWith("_"))
+      // --- near-dup store: save + 3 appends = 4 file groups in each table
+      val nd = java.nio.file.Files.createTempDirectory("ndcompact").toString
+      Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(docs(0 until 21),
+        "doc_id", "text", k = 4, rowsPerBand = 2, n = 5, scope = scope), nd)
+      for (r <- Seq(21 until 30, 30 until 36, 36 until 42))
+        Dedup.appendNearDupIndex(spark, nd, docs(r), "doc_id", "text", scope)
+      val probeBatch = docs(50 until 60)
+      def probe() = Dedup.incrementalNearDupsWith(probeBatch,
+          Dedup.loadNearDupIndex(spark, nd, scope), "doc_id", "text",
+          minJaccard = 0.2, scope = scope)
+        .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+      val before = probe()
+      assert(dataFiles(s"$nd/shingles") >= 4, "appends must have left one file group per batch")
+      Dedup.compactNearDupIndex(spark, nd)
+      assert(dataFiles(s"$nd/shingles") == 1 && dataFiles(s"$nd/bands") == 1,
+        "a kilobyte store compacts to one file")
+      assert(probe() == before && before.nonEmpty)
+
+      // --- IVF-PQ store: same contract on the coded table
+      val pq = java.nio.file.Files.createTempDirectory("pqcompact").toString
+      val cents = pqVecs(4 until 44).select(col("vec_id").as("_cid"),
+        col("emb").cast("array<double>").as("_cv")).orderBy("_cid").limit(4)
+      val book = Similarity.pqBookConst(8, 2, 4)
+      Similarity.saveIvfPqIndex(Similarity.buildIvfPqIndex(pqVecs(4 until 44),
+        "vec_id", "emb", cents, book, dim = 8, scope = scope), pq)
+      for (r <- Seq(44 until 52, 52 until 60))
+        Similarity.appendIvfPqIndex(spark, pq, pqVecs(r), "vec_id", "emb")
+      def searchPq() = Similarity.ivfPqTopKWith(
+          Similarity.loadIvfPqIndex(spark, pq, scope),
+          pqVecs(0 until 3).toDF("vec_id", "qv"), "vec_id", "qv", 2, 3)
+        .orderBy("query_id", "vec_id").as[(Long, Long, Double)].collect().toSeq
+      val wantPq = searchPq()
+      assert(dataFiles(s"$pq/coded") >= 3)
+      Similarity.compactIvfPqIndex(spark, pq)
+      assert(dataFiles(s"$pq/coded") == 1)
+      assert(searchPq() == wantPq && wantPq.nonEmpty)
+      Seq(nd, pq).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    }
+  }
+
+  test("ivfPqIndexStats counts per cell, keeps reserved-but-empty cells at zero") {
+    CacheScope.withScope { scope =>
+      // half-space corpus (all components positive) + one all-negative
+      // centroid that can never win a cosine argmax -> a genuinely
+      // reserved-but-empty cell
+      val corpus = (10 until 40).map { i =>
+        (i.toLong, (0 until 8).map(j => math.abs(math.cos(i * 0.37 + j * 1.1)) + 0.1).toSeq)
+      }.toDF("vec_id", "emb")
+      val cents = corpus.limit(3)
+        .select(col("vec_id").as("_cid"), col("emb").cast("array<double>").as("_cv"))
+        .unionByName(Seq((999L, Seq.fill(8)(-1.0)))
+          .toDF("_cid", "_cv").select(col("_cid"), col("_cv").cast("array<double>")))
+      val idx = Similarity.buildIvfPqIndex(corpus, "vec_id", "emb",
+        cents, Similarity.pqBookConst(8, 2, 4), dim = 8, scope = scope)
+      val got = Similarity.ivfPqIndexStats(idx)
+        .as[(Long, Long)].collect().toMap
+      assert(got.keySet == Set(10L, 11L, 12L, 999L))
+      assert(got(999L) == 0L, "the anti-aligned centroid must be reserved-but-empty")
+      assert(got.values.sum == 30L, "every corpus vector lands in exactly one cell")
+      // driver argmax model agreement
+      val cs = cents.as[(Long, Seq[Double])].collect().toSeq
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val model = corpus.as[(Long, Seq[Double])].collect().toSeq
+        .map { case (_, v) => cs.map { case (cid, cv) => (cid, cos(v, cv)) }
+          .minBy { case (cid, s) => (-s, cid) }._1 }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert((10 to 12).forall(c => got(c.toLong) == model.getOrElse(c.toLong, 0L)))
+    }
+  }
+
   test("degenerate inputs: empty batches, empty histories, empty blooms") {
     CacheScope.withScope { scope =>
       val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
