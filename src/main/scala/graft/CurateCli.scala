@@ -118,7 +118,7 @@ object CurateCli {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|neardup|bpe> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|neardup|embeddup|bpe> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 

@@ -1569,6 +1569,32 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("adist"), 4).as("adist"))
     }),
 
+    // ---- Tombstoned standing-index search (round-9): q133's index
+    //      with ids {vec_id % 7 = 0, vec_id >= 20} DELETED (the
+    //      right-to-be-forgotten path — dropFromIvfPqIndex is the
+    //      in-memory twin of the tombstones/ sidecar, equivalence
+    //      spec-pinned in StandingIndexSpec). Deletion removes CODED
+    //      rows only — centroids/codebook are corpus-independent — so
+    //      the oracle is q67's SQL with one more candidate filter.
+    //      The deleted set dodges ids 8..15 (the deterministic
+    //      centroid picks), keeping fresh-build-on-survivors ≡
+    //      tombstoned-index, which the spec also pins ----
+    "q137_ivfpq_tombstone" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 8)
+      val cents = corpus.select(col("vec_id").as("_cid"),
+          col("embedding").cast("array<double>").as("_cv"))
+        .orderBy(col("_cid")).limit(8)
+      val idx = Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
+        cents, Similarity.pqBookConst(64, 4, 8), dim = 64)
+      val gone = emb.filter(col("vec_id") % 7 === 0 && col("vec_id") >= 20)
+        .select(col("vec_id"))
+      Similarity.ivfPqTopKWith(Similarity.dropFromIvfPqIndex(idx, gone, "vec_id"),
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          nProbe = 2, topK = 5)
+        .select(col("query_id"), col("vec_id"), round(col("adist"), 4).as("adist"))
+    }),
+
     // ---- Standing-index routing balance (round-9): vectors per coarse
     //      cell, empty cells included — the staleness signal that says
     //      when append-only drift warrants a codebook rebuild. One
@@ -1843,7 +1869,12 @@ object SparkEntry {
     * coarse centroids) composed with q65/q66's PQ dist lists — ADC ranks
     * only probed cells' rows. Left-associated sums throughout (Spark's
     * fold order). */
-  private val ivfPqOracle: String = {
+  /** q67's oracle, with an optional extra predicate on the CANDIDATE
+    * side (`cc.id`) — the tombstone replay hook: deleting ids from a
+    * standing index removes their CODED rows only (centroids and
+    * codebook are corpus-independent, survivors' codes are per-row), so
+    * the relational effect is exactly one more candidate filter. */
+  private def ivfPqOracleWhere(candFilter: String): String = {
     val codeCols = (0 until 4)
       .map(s => s"CAST(list_position(l$s, list_min(l$s)) - 1 AS INT) AS c$s").mkString(", ")
     val dist = (0 until 4).map(s => s"ql.l$s[cc.c$s + 1]").mkString(" + ")
@@ -1867,10 +1898,12 @@ object SparkEntry {
        |qlut AS (SELECT vec_id AS qid, l0, l1, l2, l3 FROM lists WHERE vec_id < 5),
        |sc AS (SELECT p.qid, cc.id, ($dist) AS dist
        |      FROM cc JOIN probes p ON cc.cid = p.cid JOIN qlut ql ON ql.qid = p.qid
-       |      WHERE cc.id <> p.qid),
+       |      WHERE cc.id <> p.qid$candFilter),
        |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM sc)
        |SELECT qid AS query_id, id AS vec_id, round(dist, 4) AS adist FROM r WHERE rn <= 5""".stripMargin
   }
+
+  private val ivfPqOracle: String = ivfPqOracleWhere("")
 
   /** q69's oracle: q67's CTE skeleton with residuals — the corpus code
     * CTE and the query LUT CTE both run the dist lists over
@@ -3424,6 +3457,11 @@ object SparkEntry {
     "q131_incr_dedup_snapshot" -> oracleSqlBase("q96_incr_dedup"),
     "q133_ivf_pq_standing" -> oracleSqlBase("q67_ivf_pq"),
     "q135_ivfadc_standing" -> oracleSqlBase("q69_ivf_pq_residual"),
+
+    // q137: tombstoned standing-index search — deletion removes coded
+    // rows only, so the oracle is q67's with one more candidate filter
+    "q137_ivfpq_tombstone" ->
+      ivfPqOracleWhere(" AND NOT (cc.id % 7 = 0 AND cc.id >= 20)"),
 
     // q136: the coarse-cell occupancy of q67's deterministic index setup
     // — the assignment CTE of the IVF-PQ oracle, grouped, with reserved

@@ -822,6 +822,7 @@ object Dedup {
   def appendNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                          newDocs: DataFrame, idCol: String, textCol: String,
                          scope: CacheScope = CacheScope.noop): Unit = {
+    Tombstones.requireNotTombstoned(spark, path, newDocs, idCol)
     val p = spark.read.parquet(s"$path/params").head()
     val (k, rpb, n) =
       (p.getAs[Int]("k"), p.getAs[Int]("rows_per_band"), p.getAs[Int]("n"))
@@ -834,23 +835,55 @@ object Dedup {
   /** Compact an appended [[saveNearDupIndex]] store's shingle and band
     * tables into ~128 MB files ([[graft.ops.StoreCompact]]): append-only
     * ingest leaves one file group per batch; probes pay the listing/open
-    * cost. Offline maintenance, probe-invariant (spec-pinned). */
+    * cost. Pending [[tombstoneNearDupIndex]] deletions are applied
+    * PHYSICALLY to BOTH tables during the rewrite, then cleared (after
+    * both — a crash in between re-applies the idempotent anti-join on
+    * the next load). Offline maintenance, probe-invariant
+    * (spec-pinned). */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit = {
-    StoreCompact.compactParquetDir(spark, s"$path/shingles")
-    StoreCompact.compactParquetDir(spark, s"$path/bands")
+    val tombs = Tombstones.readOpt(spark, path)
+    StoreCompact.compactParquetDir(spark, s"$path/shingles", tombs.map((_, "_id")))
+    StoreCompact.compactParquetDir(spark, s"$path/bands", tombs.map((_, "_id")))
+    Tombstones.clear(spark, path)
   }
 
   /** Load a [[saveNearDupIndex]]'d index; frames come back cached (the
-    * point of a standing index — every batch of the day probes them). */
+    * point of a standing index — every batch of the day probes them).
+    * Pending [[tombstoneNearDupIndex]] deletions are subtracted from
+    * both frames (broadcast anti-joins). */
   def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        scope: CacheScope = CacheScope.noop): NearDupIndex = {
     val p = spark.read.parquet(s"$path/params").head()
     NearDupIndex(
-      scope.track(spark.read.parquet(s"$path/shingles").cache()),
-      scope.track(spark.read.parquet(s"$path/bands").cache()),
+      scope.track(Tombstones.applyTo(spark, path,
+        spark.read.parquet(s"$path/shingles"), "_id").cache()),
+      scope.track(Tombstones.applyTo(spark, path,
+        spark.read.parquet(s"$path/bands"), "_id").cache()),
       p.getAs[Int]("k"), p.getAs[Int]("rows_per_band"), p.getAs[Int]("n"))
   }
+
+  /** Delete documents from an in-memory [[NearDupIndex]]: broadcast
+    * anti-joins on both frames — a forgotten doc stops matching future
+    * batches immediately. On-disk twin: [[tombstoneNearDupIndex]]. */
+  def dropFromNearDupIndex(index: NearDupIndex, ids: DataFrame,
+                           idCol: String): NearDupIndex = {
+    val tombs = ids.select(col(idCol).as("_tid")).distinct()
+    def minus(df: DataFrame) =
+      df.join(broadcast(tombs), df("_id") === tombs("_tid"), "left_anti")
+    index.copy(shingleFrame = minus(index.shingleFrame),
+      bandFrame = minus(index.bandFrame))
+  }
+
+  /** Record deletions against a [[saveNearDupIndex]]'d store — the
+    * right-to-be-forgotten write path ([[graft.ops.Tombstones]]):
+    * O(ids) append under `path/tombstones`, subtracted by
+    * [[loadNearDupIndex]], applied physically by
+    * [[compactNearDupIndex]]. A tombstoned id cannot be re-appended
+    * until then (fail-loud). */
+  def tombstoneNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                            ids: DataFrame, idCol: String): Unit =
+    Tombstones.append(spark, path, ids, idCol)
 
   /** Extend a [[NearDupIndex]] with a newly-ingested batch — the fuzzy
     * layer's write-back half, mirroring [[snapshotDelta]]'s exact-layer

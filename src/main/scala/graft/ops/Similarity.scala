@@ -574,14 +574,38 @@ object Similarity {
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
 
   /** Load a [[saveIvfPqIndex]]'d index; the coded table and centroids
-    * come back cached (every query batch of the day probes them). */
+    * come back cached (every query batch of the day probes them).
+    * Pending [[tombstoneIvfPqIndex]] deletions are subtracted here —
+    * one broadcast anti-join on the coded table; the centroids and
+    * codebook are corpus-independent and stay as built. */
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      scope: CacheScope = CacheScope.noop): IvfPqIndex = {
     val p = spark.read.parquet(s"$path/params").head()
-    IvfPqIndex(scope.track(spark.read.parquet(s"$path/coded").cache()),
+    IvfPqIndex(scope.track(Tombstones.applyTo(spark, path,
+        spark.read.parquet(s"$path/coded"), "_id").cache()),
       scope.track(spark.read.parquet(s"$path/cents").cache()),
       readPqBook(spark, path), p.getAs[Int]("dim"), p.getAs[Boolean]("residual"))
   }
+
+  /** Delete vectors from an in-memory [[IvfPqIndex]]: broadcast
+    * anti-join on the coded table — O(|ids|) shipped, history never
+    * shuffled. The on-disk twin is [[tombstoneIvfPqIndex]]. */
+  def dropFromIvfPqIndex(index: IvfPqIndex, ids: DataFrame,
+                         idCol: String): IvfPqIndex = {
+    val tombs = ids.select(col(idCol).as("_tid")).distinct()
+    index.copy(coded = index.coded.join(broadcast(tombs),
+      index.coded("_id") === tombs("_tid"), "left_anti"))
+  }
+
+  /** Record deletions against a [[saveIvfPqIndex]]'d store — the
+    * right-to-be-forgotten write path ([[Tombstones]]): appends the ids
+    * under `path/tombstones`, O(ids) regardless of history size.
+    * [[loadIvfPqIndex]] subtracts pending tombstones;
+    * [[compactIvfPqIndex]] applies them physically and clears them. A
+    * tombstoned id cannot be re-appended until then (fail-loud). */
+  def tombstoneIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                          ids: DataFrame, idCol: String): Unit =
+    Tombstones.append(spark, path, ids, idCol)
 
   /** APPEND a newly-ingested batch to a [[saveIvfPqIndex]]'d index ON
     * DISK — the [[appendEmbedIndex]] discipline on the ANN serving path:
@@ -592,6 +616,7 @@ object Similarity {
     * parquet delta per day, and a reload probes one flat table. */
   def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    Tombstones.requireNotTombstoned(spark, path, newVecs, idCol)
     val cents = spark.read.parquet(s"$path/cents")
     val book = readPqBook(spark, path)
     val residual = spark.read.parquet(s"$path/params").head()
@@ -603,17 +628,44 @@ object Similarity {
 
   /** Compact an appended [[saveIvfPqIndex]] store's coded table into
     * ~128 MB files ([[StoreCompact]]): append-only ingest leaves one
-    * file group per batch; probes pay the listing/open cost. Offline
+    * file group per batch; probes pay the listing/open cost. Pending
+    * [[tombstoneIvfPqIndex]] deletions are applied PHYSICALLY during
+    * the rewrite (the anti-join rides the compaction scan) and the
+    * tombstone dir cleared — a crash between swap and clear only
+    * re-applies the (idempotent) anti-join on the next load. Offline
     * maintenance, probe-invariant (spec-pinned). */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String): Unit =
-    StoreCompact.compactParquetDir(spark, s"$path/coded")
+                        path: String): Unit = {
+    StoreCompact.compactParquetDir(spark, s"$path/coded",
+      Tombstones.readOpt(spark, path).map((_, "_id")))
+    Tombstones.clear(spark, path)
+  }
 
   /** Compact an appended [[saveEmbedIndex]] store's bucket table —
-    * [[compactIvfPqIndex]]'s LSH twin. */
+    * [[compactIvfPqIndex]]'s LSH twin, same physical tombstone apply. */
   def compactEmbedIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String): Unit =
-    StoreCompact.compactParquetDir(spark, s"$path/buckets")
+                        path: String): Unit = {
+    StoreCompact.compactParquetDir(spark, s"$path/buckets",
+      Tombstones.readOpt(spark, path).map((_, "_hid")))
+    Tombstones.clear(spark, path)
+  }
+
+  /** Delete vectors from an in-memory [[EmbedIndex]]: broadcast
+    * anti-join on the bucket table. On-disk twin:
+    * [[tombstoneEmbedIndex]]. */
+  def dropFromEmbedIndex(index: EmbedIndex, ids: DataFrame,
+                         idCol: String): EmbedIndex = {
+    val tombs = ids.select(col(idCol).as("_tid")).distinct()
+    index.copy(bucketed = index.bucketed.join(broadcast(tombs),
+      index.bucketed("_hid") === tombs("_tid"), "left_anti"))
+  }
+
+  /** Record deletions against a [[saveEmbedIndex]]'d store
+    * ([[Tombstones]] — O(ids), history untouched; subtracted by
+    * [[loadEmbedIndex]], applied physically by [[compactEmbedIndex]]). */
+  def tombstoneEmbedIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                          ids: DataFrame, idCol: String): Unit =
+    Tombstones.append(spark, path, ids, idCol)
 
   /** Routing-balance diagnostic for an [[IvfPqIndex]]: vectors per
     * coarse cell, INCLUDING empty cells (a cell the codebook reserves
@@ -924,11 +976,14 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** Load a [[saveEmbedIndex]]'d index; the store comes back cached. */
+  /** Load a [[saveEmbedIndex]]'d index; the store comes back cached.
+    * Pending [[tombstoneEmbedIndex]] deletions are subtracted (one
+    * broadcast anti-join on the bucket table). */
   def loadEmbedIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      scope: CacheScope = CacheScope.noop): EmbedIndex = {
     val p = spark.read.parquet(s"$path/params").head()
-    EmbedIndex(scope.track(spark.read.parquet(s"$path/buckets").cache()),
+    EmbedIndex(scope.track(Tombstones.applyTo(spark, path,
+        spark.read.parquet(s"$path/buckets"), "_hid").cache()),
       p.getAs[Int]("dim"), p.getAs[Int]("n_planes"), p.getAs[String]("seed"))
   }
 
@@ -941,6 +996,7 @@ object Similarity {
     * reload probes one flat table. */
   def appendEmbedIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    Tombstones.requireNotTombstoned(spark, path, newVecs, idCol)
     val p = spark.read.parquet(s"$path/params").head()
     Parallelize.ensure(newVecs.select(col(idCol).as("_hid"),
         col(vecCol).cast("array<double>").as("_hv")))

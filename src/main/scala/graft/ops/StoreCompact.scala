@@ -33,8 +33,13 @@ import org.apache.spark.sql.SparkSession
 private[ops] object StoreCompact {
 
   /** Rewrite the parquet dir at `dir` into ~128 MB files (at least
-    * `defaultParallelism` of them). No-op if the dir is absent. */
-  def compactParquetDir(spark: SparkSession, dir: String): Unit = {
+    * `defaultParallelism` of them). No-op if the dir is absent.
+    * `minus` (ids frame `_tid`, store id column) physically drops
+    * tombstoned rows during the rewrite — the [[Tombstones]] apply
+    * point: the anti-join rides the compaction scan the store was
+    * paying for anyway, so deletion never costs its own history pass. */
+  def compactParquetDir(spark: SparkSession, dir: String,
+                        minus: Option[(org.apache.spark.sql.DataFrame, String)] = None): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def aside = new org.apache.hadoop.fs.Path(
@@ -52,10 +57,20 @@ private[ops] object StoreCompact {
 
     val bytes = fs.getContentSummary(root).getLength
     val target = math.min(bytes / (128L << 20) + 1, 1000000L).toInt
-    spark.read.parquet(dir).repartition(target)
+    val live = minus.foldLeft(spark.read.parquet(dir)) { case (df, (tombs, idCol)) =>
+      df.join(org.apache.spark.sql.functions.broadcast(tombs),
+        df(idCol) === tombs("_tid"), "left_anti")
+    }
+    live.repartition(target)
       .write.mode("overwrite").parquet(tmp.toString)
     fs.rename(root, aside)
     fs.rename(tmp, root)
     fs.delete(aside, true)
+    // the session may hold cached plans (and InMemoryFileIndex listings)
+    // over the pre-swap files — a loadX().cache() from earlier in the
+    // session would silently serve the PRE-compaction store (observable
+    // once tombstones make the rewrite content-changing). Rewriting a
+    // path the engine may have cached requires invalidating it.
+    spark.catalog.refreshByPath(dir)
   }
 }

@@ -466,4 +466,138 @@ class StandingIndexSpec extends AnyFunSuite {
     assert(hotCapped == uncapped.filter(p => p._1 < 10L && p._2 < 10L))
     assert(hotCapped.size == 45)
   }
+
+  // ---- tombstones (round-9): the right-to-be-forgotten path over the
+  //      append-only standing stores ----
+
+  test("IVF-PQ tombstones: sidecar = in-memory drop = fresh build on survivors; compaction applies physically") {
+    CacheScope.withScope { scope =>
+      val dir = java.nio.file.Files.createTempDirectory("ivfpqtomb").toString
+      val corpus = pqVecs(4 until 44)
+      val queries = pqVecs(0 until 3).toDF("vec_id", "qv")
+      val cents = corpus.select(col("vec_id").as("_cid"),
+        col("emb").cast("array<double>").as("_cv")).orderBy("_cid").limit(4)
+      val book = Similarity.pqBookConst(8, 2, 4)
+      val built = Similarity.buildIvfPqIndex(corpus, "vec_id", "emb",
+        cents, book, dim = 8, scope = scope)
+      Similarity.saveIvfPqIndex(built, dir)
+      def search(idx: Similarity.IvfPqIndex) =
+        Similarity.ivfPqTopKWith(idx, queries, "vec_id", "qv",
+            nProbe = 2, topK = 3)
+          .orderBy("query_id", "vec_id").as[(Long, Long, Double)].collect().toSeq
+      // forget an id that IS a live search result, so the deletion is
+      // observable, plus one that isn't
+      val victim = search(built).head._2
+      val other = if (victim == 43L) 42L else 43L
+      val gone = Seq(victim, other).toDF("vec_id")
+      Similarity.tombstoneIvfPqIndex(spark, dir, gone, "vec_id")
+
+      val loaded = Similarity.loadIvfPqIndex(spark, dir, scope)
+      val got = search(loaded)
+      assert(got == search(Similarity.dropFromIvfPqIndex(built, gone, "vec_id")),
+        "tombstone sidecar must equal the in-memory drop")
+      val survivors = corpus.filter(!col("vec_id").isin(victim, other))
+      assert(got == search(Similarity.buildIvfPqIndex(survivors, "vec_id", "emb",
+          cents, book, dim = 8, scope = scope)),
+        "tombstoned index must equal a fresh build on the survivors")
+      assert(!got.exists(_._2 == victim) && got.nonEmpty,
+        "the forgotten id must stop appearing in results")
+
+      // pending tombstone blocks a re-add of the same id, loudly…
+      val err = intercept[IllegalArgumentException] {
+        Similarity.appendIvfPqIndex(spark, dir,
+          pqVecs(victim.toInt to victim.toInt), "vec_id", "emb")
+      }
+      assert(err.getMessage.contains("pending tombstone"))
+      // …but an unrelated batch still appends
+      Similarity.appendIvfPqIndex(spark, dir, pqVecs(50 until 54), "vec_id", "emb")
+
+      // compaction applies the deletion physically and clears the sidecar
+      Similarity.compactIvfPqIndex(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists,
+        "compaction must clear applied tombstones")
+      val after = Similarity.loadIvfPqIndex(spark, dir, scope)
+      assert(after.coded.filter(col("_id").isin(victim, other)).count() == 0,
+        "compaction must drop tombstoned rows from the store")
+      assert(after.coded.count() == 42, "40 built - 2 forgotten + 4 appended")
+      assert(search(after) == search(Similarity.buildIvfPqIndex(
+          survivors.unionByName(pqVecs(50 until 54)), "vec_id", "emb",
+          cents, book, dim = 8, scope = scope)),
+        "post-compaction search equals a fresh build on survivors + append")
+      // the forgotten id may legitimately re-enter after compaction
+      Similarity.appendIvfPqIndex(spark, dir,
+        pqVecs(victim.toInt to victim.toInt), "vec_id", "emb")
+      assert(search(Similarity.loadIvfPqIndex(spark, dir, scope))
+        .exists(_._2 == victim), "a re-added id is matchable again")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("near-dup and embed tombstones: forgotten docs stop matching; both frames filtered") {
+    CacheScope.withScope { scope =>
+      // --- text layer: history templates (ids % 3 == 0) are the only
+      //     things a template probe can match; forget them all
+      val nd = java.nio.file.Files.createTempDirectory("ndtomb").toString
+      Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(docs(0 until 21),
+        "doc_id", "text", k = 4, rowsPerBand = 2, n = 5, scope = scope), nd)
+      val probeBatch = docs(51 to 51) // template text (51 % 3 == 0)
+      def probeNd(idx: Dedup.NearDupIndex) =
+        Dedup.incrementalNearDupsWith(probeBatch, idx, "doc_id", "text",
+            minJaccard = 0.2, scope = scope)
+          .as[(Long, Long, Double)].collect().toSeq
+      assert(probeNd(Dedup.loadNearDupIndex(spark, nd, scope)).nonEmpty,
+        "template batch matches template history before the deletion")
+      val goneDocs = (0 until 21 by 3).map(_.toLong).toDF("doc_id")
+      Dedup.tombstoneNearDupIndex(spark, nd, goneDocs, "doc_id")
+      val ndLoaded = Dedup.loadNearDupIndex(spark, nd, scope)
+      assert(probeNd(ndLoaded).isEmpty,
+        "every doc the probe could match is forgotten")
+      assert(probeNd(ndLoaded) ==
+        probeNd(Dedup.dropFromNearDupIndex(
+          Dedup.buildNearDupIndex(docs(0 until 21), "doc_id", "text",
+            k = 4, rowsPerBand = 2, n = 5, scope = scope), goneDocs, "doc_id")))
+      assert(ndLoaded.shingleFrame.filter(col("_id") % 3 === 0).count() == 0
+          && ndLoaded.bandFrame.filter(col("_id") % 3 === 0).count() == 0,
+        "BOTH standing frames must subtract the tombstones")
+      Dedup.compactNearDupIndex(spark, nd)
+      assert(!new java.io.File(s"$nd/tombstones").exists)
+      assert(probeNd(Dedup.loadNearDupIndex(spark, nd, scope)).isEmpty)
+
+      // --- vector layer: forget the probe's exact neighbor; the match
+      //     disappears (not merely re-ranks)
+      val em = java.nio.file.Files.createTempDirectory("embtomb").toString
+      def vecs(ids: Range) = ids.map { i =>
+        (i.toLong, Seq(math.cos(i * 0.7), math.sin(i * 0.7), 0.1 * (i % 3), 0.5))
+      }.toDF("vec_id", "embedding")
+      Similarity.saveEmbedIndex(Similarity.buildEmbedIndex(vecs(0 until 20),
+        "vec_id", "embedding", dim = 4, nPlanes = 3, scope = scope), em)
+      val echo = Seq((99L, Seq(math.cos(7 * 0.7), math.sin(7 * 0.7), 0.1 * (7 % 3), 0.5)))
+        .toDF("vec_id", "embedding")
+      def probeEm(idx: Similarity.EmbedIndex) =
+        Similarity.incrementalEmbedNearDupsWith(echo, idx, "vec_id", "embedding",
+            minSim = 0.999)
+          .as[(Long, Long, Double)].collect().toSeq
+      assert(probeEm(Similarity.loadEmbedIndex(spark, em, scope))
+        .exists(_._2 == 7L), "the echo matches its source before the deletion")
+      Similarity.tombstoneEmbedIndex(spark, em, Seq(7L).toDF("vec_id"), "vec_id")
+      val emLoaded = Similarity.loadEmbedIndex(spark, em, scope)
+      assert(!probeEm(emLoaded).exists(_._2 == 7L),
+        "the forgotten vector must stop matching")
+      assert(probeEm(emLoaded) ==
+        probeEm(Similarity.dropFromEmbedIndex(
+          Similarity.buildEmbedIndex(vecs(0 until 20), "vec_id", "embedding",
+            dim = 4, nPlanes = 3, scope = scope),
+          Seq(7L).toDF("vec_id"), "vec_id")))
+      intercept[IllegalArgumentException] {
+        Similarity.appendEmbedIndex(spark, em, vecs(7 until 8), "vec_id", "embedding")
+      }
+      Similarity.compactEmbedIndex(spark, em)
+      assert(!new java.io.File(s"$em/tombstones").exists)
+      assert(Similarity.loadEmbedIndex(spark, em, scope).bucketed
+        .filter(col("_hid") === 7L).count() == 0,
+        "compaction must drop the tombstoned bucket rows")
+      Seq(nd, em).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    }
+  }
 }
