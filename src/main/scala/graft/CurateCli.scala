@@ -48,6 +48,18 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             (`--update-index N` read-only). Founded from the first
   *             batch (`--dim` defaults to the data's width, `--planes`
   *             to the occupancy rule); stored hashing params win
+  *   forget  — right-to-be-forgotten deletions against ANY standing
+  *             store (`--store`): the ids in `--in` are appended to the
+  *             store's tombstone sidecar ([[graft.ops.Tombstones]] —
+  *             O(ids), history untouched); loads subtract them, the
+  *             next `compact` applies them physically. The store layout
+  *             (snapshot / neardup / embeddup / ivfpq) is detected from
+  *             its tables, so a typo'd path fails loudly instead of
+  *             founding a stray sidecar
+  *   compact — offline store maintenance (`--store`, same layout
+  *             detection): rewrite per-batch append deltas into
+  *             ~128 MB files with pending tombstones applied and
+  *             cleared. Run on a cadence, never in the ingest loop
   *
   * I/O: `--in`/`--out`/`--bench` take a parquet path or JSONL
   * (`.json`/`.jsonl` extension, or force with `--in-format`/`--out-format`/
@@ -81,7 +93,12 @@ object CurateCli {
     "neardup" -> (CommonOptions ++ Set("--index", "--update-index",
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram")),
     "embeddup" -> (CommonOptions ++ Set("--index", "--update-index",
-      "--min-sim", "--vec-col", "--dim", "--planes")))
+      "--min-sim", "--vec-col", "--dim", "--planes")),
+    // maintenance commands take no --out (forget's input IS the id list);
+    // their sets are deliberately minimal so e.g. `compact --out X` fails
+    // as loudly as a typo'd flag
+    "forget" -> Set("--in", "--in-format", "--store", "--id-col"),
+    "compact" -> Set("--store", "--id-col"))
 
   private def optionsFor(command: String): Set[String] =
     CommandOptions.getOrElse(command, throw new IllegalArgumentException(
@@ -118,7 +135,7 @@ object CurateCli {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|neardup|embeddup|bpe> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|neardup|embeddup|bpe|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -163,8 +180,29 @@ object CurateCli {
 
     val idCol   = argv.getOrElse("--id-col", "doc_id")
     val textCol = argv.getOrElse("--text-col", "text")
-    val in = read(req("--in"))
-    val out = req("--out")
+    // lazy: the maintenance commands (forget/compact) have no --out, and
+    // compact no --in — a missing option only errors on a command that
+    // actually requires it
+    lazy val in = read(req("--in"))
+    lazy val out = req("--out")
+
+    // store-layout detection for forget/compact: each standing store is
+    // identified by the table only IT has; the flat fingerprint-snapshot
+    // dir (the `dedup` loop's) is the fallback, gated on existence so a
+    // typo'd path fails loudly instead of founding a stray sidecar
+    def storeKind(store: String): String = {
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def has(child: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$store/$child"))
+      if (has("shingles")) "neardup"
+      else if (has("buckets")) "embeddup"
+      else if (has("coded")) "ivfpq"
+      else if (fs.exists(new org.apache.hadoop.fs.Path(store))) "snapshot"
+      else throw new IllegalArgumentException(
+        s"no standing store at '$store' (expected a neardup/embeddup/ivfpq " +
+          "index dir or a fingerprint-snapshot dir)")
+    }
 
     CacheScope.withScope { scope =>
       command match {
@@ -226,9 +264,12 @@ object CurateCli {
           val snapDir = req("--snapshot")
           val fs = new org.apache.hadoop.fs.Path(snapDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // snapshotLive, not a raw read: pending `forget` tombstones
+          // must stop counting as history (a re-ingest of forgotten
+          // content verdicts `kept` again)
           val snapshot =
             if (fs.exists(new org.apache.hadoop.fs.Path(snapDir)))
-              spark.read.parquet(snapDir).select(col("fp"))
+              Dedup.snapshotLive(spark, snapDir, idCol).select(col("fp"))
             else Seq.empty[String].toDF("fp")
           val verdicts = scope.track(
             Dedup.incrementalDedupSnapshot(in, idCol, textCol, snapshot,
@@ -236,11 +277,14 @@ object CurateCli {
           write(verdicts, out)
           if (updateSnapshot) {
             // the write-back half (q120): ONLY the kept rows' (id, fp)
-            // extend the snapshot, appended — never rewritten
-            in.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
-              .join(verdicts.filter(col("verdict") === "kept").select(col(idCol)),
-                Seq(idCol), "left_semi")
-              .write.mode("append").parquet(snapDir)
+            // extend the snapshot, appended — never rewritten; the
+            // append guard rejects a pending-tombstoned id until
+            // `compact` has applied its deletion
+            Dedup.appendSnapshot(spark, snapDir,
+              in.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+                .join(verdicts.filter(col("verdict") === "kept").select(col(idCol)),
+                  Seq(idCol), "left_semi"),
+              idCol)
           }
 
         case "neardup" =>
@@ -331,6 +375,31 @@ object CurateCli {
                 graft.ops.Similarity.buildEmbedIndex(in, eidCol, vecCol,
                   dim, planes, scope = scope), idxDir)
             }
+          }
+
+        case "forget" =>
+          // deletion is by ID against any standing store; `--in` is the
+          // id list. The id column defaults per store family (the vector
+          // stores key on vec_id) unless stated
+          val store = req("--store")
+          val kind = storeKind(store)
+          val fidCol = argv.getOrElse("--id-col",
+            if (kind == "embeddup" || kind == "ivfpq") "vec_id" else "doc_id")
+          kind match {
+            case "neardup"  => Dedup.tombstoneNearDupIndex(spark, store, in, fidCol)
+            case "embeddup" => graft.ops.Similarity.tombstoneEmbedIndex(spark, store, in, fidCol)
+            case "ivfpq"    => graft.ops.Similarity.tombstoneIvfPqIndex(spark, store, in, fidCol)
+            case _          => Dedup.tombstoneSnapshot(spark, store, in, fidCol)
+          }
+
+        case "compact" =>
+          val store = req("--store")
+          storeKind(store) match {
+            case "neardup"  => Dedup.compactNearDupIndex(spark, store)
+            case "embeddup" => graft.ops.Similarity.compactEmbedIndex(spark, store)
+            case "ivfpq"    => graft.ops.Similarity.compactIvfPqIndex(spark, store)
+            case _          => Dedup.compactSnapshot(spark, store,
+              argv.getOrElse("--id-col", "doc_id"))
           }
 
         case other => throw new IllegalStateException(s"unreachable: $other")

@@ -645,6 +645,52 @@ object Dedup {
           .otherwise(lit("dup_batch")).as("verdict"))
   }
 
+  /** Live rows of a standing fingerprint-snapshot DIR — the flat
+    * (id, fp) parquet table the [[incrementalDedupSnapshot]] loop (the
+    * CurateCli `dedup` command) appends, with pending
+    * [[tombstoneSnapshot]] deletions subtracted (one broadcast
+    * anti-join on the id — the snapshot never shuffles). The sidecar is
+    * the hidden `_tombstones` child ([[graft.ops.Tombstones]]), so a
+    * plain `spark.read.parquet(snapDir)` reader still sees exactly the
+    * appended rows — this accessor is the one that honors deletions. */
+  def snapshotLive(spark: org.apache.spark.sql.SparkSession, snapDir: String,
+                   idCol: String = "doc_id"): DataFrame =
+    Tombstones.applyTo(spark, snapDir, spark.read.parquet(snapDir), idCol)
+
+  /** Append a batch's kept (id, fp) delta to a snapshot dir — the
+    * write-back half of the [[incrementalDedupSnapshot]] loop, with the
+    * re-add guard: a pending-tombstoned id would be silently swallowed
+    * by the next [[snapshotLive]] subtract, so it fails loudly here
+    * until [[compactSnapshot]] has applied and cleared its tombstone
+    * (the same discipline as [[appendNearDupIndex]]). */
+  def appendSnapshot(spark: org.apache.spark.sql.SparkSession, snapDir: String,
+                     delta: DataFrame, idCol: String): Unit = {
+    Tombstones.requireNotTombstoned(spark, snapDir, delta, idCol)
+    delta.write.mode("append").parquet(snapDir)
+  }
+
+  /** Record deletions against a snapshot dir — the exact layer's
+    * right-to-be-forgotten path: O(ids) append under
+    * `snapDir/_tombstones`; [[snapshotLive]] subtracts it, so a
+    * re-ingest of the forgotten document's CONTENT verdicts `kept`
+    * again (unless the same content survives under another id —
+    * identity is the fingerprint, deletion is by id). */
+  def tombstoneSnapshot(spark: org.apache.spark.sql.SparkSession, snapDir: String,
+                        ids: DataFrame, idCol: String): Unit =
+    Tombstones.append(spark, snapDir, ids, idCol)
+
+  /** Compact a snapshot dir ([[graft.ops.StoreCompact]]): rewrite the
+    * per-batch append deltas into ~128 MB files with pending
+    * [[tombstoneSnapshot]] deletions applied physically. The staged
+    * root swap carries the applied `_tombstones` sidecar away with the
+    * old files — no separate clear step, and a crash before the swap
+    * leaves both store and sidecar intact (the subtract-on-read stays
+    * correct). Offline maintenance, never in the ingest loop. */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession, snapDir: String,
+                      idCol: String = "doc_id"): Unit =
+    StoreCompact.compactParquetDir(spark, snapDir,
+      Tombstones.readOpt(spark, snapDir).map((_, idCol)))
+
   /** Corpus snapshot DIFF — the release-audit question "what changed
     * between corpus v1 and v2" answered at CONTENT granularity: one row
     * per distinct fingerprint with each version's copy count and a
@@ -877,7 +923,7 @@ object Dedup {
 
   /** Record deletions against a [[saveNearDupIndex]]'d store — the
     * right-to-be-forgotten write path ([[graft.ops.Tombstones]]):
-    * O(ids) append under `path/tombstones`, subtracted by
+    * O(ids) append under `path/_tombstones`, subtracted by
     * [[loadNearDupIndex]], applied physically by
     * [[compactNearDupIndex]]. A tombstoned id cannot be re-appended
     * until then (fail-loud). */

@@ -599,7 +599,7 @@ object Similarity {
 
   /** Record deletions against a [[saveIvfPqIndex]]'d store — the
     * right-to-be-forgotten write path ([[Tombstones]]): appends the ids
-    * under `path/tombstones`, O(ids) regardless of history size.
+    * under `path/_tombstones`, O(ids) regardless of history size.
     * [[loadIvfPqIndex]] subtracts pending tombstones;
     * [[compactIvfPqIndex]] applies them physically and clears them. A
     * tombstoned id cannot be re-appended until then (fail-loud). */

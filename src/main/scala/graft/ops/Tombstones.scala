@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   * history — which is exactly why a deletion cannot be an in-place edit.
   * The production pattern (Iceberg delete files, Lucene live-docs) is a
   * TOMBSTONE sidecar: removals append an id list under
-  * `store/tombstones/`; reads subtract it; the next offline compaction
-  * applies it physically and clears it. Deletes stay O(deleted ids) at
+  * `store/_tombstones/`; reads subtract it; the next offline compaction
+  * applies it physically and clears it. The underscore prefix matters:
+  * Spark/Hadoop listings hide `_`-prefixed children, so the sidecar can
+  * live INSIDE a flat parquet store (the fingerprint snapshot dir the
+  * CurateCli `dedup` loop appends) without plain
+  * `spark.read.parquet(storeDir)` readers ever seeing it — the
+  * `_delta_log` convention. Deletes stay O(deleted ids) at
   * write time no matter how large the history is, and the read-side cost
   * is one anti-join against a table that compaction keeps near-empty.
   *
@@ -32,7 +37,7 @@ import org.apache.spark.sql.functions._
   * cleared its tombstone. */
 private[ops] object Tombstones {
 
-  def dir(storePath: String): String = s"$storePath/tombstones"
+  def dir(storePath: String): String = s"$storePath/_tombstones"
 
   private def fsOf(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -40,7 +45,7 @@ private[ops] object Tombstones {
   }
 
   /** Record deletions: append the distinct ids (one column, renamed
-    * `_tid`) under `store/tombstones`. O(ids) — history untouched. */
+    * `_tid`) under `store/_tombstones`. O(ids) — history untouched. */
   def append(spark: SparkSession, storePath: String,
              ids: DataFrame, idCol: String): Unit =
     ids.select(col(idCol).as("_tid")).distinct()

@@ -66,6 +66,23 @@ object AnnScaleMain {
             Similarity.ivfPqTopKWith(idx, queries, "vec_id", "embedding",
               nProbe = 2, topK = 5))
         }
+        // right-to-be-forgotten at scale: a pending tombstone sidecar
+        // must not move the probe wall — the subtract is one broadcast
+        // anti-join folded into the standing cache at load
+        Similarity.tombstoneIvfPqIndex(spark, dir,
+          emb.select(col("vec_id")).filter(col("vec_id") % 997 === 0), "vec_id")
+        graft.ops.CacheScope.withScope { scope =>
+          val idx = Similarity.loadIvfPqIndex(spark, dir, scope)
+          idx.coded.count()
+          time(s"ivfPqTopKWith  $label (tombstoned probe)",
+            Similarity.ivfPqTopKWith(idx, queries, "vec_id", "embedding",
+              nProbe = 2, topK = 5))
+        }
+        // …and the physical apply rides the compaction rewrite the store
+        // was already paying for (no deletion-specific history pass)
+        val tc0 = System.nanoTime()
+        Similarity.compactIvfPqIndex(spark, dir)
+        println(f"SCALE ivfPq compact+apply $label: ${(System.nanoTime() - tc0) / 1e9}%.2f s")
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       }
       time(s"semDedup       $label",

@@ -297,6 +297,109 @@ class CurateCliSpec extends AnyFunSuite {
     }
   }
 
+  test("forget/compact commands: a forgotten snapshot id stops counting as history, then compaction applies it physically") {
+    val snap = tmp("cli-fsnap"); rm(snap) // must start absent
+    val b1 = tmp("cli-f-b1"); val echo = tmp("cli-f-echo"); val idsDir = tmp("cli-f-ids")
+    val outs = (1 to 6).map(i => tmp(s"cli-f-out$i"))
+    val d = spark.read.parquet(docsPath)
+    d.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(b1)
+    CurateCli.run("dedup", Map("--in" -> b1, "--out" -> outs(0), "--snapshot" -> snap))
+    // two snapshot rows (distinct content by construction — the kept
+    // delta holds one id per fingerprint); echo their TEXT under new ids
+    val Array(rowA, rowB) = spark.read.parquet(snap)
+      .orderBy("doc_id").limit(2).select("doc_id").as[Long].collect()
+    val texts = d.filter(col("doc_id").isin(rowA, rowB))
+      .orderBy("doc_id").select("text").as[String].collect()
+    Seq((1000001L, texts(0)), (1000002L, texts(1))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(echo)
+    def verdicts(out: String) = spark.read.parquet(out)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    CurateCli.run("dedup", Map("--in" -> echo, "--out" -> outs(1),
+      "--snapshot" -> snap, "--update-snapshot" -> "N"))
+    assert(verdicts(outs(1)).map(_._2) == Seq("dup_history", "dup_history"),
+      "both echoes hit history before any deletion")
+
+    // forget rowA: the echo of ITS content verdicts kept again, while a
+    // plain flat read of the snapshot dir is unchanged (the sidecar is
+    // the hidden _tombstones child)
+    val rawRows = spark.read.parquet(snap).count()
+    Seq(rowA).toDF("doc_id").write.mode("overwrite").parquet(idsDir)
+    CurateCli.run("forget", Map("--in" -> idsDir, "--store" -> snap))
+    assert(spark.read.parquet(snap).count() == rawRows,
+      "a flat reader of the snapshot dir must not see the sidecar")
+    CurateCli.run("dedup", Map("--in" -> echo, "--out" -> outs(2),
+      "--snapshot" -> snap, "--update-snapshot" -> "N"))
+    assert(verdicts(outs(2)) == Seq(1000001L -> "kept", 1000002L -> "dup_history"),
+      "only the forgotten id's content stops counting as history")
+
+    // append guard: re-ingesting the tombstoned ID fails loudly until
+    // compaction has applied the deletion
+    val readd = tmp("cli-f-readd")
+    Seq((rowA, "entirely new text for the forgotten id")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(readd)
+    val err = intercept[IllegalArgumentException] {
+      CurateCli.run("dedup", Map("--in" -> readd, "--out" -> outs(3), "--snapshot" -> snap))
+    }
+    assert(err.getMessage.contains("pending tombstone"))
+
+    // compact: physical apply, sidecar gone, verdicts invariant
+    CurateCli.run("compact", Map("--store" -> snap))
+    assert(!new java.io.File(s"$snap/_tombstones").exists)
+    assert(spark.read.parquet(snap).count() == rawRows - 1,
+      "compaction must drop the tombstoned row from the store")
+    CurateCli.run("dedup", Map("--in" -> echo, "--out" -> outs(4),
+      "--snapshot" -> snap, "--update-snapshot" -> "N"))
+    assert(verdicts(outs(4)) == verdicts(outs(2)),
+      "verdicts must be invariant across compaction")
+    // the id may legitimately re-enter now
+    CurateCli.run("dedup", Map("--in" -> readd, "--out" -> outs(5), "--snapshot" -> snap))
+    assert(verdicts(outs(5)) == Seq(rowA -> "kept"))
+    assert(spark.read.parquet(snap).filter(col("doc_id") === rowA).count() == 1)
+    rm((Seq(snap, b1, echo, idsDir, readd) ++ outs): _*)
+  }
+
+  test("forget/compact dispatch on an index store; maintenance argv stays strict") {
+    val idx = tmp("cli-fnidx"); rm(idx)
+    val batch = tmp("cli-fn-b"); val idsDir = tmp("cli-fn-ids")
+    val out1 = tmp("cli-fn1"); val out2 = tmp("cli-fn2"); val out3 = tmp("cli-fn3")
+    val d = spark.read.parquet(docsPath)
+    d.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(batch)
+    CurateCli.run("neardup", Map("--in" -> batch, "--out" -> out1, "--index" -> idx))
+    // echo a shingle-able history doc, probe, and take whatever the
+    // index ACTUALLY matched as the deletion victim — robust to 1.0
+    // jaccard ties between near-identical templates
+    val echoText = d.filter(col("doc_id") % 2 === 0
+        && size(split(trim(col("text")), "\\s+")) >= 5)
+      .orderBy("doc_id").select("text").as[String].head()
+    val echoDir = tmp("cli-fn-echo")
+    Seq((900001L, echoText)).toDF("doc_id", "text").write.mode("overwrite").parquet(echoDir)
+    CurateCli.run("neardup", Map("--in" -> echoDir, "--out" -> out2,
+      "--index" -> idx, "--update-index" -> "N"))
+    val victim = spark.read.parquet(out2).select("hist_id").as[Long].head()
+    // forget the matched doc: it must stop matching (the layout dispatch
+    // picked the neardup family — BOTH frames subtract,
+    // StandingIndexSpec's library contract)
+    Seq(victim).toDF("doc_id").write.mode("overwrite").parquet(idsDir)
+    CurateCli.run("forget", Map("--in" -> idsDir, "--store" -> idx))
+    assert(new java.io.File(s"$idx/_tombstones").exists)
+    CurateCli.run("neardup", Map("--in" -> echoDir, "--out" -> out3,
+      "--index" -> idx, "--update-index" -> "N"))
+    assert(spark.read.parquet(out3).filter(col("hist_id") === victim).count() == 0,
+      "the forgotten doc must stop matching through the CLI loop")
+    CurateCli.run("compact", Map("--store" -> idx))
+    assert(!new java.io.File(s"$idx/_tombstones").exists)
+    // strict per-command argv: an output path on compact is as loud an
+    // error as a typo; forget on a nonexistent store fails, not founds
+    intercept[IllegalArgumentException] {
+      CurateCli.run("compact", Map("--store" -> idx, "--out" -> out3))
+    }
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("forget", Map("--in" -> idsDir, "--store" -> s"$idx-nope"))
+    }
+    assert(e.getMessage.contains("no standing store"))
+    rm(idx, batch, idsDir, echoDir, out1, out2, out3)
+  }
+
   test("options are validated PER COMMAND: another command's flag fails instead of being ignored") {
     // --merges is a bpe flag: on dedup it used to parse fine and do
     // nothing (round-8 advice) — now it fails as loudly as a typo

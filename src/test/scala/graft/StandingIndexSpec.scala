@@ -514,7 +514,7 @@ class StandingIndexSpec extends AnyFunSuite {
 
       // compaction applies the deletion physically and clears the sidecar
       Similarity.compactIvfPqIndex(spark, dir)
-      assert(!new java.io.File(s"$dir/tombstones").exists,
+      assert(!new java.io.File(s"$dir/_tombstones").exists,
         "compaction must clear applied tombstones")
       val after = Similarity.loadIvfPqIndex(spark, dir, scope)
       assert(after.coded.filter(col("_id").isin(victim, other)).count() == 0,
@@ -560,7 +560,7 @@ class StandingIndexSpec extends AnyFunSuite {
           && ndLoaded.bandFrame.filter(col("_id") % 3 === 0).count() == 0,
         "BOTH standing frames must subtract the tombstones")
       Dedup.compactNearDupIndex(spark, nd)
-      assert(!new java.io.File(s"$nd/tombstones").exists)
+      assert(!new java.io.File(s"$nd/_tombstones").exists)
       assert(probeNd(Dedup.loadNearDupIndex(spark, nd, scope)).isEmpty)
 
       // --- vector layer: forget the probe's exact neighbor; the match
@@ -592,7 +592,7 @@ class StandingIndexSpec extends AnyFunSuite {
         Similarity.appendEmbedIndex(spark, em, vecs(7 until 8), "vec_id", "embedding")
       }
       Similarity.compactEmbedIndex(spark, em)
-      assert(!new java.io.File(s"$em/tombstones").exists)
+      assert(!new java.io.File(s"$em/_tombstones").exists)
       assert(Similarity.loadEmbedIndex(spark, em, scope).bucketed
         .filter(col("_hid") === 7L).count() == 0,
         "compaction must drop the tombstoned bucket rows")
