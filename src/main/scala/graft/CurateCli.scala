@@ -26,6 +26,12 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             distributed (word, freq) collapse, in-process merges),
   *             writing the learned rules as (rank, left, right,
   *             pair_count) in rank order
+  *   tokenize — apply a learned `bpe` rules table (`--rules`, the (rank,
+  *             left, right, pair_count) output) to the corpus:
+  *             [[graft.ops.Corpus.bpeEncode]] — rules collect to a
+  *             driver rank table (vocabulary-sized by construction) and
+  *             ride one broadcast; each doc row-locally segments to its
+  *             token array
   *   dedup   — incremental ingest dedup against a STANDING fingerprint
   *             snapshot dir ([[Dedup.incrementalDedupSnapshot]], q96/q120
   *             discipline): probes the snapshot, writes per-doc verdicts,
@@ -48,6 +54,18 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             (`--update-index N` read-only). Founded from the first
   *             batch (`--dim` defaults to the data's width, `--planes`
   *             to the occupancy rule); stored hashing params win
+  *   annindex — the SERVING-index daily loop (q133/q135 discipline): an
+  *             absent `--index` dir is FOUNDED from the batch — coarse
+  *             centroids k-means-trained at constant occupancy
+  *             (`--cells` defaults to the [[graft.ops.Similarity.autoCells]]
+  *             rule), PQ codebook trained per sub-space, corpus encoded
+  *             once; an existing dir gets the batch APPENDED, encoded
+  *             under the STORED geometry (restating a disagreeing
+  *             `--dim`/`--residual` fails loudly — stored params win)
+  *   annsearch — top-k search against a standing `annindex` dir
+  *             ([[graft.ops.Similarity.ivfPqTopKWith]]): ranks coded
+  *             rows only, zero corpus-float reads; `--nprobe` defaults
+  *             to the autoProbe scan-fraction rule
   *   forget  — right-to-be-forgotten deletions against ANY standing
   *             store (`--store`): the ids in `--in` are appended to the
   *             store's tombstone sidecar ([[graft.ops.Tombstones]] —
@@ -89,11 +107,16 @@ object CurateCli {
       "--train-split", "--chunk-tokens")),
     "bpe" -> (CommonOptions ++ Set("--merges", "--min-pair-count",
       "--max-distinct-words")),
+    "tokenize" -> (CommonOptions ++ Set("--rules", "--rules-format")),
     "dedup" -> (CommonOptions ++ Set("--snapshot", "--update-snapshot")),
     "neardup" -> (CommonOptions ++ Set("--index", "--update-index",
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram")),
     "embeddup" -> (CommonOptions ++ Set("--index", "--update-index",
       "--min-sim", "--vec-col", "--dim", "--planes")),
+    "annindex" -> Set("--in", "--in-format", "--index", "--id-col",
+      "--vec-col", "--dim", "--cells", "--subspaces", "--codes", "--residual"),
+    "annsearch" -> (CommonOptions - "--text-col" ++ Set("--index",
+      "--vec-col", "--topk", "--nprobe")),
     // maintenance commands take no --out (forget's input IS the id list);
     // their sets are deliberately minimal so e.g. `compact --out X` fails
     // as loudly as a typo'd flag
@@ -135,7 +158,7 @@ object CurateCli {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|neardup|embeddup|bpe|forget|compact> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|neardup|embeddup|annindex|annsearch|bpe|tokenize|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -248,6 +271,16 @@ object CurateCli {
             .map { case ((a, b, n), i) => (i, a, b, n) }
             .toDF("rank", "left", "right", "pair_count")
             .coalesce(1), out)
+
+        case "tokenize" =>
+          // rank order IS the vocabulary (the `bpe` contract): apply
+          // rules in learned order; the table is vocabulary-sized, so
+          // the collect is driver-bounded by construction
+          val rules = readAs(req("--rules"), "--rules-format")
+            .orderBy(col("rank")).select(col("left"), col("right"))
+            .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+          require(rules.nonEmpty, s"empty rules table at ${req("--rules")}")
+          write(graft.ops.Corpus.bpeEncode(in, idCol, textCol, rules), out)
 
         case "dedup" =>
           import spark.implicits._
@@ -376,6 +409,69 @@ object CurateCli {
                   dim, planes, scope = scope), idxDir)
             }
           }
+
+        case "annindex" =>
+          // the serving rung's daily loop: found-if-absent (train +
+          // encode the founding batch), else append encoded under the
+          // STORED geometry — history is never re-encoded
+          val S = graft.ops.Similarity
+          val idxDir = req("--index")
+          val vecCol = argv.getOrElse("--vec-col", "embedding")
+          val aidCol = argv.getOrElse("--id-col", "vec_id")
+          def yn(flag: String, dflt: String) = argv.getOrElse(flag, dflt) match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"$flag must be Y or N, got '$other'")
+          }
+          val fs = new org.apache.hadoop.fs.Path(idxDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))) {
+            // geometry lives in the stored index; a restated value that
+            // DISAGREES fails loudly (the neardup/embeddup discipline —
+            // the append would otherwise encode under stored params the
+            // caller didn't state)
+            val p = spark.read.parquet(s"$idxDir/params").head()
+            for (stated <- argv.get("--dim"); stored = p.getAs[Int]("dim");
+                 if stated.toInt != stored)
+              throw new IllegalArgumentException(
+                s"--dim $stated disagrees with the stored index ($stored) — " +
+                  "index geometry is fixed at build time")
+            for (stated <- argv.get("--residual");
+                 if yn("--residual", stated) != p.getAs[Boolean]("residual"))
+              throw new IllegalArgumentException(
+                s"--residual $stated disagrees with the stored index — " +
+                  "the code space is fixed at build time")
+            for (flag <- Seq("--cells", "--subspaces", "--codes"); _ <- argv.get(flag))
+              throw new IllegalArgumentException(
+                s"$flag is a build-time option; the stored index already has its geometry")
+            S.appendIvfPqIndex(spark, idxDir, in, aidCol, vecCol)
+          } else {
+            val dim = argv.get("--dim").map(_.toInt).getOrElse(
+              in.select(size(col(vecCol))).head().getInt(0))
+            val n = in.count()
+            val cells = argv.get("--cells").map(_.toInt).getOrElse(S.autoCells(n))
+            // sub-space count must divide dim; default to the widest of
+            // the usual powers of two that does
+            val m = argv.get("--subspaces").map(_.toInt).getOrElse(
+              Seq(8, 4, 2, 1).find(dim % _ == 0).get)
+            val codes = argv.get("--codes").map(_.toInt).getOrElse(16)
+            val cents = S.ivfTrain(
+              in.select(col(vecCol).cast("array<double>").as("_v")), "_v", cells)
+            val book = S.pqTrain(in, vecCol, dim, m, codes)
+            S.saveIvfPqIndex(S.buildIvfPqIndex(in, aidCol, vecCol, cents, book,
+              dim, yn("--residual", "N"), scope), idxDir)
+          }
+
+        case "annsearch" =>
+          val S = graft.ops.Similarity
+          val idx = S.loadIvfPqIndex(spark, req("--index"), scope)
+          val nCells = idx.cents.count().toInt
+          write(S.ivfPqTopKWith(idx, in,
+            argv.getOrElse("--id-col", "vec_id"),
+            argv.getOrElse("--vec-col", "embedding"),
+            argv.get("--nprobe").map(_.toInt).getOrElse(S.autoProbe(nCells)),
+            argv.getOrElse("--topk", "10").toInt), out)
 
         case "forget" =>
           // deletion is by ID against any standing store; `--in` is the

@@ -735,6 +735,16 @@ object Similarity {
     math.min(nCells, math.max(1, math.ceil(scanFrac * nCells).toInt))
   }
 
+  /** Coarse-cell count that scales WITH the corpus — constant occupancy
+    * (cells ≈ n / target): [[autoPlanes]]'s IVF analog and
+    * [[autoProbe]]'s prerequisite (holding the probes/cells FRACTION
+    * only holds recall if the cell count tracks n; a fixed cell count
+    * makes each cell grow linearly and every probe scan more corpus).
+    * Callers know n from their own pipeline, or pay one count(). */
+  def autoCells(n: Long, targetPerCell: Long = 1024L): Int =
+    math.max(1, math.ceil(
+      math.max(0L, n).toDouble / math.max(1L, targetPerCell).toDouble).toInt)
+
   /** [[pqRerankTopK]] with the shortlist [[autoShortlist]]-sized from the
     * corpus cardinality. Pass `n` when the pipeline already knows it;
     * n < 0 pays one count(). */

@@ -282,7 +282,19 @@ class CurateCliSpec extends AnyFunSuite {
         spark.read.parquet(docsPath).limit(50), "doc_id", "text", rules)
       .count()
     assert(n == 50)
-    rm(out)
+    // …and the tokenize command closes the loop: train → rules table →
+    // encoded corpus, equal to the library path on the same rules
+    val sub = tmp("cli-bpe-sub"); val enc = tmp("cli-bpe-enc")
+    spark.read.parquet(docsPath).limit(50).write.mode("overwrite").parquet(sub)
+    CurateCli.run("tokenize", Map("--in" -> sub, "--out" -> enc, "--rules" -> out))
+    val gotTok = spark.read.parquet(enc)
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    val wantTok = graft.ops.Corpus.bpeEncode(
+        spark.read.parquet(sub), "doc_id", "text", rules)
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(gotTok == wantTok && gotTok.size == 50
+      && gotTok.exists(_._2.nonEmpty))
+    rm(out, sub, enc)
   }
 
   test("argv hygiene: unknown command and malformed options fail loudly") {
@@ -295,6 +307,58 @@ class CurateCliSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       CurateCli.main(Array("curate", "--in"))
     }
+  }
+
+  test("annindex/annsearch commands run the standing ANN serving loop: found, search, append, search again") {
+    import graft.ops.{CacheScope, Similarity}
+    val idx = tmp("cli-annidx"); rm(idx)
+    val b1 = tmp("cli-ann-b1"); val b2 = tmp("cli-ann-b2"); val qdir = tmp("cli-ann-q")
+    val out1 = tmp("cli-ann1"); val out2 = tmp("cli-ann2")
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    e.filter(col("vec_id") % 2 === 0 && col("vec_id") >= 8)
+      .write.mode("overwrite").parquet(b1)
+    e.filter(col("vec_id") % 2 === 1 && col("vec_id") >= 8)
+      .write.mode("overwrite").parquet(b2)
+    e.filter(col("vec_id") < 5).write.mode("overwrite").parquet(qdir)
+    // founding: trains cents+book from the batch, encodes, saves
+    CurateCli.run("annindex", Map("--in" -> b1, "--index" -> idx,
+      "--cells" -> "4", "--subspaces" -> "4", "--codes" -> "8"))
+    for (t <- Seq("params", "coded", "cents", "book"))
+      assert(new java.io.File(s"$idx/$t").exists, s"founding must write $t")
+    def search(out: String) = {
+      CurateCli.run("annsearch", Map("--in" -> qdir, "--out" -> out,
+        "--index" -> idx, "--topk" -> "5", "--nprobe" -> "2"))
+      spark.read.parquet(out).as[(Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._3, r._2)).toSeq
+    }
+    def lib() = CacheScope.withScope { scope =>
+      Similarity.ivfPqTopKWith(Similarity.loadIvfPqIndex(spark, idx, scope),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          nProbe = 2, topK = 5)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    }
+    val got1 = search(out1)
+    assert(got1 == lib() && got1.nonEmpty,
+      "CLI search must equal the library search over the same stored index")
+    // append loop: batch 2 encodes under the STORED geometry; the next
+    // search ranks the union
+    val codedBefore = spark.read.parquet(s"$idx/coded").count()
+    CurateCli.run("annindex", Map("--in" -> b2, "--index" -> idx))
+    assert(spark.read.parquet(s"$idx/coded").count() ==
+      codedBefore + spark.read.parquet(b2).count())
+    val got2 = search(out2)
+    assert(got2 == lib() && got2 != got1,
+      "post-append search must rank the appended rows too")
+    // strict geometry: restating a disagreeing build-time value fails
+    val e1 = intercept[IllegalArgumentException] {
+      CurateCli.run("annindex", Map("--in" -> b2, "--index" -> idx, "--residual" -> "Y"))
+    }
+    assert(e1.getMessage.contains("--residual"))
+    intercept[IllegalArgumentException] {
+      CurateCli.run("annindex", Map("--in" -> b2, "--index" -> idx, "--cells" -> "4"))
+    }
+    rm(idx, b1, b2, qdir, out1, out2)
   }
 
   test("forget/compact commands: a forgotten snapshot id stops counting as history, then compaction applies it physically") {
