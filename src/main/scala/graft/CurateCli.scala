@@ -61,11 +61,24 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             rule), PQ codebook trained per sub-space, corpus encoded
   *             once; an existing dir gets the batch APPENDED, encoded
   *             under the STORED geometry (restating a disagreeing
-  *             `--dim`/`--residual` fails loudly — stored params win)
+  *             `--dim`/`--residual` fails loudly — stored params win);
+  *             `--refound Y` retrains from `--in` as the CURRENT full
+  *             corpus and atomically swaps the store — the remediation
+  *             when the q136 occupancy diagnostic says the founding
+  *             geometry no longer fits the drifted corpus
   *   annsearch — top-k search against a standing `annindex` dir
   *             ([[graft.ops.Similarity.ivfPqTopKWith]]): ranks coded
   *             rows only, zero corpus-float reads; `--nprobe` defaults
   *             to the autoProbe scan-fraction rule
+  *   card    — the corpus dataset card without Scala: exact
+  *             [[graft.ops.Corpus.datasetCardWeighted]] (q134 — counts,
+  *             lang mix, dup rate, token-mass length quantiles) or the
+  *             sketch flavor (`--approx Y`,
+  *             [[graft.ops.Corpus.datasetCardApprox]] — one pass,
+  *             constant agg state); `--ledger DIR` instead reads a
+  *             standing [[graft.ops.Corpus.cardLedgerEstimate]] ledger —
+  *             corpus-to-date distinct counts with ZERO data rescans
+  *             (no `--in` needed; grouping was fixed at append time)
   *   forget  — right-to-be-forgotten deletions against ANY standing
   *             store (`--store`): the ids in `--in` are appended to the
   *             store's tombstone sidecar ([[graft.ops.Tombstones]] —
@@ -108,13 +121,16 @@ object CurateCli {
     "bpe" -> (CommonOptions ++ Set("--merges", "--min-pair-count",
       "--max-distinct-words")),
     "tokenize" -> (CommonOptions ++ Set("--rules", "--rules-format")),
+    "card" -> (CommonOptions ++ Set("--group-col", "--lang-col",
+      "--approx", "--ledger")),
     "dedup" -> (CommonOptions ++ Set("--snapshot", "--update-snapshot")),
     "neardup" -> (CommonOptions ++ Set("--index", "--update-index",
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram")),
     "embeddup" -> (CommonOptions ++ Set("--index", "--update-index",
       "--min-sim", "--vec-col", "--dim", "--planes")),
     "annindex" -> Set("--in", "--in-format", "--index", "--id-col",
-      "--vec-col", "--dim", "--cells", "--subspaces", "--codes", "--residual"),
+      "--vec-col", "--dim", "--cells", "--subspaces", "--codes", "--residual",
+      "--refound"),
     "annsearch" -> (CommonOptions - "--text-col" ++ Set("--index",
       "--vec-col", "--topk", "--nprobe")),
     // maintenance commands take no --out (forget's input IS the id list);
@@ -158,7 +174,7 @@ object CurateCli {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|neardup|embeddup|annindex|annsearch|bpe|tokenize|forget|compact> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|neardup|embeddup|annindex|annsearch|bpe|tokenize|card|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -426,7 +442,18 @@ object CurateCli {
           }
           val fs = new org.apache.hadoop.fs.Path(idxDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))) {
+          if (yn("--refound", "N")) {
+            // drift remediation (the ivfPqIndexStats signal): retrain
+            // geometry from --in as the CURRENT full corpus and swap the
+            // store atomically — stored dim/subspaces/codes/residual kept
+            for (flag <- Seq("--dim", "--cells", "--subspaces", "--codes", "--residual");
+                 _ <- argv.get(flag))
+              throw new IllegalArgumentException(
+                s"$flag does not apply with --refound Y (stored geometry is " +
+                  "kept; the cell count re-derives from the corpus size)")
+            graft.ops.Similarity.refoundIvfPqIndex(spark, idxDir, in, aidCol,
+              vecCol, scope = scope)
+          } else if (fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))) {
             // geometry lives in the stored index; a restated value that
             // DISAGREES fails loudly (the neardup/embeddup discipline —
             // the append would otherwise encode under stored params the
@@ -472,6 +499,33 @@ object CurateCli {
             argv.getOrElse("--vec-col", "embedding"),
             argv.get("--nprobe").map(_.toInt).getOrElse(S.autoProbe(nCells)),
             argv.getOrElse("--topk", "10").toInt), out)
+
+        case "card" =>
+          argv.get("--ledger") match {
+            case Some(ledgerDir) =>
+              // standing-ledger mode: corpus-to-date distinct counts
+              // from the mergeable sketches — no corpus read at all, so
+              // corpus-shaped flags cannot apply and say so loudly
+              for (bad <- Seq("--approx", "--group-col", "--lang-col", "--in",
+                  "--in-format", "--id-col", "--text-col"); _ <- argv.get(bad))
+                throw new IllegalArgumentException(
+                  s"$bad does not apply with --ledger (the ledger fixed its " +
+                    "grouping at append time and never rescans data)")
+              write(graft.ops.Corpus.cardLedgerEstimate(spark, ledgerDir), out)
+            case None =>
+              val g = argv.getOrElse("--group-col", "source")
+              val l = argv.getOrElse("--lang-col", "lang")
+              val approx = argv.getOrElse("--approx", "N") match {
+                case "Y" => true
+                case "N" => false
+                case other => throw new IllegalArgumentException(
+                  s"--approx must be Y or N, got '$other'")
+              }
+              write(
+                if (approx) graft.ops.Corpus.datasetCardApprox(in, g, textCol, l)
+                else graft.ops.Corpus.datasetCardWeighted(in, g, textCol, l, scope),
+                out)
+          }
 
         case "forget" =>
           // deletion is by ID against any standing store; `--in` is the

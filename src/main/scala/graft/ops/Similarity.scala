@@ -641,6 +641,48 @@ object Similarity {
     Tombstones.clear(spark, path)
   }
 
+  /** REBUILD a [[saveIvfPqIndex]]'d index from the current corpus — the
+    * remediation for [[ivfPqIndexStats]] drift: append-only ingest
+    * encodes every batch under the FOUNDING centroids and codebook, so a
+    * corpus that drifts (new modality, new embedding mix) piles into a
+    * few hot cells and probe cost/recall degrade. When the occupancy
+    * diagnostic says so, refound: retrain the coarse centroids at
+    * constant occupancy ([[autoCells]] on the CURRENT corpus size — the
+    * cell count is the one geometry parameter that MUST move with n),
+    * retrain the PQ book, re-encode, and atomically replace the store
+    * via the [[StoreCompact.stagedSwap]] discipline — a concurrent
+    * probe sees the old index or the new one, never a half-written mix,
+    * and a crash mid-swap self-repairs on the next maintenance call.
+    *
+    * dim / sub-space count / code count / residual-ness stay as stored
+    * (changing those is a different index — build one); pending
+    * tombstones vanish with the old store: the refound encodes exactly
+    * the corpus passed in, which is the caller's statement of what the
+    * index should now contain. Offline maintenance — this IS the full
+    * corpus pass the standing discipline amortizes away, paid only when
+    * the drift signal says the geometry no longer fits. */
+  def refoundIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        corpus: DataFrame, idCol: String, vecCol: String,
+                        targetPerCell: Long = 1024L,
+                        scope: CacheScope = CacheScope.noop): Unit = {
+    StoreCompact.repairSwap(spark, path)
+    val p = spark.read.parquet(s"$path/params").head()
+    val (dim, m, k, residual) = (p.getAs[Int]("dim"), p.getAs[Int]("m"),
+      p.getAs[Int]("k"), p.getAs[Boolean]("residual"))
+    val n = corpus.count()
+    require(n > 0, "refusing to refound an index from an empty corpus")
+    val cents = ivfTrain(
+      corpus.select(col(vecCol).cast("array<double>").as("_v")), "_v",
+      autoCells(n, targetPerCell))
+    val book = pqTrain(corpus, vecCol, dim, m, k)
+    val swapped = StoreCompact.stagedSwap(spark, path) { tmpDir =>
+      saveIvfPqIndex(
+        buildIvfPqIndex(corpus, idCol, vecCol, cents, book, dim, residual, scope),
+        tmpDir)
+    }
+    require(swapped, s"no standing index at '$path' to refound")
+  }
+
   /** Compact an appended [[saveEmbedIndex]] store's bucket table —
     * [[compactIvfPqIndex]]'s LSH twin, same physical tombstone apply. */
   def compactEmbedIndex(spark: org.apache.spark.sql.SparkSession,
@@ -740,9 +782,11 @@ object Similarity {
     * [[autoProbe]]'s prerequisite (holding the probes/cells FRACTION
     * only holds recall if the cell count tracks n; a fixed cell count
     * makes each cell grow linearly and every probe scan more corpus).
-    * Callers know n from their own pipeline, or pay one count(). */
+    * Floored at 2: a 1-cell IVF is a flat scan wearing a codebook (and
+    * below the k-means trainer's minimum k). Callers know n from their
+    * own pipeline, or pay one count(). */
   def autoCells(n: Long, targetPerCell: Long = 1024L): Int =
-    math.max(1, math.ceil(
+    math.max(2, math.ceil(
       math.max(0L, n).toDouble / math.max(1L, targetPerCell).toDouble).toInt)
 
   /** [[pqRerankTopK]] with the shortlist [[autoShortlist]]-sized from the

@@ -297,6 +297,38 @@ class CurateCliSpec extends AnyFunSuite {
     rm(out, sub, enc)
   }
 
+  test("card command writes the dataset card in exact, approx, and standing-ledger modes") {
+    import graft.ops.Corpus
+    val out1 = tmp("cli-card1"); val out2 = tmp("cli-card2"); val out3 = tmp("cli-card3")
+    val docs = spark.read.parquet(docsPath)
+    CurateCli.run("card", Map("--in" -> docsPath, "--out" -> out1))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.head).toSeq
+    assert(rows(spark.read.parquet(out1)) ==
+      rows(Corpus.datasetCardWeighted(docs, "source", "text", "lang")),
+      "exact mode must equal datasetCardWeighted (the q134 card)")
+    CurateCli.run("card", Map("--in" -> docsPath, "--out" -> out2, "--approx" -> "Y"))
+    assert(rows(spark.read.parquet(out2)) ==
+      rows(Corpus.datasetCardApprox(docs, "source", "text", "lang")))
+    // standing-ledger mode: two appended batches, estimate without --in
+    val ledger = tmp("cli-card-ledger"); rm(ledger)
+    val halves = Seq(0, 1).map(h => docs.filter(col("doc_id") % 2 === h)
+      .select(col("source"), md5(col("text")).as("fp")))
+    halves.zipWithIndex.foreach { case (b, i) =>
+      Corpus.cardLedgerAppend(spark, ledger, b, "source", "fp", i.toLong)
+    }
+    CurateCli.run("card", Map("--ledger" -> ledger, "--out" -> out3))
+    assert(rows(spark.read.parquet(out3)) ==
+      rows(Corpus.cardLedgerEstimate(spark, ledger)))
+    // corpus-shaped flags cannot apply in ledger mode
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("card", Map("--ledger" -> ledger, "--out" -> out3,
+        "--in" -> docsPath))
+    }
+    assert(e.getMessage.contains("--ledger"))
+    rm(out1, out2, out3, ledger)
+  }
+
   test("argv hygiene: unknown command and malformed options fail loudly") {
     intercept[IllegalArgumentException] {
       CurateCli.run("frobnicate", Map("--in" -> "x", "--out" -> "y"))
@@ -358,7 +390,20 @@ class CurateCliSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       CurateCli.run("annindex", Map("--in" -> b2, "--index" -> idx, "--cells" -> "4"))
     }
-    rm(idx, b1, b2, qdir, out1, out2)
+    // drift remediation through the CLI: refound from the full corpus —
+    // cells re-derive (constant occupancy), search serves the new store
+    val full = tmp("cli-ann-full"); val out3 = tmp("cli-ann3")
+    e.filter(col("vec_id") >= 8).write.mode("overwrite").parquet(full)
+    CurateCli.run("annindex", Map("--in" -> full, "--index" -> idx,
+      "--refound" -> "Y"))
+    assert(spark.read.parquet(s"$idx/coded").count() ==
+      spark.read.parquet(full).count())
+    assert(search(out3).nonEmpty)
+    intercept[IllegalArgumentException] {
+      CurateCli.run("annindex", Map("--in" -> full, "--index" -> idx,
+        "--refound" -> "Y", "--cells" -> "4"))
+    }
+    rm(idx, b1, b2, qdir, full, out1, out2, out3)
   }
 
   test("forget/compact commands: a forgotten snapshot id stops counting as history, then compaction applies it physically") {

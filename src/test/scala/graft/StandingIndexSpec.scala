@@ -533,6 +533,77 @@ class StandingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("refoundIvfPqIndex: retrains geometry from the current corpus and atomically replaces the store") {
+    CacheScope.withScope { scope =>
+      val dir = java.nio.file.Files.createTempDirectory("ivfpqrefound").toString
+      val founding = pqVecs(4 until 24)
+      val drift = pqVecs(100 until 180) // 4× the founding mass, new region
+      val queries = pqVecs(0 until 3).toDF("vec_id", "qv")
+      val cents0 = founding.select(col("vec_id").as("_cid"),
+        col("emb").cast("array<double>").as("_cv")).orderBy("_cid").limit(2)
+      val book = Similarity.pqBookConst(8, 2, 4)
+      Similarity.saveIvfPqIndex(Similarity.buildIvfPqIndex(founding, "vec_id",
+        "emb", cents0, book, dim = 8, scope = scope), dir)
+      Similarity.appendIvfPqIndex(spark, dir, drift, "vec_id", "emb")
+      def search(idx: Similarity.IvfPqIndex, nProbe: Int) =
+        Similarity.ivfPqTopKWith(idx, queries, "vec_id", "qv", nProbe, topK = 3)
+          .orderBy("query_id", "vec_id").as[(Long, Long, Double)].collect().toSeq
+
+      // the drift signal: 100 vectors crammed into the 2 founding cells
+      val before = Similarity.loadIvfPqIndex(spark, dir, scope)
+      assert(Similarity.ivfPqIndexStats(before).count() == 2)
+
+      // refound from the full current corpus: kmeans cells at constant
+      // occupancy (target 16 → ceil(100/16) = 7 cells), stored
+      // dim/m/k/residual kept, store replaced in place
+      val corpus = founding.unionByName(drift)
+      Similarity.refoundIvfPqIndex(spark, dir, corpus, "vec_id", "emb",
+        targetPerCell = 16, scope = scope)
+      val after = Similarity.loadIvfPqIndex(spark, dir, scope)
+      assert(after.cents.count() == 7 && after.dim == 8 && !after.residual)
+      assert(after.coded.count() == 100, "the refound encodes exactly the corpus")
+      // ≡ a fresh build with the SAME deterministic training calls
+      val cents1 = Similarity.ivfTrain(
+        corpus.select(col("emb").cast("array<double>").as("_v")), "_v", 7)
+      val book1 = Similarity.pqTrain(corpus, "emb", 8, 2, 4)
+      assert(search(after, 4) == search(Similarity.buildIvfPqIndex(corpus,
+          "vec_id", "emb", cents1, book1, dim = 8, scope = scope), 4),
+        "refound store must equal a fresh build on the same corpus")
+
+      // a pending tombstone dies with the old store: the refound corpus
+      // IS the statement of what the index now contains
+      Similarity.tombstoneIvfPqIndex(spark, dir, Seq(100L).toDF("vec_id"), "vec_id")
+      Similarity.refoundIvfPqIndex(spark, dir, corpus, "vec_id", "emb",
+        targetPerCell = 16, scope = scope)
+      assert(!new java.io.File(s"$dir/_tombstones").exists)
+      assert(Similarity.loadIvfPqIndex(spark, dir, scope).coded
+        .filter(col("_id") === 100L).count() == 1)
+
+      // interrupted swap self-repairs: simulate death between the two
+      // renames (store renamed aside, replacement never landed)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val aside = new org.apache.hadoop.fs.Path(root.getParent,
+        "_compact_old_" + root.getName)
+      fs.rename(root, aside)
+      Similarity.refoundIvfPqIndex(spark, dir, corpus, "vec_id", "emb",
+        targetPerCell = 16, scope = scope)
+      assert(search(Similarity.loadIvfPqIndex(spark, dir, scope), 4).nonEmpty,
+        "repair must restore the aside store before refounding it")
+
+      // refounding a nonexistent store fails loudly (the params read —
+      // there is no geometry to keep)
+      val err = intercept[Exception] {
+        Similarity.refoundIvfPqIndex(spark, s"$dir-nope", corpus, "vec_id", "emb")
+      }
+      assert(err.getMessage.contains("to refound") ||
+        err.getMessage.contains("PATH_NOT_FOUND") ||
+        err.getMessage.contains("does not exist"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("near-dup and embed tombstones: forgotten docs stop matching; both frames filtered") {
     CacheScope.withScope { scope =>
       // --- text layer: history templates (ids % 3 == 0) are the only
