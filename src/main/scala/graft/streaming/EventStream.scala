@@ -356,6 +356,64 @@ object EventStream {
       }
       .start()
 
+  /** Probe every arriving microbatch against a STANDING MinHash-LSH
+    * index ([[graft.ops.Dedup.loadNearDupIndex]]) AT INGEST TIME — the
+    * fuzzy layer of the ingest front door, one rung past
+    * [[bloomGateStream]]'s exact triage: per-doc best historical
+    * near-duplicate verdicts land under `verdictsDir/batch=<id>`
+    * (overwrite per batch — foreachBatch replay is idempotent).
+    *
+    * PROBE-ONLY by design: foreachBatch is at-least-once, and a replayed
+    * APPEND would duplicate the batch's shingle/band rows inside the
+    * store's flat tables — which have no per-batch directory to
+    * overwrite precisely so that daily probes scan one flat table
+    * (the [[graft.ops.Dedup.appendNearDupIndex]] layout). Index
+    * extension therefore stays on the batch maintenance side
+    * (CurateCli `neardup`, whose caller sequences batches); the stream
+    * picks up an extended index by restarting the query — exactly
+    * [[decontaminateStream]]'s seen-set discipline.
+    *
+    * The index loads ONCE per query start and its frames are cached
+    * (the point of a standing index): every microbatch probes the same
+    * in-memory band/shingle tables; only batch-sized data moves. */
+  def nearDupGateSink(stream: DataFrame, idCol: String, textCol: String,
+                      indexDir: String, verdictsDir: String, checkpoint: String,
+                      minJaccard: Double = 0.2,
+                      scope: graft.ops.CacheScope = graft.ops.CacheScope.noop)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val idx = graft.ops.Dedup.loadNearDupIndex(stream.sparkSession, indexDir, scope)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Dedup.incrementalNearDupsWith(batch.toDF(), idx, idCol,
+            textCol, minJaccard)
+          .write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** [[nearDupGateSink]]'s VECTOR twin: probe each microbatch's
+    * embeddings against a standing LSH bucket index
+    * ([[graft.ops.Similarity.loadEmbedIndex]]), verdicts per batch dir.
+    * Same probe-only reasoning, same restart-to-extend contract. */
+  def embedGateSink(stream: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String, verdictsDir: String, checkpoint: String,
+                    minSim: Double = 0.3,
+                    scope: graft.ops.CacheScope = graft.ops.CacheScope.noop)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val idx = graft.ops.Similarity.loadEmbedIndex(stream.sparkSession, indexDir, scope)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Similarity.incrementalEmbedNearDupsWith(batch.toDF(), idx,
+            idCol, vecCol, minSim)
+          .write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** [[packingSink]]'s transactional offset ledger: one tiny parquet per
     * batch under `<path>/_offsets/batch=<id>`, written after the batch's
     * data commit. State per batch is ONE (batch_id, start_off, n_tokens)

@@ -80,4 +80,58 @@ class IngestPipelineSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
+
+  test("standing-index gate sinks probe each microbatch against the stores; per-batch dirs replay-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import graft.ops.{CacheScope, Dedup, Similarity}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    CacheScope.withScope { scope =>
+      // --- text layer: the fuzzy rung of the front door ---
+      val ndIdx = tmp("gate-ndidx"); val ndOut = tmp("gate-ndout"); val ck1 = tmp("gate-ck1")
+      val hist = (0 until 12).map(i =>
+        (i.toLong, s"shared template words number ${i % 3} tail marker ${i % 3}"))
+        .toDF("doc_id", "text")
+      Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(hist, "doc_id", "text",
+        k = 4, rowsPerBand = 2, n = 5, scope = scope), ndIdx)
+      val mem = MemoryStream[(Long, String)]
+      val q = EventStream.nearDupGateSink(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", ndIdx, ndOut, ck1, minJaccard = 0.2, scope = scope)
+      val b1 = Seq((100L, "shared template words number 0 tail marker 0"),
+        (101L, "completely unrelated content xyzzy plugh quux"))
+      val b2 = Seq((102L, "shared template words number 1 tail marker 1"))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      def got(b: Int) = spark.read.parquet(s"$ndOut/batch=$b")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      def want(rows: Seq[(Long, String)]) =
+        Dedup.incrementalNearDupsWith(rows.toDF("doc_id", "text"),
+            Dedup.loadNearDupIndex(spark, ndIdx, scope), "doc_id", "text",
+            minJaccard = 0.2, scope = scope)
+          .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got(0) == want(b1) && got(0).map(_._1) == Seq(100L),
+        "the template echo matches history, the junk doc does not")
+      assert(got(1) == want(b2) && got(1).nonEmpty,
+        "each microbatch gets its own verdict dir against the same cached index")
+
+      // --- vector layer: the embed rung, same shape ---
+      val emIdx = tmp("gate-emidx"); val emOut = tmp("gate-emout"); val ck2 = tmp("gate-ck2")
+      def vec(i: Int) = Seq(math.cos(i * 0.7), math.sin(i * 0.7), 0.1 * (i % 3), 0.5)
+      Similarity.saveEmbedIndex(Similarity.buildEmbedIndex(
+        (0 until 20).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 4, nPlanes = 3, scope = scope), emIdx)
+      val mem2 = MemoryStream[(Long, Seq[Double])]
+      val q2 = EventStream.embedGateSink(mem2.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", emIdx, emOut, ck2, minSim = 0.999, scope = scope)
+      mem2.addData((99L, vec(7))); q2.processAllAvailable()
+      q2.stop()
+      val gotEm = spark.read.parquet(s"$emOut/batch=0")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(gotEm.exists(r => r._1 == 99L && r._2 == 7L),
+        "the echoed vector must match its historical source through the stream gate")
+      Seq(ndIdx, ndOut, ck1, emIdx, emOut, ck2).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    }
+  }
 }
