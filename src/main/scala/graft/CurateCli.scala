@@ -38,6 +38,16 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             and appends the batch's kept (id, fp) delta back to the
   *             snapshot (append-only — history is never rewritten;
   *             `--update-snapshot N` to probe read-only)
+  *   ingest  — the COMPOSED daily loop ([[Pipeline.ingestGate]], q138):
+  *             exact rung against the standing fingerprint snapshot,
+  *             fuzzy rung against the standing MinHash index for the
+  *             exact survivors, ONE unified (id, verdict, hist_id,
+  *             jaccard) verdict table; unless `--update N`, the
+  *             FINAL-kept docs (and only those — a near-dup's canonical
+  *             copy is already in history) extend BOTH stores, and
+  *             `--ledger DIR --batch-id N` also appends their distinct
+  *             content counts to the standing card ledger. Absent
+  *             stores are founded from the first batch
   *   neardup — the FUZZY layer of the same loop: probe the batch against
   *             a STANDING MinHash-LSH index dir
   *             ([[Dedup.incrementalNearDupsWith]], q97/q126 discipline),
@@ -124,6 +134,9 @@ object CurateCli {
     "card" -> (CommonOptions ++ Set("--group-col", "--lang-col",
       "--approx", "--ledger")),
     "dedup" -> (CommonOptions ++ Set("--snapshot", "--update-snapshot")),
+    "ingest" -> (CommonOptions ++ Set("--snapshot", "--index", "--update",
+      "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram",
+      "--ledger", "--batch-id", "--group-col")),
     "neardup" -> (CommonOptions ++ Set("--index", "--update-index",
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram")),
     "embeddup" -> (CommonOptions ++ Set("--index", "--update-index",
@@ -174,7 +187,7 @@ object CurateCli {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|neardup|embeddup|annindex|annsearch|bpe|tokenize|card|forget|compact> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|bpe|tokenize|card|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -334,6 +347,87 @@ object CurateCli {
                 .join(verdicts.filter(col("verdict") === "kept").select(col(idCol)),
                   Seq(idCol), "left_semi"),
               idCol)
+          }
+
+        case "ingest" =>
+          // the COMPOSED daily loop (q138): both standing stores probed
+          // in rung order by Pipeline.ingestGate, one unified verdict
+          // table out, final-kept docs extending both stores — what the
+          // separate `dedup` + `neardup` commands do, minus the glue the
+          // data engineer would otherwise hand-write (filtering the
+          // exact survivors between rungs, appending only final-kept)
+          import spark.implicits._
+          val update = argv.getOrElse("--update", "Y") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--update must be Y or N, got '$other'")
+          }
+          val snapDir = req("--snapshot")
+          val idxDir = req("--index")
+          val minJ = argv.getOrElse("--min-jaccard", "0.2").toDouble
+          val ledger = argv.get("--ledger")
+          // fail on a malformed/missing batch id BEFORE any store mutates
+          val ledgerBatch = ledger.map { _ =>
+            argv.getOrElse("--batch-id", throw new IllegalArgumentException(
+              "--ledger requires --batch-id (the ledger is keyed per ingest batch)")).toLong
+          }
+          val fs = new org.apache.hadoop.fs.Path(snapDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val snapshot =
+            if (fs.exists(new org.apache.hadoop.fs.Path(snapDir)))
+              Dedup.snapshotLive(spark, snapDir, idCol).select(col("fp"))
+            else Seq.empty[String].toDF("fp")
+          val haveIdx = fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))
+          val verdicts = scope.track((if (haveIdx) {
+            val idx = Dedup.loadNearDupIndex(spark, idxDir, scope)
+            for ((flag, stored) <- Seq("--minhash-k" -> idx.k,
+                "--rows-per-band" -> idx.rowsPerBand, "--ngram" -> idx.n);
+                stated <- argv.get(flag))
+              if (stated.toInt != stored)
+                throw new IllegalArgumentException(
+                  s"$flag ${stated} disagrees with the stored index ($stored) — " +
+                    "banding parameters are fixed at build time")
+            Pipeline.ingestGate(in, idCol, textCol, snapshot, idx, minJ, scope)
+          } else {
+            // founding batch: no fuzzy history — exact verdicts only, in
+            // the unified shape (hist_id a typed null of the id column,
+            // so the verdict table's schema never changes across batches)
+            Dedup.incrementalDedupSnapshot(in, idCol, textCol, snapshot,
+                scope = scope)
+              .select(col(idCol), col("verdict"),
+                when(lit(false), col(idCol)).as("hist_id"),
+                lit(null).cast("double").as("jaccard"))
+          }).cache())
+          write(verdicts, out)
+          if (update) {
+            // the kept set derives from the WRITTEN verdict table, not the
+            // live plan: the first store append mutates a dir the verdict
+            // plan reads, which drops the verdict cache — every later
+            // write-back would recompute against the already-extended
+            // snapshot and see its own batch as dup_history (measured: the
+            // index append landed zero rows). The out dir is immutable
+            // once written, so all three write-backs see one committed
+            // decision.
+            val kept = in.join(
+              readAs(out, "--out-format")
+                .filter(col("verdict") === "kept").select(col(idCol)),
+              Seq(idCol), "left_semi")
+            Dedup.appendSnapshot(spark, snapDir,
+              kept.select(col(idCol),
+                TextAnalysis.fingerprint(col(textCol)).as("fp")), idCol)
+            if (haveIdx)
+              Dedup.appendNearDupIndex(spark, idxDir, kept, idCol, textCol, scope)
+            else
+              Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(kept, idCol, textCol,
+                argv.getOrElse("--minhash-k", "4").toInt,
+                argv.getOrElse("--rows-per-band", "2").toInt,
+                argv.getOrElse("--ngram", "5").toInt, scope), idxDir)
+            for (ledgerDir <- ledger)
+              graft.ops.Corpus.cardLedgerAppend(spark, ledgerDir,
+                kept.select(col(argv.getOrElse("--group-col", "source")),
+                  TextAnalysis.fingerprint(col(textCol)).as("_fp")),
+                argv.getOrElse("--group-col", "source"), "_fp", ledgerBatch.get)
           }
 
         case "neardup" =>

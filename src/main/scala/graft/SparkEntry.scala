@@ -1608,6 +1608,24 @@ object SparkEntry {
       val idx = Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
         cents, Similarity.pqBookConst(64, 4, 8), dim = 64)
       Similarity.ivfPqIndexStats(idx)
+    }),
+
+    // ---- The composed batch ingest front door (round-9): q96's exact
+    //      rung against the standing fingerprint snapshot, then q97's
+    //      fuzzy rung against the standing MinHash index for the exact
+    //      SURVIVORS only — one unified (doc_id, verdict, hist_id,
+    //      jaccard) row per batch doc. The oracle is the two rungs'
+    //      SQL composed with the same survivor gate; rung-order
+    //      semantics (an exact dup is never fuzzy-probed) are what the
+    //      composition pins ----
+    "q138_ingest_gate" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val hist = d.filter(col("doc_id") % 2 === 0)
+      val snap = hist.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      val idx = Dedup.buildNearDupIndex(hist, "doc_id", "text",
+        k = 4, rowsPerBand = 2, n = 5)
+      Pipeline.ingestGate(d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        snap, idx, minJaccard = 0.2)
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -3477,6 +3495,50 @@ object SparkEntry {
         |occ AS (SELECT cid, count(*) AS n FROM cells GROUP BY cid)
         |SELECT c.cid AS cell_id, CAST(coalesce(occ.n, 0) AS BIGINT) AS n_vectors
         |FROM c LEFT JOIN occ ON c.cid = occ.cid""".stripMargin,
+
+    // q138: the composed ingest front door — q96's verdict CTEs feed the
+    // survivor gate of q97's near-dup CTEs; a fuzzy match upgrades a
+    // 'kept' verdict to 'near_dup' (exact dups are never fuzzy-probed,
+    // so their hist_id/jaccard stay NULL by construction)
+    "q138_ingest_gate" ->
+      """WITH nw AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |            FROM documents WHERE doc_id % 2 = 1),
+        |h AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |      FROM documents WHERE doc_id % 2 = 0),
+        |f AS (SELECT fp, min(doc_id) AS first FROM nw GROUP BY fp),
+        |verdicts AS (SELECT nw.doc_id,
+        |  CASE WHEN h.fp IS NOT NULL THEN 'dup_history'
+        |       WHEN nw.doc_id = f.first THEN 'kept'
+        |       ELSE 'dup_batch' END AS verdict
+        |  FROM nw JOIN f USING (fp) LEFT JOIN h ON h.fp = nw.fp),
+        |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+        |  ELSE [] END AS sh FROM w),
+        |sig AS (SELECT doc_id, sh, len(sh) AS sz,
+        |  list_min(list_transform(sh, x -> md5('0|'||x))) AS s0,
+        |  list_min(list_transform(sh, x -> md5('1|'||x))) AS s1,
+        |  list_min(list_transform(sh, x -> md5('2|'||x))) AS s2,
+        |  list_min(list_transform(sh, x -> md5('3|'||x))) AS s3 FROM s WHERE len(sh) > 0),
+        |band AS (SELECT doc_id, sh, sz, unnest(['0#'||s0||'#'||s1, '1#'||s2||'#'||s3]) AS bucket FROM sig),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, hb.doc_id AS hist_id,
+        |                n.sh AS sh_n, n.sz AS sz_n, hb.sh AS sh_h, hb.sz AS sz_h
+        |         FROM band n JOIN band hb ON n.bucket = hb.bucket
+        |         WHERE n.doc_id IN (SELECT doc_id FROM verdicts WHERE verdict = 'kept')
+        |           AND hb.doc_id % 2 = 0),
+        |j AS (SELECT new_id, hist_id, sz_n, sz_h,
+        |        len(list_intersect(sh_n, sh_h)) AS common FROM cand),
+        |jv AS (SELECT new_id, hist_id,
+        |        common / (sz_n + sz_h - common) AS jac FROM j
+        |      WHERE common / (sz_n + sz_h - common) >= 0.2),
+        |r AS (SELECT new_id, hist_id, jac,
+        |        row_number() OVER (PARTITION BY new_id ORDER BY jac DESC, hist_id) AS rn FROM jv),
+        |best AS (SELECT new_id AS doc_id, hist_id, round(jac, 4) AS jaccard
+        |         FROM r WHERE rn = 1)
+        |SELECT v.doc_id,
+        |  CASE WHEN b.hist_id IS NOT NULL THEN 'near_dup' ELSE v.verdict END AS verdict,
+        |  b.hist_id, b.jaccard
+        |FROM verdicts v LEFT JOIN best b USING (doc_id)""".stripMargin,
 
     // q132: weighted lower quantile — min v with cum weight(≤v) >= q·total.
     // Integer weights keep every sum exact; the threshold compare is done

@@ -129,4 +129,48 @@ object Pipeline {
         sum(col("n_leaked")).as("n_leaked"))
       .withColumn("leak_rate", col("n_leaked").cast("double") / col("n_chunks"))
   }
+
+  /** The batch INGEST FRONT DOOR composed as one call — the per-document
+    * verdict a daily 100-TB loop needs for an arriving batch, rungs in
+    * escalating cost order against the two STANDING stores:
+    *
+    *  1. exact content dedup against the fingerprint snapshot
+    *     ([[Dedup.incrementalDedupSnapshot]], the q96/q131 rung) —
+    *     `dup_history` / `dup_batch`;
+    *  2. fuzzy near-dup against the MinHash-LSH index
+    *     ([[Dedup.incrementalNearDupsWith]], the q97/q126 rung) for the
+    *     EXACT SURVIVORS ONLY — `near_dup` with the best historical match
+    *     (hist_id, jaccard); everything else stays `kept`.
+    *
+    * One row per batch doc: (idCol, verdict, hist_id, jaccard) —
+    * hist_id/jaccard null except on near_dup rows. An exact duplicate is
+    * never fuzzy-probed: its verdict is already terminal, and the rung
+    * order is the point — the cheap rung's semi join gates the expensive
+    * shingle/band work down to the docs that still need a decision (on a
+    * healthy ingest, near-dup candidates are a sliver of the batch).
+    *
+    * Scale shape is its rungs': the exact rung broadcasts the batch's
+    * distinct fingerprints ONTO the snapshot scan (history never
+    * shuffles); the fuzzy rung shingles only survivors and probes the
+    * index's cached flat tables. The extra composition cost is one
+    * batch-sized semi join on the id and one batch-sized left join
+    * assembling the final verdict — both narrow, no text movement. */
+  def ingestGate(batch: DataFrame, idCol: String, textCol: String,
+                 snapshot: DataFrame, index: Dedup.NearDupIndex,
+                 minJaccard: Double = 0.2,
+                 scope: CacheScope = CacheScope.noop): DataFrame = {
+    val exact = scope.track(
+      Dedup.incrementalDedupSnapshot(batch, idCol, textCol, snapshot,
+        scope = scope).cache())
+    val survivors = batch.join(
+      exact.filter(col("verdict") === "kept").select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val fuzzy = Dedup.incrementalNearDupsWith(survivors, index, idCol,
+      textCol, minJaccard, scope)
+    exact.join(fuzzy, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("hist_id").isNotNull, lit("near_dup"))
+          .otherwise(col("verdict")).as("verdict"),
+        col("hist_id"), col("jaccard"))
+  }
 }

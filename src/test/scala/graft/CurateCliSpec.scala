@@ -152,6 +152,115 @@ class CurateCliSpec extends AnyFunSuite {
     rm(idx, out1, out2, out3, out4, evenDir, oddDir, echoDir)
   }
 
+  test("ingest command verdicts equal the composed library gate across two real batches") {
+    import graft.ops.TextAnalysis
+    val snap = tmp("cli-ing-snap"); val idx = tmp("cli-ing-idx")
+    rm(snap, idx) // both stores must start absent
+    val out1 = tmp("cli-ing1"); val out2 = tmp("cli-ing2"); val out3 = tmp("cli-ing3")
+    val evenDir = tmp("cli-ing-even"); val oddDir = tmp("cli-ing-odd")
+    val d = spark.read.parquet(docsPath)
+    val even = d.filter(col("doc_id") % 2 === 0)
+    even.write.mode("overwrite").parquet(evenDir)
+    d.filter(col("doc_id") % 2 === 1).write.mode("overwrite").parquet(oddDir)
+    // batch 1 founds both stores; no history, so no terminal-vs-history verdicts
+    CurateCli.run("ingest", Map("--in" -> evenDir, "--out" -> out1,
+      "--snapshot" -> snap, "--index" -> idx))
+    val o1 = spark.read.parquet(out1)
+    assert(o1.columns.toSeq == Seq("doc_id", "verdict", "hist_id", "jaccard"),
+      "the unified verdict schema must hold from the founding batch on")
+    assert(o1.filter(col("verdict").isin("dup_history", "near_dup")).count() == 0)
+    // batch 2 probes the stores batch 1 left behind. The library twin:
+    // the snapshot holds KEPT evens' fps (== all evens' distinct fps),
+    // and the index holds the kept evens — first id per text wins
+    CurateCli.run("ingest", Map("--in" -> oddDir, "--out" -> out2,
+      "--snapshot" -> snap, "--index" -> idx))
+    val evenKept = even.join(
+      even.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")),
+      Seq("doc_id", "text"), "left_semi")
+    val want = Pipeline.ingestGate(d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text",
+        even.select(TextAnalysis.fingerprint(col("text")).as("fp")),
+        Dedup.buildNearDupIndex(evenKept, "doc_id", "text",
+          k = 4, rowsPerBand = 2, n = 5))
+      .as[(Long, String, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    val got = spark.read.parquet(out2)
+      .as[(Long, String, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+    assert(got.exists(_._2 == "near_dup"),
+      "sf0.01 odd/even halves must produce at least one fuzzy upgrade — " +
+        "otherwise this test isn't exercising the second rung")
+    // probe-only run: neither store (nor a ledger) may move
+    val snapRows = spark.read.parquet(snap).count()
+    val shingleRows = spark.read.parquet(s"$idx/shingles").count()
+    CurateCli.run("ingest", Map("--in" -> oddDir, "--out" -> out3,
+      "--snapshot" -> snap, "--index" -> idx, "--update" -> "N"))
+    assert(spark.read.parquet(snap).count() == snapRows &&
+      spark.read.parquet(s"$idx/shingles").count() == shingleRows)
+    // argv hygiene: a ledger without its batch id fails before any mutation
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("ingest", Map("--in" -> oddDir, "--out" -> out3,
+        "--snapshot" -> snap, "--index" -> idx, "--ledger" -> tmp("cli-ing-led0")))
+    }
+    assert(e.getMessage.contains("--batch-id"))
+    intercept[IllegalArgumentException] {
+      CurateCli.run("ingest", Map("--in" -> oddDir, "--out" -> out3,
+        "--snapshot" -> snap, "--index" -> idx, "--update" -> "yes"))
+    }
+    rm(snap, idx, out1, out2, out3, evenDir, oddDir)
+  }
+
+  test("ingest daily loop: rung order, near-dup upgrade, final-kept write-back, ledger") {
+    import graft.ops.Corpus
+    val snap = tmp("cli-ing2-snap"); val idx = tmp("cli-ing2-idx"); val led = tmp("cli-ing2-led")
+    rm(snap, idx, led)
+    val b1Dir = tmp("cli-ing2-b1"); val b2Dir = tmp("cli-ing2-b2")
+    val out1 = tmp("cli-ing2-o1"); val out2 = tmp("cli-ing2-o2")
+    // a period-5 token pattern repeated 3x vs 4x has the IDENTICAL
+    // distinct 5-gram shingle set (the 5 cyclic rotations) but a
+    // different full-text fingerprint: jaccard exactly 1.0 with
+    // deterministic LSH band collision, yet NOT an exact duplicate —
+    // the only hand-constructable guaranteed near-dup
+    val pattern = Seq("red", "orange", "yellow", "green", "blue")
+    def cyc(times: Int) = Seq.fill(times)(pattern).flatten.mkString(" ")
+    val junk1 = "completely unrelated content xyzzy plugh quux foo bar baz"
+    val junk2 = "another novel document nothing shared here at all tonight"
+    Seq((1L, cyc(3), "web"), (2L, junk1, "web"), (3L, cyc(3), "web"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(b1Dir)
+    Seq((10L, cyc(3), "web"), (11L, cyc(4), "web"), (12L, junk2, "web"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(b2Dir)
+    CurateCli.run("ingest", Map("--in" -> b1Dir, "--out" -> out1,
+      "--snapshot" -> snap, "--index" -> idx, "--ledger" -> led, "--batch-id" -> "0"))
+    assert(spark.read.parquet(out1)
+      .as[(Long, String, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "kept", None, None), (2L, "kept", None, None),
+        (3L, "dup_batch", None, None)),
+      "founding batch: first id wins within the batch, no history verdicts")
+    CurateCli.run("ingest", Map("--in" -> b2Dir, "--out" -> out2,
+      "--snapshot" -> snap, "--index" -> idx, "--ledger" -> led, "--batch-id" -> "1"))
+    // doc 10 is BOTH an exact dup and (trivially) a fuzzy match of doc 1:
+    // the exact rung is terminal, so it must read dup_history with NULL
+    // match columns — the rung-order contract. Doc 11 is the genuine
+    // near-dup: fingerprint differs, shingle set identical → (1, 1.0)
+    assert(spark.read.parquet(out2)
+      .as[(Long, String, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq ==
+      Seq((10L, "dup_history", None, None),
+        (11L, "near_dup", Some(1L), Some(1.0)),
+        (12L, "kept", None, None)))
+    // FINAL-kept docs (and only those) extended the stores: {1, 2} from
+    // batch 1, {12} from batch 2 — the near-dup's canonical copy (1) was
+    // already indexed, so 11 must not be
+    assert(spark.read.parquet(snap).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 12L))
+    assert(spark.read.parquet(s"$idx/shingles").select("_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 12L))
+    // the ledger tracked the same final-kept content: 3 distinct
+    // fingerprints under "web", exact at this cardinality (HLL sparse)
+    val est = Corpus.cardLedgerEstimate(spark, led)
+      .as[(String, Double)].collect().toSeq
+    assert(est.map(_._1) == Seq("web") && math.round(est.head._2) == 3L)
+    rm(snap, idx, led, b1Dir, b2Dir, out1, out2)
+  }
+
   test("embeddup command runs the standing embed-index loop: two batches equal q127's probe semantics") {
     import graft.ops.Similarity
     val idx = tmp("cli-embidx"); rm(idx)
