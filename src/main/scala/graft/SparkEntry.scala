@@ -1626,7 +1626,16 @@ object SparkEntry {
         k = 4, rowsPerBand = 2, n = 5)
       Pipeline.ingestGate(d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         snap, idx, minJaccard = 0.2)
-    }))
+    }),
+
+    // ---- Intra-document segment dedup (round-9): the C4/FineWeb
+    //      "remove duplicated spans inside a page" rule — first
+    //      occurrence of each chunk kept within its own doc, text
+    //      rebuilt in order. ZERO shuffles: one row-local projection,
+    //      higher-order filter + first-occurrence array_position ----
+    "q139_intradoc_dedup" -> ((s, dir) =>
+      Dedup.intraDocDedup(tbl(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 3)))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -3539,6 +3548,24 @@ object SparkEntry {
         |  CASE WHEN b.hist_id IS NOT NULL THEN 'near_dup' ELSE v.verdict END AS verdict,
         |  b.hist_id, b.jaccard
         |FROM verdicts v LEFT JOIN best b USING (doc_id)""".stripMargin,
+
+    // q139: intra-doc dedup replayed with q93's chunking CTEs; DuckDB has
+    // no indexed list_filter, so first-occurrence keeping is a transform
+    // over 1-based slots nulled where list_position disagrees, then a
+    // null filter (chunkTokens = 3 so sf-corpus docs actually repeat)
+    "q139_intradoc_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |n AS (SELECT doc_id, w, CAST(ceil(len(w) / 3.0) AS BIGINT) AS nc FROM t),
+        |k AS (SELECT doc_id, list_transform(generate_series(0, nc - 1),
+        |        i -> array_to_string(list_slice(w, i * 3 + 1, i * 3 + 3), ' ')) AS chs FROM n),
+        |f AS (SELECT doc_id, chs, list_filter(list_transform(generate_series(1, len(chs)),
+        |        i -> CASE WHEN list_position(chs, chs[i]) = i THEN chs[i] ELSE NULL END),
+        |        x -> x IS NOT NULL) AS kept FROM k)
+        |SELECT doc_id, CAST(len(chs) AS BIGINT) AS n_chunks,
+        |  CAST(len(kept) AS BIGINT) AS kept_chunks,
+        |  md5(array_to_string(kept, ' ')) AS clean_md5,
+        |  CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS clean_chars
+        |FROM f""".stripMargin,
 
     // q132: weighted lower quantile — min v with cum weight(≤v) >= q·total.
     // Integer weights keep every sum exact; the threshold compare is done

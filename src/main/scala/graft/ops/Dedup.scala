@@ -1078,6 +1078,53 @@ object Dedup {
         length(col("_ct")).cast("long").as("clean_chars"))
   }
 
+  /** INTRA-document segment dedup — the within-page twin of
+    * [[boilerplateRemove]]'s cross-doc rule (the C4/FineWeb "remove
+    * duplicated spans inside a page" heuristic; scraped pages repeat
+    * nav blocks, quoted replies, and listing rows WITHIN themselves,
+    * which inflates the repetition signal and wastes token budget
+    * before any cross-doc dedup even looks at the page). A segment is
+    * kept iff it is the FIRST occurrence of its content within its own
+    * document; later copies are dropped and the text reassembles in
+    * original order. Segments are the same normalized fixed-size token
+    * windows as [[chunkDedup]]/[[boilerplateRemove]] (reference
+    * semantics: carrottransform has no text ops — this extends the
+    * curation family; paragraph segmentation drops in by swapping the
+    * splitter, this corpus has no newlines).
+    *
+    * Scale shape: ZERO shuffles — the whole operator is one row-local
+    * projection (higher-order `filter` with an `array_position`
+    * first-occurrence probe over the doc's own chunk array), so it
+    * composes under any partitioning and costs one map pass at any
+    * corpus size. The first-occurrence probe is O(chunks²) per doc in
+    * the worst case, bounded by per-doc length, never by corpus size —
+    * the exact trade [[boilerplateRemove]] cannot make (its rule needs
+    * cross-doc frequencies; this one deliberately doesn't).
+    *
+    * Returns the [[boilerplateRemove]] contract: (idCol, n_chunks,
+    * kept_chunks, clean_md5, clean_chars) — rebuilt text compared as
+    * scalars. */
+  def intraDocDedup(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    val c = chunkTokens
+    val w = split(lower(trim(col(textCol))), "\\s+")
+    df.select(col(idCol),
+        transform(sequence(lit(0), ceil(size(w) / lit(c.toDouble)).cast("int") - 1),
+          i => concat_ws(" ", slice(w, i * c + 1, lit(c)))).as("_chs"))
+      // keep a chunk iff its first occurrence is its own slot; staging
+      // _chs (and then _kept) as columns keeps the chunking from being
+      // re-derived inside the lambda's position probe
+      .select(col(idCol), col("_chs"),
+        filter(col("_chs"),
+          (x, i) => array_position(col("_chs"), x) === i + 1).as("_kept"))
+      .select(col(idCol),
+        size(col("_chs")).cast("long").as("n_chunks"),
+        size(col("_kept")).cast("long").as("kept_chunks"),
+        md5(array_join(col("_kept"), " ")).as("clean_md5"),
+        length(array_join(col("_kept"), " ")).cast("long").as("clean_chars"))
+  }
+
   /** Blocked fuzzy duplicate pairs — record-linkage dedup for
     * NEAR-IDENTICAL strings that hash differently (OCR noise, whitespace
     * drift, trailing edits), where set-similarity (minhash/Jaccard) is

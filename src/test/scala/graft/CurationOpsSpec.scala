@@ -34,6 +34,36 @@ class CurationOpsSpec extends AnyFunSuite {
       (3, 1L, 0L, m(""), 0L))) // fully-boilerplate doc still yields a row
   }
 
+  // ---- Dedup.intraDocDedup ----
+
+  test("intraDocDedup keeps the FIRST occurrence of each chunk within its own doc, in order") {
+    val docs = Seq(
+      (0, "a b c a b c d"),      // chunks [a b c][a b c][d] -> [a b c][d]
+      (1, "x y z"),              // no repetition: unchanged
+      (2, "p p p p p p p p p"),  // one distinct chunk repeated 3x
+      (3, "A  b C a b c")        // case/whitespace normalize BEFORE matching
+    ).toDF("doc_id", "text")
+    val got = Dedup.intraDocDedup(docs, "doc_id", "text", chunkTokens = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(got.toSeq == Seq(
+      (0, 3L, 2L, m("a b c d"), 7L),
+      (1, 1L, 1L, m("x y z"), 5L),
+      (2, 3L, 1L, m("p p p"), 5L),
+      (3, 2L, 1L, m("a b c"), 5L)))
+  }
+
+  test("intraDocDedup is strictly per-doc: identical chunks ACROSS docs all survive") {
+    // the deliberate contrast with boilerplateRemove — cross-doc copies
+    // are the cross-doc dedup family's job, not this operator's
+    val docs = Seq((0, "c1 c2 u0"), (1, "c1 c2 u1")).toDF("doc_id", "text")
+    val got = Dedup.intraDocDedup(docs, "doc_id", "text", chunkTokens = 2)
+      .orderBy("doc_id").select("doc_id", "n_chunks", "kept_chunks")
+      .as[(Int, Long, Long)].collect()
+    assert(got.toSeq == Seq((0, 2L, 2L), (1, 2L, 2L)))
+  }
+
   test("boilerplateRemove counts DISTINCT docs — within-doc repetition never triggers the threshold") {
     val docs = Seq(
       (0, "r1 r2 r1 r2 r1 r2"), // same chunk 3x in ONE doc: df=1, kept

@@ -381,6 +381,22 @@ class PlanSpec extends AnyFunSuite {
       s"bucket equality must be the hash key, cosine the residual\n$p")
   }
 
+  test("q139 intra-doc dedup is shuffle-free: one row-local projection") {
+    // the operator's whole scale claim — it composes under any
+    // partitioning because it never asks for one
+    val p = plan("q139_intradoc_dedup")
+    assert(!p.contains("Exchange"),
+      s"intra-doc dedup must be a pure map — no exchange of any kind\n$p")
+  }
+
+  test("q138 ingest gate: snapshot probe and verdict assembly never nest-loop") {
+    val p = plan("q138_ingest_gate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"both rungs are equi-joins (fp / band bucket / id)\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the exact rung's batch-fingerprint probe must broadcast\n$p")
+  }
+
   test("salted join spreads a skewed key and preserves results") {
     import graft.ops.SkewJoin
     val spark2 = spark
