@@ -414,6 +414,41 @@ object EventStream {
       .start()
   }
 
+  /** The SERVING-shape rung of the gate-sink family: probe each
+    * microbatch's embeddings against a standing IVF-PQ index
+    * ([[graft.ops.Similarity.loadIvfPqIndex]] — the production 100-TB
+    * ANN store), top-k coded-row matches per arriving vector landing
+    * under `verdictsDir/batch=<id>`. Where [[embedGateSink]] answers
+    * "has something this similar arrived before" via LSH buckets, this
+    * rung gives RANKED approximate-distance matches against the full
+    * corpus-to-date index — retrieval at ingest time, zero corpus-float
+    * reads, zero history encode per trigger (the q133 discipline).
+    *
+    * Same probe-only contract as its siblings: index extension stays on
+    * the batch maintenance side (CurateCli `annindex`), a restart ships
+    * the extended index. `nProbe = 0` (default) resolves to the
+    * [[graft.ops.Similarity.autoProbe]] scan-fraction rule at query
+    * start. */
+  def ivfPqGateSink(stream: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String, verdictsDir: String, checkpoint: String,
+                    nProbe: Int = 0, topK: Int = 1,
+                    scope: graft.ops.CacheScope = graft.ops.CacheScope.noop)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val idx = graft.ops.Similarity.loadIvfPqIndex(stream.sparkSession, indexDir, scope)
+    val probes =
+      if (nProbe > 0) nProbe
+      else graft.ops.Similarity.autoProbe(idx.cents.count().toInt)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Similarity.ivfPqTopKWith(idx, batch.toDF(), idCol, vecCol,
+            probes, topK)
+          .write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** [[packingSink]]'s transactional offset ledger: one tiny parquet per
     * batch under `<path>/_offsets/batch=<id>`, written after the batch's
     * data commit. State per batch is ONE (batch_id, start_off, n_tokens)

@@ -134,4 +134,45 @@ class IngestPipelineSpec extends AnyFunSuite {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
     }
   }
+
+  test("ivfPq gate sink serves ranked matches per microbatch from the standing index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import graft.ops.{CacheScope, Similarity}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, (0 until 8).map(j => math.cos(i * 0.37 + j * 1.1)).toSeq)
+    }
+    CacheScope.withScope { scope =>
+      val dir = tmp("gate-pqidx"); val out = tmp("gate-pqout"); val ck = tmp("gate-pqck")
+      val corpus = vecs(4 until 44).toDF("vec_id", "emb")
+      val cents = corpus.select(col("vec_id").as("_cid"),
+        col("emb").cast("array<double>").as("_cv")).orderBy("_cid").limit(4)
+      val book = Similarity.pqBookConst(8, 2, 4)
+      Similarity.saveIvfPqIndex(Similarity.buildIvfPqIndex(corpus, "vec_id",
+        "emb", cents, book, dim = 8, scope = scope), dir)
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val q = EventStream.ivfPqGateSink(mem.toDF().toDF("vec_id", "emb"),
+        "vec_id", "emb", dir, out, ck, nProbe = 2, topK = 3, scope = scope)
+      val b1 = vecs(0 until 3); val b2 = vecs(44 until 46)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      // each microbatch's verdict dir equals the batch-mode standing
+      // search over the same rows — the serving loop, per trigger
+      val idx = Similarity.loadIvfPqIndex(spark, dir, scope)
+      def got(b: Int) = spark.read.parquet(s"$out/batch=$b")
+        .orderBy("query_id", "vec_id").as[(Long, Long, Double)].collect().toSeq
+      def want(rows: Seq[(Long, Seq[Double])]) =
+        Similarity.ivfPqTopKWith(idx, rows.toDF("vec_id", "emb"),
+            "vec_id", "emb", nProbe = 2, topK = 3)
+          .orderBy("query_id", "vec_id").as[(Long, Long, Double)].collect().toSeq
+      assert(got(0) == want(b1) && got(0).map(_._1).distinct.size == 3,
+        "every arriving vector gets its ranked matches")
+      assert(got(1) == want(b2) && got(1).nonEmpty,
+        "each trigger probes the same standing coded table")
+      Seq(dir, out, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    }
+  }
 }
