@@ -1635,7 +1635,15 @@ object SparkEntry {
     //      higher-order filter + first-occurrence array_position ----
     "q139_intradoc_dedup" -> ((s, dir) =>
       Dedup.intraDocDedup(tbl(s, dir, "documents"), "doc_id", "text",
-        chunkTokens = 3)))
+        chunkTokens = 3)),
+
+    // ---- Gopher quality gate (round-9): the published rule set as one
+    //      zero-shuffle projection — word-count band, mean word length,
+    //      alpha-word fraction, stopword tripwire, symbol ratio; raw
+    //      IEEE ratios of exact integers (the q98 discipline) ----
+    "q140_gopher_gate" -> ((s, dir) =>
+      TextAnalysis.gopherQualityGate(tbl(s, dir, "documents"),
+        "doc_id", "text", minWords = 50)))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -3565,6 +3573,28 @@ object SparkEntry {
         |  CAST(len(kept) AS BIGINT) AS kept_chunks,
         |  md5(array_to_string(kept, ' ')) AS clean_md5,
         |  CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS clean_chars
+        |FROM f""".stripMargin,
+
+    // q140: the Gopher rules replayed feature-for-feature; every ratio is
+    // an IEEE division of the same exact integers on both engines, so the
+    // doubles are bit-identical unrounded (the q98 discipline)
+    "q140_gopher_gate" ->
+      """WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+        |w AS (SELECT doc_id, t, regexp_split_to_array(t, '\s+') AS w,
+        |        regexp_split_to_array(lower(t), '\s+') AS lw FROM d),
+        |f AS (SELECT doc_id, len(w) AS n,
+        |  length(regexp_replace(t, '\s+', '', 'g'))::DOUBLE / len(w) AS mean_word_len,
+        |  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w) AS alpha_frac,
+        |  len(list_filter(lw, x -> x IN ('the','be','to','of','and','that','have','with'))) AS stop_hits,
+        |  ((length(t) - length(replace(t, '#', '')))
+        |    + (length(t) - length(replace(t, '...', ''))) / 3) / len(w) AS symbol_ratio
+        | FROM w)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words, mean_word_len, alpha_frac,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits, symbol_ratio,
+        |  CASE WHEN n >= 50 AND n <= 100000
+        |    AND mean_word_len >= 3 AND mean_word_len <= 10
+        |    AND alpha_frac >= 0.8 AND stop_hits >= 2
+        |    AND symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS gopher_ok
         |FROM f""".stripMargin,
 
     // q132: weighted lower quantile — min v with cum weight(≤v) >= q·total.

@@ -85,6 +85,58 @@ object TextAnalysis {
     (size(split(trim(text), "\\s+"))
       + (length(text) - length(regexp_replace(text, punct, "")))).cast("long")
 
+  /** The stopword tripwire of [[gopherQualityGate]] — the paper's exact
+    * list: a document of real English prose almost cannot avoid two of
+    * these; keyword spam, code dumps and lorem-noise routinely do. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published Gopher document-quality rule set (Rae et al. 2021,
+    * §A1.1.2 — the filter FineWeb/Dolma-style pipelines reuse) as ONE
+    * row-local projection: word count inside [minWords, maxWords], mean
+    * word length inside [minMeanLen, maxMeanLen], fraction of words
+    * containing an alphabetic character ≥ minAlphaFrac, at least
+    * minStopHits occurrences from [[GopherStopwords]], and a '#'/'...'
+    * symbol-to-word ratio ≤ maxSymbolRatio. Emits every feature beside
+    * the verdict so a curator tunes thresholds from the same table
+    * instead of re-scanning the corpus per candidate rule. (The
+    * reference has no text operators — carrottransform is OMOP ETL;
+    * this extends the engine's curation family.)
+    *
+    * Scale shape: ZERO shuffles — every feature is an expression over
+    * the doc's own token array, so the gate composes into any scan
+    * stage and costs one map pass at any corpus size. Ratios are raw
+    * IEEE divisions of exact integers (the q98 discipline: identical
+    * integers divide to bit-identical doubles on any engine; it is
+    * ROUNDING that desyncs engines at decimal boundaries). */
+  def gopherQualityGate(df: DataFrame, idCol: String, textCol: String,
+                        minWords: Int = 50, maxWords: Int = 100000,
+                        minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                        minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+                        maxSymbolRatio: Double = 0.1,
+                        stopwords: Seq[String] = GopherStopwords): DataFrame = {
+    val t = trim(col(textCol))
+    val w = split(t, "\\s+")           // raw-case words: lengths, alpha test
+    val lw = split(lower(t), "\\s+")   // lowered words: stopword hits
+    val n = size(w)
+    val meanLen = length(regexp_replace(t, "\\s+", "")).cast("double") / n
+    val alphaFrac = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / n
+    val stopHits = size(filter(lw, x => array_contains(lit(stopwords.toArray), x)))
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses = (length(t) - length(replace(t, lit("..."), lit("")))) / lit(3)
+    val symbolRatio = (hashes + ellipses) / n
+    df.select(col(idCol),
+      n.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"),
+      stopHits.cast("long").as("stop_hits"),
+      symbolRatio.as("symbol_ratio"),
+      when(n >= minWords && n <= maxWords &&
+          meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+          alphaFrac >= minAlphaFrac && stopHits >= minStopHits &&
+          symbolRatio <= maxSymbolRatio, 1).otherwise(0).as("gopher_ok"))
+  }
+
   /** Deterministic hash-based dataset split (train/val/test): the split of
     * a row is a pure function of its key's md5 — stable across runs,
     * repartitionings, cluster sizes and engines, which rand()-based

@@ -34,6 +34,46 @@ class CurationOpsSpec extends AnyFunSuite {
       (3, 1L, 0L, m(""), 0L))) // fully-boilerplate doc still yields a row
   }
 
+  // ---- TextAnalysis.gopherQualityGate ----
+
+  test("gopherQualityGate trips each published rule independently") {
+    import graft.ops.TextAnalysis
+    val prose = ("the results be consistent to the point of and beyond that " +
+      "we have measured with care").trim // 17 words, all rules pass
+    val docs = Seq(
+      (0, prose),                                       // passes everything
+      (1, "short of the and"),                          // too few words
+      (2, prose + " ##########################"),       // symbol ratio over 0.1
+      (3, ("xq zv " * 12).trim),                        // no stopwords, alpha ok
+      (4, prose.replace("measured", "a" * 200)),        // mean word length > 10
+      (5, ("42 171 9 " * 8).trim + " the and of that")  // alpha fraction < 0.8
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQualityGate(docs, "doc_id", "text",
+        minWords = 5, maxWords = 50)
+      .orderBy("doc_id")
+      .select("doc_id", "gopher_ok").as[(Int, Int)].collect().toSeq
+    assert(got == Seq((0, 1), (1, 0), (2, 0), (3, 0), (4, 0), (5, 0)))
+    // and the features behind the verdicts are the advertised ones
+    val f = TextAnalysis.gopherQualityGate(docs, "doc_id", "text",
+        minWords = 5, maxWords = 50)
+      .orderBy("doc_id").collect()
+    assert(f(1).getAs[Long]("n_words") == 4L)
+    assert(f(2).getAs[Double]("symbol_ratio") > 0.1)
+    assert(f(3).getAs[Long]("stop_hits") == 0L)
+    assert(f(4).getAs[Double]("mean_word_len") > 10.0)
+    assert(f(5).getAs[Double]("alpha_frac") < 0.8)
+  }
+
+  test("gopherQualityGate ellipsis counting rides the symbol ratio") {
+    import graft.ops.TextAnalysis
+    // 10 words, 3 '...' occurrences -> ratio 0.3; hash-free
+    val docs = Seq((0, "w1... w2... w3... w4 w5 w6 w7 w8 w9 w10"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQualityGate(docs, "doc_id", "text", minWords = 1)
+      .head()
+    assert(r.getAs[Double]("symbol_ratio") == 0.3 && r.getAs[Int]("gopher_ok") == 0)
+  }
+
   // ---- Dedup.intraDocDedup ----
 
   test("intraDocDedup keeps the FIRST occurrence of each chunk within its own doc, in order") {
