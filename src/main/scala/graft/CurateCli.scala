@@ -39,10 +39,14 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             snapshot (append-only — history is never rewritten;
   *             `--update-snapshot N` to probe read-only)
   *   ingest  — the COMPOSED daily loop ([[Pipeline.ingestGate]], q138):
-  *             exact rung against the standing fingerprint snapshot,
-  *             fuzzy rung against the standing MinHash index for the
-  *             exact survivors, ONE unified (id, verdict, hist_id,
-  *             jaccard) verdict table; unless `--update N`, the
+  *             optionally the Gopher quality gate first (`--quality Y`,
+  *             row-local, q140 — failing docs verdict `low_quality`,
+  *             never touch a store, and are NOT history for later
+  *             copies), then the exact rung against the standing
+  *             fingerprint snapshot, then the fuzzy rung against the
+  *             standing MinHash index for the exact survivors — ONE
+  *             unified (id, verdict, hist_id, jaccard) verdict table
+  *             in escalating rung-cost order; unless `--update N`, the
   *             FINAL-kept docs (and only those — a near-dup's canonical
   *             copy is already in history) extend BOTH stores, and
   *             `--ledger DIR --batch-id N` also appends their distinct
@@ -136,7 +140,7 @@ object CurateCli {
     "dedup" -> (CommonOptions ++ Set("--snapshot", "--update-snapshot")),
     "ingest" -> (CommonOptions ++ Set("--snapshot", "--index", "--update",
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram",
-      "--ledger", "--batch-id", "--group-col")),
+      "--ledger", "--batch-id", "--group-col", "--quality", "--min-words")),
     "neardup" -> (CommonOptions ++ Set("--index", "--update-index",
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram")),
     "embeddup" -> (CommonOptions ++ Set("--index", "--update-index",
@@ -366,6 +370,17 @@ object CurateCli {
           val snapDir = req("--snapshot")
           val idxDir = req("--index")
           val minJ = argv.getOrElse("--min-jaccard", "0.2").toDouble
+          // the CHEAPEST rung runs first: `--quality Y` drops documents
+          // failing the Gopher gate (row-local, q140) before anything is
+          // hashed — verdict `low_quality`, terminal, and such docs never
+          // enter the stores (a later exact copy of a rejected doc is NOT
+          // dup_history; it was never history)
+          val qualityOn = argv.getOrElse("--quality", "N") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--quality must be Y or N, got '$other'")
+          }
           val ledger = argv.get("--ledger")
           // fail on a malformed/missing batch id BEFORE any store mutates
           val ledgerBatch = ledger.map { _ =>
@@ -379,7 +394,13 @@ object CurateCli {
               Dedup.snapshotLive(spark, snapDir, idCol).select(col("fp"))
             else Seq.empty[String].toDF("fp")
           val haveIdx = fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))
-          val verdicts = scope.track((if (haveIdx) {
+          val lowQ =
+            if (!qualityOn) None
+            else Some(TextAnalysis.gopherQualityGate(in, idCol, textCol,
+                minWords = argv.getOrElse("--min-words", "50").toInt)
+              .filter(col("gopher_ok") === 0).select(col(idCol)))
+          val gated = lowQ.fold(in)(bad => in.join(bad, Seq(idCol), "left_anti"))
+          val rungVerdicts = if (haveIdx) {
             val idx = Dedup.loadNearDupIndex(spark, idxDir, scope)
             for ((flag, stored) <- Seq("--minhash-k" -> idx.k,
                 "--rows-per-band" -> idx.rowsPerBand, "--ngram" -> idx.n);
@@ -388,17 +409,22 @@ object CurateCli {
                 throw new IllegalArgumentException(
                   s"$flag ${stated} disagrees with the stored index ($stored) — " +
                     "banding parameters are fixed at build time")
-            Pipeline.ingestGate(in, idCol, textCol, snapshot, idx, minJ, scope)
+            Pipeline.ingestGate(gated, idCol, textCol, snapshot, idx, minJ, scope)
           } else {
             // founding batch: no fuzzy history — exact verdicts only, in
             // the unified shape (hist_id a typed null of the id column,
             // so the verdict table's schema never changes across batches)
-            Dedup.incrementalDedupSnapshot(in, idCol, textCol, snapshot,
+            Dedup.incrementalDedupSnapshot(gated, idCol, textCol, snapshot,
                 scope = scope)
               .select(col(idCol), col("verdict"),
                 when(lit(false), col(idCol)).as("hist_id"),
                 lit(null).cast("double").as("jaccard"))
-          }).cache())
+          }
+          val verdicts = scope.track(lowQ.fold(rungVerdicts)(bad =>
+            rungVerdicts.unionByName(
+              bad.select(col(idCol), lit("low_quality").as("verdict"),
+                when(lit(false), col(idCol)).as("hist_id"),
+                lit(null).cast("double").as("jaccard")))).cache())
           write(verdicts, out)
           if (update) {
             // the kept set derives from the WRITTEN verdict table, not the

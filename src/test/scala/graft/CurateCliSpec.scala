@@ -261,6 +261,42 @@ class CurateCliSpec extends AnyFunSuite {
     rm(snap, idx, led, b1Dir, b2Dir, out1, out2)
   }
 
+  test("ingest --quality Y runs the Gopher rung first: rejected docs never become history") {
+    val snap = tmp("cli-ing3-snap"); val idx = tmp("cli-ing3-idx")
+    rm(snap, idx)
+    val b1Dir = tmp("cli-ing3-b1"); val b2Dir = tmp("cli-ing3-b2")
+    val out1 = tmp("cli-ing3-o1"); val out2 = tmp("cli-ing3-o2")
+    // prose passes the gate at --min-words 5; the junk doc has zero
+    // stopwords and a sub-3 mean word length — rejected
+    val prose = "the results be consistent to the point of and beyond " +
+      "that we have measured with care"
+    val junk = ("xq zv " * 12).trim
+    Seq((1L, prose), (2L, junk)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(b1Dir)
+    Seq((10L, junk), (11L, prose)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(b2Dir)
+    val base = Map("--snapshot" -> snap, "--index" -> idx,
+      "--quality" -> "Y", "--min-words" -> "5")
+    CurateCli.run("ingest", base ++ Map("--in" -> b1Dir, "--out" -> out1))
+    assert(spark.read.parquet(out1)
+      .as[(Long, String, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "kept", None, None), (2L, "low_quality", None, None)))
+    // only the quality-passing doc founded the stores
+    assert(spark.read.parquet(snap).select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(spark.read.parquet(s"$idx/shingles").select("_id").as[Long].collect().toSeq == Seq(1L))
+    // batch 2: the junk RE-ARRIVES verbatim — low_quality again, NOT
+    // dup_history (it was never admitted to history); the prose copy IS
+    CurateCli.run("ingest", base ++ Map("--in" -> b2Dir, "--out" -> out2))
+    assert(spark.read.parquet(out2)
+      .as[(Long, String, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq ==
+      Seq((10L, "low_quality", None, None), (11L, "dup_history", None, None)))
+    intercept[IllegalArgumentException] {
+      CurateCli.run("ingest", base ++ Map("--in" -> b2Dir, "--out" -> out2,
+        "--quality" -> "yes"))
+    }
+    rm(snap, idx, b1Dir, b2Dir, out1, out2)
+  }
+
   test("embeddup command runs the standing embed-index loop: two batches equal q127's probe semantics") {
     import graft.ops.Similarity
     val idx = tmp("cli-embidx"); rm(idx)
