@@ -93,6 +93,10 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             standing [[graft.ops.Corpus.cardLedgerEstimate]] ledger —
   *             corpus-to-date distinct counts with ZERO data rescans
   *             (no `--in` needed; grouping was fixed at append time)
+  *   quality — the Gopher gate standalone (q140,
+  *             [[graft.ops.TextAnalysis.gopherQualityGate]]): per-doc
+  *             features beside the verdict, for threshold tuning before
+  *             wiring `ingest --quality Y`
   *   forget  — right-to-be-forgotten deletions against ANY standing
   *             store (`--store`): the ids in `--in` are appended to the
   *             store's tombstone sidecar ([[graft.ops.Tombstones]] —
@@ -137,10 +141,14 @@ object CurateCli {
     "tokenize" -> (CommonOptions ++ Set("--rules", "--rules-format")),
     "card" -> (CommonOptions ++ Set("--group-col", "--lang-col",
       "--approx", "--ledger")),
-    "dedup" -> (CommonOptions ++ Set("--snapshot", "--update-snapshot")),
+    "quality" -> (CommonOptions ++ Set("--min-words", "--max-words",
+      "--min-alpha", "--min-stop-hits", "--max-symbol-ratio")),
+    "dedup" -> (CommonOptions ++ Set("--snapshot", "--update-snapshot",
+      "--bloom", "--bloom-capacity")),
     "ingest" -> (CommonOptions ++ Set("--snapshot", "--index", "--update",
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram",
-      "--ledger", "--batch-id", "--group-col", "--quality", "--min-words")),
+      "--ledger", "--batch-id", "--group-col", "--quality", "--min-words",
+      "--bloom", "--bloom-capacity")),
     "neardup" -> (CommonOptions ++ Set("--index", "--update-index",
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram")),
     "embeddup" -> (CommonOptions ++ Set("--index", "--update-index",
@@ -190,8 +198,37 @@ object CurateCli {
     out.result()
   }
 
+  /** A snapshot store "exists" for the probe iff it holds non-hidden
+    * parquet content — a dir created by a sidecar write alone has no
+    * inferable schema. */
+  private def snapshotHasData(fs: org.apache.hadoop.fs.FileSystem,
+                              snapDir: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(snapDir)
+    fs.exists(root) && fs.listStatus(root).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** `--bloom Y` founds the snapshot store's Bloom sidecar if absent
+    * (capacity `--bloom-capacity`, a FOUNDING constant — the
+    * stored-params-win discipline; sketches of mismatched sizing cannot
+    * merge); `N`/absent never removes one, and an existing sidecar is
+    * probed and maintained regardless of the flag. */
+  private def maybeFoundBloom(spark: SparkSession, snapDir: String,
+                              argv: Map[String, String]): Unit =
+    argv.getOrElse("--bloom", "N") match {
+      case "Y" =>
+        if (graft.ops.Dedup.snapshotBloomParams(spark, snapDir).isEmpty)
+          graft.ops.Dedup.foundSnapshotBloom(spark, snapDir,
+            argv.getOrElse("--bloom-capacity", "1000000").toLong)
+      case "N" =>
+      case other => throw new IllegalArgumentException(
+        s"--bloom must be Y or N, got '$other'")
+    }
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|bpe|tokenize|card|forget|compact> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|bpe|tokenize|card|quality|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -333,24 +370,37 @@ object CurateCli {
           // snapshotLive, not a raw read: pending `forget` tombstones
           // must stop counting as history (a re-ingest of forgotten
           // content verdicts `kept` again)
+          // presence = non-hidden content, not bare dir existence: a
+          // probe-only `--bloom Y` founding run leaves a store holding
+          // only the `_bloom` sidecar, which has no inferable schema
           val snapshot =
-            if (fs.exists(new org.apache.hadoop.fs.Path(snapDir)))
+            if (snapshotHasData(fs, snapDir))
               Dedup.snapshotLive(spark, snapDir, idCol).select(col("fp"))
             else Seq.empty[String].toDF("fp")
+          // `--bloom Y` FOUNDS the Bloom sidecar (q141 path) if absent —
+          // seeded from the snapshot's current live rows; once a sidecar
+          // exists, probes use it and appends maintain it regardless of
+          // the flag (an unmaintained sketch would grow false NEGATIVES,
+          // which turn duplicates into `kept`)
+          maybeFoundBloom(spark, snapDir, argv)
+          val bloom = Dedup.loadSnapshotBloom(spark, snapDir)
           val verdicts = scope.track(
             Dedup.incrementalDedupSnapshot(in, idCol, textCol, snapshot,
-              scope = scope).cache())
+              scope = scope, bloomPrefilter = bloom).cache())
           write(verdicts, out)
           if (updateSnapshot) {
             // the write-back half (q120): ONLY the kept rows' (id, fp)
             // extend the snapshot, appended — never rewritten; the
             // append guard rejects a pending-tombstoned id until
-            // `compact` has applied its deletion
-            Dedup.appendSnapshot(spark, snapDir,
-              in.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
-                .join(verdicts.filter(col("verdict") === "kept").select(col(idCol)),
-                  Seq(idCol), "left_semi"),
-              idCol)
+            // `compact` has applied its deletion. Sketch BEFORE rows:
+            // a crash between the two leaves false positives, never
+            // false negatives
+            val delta = in
+              .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+              .join(verdicts.filter(col("verdict") === "kept").select(col(idCol)),
+                Seq(idCol), "left_semi")
+            Dedup.appendSnapshotBloom(spark, snapDir, delta, "fp")
+            Dedup.appendSnapshot(spark, snapDir, delta, idCol)
           }
 
         case "ingest" =>
@@ -389,11 +439,20 @@ object CurateCli {
           }
           val fs = new org.apache.hadoop.fs.Path(snapDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // presence = non-hidden content, not bare dir existence: a
+          // probe-only `--bloom Y` founding run leaves a store holding
+          // only the `_bloom` sidecar, which has no inferable schema
           val snapshot =
-            if (fs.exists(new org.apache.hadoop.fs.Path(snapDir)))
+            if (snapshotHasData(fs, snapDir))
               Dedup.snapshotLive(spark, snapDir, idCol).select(col("fp"))
             else Seq.empty[String].toDF("fp")
           val haveIdx = fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))
+          // the same sidecar contract as `dedup`: `--bloom Y` founds,
+          // presence drives probe + maintenance (loadSnapshotBloom gives
+          // driver-side BYTES, so the prefilter is immune to the
+          // write-back cache invalidation below)
+          maybeFoundBloom(spark, snapDir, argv)
+          val bloom = Dedup.loadSnapshotBloom(spark, snapDir)
           val lowQ =
             if (!qualityOn) None
             else Some(TextAnalysis.gopherQualityGate(in, idCol, textCol,
@@ -409,13 +468,14 @@ object CurateCli {
                 throw new IllegalArgumentException(
                   s"$flag ${stated} disagrees with the stored index ($stored) — " +
                     "banding parameters are fixed at build time")
-            Pipeline.ingestGate(gated, idCol, textCol, snapshot, idx, minJ, scope)
+            Pipeline.ingestGate(gated, idCol, textCol, snapshot, idx, minJ,
+              scope, bloomPrefilter = bloom)
           } else {
             // founding batch: no fuzzy history — exact verdicts only, in
             // the unified shape (hist_id a typed null of the id column,
             // so the verdict table's schema never changes across batches)
             Dedup.incrementalDedupSnapshot(gated, idCol, textCol, snapshot,
-                scope = scope)
+                scope = scope, bloomPrefilter = bloom)
               .select(col(idCol), col("verdict"),
                 when(lit(false), col(idCol)).as("hist_id"),
                 lit(null).cast("double").as("jaccard"))
@@ -439,9 +499,12 @@ object CurateCli {
               readAs(out, "--out-format")
                 .filter(col("verdict") === "kept").select(col(idCol)),
               Seq(idCol), "left_semi")
-            Dedup.appendSnapshot(spark, snapDir,
-              kept.select(col(idCol),
-                TextAnalysis.fingerprint(col(textCol)).as("fp")), idCol)
+            val delta = kept.select(col(idCol),
+              TextAnalysis.fingerprint(col(textCol)).as("fp"))
+            // sketch BEFORE rows: a crash between the two is
+            // false-positive-only
+            Dedup.appendSnapshotBloom(spark, snapDir, delta, "fp")
+            Dedup.appendSnapshot(spark, snapDir, delta, idCol)
             if (haveIdx)
               Dedup.appendNearDupIndex(spark, idxDir, kept, idCol, textCol, scope)
             else
@@ -646,6 +709,17 @@ object CurateCli {
                 else graft.ops.Corpus.datasetCardWeighted(in, g, textCol, l, scope),
                 out)
           }
+
+        case "quality" =>
+          // the Gopher gate standalone (q140): per-doc features + verdict,
+          // so a curator tunes thresholds from the written table before
+          // wiring `ingest --quality Y`
+          write(TextAnalysis.gopherQualityGate(in, idCol, textCol,
+            argv.getOrElse("--min-words", "50").toInt,
+            argv.getOrElse("--max-words", "100000").toInt,
+            minAlphaFrac = argv.getOrElse("--min-alpha", "0.8").toDouble,
+            minStopHits = argv.getOrElse("--min-stop-hits", "2").toInt,
+            maxSymbolRatio = argv.getOrElse("--max-symbol-ratio", "0.1").toDouble), out)
 
         case "forget" =>
           // deletion is by ID against any standing store; `--in` is the

@@ -1637,6 +1637,20 @@ object SparkEntry {
       Dedup.intraDocDedup(tbl(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 3)),
 
+    // ---- q131's standing-snapshot dedup THROUGH the Bloom prefilter
+    //      (round-9): the q129 broadcast cut on the standing-store path —
+    //      sketch capacity sized from history, one-sided error keeps
+    //      verdicts bit-identical, so q96's oracle replays ----
+    "q141_incr_dedup_sidecar" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val hist = d.filter(col("doc_id") % 2 === 0)
+      val snap = hist.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      val bloom = Dedup.bloomSnapshot(hist, "text",
+        expectedItems = math.max(1000L, hist.count()))
+      Dedup.incrementalDedupSnapshot(d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", snap, bloomPrefilter = Some(bloom))
+    }),
+
     // ---- Gopher quality gate (round-9): the published rule set as one
     //      zero-shuffle projection — word-count band, mean word length,
     //      alpha-word fraction, stopword tripwire, symbol ratio; raw
@@ -3490,6 +3504,7 @@ object SparkEntry {
     "q128_fuzzy_capped" -> oracleSqlBase("q94_fuzzy_pairs"),
     "q129_incr_dedup_bloom" -> oracleSqlBase("q96_incr_dedup"),
     "q131_incr_dedup_snapshot" -> oracleSqlBase("q96_incr_dedup"),
+    "q141_incr_dedup_sidecar" -> oracleSqlBase("q96_incr_dedup"),
     "q133_ivf_pq_standing" -> oracleSqlBase("q67_ivf_pq"),
     "q135_ivfadc_standing" -> oracleSqlBase("q69_ivf_pq_residual"),
 

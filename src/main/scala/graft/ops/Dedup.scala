@@ -623,15 +623,28 @@ object Dedup {
     * it and appends its own delta. Same three verdicts, same broadcast
     * asymmetry (the batch's distinct fingerprints broadcast onto the
     * snapshot scan; the snapshot never shuffles), gated against q96's
-    * oracle (one oracle, two paths — the q126-q129 discipline). */
+    * oracle (one oracle, two paths — the q126-q129 discipline).
+    *
+    * `bloomPrefilter` (the [[loadSnapshotBloom]] sidecar, or any
+    * [[bloomSnapshot]] bytes): only fingerprints the sketch says MIGHT
+    * be in the snapshot join the probe set — the q129 broadcast cut on
+    * the standing-store path; one-sided error keeps verdicts
+    * bit-identical (a fp the sketch rejects is definitively novel, so
+    * `_inHist` could never have been true for it). */
   def incrementalDedupSnapshot(newDocs: DataFrame, idCol: String, textCol: String,
                                snapshot: DataFrame, fpCol: String = "fp",
-                               scope: CacheScope = CacheScope.noop): DataFrame = {
+                               scope: CacheScope = CacheScope.noop,
+                               bloomPrefilter: Option[Array[Byte]] = None): DataFrame = {
     val nfp = scope.track(Parallelize.ensure(newDocs.select(
         col(idCol).as("_id"),
         TextAnalysis.fingerprint(col(textCol)).as("_fp")))
       .cache())
-    val probeFps = nfp.select(col("_fp")).distinct()
+    val probeFps = bloomPrefilter match {
+      case Some(bytes) => nfp
+        .filter(graft.functions.BloomExprs.mightContain(col("_fp"), bytes))
+        .select(col("_fp")).distinct()
+      case None => nfp.select(col("_fp")).distinct()
+    }
     val hits = snapshot.select(col(fpCol).as("_fp"))
       .join(broadcast(probeFps), Seq("_fp"), "left_semi")
       .distinct()
@@ -687,9 +700,129 @@ object Dedup {
     * leaves both store and sidecar intact (the subtract-on-read stays
     * correct). Offline maintenance, never in the ingest loop. */
   def compactSnapshot(spark: org.apache.spark.sql.SparkSession, snapDir: String,
-                      idCol: String = "doc_id"): Unit =
+                      idCol: String = "doc_id"): Unit = {
+    // the staged root swap carries the `_bloom` sidecar away with the old
+    // files (underscore children are invisible to the rewrite's parquet
+    // read) — refound it from the compacted live rows afterwards. This is
+    // also the sketch-can't-forget remediation: tombstoned fingerprints
+    // leave the sketch here, riding the rewrite the store was paying for
+    // anyway, exactly like the tombstone apply itself
+    val bloomParams = snapshotBloomParams(spark, snapDir)
     StoreCompact.compactParquetDir(spark, snapDir,
       Tombstones.readOpt(spark, snapDir).map((_, idCol)))
+    bloomParams.foreach { case (capacity, fpp) =>
+      foundSnapshotBloom(spark, snapDir, capacity, fpp)
+    }
+  }
+
+  // ---- The snapshot store's persisted Bloom sidecar ----------------
+  //
+  // q129's triage made STANDING: the broadcast-size cut (definitive-novel
+  // batch fps never reach the history scan's broadcast) requires a sketch
+  // of ALL history fps, and rebuilding one per ingest run costs the full
+  // history pass the standing store exists to avoid. The sidecar keeps
+  // one serialized sketch PER APPEND BATCH under `snapDir/_bloom`
+  // (underscore dir — invisible to parquet readers of the snapshot);
+  // loads merge them driver-side (sketch union is lossless). Sketch
+  // sizing is a FOUNDING constant stored in `_bloom/params` — Spark's
+  // BloomFilter.mergeInPlace rejects mismatched bit sizes, so per-batch
+  // sizing cannot merge; the stored-params-win discipline again. As
+  // history outgrows the capacity the fpp degrades toward 1 — verdicts
+  // stay exact by one-sided error, the prefilter just stops helping;
+  // [[compactSnapshot]] refounds the sketch from live rows (which also
+  // flushes tombstoned fps — a sketch cannot forget, so the remediation
+  // rides the same rewrite that applies deletions).
+  //
+  // Crash discipline: append the DELTA's sketch BEFORE the delta's rows
+  // (CurateCli does) — dying between the two leaves a sketch with extra
+  // fps, which is false-positive-only and therefore safe; the reverse
+  // order could leave snapshot rows missing from the sketch, and a
+  // Bloom false NEGATIVE turns a duplicate into `kept`.
+
+  private def bloomSidecar(snapDir: String) = s"$snapDir/_bloom"
+
+  /** Founding sizing of a snapshot's Bloom sidecar, if one exists. */
+  def snapshotBloomParams(spark: org.apache.spark.sql.SparkSession,
+                          snapDir: String): Option[(Long, Double)] = {
+    val p = new org.apache.hadoop.fs.Path(s"${bloomSidecar(snapDir)}/params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(p.toString).head()
+      Some((r.getAs[Long]("capacity"), r.getAs[Double]("fpp")))
+    }
+  }
+
+  /** Found (or refound) the sidecar: write the sizing params and ONE
+    * sketch seeded from the snapshot's CURRENT live rows — founding on a
+    * non-empty store must not start the sketch empty (a later probe
+    * would see false negatives for everything already ingested). */
+  def foundSnapshotBloom(spark: org.apache.spark.sql.SparkSession,
+                         snapDir: String, capacity: Long,
+                         fpp: Double = 0.01): Unit = {
+    require(capacity > 0 && fpp > 0 && fpp < 1,
+      s"need capacity > 0 and fpp in (0,1), got $capacity / $fpp")
+    val side = new org.apache.hadoop.fs.Path(bloomSidecar(snapDir))
+    val fs = side.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // decide data-presence BEFORE the params write: writing the sidecar
+    // creates the store dir as a side effect, and a dir holding only
+    // hidden (underscore) children has no inferable parquet schema
+    val root = new org.apache.hadoop.fs.Path(snapDir)
+    val hasData = fs.exists(root) && fs.listStatus(root).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    fs.delete(side, true)
+    val sess = spark
+    import sess.implicits._
+    Seq((capacity, fpp)).toDF("capacity", "fpp")
+      .coalesce(1).write.parquet(s"${bloomSidecar(snapDir)}/params")
+    val live =
+      if (hasData) snapshotLive(spark, snapDir).select(col("fp"))
+      else Seq.empty[String].toDF("fp")
+    appendSnapshotBloom(spark, snapDir, live, "fp")
+  }
+
+  /** Append one delta-sized sketch to the sidecar (no-op without a
+    * founded sidecar, and on an empty delta — Spark 4's stat.bloomFilter
+    * NPEs on zero rows). Call BEFORE [[appendSnapshot]]. */
+  def appendSnapshotBloom(spark: org.apache.spark.sql.SparkSession,
+                          snapDir: String, fps: DataFrame,
+                          fpCol: String): Unit =
+    snapshotBloomParams(spark, snapDir).foreach { case (capacity, fpp) =>
+      val src = fps.select(col(fpCol).as("_fp")).na.drop(Seq("_fp"))
+      if (!src.isEmpty) {
+        val bf = src.stat.bloomFilter("_fp", capacity, fpp)
+        val out = new org.apache.hadoop.fs.Path(
+          s"${bloomSidecar(snapDir)}/sk/${java.util.UUID.randomUUID()}.bloom")
+        val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val os = fs.create(out, false)
+        try bf.writeTo(os) finally os.close()
+      }
+    }
+
+  /** Merge the sidecar's sketches into one serialized filter for the
+    * probe's broadcast — driver-side, KBs–MBs per sketch, one pass over
+    * tiny files (compaction folds them back to one). None without a
+    * sidecar: probes simply skip the prefilter. */
+  def loadSnapshotBloom(spark: org.apache.spark.sql.SparkSession,
+                        snapDir: String): Option[Array[Byte]] =
+    snapshotBloomParams(spark, snapDir).map { case (capacity, fpp) =>
+      val merged = org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)
+      val skDir = new org.apache.hadoop.fs.Path(s"${bloomSidecar(snapDir)}/sk")
+      val fs = skDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(skDir))
+        fs.listStatus(skDir).filter(_.getPath.getName.endsWith(".bloom"))
+          .foreach { st =>
+            val in = fs.open(st.getPath)
+            try merged.mergeInPlace(
+              org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+            finally in.close()
+          }
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      bos.toByteArray
+    }
 
   /** Corpus snapshot DIFF — the release-audit question "what changed
     * between corpus v1 and v2" answered at CONTENT granularity: one row

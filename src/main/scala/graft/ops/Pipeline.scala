@@ -158,10 +158,11 @@ object Pipeline {
   def ingestGate(batch: DataFrame, idCol: String, textCol: String,
                  snapshot: DataFrame, index: Dedup.NearDupIndex,
                  minJaccard: Double = 0.2,
-                 scope: CacheScope = CacheScope.noop): DataFrame = {
+                 scope: CacheScope = CacheScope.noop,
+                 bloomPrefilter: Option[Array[Byte]] = None): DataFrame = {
     val exact = scope.track(
       Dedup.incrementalDedupSnapshot(batch, idCol, textCol, snapshot,
-        scope = scope).cache())
+        scope = scope, bloomPrefilter = bloomPrefilter).cache())
     val survivors = batch.join(
       exact.filter(col("verdict") === "kept").select(col(idCol)),
       Seq(idCol), "left_semi")

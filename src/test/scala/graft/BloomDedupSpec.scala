@@ -64,4 +64,101 @@ class BloomDedupSpec extends AnyFunSuite {
       assert(exact.values.count(_ == "dup_batch") == 15)
     }
   }
+
+  test("snapshot Bloom sidecar: found-on-nonempty, append maintenance, forget, compact refound") {
+    import graft.ops.TextAnalysis
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    CacheScope.withScope { scope =>
+      val snap = tmp("bl-snap")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(snap))
+      def fps(ids: Range) = ids.map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      // a non-empty store founds a SEEDED sketch — batch-1 content must
+      // already be in it, else probes would see false negatives
+      Dedup.appendSnapshot(spark, snap, fps(0 until 100), "doc_id")
+      Dedup.foundSnapshotBloom(spark, snap, capacity = 10000)
+      val bloom1 = Dedup.loadSnapshotBloom(spark, snap)
+      assert(bloom1.isDefined)
+      def probe(bloom: Option[Array[Byte]]) = Dedup.incrementalDedupSnapshot(
+          (90 until 120).map(i => (i.toLong + 1000, doc(i))).toDF("doc_id", "text"),
+          "doc_id", "text", Dedup.snapshotLive(spark, snap).select(col("fp")),
+          bloomPrefilter = bloom)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val withBloom = probe(bloom1); val without = probe(None)
+      assert(withBloom == without &&
+        withBloom.count(_._2 == "dup_history") == 10 &&
+        withBloom.count(_._2 == "kept") == 20,
+        "one-sided error: verdicts bit-identical with and without the prefilter")
+      // an appended delta extends the sketch: its content must be
+      // dup_history on the NEXT probe through the reloaded sidecar
+      Dedup.appendSnapshotBloom(spark, snap, fps(200 until 210), "fp")
+      Dedup.appendSnapshot(spark, snap, fps(200 until 210), "doc_id")
+      val bloom2 = Dedup.loadSnapshotBloom(spark, snap)
+      val probe2 = Dedup.incrementalDedupSnapshot(
+          Seq((5000L, doc(205))).toDF("doc_id", "text"),
+          "doc_id", "text", Dedup.snapshotLive(spark, snap).select(col("fp")),
+          bloomPrefilter = bloom2)
+        .as[(Long, String)].collect().toSeq
+      assert(probe2 == Seq((5000L, "dup_history")),
+        "the sketch must cover every append — a miss here is a false negative")
+      // forget: the tombstoned id stops counting as history even though
+      // the sketch still contains its fp (false positive — harmless)
+      Dedup.tombstoneSnapshot(spark, snap, Seq(205L).toDF("doc_id"), "doc_id")
+      val probe3 = Dedup.incrementalDedupSnapshot(
+          Seq((5001L, doc(205))).toDF("doc_id", "text"),
+          "doc_id", "text", Dedup.snapshotLive(spark, snap).select(col("fp")),
+          bloomPrefilter = Dedup.loadSnapshotBloom(spark, snap))
+        .as[(Long, String)].collect().toSeq
+      assert(probe3 == Seq((5001L, "kept")),
+        "a forgotten doc's re-ingest verdicts kept, sketch false positive or not")
+      // compact: tombstone applied physically AND the sidecar refounds
+      // from live rows at the stored sizing — same params, fresh sketch
+      Dedup.compactSnapshot(spark, snap)
+      assert(Dedup.snapshotBloomParams(spark, snap).contains((10000L, 0.01)),
+        "compaction must carry the sidecar's founding params across the root swap")
+      val probe4 = Dedup.incrementalDedupSnapshot(
+          Seq((5002L, doc(205)), (5003L, doc(206))).toDF("doc_id", "text"),
+          "doc_id", "text", Dedup.snapshotLive(spark, snap).select(col("fp")),
+          bloomPrefilter = Dedup.loadSnapshotBloom(spark, snap))
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(probe4 == Seq((5002L, "kept"), (5003L, "dup_history")),
+        "post-compact probes stay exact through the refounded sketch")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(snap))
+    }
+  }
+
+  test("dedup --bloom Y: the CLI loop's verdicts equal the plain run, sidecar maintained") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val snapA = tmp("bl-cli-a"); val snapB = tmp("bl-cli-b")
+    Seq(snapA, snapB).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    val b1 = tmp("bl-cli-b1"); val b2 = tmp("bl-cli-b2")
+    val o = (1 to 4).map(_ => tmp("bl-cli-o"))
+    (0 until 80).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(b1)
+    (60 until 100).map(i => (i.toLong + 1000, doc(i))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(b2)
+    // bloomed store A vs plain store B, same two batches
+    CurateCli.run("dedup", Map("--in" -> b1, "--out" -> o(0),
+      "--snapshot" -> snapA, "--bloom" -> "Y", "--bloom-capacity" -> "10000"))
+    CurateCli.run("dedup", Map("--in" -> b2, "--out" -> o(1),
+      "--snapshot" -> snapA))
+    CurateCli.run("dedup", Map("--in" -> b1, "--out" -> o(2), "--snapshot" -> snapB))
+    CurateCli.run("dedup", Map("--in" -> b2, "--out" -> o(3), "--snapshot" -> snapB))
+    def rows(p: String) = spark.read.parquet(p)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows(o(1)) == rows(o(3)) && rows(o(1)).count(_._2 == "dup_history") == 20,
+      "bloomed and plain stores must verdict identically")
+    // run 2 on the bloomed store maintained the sidecar even without the
+    // flag (presence drives maintenance): batch-2 content is in the sketch
+    val sk = new java.io.File(s"$snapA/_bloom/sk").list()
+    assert(sk != null && sk.count(_.endsWith(".bloom")) >= 2,
+      "each updating run appends one sketch")
+    intercept[IllegalArgumentException] {
+      CurateCli.run("dedup", Map("--in" -> b1, "--out" -> o(0),
+        "--snapshot" -> snapA, "--bloom" -> "true"))
+    }
+    (Seq(snapA, snapB, b1, b2) ++ o).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
 }

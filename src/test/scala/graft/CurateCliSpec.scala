@@ -474,6 +474,24 @@ class CurateCliSpec extends AnyFunSuite {
     rm(out1, out2, out3, ledger)
   }
 
+  test("quality command reproduces q140's gate table") {
+    import graft.ops.TextAnalysis
+    val out = tmp("cli-quality")
+    CurateCli.run("quality", Map("--in" -> docsPath, "--out" -> out))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.head).toSeq
+    assert(rows(spark.read.parquet(out)) ==
+      rows(TextAnalysis.gopherQualityGate(spark.read.parquet(docsPath),
+        "doc_id", "text")))
+    // thresholds are tunable from the CLI
+    val out2 = tmp("cli-quality2")
+    CurateCli.run("quality", Map("--in" -> docsPath, "--out" -> out2,
+      "--min-words" -> "1", "--min-stop-hits" -> "0", "--min-alpha" -> "0"))
+    assert(spark.read.parquet(out2).filter(col("gopher_ok") === 1).count() >
+      spark.read.parquet(out).filter(col("gopher_ok") === 1).count())
+    rm(out, out2)
+  }
+
   test("argv hygiene: unknown command and malformed options fail loudly") {
     intercept[IllegalArgumentException] {
       CurateCli.run("frobnicate", Map("--in" -> "x", "--out" -> "y"))
