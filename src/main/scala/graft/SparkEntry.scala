@@ -1657,7 +1657,30 @@ object SparkEntry {
     //      IEEE ratios of exact integers (the q98 discipline) ----
     "q140_gopher_gate" -> ((s, dir) =>
       TextAnalysis.gopherQualityGate(tbl(s, dir, "documents"),
-        "doc_id", "text", minWords = 50)))
+        "doc_id", "text", minWords = 50)),
+
+    // ---- Vocabulary-coverage (OOV) gate (round-9): the model-free CCNet
+    //      rung — corpus top-K vocab built once (TakeOrdered head on a
+    //      vocabulary-sized count table), broadcast onto a row-local
+    //      probe; oov_frac is one IEEE division of exact integer counts ----
+    "q142_vocab_coverage" -> ((s, dir) =>
+      Corpus.vocabCoverage(tbl(s, dir, "documents"), "doc_id", "text",
+        topK = 24, maxOovFrac = 0.25)),
+
+    // ---- Embedding outlier gate (round-9): the topN vectors FARTHEST
+    //      from their own coarse cell's centroid (the SemDeDup-family
+    //      "prune cell-edge noise" rung) — q36's deterministic
+    //      first-8-by-id centroids, broadcast assignment, literal-N
+    //      per-cell rank pruned below the exchange by WindowGroupLimit ----
+    "q143_embed_outliers" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = emb.select(col("vec_id").as("_cid"),
+          col("embedding").cast("array<double>").as("_cv"))
+        .orderBy("_cid").limit(8)
+      Similarity.embedOutliers(emb, "vec_id", "embedding", cents, topN = 16)
+        .select(col("vec_id"), col("cell_id"), round(col("sim"), 4).as("sim"),
+          col("far_rank"))
+    }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -3611,6 +3634,42 @@ object SparkEntry {
         |    AND alpha_frac >= 0.8 AND stop_hits >= 2
         |    AND symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS gopher_ok
         |FROM f""".stripMargin,
+
+    // q142: vocabulary-coverage gate. The top-K vocab is deterministic on
+    // both engines (count desc, word asc); oov_frac is a raw IEEE division
+    // of exact integer counts — bit-identical (the q98 discipline); the
+    // <= threshold compare therefore agrees too
+    "q142_vocab_coverage" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS word FROM t),
+        |tk AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+        |v AS (SELECT word, 1 AS inv FROM (
+        |  SELECT word, count(*) AS c FROM tk GROUP BY 1 ORDER BY c DESC, word LIMIT 24)),
+        |f AS (SELECT tk.doc_id, count(*) AS n_tokens,
+        |        sum(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END) AS oov_tokens
+        |      FROM tk LEFT JOIN v USING (word) GROUP BY tk.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(oov_tokens AS BIGINT) AS oov_tokens,
+        |  oov_tokens::DOUBLE / n_tokens AS oov_frac,
+        |  CASE WHEN oov_tokens::DOUBLE / n_tokens <= 0.25 THEN 1 ELSE 0 END AS vocab_ok
+        |FROM f""".stripMargin,
+
+    // q143: per-cell farthest-N outliers — q36's assignment CTEs (first-8
+    // centroids, cosine argmax with (cs DESC, cid) ties) + one per-cell
+    // ascending rank; round(sim,4) absorbs last-ulp libm drift exactly as
+    // q36's sim column does
+    "q143_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT e.vec_id AS id, c.cid,
+        |        list_cosine_similarity(e.v, c.cv) AS cs FROM e, c),
+        |cells AS (SELECT id, cid, cs FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM a) WHERE rn = 1),
+        |r AS (SELECT id, cid, cs,
+        |        row_number() OVER (PARTITION BY cid ORDER BY cs ASC, id) AS rk FROM cells)
+        |SELECT id AS vec_id, cid AS cell_id, round(cs, 4) AS sim,
+        |  CAST(rk AS BIGINT) AS far_rank
+        |FROM r WHERE rk <= 16""".stripMargin,
 
     // q132: weighted lower quantile — min v with cum weight(≤v) >= q·total.
     // Integer weights keep every sum exact; the threshold compare is done

@@ -650,6 +650,58 @@ object Corpus {
         col("n_target"), col("lr_micro"))
   }
 
+  /** Vocabulary-coverage (out-of-vocabulary) quality gate — the model-free
+    * rung of the CCNet idea (Wenzek et al. 2020 score documents with an LM
+    * over a fixed vocabulary; the vocabulary-coverage ratio is the same
+    * signal without the model): build the corpus's `topK` most frequent
+    * tokens ONCE, then score every document by the fraction of its tokens
+    * NOT in that vocabulary. Keyword spam, encoding mojibake, wrong-language
+    * and template junk all surface as high `oov_frac` long before the
+    * expensive dedup rungs run — this is the cheap filter that protects
+    * them. (The reference has no text operators — carrottransform is OMOP
+    * ETL; this extends the engine's curation family.)
+    *
+    * Returns (idCol, n_tokens, oov_tokens, oov_frac, vocab_ok) — every
+    * feature beside the verdict (the
+    * [[graft.ops.TextAnalysis.gopherQualityGate]] discipline) so thresholds
+    * tune from one table instead of re-scanning the corpus per candidate
+    * rule. `oov_frac` is one raw IEEE division of exact integer counts —
+    * bit-identical on any engine (the q98 no-rounding discipline). Top-K
+    * ties break by (count desc, token asc) — fully deterministic across
+    * runs, partitionings and engines. Documents with no non-empty token
+    * produce no row (the [[dsirWeights]] contract).
+    *
+    * Scale shape: the vocab build is one token-keyed count agg (map-side
+    * partials; the aggregated table is VOCABULARY-sized, not corpus-sized)
+    * topped by one `TakeOrderedAndProject` head — `topK` rows, bounded by
+    * construction, so the probe side joins it BROADCAST. The probe explodes
+    * docs row-locally, left-joins the broadcast vocab, and one
+    * groupBy(doc) whose map-side partials collapse each doc's tokens in
+    * place leaves a shuffle of one narrow row per document; the document
+    * text itself never moves. The token stream is cached (id + token) so
+    * the corpus explodes once, not twice. */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int, maxOovFrac: Double = 0.1,
+                    scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val toks = scope.track(Parallelize.ensure(
+        docs.select(col(idCol).as("_id"), col(textCol).as("_t")))
+      .select(col("_id"), explode(TextAnalysis.tokens(col("_t"))).as("_w"))
+      .filter(col("_w") =!= "").cache())
+    val vocab = toks.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_w")).limit(topK)
+      .select(col("_w"), lit(1).as("_in"))
+    toks.join(broadcast(vocab), Seq("_w"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .select(col("_id").as(idCol), col("n_tokens"), col("oov_tokens"),
+        (col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_frac"))
+      .withColumn("vocab_ok",
+        when(col("oov_frac") <= maxOovFrac, 1).otherwise(0))
+  }
+
   /** The highest-weighted term per document by tf·idf, with idf as the
     * LINEAR inverse document frequency N/df.
     *

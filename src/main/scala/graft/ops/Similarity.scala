@@ -860,6 +860,47 @@ object Similarity {
       .withColumnRenamed("_id", idCol)
   }
 
+  /** Embedding OUTLIER gate — the `topN` vectors FARTHEST from their own
+    * coarse cell's centroid, per cell: the "prune far-from-centroid noise"
+    * rung that SemDeDup-style pipelines (Abbas et al. 2023 prune by
+    * within-cluster similarity structure) run right after clustering —
+    * mislabeled points, mojibake embeddings and off-manifold junk land in
+    * some cell but sit at its edge, and this surfaces exactly those rows
+    * for review or removal before they poison dedup/selection downstream.
+    *
+    * Returns (idCol, cell_id, sim, far_rank) for the `topN` least-similar
+    * vectors of each cell — `sim` is cosine to the assigned centroid,
+    * `far_rank` 1 = farthest. Assignment ties break by centroid id and
+    * ranking ties by vector id (deterministic, the [[ivfAssign]]
+    * discipline). Centroids come as an explicit (_cid, _cv) frame (from
+    * [[ivfTrain]] or any deterministic codebook) so the gate composes with
+    * a STANDING codebook — train once, audit every batch.
+    *
+    * Scale shape: assignment is [[ivfAssign]]'s — centroids broadcast, one
+    * map-side min_by fold, the shuffle carries one narrow (id, cell, sim)
+    * row per vector, raw floats never move. The per-cell rank is a window
+    * with a LITERAL `topN` bound, so Catalyst's `WindowGroupLimit` prunes
+    * each cell to its top rows BELOW the exchange — the sort never sees
+    * more than topN·partitions rows per cell, the q33 top-k discipline. */
+  def embedOutliers(df: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN > 0, s"topN must be positive, got $topN")
+    val e = Parallelize.ensure(
+      df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("_csim", cosine(col("_v"), col("_cv")))
+      .groupBy(col("_id"))
+      .agg(min_by(struct(col("_cid").as("c"), col("_csim").as("s")),
+        struct(negate(col("_csim")), col("_cid"))).as("_best"))
+      .select(col("_id"), col("_best.c").as("cell_id"), col("_best.s").as("sim"))
+    val w = Window.partitionBy(col("cell_id"))
+      .orderBy(col("sim").asc, col("_id").asc)
+    assigned.withColumn("far_rank", row_number().over(w).cast("long"))
+      .filter(col("far_rank") <= topN)
+      .select(col("_id").as(idCol), col("cell_id"), col("sim"), col("far_rank"))
+  }
+
   /** Train a real IVF codebook with Spark MLlib k-means (seeded —
     * reproducible for a fixed dataset). Returns a (_cid, _cv) centroid
     * frame for [[ivfTopKWith]]. Production systems train offline on a

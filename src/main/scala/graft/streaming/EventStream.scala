@@ -449,6 +449,70 @@ object EventStream {
       .start()
   }
 
+  /** The COMPOSED streaming front door — [[graft.ops.Pipeline.ingestGate]]
+    * as a sink: every microbatch gets the full batch-mode verdict ladder in
+    * escalating rung-cost order against the two STANDING stores — optional
+    * row-local Gopher quality gate (`low_quality`, terminal), exact
+    * fingerprint dedup vs the snapshot (with its Bloom sidecar as a
+    * broadcast prefilter when present — `dup_history`/`dup_batch`), then
+    * MinHash-LSH near-dup vs the standing index for the exact SURVIVORS
+    * only (`near_dup`), else `kept`. One unified (id, verdict, hist_id,
+    * jaccard) row per arriving doc under `verdictsDir/batch=<id>`
+    * (overwrite per batch — foreachBatch replay is idempotent). This is
+    * the CurateCli `ingest` loop's verdict half as a standing query: the
+    * separate [[bloomGateStream]]/[[nearDupGateSink]] rungs fused so the
+    * cheap rung's semi join gates the expensive shingle/band work.
+    *
+    * PROBE-ONLY, like every gate sink in this family: foreachBatch is
+    * at-least-once, and a replayed APPEND would duplicate rows inside the
+    * stores' flat tables (the [[nearDupGateSink]] reasoning). Store
+    * extension stays on the batch maintenance side (CurateCli `ingest
+    * --update Y`, whose caller sequences batches); a restart ships the
+    * extended stores — the [[decontaminateStream]] seen-set discipline.
+    *
+    * Both stores load ONCE per query start: the snapshot's live
+    * fingerprints and the index's band/shingle tables are cached for the
+    * query's lifetime, the Bloom bytes ride the driver; per trigger only
+    * batch-sized data moves (the batch's distinct fps broadcast ONTO the
+    * snapshot scan — history never shuffles). */
+  def ingestGateSink(stream: DataFrame, idCol: String, textCol: String,
+                     snapDir: String, indexDir: String,
+                     verdictsDir: String, checkpoint: String,
+                     minJaccard: Double = 0.2,
+                     quality: Boolean = false, minWords: Int = 50,
+                     scope: graft.ops.CacheScope = graft.ops.CacheScope.noop)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sess = stream.sparkSession
+    val snap = scope.track(
+      graft.ops.Dedup.snapshotLive(sess, snapDir, idCol).select(col("fp")).cache())
+    val bloom = graft.ops.Dedup.loadSnapshotBloom(sess, snapDir)
+    val idx = graft.ops.Dedup.loadNearDupIndex(sess, indexDir, scope)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // per-trigger caches (the gate's verdict snapshot) live exactly as
+        // long as the trigger: the terminal write happens inside the scope
+        graft.ops.CacheScope.withScope { bScope =>
+          val b = batch.toDF()
+          val lowQ =
+            if (!quality) None
+            else Some(graft.ops.TextAnalysis.gopherQualityGate(b, idCol, textCol,
+                minWords = minWords)
+              .filter(col("gopher_ok") === 0).select(col(idCol)))
+          val gated = lowQ.fold(b)(bad => b.join(bad, Seq(idCol), "left_anti"))
+          val rungs = graft.ops.Pipeline.ingestGate(gated, idCol, textCol,
+            snap, idx, minJaccard, bScope, bloomPrefilter = bloom)
+          val verdicts = lowQ.fold(rungs)(bad => rungs.unionByName(
+            bad.select(col(idCol), lit("low_quality").as("verdict"),
+              when(lit(false), col(idCol)).as("hist_id"),
+              lit(null).cast("double").as("jaccard"))))
+          verdicts.write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** [[packingSink]]'s transactional offset ledger: one tiny parquet per
     * batch under `<path>/_offsets/batch=<id>`, written after the batch's
     * data commit. State per batch is ONE (batch_id, start_off, n_tokens)

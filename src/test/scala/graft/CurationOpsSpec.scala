@@ -74,6 +74,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("symbol_ratio") == 0.3 && r.getAs[Int]("gopher_ok") == 0)
   }
 
+  // ---- Corpus.vocabCoverage ----
+
+  test("vocabCoverage: top-K vocab ties break (count desc, token asc); OOV fractions; tokenless docs drop") {
+    val docs = Seq(
+      (0, "a a a"),   // a (count 3) tops the vocab -> fully in-vocab
+      (1, "b b x"),   // b (2) wins the count tie against c (2) by token asc
+      (2, "c c y"),   // c lost the tie -> every token OOV
+      (3, "   ")      // no non-empty token -> no row (the dsirWeights contract)
+    ).toDF("doc_id", "text")
+    val got = Corpus.vocabCoverage(docs, "doc_id", "text", topK = 2, maxOovFrac = 0.5)
+      .select("doc_id", "n_tokens", "oov_tokens", "vocab_ok")
+      .as[(Int, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0, 3L, 0L, 1), (1, 3L, 1L, 1), (2, 3L, 3L, 0)),
+      "tie-break must admit b, exclude c, and the 0.5 threshold is inclusive")
+  }
+
+  test("vocabCoverage: a vocabulary at least the corpus's size marks nothing OOV") {
+    val docs = Seq((0, "p q"), (1, "q r")).toDF("doc_id", "text")
+    val got = Corpus.vocabCoverage(docs, "doc_id", "text", topK = 100, maxOovFrac = 0.0)
+      .agg(sum("oov_tokens"), min("vocab_ok")).as[(Long, Int)].head()
+    assert(got == ((0L, 1)))
+  }
+
   // ---- Dedup.intraDocDedup ----
 
   test("intraDocDedup keeps the FIRST occurrence of each chunk within its own doc, in order") {

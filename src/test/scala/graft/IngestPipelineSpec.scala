@@ -135,6 +135,71 @@ class IngestPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ingestGateSink: the composed front door per microbatch == batch quality + ingestGate, verdicts unified") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    CacheScope.withScope { scope =>
+      val snapDir = tmp("fd-snap"); val idxDir = tmp("fd-idx")
+      val out = tmp("fd-out"); val ck = tmp("fd-ck")
+      // history: both standing stores founded batch-side (the sink is
+      // probe-only — the maintenance loop owns extension)
+      val hist = (0 until 12).map(i =>
+        (i.toLong, s"the shared template words and number ${i % 3} tail marker ${i % 3}"))
+        .toDF("doc_id", "text")
+      Dedup.appendSnapshot(spark, snapDir,
+        hist.select(col("doc_id"), graft.ops.TextAnalysis.fingerprint(col("text")).as("fp")),
+        "doc_id")
+      Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(hist, "doc_id", "text",
+        k = 4, rowsPerBand = 2, n = 5, scope = scope), idxDir)
+
+      val fresh = "the completely fresh document body and sentence marker alpha beta"
+      val b1 = Seq(
+        (100L, "the shared template words and number 1 tail marker 1"), // dup_history
+        (101L, fresh),                                                  // kept
+        (102L, fresh),                                                  // dup_batch (same fp as 101)
+        (104L, "too short and the"))                                    // low_quality (4 words)
+      val b2 = Seq(
+        (105L, "the shared template words and number 2 tail marker 9"), // near_dup (echo, last word differs)
+        (106L, "the wholly unrelated survey answers and quarterly totals appendix")) // kept
+
+      val mem = MemoryStream[(Long, String)]
+      val q = EventStream.ingestGateSink(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", snapDir, idxDir, out, ck,
+        minJaccard = 0.2, quality = true, minWords = 5, scope = scope)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+
+      // the batch-mode composition the sink must reproduce, per batch
+      def want(rows: Seq[(Long, String)]): Seq[(Long, String)] = {
+        val b = rows.toDF("doc_id", "text")
+        val bad = TextAnalysis.gopherQualityGate(b, "doc_id", "text", minWords = 5)
+          .filter(col("gopher_ok") === 0).select(col("doc_id"))
+        val gated = b.join(bad, Seq("doc_id"), "left_anti")
+        val snap = Dedup.snapshotLive(spark, snapDir, "doc_id").select(col("fp"))
+        val idx = Dedup.loadNearDupIndex(spark, idxDir, scope)
+        Pipeline.ingestGate(gated, "doc_id", "text", snap, idx, 0.2, scope)
+          .unionByName(bad.select(col("doc_id"), lit("low_quality").as("verdict"),
+            when(lit(false), col("doc_id")).as("hist_id"),
+            lit(null).cast("double").as("jaccard")))
+          .select("doc_id", "verdict").as[(Long, String)].collect().sortBy(_._1).toSeq
+      }
+      def got(b: Int): Seq[(Long, String)] = spark.read.parquet(s"$out/batch=$b")
+        .select("doc_id", "verdict").as[(Long, String)].collect().sortBy(_._1).toSeq
+
+      assert(got(0) == want(b1), "batch 0 must equal the batch-mode front door")
+      assert(got(1) == want(b2), "batch 1 must equal the batch-mode front door")
+      // and the ladder's rungs all actually fire across the two batches
+      val verdicts = (got(0) ++ got(1)).map(_._2).toSet
+      assert(verdicts == Set("dup_history", "dup_batch", "kept", "low_quality", "near_dup"),
+        s"every rung must decide at least one doc, got $verdicts")
+      Seq(snapDir, idxDir, out, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    }
+  }
+
   test("ivfPq gate sink serves ranked matches per microbatch from the standing index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext

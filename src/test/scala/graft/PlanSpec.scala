@@ -353,6 +353,54 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q142 vocab coverage: vocab rides a TakeOrdered head + broadcast join; text never shuffles") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = plan("q142_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-K vocab must be a TakeOrdered head, not a global sort\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the K-row vocab must broadcast onto the probe\n$p")
+    val wrapped = SparkEntry.queries("q142_vocab_coverage")(spark, dir)
+      .queryExecution.executedPlan
+    val exec = wrapped match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // the q113 discipline: every shuffle carries narrow rows — the raw
+    // text (and the exploded token only on the vocabulary-sized count
+    // path) must die in the scan-stage projection
+    exec.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.exists(c => c == "_t" || c == "text"),
+        s"raw text crosses a shuffle: $cols\n$exec")
+    }
+  }
+
+  test("q143 embed outliers: centroids broadcast, partial WindowGroupLimit below the cell exchange") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val p = plan("q143_embed_outliers")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+      s"assignment is corpus x broadcast 8-row centroids\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the literal topN must prune below the window\n$p")
+    val wrapped = SparkEntry.queries("q143_embed_outliers")(spark, dir)
+      .queryExecution.executedPlan
+    val exec = wrapped match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val partialBelowExchange = exec.collect {
+      case e: ShuffleExchangeExec => e.child.collect {
+        case w: WindowGroupLimitExec if w.mode.toString == "Partial" => w
+      }.nonEmpty
+    }.exists(identity)
+    assert(partialBelowExchange,
+      s"partial WindowGroupLimit must run below the exchange — each map task forwards at most topN rows per cell\n$exec")
+  }
+
   test("q115 incremental embed near-dups: bucket equi-join across sides") {
     val p = plan("q115_incr_embed_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

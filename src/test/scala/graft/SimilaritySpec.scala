@@ -164,4 +164,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(survivors(emb.repartition(37)) == base)
     assert(survivors(emb.repartition(1)) == base)
   }
+
+  test("embedOutliers: farthest-N per cell, id-ascending ties, the N bound holds per cell") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("_cid", "_cv")
+    val pts = Seq(
+      (10L, Seq(1.0, 0.0)),   // cell 0, sim 1.0 — the center, never an outlier at N=2
+      (11L, Seq(1.0, 0.2)),   // cell 0, sim ~0.981
+      (12L, Seq(1.0, 0.9)),   // cell 0, sim ~0.743
+      (13L, Seq(1.0, -0.9)),  // cell 0, sim ~0.743 — exact tie with 12, id breaks it
+      (20L, Seq(0.0, 1.0)),   // cell 1, sim 1.0
+      (21L, Seq(0.3, 1.0))    // cell 1, sim ~0.958
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embedOutliers(pts, "vec_id", "embedding", cents, topN = 2)
+      .select("vec_id", "cell_id", "far_rank").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._2, r._3)).toSeq
+    assert(got == Seq((12L, 0L, 1L), (13L, 0L, 2L), (21L, 1L, 1L), (20L, 1L, 2L)),
+      "equal-distance outliers must rank by id; the center of a 4-point cell is pruned at N=2")
+  }
+
+  test("embedOutliers is partitioning-invariant and bounded by topN per cell") {
+    val cents = emb.select(col("vec_id").as("_cid"),
+        col("embedding").cast("array<double>").as("_cv"))
+      .orderBy(col("_cid")).limit(8)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      Similarity.embedOutliers(df, "vec_id", "embedding", cents, topN = 16)
+        .select(col("vec_id"), col("cell_id"), col("far_rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+    val base = run(emb)
+    assert(base.groupBy(_._2).values.forall(_.size <= 16),
+      "no cell may emit more than topN rows")
+    assert(base.nonEmpty && run(emb.repartition(37)) == base,
+      "the outlier set is a pure function of (ids, vectors, codebook)")
+  }
 }
