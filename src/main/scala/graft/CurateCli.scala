@@ -142,7 +142,8 @@ object CurateCli {
     "card" -> (CommonOptions ++ Set("--group-col", "--lang-col",
       "--approx", "--ledger")),
     "quality" -> (CommonOptions ++ Set("--min-words", "--max-words",
-      "--min-alpha", "--min-stop-hits", "--max-symbol-ratio")),
+      "--min-alpha", "--min-stop-hits", "--max-symbol-ratio",
+      "--vocab-topk", "--max-oov")),
     "dedup" -> (CommonOptions ++ Set("--snapshot", "--update-snapshot",
       "--bloom", "--bloom-capacity")),
     "ingest" -> (CommonOptions ++ Set("--snapshot", "--index", "--update",
@@ -714,12 +715,27 @@ object CurateCli {
           // the Gopher gate standalone (q140): per-doc features + verdict,
           // so a curator tunes thresholds from the written table before
           // wiring `ingest --quality Y`
-          write(TextAnalysis.gopherQualityGate(in, idCol, textCol,
+          val gopher = TextAnalysis.gopherQualityGate(in, idCol, textCol,
             argv.getOrElse("--min-words", "50").toInt,
             argv.getOrElse("--max-words", "100000").toInt,
             minAlphaFrac = argv.getOrElse("--min-alpha", "0.8").toDouble,
             minStopHits = argv.getOrElse("--min-stop-hits", "2").toInt,
-            maxSymbolRatio = argv.getOrElse("--max-symbol-ratio", "0.1").toDouble), out)
+            maxSymbolRatio = argv.getOrElse("--max-symbol-ratio", "0.1").toDouble)
+          // `--vocab-topk K` adds the vocabulary-coverage rung (q142): the
+          // OOV features + verdict land BESIDE the Gopher ones in the same
+          // table, so a curator tunes both gates from one scan. Left join:
+          // a tokenless doc has no coverage row but keeps its Gopher row
+          if (argv.contains("--max-oov") && !argv.contains("--vocab-topk"))
+            throw new IllegalArgumentException(
+              "--max-oov requires --vocab-topk (it thresholds the vocab rung)")
+          val withVocab = argv.get("--vocab-topk").fold(gopher) { k =>
+            gopher.join(
+              graft.ops.Corpus.vocabCoverage(in, idCol, textCol, k.toInt,
+                argv.getOrElse("--max-oov", "0.1").toDouble)
+                .drop("n_tokens"),
+              Seq(idCol), "left")
+          }
+          write(withVocab, out)
 
         case "forget" =>
           // deletion is by ID against any standing store; `--in` is the

@@ -1667,6 +1667,14 @@ object SparkEntry {
       Corpus.vocabCoverage(tbl(s, dir, "documents"), "doc_id", "text",
         topK = 24, maxOovFrac = 0.25)),
 
+    // ---- Cross-doc duplicated-span REMOVAL (round-9): Lee et al. 2021's
+    //      ExactSubstr rule at 3-token granularity — every occurrence of
+    //      a corpus-duplicated gram except the (doc,pos)-first is excised,
+    //      text rebuilt from surviving tokens; q74's measurement made
+    //      surgical. One text-carrying movement (the rebuild join) ----
+    "q144_dup_span_remove" -> ((s, dir) =>
+      Dedup.dupSpanRemove(tbl(s, dir, "documents"), "doc_id", "text", n = 3)),
+
     // ---- Embedding outlier gate (round-9): the topN vectors FARTHEST
     //      from their own coarse cell's centroid (the SemDeDup-family
     //      "prune cell-edge noise" rung) — q36's deterministic
@@ -3653,6 +3661,33 @@ object SparkEntry {
         |  oov_tokens::DOUBLE / n_tokens AS oov_frac,
         |  CASE WHEN oov_tokens::DOUBLE / n_tokens <= 0.25 THEN 1 ELSE 0 END AS vocab_ok
         |FROM f""".stripMargin,
+
+    // q144: duplicated-span removal — positional 3-grams, corpus-wide
+    // first-wins election by (doc_id, pos), non-winner windows expand to
+    // covered token positions, rebuild keeps uncovered tokens in order.
+    // DuckDB counts/elects by gram STRING where Spark uses xxhash64 —
+    // identical up to the accepted 2^-64 collision (q21's discipline)
+    "q144_dup_span_remove" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+        |      FROM t, UNNEST(generate_series(1, len(w) - 2)) AS u(i) WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, pos,
+        |        count(*) OVER (PARTITION BY gram) AS cnt,
+        |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g),
+        |cov AS (SELECT DISTINCT doc_id, pos + d AS i
+        |        FROM e, UNNEST(generate_series(0, 2)) AS v(d)
+        |        WHERE cnt >= 2 AND rn > 1),
+        |tok AS (SELECT t.doc_id, u.i, w[u.i] AS tk
+        |        FROM t, UNNEST(generate_series(1, len(w))) AS u(i)),
+        |k AS (SELECT tok.doc_id, tok.i, tok.tk, cov.i AS ci
+        |      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i),
+        |s AS (SELECT doc_id, count(*) FILTER (ci IS NULL) AS kept,
+        |        string_agg(CASE WHEN ci IS NULL THEN tk END, ' ' ORDER BY i) AS txt
+        |      FROM k GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(s.kept, 0) AS BIGINT) AS kept_tokens,
+        |  coalesce(s.txt, '') AS text_clean
+        |FROM t LEFT JOIN s USING (doc_id)""".stripMargin,
 
     // q143: per-cell farthest-N outliers — q36's assignment CTEs (first-8
     // centroids, cosine argmax with (cs DESC, cid) ties) + one per-cell

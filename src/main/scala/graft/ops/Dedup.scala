@@ -341,6 +341,73 @@ object Dedup {
       .withColumnRenamed("_id", idCol)
   }
 
+  /** Cross-document duplicated-span REMOVAL — [[dupSpanFrac]]'s surgical
+    * twin, the ExactSubstr rule of Lee et al. 2021 ("Deduplicating
+    * Training Data Makes Language Models Better") at n-token granularity:
+    * every occurrence of a corpus-duplicated n-gram EXCEPT the first is
+    * removed, and each document's text is rebuilt from its surviving
+    * tokens in order. Where [[dupSpanFrac]] measures and a caller drops
+    * whole documents, this keeps the document and excises just the
+    * repeated material — the behavior the paper actually ships. "First"
+    * is the occurrence with the least (doc id, position) — the corpus-wide
+    * first-wins election of [[chunkDedup]]/[[graft.ops.Similarity.semDedup]]
+    * — so one copy of every span always survives, and the survivor set is
+    * deterministic under any partitioning. Within-doc repeats count toward
+    * the ≥2 threshold too (the paper's self-repeat case;
+    * [[intraDocDedup]] remains the cheaper within-page-only flavor).
+    *
+    * A token is removed iff ANY duplicated non-winning n-gram window
+    * covers it, so a long shared span disappears wholesale from every
+    * non-first document: overlapping stride-1 windows chain across its
+    * full length. Shorter-than-n documents have no windows and pass
+    * through verbatim.
+    *
+    * Returns (idCol, n_tokens, kept_tokens, text_clean) — counts exact
+    * integers for cross-engine comparison, `text_clean` possibly empty
+    * (never null) when everything was repeated material.
+    *
+    * Scale shape: the gram stream collapses to (id, pos, xxhash64) at the
+    * scan — 20 bytes/row, text never enters the election. One hash-keyed
+    * count+min(struct) agg elects winners (map-side partials), the
+    * non-winner join reuses the same gram key, and covered positions fold
+    * to ONE int-array row per affected doc (bounded by doc length). The
+    * rebuild costs exactly one text-carrying movement — the id-keyed join
+    * of documents onto their covered-position arrays, inherent because
+    * the output IS the text (the [[chunkDedupRebuild]] budget, minus its
+    * second movement: the filter itself is a row-local higher-order
+    * expression, no re-assembly shuffle). An 8-byte hash collision can
+    * only over-remove a span — the conservative direction, same 2⁻⁶⁴
+    * acceptance as [[dupSpanFrac]]. */
+  def dupSpanRemove(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5,
+                    scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val grams = scope.track(Parallelize.ensure(
+        df.select(col(idCol).as("_id"), col(textCol).as("_t")))
+      .select(col("_id"),
+        posexplode(TextAnalysis.rawNgrams(col("_t"), n)).as(Seq("_p0", "_g")))
+      .select(col("_id"), (col("_p0") + 1).as("_pos"), xxhash64(col("_g")).as("_h"))
+      .cache())
+    val elect = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col("_id").as("i"), col("_pos").as("p"))).as("_win"))
+      .filter(col("_cnt") >= 2)
+      .select(col("_h"), col("_win"))
+    val covered = grams.join(elect, Seq("_h"))
+      .filter(!(col("_id") === col("_win.i") && col("_pos") === col("_win.p")))
+      .select(col("_id"),
+        explode(sequence(col("_pos"), col("_pos") + lit(n - 1))).as("_i"))
+      .groupBy(col("_id")).agg(collect_set(col("_i")).as("_cov"))
+    val joined = df.join(covered, df(idCol) === covered("_id"), "left")
+    val w = TextAnalysis.tokens(col(textCol))
+    val cov = coalesce(col("_cov"), array().cast("array<int>"))
+    val kept = filter(w, (tok, i) => !array_contains(cov, i + 1))
+    joined.select(col(idCol),
+      size(w).cast("long").as("n_tokens"),
+      size(kept).cast("long").as("kept_tokens"),
+      concat_ws(" ", kept).as("text_clean"))
+  }
+
   /** Chunk-level exact dedup (the CCNet shape, Wenzek et al.: dedup at
     * paragraph granularity rather than whole documents): the token stream
     * of each document is cut into consecutive fixed-size chunks, and a

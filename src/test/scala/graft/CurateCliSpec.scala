@@ -492,6 +492,36 @@ class CurateCliSpec extends AnyFunSuite {
     rm(out, out2)
   }
 
+  test("quality --vocab-topk adds the OOV rung beside the Gopher features") {
+    import graft.ops.{Corpus, TextAnalysis}
+    val out = tmp("cli-quality-vocab")
+    CurateCli.run("quality", Map("--in" -> docsPath, "--out" -> out,
+      "--vocab-topk" -> "24", "--max-oov" -> "0.25"))
+    val got = spark.read.parquet(out)
+    // both gates' feature columns in one table
+    for (c <- Seq("gopher_ok", "oov_frac", "oov_tokens", "vocab_ok"))
+      assert(got.columns.contains(c), s"missing $c in ${got.columns.toSeq}")
+    // the vocab columns equal the library rung
+    def vrows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "oov_tokens", "vocab_ok")
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.head).toSeq
+    assert(vrows(got) == vrows(Corpus.vocabCoverage(
+      spark.read.parquet(docsPath), "doc_id", "text", 24, 0.25)))
+    // and the gopher columns are untouched by the join
+    def grows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "gopher_ok")
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.head).toSeq
+    assert(grows(got) == grows(TextAnalysis.gopherQualityGate(
+      spark.read.parquet(docsPath), "doc_id", "text")))
+    // --max-oov without the rung it thresholds fails loudly
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("quality", Map("--in" -> docsPath, "--out" -> out,
+        "--max-oov" -> "0.25"))
+    }
+    assert(e.getMessage.contains("--vocab-topk"))
+    rm(out)
+  }
+
   test("argv hygiene: unknown command and malformed options fail loudly") {
     intercept[IllegalArgumentException] {
       CurateCli.run("frobnicate", Map("--in" -> "x", "--out" -> "y"))

@@ -97,6 +97,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == ((0L, 1)))
   }
 
+  // ---- Dedup.dupSpanRemove ----
+
+  test("dupSpanRemove: first occurrence survives, every other copy excised, overlaps chain, short docs verbatim") {
+    val docs = Seq(
+      (0, "a b c d e"),    // owns the corpus-first "a b c" -> untouched
+      (1, "x a b c y"),    // its "a b c" at pos 2 loses -> tokens 2..4 go
+      (2, "a b c"),        // entirely the duplicated span -> empty rebuild
+      (3, "p q r p q r s"),// within-doc repeat: second "p q r" (pos 4) goes
+      (4, "z z")           // shorter than n -> no windows, verbatim
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanRemove(docs, "doc_id", "text", n = 3)
+      .as[(Int, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0, 5L, 5L, "a b c d e"),
+      (1, 5L, 2L, "x y"),
+      (2, 3L, 0L, ""),
+      (3, 7L, 4L, "p q r s"),
+      (4, 2L, 2L, "z z")))
+    // the election is a pure function of content — layout must not leak
+    val re = Dedup.dupSpanRemove(docs.repartition(7), "doc_id", "text", n = 3)
+      .as[(Int, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+  }
+
   // ---- Dedup.intraDocDedup ----
 
   test("intraDocDedup keeps the FIRST occurrence of each chunk within its own doc, in order") {
