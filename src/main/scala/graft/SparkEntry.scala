@@ -1675,6 +1675,34 @@ object SparkEntry {
     "q144_dup_span_remove" -> ((s, dir) =>
       Dedup.dupSpanRemove(tbl(s, dir, "documents"), "doc_id", "text", n = 3)),
 
+    // ---- Composed quality-refinement pipeline (round-9): the published
+    //      web-pipeline ladder in rung-cost order — Gopher gate, vocab
+    //      gate over the survivors, ExactSubstr span removal on what
+    //      remains; q140+q142+q144's oracles composed with the same
+    //      survivor semi joins. Order pinned: junk never votes for the
+    //      vocabulary, spans removed only from docs worth keeping ----
+    "q146_refine_corpus" -> ((s, dir) =>
+      Pipeline.refineCorpus(tbl(s, dir, "documents"), "doc_id", "text",
+        minWords = 50, vocabTopK = 24, maxOovFrac = 0.25, spanN = 3)),
+
+    // ---- Multi-signal quality ensemble (round-9): mean of per-lang
+    //      percentile ranks over three incomparable signals (chars,
+    //      tokens, distinct-token ratio) — q102's calibration machinery
+    //      once per signal, fixed-order IEEE mean; the rank-fusion score
+    //      a selection threshold actually composes over ----
+    "q145_ensemble_score" -> ((s, dir) => {
+      val w = TextAnalysis.tokens(col("text"))
+      val scored = tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars").cast("double").as("s1"),
+        size(w).cast("double").as("s2"),
+        (size(array_distinct(w)).cast("double") / size(w).cast("double")).as("s3"))
+      Stats.ensembleScore(scored, "lang", Seq("s1", "s2", "s3"))
+        .select(col("doc_id"), col("lang"),
+          round(col("s1_cal"), 6).as("c1"), round(col("s2_cal"), 6).as("c2"),
+          round(col("s3_cal"), 6).as("c3"),
+          round(col("ensemble_score"), 6).as("ensemble"))
+    }),
+
     // ---- Embedding outlier gate (round-9): the topN vectors FARTHEST
     //      from their own coarse cell's centroid (the SemDeDup-family
     //      "prune cell-edge noise" rung) — q36's deterministic
@@ -3661,6 +3689,74 @@ object SparkEntry {
         |  oov_tokens::DOUBLE / n_tokens AS oov_frac,
         |  CASE WHEN oov_tokens::DOUBLE / n_tokens <= 0.25 THEN 1 ELSE 0 END AS vocab_ok
         |FROM f""".stripMargin,
+
+    // q146: the quality ladder composed — q140's gate CTEs filter to p1,
+    // q142's vocab CTEs (built on p1, the junk-can't-vote rule) filter
+    // to p2, q144's span-removal CTEs rebuild p2. Every rung's SQL is
+    // its standalone oracle with the survivor join threaded through
+    "q146_refine_corpus" ->
+      """WITH gd AS (SELECT doc_id, text, trim(text) AS t FROM documents),
+        |gw AS (SELECT doc_id, text, t, regexp_split_to_array(t, '\s+') AS w,
+        |        regexp_split_to_array(lower(t), '\s+') AS lw FROM gd),
+        |gf AS (SELECT doc_id, text, len(w) AS n,
+        |  length(regexp_replace(t, '\s+', '', 'g'))::DOUBLE / len(w) AS mwl,
+        |  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w) AS af,
+        |  len(list_filter(lw, x -> x IN ('the','be','to','of','and','that','have','with'))) AS sh,
+        |  ((length(t) - length(replace(t, '#', '')))
+        |    + (length(t) - length(replace(t, '...', ''))) / 3) / len(w) AS sr
+        | FROM gw),
+        |p1 AS (SELECT doc_id, text FROM gf
+        |  WHERE n >= 50 AND n <= 100000 AND mwl >= 3 AND mwl <= 10
+        |    AND af >= 0.8 AND sh >= 2 AND sr <= 0.1),
+        |t1 AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM p1),
+        |tok AS (SELECT doc_id, unnest(w) AS word FROM t1),
+        |tk AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+        |v AS (SELECT word, 1 AS inv FROM (
+        |  SELECT word, count(*) AS c FROM tk GROUP BY 1 ORDER BY c DESC, word LIMIT 24)),
+        |vf AS (SELECT tk.doc_id, count(*) AS nt,
+        |        sum(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END) AS oov
+        |      FROM tk LEFT JOIN v USING (word) GROUP BY tk.doc_id),
+        |p2 AS (SELECT p1.doc_id, p1.text FROM p1 JOIN vf USING (doc_id)
+        |       WHERE oov::DOUBLE / nt <= 0.25),
+        |t2 AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM p2),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+        |      FROM t2, UNNEST(generate_series(1, len(w) - 2)) AS u(i) WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, pos,
+        |        count(*) OVER (PARTITION BY gram) AS cnt,
+        |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g),
+        |cov AS (SELECT DISTINCT doc_id, pos + dd AS i
+        |        FROM e, UNNEST(generate_series(0, 2)) AS vv(dd)
+        |        WHERE cnt >= 2 AND rn > 1),
+        |tok2 AS (SELECT t2.doc_id, u.i, w[u.i] AS tkn
+        |        FROM t2, UNNEST(generate_series(1, len(w))) AS u(i)),
+        |k AS (SELECT tok2.doc_id, tok2.i, tok2.tkn, cov.i AS ci
+        |      FROM tok2 LEFT JOIN cov ON tok2.doc_id = cov.doc_id AND tok2.i = cov.i),
+        |s AS (SELECT doc_id, count(*) FILTER (ci IS NULL) AS kept,
+        |        string_agg(CASE WHEN ci IS NULL THEN tkn END, ' ' ORDER BY i) AS txt
+        |      FROM k GROUP BY doc_id)
+        |SELECT t2.doc_id, CAST(len(t2.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(s.kept, 0) AS BIGINT) AS kept_tokens,
+        |  coalesce(s.txt, '') AS text_clean
+        |FROM t2 LEFT JOIN s USING (doc_id)""".stripMargin,
+
+    // q145: rank-fusion ensemble — percent_rank per signal within lang
+    // (the q102 replay contract), mean in fixed column order; round(6)
+    // on both sides exactly as q102 rounds its calibrated rank
+    "q145_ensemble_score" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    n_chars::DOUBLE AS s1,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+'))::DOUBLE AS s2,
+        |    len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))::DOUBLE
+        |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS s3
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY s1) AS c1,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY s2) AS c2,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY s3) AS c3
+        |  FROM t)
+        |SELECT doc_id, lang, round(c1, 6) AS c1, round(c2, 6) AS c2,
+        |  round(c3, 6) AS c3, round((c1 + c2 + c3) / 3.0, 6) AS ensemble
+        |FROM r""".stripMargin,
 
     // q144: duplicated-span removal — positional 3-grams, corpus-wide
     // first-wins election by (doc_id, pos), non-winner windows expand to

@@ -101,6 +101,48 @@ object Pipeline {
       .select(col(idCol), col("n_tokens"), col("lr_micro"))
   }
 
+  /** The published web-pipeline QUALITY recipe composed end-to-end — the
+    * FineWeb/RefinedWeb refinement ladder in rung-cost order, each rung
+    * seeing strictly fewer rows:
+    *
+    *  1. Gopher gate ([[TextAnalysis.gopherQualityGate]], q140) —
+    *     row-local, evaluated in the scan stage; failing docs exit before
+    *     anything aggregates;
+    *  2. vocabulary-coverage gate over the SURVIVORS
+    *     ([[Corpus.vocabCoverage]], q142) — the vocab is built on
+    *     gopher-clean docs deliberately: junk must not vote for the
+    *     vocabulary it is judged against;
+    *  3. cross-document duplicated-span removal on what remains
+    *     ([[Dedup.dupSpanRemove]], q144) — the ExactSubstr rebuild, paid
+    *     only for docs worth keeping.
+    *
+    * Returns [[Dedup.dupSpanRemove]]'s shape: (idCol, n_tokens,
+    * kept_tokens, text_clean). Order matters and is pinned by the gate
+    * query: gating AFTER span removal would let removed boilerplate
+    * still count toward word-count/stopword features, and a vocab built
+    * before the Gopher cut skews toward template tokens.
+    *
+    * Scale shape: the gate frame is scope-cached (the
+    * [[curateCorpus]] precedent — three consumers would otherwise
+    * re-scan the corpus through the row-local filter); each rung's own
+    * movement budget is unchanged from its standalone form, and the two
+    * id semi joins between rungs are narrow. */
+  def refineCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 50, vocabTopK: Int = 10000,
+                   maxOovFrac: Double = 0.1, spanN: Int = 5,
+                   scope: CacheScope = CacheScope.noop): DataFrame = {
+    val gopherOk = TextAnalysis.gopherQualityGate(docs, idCol, textCol,
+        minWords = minWords)
+      .filter(col("gopher_ok") === 1).select(col(idCol))
+    val pass1 = scope.track(
+      docs.join(gopherOk, Seq(idCol), "left_semi").cache())
+    val vocabOk = Corpus.vocabCoverage(pass1, idCol, textCol, vocabTopK,
+        maxOovFrac, scope)
+      .filter(col("vocab_ok") === 1).select(col(idCol))
+    val pass2 = pass1.join(vocabOk, Seq(idCol), "left_semi")
+    Dedup.dupSpanRemove(pass2, idCol, textCol, spanN, scope)
+  }
+
   /** Pre-training release audit, composed as ONE lazy plan: per-group cap
     * (domain quota) → deterministic split assignment → chunk-level
     * train→eval leakage — rolled up to a per-split report (docs, chunks,

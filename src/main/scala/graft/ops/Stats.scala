@@ -346,6 +346,43 @@ object Stats {
       .drop("_cs_g", "_cs_s")
   }
 
+  /** Multi-signal quality ENSEMBLE — the mean of each signal's
+    * within-group percentile rank ([[calibrateScores]] per column), the
+    * rank-fusion ensemble (the reciprocal-rank-fusion family, Cormack et
+    * al. 2009; percentile averaging is its dense-corpus form) that turns
+    * N incomparable quality signals (length, fluency, repetition,
+    * OOV…) into ONE [0,1] selection score. Why fuse ranks, not raw
+    * scores: the signals live on unrelated scales and skewed
+    * distributions, so any weighted sum of raw values is dominated by
+    * whichever signal has the fattest tail; each signal's percentile is
+    * distribution-free, and their mean weights every signal equally.
+    * `ensemble_score >= t` then composes directly with
+    * [[graft.ops.BudgetSelect]] ranking or a plain filter.
+    *
+    * Appends `<col>_cal` per signal plus `ensemble_score`. Determinism:
+    * each calibrated rank replays percent_rank bit-for-bit
+    * ([[calibrateScores]]'s contract), and the mean folds the `_cal`
+    * columns in the CALLER-GIVEN column order — one IEEE sum of N
+    * doubles in a fixed order, then one division — so the ensemble is
+    * reproducible across engines and partitionings.
+    *
+    * Scale shape: one [[calibrateScores]] pass per signal — tallies and
+    * offsets stay metadata-sized per its discipline; the rows pay one
+    * (group, score)-keyed equi-join per signal (unavoidable: each
+    * signal's rank key differs). No window ever sees a whole group.
+    * Inherits calibrateScores' EAGER driver prefix sums and
+    * cache-lifetime hazard — finish all actions inside the owning
+    * `scope`. */
+  def ensembleScore(df: DataFrame, groupCol: String, scoreCols: Seq[String],
+                    scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(scoreCols.nonEmpty, "at least one score column required")
+    val calibrated = scoreCols.foldLeft(df)((acc, c) =>
+      calibrateScores(acc, groupCol, c, scope))
+    calibrated.withColumn("ensemble_score",
+      scoreCols.map(c => col(s"${c}_cal")).reduce(_ + _)
+        / lit(scoreCols.size.toDouble))
+  }
+
   /** Per-group WEIGHTED lower quantiles: for each group and each `q` in
     * `qs`, the smallest value `v` such that the summed weight of rows at
     * or below `v` reaches `q` × the group's total weight.

@@ -235,6 +235,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"leaked: ${(sc.getPersistentRDDs.keySet -- before).toSeq.sorted}")
   }
 
+  test("refineCorpus: gopher gate -> survivor-built vocab gate -> span removal, in rung order") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val docs = Seq(
+      (1L, "the quick brown foxes and their sturdy friends run daily"),
+      (2L, "zz xx qq ww vv"),                                          // gopher: zero stopword hits
+      (3L, "the raven and kookaburra quarrel over distant warm rivers"), // vocab: 7/9 OOV vs the survivor vocab
+      (4L, "the quick brown foxes and their sturdy friends rest nightly") // loses the shared span to doc 1
+    ).toDF("doc_id", "text")
+    graft.ops.CacheScope.withScope { scope =>
+      val out = graft.ops.Pipeline.refineCorpus(docs, "doc_id", "text",
+          minWords = 5, vocabTopK = 8, maxOovFrac = 0.5, spanN = 3, scope = scope)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      // the 8-word shared prefix is one chained dup span: doc 1 (first) keeps
+      // it, doc 4 keeps only its non-shared tail; doc 3's OOV rate is judged
+      // against a vocabulary doc 2's junk never voted for
+      assert(out == Seq(
+        (1L, 10L, 10L, "the quick brown foxes and their sturdy friends run daily"),
+        (4L, 10L, 2L, "rest nightly")))
+    }
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      s"leaked: ${(sc.getPersistentRDDs.keySet -- before).toSeq.sorted}")
+  }
+
   test("sampleFrames: full frames only, cap respected, short payloads empty") {
     val rows = Seq(
       (0L, "x" * 200),  // frames at 0,64,128 -> 3 full 32-byte frames

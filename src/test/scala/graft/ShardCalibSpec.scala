@@ -138,6 +138,26 @@ class ShardCalibSpec extends AnyFunSuite {
     assert(kept("a") == 30 && kept("b") == 30)
   }
 
+  // ---- ensembleScore ----
+
+  test("ensembleScore: mean of per-group percentile ranks, fixed fold order, repartition-stable") {
+    // group a (n=3): signals rank differently per doc — the fusion is the
+    // plain mean of the two percent_ranks
+    val rows = Seq(
+      ("a", 1L, 10.0, 3.0),  // s ranks: s1 0.0, s2 1.0 -> 0.5
+      ("a", 2L, 20.0, 2.0),  //          s1 0.5, s2 0.5 -> 0.5
+      ("a", 3L, 30.0, 1.0),  //          s1 1.0, s2 0.0 -> 0.5
+      ("b", 4L, 5.0, 5.0),   // group b (n=2): 0.0, 0.0 -> 0.0
+      ("b", 5L, 6.0, 7.0))   //                1.0, 1.0 -> 1.0
+    val df = rows.toDF("src", "id", "s1", "s2")
+    val got = Stats.ensembleScore(df, "src", Seq("s1", "s2"))
+      .select(col("id"), col("ensemble_score")).as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.5, 4L -> 0.0, 5L -> 1.0))
+    val re = Stats.ensembleScore(df.repartition(7), "src", Seq("s1", "s2"))
+      .select(col("id"), col("ensemble_score")).as[(Long, Double)].collect().toMap
+    assert(re == got, "fusion must be layout-independent")
+  }
+
   // ---- weightedQuantiles ----
 
   /** Driver model: exact integer cums, min v with cum >= q*total. */
