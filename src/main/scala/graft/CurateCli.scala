@@ -97,6 +97,17 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             [[graft.ops.TextAnalysis.gopherQualityGate]]): per-doc
   *             features beside the verdict, for threshold tuning before
   *             wiring `ingest --quality Y`
+  *   drift   — distribution-drift gate against a STANDING histogram
+  *             ledger ([[graft.ops.HistLedger]], q153 discipline): the
+  *             batch's per-group total-variation distance vs the corpus
+  *             to date (the broken-extractor/poisoned-source canary),
+  *             then the batch appends under `--batch-id` as history for
+  *             the next one (`--update N` to probe read-only). The
+  *             signal defaults to token count of `--text-col`
+  *             (`--val-col` scores any numeric column); the bucket grid
+  *             is a FOUNDING constant — an absent ledger is founded
+  *             from this batch, a stored grid wins and restating a
+  *             disagreeing one fails loudly
   *   forget  — right-to-be-forgotten deletions against ANY standing
   *             store (`--store`): the ids in `--in` are appended to the
   *             store's tombstone sidecar ([[graft.ops.Tombstones]] —
@@ -159,6 +170,8 @@ object CurateCli {
       "--refound"),
     "annsearch" -> (CommonOptions - "--text-col" ++ Set("--index",
       "--vec-col", "--topk", "--nprobe")),
+    "drift" -> (CommonOptions ++ Set("--ledger", "--group-col", "--val-col",
+      "--update", "--batch-id", "--lo", "--hi", "--buckets")),
     // maintenance commands take no --out (forget's input IS the id list);
     // their sets are deliberately minimal so e.g. `compact --out X` fails
     // as loudly as a typo'd flag
@@ -229,7 +242,7 @@ object CurateCli {
     }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|bpe|tokenize|card|quality|forget|compact> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|bpe|tokenize|card|quality|drift|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -736,6 +749,66 @@ object CurateCli {
               Seq(idCol), "left")
           }
           write(withVocab, out)
+
+        case "drift" =>
+          // the distribution-drift gate against a STANDING histogram
+          // ledger (q153 discipline, graft.ops.HistLedger): score the
+          // arriving batch's per-group TV distance vs the corpus to
+          // date, THEN (unless --update N) append the batch under
+          // --batch-id so it becomes history for the next one. The
+          // signal defaults to the token count of --text-col (the
+          // sizing/extractor-health canary); --val-col scores any
+          // numeric column instead. Grid flags are FOUNDING constants:
+          // an absent ledger is founded from this batch ([0,8192)×64
+          // token-length default), an existing ledger's stored grid
+          // wins and restating a disagreeing one fails loudly
+          import spark.implicits._
+          val ledger = req("--ledger")
+          val groupCol = argv.getOrElse("--group-col", "lang")
+          val batch = argv.get("--val-col") match {
+            case Some(v) => in.select(col(groupCol).as("_hg"), col(v).as("_hv"))
+            case None    => in.select(col(groupCol).as("_hg"),
+              TextAnalysis.tokenCount(col(textCol)).as("_hv"))
+          }
+          val update = argv.getOrElse("--update", "Y") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--update must be Y or N, got '$other'")
+          }
+          val stored = graft.ops.HistLedger.params(spark, ledger)
+          val (lo, hi, nb) = stored match {
+            case Some((slo, shi, snb)) =>
+              if (argv.get("--lo").exists(_.toDouble != slo)
+                  || argv.get("--hi").exists(_.toDouble != shi)
+                  || argv.get("--buckets").exists(_.toInt != snb))
+                throw new IllegalArgumentException(
+                  s"histogram ledger at $ledger was founded with grid " +
+                    s"[$slo, $shi)×$snb; restating a different grid cannot " +
+                    "merge — drop the grid flags or use a new ledger dir")
+              (slo, shi, snb)
+            case None =>
+              (argv.getOrElse("--lo", "0").toDouble,
+                argv.getOrElse("--hi", "8192").toDouble,
+                argv.getOrElse("--buckets", "64").toInt)
+          }
+          val report = stored match {
+            case Some(_) =>
+              graft.ops.HistLedger.tvDistance(
+                  graft.ops.HistLedger.merged(spark, ledger),
+                  graft.ops.HistLedger.sketch(batch, "_hg", "_hv", lo, hi, nb))
+                .select(col("group").as(groupCol), col("tv_dist"))
+            case None =>
+              // founding batch: there is no history to drift against —
+              // an EMPTY report, not a fake zero
+              Seq.empty[(String, Double)].toDF(groupCol, "tv_dist")
+          }
+          write(report, out)
+          if (update)
+            graft.ops.HistLedger.append(spark, ledger, batch, "_hg", "_hv",
+              argv.getOrElse("--batch-id", sys.error(
+                "--update Y (the default) needs --batch-id")).toLong,
+              lo, hi, nb)
 
         case "forget" =>
           // deletion is by ID against any standing store; `--in` is the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DateNorm
-import graft.ops.{BudgetSelect, Corpus, Dedup, IdAssign, Layout, Multimodal, Pipeline, Scrub, Sessionize, Shard, Similarity, Stats, TextAnalysis}
+import graft.ops.{BudgetSelect, Cluster, Corpus, Dedup, HistLedger, IdAssign, Layout, Multimodal, Pipeline, Scrub, Sessionize, Shard, Similarity, Stats, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1716,6 +1716,91 @@ object SparkEntry {
       Similarity.embedOutliers(emb, "vec_id", "embedding", cents, topN = 16)
         .select(col("vec_id"), col("cell_id"), round(col("sim"), 4).as("sim"),
           col("far_rank"))
+    }),
+
+    // ---- Dedup census (round-9): the threshold-sweep decision table —
+    //      "at Jaccard cutoff t, what does the near-dup pass remove?" —
+    //      pairs generated ONCE at the loosest cutoff (q21's machinery),
+    //      every tighter threshold pure arithmetic over the per-victim
+    //      best scores. The table a 100 TB dedup's threshold is picked
+    //      from, at one threshold's cost ----
+    "q147_dup_rate_curve" -> ((s, dir) =>
+      Dedup.dupRateCurve(docShingles(s, dir, 5),
+        Seq(0.1, 0.2, 0.3, 0.5, 0.7, 0.9), maxDf = 10)),
+
+    // ---- Topic-balanced selection (round-9): q99's temperature draw
+    //      with the group played by the EMBEDDING cluster — cells from
+    //      q36's deterministic first-8 anchor codebook, assignment via
+    //      the broadcast argmax, draw via the BudgetSelect discipline.
+    //      The "don't let one topic dominate the mix" rung ----
+    "q148_topic_sample" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = emb.select(col("vec_id").as("_cid"),
+          col("embedding").cast("array<double>").as("_cv"))
+        .orderBy("_cid").limit(8)
+      Corpus.topicBalancedSample(emb, "vec_id", "embedding", cents,
+        alpha = 0.5, budget = 300L)
+    }),
+
+    // ---- Packing-efficiency report (round-9): the seqLen decision
+    //      table — sequences/padding/split-doc fraction per candidate
+    //      length, from ONE offset pass (offsets are length-independent;
+    //      q100's pack runs once, each candidate is row-local math) ----
+    "q149_packing_stats" -> ((s, dir) =>
+      TextAnalysis.packingStats(tbl(s, dir, "documents"), "doc_id", "text",
+        Seq(256, 512, 1024))),
+
+    // ---- Duplicate-cluster census (round-9): the size distribution of
+    //      q45's resolved components — how many 2-doc clusters, how many
+    //      50-doc ones, is there a boilerplate megacluster. Two narrow
+    //      map-side-combinable aggregations over the (id, label) table ----
+    "q150_cluster_census" -> ((s, dir) =>
+      Cluster.componentSizeHistogram(docClusters(s, dir), "component")),
+
+    // ---- Standing histogram ledger, merge path (round-9): per-(lang,
+    //      bucket) token-count histogram assembled from TWO per-batch
+    //      sketches summed by HistLedger.mergedOf — bucket counts merge
+    //      exactly, so the oracle is the one-shot histogram over the
+    //      union (the q131 two-paths-one-oracle discipline) ----
+    "q151_hist_ledger" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      HistLedger.mergedOf(Seq(
+        HistLedger.sketch(d.filter(col("doc_id") % 2 === 0), "lang", "n_tokens",
+          lo = 0.0, hi = 200.0, nBuckets = 20),
+        HistLedger.sketch(d.filter(col("doc_id") % 2 === 1), "lang", "n_tokens",
+          lo = 0.0, hi = 200.0, nBuckets = 20)))
+    }),
+
+    // ---- Ledger quantile brackets (round-9): per-(lang, q) the bucket
+    //      where the cumulative count reaches ⌈q·total⌉ plus its value
+    //      edges — distribution answers from counts alone, error ≤ one
+    //      bucket width; the window is bounded by the grid, never by
+    //      the corpus ----
+    "q152_hist_quantiles" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      HistLedger.quantilesOf(
+        HistLedger.sketch(d, "lang", "n_tokens", 0.0, 200.0, 20),
+        Seq(0.5, 0.9, 0.99), 0.0, 200.0, 20)
+    }),
+
+    // ---- Distribution-drift gate (round-9): total-variation distance
+    //      between two batches' token-count histograms per lang — exact
+    //      cross-multiplied integer arithmetic (decimal sums), ONE double
+    //      division at the end, so the score is deterministic and
+    //      oracle-able (no float summation order anywhere) ----
+    "q153_hist_drift" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      HistLedger.tvDistance(
+          HistLedger.sketch(d.filter(col("doc_id") % 2 === 0), "lang",
+            "n_tokens", 0.0, 200.0, 20),
+          HistLedger.sketch(d.filter(col("doc_id") % 2 === 1), "lang",
+            "n_tokens", 0.0, 200.0, 20))
+        .select(col("group").as("lang"), col("tv_dist"))
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -3846,5 +3931,185 @@ object SparkEntry {
         |p90 AS (SELECT source, CAST(MIN(nt) AS BIGINT) AS p90_tokens_mass
         |  FROM c WHERE cw * 10 >= 9 * tw GROUP BY source)
         |SELECT card.*, p50.p50_tokens_mass, p90.p90_tokens_mass
-        |FROM card LEFT JOIN p50 USING (source) LEFT JOIN p90 USING (source)""".stripMargin)
+        |FROM card LEFT JOIN p50 USING (source) LEFT JOIN p90 USING (source)""".stripMargin,
+
+    // q147: q21's pair CTEs at the loosest cutoff (0.1), collapsed to a
+    // per-victim best score, then pure arithmetic per literal threshold;
+    // drop_frac is the raw IEEE quotient of two exact counts
+    "q147_dup_rate_curve" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+        |  ELSE [] END AS sh FROM w),
+        |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 10),
+        |rinv AS (SELECT i.doc_id, i.g FROM inv i JOIN rare r ON i.g = r.g),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM rinv a JOIN rinv b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |f AS (SELECT doc_id, sh, len(sh) AS sz FROM s),
+        |j AS (SELECT id_a, id_b, fa.sz AS sz_a, fb.sz AS sz_b,
+        |             len(list_intersect(fa.sh, fb.sh)) AS common
+        |      FROM cand JOIN f fa ON id_a = fa.doc_id JOIN f fb ON id_b = fb.doc_id),
+        |p AS (SELECT id_b, max(common / (sz_a + sz_b - common)) AS bestj
+        |      FROM j WHERE common / (sz_a + sz_b - common) >= 0.1 GROUP BY id_b),
+        |t AS (SELECT unnest([0.1, 0.2, 0.3, 0.5, 0.7, 0.9]::DOUBLE[]) AS threshold),
+        |c AS (SELECT t.threshold, count(*) AS n_dropped
+        |      FROM t JOIN p ON p.bestj >= t.threshold GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT t.threshold, coalesce(c.n_dropped, 0) AS n_dropped, n.n_docs,
+        |  CAST(coalesce(c.n_dropped, 0) AS DOUBLE) / n.n_docs AS drop_frac
+        |FROM t LEFT JOIN c USING (threshold) CROSS JOIN n""".stripMargin,
+
+    // q148: q36's assignment CTEs (first-8 anchor centroids, cosine
+    // argmax, ties to the lowest cid) feeding q99's allocation CTEs with
+    // the cluster as the group, applied as the salted md5(id) per-group
+    // prefix — the same two proven oracles composed
+    "q148_topic_sample" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT e.vec_id AS id, c.cid,
+        |        list_cosine_similarity(e.v, c.cv) AS cs FROM e, c),
+        |cells AS (SELECT id, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM a) WHERE rn = 1),
+        |cnt AS (SELECT cid, count(*) AS n FROM cells GROUP BY cid),
+        |t AS (SELECT sum(power(n, 0.5)) AS tot FROM cnt),
+        |wt AS (SELECT cid, n, power(n, 0.5) / tot AS w FROM cnt, t),
+        |b AS (SELECT cid, CAST(floor(w * 300) AS BIGINT) AS base,
+        |        w * 300 - floor(w * 300) AS frac FROM wt),
+        |r AS (SELECT *, row_number() OVER (ORDER BY frac DESC, cid) AS rk,
+        |        (SELECT 300 - sum(base) FROM b) AS rem FROM b),
+        |al AS (SELECT cid, base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS alloc FROM r),
+        |sel AS (SELECT id, cid, row_number() OVER (PARTITION BY cid
+        |          ORDER BY md5('graft-temp|' || CAST(id AS VARCHAR)), id) AS rn
+        |        FROM cells)
+        |SELECT sel.id AS vec_id, CAST(sel.cid AS BIGINT) AS cell_id
+        |FROM sel JOIN al USING (cid) WHERE sel.rn <= al.alloc""".stripMargin,
+
+    // q149: q100's offset window replayed once (offsets are
+    // seqLen-independent), every candidate length pure integer math;
+    // the two fractions are raw IEEE quotients of exact integers
+    "q149_packing_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n FROM documents),
+        |o AS (SELECT doc_id, n,
+        |        coalesce(sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM t),
+        |l AS (SELECT unnest([256, 512, 1024]) AS seq_len),
+        |x AS (SELECT seq_len, n, off, off // seq_len AS sf,
+        |        (off + n - 1) // seq_len AS sl FROM o, l),
+        |g AS (SELECT seq_len, count(*) AS n_docs, sum(n) AS tok_total,
+        |        max(sl) + 1 AS n_seqs,
+        |        sum(CASE WHEN sl > sf THEN 1 ELSE 0 END) AS n_split,
+        |        sum(sl - sf) AS extra
+        |      FROM x GROUP BY seq_len)
+        |SELECT CAST(seq_len AS BIGINT) AS seq_len, n_docs,
+        |  CAST(tok_total AS BIGINT) AS tok_total, CAST(n_seqs AS BIGINT) AS n_seqs,
+        |  CAST(n_seqs * seq_len - tok_total AS BIGINT) AS pad_tokens,
+        |  CAST(n_split AS BIGINT) AS n_split,
+        |  CAST(n_split AS DOUBLE) / n_docs AS split_frac,
+        |  CAST(extra + n_docs AS DOUBLE) / n_seqs AS docs_per_seq
+        |FROM g""".stripMargin,
+
+    // q150: q45's recursive-CTE resolution aggregated to the size
+    // histogram — component sizes, clusters per size, docs per size
+    "q150_cluster_census" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+        |  ELSE [] END AS sh FROM w),
+        |sig AS (SELECT doc_id, sh, len(sh) AS sz,
+        |  list_min(list_transform(sh, x -> md5('0|'||x))) AS s0,
+        |  list_min(list_transform(sh, x -> md5('1|'||x))) AS s1,
+        |  list_min(list_transform(sh, x -> md5('2|'||x))) AS s2,
+        |  list_min(list_transform(sh, x -> md5('3|'||x))) AS s3 FROM s),
+        |band AS (SELECT doc_id, sh, sz, unnest(['0#'||s0||'#'||s1, '1#'||s2||'#'||s3]) AS bucket FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b,
+        |                a.sz AS sz_a, b.sz AS sz_b
+        |         FROM band a JOIN band b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |pair AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, sz_a, sz_b,
+        |                len(list_intersect(sh_a, sh_b)) AS common FROM cand)
+        |         WHERE common / (sz_a + sz_b - common) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pair UNION SELECT id_b, id_a FROM pair),
+        |reach AS (SELECT a AS node, b AS reached FROM e
+        |          UNION
+        |          SELECT r.node, e.b FROM reach r JOIN e ON r.reached = e.a WHERE e.b <> r.node),
+        |lab AS (SELECT node, least(node, min(reached)) AS cluster_id FROM reach GROUP BY node),
+        |lab2 AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS comp
+        |         FROM documents d LEFT JOIN lab l ON d.doc_id = l.node),
+        |szs AS (SELECT comp, count(*) AS csz FROM lab2 GROUP BY comp)
+        |SELECT csz AS cluster_size, count(*) AS n_clusters,
+        |  CAST(csz * count(*) AS BIGINT) AS n_docs
+        |FROM szs GROUP BY csz""".stripMargin,
+
+    // q151: bucket counts merge EXACTLY, so the two-batch merge path is
+    // oracled by the one-shot histogram over the union — the q131
+    // two-engine-paths-one-oracle discipline
+    "q151_hist_ledger" ->
+      """WITH t AS (SELECT lang,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n FROM documents),
+        |b AS (SELECT lang AS "group",
+        |        CASE WHEN CAST(n AS DOUBLE) < 0.0 THEN -1
+        |             WHEN CAST(n AS DOUBLE) >= 200.0 THEN 20
+        |             ELSE least(CAST(floor((CAST(n AS DOUBLE) - 0.0) / 10.0) AS BIGINT), 19)
+        |        END AS bucket
+        |      FROM t)
+        |SELECT "group", bucket, count(*) AS cnt FROM b GROUP BY 1, 2""".stripMargin,
+
+    // q152: cumulative counts per (group, bucket) probed at ⌈q·total⌉ —
+    // the ceil runs on the identical IEEE product in both engines; value
+    // edges are pure grid arithmetic (null = the open over/underflow edge)
+    "q152_hist_quantiles" ->
+      """WITH t AS (SELECT lang,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n FROM documents),
+        |b AS (SELECT lang AS "group",
+        |        CASE WHEN CAST(n AS DOUBLE) < 0.0 THEN -1
+        |             WHEN CAST(n AS DOUBLE) >= 200.0 THEN 20
+        |             ELSE least(CAST(floor((CAST(n AS DOUBLE) - 0.0) / 10.0) AS BIGINT), 19)
+        |        END AS bucket
+        |      FROM t),
+        |h AS (SELECT "group", bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |tot AS (SELECT "group", sum(cnt) AS tt FROM h GROUP BY 1),
+        |cum AS (SELECT "group", bucket,
+        |          sum(cnt) OVER (PARTITION BY "group" ORDER BY bucket) AS cm FROM h),
+        |q AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+        |probe AS (SELECT cum."group", q.q, min(cum.bucket) AS bucket
+        |          FROM cum JOIN tot USING ("group"), q
+        |          WHERE cum.cm >= ceil(q.q * tot.tt) GROUP BY 1, 2)
+        |SELECT "group", q, bucket,
+        |  CASE WHEN bucket = -1 THEN NULL WHEN bucket = 20 THEN 200.0
+        |       ELSE 0.0 + bucket * 10.0 END AS q_lo,
+        |  CASE WHEN bucket = -1 THEN 0.0 WHEN bucket = 20 THEN NULL
+        |       ELSE 0.0 + (bucket + 1) * 10.0 END AS q_hi
+        |FROM probe""".stripMargin,
+
+    // q153: total-variation drift between the two halves' histograms —
+    // the numerator is exact cross-multiplied integers (HUGEINT here,
+    // decimal(38,0) in the engine), ONE double division at the end, so
+    // the score is bit-deterministic with no float summation order
+    "q153_hist_drift" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n FROM documents),
+        |bk AS (SELECT doc_id, lang,
+        |        CASE WHEN CAST(n AS DOUBLE) < 0.0 THEN -1
+        |             WHEN CAST(n AS DOUBLE) >= 200.0 THEN 20
+        |             ELSE least(CAST(floor((CAST(n AS DOUBLE) - 0.0) / 10.0) AS BIGINT), 19)
+        |        END AS bucket
+        |      FROM t),
+        |a AS (SELECT lang, bucket, count(*) AS ca FROM bk WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |bb AS (SELECT lang, bucket, count(*) AS cb FROM bk WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        |ta AS (SELECT lang, sum(ca) AS ta FROM a GROUP BY 1),
+        |tb AS (SELECT lang, sum(cb) AS tb FROM bb GROUP BY 1),
+        |d AS (SELECT coalesce(a.lang, bb.lang) AS lang,
+        |        coalesce(a.ca, 0) AS ca, coalesce(bb.cb, 0) AS cb
+        |      FROM a FULL OUTER JOIN bb ON a.lang = bb.lang AND a.bucket = bb.bucket),
+        |n AS (SELECT d.lang,
+        |        sum(abs(CAST(ca AS HUGEINT) * tb.tb - CAST(cb AS HUGEINT) * ta.ta)) AS num
+        |      FROM d JOIN ta USING (lang) JOIN tb USING (lang) GROUP BY 1),
+        |tt AS (SELECT coalesce(ta.lang, tb.lang) AS lang, ta.ta, tb.tb
+        |       FROM ta FULL OUTER JOIN tb ON ta.lang = tb.lang)
+        |SELECT tt.lang, CASE WHEN tt.ta IS NULL OR tt.tb IS NULL THEN 1.0
+        |  ELSE CAST(n.num AS DOUBLE) / (2.0 * CAST(tt.ta AS DOUBLE) * CAST(tt.tb AS DOUBLE))
+        |  END AS tv_dist
+        |FROM tt LEFT JOIN n USING (lang)""".stripMargin)
 }

@@ -123,4 +123,26 @@ object Cluster {
       .select(col("_comp").as(componentCol), col("_best._id").as("survivor_id"),
         col("_best._score").as("survivor_score"), col("n_members"))
   }
+
+  /** Duplicate-cluster census: the size distribution of resolved
+    * components — "how many 2-doc clusters, how many 50-doc clusters,
+    * is there a megacluster" — the one-table answer to how duplicated a
+    * corpus actually is and what a dedup pass will buy. Read it before
+    * electing survivors: total removable mass = Σ (size−1)·n_clusters,
+    * and a single giant component (size ≈ corpus) is the classic
+    * boilerplate-shingle symptom that says FIX THE PAIR THRESHOLD, not
+    * run the dedup.
+    *
+    * Two narrow aggregations (component → size, size → count), both
+    * map-side combinable; input is [[connectedComponents]]' (id, label)
+    * table — ids and longs only. Returns (cluster_size, n_clusters,
+    * n_docs = size × count), one row per distinct size. */
+  def componentSizeHistogram(components: DataFrame,
+                             componentCol: String): DataFrame =
+    components.groupBy(col(componentCol))
+      .agg(count(lit(1)).as("_sz"))
+      .groupBy(col("_sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
 }

@@ -1262,6 +1262,31 @@ object Corpus {
     * Driver note: the collected mix table and BudgetSelect's prefix sums
     * make this operator EAGER at call time (like [[Stats.calibrateScores]]).
     * Complete actions on the result before `scope` closes. */
+  /** Topic-balanced selection: [[temperatureSample]] with the group
+    * played by the EMBEDDING-SPACE cluster instead of a metadata column
+    * — the "don't let one topic dominate the mix" rung of a training-mix
+    * pipeline (language/source tags catch provenance skew; half the web
+    * being product pages is invisible to them and obvious to any coarse
+    * clustering of the embeddings). Cells come from a caller-supplied
+    * codebook frame (`_cid`, `_cv`) — `ivfTrain` k-means, a standing
+    * IVF-PQ index's centroids, or the deterministic first-k anchor the
+    * gate query uses — so the op composes with the serving stack's
+    * cluster structure instead of re-training its own.
+    *
+    * Shape: [[graft.ops.Similarity.ivfAssign]]'s broadcast argmax (one
+    * hash shuffle on the id, no corpus window) labels each vector with
+    * its cell; the temperature draw then rides the
+    * [[graft.ops.BudgetSelect.selectByBudgetPerGroup]] discipline over
+    * (cell, salted md5) — the same zero-mega-group shape as q99.
+    * Returns (idCol, cell_id) for the selected vectors. */
+  def topicBalancedSample(vecs: DataFrame, idCol: String, vecCol: String,
+                          cents: DataFrame, alpha: Double, budget: Long,
+                          seed: String = "graft-temp",
+                          scope: CacheScope = CacheScope.noop): DataFrame = {
+    val assigned = graft.ops.Similarity.ivfAssign(cents, vecs, idCol, vecCol)
+    temperatureSample(assigned, idCol, "cell_id", alpha, budget, seed, scope)
+  }
+
   def temperatureSample(docs: DataFrame, idCol: String, groupCol: String,
                         alpha: Double, budget: Long,
                         seed: String = "graft-temp",

@@ -193,6 +193,64 @@ object Dedup {
     withSh.select(col("_id")).join(dropped, Seq("_id"), "left_anti")
   }
 
+  /** Dedup census — the threshold-sweep decision table run BEFORE a
+    * corpus-scale dedup: "at Jaccard cutoff t, what fraction of the
+    * corpus would the near-dup pass remove?" Real pipelines pick the
+    * cutoff from exactly this curve (too loose deletes paraphrases, too
+    * tight keeps boilerplate; the C4/RefinedWeb appendices publish this
+    * sweep for their corpora) — and picking it by re-running the full
+    * dedup once per candidate threshold pays the dominant pairing cost
+    * |thresholds| times. One pass instead:
+    *
+    * 1. pairs are generated ONCE at the LOOSEST threshold
+    *    (`thresholds.min`) via [[ngramJaccardPairsOf]] — the inverted
+    *    rare-shingle index is threshold-independent, so every tighter
+    *    cutoff's pair set is a subset by construction;
+    * 2. pair multiplicity collapses to one row per potential victim
+    *    (`max(jaccard)` over partners that would SURVIVE it — the
+    *    lower id of each pair, the repo's canonical min-id rule), so
+    *    the sweep expansion below is bounded by docs, not pairs;
+    * 3. the per-victim best scores fan out over the literal threshold
+    *    array (≤ |victims| × |thresholds| rows of two numeric columns)
+    *    and aggregate to one row per threshold.
+    *
+    * Returns (threshold, n_dropped, n_docs, drop_frac) — one row per
+    * distinct threshold, zero-count thresholds included. `drop_frac`
+    * is the raw IEEE quotient of two exact counts (the q98 no-rounding
+    * discipline). Chains are counted by the PAIR rule (B drops to A,
+    * C drops to B even though B itself drops): the census measures the
+    * single-pass near-dup verdict, matching [[precedenceDedup]]'s
+    * drop set, not the transitively-resolved cluster election.
+    *
+    * Scale shape: everything downstream of the pair op is metadata-thin
+    * — 8-byte ids and doubles; text and shingle arrays never re-enter.
+    * The thresholds and corpus-total frames are literal/single-row and
+    * broadcast. */
+  def dupRateCurve(withSh: DataFrame, thresholds: Seq[Double],
+                   maxDf: Int = 100): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val ts = thresholds.distinct.sorted
+    val best = ngramJaccardPairsOf(withSh, ts.head, maxDf)
+      .groupBy(col("id_b"))
+      .agg(max(col("jaccard")).as("_bestj"))
+    val spark = withSh.sparkSession
+    val thr = spark.range(1)
+      .select(explode(typedLit(ts)).as("threshold"))
+    val counts = best
+      .select(col("_bestj"), explode(typedLit(ts)).as("threshold"))
+      .filter(col("_bestj") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("_nd"))
+    val total = withSh.agg(count(lit(1)).as("n_docs"))
+    thr.join(counts, Seq("threshold"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("threshold"),
+        coalesce(col("_nd"), lit(0L)).as("n_dropped"),
+        col("n_docs"),
+        (coalesce(col("_nd"), lit(0L)).cast("double") / col("n_docs"))
+          .as("drop_frac"))
+  }
+
   /** MinHash-LSH candidate pairs verified with exact Jaccard. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,

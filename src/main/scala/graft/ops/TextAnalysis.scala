@@ -415,6 +415,60 @@ object TextAnalysis {
           s => s.getField("_rel"))).as("boundaries"))
   }
 
+  /** Packing-efficiency report — the seqLen decision table run BEFORE a
+    * corpus-scale pack: for each candidate sequence length, how many
+    * training sequences does the concat-and-chunk layout produce, how
+    * much tail padding, and — the number that actually moves the
+    * choice — what fraction of documents get SPLIT across a sequence
+    * boundary (each split truncates attention mid-document). Sweeping
+    * this by re-running [[sequencePack]] per candidate pays the
+    * token-count scan and the offset exchange |seqLens| times; one pass
+    * instead: the global running offset is seqLen-INDEPENDENT (it is
+    * just the cumulative token count in stream order), so the proven
+    * pack runs once and every candidate length is pure row-local
+    * arithmetic over its (n_tokens, start_off) output, fanned out over
+    * the literal seqLen array and re-aggregated.
+    *
+    * Returns one row per distinct seqLen: (seq_len, n_docs, tok_total,
+    * n_seqs, pad_tokens, n_split, split_frac, docs_per_seq) where
+    * `pad_tokens` is the final-sequence remainder (concat-and-chunk has
+    * no interior padding), `n_split` counts documents whose span crosses
+    * a boundary, and `docs_per_seq` is the mean number of documents a
+    * sequence touches (fragments per sequence — the attention-mask
+    * complexity knob). The two fractions are raw IEEE quotients of
+    * exact integers (the q98 discipline).
+    *
+    * Scale shape: downstream of the one pack, rows are three ints wide;
+    * the explode multiplies that narrow frame by |seqLens| and the
+    * aggregate combines map-side (count/sum/max all partial-aggregable)
+    * into |seqLens| rows. */
+  def packingStats(df: DataFrame, idCol: String, textCol: String,
+                   seqLens: Seq[Int],
+                   scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(seqLens.nonEmpty, "seqLens must be non-empty")
+    require(seqLens.forall(_ > 0), s"seqLens must be positive, got $seqLens")
+    val ls = seqLens.distinct.sorted.map(_.toLong)
+    val packed = sequencePack(df, idCol, textCol, ls.head.toInt, scope)
+      .select(col("n_tokens"), col("start_off"))
+    packed
+      .select(col("n_tokens"), col("start_off"),
+        explode(typedLit(ls)).as("seq_len"))
+      .withColumn("_sf", expr("start_off div seq_len"))
+      .withColumn("_sl", expr("(start_off + n_tokens - 1) div seq_len"))
+      .groupBy(col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tok_total"),
+        (max(col("_sl")) + 1L).as("n_seqs"),
+        sum(when(col("_sl") > col("_sf"), 1L).otherwise(0L)).as("n_split"),
+        sum(col("_sl") - col("_sf")).as("_extra"))
+      .select(col("seq_len"), col("n_docs"), col("tok_total"), col("n_seqs"),
+        (col("n_seqs") * col("seq_len") - col("tok_total")).as("pad_tokens"),
+        col("n_split"),
+        (col("n_split").cast("double") / col("n_docs")).as("split_frac"),
+        ((col("_extra") + col("n_docs")).cast("double") / col("n_seqs"))
+          .as("docs_per_seq"))
+  }
+
   /** Core packing with a pluggable stream order. `orderKey` (evaluated
     * against `df`'s columns) defines the concatenation order, tie-broken
     * by id for a total order; None = id order. Same scale discipline as

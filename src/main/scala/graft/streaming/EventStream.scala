@@ -356,6 +356,32 @@ object EventStream {
       }
       .start()
 
+  /** Maintain the corpus-to-date DISTRIBUTION ledger at ingest time —
+    * [[graft.ops.HistLedger.append]] as a streaming sink, the
+    * [[cardLedgerSink]] twin for histograms: every microbatch contributes
+    * its (group, bucket, cnt) rows under `ledgerDir/batch=<id>`, so the
+    * drift gate ([[graft.ops.HistLedger.drift]]) and the quantile
+    * brackets ([[graft.ops.HistLedger.quantiles]]) answer at any moment
+    * without rescanning ingested data. Same exactly-once argument:
+    * re-delivery overwrites the same `batch=<id>` dir; `keepLast` bounds
+    * the dir count via the staged-swap compaction, whose horizon guard
+    * keeps a post-compaction replay loud instead of double-counted.
+    * The bucket grid is the ledger's FOUNDING geometry — the first
+    * microbatch founds it; callers restating a different grid on an
+    * existing ledger fail at the first trigger. */
+  def histLedgerSink(stream: DataFrame, groupCol: String, valCol: String,
+                     ledgerDir: String, checkpoint: String,
+                     lo: Double, hi: Double, nBuckets: Int,
+                     keepLast: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.HistLedger.append(batch.sparkSession, ledgerDir,
+          batch.toDF(), groupCol, valCol, batchId, lo, hi, nBuckets, keepLast)
+        ()
+      }
+      .start()
+
   /** Probe every arriving microbatch against a STANDING MinHash-LSH
     * index ([[graft.ops.Dedup.loadNearDupIndex]]) AT INGEST TIME — the
     * fuzzy layer of the ingest front door, one rung past

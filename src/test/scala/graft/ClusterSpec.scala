@@ -52,4 +52,17 @@ class ClusterSpec extends AnyFunSuite {
     assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
       s"leaked: ${(sc.getPersistentRDDs.keySet -- before).toSeq.sorted}")
   }
+
+  test("componentSizeHistogram: sizes, cluster counts, and doc mass per size") {
+    // components: {0,1,2} (chain), {3,4}, {5}, {6}, {7} → one 3-cluster,
+    // one 2-cluster, three singletons
+    val nodes = (0L to 7L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("a", "b")
+    val comps = Cluster.connectedComponents(nodes, "id", edges, "a", "b")
+    val got = Cluster.componentSizeHistogram(comps, "component")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((3L, 1L, 3L), (2L, 1L, 2L), (1L, 3L, 3L)))
+    // invariant: total doc mass equals the node count
+    assert(got.toSeq.map(_._3).sum == 8L)
+  }
 }

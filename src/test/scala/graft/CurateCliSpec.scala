@@ -717,4 +717,62 @@ class CurateCliSpec extends AnyFunSuite {
       CurateCli.run("curate", Map("--in" -> "x", "--out" -> "y", "--bench" -> "b"))
     }
   }
+
+  test("drift command runs the standing histogram-ledger loop: found → score → append; grid discipline") {
+    import graft.ops.HistLedger
+    val led = tmp("cli-drift-led")
+    val in0 = tmp("cli-drift-in0"); val in1 = tmp("cli-drift-in1")
+    val out0 = tmp("cli-drift-out0"); val out1 = tmp("cli-drift-out1")
+    val out2 = tmp("cli-drift-out2")
+    val d = spark.read.parquet(docsPath)
+    d.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(in0)
+    d.filter(col("doc_id") % 2 === 1).write.mode("overwrite").parquet(in1)
+    def sk(p: String) = HistLedger.sketch(
+      spark.read.parquet(p).select(col("lang"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("n")),
+      "lang", "n", 0.0, 200.0, 20)
+
+    // founding batch: ledger absent → empty report (no fake zero), store founded
+    CurateCli.run("drift", Map("--in" -> in0, "--out" -> out0,
+      "--ledger" -> led, "--batch-id" -> "0",
+      "--lo" -> "0", "--hi" -> "200", "--buckets" -> "20"))
+    assert(spark.read.parquet(out0).count() == 0)
+    assert(HistLedger.params(spark, led).contains((0.0, 200.0, 20)))
+
+    // second batch scores against history EXACTLY as the library does,
+    // with the grid coming from the store (no flags restated)
+    CurateCli.run("drift", Map("--in" -> in1, "--out" -> out1,
+      "--ledger" -> led, "--batch-id" -> "1"))
+    val got = spark.read.parquet(out1).as[(String, Double)].collect().toMap
+    val want = HistLedger.tvDistance(sk(in0), sk(in1))
+      .as[(String, Double)].collect().toMap
+    assert(got == want && got.nonEmpty)
+
+    // read-only probe: --update N needs no batch id, mutates nothing,
+    // and now scores b1 against BOTH appended batches
+    def batchDirs() = new java.io.File(led).listFiles().map(_.getName)
+      .count(_.startsWith("batch="))
+    val dirsBefore = batchDirs()
+    CurateCli.run("drift", Map("--in" -> in1, "--out" -> out2,
+      "--ledger" -> led, "--update" -> "N"))
+    assert(batchDirs() == dirsBefore, "--update N must not touch the store")
+    val got2 = spark.read.parquet(out2).as[(String, Double)].collect().toMap
+    val want2 = HistLedger.tvDistance(
+        HistLedger.mergedOf(Seq(sk(in0), sk(in1))), sk(in1))
+      .as[(String, Double)].collect().toMap
+    assert(got2 == want2)
+
+    // restating a disagreeing grid on a founded ledger fails loudly
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("drift", Map("--in" -> in1, "--out" -> out2,
+        "--ledger" -> led, "--update" -> "N", "--hi" -> "100"))
+    }
+    assert(e.getMessage.contains("grid"))
+    // updating without a batch id fails before the store is touched
+    intercept[RuntimeException] {
+      CurateCli.run("drift", Map("--in" -> in1, "--out" -> out2,
+        "--ledger" -> led))
+    }
+    rm(led, in0, in1, out0, out1, out2)
+  }
 }

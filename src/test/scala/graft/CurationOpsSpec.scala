@@ -519,4 +519,88 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(unif == Map("a" -> 50L, "b" -> 50L))
   }
+
+  // ---- Dedup.dupRateCurve (round-9) ----
+
+  test("dupRateCurve: per-threshold drop counts match per-threshold precedence dedup, zero rows kept") {
+    // three near-identical docs (one 5-gram apart) + one unrelated:
+    // pair jaccards land at distinct values so thresholds discriminate
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val half = (1 to 8).map(i => s"w$i").mkString(" ") + " y1 y2 y3 y4"
+    val docs = Seq(
+      (0L, base),   // 8 shingles (5-grams of 12 tokens)
+      (1L, base + " w13"),   // superset: J(0,1) = 8/9
+      (2L, half),   // shares grams 1..4 only: J(0,2) = 4/12, J(1,2) = 4/13
+      (3L, "completely different text entirely unrelated words here ok")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 5)
+    val got = Dedup.dupRateCurve(sh, Seq(0.2, 0.5, 0.95), maxDf = 10)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // victims (higher id of each pair ≥ t): t=0.2 → {1 (via 0), 2 (via 0)};
+    // t=0.5 → {1}; t=0.95 → {}
+    assert(got.toSeq == Seq(
+      (0.2, 2L, 4L, 0.5), (0.5, 1L, 4L, 0.25), (0.95, 0L, 4L, 0.0)))
+    // cross-check each threshold against an independent per-threshold run
+    for ((t, nd, _, _) <- got) {
+      val pairs = Dedup.ngramJaccardPairsOf(sh, minJaccard = t, maxDf = 10)
+      val victims = pairs.select(col("id_b")).distinct().count()
+      assert(victims == nd, s"threshold $t")
+    }
+  }
+
+  // ---- TextAnalysis.packingStats (round-9) ----
+
+  test("packingStats matches the naive per-seqLen model from one offset pass") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (0L, (1 to 5).map(i => s"a$i").mkString(" ")),   // 5 tokens, off 0
+      (1L, (1 to 9).map(i => s"b$i").mkString(" ")),   // 9 tokens, off 5
+      (2L, "c1 c2"),                                   // 2 tokens, off 14
+      (3L, (1 to 20).map(i => s"d$i").mkString(" "))   // 20, off 16
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.packingStats(docs, "doc_id", "text", Seq(8, 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+      .sortBy(_._1).toSeq
+    // T=36. L=8: spans 0-4|5-13|14-15|16-35 → sf/sl = 0/0, 0/1, 1/1, 2/4
+    //   n_seqs=5, pad=40-36=4, splits={1,3}=2, touches=1+2+1+3=7
+    // L=16: sf/sl = 0/0, 0/0, 0/0, 1/2 → n_seqs=3, pad=48-36=12,
+    //   splits={3}=1, touches=1+1+1+2=5
+    assert(got == Seq(
+      (8L, 4L, 36L, 5L, 4L, 2L, 0.5, 7.0 / 5.0),
+      (16L, 4L, 36L, 3L, 12L, 1L, 0.25, 5.0 / 3.0)))
+    // and the one-pass sweep agrees with individually-run packs
+    for (l <- Seq(8, 16)) {
+      val single = TextAnalysis.sequencePack(docs, "doc_id", "text", l)
+      val splits = single.filter(col("seq_last") > col("seq_first")).count()
+      assert(splits == got.find(_._1 == l).get._6, s"seqLen $l")
+    }
+  }
+
+  // ---- Corpus.topicBalancedSample (round-9) ----
+
+  test("topicBalancedSample = ivfAssign ∘ temperatureSample: balanced across embedding cells") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.select(col("vec_id").as("_cid"),
+        col("embedding").cast("array<double>").as("_cv"))
+      .orderBy("_cid").limit(8)
+    val got = Corpus.topicBalancedSample(emb, "vec_id", "embedding", cents,
+      alpha = 0.5, budget = 100L)
+    // exactly the composed path, and exactly the budget
+    val assigned = Similarity.ivfAssign(cents, emb, "vec_id", "embedding")
+    val ref = Corpus.temperatureSample(assigned, "vec_id", "cell_id", 0.5, 100L)
+      .as[(Long, Long)].collect().toSet
+    assert(got.as[(Long, Long)].collect().toSet == ref)
+    assert(got.count() == 100L)
+    // the draw follows the temperature allocation over CELLS
+    val mix = Corpus.temperatureMix(assigned, "cell_id", 0.5, 100L)
+      .select(col("cell_id").cast("long"), col("alloc"))
+      .as[(Long, Long)].collect().toMap
+    val byCell = got.groupBy("cell_id").count()
+      .as[(Long, Long)].collect().toMap
+    for ((cell, alloc) <- mix if alloc > 0)
+      assert(byCell.getOrElse(cell, 0L) == alloc, s"cell $cell")
+  }
 }
