@@ -108,6 +108,21 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             is a FOUNDING constant — an absent ledger is founded
   *             from this batch, a stored grid wins and restating a
   *             disagreeing one fails loudly
+  *   sample  — the standing inspection-sample loop
+  *             ([[graft.ops.SampleLedger]]): append the batch's
+  *             per-group bottom-k under `--batch-id`, then write the
+  *             corpus-to-date k-per-group uniform sample — the "show me
+  *             20 random documents from that source" answer with zero
+  *             data rescans (`--update N` dumps the current sample
+  *             without touching the store, no `--in` needed); k and
+  *             seed are FOUNDING constants, stored values win
+  *   stats   — the store doctor: one summary row for ANY standing store
+  *             or ledger dir (layout auto-detected — fingerprint
+  *             snapshot, neardup/embeddup/ivfpq index, card/histogram/
+  *             sample ledger): kind, main-table rows, batch-dir count,
+  *             pending tombstones, compaction horizon, founding params,
+  *             Bloom sidecar presence. Run it before forget/compact to
+  *             see what maintenance is owed
   *   forget  — right-to-be-forgotten deletions against ANY standing
   *             store (`--store`): the ids in `--in` are appended to the
   *             store's tombstone sidecar ([[graft.ops.Tombstones]] —
@@ -172,6 +187,9 @@ object CurateCli {
       "--vec-col", "--topk", "--nprobe")),
     "drift" -> (CommonOptions ++ Set("--ledger", "--group-col", "--val-col",
       "--update", "--batch-id", "--lo", "--hi", "--buckets")),
+    "sample" -> (CommonOptions ++ Set("--ledger", "--group-col",
+      "--payload-col", "--k", "--seed", "--update", "--batch-id")),
+    "stats" -> Set("--store", "--out", "--out-format"),
     // maintenance commands take no --out (forget's input IS the id list);
     // their sets are deliberately minimal so e.g. `compact --out X` fails
     // as loudly as a typo'd flag
@@ -242,7 +260,7 @@ object CurateCli {
     }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|bpe|tokenize|card|quality|drift|forget|compact> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|bpe|tokenize|card|quality|drift|sample|stats|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -809,6 +827,126 @@ object CurateCli {
               argv.getOrElse("--batch-id", sys.error(
                 "--update Y (the default) needs --batch-id")).toLong,
               lo, hi, nb)
+
+        case "sample" =>
+          // the standing inspection-sample loop (graft.ops.SampleLedger,
+          // q154 discipline): append the batch's per-group bottom-k,
+          // then dump the corpus-to-date sample. k/seed are FOUNDING
+          // constants — stored values win; explicitly restating
+          // disagreeing ones fails loudly
+          val ledger = req("--ledger")
+          val update = argv.getOrElse("--update", "Y") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--update must be Y or N, got '$other'")
+          }
+          // ALL five constants are founding (k, seed, and the three
+          // column choices — a ledger whose batches sampled different
+          // columns merges arithmetically but means nothing): stored
+          // values win, an explicitly restated disagreeing one fails
+          val p = graft.ops.SampleLedger.params(spark, ledger) match {
+            case Some(p0) =>
+              val restated = Seq(
+                argv.get("--k").exists(_.toInt != p0.k),
+                argv.get("--seed").exists(_ != p0.seed),
+                argv.get("--group-col").exists(_ != p0.groupCol),
+                argv.get("--id-col").exists(_ != p0.idCol),
+                argv.get("--payload-col").exists(_ != p0.payloadCol))
+              if (restated.exists(identity))
+                throw new IllegalArgumentException(
+                  s"sample ledger at $ledger was founded with $p0; " +
+                    "restating different constants cannot merge — drop " +
+                    "the flags or use a new ledger dir")
+              p0
+            case None => graft.ops.SampleLedger.SampleParams(
+              argv.getOrElse("--k", "20").toInt,
+              argv.getOrElse("--seed", "graft-sample"),
+              argv.getOrElse("--group-col", "lang"), idCol,
+              argv.getOrElse("--payload-col", textCol))
+          }
+          if (update)
+            graft.ops.SampleLedger.append(spark, ledger, in, p.groupCol,
+              p.idCol, p.payloadCol,
+              argv.getOrElse("--batch-id", sys.error(
+                "--update Y (the default) needs --batch-id")).toLong,
+              p.k, p.seed)
+          write(graft.ops.SampleLedger.merged(spark, ledger), out)
+
+        case "stats" =>
+          // the store doctor: ONE summary row for any standing store or
+          // ledger dir — what maintenance is owed, before forget/compact.
+          // Index stores are identified by the table only they have;
+          // ledger dirs by the schema of their batch dirs; the flat
+          // fingerprint snapshot is the gated fallback
+          import spark.implicits._
+          val store = req("--store")
+          val fsys = new org.apache.hadoop.fs.Path(store)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          def has(child: String) =
+            fsys.exists(new org.apache.hadoop.fs.Path(s"$store/$child"))
+          def children() =
+            fsys.listStatus(new org.apache.hadoop.fs.Path(store))
+              .map(_.getPath.getName).toSeq
+          val batchDirs =
+            if (fsys.exists(new org.apache.hadoop.fs.Path(store)))
+              children().filter(_.startsWith("batch=")).sorted
+            else Seq.empty
+          val kind =
+            if (has("shingles")) "neardup"
+            else if (has("buckets")) "embeddup"
+            else if (has("coded")) "ivfpq"
+            else if (batchDirs.nonEmpty) {
+              val cols = spark.read.parquet(s"$store/${batchDirs.head}")
+                .columns.toSet
+              if (cols.contains("sketch")) "cardledger"
+              else if (cols.contains("bucket")) "histledger"
+              else if (cols.contains("payload")) "sampleledger"
+              else throw new IllegalArgumentException(
+                s"unrecognized ledger schema at '$store/${batchDirs.head}': $cols")
+            } else if (snapshotHasData(fsys, store)) "snapshot"
+            else throw new IllegalArgumentException(
+              s"no standing store at '$store'")
+          val mainTable = kind match {
+            case "neardup"  => s"$store/shingles"
+            case "embeddup" => s"$store/buckets"
+            case "ivfpq"    => s"$store/coded"
+            case _          => store // flat snapshot / ledger batch dirs
+          }
+          val nRows = spark.read.parquet(mainTable).count()
+          val nTombs =
+            if (has("_tombstones"))
+              spark.read.parquet(s"$store/_tombstones").count()
+            else 0L
+          val horizonOpt = {
+            val p = new org.apache.hadoop.fs.Path(s"$store/_horizon")
+            if (fsys.exists(p)) {
+              val s2 = fsys.open(p)
+              try Some(new String(s2.readAllBytes(), "UTF-8").trim.toLong)
+              finally s2.close()
+            } else None
+          }
+          val paramsStr: Option[String] = kind match {
+            case "histledger" | "sampleledger" =>
+              val p = new org.apache.hadoop.fs.Path(s"$store/_params")
+              if (fsys.exists(p)) {
+                val s2 = fsys.open(p)
+                // one-per-line founding constants render space-joined
+                try Some(new String(s2.readAllBytes(), "UTF-8").trim
+                  .split("\n").map(_.trim).mkString(" "))
+                finally s2.close()
+              } else None
+            case "neardup" | "embeddup" | "ivfpq" =>
+              val row = spark.read.parquet(s"$store/params").head()
+              Some(row.schema.fieldNames.zipWithIndex
+                .map { case (f, i) => s"$f=${row.get(i)}" }.mkString(" "))
+            case _ => None
+          }
+          write(Seq((store, kind, nRows, batchDirs.size.toLong, nTombs,
+              horizonOpt, paramsStr,
+              if (has("_bloom")) "Y" else "N"))
+            .toDF("store", "kind", "n_rows", "n_batches", "n_tombstones",
+              "horizon", "params", "bloom"), out)
 
         case "forget" =>
           // deletion is by ID against any standing store; `--in` is the

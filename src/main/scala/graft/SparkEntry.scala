@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DateNorm
-import graft.ops.{BudgetSelect, Cluster, Corpus, Dedup, HistLedger, IdAssign, Layout, Multimodal, Pipeline, Scrub, Sessionize, Shard, Similarity, Stats, TextAnalysis}
+import graft.ops.{BudgetSelect, Cluster, Corpus, Dedup, HistLedger, IdAssign, Layout, Multimodal, Pipeline, SampleLedger, Scrub, Sessionize, Shard, Similarity, Stats, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1801,6 +1801,21 @@ object SparkEntry {
           HistLedger.sketch(d.filter(col("doc_id") % 2 === 1), "lang",
             "n_tokens", 0.0, 200.0, 20))
         .select(col("group").as("lang"), col("tv_dist"))
+    }),
+
+    // ---- Standing inspection-sample ledger, merge path (round-9): the
+    //      corpus-to-date k-per-group uniform sample assembled from two
+    //      per-batch bottom-k sketches — bottom-k by salted md5 merges
+    //      exactly (bottom-k(A∪B) = bottom-k(bottom-k(A) ∪ bottom-k(B))),
+    //      so the oracle is the one-shot per-group bottom-k over the
+    //      union (the q131/q151 two-paths-one-oracle discipline) ----
+    "q154_sample_ledger" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      SampleLedger.mergedOf(Seq(
+        SampleLedger.sketch(d.filter(col("doc_id") % 2 === 0),
+          "lang", "doc_id", "source", 5),
+        SampleLedger.sketch(d.filter(col("doc_id") % 2 === 1),
+          "lang", "doc_id", "source", 5)), 5)
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -4111,5 +4126,18 @@ object SparkEntry {
         |SELECT tt.lang, CASE WHEN tt.ta IS NULL OR tt.tb IS NULL THEN 1.0
         |  ELSE CAST(n.num AS DOUBLE) / (2.0 * CAST(tt.ta AS DOUBLE) * CAST(tt.tb AS DOUBLE))
         |  END AS tv_dist
-        |FROM tt LEFT JOIN n USING (lang)""".stripMargin)
+        |FROM tt LEFT JOIN n USING (lang)""".stripMargin,
+
+    // q154: the per-group bottom-k by salted md5 (the groupCap/q111
+    // draw convention) over the whole corpus — the exact value the
+    // two-batch merge path reassembles
+    "q154_sample_ledger" ->
+      """WITH s AS (SELECT lang AS "group", CAST(doc_id AS VARCHAR) AS id,
+        |    CAST(source AS VARCHAR) AS payload,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft-sample|' || CAST(doc_id AS VARCHAR)),
+        |               CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM documents)
+        |SELECT "group", id, payload, CAST(rn AS BIGINT) AS cap_rank
+        |FROM s WHERE rn <= 5""".stripMargin)
 }

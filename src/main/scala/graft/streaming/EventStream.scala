@@ -382,6 +382,27 @@ object EventStream {
       }
       .start()
 
+  /** Maintain the corpus-to-date INSPECTION SAMPLE at ingest time —
+    * [[graft.ops.SampleLedger.append]] as a streaming sink, completing
+    * the ledger-sink family (counts, distributions, and now the rows a
+    * human looks at). Safe under at-least-once twice over: same-id
+    * re-delivery overwrites its dir, and the bottom-k fold is
+    * CONTENT-idempotent — even a replay under a new id cannot change
+    * the sample. */
+  def sampleLedgerSink(stream: DataFrame, groupCol: String, idCol: String,
+                       payloadCol: String, ledgerDir: String,
+                       checkpoint: String, k: Int,
+                       seed: String = "graft-sample",
+                       keepLast: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.SampleLedger.append(batch.sparkSession, ledgerDir,
+          batch.toDF(), groupCol, idCol, payloadCol, batchId, k, seed, keepLast)
+        ()
+      }
+      .start()
+
   /** Probe every arriving microbatch against a STANDING MinHash-LSH
     * index ([[graft.ops.Dedup.loadNearDupIndex]]) AT INGEST TIME — the
     * fuzzy layer of the ingest front door, one rung past

@@ -775,4 +775,91 @@ class CurateCliSpec extends AnyFunSuite {
     }
     rm(led, in0, in1, out0, out1, out2)
   }
+
+  test("sample command runs the standing sample loop; --update N dumps read-only; stored k wins") {
+    import graft.ops.SampleLedger
+    val led = tmp("cli-sample-led")
+    val in0 = tmp("cli-sample-in0"); val in1 = tmp("cli-sample-in1")
+    val out1 = tmp("cli-sample-out1"); val out2 = tmp("cli-sample-out2")
+    val out3 = tmp("cli-sample-out3")
+    val d = spark.read.parquet(docsPath)
+    d.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(in0)
+    d.filter(col("doc_id") % 2 === 1).write.mode("overwrite").parquet(in1)
+    def got(p: String) = spark.read.parquet(p)
+      .as[(String, String, String, Long)].collect().toSet
+
+    CurateCli.run("sample", Map("--in" -> in0, "--out" -> out1,
+      "--ledger" -> led, "--batch-id" -> "0", "--k" -> "5",
+      "--payload-col" -> "source"))
+    CurateCli.run("sample", Map("--in" -> in1, "--out" -> out2,
+      "--ledger" -> led, "--batch-id" -> "1"))
+    // corpus-to-date ≡ the in-memory merge of both batch sketches (q154)
+    val want = SampleLedger.mergedOf(Seq(
+        SampleLedger.sketch(spark.read.parquet(in0), "lang", "doc_id", "source", 5),
+        SampleLedger.sketch(spark.read.parquet(in1), "lang", "doc_id", "source", 5)), 5)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got(out2) == want && want.nonEmpty)
+    // read-only dump: no --in needed, store untouched, same sample
+    def batchDirs() = new java.io.File(led).listFiles().map(_.getName)
+      .count(_.startsWith("batch="))
+    val dirs = batchDirs()
+    CurateCli.run("sample", Map("--out" -> out3, "--ledger" -> led,
+      "--update" -> "N"))
+    assert(batchDirs() == dirs && got(out3) == got(out2))
+    // restating a disagreeing k fails loudly even read-only
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("sample", Map("--out" -> out3, "--ledger" -> led,
+        "--update" -> "N", "--k" -> "9"))
+    }
+    assert(e.getMessage.contains("founded"))
+    rm(led, in0, in1, out1, out2, out3)
+  }
+
+  test("stats command reports kind, rows, batches, tombstones, horizon, params across store families") {
+    import graft.ops.{HistLedger, SampleLedger}
+    val d = spark.read.parquet(docsPath)
+    def stats(store: String): (String, Long, Long, Long, Option[Long], Option[String], String) = {
+      val out = tmp("cli-stats-out")
+      CurateCli.run("stats", Map("--store" -> store, "--out" -> out))
+      val r = spark.read.parquet(out).head()
+      val t = (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getString(6)), r.getString(7))
+      rm(out); t
+    }
+
+    // sample ledger: 2 batches, founding params visible
+    val sled = tmp("cli-stats-sled")
+    (0 to 1).foreach(i => SampleLedger.append(spark, sled,
+      d.filter(col("doc_id") % 2 === i), "lang", "doc_id", "source", i.toLong, k = 5))
+    val s1 = stats(sled)
+    assert(s1._1 == "sampleledger" && s1._3 == 2L
+      && s1._6.contains("5 graft-sample lang doc_id source"))
+
+    // hist ledger compacted: horizon surfaced
+    val hled = tmp("cli-stats-hled")
+    (0 to 2).foreach(i => HistLedger.append(spark, hled,
+      d.filter(col("doc_id") % 3 === i)
+        .select(col("lang"), graft.ops.TextAnalysis.tokenCount(col("text")).as("n")),
+      "lang", "n", i.toLong, 0.0, 200.0, 20))
+    HistLedger.compact(spark, hled, upTo = 1L)
+    val s2 = stats(hled)
+    assert(s2._1 == "histledger" && s2._3 == 2L && s2._5.contains(1L)
+      && s2._6.exists(_.startsWith("0.0 200.0 20")))
+
+    // fingerprint snapshot with pending tombstones (built via the CLI loop)
+    val snap = tmp("cli-stats-snap"); val v = tmp("cli-stats-verdicts")
+    val in0 = tmp("cli-stats-in0"); val ids = tmp("cli-stats-ids")
+    d.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(in0)
+    CurateCli.run("dedup", Map("--in" -> in0, "--out" -> v, "--snapshot" -> snap))
+    d.filter(col("doc_id") % 10 === 0).select("doc_id")
+      .write.mode("overwrite").parquet(ids)
+    CurateCli.run("forget", Map("--in" -> ids, "--store" -> snap))
+    val s3 = stats(snap)
+    assert(s3._1 == "snapshot" && s3._2 > 0L && s3._4 > 0L && s3._7 == "N")
+
+    // a typo'd path fails loudly
+    intercept[IllegalArgumentException] { stats(sled + "/nope") }
+    rm(sled, hled, snap, v, in0, ids)
+  }
 }
