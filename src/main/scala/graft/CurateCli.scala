@@ -48,10 +48,13 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             unified (id, verdict, hist_id, jaccard) verdict table
   *             in escalating rung-cost order; unless `--update N`, the
   *             FINAL-kept docs (and only those — a near-dup's canonical
-  *             copy is already in history) extend BOTH stores, and
-  *             `--ledger DIR --batch-id N` also appends their distinct
-  *             content counts to the standing card ledger. Absent
-  *             stores are founded from the first batch
+  *             copy is already in history) extend BOTH stores, and the
+  *             standing ledgers ride the same kept set: `--ledger DIR`
+  *             appends distinct content counts (card), `--hist DIR` the
+  *             token-length histogram (drift-gate history), `--sample
+  *             DIR` the k-per-group inspection sample — each keyed by
+  *             `--batch-id N`. Absent stores are founded from the
+  *             first batch
   *   neardup — the FUZZY layer of the same loop: probe the batch against
   *             a STANDING MinHash-LSH index dir
   *             ([[Dedup.incrementalNearDupsWith]], q97/q126 discipline),
@@ -116,6 +119,12 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             data rescans (`--update N` dumps the current sample
   *             without touching the store, no `--in` needed); k and
   *             seed are FOUNDING constants, stored values win
+  *   select  — balanced corpus selection ([[graft.ops.Corpus.waterfillSample]],
+  *             q156 discipline): draw exactly `--budget` documents with
+  *             per-group shares temperature-weighted (`--alpha`) and
+  *             WATER-FILLED — small groups taken whole, their unused
+  *             share re-flowed, so the draw never silently under-delivers;
+  *             writes the selected document ROWS
   *   stats   — the store doctor: one summary row for ANY standing store
   *             or ledger dir (layout auto-detected — fingerprint
   *             snapshot, neardup/embeddup/ivfpq index, card/histogram/
@@ -174,8 +183,8 @@ object CurateCli {
       "--bloom", "--bloom-capacity")),
     "ingest" -> (CommonOptions ++ Set("--snapshot", "--index", "--update",
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram",
-      "--ledger", "--batch-id", "--group-col", "--quality", "--min-words",
-      "--bloom", "--bloom-capacity")),
+      "--ledger", "--hist", "--sample", "--batch-id", "--group-col",
+      "--quality", "--min-words", "--bloom", "--bloom-capacity")),
     "neardup" -> (CommonOptions ++ Set("--index", "--update-index",
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram")),
     "embeddup" -> (CommonOptions ++ Set("--index", "--update-index",
@@ -189,6 +198,8 @@ object CurateCli {
       "--update", "--batch-id", "--lo", "--hi", "--buckets")),
     "sample" -> (CommonOptions ++ Set("--ledger", "--group-col",
       "--payload-col", "--k", "--seed", "--update", "--batch-id")),
+    "select" -> (CommonOptions ++ Set("--group-col", "--alpha", "--budget",
+      "--seed")),
     "stats" -> Set("--store", "--out", "--out-format"),
     // maintenance commands take no --out (forget's input IS the id list);
     // their sets are deliberately minimal so e.g. `compact --out X` fails
@@ -260,7 +271,7 @@ object CurateCli {
     }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|bpe|tokenize|card|quality|drift|sample|stats|forget|compact> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|bpe|tokenize|card|quality|drift|sample|select|stats|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -464,10 +475,13 @@ object CurateCli {
               s"--quality must be Y or N, got '$other'")
           }
           val ledger = argv.get("--ledger")
+          val histDir = argv.get("--hist")
+          val sampleDir = argv.get("--sample")
           // fail on a malformed/missing batch id BEFORE any store mutates
-          val ledgerBatch = ledger.map { _ =>
+          val ledgerBatch = ledger.orElse(histDir).orElse(sampleDir).map { _ =>
             argv.getOrElse("--batch-id", throw new IllegalArgumentException(
-              "--ledger requires --batch-id (the ledger is keyed per ingest batch)")).toLong
+              "--ledger/--hist/--sample require --batch-id (ledgers are " +
+                "keyed per ingest batch)")).toLong
           }
           val fs = new org.apache.hadoop.fs.Path(snapDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -544,11 +558,27 @@ object CurateCli {
                 argv.getOrElse("--minhash-k", "4").toInt,
                 argv.getOrElse("--rows-per-band", "2").toInt,
                 argv.getOrElse("--ngram", "5").toInt, scope), idxDir)
+            val grpCol = argv.getOrElse("--group-col", "source")
             for (ledgerDir <- ledger)
               graft.ops.Corpus.cardLedgerAppend(spark, ledgerDir,
-                kept.select(col(argv.getOrElse("--group-col", "source")),
+                kept.select(col(grpCol),
                   TextAnalysis.fingerprint(col(textCol)).as("_fp")),
-                argv.getOrElse("--group-col", "source"), "_fp", ledgerBatch.get)
+                grpCol, "_fp", ledgerBatch.get)
+            // the other two standing ledgers ride the same kept set: the
+            // token-length distribution (drift gate history) and the
+            // k-per-group inspection sample — the corpus-to-date card,
+            // distribution, and eyeball sample all stay current as a
+            // side effect of the one ingest run. Founding uses the
+            // `drift`/`sample` defaults; an existing store's constants
+            // win (the library fails loudly on a grid/param mismatch)
+            for (d <- histDir)
+              graft.ops.HistLedger.append(spark, d,
+                kept.select(col(grpCol),
+                  TextAnalysis.tokenCount(col(textCol)).as("_n")),
+                grpCol, "_n", ledgerBatch.get, 0.0, 8192.0, 64)
+            for (d <- sampleDir)
+              graft.ops.SampleLedger.append(spark, d, kept, grpCol, idCol,
+                textCol, ledgerBatch.get, k = 20)
           }
 
         case "neardup" =>
@@ -872,6 +902,18 @@ object CurateCli {
                 "--update Y (the default) needs --batch-id")).toLong,
               p.k, p.seed)
           write(graft.ops.SampleLedger.merged(spark, ledger), out)
+
+        case "select" =>
+          // the water-filled balanced draw (q156): exact per-group
+          // allocations with capped-supply redistribution, applied as
+          // the salted-md5 prefix, then the selected ids pull their
+          // full rows — the "give me a balanced N-doc slice" front door
+          val picked = graft.ops.Corpus.waterfillSample(in, idCol,
+            argv.getOrElse("--group-col", "lang"),
+            argv.getOrElse("--alpha", "0.5").toDouble,
+            argv.getOrElse("--budget", "1000").toLong,
+            argv.getOrElse("--seed", "graft-temp"), scope)
+          write(in.join(picked.select(col(idCol)), Seq(idCol), "left_semi"), out)
 
         case "stats" =>
           // the store doctor: ONE summary row for any standing store or

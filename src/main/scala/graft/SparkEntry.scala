@@ -1816,6 +1816,62 @@ object SparkEntry {
           "lang", "doc_id", "source", 5),
         SampleLedger.sketch(d.filter(col("doc_id") % 2 === 1),
           "lang", "doc_id", "source", 5)), 5)
+    }),
+
+    // ---- Water-filling mixture allocation (round-9): temperature mixing
+    //      with SUPPLY CAPS and redistribution — small groups taken
+    //      whole, their unused share re-flowing to groups that can
+    //      absorb it, total exactly min(budget, corpus). Groups are the
+    //      q48 length buckets (skewed by construction, so the cap BINDS
+    //      at every SF); every float total comes from an ORDERED prefix
+    //      sum, bit-replayable in any engine ----
+    "q155_waterfill_mix" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(
+        TextAnalysis.lengthBucket(col("text"), width = 20, maxBucket = 9)
+          .as("bucket"))
+      Corpus.waterfillMix(d, "bucket", alpha = 0.5, budget = 400L)
+    }),
+
+    // ---- The water-filled draw APPLIED: exactly 400 docs (the corpus
+    //      can absorb it — capped buckets whole, the rest re-flowed),
+    //      selected in the salted-md5 per-group order ----
+    "q156_waterfill_sample" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.lengthBucket(col("text"), width = 20, maxBucket = 9)
+          .as("bucket"))
+      Corpus.waterfillSample(d, "doc_id", "bucket", alpha = 0.5, budget = 400L)
+    }),
+
+    // ---- Curriculum packing (round-9): the q100 pack with the stream
+    //      ordered by a DIFFICULTY key (n_chars here — short docs first),
+    //      ties to the id; easy docs land in the early sequences, the
+    //      curriculum schedule falls out of sequence order ----
+    "q157_curriculum_pack" -> ((s, dir) =>
+      TextAnalysis.curriculumPack(tbl(s, dir, "documents"), "doc_id", "text",
+        seqLen = 512, orderCol = col("n_chars"))),
+
+    // ---- Grouped sequence packing (round-9): one independent token
+    //      stream per LANGUAGE — no sequence ever mixes groups, offsets
+    //      count from each group's zero; the BudgetSelect cell
+    //      discipline applied to the pack (per-(partition, group)
+    //      totals, driver prefix sums per group, bounded windows) ----
+    "q158_grouped_pack" -> ((s, dir) =>
+      TextAnalysis.groupedSequencePack(tbl(s, dir, "documents"), "doc_id",
+        "text", "lang", seqLen = 512)),
+
+    // ---- TOKEN-budget water-filled mixing (round-9): the mix budget in
+    //      the unit a training budget is actually stated in — 40% of the
+    //      corpus's token mass, temperature-shared across length buckets
+    //      with capped-supply redistribution, drawn per group in salted
+    //      order under the q82 cum-cost admission rule ----
+    "q159_token_waterfill" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.lengthBucket(col("text"), width = 20, maxBucket = 9)
+          .as("bucket"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val tot = d.agg(sum(col("n_tokens"))).head().getLong(0)
+      Corpus.waterfillSampleByCost(d, "doc_id", "bucket", "n_tokens",
+        alpha = 0.5, budget = tot * 2 / 5)
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -4139,5 +4195,144 @@ object SparkEntry {
         |               CAST(doc_id AS VARCHAR)) AS rn
         |  FROM documents)
         |SELECT "group", id, payload, CAST(rn AS BIGINT) AS cap_rank
-        |FROM s WHERE rn <= 5""".stripMargin)
+        |FROM s WHERE rn <= 5""".stripMargin,
+
+    // q155: the closed-form waterfill replayed CTE-for-CTE — ratio-order
+    // prefix sums, the same IEEE capped test, largest-remainder split of
+    // the re-flowed budget among the uncapped groups (q99's allocation
+    // rule with the waterfill's remaining budget)
+    "q155_waterfill_mix" ->
+      """WITH t AS (SELECT least(CAST(floor(len(regexp_split_to_array(trim(text), '\s+')) / 20.0) AS BIGINT), 9) AS g FROM documents),
+        |c AS (SELECT g, count(*) AS s FROM t GROUP BY g),
+        |w AS (SELECT g, s, power(s, 0.5) AS w FROM c),
+        |p AS (SELECT g, s, w,
+        |        sum(s) OVER o AS cums, sum(w) OVER o AS cumw,
+        |        row_number() OVER (ORDER BY s / w, g) AS pos
+        |      FROM w WINDOW o AS (ORDER BY s / w, g ROWS UNBOUNDED PRECEDING)),
+        |tw AS (SELECT max(cumw) AS totw FROM p),
+        |p2 AS (SELECT p.*, tw.totw, cums - s AS sprev, cumw - w AS wprev FROM p, tw),
+        |p3 AS (SELECT *, (CAST(s AS DOUBLE) * (totw - wprev)
+        |                  <= CAST(400 - sprev AS DOUBLE) * w) AS ok FROM p2),
+        |ff AS (SELECT min(pos) AS ff FROM p3 WHERE NOT ok),
+        |p4 AS (SELECT p3.*, (ff.ff IS NULL OR p3.pos < ff.ff) AS capped FROM p3, ff),
+        |fin AS (SELECT max(CASE WHEN capped THEN cums END) AS cs2,
+        |               max(CASE WHEN capped THEN cumw END) AS cw2 FROM p4),
+        |p5 AS (SELECT p4.*, 400 - coalesce(fin.cs2, 0) AS rf,
+        |               p4.totw - coalesce(fin.cw2, 0.0) AS vf FROM p4, fin),
+        |unc AS (SELECT g, s, rf, w / vf * CAST(rf AS DOUBLE) AS ex FROM p5 WHERE NOT capped),
+        |unc2 AS (SELECT g, s, rf, CAST(floor(ex) AS BIGINT) AS base, ex - floor(ex) AS frac FROM unc),
+        |rem AS (SELECT max(rf) - sum(base) AS rem FROM unc2),
+        |unc3 AS (SELECT g, s, base, row_number() OVER (ORDER BY frac DESC, g) AS rk FROM unc2)
+        |SELECT g AS bucket, CAST(s AS BIGINT) AS n_docs, CAST(s AS BIGINT) AS alloc, 1 AS capped
+        |FROM p5 WHERE capped
+        |UNION ALL
+        |SELECT unc3.g AS bucket, CAST(unc3.s AS BIGINT) AS n_docs,
+        |  CAST(unc3.base + CASE WHEN unc3.rk <= rem.rem THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+        |  0 AS capped
+        |FROM unc3, rem""".stripMargin,
+
+    // q156: q155's allocation applied as the salted md5(id) per-group
+    // prefix — q99's draw with the water-filled counts
+    "q156_waterfill_sample" ->
+      """WITH t AS (SELECT doc_id, least(CAST(floor(len(regexp_split_to_array(trim(text), '\s+')) / 20.0) AS BIGINT), 9) AS g FROM documents),
+        |c AS (SELECT g, count(*) AS s FROM t GROUP BY g),
+        |w AS (SELECT g, s, power(s, 0.5) AS w FROM c),
+        |p AS (SELECT g, s, w,
+        |        sum(s) OVER o AS cums, sum(w) OVER o AS cumw,
+        |        row_number() OVER (ORDER BY s / w, g) AS pos
+        |      FROM w WINDOW o AS (ORDER BY s / w, g ROWS UNBOUNDED PRECEDING)),
+        |tw AS (SELECT max(cumw) AS totw FROM p),
+        |p2 AS (SELECT p.*, tw.totw, cums - s AS sprev, cumw - w AS wprev FROM p, tw),
+        |p3 AS (SELECT *, (CAST(s AS DOUBLE) * (totw - wprev)
+        |                  <= CAST(400 - sprev AS DOUBLE) * w) AS ok FROM p2),
+        |ff AS (SELECT min(pos) AS ff FROM p3 WHERE NOT ok),
+        |p4 AS (SELECT p3.*, (ff.ff IS NULL OR p3.pos < ff.ff) AS capped FROM p3, ff),
+        |fin AS (SELECT max(CASE WHEN capped THEN cums END) AS cs2,
+        |               max(CASE WHEN capped THEN cumw END) AS cw2 FROM p4),
+        |p5 AS (SELECT p4.*, 400 - coalesce(fin.cs2, 0) AS rf,
+        |               p4.totw - coalesce(fin.cw2, 0.0) AS vf FROM p4, fin),
+        |unc AS (SELECT g, s, rf, w / vf * CAST(rf AS DOUBLE) AS ex FROM p5 WHERE NOT capped),
+        |unc2 AS (SELECT g, s, rf, CAST(floor(ex) AS BIGINT) AS base, ex - floor(ex) AS frac FROM unc),
+        |rem AS (SELECT max(rf) - sum(base) AS rem FROM unc2),
+        |unc3 AS (SELECT g, base, row_number() OVER (ORDER BY frac DESC, g) AS rk FROM unc2),
+        |al AS (SELECT g, CAST(s AS BIGINT) AS alloc FROM p5 WHERE capped
+        |       UNION ALL
+        |       SELECT unc3.g, CAST(unc3.base + CASE WHEN unc3.rk <= rem.rem THEN 1 ELSE 0 END AS BIGINT)
+        |       FROM unc3, rem),
+        |sel AS (SELECT doc_id, g, row_number() OVER (PARTITION BY g
+        |          ORDER BY md5('graft-temp|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |        FROM t)
+        |SELECT sel.doc_id, sel.g AS bucket FROM sel JOIN al USING (g)
+        |WHERE sel.rn <= al.alloc""".stripMargin,
+
+    // q157: q100's running-offset replay with the difficulty key as the
+    // stream order (n_chars asc, ties to doc_id) — the engine's
+    // per-partition form is the 100 TB path, the window replays it
+    "q157_curriculum_pack" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n FROM documents),
+        |o AS (SELECT doc_id, n,
+        |        coalesce(sum(n) OVER (ORDER BY n_chars, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(off AS BIGINT) AS start_off,
+        |  CAST(off // 512 AS BIGINT) AS seq_first,
+        |  CAST((off + n - 1) // 512 AS BIGINT) AS seq_last
+        |FROM o""".stripMargin,
+
+    // q158: the per-group running offset replayed as one partitioned
+    // window — the engine's per-(partition, group) form is the 100 TB
+    // path, the window replays its result
+    "q158_grouped_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n FROM documents),
+        |o AS (SELECT doc_id, lang, n,
+        |        coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM t)
+        |SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(off AS BIGINT) AS start_off,
+        |  CAST(off // 512 AS BIGINT) AS seq_first,
+        |  CAST((off + n - 1) // 512 AS BIGINT) AS seq_last
+        |FROM o""".stripMargin,
+
+    // q159: the waterfill CTEs on TOKEN supplies (s = Σn per bucket, the
+    // budget 40% of the corpus token mass in exact integer division) +
+    // the q82 cum-cost admission draw in salted md5(id) order
+    "q159_token_waterfill" ->
+      """WITH t AS (SELECT doc_id,
+        |    least(CAST(floor(len(regexp_split_to_array(trim(text), '\s+')) / 20.0) AS BIGINT), 9) AS g,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n FROM documents),
+        |bud AS (SELECT CAST(sum(n) * 2 // 5 AS BIGINT) AS b FROM t),
+        |c AS (SELECT g, CAST(sum(n) AS BIGINT) AS s FROM t GROUP BY g),
+        |w AS (SELECT g, s, power(s, 0.5) AS w FROM c),
+        |p AS (SELECT g, s, w,
+        |        sum(s) OVER o AS cums, sum(w) OVER o AS cumw,
+        |        row_number() OVER (ORDER BY s / w, g) AS pos
+        |      FROM w WINDOW o AS (ORDER BY s / w, g ROWS UNBOUNDED PRECEDING)),
+        |tw AS (SELECT max(cumw) AS totw FROM p),
+        |p2 AS (SELECT p.*, tw.totw, bud.b, cums - s AS sprev, cumw - w AS wprev FROM p, tw, bud),
+        |p3 AS (SELECT *, (CAST(s AS DOUBLE) * (totw - wprev)
+        |                  <= CAST(b - sprev AS DOUBLE) * w) AS ok FROM p2),
+        |ff AS (SELECT min(pos) AS ff FROM p3 WHERE NOT ok),
+        |p4 AS (SELECT p3.*, (ff.ff IS NULL OR p3.pos < ff.ff) AS capped FROM p3, ff),
+        |fin AS (SELECT max(CASE WHEN capped THEN cums END) AS cs2,
+        |               max(CASE WHEN capped THEN cumw END) AS cw2 FROM p4),
+        |p5 AS (SELECT p4.*, b - coalesce(fin.cs2, 0) AS rf,
+        |               p4.totw - coalesce(fin.cw2, 0.0) AS vf FROM p4, fin),
+        |unc AS (SELECT g, s, rf, w / vf * CAST(rf AS DOUBLE) AS ex FROM p5 WHERE NOT capped),
+        |unc2 AS (SELECT g, s, rf, CAST(floor(ex) AS BIGINT) AS base, ex - floor(ex) AS frac FROM unc),
+        |rem AS (SELECT max(rf) - sum(base) AS rem FROM unc2),
+        |unc3 AS (SELECT g, base, row_number() OVER (ORDER BY frac DESC, g) AS rk FROM unc2),
+        |al AS (SELECT g, CAST(s AS BIGINT) AS alloc FROM p5 WHERE capped
+        |       UNION ALL
+        |       SELECT unc3.g, CAST(unc3.base + CASE WHEN unc3.rk <= rem.rem THEN 1 ELSE 0 END AS BIGINT)
+        |       FROM unc3, rem),
+        |r AS (SELECT doc_id, g, n,
+        |        sum(n) OVER (PARTITION BY g
+        |          ORDER BY md5('graft-temp|' || CAST(doc_id AS VARCHAR)), doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT r.doc_id, r.g AS bucket, r.n AS n_tokens
+        |FROM r JOIN al USING (g) WHERE r.cum <= al.alloc""".stripMargin)
 }

@@ -1235,6 +1235,148 @@ object Corpus {
         (col("_base") + when(col("_rk") <= col("_rem"), 1L).otherwise(0L)).as("alloc"))
   }
 
+  /** Water-filling mixture allocation — [[temperatureMix]] with SUPPLY
+    * CAPS and redistribution: the plain temperature formula can allocate
+    * a group more documents than it has, and [[temperatureSample]] then
+    * silently under-draws (the shortfall just vanishes — a 400-doc
+    * budget can come back with 380). Real mixing pipelines instead
+    * water-fill: each group gets `min(supply, λ·w)` with λ raised until
+    * the budget is spent, so small groups are taken WHOLE and their
+    * unused share re-flows to groups that can absorb it — the total is
+    * exactly `min(budget, Σ supply)` by construction.
+    *
+    * Computed by the classic closed form on the GROUP table (mixing-table
+    * metadata, the [[temperatureMix]] exception — every window here is
+    * over one row per group): sort by supply/weight ascending; a group
+    * is capped iff its supply fits under the water level implied by the
+    * budget left after taking every smaller-ratio group whole
+    * (`s_i · V_i ≤ R_i · w_i`, prefix sums); the uncapped groups split
+    * the remaining budget by the q95 largest-remainder rule. All
+    * comparisons are the same IEEE expressions in any engine; the
+    * aggregate totals come from ORDERED prefix sums (their max — sums of
+    * positive terms are increasing), never an unordered float fold, so
+    * the plan is bit-replayable.
+    *
+    * Returns (groupCol, n_docs, alloc, capped) — `capped` = 1 for groups
+    * taken whole. */
+  def waterfillMix(docs: DataFrame, groupCol: String, alpha: Double,
+                   budget: Long): DataFrame =
+    waterfillCore(
+      docs.groupBy(col(groupCol).as("_g")).agg(count(lit(1)).as("_s")),
+      alpha, budget)
+      .select(col("_g").as(groupCol), col("_s").as("n_docs"),
+        col("alloc"), col("capped"))
+
+  /** [[waterfillMix]] with the supply measured in a COST column instead
+    * of document counts — "give each group λ·w TOKENS, capped at the
+    * tokens it actually has": the budget and allocations are token (or
+    * byte, or any cost) masses, which is the unit a training-mix budget
+    * is actually stated in. Same closed form, same founding properties:
+    * allocations sum to exactly min(budget, total cost mass). Returns
+    * (groupCol, supply, alloc, capped). */
+  def waterfillMixBy(docs: DataFrame, groupCol: String, costCol: String,
+                     alpha: Double, budget: Long): DataFrame =
+    waterfillCore(
+      docs.groupBy(col(groupCol).as("_g"))
+        .agg(sum(col(costCol).cast("long")).as("_s")),
+      alpha, budget)
+      .select(col("_g").as(groupCol), col("_s").as("supply"),
+        col("alloc"), col("capped"))
+
+  /** The closed-form waterfill over a prepared (_g, _s) supply table —
+    * see [[waterfillMix]] for the algorithm and determinism notes. */
+  private def waterfillCore(counts: DataFrame, alpha: Double,
+                            budget: Long): DataFrame = {
+    require(alpha >= 0, s"alpha must be non-negative, got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("_r"), col("_g"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = counts
+      .withColumn("_w", pow(col("_s"), alpha))
+      .withColumn("_r", col("_s") / col("_w"))
+      .withColumn("_cums", sum(col("_s")).over(run))
+      .withColumn("_cumw", sum(col("_w")).over(run))
+      .withColumn("_pos", row_number().over(ord))
+    val totw = p.agg(max(col("_cumw")).as("_totw"))
+    val tested = p.crossJoin(broadcast(totw))
+      .withColumn("_sprev", col("_cums") - col("_s"))
+      .withColumn("_wprev", col("_cumw") - col("_w"))
+      .withColumn("_ok",
+        col("_s").cast("double") * (col("_totw") - col("_wprev"))
+          <= (lit(budget) - col("_sprev")).cast("double") * col("_w"))
+    // the capped set is the longest ratio-order PREFIX of passing tests
+    val ff = tested.filter(!col("_ok")).agg(min(col("_pos")).as("_ff"))
+    val flagged = tested.crossJoin(broadcast(ff))
+      .withColumn("_capped", col("_ff").isNull || col("_pos") < col("_ff"))
+    val fin = flagged.agg(
+      max(when(col("_capped"), col("_cums"))).as("_cs"),
+      max(when(col("_capped"), col("_cumw"))).as("_cw"))
+    val leveled = flagged.crossJoin(broadcast(fin))
+      .withColumn("_rf", lit(budget) - coalesce(col("_cs"), lit(0L)))
+      .withColumn("_vf", col("_totw") - coalesce(col("_cw"), lit(0.0)))
+    val capped = leveled.filter(col("_capped"))
+      .select(col("_g"), col("_s"), col("_s").as("alloc"), lit(1).as("capped"))
+    val rk = Window.orderBy(col("_frac").desc, col("_g"))
+    val wAll = Window.partitionBy()
+    val uncapped = leveled.filter(!col("_capped"))
+      .withColumn("_exact", col("_w") / col("_vf") * col("_rf").cast("double"))
+      .withColumn("_base", floor(col("_exact")).cast("long"))
+      .withColumn("_frac", col("_exact") - col("_base"))
+      .withColumn("_rem", col("_rf") - sum(col("_base")).over(wAll))
+      .withColumn("_rk", row_number().over(rk))
+      .select(col("_g"), col("_s"),
+        (col("_base") + when(col("_rk") <= col("_rem"), 1L).otherwise(0L)).as("alloc"),
+        lit(0).as("capped"))
+    capped.unionByName(uncapped)
+  }
+
+  /** [[waterfillMixBy]] APPLIED — the per-group token-budget draw with
+    * the water-filled allocations: each group admits documents in
+    * salted-md5 order while its cumulative cost stays within its
+    * allocation (the q82 admission rule), so capped groups are taken
+    * (nearly) whole and the re-flowed token budget lands where there is
+    * supply. The draw can undershoot an allocation by at most one
+    * document's cost per group (a doc is atomic — the integral-prefix
+    * rule both engines replay). */
+  def waterfillSampleByCost(docs: DataFrame, idCol: String, groupCol: String,
+                            costCol: String, alpha: Double, budget: Long,
+                            seed: String = "graft-temp",
+                            scope: CacheScope = CacheScope.noop): DataFrame = {
+    val allocs = waterfillMixBy(docs, groupCol, costCol, alpha, budget)
+      .select(col(groupCol).cast("string").as("_g"), col("alloc"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .toMap
+    BudgetSelect.selectByBudgetPerGroup(
+        docs.select(col(idCol), col(groupCol), col(costCol)),
+        groupCol, costCol, allocs, scope,
+        md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), col(idCol))
+      .select(col(idCol), col(groupCol), col(costCol))
+  }
+
+  /** [[waterfillMix]] APPLIED — [[temperatureSample]] with the
+    * water-filled allocation, so the draw totals EXACTLY
+    * `min(budget, corpus size)`: capped groups are taken whole, the
+    * re-flowed budget lands in groups that can absorb it, and the draw
+    * itself rides the same salted-md5 [[graft.ops.BudgetSelect]]
+    * discipline. */
+  def waterfillSample(docs: DataFrame, idCol: String, groupCol: String,
+                      alpha: Double, budget: Long,
+                      seed: String = "graft-temp",
+                      scope: CacheScope = CacheScope.noop): DataFrame = {
+    val allocs = waterfillMix(docs, groupCol, alpha, budget)
+      .select(col(groupCol).cast("string").as("_g"), col("alloc"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .toMap
+    BudgetSelect.selectByBudgetPerGroup(
+        docs.select(col(idCol), col(groupCol)).withColumn("_ts_one", lit(1L)),
+        groupCol, "_ts_one", allocs, scope,
+        md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), col(idCol))
+      .select(col(idCol), col(groupCol))
+  }
+
   /** [[temperatureMix]] APPLIED: draw exactly each group's allocation of
     * documents, deterministically — per group, the first `alloc` docs in
     * md5(id) order (a seedable random permutation that every engine and

@@ -415,6 +415,81 @@ object TextAnalysis {
           s => s.getField("_rel"))).as("boundaries"))
   }
 
+  /** Grouped sequence packing — one INDEPENDENT token stream per group:
+    * "never pack two languages (or sources, or modalities) into one
+    * training sequence". Each group's documents concatenate in id order
+    * into that group's own stream, with offsets and sequence indexes
+    * counted from that group's zero — adding documents to one group
+    * cannot move another group's layout (spec-pinned), which is what
+    * makes per-group re-packs incremental.
+    *
+    * Scale shape: the [[graft.ops.BudgetSelect.selectByBudgetPerGroup]]
+    * cell discipline applied to the pack — range partition on
+    * (group, id) so each group's rows are contiguous and ordered across
+    * partitions, per-(partition, group) token totals collected (one row
+    * per cell — metadata), prefix-summed per group on the driver,
+    * broadcast back; every window is keyed by (partition, group), so
+    * window state is bounded by one partition regardless of group size
+    * and a giant group still parallelizes across its partitions.
+    *
+    * Returns (idCol, groupCol, n_tokens, start_off, seq_first,
+    * seq_last), offsets within the group's stream. */
+  def groupedSequencePack(df: DataFrame, idCol: String, textCol: String,
+                          groupCol: String, seqLen: Int,
+                          scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df
+      .select(col(idCol).as("_id"), col(groupCol).as("_g"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("_gs", col("_g").cast("string"))
+      .repartitionByRange(col("_gs"), col("_id"))
+      .sortWithinPartitions(col("_gs"), col("_id"))
+      .withColumn("_gp_pid", shiftright(monotonically_increasing_id(), 33))
+      .cache()
+    scope.track(ranged)
+    // one row per (partition, group) cell — metadata by construction
+    val cells = ranged.groupBy(col("_gp_pid"), col("_gs"))
+      .agg(sum(col("n_tokens")).as("_t"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+    val offsets = cells.groupBy(_._2).toSeq.flatMap { case (g, cs) =>
+      var acc = 0L
+      cs.sortBy(_._1).map { case (pid, _, tot) =>
+        val o = acc; acc += tot; (pid, g.orNull, o)
+      }
+    }
+    val sess = df.sparkSession
+    import sess.implicits._
+    val offDf = broadcast(offsets.toDF("_gp_pid_o", "_gs_o", "_gp_off"))
+    val w = Window.partitionBy(col("_gp_pid"), col("_gs")).orderBy(col("_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(offDf,
+        col("_gp_pid") === col("_gp_pid_o") && (col("_gs") <=> col("_gs_o")))
+      .withColumn("start_off",
+        col("_gp_off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("_id").as(idCol), col("_g").as(groupCol), col("n_tokens"),
+        col("start_off"),
+        expr(s"start_off div $seqLen").as("seq_first"),
+        expr(s"(start_off + n_tokens - 1) div $seqLen").as("seq_last"))
+  }
+
+  /** Curriculum packing — [[sequencePack]] with the stream order given
+    * by a caller-chosen DIFFICULTY key instead of the id: easy documents
+    * (short, high-quality, low-perplexity — whatever `orderCol` encodes)
+    * pack into the early sequences, hard ones into the late, so a
+    * curriculum-learning schedule falls out of sequence order with no
+    * extra shuffle beyond the pack's own range exchange. Ties break by
+    * id (the [[epochShuffledPack]] total-order contract), so the layout
+    * is deterministic and oracle-able for any engine-replayable key.
+    * Same scale discipline as the siblings: range partition on the
+    * order key, driver prefix sums, bounded per-partition windows. */
+  def curriculumPack(df: DataFrame, idCol: String, textCol: String,
+                     seqLen: Int, orderCol: org.apache.spark.sql.Column,
+                     scope: CacheScope = CacheScope.noop): DataFrame =
+    sequencePackBy(df, idCol, textCol, seqLen, Some(orderCol), scope)
+
   /** Packing-efficiency report — the seqLen decision table run BEFORE a
     * corpus-scale pack: for each candidate sequence length, how many
     * training sequences does the concat-and-chunk layout produce, how

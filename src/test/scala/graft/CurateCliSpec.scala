@@ -815,6 +815,56 @@ class CurateCliSpec extends AnyFunSuite {
     rm(led, in0, in1, out1, out2, out3)
   }
 
+  test("ingest --hist/--sample maintain the distribution and sample ledgers from the kept set") {
+    import graft.ops.{HistLedger, SampleLedger}
+    val snap = tmp("cli-ihs-snap"); val idx = tmp("cli-ihs-idx"); rm(idx)
+    val hist = tmp("cli-ihs-hist"); val samp = tmp("cli-ihs-samp")
+    val in0 = tmp("cli-ihs-in0"); val v0 = tmp("cli-ihs-v0")
+    val d = spark.read.parquet(docsPath)
+    d.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(in0)
+    CurateCli.run("ingest", Map("--in" -> in0, "--out" -> v0,
+      "--snapshot" -> snap, "--index" -> idx,
+      "--hist" -> hist, "--sample" -> samp, "--batch-id" -> "0",
+      "--group-col" -> "lang"))
+    // both ledgers hold exactly the KEPT docs' contribution
+    val keptIds = spark.read.parquet(v0)
+      .filter(col("verdict") === "kept").select("doc_id")
+    val kept = d.join(keptIds, Seq("doc_id"), "left_semi")
+    assert(HistLedger.merged(spark, hist)
+        .as[(String, Long, Long)].collect().toSet ==
+      HistLedger.sketch(kept.select(col("lang"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("n")),
+        "lang", "n", 0.0, 8192.0, 64)
+        .as[(String, Long, Long)].collect().toSet)
+    assert(SampleLedger.merged(spark, samp)
+        .select("group", "id", "payload").as[(String, String, String)].collect().toSet ==
+      SampleLedger.sketch(kept, "lang", "doc_id", "text", 20)
+        .as[(String, String, String)].collect().toSet)
+    // a ledger flag without --batch-id fails before any store mutates
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("ingest", Map("--in" -> in0, "--out" -> v0,
+        "--snapshot" -> snap, "--index" -> idx, "--hist" -> hist))
+    }
+    assert(e.getMessage.contains("--batch-id"))
+    rm(snap, idx, hist, samp, in0, v0)
+  }
+
+  test("select command draws the water-filled balanced slice, full rows out") {
+    import graft.ops.Corpus
+    val out = tmp("cli-select-out")
+    CurateCli.run("select", Map("--in" -> docsPath, "--out" -> out,
+      "--group-col" -> "lang", "--alpha" -> "0.5", "--budget" -> "120"))
+    val got = spark.read.parquet(out)
+    assert(got.count() == 120L, "the water-filled draw delivers the budget exactly")
+    assert(got.columns.toSet == spark.read.parquet(docsPath).columns.toSet,
+      "select writes the full document rows")
+    val want = Corpus.waterfillSample(spark.read.parquet(docsPath),
+        "doc_id", "lang", 0.5, 120L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.select("doc_id").as[Long].collect().toSet == want)
+    rm(out)
+  }
+
   test("stats command reports kind, rows, batches, tombstones, horizon, params across store families") {
     import graft.ops.{HistLedger, SampleLedger}
     val d = spark.read.parquet(docsPath)

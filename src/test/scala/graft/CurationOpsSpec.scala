@@ -520,6 +520,70 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(unif == Map("a" -> 50L, "b" -> 50L))
   }
 
+  // ---- Corpus.waterfillMix / waterfillSample (round-9) ----
+
+  test("waterfillMix: small groups taken whole, excess re-flows, total exactly min(budget, supply)") {
+    def mk(sizes: Map[String, Int]) =
+      sizes.toSeq.flatMap { case (g, n) => (0 until n).map(i => (s"$g$i", g)) }
+        .toDF("id", "grp")
+    // uniform weights (alpha=0), budget 30 over supplies (2, 10, 100):
+    // ratio order a, b, c; a capped (2 ≤ 30/3·1), b capped (10 ≤ 28/2),
+    // c absorbs the rest (18)
+    val got = Corpus.waterfillMix(mk(Map("a" -> 2, "b" -> 10, "c" -> 100)),
+        "grp", alpha = 0.0, budget = 30L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(got == Map("a" -> ((2L, 1)), "b" -> ((10L, 1)), "c" -> ((18L, 0))))
+    // budget beyond the corpus: every group capped at its supply
+    val all = Corpus.waterfillMix(mk(Map("a" -> 3, "b" -> 5)), "grp", 0.5, 100L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(all == Map("a" -> ((3L, 1)), "b" -> ((5L, 1))))
+    // no binding cap → identical to the plain temperature allocation
+    val docs = mk(Map("x" -> 100, "y" -> 25))
+    val wf = Corpus.waterfillMix(docs, "grp", 0.5, 30L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val tm = Corpus.temperatureMix(docs, "grp", 0.5, 30L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(wf == tm)
+  }
+
+  test("waterfillMixBy allocates token mass with caps; the cost draw respects per-group budgets") {
+    // supplies in TOKENS: rare carries 10, big carries 200; uniform
+    // weights, budget 100 → rare capped at 10, big absorbs 90
+    val docs = ((0 until 5).map(i => (i.toLong, "rare", 2L))
+        ++ (5 until 45).map(i => (i.toLong, "big", 5L))).toDF("doc_id", "grp", "cost")
+    val mix = Corpus.waterfillMixBy(docs, "grp", "cost", alpha = 0.0, budget = 100L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(mix == Map("rare" -> ((10L, 10L, 1)), "big" -> ((200L, 90L, 0))))
+    // the draw: rare taken whole (5 docs × 2), big admits 18 docs × 5 = 90
+    val drawn = Corpus.waterfillSampleByCost(docs, "doc_id", "grp", "cost",
+      0.0, 100L)
+    val byGroup = drawn.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("cost")).as("mass"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byGroup == Map("rare" -> ((5L, 10L)), "big" -> ((18L, 90L))))
+    // determinism
+    assert(drawn.select("doc_id").as[Long].collect().toSet ==
+      Corpus.waterfillSampleByCost(docs, "doc_id", "grp", "cost", 0.0, 100L)
+        .select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("waterfillSample draws the full budget where temperatureSample under-draws") {
+    // one tiny group whose proportional share exceeds its supply
+    val docs = ((0 until 4).map(i => (i.toLong, "rare"))
+        ++ (4 until 204).map(i => (i.toLong, "big"))).toDF("doc_id", "grp")
+    val temp = Corpus.temperatureSample(docs, "doc_id", "grp", 0.0, 100L)
+    // uniform alpha: 50 each, but rare has 4 → plain temperature loses 46
+    assert(temp.count() == 54L)
+    val wf = Corpus.waterfillSample(docs, "doc_id", "grp", 0.0, 100L)
+    assert(wf.count() == 100L, "waterfill must re-flow the capped excess")
+    val byGroup = wf.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGroup == Map("rare" -> 4L, "big" -> 96L))
+    // deterministic draw
+    assert(wf.select("doc_id").as[Long].collect().toSet ==
+      Corpus.waterfillSample(docs, "doc_id", "grp", 0.0, 100L)
+        .select("doc_id").as[Long].collect().toSet)
+  }
+
   // ---- Dedup.dupRateCurve (round-9) ----
 
   test("dupRateCurve: per-threshold drop counts match per-threshold precedence dedup, zero rows kept") {
@@ -576,6 +640,61 @@ class CurationOpsSpec extends AnyFunSuite {
       val splits = single.filter(col("seq_last") > col("seq_first")).count()
       assert(splits == got.find(_._1 == l).get._6, s"seqLen $l")
     }
+  }
+
+  test("groupedSequencePack: independent per-group streams, other groups never move the layout") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (0L, "en", "a b c"),        // en stream: off 0
+      (1L, "fr", "x y"),          // fr stream: off 0
+      (2L, "en", "d e f g"),      // en: off 3
+      (3L, "fr", "z"),            // fr: off 2
+      (4L, "en", "h")             // en: off 7
+    ).toDF("doc_id", "lang", "text")
+    def layout(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.groupedSequencePack(df, "doc_id", "text", "lang", seqLen = 4)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val got = layout(docs)
+    assert(got == Set((0L, "en", 0L), (2L, "en", 3L), (4L, "en", 7L),
+      (1L, "fr", 0L), (3L, "fr", 2L)))
+    // group independence: growing fr cannot move en's offsets
+    val grown = layout(docs.unionByName(
+      Seq((9L, "fr", "p q r s t")).toDF("doc_id", "lang", "text")))
+    assert(grown.filter(_._2 == "en") == got.filter(_._2 == "en"))
+    // partitioning invariance: a scattered input packs identically
+    assert(layout(docs.repartition(7)) == got)
+    // per-group naive replay on the real corpus
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val packed = TextAnalysis.groupedSequencePack(d, "doc_id", "text", "lang", 512)
+      .select("doc_id", "start_off").as[(Long, Long)].collect().toMap
+    val naive = d.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._2).flatMap { case (_, rows) =>
+        rows.sortBy(_._1).scanLeft((0L, 0L)) { case ((_, acc), (id, _, n)) =>
+          (id, acc + n) }.sliding(2).map { w =>
+            // sliding pairs: previous cumulative = this row's offset
+            (w(1)._1, w(0)._2) }.toSeq
+      }
+    assert(naive.forall { case (id, off) => packed(id) == off })
+  }
+
+  test("curriculumPack orders the stream by the difficulty key, offsets contiguous") {
+    import graft.ops.TextAnalysis
+    // difficulty = token count itself: shortest docs must pack first
+    val docs = Seq(
+      (0L, (1 to 9).map(i => s"a$i").mkString(" ")),  // 9 tokens, packs 3rd
+      (1L, "one two"),                                 // 2 tokens, packs 1st
+      (2L, "x y z w")                                  // 4 tokens, packs 2nd
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.curriculumPack(docs, "doc_id", "text", seqLen = 8,
+        orderCol = length(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 0L), (2L, 4L, 2L), (0L, 9L, 6L)))
+    // id order would have produced a different layout — the key matters
+    val plain = TextAnalysis.sequencePack(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(plain(0L) == 0L && plain(1L) == 9L)
   }
 
   // ---- Corpus.topicBalancedSample (round-9) ----

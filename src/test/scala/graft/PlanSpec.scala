@@ -445,6 +445,50 @@ class PlanSpec extends AnyFunSuite {
       s"the exact rung's batch-fingerprint probe must broadcast\n$p")
   }
 
+  test("q149/q151/q153 sweep+ledger plans: text dies at the scan, aggregates split partial/final") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (q <- Seq("q149_packing_stats", "q151_hist_ledger", "q153_hist_drift")) {
+      val wrapped = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val exec = wrapped match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      // every downstream stage moves counts/buckets/offsets — the text
+      // column must be consumed by tokenCount inside the scan stage
+      exec.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        val cols = e.child.output.map(_.name)
+        assert(!cols.exists(c => c == "text" || c == "_t"),
+          s"$q: raw text crosses a shuffle: $cols\n$exec")
+      }
+      val p = exec.toString
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q: map-side partial aggregation expected\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+  }
+
+  test("q154 sample ledger: partial WindowGroupLimit below the group exchange") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val wrapped = SparkEntry.queries("q154_sample_ledger")(spark, dir)
+      .queryExecution.executedPlan
+    val exec = wrapped match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // the groupCap contract, inherited per sketch: a skewed group's
+    // bottom-k is partially taken on the map side
+    val partialBelowExchange = exec.collect {
+      case e: ShuffleExchangeExec => e.child.collect {
+        case w: WindowGroupLimitExec if w.mode.toString == "Partial" => w
+      }.nonEmpty
+    }.exists(identity)
+    assert(partialBelowExchange,
+      s"partial WindowGroupLimit must run below the exchange\n$exec")
+  }
+
   test("salted join spreads a skewed key and preserves results") {
     import graft.ops.SkewJoin
     val spark2 = spark
