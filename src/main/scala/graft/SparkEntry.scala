@@ -904,16 +904,17 @@ object SparkEntry {
           round(col("brightness"), 4).as("brightness"))
     }),
 
-    // ---- PII scrub: email/phone/digit-run masking (row-local regexes,
-    //      identical under Java regex and RE2). The contact line is
-    //      derived deterministically from customer columns so all three
+    // ---- PII scrub: email/IPv4/phone/digit-run masking (row-local
+    //      regexes, identical under Java regex and RE2). The contact line
+    //      is derived deterministically from customer columns so all four
     //      masking branches fire on real rows ----
     "q73_pii_mask" -> ((s, dir) => {
       tbl(s, dir, "customer").select(col("c_custkey"),
         Scrub.piiMask(concat(
           col("c_name"), lit(" "),
           lower(col("c_mktsegment")), lit("."), col("c_custkey").cast("string"),
-          lit("@mail.example ph "),
+          lit("@mail.example ip 10.0."), (col("c_custkey") % 256).cast("string"),
+          lit(".7 ph "),
           lpad((col("c_custkey") % 90 + 10).cast("string"), 2, "0"), lit("-"),
           lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"), lit("-"),
           lpad((col("c_custkey") % 9000 + 1000).cast("string"), 4, "0"))).as("masked"))
@@ -1872,7 +1873,49 @@ object SparkEntry {
       val tot = d.agg(sum(col("n_tokens"))).head().getLong(0)
       Corpus.waterfillSampleByCost(d, "doc_id", "bucket", "n_tokens",
         alpha = 0.5, budget = tot * 2 / 5)
-    }))
+    }),
+
+    // ---- Gopher REPETITION gate (round-9): the within-doc repetition
+    //      half of Rae et al. 2021 beside q140's quality half — dup-line
+    //      fractions, most-frequent-n-gram char share (n=2,3,4), and
+    //      repeated-n-gram char COVERAGE. Zero shuffles: every feature
+    //      is an expression over the doc's own line/gram arrays, the
+    //      top-gram election one pass over the sorted copy. rep n=3
+    //      exercises nonzero coverage on this corpus (its docs are too
+    //      short for 5-grams to self-repeat); n=5 pins the zero/null
+    //      edge — the paper's 5..10 set is the op's default ----
+    "q160_repetition_gate" -> ((s, dir) =>
+      TextAnalysis.gopherRepetitionGate(tbl(s, dir, "documents"),
+        "doc_id", "text",
+        topNs = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+        repNs = Seq(3 -> 0.15, 5 -> 0.15))),
+
+    // ---- Normalized exact dedup (round-9): CCNet's normalize-then-hash
+    //      rung — lowercase, accent fold, digit fold, punct strip, ws
+    //      collapse, THEN the exact-dup groupBy: catches punctuation/
+    //      counter variants of the same boilerplate at exact-dedup cost.
+    //      The shuffle key is the md5 of the normalized text ----
+    "q161_norm_dedup" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextAnalysis.normalizeForDedup(col("text"))).as("norm_fp"))
+        .groupBy(col("norm_fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))),
+
+    // ---- Semi-structured ingestion (round-9): schema-on-read over the
+    //      events.props JSON column — native JSON-path extraction
+    //      (codegen'd, row-local, no UDF), then a narrow keyed rollup;
+    //      the pattern every telemetry/crawl-metadata pipeline needs
+    //      before its properties harden into real columns ----
+    "q162_json_props" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("_k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("_k")).as("n_with_k"),
+          sum(col("_k")).as("sum_k"),
+          max(col("_k")).as("max_k"))))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2900,17 +2943,19 @@ object SparkEntry {
         |SELECT c AS cohort, CAST(p - c AS INT) AS offset, count(*) AS n_users
         |FROM a GROUP BY 1, 2""".stripMargin,
 
-    // q73: the same three-pattern replace chain, same order, with RE2's
+    // q73: the same four-pattern replace chain, same order, with RE2's
     // explicit 'g' flag (Java's regexp_replace is global by default)
     "q73_pii_mask" ->
       """SELECT c_custkey,
-        |  regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    c_name || ' ' || lower(c_mktsegment) || '.' || CAST(c_custkey AS VARCHAR)
-        |      || '@mail.example ph '
+        |      || '@mail.example ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+        |      || '.7 ph '
         |      || CAST(c_custkey % 90 + 10 AS VARCHAR) || '-'
         |      || CAST(c_custkey % 900 + 100 AS VARCHAR) || '-'
         |      || CAST(c_custkey % 9000 + 1000 AS VARCHAR),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}(\.[0-9]{1,3}){3}', '<IP>', 'g'),
         |    '[0-9]{2,4}([- .][0-9]{2,4}){2,4}', '<PHONE>', 'g'),
         |    '[0-9]{6,}', '<ID>', 'g') AS masked
         |FROM customer""".stripMargin,
@@ -4334,5 +4379,94 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM t)
         |SELECT r.doc_id, r.g AS bucket, r.n AS n_tokens
-        |FROM r JOIN al USING (g) WHERE r.cum <= al.alloc""".stripMargin)
+        |FROM r JOIN al USING (g) WHERE r.cum <= al.alloc""".stripMargin,
+
+    // q160: the repetition features replayed by explode — per-doc gram
+    // counts with (count desc, gram asc) election for the top-n share,
+    // HAVING >= 2 + position expansion for the coverage share (q144's
+    // accounting within the doc). Fractions are raw IEEE divisions of
+    // exact integers; a doc too short for a family yields NULL there and
+    // a NULL feature cannot fire its rule (coalesce(...false)).
+    // list_distinct drops dup lines regardless of order — only the
+    // LENGTH SUM of the survivors is consumed
+    "q160_repetition_gate" ->
+      """WITH d AS (SELECT doc_id, text, lower(trim(text)) AS t FROM documents),
+        |t AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS w,
+        |        length(regexp_replace(t, '\s+', '', 'g')) AS totchars,
+        |        regexp_split_to_array(text, '\n') AS l FROM d),
+        |lf AS (SELECT doc_id, len(l) AS nl,
+        |        1.0 - len(list_distinct(l))::DOUBLE / len(l) AS dlf,
+        |        list_sum(list_transform(l, x -> length(x))) AS lc,
+        |        list_sum(list_transform(list_distinct(l), x -> length(x))) AS dc
+        |       FROM t),
+        |g2 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS gram
+        |       FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i) WHERE len(w) >= 2),
+        |t2 AS (SELECT doc_id, c, gram FROM (
+        |        SELECT doc_id, gram, count(*) AS c,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rn
+        |        FROM g2 GROUP BY doc_id, gram) WHERE rn = 1),
+        |g3 AS (SELECT doc_id, i AS pos, array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+        |       FROM t, UNNEST(generate_series(1, len(w) - 2)) AS u(i) WHERE len(w) >= 3),
+        |t3 AS (SELECT doc_id, c, gram FROM (
+        |        SELECT doc_id, gram, count(*) AS c,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rn
+        |        FROM g3 GROUP BY doc_id, gram) WHERE rn = 1),
+        |g4 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 3), ' ') AS gram
+        |       FROM t, UNNEST(generate_series(1, len(w) - 3)) AS u(i) WHERE len(w) >= 4),
+        |t4 AS (SELECT doc_id, c, gram FROM (
+        |        SELECT doc_id, gram, count(*) AS c,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rn
+        |        FROM g4 GROUP BY doc_id, gram) WHERE rn = 1),
+        |d3 AS (SELECT doc_id, gram FROM g3 GROUP BY doc_id, gram HAVING count(*) >= 2),
+        |cov3 AS (SELECT DISTINCT g3.doc_id, g3.pos + v.dd AS p
+        |         FROM g3 JOIN d3 USING (doc_id, gram), UNNEST(generate_series(0, 2)) AS v(dd)),
+        |cc3 AS (SELECT cov3.doc_id, sum(length(t.w[p])) AS cc
+        |        FROM cov3 JOIN t USING (doc_id) GROUP BY 1),
+        |g5 AS (SELECT doc_id, i AS pos, array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+        |       FROM t, UNNEST(generate_series(1, len(w) - 4)) AS u(i) WHERE len(w) >= 5),
+        |d5 AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING count(*) >= 2),
+        |cov5 AS (SELECT DISTINCT g5.doc_id, g5.pos + v.dd AS p
+        |         FROM g5 JOIN d5 USING (doc_id, gram), UNNEST(generate_series(0, 4)) AS v(dd)),
+        |cc5 AS (SELECT cov5.doc_id, sum(length(t.w[p])) AS cc
+        |        FROM cov5 JOIN t USING (doc_id) GROUP BY 1),
+        |f AS (SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+        |  CAST(lf.nl AS BIGINT) AS n_lines,
+        |  lf.dlf AS dup_line_frac,
+        |  CASE WHEN lf.lc > 0 THEN (lf.lc - lf.dc)::DOUBLE / lf.lc END AS dup_line_char_frac,
+        |  CASE WHEN len(t.w) >= 2 THEN t2.c * length(replace(t2.gram, ' ', ''))::DOUBLE / t.totchars END AS top2_char_frac,
+        |  CASE WHEN len(t.w) >= 3 THEN t3.c * length(replace(t3.gram, ' ', ''))::DOUBLE / t.totchars END AS top3_char_frac,
+        |  CASE WHEN len(t.w) >= 4 THEN t4.c * length(replace(t4.gram, ' ', ''))::DOUBLE / t.totchars END AS top4_char_frac,
+        |  CASE WHEN len(t.w) >= 3 THEN coalesce(cc3.cc, 0)::DOUBLE / t.totchars END AS rep3_char_frac,
+        |  CASE WHEN len(t.w) >= 5 THEN coalesce(cc5.cc, 0)::DOUBLE / t.totchars END AS rep5_char_frac
+        | FROM t JOIN lf USING (doc_id)
+        | LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)
+        | LEFT JOIN cc3 USING (doc_id) LEFT JOIN cc5 USING (doc_id))
+        |SELECT f.*, CASE WHEN coalesce(dup_line_frac > 0.30, false)
+        |  OR coalesce(dup_line_char_frac > 0.20, false)
+        |  OR coalesce(top2_char_frac > 0.20, false)
+        |  OR coalesce(top3_char_frac > 0.18, false)
+        |  OR coalesce(top4_char_frac > 0.16, false)
+        |  OR coalesce(rep3_char_frac > 0.15, false)
+        |  OR coalesce(rep5_char_frac > 0.15, false) THEN 0 ELSE 1 END AS rep_ok
+        |FROM f""".stripMargin,
+
+    // q161: the identical normalize chain (RE2 'g' flags — Java's
+    // regexp_replace is global by default), then q13's exact-dup groupBy
+    // keyed on the normalized md5
+    "q161_norm_dedup" ->
+      """WITH n AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(regexp_replace(
+        |    translate(lower(text), 'áàâäãåéèêëíìîïóòôöõúùûüçñý', 'aaaaaaeeeeiiiiooooouuuucny'),
+        |    '[0-9]', '0', 'g'), '[^a-z0 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_fp
+        |  FROM documents)
+        |SELECT norm_fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM n GROUP BY norm_fp""".stripMargin,
+
+    // q162: JSON-path extraction via DuckDB's json extension; missing
+    // keys are NULL on both engines (count(_k) skips them, sum/max ignore)
+    "q162_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin)
 }

@@ -28,19 +28,29 @@ object Scrub {
     * `202 555 0173`). */
   val PhoneRe = "[0-9]{2,4}([- .][0-9]{2,4}){2,4}"
 
+  /** IPv4 literals (dotted quads). Matched BEFORE phones: an IP's
+    * digit groups are also a legal dot-separated phone run, and the IP
+    * reading is the right one when all four groups are octet-sized. */
+  val IpRe = "[0-9]{1,3}(\\.[0-9]{1,3}){3}"
+
   /** Bare digit runs of `minDigits`+ (account numbers, SSN-ish IDs). */
   def digitRunRe(minDigits: Int): String = s"[0-9]{$minDigits,}"
 
-  /** Mask all three PII classes in `text`. Replacement tokens contain no
-    * digits, so later patterns cannot re-match inside earlier replacements. */
+  /** Mask all four PII classes in `text`. Replacement tokens contain no
+    * digits, so later patterns cannot re-match inside earlier replacements.
+    * Order fixed: emails (contain digit runs and dots), then IPv4 quads
+    * (a legal phone-run shape), then phones, then bare digit runs. */
   def piiMask(text: Column,
               emailTok: String = "<EMAIL>",
+              ipTok: String = "<IP>",
               phoneTok: String = "<PHONE>",
               idTok: String = "<ID>",
               minDigits: Int = 6): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, EmailRe, emailTok),
+        regexp_replace(
+          regexp_replace(text, EmailRe, emailTok),
+          IpRe, ipTok),
         PhoneRe, phoneTok),
       digitRunRe(minDigits), idTok)
 }

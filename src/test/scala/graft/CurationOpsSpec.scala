@@ -722,4 +722,98 @@ class CurationOpsSpec extends AnyFunSuite {
     for ((cell, alloc) <- mix if alloc > 0)
       assert(byCell.getOrElse(cell, 0L) == alloc, s"cell $cell")
   }
+
+  // ---- TextAnalysis.gopherRepetitionGate ----
+
+  test("gopherRepetitionGate hand case: every feature and the verdict") {
+    import graft.ops.TextAnalysis
+    // 30 distinct 2-char words: every repetition signal near zero
+    val okWords = (for { a <- 'a' to 'f'; b <- 'a' to 'e' } yield s"$a$b").mkString(" ")
+    val docs = Seq(
+      (0, "a b a b a b"),  // heavy within-doc repetition
+      (1, okWords),        // clean: passes every rule
+      (2, "x\ny\nx\nzz"),  // duplicated line
+      (3, "a b"),          // too short for the n>=3 families
+      (4, "a")             // too short for every n-gram family
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetitionGate(docs, "doc_id", "text",
+        topNs = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+        repNs = Seq(3 -> 0.15, 5 -> 0.15))
+      .orderBy("doc_id").collect()
+
+    // doc 0 (totchars 6): top2 "a b"x3 -> 6/6; top3 ties break to the
+    // sorted-smallest "a b a" x2 -> 6/6; top4 "a b a b"x2 -> 8/6 (overlap
+    // over-count, as published); rep3 covers all six positions; rep5 has
+    // no within-doc duplicate 5-gram
+    assert(got(0).getAs[Double]("top2_char_frac") == 1.0)
+    assert(got(0).getAs[Double]("top3_char_frac") == 1.0)
+    assert(got(0).getAs[Double]("top4_char_frac") == 8.0 / 6)
+    assert(got(0).getAs[Double]("rep3_char_frac") == 1.0)
+    assert(got(0).getAs[Double]("rep5_char_frac") == 0.0)
+    assert(got(0).getAs[Int]("rep_ok") == 0)
+
+    // doc 1: clean -> top2 4/60, top3 6/60, top4 8/60, reps 0, verdict 1
+    assert(got(1).getAs[Double]("top2_char_frac") == 4.0 / 60)
+    assert(got(1).getAs[Double]("rep3_char_frac") == 0.0)
+    assert(got(1).getAs[Int]("rep_ok") == 1)
+
+    // doc 2: lines [x, y, x, zz] -> dup_line_frac 1/4, char frac 1/5
+    assert(got(2).getAs[Long]("n_lines") == 4L)
+    assert(got(2).getAs[Double]("dup_line_frac") == 0.25)
+    assert(got(2).getAs[Double]("dup_line_char_frac") == 0.2)
+
+    // doc 3: n>=3 families null; the null features cannot fire, but the
+    // live top2 (1.0) does
+    assert(got(3).isNullAt(got(3).fieldIndex("top3_char_frac")))
+    assert(got(3).isNullAt(got(3).fieldIndex("rep3_char_frac")))
+    assert(got(3).getAs[Int]("rep_ok") == 0)
+
+    // doc 4: every n-gram family null -> nothing can fire -> pass
+    assert(got(4).isNullAt(got(4).fieldIndex("top2_char_frac")))
+    assert(got(4).getAs[Int]("rep_ok") == 1)
+  }
+
+  test("gopherRepetitionGate paper defaults emit the 5..10 rep family") {
+    import graft.ops.TextAnalysis
+    val docs = Seq((0, "a b a b a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetitionGate(docs, "doc_id", "text").collect()(0)
+    // 6 words: rep5 live (no dup 5-gram -> 0), rep6 has one gram (no dup
+    // -> 0), rep7..rep10 null (too short)
+    assert(got.getAs[Double]("rep5_char_frac") == 0.0)
+    assert(got.getAs[Double]("rep6_char_frac") == 0.0)
+    assert(got.isNullAt(got.fieldIndex("rep7_char_frac")))
+    assert(got.isNullAt(got.fieldIndex("rep10_char_frac")))
+    assert(got.getAs[Int]("rep_ok") == 0) // the top-n rules still fire
+  }
+
+  test("gopherRepetitionGate is partitioning-invariant (row-local)") {
+    import graft.ops.TextAnalysis
+    val docs = Seq.tabulate(40)(i => (i, s"w$i a b a b " + ("z " * (i % 7)).trim))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.gopherRepetitionGate(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.gopherRepetitionGate(docs.repartition(7), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  // ---- TextAnalysis.normalizeForDedup ----
+
+  test("normalizeForDedup folds case, accents, digits, punct, and whitespace") {
+    import graft.ops.TextAnalysis
+    val got = Seq(
+      "H\u00e9llo,   W\u00f6rld! 42",
+      "hello world 17",
+      "\u00dc\u00f1\u00edqu\u00e9",
+      "Price: $42.99!",
+      "\u65e5\u672c\u8a9e text"
+    ).toDF("t").select(TextAnalysis.normalizeForDedup(col("t")).as("n"))
+      .as[String].collect()
+    assert(got(0) == "hello world 00")
+    assert(got(1) == "hello world 00") // same class: digits fold to 0
+    assert(got(2) == "unique")
+    assert(got(3) == "price 00 00")
+    assert(got(4) == "text") // non-Latin folds to whitespace, then trims
+  }
+
 }

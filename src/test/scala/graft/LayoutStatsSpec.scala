@@ -15,12 +15,13 @@ class LayoutStatsSpec extends AnyFunSuite {
 
   // ---- Scrub ----
 
-  test("piiMask masks emails, phones, and digit runs; leaves short digits") {
+  test("piiMask masks emails, IPs, phones, and digit runs; leaves short digits") {
     val rows = Seq(
       "mail me at john.doe+x@sub.example.org today",
       "call 25-989-741-2988 or 202 555 0173 now",
       "account 123456789 balance 42 pin 12345",
-      "v2.1 released 2024-01-15").toDF("t")
+      "v2.1 released 2024-01-15",
+      "from 192.168.0.1 and 10.0.0.255, dotted phone 202.555.0173 stays phone").toDF("t")
       .select(Scrub.piiMask(col("t")).as("m")).as[String].collect()
     assert(rows(0) == "mail me at <EMAIL> today")
     assert(rows(1) == "call <PHONE> or <PHONE> now")
@@ -29,6 +30,9 @@ class LayoutStatsSpec extends AnyFunSuite {
     // separator-structured digit groups mask as phone-like — the
     // documented (and standard) date false-positive of regex PII passes
     assert(rows(3) == "v2.1 released <PHONE>")
+    // dotted QUADS are IPs (matched before the phone rule, which a quad
+    // also satisfies); a 3-group dotted run is still a phone
+    assert(rows(4) == "from <IP> and <IP>, dotted phone <PHONE> stays phone")
   }
 
   test("piiMask replacement tokens are fixed points (no re-matching)") {
