@@ -1866,10 +1866,12 @@ object SparkEntry {
     //      with capped-supply redistribution, drawn per group in salted
     //      order under the q82 cum-cost admission rule ----
     "q159_token_waterfill" -> ((s, dir) => {
+      // cached: the budget probe below and the op's two passes all ride
+      // one tokenization of the corpus
       val d = tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.lengthBucket(col("text"), width = 20, maxBucket = 9)
           .as("bucket"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")).cache()
       val tot = d.agg(sum(col("n_tokens"))).head().getLong(0)
       Corpus.waterfillSampleByCost(d, "doc_id", "bucket", "n_tokens",
         alpha = 0.5, budget = tot * 2 / 5)

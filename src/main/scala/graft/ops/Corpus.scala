@@ -1284,15 +1284,25 @@ object Corpus {
         col("alloc"), col("capped"))
 
   /** The closed-form waterfill over a prepared (_g, _s) supply table —
-    * see [[waterfillMix]] for the algorithm and determinism notes. */
+    * see [[waterfillMix]] for the algorithm and determinism notes.
+    * EAGER: the supply table is collected (group-cardinality metadata —
+    * a row per source/bucket, the [[temperatureMix]] exception) and the
+    * closed form runs over the resulting LocalRelation. Left lazy, each
+    * of the half-dozen tiny aggregates/windows below would re-run the
+    * corpus groupBy feeding `counts` (and any tokenization inside it) —
+    * measured as ~4× the applied draw's whole wall at sf0.1. The
+    * round-trip preserves the schema, so group-column types (and the
+    * oracle's) are untouched. */
   private def waterfillCore(counts: DataFrame, alpha: Double,
                             budget: Long): DataFrame = {
     require(alpha >= 0, s"alpha must be non-negative, got $alpha")
     require(budget > 0, s"budget must be positive, got $budget")
+    val local = counts.sparkSession.createDataFrame(
+      java.util.Arrays.asList(counts.collect(): _*), counts.schema)
     import org.apache.spark.sql.expressions.Window
     val ord = Window.orderBy(col("_r"), col("_g"))
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val p = counts
+    val p = local
       .withColumn("_w", pow(col("_s"), alpha))
       .withColumn("_r", col("_s") / col("_w"))
       .withColumn("_cums", sum(col("_s")).over(run))
@@ -1343,13 +1353,18 @@ object Corpus {
                             costCol: String, alpha: Double, budget: Long,
                             seed: String = "graft-temp",
                             scope: CacheScope = CacheScope.noop): DataFrame = {
-    val allocs = waterfillMixBy(docs, groupCol, costCol, alpha, budget)
+    // one narrow (id, group, cost) cache feeds BOTH passes (supply
+    // aggregation, then the draw's range exchange) — without it the mix
+    // and the draw each re-scan the corpus and re-run whatever
+    // tokenization derived the group/cost columns
+    val base = scope.track(
+      docs.select(col(idCol), col(groupCol), col(costCol)).cache())
+    val allocs = waterfillMixBy(base, groupCol, costCol, alpha, budget)
       .select(col(groupCol).cast("string").as("_g"), col("alloc"))
       .collect()
       .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
       .toMap
-    BudgetSelect.selectByBudgetPerGroup(
-        docs.select(col(idCol), col(groupCol), col(costCol)),
+    BudgetSelect.selectByBudgetPerGroup(base,
         groupCol, costCol, allocs, scope,
         md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), col(idCol))
       .select(col(idCol), col(groupCol), col(costCol))
@@ -1365,13 +1380,16 @@ object Corpus {
                       alpha: Double, budget: Long,
                       seed: String = "graft-temp",
                       scope: CacheScope = CacheScope.noop): DataFrame = {
-    val allocs = waterfillMix(docs, groupCol, alpha, budget)
+    // narrow (id, group) cache shared by the supply pass and the draw —
+    // see waterfillSampleByCost
+    val base = scope.track(docs.select(col(idCol), col(groupCol)).cache())
+    val allocs = waterfillMix(base, groupCol, alpha, budget)
       .select(col(groupCol).cast("string").as("_g"), col("alloc"))
       .collect()
       .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
       .toMap
     BudgetSelect.selectByBudgetPerGroup(
-        docs.select(col(idCol), col(groupCol)).withColumn("_ts_one", lit(1L)),
+        base.withColumn("_ts_one", lit(1L)),
         groupCol, "_ts_one", allocs, scope,
         md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), col(idCol))
       .select(col(idCol), col(groupCol))
@@ -1433,9 +1451,14 @@ object Corpus {
                         alpha: Double, budget: Long,
                         seed: String = "graft-temp",
                         scope: CacheScope = CacheScope.noop): DataFrame = {
+    // narrow (id, group) cache shared by the mix pass and the draw —
+    // without it both re-compute the upstream plan (for
+    // topicBalancedSample that is ivfAssign's whole broadcast-argmax
+    // shuffle, twice)
+    val base = scope.track(docs.select(col(idCol), col(groupCol)).cache())
     // group-cardinality metadata by definition (a mixing table row per
     // source/language) — the bounded-driver-state exception
-    val allocs = temperatureMix(docs, groupCol, alpha, budget)
+    val allocs = temperatureMix(base, groupCol, alpha, budget)
       .select(col(groupCol).cast("string").as("_g"), col("alloc"))
       .collect()
       .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
@@ -1447,7 +1470,7 @@ object Corpus {
     // A null group never matches the mix table (equi-join semantics of
     // the old form, budget-less under the new) — dropped either way.
     BudgetSelect.selectByBudgetPerGroup(
-        docs.select(col(idCol), col(groupCol)).withColumn("_ts_one", lit(1L)),
+        base.withColumn("_ts_one", lit(1L)),
         groupCol, "_ts_one", allocs, scope,
         md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), col(idCol))
       .select(col(idCol), col(groupCol))
