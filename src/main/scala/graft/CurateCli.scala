@@ -37,7 +37,12 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             discipline): probes the snapshot, writes per-doc verdicts,
   *             and appends the batch's kept (id, fp) delta back to the
   *             snapshot (append-only — history is never rewritten;
-  *             `--update-snapshot N` to probe read-only)
+  *             `--update-snapshot N` to probe read-only). `--normalize Y`
+  *             keys the loop on NORMALIZED fingerprints
+  *             ([[TextAnalysis.normalizeForDedup]], q161) — the kind is
+  *             a FOUNDING constant of the store; raw and normalized are
+  *             different identity spaces and restating the wrong one
+  *             fails loudly
   *   ingest  — the COMPOSED daily loop ([[Pipeline.ingestGate]], q138):
   *             optionally the Gopher quality gate first (`--quality Y`,
   *             row-local, q140 — failing docs verdict `low_quality`,
@@ -99,7 +104,10 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *   quality — the Gopher gate standalone (q140,
   *             [[graft.ops.TextAnalysis.gopherQualityGate]]): per-doc
   *             features beside the verdict, for threshold tuning before
-  *             wiring `ingest --quality Y`
+  *             wiring `ingest --quality Y`; `--repetition Y` adds the
+  *             q160 within-doc repetition rung's columns
+  *             ([[TextAnalysis.gopherRepetitionGate]], paper defaults)
+  *             to the same table
   *   drift   — distribution-drift gate against a STANDING histogram
   *             ledger ([[graft.ops.HistLedger]], q153 discipline): the
   *             batch's per-group total-variation distance vs the corpus
@@ -178,9 +186,9 @@ object CurateCli {
       "--approx", "--ledger")),
     "quality" -> (CommonOptions ++ Set("--min-words", "--max-words",
       "--min-alpha", "--min-stop-hits", "--max-symbol-ratio",
-      "--vocab-topk", "--max-oov")),
+      "--vocab-topk", "--max-oov", "--repetition")),
     "dedup" -> (CommonOptions ++ Set("--snapshot", "--update-snapshot",
-      "--bloom", "--bloom-capacity")),
+      "--bloom", "--bloom-capacity", "--normalize")),
     "ingest" -> (CommonOptions ++ Set("--snapshot", "--index", "--update",
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram",
       "--ledger", "--hist", "--sample", "--batch-id", "--group-col",
@@ -410,6 +418,40 @@ object CurateCli {
           val snapDir = req("--snapshot")
           val fs = new org.apache.hadoop.fs.Path(snapDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // `--normalize Y` keys the whole loop on NORMALIZED fingerprints
+          // (md5 of normalizeForDedup text, q161): punctuation/counter
+          // variants of the same boilerplate dedup at exact cost. The
+          // kind is a FOUNDING constant of the store — raw and normalized
+          // are different identity spaces, so a disagreeing restatement
+          // (or trying to retrofit a pre-marker raw store) fails loudly
+          val normalize = argv.getOrElse("--normalize", "N") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--normalize must be Y or N, got '$other'")
+          }
+          val requestedKind = if (normalize) "normalized" else "raw"
+          Dedup.snapshotFpKind(spark, snapDir) match {
+            case Some(stored) =>
+              if (stored != requestedKind) throw new IllegalArgumentException(
+                s"snapshot at '$snapDir' is keyed on $stored fingerprints; " +
+                  s"--normalize ${if (normalize) "Y" else "N"} disagrees")
+            case None =>
+              if (snapshotHasData(fs, snapDir) && normalize)
+                throw new IllegalArgumentException(
+                  s"snapshot at '$snapDir' predates the fingerprint-kind " +
+                    "marker and is keyed on raw fingerprints; --normalize Y " +
+                    "cannot retrofit it (found a fresh store instead)")
+              Dedup.foundSnapshotFpKind(spark, snapDir, requestedKind)
+          }
+          // normalized runs rewrite the text column ONCE here; every
+          // downstream fingerprint (probe + write-back delta) then hashes
+          // the canonical form — fingerprint() of already-canonical text
+          // is exactly md5(text), the q161 identity
+          val keyed =
+            if (normalize)
+              in.withColumn(textCol, TextAnalysis.normalizeForDedup(col(textCol)))
+            else in
           // snapshotLive, not a raw read: pending `forget` tombstones
           // must stop counting as history (a re-ingest of forgotten
           // content verdicts `kept` again)
@@ -428,7 +470,7 @@ object CurateCli {
           maybeFoundBloom(spark, snapDir, argv)
           val bloom = Dedup.loadSnapshotBloom(spark, snapDir)
           val verdicts = scope.track(
-            Dedup.incrementalDedupSnapshot(in, idCol, textCol, snapshot,
+            Dedup.incrementalDedupSnapshot(keyed, idCol, textCol, snapshot,
               scope = scope, bloomPrefilter = bloom).cache())
           write(verdicts, out)
           if (updateSnapshot) {
@@ -438,7 +480,7 @@ object CurateCli {
             // `compact` has applied its deletion. Sketch BEFORE rows:
             // a crash between the two leaves false positives, never
             // false negatives
-            val delta = in
+            val delta = keyed
               .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
               .join(verdicts.filter(col("verdict") === "kept").select(col(idCol)),
                 Seq(idCol), "left_semi")
@@ -796,7 +838,20 @@ object CurateCli {
                 .drop("n_tokens"),
               Seq(idCol), "left")
           }
-          write(withVocab, out)
+          // `--repetition Y` adds the q160 within-doc repetition rung
+          // (paper-default thresholds) beside the Gopher/OOV columns —
+          // the third gate tuned from the same one-scan table. Its own
+          // n_words duplicates the Gopher one and is dropped
+          val withRep = argv.getOrElse("--repetition", "N") match {
+            case "Y" => withVocab.join(
+              TextAnalysis.gopherRepetitionGate(in, idCol, textCol)
+                .drop("n_words"),
+              Seq(idCol), "left")
+            case "N" => withVocab
+            case other => throw new IllegalArgumentException(
+              s"--repetition must be Y or N, got '$other'")
+          }
+          write(withRep, out)
 
         case "drift" =>
           // the distribution-drift gate against a STANDING histogram

@@ -864,6 +864,42 @@ object Dedup {
   // order could leave snapshot rows missing from the sketch, and a
   // Bloom false NEGATIVE turns a duplicate into `kept`.
 
+  // ---- Fingerprint-kind founding marker --------------------------------
+  // A snapshot keyed on RAW fingerprints and one keyed on NORMALIZED
+  // fingerprints (md5 of [[graft.ops.TextAnalysis.normalizeForDedup]]
+  // text, the q161 identity) are different identity spaces: probing one
+  // with the other silently verdicts every known duplicate `kept`. The
+  // kind is therefore a FOUNDING constant of the store (the _bloom/params
+  // discipline): recorded when the store is founded, read back by every
+  // later run, and a disagreeing restatement fails loudly. Stores founded
+  // before the marker existed read as raw (None → caller treats as
+  // "raw", and cannot be retrofitted to normalized).
+
+  private def fpKindSidecar(snapDir: String) = s"$snapDir/_fpkind"
+
+  /** The founding fingerprint kind of a snapshot store, if recorded. */
+  def snapshotFpKind(spark: org.apache.spark.sql.SparkSession,
+                     snapDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(fpKindSidecar(snapDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).head().getAs[String]("kind"))
+  }
+
+  /** Record the store's fingerprint kind ("raw" | "normalized") —
+    * called exactly once, when the store is founded. */
+  def foundSnapshotFpKind(spark: org.apache.spark.sql.SparkSession,
+                          snapDir: String, kind: String): Unit = {
+    require(kind == "raw" || kind == "normalized",
+      s"fingerprint kind must be raw or normalized, got '$kind'")
+    require(snapshotFpKind(spark, snapDir).isEmpty,
+      s"snapshot at '$snapDir' already has a founded fingerprint kind")
+    val sess = spark
+    import sess.implicits._
+    Seq(kind).toDF("kind")
+      .coalesce(1).write.parquet(fpKindSidecar(snapDir))
+  }
+
   private def bloomSidecar(snapDir: String) = s"$snapDir/_bloom"
 
   /** Founding sizing of a snapshot's Bloom sidecar, if one exists. */

@@ -912,4 +912,75 @@ class CurateCliSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { stats(sled + "/nope") }
     rm(sled, hled, snap, v, in0, ids)
   }
+
+  test("quality --repetition Y adds the q160 rung beside the Gopher features") {
+    import graft.ops.TextAnalysis
+    val out = tmp("cli-quality-rep")
+    CurateCli.run("quality", Map("--in" -> docsPath, "--out" -> out,
+      "--repetition" -> "Y"))
+    val got = spark.read.parquet(out)
+    for (c <- Seq("gopher_ok", "dup_line_frac", "top2_char_frac",
+        "rep5_char_frac", "rep10_char_frac", "rep_ok"))
+      assert(got.columns.contains(c), s"missing $c in ${got.columns.toSeq}")
+    // the repetition columns equal the library rung (paper defaults)
+    def rrows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "top2_char_frac", "rep_ok")
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.head).toSeq
+    assert(rrows(got) == rrows(TextAnalysis.gopherRepetitionGate(
+      spark.read.parquet(docsPath), "doc_id", "text")))
+    // gopher's n_words survives the join exactly once
+    assert(got.columns.count(_ == "n_words") == 1)
+    // strict Y/N
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("quality", Map("--in" -> docsPath, "--out" -> out,
+        "--repetition" -> "yes"))
+    }
+    assert(e.getMessage.contains("--repetition"))
+    rm(out)
+  }
+
+  test("dedup --normalize Y keys the standing loop on normalized fingerprints; the kind is founding") {
+    import graft.ops.TextAnalysis
+    val snap = tmp("cli-normsnap"); rm(snap)
+    val b1 = tmp("cli-norm-b1"); val b2 = tmp("cli-norm-b2")
+    val out1 = tmp("cli-norm-o1"); val out2 = tmp("cli-norm-o2")
+    // batch 1: two docs that are the SAME normalized class ("Hello, World!"
+    // vs "hello world 42" differ; craft true variants) + one unique
+    Seq((1L, "Hello, World! 42"), (2L, "hello world 17"), (3L, "something else"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(b1)
+    // batch 2: a punctuation variant of batch 1's class (raw fp differs,
+    // normalized fp matches) and a genuinely new doc
+    Seq((10L, "HELLO... world 99"), (11L, "brand new content"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(b2)
+    CurateCli.run("dedup", Map("--in" -> b1, "--out" -> out1,
+      "--snapshot" -> snap, "--normalize" -> "Y"))
+    val v1 = spark.read.parquet(out1).as[(Long, String)].collect().toMap
+    // 1 and 2 normalize identically ("hello world 00") -> first-wins
+    assert(v1(1L) == "kept" && v1(2L) == "dup_batch" && v1(3L) == "kept")
+    CurateCli.run("dedup", Map("--in" -> b2, "--out" -> out2,
+      "--snapshot" -> snap, "--normalize" -> "Y"))
+    val v2 = spark.read.parquet(out2).as[(Long, String)].collect().toMap
+    // the punctuation variant hits HISTORY through the normalized class
+    assert(v2(10L) == "dup_history" && v2(11L) == "kept")
+    // the founding kind is recorded and a disagreeing restatement fails
+    assert(graft.ops.Dedup.snapshotFpKind(spark, snap).contains("normalized"))
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("dedup", Map("--in" -> b2, "--out" -> out2,
+        "--snapshot" -> snap))
+    }
+    assert(e.getMessage.contains("normalized"))
+    // a raw-founded store rejects --normalize Y the same way
+    val rawSnap = tmp("cli-rawsnap"); rm(rawSnap)
+    val out3 = tmp("cli-norm-o3")
+    CurateCli.run("dedup", Map("--in" -> b1, "--out" -> out3,
+      "--snapshot" -> rawSnap))
+    assert(graft.ops.Dedup.snapshotFpKind(spark, rawSnap).contains("raw"))
+    val e2 = intercept[IllegalArgumentException] {
+      CurateCli.run("dedup", Map("--in" -> b2, "--out" -> out3,
+        "--snapshot" -> rawSnap, "--normalize" -> "Y"))
+    }
+    assert(e2.getMessage.contains("raw"))
+    rm(snap, rawSnap, b1, b2, out1, out2, out3)
+  }
+
 }
