@@ -1037,6 +1037,10 @@ object CurateCli {
               val row = spark.read.parquet(s"$store/params").head()
               Some(row.schema.fieldNames.zipWithIndex
                 .map { case (f, i) => s"$f=${row.get(i)}" }.mkString(" "))
+            // the snapshot's founding param is its fingerprint kind
+            // (pre-marker stores have none and read as raw)
+            case "snapshot" =>
+              Dedup.snapshotFpKind(spark, store).map(k => s"fp_kind=$k")
             case _ => None
           }
           write(Seq((store, kind, nRows, batchDirs.size.toLong, nTombs,

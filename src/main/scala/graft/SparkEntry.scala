@@ -1917,7 +1917,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           count(col("_k")).as("n_with_k"),
           sum(col("_k")).as("sum_k"),
-          max(col("_k")).as("max_k"))))
+          max(col("_k")).as("max_k"))),
+
+    // ---- Ranked ANN evaluation (round-9): recall@k + MRR@k + NDCG@k of
+    //      the LSH rung against the exact top-k — the order-sensitive
+    //      metrics recall alone can't see (an index that buries its one
+    //      good hit at rank k is not the one that leads with it). NDCG
+    //      gains are driver literals on both engines; round(6) absorbs
+    //      the <= k-term float-sum order ----
+    "q163_ann_ranked_eval" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", dim = 64, nPlanes = 8, k = 5)
+      val exact = Similarity.exactTopK(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 5)
+      Similarity.rankedEval(approx, exact, "query_id", "vec_id",
+        "sim", ascending = false, k = 5)
+    }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2020,6 +2037,47 @@ object SparkEntry {
        |  CAST(count(ap.vec_id) AS DOUBLE) / 5.0 AS recall
        |FROM ek LEFT JOIN ap ON ek.query_id = ap.query_id AND ek.vec_id = ap.vec_id
        |GROUP BY ek.query_id""".stripMargin
+  }
+
+  /** q163's oracle: q112's LSH + exact CTEs with the approx side KEEPING
+    * its rank; MRR = max 1/rn over hits (exact integer reciprocals),
+    * NDCG via the SAME driver-computed gain literals the Spark side
+    * embeds (shortest-roundtrip decimals — identical double bits),
+    * round(6) absorbing the ≤k-term sum order. */
+  private val annRankedEvalOracle: String = {
+    val dim = 64
+    val nPlanes = 8
+    val k = 5
+    val (gains, idcg) = Similarity.ndcgGains(k)
+    val gainsLit = gains.mkString("[", ", ", "]")
+    val bucket = (0 until nPlanes).map { p =>
+      val terms = (0 until dim)
+        .map(j => s"v[${j + 1}]*(${Similarity.planeComponent(p, j, "graft")})")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+       |aj AS (SELECT q.query_id, b.vec_id,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_cosine_similarity(b.v, q.qv) DESC, b.vec_id) AS rn
+       |       FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.query_id),
+       |ap AS (SELECT query_id, vec_id, rn FROM aj WHERE rn <= $k),
+       |ex AS (SELECT q.query_id, e.vec_id,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id) AS rn
+       |       FROM e JOIN q ON e.vec_id <> q.query_id),
+       |ek AS (SELECT query_id, vec_id, 1 AS rel FROM ex WHERE rn <= $k),
+       |j AS (SELECT ap.query_id, ap.rn, ek.rel
+       |      FROM ap LEFT JOIN ek ON ap.query_id = ek.query_id AND ap.vec_id = ek.vec_id)
+       |SELECT query_id,
+       |  CAST(coalesce(sum(rel), 0) AS BIGINT) AS n_hit,
+       |  coalesce(sum(rel), 0)::DOUBLE / $k.0 AS recall,
+       |  coalesce(max(CASE WHEN rel = 1 THEN 1.0::DOUBLE / rn END), 0.0) AS mrr,
+       |  round(coalesce(sum(CASE WHEN rel = 1 THEN ($gainsLit)[rn] END), 0.0)
+       |    / $idcg, 6) AS ndcg
+       |FROM j GROUP BY query_id""".stripMargin
   }
 
   /** q115's oracle: q42's 4-plane buckets split into history (even ids)
@@ -4470,5 +4528,7 @@ object SparkEntry {
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q163_ann_ranked_eval" -> annRankedEvalOracle)
 }

@@ -122,6 +122,62 @@ object Similarity {
       .withColumn("recall", col("n_hit").cast("double") / lit(k.toDouble))
   }
 
+  /** NDCG gain table for rank i = 1..k: 1/log₂(i+1), plus their ordered
+    * sum (the ideal DCG under binary relevance with k relevant items).
+    * Computed ONCE on the driver and embedded as literals on both
+    * engines — shortest-roundtrip decimal parsing reproduces the exact
+    * double bits, so no runtime log() (and no libm variance) is in any
+    * engine's hot path. */
+  private[graft] def ndcgGains(k: Int): (Seq[Double], Double) = {
+    val gains = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    (gains, gains.foldLeft(0.0)(_ + _))
+  }
+
+  /** Ranked-retrieval evaluation beside [[recallAtK]] — per query,
+    * recall@k, MRR@k and NDCG@k of an approximate ANN result against the
+    * exact top-k (binary relevance: membership in the true top-k):
+    *  - `recall`: fraction of true neighbors the approx run returned;
+    *  - `mrr`: reciprocal rank of the FIRST true neighbor in the approx
+    *    ORDERING (1/rank — order-sensitivity recall can't see: an index
+    *    that buries its one good hit at rank k scores 1/k, not 1);
+    *  - `ndcg`: rank-discounted gain over all hits, normalized by the
+    *    ideal ([[ndcgGains]] literals; round(6) absorbs the ≤k-term
+    *    float-sum order).
+    * The approx frame is ranked here by (`scoreCol`, id) — pass the
+    * score the rung emits (`sim` desc for cosine rungs, `adist` asc for
+    * ADC) so the eval sees exactly the ordering a consumer would.
+    *
+    * Scale shape: one |Q|-partition rank window over the (already
+    * k-bounded) approx rows, one narrow (query, id) equi-join, one
+    * per-query agg — no vectors move; the eval costs nothing next to
+    * the searches it grades. Queries absent from `approx` don't emit a
+    * row (an empty result set is visible as the missing query, not a
+    * fabricated zero). */
+  def rankedEval(approx: DataFrame, exact: DataFrame,
+                 qCol: String, idCol: String,
+                 scoreCol: String, ascending: Boolean, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val (gains, idcg) = ndcgGains(k)
+    val ord = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    val w = Window.partitionBy(col(qCol)).orderBy(ord, col(idCol))
+    val ranked = approx.select(col(qCol), col(idCol), col(scoreCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+    val rel = exact.select(col(qCol), col(idCol)).withColumn("_rel", lit(1))
+    ranked.join(rel, Seq(qCol, idCol), "left")
+      .groupBy(col(qCol))
+      .agg(
+        coalesce(sum(col("_rel")), lit(0)).cast("long").as("n_hit"),
+        (coalesce(sum(col("_rel")), lit(0)).cast("double") / lit(k.toDouble))
+          .as("recall"),
+        coalesce(max(when(col("_rel") === 1,
+          lit(1.0) / col("_rk").cast("double"))), lit(0.0)).as("mrr"),
+        round(coalesce(sum(when(col("_rel") === 1,
+          element_at(typedLit(gains), col("_rk")))), lit(0.0)) / lit(idcg), 6)
+          .as("ndcg"))
+  }
+
   /** Max-abs symmetric quantization scale for an embedding: `levels /
     * max|v_i|` (null for the zero vector). The first step of any
     * int8/PQ compression pass over an embedding store. */

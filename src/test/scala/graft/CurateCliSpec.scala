@@ -907,6 +907,8 @@ class CurateCliSpec extends AnyFunSuite {
     CurateCli.run("forget", Map("--in" -> ids, "--store" -> snap))
     val s3 = stats(snap)
     assert(s3._1 == "snapshot" && s3._2 > 0L && s3._4 > 0L && s3._7 == "N")
+    // the snapshot's founding fingerprint kind surfaces as its param
+    assert(s3._6.contains("fp_kind=raw"))
 
     // a typo'd path fails loudly
     intercept[IllegalArgumentException] { stats(sled + "/nope") }

@@ -198,4 +198,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(base.nonEmpty && run(emb.repartition(37)) == base,
       "the outlier set is a pure function of (ids, vectors, codebook)")
   }
+
+  // ---- Similarity.rankedEval ----
+
+  test("rankedEval hand case: recall, MRR, and NDCG at k") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    // query 100: approx ranking (score desc) = [9 miss, 2 hit, 3 hit];
+    // query 200: all misses; query 300: perfect leading hit
+    val approx = Seq(
+      (100L, 9L, 0.9), (100L, 2L, 0.8), (100L, 3L, 0.7),
+      (200L, 7L, 0.9), (200L, 8L, 0.8),
+      (300L, 1L, 0.99)
+    ).toDF("query_id", "vec_id", "sim")
+    val exact = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (200L, 1L), (200L, 2L), (200L, 3L),
+      (300L, 1L), (300L, 2L), (300L, 3L)
+    ).toDF("query_id", "vec_id")
+    val got = Similarity.rankedEval(approx, exact, "query_id", "vec_id",
+        "sim", ascending = false, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (gains, idcg) = Similarity.ndcgGains(3)
+    def nd(x: Double) = math.round(x / idcg * 1e6) / 1e6
+    assert(got(100L) == ((2L, 2.0 / 3, 0.5, nd(gains(1) + gains(2)))))
+    assert(got(200L) == ((0L, 0.0, 0.0, 0.0)))
+    assert(got(300L) == ((1L, 1.0 / 3, 1.0, nd(gains(0)))))
+  }
+
+  test("rankedEval ranks by the stated score direction and caps at k") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    // ascending=true (distance-like): the LOWEST score is rank 1; a 4th
+    // row past k=3 must not count even though it is a hit
+    val approx = Seq(
+      (1L, 10L, 0.1), (1L, 11L, 0.2), (1L, 12L, 0.3), (1L, 13L, 0.4)
+    ).toDF("query_id", "vec_id", "adist")
+    val exact = Seq((1L, 10L), (1L, 13L), (1L, 99L)).toDF("query_id", "vec_id")
+    val r = Similarity.rankedEval(approx, exact, "query_id", "vec_id",
+        "adist", ascending = true, k = 3).collect()(0)
+    // only the rank-1 hit counts (13 sits at rank 4, past k)
+    assert(r.getLong(1) == 1L && r.getDouble(3) == 1.0)
+  }
+
 }
