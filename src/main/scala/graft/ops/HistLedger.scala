@@ -175,6 +175,12 @@ object HistLedger {
   private def horizon(spark: SparkSession, dir: String): Option[Long] =
     readSmall(spark, horizonPath(dir)).map(_.toLong)
 
+  /** True once at least one batch dir exists — the founding test the
+    * drift-gated ingest sink uses (a founding batch has no history to
+    * drift against and must be admitted, or nothing ever founds). */
+  def hasHistory(spark: SparkSession, dir: String): Boolean =
+    batchIds(spark, dir).nonEmpty
+
   private def batchIds(spark: SparkSession, dir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = fs(spark, dir)

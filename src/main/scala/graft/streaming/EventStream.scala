@@ -382,6 +382,77 @@ object EventStream {
       }
       .start()
 
+  /** DRIFT-GATED ingest — [[histLedgerSink]] with a quarantine: each
+    * microbatch is SCORED against the corpus-to-date distribution
+    * ([[graft.ops.HistLedger.drift]], per-group TV distance) BEFORE it
+    * becomes history, and groups past `maxTv` are quarantined — their
+    * rows land under `quarantineDir/batch=<id>` for review and never
+    * enter the ledger, so a poisoned source (broken extractor, dumped
+    * spam feed) cannot normalize ITSELF by shifting the distribution it
+    * is judged against. Passing groups append as usual. Per-group
+    * granularity: one bad source must not block the healthy sources
+    * sharing its microbatch.
+    *
+    * Verdict stability under at-least-once replay: scores are computed
+    * EXACTLY ONCE per batch id — written to `scoresDir/batch=<id>`
+    * before any store mutation, and a re-delivered batch REUSES the
+    * stored scores (recomputing would judge the batch against a history
+    * that already contains its own passing groups). The quarantine
+    * write and the ledger append are per-batch-dir overwrites —
+    * idempotent like every ledger sink.
+    *
+    * Founding: a ledger with no history admits the whole first batch
+    * (scores written as tv 0.0 — there is nothing to drift against).
+    * A brand-new group arriving LATER scores 1.0 by definition and is
+    * quarantined: admitting a never-seen source is an explicit
+    * maintenance decision ([[graft.ops.HistLedger.append]] or the CLI
+    * `drift` loop), not something a stream does silently. Rows with a
+    * null group cannot be quarantined (no score row to match) and pass. */
+  def driftGatedHistSink(stream: DataFrame, groupCol: String, valCol: String,
+                         ledgerDir: String, scoresDir: String,
+                         quarantineDir: String, checkpoint: String,
+                         maxTv: Double, lo: Double, hi: Double, nBuckets: Int,
+                         keepLast: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val scoresPath = s"$scoresDir/batch=$batchId"
+        val fsys = new org.apache.hadoop.fs.Path(scoresPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // _SUCCESS, not bare dir existence: a crash mid-write leaves an
+        // uncommitted dir, which a replay must overwrite, not trust
+        val committed = fsys.exists(
+          new org.apache.hadoop.fs.Path(s"$scoresPath/_SUCCESS"))
+        val scores =
+          if (committed) spark.read.parquet(scoresPath)
+          else {
+            val s =
+              if (graft.ops.HistLedger.hasHistory(spark, ledgerDir))
+                graft.ops.HistLedger.drift(spark, ledgerDir, b, groupCol, valCol)
+              else b.select(col(groupCol).cast("string").as("group")).distinct()
+                .withColumn("tv_dist", lit(0.0))
+            s.coalesce(1).write.mode("overwrite").parquet(scoresPath)
+            spark.read.parquet(scoresPath)
+          }
+        // group-cardinality metadata (one score row per source)
+        val bad = scores.filter(col("tv_dist") > maxTv)
+          .select(col("group")).collect()
+          .flatMap(r => Option(r.getString(0))).toSeq
+        val gkey = col(groupCol).cast("string")
+        if (bad.nonEmpty)
+          b.filter(gkey.isin(bad: _*))
+            .write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
+        val pass =
+          if (bad.isEmpty) b
+          else b.filter(!coalesce(gkey.isin(bad: _*), lit(false)))
+        graft.ops.HistLedger.append(spark, ledgerDir, pass, groupCol, valCol,
+          batchId, lo, hi, nBuckets, keepLast)
+        ()
+      }
+      .start()
+
   /** Maintain the corpus-to-date INSPECTION SAMPLE at ingest time —
     * [[graft.ops.SampleLedger.append]] as a streaming sink, completing
     * the ledger-sink family (counts, distributions, and now the rows a

@@ -179,4 +179,61 @@ class HistLedgerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no histogram ledger"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("driftGatedHistSink quarantines a drifted group before it becomes history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def tdir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val (ledger, scores, quar, ckpt) =
+      (tdir("dgs-led"), tdir("dgs-sco"), tdir("dgs-quar"), tdir("dgs-ckpt"))
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.EventStream.driftGatedHistSink(
+      mem.toDF().toDF("doc_id", "src", "n"), "src", "n",
+      ledger, scores, quar, ckpt, maxTv = 0.5, 0.0, 100.0, 10)
+
+    // batch 0 FOUNDS: two healthy sources, values near 20
+    val b0 = (0 until 40).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", 20L + i % 5))
+    mem.addData(b0: _*); q.processAllAvailable()
+    // founding scores are 0.0 and everything is history
+    val s0 = spark.read.parquet(s"$scores/batch=0")
+      .as[(String, Double)].collect().toMap
+    assert(s0 == Map("a" -> 0.0, "b" -> 0.0))
+    assert(HistLedger.merged(spark, ledger)
+      .agg(sum(col("cnt"))).as[Long].head() == 40L)
+
+    // batch 1: source a stays near 20; source b jumps to 90 (poisoned)
+    val b1 = (100 until 140).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", if (i % 2 == 0) 21L else 90L))
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val s1 = spark.read.parquet(s"$scores/batch=1")
+      .as[(String, Double)].collect().toMap
+    assert(s1("a") < 0.5 && s1("b") > 0.5, s"scores: $s1")
+    // b's poisoned rows sit in quarantine, not in the ledger
+    val quarRows = spark.read.parquet(s"$quar/batch=1")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(quarRows.nonEmpty && quarRows.forall(r => r._2 == "b" && r._3 == 90L))
+    val ledgerTotals = HistLedger.merged(spark, ledger)
+      .groupBy(col("group")).agg(sum(col("cnt")).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(ledgerTotals("a") == 40L) // 20 founding + 20 passing
+    assert(ledgerTotals("b") == 20L) // founding only — the poison never landed
+
+    // replay of batch 1 (at-least-once): stored scores are REUSED, the
+    // ledger does not double-count, the quarantine stays byte-stable
+    val mem2 = MemoryStream[(Long, String, Long)]
+    val q2 = graft.streaming.EventStream.driftGatedHistSink(
+      mem2.toDF().toDF("doc_id", "src", "n"), "src", "n",
+      ledger, scores, quar, tdir("dgs-ckpt2"), maxTv = 0.5, 0.0, 100.0, 10)
+    mem2.addData(b0: _*); q2.processAllAvailable() // this sink's batch 0 = replay of id 0
+    q2.stop()
+    assert(spark.read.parquet(s"$scores/batch=0")
+      .as[(String, Double)].collect().toMap == s0)
+    assert(HistLedger.merged(spark, ledger)
+      .groupBy(col("group")).agg(sum(col("cnt")).as("c"))
+      .as[(String, Long)].collect().toMap == ledgerTotals)
+    Seq(ledger, scores, quar, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
+
 }
