@@ -1919,6 +1919,28 @@ object SparkEntry {
           sum(col("_k")).as("sum_k"),
           max(col("_k")).as("max_k"))),
 
+    // ---- JSON key profile (round-9): which properties each event type
+    //      actually carries — the schema-drift census run before a
+    //      props column hardens into real columns (a key vanishing or
+    //      appearing between batches is an extractor change) ----
+    "q165_json_keys" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .select(col("event_type"),
+          explode(json_object_keys(col("props"))).as("key"))
+        .groupBy(col("event_type"), col("key"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- The FULL quality-refinement ladder (round-9): q146's pipeline
+    //      with the repetition gate inserted between the Gopher cut and
+    //      the vocab vote — repetition-spam must not vote for the
+    //      vocabulary either. Same lite rep instantiation as q160 (this
+    //      corpus's docs are too short for 5-grams to self-repeat) ----
+    "q164_refine_full" -> ((s, dir) =>
+      Pipeline.refineCorpus(tbl(s, dir, "documents"), "doc_id", "text",
+        minWords = 50, vocabTopK = 24, maxOovFrac = 0.25, spanN = 3,
+        withRepetition = true,
+        repRepNs = Seq(3 -> 0.15, 5 -> 0.15))),
+
     // ---- Ranked ANN evaluation (round-9): recall@k + MRR@k + NDCG@k of
     //      the LSH rung against the exact top-k — the order-sensitive
     //      metrics recall alone can't see (an index that buries its one
@@ -4000,6 +4022,105 @@ object SparkEntry {
         |  coalesce(s.txt, '') AS text_clean
         |FROM t2 LEFT JOIN s USING (doc_id)""".stripMargin,
 
+    // q164: q146's ladder with q160's repetition verdict intersected
+    // between the Gopher cut and the vocab vote (r-prefixed CTEs are
+    // the q160 oracle's feature blocks reduced to one fired flag)
+    "q164_refine_full" ->
+      """WITH gd AS (SELECT doc_id, text, trim(text) AS t FROM documents),
+        |gw AS (SELECT doc_id, text, t, regexp_split_to_array(t, '\s+') AS w,
+        |        regexp_split_to_array(lower(t), '\s+') AS lw FROM gd),
+        |gf AS (SELECT doc_id, text, len(w) AS n,
+        |  length(regexp_replace(t, '\s+', '', 'g'))::DOUBLE / len(w) AS mwl,
+        |  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w) AS af,
+        |  len(list_filter(lw, x -> x IN ('the','be','to','of','and','that','have','with'))) AS sh,
+        |  ((length(t) - length(replace(t, '#', '')))
+        |    + (length(t) - length(replace(t, '...', ''))) / 3) / len(w) AS sr
+        | FROM gw),
+        |p1g AS (SELECT doc_id, text FROM gf
+        |  WHERE n >= 50 AND n <= 100000 AND mwl >= 3 AND mwl <= 10
+        |    AND af >= 0.8 AND sh >= 2 AND sr <= 0.1),
+        |rw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+        |        length(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS tc,
+        |        regexp_split_to_array(text, '\n') AS l FROM documents),
+        |rlf AS (SELECT doc_id, 1.0 - len(list_distinct(l))::DOUBLE / len(l) AS dlf,
+        |        list_sum(list_transform(l, x -> length(x))) AS lc,
+        |        list_sum(list_transform(list_distinct(l), x -> length(x))) AS dc
+        |       FROM rw),
+        |rg2 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS gram
+        |       FROM rw, UNNEST(generate_series(1, len(w) - 1)) AS u(i) WHERE len(w) >= 2),
+        |rt2 AS (SELECT doc_id, c, gram FROM (
+        |        SELECT doc_id, gram, count(*) AS c,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rn
+        |        FROM rg2 GROUP BY doc_id, gram) WHERE rn = 1),
+        |rg3 AS (SELECT doc_id, i AS pos, array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+        |       FROM rw, UNNEST(generate_series(1, len(w) - 2)) AS u(i) WHERE len(w) >= 3),
+        |rt3 AS (SELECT doc_id, c, gram FROM (
+        |        SELECT doc_id, gram, count(*) AS c,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rn
+        |        FROM rg3 GROUP BY doc_id, gram) WHERE rn = 1),
+        |rg4 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 3), ' ') AS gram
+        |       FROM rw, UNNEST(generate_series(1, len(w) - 3)) AS u(i) WHERE len(w) >= 4),
+        |rt4 AS (SELECT doc_id, c, gram FROM (
+        |        SELECT doc_id, gram, count(*) AS c,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rn
+        |        FROM rg4 GROUP BY doc_id, gram) WHERE rn = 1),
+        |rd3 AS (SELECT doc_id, gram FROM rg3 GROUP BY doc_id, gram HAVING count(*) >= 2),
+        |rcov3 AS (SELECT DISTINCT rg3.doc_id, rg3.pos + v.dd AS p
+        |         FROM rg3 JOIN rd3 USING (doc_id, gram), UNNEST(generate_series(0, 2)) AS v(dd)),
+        |rcc3 AS (SELECT rcov3.doc_id, sum(length(rw.w[p])) AS cc
+        |        FROM rcov3 JOIN rw USING (doc_id) GROUP BY 1),
+        |rg5 AS (SELECT doc_id, i AS pos, array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+        |       FROM rw, UNNEST(generate_series(1, len(w) - 4)) AS u(i) WHERE len(w) >= 5),
+        |rd5 AS (SELECT doc_id, gram FROM rg5 GROUP BY doc_id, gram HAVING count(*) >= 2),
+        |rcov5 AS (SELECT DISTINCT rg5.doc_id, rg5.pos + v.dd AS p
+        |         FROM rg5 JOIN rd5 USING (doc_id, gram), UNNEST(generate_series(0, 4)) AS v(dd)),
+        |rcc5 AS (SELECT rcov5.doc_id, sum(length(rw.w[p])) AS cc
+        |        FROM rcov5 JOIN rw USING (doc_id) GROUP BY 1),
+        |rfire AS (SELECT rw.doc_id,
+        |   coalesce(rlf.dlf > 0.30, false)
+        |   OR coalesce(CASE WHEN rlf.lc > 0 THEN (rlf.lc - rlf.dc)::DOUBLE / rlf.lc END > 0.20, false)
+        |   OR coalesce(CASE WHEN len(rw.w) >= 2 THEN rt2.c * length(replace(rt2.gram, ' ', ''))::DOUBLE / rw.tc END > 0.20, false)
+        |   OR coalesce(CASE WHEN len(rw.w) >= 3 THEN rt3.c * length(replace(rt3.gram, ' ', ''))::DOUBLE / rw.tc END > 0.18, false)
+        |   OR coalesce(CASE WHEN len(rw.w) >= 4 THEN rt4.c * length(replace(rt4.gram, ' ', ''))::DOUBLE / rw.tc END > 0.16, false)
+        |   OR coalesce(CASE WHEN len(rw.w) >= 3 THEN coalesce(rcc3.cc, 0)::DOUBLE / rw.tc END > 0.15, false)
+        |   OR coalesce(CASE WHEN len(rw.w) >= 5 THEN coalesce(rcc5.cc, 0)::DOUBLE / rw.tc END > 0.15, false)
+        |   AS fired
+        | FROM rw JOIN rlf USING (doc_id)
+        | LEFT JOIN rt2 USING (doc_id) LEFT JOIN rt3 USING (doc_id) LEFT JOIN rt4 USING (doc_id)
+        | LEFT JOIN rcc3 USING (doc_id) LEFT JOIN rcc5 USING (doc_id)),
+        |p1 AS (SELECT p1g.doc_id, p1g.text FROM p1g
+        |       JOIN rfire ON p1g.doc_id = rfire.doc_id AND NOT rfire.fired),
+        |t1 AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM p1),
+        |tok AS (SELECT doc_id, unnest(w) AS word FROM t1),
+        |tk AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+        |v AS (SELECT word, 1 AS inv FROM (
+        |  SELECT word, count(*) AS c FROM tk GROUP BY 1 ORDER BY c DESC, word LIMIT 24)),
+        |vf AS (SELECT tk.doc_id, count(*) AS nt,
+        |        sum(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END) AS oov
+        |      FROM tk LEFT JOIN v USING (word) GROUP BY tk.doc_id),
+        |p2 AS (SELECT p1.doc_id, p1.text FROM p1 JOIN vf USING (doc_id)
+        |       WHERE oov::DOUBLE / nt <= 0.25),
+        |t2 AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM p2),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+        |      FROM t2, UNNEST(generate_series(1, len(w) - 2)) AS u(i) WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, pos,
+        |        count(*) OVER (PARTITION BY gram) AS cnt,
+        |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g),
+        |cov AS (SELECT DISTINCT doc_id, pos + dd AS i
+        |        FROM e, UNNEST(generate_series(0, 2)) AS vv(dd)
+        |        WHERE cnt >= 2 AND rn > 1),
+        |tok2 AS (SELECT t2.doc_id, u.i, w[u.i] AS tkn
+        |        FROM t2, UNNEST(generate_series(1, len(w))) AS u(i)),
+        |k AS (SELECT tok2.doc_id, tok2.i, tok2.tkn, cov.i AS ci
+        |      FROM tok2 LEFT JOIN cov ON tok2.doc_id = cov.doc_id AND tok2.i = cov.i),
+        |s AS (SELECT doc_id, count(*) FILTER (ci IS NULL) AS kept,
+        |        string_agg(CASE WHEN ci IS NULL THEN tkn END, ' ' ORDER BY i) AS txt
+        |      FROM k GROUP BY doc_id)
+        |SELECT t2.doc_id, CAST(len(t2.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(s.kept, 0) AS BIGINT) AS kept_tokens,
+        |  coalesce(s.txt, '') AS text_clean
+        |FROM t2 LEFT JOIN s USING (doc_id)""".stripMargin,
+
     // q145: rank-fusion ensemble — percent_rank per signal within lang
     // (the q102 replay contract), mean in fixed column order; round(6)
     // on both sides exactly as q102 rounds its calibrated rank
@@ -4530,5 +4651,11 @@ object SparkEntry {
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
 
-    "q163_ann_ranked_eval" -> annRankedEvalOracle)
+    "q163_ann_ranked_eval" -> annRankedEvalOracle,
+
+    // q165: DuckDB's json_keys mirrors json_object_keys
+    "q165_json_keys" ->
+      """WITH k AS (SELECT event_type, unnest(json_keys(props)) AS key FROM events)
+        |SELECT event_type, key, count(*) AS n
+        |FROM k GROUP BY 1, 2""".stripMargin)
 }

@@ -130,12 +130,30 @@ object Pipeline {
   def refineCorpus(docs: DataFrame, idCol: String, textCol: String,
                    minWords: Int = 50, vocabTopK: Int = 10000,
                    maxOovFrac: Double = 0.1, spanN: Int = 5,
+                   withRepetition: Boolean = false,
+                   repTopNs: Seq[(Int, Double)] =
+                     Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+                   repRepNs: Seq[(Int, Double)] =
+                     Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
+                         8 -> 0.12, 9 -> 0.11, 10 -> 0.10),
                    scope: CacheScope = CacheScope.noop): DataFrame = {
     val gopherOk = TextAnalysis.gopherQualityGate(docs, idCol, textCol,
         minWords = minWords)
       .filter(col("gopher_ok") === 1).select(col(idCol))
-    val pass1 = scope.track(
-      docs.join(gopherOk, Seq(idCol), "left_semi").cache())
+    // `withRepetition` inserts the q160 within-doc repetition gate
+    // (thresholds from repTopNs/repRepNs, paper defaults) BETWEEN the
+    // Gopher cut and the vocab vote — still row-local, so it rides the
+    // same scan stage as the Gopher rules and shifts no movement budget;
+    // repetition-spam must not vote for the vocabulary either
+    val pass0 =
+      if (withRepetition)
+        docs.join(gopherOk, Seq(idCol), "left_semi")
+          .join(TextAnalysis.gopherRepetitionGate(docs, idCol, textCol,
+              topNs = repTopNs, repNs = repRepNs)
+            .filter(col("rep_ok") === 1).select(col(idCol)),
+            Seq(idCol), "left_semi")
+      else docs.join(gopherOk, Seq(idCol), "left_semi")
+    val pass1 = scope.track(pass0.cache())
     val vocabOk = Corpus.vocabCoverage(pass1, idCol, textCol, vocabTopK,
         maxOovFrac, scope)
       .filter(col("vocab_ok") === 1).select(col(idCol))

@@ -374,4 +374,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.size == 150) // 50 fact rows per matching key
   }
+
+  test("refineCorpus withRepetition drops repetition-spam that the Gopher gate alone admits") {
+    import spark.implicits._
+    import graft.ops.Pipeline
+    // both docs pass every Gopher rule (>= 50 words, mean len 3, alpha 1,
+    // 2+ stopword hits, no symbols); the spam doc is one 2-gram repeated
+    val spam = "the and" + " abc def" * 30
+    val clean = "the and of to that have with be " +
+      (0 until 48).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq((1L, clean), (2L, spam)).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    // without the rung both survive to the span-removal output
+    assert(ids(Pipeline.refineCorpus(docs, "doc_id", "text",
+      vocabTopK = 100, maxOovFrac = 1.0, spanN = 3)) == Set(1L, 2L))
+    // with it, the repetition verdict (paper defaults: spam's top-2-gram
+    // char share ~0.97) is intersected before the vocab vote
+    assert(ids(Pipeline.refineCorpus(docs, "doc_id", "text",
+      vocabTopK = 100, maxOovFrac = 1.0, spanN = 3,
+      withRepetition = true)) == Set(1L))
+  }
+
 }
