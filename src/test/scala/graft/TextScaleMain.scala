@@ -47,7 +47,16 @@ object TextScaleMain {
       val a = time(s"chunkDedup   $label", graft.ops.Dedup.chunkDedup(docs, "doc_id", "text", 10))
       val b = time(s"dsirWeights  $label", graft.ops.Corpus.dsirWeights(docs, "doc_id", "text", col("lang") === "en"))
       val c = time(s"bigramLm     $label", graft.ops.Corpus.bigramLmScore(docs, "doc_id", "text"))
-      println(f"SCALE total $label: ${a + b + c}%.2f s")
+      // round-9: the repetition gate is row-local (the zero-shuffle bound)
+      // and the normalized dedup is ONE groupBy on 16-byte keys whose
+      // distinct-key table is replication-invariant — both should track
+      // the corpus linearly at worst
+      val d = time(s"repetitionGate $label",
+        graft.ops.TextAnalysis.gopherRepetitionGate(docs, "doc_id", "text"))
+      val e = time(s"normDedup    $label",
+        docs.select(md5(graft.ops.TextAnalysis.normalizeForDedup(col("text"))).as("fp"))
+          .groupBy(col("fp")).agg(count(lit(1)).as("n")))
+      println(f"SCALE total $label: ${a + b + c + d + e}%.2f s")
     }
     spark.stop()
   }
