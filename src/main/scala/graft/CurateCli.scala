@@ -19,6 +19,11 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             rebuild → DSIR weights → token-budget selection (q92)
   *   clean   — [[Pipeline.cleanCorpus]]: quality gate → exact dedup →
   *             benchmark decontamination → chunking (needs `--bench`)
+  *   refine  — [[Pipeline.refineCorpus]] (q146/q164): the published
+  *             web-pipeline ladder — Gopher gate → optional repetition
+  *             gate (`--repetition Y`, q160) → survivor-built vocab
+  *             gate → ExactSubstr span removal; writes the rebuilt
+  *             (id, n_tokens, kept_tokens, text_clean) table
   *   audit   — [[Pipeline.auditReport]]: domain cap → split assignment →
   *             train→eval leakage rollup (q117)
   *   bpe     — tokenizer training over the corpus: the driver-local
@@ -59,7 +64,10 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             token-length histogram (drift-gate history), `--sample
   *             DIR` the k-per-group inspection sample — each keyed by
   *             `--batch-id N`. Absent stores are founded from the
-  *             first batch
+  *             first batch. `--normalize Y` keys BOTH rungs' content
+  *             identity on the q161 canonical form (a founding constant
+  *             of each store; quality features, histogram signal, and
+  *             sample payloads stay on the raw text)
   *   neardup — the FUZZY layer of the same loop: probe the batch against
   *             a STANDING MinHash-LSH index dir
   *             ([[Dedup.incrementalNearDupsWith]], q97/q126 discipline),
@@ -68,7 +76,9 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             `--update-index N` to probe read-only). An absent index
   *             dir is founded from the first batch; banding parameters
   *             (`--minhash-k`/`--rows-per-band`/`--ngram`) are fixed at
-  *             build time and restating a disagreeing value fails loudly
+  *             build time and restating a disagreeing value fails
+  *             loudly; `--normalize Y` shingles the canonical form,
+  *             under the same founding content-identity marker
   *   embeddup — the VECTOR rung of the loop: probe the batch's
   *             embeddings against a standing LSH bucket index
   *             ([[graft.ops.Similarity.incrementalEmbedNearDupsWith]],
@@ -189,12 +199,16 @@ object CurateCli {
       "--vocab-topk", "--max-oov", "--repetition")),
     "dedup" -> (CommonOptions ++ Set("--snapshot", "--update-snapshot",
       "--bloom", "--bloom-capacity", "--normalize")),
+    "refine" -> (CommonOptions ++ Set("--min-words", "--vocab-topk",
+      "--max-oov", "--span-n", "--repetition")),
     "ingest" -> (CommonOptions ++ Set("--snapshot", "--index", "--update",
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram",
       "--ledger", "--hist", "--sample", "--batch-id", "--group-col",
-      "--quality", "--min-words", "--bloom", "--bloom-capacity")),
+      "--quality", "--min-words", "--bloom", "--bloom-capacity",
+      "--normalize")),
     "neardup" -> (CommonOptions ++ Set("--index", "--update-index",
-      "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram")),
+      "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram",
+      "--normalize")),
     "embeddup" -> (CommonOptions ++ Set("--index", "--update-index",
       "--min-sim", "--vec-col", "--dim", "--planes")),
     "annindex" -> Set("--in", "--in-format", "--index", "--id-col",
@@ -279,7 +293,7 @@ object CurateCli {
     }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|bpe|tokenize|card|quality|drift|sample|select|stats|forget|compact> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|refine|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|bpe|tokenize|card|quality|drift|sample|select|stats|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -535,6 +549,38 @@ object CurateCli {
               Dedup.snapshotLive(spark, snapDir, idCol).select(col("fp"))
             else Seq.empty[String].toDF("fp")
           val haveIdx = fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))
+          // `--normalize Y`: content identity for BOTH rungs (exact fp
+          // and near-dup shingles) is the q161 canonical form. The kind
+          // is a FOUNDING constant of EACH store (the `dedup` command's
+          // discipline — raw and normalized identity spaces cannot mix);
+          // the quality gate, histogram signal, and sample payload stay
+          // on the RAW text (features and the rows a human reads must
+          // not be canonicalized)
+          val ingNorm = argv.getOrElse("--normalize", "N") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--normalize must be Y or N, got '$other'")
+          }
+          val ingKind = if (ingNorm) "normalized" else "raw"
+          for ((dir, hasData) <- Seq(
+              snapDir -> snapshotHasData(fs, snapDir), idxDir -> haveIdx))
+            Dedup.snapshotFpKind(spark, dir) match {
+              case Some(stored) =>
+                if (stored != ingKind) throw new IllegalArgumentException(
+                  s"store at '$dir' is keyed on $stored content identity; " +
+                    s"--normalize ${if (ingNorm) "Y" else "N"} disagrees")
+              case None =>
+                if (hasData && ingNorm) throw new IllegalArgumentException(
+                  s"store at '$dir' predates the content-identity marker " +
+                    "and is keyed on raw text; --normalize Y cannot " +
+                    "retrofit it (found fresh stores instead)")
+                Dedup.foundSnapshotFpKind(spark, dir, ingKind)
+            }
+          def keyed(df: DataFrame): DataFrame =
+            if (ingNorm)
+              df.withColumn(textCol, TextAnalysis.normalizeForDedup(col(textCol)))
+            else df
           // the same sidecar contract as `dedup`: `--bloom Y` founds,
           // presence drives probe + maintenance (loadSnapshotBloom gives
           // driver-side BYTES, so the prefilter is immune to the
@@ -556,13 +602,13 @@ object CurateCli {
                 throw new IllegalArgumentException(
                   s"$flag ${stated} disagrees with the stored index ($stored) — " +
                     "banding parameters are fixed at build time")
-            Pipeline.ingestGate(gated, idCol, textCol, snapshot, idx, minJ,
+            Pipeline.ingestGate(keyed(gated), idCol, textCol, snapshot, idx, minJ,
               scope, bloomPrefilter = bloom)
           } else {
             // founding batch: no fuzzy history — exact verdicts only, in
             // the unified shape (hist_id a typed null of the id column,
             // so the verdict table's schema never changes across batches)
-            Dedup.incrementalDedupSnapshot(gated, idCol, textCol, snapshot,
+            Dedup.incrementalDedupSnapshot(keyed(gated), idCol, textCol, snapshot,
                 scope = scope, bloomPrefilter = bloom)
               .select(col(idCol), col("verdict"),
                 when(lit(false), col(idCol)).as("hist_id"),
@@ -587,23 +633,23 @@ object CurateCli {
               readAs(out, "--out-format")
                 .filter(col("verdict") === "kept").select(col(idCol)),
               Seq(idCol), "left_semi")
-            val delta = kept.select(col(idCol),
+            val delta = keyed(kept).select(col(idCol),
               TextAnalysis.fingerprint(col(textCol)).as("fp"))
             // sketch BEFORE rows: a crash between the two is
             // false-positive-only
             Dedup.appendSnapshotBloom(spark, snapDir, delta, "fp")
             Dedup.appendSnapshot(spark, snapDir, delta, idCol)
             if (haveIdx)
-              Dedup.appendNearDupIndex(spark, idxDir, kept, idCol, textCol, scope)
+              Dedup.appendNearDupIndex(spark, idxDir, keyed(kept), idCol, textCol, scope)
             else
-              Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(kept, idCol, textCol,
+              Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(keyed(kept), idCol, textCol,
                 argv.getOrElse("--minhash-k", "4").toInt,
                 argv.getOrElse("--rows-per-band", "2").toInt,
                 argv.getOrElse("--ngram", "5").toInt, scope), idxDir)
             val grpCol = argv.getOrElse("--group-col", "source")
             for (ledgerDir <- ledger)
               graft.ops.Corpus.cardLedgerAppend(spark, ledgerDir,
-                kept.select(col(grpCol),
+                keyed(kept).select(col(grpCol),
                   TextAnalysis.fingerprint(col(textCol)).as("_fp")),
                 grpCol, "_fp", ledgerBatch.get)
             // the other two standing ledgers ride the same kept set: the
@@ -639,7 +685,35 @@ object CurateCli {
           val minJ = argv.getOrElse("--min-jaccard", "0.2").toDouble
           val fs = new org.apache.hadoop.fs.Path(idxDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))) {
+          val ndHaveIdx = fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))
+          // content-identity marker, shared with `dedup`/`ingest`: an
+          // index keyed on normalized shingles must not be probed with
+          // raw text (or vice versa) — stored kind wins, disagreement
+          // fails loudly, a pre-marker store reads as raw
+          val ndNorm = argv.getOrElse("--normalize", "N") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--normalize must be Y or N, got '$other'")
+          }
+          val ndKind = if (ndNorm) "normalized" else "raw"
+          Dedup.snapshotFpKind(spark, idxDir) match {
+            case Some(stored) =>
+              if (stored != ndKind) throw new IllegalArgumentException(
+                s"index at '$idxDir' is keyed on $stored content identity; " +
+                  s"--normalize ${if (ndNorm) "Y" else "N"} disagrees")
+            case None =>
+              if (ndHaveIdx && ndNorm) throw new IllegalArgumentException(
+                s"index at '$idxDir' predates the content-identity marker " +
+                  "and is keyed on raw text; --normalize Y cannot retrofit " +
+                  "it (found a fresh index instead)")
+              Dedup.foundSnapshotFpKind(spark, idxDir, ndKind)
+          }
+          val ndIn =
+            if (ndNorm)
+              in.withColumn(textCol, TextAnalysis.normalizeForDedup(col(textCol)))
+            else in
+          if (ndHaveIdx) {
             // banding parameters live in the stored index; restating one
             // that DISAGREES is the quiet-misconfiguration class the
             // strict parse kills — the probe would band the batch under
@@ -652,18 +726,18 @@ object CurateCli {
                 throw new IllegalArgumentException(
                   s"$flag ${stated} disagrees with the stored index ($stored) — " +
                     "banding parameters are fixed at build time")
-            write(Dedup.incrementalNearDupsWith(in, idx, idCol, textCol,
+            write(Dedup.incrementalNearDupsWith(ndIn, idx, idCol, textCol,
               minJ, scope), out)
             if (updateIndex)
-              Dedup.appendNearDupIndex(spark, idxDir, in, idCol, textCol, scope)
+              Dedup.appendNearDupIndex(spark, idxDir, ndIn, idCol, textCol, scope)
           } else {
             // first batch: no history to probe — zero verdicts (with the
             // probe's schema, so downstream readers see one shape), and
             // the batch founds the index unless the run is read-only
-            write(in.select(col(idCol), col(idCol).as("hist_id"),
+            write(ndIn.select(col(idCol), col(idCol).as("hist_id"),
               lit(0.0).as("jaccard")).limit(0), out)
             if (updateIndex)
-              Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(in, idCol, textCol,
+              Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(ndIn, idCol, textCol,
                 argv.getOrElse("--minhash-k", "4").toInt,
                 argv.getOrElse("--rows-per-band", "2").toInt,
                 argv.getOrElse("--ngram", "5").toInt, scope), idxDir)
@@ -813,6 +887,24 @@ object CurateCli {
                 else graft.ops.Corpus.datasetCardWeighted(in, g, textCol, l, scope),
                 out)
           }
+
+        case "refine" =>
+          // the published quality ladder end-to-end (q146/q164,
+          // Pipeline.refineCorpus): Gopher gate → optional repetition
+          // gate → survivor-built vocab gate → ExactSubstr span removal,
+          // writing the (id, n_tokens, kept_tokens, text_clean) rebuild
+          val rep = argv.getOrElse("--repetition", "N") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--repetition must be Y or N, got '$other'")
+          }
+          write(Pipeline.refineCorpus(in, idCol, textCol,
+            minWords = argv.getOrElse("--min-words", "50").toInt,
+            vocabTopK = argv.getOrElse("--vocab-topk", "10000").toInt,
+            maxOovFrac = argv.getOrElse("--max-oov", "0.1").toDouble,
+            spanN = argv.getOrElse("--span-n", "5").toInt,
+            withRepetition = rep, scope = scope), out)
 
         case "quality" =>
           // the Gopher gate standalone (q140): per-doc features + verdict,

@@ -1919,6 +1919,30 @@ object SparkEntry {
           sum(col("_k")).as("sum_k"),
           max(col("_k")).as("max_k"))),
 
+    // ---- Tokenizer-fertility decision table (round-9): per language,
+    //      BPE tokens per word and chars per token under a candidate
+    //      merge table (q80's fixed merges) — the numbers a tokenizer
+    //      choice is made from ("this vocab costs 1.3 tokens/word on
+    //      lang X"). Ratios are raw IEEE divisions of exact sums ----
+    "q166_tokenizer_fertility" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val enc = Corpus.bpeEncode(d, "doc_id", "text",
+          Seq(("t", "h"), ("th", "e"), ("e", "r"), ("er", "s")))
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("_nt"))
+      d.select(col("doc_id"), col("lang"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("_nw"),
+          length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
+            .cast("long").as("_nc"))
+        .join(enc, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_nt")).as("n_tokens"),
+          sum(col("_nw")).as("n_words"),
+          sum(col("_nc")).as("n_chars"),
+          (sum(col("_nt")).cast("double") / sum(col("_nw"))).as("fertility"),
+          (sum(col("_nc")).cast("double") / sum(col("_nt"))).as("chars_per_token"))
+    }),
+
     // ---- JSON key profile (round-9): which properties each event type
     //      actually carries — the schema-drift census run before a
     //      props column hardens into real columns (a key vanishing or
@@ -4652,6 +4676,24 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q163_ann_ranked_eval" -> annRankedEvalOracle,
+
+    // q166: q80's placeholder-replace BPE count per doc, rolled up per
+    // lang; fertility/chars_per_token are raw IEEE divisions of exact
+    // integer sums (the q98 discipline)
+    "q166_tokenizer_fertility" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(length(regexp_replace(
+        |      replace(replace(replace(replace(lower(trim(text)),
+        |        'th', chr(1)), chr(1) || 'e', chr(2)), 'er', chr(3)), chr(3) || 's', chr(4)),
+        |      '\s', '', 'g')) AS BIGINT) AS nt,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS nw,
+        |    CAST(length(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS BIGINT) AS nc
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(nt) AS n_tokens, sum(nw) AS n_words, sum(nc) AS n_chars,
+        |  sum(nt)::DOUBLE / sum(nw) AS fertility,
+        |  sum(nc)::DOUBLE / sum(nt) AS chars_per_token
+        |FROM t GROUP BY lang""".stripMargin,
 
     // q165: DuckDB's json_keys mirrors json_object_keys
     "q165_json_keys" ->

@@ -137,25 +137,6 @@ object TextAnalysis {
           symbolRatio <= maxSymbolRatio, 1).otherwise(0).as("gopher_ok"))
   }
 
-  /** Most-frequent element of a sorted gram array as struct(cnt, gram) —
-    * one left-to-right pass over the SORTED array (run-length max), so
-    * ties break to the lexicographically smallest gram with no second
-    * scan. O(G log G) in the sort vs the O(G²) count-per-distinct
-    * alternative — at web-doc sizes (10³–10⁴ grams) that is the
-    * difference between microseconds and milliseconds per row. */
-  private def topGramOfSorted(sorted: Column): Column =
-    aggregate(sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"),
-        lit(0L).as("cnt"), lit("").as("gram")),
-      (acc, x) => {
-        val run = when(x === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
-        val better = run > acc("cnt")
-        struct(x.as("prev"), run.as("run"),
-          when(better, run).otherwise(acc("cnt")).as("cnt"),
-          when(better, x).otherwise(acc("gram")).as("gram"))
-      },
-      acc => struct(acc("cnt").as("cnt"), acc("gram").as("gram")))
-
   /** The published Gopher REPETITION rule set (Rae et al. 2021, §A1.1.1 —
     * [[gopherQualityGate]] covers the quality half, this the within-doc
     * repetition half the same pipelines run beside it): duplicate-line
@@ -170,11 +151,11 @@ object TextAnalysis {
     * so thresholds tune from one table; a doc too short for an n-gram
     * family yields null there, and a null feature cannot fire its rule.
     *
-    * Scale shape: ZERO shuffles — lines and grams are arrays of the
-    * doc's own row, the top-gram election one pass over the sorted gram
-    * array, coverage a flatten/distinct over duplicated positions; the
-    * gate composes into any scan stage. Fractions are raw IEEE divisions
-    * of exact integers (the q98 discipline). */
+    * Scale shape: ZERO shuffles — every feature comes from ONE native
+    * single-pass expression per row ([[graft.functions.RepetitionStats]];
+    * hash-map gram tallies, O(text · |families|)), so the gate composes
+    * into any scan stage. Fractions are raw IEEE divisions of exact
+    * integers (the q98 discipline). */
   def gopherRepetitionGate(df: DataFrame, idCol: String, textCol: String,
                            maxDupLineFrac: Double = 0.30,
                            maxDupLineCharFrac: Double = 0.20,
@@ -185,64 +166,29 @@ object TextAnalysis {
                                  8 -> 0.12, 9 -> 0.11, 10 -> 0.10)): DataFrame = {
     require((topNs.map(_._1) ++ repNs.map(_._1)).forall(_ >= 2),
       "n-gram sizes must be >= 2")
-    val t = lower(trim(col(textCol)))
-    val w = split(t, "\\s+")
-    val totChars = length(regexp_replace(t, "\\s+", ""))
-    // raw (un-lowered) lines: line dedup is exact-match, case preserved
-    val lines = split(col(textCol), "\n")
-    val lineChars = aggregate(lines, lit(0L), (acc, x) => acc + length(x).cast("long"))
-    val distLineChars = aggregate(array_distinct(lines), lit(0L),
-      (acc, x) => acc + length(x).cast("long"))
-
-    def grams(n: Int): Column =
-      transform(sequence(lit(1), size(w) - lit(n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n))))
-
-    val topCols = topNs.map { case (n, _) =>
-      val g = grams(n)
-      val top = topGramOfSorted(array_sort(g))
-      when(size(w) >= n,
-        (top("cnt") * length(replace(top("gram"), lit(" "), lit(""))))
-          .cast("double") / totChars)
-        .as(s"top${n}_char_frac")
-    }
-    val repCols = repNs.map { case (n, _) =>
-      val g = grams(n)
-      val s = array_sort(g)
-      val nG = size(g)
-      // grams appearing >= 2 times = adjacent-equal pairs in the sorted copy
-      val dupSet = array_distinct(filter(
-        zip_with(slice(s, lit(1), nG - lit(1)), slice(s, lit(2), nG - lit(1)),
-          (a, b) => when(a === b, a)),
-        x => x.isNotNull))
-      val covered = array_distinct(flatten(transform(
-        filter(sequence(lit(1), nG), i => array_contains(dupSet, element_at(g, i))),
-        i => sequence(i, i + lit(n - 1)))))
-      val covChars = aggregate(covered, lit(0L),
-        (acc, p) => acc + length(element_at(w, p)).cast("long"))
-      when(size(w) >= n, covChars.cast("double") / totChars)
-        .as(s"rep${n}_char_frac")
-    }
-
-    val features = df.select(
-      (col(idCol) +:
-        size(w).cast("long").as("n_words") +:
-        size(lines).cast("long").as("n_lines") +:
-        (lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
-          .as("dup_line_frac") +:
-        ((lineChars - distLineChars).cast("double") / nullif(lineChars, lit(0L)))
-          .as("dup_line_char_frac") +:
-        (topCols ++ repCols)): _*)
-
-    val fires =
-      (coalesce(col("dup_line_frac") > maxDupLineFrac, lit(false)) +:
-        coalesce(col("dup_line_char_frac") > maxDupLineCharFrac, lit(false)) +:
-        (topNs.map { case (n, th) =>
-          coalesce(col(s"top${n}_char_frac") > th, lit(false)) } ++
-         repNs.map { case (n, th) =>
-          coalesce(col(s"rep${n}_char_frac") > th, lit(false)) })).reduce(_ || _)
-    features.withColumn("rep_ok", when(fires, 0).otherwise(1))
+    // ONE native single-pass expression per row
+    // ([[graft.functions.RepetitionStats]]) — the features are NOT a HOF
+    // composition on purpose: interpreted lambdas re-evaluate any
+    // captured subtree per element, and Catalyst predicate pushdown
+    // SUBSTITUTES aliases into a pushed filter, so even a carefully
+    // level-materialized HOF form collapses back into a per-element
+    // re-evaluation monster the moment anyone filters on `rep_ok`
+    // (measured: minutes for 500 short docs). A single expression node
+    // is substitution-proof — a pushed-down verdict filter costs at most
+    // one extra single-pass eval per row. The struct lands as its own
+    // column and the fields are extracted in a second projection
+    // (multi-consumption keeps CollapseProject from inlining the
+    // expression once per field).
+    val stats = graft.functions.RepetitionExprs.repetitionStats(
+      col(textCol), maxDupLineFrac, maxDupLineCharFrac, topNs, repNs)
+    val fieldNames =
+      Seq("n_words", "n_lines", "dup_line_frac", "dup_line_char_frac") ++
+        topNs.map { case (n, _) => s"top${n}_char_frac" } ++
+        repNs.map { case (n, _) => s"rep${n}_char_frac" } :+ "rep_ok"
+    df.select(col(idCol), stats.as("_rg"))
+      .select(col(idCol) +: fieldNames.map(f => col("_rg")(f).as(f)): _*)
   }
+
 
   /** Deterministic hash-based dataset split (train/val/test): the split of
     * a row is a pure function of its key's md5 — stable across runs,

@@ -985,4 +985,70 @@ class CurateCliSpec extends AnyFunSuite {
     rm(snap, rawSnap, b1, b2, out1, out2, out3)
   }
 
+
+  test("refine command reproduces the refineCorpus ladder, repetition rung behind its flag") {
+    val out1 = tmp("cli-refine1"); val out2 = tmp("cli-refine2")
+    CurateCli.run("refine", Map("--in" -> docsPath, "--out" -> out1,
+      "--vocab-topk" -> "24", "--max-oov" -> "0.25", "--span-n" -> "3"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "kept_tokens", "text_clean")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val want = Pipeline.refineCorpus(spark.read.parquet(docsPath),
+      "doc_id", "text", vocabTopK = 24, maxOovFrac = 0.25, spanN = 3)
+    assert(rows(spark.read.parquet(out1)) == rows(want) && spark.read.parquet(out1).count() > 0)
+    // the repetition rung rides the flag (q164's instantiation uses the
+    // library defaults here — full paper set)
+    CurateCli.run("refine", Map("--in" -> docsPath, "--out" -> out2,
+      "--vocab-topk" -> "24", "--max-oov" -> "0.25", "--span-n" -> "3",
+      "--repetition" -> "Y"))
+    val wantRep = Pipeline.refineCorpus(spark.read.parquet(docsPath),
+      "doc_id", "text", vocabTopK = 24, maxOovFrac = 0.25, spanN = 3,
+      withRepetition = true)
+    assert(rows(spark.read.parquet(out2)) == rows(wantRep))
+    rm(out1, out2)
+  }
+
+  test("ingest --normalize Y keys both rungs on canonical text; markers guard every command") {
+    import graft.ops.TextAnalysis
+    val snap = tmp("cli-ing-nsnap"); rm(snap)
+    val idx = tmp("cli-ing-nidx"); rm(idx)
+    val b1 = tmp("cli-ing-nb1"); val b2 = tmp("cli-ing-nb2")
+    val out1 = tmp("cli-ing-no1"); val out2 = tmp("cli-ing-no2")
+    Seq((1L, "Hello, World! 42 extra words here", "s1"),
+        (2L, "totally different content", "s1"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(b1)
+    // batch 2: a punctuation/counter variant of doc 1 (raw fp differs)
+    Seq((10L, "HELLO world 99 extra; words here", "s1"),
+        (11L, "brand new content", "s1"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(b2)
+    CurateCli.run("ingest", Map("--in" -> b1, "--out" -> out1,
+      "--snapshot" -> snap, "--index" -> idx, "--normalize" -> "Y"))
+    CurateCli.run("ingest", Map("--in" -> b2, "--out" -> out2,
+      "--snapshot" -> snap, "--index" -> idx, "--normalize" -> "Y"))
+    val v2 = spark.read.parquet(out2)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    // the variant normalizes to doc 1's class -> exact dup_history
+    assert(v2(10L) == "dup_history" && v2(11L) == "kept")
+    // both stores carry the founding marker...
+    assert(graft.ops.Dedup.snapshotFpKind(spark, snap).contains("normalized"))
+    assert(graft.ops.Dedup.snapshotFpKind(spark, idx).contains("normalized"))
+    // ...and every command that touches them enforces it
+    val e1 = intercept[IllegalArgumentException] {
+      CurateCli.run("ingest", Map("--in" -> b2, "--out" -> out2,
+        "--snapshot" -> snap, "--index" -> idx))
+    }
+    assert(e1.getMessage.contains("normalized"))
+    val e2 = intercept[IllegalArgumentException] {
+      CurateCli.run("neardup", Map("--in" -> b2, "--out" -> out2,
+        "--index" -> idx))
+    }
+    assert(e2.getMessage.contains("normalized"))
+    val e3 = intercept[IllegalArgumentException] {
+      CurateCli.run("dedup", Map("--in" -> b2, "--out" -> out2,
+        "--snapshot" -> snap))
+    }
+    assert(e3.getMessage.contains("normalized"))
+    rm(snap, idx, b1, b2, out1, out2)
+  }
+
 }

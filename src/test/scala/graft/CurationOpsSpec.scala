@@ -786,6 +786,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.getAs[Int]("rep_ok") == 0) // the top-n rules still fire
   }
 
+  test("gopherRepetitionGate: null text yields all-null features and a passing verdict") {
+    import graft.ops.TextAnalysis
+    val docs = Seq((0, Option("a b a b a b")), (1, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetitionGate(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(1).isNullAt(got(1).fieldIndex("n_words")))
+    assert(got(1).isNullAt(got(1).fieldIndex("top2_char_frac")))
+    assert(got(1).getAs[Int]("rep_ok") == 1) // nothing can fire on null
+    assert(got(0).getAs[Int]("rep_ok") == 0) // the non-null row still gates
+  }
+
+  test("gopherRepetitionGate survives a verdict filter pushdown at full speed") {
+    import graft.ops.TextAnalysis
+    // the regression this pins: a filter on rep_ok is pushed below the
+    // projection by substitution; with HOF-composed features that
+    // re-evaluated captured subtrees per element (minutes for 500 docs) —
+    // the native expression form costs one extra single-pass eval
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val t0 = System.nanoTime()
+    val n = TextAnalysis.gopherRepetitionGate(docs, "doc_id", "text",
+        repNs = Seq(3 -> 0.15, 5 -> 0.15))
+      .filter(col("rep_ok") === 1).select("doc_id").count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n > 0 && n < docs.count(), s"gate must discriminate (passed $n)")
+    assert(sec < 60.0, f"filtered gate took $sec%.1f s — pushdown blow-up is back")
+  }
+
   test("gopherRepetitionGate is partitioning-invariant (row-local)") {
     import graft.ops.TextAnalysis
     val docs = Seq.tabulate(40)(i => (i, s"w$i a b a b " + ("z " * (i % 7)).trim))

@@ -50,9 +50,13 @@ object TextScaleMain {
       // round-9: the repetition gate is row-local (the zero-shuffle bound)
       // and the normalized dedup is ONE groupBy on 16-byte keys whose
       // distinct-key table is replication-invariant — both should track
-      // the corpus linearly at worst
+      // the corpus linearly at worst. The gate is FORCED through an
+      // aggregate over its feature columns: a bare count() would let
+      // column pruning skip the projection entirely and time nothing
       val d = time(s"repetitionGate $label",
-        graft.ops.TextAnalysis.gopherRepetitionGate(docs, "doc_id", "text"))
+        graft.ops.TextAnalysis.gopherRepetitionGate(docs, "doc_id", "text")
+          .agg(sum(col("rep_ok")), sum(col("top2_char_frac")),
+            sum(col("rep5_char_frac")), sum(col("rep10_char_frac"))))
       val e = time(s"normDedup    $label",
         docs.select(md5(graft.ops.TextAnalysis.normalizeForDedup(col("text"))).as("fp"))
           .groupBy(col("fp")).agg(count(lit(1)).as("n")))
