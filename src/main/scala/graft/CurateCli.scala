@@ -67,7 +67,9 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             first batch. `--normalize Y` keys BOTH rungs' content
   *             identity on the q161 canonical form (a founding constant
   *             of each store; quality features, histogram signal, and
-  *             sample payloads stay on the raw text)
+  *             sample payloads stay on the raw text); `--repetition Y`
+  *             adds the q160 gate over the quality survivors — failing
+  *             docs verdict `repetitive`, terminal like `low_quality`
   *   neardup — the FUZZY layer of the same loop: probe the batch against
   *             a STANDING MinHash-LSH index dir
   *             ([[Dedup.incrementalNearDupsWith]], q97/q126 discipline),
@@ -102,6 +104,20 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             ([[graft.ops.Similarity.ivfPqTopKWith]]): ranks coded
   *             rows only, zero corpus-float reads; `--nprobe` defaults
   *             to the autoProbe scan-fraction rule
+  *   anneval — grade a standing `annindex` dir against exact-cosine
+  *             ground truth ([[graft.ops.Similarity.rankedEval]], q163):
+  *             per-query recall@k, MRR@k, NDCG@k — run beside the
+  *             occupancy diagnostic to decide whether `--refound Y` is
+  *             due (occupancy says the geometry drifted; this says what
+  *             the drift costs). Queries from `--queries` (own
+  *             `--queries-format`) or the first `--nqueries` corpus
+  *             vectors by id
+  *   split   — reproducible train/val/test splits
+  *             ([[TextAnalysis.hashSplit]], q46): `--splits
+  *             train=0.8,val=0.1,test=0.1` assigns each row by the md5
+  *             of `--key-col` (stable across runs, partitionings, and
+  *             engines) and writes ONE hive-partitioned tree,
+  *             `split=<name>/` per split
   *   card    — the corpus dataset card without Scala: exact
   *             [[graft.ops.Corpus.datasetCardWeighted]] (q134 — counts,
   *             lang mix, dup rate, token-mass length quantiles) or the
@@ -205,7 +221,7 @@ object CurateCli {
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram",
       "--ledger", "--hist", "--sample", "--batch-id", "--group-col",
       "--quality", "--min-words", "--bloom", "--bloom-capacity",
-      "--normalize")),
+      "--normalize", "--repetition")),
     "neardup" -> (CommonOptions ++ Set("--index", "--update-index",
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram",
       "--normalize")),
@@ -216,6 +232,10 @@ object CurateCli {
       "--refound"),
     "annsearch" -> (CommonOptions - "--text-col" ++ Set("--index",
       "--vec-col", "--topk", "--nprobe")),
+    "anneval" -> (CommonOptions - "--text-col" ++ Set("--index",
+      "--vec-col", "--topk", "--nprobe", "--queries", "--queries-format",
+      "--nqueries")),
+    "split" -> (CommonOptions ++ Set("--key-col", "--splits")),
     "drift" -> (CommonOptions ++ Set("--ledger", "--group-col", "--val-col",
       "--update", "--batch-id", "--lo", "--hi", "--buckets")),
     "sample" -> (CommonOptions ++ Set("--ledger", "--group-col",
@@ -293,7 +313,7 @@ object CurateCli {
     }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|refine|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|bpe|tokenize|card|quality|drift|sample|select|stats|forget|compact> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|refine|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|anneval|split|bpe|tokenize|card|quality|drift|sample|select|stats|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -592,7 +612,24 @@ object CurateCli {
             else Some(TextAnalysis.gopherQualityGate(in, idCol, textCol,
                 minWords = argv.getOrElse("--min-words", "50").toInt)
               .filter(col("gopher_ok") === 0).select(col(idCol)))
-          val gated = lowQ.fold(in)(bad => in.join(bad, Seq(idCol), "left_anti"))
+          val gated0 = lowQ.fold(in)(bad => in.join(bad, Seq(idCol), "left_anti"))
+          // `--repetition Y`: the q160 gate (paper defaults, RAW text —
+          // canonicalization would erase the punctuation/case structure
+          // the rules read) over the QUALITY survivors, so a doc failing
+          // both rungs verdicts once; same terminal contract as
+          // low_quality — never history, row-local, native single pass
+          val repOn = argv.getOrElse("--repetition", "N") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--repetition must be Y or N, got '$other'")
+          }
+          val repBad =
+            if (!repOn) None
+            else Some(TextAnalysis.gopherRepetitionGate(gated0, idCol, textCol)
+              .filter(col("rep_ok") === 0).select(col(idCol)))
+          val gated = repBad.fold(gated0)(bad =>
+            gated0.join(bad, Seq(idCol), "left_anti"))
           val rungVerdicts = if (haveIdx) {
             val idx = Dedup.loadNearDupIndex(spark, idxDir, scope)
             for ((flag, stored) <- Seq("--minhash-k" -> idx.k,
@@ -614,11 +651,14 @@ object CurateCli {
                 when(lit(false), col(idCol)).as("hist_id"),
                 lit(null).cast("double").as("jaccard"))
           }
-          val verdicts = scope.track(lowQ.fold(rungVerdicts)(bad =>
-            rungVerdicts.unionByName(
-              bad.select(col(idCol), lit("low_quality").as("verdict"),
-                when(lit(false), col(idCol)).as("hist_id"),
-                lit(null).cast("double").as("jaccard")))).cache())
+          def terminalRows(ids: DataFrame, verdict: String): DataFrame =
+            ids.select(col(idCol), lit(verdict).as("verdict"),
+              when(lit(false), col(idCol)).as("hist_id"),
+              lit(null).cast("double").as("jaccard"))
+          val withLowQ = lowQ.fold(rungVerdicts)(bad =>
+            rungVerdicts.unionByName(terminalRows(bad, "low_quality")))
+          val verdicts = scope.track(repBad.fold(withLowQ)(bad =>
+            withLowQ.unionByName(terminalRows(bad, "repetitive"))).cache())
           write(verdicts, out)
           if (update) {
             // the kept set derives from the WRITTEN verdict table, not the
@@ -860,6 +900,57 @@ object CurateCli {
             argv.getOrElse("--vec-col", "embedding"),
             argv.get("--nprobe").map(_.toInt).getOrElse(S.autoProbe(nCells)),
             argv.getOrElse("--topk", "10").toInt), out)
+
+        case "anneval" =>
+          // the serving-quality loop closer: search the STANDING index
+          // with a query set, compute exact-cosine ground truth from the
+          // corpus (`--in` — the one full-float read, which an eval is
+          // FOR), and grade the index with recall@k + the order-sensitive
+          // MRR@k / NDCG@k (q163 machinery). Run beside the q136
+          // occupancy diagnostic: occupancy says the geometry drifted,
+          // this says what the drift COSTS — and whether `annindex
+          // --refound Y` is due
+          val S = graft.ops.Similarity
+          val idx = S.loadIvfPqIndex(spark, req("--index"), scope)
+          val nCells = idx.cents.count().toInt
+          val aid = argv.getOrElse("--id-col", "vec_id")
+          val vecCol = argv.getOrElse("--vec-col", "embedding")
+          val k = argv.getOrElse("--topk", "10").toInt
+          val nprobe = argv.get("--nprobe").map(_.toInt)
+            .getOrElse(S.autoProbe(nCells))
+          // queries: an explicit frame, or the first --nqueries corpus
+          // vectors by id (deterministic); --queries-format is its own
+          // flag (the --bench-format lesson — formats must not leak
+          // between inputs)
+          val queries = argv.get("--queries") match {
+            case Some(p) => readAs(p, "--queries-format")
+            case None => in.orderBy(col(aid))
+              .limit(argv.getOrElse("--nqueries", "10").toInt)
+          }
+          val approx = S.ivfPqTopKWith(idx, queries, aid, vecCol, nprobe, k)
+          val exact = S.exactTopK(in, aid, vecCol, queries, aid, vecCol, k)
+          write(S.rankedEval(approx, exact, "query_id", "vec_id",
+            "adist", ascending = true, k), out)
+
+        case "split" =>
+          // reproducible dataset splits without Scala: the md5-hash split
+          // (q46 discipline — a pure function of the key, stable across
+          // runs, partitionings and engines) written as one
+          // hive-partitioned tree, split=<name>/ per split
+          val splits = argv.getOrElse("--splits", "train=0.8,val=0.1,test=0.1")
+            .split(",").toSeq.map { s =>
+              val Array(name, frac) = s.split("=", 2)
+              name -> frac.toDouble
+            }
+          val keyCol = argv.getOrElse("--key-col", idCol)
+          val assigned = in.withColumn("split",
+            TextAnalysis.hashSplit(col(keyCol), splits))
+          fmt(out, "--out-format") match {
+            case "jsonl" => assigned.write.mode("overwrite")
+              .partitionBy("split").json(out)
+            case _ => assigned.write.mode("overwrite")
+              .partitionBy("split").parquet(out)
+          }
 
         case "card" =>
           argv.get("--ledger") match {

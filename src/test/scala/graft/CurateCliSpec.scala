@@ -1051,4 +1051,83 @@ class CurateCliSpec extends AnyFunSuite {
     rm(snap, idx, b1, b2, out1, out2)
   }
 
+
+  test("anneval grades the standing index against exact ground truth, equal to the library path") {
+    import graft.ops.Similarity
+    val embPath = "/root/testdata/sf0.01/embeddings.parquet"
+    val idx = tmp("cli-anneval-idx"); rm(idx)
+    val out = tmp("cli-anneval-out")
+    CurateCli.run("annindex", Map("--in" -> embPath, "--index" -> idx,
+      "--cells" -> "4", "--subspaces" -> "8", "--codes" -> "4"))
+    CurateCli.run("anneval", Map("--in" -> embPath, "--index" -> idx,
+      "--out" -> out, "--topk" -> "5", "--nprobe" -> "2", "--nqueries" -> "6"))
+    val got = spark.read.parquet(out)
+      .select("query_id", "n_hit", "recall", "mrr", "ndcg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    // equal to the composed library path
+    val emb = spark.read.parquet(embPath)
+    val loaded = Similarity.loadIvfPqIndex(spark, idx)
+    val qs = emb.orderBy(col("vec_id")).limit(6)
+    val want = Similarity.rankedEval(
+        Similarity.ivfPqTopKWith(loaded, qs, "vec_id", "embedding", 2, 5),
+        Similarity.exactTopK(emb, "vec_id", "embedding", qs, "vec_id", "embedding", 5),
+        "query_id", "vec_id", "adist", ascending = true, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+    // metrics are well-formed
+    assert(got.forall { case (_, h, r, m, n) =>
+      h >= 0 && r >= 0 && r <= 1 && m >= 0 && m <= 1 && n >= 0 && n <= 1 })
+    rm(idx, out)
+  }
+
+  test("split command cuts reproducible hive-partitioned splits") {
+    import graft.ops.TextAnalysis
+    val out = tmp("cli-split"); rm(out)
+    CurateCli.run("split", Map("--in" -> docsPath, "--out" -> out,
+      "--splits" -> "train=0.8,val=0.1,test=0.1"))
+    val back = spark.read.parquet(out)
+    val counts = back.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(total == spark.read.parquet(docsPath).count())
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // assignment is the library hashSplit, row for row
+    val want = spark.read.parquet(docsPath).select(col("doc_id"),
+        TextAnalysis.hashSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .as[(Long, String)].collect().toMap
+    val gotAssign = back.select(col("doc_id"), col("split").cast("string"))
+      .as[(Long, String)].collect().toMap
+    assert(gotAssign == want)
+    rm(out)
+  }
+
+  test("ingest --repetition Y verdicts repetition-spam as terminal, never history") {
+    val snap = tmp("cli-rep-snap"); rm(snap)
+    val idx = tmp("cli-rep-idx"); rm(idx)
+    val b1 = tmp("cli-rep-b1"); val out1 = tmp("cli-rep-o1"); val out2 = tmp("cli-rep-o2")
+    val spam = "the and" + " abc def" * 30          // gopher-ok, repetition-fail
+    val clean = "the and of to that have with be " +
+      (0 until 48).map(i => f"w$i%02d").mkString(" ")
+    Seq((1L, clean, "s1"), (2L, spam, "s1"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(b1)
+    CurateCli.run("ingest", Map("--in" -> b1, "--out" -> out1,
+      "--snapshot" -> snap, "--index" -> idx,
+      "--quality" -> "Y", "--min-words" -> "10", "--repetition" -> "Y"))
+    val v1 = spark.read.parquet(out1)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(v1 == Map(1L -> "kept", 2L -> "repetitive"))
+    // the spam never became history: an exact copy later is NOT dup_history
+    CurateCli.run("ingest", Map("--in" -> b1, "--out" -> out2,
+      "--snapshot" -> snap, "--index" -> idx,
+      "--quality" -> "Y", "--min-words" -> "10", "--repetition" -> "Y"))
+    val v2 = spark.read.parquet(out2)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(v2 == Map(1L -> "dup_history", 2L -> "repetitive"))
+    rm(snap, idx, b1, out1, out2)
+  }
+
 }
