@@ -112,6 +112,11 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             the drift costs). Queries from `--queries` (own
   *             `--queries-format`) or the first `--nqueries` corpus
   *             vectors by id
+  *   profile — the data-doctor for ANY table (q167,
+  *             [[graft.ops.Stats.tableProfile]]): per-column rows,
+  *             nulls, distincts, min/max; `--approx Y` swaps exact
+  *             distincts for HLL sketches (no Expand — the 100 TB
+  *             shape)
   *   split   — reproducible train/val/test splits
   *             ([[TextAnalysis.hashSplit]], q46): `--splits
   *             train=0.8,val=0.1,test=0.1` assigns each row by the md5
@@ -236,6 +241,8 @@ object CurateCli {
       "--vec-col", "--topk", "--nprobe", "--queries", "--queries-format",
       "--nqueries")),
     "split" -> (CommonOptions ++ Set("--key-col", "--splits")),
+    "profile" -> (CommonOptions - "--text-col" - "--id-col"
+      ++ Set("--cols", "--approx")),
     "drift" -> (CommonOptions ++ Set("--ledger", "--group-col", "--val-col",
       "--update", "--batch-id", "--lo", "--hi", "--buckets")),
     "sample" -> (CommonOptions ++ Set("--ledger", "--group-col",
@@ -313,7 +320,7 @@ object CurateCli {
     }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|refine|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|anneval|split|bpe|tokenize|card|quality|drift|sample|select|stats|forget|compact> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|refine|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|anneval|split|profile|bpe|tokenize|card|quality|drift|sample|select|stats|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -951,6 +958,21 @@ object CurateCli {
             case _ => assigned.write.mode("overwrite")
               .partitionBy("split").parquet(out)
           }
+
+        case "profile" =>
+          // the data-doctor for ANY table (q167): per-column rows, nulls,
+          // distincts, min/max — `--cols` to pick columns (default all),
+          // `--approx Y` for the HLL-distinct 100 TB shape (no Expand)
+          val pCols = argv.get("--cols").map(_.split(",").toSeq)
+            .getOrElse(in.columns.toSeq)
+          val pApprox = argv.getOrElse("--approx", "N") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--approx must be Y or N, got '$other'")
+          }
+          write(if (pApprox) graft.ops.Stats.tableProfileApprox(in, pCols)
+            else graft.ops.Stats.tableProfile(in, pCols), out)
 
         case "card" =>
           argv.get("--ledger") match {

@@ -1965,6 +1965,16 @@ object SparkEntry {
         withRepetition = true,
         repRepNs = Seq(3 -> 0.15, 5 -> 0.15))),
 
+    // ---- Column-level table profile (round-9): rows/nulls/EXACT
+    //      distincts/min/max per column in one wide aggregate (Expand
+    //      plans the multi-distinct as a single pass) — the data-doctor
+    //      row a release gate reads; integer/string columns, where the
+    //      string rendering is engine-exact ----
+    "q167_table_profile" -> ((s, dir) =>
+      Stats.tableProfile(tbl(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"))),
+
     // ---- Ranked ANN evaluation (round-9): recall@k + MRR@k + NDCG@k of
     //      the LSH rung against the exact top-k — the order-sensitive
     //      metrics recall alone can't see (an index that buries its one
@@ -4676,6 +4686,18 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q163_ann_ranked_eval" -> annRankedEvalOracle,
+
+    // q167: one UNION ALL branch per profiled column; min/max computed
+    // in the column's type, cast to VARCHAR after
+    "q167_table_profile" ->
+      Seq("l_orderkey", "l_partkey", "l_linenumber",
+          "l_returnflag", "l_linestatus").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
     // q166: q80's placeholder-replace BPE count per doc, rolled up per
     // lang; fertility/chars_per_token are raw IEEE divisions of exact

@@ -556,4 +556,68 @@ object Stats {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, schema)
   }
+
+  /** Column-level table profile — the data-doctor row a release/ingest
+    * gate reads per column (the Deequ-style basics): row count, null
+    * count, EXACT distinct count, and min/max rendered as strings (one
+    * schema for every column type). One wide aggregate over the table —
+    * Spark plans the multiple DISTINCT aggregates as a single pass with
+    * an Expand (rows × |cols| intermediate, one shuffle); the result is
+    * ONE row, collected (the 1-row scalar exception) and pivoted to a
+    * row per column on the driver.
+    *
+    * At corpus scale the Expand's ×|cols| row multiplication is the
+    * price of EXACT distincts; [[tableProfileApprox]] swaps them for
+    * HLL sketches — constant agg state, no Expand, the 100 TB default.
+    *
+    * String rendering note: min/max are computed in the COLUMN's type
+    * and cast to string after (casting first would rank "10" < "9").
+    * Gate queries profile integer/string columns, where the rendering
+    * is engine-exact; floating/decimal/timestamp columns profile fine
+    * but their string forms are engine-specific. */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileCore(df, cols, exact = true)
+
+  /** [[tableProfile]] with approximate distinct counts
+    * (`approx_count_distinct`, HLL±~2%): constant aggregation state per
+    * column and NO Expand — the shape that profiles 100 TB in one
+    * shuffle-free-then-reduce pass. */
+  def tableProfileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileCore(df, cols, exact = false)
+
+  private def profileCore(df: DataFrame, cols: Seq[String],
+                          exact: Boolean): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_n_$c"),
+        (if (exact) count_distinct(col(c))
+         else approx_count_distinct(col(c))).as(s"_d_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val r = df.agg(count(lit(1)).as("_total"), aggs: _*).head()
+    val total = r.getAs[Long]("_total")
+    val rows = cols.map { c =>
+      org.apache.spark.sql.Row(c, total,
+        total - r.getAs[Long](s"_n_$c"),
+        r.getAs[Long](s"_d_$c"),
+        r.getAs[String](s"_min_$c"),
+        r.getAs[String](s"_max_$c"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("col_name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_nulls",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_distinct",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("min_val",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("max_val",
+        org.apache.spark.sql.types.StringType)))
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(rows.asJava, schema)
+  }
 }

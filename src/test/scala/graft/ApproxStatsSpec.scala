@@ -276,4 +276,25 @@ class ApproxStatsSpec extends AnyFunSuite {
     Seq(ledger, ckpt, batchDir).foreach(p =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
   }
+
+  // ---- Stats.tableProfile / tableProfileApprox ----
+
+  test("tableProfile: exact per-column stats incl. nulls; approx flavor within HLL tolerance") {
+    import graft.ops.Stats
+    val df = Seq(
+      (Option(1L), Option("a")), (Option(2L), Option("b")),
+      (Option(2L), None), (Option.empty[Long], Option("a"))
+    ).toDF("k", "s")
+    val got = Stats.tableProfile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(got("k") == ((4L, 1L, 2L, "1", "2")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+    // the approx flavor agrees on everything but the sketched distincts,
+    // and those sit within the HLL tolerance band
+    val ap = Stats.tableProfileApprox(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(ap("k") - 2L) <= 1 && math.abs(ap("s") - 2L) <= 1)
+  }
+
 }

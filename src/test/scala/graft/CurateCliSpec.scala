@@ -1130,4 +1130,27 @@ class CurateCliSpec extends AnyFunSuite {
     rm(snap, idx, b1, out1, out2)
   }
 
+
+  test("profile command reproduces the library table profile; --cols and --approx honored") {
+    val liPath = "/root/testdata/sf0.01/lineitem.parquet"
+    val out = tmp("cli-profile")
+    CurateCli.run("profile", Map("--in" -> liPath, "--out" -> out,
+      "--cols" -> "l_orderkey,l_returnflag"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.head).toSeq
+    assert(rows(spark.read.parquet(out)) == rows(graft.ops.Stats.tableProfile(
+      spark.read.parquet(liPath), Seq("l_orderkey", "l_returnflag"))))
+    // default = every column; approx flag validated strictly
+    val out2 = tmp("cli-profile2")
+    CurateCli.run("profile", Map("--in" -> liPath, "--out" -> out2, "--approx" -> "Y"))
+    assert(spark.read.parquet(out2).count() ==
+      spark.read.parquet(liPath).columns.length.toLong)
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("profile", Map("--in" -> liPath, "--out" -> out2,
+        "--approx" -> "maybe"))
+    }
+    assert(e.getMessage.contains("--approx"))
+    rm(out, out2)
+  }
+
 }
