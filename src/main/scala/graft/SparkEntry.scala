@@ -1965,6 +1965,16 @@ object SparkEntry {
         withRepetition = true,
         repRepNs = Seq(3 -> 0.15, 5 -> 0.15))),
 
+    // ---- Semantic dedup census (round-9): q147's threshold decision
+    //      table on the EMBEDDING side — q42's LSH pairs generated once
+    //      at the loosest cutoff, one best-sim row per victim, fanned
+    //      over the literal thresholds; "what does a 0.9 cosine cutoff
+    //      cost vs 0.5" from one pairing pass ----
+    "q168_semantic_dup_curve" -> ((s, dir) =>
+      Similarity.semanticDupRateCurve(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, nPlanes = 4,
+        thresholds = Seq(0.3, 0.5, 0.7, 0.9))),
+
     // ---- Column-level table profile (round-9): rows/nulls/EXACT
     //      distincts/min/max per column in one wide aggregate (Expand
     //      plans the multi-distinct as a single pass) — the data-doctor
@@ -2235,6 +2245,36 @@ object SparkEntry {
        |WHERE list_cosine_similarity(a.v, x.v) >= 0.3""".stripMargin
   }
 
+  /** q168's oracle: q42's bucket CTEs at the loosest cutoff, one best-sim
+    * row per victim, per-threshold counts (zero-count thresholds kept via
+    * the UNNEST left join). */
+  private val semanticDupCurveOracle: String = {
+    val dim = 64
+    val nPlanes = 4
+    val bucket = (0 until nPlanes).map { p =>
+      val terms = (0 until dim)
+        .map(j => s"v[${j + 1}]*(${Similarity.planeComponent(p, j, "graft")})")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+       |        list_cosine_similarity(a.v, x.v) AS sim
+       |      FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+       |      WHERE list_cosine_similarity(a.v, x.v) >= 0.3),
+       |best AS (SELECT id_b, max(sim) AS bests FROM p GROUP BY id_b),
+       |t AS (SELECT UNNEST([0.3, 0.5, 0.7, 0.9]::DOUBLE[]) AS threshold),
+       |c AS (SELECT t.threshold, count(best.id_b) AS nd
+       |      FROM t LEFT JOIN best ON best.bests >= t.threshold
+       |      GROUP BY t.threshold),
+       |n AS (SELECT count(*) AS n_vecs FROM e)
+       |SELECT c.threshold, CAST(c.nd AS BIGINT) AS n_dropped,
+       |  CAST(n.n_vecs AS BIGINT) AS n_vecs,
+       |  c.nd::DOUBLE / n.n_vecs AS drop_frac
+       |FROM c, n""".stripMargin
+  }
+
   /** Shared q65/q66/q67/q69 SQL fragment: per sub-space s, the list `l{s}`
     * of k squared distances from `vcol`'s sub-vector to the inlined
     * md5-derived centroids (left-associated sums — Spark's fold order). */
@@ -2434,6 +2474,8 @@ object SparkEntry {
     "q66_pq_adc" -> pqAdcOracle,
     "q87_ann_rerank" -> pqRerankOracle,
     "q42_embed_neardup" -> embedNearDupOracle,
+
+    "q168_semantic_dup_curve" -> semanticDupCurveOracle,
 
     // q45: the q20 LSH pair pipeline at jaccard >= 0.5, closed into
     // connected components by a recursive transitive closure (tiny pair

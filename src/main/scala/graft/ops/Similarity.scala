@@ -783,6 +783,45 @@ object Similarity {
       .select(col("_cid").as("cell_id"),
         coalesce(col("_n"), lit(0L)).as("n_vectors"))
 
+  /** Semantic dedup census — [[graft.ops.Dedup.dupRateCurve]]'s twin on
+    * the EMBEDDING side: the decision table a SemDeDup-style cosine
+    * cutoff is picked from. Candidate pairs are generated ONCE at the
+    * LOOSEST threshold ([[lshNearDupPairs]] — the pair op is
+    * threshold-independent above its floor), collapsed to one
+    * best-similarity row per potential victim (bounding the sweep by
+    * vectors, not pairs), then fanned over the literal threshold array:
+    * (threshold, n_dropped, n_vecs, drop_frac) answers "what does a 0.9
+    * cutoff cost vs 0.8" at ONE cutoff's pairing cost. Zero-count
+    * thresholds kept; drop_frac a raw IEEE quotient of exact counts.
+    * Victim election = the pair op's id order (the higher id of a pair
+    * is the candidate drop — first-wins, the exact-dedup rule). */
+  def semanticDupRateCurve(vecs: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, nPlanes: Int, thresholds: Seq[Double],
+                           maxPerBucket: Int = 0,
+                           scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val ts = thresholds.distinct.sorted
+    val best = lshNearDupPairs(vecs, idCol, vecCol, dim, nPlanes,
+        ts.head, maxPerBucket, scope)
+      .groupBy(col("id_b"))
+      .agg(max(col("sim")).as("_bests"))
+    val thr = vecs.sparkSession.range(1)
+      .select(explode(typedLit(ts)).as("threshold"))
+    val counts = best
+      .select(col("_bests"), explode(typedLit(ts)).as("threshold"))
+      .filter(col("_bests") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("_nd"))
+    val total = vecs.agg(count(lit(1)).as("n_vecs"))
+    thr.join(counts, Seq("threshold"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("threshold"),
+        coalesce(col("_nd"), lit(0L)).as("n_dropped"),
+        col("n_vecs"),
+        (coalesce(col("_nd"), lit(0L)).cast("double") / col("n_vecs"))
+          .as("drop_frac"))
+  }
+
   /** Deterministic pseudo-random hyperplane: component j of plane p is
     * derived from md5(seed|p|j) — reproducible with no RNG state, and
     * computable by any engine. Values in [-0.5, 0.5). */

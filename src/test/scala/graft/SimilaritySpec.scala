@@ -242,4 +242,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getLong(1) == 1L && r.getDouble(3) == 1.0)
   }
 
+
+  test("semanticDupRateCurve matches per-threshold independent pair runs") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ts = Seq(0.3, 0.6, 0.9)
+    val curve = Similarity.semanticDupRateCurve(emb, "vec_id", "embedding",
+        dim = 64, nPlanes = 4, thresholds = ts)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = emb.count()
+    for (t <- ts) {
+      val want = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+          dim = 64, nPlanes = 4, minSim = t)
+        .select("id_b").distinct().count()
+      assert(curve(t) == ((want, total)), s"threshold $t")
+    }
+    // the sweep is monotone non-increasing in the threshold
+    assert(curve(0.3)._1 >= curve(0.6)._1 && curve(0.6)._1 >= curve(0.9)._1)
+  }
+
 }
