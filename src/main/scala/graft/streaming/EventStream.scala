@@ -598,9 +598,22 @@ object EventStream {
                      verdictsDir: String, checkpoint: String,
                      minJaccard: Double = 0.2,
                      quality: Boolean = false, minWords: Int = 50,
+                     repetition: Boolean = false,
+                     normalize: Boolean = false,
                      scope: graft.ops.CacheScope = graft.ops.CacheScope.noop)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val sess = stream.sparkSession
+    // the CLI ingest's content-identity discipline at the stream front
+    // door: a store keyed on one identity space must not be probed with
+    // the other. Probe-only sinks never FOUND the marker (founding is a
+    // batch-maintenance decision); a store without one reads as raw
+    for ((dir, stated) <- Seq(snapDir -> normalize, indexDir -> normalize)) {
+      val stored = graft.ops.Dedup.snapshotFpKind(sess, dir).getOrElse("raw")
+      val want = if (stated) "normalized" else "raw"
+      require(stored == want,
+        s"store at '$dir' is keyed on $stored content identity; " +
+          s"the sink was started with normalize = $stated")
+    }
     val snap = scope.track(
       graft.ops.Dedup.snapshotLive(sess, snapDir, idCol).select(col("fp")).cache())
     val bloom = graft.ops.Dedup.loadSnapshotBloom(sess, snapDir)
@@ -612,18 +625,37 @@ object EventStream {
         // long as the trigger: the terminal write happens inside the scope
         graft.ops.CacheScope.withScope { bScope =>
           val b = batch.toDF()
+          def terminal(ids: DataFrame, verdict: String): DataFrame =
+            ids.select(col(idCol), lit(verdict).as("verdict"),
+              when(lit(false), col(idCol)).as("hist_id"),
+              lit(null).cast("double").as("jaccard"))
           val lowQ =
             if (!quality) None
             else Some(graft.ops.TextAnalysis.gopherQualityGate(b, idCol, textCol,
                 minWords = minWords)
               .filter(col("gopher_ok") === 0).select(col(idCol)))
-          val gated = lowQ.fold(b)(bad => b.join(bad, Seq(idCol), "left_anti"))
-          val rungs = graft.ops.Pipeline.ingestGate(gated, idCol, textCol,
+          val gated0 = lowQ.fold(b)(bad => b.join(bad, Seq(idCol), "left_anti"))
+          // repetition rides the quality survivors (RAW text — the CLI
+          // ingest's rung order and rationale), verdict `repetitive`
+          val repBad =
+            if (!repetition) None
+            else Some(graft.ops.TextAnalysis
+              .gopherRepetitionGate(gated0, idCol, textCol)
+              .filter(col("rep_ok") === 0).select(col(idCol)))
+          val gated = repBad.fold(gated0)(bad =>
+            gated0.join(bad, Seq(idCol), "left_anti"))
+          // normalized identity: the dedup rungs hash/shingle the q161
+          // canonical form; verdict ids and raw-text consumers unchanged
+          val keyed =
+            if (normalize) gated.withColumn(textCol,
+              graft.ops.TextAnalysis.normalizeForDedup(col(textCol)))
+            else gated
+          val rungs = graft.ops.Pipeline.ingestGate(keyed, idCol, textCol,
             snap, idx, minJaccard, bScope, bloomPrefilter = bloom)
-          val verdicts = lowQ.fold(rungs)(bad => rungs.unionByName(
-            bad.select(col(idCol), lit("low_quality").as("verdict"),
-              when(lit(false), col(idCol)).as("hist_id"),
-              lit(null).cast("double").as("jaccard"))))
+          val withLowQ = lowQ.fold(rungs)(bad =>
+            rungs.unionByName(terminal(bad, "low_quality")))
+          val verdicts = repBad.fold(withLowQ)(bad =>
+            withLowQ.unionByName(terminal(bad, "repetitive")))
           verdicts.write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
         }
         ()

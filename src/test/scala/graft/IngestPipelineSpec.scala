@@ -240,4 +240,63 @@ class IngestPipelineSpec extends AnyFunSuite {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
     }
   }
+
+  test("ingestGateSink repetition + normalized identity: rungs and marker guard") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import graft.ops.{CacheScope, Dedup, TextAnalysis}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    CacheScope.withScope { scope =>
+      val snapDir = tmp("fdn-snap"); val idxDir = tmp("fdn-idx")
+      val out = tmp("fdn-out"); val ck = tmp("fdn-ck")
+      // history founded NORMALIZED (the batch-maintenance side owns the
+      // marker; the sink only enforces it). Docs carry 30 distinct
+      // filler words: short docs trivially fire the top-2-gram rule
+      // (a count-1 gram of two long words can exceed 20% of the chars),
+      // which is exactly why the PAPER pairs this gate with the >= 50
+      // word quality rule
+      val fill = (0 until 30).map(i => f"wd$i%03d").mkString(" ")
+      val hist = Seq((0L, s"The shared template, words AND number 7! $fill"))
+        .toDF("doc_id", "text")
+      val histN = hist.withColumn("text", TextAnalysis.normalizeForDedup(col("text")))
+      Dedup.foundSnapshotFpKind(spark, snapDir, "normalized")
+      Dedup.foundSnapshotFpKind(spark, idxDir, "normalized")
+      Dedup.appendSnapshot(spark, snapDir,
+        histN.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+        "doc_id")
+      Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(histN, "doc_id", "text",
+        k = 4, rowsPerBand = 2, n = 5, scope = scope), idxDir)
+
+      val spam = "the and" + " abc def" * 30 // gopher-ok, repetition-fail
+      val fill2 = (0 until 30).map(i => f"vx$i%03d").mkString(" ")
+      val b1 = Seq(
+        (10L, s"THE shared template; words and number 5 $fill"), // normalized class of history -> dup_history
+        (11L, spam),                                             // repetitive
+        (12L, "and the"),                                        // low_quality (2 words)
+        (13L, s"the wholly unrelated quarterly survey answers and appendix totals $fill2"))
+      val mem = MemoryStream[(Long, String)]
+      val q = EventStream.ingestGateSink(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", snapDir, idxDir, out, ck,
+        minJaccard = 0.2, quality = true, minWords = 5,
+        repetition = true, normalize = true, scope = scope)
+      mem.addData(b1: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(s"$out/batch=0")
+        .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+      assert(got == Map(10L -> "dup_history", 11L -> "repetitive",
+        12L -> "low_quality", 13L -> "kept"))
+
+      // starting a RAW sink against the normalized stores fails loudly
+      val mem2 = MemoryStream[(Long, String)]
+      val e = intercept[IllegalArgumentException] {
+        EventStream.ingestGateSink(mem2.toDF().toDF("doc_id", "text"),
+          "doc_id", "text", snapDir, idxDir, out, tmp("fdn-ck2"),
+          scope = scope)
+      }
+      assert(e.getMessage.contains("normalized"))
+      Seq(snapDir, idxDir, out, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    }
+  }
+
 }
