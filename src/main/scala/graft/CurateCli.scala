@@ -149,7 +149,12 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             (`--val-col` scores any numeric column); the bucket grid
   *             is a FOUNDING constant — an absent ledger is founded
   *             from this batch, a stored grid wins and restating a
-  *             disagreeing one fails loudly
+  *             disagreeing one fails loudly. `--max-tv X --quarantine
+  *             DIR` turns the report into a GATE (the
+  *             [[graft.streaming.EventStream.driftGatedHistSink]]
+  *             discipline batch-side): groups past the threshold divert
+  *             their rows to the quarantine dir and never become
+  *             history
   *   sample  — the standing inspection-sample loop
   *             ([[graft.ops.SampleLedger]]): append the batch's
   *             per-group bottom-k under `--batch-id`, then write the
@@ -244,7 +249,8 @@ object CurateCli {
     "profile" -> (CommonOptions - "--text-col" - "--id-col"
       ++ Set("--cols", "--approx")),
     "drift" -> (CommonOptions ++ Set("--ledger", "--group-col", "--val-col",
-      "--update", "--batch-id", "--lo", "--hi", "--buckets")),
+      "--update", "--batch-id", "--lo", "--hi", "--buckets",
+      "--max-tv", "--quarantine")),
     "sample" -> (CommonOptions ++ Set("--ledger", "--group-col",
       "--payload-col", "--k", "--seed", "--update", "--batch-id")),
     "select" -> (CommonOptions ++ Set("--group-col", "--alpha", "--budget",
@@ -1112,8 +1118,31 @@ object CurateCli {
               Seq.empty[(String, Double)].toDF(groupCol, "tv_dist")
           }
           write(report, out)
+          // `--max-tv X` turns the report into a GATE (driftGatedHistSink's
+          // batch twin): groups past the threshold divert their ROWS to
+          // `--quarantine DIR` and are excluded from the history append —
+          // a poisoned source cannot normalize itself. Founding batches
+          // (empty report) gate nothing
+          val maxTv = argv.get("--max-tv").map(_.toDouble)
+          if (maxTv.isDefined && !argv.contains("--quarantine"))
+            throw new IllegalArgumentException(
+              "--max-tv requires --quarantine (gated groups' rows must land somewhere)")
+          if (argv.contains("--quarantine") && maxTv.isEmpty)
+            throw new IllegalArgumentException(
+              "--quarantine requires --max-tv (the gate's threshold)")
+          val badGroups = maxTv.fold(Seq.empty[String]) { t =>
+            report.filter(col("tv_dist") > t)
+              .select(col(groupCol).cast("string")).collect()
+              .flatMap(r => Option(r.getString(0))).toSeq
+          }
+          val gkey = col(groupCol).cast("string")
+          if (badGroups.nonEmpty)
+            write(in.filter(gkey.isin(badGroups: _*)), req("--quarantine"))
+          val passBatch =
+            if (badGroups.isEmpty) batch
+            else batch.filter(!coalesce(col("_hg").isin(badGroups: _*), lit(false)))
           if (update)
-            graft.ops.HistLedger.append(spark, ledger, batch, "_hg", "_hv",
+            graft.ops.HistLedger.append(spark, ledger, passBatch, "_hg", "_hv",
               argv.getOrElse("--batch-id", sys.error(
                 "--update Y (the default) needs --batch-id")).toLong,
               lo, hi, nb)

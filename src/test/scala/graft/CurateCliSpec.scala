@@ -1153,4 +1153,47 @@ class CurateCliSpec extends AnyFunSuite {
     rm(out, out2)
   }
 
+
+  test("drift --max-tv gates a poisoned source into quarantine, out of history") {
+    import graft.ops.HistLedger
+    val led = tmp("cli-dg-led"); rm(led)
+    val quar = tmp("cli-dg-quar"); rm(quar)
+    val b1 = tmp("cli-dg-b1"); val b2 = tmp("cli-dg-b2")
+    val o1 = tmp("cli-dg-o1"); val o2 = tmp("cli-dg-o2")
+    def mk(rows: Seq[(Long, String, Long)], p: String) =
+      rows.toDF("doc_id", "lang", "n").write.mode("overwrite").parquet(p)
+    // founding batch: two healthy sources near value 20
+    mk((0 until 40).map(i => (i.toLong, if (i % 2 == 0) "aa" else "bb", 20L + i % 5)), b1)
+    // batch 2: aa stays; bb jumps to 90 (poisoned)
+    mk((100 until 140).map(i => (i.toLong,
+      if (i % 2 == 0) "aa" else "bb", if (i % 2 == 0) 21L else 90L)), b2)
+    CurateCli.run("drift", Map("--in" -> b1, "--out" -> o1, "--ledger" -> led,
+      "--val-col" -> "n", "--batch-id" -> "0",
+      "--lo" -> "0", "--hi" -> "100", "--buckets" -> "10",
+      "--max-tv" -> "0.5", "--quarantine" -> quar))
+    // founding: empty report, nothing quarantined, everything appended
+    assert(spark.read.parquet(o1).count() == 0)
+    assert(!new java.io.File(quar).exists() ||
+      new java.io.File(quar).listFiles().isEmpty)
+    CurateCli.run("drift", Map("--in" -> b2, "--out" -> o2, "--ledger" -> led,
+      "--val-col" -> "n", "--batch-id" -> "1",
+      "--max-tv" -> "0.5", "--quarantine" -> quar))
+    val scores = spark.read.parquet(o2).as[(String, Double)].collect().toMap
+    assert(scores("aa") < 0.5 && scores("bb") > 0.5, s"scores: $scores")
+    // bb's poisoned rows sit in quarantine; the ledger never saw them
+    val q = spark.read.parquet(quar).as[(Long, String, Long)].collect()
+    assert(q.nonEmpty && q.forall(r => r._2 == "bb" && r._3 == 90L))
+    val totals = HistLedger.merged(spark, led)
+      .groupBy(col("group")).agg(sum(col("cnt")).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(totals("aa") == 40L && totals("bb") == 20L)
+    // the gate flags are all-or-nothing
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("drift", Map("--in" -> b2, "--out" -> o2, "--ledger" -> led,
+        "--val-col" -> "n", "--batch-id" -> "2", "--max-tv" -> "0.5"))
+    }
+    assert(e.getMessage.contains("--quarantine"))
+    rm(led, quar, b1, b2, o1, o2)
+  }
+
 }
