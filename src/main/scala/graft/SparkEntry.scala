@@ -1979,11 +1979,12 @@ object SparkEntry {
     //      distincts/min/max per column in one wide aggregate (Expand
     //      plans the multi-distinct as a single pass) — the data-doctor
     //      row a release gate reads; integer/string columns, where the
-    //      string rendering is engine-exact ----
+    //      string rendering is engine-exact. Exact distincts pay one
+    //      dedup shuffle per column by nature — the approx flavor
+    //      (HLL, no Expand) is the big-fact-table shape, spec-pinned ----
     "q167_table_profile" -> ((s, dir) =>
-      Stats.tableProfile(tbl(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_linenumber",
-          "l_returnflag", "l_linestatus"))),
+      Stats.tableProfile(tbl(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
 
     // ---- Ranked ANN evaluation (round-9): recall@k + MRR@k + NDCG@k of
     //      the LSH rung against the exact top-k — the order-sensitive
@@ -4732,13 +4733,12 @@ object SparkEntry {
     // q167: one UNION ALL branch per profiled column; min/max computed
     // in the column's type, cast to VARCHAR after
     "q167_table_profile" ->
-      Seq("l_orderkey", "l_partkey", "l_linenumber",
-          "l_returnflag", "l_linestatus").map { c =>
+      Seq("doc_id", "lang", "source", "n_chars").map { c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
            |  count(*) - count($c) AS n_nulls,
            |  count(DISTINCT $c) AS n_distinct,
            |  min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
-           |FROM lineitem""".stripMargin
+           |FROM documents""".stripMargin
       }.mkString("\nUNION ALL\n"),
 
     // q166: q80's placeholder-replace BPE count per doc, rolled up per
