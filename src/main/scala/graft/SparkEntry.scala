@@ -1965,6 +1965,21 @@ object SparkEntry {
         withRepetition = true,
         repRepNs = Seq(3 -> 0.15, 5 -> 0.15))),
 
+    // ---- Standing-index occupancy diagnostics (round-9): the q136
+    //      discipline for the OTHER two index families — bucket-size
+    //      histograms of the MinHash band stream and the LSH vector
+    //      store. Candidate cost is quadratic in a bucket's size, so
+    //      drift shows as mass moving toward large sizes ----
+    "q169_neardup_occupancy" -> ((s, dir) =>
+      Dedup.nearDupIndexStats(Dedup.buildNearDupIndex(
+        tbl(s, dir, "documents"), "doc_id", "text",
+        k = 4, rowsPerBand = 2, n = 5))),
+
+    "q170_embed_occupancy" -> ((s, dir) =>
+      Similarity.embedIndexStats(Similarity.buildEmbedIndex(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, nPlanes = 4))),
+
     // ---- Semantic dedup census (round-9): q147's threshold decision
     //      table on the EMBEDDING side — q42's LSH pairs generated once
     //      at the loosest cutoff, one best-sim row per victim, fanned
@@ -2246,6 +2261,23 @@ object SparkEntry {
        |WHERE list_cosine_similarity(a.v, x.v) >= 0.3""".stripMargin
   }
 
+  /** q170's oracle: q42's sign-bucket formula, grouped twice into a
+    * bucket-size histogram. */
+  private val embedOccupancyOracle: String = {
+    val dim = 64
+    val nPlanes = 4
+    val bucket = (0 until nPlanes).map { p =>
+      val terms = (0 until dim)
+        .map(j => s"v[${j + 1}]*(${Similarity.planeComponent(p, j, "graft")})")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, $bucket AS bucket FROM e),
+       |c AS (SELECT bucket, count(*) AS sz FROM b GROUP BY bucket)
+       |SELECT sz AS bucket_size, count(*) AS n_buckets FROM c GROUP BY sz""".stripMargin
+  }
+
   /** q168's oracle: q42's bucket CTEs at the loosest cutoff, one best-sim
     * row per victim, per-threshold counts (zero-count thresholds kept via
     * the UNNEST left join). */
@@ -2477,6 +2509,26 @@ object SparkEntry {
     "q42_embed_neardup" -> embedNearDupOracle,
 
     "q168_semantic_dup_curve" -> semanticDupCurveOracle,
+
+    // q169: q20's band CTEs (docs with non-empty shingle sets) grouped
+    // to a bucket-size histogram
+    "q169_neardup_occupancy" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+        |  ELSE [] END AS sh FROM w),
+        |sig AS (SELECT doc_id,
+        |  list_min(list_transform(sh, x -> md5('0|'||x))) AS s0,
+        |  list_min(list_transform(sh, x -> md5('1|'||x))) AS s1,
+        |  list_min(list_transform(sh, x -> md5('2|'||x))) AS s2,
+        |  list_min(list_transform(sh, x -> md5('3|'||x))) AS s3
+        | FROM s WHERE len(sh) > 0),
+        |band AS (SELECT doc_id, unnest(['0#'||s0||'#'||s1, '1#'||s2||'#'||s3]) AS bucket FROM sig),
+        |c AS (SELECT bucket, count(*) AS sz FROM band GROUP BY bucket)
+        |SELECT sz AS bucket_size, count(*) AS n_buckets FROM c GROUP BY sz""".stripMargin,
+
+    // q170: q42's sign-bucket formula grouped to a bucket-size histogram
+    "q170_embed_occupancy" -> embedOccupancyOracle,
 
     // q45: the q20 LSH pair pipeline at jaccard >= 0.5, closed into
     // connected components by a recursive transitive closure (tiny pair

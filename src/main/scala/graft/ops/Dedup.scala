@@ -1125,6 +1125,21 @@ object Dedup {
       k, rowsPerBand, n)
   }
 
+  /** Banding-balance diagnostic for a [[NearDupIndex]] —
+    * [[graft.ops.Similarity.ivfPqIndexStats]]'s MinHash twin: the
+    * bucket-SIZE histogram of the band stream. Candidate generation is
+    * QUADRATIC in a bucket's size (why [[lshNearDupPairs]]-family ops
+    * grow a `maxPerBucket` cap), so append-only drift — a template farm
+    * piling into a few bands — shows up here as mass moving toward
+    * large sizes, the "rebuild with fresh banding params" signal.
+    * Two narrow groupBys over the 8-byte bucket keys; ids and text
+    * never move. Returns (bucket_size, n_buckets). */
+  def nearDupIndexStats(index: NearDupIndex): DataFrame =
+    index.bandFrame
+      .groupBy(col("_bucket")).agg(count(lit(1)).as("_sz"))
+      .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
+      .select(col("_sz").as("bucket_size"), col("n_buckets"))
+
   /** Persist a [[NearDupIndex]]: the shingle-HASH frame (the string
     * shingles are build-time scaffolding — probes intersect `_shh` and
     * band only the batch side, so they don't ship), the band stream, and

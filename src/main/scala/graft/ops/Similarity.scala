@@ -1154,6 +1154,18 @@ object Similarity {
       .withColumn("_bucket", lshBucket(col("_hv"), dim, nPlanes, seed))
       .cache()), dim, nPlanes, seed)
 
+  /** Bucket-balance diagnostic for an [[EmbedIndex]] —
+    * [[graft.ops.Dedup.nearDupIndexStats]]'s vector twin: the
+    * bucket-size histogram of the LSH store (probe cost per bucket is
+    * linear in its size, candidate verification quadratic — the
+    * [[autoPlanes]] occupancy rule's drift monitor). Returns
+    * (bucket_size, n_buckets). */
+  def embedIndexStats(index: EmbedIndex): DataFrame =
+    index.bucketed
+      .groupBy(col("_bucket")).agg(count(lit(1)).as("_sz"))
+      .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
+      .select(col("_sz").as("bucket_size"), col("n_buckets"))
+
   /** Persist an [[EmbedIndex]] (bucketed store + params) as parquet —
     * the standing index survives the JVM; tomorrow's ingest
     * [[loadEmbedIndex]]s it instead of re-bucketing the store. */

@@ -671,4 +671,33 @@ class StandingIndexSpec extends AnyFunSuite {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
     }
   }
+
+  // ---- occupancy diagnostics ----
+
+  test("nearDupIndexStats / embedIndexStats: histograms account for every row; hot buckets visible") {
+    import graft.ops.{Dedup, Similarity}
+    // 6 near-identical docs land in shared bands; 4 distinct ones spread
+    val docs = (
+      (0 until 6).map(i => (i.toLong, "the shared template words and number tail marker alpha beta")) ++
+      (10 until 14).map(i => (i.toLong,
+        s"wholly distinct content item $i " + (0 until 8).map(j => s"t$i$j").mkString(" ")))
+    ).toDF("doc_id", "text")
+    val nd = Dedup.nearDupIndexStats(
+      Dedup.buildNearDupIndex(docs, "doc_id", "text", k = 4, rowsPerBand = 2, n = 5))
+      .as[(Long, Long)].collect().toMap
+    // every (doc, band) row is accounted: sum(size * n_buckets) = docs * bands
+    assert(nd.map { case (sz, nb) => sz * nb }.sum == 10L * 2L)
+    // the 6 identical docs share their bands: a bucket of size >= 6 exists
+    assert(nd.keys.max >= 6L)
+
+    val vecs = (0 until 12).map { i =>
+      val v = Array.tabulate(8)(d => if (d == i % 2) 1.0f else 0.1f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val es = Similarity.embedIndexStats(
+      Similarity.buildEmbedIndex(vecs, "vec_id", "embedding", dim = 8, nPlanes = 3))
+      .as[(Long, Long)].collect().toMap
+    assert(es.map { case (sz, nb) => sz * nb }.sum == 12L)
+  }
+
 }
