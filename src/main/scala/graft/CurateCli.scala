@@ -176,6 +176,12 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             pending tombstones, compaction horizon, founding params,
   *             Bloom sidecar presence. Run it before forget/compact to
   *             see what maintenance is owed
+  *   occupancy — the balance diagnostic for any standing INDEX store
+  *             (q136/q169/q170): per-cell counts (ivfpq) or bucket-size
+  *             histograms (neardup/embeddup) read straight off the
+  *             stored tables — drift shows as mass moving toward hot
+  *             cells/buckets, and the remediation is the family's
+  *             rebuild/refound loop
   *   forget  — right-to-be-forgotten deletions against ANY standing
   *             store (`--store`): the ids in `--in` are appended to the
   *             store's tombstone sidecar ([[graft.ops.Tombstones]] —
@@ -256,6 +262,7 @@ object CurateCli {
     "select" -> (CommonOptions ++ Set("--group-col", "--alpha", "--budget",
       "--seed")),
     "stats" -> Set("--store", "--out", "--out-format"),
+    "occupancy" -> Set("--store", "--out", "--out-format"),
     // maintenance commands take no --out (forget's input IS the id list);
     // their sets are deliberately minimal so e.g. `compact --out X` fails
     // as loudly as a typo'd flag
@@ -326,7 +333,7 @@ object CurateCli {
     }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|refine|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|anneval|split|profile|bpe|tokenize|card|quality|drift|sample|select|stats|forget|compact> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|refine|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|anneval|split|profile|bpe|tokenize|card|quality|drift|sample|select|stats|occupancy|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -1282,6 +1289,34 @@ object CurateCli {
               if (has("_bloom")) "Y" else "N"))
             .toDF("store", "kind", "n_rows", "n_batches", "n_tombstones",
               "horizon", "params", "bloom"), out)
+
+        case "occupancy" =>
+          // the balance diagnostic for any standing INDEX store (q136/
+          // q169/q170): per-cell counts for an IVF-PQ store, bucket-size
+          // histograms for the MinHash/LSH stores — read straight off
+          // the stored tables, no index struct rebuilt. Drift shows as
+          // mass moving toward hot cells/buckets; the remediation is the
+          // family's rebuild/refound loop
+          import spark.implicits._
+          val store = req("--store")
+          storeKind(store) match {
+            case "ivfpq" =>
+              write(graft.ops.Similarity.ivfPqIndexStats(
+                graft.ops.Similarity.loadIvfPqIndex(spark, store, scope)), out)
+            case "neardup" =>
+              write(spark.read.parquet(s"$store/bands")
+                .groupBy(col("_bucket")).agg(count(lit(1)).as("_sz"))
+                .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
+                .select(col("_sz").as("bucket_size"), col("n_buckets")), out)
+            case "embeddup" =>
+              write(spark.read.parquet(s"$store/buckets")
+                .groupBy(col("_bucket")).agg(count(lit(1)).as("_sz"))
+                .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
+                .select(col("_sz").as("bucket_size"), col("n_buckets")), out)
+            case other => throw new IllegalArgumentException(
+              s"occupancy reads index stores (neardup/embeddup/ivfpq), " +
+                s"not '$other' — the snapshot and ledgers have no buckets")
+          }
 
         case "forget" =>
           // deletion is by ID against any standing store; `--in` is the

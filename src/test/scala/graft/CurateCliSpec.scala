@@ -1196,4 +1196,40 @@ class CurateCliSpec extends AnyFunSuite {
     rm(led, quar, b1, b2, o1, o2)
   }
 
+
+  test("occupancy command reads index-store balance off the stored tables") {
+    import graft.ops.Similarity
+    val embPath = "/root/testdata/sf0.01/embeddings.parquet"
+    val d = spark.read.parquet(docsPath)
+    // neardup store built via the CLI loop
+    val nd = tmp("cli-occ-nd"); rm(nd)
+    val v = tmp("cli-occ-v")
+    CurateCli.run("neardup", Map("--in" -> docsPath, "--out" -> v, "--index" -> nd))
+    val o1 = tmp("cli-occ-o1")
+    CurateCli.run("occupancy", Map("--store" -> nd, "--out" -> o1))
+    val hist = spark.read.parquet(o1).as[(Long, Long)].collect().toMap
+    // every (doc, band) row accounted: docs with shingles x 2 bands
+    val nDocs = spark.read.parquet(s"$nd/bands").count()
+    assert(hist.map { case (sz, nb) => sz * nb }.sum == nDocs && hist.nonEmpty)
+    // ivfpq store: per-cell counts ≡ the library diagnostic
+    val ann = tmp("cli-occ-ann"); rm(ann)
+    CurateCli.run("annindex", Map("--in" -> embPath, "--index" -> ann,
+      "--cells" -> "4", "--subspaces" -> "8", "--codes" -> "4"))
+    val o2 = tmp("cli-occ-o2")
+    CurateCli.run("occupancy", Map("--store" -> ann, "--out" -> o2))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows(spark.read.parquet(o2)) ==
+      rows(Similarity.ivfPqIndexStats(Similarity.loadIvfPqIndex(spark, ann))))
+    // a non-index store is rejected loudly
+    val snap = tmp("cli-occ-snap"); rm(snap)
+    val vo = tmp("cli-occ-vo")
+    CurateCli.run("dedup", Map("--in" -> docsPath, "--out" -> vo, "--snapshot" -> snap))
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("occupancy", Map("--store" -> snap, "--out" -> o2))
+    }
+    assert(e.getMessage.contains("occupancy"))
+    rm(nd, v, o1, ann, o2, snap, vo)
+  }
+
 }
