@@ -1965,6 +1965,18 @@ object SparkEntry {
         withRepetition = true,
         repRepNs = Seq(3 -> 0.15, 5 -> 0.15))),
 
+    // ---- Benchmark-overlap contamination score (round-9): q49's flag
+    //      graded — per training doc, the fraction of its distinct
+    //      5-gram shingles appearing anywhere in the benchmark split;
+    //      separates a quoted sentence from an embedded test item ----
+    "q171_benchmark_overlap" -> ((s, dir) => {
+      val sh = docShingles(s, dir, 5)
+      Dedup.contaminationScoreOf(
+          sh.filter(col("_id") % 19 =!= 0), sh.filter(col("_id") % 19 === 0))
+        .select(col("_id").as("doc_id"), col("n_grams"),
+          col("n_overlap"), col("overlap_frac"))
+    }),
+
     // ---- Standing-index occupancy diagnostics (round-9): the q136
     //      discipline for the OTHER two index families — bucket-size
     //      histograms of the MinHash band stream and the LSH vector
@@ -2509,6 +2521,23 @@ object SparkEntry {
     "q42_embed_neardup" -> embedNearDupOracle,
 
     "q168_semantic_dup_curve" -> semanticDupCurveOracle,
+
+    // q171: q49's CTEs with per-doc hit COUNTS; bench grams distinct,
+    // train shingles already distinct per doc, fraction a raw IEEE
+    // division of exact counts (null for shingle-less docs)
+    "q171_benchmark_overlap" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+        |  ELSE [] END AS sh FROM w),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 19 = 0),
+        |tr AS (SELECT doc_id, sh, len(sh) AS sz FROM s WHERE doc_id % 19 <> 0),
+        |tg AS (SELECT doc_id, unnest(sh) AS g FROM tr),
+        |hit AS (SELECT tg.doc_id, count(*) AS nh FROM tg JOIN bench USING (g) GROUP BY tg.doc_id)
+        |SELECT t.doc_id, CAST(t.sz AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.nh, 0) AS BIGINT) AS n_overlap,
+        |  CASE WHEN t.sz > 0 THEN coalesce(h.nh, 0)::DOUBLE / t.sz END AS overlap_frac
+        |FROM tr t LEFT JOIN hit h ON t.doc_id = h.doc_id""".stripMargin,
 
     // q169: q20's band CTEs (docs with non-empty shingle sets) grouped
     // to a bucket-size histogram

@@ -329,6 +329,40 @@ object Dedup {
       .select(col("_id"), coalesce(col("_c"), lit(0)).as("contaminated"))
   }
 
+  /** Benchmark-overlap SCORE — [[contaminationFlagsOf]]'s graded form,
+    * the GPT-3/PaLM-style contamination accounting: per training doc,
+    * the fraction of its distinct n-gram shingles that appear anywhere
+    * in the benchmark set. The binary flag answers "touch the eval at
+    * all?"; the fraction separates a quoted sentence (2% overlap) from
+    * an embedded test item (80%) — the number a contamination REPORT
+    * ranks by, and the threshold knob a release gate tunes.
+    *
+    * Same scale shape as the flag: the benchmark's distinct gram hashes
+    * broadcast (a benchmark is small by definition — pass
+    * `broadcastBench = false` if not), the semi join runs in the train
+    * scan, and one narrow (id, hash) groupBy counts hits; text never
+    * moves. overlap_frac is a raw IEEE division of exact counts (null
+    * for shingle-less docs). 8-byte hash collisions only over-count —
+    * conservative, the q21 discipline. */
+  def contaminationScoreOf(trainSh: DataFrame, benchSh: DataFrame,
+                           broadcastBench: Boolean = true): DataFrame = {
+    val benchGrams = benchSh.filter(col("_size") > 0)
+      .select(explode(col("_shh")).as("_h")).distinct()
+    val probe = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    val hits = trainSh.filter(col("_size") > 0)
+      .select(col("_id"), explode(col("_shh")).as("_h"))
+      .join(probe, Seq("_h"), "left_semi")
+      .groupBy(col("_id")).agg(count(lit(1)).as("_nh"))
+    trainSh.select(col("_id"), col("_size"))
+      .join(hits, Seq("_id"), "left")
+      .select(col("_id"),
+        col("_size").cast("long").as("n_grams"),
+        coalesce(col("_nh"), lit(0L)).as("n_overlap"),
+        when(col("_size") > 0,
+          coalesce(col("_nh"), lit(0L)).cast("double") / col("_size"))
+          .as("overlap_frac"))
+  }
+
   /** 32-bit SimHash: per bit, majority vote over xxhash64(token) bits. */
   def simhash32(text: Column): Column = {
     val t = split(lower(trim(text)), "\\s+")

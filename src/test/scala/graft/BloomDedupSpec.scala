@@ -161,4 +161,36 @@ class BloomDedupSpec extends AnyFunSuite {
     (Seq(snapA, snapB, b1, b2) ++ o).foreach(p =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
   }
+
+  // ---- Dedup.contaminationScoreOf ----
+
+  test("contaminationScoreOf grades overlap where the flag only detects it") {
+    import graft.ops.{CacheScope, Dedup}
+    CacheScope.withScope { scope =>
+      val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+      val train = Seq(
+        // doc 1: one quoted 5-gram of the benchmark inside fresh prose
+        (1L, "alpha beta gamma delta epsilon wholly fresh tail words here"),
+        // doc 2: the benchmark embedded verbatim (all grams overlap)
+        (2L, "alpha beta gamma delta epsilon zeta"),
+        // doc 3: untouched
+        (3L, "completely unrelated content with many different words inside")
+      ).toDF("doc_id", "text")
+      val shT = Dedup.shingleSets(train, "doc_id", "text", 5, scope)
+      val shB = Dedup.shingleSets(bench, "doc_id", "text", 5, scope)
+      val got = Dedup.contaminationScoreOf(shT, shB)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      // doc 1: 6 shingles, 1 overlapping ("alpha..epsilon")
+      assert(got(1L) == ((6L, 1L, 1.0 / 6)))
+      // doc 2: both of the benchmark's shingles, nothing else
+      assert(got(2L) == ((2L, 2L, 1.0)))
+      assert(got(3L) == ((4L, 0L, 0.0)))
+      // the binary flag loses exactly this ranking
+      val flags = Dedup.contaminationFlagsOf(shT, shB)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(flags(1L) == 1 && flags(2L) == 1 && flags(3L) == 0)
+    }
+  }
+
 }
