@@ -500,4 +500,24 @@ class PlanSpec extends AnyFunSuite {
     val salted = SkewJoin.saltedJoin(big, small, "k", "sk", factor = 8, saltOn = Seq("payload"))
     assert(salted.count() == plain)
   }
+
+  test("q160 repetition gate plans ZERO exchanges — one native expression in the scan stage") {
+    val p = plan("q160_repetition_gate")
+    assert(!p.contains("Exchange"), s"the gate must be shuffle-free:\n$p")
+    assert(p.contains("repetition_stats"), "the native expression must carry the features")
+  }
+
+  test("q161 normalized dedup: partial aggregation before the single fingerprint exchange") {
+    val p = plan("q161_norm_dedup")
+    assert(p.contains("partial_"), "map-side combine before the shuffle")
+    assert(p.split("Exchange").length - 1 <= 2,
+      s"one fingerprint exchange (plus AQE artifacts at most):\n$p")
+  }
+
+  test("q171 contamination score broadcasts the benchmark gram set") {
+    val p = plan("q171_benchmark_overlap")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the benchmark side must broadcast:\n$p")
+  }
+
 }
