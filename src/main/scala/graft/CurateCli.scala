@@ -176,6 +176,11 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             pending tombstones, compaction horizon, founding params,
   *             Bloom sidecar presence. Run it before forget/compact to
   *             see what maintenance is owed
+  *   overlap — the benchmark-contamination report (q171,
+  *             [[Dedup.contaminationScoreOf]]): per training doc, the
+  *             fraction of its `--ngram` shingles found in `--bench`
+  *             (own `--bench-format`); `--max-overlap X` adds the
+  *             release gate's contaminated verdict column
   *   occupancy — the balance diagnostic for any standing INDEX store
   *             (q136/q169/q170): per-cell counts (ivfpq) or bucket-size
   *             histograms (neardup/embeddup) read straight off the
@@ -254,6 +259,8 @@ object CurateCli {
     "split" -> (CommonOptions ++ Set("--key-col", "--splits")),
     "profile" -> (CommonOptions - "--text-col" - "--id-col"
       ++ Set("--cols", "--approx")),
+    "overlap" -> (CommonOptions ++ Set("--bench", "--bench-format",
+      "--ngram", "--max-overlap")),
     "drift" -> (CommonOptions ++ Set("--ledger", "--group-col", "--val-col",
       "--update", "--batch-id", "--lo", "--hi", "--buckets",
       "--max-tv", "--quarantine")),
@@ -333,7 +340,7 @@ object CurateCli {
     }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|refine|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|anneval|split|profile|bpe|tokenize|card|quality|drift|sample|select|stats|occupancy|forget|compact> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|refine|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|anneval|split|profile|overlap|bpe|tokenize|card|quality|drift|sample|select|stats|occupancy|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -971,6 +978,24 @@ object CurateCli {
             case _ => assigned.write.mode("overwrite")
               .partitionBy("split").parquet(out)
           }
+
+        case "overlap" =>
+          // the contamination REPORT (q171): per training doc, the
+          // fraction of its n-gram shingles found in the benchmark
+          // (`--bench`, own `--bench-format` — the clean command's
+          // lesson). `--max-overlap X` adds a contaminated verdict
+          // column for the release gate's threshold
+          val benchDocs = readAs(req("--bench"), "--bench-format")
+          val n = argv.getOrElse("--ngram", "5").toInt
+          val shT = Dedup.shingleSets(in, idCol, textCol, n, scope)
+          val shB = Dedup.shingleSets(benchDocs, idCol, textCol, n, scope)
+          val scores = Dedup.contaminationScoreOf(shT, shB)
+            .withColumnRenamed("_id", idCol)
+          write(argv.get("--max-overlap").fold(scores) { t =>
+            scores.withColumn("contaminated",
+              when(coalesce(col("overlap_frac") > t.toDouble, lit(false)), 1)
+                .otherwise(0))
+          }, out)
 
         case "profile" =>
           // the data-doctor for ANY table (q167): per-column rows, nulls,

@@ -1232,4 +1232,34 @@ class CurateCliSpec extends AnyFunSuite {
     rm(nd, v, o1, ann, o2, snap, vo)
   }
 
+
+  test("overlap command writes the contamination report; threshold verdict behind its flag") {
+    import graft.ops.{CacheScope, Dedup}
+    val bench = tmp("cli-ovl-bench"); val out = tmp("cli-ovl-out")
+    val d = spark.read.parquet(docsPath)
+    d.filter(col("doc_id") % 19 === 0).write.mode("overwrite").parquet(bench)
+    val trainPath = tmp("cli-ovl-train")
+    d.filter(col("doc_id") % 19 =!= 0).write.mode("overwrite").parquet(trainPath)
+    CurateCli.run("overlap", Map("--in" -> trainPath, "--out" -> out,
+      "--bench" -> bench, "--max-overlap" -> "0.5"))
+    val got = spark.read.parquet(out)
+    for (c <- Seq("doc_id", "n_grams", "n_overlap", "overlap_frac", "contaminated"))
+      assert(got.columns.contains(c), s"missing $c")
+    // equals the library composition
+    val want = CacheScope.withScope { scope =>
+      Dedup.contaminationScoreOf(
+          Dedup.shingleSets(spark.read.parquet(trainPath), "doc_id", "text", 5, scope),
+          Dedup.shingleSets(spark.read.parquet(bench), "doc_id", "text", 5, scope))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    val gotMap = got.select("doc_id", "n_overlap")
+      .as[(Long, Long)].collect().toMap
+    assert(gotMap == want && gotMap.nonEmpty)
+    // the verdict matches the threshold rule
+    val bad = got.filter(col("contaminated") === 1)
+      .select("overlap_frac").as[Double].collect()
+    assert(bad.forall(_ > 0.5))
+    rm(bench, out, trainPath)
+  }
+
 }
