@@ -503,7 +503,11 @@ object CurateCli {
                   s"snapshot at '$snapDir' predates the fingerprint-kind " +
                     "marker and is keyed on raw fingerprints; --normalize Y " +
                     "cannot retrofit it (found a fresh store instead)")
-              Dedup.foundSnapshotFpKind(spark, snapDir, requestedKind)
+              // probe-only runs never FOUND the marker (the streaming-sink
+              // discipline): a read-only probe of an absent store must not
+              // pin the identity kind of a store holding no data
+              if (updateSnapshot)
+                Dedup.foundSnapshotFpKind(spark, snapDir, requestedKind)
           }
           // normalized runs rewrite the text column ONCE here; every
           // downstream fingerprint (probe + write-back delta) then hashes
@@ -622,7 +626,8 @@ object CurateCli {
                   s"store at '$dir' predates the content-identity marker " +
                     "and is keyed on raw text; --normalize Y cannot " +
                     "retrofit it (found fresh stores instead)")
-                Dedup.foundSnapshotFpKind(spark, dir, ingKind)
+                // probe-only runs never FOUND (see `dedup`)
+                if (update) Dedup.foundSnapshotFpKind(spark, dir, ingKind)
             }
           def keyed(df: DataFrame): DataFrame =
             if (ingNorm)
@@ -774,7 +779,9 @@ object CurateCli {
                 s"index at '$idxDir' predates the content-identity marker " +
                   "and is keyed on raw text; --normalize Y cannot retrofit " +
                   "it (found a fresh index instead)")
-              Dedup.foundSnapshotFpKind(spark, idxDir, ndKind)
+              // probe-only runs never FOUND (see `dedup`)
+              if (updateIndex)
+                Dedup.foundSnapshotFpKind(spark, idxDir, ndKind)
           }
           val ndIn =
             if (ndNorm)
@@ -1170,9 +1177,14 @@ object CurateCli {
           val gkey = col(groupCol).cast("string")
           if (badGroups.nonEmpty)
             write(in.filter(gkey.isin(badGroups: _*)), req("--quarantine"))
+          // same CASTED key as the quarantine filter above: isin() over the
+          // native column would coerce the collected strings back to the
+          // native type, so quarantined rows and ledger-excluded rows could
+          // diverge (values that render identically but differ natively)
           val passBatch =
             if (badGroups.isEmpty) batch
-            else batch.filter(!coalesce(col("_hg").isin(badGroups: _*), lit(false)))
+            else batch.filter(
+              !coalesce(col("_hg").cast("string").isin(badGroups: _*), lit(false)))
           if (update)
             graft.ops.HistLedger.append(spark, ledger, passBatch, "_hg", "_hv",
               argv.getOrElse("--batch-id", sys.error(

@@ -29,8 +29,8 @@ object Prof {
 
     val schema = t("schema parse") {
       graft.etl.OmopSchema.fromFiles(
-        "/root/reference/carrottransform/config/OMOPCDM_postgresql_5.3_ddl.sql",
-        "/root/reference/carrottransform/config/config.json")
+        "@carrot/config/OMOPCDM_postgresql_5.3_ddl.sql",
+        "@carrot/config/config.json")
     }
     import org.apache.spark.sql.functions._
     val rules = t("rules compile") {

@@ -99,10 +99,13 @@ object CarrotCli {
     val rulesFile = req("--rules-file")
     val inputs    = req("--inputs")
     val output    = req("--output")
+    // bundled-resource defaults, same spelling as the reference's
+    // (tools/args.py:380,389); `@carrot/` resolves on the classpath
+    // (AtPath), explicit file paths still override
     val ddlFile   = opt("--omop-ddl-file").getOrElse(
-      "/root/reference/carrottransform/config/OMOPCDM_postgresql_5.3_ddl.sql")
+      "@carrot/config/OMOPCDM_postgresql_5.3_ddl.sql")
     val cfgFile   = opt("--omop-config-file").getOrElse(
-      "/root/reference/carrottransform/config/config.json")
+      "@carrot/config/config.json")
     val threshold = argv.getOrElse("--log-file-threshold", "0").toLong
     val usePids   = argv.getOrElse("--use-input-person-ids", "N") != "N"
     val sep       = argv.getOrElse("--sep", ",")

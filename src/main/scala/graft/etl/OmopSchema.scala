@@ -46,10 +46,12 @@ object OmopSchema {
   private val DatetimeTypes = Set("timestamp")
   private val DateTypes     = Set("date")
 
+  /** Paths accept the `@carrot/` bundled-resource prefix (see [[AtPath]]);
+    * the engine's defaults are `@carrot/config/...`, so no files on disk
+    * are needed (reference `tools/args.py:380,389`). */
   def fromFiles(ddlPath: String, configPath: String): OmopSchema = {
-    val ddl = Source.fromFile(ddlPath, "UTF-8")
-    try fromStrings(ddl.getLines(), Source.fromFile(configPath, "UTF-8").mkString)
-    finally ddl.close()
+    fromStrings(AtPath.readString(ddlPath).linesIterator,
+      AtPath.readString(configPath))
   }
 
   def fromStrings(ddlLines: Iterator[String], configJson: String): OmopSchema = {

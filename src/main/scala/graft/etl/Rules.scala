@@ -79,10 +79,11 @@ object Rules {
     }
   }
 
+  /** Accepts the `@carrot/` bundled-resource prefix (see [[AtPath]]),
+    * matching the reference's PathArg `--rules-file` option
+    * (`tools/args.py:341-349`). */
   def fromFile(path: String, schema: OmopSchema): CarrotRules = {
-    val src = scala.io.Source.fromFile(path, "UTF-8")
-    try fromJson(src.mkString, schema)
-    finally src.close()
+    fromJson(AtPath.readString(path), schema)
   }
 
   def fromJson(json: String, schema: OmopSchema): CarrotRules = {

