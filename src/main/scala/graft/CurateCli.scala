@@ -104,14 +104,19 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             ([[graft.ops.Similarity.ivfPqTopKWith]]): ranks coded
   *             rows only, zero corpus-float reads; `--nprobe` defaults
   *             to the autoProbe scan-fraction rule
-  *   anneval — grade a standing `annindex` dir against exact-cosine
-  *             ground truth ([[graft.ops.Similarity.rankedEval]], q163):
-  *             per-query recall@k, MRR@k, NDCG@k — run beside the
-  *             occupancy diagnostic to decide whether `--refound Y` is
-  *             due (occupancy says the geometry drifted; this says what
-  *             the drift costs). Queries from `--queries` (own
-  *             `--queries-format`) or the first `--nqueries` corpus
-  *             vectors by id
+  *   anneval — grade a standing store against exact ground truth
+  *             ([[graft.ops.Similarity.rankedEval]], q163): per-query
+  *             recall@k, MRR@k, NDCG@k — run beside the occupancy
+  *             diagnostic to decide whether `--refound Y` is due
+  *             (occupancy says the geometry drifted; this says what the
+  *             drift costs). `--store-kind` picks the rung: `ivfpq`
+  *             (default, an `annindex` dir vs exact cosine), `neardup`
+  *             (q172: vs brute-force exact n-gram Jaccard — the
+  *             --minhash-k/--rows-per-band/--min-jaccard decision
+  *             table), `embeddup` (q173: vs unthresholded exact cosine —
+  *             the --planes/--min-sim decision table). Queries from
+  *             `--queries` (own `--queries-format`) or the first
+  *             `--nqueries` corpus rows by id
   *   profile — the data-doctor for ANY table (q167,
   *             [[graft.ops.Stats.tableProfile]]): per-column rows,
   *             nulls, distincts, min/max; `--approx Y` swaps exact
@@ -253,9 +258,9 @@ object CurateCli {
       "--refound"),
     "annsearch" -> (CommonOptions - "--text-col" ++ Set("--index",
       "--vec-col", "--topk", "--nprobe")),
-    "anneval" -> (CommonOptions - "--text-col" ++ Set("--index",
+    "anneval" -> (CommonOptions ++ Set("--index",
       "--vec-col", "--topk", "--nprobe", "--queries", "--queries-format",
-      "--nqueries")),
+      "--nqueries", "--store-kind", "--min-jaccard", "--min-sim")),
     "split" -> (CommonOptions ++ Set("--key-col", "--splits")),
     "profile" -> (CommonOptions - "--text-col" - "--id-col"
       ++ Set("--cols", "--approx")),
@@ -936,35 +941,71 @@ object CurateCli {
             argv.getOrElse("--topk", "10").toInt), out)
 
         case "anneval" =>
-          // the serving-quality loop closer: search the STANDING index
-          // with a query set, compute exact-cosine ground truth from the
-          // corpus (`--in` — the one full-float read, which an eval is
-          // FOR), and grade the index with recall@k + the order-sensitive
-          // MRR@k / NDCG@k (q163 machinery). Run beside the q136
-          // occupancy diagnostic: occupancy says the geometry drifted,
-          // this says what the drift COSTS — and whether `annindex
-          // --refound Y` is due
+          // the serving-quality loop closer: search a STANDING store
+          // with a query set, compute exact ground truth from the corpus
+          // (`--in` — the one full read, which an eval is FOR), and
+          // grade the store with recall@k + the order-sensitive MRR@k /
+          // NDCG@k (q163 machinery). Run beside the q136 occupancy
+          // diagnostic: occupancy says the geometry drifted, this says
+          // what the drift COSTS. `--store-kind` picks the rung:
+          //   ivfpq (default) — an `annindex` dir vs exact cosine
+          //     (whether `annindex --refound Y` is due);
+          //   neardup — a `neardup` index dir vs brute-force exact
+          //     n-gram Jaccard (q172: the --minhash-k/--rows-per-band/
+          //     --min-jaccard decision table);
+          //   embeddup — an `embeddup` index dir vs UNthresholded exact
+          //     cosine (q173: the --planes/--min-sim decision table —
+          //     the threshold's cost lands in recall, not hidden)
           val S = graft.ops.Similarity
-          val idx = S.loadIvfPqIndex(spark, req("--index"), scope)
-          val nCells = idx.cents.count().toInt
-          val aid = argv.getOrElse("--id-col", "vec_id")
-          val vecCol = argv.getOrElse("--vec-col", "embedding")
           val k = argv.getOrElse("--topk", "10").toInt
-          val nprobe = argv.get("--nprobe").map(_.toInt)
-            .getOrElse(S.autoProbe(nCells))
+          val kind = argv.getOrElse("--store-kind", "ivfpq")
           // queries: an explicit frame, or the first --nqueries corpus
-          // vectors by id (deterministic); --queries-format is its own
+          // rows by id (deterministic); --queries-format is its own
           // flag (the --bench-format lesson — formats must not leak
           // between inputs)
-          val queries = argv.get("--queries") match {
-            case Some(p) => readAs(p, "--queries-format")
-            case None => in.orderBy(col(aid))
-              .limit(argv.getOrElse("--nqueries", "10").toInt)
+          def queriesFrom(keyCol: String): DataFrame =
+            argv.get("--queries") match {
+              case Some(p) => readAs(p, "--queries-format")
+              case None => in.orderBy(col(keyCol))
+                .limit(argv.getOrElse("--nqueries", "10").toInt)
+            }
+          kind match {
+            case "ivfpq" =>
+              val idx = S.loadIvfPqIndex(spark, req("--index"), scope)
+              val nCells = idx.cents.count().toInt
+              val aid = argv.getOrElse("--id-col", "vec_id")
+              val vecCol = argv.getOrElse("--vec-col", "embedding")
+              val nprobe = argv.get("--nprobe").map(_.toInt)
+                .getOrElse(S.autoProbe(nCells))
+              val queries = queriesFrom(aid)
+              val approx = S.ivfPqTopKWith(idx, queries, aid, vecCol, nprobe, k)
+              val exact = S.exactTopK(in, aid, vecCol, queries, aid, vecCol, k)
+              write(S.rankedEval(approx, exact, "query_id", "vec_id",
+                "adist", ascending = true, k), out)
+            case "neardup" =>
+              val idx = Dedup.loadNearDupIndex(spark, req("--index"), scope)
+              val minJ = argv.getOrElse("--min-jaccard", "0.2").toDouble
+              val queries = queriesFrom(idCol)
+              val approx = Dedup.nearDupTopKWith(queries, idx,
+                idCol, textCol, minJ, k, scope)
+              val exact = Dedup.exactJaccardTopK(in, queries, idCol, textCol,
+                idx.n, minJ, k, scope)
+              write(S.rankedEval(approx, exact, "query_id", idCol,
+                "jaccard", ascending = false, k), out)
+            case "embeddup" =>
+              val idx = S.loadEmbedIndex(spark, req("--index"), scope)
+              val aid = argv.getOrElse("--id-col", "vec_id")
+              val vecCol = argv.getOrElse("--vec-col", "embedding")
+              val minSim = argv.getOrElse("--min-sim", "0.3").toDouble
+              val queries = queriesFrom(aid)
+              val approx = S.embedNearDupTopKWith(queries, idx,
+                aid, vecCol, minSim, k)
+              val exact = S.exactTopK(in, aid, vecCol, queries, aid, vecCol, k)
+              write(S.rankedEval(approx, exact, "query_id", aid,
+                "sim", ascending = false, k), out)
+            case other => throw new IllegalArgumentException(
+              s"--store-kind must be ivfpq, neardup or embeddup, got '$other'")
           }
-          val approx = S.ivfPqTopKWith(idx, queries, aid, vecCol, nprobe, k)
-          val exact = S.exactTopK(in, aid, vecCol, queries, aid, vecCol, k)
-          write(S.rankedEval(approx, exact, "query_id", "vec_id",
-            "adist", ascending = true, k), out)
 
         case "split" =>
           // reproducible dataset splits without Scala: the md5-hash split

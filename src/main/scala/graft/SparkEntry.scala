@@ -2075,6 +2075,47 @@ object SparkEntry {
         qs, "vec_id", "embedding", k = 5)
       Similarity.rankedEval(approx, exact, "query_id", "vec_id",
         "sim", ascending = false, k = 5)
+    }),
+
+    // ---- Ranked eval of the FUZZY TEXT rung (round-10): q97's
+    //      MinHash-LSH probe graded with RANK KEPT — recall@k + MRR/NDCG
+    //      per query against brute-force exact-Jaccard ground truth
+    //      (zero-overlap pairs never rank: no shared shingle is not a
+    //      near-dup). The --minhash-k/--rows-per-band/--min-jaccard
+    //      decision table for a standing neardup store (q163's machinery
+    //      pointed at the text rung; `anneval --store-kind neardup`) ----
+    "q172_neardup_ranked_eval" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val hist = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+      val approx = Dedup.nearDupTopKWith(batch,
+        Dedup.buildNearDupIndex(hist, "doc_id", "text", k = 4,
+          rowsPerBand = 2, n = 5),
+        "doc_id", "text", minJaccard = 0.2, topK = 5)
+      val exact = Dedup.exactJaccardTopK(hist, batch, "doc_id", "text",
+        n = 5, minJaccard = 0.2, topK = 5)
+      Similarity.rankedEval(approx, exact, "query_id", "doc_id",
+        "jaccard", ascending = false, k = 5)
+    }),
+
+    // ---- Ranked eval of the FUZZY VECTOR rung (round-10): q115's
+    //      hyperplane-LSH probe graded with rank kept against exact
+    //      cosine over the whole history — the --planes/--min-sim
+    //      decision table for a standing embeddup store. Ground truth is
+    //      UNthresholded exact top-k, so the threshold's cost is visible
+    //      in recall rather than hidden from it ----
+    "q173_embeddup_ranked_eval" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val hist = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+      val approx = Similarity.embedNearDupTopKWith(batch,
+        Similarity.buildEmbedIndex(hist, "vec_id", "embedding",
+          dim = 64, nPlanes = 4),
+        "vec_id", "embedding", minSim = 0.3, topK = 5)
+      val exact = Similarity.exactTopK(hist, "vec_id", "embedding",
+        batch, "vec_id", "embedding", k = 5)
+      Similarity.rankedEval(approx, exact, "query_id", "vec_id",
+        "sim", ascending = false, k = 5)
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -2185,6 +2226,93 @@ object SparkEntry {
     * NDCG via the SAME driver-computed gain literals the Spark side
     * embeds (shortest-roundtrip decimals — identical double bits),
     * round(6) absorbing the ≤k-term sum order. */
+  /** The rankedEval metric block shared by the round-10 ranked-eval
+    * oracles (q172/q173): expects CTEs `ap(query_id, <id>, rn)` — the
+    * approx side already cut to rn <= k — and `ek(query_id, <id>, rel)` —
+    * the exact top-k with rel = 1. Same math as q163's inline tail. */
+  private def rankedEvalOracleTail(k: Int, id: String): String = {
+    val (gains, idcg) = Similarity.ndcgGains(k)
+    val gainsLit = gains.mkString("[", ", ", "]")
+    s"""j AS (SELECT ap.query_id, ap.rn, ek.rel
+       |      FROM ap LEFT JOIN ek ON ap.query_id = ek.query_id AND ap.$id = ek.$id)
+       |SELECT query_id,
+       |  CAST(coalesce(sum(rel), 0) AS BIGINT) AS n_hit,
+       |  coalesce(sum(rel), 0)::DOUBLE / $k.0 AS recall,
+       |  coalesce(max(CASE WHEN rel = 1 THEN 1.0::DOUBLE / rn END), 0.0) AS mrr,
+       |  round(coalesce(sum(CASE WHEN rel = 1 THEN ($gainsLit)[rn] END), 0.0)
+       |    / $idcg, 6) AS ndcg
+       |FROM j GROUP BY query_id""".stripMargin
+  }
+
+  /** q172's oracle: q97's MinHash-LSH CTEs with the row_number KEPT
+    * (rn <= 5 instead of rn = 1) as the approx side, a brute-force
+    * odd×even exact-Jaccard top-5 (common > 0) as ground truth, and the
+    * shared rankedEval tail. */
+  private val nearDupRankedEvalOracle: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+       |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+       |  ELSE [] END AS sh FROM w),
+       |sig AS (SELECT doc_id, sh, len(sh) AS sz,
+       |  list_min(list_transform(sh, x -> md5('0|'||x))) AS s0,
+       |  list_min(list_transform(sh, x -> md5('1|'||x))) AS s1,
+       |  list_min(list_transform(sh, x -> md5('2|'||x))) AS s2,
+       |  list_min(list_transform(sh, x -> md5('3|'||x))) AS s3 FROM s WHERE len(sh) > 0),
+       |band AS (SELECT doc_id, sh, sz, unnest(['0#'||s0||'#'||s1, '1#'||s2||'#'||s3]) AS bucket FROM sig),
+       |cand AS (SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id,
+       |                n.sh AS sh_n, n.sz AS sz_n, h.sh AS sh_h, h.sz AS sz_h
+       |         FROM band n JOIN band h ON n.bucket = h.bucket
+       |         WHERE n.doc_id % 2 = 1 AND h.doc_id % 2 = 0),
+       |cj AS (SELECT new_id, hist_id, sz_n, sz_h,
+       |        len(list_intersect(sh_n, sh_h)) AS common FROM cand),
+       |av AS (SELECT new_id, hist_id,
+       |        common / (sz_n + sz_h - common) AS jac FROM cj
+       |      WHERE common / (sz_n + sz_h - common) >= 0.2),
+       |ar AS (SELECT new_id, hist_id,
+       |        row_number() OVER (PARTITION BY new_id ORDER BY jac DESC, hist_id) AS rn FROM av),
+       |ap AS (SELECT new_id AS query_id, hist_id AS doc_id, rn FROM ar WHERE rn <= 5),
+       |ex0 AS (SELECT n.doc_id AS new_id, h.doc_id AS hist_id,
+       |          len(list_intersect(n.sh, h.sh)) AS common, n.sz AS sz_n, h.sz AS sz_h
+       |        FROM sig n, sig h
+       |        WHERE n.doc_id % 2 = 1 AND h.doc_id % 2 = 0),
+       |exv AS (SELECT new_id, hist_id, common / (sz_n + sz_h - common) AS jac
+       |        FROM ex0 WHERE common > 0 AND common / (sz_n + sz_h - common) >= 0.2),
+       |er AS (SELECT new_id, hist_id,
+       |        row_number() OVER (PARTITION BY new_id ORDER BY jac DESC, hist_id) AS rn FROM exv),
+       |ek AS (SELECT new_id AS query_id, hist_id AS doc_id, 1 AS rel FROM er WHERE rn <= 5),
+       |${rankedEvalOracleTail(5, "doc_id")}""".stripMargin
+
+  /** q173's oracle: q115's 4-plane bucket CTEs with the row_number kept
+    * as the approx side, UNthresholded brute-force exact-cosine top-5 as
+    * ground truth, and the shared rankedEval tail. */
+  private val embedDupRankedEvalOracle: String = {
+    val dim = 64
+    val nPlanes = 4
+    val k = 5
+    val bucket = (0 until nPlanes).map { p =>
+      val terms = (0 until dim)
+        .map(j => s"v[${j + 1}]*(${Similarity.planeComponent(p, j, "graft")})")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |n AS (SELECT vec_id AS new_id, v AS nv, bucket FROM b WHERE vec_id % 2 = 1),
+       |h AS (SELECT vec_id AS hist_id, v AS hv, bucket FROM b WHERE vec_id % 2 = 0),
+       |cj AS (SELECT n.new_id, h.hist_id, list_cosine_similarity(n.nv, h.hv) AS s
+       |      FROM n JOIN h USING (bucket)
+       |      WHERE list_cosine_similarity(n.nv, h.hv) >= 0.3),
+       |ar AS (SELECT new_id, hist_id,
+       |        row_number() OVER (PARTITION BY new_id ORDER BY s DESC, hist_id) AS rn FROM cj),
+       |ap AS (SELECT new_id AS query_id, hist_id AS vec_id, rn FROM ar WHERE rn <= $k),
+       |ex AS (SELECT n.new_id, h.hist_id,
+       |         row_number() OVER (PARTITION BY n.new_id
+       |           ORDER BY list_cosine_similarity(h.hv, n.nv) DESC, h.hist_id) AS rn
+       |       FROM n, h),
+       |ek AS (SELECT new_id AS query_id, hist_id AS vec_id, 1 AS rel FROM ex WHERE rn <= $k),
+       |${rankedEvalOracleTail(k, "vec_id")}""".stripMargin
+  }
+
   private val annRankedEvalOracle: String = {
     val dim = 64
     val nPlanes = 8
@@ -4857,6 +4985,9 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q163_ann_ranked_eval" -> annRankedEvalOracle,
+
+    "q172_neardup_ranked_eval" -> nearDupRankedEvalOracle,
+    "q173_embeddup_ranked_eval" -> embedDupRankedEvalOracle,
 
     // q167: one UNION ALL branch per profiled column; min/max computed
     // in the column's type, cast to VARCHAR after

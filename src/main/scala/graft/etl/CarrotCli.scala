@@ -91,7 +91,16 @@ object CarrotCli {
   }
 
   /** Testable entry: argv + an explicit environment. */
-  def run(args: Array[String], env: Map[String, String]): Unit = {
+  def run(args: Array[String], env: Map[String, String]): Unit =
+    run(args, env, System.err.println(_: String))
+
+  /** `log` receives the reference's console lines (`logger.py`;
+    * `run.py:304-307,341`) — injectable so specs assert the lines as
+    * data; production routes them to stderr like the reference's
+    * StreamHandler. */
+  def run(args: Array[String], env: Map[String, String],
+          log: String => Unit): Unit = {
+    val startNanos = System.nanoTime()
     val argv = parseArgv(args)
     def opt(k: String): Option[String] = argv.get(k).orElse(EnvNames.get(k).flatMap(env.get))
     def req(k: String): String = opt(k).getOrElse(sys.error(s"missing required option $k"))
@@ -185,9 +194,33 @@ object CarrotCli {
       engine.run() else engine.runOrdered()
     for ((target, df) <- results) timed(target)(write(target, df))
     timed("summary_mapstream")(write("summary_mapstream", engine.summary(threshold)))
+
+    // Reference logging surface (logger.py; run.py:304-307,341): one
+    // INPUT line per source file (input count + time since start), a
+    // TARGET line per mapped table — zero counts included, the reference
+    // initializes every mapped target's counter — then the 80-dash
+    // separator and the final elapsed line. One extra metadata-sized
+    // aggregation over the engine's cached targets; NEVER thresholded
+    // (the reference logs its raw loop counters, the threshold only
+    // filters the written summary).
+    val logRows = CarrotMetrics.runLogCounts(engine).collect()
+    val inCounts = logRows.filter(_.getAs[String]("count_type") == "input_count")
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    val outCounts = logRows.filter(_.getAs[String]("count_type") == "output_count")
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("tablename")) -> r.getAs[Long]("n"))
+      .toMap
+    def sinceStart: Double = (System.nanoTime() - startNanos) / 1e9
+    for (src <- rules.sourceTables) {
+      log(f"INPUT file data : $src: input count ${inCounts.getOrElse(src, 0L)}, " +
+        f"time since start $sinceStart%.5g secs")
+      for (tgt <- rules.forSource(src).map(_.target).distinct)
+        log(s"TARGET: $tgt: output count ${outCounts.getOrElse((src, tgt), 0L)}")
+    }
+    log("-" * 80)
     engine.close()
 
     // a test harness may have handed us its own live session — leave it up
     if (!preexisting) spark.stop()
+    log(f"Elapsed time = ${(System.nanoTime() - startNanos) / 1e9}%.5f secs")
   }
 }

@@ -35,7 +35,11 @@ object CarrotMetrics {
       concept.as("concept_id"), additional.as("additional"),
       lit(countType).as("count_type"), n.cast("long").as("n"))
 
-  def summary(e: CarrotEngine, threshold: Long): DataFrame = {
+  /** Every raw counter at its FULL key (source names untruncated) —
+    * [[summary]] rolls this into the reference's thresholded, prefix-
+    * truncated mapstream table; [[runLogCounts]] reads the two key
+    * shapes the reference's console log prints. */
+  private def rawCounts(e: CarrotEngine): DataFrame = {
     val rules  = e.metricsRules
     val schema = e.metricsSchema
 
@@ -141,7 +145,12 @@ object CarrotMetrics {
         .agg(sum(col("count")).cast("long").as("n"))
     }
 
-    val counts = parts.result().reduce(_.unionByName(_)).filter(col("n") > 0)
+    parts.result().reduce(_.unionByName(_)).filter(col("n") > 0)
+  }
+
+  def summary(e: CarrotEngine, threshold: Long): DataFrame = {
+    val rules  = e.metricsRules
+    val counts = rawCounts(e)
 
     def sumOf(ct: String): Column =
       coalesce(sum(when(col("count_type") === ct, col("n"))), lit(0L)).cast("long")
@@ -173,4 +182,18 @@ object CarrotMetrics {
       .orderBy(col("_sortkey"))
       .drop("_sortkey")
   }
+
+  /** The reference's per-file console log counters (`run.py:304-307`):
+    * (source, tablename, count_type, n) at the two granularities the log
+    * prints — per-source `input_count` and per-(source, target)
+    * `output_count` — with FULL source names (the summary table
+    * truncates them at the first '.'; the console log does not). */
+  def runLogCounts(e: CarrotEngine): DataFrame =
+    rawCounts(e).filter(col("fieldname") === "all" &&
+        col("concept_id") === "all" && col("additional") === "" &&
+        col("source") =!= "all" &&
+        ((col("count_type") === "input_count" && col("tablename") === "all") ||
+         (col("count_type") === "output_count" && col("tablename") =!= "all")))
+      .groupBy(col("source"), col("tablename"), col("count_type"))
+      .agg(sum(col("n")).cast("long").as("n"))
 }

@@ -1335,7 +1335,24 @@ object Dedup {
   def incrementalNearDupsWith(newDocs: DataFrame, index: NearDupIndex,
                               idCol: String, textCol: String,
                               minJaccard: Double = 0.2,
-                              scope: CacheScope = CacheScope.noop): DataFrame = {
+                              scope: CacheScope = CacheScope.noop): DataFrame =
+    nearDupScored(newDocs, index, idCol, textCol, minJaccard, scope)
+      .groupBy(col("new_id"))
+      // min_by over (-jaccard, hist_id): best match, ties to the lowest
+      // history id — ids never negated, so string doc ids work too
+      .agg(min_by(struct(col("hist_id"), col("_j")),
+        struct(negate(col("_j")), col("hist_id"))).as("_best"))
+      .select(col("new_id").as(idCol),
+        col("_best.hist_id").as("hist_id"),
+        round(col("_best._j"), 4).as("jaccard"))
+
+  /** The verified-candidate table both probe shapes rank: LSH band-bucket
+    * candidates between the batch and the index, exact-Jaccard scored,
+    * thresholded — (new_id, hist_id, _j). */
+  private def nearDupScored(newDocs: DataFrame, index: NearDupIndex,
+                            idCol: String, textCol: String,
+                            minJaccard: Double,
+                            scope: CacheScope): DataFrame = {
     val newBase = shingleSets(newDocs, idCol, textCol, index.n, scope)
       .filter(col("_size") > 0)
     val newBands = bandStream(newBase, index.k, index.rowsPerBand)
@@ -1350,14 +1367,79 @@ object Dedup {
       .withColumn("_common", graft.functions.ArrayExprs.sortedLongIntersectCount(col("sh_n"), col("sh_h")))
       .withColumn("_j", col("_common") / (col("sz_n") + col("sz_h") - col("_common")))
       .filter(col("_j") >= minJaccard)
-      .groupBy(col("new_id"))
-      // min_by over (-jaccard, hist_id): best match, ties to the lowest
-      // history id — ids never negated, so string doc ids work too
-      .agg(min_by(struct(col("hist_id"), col("_j")),
-        struct(negate(col("_j")), col("hist_id"))).as("_best"))
-      .select(col("new_id").as(idCol),
-        col("_best.hist_id").as("hist_id"),
-        round(col("_best._j"), 4).as("jaccard"))
+  }
+
+  /** Ranked near-dup probe — [[incrementalNearDupsWith]] with RANK KEPT:
+    * per batch document, its top-`topK` historical near-duplicates by
+    * exact n-gram Jaccard over the LSH candidate set (jaccard DESC, ties
+    * to the lowest history id), as (query_id, idCol, jaccard). Feed it
+    * with [[exactJaccardTopK]] ground truth into
+    * [[graft.ops.Similarity.rankedEval]] and the per-query
+    * recall/MRR/NDCG table is the decision surface for a standing
+    * neardup store's banding/threshold knobs (`anneval --store-kind
+    * neardup`): recall says what the bands MISS, MRR/NDCG whether what
+    * they return ranks the truly-nearest first.
+    *
+    * Same scale shape as the probe it ranks: bucket equi-join candidates
+    * (never all-pairs), merge-count verify on candidates only, and a
+    * |Q|-partition top-k window over rows already bounded by the
+    * candidate set. */
+  def nearDupTopKWith(newDocs: DataFrame, index: NearDupIndex,
+                      idCol: String, textCol: String,
+                      minJaccard: Double, topK: Int,
+                      scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("_j").desc, col("hist_id"))
+    nearDupScored(newDocs, index, idCol, textCol, minJaccard, scope)
+      // self never ranks: an eval whose queries come FROM the store must
+      // not credit each query for finding itself (exactTopK discipline);
+      // a true ingest batch is disjoint from history, so this is free
+      .filter(col("new_id") =!= col("hist_id"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      // UNROUNDED score: rankedEval re-ranks by this column, and both
+      // engines compute the identical IEEE division of exact ints — a
+      // rounded score could reorder ties at a rounding boundary
+      .select(col("new_id").as("query_id"), col("hist_id").as(idCol),
+        col("_j").as("jaccard"))
+  }
+
+  /** Exact n-gram-Jaccard top-k ground truth —
+    * [[graft.ops.Similarity.exactTopK]]'s text twin: brute-force
+    * batch×history Jaccard with the QUERY side broadcast (eval query
+    * sets are small by design), thresholded and ranked exactly like
+    * [[nearDupTopKWith]]. Zero-overlap pairs never rank (no shared
+    * shingle = not a near-duplicate by definition — ranking Jaccard-0
+    * fillers by id would make the ground truth arbitrary). This is the
+    * eval-only full scan an eval is FOR; the dedup path itself stays on
+    * the LSH probe. */
+  def exactJaccardTopK(history: DataFrame, queries: DataFrame,
+                       idCol: String, textCol: String, n: Int,
+                       minJaccard: Double, topK: Int,
+                       scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val h = shingleSets(history, idCol, textCol, n, scope)
+      .filter(col("_size") > 0)
+      .select(col("_id").as("hist_id"), col("_shh").as("sh_h"), col("_size").as("sz_h"))
+    val q = shingleSets(queries, idCol, textCol, n, scope)
+      .filter(col("_size") > 0)
+      .select(col("_id").as("new_id"), col("_shh").as("sh_n"), col("_size").as("sz_n"))
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("_j").desc, col("hist_id"))
+    h.crossJoin(broadcast(q))
+      .filter(col("new_id") =!= col("hist_id")) // self never ranks (see nearDupTopKWith)
+      .withColumn("_common", graft.functions.ArrayExprs.sortedLongIntersectCount(col("sh_n"), col("sh_h")))
+      .filter(col("_common") > 0)
+      .withColumn("_j", col("_common") / (col("sz_n") + col("sz_h") - col("_common")))
+      .filter(col("_j") >= minJaccard)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      // unrounded, as in [[nearDupTopKWith]]
+      .select(col("new_id").as("query_id"), col("hist_id").as(idCol),
+        col("_j").as("jaccard"))
   }
 
   /** Boilerplate removal — the FREQUENCY-threshold complement of

@@ -1223,12 +1223,7 @@ object Similarity {
   def incrementalEmbedNearDupsWith(newVecs: DataFrame, index: EmbedIndex,
                                    idCol: String, vecCol: String,
                                    minSim: Double): DataFrame = {
-    Parallelize.ensure(
-        newVecs.select(col(idCol).as("_nid"), col(vecCol).cast("array<double>").as("_nv")))
-      .withColumn("_bucket", lshBucket(col("_nv"), index.dim, index.nPlanes, index.seed))
-      .join(index.bucketed, Seq("_bucket"))
-      .withColumn("_sim", cosine(col("_nv"), col("_hv")))
-      .filter(col("_sim") >= minSim)
+    embedNearDupScored(newVecs, index, idCol, vecCol, minSim)
       .groupBy(col("_nid"))
       .agg(min_by(struct(col("_hid"), col("_sim")),
         struct(negate(col("_sim")), col("_hid"))).as("_best"))
@@ -1237,6 +1232,51 @@ object Similarity {
         // that C-family engines keep — normalize so comparators that
         // sort by string agree (the q108 sf0.1 lesson)
         (round(col("_best._sim"), 4) + lit(0.0)).as("sim"))
+  }
+
+  /** The verified-candidate table both embed probe shapes rank: LSH
+    * bucket candidates between the batch and the index, exact-cosine
+    * scored, thresholded — (_nid, _hid, _sim). */
+  private def embedNearDupScored(newVecs: DataFrame, index: EmbedIndex,
+                                 idCol: String, vecCol: String,
+                                 minSim: Double): DataFrame =
+    Parallelize.ensure(
+        newVecs.select(col(idCol).as("_nid"), col(vecCol).cast("array<double>").as("_nv")))
+      .withColumn("_bucket", lshBucket(col("_nv"), index.dim, index.nPlanes, index.seed))
+      .join(index.bucketed, Seq("_bucket"))
+      .withColumn("_sim", cosine(col("_nv"), col("_hv")))
+      .filter(col("_sim") >= minSim)
+
+  /** Ranked embed near-dup probe — [[incrementalEmbedNearDupsWith]] with
+    * RANK KEPT: per batch vector, its top-`topK` store neighbors by
+    * exact cosine over the LSH bucket candidates (sim DESC, ties to the
+    * lowest store id), as (query_id, idCol, sim). Feed it with
+    * [[exactTopK]] ground truth into [[rankedEval]] and the per-query
+    * recall/MRR/NDCG table is the decision surface for a standing
+    * embeddup store's `--planes` / `--min-sim` knobs (`anneval
+    * --store-kind embeddup`): recall says what the buckets miss, MRR/
+    * NDCG whether what they return ranks the truly-nearest first. Same
+    * scale shape as the probe it ranks — bucket equi-join candidates,
+    * |Q|-partition top-k window over candidate-bounded rows. */
+  def embedNearDupTopKWith(newVecs: DataFrame, index: EmbedIndex,
+                           idCol: String, vecCol: String,
+                           minSim: Double, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_nid"))
+      .orderBy(col("_sim").desc, col("_hid"))
+    embedNearDupScored(newVecs, index, idCol, vecCol, minSim)
+      // self never ranks: an eval whose queries come FROM the store must
+      // not credit each query for finding itself (exactTopK discipline);
+      // a true ingest batch is disjoint from history, so this is free
+      .filter(col("_nid") =!= col("_hid"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      // UNROUNDED score: rankedEval re-ranks by this column, and both
+      // engines compute the identical IEEE cosine — a rounded score
+      // could reorder ties at a rounding boundary (q163 discipline)
+      .select(col("_nid").as("query_id"), col("_hid").as(idCol),
+        col("_sim").as("sim"))
   }
 
   /** Semantic decontamination — the EMBEDDING-level twin of the n-gram

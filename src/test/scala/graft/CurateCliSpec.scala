@@ -1082,6 +1082,70 @@ class CurateCliSpec extends AnyFunSuite {
     rm(idx, out)
   }
 
+  test("anneval --store-kind neardup/embeddup grade the fuzzy rungs, equal to the library paths") {
+    import graft.ops.{Dedup, Similarity}
+    val d = spark.read.parquet(docsPath)
+    val evenDir = tmp("cli-ae-even"); val oddDir = tmp("cli-ae-odd")
+    d.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(evenDir)
+    d.filter(col("doc_id") % 2 === 1).write.mode("overwrite").parquet(oddDir)
+    val ndIdx = tmp("cli-ae-ndidx"); rm(ndIdx)
+    val ndOut = tmp("cli-ae-ndout")
+    // found the standing neardup index from the even half...
+    CurateCli.run("neardup", Map("--in" -> evenDir, "--out" -> tmp("cli-ae-nd0"),
+      "--index" -> ndIdx))
+    // ...then grade it: odd queries, exact-Jaccard ground truth from --in
+    CurateCli.run("anneval", Map("--store-kind" -> "neardup",
+      "--in" -> evenDir, "--queries" -> oddDir, "--index" -> ndIdx,
+      "--out" -> ndOut, "--topk" -> "5"))
+    def rows(p: String) = spark.read.parquet(p)
+      .select("query_id", "n_hit", "recall", "mrr", "ndcg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val ndGot = rows(ndOut)
+    val ndLoaded = Dedup.loadNearDupIndex(spark, ndIdx)
+    val odd = d.filter(col("doc_id") % 2 === 1)
+    val even = d.filter(col("doc_id") % 2 === 0)
+    val ndWant = Similarity.rankedEval(
+        Dedup.nearDupTopKWith(odd, ndLoaded, "doc_id", "text", 0.2, 5),
+        Dedup.exactJaccardTopK(even, odd, "doc_id", "text", 5, 0.2, 5),
+        "query_id", "doc_id", "jaccard", ascending = false, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(ndGot == ndWant && ndGot.nonEmpty)
+
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val evenEmb = tmp("cli-ae-eeven"); val oddEmb = tmp("cli-ae-eodd")
+    e.filter(col("vec_id") % 2 === 0).write.mode("overwrite").parquet(evenEmb)
+    e.filter(col("vec_id") % 2 === 1).write.mode("overwrite").parquet(oddEmb)
+    val edIdx = tmp("cli-ae-edidx"); rm(edIdx)
+    val edOut = tmp("cli-ae-edout")
+    CurateCli.run("embeddup", Map("--in" -> evenEmb, "--out" -> tmp("cli-ae-ed0"),
+      "--index" -> edIdx, "--dim" -> "64", "--planes" -> "4"))
+    CurateCli.run("anneval", Map("--store-kind" -> "embeddup",
+      "--in" -> evenEmb, "--queries" -> oddEmb, "--index" -> edIdx,
+      "--out" -> edOut, "--topk" -> "5"))
+    val edGot = rows(edOut)
+    val edLoaded = Similarity.loadEmbedIndex(spark, edIdx)
+    val oddV = e.filter(col("vec_id") % 2 === 1)
+    val evenV = e.filter(col("vec_id") % 2 === 0)
+    val edWant = Similarity.rankedEval(
+        Similarity.embedNearDupTopKWith(oddV, edLoaded, "vec_id", "embedding", 0.3, 5),
+        Similarity.exactTopK(evenV, "vec_id", "embedding",
+          oddV, "vec_id", "embedding", 5),
+        "query_id", "vec_id", "sim", ascending = false, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(edGot == edWant && edGot.nonEmpty)
+
+    // an unknown kind errors instead of silently grading the wrong rung
+    val err = intercept[IllegalArgumentException] {
+      CurateCli.run("anneval", Map("--store-kind" -> "hnsw",
+        "--in" -> evenEmb, "--index" -> edIdx, "--out" -> edOut))
+    }
+    assert(err.getMessage.contains("--store-kind"))
+    rm(evenDir, oddDir, ndIdx, ndOut, evenEmb, oddEmb, edIdx, edOut)
+  }
+
   test("split command cuts reproducible hive-partitioned splits") {
     import graft.ops.TextAnalysis
     val out = tmp("cli-split"); rm(out)

@@ -288,6 +288,44 @@ class DispatchSpec extends AnyFunSuite {
       s"main sources still hardcode the reference checkout: $offenders")
   }
 
+  test("run emits the reference's console log lines (INPUT/TARGET/separator/Elapsed)") {
+    // reference logger surface: run.py:304-307 (per-file input count +
+    // per-target output counts), :312 (80-dash separator), :341 (final
+    // elapsed) — lines injected to a buffer so counts assert as data
+    val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
+    val rules = s"${Golden.RefRoot}/tests/test_V2/rules-v2.json"
+    val out = java.nio.file.Files.createTempDirectory("cli_log_out").toString
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    CarrotCli.run(Array("--rules-file", rules, "--inputs", td,
+      "--output", out, "--person", "src_PERSON"), env = Map.empty,
+      log = lines += (_: String))
+    val inputLines = lines.filter(_.startsWith("INPUT file data : "))
+    assert(inputLines.nonEmpty, s"no INPUT lines in: $lines")
+    // every mapped source logs exactly one INPUT line, full (untruncated)
+    // file name, with its raw row count and an elapsed-seconds suffix
+    val person = inputLines.find(_.contains("src_PERSON.csv"))
+    assert(person.isDefined, s"no src_PERSON INPUT line in: $inputLines")
+    val inRe = """INPUT file data : (\S+): input count (\d+), time since start (\S+) secs""".r
+    assert(inputLines.forall(l => inRe.findFirstIn(l).isDefined), inputLines)
+    val personCount = person.get match { case inRe(_, n, _) => n.toLong }
+    // raw data rows = file lines minus the header
+    val want = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$td/src_PERSON.csv")).size - 1L
+    assert(personCount == want, s"src_PERSON input count $personCount != $want")
+    // TARGET lines carry per-table output counts; person's must match the
+    // written person.tsv row count
+    val tgtRe = """TARGET: (\w+): output count (\d+)""".r
+    val tgtLines = lines.filter(_.startsWith("TARGET: "))
+    assert(tgtLines.nonEmpty && tgtLines.forall(l => tgtRe.findFirstIn(l).isDefined))
+    val personOut = tgtLines.collectFirst {
+      case tgtRe("person", n) => n.toLong }
+    assert(personOut.isDefined)
+    assert(personOut.get == Golden.readTsv(s"$out/person.tsv").count())
+    // the separator and the final elapsed line, in reference order
+    assert(lines.contains("-" * 80))
+    assert(lines.last.matches("""Elapsed time = \d+\.\d{5} secs"""), lines.last)
+  }
+
   test("options fall back to environment variables (reference envvar names)") {
     val td = s"${Golden.RefRoot}/tests/test_data/integration_test1"
     val out = java.nio.file.Files.createTempDirectory("cli_env_out").toString
