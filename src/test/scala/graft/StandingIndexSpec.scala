@@ -700,4 +700,81 @@ class StandingIndexSpec extends AnyFunSuite {
     assert(es.map { case (sz, nb) => sz * nb }.sum == 12L)
   }
 
+  test("ranked probes: rank order, threshold, topK bound, self-exclusion, exact superset") {
+    CacheScope.withScope { scope =>
+      val history = docs(0 until 30)
+      val batch = docs(30 until 45)
+      val idx = Dedup.buildNearDupIndex(history, "doc_id", "text",
+        k = 4, rowsPerBand = 2, n = 5, scope = scope)
+      val approx = Dedup.nearDupTopKWith(batch, idx, "doc_id", "text",
+          minJaccard = 0.2, topK = 3, scope = scope)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(approx.nonEmpty)
+      // threshold + topK bound
+      assert(approx.forall(_._3 >= 0.2))
+      val byQ = approx.groupBy(_._1).values
+      assert(byQ.forall(_.size <= 3))
+      // exact ground truth is a SUPERSET of what the bands surface: every
+      // approx pair appears in unbounded exact output at the same score
+      val exactAll = Dedup.exactJaccardTopK(history, batch, "doc_id", "text",
+          n = 5, minJaccard = 0.2, topK = 1000, scope = scope)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(approx.forall(exactAll.contains), "approx pair missing from exact")
+      // template docs (every third id) are identical to history templates
+      // 0,3,...,27 at jaccard 1.0: the top-3 CUT keeps the THREE LOWEST
+      // history ids — the (jaccard DESC, id) tie order observed through
+      // the cut itself
+      val t33 = approx.filter(_._1 == 33L)
+      assert(t33.map(r => (r._2, r._3)).toSet == Set((0L, 1.0), (3L, 1.0), (6L, 1.0)))
+      // self never ranks: probe the history WITH ITSELF — no (i, i) row
+      val selfProbe = Dedup.nearDupTopKWith(history, idx, "doc_id", "text",
+          minJaccard = 0.2, topK = 3, scope = scope)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(selfProbe.nonEmpty && selfProbe.forall { case (q, h, _) => q != h })
+      val exactSelf = Dedup.exactJaccardTopK(history, history, "doc_id", "text",
+          n = 5, minJaccard = 0.2, topK = 3, scope = scope)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(exactSelf.nonEmpty && exactSelf.forall { case (q, h, _) => q != h })
+      // self-eval sanity: grading the exact frame against itself is perfect
+      val ev = Similarity.rankedEval(
+          Dedup.exactJaccardTopK(history, batch, "doc_id", "text", 5, 0.2, 3, scope),
+          Dedup.exactJaccardTopK(history, batch, "doc_id", "text", 5, 0.2, 3, scope),
+          "query_id", "doc_id", "jaccard", ascending = false, 3)
+        .select("recall", "mrr", "ndcg").as[(Double, Double, Double)].collect()
+      assert(ev.nonEmpty && ev.forall { case (_, m, n) => m == 1.0 && n == 1.0 })
+    }
+  }
+
+  test("embed ranked probe: threshold, topK bound, self-exclusion, candidates score exactly") {
+    // consecutive (even, odd) pairs share a hot dimension, so every batch
+    // vector has a high-cosine partner in history; backgrounds keep the
+    // vectors distinct
+    val vecs = (0 until 20).map { i =>
+      val v = Array.tabulate(8)(d => if (d == (i / 2) % 4) 1.0f else 0.05f * (i % 3))
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val hist = vecs.filter(col("vec_id") % 2 === 0)
+    val batch = vecs.filter(col("vec_id") % 2 === 1)
+    val idx = Similarity.buildEmbedIndex(hist, "vec_id", "embedding",
+      dim = 8, nPlanes = 3)
+    val approx = Similarity.embedNearDupTopKWith(batch, idx,
+        "vec_id", "embedding", minSim = 0.3, topK = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(approx.nonEmpty)
+    assert(approx.forall(_._3 >= 0.3))
+    assert(approx.groupBy(_._1).values.forall(_.size <= 2))
+    // every surfaced pair carries the EXACT cosine (verify-on-candidates):
+    // must match the brute-force score for the same pair
+    val exact = Similarity.exactTopK(hist, "vec_id", "embedding",
+        batch, "vec_id", "embedding", k = 1000)
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, h, s) => (q, h) -> s }.toMap
+    assert(approx.forall { case (q, h, s) => math.abs(exact((q, h)) - s) == 0.0 })
+    // self never ranks when the store is probed with itself
+    val selfProbe = Similarity.embedNearDupTopKWith(hist, idx,
+        "vec_id", "embedding", minSim = 0.3, topK = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(selfProbe.nonEmpty && selfProbe.forall { case (q, h, _) => q != h })
+  }
+
 }

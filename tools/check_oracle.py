@@ -46,7 +46,31 @@ def pd_kinds(rel):
     df = rel.df()
     return {c: df[c].dtype.kind for c in df.columns}
 
+def selftest():
+    """Prove the kind check catches the HUGEINT trap: an int64 'spark
+    result' against a bare-sum() oracle must FAIL, and against a cast
+    oracle must pass. Run: python3 tools/check_oracle.py --selftest"""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1::BIGINT), (2::BIGINT)) v(x)")
+    spark_like = "SELECT CAST(sum(x) AS BIGINT) AS s FROM t"   # what Spark emits: int64
+    bare = "SELECT sum(x) AS s FROM t"                          # HUGEINT -> pandas float64
+    cast = "SELECT CAST(sum(x) AS BIGINT) AS s FROM t"
+    g = pd_kinds(con.execute(spark_like))
+    assert g == pd_kinds(con.execute(cast)), "cast oracle must kind-match"
+    b = pd_kinds(con.execute(bare))
+    assert g != b, f"bare sum() must kind-mismatch, got {g} vs {b}"
+    assert b["s"] == "f" and g["s"] == "i"
+    # DECIMAL-vs-double and int32-vs-int64 stay green (driver-observed)
+    assert pd_kinds(con.execute("SELECT 1.5::DECIMAL(23,1) AS d")) == \
+        pd_kinds(con.execute("SELECT 1.5::DOUBLE AS d"))
+    assert pd_kinds(con.execute("SELECT 1::INTEGER AS i")) == \
+        pd_kinds(con.execute("SELECT 1::BIGINT AS i"))
+    print("selftest OK: bare sum() red-flags, decimal/double and int32/int64 stay green")
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+        return
     outdir, sfdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
