@@ -87,7 +87,10 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             q115/q127 discipline), then append the batch's buckets
   *             (`--update-index N` read-only). Founded from the first
   *             batch (`--dim` defaults to the data's width, `--planes`
-  *             to the occupancy rule); stored hashing params win
+  *             to the occupancy rule); stored hashing params win.
+  *             `--multiprobe Y` widens each probe to its Hamming-1
+  *             bucket neighbors (q174) — a per-probe recall knob, not
+  *             a founding constant: the store never re-buckets
   *   annindex — the SERVING-index daily loop (q133/q135 discipline): an
   *             absent `--index` dir is FOUNDED from the batch — coarse
   *             centroids k-means-trained at constant occupancy
@@ -252,7 +255,7 @@ object CurateCli {
       "--min-jaccard", "--minhash-k", "--rows-per-band", "--ngram",
       "--normalize")),
     "embeddup" -> (CommonOptions ++ Set("--index", "--update-index",
-      "--min-sim", "--vec-col", "--dim", "--planes")),
+      "--min-sim", "--vec-col", "--dim", "--planes", "--multiprobe")),
     "annindex" -> Set("--in", "--in-format", "--index", "--id-col",
       "--vec-col", "--dim", "--cells", "--subspaces", "--codes", "--residual",
       "--refound"),
@@ -260,7 +263,8 @@ object CurateCli {
       "--vec-col", "--topk", "--nprobe")),
     "anneval" -> (CommonOptions ++ Set("--index",
       "--vec-col", "--topk", "--nprobe", "--queries", "--queries-format",
-      "--nqueries", "--store-kind", "--min-jaccard", "--min-sim")),
+      "--nqueries", "--store-kind", "--min-jaccard", "--min-sim",
+      "--multiprobe")),
     "split" -> (CommonOptions ++ Set("--key-col", "--splits")),
     "profile" -> (CommonOptions - "--text-col" - "--id-col"
       ++ Set("--cols", "--approx")),
@@ -836,6 +840,16 @@ object CurateCli {
           val minSim = argv.getOrElse("--min-sim", "0.3").toDouble
           val vecCol = argv.getOrElse("--vec-col", "embedding")
           val eidCol = argv.getOrElse("--id-col", "vec_id")
+          // `--multiprobe Y` widens each batch vector's probe to its
+          // Hamming-1 bucket neighbors (q174): a PER-PROBE recall knob,
+          // deliberately NOT a founding constant — the store's buckets
+          // are unchanged, only this batch's candidate set widens
+          val ndMulti = argv.getOrElse("--multiprobe", "N") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--multiprobe must be Y or N, got '$other'")
+          }
           val fs = new org.apache.hadoop.fs.Path(idxDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))) {
@@ -847,7 +861,7 @@ object CurateCli {
                   s"$flag ${stated} disagrees with the stored index ($stored) — " +
                     "hashing parameters are fixed at build time")
             write(graft.ops.Similarity.incrementalEmbedNearDupsWith(in, idx,
-              eidCol, vecCol, minSim), out)
+              eidCol, vecCol, minSim, multiProbe = ndMulti), out)
             if (updateIndex)
               graft.ops.Similarity.appendEmbedIndex(spark, idxDir, in, eidCol, vecCol)
           } else {
@@ -997,9 +1011,17 @@ object CurateCli {
               val aid = argv.getOrElse("--id-col", "vec_id")
               val vecCol = argv.getOrElse("--vec-col", "embedding")
               val minSim = argv.getOrElse("--min-sim", "0.3").toDouble
+              // grade the widened probe when asked — the eval half of the
+              // q174 multi-probe knob
+              val mp = argv.getOrElse("--multiprobe", "N") match {
+                case "Y" => true
+                case "N" => false
+                case other => throw new IllegalArgumentException(
+                  s"--multiprobe must be Y or N, got '$other'")
+              }
               val queries = queriesFrom(aid)
               val approx = S.embedNearDupTopKWith(queries, idx,
-                aid, vecCol, minSim, k)
+                aid, vecCol, minSim, k, multiProbe = mp)
               val exact = S.exactTopK(in, aid, vecCol, queries, aid, vecCol, k)
               write(S.rankedEval(approx, exact, "query_id", aid,
                 "sim", ascending = false, k), out)

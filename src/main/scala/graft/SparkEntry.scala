@@ -2116,6 +2116,22 @@ object SparkEntry {
         batch, "vec_id", "embedding", k = 5)
       Similarity.rankedEval(approx, exact, "query_id", "vec_id",
         "sim", ascending = false, k = 5)
+    }),
+
+    // ---- Multi-probe standing embeddup probe (round-10): q115's
+    //      best-match semantics with each batch vector probing its own
+    //      bucket PLUS the nPlanes Hamming-1 neighbors (q118's probe-key
+    //      explode pointed at the STORED bucket table) — the recall knob
+    //      that needs NO store rebuild: candidates widen ~(1+nPlanes)×,
+    //      the store never re-buckets, probe keys explode on the small
+    //      batch side only ----
+    "q174_embeddup_multiprobe" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.incrementalEmbedNearDupsWith(
+        emb.filter(col("vec_id") % 2 === 1),
+        Similarity.buildEmbedIndex(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", dim = 64, nPlanes = 4),
+        "vec_id", "embedding", minSim = 0.3, multiProbe = true)
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -2367,6 +2383,31 @@ object SparkEntry {
        |h AS (SELECT vec_id AS hist_id, v AS hv, bucket FROM b WHERE vec_id % 2 = 0),
        |j AS (SELECT n.new_id, h.hist_id, list_cosine_similarity(n.nv, h.hv) AS s
        |      FROM n JOIN h USING (bucket)
+       |      WHERE list_cosine_similarity(n.nv, h.hv) >= 0.3),
+       |r AS (SELECT new_id, hist_id, s,
+       |        row_number() OVER (PARTITION BY new_id ORDER BY s DESC, hist_id) AS rn
+       |      FROM j)
+       |SELECT new_id AS vec_id, hist_id, round(s, 4) + 0.0 AS sim FROM r WHERE rn = 1""".stripMargin
+  }
+
+  /** q174's oracle: q115's CTEs with the bucket equi-join widened to
+    * Hamming ≤ 1 (q118's `bit_count(xor(...))` form) — the multi-probe
+    * candidate set, same best-match window. */
+  private val incrEmbedMultiProbeOracle: String = {
+    val dim = 64
+    val nPlanes = 4
+    val bucket = (0 until nPlanes).map { p =>
+      val terms = (0 until dim)
+        .map(j => s"v[${j + 1}]*(${Similarity.planeComponent(p, j, "graft")})")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |n AS (SELECT vec_id AS new_id, v AS nv, bucket AS nb FROM b WHERE vec_id % 2 = 1),
+       |h AS (SELECT vec_id AS hist_id, v AS hv, bucket AS hb FROM b WHERE vec_id % 2 = 0),
+       |j AS (SELECT n.new_id, h.hist_id, list_cosine_similarity(n.nv, h.hv) AS s
+       |      FROM n JOIN h ON bit_count(xor(n.nb, h.hb)) <= 1
        |      WHERE list_cosine_similarity(n.nv, h.hv) >= 0.3),
        |r AS (SELECT new_id, hist_id, s,
        |        row_number() OVER (PARTITION BY new_id ORDER BY s DESC, hist_id) AS rn
@@ -4988,6 +5029,7 @@ object SparkEntry {
 
     "q172_neardup_ranked_eval" -> nearDupRankedEvalOracle,
     "q173_embeddup_ranked_eval" -> embedDupRankedEvalOracle,
+    "q174_embeddup_multiprobe" -> incrEmbedMultiProbeOracle,
 
     // q167: one UNION ALL branch per profiled column; min/max computed
     // in the column's type, cast to VARCHAR after

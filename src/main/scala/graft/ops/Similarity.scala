@@ -1222,8 +1222,9 @@ object Similarity {
     * frame across consecutive batches. */
   def incrementalEmbedNearDupsWith(newVecs: DataFrame, index: EmbedIndex,
                                    idCol: String, vecCol: String,
-                                   minSim: Double): DataFrame = {
-    embedNearDupScored(newVecs, index, idCol, vecCol, minSim)
+                                   minSim: Double,
+                                   multiProbe: Boolean = false): DataFrame = {
+    embedNearDupScored(newVecs, index, idCol, vecCol, minSim, multiProbe)
       .groupBy(col("_nid"))
       .agg(min_by(struct(col("_hid"), col("_sim")),
         struct(negate(col("_sim")), col("_hid"))).as("_best"))
@@ -1236,16 +1237,34 @@ object Similarity {
 
   /** The verified-candidate table both embed probe shapes rank: LSH
     * bucket candidates between the batch and the index, exact-cosine
-    * scored, thresholded — (_nid, _hid, _sim). */
+    * scored, thresholded — (_nid, _hid, _sim). `multiProbe` widens each
+    * batch vector's probe to its own bucket PLUS the nPlanes Hamming-1
+    * neighbors (the q118 probe-key explode pointed at the STORED bucket
+    * table): the recall knob that needs NO store rebuild — a true
+    * neighbor hidden by ONE disagreeing projection sign is recovered at
+    * ~(1 + nPlanes)× candidate cost, the store never re-buckets, and
+    * the exact-cosine verify still runs only on candidates. The probe
+    * keys explode on the BATCH side (small), never on the store. */
   private def embedNearDupScored(newVecs: DataFrame, index: EmbedIndex,
                                  idCol: String, vecCol: String,
-                                 minSim: Double): DataFrame =
-    Parallelize.ensure(
+                                 minSim: Double,
+                                 multiProbe: Boolean = false): DataFrame = {
+    val base = Parallelize.ensure(
         newVecs.select(col(idCol).as("_nid"), col(vecCol).cast("array<double>").as("_nv")))
-      .withColumn("_bucket", lshBucket(col("_nv"), index.dim, index.nPlanes, index.seed))
+      .withColumn("_b0", lshBucket(col("_nv"), index.dim, index.nPlanes, index.seed))
+    val probed =
+      if (!multiProbe) base.withColumnRenamed("_b0", "_bucket")
+      else {
+        val probes = (lit(0L) +: (0 until index.nPlanes).map(p => lit(1L << p)))
+          .map(m => col("_b0").bitwiseXOR(m))
+        base.select(col("_nid"), col("_nv"),
+          explode(array(probes: _*)).as("_bucket"))
+      }
+    probed
       .join(index.bucketed, Seq("_bucket"))
       .withColumn("_sim", cosine(col("_nv"), col("_hv")))
       .filter(col("_sim") >= minSim)
+  }
 
   /** Ranked embed near-dup probe — [[incrementalEmbedNearDupsWith]] with
     * RANK KEPT: per batch vector, its top-`topK` store neighbors by
@@ -1260,12 +1279,13 @@ object Similarity {
     * |Q|-partition top-k window over candidate-bounded rows. */
   def embedNearDupTopKWith(newVecs: DataFrame, index: EmbedIndex,
                            idCol: String, vecCol: String,
-                           minSim: Double, topK: Int): DataFrame = {
+                           minSim: Double, topK: Int,
+                           multiProbe: Boolean = false): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("_nid"))
       .orderBy(col("_sim").desc, col("_hid"))
-    embedNearDupScored(newVecs, index, idCol, vecCol, minSim)
+    embedNearDupScored(newVecs, index, idCol, vecCol, minSim, multiProbe)
       // self never ranks: an eval whose queries come FROM the store must
       // not credit each query for finding itself (exactTopK discipline);
       // a true ingest batch is disjoint from history, so this is free

@@ -1137,13 +1137,30 @@ class CurateCliSpec extends AnyFunSuite {
         r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
     assert(edGot == edWant && edGot.nonEmpty)
 
+    // --multiprobe Y grades the widened probe (q174 knob), equal to the
+    // library's multiProbe path
+    val mpOut = tmp("cli-ae-mpout")
+    CurateCli.run("anneval", Map("--store-kind" -> "embeddup",
+      "--in" -> evenEmb, "--queries" -> oddEmb, "--index" -> edIdx,
+      "--out" -> mpOut, "--topk" -> "5", "--multiprobe" -> "Y"))
+    val mpGot = rows(mpOut)
+    val mpWant = Similarity.rankedEval(
+        Similarity.embedNearDupTopKWith(oddV, edLoaded, "vec_id", "embedding",
+          0.3, 5, multiProbe = true),
+        Similarity.exactTopK(evenV, "vec_id", "embedding",
+          oddV, "vec_id", "embedding", 5),
+        "query_id", "vec_id", "sim", ascending = false, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(mpGot == mpWant && mpGot.nonEmpty)
+
     // an unknown kind errors instead of silently grading the wrong rung
     val err = intercept[IllegalArgumentException] {
       CurateCli.run("anneval", Map("--store-kind" -> "hnsw",
         "--in" -> evenEmb, "--index" -> edIdx, "--out" -> edOut))
     }
     assert(err.getMessage.contains("--store-kind"))
-    rm(evenDir, oddDir, ndIdx, ndOut, evenEmb, oddEmb, edIdx, edOut)
+    rm(evenDir, oddDir, ndIdx, ndOut, evenEmb, oddEmb, edIdx, edOut, mpOut)
   }
 
   test("split command cuts reproducible hive-partitioned splits") {

@@ -777,4 +777,44 @@ class StandingIndexSpec extends AnyFunSuite {
     assert(selfProbe.nonEmpty && selfProbe.forall { case (q, h, _) => q != h })
   }
 
+  test("multi-probe widens the candidate set monotonically, store untouched") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val hist = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val idx = Similarity.buildEmbedIndex(hist, "vec_id", "embedding",
+      dim = 64, nPlanes = 4)
+    // unbounded pair sets: multi-probe is a SUPERSET of single-bucket at
+    // identical scores (the store's buckets are unchanged; only the
+    // batch's probe keys widen)
+    def pairs(mp: Boolean) = Similarity.embedNearDupTopKWith(batch, idx,
+        "vec_id", "embedding", minSim = 0.3, topK = 1000, multiProbe = mp)
+      .as[(Long, Long, Double)].collect().toSet
+    val single = pairs(mp = false)
+    val multi = pairs(mp = true)
+    assert(single.subsetOf(multi), "multi-probe must never lose a candidate")
+    assert(multi.size > single.size,
+      "Hamming-1 probing should surface extra candidates on this corpus")
+    // recall against exact ground truth can only improve
+    val exact = Similarity.exactTopK(hist, "vec_id", "embedding",
+      batch, "vec_id", "embedding", k = 5)
+    def meanRecall(mp: Boolean): Double = {
+      val ev = Similarity.rankedEval(
+          Similarity.embedNearDupTopKWith(batch, idx, "vec_id", "embedding",
+            minSim = 0.3, topK = 5, multiProbe = mp),
+          exact, "query_id", "vec_id", "sim", ascending = false, 5)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      ev
+    }
+    assert(meanRecall(mp = true) >= meanRecall(mp = false))
+    // best-match flavor: multiProbe=false is bit-identical to the
+    // original single-bucket probe
+    val a = Similarity.incrementalEmbedNearDupsWith(batch, idx,
+        "vec_id", "embedding", minSim = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Similarity.incrementalEmbedNearDupsWith(batch, idx,
+        "vec_id", "embedding", minSim = 0.3, multiProbe = false)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
 }
