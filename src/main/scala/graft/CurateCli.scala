@@ -18,7 +18,9 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *   curate  — [[Pipeline.curateCorpus]]: length gate → chunk-dedup
   *             rebuild → DSIR weights → token-budget selection (q92)
   *   clean   — [[Pipeline.cleanCorpus]]: quality gate → exact dedup →
-  *             benchmark decontamination → chunking (needs `--bench`)
+  *             benchmark decontamination → chunking (needs `--bench`).
+  *             `--contamination excise` removes just the overlapping
+  *             spans (q175) instead of dropping the whole page
   *   refine  — [[Pipeline.refineCorpus]] (q146/q164): the published
   *             web-pipeline ladder — Gopher gate → optional repetition
   *             gate (`--repetition Y`, q160) → survivor-built vocab
@@ -231,7 +233,8 @@ object CurateCli {
     "curate" -> (CommonOptions ++ Set("--lang-col", "--target-lang",
       "--min-chars", "--chunk-tokens", "--budget-num", "--budget-den")),
     "clean" -> (CommonOptions ++ Set("--bench", "--bench-format",
-      "--min-tokens", "--ngram", "--chunk-size", "--overlap")),
+      "--min-tokens", "--ngram", "--chunk-size", "--overlap",
+      "--contamination")),
     "audit" -> (CommonOptions ++ Set("--group-col", "--cap", "--splits",
       "--train-split", "--chunk-tokens")),
     "bpe" -> (CommonOptions ++ Set("--merges", "--min-pair-count",
@@ -430,11 +433,18 @@ object CurateCli {
             argv.getOrElse("--budget-den", "2").toLong, scope), out)
 
         case "clean" =>
+          // `--contamination excise` keeps contaminated docs and removes
+          // just the benchmark-overlapping spans (q175) instead of
+          // dropping whole pages; strict vocabulary, typos fail loudly
+          val contamination = argv.getOrElse("--contamination", "drop")
+          if (contamination != "drop" && contamination != "excise")
+            throw new IllegalArgumentException(
+              s"--contamination must be drop or excise, got '$contamination'")
           write(Pipeline.cleanCorpus(in, readAs(req("--bench"), "--bench-format"), idCol, textCol,
             argv.getOrElse("--min-tokens", "20").toInt,
             argv.getOrElse("--ngram", "5").toInt,
             argv.getOrElse("--chunk-size", "16").toInt,
-            argv.getOrElse("--overlap", "4").toInt, scope), out)
+            argv.getOrElse("--overlap", "4").toInt, contamination, scope), out)
 
         case "audit" =>
           // "train=0.8,val=0.1,test=0.1" — order-preserving (split
@@ -973,6 +983,19 @@ object CurateCli {
           val S = graft.ops.Similarity
           val k = argv.getOrElse("--topk", "10").toInt
           val kind = argv.getOrElse("--store-kind", "ivfpq")
+          // a flag from ANOTHER rung fails as loudly as a typo — the
+          // per-command option-set discipline applied per KIND (silently
+          // ignoring --min-jaccard on an ivfpq eval is the quiet
+          // misconfiguration class this CLI exists to kill)
+          val inapplicable: Seq[String] = kind match {
+            case "ivfpq"    => Seq("--min-jaccard", "--min-sim", "--multiprobe")
+            case "neardup"  => Seq("--nprobe", "--min-sim", "--multiprobe", "--vec-col")
+            case "embeddup" => Seq("--nprobe", "--min-jaccard")
+            case _          => Seq.empty
+          }
+          for (flag <- inapplicable if argv.contains(flag))
+            throw new IllegalArgumentException(
+              s"$flag does not apply to --store-kind $kind")
           // queries: an explicit frame, or the first --nqueries corpus
           // rows by id (deterministic); --queries-format is its own
           // flag (the --bench-format lesson — formats must not leak

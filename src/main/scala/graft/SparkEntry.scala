@@ -2132,6 +2132,19 @@ object SparkEntry {
         Similarity.buildEmbedIndex(emb.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", dim = 64, nPlanes = 4),
         "vec_id", "embedding", minSim = 0.3, multiProbe = true)
+    }),
+
+    // ---- Span-level decontamination (round-10): q49's benchmark split
+    //      with q144's surgical rebuild — every training 5-gram found
+    //      anywhere in the benchmark slice is excised (ALL occurrences;
+    //      the "first copy" lives in the benchmark), text rebuilt from
+    //      survivors. Benchmark grams broadcast as distinct 8-byte
+    //      hashes; the training corpus never shuffles for the verdict ----
+    "q175_decontaminate_spans" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup.decontaminateSpans(
+        d.filter(col("doc_id") % 19 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 19 === 0), "text", n = 5)
     }))
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
@@ -5030,6 +5043,30 @@ object SparkEntry {
     "q172_neardup_ranked_eval" -> nearDupRankedEvalOracle,
     "q173_embeddup_ranked_eval" -> embedDupRankedEvalOracle,
     "q174_embeddup_multiprobe" -> incrEmbedMultiProbeOracle,
+
+    // q175: q49's bench/train split with POSITIONAL 5-grams + q144's
+    // covered-position expansion and ordered string_agg rebuild
+    "q175_decontaminate_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |tr AS (SELECT doc_id, w FROM t WHERE doc_id % 19 <> 0),
+        |bg AS (SELECT DISTINCT array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+        |       FROM t, UNNEST(generate_series(1, len(w) - 4)) AS u(i)
+        |       WHERE doc_id % 19 = 0 AND len(w) >= 5),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+        |      FROM tr, UNNEST(generate_series(1, len(w) - 4)) AS u(i) WHERE len(w) >= 5),
+        |cov AS (SELECT DISTINCT g.doc_id, g.pos + d AS i
+        |        FROM g JOIN bg USING (gram), UNNEST(generate_series(0, 4)) AS v(d)),
+        |tok AS (SELECT tr.doc_id, u.i, w[u.i] AS tk
+        |        FROM tr, UNNEST(generate_series(1, len(w))) AS u(i)),
+        |k AS (SELECT tok.doc_id, tok.i, tok.tk, cov.i AS ci
+        |      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i),
+        |s AS (SELECT doc_id, count(*) FILTER (ci IS NULL) AS kept,
+        |        string_agg(CASE WHEN ci IS NULL THEN tk END, ' ' ORDER BY i) AS txt
+        |      FROM k GROUP BY doc_id)
+        |SELECT tr.doc_id, CAST(len(tr.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(s.kept, 0) AS BIGINT) AS kept_tokens,
+        |  coalesce(s.txt, '') AS text_clean
+        |FROM tr LEFT JOIN s USING (doc_id)""".stripMargin,
 
     // q167: one UNION ALL branch per profiled column; min/max computed
     // in the column's type, cast to VARCHAR after

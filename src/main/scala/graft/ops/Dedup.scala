@@ -490,11 +490,77 @@ object Dedup {
       .select(col("_id"),
         explode(sequence(col("_pos"), col("_pos") + lit(n - 1))).as("_i"))
       .groupBy(col("_id")).agg(collect_set(col("_i")).as("_cov"))
-    val joined = df.join(covered, df(idCol) === covered("_id"), "left")
+      // own name, so an input already keyed "_id" never makes the
+      // rebuild join ambiguous (decontaminateSpans discipline)
+      .withColumnRenamed("_id", "_cov_id")
+    val joined = df.join(covered, df(idCol) === covered("_cov_id"), "left")
     val w = TextAnalysis.tokens(col(textCol))
     val cov = coalesce(col("_cov"), array().cast("array<int>"))
     val kept = filter(w, (tok, i) => !array_contains(cov, i + 1))
-    joined.select(col(idCol),
+    joined.select(df(idCol),
+      size(w).cast("long").as("n_tokens"),
+      size(kept).cast("long").as("kept_tokens"),
+      concat_ws(" ", kept).as("text_clean"))
+  }
+
+  /** Span-level DECONTAMINATION — the surgical twin of [[decontaminate]]
+    * (which drops whole documents) and the benchmark-facing flavor of
+    * [[dupSpanRemove]]: every occurrence of a training n-gram that
+    * appears ANYWHERE in the benchmark is excised — ALL occurrences,
+    * there is no first-wins winner here, the "first copy" lives in the
+    * benchmark, which is not ours to keep — and each document's text is
+    * rebuilt from its surviving tokens in order. The middle ground
+    * between shipping contamination and losing the page (the GPT-3/PaLM
+    * appendix accounting made surgical): an embedded test item
+    * disappears wholesale (overlapping stride-1 windows chain across its
+    * full length), the surrounding prose survives. Completes the
+    * decontamination family: flag ([[contaminationFlags]], q49) → graded
+    * score ([[contaminationScoreOf]], q171) → semantic
+    * ([[graft.ops.Similarity.semanticDecontaminate]], q119) → REMOVAL.
+    *
+    * Returns (idCol, n_tokens, kept_tokens, text_clean) —
+    * [[dupSpanRemove]]'s exact shape, so the two compose into the same
+    * audits; shorter-than-n documents pass through verbatim.
+    *
+    * Scale shape: benchmark grams collapse to DISTINCT 8-byte xxhash64
+    * keys and BROADCAST (the [[contaminationFlags]] probe shape —
+    * benchmarks are small by definition); the training gram stream
+    * (id, pos, hash — 20 B/row) joins map-side in the scan stage, covered
+    * positions fold to ONE int-array row per affected doc, and the only
+    * text-carrying movement is the final id-keyed rebuild join, inherent
+    * because the output IS the text. The training corpus never shuffles
+    * for the verdict. An 8-byte collision can only over-remove — the
+    * conservative direction. */
+  def decontaminateSpans(train: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         n: Int = 5): DataFrame = {
+    // no internal cache: unlike dupSpanRemove's gram stream (consumed by
+    // both the election and the join-back), every frame here is consumed
+    // exactly once
+    require(n > 0, s"n must be positive, got $n")
+    val benchGrams = Parallelize.ensure(
+        bench.select(col(benchTextCol).as("_t")))
+      .select(explode(TextAnalysis.rawNgrams(col("_t"), n)).as("_g"))
+      .select(xxhash64(col("_g")).as("_h"))
+      .distinct()
+    val grams = Parallelize.ensure(
+        train.select(col(idCol).as("_id"), col(textCol).as("_t")))
+      .select(col("_id"),
+        posexplode(TextAnalysis.rawNgrams(col("_t"), n)).as(Seq("_p0", "_g")))
+      .select(col("_id"), (col("_p0") + 1).as("_pos"), xxhash64(col("_g")).as("_h"))
+    // the covered side's id gets its own name so composition with an
+    // input already keyed "_id" (e.g. cleanCorpus's internal frames)
+    // never makes the rebuild join ambiguous
+    val covered = grams.join(broadcast(benchGrams), Seq("_h"))
+      .select(col("_id"),
+        explode(sequence(col("_pos"), col("_pos") + lit(n - 1))).as("_i"))
+      .groupBy(col("_id")).agg(collect_set(col("_i")).as("_cov"))
+      .withColumnRenamed("_id", "_cov_id")
+    val joined = train.join(covered, train(idCol) === covered("_cov_id"), "left")
+    val w = TextAnalysis.tokens(col(textCol))
+    val cov = coalesce(col("_cov"), array().cast("array<int>"))
+    val kept = filter(w, (tok, i) => !array_contains(cov, i + 1))
+    joined.select(train(idCol),
       size(w).cast("long").as("n_tokens"),
       size(kept).cast("long").as("kept_tokens"),
       concat_ws(" ", kept).as("text_clean"))

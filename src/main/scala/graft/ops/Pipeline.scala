@@ -22,11 +22,22 @@ object Pipeline {
     * One shuffle for the dedup groupBy, one narrow-key shuffle pair for
     * the contamination probe (bench side broadcast), none for the gate or
     * the chunking. */
+  /** `contamination` picks the decontamination flavor: `"drop"` (default)
+    * removes whole contaminated documents ([[graft.ops.Dedup.contaminationFlags]]);
+    * `"excise"` keeps the documents and surgically removes just the
+    * benchmark-overlapping spans ([[graft.ops.Dedup.decontaminateSpans]],
+    * q175) — documents excised to nothing are dropped. Excision can in
+    * principle create NEW n-grams at the cut seams (the known artifact of
+    * span surgery); callers needing a zero-overlap guarantee re-run the
+    * flag pass on the output. */
   def cleanCorpus(docs: DataFrame, bench: DataFrame,
                   idCol: String, textCol: String,
                   minTokens: Int = 20, ngram: Int = 5,
                   chunkSize: Int = 16, overlap: Int = 4,
+                  contamination: String = "drop",
                   scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(contamination == "drop" || contamination == "excise",
+      s"contamination must be drop or excise, got '$contamination'")
     val t = col(textCol)
 
     // 1. quality gate: row-local, evaluated in the scan stage
@@ -44,12 +55,20 @@ object Pipeline {
       .select(col("_row._id").as("_id"), col("_row._text").as("_text"))
       .cache())
 
-    // 3. decontamination against the benchmark's n-gram set
+    // 3. decontamination against the benchmark's n-gram set — drop the
+    // whole document, or excise just the overlapping spans (q175)
     val benchR = bench.select(col(idCol).as("_id"), col(textCol).as("_text"))
-    val flags = Dedup.contaminationFlags(deduped, benchR, "_id", "_text", ngram,
-      scope = scope)
-    val clean = deduped.join(flags.filter(col("contaminated") === 0)
-      .select(col("_id")), Seq("_id"), "left_semi")
+    val clean = contamination match {
+      case "drop" =>
+        val flags = Dedup.contaminationFlags(deduped, benchR, "_id", "_text",
+          ngram, scope = scope)
+        deduped.join(flags.filter(col("contaminated") === 0)
+          .select(col("_id")), Seq("_id"), "left_semi")
+      case _ =>
+        Dedup.decontaminateSpans(deduped, "_id", "_text", benchR, "_text", ngram)
+          .filter(col("kept_tokens") > 0)
+          .select(col("_id"), col("text_clean").as("_text"))
+    }
 
     // 4. chunk for the context window
     clean.select(col("_id").as(idCol),

@@ -518,14 +518,18 @@ object EventStream {
   def embedGateSink(stream: DataFrame, idCol: String, vecCol: String,
                     indexDir: String, verdictsDir: String, checkpoint: String,
                     minSim: Double = 0.3,
+                    multiProbe: Boolean = false,
                     scope: graft.ops.CacheScope = graft.ops.CacheScope.noop)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val idx = graft.ops.Similarity.loadEmbedIndex(stream.sparkSession, indexDir, scope)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // multiProbe widens each arriving vector's probe to its Hamming-1
+        // bucket neighbors (q174) — probe-key explode on the microbatch
+        // side only, the standing store is untouched (probe-only contract)
         graft.ops.Similarity.incrementalEmbedNearDupsWith(batch.toDF(), idx,
-            idCol, vecCol, minSim)
+            idCol, vecCol, minSim, multiProbe)
           .write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
         ()
       }

@@ -63,7 +63,29 @@ class CurateCliSpec extends AnyFunSuite {
       .select("doc_id", "chunk_idx", "chunk_hash")
       .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(got == want && got.nonEmpty)
-    rm(out, benchDir)
+
+    // --contamination excise keeps contaminated docs minus their
+    // benchmark spans (q175), equal to the library flavor
+    val outEx = tmp("cli-clean-ex")
+    CurateCli.run("clean", Map("--in" -> docsPath, "--out" -> outEx,
+      "--bench" -> s"$benchDir", "--contamination" -> "excise"))
+    val gotEx = spark.read.parquet(outEx)
+      .select("doc_id", "chunk_idx", "chunk_hash")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val wantEx = Pipeline.cleanCorpus(docs, spark.read.parquet(benchDir),
+        "doc_id", "text", contamination = "excise")
+      .select("doc_id", "chunk_idx", "chunk_hash")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(gotEx == wantEx && gotEx.nonEmpty)
+    // excise keeps at least every doc drop keeps (dropped pages return
+    // minus their spans; clean pages are untouched)
+    assert(gotEx.map(_._1).toSet.size >= got.map(_._1).toSet.size)
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("clean", Map("--in" -> docsPath, "--out" -> outEx,
+        "--bench" -> s"$benchDir", "--contamination" -> "redact"))
+    }
+    assert(e.getMessage.contains("--contamination"))
+    rm(out, benchDir, outEx)
   }
 
   test("dedup command runs the standing-snapshot loop: two batches equal q96's verdict semantics") {
@@ -1160,6 +1182,16 @@ class CurateCliSpec extends AnyFunSuite {
         "--in" -> evenEmb, "--index" -> edIdx, "--out" -> edOut))
     }
     assert(err.getMessage.contains("--store-kind"))
+    // a flag from ANOTHER rung fails as loudly as a typo (per-kind strictness)
+    for ((kind, flag) <- Seq("ivfpq" -> "--min-jaccard",
+        "embeddup" -> "--nprobe", "neardup" -> "--multiprobe")) {
+      val e2 = intercept[IllegalArgumentException] {
+        CurateCli.run("anneval", Map("--store-kind" -> kind,
+          "--in" -> evenEmb, "--index" -> edIdx, "--out" -> edOut,
+          flag -> "1"))
+      }
+      assert(e2.getMessage.contains(flag) && e2.getMessage.contains(kind), e2.getMessage)
+    }
     rm(evenDir, oddDir, ndIdx, ndOut, evenEmb, oddEmb, edIdx, edOut, mpOut)
   }
 

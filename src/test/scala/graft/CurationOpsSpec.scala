@@ -121,6 +121,39 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  // ---- Dedup.decontaminateSpans ----
+
+  test("decontaminateSpans: every benchmark-overlapping window excised, all occurrences, prose survives") {
+    val bench = Seq((100, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      // the bench 5-gram embedded mid-doc: its one covering window
+      // (tokens 3..7) goes, surrounding prose survives
+      (0, "intro words the quick brown fox jumps outro words"),
+      // NO overlap at 5-gram granularity (only 4 shared tokens in a row)
+      (1, "the quick brown fox sleeps all day long"),
+      // the doc IS the benchmark item -> empty rebuild
+      (2, "the quick brown fox jumps"),
+      // the item appears TWICE: both occurrences go (no first-wins here —
+      // the 'first copy' lives in the benchmark)
+      (3, "the quick brown fox jumps again the quick brown fox jumps"),
+      // shorter than n -> verbatim
+      (4, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminateSpans(train, "doc_id", "text", bench, "text", n = 5)
+      .as[(Int, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0, 9L, 4L, "intro words outro words"),
+      (1, 8L, 8L, "the quick brown fox sleeps all day long"),
+      (2, 5L, 0L, ""),
+      (3, 11L, 1L, "again"),
+      (4, 2L, 2L, "tiny doc")))
+    // layout must not leak into the verdict
+    val re = Dedup.decontaminateSpans(train.repartition(5), "doc_id", "text",
+        bench, "text", n = 5)
+      .as[(Int, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+  }
+
   // ---- Dedup.intraDocDedup ----
 
   test("intraDocDedup keeps the FIRST occurrence of each chunk within its own doc, in order") {

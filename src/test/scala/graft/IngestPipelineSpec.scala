@@ -130,7 +130,26 @@ class IngestPipelineSpec extends AnyFunSuite {
         .as[(Long, Long, Double)].collect().toSeq
       assert(gotEm.exists(r => r._1 == 99L && r._2 == 7L),
         "the echoed vector must match its historical source through the stream gate")
-      Seq(ndIdx, ndOut, ck1, emIdx, emOut, ck2).foreach(p =>
+
+      // multi-probe twin: the widened probe streams == the batch
+      // multiProbe path, store untouched (probe-only contract)
+      val emOut2 = tmp("gate-emout2"); val ck3 = tmp("gate-ck3")
+      val mem3 = MemoryStream[(Long, Seq[Double])]
+      val q3 = EventStream.embedGateSink(mem3.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", emIdx, emOut2, ck3, minSim = 0.5,
+        multiProbe = true, scope = scope)
+      val b3 = Seq((99L, vec(7)), (98L, vec(11)))
+      mem3.addData(b3: _*); q3.processAllAvailable()
+      q3.stop()
+      val gotMp = spark.read.parquet(s"$emOut2/batch=0")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      val wantMp = Similarity.incrementalEmbedNearDupsWith(
+          b3.toDF("vec_id", "embedding"),
+          Similarity.loadEmbedIndex(spark, emIdx, scope),
+          "vec_id", "embedding", minSim = 0.5, multiProbe = true)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(gotMp == wantMp && gotMp.nonEmpty)
+      Seq(ndIdx, ndOut, ck1, emIdx, emOut, ck2, emOut2, ck3).foreach(p =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
     }
   }
