@@ -1020,13 +1020,24 @@ object CurateCli {
               write(S.rankedEval(approx, exact, "query_id", "vec_id",
                 "adist", ascending = true, k), out)
             case "neardup" =>
-              val idx = Dedup.loadNearDupIndex(spark, req("--index"), scope)
+              val ndIdxDir = req("--index")
+              val idx = Dedup.loadNearDupIndex(spark, ndIdxDir, scope)
               val minJ = argv.getOrElse("--min-jaccard", "0.2").toDouble
-              val queries = queriesFrom(idCol)
+              // honor the store's FOUNDING content-identity marker: a
+              // normalized-keyed index probed with raw text would grade
+              // garbage silently — the exact failure the _fpkind marker
+              // exists to prevent on the probe commands
+              def keyed(df: DataFrame): DataFrame =
+                Dedup.snapshotFpKind(spark, ndIdxDir) match {
+                  case Some("normalized") => df.withColumn(textCol,
+                    TextAnalysis.normalizeForDedup(col(textCol)))
+                  case _ => df
+                }
+              val queries = keyed(queriesFrom(idCol))
               val approx = Dedup.nearDupTopKWith(queries, idx,
                 idCol, textCol, minJ, k, scope)
-              val exact = Dedup.exactJaccardTopK(in, queries, idCol, textCol,
-                idx.n, minJ, k, scope)
+              val exact = Dedup.exactJaccardTopK(keyed(in), queries, idCol,
+                textCol, idx.n, minJ, k, scope)
               write(S.rankedEval(approx, exact, "query_id", idCol,
                 "jaccard", ascending = false, k), out)
             case "embeddup" =>

@@ -1176,6 +1176,29 @@ class CurateCliSpec extends AnyFunSuite {
         r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
     assert(mpGot == mpWant && mpGot.nonEmpty)
 
+    // a NORMALIZED-keyed neardup store is graded under its founding
+    // content identity (the _fpkind marker): the eval must normalize the
+    // query and ground-truth texts, not probe raw against normalized keys
+    val nIdx = tmp("cli-ae-nidx"); rm(nIdx)
+    val nOut = tmp("cli-ae-nout")
+    CurateCli.run("neardup", Map("--in" -> evenDir, "--out" -> tmp("cli-ae-nd1"),
+      "--index" -> nIdx, "--normalize" -> "Y"))
+    CurateCli.run("anneval", Map("--store-kind" -> "neardup",
+      "--in" -> evenDir, "--queries" -> oddDir, "--index" -> nIdx,
+      "--out" -> nOut, "--topk" -> "5"))
+    val nGot = rows(nOut)
+    val nLoaded = Dedup.loadNearDupIndex(spark, nIdx)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.withColumn("text",
+      graft.ops.TextAnalysis.normalizeForDedup(col("text")))
+    val nWant = Similarity.rankedEval(
+        Dedup.nearDupTopKWith(norm(odd), nLoaded, "doc_id", "text", 0.2, 5),
+        Dedup.exactJaccardTopK(norm(even), norm(odd), "doc_id", "text", 5, 0.2, 5),
+        "query_id", "doc_id", "jaccard", ascending = false, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(nGot == nWant && nGot.nonEmpty)
+    rm(nIdx, nOut)
+
     // an unknown kind errors instead of silently grading the wrong rung
     val err = intercept[IllegalArgumentException] {
       CurateCli.run("anneval", Map("--store-kind" -> "hnsw",
