@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
+import graft.ops.{CacheScope, Cluster, Corpus, Dedup, Pipeline, Shard, TextAnalysis}
 
 /** CLI front door for the curation surface — the reference is a CLI tool
   * end-to-end (`cli/command.py:9-21`, which fronts the ETL the same way
@@ -132,7 +132,31 @@ import graft.ops.{CacheScope, Dedup, Pipeline, TextAnalysis}
   *             train=0.8,val=0.1,test=0.1` assigns each row by the md5
   *             of `--key-col` (stable across runs, partitionings, and
   *             engines) and writes ONE hive-partitioned tree,
-  *             `split=<name>/` per split
+  *             `split=<name>/` per split. `--leakage-safe Y` (q176,
+  *             [[graft.ops.Cluster.leakageSafeSplit]]) first resolves
+  *             near-dup clusters inline (`--ngram`/`--minhash-k`/
+  *             `--rows-per-band`/`--min-jaccard`, the neardup knobs)
+  *             and hashes the CLUSTER id — near-dup pairs cannot
+  *             straddle train/eval (the q109 leakage, fixed rather
+  *             than measured)
+  *   diversity — the distinct-n-gram census (q177,
+  *             [[graft.ops.Corpus.ngramDiversity]]): per (`--group-col`,
+  *             n ∈ `--ngrams`) total vs distinct gram mass + ratio —
+  *             boilerplate mass shows as a ratio cliff no token count
+  *             sees
+  *   pii     — `--census Y` writes the per-(group, rule) exposure
+  *             report (q178, [[graft.ops.Scrub.piiCensus]] — each rule
+  *             counted independently on RAW text, the diagnostic upper
+  *             bound); default applies the q73 sequential mask
+  *             ([[graft.ops.Scrub.piiMask]]) and rewrites `--text-col`
+  *             in place
+  *   manifest — the release manifest (q179, [[graft.ops.Shard.manifest]]):
+  *             per-shard doc count, token mass, and the order-invariant
+  *             additive content hash; input with a `--shard-col` is
+  *             manifested as-is, else size-balance-assigned first
+  *             (`--shards`, weight `--size-col` or the token count of
+  *             `--text-col`). Two builds prove content identity by
+  *             comparing manifests, never re-reading shards
   *   card    — the corpus dataset card without Scala: exact
   *             [[graft.ops.Corpus.datasetCardWeighted]] (q134 — counts,
   *             lang mix, dup rate, token-mass length quantiles) or the
@@ -268,7 +292,14 @@ object CurateCli {
       "--vec-col", "--topk", "--nprobe", "--queries", "--queries-format",
       "--nqueries", "--store-kind", "--min-jaccard", "--min-sim",
       "--multiprobe")),
-    "split" -> (CommonOptions ++ Set("--key-col", "--splits")),
+    "split" -> (CommonOptions ++ Set("--key-col", "--splits",
+      "--leakage-safe", "--ngram", "--minhash-k", "--rows-per-band",
+      "--min-jaccard")),
+    "diversity" -> (CommonOptions ++ Set("--group-col", "--ngrams")),
+    "pii" -> (CommonOptions ++ Set("--group-col", "--census",
+      "--min-digits")),
+    "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
+      "--shard-col")),
     "profile" -> (CommonOptions - "--text-col" - "--id-col"
       ++ Set("--cols", "--approx")),
     "overlap" -> (CommonOptions ++ Set("--bench", "--bench-format",
@@ -352,7 +383,7 @@ object CurateCli {
     }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|refine|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|anneval|split|profile|overlap|bpe|tokenize|card|quality|drift|sample|select|stats|occupancy|forget|compact> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|refine|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|anneval|split|diversity|pii|manifest|profile|overlap|bpe|tokenize|card|quality|drift|sample|select|stats|occupancy|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -1067,21 +1098,104 @@ object CurateCli {
           // reproducible dataset splits without Scala: the md5-hash split
           // (q46 discipline — a pure function of the key, stable across
           // runs, partitionings and engines) written as one
-          // hive-partitioned tree, split=<name>/ per split
+          // hive-partitioned tree, split=<name>/ per split.
+          // `--leakage-safe Y` (q176): resolve near-dup clusters inline
+          // (the q45 MinHash-LSH + connected-components machinery, knobs
+          // shared with `neardup`) and hash the CLUSTER id instead — a
+          // resolved component takes one draw, so near-dup pairs cannot
+          // straddle train/eval
           val splits = argv.getOrElse("--splits", "train=0.8,val=0.1,test=0.1")
             .split(",").toSeq.map { s =>
               val Array(name, frac) = s.split("=", 2)
               name -> frac.toDouble
             }
-          val keyCol = argv.getOrElse("--key-col", idCol)
-          val assigned = in.withColumn("split",
-            TextAnalysis.hashSplit(col(keyCol), splits))
+          val leakageSafe = argv.getOrElse("--leakage-safe", "N") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--leakage-safe must be Y or N, got '$other'")
+          }
+          val assigned = if (leakageSafe) {
+            // the key IS the resolved component — a --key-col here would
+            // be silently ignored, so reject it loudly
+            for (_ <- argv.get("--key-col")) throw new IllegalArgumentException(
+              "--key-col does not apply with --leakage-safe Y (the hash " +
+                "key is the resolved cluster id)")
+            val sh = Dedup.shingleSets(in, idCol, textCol,
+              argv.getOrElse("--ngram", "5").toInt, scope)
+            val pairs = Dedup.minhashLshPairsOf(sh,
+              k = argv.getOrElse("--minhash-k", "4").toInt,
+              rowsPerBand = argv.getOrElse("--rows-per-band", "2").toInt,
+              minJaccard = argv.getOrElse("--min-jaccard", "0.5").toDouble)
+            val comps = Cluster.connectedComponents(
+              in.select(col(idCol)), idCol, pairs, "id_a", "id_b",
+              scope = scope)
+            in.join(Cluster.leakageSafeSplit(comps, idCol, "component", splits)
+              .drop("component"), Seq(idCol))
+          } else {
+            for (o <- Seq("--ngram", "--minhash-k", "--rows-per-band",
+                "--min-jaccard"); _ <- argv.get(o))
+              throw new IllegalArgumentException(
+                s"$o only applies with --leakage-safe Y")
+            in.withColumn("split",
+              TextAnalysis.hashSplit(col(argv.getOrElse("--key-col", idCol)), splits))
+          }
           fmt(out, "--out-format") match {
             case "jsonl" => assigned.write.mode("overwrite")
               .partitionBy("split").json(out)
             case _ => assigned.write.mode("overwrite")
               .partitionBy("split").parquet(out)
           }
+
+        case "diversity" =>
+          // the distinct-n-gram census (q177): per (group, n) total vs
+          // distinct gram mass — boilerplate shows up as a ratio cliff
+          val ns = argv.getOrElse("--ngrams", "1,2,3").split(",").toSeq
+            .map(_.trim.toInt)
+          write(Corpus.ngramDiversity(in,
+            argv.getOrElse("--group-col", "source"), textCol, ns), out)
+
+        case "pii" =>
+          // `--census Y` (q178): the per-(group, rule) exposure report
+          // read BEFORE committing to a masking pass; default applies
+          // the q73 sequential mask and writes the corpus with textCol
+          // replaced in place
+          val minDigits = argv.getOrElse("--min-digits", "6").toInt
+          argv.getOrElse("--census", "N") match {
+            case "Y" => write(graft.ops.Scrub.piiCensus(in,
+              argv.getOrElse("--group-col", "source"), textCol, minDigits), out)
+            case "N" =>
+              for (_ <- argv.get("--group-col"))
+                throw new IllegalArgumentException(
+                  "--group-col only applies with --census Y")
+              write(in.withColumn(textCol,
+                graft.ops.Scrub.piiMask(col(textCol), minDigits = minDigits)), out)
+            case other => throw new IllegalArgumentException(
+              s"--census must be Y or N, got '$other'")
+          }
+
+        case "manifest" =>
+          // the release manifest (q179): per-shard doc/token counts +
+          // the order-invariant content hash. Input with a shard column
+          // (`--shard-col`, default `shard`) is manifested as-is; else
+          // rows are size-balance-assigned first (`--shards`, weight
+          // `--size-col` or the token count of textCol)
+          val shardCol = argv.getOrElse("--shard-col", "shard")
+          val sized = argv.get("--size-col") match {
+            case Some(c) => in.withColumn("_msz", col(c).cast("long"))
+            case None => in.withColumn("_msz",
+              TextAnalysis.tokenCount(col(textCol)))
+          }
+          val assigned =
+            if (in.columns.contains(shardCol)) {
+              for (_ <- argv.get("--shards"))
+                throw new IllegalArgumentException(
+                  s"--shards does not apply when the input already has " +
+                    s"a '$shardCol' column")
+              sized
+            } else Shard.balancedAssign(sized, idCol, "_msz",
+              argv.getOrElse("--shards", "8").toInt, shardCol)
+          write(Shard.manifest(assigned, idCol, textCol, "_msz", shardCol), out)
 
         case "overlap" =>
           // the contamination REPORT (q171): per training doc, the

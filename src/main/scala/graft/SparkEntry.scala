@@ -179,6 +179,22 @@ object SparkEntry {
     })
   }
 
+  /** q180's star-variant resolution over the SAME pair graph as q45 —
+    * memoized like [[docClusters]] (the star loop also runs jobs at
+    * construction: per-round fixpoint counts). */
+  private val starClusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def starClusters(s: SparkSession, dir: String): DataFrame = {
+    purgeStopped(starClusterCache)
+    starClusterCache.computeIfAbsent((s, dir), _ => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val pairs = graft.ops.Dedup.minhashLshPairsOf(
+        docShingles(s, dir, 5), k = 4, rowsPerBand = 2, minJaccard = 0.5)
+      graft.ops.Cluster.connectedComponentsStar(docs, "doc_id", pairs, "id_a", "id_b")
+    })
+  }
+
   /** q26 and q27 are two outputs of ONE engine run; memoize the build so the
     * bench/verify pay the rules compile, dictionary build, and auto-number
     * materialization once (VERDICT r1: q26+q27 rebuilt the engine twice).
@@ -2145,7 +2161,88 @@ object SparkEntry {
       Dedup.decontaminateSpans(
         d.filter(col("doc_id") % 19 =!= 0), "doc_id", "text",
         d.filter(col("doc_id") % 19 === 0), "text", n = 5)
+    }),
+
+    // ---- Leakage-safe split (round-10): q46's md5 split hashed on the
+    //      CLUSTER id instead of the doc id — near-dup pairs (the q109
+    //      leakage the audit measures) cannot straddle train/eval
+    //      because a resolved component takes ONE hash draw. Row-local
+    //      on top of q45's memoized components ----
+    "q176_leakage_safe_split" -> ((s, dir) => {
+      graft.ops.Cluster.leakageSafeSplit(docClusters(s, dir),
+        "doc_id", "component",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .withColumnRenamed("component", "cluster_id")
+    }),
+
+    // ---- Distinct-n-gram diversity census (round-10): per (source, n)
+    //      total vs distinct n-gram mass — the boilerplate-vs-fresh
+    //      signal token counts can't see. Totals are row-local
+    //      arithmetic (no gram ever materializes); distincts explode
+    //      per-doc DISTINCT shingles and shuffle 8-byte hashes only ----
+    "q177_ngram_diversity" -> ((s, dir) =>
+      graft.ops.Corpus.ngramDiversity(
+        tbl(s, dir, "documents"), "source", "text")),
+
+    // ---- PII census (round-10): the decision table read before q73's
+    //      scrub — per (source, rule) doc and match counts on the RAW
+    //      text (each rule independent: the diagnostic upper bound,
+    //      where the mask itself applies rules sequentially) ----
+    "q178_pii_census" -> ((s, dir) =>
+      graft.ops.Scrub.piiCensus(tbl(s, dir, "documents"), "source", "text")),
+
+    // ---- Release manifest (round-10): per shard of q101's balanced
+    //      assignment, doc count + token mass + an order-invariant
+    //      additive content hash (sum of 32-bit md5 prefixes of
+    //      id|text) — two builds prove content identity by comparing
+    //      manifests, never re-reading shards ----
+    "q179_release_manifest" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Shard.manifest(
+        Shard.balancedAssign(d, "doc_id", "n_tokens", nShards = 8),
+        "doc_id", "text", "n_tokens")
+    }),
+
+    // ---- Star connected components (round-10): q45's oracle replayed
+    //      through the large-star/small-star variant (Kiveris et al.
+    //      2014) — logarithmic rounds where label propagation pays the
+    //      graph DIAMETER, the megacluster/boilerplate pathology. One
+    //      oracle, two engine paths: divergence fails the gate ----
+    "q180_cc_star" -> ((s, dir) => {
+      starClusters(s, dir)
+        .select(col("doc_id"), col("component").as("cluster_id"),
+          when(col("doc_id") === col("component"), 1).otherwise(0).as("is_canonical"))
     }))
+
+  /** q45's oracle — MinHash-LSH pairs + recursive-CTE reachability,
+    * labels = component minimum. Shared verbatim by q180 (the large-star/
+    * small-star engine path): one oracle, two engine paths. */
+  private val dedupClustersOracle: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+      |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+      |  ELSE [] END AS sh FROM w),
+      |sig AS (SELECT doc_id, sh, len(sh) AS sz,
+      |  list_min(list_transform(sh, x -> md5('0|'||x))) AS s0,
+      |  list_min(list_transform(sh, x -> md5('1|'||x))) AS s1,
+      |  list_min(list_transform(sh, x -> md5('2|'||x))) AS s2,
+      |  list_min(list_transform(sh, x -> md5('3|'||x))) AS s3 FROM s),
+      |band AS (SELECT doc_id, sh, sz, unnest(['0#'||s0||'#'||s1, '1#'||s2||'#'||s3]) AS bucket FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b,
+      |                a.sz AS sz_a, b.sz AS sz_b
+      |         FROM band a JOIN band b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |pair AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, sz_a, sz_b,
+      |                len(list_intersect(sh_a, sh_b)) AS common FROM cand)
+      |         WHERE common / (sz_a + sz_b - common) >= 0.5),
+      |e AS (SELECT id_a AS a, id_b AS b FROM pair UNION SELECT id_b, id_a FROM pair),
+      |reach AS (SELECT a AS node, b AS reached FROM e
+      |          UNION
+      |          SELECT r.node, e.b FROM reach r JOIN e ON r.reached = e.a WHERE e.b <> r.node),
+      |lab AS (SELECT node, least(node, min(reached)) AS cluster_id FROM reach GROUP BY node)
+      |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+      |  CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+      |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -2791,31 +2888,7 @@ object SparkEntry {
     // q45: the q20 LSH pair pipeline at jaccard >= 0.5, closed into
     // connected components by a recursive transitive closure (tiny pair
     // graph at oracle scale), labeled by the minimum member id
-    "q45_dedup_clusters" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
-        |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
-        |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
-        |  ELSE [] END AS sh FROM w),
-        |sig AS (SELECT doc_id, sh, len(sh) AS sz,
-        |  list_min(list_transform(sh, x -> md5('0|'||x))) AS s0,
-        |  list_min(list_transform(sh, x -> md5('1|'||x))) AS s1,
-        |  list_min(list_transform(sh, x -> md5('2|'||x))) AS s2,
-        |  list_min(list_transform(sh, x -> md5('3|'||x))) AS s3 FROM s),
-        |band AS (SELECT doc_id, sh, sz, unnest(['0#'||s0||'#'||s1, '1#'||s2||'#'||s3]) AS bucket FROM sig),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b,
-        |                a.sz AS sz_a, b.sz AS sz_b
-        |         FROM band a JOIN band b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        |pair AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, sz_a, sz_b,
-        |                len(list_intersect(sh_a, sh_b)) AS common FROM cand)
-        |         WHERE common / (sz_a + sz_b - common) >= 0.5),
-        |e AS (SELECT id_a AS a, id_b AS b FROM pair UNION SELECT id_b, id_a FROM pair),
-        |reach AS (SELECT a AS node, b AS reached FROM e
-        |          UNION
-        |          SELECT r.node, e.b FROM reach r JOIN e ON r.reached = e.a WHERE e.b <> r.node),
-        |lab AS (SELECT node, least(node, min(reached)) AS cluster_id FROM reach GROUP BY node)
-        |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
-        |  CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_canonical
-        |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin,
+    "q45_dedup_clusters" -> dedupClustersOracle,
 
     "q46_hash_split" ->
       """SELECT doc_id,
@@ -5067,6 +5140,77 @@ object SparkEntry {
         |  CAST(coalesce(s.kept, 0) AS BIGINT) AS kept_tokens,
         |  coalesce(s.txt, '') AS text_clean
         |FROM tr LEFT JOIN s USING (doc_id)""".stripMargin,
+
+    // q176: q45's cluster CTE + q46's md5 split CASE, hashed on the
+    // CLUSTER id — the leakage-safe assignment
+    "q176_leakage_safe_split" ->
+      (dedupClustersOracle.replace(
+        """SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+          |  CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+          |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin,
+        """SELECT doc_id, cluster_id,
+          |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+          |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+          |      FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)""".stripMargin)),
+
+    // q177: totals by arithmetic off the token count, distincts over
+    // per-doc list_distinct n-grams — the Spark side counts distinct
+    // xxhash64 gram hashes (identical up to 2^-64 collisions, the q21
+    // argument)
+    "q177_ngram_diversity" ->
+      """WITH w AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |t AS (SELECT source, n, len(w) AS nt, w FROM w CROSS JOIN (VALUES (1), (2), (3)) AS v(n)),
+        |tot AS (SELECT source, n, CAST(sum(greatest(nt - n + 1, 0)) AS BIGINT) AS n_total
+        |        FROM t GROUP BY 1, 2),
+        |g AS (SELECT source, n, unnest(list_distinct(list_transform(
+        |        generate_series(1, nt - n + 1),
+        |        i -> array_to_string(w[i:i+n-1], ' ')))) AS gram
+        |      FROM t WHERE nt >= n),
+        |d AS (SELECT source, n, count(DISTINCT gram) AS n_distinct FROM g GROUP BY 1, 2)
+        |SELECT tot.source, CAST(tot.n AS INT) AS n, tot.n_total,
+        |  CAST(coalesce(d.n_distinct, 0) AS BIGINT) AS n_distinct,
+        |  CASE WHEN tot.n_total > 0
+        |       THEN round(coalesce(d.n_distinct, 0) * 1.0 / tot.n_total, 6) END AS distinct_ratio
+        |FROM tot LEFT JOIN d ON tot.source = d.source AND tot.n = d.n""".stripMargin,
+
+    // q178: each rule counted independently on the raw text;
+    // len(regexp_extract_all) enumerates the same leftmost
+    // non-overlapping matches regexp_count does (RE2-safe patterns,
+    // the q73 parity)
+    "q178_pii_census" ->
+      """WITH r AS (SELECT * FROM (VALUES
+        |    ('email', '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+        |    ('ip', '[0-9]{1,3}(\.[0-9]{1,3}){3}'),
+        |    ('phone', '[0-9]{2,4}([- .][0-9]{2,4}){2,4}'),
+        |    ('digit_run', '[0-9]{6,}')) AS t(rule, re)),
+        |c AS (SELECT source, rule, len(regexp_extract_all(text, re)) AS c
+        |      FROM documents CROSS JOIN r)
+        |SELECT source, rule,
+        |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  CAST(sum(c) AS BIGINT) AS n_matches
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // q179: q101's serpentine assignment rolled up per shard with the
+    // order-invariant additive content hash (32-bit md5 prefix of
+    // id|text per doc)
+    "q179_release_manifest" ->
+      """WITH r AS (SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |rk AS (SELECT doc_id, text, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS pos FROM r),
+        |a AS (SELECT doc_id, text, n_tokens,
+        |    CAST(CASE WHEN pos % 16 < 8 THEN pos % 16 ELSE 15 - (pos % 16) END AS INT) AS shard
+        |  FROM rk)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8))::BIGINT) AS BIGINT) AS content_hash
+        |FROM a GROUP BY shard""".stripMargin,
+
+    // q180: q45's oracle verbatim — the star variant must resolve the
+    // identical components
+    "q180_cc_star" -> dedupClustersOracle,
 
     // q167: one UNION ALL branch per profiled column; min/max computed
     // in the column's type, cast to VARCHAR after

@@ -95,6 +95,112 @@ object Cluster {
     labels.select(col("_node").as(idCol), col("_label").as("component"))
   }
 
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the O(log²·n)-round alternative to
+    * [[connectedComponents]]'s min-label propagation, whose round count
+    * is the graph DIAMETER. Near-dup graphs are normally tiny cliques
+    * (diameter ≤ 3, label propagation wins on constant factors), but the
+    * one pathological shape a 100-TB dedup run actually meets — a
+    * megacluster chained through shared boilerplate shingles, the q45
+    * census's "single giant component" symptom — can have diameter in
+    * the hundreds, where label propagation runs hundreds of shuffle
+    * rounds and this variant stays logarithmic. Same output contract as
+    * [[connectedComponents]]: (idCol, component = min member id).
+    *
+    * Both star operations are pure relational shapes — ONE per-node min
+    * aggregation plus ONE equi-join on the node id per phase; neighbor
+    * lists are never collected into arrays (a `collect_list` of a hot
+    * node's neighborhood would be the skew bomb at scale — the min-table
+    * join distributes a megahub across its edge partitions instead).
+    * Every round snapshots through an RDD-backed frame (the [[snapshot]]
+    * lineage barrier label propagation already needs).
+    *
+    * Round semantics (edges kept symmetric + self-loop-free between
+    * phases; m(u) = min over Γ(u) ∪ {u}):
+    *  - large-star: for every edge (u,v) with v > u, emit (v, m(u)) —
+    *    strictly-larger neighbors attach to u's local minimum.
+    *  - small-star: for every edge (u,v) with v < u, emit (v, m⁻(u))
+    *    plus (u, m⁻(u)), where m⁻ ranges over the SMALLER neighbors only.
+    * Fixpoint = a forest of stars, every node directly adjacent to its
+    * component minimum; labels then read off as min-over-smaller-
+    * neighbors with isolated nodes as singletons. */
+  def connectedComponentsStar(nodes: DataFrame, idCol: String,
+                              edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIter: Int = 30,
+                              scope: CacheScope = CacheScope.noop): DataFrame = {
+    def sym(df: DataFrame): DataFrame =
+      df.unionByName(df.select(col("_v").as("_u"), col("_u").as("_v")))
+        .filter(col("_u") =!= col("_v")).distinct()
+
+    var e = snapshot(sym(
+      edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"))), scope)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: m(u) = min(Γ(u) ∪ {u}) via one agg + least(); attach
+      // every larger neighbor v to m(u)
+      val mAll = e.groupBy(col("_u")).agg(min(col("_v")).as("_mn"))
+        .select(col("_u"), least(col("_mn"), col("_u")).as("_m"))
+      val ls = snapshot(sym(
+        e.join(mAll, "_u").filter(col("_v") > col("_u"))
+          .select(col("_v").as("_u"), col("_m").as("_v"))), scope)
+      // small-star over the large-star output: m⁻(u) = min over smaller
+      // neighbors (< u by construction, so no least() needed); rewire the
+      // smaller neighborhood and u itself onto m⁻(u)
+      val smaller = ls.filter(col("_v") < col("_u"))
+      val mSm = smaller.groupBy(col("_u")).agg(min(col("_v")).as("_m"))
+      val next = snapshot(sym(
+        smaller.join(mSm, "_u")
+          .select(col("_v").as("_u"), col("_m").as("_v"))
+          .unionByName(mSm.select(col("_u"), col("_m").as("_v")))), scope)
+      // fixpoint: the symmetric distinct edge sets are equal — count
+      // equality plus an empty one-sided difference (both aggregate
+      // scalars; edges never leave the cluster)
+      converged = next.count() == e.count() &&
+        next.except(e).limit(1).count() == 0
+      ls.unpersist()
+      e.unpersist()
+      e = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not reach fixpoint in $maxIter rounds; " +
+        "raise maxIter")
+    // star fixpoint: every non-root node is directly adjacent to its
+    // component min; roots and isolated nodes label themselves
+    val labels = e.filter(col("_v") < col("_u"))
+      .groupBy(col("_u").as("_node")).agg(min(col("_v")).as("_label"))
+    nodes.select(col(idCol)).distinct()
+      .join(labels, col(idCol) === col("_node"), "left")
+      .select(col(idCol),
+        coalesce(col("_label"), col(idCol)).as("component"))
+  }
+
+  /** Leakage-safe train/val/test assignment: hash-split on the resolved
+    * CLUSTER id, not the document id. The q46 per-document hash split is
+    * reproducible but leaks — near-duplicate pairs straddle the
+    * train/eval boundary whenever the two copies hash differently, which
+    * is exactly what the q109 split-leakage audit measures (train
+    * n-grams inflating eval scores). Routing every member of a resolved
+    * component ([[connectedComponents]]) through the SAME md5 draw makes
+    * within-cluster leakage structurally zero: a cluster lands on one
+    * side whole. Deterministic across runs, partitionings and engines
+    * (pure function of the component id); split sizes stay proportional
+    * in EXPECTATION over clusters — a megacluster moves its whole mass
+    * to one split, which is the correct trade (the alternative IS the
+    * leak).
+    *
+    * Row-local projection over the (id, component) table — zero extra
+    * shuffles on top of the component resolution the dedup pass already
+    * paid for. Returns (idCol, componentCol, split). */
+  def leakageSafeSplit(components: DataFrame, idCol: String,
+                       componentCol: String,
+                       splits: Seq[(String, Double)]): DataFrame =
+    components.select(col(idCol), col(componentCol),
+      TextAnalysis.hashSplit(col(componentCol), splits).as("split"))
+
   /** Quality-based survivor election over resolved components: per
     * cluster keep the HIGHEST-scoring member (ties → lowest id) — the
     * production dedup rule ([[connectedComponents]]'s min-id canonical is

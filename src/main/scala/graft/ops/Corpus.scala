@@ -517,6 +517,59 @@ object Corpus {
         xxhash64(col("_p.w1")).as("_h1"), xxhash64(col("_p.w2")).as("_h2"))
   }
 
+  /** Distinct-n-gram diversity census: per (group, n) the total n-gram
+    * mass, the distinct n-gram count, and their ratio — the standard
+    * corpus diversity report (distinct-1/2/3 of the generation-diversity
+    * literature, Li et al. 2016 "A Diversity-Promoting Objective
+    * Function"). Read it per source before mixing: a source whose
+    * distinct-2 ratio sits far below its peers is template/boilerplate
+    * mass that token counts alone cannot see, and the per-n slope
+    * (how fast the ratio climbs from 1-grams to 3-grams) separates
+    * small-vocabulary-but-fresh text from literal repetition.
+    *
+    * Scale shape: the TOTAL side never materializes a gram — per-doc
+    * n-gram mass is `max(len − n + 1, 0)`, row-local arithmetic off the
+    * token count. Only the DISTINCT side explodes, and it explodes the
+    * per-doc DISTINCT shingle arrays ([[graft.functions.ShingleExprs]]'
+    * native single-pass expression, the q19/q45 machinery), so
+    * within-doc repetition is collapsed before the shuffle; the
+    * count_distinct then shuffles 8-byte xxhash64 gram hashes, never the
+    * gram strings (the q21 discipline — counts identical up to 2⁻⁶⁴
+    * collisions). Distinct-class state grows with distinct CONTENT, not
+    * corpus size. Returns (groupCol, n, n_total, n_distinct,
+    * distinct_ratio) — ratio null when the group has no n-gram mass. */
+  def ngramDiversity(docs: DataFrame, groupCol: String, textCol: String,
+                     ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "n-gram orders must be >= 1")
+    val base = Parallelize.ensure(
+      docs.select(col(groupCol).as("_g"), col(textCol).as("_t")))
+    // token count including empty tokens — the split()/NGramShingles
+    // tokenization (empty text = one empty token), so totals and the
+    // n=1 gram universe agree with the shingle expression bit-for-bit
+    val nTok = size(TextAnalysis.tokens(col("_t")))
+    val totals = base
+      .select(col("_g"), explode(array(ns.map { n =>
+        struct(lit(n).as("_n"),
+          greatest(nTok - (n - 1), lit(0)).cast("long").as("_c"))
+      }: _*)).as("_s"))
+      .groupBy(col("_g"), col("_s._n").as("_n"))
+      .agg(sum(col("_s._c")).as("n_total"))
+    val grams = base
+      .select(col("_g"), explode(flatten(array(ns.map { n =>
+        transform(graft.functions.ShingleExprs.ngramShingles(col("_t"), n),
+          g => struct(lit(n).as("_n"), xxhash64(g).as("_h")))
+      }: _*))).as("_s"))
+      .groupBy(col("_g"), col("_s._n").as("_n"))
+      .agg(count_distinct(col("_s._h")).as("n_distinct"))
+    totals.join(grams, Seq("_g", "_n"), "left")
+      .select(col("_g").as(groupCol), col("_n").as("n"),
+        col("n_total"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(col("n_total") > 0,
+          round(coalesce(col("n_distinct"), lit(0L)) /
+            col("n_total"), 6)).as("distinct_ratio"))
+  }
+
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                     scope: CacheScope = CacheScope.noop): DataFrame = {
     // the hashed bigram stream (text left behind) feeds the count table

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PII scrubbing for training-data pipelines: mask emails, phone numbers,
@@ -35,6 +35,35 @@ object Scrub {
 
   /** Bare digit runs of `minDigits`+ (account numbers, SSN-ish IDs). */
   def digitRunRe(minDigits: Int): String = s"[0-9]{$minDigits,}"
+
+  /** PII census: per (group, rule) how many documents contain at least
+    * one raw match and how many matches there are in total — the
+    * decision table read BEFORE [[piiMask]] runs. A source with heavy
+    * digit-run counts but no emails wants a different `minDigits`; a
+    * source with zero hits across all rules doesn't need the masking
+    * pass in its plan at all. Each rule is counted INDEPENDENTLY on the
+    * raw text (a diagnostic upper bound — [[piiMask]] itself applies the
+    * rules sequentially, so a masked email's digits never reach the
+    * digit-run rule; the census deliberately reports the raw exposure
+    * per class instead).
+    *
+    * Row-local `regexp_count` projection (codegen'd, no UDFs, RE2-safe
+    * patterns — identical enumeration under Java regex and RE2) + one
+    * narrow groupBy on (group, rule); linear scale, no text shuffles
+    * (only the 4-row-per-doc count structs move). Returns
+    * (groupCol, rule, n_docs, n_matches). */
+  def piiCensus(docs: DataFrame, groupCol: String, textCol: String,
+                minDigits: Int = 6): DataFrame = {
+    val rules = Seq("email" -> EmailRe, "ip" -> IpRe, "phone" -> PhoneRe,
+      "digit_run" -> digitRunRe(minDigits))
+    docs.select(col(groupCol).as("_g"), explode(array(rules.map {
+      case (name, re) => struct(lit(name).as("_rule"),
+        regexp_count(col(textCol), lit(re)).cast("long").as("_c"))
+    }: _*)).as("_s"))
+      .groupBy(col("_g").as(groupCol), col("_s._rule").as("rule"))
+      .agg(sum(when(col("_s._c") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("_s._c")).as("n_matches"))
+  }
 
   /** Mask all four PII classes in `text`. Replacement tokens contain no
     * digits, so later patterns cannot re-match inside earlier replacements.

@@ -69,6 +69,31 @@ object Shard {
         min(col(sizeCol)).as("min_size"),
         max(col(sizeCol)).as("max_size"))
 
+  /** Release manifest: per shard, the document count, the total token
+    * mass, and an ORDER-INVARIANT additive content hash — the artifact a
+    * release ships next to its shards so a rebuild (or a consumer) can
+    * prove byte-level content identity without re-reading the corpus.
+    * Two builds of the same release compare manifests; a mismatch names
+    * the exact shard to diff. The hash is the sum of a 32-bit md5 prefix
+    * of `id|content` per document: insensitive to row order and
+    * partitioning (sum is commutative — Spark's nondeterministic row
+    * order inside a shard cannot move it), sensitive to any content,
+    * id, membership or assignment change. md5-derived, so any engine
+    * reproduces it (the repo's RNG-free constant discipline).
+    *
+    * Row-local hash projection + one narrow groupBy on the shard key —
+    * the text never shuffles (each doc contributes one long). The
+    * 32-bit-per-doc sum stays exact in a BIGINT below ~2³¹ docs PER
+    * SHARD; shards at that size are mis-sized for training anyway.
+    * Returns (shardCol, n_docs, n_tokens, content_hash). */
+  def manifest(assigned: DataFrame, idCol: String, textCol: String,
+               sizeCol: String, shardCol: String = "shard"): DataFrame =
+    assigned.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).cast("long").as("n_tokens"),
+        sum(conv(substring(md5(concat(col(idCol).cast("string"), lit("|"),
+          col(textCol))), 1, 8), 16, 10).cast("long")).as("content_hash"))
+
   /** Writes `assigned` as one directory per shard
     * (`…/shard=<k>/part-*.parquet`) — `nShards` output tasks, each
     * writing exactly its shard, via ONE hash shuffle on the shard key.

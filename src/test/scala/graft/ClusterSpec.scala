@@ -53,6 +53,83 @@ class ClusterSpec extends AnyFunSuite {
       s"leaked: ${(sc.getPersistentRDDs.keySet -- before).toSeq.sorted}")
   }
 
+  test("star variant matches label propagation on chains, stars and singletons") {
+    val nodes = (Seq(3L, 5L, 9L, 10L, 11L, 12L, 13L, 20L)).toDF("id")
+    val edges = Seq((3L, 9L), (5L, 9L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("a", "b")
+    val got = Cluster.connectedComponentsStar(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L))
+  }
+
+  test("star variant resolves a diameter-60 path in logarithmic rounds") {
+    // the megacluster pathology: label propagation needs DIAMETER rounds
+    // (60 here — its own cap of 20 fails loudly on this graph), the
+    // star alternation stays within its default log-bound cap of 30
+    graft.ops.CacheScope.withScope { scope =>
+      val nodes = (0L to 60L).toDF("id")
+      val edges = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+      val lp = intercept[IllegalArgumentException] {
+        Cluster.connectedComponents(nodes, "id", edges, "a", "b",
+          maxIter = 20, scope = scope)
+      }
+      assert(lp.getMessage.contains("did not reach fixpoint"))
+      val got = Cluster.connectedComponentsStar(nodes, "id", edges, "a", "b",
+        scope = scope)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (0L to 60L).map(_ -> 0L).toMap)
+    }
+  }
+
+  test("star variant: non-convergence at maxIter fails loudly") {
+    graft.ops.CacheScope.withScope { scope =>
+      val nodes = (0L to 32L).toDF("id")
+      val edges = (0L until 32L).map(i => (i, i + 1)).toDF("a", "b")
+      val e = intercept[IllegalArgumentException] {
+        Cluster.connectedComponentsStar(nodes, "id", edges, "a", "b",
+          maxIter = 1, scope = scope)
+      }
+      assert(e.getMessage.contains("did not reach fixpoint"))
+    }
+  }
+
+  test("star variant: scoped run unpersists every round cache") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    graft.ops.CacheScope.withScope { scope =>
+      val nodes = (0L to 12L).toDF("id")
+      val edges = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+      val labels = Cluster.connectedComponentsStar(nodes, "id", edges, "a", "b",
+        scope = scope)
+      assert(labels.agg(max(col("component"))).head().getLong(0) == 0L)
+    }
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      s"leaked: ${(sc.getPersistentRDDs.keySet -- before).toSeq.sorted}")
+  }
+
+  test("leakageSafeSplit: clusters land whole, assignment is the component hash") {
+    // components: {0,1,2}, {3,4}, singletons 5..9 — every edge's two
+    // endpoints MUST receive the same split (zero within-cluster leakage
+    // by construction), and the split equals hashSplit(component)
+    val nodes = (0L to 9L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("a", "b")
+    val comps = Cluster.connectedComponents(nodes, "id", edges, "a", "b")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Cluster.leakageSafeSplit(comps, "id", "component", splits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = got.map(r => r._1 -> r._3).toMap
+    // zero leakage across every clustered pair
+    for ((a, b) <- Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L)))
+      assert(byId(a) == byId(b), s"pair ($a,$b) straddles splits")
+    // the draw is the component's own q46 hash draw — cross-checked
+    // against hashSplit applied directly to the component id
+    val expect = nodes.select(col("id"),
+      graft.ops.TextAnalysis.hashSplit(col("id"), splits).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, comp, s) <- got) assert(s == expect(comp), s"id=$id")
+  }
+
   test("componentSizeHistogram: sizes, cluster counts, and doc mass per size") {
     // components: {0,1,2} (chain), {3,4}, {5}, {6}, {7} → one 3-cluster,
     // one 2-cluster, three singletons

@@ -1241,6 +1241,125 @@ class CurateCliSpec extends AnyFunSuite {
     rm(out)
   }
 
+  test("split --leakage-safe Y hashes the resolved cluster, never a doc key") {
+    import graft.ops.{Cluster, Dedup, TextAnalysis}
+    val out = tmp("cli-lsplit"); rm(out)
+    CurateCli.run("split", Map("--in" -> docsPath, "--out" -> out,
+      "--leakage-safe" -> "Y"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == spark.read.parquet(docsPath).count())
+    // ≡ the library path with the same (neardup-default) knobs — q176
+    val docs = spark.read.parquet(docsPath)
+    val pairs = Dedup.minhashLshPairsOf(
+      Dedup.shingleSets(docs, "doc_id", "text", 5),
+      k = 4, rowsPerBand = 2, minJaccard = 0.5)
+    val comps = Cluster.connectedComponents(
+      docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+    val want = Cluster.leakageSafeSplit(comps, "doc_id", "component",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    val got = back.select(col("doc_id"), col("split").cast("string"))
+      .as[(Long, String)].collect().toMap
+    assert(got == want)
+    // every LSH pair lands whole — the leakage the doc-key split permits
+    val pairSplits = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairSplits.nonEmpty)
+    for ((a, b) <- pairSplits) assert(got(a) == got(b), s"pair ($a,$b)")
+    // a --key-col alongside leakage-safe is a contradiction, said loudly
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("split", Map("--in" -> docsPath, "--out" -> out,
+        "--leakage-safe" -> "Y", "--key-col" -> "doc_id"))
+    }
+    assert(e.getMessage.contains("--key-col"))
+    // and the clustering knobs require leakage-safe mode
+    val e2 = intercept[IllegalArgumentException] {
+      CurateCli.run("split", Map("--in" -> docsPath, "--out" -> out,
+        "--min-jaccard" -> "0.5"))
+    }
+    assert(e2.getMessage.contains("--min-jaccard"))
+    rm(out)
+  }
+
+  test("diversity command reproduces q177's census") {
+    import graft.ops.Corpus
+    val out = tmp("cli-div"); rm(out)
+    CurateCli.run("diversity", Map("--in" -> docsPath, "--out" -> out))
+    val got = spark.read.parquet(out)
+      .select("source", "n", "n_total", "n_distinct")
+      .as[(String, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = Corpus.ngramDiversity(
+        spark.read.parquet(docsPath), "source", "text")
+      .select("source", "n", "n_total", "n_distinct")
+      .as[(String, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == want && got.nonEmpty)
+    rm(out)
+  }
+
+  test("pii census reproduces q178; default mode masks the corpus in place") {
+    import graft.ops.Scrub
+    val cOut = tmp("cli-piic"); val mOut = tmp("cli-piim"); rm(cOut, mOut)
+    CurateCli.run("pii", Map("--in" -> docsPath, "--out" -> cOut,
+      "--census" -> "Y"))
+    val got = spark.read.parquet(cOut)
+      .select("source", "rule", "n_docs", "n_matches")
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = Scrub.piiCensus(spark.read.parquet(docsPath), "source", "text")
+      .select("source", "rule", "n_docs", "n_matches")
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == want && got.nonEmpty)
+    // mask mode: text column replaced by the sequential q73 mask,
+    // every other column untouched
+    CurateCli.run("pii", Map("--in" -> docsPath, "--out" -> mOut))
+    val masked = spark.read.parquet(mOut)
+    assert(masked.columns.sorted.toSeq ==
+      spark.read.parquet(docsPath).columns.sorted.toSeq)
+    val wantMask = spark.read.parquet(docsPath)
+      .select(col("doc_id"), Scrub.piiMask(col("text")).as("text"))
+      .as[(Long, String)].collect().toMap
+    val gotMask = masked.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(gotMask == wantMask)
+    // census-only flags are rejected in mask mode
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("pii", Map("--in" -> docsPath, "--out" -> mOut,
+        "--group-col" -> "source"))
+    }
+    assert(e.getMessage.contains("--group-col"))
+    rm(cOut, mOut)
+  }
+
+  test("manifest command assigns then manifests; pre-sharded input passes through") {
+    import graft.ops.{Shard, TextAnalysis}
+    val out = tmp("cli-man"); val out2 = tmp("cli-man2")
+    val preDir = tmp("cli-man-pre"); rm(out, out2, preDir)
+    CurateCli.run("manifest", Map("--in" -> docsPath, "--out" -> out))
+    val docs = spark.read.parquet(docsPath)
+    val sized = docs.select(col("doc_id"), col("text"),
+      TextAnalysis.tokenCount(col("text")).as("_msz"))
+    val want = Shard.manifest(
+        Shard.balancedAssign(sized, "doc_id", "_msz", 8),
+        "doc_id", "text", "_msz")
+      .select("shard", "n_docs", "n_tokens", "content_hash")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = spark.read.parquet(out)
+      .select("shard", "n_docs", "n_tokens", "content_hash")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want && got.size == 8)
+    // pre-sharded input: the existing column wins; --shards then
+    // contradicts and is rejected
+    Shard.balancedAssign(sized, "doc_id", "_msz", 4).drop("_msz")
+      .write.mode("overwrite").parquet(preDir)
+    CurateCli.run("manifest", Map("--in" -> preDir, "--out" -> out2))
+    assert(spark.read.parquet(out2).count() == 4)
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("manifest", Map("--in" -> preDir, "--out" -> out2,
+        "--shards" -> "8"))
+    }
+    assert(e.getMessage.contains("--shards"))
+    rm(out, out2, preDir)
+  }
+
   test("ingest --repetition Y verdicts repetition-spam as terminal, never history") {
     val snap = tmp("cli-rep-snap"); rm(snap)
     val idx = tmp("cli-rep-idx"); rm(idx)

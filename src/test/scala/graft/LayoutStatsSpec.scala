@@ -44,6 +44,96 @@ class LayoutStatsSpec extends AnyFunSuite {
     assert(twice == once)
   }
 
+  test("piiCensus counts docs and matches per rule, independently on raw text") {
+    val docs = Seq(
+      // two emails, and each email's digits are NOT digit-run matches
+      // (too short) — but the census counts RULES INDEPENDENTLY, so the
+      // standalone 7-digit run below registers even though the mask
+      // would also see it
+      ("s1", "a@b.co and c@d.org plus 1234567"),
+      ("s1", "bare text, no pii at all"),
+      ("s2", "ip 10.0.0.1 phone 202 555 0173 and 202-555-0199")).toDF("source", "t")
+    val got = Scrub.piiCensus(docs, "source", "t")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(("s1", "email")) == (1L, 2L))     // one doc, two matches
+    assert(got(("s1", "digit_run")) == (1L, 1L))
+    assert(got(("s1", "phone")) == (0L, 0L))
+    assert(got(("s1", "ip")) == (0L, 0L))
+    assert(got(("s2", "ip")) == (1L, 1L))
+    assert(got(("s2", "phone")) == (1L, 2L))
+    assert(got(("s2", "email")) == (0L, 0L))
+    // every (group, rule) cell is present even at zero — the decision
+    // table has no holes
+    assert(got.size == 8)
+  }
+
+  // ---- ngramDiversity ----
+
+  test("ngramDiversity: totals by arithmetic, distincts collapse repetition") {
+    val docs = Seq(
+      // "a b a b": 4 unigrams (2 distinct), 3 bigrams (2 distinct: "a b" ×2, "b a")
+      ("s1", "a b a b"),
+      // "a b c": adds distinct "c"; bigrams "a b" (dup of doc1's), "b c"
+      ("s1", "a b c"),
+      // one-token source: zero bigram/trigram mass → null ratio
+      ("s2", "solo")).toDF("source", "t")
+    val got = graft.ops.Corpus.ngramDiversity(docs, "source", "t")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got(("s1", 1)) == (7L, 3L, Some(math.round(3.0 / 7 * 1e6) / 1e6)))
+    assert(got(("s1", 2)) == (5L, 3L, Some(0.6)))
+    // trigrams: doc1 "a b a","b a b" + doc2 "a b c" → 3 total+... doc1 has 2, doc2 has 1 → 3 grams, 3 distinct
+    assert(got(("s1", 3)) == (3L, 3L, Some(1.0)))
+    assert(got(("s2", 1)) == (1L, 1L, Some(1.0)))
+    assert(got(("s2", 2)) == (0L, 0L, None))
+    assert(got(("s2", 3)) == (0L, 0L, None))
+  }
+
+  test("ngramDiversity: replicating a doc grows totals, never distincts") {
+    val base = Seq(("s", "w x y z w x")).toDF("source", "t")
+    val rep = Seq.fill(4)(("s", "w x y z w x")).toDF("source", "t")
+    val a = graft.ops.Corpus.ngramDiversity(base, "source", "t")
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val b = graft.ops.Corpus.ngramDiversity(rep, "source", "t")
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    for (n <- 1 to 3) {
+      assert(b(n)._1 == 4 * a(n)._1, s"n=$n totals scale with replication")
+      assert(b(n)._2 == a(n)._2, s"n=$n distincts are replication-invariant")
+    }
+  }
+
+  // ---- Shard.manifest ----
+
+  test("manifest is order- and partitioning-invariant, content-sensitive") {
+    import graft.ops.Shard
+    val docs = (0L until 40L).map(i => (i, s"doc $i body ${"w " * (i % 7).toInt}", 2 + i % 7))
+      .toDF("doc_id", "text", "n_tokens")
+    val assigned = Shard.balancedAssign(docs, "doc_id", "n_tokens", nShards = 4)
+    val m1 = Shard.manifest(assigned, "doc_id", "text", "n_tokens")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // shuffled row order + different partitioning → identical manifest
+    val m2 = Shard.manifest(assigned.orderBy(rand(7)).repartition(13),
+        "doc_id", "text", "n_tokens")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m1 == m2)
+    assert(m1.keySet == Set(0, 1, 2, 3))
+    assert(m1.values.map(_._1).sum == 40L)
+    // a one-character content edit moves exactly its shard's hash, and
+    // only the hash (counts unchanged)
+    val edited = assigned.withColumn("text",
+      when(col("doc_id") === 17L, concat(col("text"), lit("!"))).otherwise(col("text")))
+    val m3 = Shard.manifest(edited, "doc_id", "text", "n_tokens")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val editedShard = assigned.filter(col("doc_id") === 17L)
+      .select(col("shard")).head().getInt(0)
+    for (s <- 0 to 3) {
+      assert((m3(s) == m1(s)) == (s != editedShard), s"shard $s")
+      assert(m3(s)._1 == m1(s)._1 && m3(s)._2 == m1(s)._2)
+    }
+  }
+
   // ---- InterleaveBits / Layout ----
 
   /** Reference model: bit-by-bit interleave on the driver. */

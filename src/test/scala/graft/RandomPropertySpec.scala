@@ -100,6 +100,28 @@ class RandomPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsStar agrees with union-find on random graphs") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(300 + seed)
+      val n = 40
+      val edges = (0 until 45).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map { i =>
+        i.toLong -> (0 until n).filter(j => find(j) == find(i)).min.toLong
+      }.toMap
+      val got = graft.ops.Cluster.connectedComponentsStar(
+          (0L until n.toLong).toDF("id"), "id", edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("funnel agrees with a naive chained-bounded-min reference on random streams") {
     // reference: t1 = min ts of step1; t_{i+1} = min ts of step_{i+1} in
     // (t_i, t_i + G] — the documented first-touch semantics
