@@ -520,4 +520,34 @@ class PlanSpec extends AnyFunSuite {
       s"the benchmark side must broadcast:\n$p")
   }
 
+  test("q178 pii census: rule counts fold into the partial aggregate — text never shuffles") {
+    val p = plan("q178_pii_census")
+    // tree prints parent-first, so the map side sits AFTER the exchange
+    // token: the partial aggregate (and with it the whole regexp_count
+    // projection) must be below the one group shuffle — only the
+    // (group, rule, count) rows cross it, never the text column
+    val ex = p.indexOf("Exchange hashpartitioning")
+    assert(ex >= 0, s"one hash exchange on the group keys expected:\n$p")
+    assert(p.indexOf("partial_sum", ex) > ex,
+      s"map-side combine must run below the shuffle:\n$p")
+    assert(!p.substring(0, ex).contains("text#"),
+      s"the text column must not survive above the shuffle:\n$p")
+  }
+
+  test("q179 manifest: content hash folds into the partial aggregate — text never shuffles") {
+    val p = plan("q179_release_manifest")
+    val ex = p.indexOf("Exchange hashpartitioning")
+    assert(ex >= 0, s"one hash exchange on the shard key expected:\n$p")
+    // the md5 content hash is CONSUMED by the map-side partial_sum —
+    // per-doc hashes never cross the wire, only per-shard running sums
+    assert(p.indexOf("partial_sum(cast(conv(substring(md5", ex) > ex,
+      s"the per-doc hash must fold into the partial agg below the shuffle:\n$p")
+  }
+
+  test("q177 diversity: distinct side shuffles hashes, never gram strings") {
+    val p = plan("q177_ngram_diversity")
+    assert(p.contains("xxhash64"), "grams hash before the distinct")
+    assert(p.contains("partial_"), "partial aggregation on both legs")
+  }
+
 }
