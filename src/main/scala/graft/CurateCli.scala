@@ -139,6 +139,17 @@ import graft.ops.{CacheScope, Cluster, Corpus, Dedup, Pipeline, Shard, TextAnaly
   *             and hashes the CLUSTER id — near-dup pairs cannot
   *             straddle train/eval (the q109 leakage, fixed rather
   *             than measured)
+  *   dividend — what a dedup pass would buy (q181,
+  *             [[graft.ops.Cluster.dedupDividend]]): resolve near-dup
+  *             clusters inline (same knobs as `neardup`/`split
+  *             --leakage-safe`) and report, per `--group-col`, the doc
+  *             count and token mass on non-canonical members — the
+  *             table that prices a 100-TB dedup before it runs
+  *   labelaudit — metadata-vs-content confusion table (q182,
+  *             [[graft.ops.TextAnalysis.labelAgreement]]): per
+  *             (`--label-col`, `--pred-col`) doc counts and
+  *             within-label shares — run before any pipeline trusts a
+  *             label for mixing/filtering/quotas
   *   diversity — the distinct-n-gram census (q177,
   *             [[graft.ops.Corpus.ngramDiversity]]): per (`--group-col`,
   *             n ∈ `--ngrams`) total vs distinct gram mass + ratio —
@@ -296,6 +307,10 @@ object CurateCli {
       "--leakage-safe", "--ngram", "--minhash-k", "--rows-per-band",
       "--min-jaccard")),
     "diversity" -> (CommonOptions ++ Set("--group-col", "--ngrams")),
+    "dividend" -> (CommonOptions ++ Set("--group-col", "--ngram",
+      "--minhash-k", "--rows-per-band", "--min-jaccard")),
+    "labelaudit" -> (Set("--in", "--out", "--in-format", "--out-format")
+      ++ Set("--label-col", "--pred-col")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -383,7 +398,7 @@ object CurateCli {
     }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurateCli <clean|curate|refine|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|anneval|split|diversity|pii|manifest|profile|overlap|bpe|tokenize|card|quality|drift|sample|select|stats|occupancy|forget|compact> --in PATH --out PATH [options]")
+    require(args.nonEmpty, "usage: CurateCli <clean|curate|refine|audit|dedup|ingest|neardup|embeddup|annindex|annsearch|anneval|split|diversity|dividend|labelaudit|pii|manifest|profile|overlap|bpe|tokenize|card|quality|drift|sample|select|stats|occupancy|forget|compact> --in PATH --out PATH [options]")
     run(args.head, parseArgv(args.tail, optionsFor(args.head)))
   }
 
@@ -1146,6 +1161,33 @@ object CurateCli {
             case _ => assigned.write.mode("overwrite")
               .partitionBy("split").parquet(out)
           }
+
+        case "dividend" =>
+          // what a dedup pass would BUY, per group (q181): resolve
+          // near-dup clusters inline (the split --leakage-safe
+          // machinery, same neardup knobs) and price the non-canonical
+          // doc/token mass
+          val sh = Dedup.shingleSets(in, idCol, textCol,
+            argv.getOrElse("--ngram", "5").toInt, scope)
+          val pairs = Dedup.minhashLshPairsOf(sh,
+            k = argv.getOrElse("--minhash-k", "4").toInt,
+            rowsPerBand = argv.getOrElse("--rows-per-band", "2").toInt,
+            minJaccard = argv.getOrElse("--min-jaccard", "0.5").toDouble)
+          val comps = Cluster.connectedComponents(
+            in.select(col(idCol)), idCol, pairs, "id_a", "id_b",
+            scope = scope)
+          write(Cluster.dedupDividend(comps, idCol, "component",
+            in.select(col(idCol), col(argv.getOrElse("--group-col", "source")),
+              TextAnalysis.tokenCount(col(textCol)).as("_nt")),
+            idCol, argv.getOrElse("--group-col", "source"), "_nt"), out)
+
+        case "labelaudit" =>
+          // metadata-vs-content confusion table (q182): the input
+          // already carries both columns (the prediction is whatever
+          // upstream scored — langId, a topic model, a vendor tag)
+          write(TextAnalysis.labelAgreement(in,
+            argv.getOrElse("--label-col", "lang"),
+            argv.getOrElse("--pred-col", "pred_lang")), out)
 
         case "diversity" =>
           // the distinct-n-gram census (q177): per (group, n) total vs

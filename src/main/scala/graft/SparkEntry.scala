@@ -2213,12 +2213,37 @@ object SparkEntry {
       starClusters(s, dir)
         .select(col("doc_id"), col("component").as("cluster_id"),
           when(col("doc_id") === col("component"), 1).otherwise(0).as("is_canonical"))
+    }),
+
+    // ---- Dedup dividend (round-10): per source, the doc count and
+    //      token mass a dedup pass removes (non-canonical members of
+    //      q45's resolved clusters) — the decision table that prices a
+    //      100-TB dedup before it runs. One id join + one narrow group
+    //      agg on q45's memoized components ----
+    "q181_dedup_dividend" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("_nt"))
+      graft.ops.Cluster.dedupDividend(docClusters(s, dir),
+        "doc_id", "component", d, "doc_id", "source", "_nt")
+    }),
+
+    // ---- Label-quality audit (round-10): the lang METADATA column
+    //      crossed with q17's content-derived prediction — per (label,
+    //      pred) counts and within-label share; a pipeline trusting the
+    //      label for mixing/filtering reads this first ----
+    "q182_label_audit" -> ((s, dir) => {
+      val en = Seq("the", "a")
+      TextAnalysis.labelAgreement(
+        tbl(s, dir, "documents").select(col("lang"),
+          TextAnalysis.langId(col("text"), Seq("en" -> en)).as("pred_lang")),
+        "lang", "pred_lang")
     }))
 
-  /** q45's oracle — MinHash-LSH pairs + recursive-CTE reachability,
-    * labels = component minimum. Shared verbatim by q180 (the large-star/
-    * small-star engine path): one oracle, two engine paths. */
-  private val dedupClustersOracle: String =
+  /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
+    * recursive reachability, `lab(node, cluster_id)` = component
+    * minimum), shared by every oracle that consumes resolved clusters:
+    * q45/q180 (labels), q176 (cluster-hash split), q181 (dividend). */
+  private val dedupClustersCtes: String =
     """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
       |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
       |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
@@ -2239,7 +2264,12 @@ object SparkEntry {
       |reach AS (SELECT a AS node, b AS reached FROM e
       |          UNION
       |          SELECT r.node, e.b FROM reach r JOIN e ON r.reached = e.a WHERE e.b <> r.node),
-      |lab AS (SELECT node, least(node, min(reached)) AS cluster_id FROM reach GROUP BY node)
+      |lab AS (SELECT node, least(node, min(reached)) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  /** q45's oracle — shared verbatim by q180 (the large-star/small-star
+    * engine path): one oracle, two engine paths. */
+  private val dedupClustersOracle: String = dedupClustersCtes +
+    """
       |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
       |  CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_canonical
       |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin
@@ -5141,19 +5171,43 @@ object SparkEntry {
         |  coalesce(s.txt, '') AS text_clean
         |FROM tr LEFT JOIN s USING (doc_id)""".stripMargin,
 
-    // q176: q45's cluster CTE + q46's md5 split CASE, hashed on the
+    // q176: q45's cluster CTEs + q46's md5 split CASE, hashed on the
     // CLUSTER id — the leakage-safe assignment
-    "q176_leakage_safe_split" ->
-      (dedupClustersOracle.replace(
-        """SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
-          |  CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_canonical
-          |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin,
-        """SELECT doc_id, cluster_id,
-          |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
-          |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
-          |       ELSE 'test' END AS split
-          |FROM (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
-          |      FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)""".stripMargin)),
+    "q176_leakage_safe_split" -> (dedupClustersCtes +
+      """
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |      FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)""".stripMargin),
+
+    // q181: q45's cluster CTEs rolled up per source — non-canonical
+    // members (doc_id <> component min) are the removable mass
+    "q181_dedup_dividend" -> (dedupClustersCtes +
+      """
+        |, m AS (SELECT d.source,
+        |    CAST(len(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS BIGINT) AS nt,
+        |    CASE WHEN coalesce(l.cluster_id, d.doc_id) <> d.doc_id THEN 1 ELSE 0 END AS dup
+        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(dup * nt) AS BIGINT) AS dup_tokens,
+        |  round(sum(dup * nt) * 1.0 / sum(nt), 6) AS dividend
+        |FROM m GROUP BY source""".stripMargin),
+
+    // q182: q17's stopword-signal prediction crossed with the lang
+    // LABEL — the metadata-quality confusion table; share is within
+    // each label row-mass
+    "q182_label_audit" ->
+      """WITH t AS (SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |r AS (SELECT lang, len(list_filter(toks, x -> list_contains(['the','a'], x))) / len(toks) AS er FROM t),
+        |p AS (SELECT lang, CASE WHEN er >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang FROM r),
+        |c AS (SELECT lang, pred_lang, count(*) AS n_docs FROM p GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n_docs,
+        |  round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang), 6) AS share
+        |FROM c""".stripMargin,
 
     // q177: totals by arithmetic off the token count, distincts over
     // per-doc list_distinct n-grams — the Spark side counts distinct

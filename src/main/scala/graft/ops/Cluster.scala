@@ -230,6 +230,37 @@ object Cluster {
         col("_best._score").as("survivor_score"), col("n_members"))
   }
 
+  /** Dedup dividend: per group (source/domain/lang), what a dedup pass
+    * would actually BUY — the doc count and token mass sitting on
+    * non-canonical cluster members (id ≠ component minimum, the q45
+    * survivor rule). This is the decision table read BEFORE running a
+    * 100-TB dedup: a source with a 0.1% dividend isn't worth a pass, a
+    * source at 30% is where the budget goes; summed over groups it's
+    * the exact shrink the pass delivers. Complements
+    * [[componentSizeHistogram]] (which sizes clusters; this prices
+    * them, per source).
+    *
+    * One id equi-join (components onto the doc metadata) + one narrow
+    * group aggregation, all sums map-side combinable; token counts ride
+    * as longs, text never moves. Returns (groupCol, n_docs, n_dup_docs,
+    * total_tokens, dup_tokens, dividend = dup/total rounded to 6). */
+  def dedupDividend(components: DataFrame, idCol: String, componentCol: String,
+                    docs: DataFrame, docIdCol: String, groupCol: String,
+                    sizeCol: String): DataFrame = {
+    val dup = when(col("_cid") =!= col("_did"), 1L).otherwise(0L)
+    components.select(col(idCol).as("_did"), col(componentCol).as("_cid"))
+      .join(docs.select(col(docIdCol).as("_did"), col(groupCol).as("_g"),
+        col(sizeCol).cast("long").as("_sz")), Seq("_did"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(dup).as("n_dup_docs"),
+        sum(col("_sz")).as("total_tokens"),
+        sum(dup * col("_sz")).as("dup_tokens"))
+      .withColumn("dividend",
+        when(col("total_tokens") > 0,
+          round(col("dup_tokens") / col("total_tokens"), 6)))
+  }
+
   /** Duplicate-cluster census: the size distribution of resolved
     * components — "how many 2-doc clusters, how many 50-doc clusters,
     * is there a megacluster" — the one-table answer to how duplicated a

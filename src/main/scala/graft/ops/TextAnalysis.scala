@@ -45,6 +45,29 @@ object TextAnalysis {
     when(best._2 >= minRatio, best._1).otherwise(lit("und"))
   }
 
+  /** Label-vs-content agreement audit: the confusion table between a
+    * METADATA label column (a crawl's declared `lang`, a vendor's topic
+    * tag) and a content-derived prediction (e.g. [[langId]]) — the
+    * label-quality check run before any pipeline TRUSTS the metadata
+    * (per-language mixing, lang-filtered dedup, per-topic quotas all
+    * silently inherit label errors). Each (label, predicted) cell
+    * carries its doc count and its share WITHIN the label row — a
+    * healthy label has one dominant cell; mass spread across a row is
+    * the mislabeled-source symptom.
+    *
+    * One narrow two-key aggregation over (label, pred); the share
+    * window runs on the AGGREGATED confusion table, which is
+    * labels × predictions — metadata-sized at any corpus scale (the
+    * repo's group-table window discipline). Returns (labelCol, predCol,
+    * n_docs, share). */
+  def labelAgreement(docs: org.apache.spark.sql.DataFrame,
+                     labelCol: String, predCol: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(labelCol))
+    docs.groupBy(col(labelCol), col(predCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", round(col("n_docs") / sum(col("n_docs")).over(w), 6))
+  }
+
   /** Whitespace-normalized content fingerprint (exact-dup key). */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))

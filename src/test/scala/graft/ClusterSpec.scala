@@ -130,6 +130,23 @@ class ClusterSpec extends AnyFunSuite {
     for ((id, comp, s) <- got) assert(s == expect(comp), s"id=$id")
   }
 
+  test("dedupDividend prices non-canonical mass per group") {
+    // components: {0,1,2} (canonical 0), {3,4} (canonical 3), {5} —
+    // dups are 1,2 (s1) and 4 (s2)
+    val nodes = (0L to 5L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("a", "b")
+    val comps = Cluster.connectedComponents(nodes, "id", edges, "a", "b")
+    val docs = Seq(
+      (0L, "s1", 10L), (1L, "s1", 20L), (2L, "s1", 30L),
+      (3L, "s2", 5L), (4L, "s2", 7L), (5L, "s2", 100L)).toDF("id", "src", "nt")
+    val got = Cluster.dedupDividend(comps, "id", "component", docs, "id", "src", "nt")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got("s1") == (3L, 2L, 60L, 50L, 0.833333))
+    assert(got("s2") == (3L, 1L, 112L, 7L, 0.0625))
+  }
+
   test("componentSizeHistogram: sizes, cluster counts, and doc mass per size") {
     // components: {0,1,2} (chain), {3,4}, {5}, {6}, {7} → one 3-cluster,
     // one 2-cluster, three singletons

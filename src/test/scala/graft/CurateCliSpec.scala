@@ -1296,6 +1296,54 @@ class CurateCliSpec extends AnyFunSuite {
     rm(out)
   }
 
+  test("dividend command prices the dedup pass like the library path") {
+    import graft.ops.{Cluster, Dedup, TextAnalysis}
+    val out = tmp("cli-dividend"); rm(out)
+    CurateCli.run("dividend", Map("--in" -> docsPath, "--out" -> out))
+    val docs = spark.read.parquet(docsPath)
+    val pairs = Dedup.minhashLshPairsOf(
+      Dedup.shingleSets(docs, "doc_id", "text", 5),
+      k = 4, rowsPerBand = 2, minJaccard = 0.5)
+    val comps = Cluster.connectedComponents(
+      docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+    val want = Cluster.dedupDividend(comps, "doc_id", "component",
+        docs.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("_nt")),
+        "doc_id", "source", "_nt")
+      .select("source", "n_docs", "n_dup_docs", "total_tokens", "dup_tokens")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = spark.read.parquet(out)
+      .select("source", "n_docs", "n_dup_docs", "total_tokens", "dup_tokens")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+    // the pass must be priced non-trivially at sf0.01 (dups exist)
+    assert(got.map(_._3).sum > 0, "expected removable doc mass")
+    rm(out)
+  }
+
+  test("labelaudit command reproduces the confusion table over given columns") {
+    import graft.ops.TextAnalysis
+    val inDir = tmp("cli-la-in"); val out = tmp("cli-la"); rm(inDir, out)
+    val scored = spark.read.parquet(docsPath).select(col("lang"),
+      TextAnalysis.langId(col("text"), Seq("en" -> Seq("the", "a"))).as("pred_lang"))
+    scored.write.mode("overwrite").parquet(inDir)
+    CurateCli.run("labelaudit", Map("--in" -> inDir, "--out" -> out))
+    val want = TextAnalysis.labelAgreement(scored, "lang", "pred_lang")
+      .select("lang", "pred_lang", "n_docs", "share")
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val got = spark.read.parquet(out)
+      .select("lang", "pred_lang", "n_docs", "share")
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == want && got.nonEmpty)
+    // corpus-shaped flags don't exist here: --text-col is not an option
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("labelaudit", Map("--in" -> inDir, "--out" -> out,
+        "--text-col" -> "text"))
+    }
+    assert(e.getMessage.contains("--text-col"))
+    rm(inDir, out)
+  }
+
   test("pii census reproduces q178; default mode masks the corpus in place") {
     import graft.ops.Scrub
     val cOut = tmp("cli-piic"); val mOut = tmp("cli-piim"); rm(cOut, mOut)

@@ -104,6 +104,19 @@ class LayoutStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("labelAgreement: confusion counts plus within-label shares") {
+    import graft.ops.TextAnalysis
+    val rows = Seq(("en", "en"), ("en", "en"), ("en", "en"), ("en", "und"),
+      ("de", "und"), ("de", "und")).toDF("lab", "pred")
+    val got = TextAnalysis.labelAgreement(rows, "lab", "pred")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("en", "en")) == (3L, 0.75))
+    assert(got(("en", "und")) == (1L, 0.25))
+    assert(got(("de", "und")) == (2L, 1.0))
+    assert(got.size == 3)
+  }
+
   // ---- Shard.manifest ----
 
   test("manifest is order- and partitioning-invariant, content-sensitive") {
