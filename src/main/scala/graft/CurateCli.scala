@@ -167,7 +167,10 @@ import graft.ops.{CacheScope, Cluster, Corpus, Dedup, Pipeline, Shard, TextAnaly
   *             manifested as-is, else size-balance-assigned first
   *             (`--shards`, weight `--size-col` or the token count of
   *             `--text-col`). Two builds prove content identity by
-  *             comparing manifests, never re-reading shards
+  *             comparing manifests, never re-reading shards; `--diff
+  *             PRIOR` (own `--diff-format`) writes the release-gate
+  *             diff instead — added/removed/changed/equal per shard,
+  *             with the counts-equal-hash-differs silent-edit flag
   *   card    — the corpus dataset card without Scala: exact
   *             [[graft.ops.Corpus.datasetCardWeighted]] (q134 — counts,
   *             lang mix, dup rate, token-mass length quantiles) or the
@@ -314,7 +317,7 @@ object CurateCli {
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
-      "--shard-col")),
+      "--shard-col", "--diff", "--diff-format")),
     "profile" -> (CommonOptions - "--text-col" - "--id-col"
       ++ Set("--cols", "--approx")),
     "overlap" -> (CommonOptions ++ Set("--bench", "--bench-format",
@@ -1237,7 +1240,15 @@ object CurateCli {
               sized
             } else Shard.balancedAssign(sized, idCol, "_msz",
               argv.getOrElse("--shards", "8").toInt, shardCol)
-          write(Shard.manifest(assigned, idCol, textCol, "_msz", shardCol), out)
+          val mf = Shard.manifest(assigned, idCol, textCol, "_msz", shardCol)
+          // `--diff PRIOR` writes the release-gate diff against a prior
+          // manifest (own `--diff-format` — the --bench-format lesson)
+          // instead of the manifest itself
+          write(argv.get("--diff") match {
+            case Some(prior) =>
+              Shard.manifestDiff(mf, readAs(prior, "--diff-format"), shardCol)
+            case None => mf
+          }, out)
 
         case "overlap" =>
           // the contamination REPORT (q171): per training doc, the

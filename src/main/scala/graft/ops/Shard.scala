@@ -94,6 +94,44 @@ object Shard {
         sum(conv(substring(md5(concat(col(idCol).cast("string"), lit("|"),
           col(textCol))), 1, 8), 16, 10).cast("long")).as("content_hash"))
 
+  /** Manifest diff — the consumer side of [[manifest]]: given the
+    * current and a prior manifest, name exactly which shards changed
+    * and how. `status` ∈ added / removed / changed / equal; changed
+    * rows carry the per-field deltas (docs, tokens) and a hash-only
+    * flag (same counts, different content — the silent-edit signature
+    * worth the loudest alarm). A release gate reads this table instead
+    * of re-reading either corpus: two full-outer-joined
+    * manifest-sized frames, O(shards) work total.
+    *
+    * Returns (shardCol, status, n_docs, n_tokens, content_hash,
+    * prior_n_docs, prior_n_tokens, prior_content_hash,
+    * d_docs, d_tokens, hash_only_change). */
+  def manifestDiff(current: DataFrame, prior: DataFrame,
+                   shardCol: String = "shard"): DataFrame = {
+    val c = current.select(col(shardCol).as("_s"), col("n_docs").as("n_docs"),
+      col("n_tokens").as("n_tokens"), col("content_hash").as("content_hash"))
+    val p = prior.select(col(shardCol).as("_s"), col("n_docs").as("prior_n_docs"),
+      col("n_tokens").as("prior_n_tokens"),
+      col("content_hash").as("prior_content_hash"))
+    c.join(p, Seq("_s"), "full_outer")
+      .withColumn("status",
+        when(col("prior_n_docs").isNull, lit("added"))
+          .when(col("n_docs").isNull, lit("removed"))
+          .when(col("n_docs") === col("prior_n_docs") &&
+            col("n_tokens") === col("prior_n_tokens") &&
+            col("content_hash") === col("prior_content_hash"), lit("equal"))
+          .otherwise(lit("changed")))
+      .withColumn("d_docs", col("n_docs") - col("prior_n_docs"))
+      .withColumn("d_tokens", col("n_tokens") - col("prior_n_tokens"))
+      .withColumn("hash_only_change",
+        col("status") === "changed" &&
+          col("d_docs") === 0 && col("d_tokens") === 0)
+      .select(col("_s").as(shardCol), col("status"),
+        col("n_docs"), col("n_tokens"), col("content_hash"),
+        col("prior_n_docs"), col("prior_n_tokens"), col("prior_content_hash"),
+        col("d_docs"), col("d_tokens"), col("hash_only_change"))
+  }
+
   /** Writes `assigned` as one directory per shard
     * (`…/shard=<k>/part-*.parquet`) — `nShards` output tasks, each
     * writing exactly its shard, via ONE hash shuffle on the shard key.

@@ -1405,7 +1405,14 @@ class CurateCliSpec extends AnyFunSuite {
         "--shards" -> "8"))
     }
     assert(e.getMessage.contains("--shards"))
-    rm(out, out2, preDir)
+    // --diff against the just-written manifest: same corpus → all equal
+    val dOut = tmp("cli-man-diff"); rm(dOut)
+    CurateCli.run("manifest", Map("--in" -> docsPath, "--out" -> dOut,
+      "--diff" -> out))
+    val statuses = spark.read.parquet(dOut)
+      .select("status").as[String].collect().toSet
+    assert(statuses == Set("equal"))
+    rm(out, out2, preDir, dOut)
   }
 
   test("ingest --repetition Y verdicts repetition-spam as terminal, never history") {

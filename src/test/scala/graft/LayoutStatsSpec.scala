@@ -145,6 +145,23 @@ class LayoutStatsSpec extends AnyFunSuite {
       assert((m3(s) == m1(s)) == (s != editedShard), s"shard $s")
       assert(m3(s)._1 == m1(s)._1 && m3(s)._2 == m1(s)._2)
     }
+    // manifestDiff names exactly that shard, flags it hash-only (the
+    // silent-edit signature: counts equal, content not), and a shard
+    // present on one side only reads added/removed
+    val mfNew = Shard.manifest(edited, "doc_id", "text", "n_tokens")
+    val mfOld = Shard.manifest(assigned, "doc_id", "text", "n_tokens")
+    val diff = Shard.manifestDiff(mfNew, mfOld.filter(col("shard") =!= 3))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getBoolean(10))).toMap
+    for (s <- 0 to 3) {
+      val expect =
+        if (s == 3) ("added", false)
+        else if (s == editedShard) ("changed", true)
+        else ("equal", false)
+      assert(diff(s) == expect, s"shard $s: ${diff(s)} vs $expect")
+    }
+    val rem = Shard.manifestDiff(mfNew.filter(col("shard") =!= 2), mfOld)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rem(2) == "removed")
   }
 
   // ---- InterleaveBits / Layout ----
