@@ -2237,7 +2237,17 @@ object SparkEntry {
         tbl(s, dir, "documents").select(col("lang"),
           TextAnalysis.langId(col("text"), Seq("en" -> en)).as("pred_lang")),
         "lang", "pred_lang")
-    }))
+    }),
+
+    // ---- Source-similarity sketch (round-10): exact cross-source
+    //      shingle Jaccard BESIDE its 8-seed MinHash estimate and the
+    //      error — the k decision table. At thousands of sources the
+    //      exact pair join is the co-occurrence blowup; the sketch
+    //      reads a (sources × k) mins table. md5 mins replay exactly
+    //      in the oracle ----
+    "q183_source_sim_sketch" -> ((s, dir) =>
+      graft.ops.Corpus.sourceJaccardSketch(
+        tbl(s, dir, "documents"), "source", "text", n = 5, k = 8)))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
     * recursive reachability, `lab(node, cluster_id)` = component
@@ -2273,6 +2283,32 @@ object SparkEntry {
       |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
       |  CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_canonical
       |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin
+
+  /** q183's oracle, generated for the k=8 sketch seeds — q20's shingle
+    * CTEs at SOURCE level, exact pair Jaccard beside the seed-agreement
+    * estimate (both deterministic: md5 mins replay bit-for-bit). */
+  private val sourceSimSketchOracle: String = {
+    val k = 8
+    val mins = (0 until k).map(i => s"min(md5('$i|'||sg)) AS m$i").mkString(", ")
+    val agree = (0 until k).map(i =>
+      s"(CASE WHEN ma.m$i = mb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH w AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       |s AS (SELECT source, CASE WHEN len(w) >= 5
+       |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+       |  ELSE [] END AS sh FROM w),
+       |v AS (SELECT DISTINCT source AS g, unnest(sh) AS sg FROM s),
+       |m AS (SELECT g, $mins FROM v GROUP BY g),
+       |sz AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+       |c AS (SELECT a.g AS ga, b.g AS gb, count(*) AS common
+       |      FROM v a JOIN v b ON a.sg = b.sg AND a.g < b.g GROUP BY 1, 2)
+       |SELECT source_a, source_b, common, jaccard, est_jaccard,
+       |  abs(est_jaccard - jaccard) AS abs_err
+       |FROM (SELECT c.ga AS source_a, c.gb AS source_b, c.common,
+       |        c.common * 1.0 / (sa.n + sb.n - c.common) AS jaccard,
+       |        ($agree) * 1.0 / $k AS est_jaccard
+       |      FROM c JOIN sz sa ON sa.g = c.ga JOIN sz sb ON sb.g = c.gb
+       |        JOIN m ma ON ma.g = c.ga JOIN m mb ON mb.g = c.gb)""".stripMargin
+  }
 
   /** q83's oracle, generated for the 64 embedding dimensions. */
   private val embedPoolOracle: String = {
@@ -5196,6 +5232,8 @@ object SparkEntry {
         |  CAST(sum(dup * nt) AS BIGINT) AS dup_tokens,
         |  round(sum(dup * nt) * 1.0 / sum(nt), 6) AS dividend
         |FROM m GROUP BY source""".stripMargin),
+
+    "q183_source_sim_sketch" -> sourceSimSketchOracle,
 
     // q182: q17's stopword-signal prediction crossed with the lang
     // LABEL — the metadata-quality confusion table; share is within

@@ -1304,6 +1304,66 @@ object Corpus {
         (col("common") / (col("_na") + col("_nb") - col("common"))).as("jaccard"))
   }
 
+  /** Sketch-based cross-source similarity — the SCALE path for source
+    * overlap matrices, graded against the exact answer in one table.
+    * Per unordered source pair: the exact shingle-Jaccard (the
+    * [[sourceOverlap]] machinery at n-gram level) BESIDE the k-seed
+    * MinHash estimate (fraction of seeds whose per-source minimum md5
+    * agrees — the classic unbiased Jaccard estimator) and the absolute
+    * error. This is the decision table for `k`: the exact pair join is
+    * the co-occurrence blowup at large source counts (a shingle shared
+    * by m sources emits O(m²) pair rows), while the sketch needs only
+    * the (sources × k) mins table — metadata-sized at any corpus scale.
+    * Production at thousands of sources reads the estimate; the exact
+    * columns exist to SIZE k before trusting it.
+    *
+    * md5-derived mins (the repo's RNG-free constant discipline) make
+    * the estimate itself exactly reproducible cross-engine — the DuckDB
+    * oracle replays sketch AND exact bit-for-bit. Pairs sharing zero
+    * shingles are omitted (their exact and estimated Jaccard are both
+    * identically zero — min equality needs a shared shingle).
+    *
+    * Returns (source_a, source_b, common, jaccard, est_jaccard,
+    * abs_err) — ratios raw IEEE divisions of exact integers. */
+  def sourceJaccardSketch(docs: DataFrame, groupCol: String, textCol: String,
+                          n: Int = 5, k: Int = 8,
+                          scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(k >= 1, s"need at least one sketch seed, got $k")
+    // distinct (source, shingle) vocabulary — consumed by the mins agg
+    // (strings, group-local) and the exact pair join (8-byte hashes)
+    val vocab = scope.track(Parallelize.ensure(
+        docs.select(col(groupCol).as("_g"), col(textCol).as("_t")))
+      .select(col("_g"),
+        explode(graft.functions.ShingleExprs.ngramShingles(col("_t"), n)).as("_s"))
+      .distinct().cache())
+    val mins = vocab.groupBy(col("_g"))
+      .agg(min(md5(concat(lit("0|"), col("_s")))).as("_m0"),
+        (1 until k).map(i =>
+          min(md5(concat(lit(s"$i|"), col("_s")))).as(s"_m$i")): _*)
+    val hv = vocab.select(col("_g"), xxhash64(col("_s")).as("_h"))
+    val sizes = vocab.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+    val common = hv.select(col("_g").as("source_a"), col("_h"))
+      .join(hv.select(col("_g").as("source_b"), col("_h")), Seq("_h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("common"))
+    val matches = (0 until k).map(i =>
+      when(col(s"_ma$i") === col(s"_mb$i"), 1).otherwise(0)).reduce(_ + _)
+    common
+      .join(broadcast(sizes.select(col("_g").as("source_a"), col("_n").as("_na"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("_g").as("source_b"), col("_n").as("_nb"))),
+        Seq("source_b"))
+      .join(broadcast(mins.select(col("_g").as("source_a") +:
+        (0 until k).map(i => col(s"_m$i").as(s"_ma$i")): _*)), Seq("source_a"))
+      .join(broadcast(mins.select(col("_g").as("source_b") +:
+        (0 until k).map(i => col(s"_m$i").as(s"_mb$i")): _*)), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("common"),
+        (col("common") / (col("_na") + col("_nb") - col("common"))).as("jaccard"),
+        (matches.cast("double") / lit(k)).as("est_jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+  }
+
   /** Temperature-weighted corpus mixing — the multilingual/multi-source
     * sampling-rate table (the `p_i ∝ n_i^α` rule of multilingual LM
     * training: α < 1 up-samples tail groups, α = 1 is proportional,

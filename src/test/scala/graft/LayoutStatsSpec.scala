@@ -117,6 +117,32 @@ class LayoutStatsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("sourceJaccardSketch: exact pairs graded by the md5-min estimator") {
+    // s1 ≡ s2 (identical shingle sets), s3 shares one of two shingles
+    // with both, s4 disjoint (must not be emitted at all)
+    val docs = Seq(
+      ("s1", "a b c d e f"), ("s2", "a b c d e f"),
+      ("s3", "a b c d e x"), ("s4", "p q r s t u")).toDF("source", "t")
+    val got = Corpus.sourceJaccardSketch(docs, "source", "t", n = 5, k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // identical sets: exact 1, every seed's min agrees, zero error
+    assert(got(("s1", "s2")) == (2L, 1.0, 1.0, 0.0))
+    // the estimator is replayed by hand: per seed, min md5("i|shingle")
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val a = Set("a b c d e", "b c d e f")
+    val b = Set("a b c d e", "b c d e x")
+    val wantEst = (0 until 8).count(i =>
+      a.map(x => md5hex(s"$i|$x")).min == b.map(x => md5hex(s"$i|$x")).min) / 8.0
+    val (c13, j13, e13, err13) = got(("s1", "s3"))
+    assert(c13 == 1L && j13 == 1.0 / 3)
+    assert(e13 == wantEst, s"estimator must be the deterministic md5-min draw")
+    assert(err13 == math.abs(wantEst - 1.0 / 3))
+    // disjoint pair never materializes (est and exact both identically 0)
+    assert(!got.keySet.exists { case (x, y) => x == "s4" || y == "s4" })
+  }
+
   // ---- Shard.manifest ----
 
   test("manifest is order- and partitioning-invariant, content-sensitive") {
