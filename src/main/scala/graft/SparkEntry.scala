@@ -2247,7 +2247,23 @@ object SparkEntry {
     //      in the oracle ----
     "q183_source_sim_sketch" -> ((s, dir) =>
       graft.ops.Corpus.sourceJaccardSketch(
-        tbl(s, dir, "documents"), "source", "text", n = 5, k = 8)))
+        tbl(s, dir, "documents"), "source", "text", n = 5, k = 8)),
+
+    // ---- Dividend curve (round-10): the --min-jaccard decision table
+    //      PRICED after transitive closure — per cutoff, the docs,
+    //      tokens and clusters a dedup pass at that threshold removes;
+    //      one pairing pass (q45's memoized shingles), one CC per
+    //      cutoff on the filtered pair table ----
+    "q184_dividend_curve" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairsOf(
+        docShingles(s, dir, 5), k = 4, rowsPerBand = 2, minJaccard = 0.5)
+      val d = tbl(s, dir, "documents")
+      graft.ops.Cluster.dividendCurve(
+        d.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b", "jaccard",
+        d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("_nt")),
+        "doc_id", "_nt", Seq(0.5, 0.7, 0.9))
+    }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
     * recursive reachability, `lab(node, cluster_id)` = component
@@ -2283,6 +2299,50 @@ object SparkEntry {
       |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
       |  CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_canonical
       |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin
+
+  /** q184's oracle, generated per threshold: q45's band/candidate CTEs
+    * with the exact pair Jaccard KEPT, then one reachability closure and
+    * one priced rollup per cutoff. */
+  private val dividendCurveOracle: String = {
+    val ts = Seq("0.5" -> "50", "0.7" -> "70", "0.9" -> "90")
+    val perT = ts.map { case (t, sfx) =>
+      s"""e$sfx AS (SELECT id_a AS a, id_b AS b FROM pj WHERE j >= $t
+         |  UNION SELECT id_b, id_a FROM pj WHERE j >= $t),
+         |reach$sfx AS (SELECT a AS node, b AS reached FROM e$sfx
+         |  UNION
+         |  SELECT r.node, e.b FROM reach$sfx r JOIN e$sfx e ON r.reached = e.a WHERE e.b <> r.node),
+         |lab$sfx AS (SELECT node, least(node, min(reached)) AS cluster_id FROM reach$sfx GROUP BY node),
+         |m$sfx AS (SELECT w.doc_id, len(w.w) AS nt,
+         |    coalesce(l.cluster_id, w.doc_id) AS cid,
+         |    CASE WHEN coalesce(l.cluster_id, w.doc_id) <> w.doc_id THEN 1 ELSE 0 END AS dup
+         |  FROM w LEFT JOIN lab$sfx l ON w.doc_id = l.node)""".stripMargin
+    }.mkString(",\n")
+    val sel = ts.map { case (t, sfx) =>
+      s"""SELECT CAST($t AS DOUBLE) AS threshold,
+         |  CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(dup * nt) AS BIGINT) AS dup_tokens,
+         |  count(DISTINCT CASE WHEN dup = 1 THEN cid END) AS n_clusters
+         |FROM m$sfx""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       |s AS (SELECT doc_id, CASE WHEN len(w) >= 5
+       |  THEN list_distinct(list_transform(generate_series(1, len(w)-4), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+       |  ELSE [] END AS sh FROM w),
+       |sig AS (SELECT doc_id, sh, len(sh) AS sz,
+       |  list_min(list_transform(sh, x -> md5('0|'||x))) AS s0,
+       |  list_min(list_transform(sh, x -> md5('1|'||x))) AS s1,
+       |  list_min(list_transform(sh, x -> md5('2|'||x))) AS s2,
+       |  list_min(list_transform(sh, x -> md5('3|'||x))) AS s3 FROM s),
+       |band AS (SELECT doc_id, sh, sz, unnest(['0#'||s0||'#'||s1, '1#'||s2||'#'||s3]) AS bucket FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b,
+       |                a.sz AS sz_a, b.sz AS sz_b
+       |         FROM band a JOIN band b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |pj AS (SELECT id_a, id_b, common * 1.0 / (sz_a + sz_b - common) AS j
+       |       FROM (SELECT id_a, id_b, sz_a, sz_b,
+       |               len(list_intersect(sh_a, sh_b)) AS common FROM cand)),
+       |$perT
+       |$sel""".stripMargin
+  }
 
   /** q183's oracle, generated for the k=8 sketch seeds — q20's shingle
     * CTEs at SOURCE level, exact pair Jaccard beside the seed-agreement
@@ -5234,6 +5294,8 @@ object SparkEntry {
         |FROM m GROUP BY source""".stripMargin),
 
     "q183_source_sim_sketch" -> sourceSimSketchOracle,
+
+    "q184_dividend_curve" -> dividendCurveOracle,
 
     // q182: q17's stopword-signal prediction crossed with the lang
     // LABEL — the metadata-quality confusion table; share is within

@@ -261,6 +261,45 @@ object Cluster {
           round(col("dup_tokens") / col("total_tokens"), 6)))
   }
 
+  /** Dividend curve: [[dedupDividend]] swept across similarity
+    * thresholds from ONE pairing pass — the `minJaccard` decision table
+    * PRICED in removable mass after transitive closure. q147's
+    * dupRateCurve counts pairs per cutoff; pairs under-state what a
+    * pass removes (a 50-doc clique is 1,225 pairs but 49 removable
+    * docs) and clusters change shape as the cutoff moves (chains break
+    * apart), so the operator a threshold choice actually needs is this
+    * one: per cutoff, how many docs and tokens a dedup at that
+    * threshold deletes, and across how many clusters.
+    *
+    * The pair list (with exact Jaccard) is built once by the caller;
+    * each threshold filters it and runs its own component resolution —
+    * near-dup pair graphs are corpus-sparse, so the loop cost is
+    * thresholds × (a few narrow shuffle rounds on the pair table),
+    * never another corpus pass. Returns one row per threshold:
+    * (threshold, n_dup_docs, dup_tokens, n_clusters). */
+  def dividendCurve(nodes: DataFrame, idCol: String,
+                    pairs: DataFrame, srcCol: String, dstCol: String,
+                    jaccardCol: String,
+                    sizes: DataFrame, sizeIdCol: String, sizeCol: String,
+                    thresholds: Seq[Double],
+                    scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold required")
+    val sz = sizes.select(col(sizeIdCol).as("_did"),
+      col(sizeCol).cast("long").as("_sz"))
+    thresholds.map { t =>
+      val comps = connectedComponents(nodes, idCol,
+        pairs.filter(col(jaccardCol) >= t), srcCol, dstCol, scope = scope)
+      val dup = when(col("component") =!= col("_did"), 1L).otherwise(0L)
+      comps.select(col(idCol).as("_did"), col("component"))
+        .join(sz, Seq("_did"))
+        .agg(sum(dup).as("n_dup_docs"),
+          sum(dup * col("_sz")).as("dup_tokens"),
+          count_distinct(when(dup === 1L, col("component"))).as("n_clusters"))
+        .select(lit(t).as("threshold"), col("n_dup_docs"),
+          col("dup_tokens"), col("n_clusters"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Duplicate-cluster census: the size distribution of resolved
     * components — "how many 2-doc clusters, how many 50-doc clusters,
     * is there a megacluster" — the one-table answer to how duplicated a

@@ -147,6 +147,22 @@ class ClusterSpec extends AnyFunSuite {
     assert(got("s2") == (3L, 1L, 112L, 7L, 0.0625))
   }
 
+  test("dividendCurve reprices clusters as the cutoff moves") {
+    // at 0.5: {0,1,2} + {3,4} → dups 1,2,4 (30 tokens, 2 clusters);
+    // at 0.7: only (0,1) survives → dup 1; at 0.99: nothing
+    val nodes = (0L to 5L).toDF("id")
+    val pairs = Seq((0L, 1L, 0.95), (1L, 2L, 0.6), (3L, 4L, 0.55))
+      .toDF("a", "b", "j")
+    val sizes = (0L to 5L).map(i => (i, 10L)).toDF("id", "nt")
+    val got = Cluster.dividendCurve(nodes, "id", pairs, "a", "b", "j",
+        sizes, "id", "nt", Seq(0.5, 0.7, 0.99))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0.5) == (3L, 30L, 2L))
+    assert(got(0.7) == (1L, 10L, 1L))
+    assert(got(0.99) == (0L, 0L, 0L))
+  }
+
   test("componentSizeHistogram: sizes, cluster counts, and doc mass per size") {
     // components: {0,1,2} (chain), {3,4}, {5}, {6}, {7} → one 3-cluster,
     // one 2-cluster, three singletons
