@@ -144,7 +144,11 @@ import graft.ops.{CacheScope, Cluster, Corpus, Dedup, Pipeline, Shard, TextAnaly
   *             clusters inline (same knobs as `neardup`/`split
   *             --leakage-safe`) and report, per `--group-col`, the doc
   *             count and token mass on non-canonical members — the
-  *             table that prices a 100-TB dedup before it runs
+  *             table that prices a 100-TB dedup before it runs;
+  *             `--thresholds 0.5,0.7,0.9` writes the q184 CURVE instead
+  *             (whole-corpus pricing per cutoff, one pair-table
+  *             component resolution per threshold — the --min-jaccard
+  *             decision table after transitive closure)
   *   labelaudit — metadata-vs-content confusion table (q182,
   *             [[graft.ops.TextAnalysis.labelAgreement]]): per
   *             (`--label-col`, `--pred-col`) doc counts and
@@ -154,7 +158,9 @@ import graft.ops.{CacheScope, Cluster, Corpus, Dedup, Pipeline, Shard, TextAnaly
   *             [[graft.ops.Corpus.ngramDiversity]]): per (`--group-col`,
   *             n ∈ `--ngrams`) total vs distinct gram mass + ratio —
   *             boilerplate mass shows as a ratio cliff no token count
-  *             sees
+  *             sees; `--approx Y` swaps exact distincts for HLL
+  *             sketches (bounded agg state per group, totals stay
+  *             exact — the 100 TB shape)
   *   pii     — `--census Y` writes the per-(group, rule) exposure
   *             report (q178, [[graft.ops.Scrub.piiCensus]] — each rule
   *             counted independently on RAW text, the diagnostic upper
@@ -309,9 +315,10 @@ object CurateCli {
     "split" -> (CommonOptions ++ Set("--key-col", "--splits",
       "--leakage-safe", "--ngram", "--minhash-k", "--rows-per-band",
       "--min-jaccard")),
-    "diversity" -> (CommonOptions ++ Set("--group-col", "--ngrams")),
+    "diversity" -> (CommonOptions ++ Set("--group-col", "--ngrams",
+      "--approx")),
     "dividend" -> (CommonOptions ++ Set("--group-col", "--ngram",
-      "--minhash-k", "--rows-per-band", "--min-jaccard")),
+      "--minhash-k", "--rows-per-band", "--min-jaccard", "--thresholds")),
     "labelaudit" -> (Set("--in", "--out", "--in-format", "--out-format")
       ++ Set("--label-col", "--pred-col")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
@@ -1176,13 +1183,30 @@ object CurateCli {
             k = argv.getOrElse("--minhash-k", "4").toInt,
             rowsPerBand = argv.getOrElse("--rows-per-band", "2").toInt,
             minJaccard = argv.getOrElse("--min-jaccard", "0.5").toDouble)
-          val comps = Cluster.connectedComponents(
-            in.select(col(idCol)), idCol, pairs, "id_a", "id_b",
-            scope = scope)
-          write(Cluster.dedupDividend(comps, idCol, "component",
-            in.select(col(idCol), col(argv.getOrElse("--group-col", "source")),
-              TextAnalysis.tokenCount(col(textCol)).as("_nt")),
-            idCol, argv.getOrElse("--group-col", "source"), "_nt"), out)
+          // `--thresholds 0.5,0.7,0.9` writes the q184 CURVE (the
+          // cutoff decision table, one CC per cutoff on the same pair
+          // table) instead of the per-group q181 report
+          write(argv.get("--thresholds") match {
+            case Some(ts) =>
+              for (_ <- argv.get("--group-col"))
+                throw new IllegalArgumentException(
+                  "--group-col does not apply with --thresholds (the " +
+                    "curve prices the whole corpus per cutoff)")
+              Cluster.dividendCurve(in.select(col(idCol)), idCol,
+                pairs, "id_a", "id_b", "jaccard",
+                in.select(col(idCol),
+                  TextAnalysis.tokenCount(col(textCol)).as("_nt")),
+                idCol, "_nt", ts.split(",").toSeq.map(_.trim.toDouble),
+                scope)
+            case None =>
+              val comps = Cluster.connectedComponents(
+                in.select(col(idCol)), idCol, pairs, "id_a", "id_b",
+                scope = scope)
+              Cluster.dedupDividend(comps, idCol, "component",
+                in.select(col(idCol), col(argv.getOrElse("--group-col", "source")),
+                  TextAnalysis.tokenCount(col(textCol)).as("_nt")),
+                idCol, argv.getOrElse("--group-col", "source"), "_nt")
+          }, out)
 
         case "labelaudit" =>
           // metadata-vs-content confusion table (q182): the input
@@ -1194,11 +1218,19 @@ object CurateCli {
 
         case "diversity" =>
           // the distinct-n-gram census (q177): per (group, n) total vs
-          // distinct gram mass — boilerplate shows up as a ratio cliff
+          // distinct gram mass — boilerplate shows up as a ratio cliff;
+          // `--approx Y` swaps exact distincts for HLL sketches (bounded
+          // agg state per group — the 100 TB shape, the profile
+          // command's discipline)
           val ns = argv.getOrElse("--ngrams", "1,2,3").split(",").toSeq
             .map(_.trim.toInt)
-          write(Corpus.ngramDiversity(in,
-            argv.getOrElse("--group-col", "source"), textCol, ns), out)
+          val g = argv.getOrElse("--group-col", "source")
+          write(argv.getOrElse("--approx", "N") match {
+            case "Y" => Corpus.ngramDiversityApprox(in, g, textCol, ns)
+            case "N" => Corpus.ngramDiversity(in, g, textCol, ns)
+            case other => throw new IllegalArgumentException(
+              s"--approx must be Y or N, got '$other'")
+          }, out)
 
         case "pii" =>
           // `--census Y` (q178): the per-(group, rule) exposure report

@@ -570,6 +570,45 @@ object Corpus {
             col("n_total"), 6)).as("distinct_ratio"))
   }
 
+  /** [[ngramDiversity]]'s sketch flavor — the 100-TB shape. The exact
+    * census's distinct-class state grows with distinct CONTENT (billions
+    * of distinct grams per big group); `approx_count_distinct` (HLL++)
+    * buffers O(1/rsd²) per (group, n) regardless, the
+    * [[graft.ops.Stats]] tableProfileApprox discipline. Totals stay
+    * EXACT (they were arithmetic all along); only the distinct column
+    * and the ratio inherit the sketch's relative error. Same schema as
+    * the exact flavor; tolerance-spec'd against it, not oracled (HLL
+    * estimates are engine-specific). */
+  def ngramDiversityApprox(docs: DataFrame, groupCol: String, textCol: String,
+                           ns: Seq[Int] = Seq(1, 2, 3),
+                           rsd: Double = 0.05): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "n-gram orders must be >= 1")
+    val base = Parallelize.ensure(
+      docs.select(col(groupCol).as("_g"), col(textCol).as("_t")))
+    val nTok = size(TextAnalysis.tokens(col("_t")))
+    val totals = base
+      .select(col("_g"), explode(array(ns.map { n =>
+        struct(lit(n).as("_n"),
+          greatest(nTok - (n - 1), lit(0)).cast("long").as("_c"))
+      }: _*)).as("_s"))
+      .groupBy(col("_g"), col("_s._n").as("_n"))
+      .agg(sum(col("_s._c")).as("n_total"))
+    val grams = base
+      .select(col("_g"), explode(flatten(array(ns.map { n =>
+        transform(graft.functions.ShingleExprs.ngramShingles(col("_t"), n),
+          g => struct(lit(n).as("_n"), xxhash64(g).as("_h")))
+      }: _*))).as("_s"))
+      .groupBy(col("_g"), col("_s._n").as("_n"))
+      .agg(approx_count_distinct(col("_s._h"), rsd).as("n_distinct"))
+    totals.join(grams, Seq("_g", "_n"), "left")
+      .select(col("_g").as(groupCol), col("_n").as("n"),
+        col("n_total"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(col("n_total") > 0,
+          round(coalesce(col("n_distinct"), lit(0L)) /
+            col("n_total"), 6)).as("distinct_ratio"))
+  }
+
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                     scope: CacheScope = CacheScope.noop): DataFrame = {
     // the hashed bigram stream (text left behind) feeds the count table

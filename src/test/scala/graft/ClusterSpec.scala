@@ -147,6 +147,23 @@ class ClusterSpec extends AnyFunSuite {
     assert(got("s2") == (3L, 1L, 112L, 7L, 0.0625))
   }
 
+  test("leakageSafeSplit degrades to the plain doc-key split when no pairs exist") {
+    // singleton components ⇒ component id == doc id ⇒ the assignment IS
+    // q46's hashSplit(doc_id) — the op costs nothing extra on a clean
+    // corpus
+    val nodes = (0L to 30L).toDF("id")
+    val comps = Cluster.connectedComponents(nodes, "id",
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Cluster.leakageSafeSplit(comps, "id", "component", splits)
+      .select(col("id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val plain = nodes.select(col("id"),
+        graft.ops.TextAnalysis.hashSplit(col("id"), splits).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == plain)
+  }
+
   test("dividendCurve reprices clusters as the cutoff moves") {
     // at 0.5: {0,1,2} + {3,4} → dups 1,2,4 (30 tokens, 2 clusters);
     // at 0.7: only (0,1) survives → dup 1; at 0.99: nothing

@@ -1321,6 +1321,44 @@ class CurateCliSpec extends AnyFunSuite {
     rm(out)
   }
 
+  test("dividend --thresholds writes the q184 curve; diversity --approx runs the sketch") {
+    import graft.ops.{Cluster, Corpus, Dedup, TextAnalysis}
+    val cOut = tmp("cli-divcurve"); val aOut = tmp("cli-divapprox"); rm(cOut, aOut)
+    CurateCli.run("dividend", Map("--in" -> docsPath, "--out" -> cOut,
+      "--thresholds" -> "0.5,0.7,0.9"))
+    val docs = spark.read.parquet(docsPath)
+    val pairs = Dedup.minhashLshPairsOf(
+      Dedup.shingleSets(docs, "doc_id", "text", 5),
+      k = 4, rowsPerBand = 2, minJaccard = 0.5)
+    val want = Cluster.dividendCurve(docs.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b", "jaccard",
+        docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("_nt")),
+        "doc_id", "_nt", Seq(0.5, 0.7, 0.9))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = spark.read.parquet(cOut)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want && got.size == 3)
+    // curve mode is whole-corpus: a --group-col contradicts, loudly
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("dividend", Map("--in" -> docsPath, "--out" -> cOut,
+        "--thresholds" -> "0.5", "--group-col" -> "source"))
+    }
+    assert(e.getMessage.contains("--group-col"))
+    // diversity --approx Y ≡ the library sketch flavor, row for row
+    CurateCli.run("diversity", Map("--in" -> docsPath, "--out" -> aOut,
+      "--approx" -> "Y"))
+    val wantA = Corpus.ngramDiversityApprox(docs, "source", "text")
+      .select("source", "n", "n_total", "n_distinct")
+      .as[(String, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val gotA = spark.read.parquet(aOut)
+      .select("source", "n", "n_total", "n_distinct")
+      .as[(String, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(gotA == wantA && gotA.nonEmpty)
+    rm(cOut, aOut)
+  }
+
   test("labelaudit command reproduces the confusion table over given columns") {
     import graft.ops.TextAnalysis
     val inDir = tmp("cli-la-in"); val out = tmp("cli-la"); rm(inDir, out)

@@ -104,6 +104,30 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.autoPlanes(Long.MaxValue, 1L) == 62) // clamp high
   }
 
+  test("round-10 censuses survive empty/short docs under ANSI") {
+    val tagged = corpus.withColumn("src",
+      when(col("doc_id") < 2, "a").otherwise("b"))
+    // diversity: group b is all short/empty docs — zero 5-gram-ish mass
+    // for n=3 must yield (0, 0, null), never DIVIDE_BY_ZERO
+    val div = graft.ops.Corpus.ngramDiversity(tagged, "src", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    // b: "short doc" (2 toks) + "" (1 empty tok) + "tiny" (1 tok) —
+    // zero trigram mass, null ratio
+    assert(div(("b", 3)) == (0L, 0L, None))
+    assert(div(("b", 1)) == (4L, 4L, Some(1.0)))
+    assert(div.keySet.size == 6)
+    // pii census: empty text scores zero matches on every rule
+    val pii = graft.ops.Scrub.piiCensus(tagged, "src", "text")
+      .collect()
+    assert(pii.length == 8 && pii.forall(_.getLong(3) >= 0L))
+    // source sketch: a source with zero shingles (all docs < n words)
+    // yields no pair rows and no error
+    val sk = graft.ops.Corpus.sourceJaccardSketch(tagged, "src", "text", n = 5, k = 4)
+      .collect()
+    assert(sk.isEmpty, "a/a-dup vs all-short b share no shingles")
+  }
+
   test("hashSplit is deterministic, honors fractions, covers every label") {
     val keys = (0L until 2000L).toDF("k")
     val split = TextAnalysis.hashSplit(col("k"),

@@ -91,6 +91,25 @@ class LayoutStatsSpec extends AnyFunSuite {
     assert(got(("s2", 3)) == (0L, 0L, None))
   }
 
+  test("ngramDiversityApprox: exact totals, sketch distincts within rsd slack") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = graft.ops.Corpus.ngramDiversity(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val approx = graft.ops.Corpus.ngramDiversityApprox(docs, "source", "text",
+        rsd = 0.05)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (tot, dist)) <- exact) {
+      assert(approx(k)._1 == tot, s"$k: totals must stay EXACT")
+      // HLL++ rsd 0.05 → allow 5 sigma; distinct counts here are 10²–10⁴
+      val slack = math.max(8.0, 0.25 * dist)
+      assert(math.abs(approx(k)._2 - dist) <= slack,
+        s"$k: sketch ${approx(k)._2} vs exact $dist")
+    }
+  }
+
   test("ngramDiversity: replicating a doc grows totals, never distincts") {
     val base = Seq(("s", "w x y z w x")).toDF("source", "t")
     val rep = Seq.fill(4)(("s", "w x y z w x")).toDF("source", "t")
