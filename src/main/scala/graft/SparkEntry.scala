@@ -2249,6 +2249,23 @@ object SparkEntry {
       graft.ops.Corpus.sourceJaccardSketch(
         tbl(s, dir, "documents"), "source", "text", n = 5, k = 8)),
 
+    // ---- Manifest diff (round-10): q179's consumer loop gate-checked —
+    //      the same assignment manifested before and after a
+    //      deterministic text edit (doc_id % 97 gets a '!'): edited
+    //      shards read changed+hash_only (counts equal, content not —
+    //      the silent-edit signature), the rest equal ----
+    "q185_manifest_diff" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("_nt"))
+      val assigned = Shard.balancedAssign(d, "doc_id", "_nt", nShards = 8)
+      val edited = assigned.withColumn("text",
+        when(col("doc_id") % 97 === 0, concat(col("text"), lit("!")))
+          .otherwise(col("text")))
+      Shard.manifestDiff(
+        Shard.manifest(edited, "doc_id", "text", "_nt"),
+        Shard.manifest(assigned, "doc_id", "text", "_nt"))
+    }),
+
     // ---- Dividend curve (round-10): the --min-jaccard decision table
     //      PRICED after transitive closure — per cutoff, the docs,
     //      tokens and clusters a dedup pass at that threshold removes;
@@ -5296,6 +5313,37 @@ object SparkEntry {
     "q183_source_sim_sketch" -> sourceSimSketchOracle,
 
     "q184_dividend_curve" -> dividendCurveOracle,
+
+    // q185: q101's assignment manifested twice (original vs '!'-edited
+    // text for doc_id % 97), full-outer diff — hash32 = the q179
+    // additive content hash
+    "q185_manifest_diff" ->
+      """WITH r AS (SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |rk AS (SELECT doc_id, text, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS pos FROM r),
+        |a AS (SELECT doc_id, text, n_tokens,
+        |    CAST(CASE WHEN pos % 16 < 8 THEN pos % 16 ELSE 15 - (pos % 16) END AS INT) AS shard
+        |  FROM rk),
+        |cur AS (SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |      CASE WHEN doc_id % 97 = 0 THEN text || '!' ELSE text END), 1, 8))::BIGINT) AS BIGINT) AS content_hash
+        |  FROM a GROUP BY shard),
+        |pri AS (SELECT shard, count(*) AS prior_n_docs, CAST(sum(n_tokens) AS BIGINT) AS prior_n_tokens,
+        |    CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8))::BIGINT) AS BIGINT) AS prior_content_hash
+        |  FROM a GROUP BY shard)
+        |SELECT cur.shard,
+        |  CASE WHEN cur.n_docs = pri.prior_n_docs AND cur.n_tokens = pri.prior_n_tokens
+        |            AND cur.content_hash = pri.prior_content_hash THEN 'equal'
+        |       ELSE 'changed' END AS status,
+        |  cur.n_docs, cur.n_tokens, cur.content_hash,
+        |  pri.prior_n_docs, pri.prior_n_tokens, pri.prior_content_hash,
+        |  cur.n_docs - pri.prior_n_docs AS d_docs,
+        |  cur.n_tokens - pri.prior_n_tokens AS d_tokens,
+        |  (cur.n_docs = pri.prior_n_docs AND cur.n_tokens = pri.prior_n_tokens
+        |   AND cur.content_hash <> pri.prior_content_hash) AS hash_only_change
+        |FROM cur JOIN pri ON cur.shard = pri.shard""".stripMargin,
 
     // q182: q17's stopword-signal prediction crossed with the lang
     // LABEL — the metadata-quality confusion table; share is within
