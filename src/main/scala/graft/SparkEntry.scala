@@ -2266,6 +2266,31 @@ object SparkEntry {
         Shard.manifest(assigned, "doc_id", "text", "_nt"))
     }),
 
+    // ---- Split-leakage A/B (round-10): q109's chunk-overlap auditor
+    //      run under BOTH assignments — the doc-key split (q46) and the
+    //      leakage-safe cluster split (q176) — rolled up per (mode,
+    //      split). The fix, measured by the instrument that found the
+    //      problem: near-dup-driven overlap stays same-side under the
+    //      cluster hash, so the cluster rows read strictly lower ----
+    "q186_split_leakage_ab" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val plain = d.withColumn("split",
+        TextAnalysis.hashSplit(col("doc_id"), splits))
+      val safe = d.join(
+        graft.ops.Cluster.leakageSafeSplit(docClusters(s, dir),
+          "doc_id", "component", splits).drop("component"), Seq("doc_id"))
+      def roll(mode: String, df: DataFrame): DataFrame =
+        Dedup.splitLeakage(df, "doc_id", "text", "split", "train", 10)
+          .groupBy(col("split"))
+          .agg(sum(col("n_chunks")).as("n_chunks"),
+            sum(col("n_leaked")).as("n_leaked"))
+          .select(lit(mode).as("mode"), col("split"),
+            col("n_chunks"), col("n_leaked"),
+            (col("n_leaked").cast("double") / col("n_chunks")).as("leak_rate"))
+      roll("dockey", plain).unionByName(roll("cluster", safe))
+    }),
+
     // ---- Dividend curve (round-10): the --min-jaccard decision table
     //      PRICED after transitive closure — per cutoff, the docs,
     //      tokens and clusters a dedup pass at that threshold removes;
@@ -2359,6 +2384,40 @@ object SparkEntry {
        |               len(list_intersect(sh_a, sh_b)) AS common FROM cand)),
        |$perT
        |$sel""".stripMargin
+  }
+
+  /** q186's oracle: q109's chunk-leakage CTEs rolled to split level,
+    * run under both split assignments (doc-key CASE vs the q45 cluster
+    * CTEs + cluster-id CASE), UNION ALL'd with a mode tag. */
+  private val splitLeakageAbOracle: String = {
+    def rollup(mode: String): String =
+      s"""n AS (SELECT doc_id, split, w, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc FROM t),
+         |c AS (SELECT doc_id, split, w, unnest(generate_series(0, nc - 1)) AS i FROM n),
+         |k AS (SELECT doc_id, split,
+         |        md5(array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ')) AS k
+         |      FROM c),
+         |tr AS (SELECT DISTINCT k FROM k WHERE split = 'train'),
+         |ev AS (SELECT k.doc_id, k.split, tr.k IS NOT NULL AS hit
+         |       FROM k LEFT JOIN tr ON k.k = tr.k WHERE k.split <> 'train')
+         |SELECT '$mode' AS mode, split, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_leaked,
+         |  CAST(count(*) FILTER (WHERE hit) AS DOUBLE) / count(*) AS leak_rate
+         |FROM ev GROUP BY split""".stripMargin
+    val splitCase = (key: String) =>
+      s"""CASE WHEN substr(md5(CAST($key AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+         |       WHEN substr(md5(CAST($key AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+         |       ELSE 'test' END""".stripMargin
+    val branchA =
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w,
+         |  ${splitCase("doc_id")} AS split FROM documents),
+         |${rollup("dockey")}""".stripMargin
+    val branchB = dedupClustersCtes +
+      s""",
+         |t AS (SELECT w.doc_id, w.w,
+         |  ${splitCase("coalesce(l.cluster_id, w.doc_id)")} AS split
+         |  FROM w LEFT JOIN lab l ON w.doc_id = l.node),
+         |${rollup("cluster")}""".stripMargin
+    s"SELECT * FROM (\n$branchA\n)\nUNION ALL\nSELECT * FROM (\n$branchB\n)"
   }
 
   /** q183's oracle, generated for the k=8 sketch seeds — q20's shingle
@@ -5313,6 +5372,8 @@ object SparkEntry {
     "q183_source_sim_sketch" -> sourceSimSketchOracle,
 
     "q184_dividend_curve" -> dividendCurveOracle,
+
+    "q186_split_leakage_ab" -> splitLeakageAbOracle,
 
     // q185: q101's assignment manifested twice (original vs '!'-edited
     // text for doc_id % 97), full-outer diff — hash32 = the q179
