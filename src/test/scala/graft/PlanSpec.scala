@@ -550,4 +550,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "partial aggregation on both legs")
   }
 
+  test("q183 sketch: mins/sizes tables broadcast onto the pair list") {
+    val p = plan("q183_source_sim_sketch")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the metadata-sized mins and size tables must broadcast:\n$p")
+    assert(p.contains("xxhash64"),
+      "the exact pair join must ride 8-byte shingle hashes")
+  }
+
 }

@@ -122,6 +122,37 @@ class RandomPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dividendCurve agrees with union-find pricing on random weighted graphs") {
+    for (seed <- 1 to 2) {
+      val rng = new scala.util.Random(400 + seed)
+      val n = 30
+      val pairs = (0 until 35).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong,
+        math.round(rng.nextDouble() * 100) / 100.0)).filter(p => p._1 != p._2)
+      val sizes = (0 until n).map(i => i.toLong -> (1L + rng.nextInt(20)))
+      val thresholds = Seq(0.25, 0.5, 0.75)
+      def ref(t: Double): (Long, Long, Long) = {
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+        pairs.filter(_._3 >= t).foreach { case (a, b, _) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val comp = (0 until n).map(i =>
+          i -> (0 until n).filter(j => find(j) == find(i)).min).toMap
+        val dups = (0 until n).filter(i => comp(i) != i)
+        (dups.size.toLong, dups.map(i => sizes(i)._2).sum,
+          dups.map(comp).distinct.size.toLong)
+      }
+      val got = graft.ops.Cluster.dividendCurve(
+          (0L until n.toLong).toDF("id"), "id",
+          pairs.toDF("a", "b", "j"), "a", "b", "j",
+          sizes.toDF("id", "nt"), "id", "nt", thresholds)
+        .collect().map(r => r.getDouble(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      for (t <- thresholds) assert(got(t) == ref(t), s"seed=$seed t=$t")
+    }
+  }
+
   test("funnel agrees with a naive chained-bounded-min reference on random streams") {
     // reference: t1 = min ts of step1; t_{i+1} = min ts of step_{i+1} in
     // (t_i, t_i + G] — the documented first-touch semantics
