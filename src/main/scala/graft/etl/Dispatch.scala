@@ -90,8 +90,17 @@ object Dispatch {
       val base = configureMinio(spark, MinioUrl.parse(coordinate))
       name => CsvSource.read(spark, base, name, sep = "\t")
     } else if (isSql(coordinate, spark.sparkContext.hadoopConfiguration)) {
-      val url = toJdbcUrl(coordinate)
-      name => CsvSource.withRowIdx(Jdbc.readTable(spark, url, CsvSource.stripCsvExtension(name)))
+      // Postgres without a JDBC driver on the classpath routes through
+      // the COPY bridge (PgCopy — the bulk path); with a driver present,
+      // JDBC keeps the coordinate, so deployments that ship the jar are
+      // unaffected
+      if (PgCopy.isPostgres(coordinate) && !PgCopy.jdbcDriverPresent) {
+        val u = PgCopy.PgUrl.parse(coordinate)
+        name => PgCopy.readTable(spark, u, CsvSource.stripCsvExtension(name))
+      } else {
+        val url = toJdbcUrl(coordinate)
+        name => CsvSource.withRowIdx(Jdbc.readTable(spark, url, CsvSource.stripCsvExtension(name)))
+      }
     } else {
       // a directory source prefers <table>.parquet when present (Spark-
       // native columnar input — splittable, pushdown-friendly), falling
@@ -131,9 +140,11 @@ object Dispatch {
     * be enumerated (e.g. listing fails) — callers then skip the V5 check. */
   def listSourceNames(spark: SparkSession, coordinate: String): Option[Seq[String]] =
     try {
-      if (isSql(coordinate, spark.sparkContext.hadoopConfiguration))
-        Some(Jdbc.listTables(toJdbcUrl(coordinate)))
-      else {
+      if (isSql(coordinate, spark.sparkContext.hadoopConfiguration)) {
+        if (PgCopy.isPostgres(coordinate) && !PgCopy.jdbcDriverPresent)
+          Some(PgCopy.listTables(PgCopy.PgUrl.parse(coordinate)))
+        else Some(Jdbc.listTables(toJdbcUrl(coordinate)))
+      } else {
         val base = if (isMinio(coordinate)) configureMinio(spark, MinioUrl.parse(coordinate))
                    else coordinate
         val path = new org.apache.hadoop.fs.Path(base)
@@ -178,8 +189,13 @@ object Dispatch {
     if (isMinio(coordinate))
       tsv(configureMinio(spark, MinioUrl.parse(coordinate)))
     else if (isSql(coordinate, spark.sparkContext.hadoopConfiguration)) {
-      val url = toJdbcUrl(coordinate)
-      (name, df) => Jdbc.writeTable(df, url, name)
+      if (PgCopy.isPostgres(coordinate) && !PgCopy.jdbcDriverPresent) {
+        val u = PgCopy.PgUrl.parse(coordinate)
+        (name, df) => PgCopy.writeTable(df, u, name)
+      } else {
+        val url = toJdbcUrl(coordinate)
+        (name, df) => Jdbc.writeTable(df, url, name)
+      }
     } else tsv(coordinate)
   }
 }
