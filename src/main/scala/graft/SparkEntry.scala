@@ -169,13 +169,27 @@ object SparkEntry {
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** The verified 0.5-threshold LSH pair table shared by the whole
+    * cluster family (q45 label-prop, q176 split, q180 star, q181
+    * dividend, q184 curve): one banding + exact-verify pass per
+    * (session, dir), cached — the docToks/docShingles memo pattern on
+    * the pair level. */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def docPairs(s: SparkSession, dir: String): DataFrame = {
+    purgeStopped(pairCache)
+    pairCache.computeIfAbsent((s, dir), _ =>
+      graft.ops.Dedup.minhashLshPairsOf(
+        docShingles(s, dir, 5), k = 4, rowsPerBand = 2, minJaccard = 0.5).cache())
+  }
+
   private def docClusters(s: SparkSession, dir: String): DataFrame = {
     purgeStopped(clusterCache)
     clusterCache.computeIfAbsent((s, dir), _ => {
       val docs = tbl(s, dir, "documents").select(col("doc_id"))
-      val pairs = graft.ops.Dedup.minhashLshPairsOf(
-        docShingles(s, dir, 5), k = 4, rowsPerBand = 2, minJaccard = 0.5)
-      graft.ops.Cluster.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+      graft.ops.Cluster.connectedComponents(docs, "doc_id",
+        docPairs(s, dir), "id_a", "id_b")
     })
   }
 
@@ -189,9 +203,8 @@ object SparkEntry {
     purgeStopped(starClusterCache)
     starClusterCache.computeIfAbsent((s, dir), _ => {
       val docs = tbl(s, dir, "documents").select(col("doc_id"))
-      val pairs = graft.ops.Dedup.minhashLshPairsOf(
-        docShingles(s, dir, 5), k = 4, rowsPerBand = 2, minJaccard = 0.5)
-      graft.ops.Cluster.connectedComponentsStar(docs, "doc_id", pairs, "id_a", "id_b")
+      graft.ops.Cluster.connectedComponentsStar(docs, "doc_id",
+        docPairs(s, dir), "id_a", "id_b")
     })
   }
 
@@ -2297,12 +2310,10 @@ object SparkEntry {
     //      one pairing pass (q45's memoized shingles), one CC per
     //      cutoff on the filtered pair table ----
     "q184_dividend_curve" -> ((s, dir) => {
-      val pairs = Dedup.minhashLshPairsOf(
-        docShingles(s, dir, 5), k = 4, rowsPerBand = 2, minJaccard = 0.5)
       val d = tbl(s, dir, "documents")
       graft.ops.Cluster.dividendCurve(
         d.select(col("doc_id")), "doc_id",
-        pairs, "id_a", "id_b", "jaccard",
+        docPairs(s, dir), "id_a", "id_b", "jaccard",
         d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("_nt")),
         "doc_id", "_nt", Seq(0.5, 0.7, 0.9))
     }))
