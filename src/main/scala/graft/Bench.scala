@@ -105,6 +105,16 @@ object Bench {
       .map { case (n, w) => "\"" + n + "\":" + math.round(w * 1000) / 1000.0 }
       .mkString("{", ",", "}")
     println(s"""{"metric":"summary","total":${math.round(total * 1000) / 1000.0},"cpu_sec":${math.round(cpuSec * 10) / 10.0},"queries_ok":${results.count(_._2.isDefined)},"failed":${failed.size},"slowest":$slowest}""")
+    // per-query WALL history, chunked so every line individually fits the
+    // archived tail (round-10 verdict #3: the big line's wall map gets
+    // clipped; what survived was CPU-only, making round-over-round wall
+    // diffs impossible). Milliseconds keep each entry short; these lines
+    // are LAST so the tail always keeps them.
+    val wallMs = results.map { case (n, b) =>
+      "\"" + n + "\":" + b.map(v => math.round(v._1 * 1000).toString).getOrElse("null") }
+    val chunks = wallMs.grouped(40).toSeq
+    for ((c, i) <- chunks.zipWithIndex)
+      println(s"""{"metric":"wall_ms","part":${i + 1},"parts":${chunks.size},"q":${c.mkString("{", ",", "}")}}""")
     spark.stop()
     // a broken query must fail the bench loudly, not report a fast time
     if (failed.nonEmpty) {
@@ -113,3 +123,4 @@ object Bench {
     }
   }
 }
+

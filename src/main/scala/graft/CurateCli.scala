@@ -1179,15 +1179,34 @@ object CurateCli {
           // doc/token mass
           val sh = Dedup.shingleSets(in, idCol, textCol,
             argv.getOrElse("--ngram", "5").toInt, scope)
+          // with --thresholds the pair table must reach DOWN to the
+          // lowest requested cutoff: pairs with jaccard in
+          // [cutoff, minJaccard) would otherwise never be emitted and
+          // every curve point below --min-jaccard silently under-prices
+          // (round-10 advice). An explicit --min-jaccard above the lowest
+          // cutoff is a contradiction — fail loudly, don't guess.
+          val curveCuts = argv.get("--thresholds")
+            .map(_.split(",").toSeq.map(_.trim.toDouble))
+          val minJ = argv.get("--min-jaccard").map(_.toDouble) match {
+            case Some(mj) =>
+              for (cuts <- curveCuts if cuts.min < mj)
+                throw new IllegalArgumentException(
+                  s"--thresholds includes ${cuts.min} below --min-jaccard $mj: " +
+                    "pairs under the floor are never generated, so that curve " +
+                    "point would silently under-price; lower --min-jaccard or " +
+                    "raise the threshold")
+              mj
+            case None => curveCuts.map(_.min).getOrElse(0.5).min(0.5)
+          }
           val pairs = Dedup.minhashLshPairsOf(sh,
             k = argv.getOrElse("--minhash-k", "4").toInt,
             rowsPerBand = argv.getOrElse("--rows-per-band", "2").toInt,
-            minJaccard = argv.getOrElse("--min-jaccard", "0.5").toDouble)
+            minJaccard = minJ)
           // `--thresholds 0.5,0.7,0.9` writes the q184 CURVE (the
           // cutoff decision table, one CC per cutoff on the same pair
           // table) instead of the per-group q181 report
-          write(argv.get("--thresholds") match {
-            case Some(ts) =>
+          write(curveCuts match {
+            case Some(cuts) =>
               for (_ <- argv.get("--group-col"))
                 throw new IllegalArgumentException(
                   "--group-col does not apply with --thresholds (the " +
@@ -1196,8 +1215,7 @@ object CurateCli {
                 pairs, "id_a", "id_b", "jaccard",
                 in.select(col(idCol),
                   TextAnalysis.tokenCount(col(textCol)).as("_nt")),
-                idCol, "_nt", ts.split(",").toSeq.map(_.trim.toDouble),
-                scope)
+                idCol, "_nt", cuts, scope)
             case None =>
               val comps = Cluster.connectedComponents(
                 in.select(col(idCol)), idCol, pairs, "id_a", "id_b",
@@ -1682,3 +1700,4 @@ object CurateCli {
     if (!preexisting) spark.stop()
   }
 }
+

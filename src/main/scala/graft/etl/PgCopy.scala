@@ -19,10 +19,13 @@ import org.apache.spark.sql.types.StringType
   *    re-entering through [[CsvSource.read]] — the SAME verbatim-string
   *    door every file source uses.
   *
-  * Scale shape: data never flows through this JVM's heap — `COPY TO` /
-  * `COPY FROM` stream between the database and local CSV files, and
-  * Spark reads/writes those files with its normal splittable CSV path.
-  * The write ships one COPY per Spark part file. A 1000-executor
+  * Scale shape: data never flows through this JVM's heap as driver
+  * objects — `COPY TO` / `COPY FROM` stream between the database and
+  * local CSV files, and Spark reads/writes those files with its normal
+  * CSV path (the read eagerly localCheckpoints into the block manager,
+  * MEMORY_AND_DISK, so the temp dump can be deleted immediately instead
+  * of leaking one CSV copy per table per daily loop). The write ships
+  * one COPY per Spark part file. A 1000-executor
   * deployment would point `psql` at shared storage or pipe per-partition
   * streams; the single-box shape here is the same two-hop bulk dance.
   *
@@ -61,7 +64,10 @@ object PgCopy {
     catch { case _: ClassNotFoundException => false }
 
   /** Run one psql statement; returns stdout, throws with stderr attached
-    * on any nonzero exit. */
+    * on any nonzero exit. stderr is drained on its own thread WHILE stdout
+    * is read — a sequential read-stdout-then-stderr deadlocks when psql
+    * fills the ~64 KB stderr pipe (verbose COPY notices) before stdout
+    * closes, because neither side can make progress. */
   private[etl] def psql(u: PgUrl, sql: String): String = {
     val cmd = new java.util.ArrayList[String]()
     Seq("psql", "-X", "-q", "-v", "ON_ERROR_STOP=1", "-h", u.host,
@@ -70,12 +76,26 @@ object PgCopy {
     val pb = new ProcessBuilder(cmd)
     u.password.foreach(p => pb.environment().put("PGPASSWORD", p))
     val proc = pb.start()
+    @volatile var err = ""
+    val drain = new Thread(() => {
+      err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
+    }, "pgcopy-stderr-drain")
+    drain.setDaemon(true)
+    drain.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
+    drain.join()
     val code = proc.waitFor()
     if (code != 0) throw new IllegalStateException(
       s"psql exited $code for: $sql\n$err")
     out
+  }
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   private def qident(name: String): String =
@@ -92,47 +112,76 @@ object PgCopy {
     * folded to "", `_row_idx` ordering column). The reader is RFC-4180
     * (multiLine + quote-doubling) because Postgres text columns — unlike
     * the reference's health CSVs — legitimately hold newlines and
-    * quotes; `NULL '\N'` keeps genuine NULLs distinguishable from empty
-    * strings in the dump (both fold to "" at the contract boundary,
-    * K2's rule). multiLine reads the dump unsplit — the dump file is
-    * one COPY stream anyway. */
+    * quotes. The dump uses COPY csv's DEFAULT null (unquoted empty):
+    * genuine NULL and empty string both fold to "" at the contract
+    * boundary (K2's rule) so distinguishing them buys nothing, while a
+    * `NULL '\N'` sentinel would make Spark's reader — which can't tell
+    * quoted from unquoted fields — swallow a LITERAL `\N` string as
+    * NULL. multiLine reads the dump unsplit — the dump file is one COPY
+    * stream anyway.
+    *
+    * The dump dir is DELETED before returning: the frame is eagerly
+    * `localCheckpoint`ed (block-manager MEMORY_AND_DISK, lineage
+    * truncated) so the returned DataFrame no longer references the temp
+    * file — a long-lived driver doing daily loops must not accumulate
+    * one CSV copy of every table it ever moved. The `file://` prefix
+    * pins the read to the local FS: on a cluster whose default FS is
+    * HDFS, a bare local path would resolve remotely and fail
+    * mysteriously; this fails loudly at the right layer instead. */
   def readTable(spark: SparkSession, u: PgUrl, table: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("pgcopy_in")
-    val file = dir.resolve(s"${table.toLowerCase}.csv")
-    psql(u, s"\\copy (SELECT * FROM ${qident(table)}) TO '$file' " +
-      "WITH (FORMAT csv, HEADER, NULL '\\N')")
-    val raw = spark.read
-      .option("header", "true").option("inferSchema", "false")
-      .option("multiLine", "true").option("escape", "\"")
-      .option("nullValue", "\\N").option("mode", "PERMISSIVE")
-      .csv(file.toString)
-    CsvSource.withRowIdx(CsvSource.allString(raw).na.fill(""))
+    try {
+      val file = dir.resolve(s"${table.toLowerCase}.csv")
+      psql(u, s"\\copy (SELECT * FROM ${qident(table)}) TO '$file' " +
+        "WITH (FORMAT csv, HEADER)")
+      val raw = spark.read
+        .option("header", "true").option("inferSchema", "false")
+        .option("multiLine", "true").option("escape", "\"")
+        .option("mode", "PERMISSIVE")
+        .csv(s"file://$file")
+      CsvSource.withRowIdx(CsvSource.allString(raw).na.fill(""))
+        .localCheckpoint(true)
+    } finally deleteRecursively(dir)
   }
 
   /** All-Text write (K2): CREATE TABLE with every column `text`, then one
     * COPY per Spark part file. RFC-4180 quoting on both sides (Spark's
-    * `escape = "` doubles quotes exactly as COPY csv expects). */
+    * `escape = "` doubles quotes exactly as COPY csv expects).
+    *
+    * `quoteAll` is load-bearing, not style: Spark's writer leaves a field
+    * whose literal value is the two characters `\N` UNQUOTED, and COPY's
+    * `NULL '\N'` rule only matches unquoted fields — without quoting,
+    * that exact string silently lands as SQL NULL (Postgres's own
+    * COPY TO quotes NULL-lookalikes; Spark does not). Quoting every
+    * field makes the bare `\N` token unreachable from data. The dump dir
+    * is consumed by the COPY loop and deleted in a `finally`; the
+    * explicit `file://` write target fails loudly if the session's
+    * default FS isn't local (the listFiles loop below requires it). */
   def writeTable(df: DataFrame, u: PgUrl, table: String): Unit = {
     val cols = df.columns.map(_.toLowerCase)
     val allString = df.select(df.columns.zip(cols).map { case (c, lc) =>
       col(c).cast(StringType).as(lc) }: _*).na.fill("")
     val dir = java.nio.file.Files.createTempDirectory("pgcopy_out")
-    allString.write.mode("overwrite")
-      .option("header", "false").option("escape", "\"")
-      .option("emptyValue", "").option("nullValue", "\\N")
-      // Spark's CSV WRITER trims field whitespace by default — verbatim
-      // strings must survive the hop byte-for-byte
-      .option("ignoreLeadingWhiteSpace", "false")
-      .option("ignoreTrailingWhiteSpace", "false")
-      .csv(dir.toString)
-    val ddlCols = cols.map(c => s"${qident(c)} text").mkString(", ")
-    psql(u, s"DROP TABLE IF EXISTS ${qident(table)}")
-    psql(u, s"CREATE TABLE ${qident(table)} ($ddlCols)")
-    val parts = new java.io.File(dir.toString).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
-      .sortBy(_.getName)
-    for (p <- parts)
-      psql(u, s"\\copy ${qident(table)} FROM '${p.getAbsolutePath}' " +
-        "WITH (FORMAT csv, NULL '\\N')")
+    try {
+      allString.write.mode("overwrite")
+        .option("header", "false").option("escape", "\"")
+        .option("emptyValue", "").option("nullValue", "\\N")
+        .option("quoteAll", "true")
+        // Spark's CSV WRITER trims field whitespace by default — verbatim
+        // strings must survive the hop byte-for-byte
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(s"file://$dir")
+      val ddlCols = cols.map(c => s"${qident(c)} text").mkString(", ")
+      psql(u, s"DROP TABLE IF EXISTS ${qident(table)}")
+      psql(u, s"CREATE TABLE ${qident(table)} ($ddlCols)")
+      val parts = new java.io.File(dir.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+        .sortBy(_.getName)
+      for (p <- parts)
+        psql(u, s"\\copy ${qident(table)} FROM '${p.getAbsolutePath}' " +
+          "WITH (FORMAT csv, NULL '\\N')")
+    } finally deleteRecursively(dir)
   }
 }
+

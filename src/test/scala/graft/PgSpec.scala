@@ -21,6 +21,7 @@ class PgSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = Golden.spark
 
   private val Port = 54329
+  private val suiteStartMs = System.currentTimeMillis()
   private var dataDir: java.io.File = _
   private var serverUp = false
 
@@ -112,12 +113,24 @@ class PgSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2", "comma, inside", "quote \" inside"),
       ("3", "", "tab\there"),
       ("4", "newline\nin field", "both \",\n\" of them"),
-      ("5", "trailing space ", " leading"))
+      ("5", "trailing space ", " leading"),
+      // the COPY NULL-token lookalike: unquoted this lands as SQL NULL
+      // (quoteAll on the write makes it unreachable), and a read-side
+      // NULL '\N' sentinel would swallow it coming back
+      ("6", "\\N", "a \\N b"))
     rows.toDF("id", "a", "b").createOrReplaceTempView("_pg_rt")
     PgCopy.writeTable(sess.table("_pg_rt"), u, "rt")
     val back = PgCopy.readTable(sess, u, "rt").drop(CsvSource.RowIdx)
       .as[(String, String, String)].collect().toSet
     assert(back == rows.toSet)
+  }
+
+  test("PgCopy leaves no temp dump dirs behind (declared after the matrix ran)") {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val leaked = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("pgcopy_in") || f.getName.startsWith("pgcopy_out"))
+      .filter(_.lastModified() >= suiteStartMs)
+    assert(leaked.isEmpty, s"leaked: ${leaked.map(_.getName).mkString(", ")}")
   }
 
   test("postgresql:// coordinates parse and dispatch (no server needed)") {
