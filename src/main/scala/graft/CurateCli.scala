@@ -314,11 +314,12 @@ object CurateCli {
       "--multiprobe")),
     "split" -> (CommonOptions ++ Set("--key-col", "--splits",
       "--leakage-safe", "--ngram", "--minhash-k", "--rows-per-band",
-      "--min-jaccard")),
+      "--min-jaccard", "--cc-strategy")),
     "diversity" -> (CommonOptions ++ Set("--group-col", "--ngrams",
       "--approx")),
     "dividend" -> (CommonOptions ++ Set("--group-col", "--ngram",
-      "--minhash-k", "--rows-per-band", "--min-jaccard", "--thresholds")),
+      "--minhash-k", "--rows-per-band", "--min-jaccard", "--thresholds",
+      "--cc-strategy")),
     "labelaudit" -> (Set("--in", "--out", "--in-format", "--out-format")
       ++ Set("--label-col", "--pred-col")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
@@ -1152,14 +1153,18 @@ object CurateCli {
               k = argv.getOrElse("--minhash-k", "4").toInt,
               rowsPerBand = argv.getOrElse("--rows-per-band", "2").toInt,
               minJaccard = argv.getOrElse("--min-jaccard", "0.5").toDouble)
-            val comps = Cluster.connectedComponents(
+            // --cc-strategy defaults to auto: an unattended split job on a
+            // boilerplate megacluster should degrade to the logarithmic
+            // star rounds, not die at label propagation's diameter cap
+            val comps = Cluster.resolveComponents(
+              argv.getOrElse("--cc-strategy", "auto"),
               in.select(col(idCol)), idCol, pairs, "id_a", "id_b",
               scope = scope)
             in.join(Cluster.leakageSafeSplit(comps, idCol, "component", splits)
               .drop("component"), Seq(idCol))
           } else {
             for (o <- Seq("--ngram", "--minhash-k", "--rows-per-band",
-                "--min-jaccard"); _ <- argv.get(o))
+                "--min-jaccard", "--cc-strategy"); _ <- argv.get(o))
               throw new IllegalArgumentException(
                 s"$o only applies with --leakage-safe Y")
             in.withColumn("split",
@@ -1215,9 +1220,11 @@ object CurateCli {
                 pairs, "id_a", "id_b", "jaccard",
                 in.select(col(idCol),
                   TextAnalysis.tokenCount(col(textCol)).as("_nt")),
-                idCol, "_nt", cuts, scope)
+                idCol, "_nt", cuts, scope,
+                strategy = argv.getOrElse("--cc-strategy", "auto"))
             case None =>
-              val comps = Cluster.connectedComponents(
+              val comps = Cluster.resolveComponents(
+                argv.getOrElse("--cc-strategy", "auto"),
                 in.select(col(idCol)), idCol, pairs, "id_a", "id_b",
                 scope = scope)
               Cluster.dedupDividend(comps, idCol, "component",

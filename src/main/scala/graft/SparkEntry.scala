@@ -2316,6 +2316,19 @@ object SparkEntry {
         docPairs(s, dir), "id_a", "id_b", "jaccard",
         d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("_nt")),
         "doc_id", "_nt", Seq(0.5, 0.7, 0.9))
+    }),
+
+    // ---- Auto CC strategy (round-11): the wired-in escape hatch —
+    //      label propagation probed for a few rounds, star fallback on
+    //      non-convergence (megacluster pathology degrades to the
+    //      logarithmic rounds instead of throwing). Third engine path,
+    //      same q45 oracle: divergence fails the gate ----
+    "q188_cc_auto" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      graft.ops.Cluster.connectedComponentsAuto(docs, "doc_id",
+        docPairs(s, dir), "id_a", "id_b")
+        .select(col("doc_id"), col("component").as("cluster_id"),
+          when(col("doc_id") === col("component"), 1).otherwise(0).as("is_canonical"))
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -5485,6 +5498,10 @@ object SparkEntry {
     // q180: q45's oracle verbatim — the star variant must resolve the
     // identical components
     "q180_cc_star" -> dedupClustersOracle,
+
+    // q188: q45's oracle verbatim again — the auto strategy (labelprop
+    // probe + star fallback) must also resolve identical components
+    "q188_cc_auto" -> dedupClustersOracle,
 
     // q167: one UNION ALL branch per profiled column; min/max computed
     // in the column's type, cast to VARCHAR after

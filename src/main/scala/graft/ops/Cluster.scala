@@ -57,6 +57,30 @@ object Cluster {
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20,
                           scope: CacheScope = CacheScope.noop): DataFrame = {
+    val (labels, converged) =
+      labelPropagate(nodes, idCol, edges, srcCol, dstCol, maxIter, scope)
+    // a maxIter exit without fixpoint would return partially-propagated
+    // labels — silently split components (under-merged dedup clusters)
+    // on any graph whose diameter exceeds maxIter. Fail loudly instead:
+    // the caller chose the cap and can raise it (or use
+    // [[connectedComponentsAuto]], which falls back to the logarithmic
+    // star rounds instead of throwing).
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalArgumentException(
+        s"requirement failed: connectedComponents did not reach fixpoint " +
+          s"in $maxIter rounds; raise maxIter (graph diameter exceeds the cap)")
+    }
+    labels.select(col("_node").as(idCol), col("_label").as("component"))
+  }
+
+  /** Min-label propagation for up to `maxIter` rounds; returns the label
+    * frame (still cached — callers own the final unpersist) plus whether
+    * a fixpoint was reached. */
+  private def labelPropagate(nodes: DataFrame, idCol: String,
+                             edges: DataFrame, srcCol: String, dstCol: String,
+                             maxIter: Int,
+                             scope: CacheScope): (DataFrame, Boolean) = {
     // undirected: propagate along both directions of every edge
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .unionByName(edges.select(col(dstCol).as("_src"), col(srcCol).as("_dst")))
@@ -85,14 +109,39 @@ object Cluster {
       converged = changed == 0
       iter += 1
     }
-    // a maxIter exit without fixpoint would return partially-propagated
-    // labels — silently split components (under-merged dedup clusters)
-    // on any graph whose diameter exceeds maxIter. Fail loudly instead:
-    // the caller chose the cap and can raise it.
-    require(converged,
-      s"connectedComponents did not reach fixpoint in $maxIter rounds; " +
-        "raise maxIter (graph diameter exceeds the cap)")
-    labels.select(col("_node").as(idCol), col("_label").as("component"))
+    (labels, converged)
+  }
+
+  /** [[connectedComponents]] with the 100-TB escape hatch WIRED IN:
+    * min-label propagation first (the constant-factor winner on the
+    * diameter-≤3 clique graphs near-dup pairing actually produces), and
+    * when the graph turns out NOT to be that shape — a boilerplate
+    * megacluster chained past `lpRounds` of diameter — fall back to the
+    * large-star/small-star rounds ([[connectedComponentsStar]],
+    * O(log²·n) rounds) instead of throwing. The operator a pipeline
+    * schedules unattended should degrade to the logarithmic algorithm,
+    * not page an operator to re-run with a flag (round-10 verdict;
+    * StarScaleMain measured the star path 5.3× faster on a diameter-64
+    * chain, with label parity asserted at 50 k nodes).
+    *
+    * `lpRounds` caps the money burned probing the cheap path: each
+    * wasted round is one shuffle join + one agg on the (sparse) pair
+    * table, so a handful of rounds is noise next to the pairing pass
+    * that produced the edges. Label parity between both engines is
+    * pinned by ClusterSpec and StarScaleMain, so the fallback changes
+    * the round count, never the answer. */
+  def connectedComponentsAuto(nodes: DataFrame, idCol: String,
+                              edges: DataFrame, srcCol: String, dstCol: String,
+                              lpRounds: Int = 8, maxIter: Int = 30,
+                              scope: CacheScope = CacheScope.noop): DataFrame = {
+    val (labels, converged) =
+      labelPropagate(nodes, idCol, edges, srcCol, dstCol, lpRounds, scope)
+    if (converged)
+      labels.select(col("_node").as(idCol), col("_label").as("component"))
+    else {
+      labels.unpersist()
+      connectedComponentsStar(nodes, idCol, edges, srcCol, dstCol, maxIter, scope)
+    }
   }
 
   /** Connected components by alternating large-star/small-star rounds
@@ -177,6 +226,25 @@ object Cluster {
       .select(col(idCol),
         coalesce(col("_label"), col(idCol)).as("component"))
   }
+
+  /** Strategy dispatch for component resolution — the CLI's
+    * `--cc-strategy` knob and the library's one-stop entry:
+    * `labelprop` (diameter-bounded rounds, the clique-graph default),
+    * `star` (logarithmic rounds, the megacluster path), `auto`
+    * (labelprop with the star fallback wired in). */
+  def resolveComponents(strategy: String, nodes: DataFrame, idCol: String,
+                        edges: DataFrame, srcCol: String, dstCol: String,
+                        scope: CacheScope = CacheScope.noop): DataFrame =
+    strategy match {
+      case "labelprop" =>
+        connectedComponents(nodes, idCol, edges, srcCol, dstCol, scope = scope)
+      case "star" =>
+        connectedComponentsStar(nodes, idCol, edges, srcCol, dstCol, scope = scope)
+      case "auto" =>
+        connectedComponentsAuto(nodes, idCol, edges, srcCol, dstCol, scope = scope)
+      case other => throw new IllegalArgumentException(
+        s"unknown cc strategy '$other' (expected labelprop | star | auto)")
+    }
 
   /** Leakage-safe train/val/test assignment: hash-split on the resolved
     * CLUSTER id, not the document id. The q46 per-document hash split is
@@ -282,12 +350,13 @@ object Cluster {
                     jaccardCol: String,
                     sizes: DataFrame, sizeIdCol: String, sizeCol: String,
                     thresholds: Seq[Double],
-                    scope: CacheScope = CacheScope.noop): DataFrame = {
+                    scope: CacheScope = CacheScope.noop,
+                    strategy: String = "labelprop"): DataFrame = {
     require(thresholds.nonEmpty, "at least one threshold required")
     val sz = sizes.select(col(sizeIdCol).as("_did"),
       col(sizeCol).cast("long").as("_sz"))
     thresholds.map { t =>
-      val comps = connectedComponents(nodes, idCol,
+      val comps = resolveComponents(strategy, nodes, idCol,
         pairs.filter(col(jaccardCol) >= t), srcCol, dstCol, scope = scope)
       val dup = when(col("component") =!= col("_did"), 1L).otherwise(0L)
       comps.select(col(idCol).as("_did"), col("component"))

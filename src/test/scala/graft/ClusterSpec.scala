@@ -94,6 +94,65 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("auto strategy resolves the diameter-60 chain WITHOUT a flag (star fallback)") {
+    // the round-10 carry: label propagation's cap used to force the
+    // operator choice onto the caller; auto probes labelprop for a few
+    // rounds, detects non-convergence, and silently degrades to the
+    // logarithmic star rounds — same labels, no exception
+    graft.ops.CacheScope.withScope { scope =>
+      val nodes = (0L to 60L).toDF("id")
+      val edges = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+      val got = Cluster.connectedComponentsAuto(nodes, "id", edges, "a", "b",
+        scope = scope)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (0L to 60L).map(_ -> 0L).toMap)
+    }
+  }
+
+  test("auto strategy on a clique graph returns label propagation's answer") {
+    graft.ops.CacheScope.withScope { scope =>
+      val nodes = (Seq(3L, 5L, 9L, 10L, 11L, 12L, 13L, 20L)).toDF("id")
+      val edges = Seq((3L, 9L), (5L, 9L), (10L, 11L), (11L, 12L), (12L, 13L))
+        .toDF("a", "b")
+      val got = Cluster.connectedComponentsAuto(nodes, "id", edges, "a", "b",
+        scope = scope)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L))
+    }
+  }
+
+  test("resolveComponents dispatches all three strategies; unknown fails loudly") {
+    graft.ops.CacheScope.withScope { scope =>
+      val nodes = (0L to 3L).toDF("id")
+      val edges = Seq((0L, 1L), (2L, 3L)).toDF("a", "b")
+      val want = Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L)
+      for (s <- Seq("labelprop", "star", "auto")) {
+        val got = Cluster.resolveComponents(s, nodes, "id", edges, "a", "b", scope)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"strategy $s")
+      }
+      val e = intercept[IllegalArgumentException] {
+        Cluster.resolveComponents("bogus", nodes, "id", edges, "a", "b", scope)
+      }
+      assert(e.getMessage.contains("unknown cc strategy"))
+    }
+  }
+
+  test("auto fallback leaks no caches (the probe's partial labels unpersist)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    graft.ops.CacheScope.withScope { scope =>
+      val nodes = (0L to 40L).toDF("id")
+      val edges = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+      val labels = Cluster.connectedComponentsAuto(nodes, "id", edges, "a", "b",
+        scope = scope)
+      assert(labels.agg(max(col("component"))).head().getLong(0) == 0L)
+    }
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      s"leaked: ${(sc.getPersistentRDDs.keySet -- before).toSeq.sorted}")
+  }
+
   test("star variant: scoped run unpersists every round cache") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet

@@ -1359,6 +1359,63 @@ class CurateCliSpec extends AnyFunSuite {
     rm(cOut, aOut)
   }
 
+  test("dividend --thresholds below the pair floor deepens the pair table, not the error log") {
+    import graft.ops.{Cluster, Dedup, TextAnalysis}
+    val out = tmp("cli-divfloor"); rm(out)
+    // no explicit --min-jaccard: the pair table must be built down to the
+    // LOWEST requested cutoff (0.3), else that curve point under-prices
+    CurateCli.run("dividend", Map("--in" -> docsPath, "--out" -> out,
+      "--thresholds" -> "0.3,0.7"))
+    val docs = spark.read.parquet(docsPath)
+    val pairs = Dedup.minhashLshPairsOf(
+      Dedup.shingleSets(docs, "doc_id", "text", 5),
+      k = 4, rowsPerBand = 2, minJaccard = 0.3)
+    val want = Cluster.dividendCurve(docs.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b", "jaccard",
+        docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("_nt")),
+        "doc_id", "_nt", Seq(0.3, 0.7))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want && got.size == 2)
+    // the 0.3 point must price MORE than a 0.5-floor table would see
+    assert(got(0.3)._1 >= got(0.7)._1)
+    // an explicit floor ABOVE a requested cutoff is a contradiction
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("dividend", Map("--in" -> docsPath, "--out" -> out,
+        "--thresholds" -> "0.3,0.7", "--min-jaccard" -> "0.5"))
+    }
+    assert(e.getMessage.contains("under-price"))
+    rm(out)
+  }
+
+  test("--cc-strategy selects the component engine; all three agree; bogus fails loudly") {
+    val outA = tmp("cli-ccauto"); val outS = tmp("cli-ccstar"); rm(outA, outS)
+    CurateCli.run("split", Map("--in" -> docsPath, "--out" -> outA,
+      "--leakage-safe" -> "Y", "--cc-strategy" -> "auto"))
+    CurateCli.run("split", Map("--in" -> docsPath, "--out" -> outS,
+      "--leakage-safe" -> "Y", "--cc-strategy" -> "star"))
+    def splits(p: String) = spark.read.parquet(p)
+      .select(col("doc_id"), col("split").cast("string"))
+      .as[(Long, String)].collect().toMap
+    val a = splits(outA); val s = splits(outS)
+    assert(a == s && a.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("split", Map("--in" -> docsPath, "--out" -> outA,
+        "--leakage-safe" -> "Y", "--cc-strategy" -> "bogus"))
+    }
+    assert(e.getMessage.contains("unknown cc strategy"))
+    // the knob belongs to leakage-safe mode only
+    val e2 = intercept[IllegalArgumentException] {
+      CurateCli.run("split", Map("--in" -> docsPath, "--out" -> outA,
+        "--cc-strategy" -> "auto"))
+    }
+    assert(e2.getMessage.contains("--cc-strategy"))
+    rm(outA, outS)
+  }
+
   test("labelaudit command reproduces the confusion table over given columns") {
     import graft.ops.TextAnalysis
     val inDir = tmp("cli-la-in"); val out = tmp("cli-la"); rm(inDir, out)
