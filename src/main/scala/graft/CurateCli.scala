@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CacheScope, Cluster, Corpus, Dedup, Pipeline, Shard, TextAnalysis}
+import graft.ops.{CacheScope, Cluster, Corpus, Dedup, Multimodal, Pipeline, Shard, TextAnalysis}
 
 /** CLI front door for the curation surface — the reference is a CLI tool
   * end-to-end (`cli/command.py:9-21`, which fronts the ETL the same way
@@ -322,6 +322,8 @@ object CurateCli {
       "--cc-strategy")),
     "labelaudit" -> (Set("--in", "--out", "--in-format", "--out-format")
       ++ Set("--label-col", "--pred-col")),
+    "phashdup" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
+      ++ Set("--payload-col", "--max-dist", "--bands", "--max-per-bucket")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -1240,6 +1242,26 @@ object CurateCli {
           write(TextAnalysis.labelAgreement(in,
             argv.getOrElse("--label-col", "lang"),
             argv.getOrElse("--pred-col", "pred_lang")), out)
+
+        case "phashdup" =>
+          // perceptual near-dup pairs over a BINARY payload column
+          // (q187): dHash signatures, Hamming-band candidate join; a
+          // string column is encoded UTF-8 first (the q68 stub-decode
+          // discipline — swap in real media bytes without CLI changes)
+          val pc = argv.getOrElse("--payload-col", "payload")
+          require(in.columns.contains(pc),
+            s"--payload-col '$pc' not in input columns ${in.columns.mkString(",")}")
+          val payload = in.schema(pc).dataType match {
+            case org.apache.spark.sql.types.BinaryType => col(pc)
+            case org.apache.spark.sql.types.StringType => encode(col(pc), "utf-8")
+            case other => throw new IllegalArgumentException(
+              s"--payload-col must be binary or string, got $other")
+          }
+          write(Multimodal.perceptualDupPairs(
+            in.select(col(idCol), payload.as("_payload")), idCol, "_payload",
+            maxDist = argv.getOrElse("--max-dist", "6").toInt,
+            nBands = argv.getOrElse("--bands", "4").toInt,
+            maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt), out)
 
         case "diversity" =>
           // the distinct-n-gram census (q177): per (group, n) total vs

@@ -2329,6 +2329,36 @@ object SparkEntry {
         docPairs(s, dir), "id_a", "id_b")
         .select(col("doc_id"), col("component").as("cluster_id"),
           when(col("doc_id") === col("component"), 1).otherwise(0).as("is_canonical"))
+    }),
+
+    // ---- Perceptual-hash near-dup rung for BINARY columns (round-11):
+    //      dHash signatures (native expression, q68's deterministic stub
+    //      decode + the real 9×8 grid/compare/pack) banded into Hamming-
+    //      ball buckets — the multimodal twin of the text side's SimHash
+    //      rung; candidates from a band equi-join, never all-pairs. The
+    //      corpus has no byte-identical payloads, so the gate unions a
+    //      deterministic FIRST-BYTE mutant per doc (id + 1e6): same
+    //      length keeps the cell binning, so only cell 0's mean moves —
+    //      every (doc, mutant) pair is provably within Hamming 1 and
+    //      the rung must find all 500 ----
+    "q187_phash_neardup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+      val packed = Multimodal.packBinary(d.unionByName(mut), "doc_id", "text")
+      Multimodal.perceptualDupPairs(packed, "doc_id", "payload",
+        maxDist = 6, nBands = 4)
+    }),
+
+    // ---- dHash signature parity (round-11): every doc's full 64-bit
+    //      perceptual hash (negative longs included — bit 63 is set for
+    //      most of the corpus) and its four 16-bit Hamming bands,
+    //      value-for-value against the DuckDB hex-arithmetic replay ----
+    "q189_phash_sig" -> ((s, dir) => {
+      val packed = Multimodal.packBinary(tbl(s, dir, "documents"), "doc_id", "text")
+      val sig = packed.select(col("doc_id"), Multimodal.dHash(col("payload")).as("phash"))
+      sig.select(col("doc_id") +: col("phash") +: (0 until 4).map(b =>
+        shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L)).as(s"b$b")): _*)
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -3021,6 +3051,62 @@ object SparkEntry {
        |       CAST(3 AS INT) AS channels,
        |       round((bsum % 256) / 255.0, 4) AS brightness
        |FROM s""".stripMargin
+
+  /** The q187/q189 dHash CTE chain: the signature replayed from
+    * hex(payload) byte arithmetic (the q68 pattern — the stub decode is
+    * deterministic, so DuckDB recomputes the exact 72-cell means, 64
+    * comparison bits and the packing; `(-q - 1)` builds Long.MIN for
+    * bit 63 because DuckDB rejects `1::BIGINT << 63`). Exactness rests
+    * on both engines summing exact integer byte values and dividing as
+    * IEEE doubles. `src` selects the (doc_id, text) corpus, so the pairs
+    * gate can hash the mutant union through the same chain. */
+  private def phashCtes(src: String): String =
+    s"""WITH d AS ($src),
+      |b AS (SELECT doc_id, encode(text) AS bin FROM d),
+      |m AS (SELECT doc_id, octet_length(bin) AS len, hex(bin) AS hx FROM b),
+      |by AS (SELECT m.doc_id, m.len, u.j AS j,
+      |  (strpos('0123456789ABCDEF', substr(m.hx, 2*u.j + 1, 1)) - 1) * 16 +
+      |  (strpos('0123456789ABCDEF', substr(m.hx, 2*u.j + 2, 1)) - 1) AS v
+      |  FROM m, unnest(range(0, m.len)) u(j)),
+      |cells AS (SELECT doc_id, (j * 72) // len AS cell, sum(v) AS s, count(*) AS c
+      |  FROM by GROUP BY 1, 2),
+      |allc AS (SELECT m.doc_id, u.cell FROM m, unnest(range(0, 72)) u(cell)
+      |  WHERE m.len > 0),
+      |grid AS (SELECT a.doc_id, a.cell,
+      |    coalesce(CAST(c.s AS DOUBLE) / c.c, 0.0) AS val
+      |  FROM allc a LEFT JOIN cells c USING (doc_id, cell)),
+      |bits AS (SELECT g0.doc_id, ((g0.cell // 9) * 8 + (g0.cell % 9)) AS k
+      |  FROM grid g0 JOIN grid g1 ON g0.doc_id = g1.doc_id AND g1.cell = g0.cell + 1
+      |  WHERE g0.cell % 9 < 8 AND g1.val > g0.val),
+      |hashes AS (SELECT m.doc_id,
+      |    CAST(coalesce(sum(CASE WHEN bt.k = 63 THEN (-9223372036854775807 - 1)
+      |      ELSE (1::BIGINT << CAST(bt.k AS INT)) END), 0) AS BIGINT) AS h
+      |  FROM m LEFT JOIN bits bt USING (doc_id) GROUP BY 1)""".stripMargin
+
+  /** q187's oracle: dHash over documents ∪ first-byte mutants, the same
+    * 4×16-bit band equi-join for candidates, Hamming ≤ 6 verify. */
+  private val phashOracle: String =
+    phashCtes("""SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      |   'Z' || substr(text, 2) AS text FROM documents""".stripMargin) +
+    """,
+      |bands AS (SELECT doc_id, h, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
+      |  FROM hashes, unnest(range(0, 4)) u(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+      |    a.h AS ha, bb.h AS hb
+      |  FROM bands a JOIN bands bb
+      |    ON a.b = bb.b AND a.v = bb.v AND a.doc_id < bb.doc_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS dist
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin
+
+  /** q189's oracle: the full signed 64-bit signature + its four bands. */
+  private val phashSigOracle: String =
+    phashCtes("SELECT doc_id, text FROM documents") +
+    """
+      |SELECT doc_id, h AS phash,
+      |  ((h >> 0) & 65535) AS b0, ((h >> 16) & 65535) AS b1,
+      |  ((h >> 32) & 65535) AS b2, ((h >> 48) & 65535) AS b3
+      |FROM hashes""".stripMargin
 
   /** q75's oracle: the Morton interleave replayed as an explicit 16-term
     * shift/mask/sum (DuckDB has no bit-interleave builtin — exactness of
@@ -5502,6 +5588,12 @@ object SparkEntry {
     // q188: q45's oracle verbatim again — the auto strategy (labelprop
     // probe + star fallback) must also resolve identical components
     "q188_cc_auto" -> dedupClustersOracle,
+
+    // q187: perceptual-hash near-dup pairs replayed from hex byte math
+    "q187_phash_neardup" -> phashOracle,
+
+    // q189: the raw 64-bit dHash + band parity, value-for-value
+    "q189_phash_sig" -> phashSigOracle,
 
     // q167: one UNION ALL branch per profiled column; min/max computed
     // in the column's type, cast to VARCHAR after

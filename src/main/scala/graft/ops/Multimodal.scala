@@ -52,6 +52,74 @@ object Multimodal {
       .otherwise(array().cast("array<struct<frame_idx:int,frame:binary>>"))
   }
 
+  /** Perceptual difference hash of a binary payload — 64-bit signature,
+    * small Hamming distance ⇔ perceptually near ([[graft.functions.DHash64]];
+    * the decode step is the q68 deterministic stub, the grid/compare/pack
+    * structure is real dHash). Native codegen'd: runs in the scan stage,
+    * only 8-byte signatures leave it. */
+  def dHash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.DHash64.dhash64(payload)
+
+  /** Hamming distance between two [[dHash]] signatures (0–64). */
+  def dHashDistance(a: org.apache.spark.sql.Column,
+                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Perceptual near-dup pairs over a binary payload column — the
+    * multimodal rung beside the text side's eleven: all payload pairs
+    * within Hamming distance `maxDist` of each other's [[dHash]], found
+    * WITHOUT an all-pairs pass.
+    *
+    * Candidate generation is the banded Hamming-ball trick the text side
+    * already uses for MinHash/SimHash (split the 64-bit signature into
+    * `nBands` equal bit-bands; two signatures within Hamming distance
+    * < nBands MUST agree exactly on at least one band — pigeonhole — so
+    * candidates come from a band-value EQUI-JOIN, never a cross join).
+    * Distances in [nBands, maxDist] are found only when a band happens
+    * to agree — the standard LSH recall trade, identical on the oracle
+    * side because the gate replays the same banding.
+    *
+    * Scale shape: signatures are computed once in the scan stage (8
+    * bytes/row), the band frame is `nBands` rows × ~24 bytes, and the
+    * equi-join shuffles on (band, value) — at 100 TB only signature
+    * slivers move, payloads never do. `maxPerBucket` caps pathological
+    * buckets (a constant-payload flood collides everywhere): keep the
+    * `maxPerBucket` LOWEST ids per bucket, a deterministic skew bound —
+    * same discipline as the MinHash banding cap. Returns
+    * (id_a, id_b, dist), id_a < id_b, each pair once. */
+  def perceptualDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                         maxDist: Int = 6, nBands: Int = 4,
+                         maxPerBucket: Int = 0): DataFrame = {
+    require(nBands >= 2 && 64 % nBands == 0,
+      s"nBands must be >= 2 and divide 64, got $nBands")
+    require(maxDist >= 0 && maxDist <= 64, s"maxDist in [0,64], got $maxDist")
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
+    val sig = df.select(col(idCol).as("_id"), dHash(col(payloadCol)).as("_sig"))
+    val banded = sig.select(col("_id"), col("_sig"),
+      explode(array((0 until nBands).map(b => struct(
+        lit(b).as("_b"),
+        shiftright(col("_sig"), b * bandBits).bitwiseAND(lit(mask)).as("_v"))): _*)).as("_band"))
+      .select(col("_id"), col("_sig"),
+        col("_band._b").as("_b"), col("_band._v").as("_v"))
+    val capped =
+      if (maxPerBucket <= 0) banded
+      else banded.withColumn("_rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_b"), col("_v")).orderBy(col("_id"))))
+        .filter(col("_rn") <= maxPerBucket).drop("_rn")
+    val a = capped.select(col("_b"), col("_v"),
+      col("_id").as("id_a"), col("_sig").as("_sa"))
+    val b = capped.select(col("_b"), col("_v"),
+      col("_id").as("id_b"), col("_sig").as("_sb"))
+    a.join(b, Seq("_b", "_v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        dHashDistance(col("_sa"), col("_sb")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   final case class MediaFeature(id: Long, width: Int, height: Int, channels: Int, brightness: Double)
 
   /** STUB decoder — deterministic fake deriving pseudo-dimensions from the

@@ -1391,6 +1391,35 @@ class CurateCliSpec extends AnyFunSuite {
     rm(out)
   }
 
+  test("phashdup command finds perceptual pairs like the library path") {
+    import graft.ops.Multimodal
+    val out = tmp("cli-phash"); rm(out)
+    // docsPath carries a STRING text column — the CLI encodes it UTF-8,
+    // exactly what packBinary does on the library side
+    CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> out,
+      "--payload-col" -> "text", "--max-dist" -> "20", "--bands" -> "4"))
+    val docs = spark.read.parquet(docsPath)
+    val want = Multimodal.perceptualDupPairs(
+        Multimodal.packBinary(docs, "doc_id", "text"), "doc_id", "payload",
+        maxDist = 20, nBands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val got = spark.read.parquet(out)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+    // a payload column that is neither binary nor string fails loudly
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> out,
+        "--payload-col" -> "doc_id"))
+    }
+    assert(e.getMessage.contains("binary or string"))
+    val e2 = intercept[IllegalArgumentException] {
+      CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> out,
+        "--payload-col" -> "nope"))
+    }
+    assert(e2.getMessage.contains("--payload-col"))
+    rm(out)
+  }
+
   test("--cc-strategy selects the component engine; all three agree; bogus fails loudly") {
     val outA = tmp("cli-ccauto"); val outS = tmp("cli-ccstar"); rm(outA, outS)
     CurateCli.run("split", Map("--in" -> docsPath, "--out" -> outA,

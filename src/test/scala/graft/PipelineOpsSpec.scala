@@ -276,6 +276,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(frames.forall(_._3 == 32), "every sampled frame is full-size")
   }
 
+  test("dHash: identity is distance 0, a first-byte edit stays within 1 bit, rotation is far") {
+    import graft.ops.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val rows = Seq(
+      (0L, base),                       // original
+      (1L, base),                       // byte-identical twin -> dist 0
+      (2L, "Z" + base.drop(1)),         // same length, first byte edited:
+                                        // only cell 0's mean moves -> <= 1 bit
+      (3L, base.drop(17) + base.take(17)), // rotation: every cell re-bins
+      (4L, ""),                          // empty payload -> hash 0
+      (5L, "ab")                         // shorter than the 72-cell grid
+    ).toDF("doc_id", "t")
+    val packed = Multimodal.packBinary(rows, "doc_id", "t")
+    val sigs = packed.select(col("doc_id"), Multimodal.dHash(col("payload")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(1L), "identical payloads hash identically")
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) <= 1,
+      "a same-length first-byte edit moves only the cell-0 comparison")
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) > 6,
+      "a rotation re-bins every cell - perceptually far")
+    assert(sigs(4L) == 0L, "empty payload hashes to 0")
+    // the expression and its driver-side reference arithmetic agree
+    // (eval path, codegen path and the oracle share DHash64.hash)
+    for ((id, t) <- Seq((0L, base), (5L, "ab")))
+      assert(sigs(id) == graft.functions.DHash64.hash(t.getBytes("UTF-8")))
+
+    val pairs = Multimodal.perceptualDupPairs(packed, "doc_id", "payload",
+        maxDist = 6, nBands = 4)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs((0L, 2L)) <= 1 && pairs((1L, 2L)) <= 1)
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)),
+      "the rotation must not enter the Hamming-6 ball")
+    // each pair exactly once despite colliding in several bands
+    assert(pairs.keys.toSeq.distinct.size == pairs.size)
+
+    // maxPerBucket keeps the LOWEST ids deterministically: with three
+    // identical payloads and cap 2, id 2's bands are dropped everywhere,
+    // so only (0,1) survives
+    val trip = Multimodal.packBinary(
+      Seq((0L, base), (1L, base), (2L, base)).toDF("doc_id", "t"), "doc_id", "t")
+    val capped = Multimodal.perceptualDupPairs(trip, "doc_id", "payload",
+        maxDist = 0, nBands = 4, maxPerBucket = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((0L, 1L)))
+
+    intercept[IllegalArgumentException] {
+      Multimodal.perceptualDupPairs(packed, "doc_id", "payload", nBands = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.perceptualDupPairs(packed, "doc_id", "payload", maxDist = 65)
+    }
+  }
+
   test("quantizeMaxAbs: dequantized error bounded by 0.5/scale, zero vector null") {
     val vecs = (0 until 50).map(i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j) * (1 + i)))).toDF("id", "v")

@@ -203,6 +203,17 @@ class PlanSpec extends AnyFunSuite {
       s"candidates must come from the bucket equi-join\n$p")
   }
 
+  test("q187 phash pairs: band equi-join on signature slivers, payloads stay in the scan stage") {
+    val p = plan("q187_phash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the Hamming-band equi-join\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join\n$p")
+    // the 8-byte signature is computed by the native expression in the
+    // scan-side projection; the binary payload itself never joins
+    assert(p.contains("dhash64"), s"native dhash64 expression in the plan\n$p")
+  }
+
   test("q57 range join plans as a hash equi-join, never a nested loop") {
     val p = plan("q57_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
