@@ -323,7 +323,8 @@ object CurateCli {
     "labelaudit" -> (Set("--in", "--out", "--in-format", "--out-format")
       ++ Set("--label-col", "--pred-col")),
     "phashdup" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
-      ++ Set("--payload-col", "--max-dist", "--bands", "--max-per-bucket")),
+      ++ Set("--payload-col", "--max-dist", "--bands", "--max-per-bucket",
+        "--index", "--update-index", "--multiprobe")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -474,10 +475,11 @@ object CurateCli {
       if (has("shingles")) "neardup"
       else if (has("buckets")) "embeddup"
       else if (has("coded")) "ivfpq"
+      else if (has("pbands")) "phash"
       else if (fs.exists(new org.apache.hadoop.fs.Path(store))) "snapshot"
       else throw new IllegalArgumentException(
-        s"no standing store at '$store' (expected a neardup/embeddup/ivfpq " +
-          "index dir or a fingerprint-snapshot dir)")
+        s"no standing store at '$store' (expected a neardup/embeddup/ivfpq/" +
+          "phash index dir or a fingerprint-snapshot dir)")
     }
 
     CacheScope.withScope { scope =>
@@ -1244,10 +1246,14 @@ object CurateCli {
             argv.getOrElse("--pred-col", "pred_lang")), out)
 
         case "phashdup" =>
-          // perceptual near-dup pairs over a BINARY payload column
-          // (q187): dHash signatures, Hamming-band candidate join; a
-          // string column is encoded UTF-8 first (the q68 stub-decode
-          // discipline — swap in real media bytes without CLI changes)
+          // perceptual near-dup rung over a BINARY payload column
+          // (q187/q190): dHash signatures, Hamming-band candidate join;
+          // a string column is encoded UTF-8 first (the q68 stub-decode
+          // discipline — swap in real media bytes without CLI changes).
+          // Without --index: the one-shot PAIRS table. With --index: the
+          // standing-store daily loop (probe the batch against the
+          // stored band table, append unless read-only — the neardup/
+          // embeddup discipline; --bands is a founding constant)
           val pc = argv.getOrElse("--payload-col", "payload")
           require(in.columns.contains(pc),
             s"--payload-col '$pc' not in input columns ${in.columns.mkString(",")}")
@@ -1257,11 +1263,51 @@ object CurateCli {
             case other => throw new IllegalArgumentException(
               s"--payload-col must be binary or string, got $other")
           }
-          write(Multimodal.perceptualDupPairs(
-            in.select(col(idCol), payload.as("_payload")), idCol, "_payload",
-            maxDist = argv.getOrElse("--max-dist", "6").toInt,
-            nBands = argv.getOrElse("--bands", "4").toInt,
-            maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt), out)
+          val pin = in.select(col(idCol), payload.as("_payload"))
+          val maxDist = argv.getOrElse("--max-dist", "6").toInt
+          argv.get("--index") match {
+            case None =>
+              for (o <- Seq("--update-index", "--multiprobe"); _ <- argv.get(o))
+                throw new IllegalArgumentException(
+                  s"$o only applies with --index (the standing-store loop)")
+              write(Multimodal.perceptualDupPairs(pin, idCol, "_payload",
+                maxDist = maxDist,
+                nBands = argv.getOrElse("--bands", "4").toInt,
+                maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt), out)
+            case Some(idxDir) =>
+              for (_ <- argv.get("--max-per-bucket"))
+                throw new IllegalArgumentException(
+                  "--max-per-bucket applies to pairs mode, not --index probes")
+              def yn(flag: String) = argv.getOrElse(flag, if (flag == "--update-index") "Y" else "N") match {
+                case "Y" => true
+                case "N" => false
+                case other => throw new IllegalArgumentException(
+                  s"$flag must be Y or N, got '$other'")
+              }
+              val update = yn("--update-index")
+              val multi = yn("--multiprobe")
+              val fs = new org.apache.hadoop.fs.Path(idxDir)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))) {
+                val idx = Multimodal.loadPHashIndex(spark, idxDir, scope)
+                for (stated <- argv.get("--bands"))
+                  if (stated.toInt != idx.nBands)
+                    throw new IllegalArgumentException(
+                      s"--bands $stated disagrees with the stored index " +
+                        s"(${idx.nBands}) — banding is fixed at build time")
+                write(Multimodal.incrementalPerceptualDupsWith(pin, idx,
+                  idCol, "_payload", maxDist, multiProbe = multi), out)
+                if (update)
+                  Multimodal.appendPHashIndex(spark, idxDir, pin, idCol, "_payload")
+              } else {
+                write(pin.select(col(idCol), col(idCol).as("hist_id"),
+                  lit(0).as("dist")).limit(0), out)
+                if (update)
+                  Multimodal.savePHashIndex(Multimodal.buildPHashIndex(
+                    pin, idCol, "_payload",
+                    argv.getOrElse("--bands", "4").toInt, scope), idxDir)
+              }
+          }
 
         case "diversity" =>
           // the distinct-n-gram census (q177): per (group, n) total vs
@@ -1614,6 +1660,7 @@ object CurateCli {
             if (has("shingles")) "neardup"
             else if (has("buckets")) "embeddup"
             else if (has("coded")) "ivfpq"
+            else if (has("pbands")) "phash"
             else if (batchDirs.nonEmpty) {
               val cols = spark.read.parquet(s"$store/${batchDirs.head}")
                 .columns.toSet
@@ -1629,6 +1676,7 @@ object CurateCli {
             case "neardup"  => s"$store/shingles"
             case "embeddup" => s"$store/buckets"
             case "ivfpq"    => s"$store/coded"
+            case "phash"    => s"$store/pbands"
             case _          => store // flat snapshot / ledger batch dirs
           }
           val nRows = spark.read.parquet(mainTable).count()
@@ -1654,7 +1702,7 @@ object CurateCli {
                   .split("\n").map(_.trim).mkString(" "))
                 finally s2.close()
               } else None
-            case "neardup" | "embeddup" | "ivfpq" =>
+            case "neardup" | "embeddup" | "ivfpq" | "phash" =>
               val row = spark.read.parquet(s"$store/params").head()
               Some(row.schema.fieldNames.zipWithIndex
                 .map { case (f, i) => s"$f=${row.get(i)}" }.mkString(" "))
@@ -1693,8 +1741,13 @@ object CurateCli {
                 .groupBy(col("_bucket")).agg(count(lit(1)).as("_sz"))
                 .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
                 .select(col("_sz").as("bucket_size"), col("n_buckets")), out)
+            case "phash" =>
+              write(spark.read.parquet(s"$store/pbands")
+                .groupBy(col("_b"), col("_v")).agg(count(lit(1)).as("_sz"))
+                .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
+                .select(col("_sz").as("bucket_size"), col("n_buckets")), out)
             case other => throw new IllegalArgumentException(
-              s"occupancy reads index stores (neardup/embeddup/ivfpq), " +
+              s"occupancy reads index stores (neardup/embeddup/ivfpq/phash), " +
                 s"not '$other' — the snapshot and ledgers have no buckets")
           }
 
@@ -1710,6 +1763,7 @@ object CurateCli {
             case "neardup"  => Dedup.tombstoneNearDupIndex(spark, store, in, fidCol)
             case "embeddup" => graft.ops.Similarity.tombstoneEmbedIndex(spark, store, in, fidCol)
             case "ivfpq"    => graft.ops.Similarity.tombstoneIvfPqIndex(spark, store, in, fidCol)
+            case "phash"    => Multimodal.tombstonePHashIndex(spark, store, in, fidCol)
             case _          => Dedup.tombstoneSnapshot(spark, store, in, fidCol)
           }
 
@@ -1719,6 +1773,7 @@ object CurateCli {
             case "neardup"  => Dedup.compactNearDupIndex(spark, store)
             case "embeddup" => graft.ops.Similarity.compactEmbedIndex(spark, store)
             case "ivfpq"    => graft.ops.Similarity.compactIvfPqIndex(spark, store)
+            case "phash"    => Multimodal.compactPHashIndex(spark, store)
             case _          => Dedup.compactSnapshot(spark, store,
               argv.getOrElse("--id-col", "doc_id"))
           }

@@ -2359,6 +2359,24 @@ object SparkEntry {
       val sig = packed.select(col("doc_id"), Multimodal.dHash(col("payload")).as("phash"))
       sig.select(col("doc_id") +: col("phash") +: (0 until 4).map(b =>
         shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L)).as(s"b$b")): _*)
+    }),
+
+    // ---- Standing perceptual-hash probe (round-11): the daily-loop
+    //      shape — the corpus is the standing band store, a first-byte-
+    //      mutant batch probes it with Hamming-1 MULTIPROBE (each band
+    //      key widened to its 16 one-bit neighbors, batch-side explode
+    //      only); every mutant must come back pointing at its original
+    //      within distance 6 ----
+    "q190_phash_incremental" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val hist = Multimodal.packBinary(d, "doc_id", "text")
+      val batch = Multimodal.packBinary(
+        d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("Z"), expr("substring(text, 2)")).as("text")),
+        "doc_id", "text")
+      Multimodal.incrementalPerceptualDupsWith(batch,
+        Multimodal.buildPHashIndex(hist, "doc_id", "payload", nBands = 4),
+        "doc_id", "payload", maxDist = 6, multiProbe = true)
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -3107,6 +3125,34 @@ object SparkEntry {
       |  ((h >> 0) & 65535) AS b0, ((h >> 16) & 65535) AS b1,
       |  ((h >> 32) & 65535) AS b2, ((h >> 48) & 65535) AS b3
       |FROM hashes""".stripMargin
+
+  /** q190's oracle: the standing probe replayed — store bands from the
+    * original corpus, batch (mutant) probe keys widened to Hamming-1
+    * band neighbors, best match per batch id by (dist, store id). */
+  private val phashIncrOracle: String =
+    phashCtes("""SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      |   'Z' || substr(text, 2) AS text FROM documents""".stripMargin) +
+    """,
+      |hh AS (SELECT doc_id, h FROM hashes WHERE doc_id < 1000000),
+      |hb AS (SELECT doc_id, h FROM hashes WHERE doc_id >= 1000000),
+      |sbands AS (SELECT doc_id AS hid, h AS hs, u.b AS b,
+      |    ((h >> (u.b * 16)) & 65535) AS v
+      |  FROM hh, unnest(range(0, 4)) u(b)),
+      |pbands AS (SELECT doc_id, h, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v0
+      |  FROM hb, unnest(range(0, 4)) u(b)),
+      |probes AS (SELECT doc_id, h, b,
+      |    CASE WHEN k.k = 16 THEN v0
+      |         ELSE xor(v0, (1::BIGINT << CAST(k.k AS INT))) END AS v
+      |  FROM pbands, unnest(range(0, 17)) k(k)),
+      |scored AS (SELECT DISTINCT p.doc_id, s.hid,
+      |    CAST(bit_count(xor(p.h, s.hs)) AS INT) AS dist
+      |  FROM probes p JOIN sbands s USING (b, v)
+      |  WHERE bit_count(xor(p.h, s.hs)) <= 6),
+      |best AS (SELECT doc_id, hid, dist,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY dist, hid) AS rn
+      |  FROM scored)
+      |SELECT doc_id, hid AS hist_id, dist FROM best WHERE rn = 1""".stripMargin
 
   /** q75's oracle: the Morton interleave replayed as an explicit 16-term
     * shift/mask/sum (DuckDB has no bit-interleave builtin — exactness of
@@ -5594,6 +5640,9 @@ object SparkEntry {
 
     // q189: the raw 64-bit dHash + band parity, value-for-value
     "q189_phash_sig" -> phashSigOracle,
+
+    // q190: the standing multiprobe loop replayed end to end
+    "q190_phash_incremental" -> phashIncrOracle,
 
     // q167: one UNION ALL branch per profiled column; min/max computed
     // in the column's type, cast to VARCHAR after

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -65,6 +65,26 @@ object Multimodal {
                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 
+  private def checkBandParams(nBands: Int, maxDist: Int): Unit = {
+    require(nBands >= 2 && 64 % nBands == 0,
+      s"nBands must be >= 2 and divide 64, got $nBands")
+    require(maxDist >= 0 && maxDist <= 64, s"maxDist in [0,64], got $maxDist")
+  }
+
+  /** Explode a frame carrying a `_sig` long into its `nBands` equal
+    * bit-bands as (_b, _v) rows — the Hamming-ball bucket keys every
+    * perceptual shape joins on. All other columns pass through. */
+  private def withBands(df: DataFrame, nBands: Int): DataFrame = {
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
+    val kept = df.columns.map(col)
+    df.select(kept :+ explode(array((0 until nBands).map(b => struct(
+        lit(b).as("_b"),
+        shiftright(col("_sig"), b * bandBits).bitwiseAND(lit(mask)).as("_v"))): _*))
+        .as("_band"): _*)
+      .select(kept :+ col("_band._b").as("_b") :+ col("_band._v").as("_v"): _*)
+  }
+
   /** Perceptual near-dup pairs over a binary payload column — the
     * multimodal rung beside the text side's eleven: all payload pairs
     * within Hamming distance `maxDist` of each other's [[dHash]], found
@@ -90,18 +110,9 @@ object Multimodal {
   def perceptualDupPairs(df: DataFrame, idCol: String, payloadCol: String,
                          maxDist: Int = 6, nBands: Int = 4,
                          maxPerBucket: Int = 0): DataFrame = {
-    require(nBands >= 2 && 64 % nBands == 0,
-      s"nBands must be >= 2 and divide 64, got $nBands")
-    require(maxDist >= 0 && maxDist <= 64, s"maxDist in [0,64], got $maxDist")
-    val bandBits = 64 / nBands
-    val mask = (1L << bandBits) - 1
+    checkBandParams(nBands, maxDist)
     val sig = df.select(col(idCol).as("_id"), dHash(col(payloadCol)).as("_sig"))
-    val banded = sig.select(col("_id"), col("_sig"),
-      explode(array((0 until nBands).map(b => struct(
-        lit(b).as("_b"),
-        shiftright(col("_sig"), b * bandBits).bitwiseAND(lit(mask)).as("_v"))): _*)).as("_band"))
-      .select(col("_id"), col("_sig"),
-        col("_band._b").as("_b"), col("_band._v").as("_v"))
+    val banded = withBands(sig, nBands)
     val capped =
       if (maxPerBucket <= 0) banded
       else banded.withColumn("_rn",
@@ -118,6 +129,125 @@ object Multimodal {
         dHashDistance(col("_sa"), col("_sb")).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
+  }
+
+  /** Standing perceptual-hash index: the banded (band, value, id, sig)
+    * store MATERIALIZED plus its founding band count, so daily ingest
+    * probes band the BATCH only — the binary-column member of the
+    * standing-store family ([[Dedup.NearDupIndex]] / MinHash,
+    * [[Similarity.EmbedIndex]] / hyperplanes, the dHash bands here).
+    * `nBands` is a FOUNDING constant: a store banded one way cannot
+    * answer probes banded another. */
+  final case class PHashIndex private[ops] (banded: DataFrame, nBands: Int)
+
+  /** Materialize a [[PHashIndex]] over the historical corpus: one dHash
+    * pass (scan stage), `nBands` ~28-byte rows per payload — the store
+    * holds signatures, never payloads. */
+  def buildPHashIndex(history: DataFrame, idCol: String, payloadCol: String,
+                      nBands: Int = 4,
+                      scope: CacheScope = CacheScope.noop): PHashIndex = {
+    checkBandParams(nBands, 0)
+    PHashIndex(scope.track(withBands(
+        Parallelize.ensure(history.select(col(idCol).as("_hid"),
+          dHash(col(payloadCol)).as("_sig"))), nBands)
+      .cache()), nBands)
+  }
+
+  /** Bucket-balance diagnostic — [[Similarity.embedIndexStats]]'s
+    * perceptual twin: (bucket_size, n_buckets) over the band store. */
+  def pHashIndexStats(index: PHashIndex): DataFrame =
+    index.banded.groupBy(col("_b"), col("_v")).agg(count(lit(1)).as("_sz"))
+      .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
+      .select(col("_sz").as("bucket_size"), col("n_buckets"))
+
+  /** Persist a [[PHashIndex]] (band table + founding params) as parquet. */
+  def savePHashIndex(index: PHashIndex, path: String): Unit = {
+    val sess = index.banded.sparkSession
+    import sess.implicits._
+    index.banded.write.mode("overwrite").parquet(s"$path/pbands")
+    Seq(index.nBands).toDF("n_bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a [[savePHashIndex]]'d store; pending [[tombstonePHashIndex]]
+    * deletions are subtracted (broadcast anti-join). */
+  def loadPHashIndex(spark: SparkSession, path: String,
+                     scope: CacheScope = CacheScope.noop): PHashIndex = {
+    val p = spark.read.parquet(s"$path/params").head()
+    PHashIndex(scope.track(Tombstones.applyTo(spark, path,
+        spark.read.parquet(s"$path/pbands"), "_hid").cache()),
+      p.getAs[Int]("n_bands"))
+  }
+
+  /** APPEND a newly-ingested batch to an on-disk store: band ONLY the
+    * batch under the STORED band count and `mode("append")` — history
+    * is never rewritten, no cross-batch union lineage accumulates. */
+  def appendPHashIndex(spark: SparkSession, path: String,
+                       batch: DataFrame, idCol: String, payloadCol: String): Unit = {
+    Tombstones.requireNotTombstoned(spark, path, batch, idCol)
+    val p = spark.read.parquet(s"$path/params").head()
+    withBands(Parallelize.ensure(batch.select(col(idCol).as("_hid"),
+        dHash(col(payloadCol)).as("_sig"))), p.getAs[Int]("n_bands"))
+      .write.mode("append").parquet(s"$path/pbands")
+  }
+
+  /** Record deletions against an on-disk store (O(ids), history
+    * untouched; subtracted at load, applied by [[compactPHashIndex]]). */
+  def tombstonePHashIndex(spark: SparkSession, path: String,
+                          ids: DataFrame, idCol: String): Unit =
+    Tombstones.append(spark, path, ids, idCol)
+
+  /** Compact an appended store's band table — ~128 MB rewrite with
+    * pending tombstones applied physically and cleared. */
+  def compactPHashIndex(spark: SparkSession, path: String): Unit = {
+    StoreCompact.compactParquetDir(spark, s"$path/pbands",
+      Tombstones.readOpt(spark, path).map((_, "_hid")))
+    Tombstones.clear(spark, path)
+  }
+
+  /** Incremental perceptual near-dup probe against a standing
+    * [[PHashIndex]] — the binary-column member of the daily-loop family
+    * ([[Dedup.incrementalNearDupsWith]], [[Similarity
+    * .incrementalEmbedNearDupsWith]]): for each batch payload, its best
+    * store match (lowest Hamming distance, ties to the lowest store id)
+    * within `maxDist`; clean payloads produce no row.
+    *
+    * `multiProbe` widens each batch row's probe keys to every Hamming-1
+    * NEIGHBOR of each band value (64/nBands extra keys per band — the
+    * q174 recall knob): a true near-dup hidden because every band
+    * carries at least one differing bit is recovered at bounded extra
+    * candidate cost, and the STORE never re-buckets — the explode is
+    * batch-side only. Returns (idCol, hist_id, dist). */
+  def incrementalPerceptualDupsWith(batch: DataFrame, index: PHashIndex,
+                                    idCol: String, payloadCol: String,
+                                    maxDist: Int = 6,
+                                    multiProbe: Boolean = false): DataFrame = {
+    checkBandParams(index.nBands, maxDist)
+    val bandBits = 64 / index.nBands
+    val base = withBands(Parallelize.ensure(
+      batch.select(col(idCol).as("_nid"), dHash(col(payloadCol)).as("_nsig"))
+        .withColumnRenamed("_nsig", "_sig")), index.nBands)
+      .withColumnRenamed("_sig", "_nsig")
+    val probed =
+      if (!multiProbe) base
+      else {
+        val probes = (lit(0L) +: (0 until bandBits).map(k => lit(1L << k)))
+          .map(m => col("_v").bitwiseXOR(m))
+        base.select(col("_nid"), col("_nsig"), col("_b"),
+          explode(array(probes: _*)).as("_pv"))
+          .drop("_v").withColumnRenamed("_pv", "_v")
+      }
+    probed
+      .join(index.banded.select(col("_b"), col("_v"), col("_hid"),
+        col("_sig").as("_hsig")), Seq("_b", "_v"))
+      .select(col("_nid"), col("_hid"),
+        dHashDistance(col("_nsig"), col("_hsig")).as("_dist"))
+      .filter(col("_dist") <= maxDist)
+      .groupBy(col("_nid"))
+      .agg(min_by(struct(col("_hid"), col("_dist")),
+        struct(col("_dist"), col("_hid"))).as("_best"))
+      .select(col("_nid").as(idCol), col("_best._hid").as("hist_id"),
+        col("_best._dist").as("dist"))
   }
 
   final case class MediaFeature(id: Long, width: Int, height: Int, channels: Int, brightness: Double)

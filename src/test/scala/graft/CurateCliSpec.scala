@@ -1420,6 +1420,68 @@ class CurateCliSpec extends AnyFunSuite {
     rm(out)
   }
 
+  test("phashdup --index runs the standing daily loop; store doctor commands dispatch") {
+    import graft.ops.Multimodal
+    val idx = tmp("cli-phidx"); val o1 = tmp("cli-ph1"); val o2 = tmp("cli-ph2")
+    val st = tmp("cli-phstats"); val oc = tmp("cli-phocc"); rm(idx, o1, o2, st, oc)
+    // day 1: found-if-absent — empty probe result, store banded
+    CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> o1,
+      "--payload-col" -> "text", "--index" -> idx))
+    assert(spark.read.parquet(o1).count() == 0)
+    assert(new java.io.File(s"$idx/pbands").exists())
+    // day 2: the SAME corpus probes back — every doc matches itself at 0
+    // (multiprobe on: the widened keys must not lose the exact hit)
+    CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> o2,
+      "--payload-col" -> "text", "--index" -> idx,
+      "--update-index" -> "N", "--multiprobe" -> "Y"))
+    val docs = spark.read.parquet(docsPath)
+    val want = Multimodal.incrementalPerceptualDupsWith(
+        Multimodal.packBinary(docs, "doc_id", "text"),
+        Multimodal.loadPHashIndex(spark, idx), "doc_id", "payload",
+        maxDist = 6, multiProbe = true)
+      .as[(Long, Long, Int)].collect().toSet
+    val got = spark.read.parquet(o2).as[(Long, Long, Int)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.forall { case (id, hid, d) => !(id == hid) || d == 0 })
+    // founding --bands disagreement fails loudly
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> o2,
+        "--payload-col" -> "text", "--index" -> idx, "--bands" -> "8"))
+    }
+    assert(e.getMessage.contains("--bands"))
+    // pairs-only knobs contradict the loop (and vice versa)
+    val e2 = intercept[IllegalArgumentException] {
+      CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> o2,
+        "--payload-col" -> "text", "--index" -> idx, "--max-per-bucket" -> "3"))
+    }
+    assert(e2.getMessage.contains("--max-per-bucket"))
+    val e3 = intercept[IllegalArgumentException] {
+      CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> o2,
+        "--payload-col" -> "text", "--multiprobe" -> "Y"))
+    }
+    assert(e3.getMessage.contains("--multiprobe"))
+    // store doctor: stats sees the phash kind + founding params;
+    // occupancy reads the band histogram; forget tombstones; compact applies
+    CurateCli.run("stats", Map("--store" -> idx, "--out" -> st))
+    val row = spark.read.parquet(st).head()
+    assert(row.getAs[String]("kind") == "phash")
+    assert(row.getAs[String]("params").contains("n_bands=4"))
+    CurateCli.run("occupancy", Map("--store" -> idx, "--out" -> oc))
+    val occ = spark.read.parquet(oc)
+      .agg(sum(col("bucket_size") * col("n_buckets"))).head().getLong(0)
+    assert(occ == docs.count() * 4)
+    val someId = docs.select("doc_id").head().getLong(0)
+    val ids = Seq(someId).toDF("doc_id")
+    ids.write.mode("overwrite").parquet(s"$oc-ids")
+    CurateCli.run("forget", Map("--in" -> s"$oc-ids", "--store" -> idx))
+    assert(new java.io.File(s"$idx/_tombstones").exists())
+    CurateCli.run("compact", Map("--store" -> idx))
+    assert(!new java.io.File(s"$idx/_tombstones").exists())
+    assert(spark.read.parquet(s"$idx/pbands")
+      .filter(col("_hid") === someId).count() == 0)
+    rm(idx, o1, o2, st, oc, s"$oc-ids")
+  }
+
   test("--cc-strategy selects the component engine; all three agree; bogus fails loudly") {
     val outA = tmp("cli-ccauto"); val outS = tmp("cli-ccstar"); rm(outA, outS)
     CurateCli.run("split", Map("--in" -> docsPath, "--out" -> outA,

@@ -149,6 +149,71 @@ class StandingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("phash index: save/load/probe/append/multiprobe/tombstone loop") {
+    import graft.ops.Multimodal
+    CacheScope.withScope { scope =>
+      val dir = java.nio.file.Files.createTempDirectory("phidx").toString
+      // per-doc texts must be PERCEPTUALLY distinct: repeated-token or
+      // 1-char-apart strings genuinely share a dHash (a uniform byte
+      // shift flips no adjacent-cell comparison) — so each doc gets its
+      // own arithmetic word sequence (verified: 25/25 distinct hashes,
+      // nearest non-self >= 21 bits apart)
+      val words = Seq("alpha", "Bravo", "chi", "DELTA", "echo2",
+        "foxtrot", "Golf77", "hotel", "IndiaInk", "julietX")
+      def mkPayloadText(i: Int): String =
+        (0 until 60 + (i % 7) * 5).map { k =>
+          words((((i + 1) * 2654435761L + k * 40503L + i.toLong * k * 97L) % 10).toInt)
+        }.mkString(" ")
+      def payloads(ids: Range, text: Int => String) = Multimodal.packBinary(
+        ids.map(i => (i.toLong, text(i))).toDF("doc_id", "t"), "doc_id", "t")
+      val history = payloads(0 until 20, mkPayloadText)
+      val built = Multimodal.buildPHashIndex(history, "doc_id", "payload",
+        nBands = 4, scope = scope)
+      Multimodal.savePHashIndex(built, dir)
+      val loaded = Multimodal.loadPHashIndex(spark, dir, scope)
+      assert(loaded.nBands == 4)
+      // a first-byte mutant of doc 7 probes back to doc 7 at dist <= 1
+      val mutant = payloads(107 to 107, _ => "X" + mkPayloadText(7).drop(1))
+      def probe(idx: Multimodal.PHashIndex, b: org.apache.spark.sql.DataFrame,
+                multi: Boolean = false) =
+        Multimodal.incrementalPerceptualDupsWith(b, idx, "doc_id", "payload",
+            maxDist = 6, multiProbe = multi)
+          .as[(Long, Long, Int)].collect().toSeq.sorted
+      val hit = probe(loaded, mutant)
+      assert(hit.size == 1 && hit.head._2 == 7L && hit.head._3 <= 1)
+      assert(probe(loaded, mutant) == probe(built, mutant))
+      // multiprobe is a candidate superset: never loses the plain hit
+      assert(probe(loaded, mutant, multi = true).head._2 == 7L)
+      // append a batch on disk; an exact echo of a batch payload now hits
+      val batch = payloads(20 until 25, mkPayloadText)
+      val echo = payloads(99 to 99, _ => mkPayloadText(22))
+      assert(probe(loaded, echo).isEmpty)
+      Multimodal.appendPHashIndex(spark, dir, batch, "doc_id", "payload")
+      val reloaded = Multimodal.loadPHashIndex(spark, dir, scope)
+      val echoHit = probe(reloaded, echo)
+      assert(echoHit.size == 1 && echoHit.head._2 == 22L && echoHit.head._3 == 0)
+      // stats account for every band row: 25 entries x 4 bands
+      val stats = Multimodal.pHashIndexStats(reloaded)
+        .as[(Long, Long)].collect()
+      assert(stats.map { case (sz, n) => sz * n }.sum == 25L * 4)
+      // tombstone doc 22: the echo stops matching after reload; compaction
+      // applies physically and clears the sidecar
+      Multimodal.tombstonePHashIndex(spark, dir,
+        Seq(22L).toDF("doc_id"), "doc_id")
+      assert(probe(Multimodal.loadPHashIndex(spark, dir, scope), echo).isEmpty)
+      intercept[IllegalArgumentException] {
+        Multimodal.appendPHashIndex(spark, dir, echo.select(
+          lit(22L).as("doc_id"), col("payload")), "doc_id", "payload")
+      }
+      Multimodal.compactPHashIndex(spark, dir)
+      assert(!new java.io.File(s"$dir/_tombstones").exists())
+      assert(probe(Multimodal.loadPHashIndex(spark, dir, scope), echo).isEmpty)
+      assert(spark.read.parquet(s"$dir/pbands")
+        .filter(col("_hid") === 22L).count() == 0)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("appendNearDupIndex on disk equals extendNearDupIndex in memory across two batches") {
     CacheScope.withScope { scope =>
       val dir = java.nio.file.Files.createTempDirectory("ndappend").toString
