@@ -2377,6 +2377,22 @@ object SparkEntry {
       Multimodal.incrementalPerceptualDupsWith(batch,
         Multimodal.buildPHashIndex(hist, "doc_id", "payload", nBands = 4),
         "doc_id", "payload", maxDist = 6, multiProbe = true)
+    }),
+
+    // ---- Frame-aligned perceptual near-dup (round-11): the VIDEO
+    //      shape — q63's sampled frames each dHashed, payload pairs
+    //      counted by matching aligned frames (a one-frame edit leaves
+    //      the other frames matching at distance 0; whole-payload
+    //      hashing would smear it). (frame_idx, band, value) equi-join,
+    //      never all-pairs ----
+    "q191_frame_neardup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+      val packed = Multimodal.packBinary(d.unionByName(mut), "doc_id", "text")
+      Multimodal.frameDupPairs(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 4,
+        maxDist = 2, minMatchedFrames = 3)
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -3079,9 +3095,14 @@ object SparkEntry {
     * IEEE doubles. `src` selects the (doc_id, text) corpus, so the pairs
     * gate can hash the mutant union through the same chain. */
   private def phashCtes(src: String): String =
-    s"""WITH d AS ($src),
-      |b AS (SELECT doc_id, encode(text) AS bin FROM d),
-      |m AS (SELECT doc_id, octet_length(bin) AS len, hex(bin) AS hx FROM b),
+    phashHexCtes(s"""SELECT doc_id, octet_length(encode(text)) AS len,
+      |  hex(encode(text)) AS hx FROM ($src)""".stripMargin)
+
+  /** The hash chain over an arbitrary (doc_id, len, hx) byte source —
+    * hx is the payload's hex string (DuckDB can't slice BLOBs, so frame
+    * sources slice hex: byte j lives at hx[2j+1..2j+2]). */
+  private def phashHexCtes(src: String): String =
+    s"""WITH m AS ($src),
       |by AS (SELECT m.doc_id, m.len, u.j AS j,
       |  (strpos('0123456789ABCDEF', substr(m.hx, 2*u.j + 1, 1)) - 1) * 16 +
       |  (strpos('0123456789ABCDEF', substr(m.hx, 2*u.j + 2, 1)) - 1) AS v
@@ -3125,6 +3146,35 @@ object SparkEntry {
       |  ((h >> 0) & 65535) AS b0, ((h >> 16) & 65535) AS b1,
       |  ((h >> 32) & 65535) AS b2, ((h >> 48) & 65535) AS b3
       |FROM hashes""".stripMargin
+
+  /** q191's oracle: the frame rung replayed — sampleFrames as hex-string
+    * slices (frame f = bytes f·64…f·64+31 = hex chars f·128+1…+64, full
+    * frames only, capped at 5 — the exact [[graft.ops.Multimodal
+    * .sampleFrames]] arithmetic), each frame hashed through the shared
+    * chain under a composite id (doc·100+frame), then the aligned-frame
+    * band join, Hamming verify, and the matched-frame rollup. */
+  private val frameDupOracle: String =
+    phashHexCtes("""SELECT t.doc_id * 100 + u.f AS doc_id, CAST(128 AS BIGINT) AS len,
+      |    substr(t.hx, u.f * 256 + 1, 256) AS hx
+      |  FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+      |          hex(encode(text)) AS hx
+      |        FROM (SELECT doc_id, text FROM documents
+      |              UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      |                'Z' || substr(text, 2) AS text FROM documents)) t,
+      |  unnest(range(0, least(greatest((t.n - 128) // 128 + 1, 0), 4))) u(f)""".stripMargin) +
+    """,
+      |fb AS (SELECT doc_id // 100 AS did, doc_id % 100 AS fi, h FROM hashes),
+      |bands AS (SELECT did, fi, h, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
+      |  FROM fb, unnest(range(0, 4)) u(b)),
+      |cand AS (SELECT DISTINCT a.did AS id_a, bb.did AS id_b, a.fi AS fi,
+      |    a.h AS ha, bb.h AS hb
+      |  FROM bands a JOIN bands bb
+      |    ON a.fi = bb.fi AND a.b = bb.b AND a.v = bb.v AND a.did < bb.did),
+      |md AS (SELECT id_a, id_b, fi, CAST(bit_count(xor(ha, hb)) AS INT) AS d
+      |  FROM cand WHERE bit_count(xor(ha, hb)) <= 2)
+      |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matched,
+      |  CAST(min(d) AS INT) AS min_dist
+      |FROM md GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
 
   /** q190's oracle: the standing probe replayed — store bands from the
     * original corpus, batch (mutant) probe keys widened to Hamming-1
@@ -5643,6 +5693,9 @@ object SparkEntry {
 
     // q190: the standing multiprobe loop replayed end to end
     "q190_phash_incremental" -> phashIncrOracle,
+
+    // q191: the frame-aligned rung replayed from hex-string frame slices
+    "q191_frame_neardup" -> frameDupOracle,
 
     // q167: one UNION ALL branch per profiled column; min/max computed
     // in the column's type, cast to VARCHAR after

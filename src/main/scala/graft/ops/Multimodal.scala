@@ -131,6 +131,47 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Frame-aligned perceptual near-dup pairs — the VIDEO shape: sample
+    * frames from each payload ([[sampleFrames]] — fixed stride, capped),
+    * dHash each frame, and pair payloads whose aligned frames match.
+    * Two clips differing by a re-encode artifact or one edited frame
+    * agree on most (frame_idx, signature) pairs; whole-payload dHash
+    * would smear the edit across the global grid instead.
+    *
+    * Candidates come from a (frame_idx, band, value) equi-join — the
+    * [[perceptualDupPairs]] pigeonhole per aligned frame, never
+    * all-pairs; matched frames (Hamming ≤ `maxDist`) then count per
+    * pair, and only pairs with ≥ `minMatchedFrames` survive. Scale
+    * shape: `maxFrames × nBands` ~32-byte rows per payload; frame bytes
+    * stay in the scan stage (sampleFrames + dHash both run there) and
+    * only signatures shuffle. Returns (id_a, id_b, n_matched,
+    * min_dist), id_a < id_b. */
+  def frameDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                    frameBytes: Int = 128, stride: Int = 128, maxFrames: Int = 8,
+                    maxDist: Int = 2, nBands: Int = 4,
+                    minMatchedFrames: Int = 3): DataFrame = {
+    checkBandParams(nBands, maxDist)
+    require(minMatchedFrames >= 1, "minMatchedFrames >= 1")
+    val frames = df.select(col(idCol).as("_id"),
+        explode(sampleFrames(col(payloadCol), frameBytes, stride, maxFrames)).as("_f"))
+      .select(col("_id"), col("_f.frame_idx").as("_fi"),
+        dHash(col("_f.frame")).as("_sig"))
+    val banded = withBands(frames, nBands)
+    val a = banded.select(col("_fi"), col("_b"), col("_v"),
+      col("_id").as("id_a"), col("_sig").as("_sa"))
+    val b = banded.select(col("_fi"), col("_b"), col("_v"),
+      col("_id").as("id_b"), col("_sig").as("_sb"))
+    a.join(b, Seq("_fi", "_b", "_v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_fi"),
+        dHashDistance(col("_sa"), col("_sb")).as("_d"))
+      .distinct()
+      .filter(col("_d") <= maxDist)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matched"), min(col("_d")).as("min_dist"))
+      .filter(col("n_matched") >= minMatchedFrames)
+  }
+
   /** Standing perceptual-hash index: the banded (band, value, id, sig)
     * store MATERIALIZED plus its founding band count, so daily ingest
     * probes band the BATCH only — the binary-column member of the

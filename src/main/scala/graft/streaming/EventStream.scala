@@ -536,6 +536,31 @@ object EventStream {
       .start()
   }
 
+  /** The BINARY-payload rung of the gate-sink family: probe each
+    * microbatch's payloads against a standing perceptual-hash store
+    * ([[graft.ops.Multimodal.loadPHashIndex]]) — "has a perceptually
+    * near-identical image/clip arrived before". Same probe-only
+    * contract and restart-to-extend discipline as [[nearDupGateSink]];
+    * `multiProbe` widens probe keys to Hamming-1 band neighbors on the
+    * microbatch side only. */
+  def phashGateSink(stream: DataFrame, idCol: String, payloadCol: String,
+                    indexDir: String, verdictsDir: String, checkpoint: String,
+                    maxDist: Int = 6,
+                    multiProbe: Boolean = false,
+                    scope: graft.ops.CacheScope = graft.ops.CacheScope.noop)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val idx = graft.ops.Multimodal.loadPHashIndex(stream.sparkSession, indexDir, scope)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Multimodal.incrementalPerceptualDupsWith(batch.toDF(), idx,
+            idCol, payloadCol, maxDist, multiProbe)
+          .write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** The SERVING-shape rung of the gate-sink family: probe each
     * microbatch's embeddings against a standing IVF-PQ index
     * ([[graft.ops.Similarity.loadIvfPqIndex]] — the production 100-TB

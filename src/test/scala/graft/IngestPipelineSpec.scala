@@ -154,6 +154,55 @@ class IngestPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("phashGateSink: binary payloads probe the standing perceptual store per microbatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import graft.ops.{CacheScope, Multimodal}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    CacheScope.withScope { scope =>
+      val idx = tmp("gate-phidx"); val out = tmp("gate-phout"); val ck = tmp("gate-phck")
+      val words = Seq("alpha", "Bravo", "chi", "DELTA", "echo2",
+        "foxtrot", "Golf77", "hotel", "IndiaInk", "julietX")
+      def mkText(i: Int): String =
+        (0 until 60 + (i % 7) * 5).map { k =>
+          words((((i + 1) * 2654435761L + k * 40503L + i.toLong * k * 97L) % 10).toInt)
+        }.mkString(" ")
+      val hist = Multimodal.packBinary(
+        (0 until 20).map(i => (i.toLong, mkText(i))).toDF("doc_id", "t"), "doc_id", "t")
+      Multimodal.savePHashIndex(
+        Multimodal.buildPHashIndex(hist, "doc_id", "payload", nBands = 4, scope = scope), idx)
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "t")
+        .select(col("doc_id"), encode(col("t"), "utf-8").as("payload"))
+      val q = EventStream.phashGateSink(stream, "doc_id", "payload",
+        idx, out, ck, maxDist = 6, multiProbe = true, scope = scope)
+      // batch 0: a first-byte mutant of doc 7 (must match 7) + junk
+      val b1 = Seq((107L, "X" + mkText(7).drop(1)),
+        (200L, "totally unrelated stream content xyzzy plugh quux foo bar"))
+      mem.addData(b1: _*); q.processAllAvailable()
+      // batch 1: an exact echo of doc 3 in its own verdict dir
+      mem.addData((103L, mkText(3))); q.processAllAvailable()
+      q.stop()
+      val g0 = spark.read.parquet(s"$out/batch=0")
+        .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+      assert(g0.map(r => (r._1, r._2)) == Seq((107L, 7L)) && g0.head._3 <= 1,
+        s"the mutant matches its original, the junk doc does not: $g0")
+      val g1 = spark.read.parquet(s"$out/batch=1")
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(g1 == Seq((103L, 3L, 0)))
+      // ≡ the batch probe path (probe-only: the store is unchanged)
+      val want = Multimodal.incrementalPerceptualDupsWith(
+          Multimodal.packBinary(b1.toDF("doc_id", "t"), "doc_id", "t"),
+          Multimodal.loadPHashIndex(spark, idx, scope),
+          "doc_id", "payload", maxDist = 6, multiProbe = true)
+        .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+      assert(g0 == want)
+      assert(spark.read.parquet(s"$idx/pbands").count() == 20L * 4)
+      Seq(idx, out, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    }
+  }
+
   test("ingestGateSink: the composed front door per microbatch == batch quality + ingestGate, verdicts unified") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext

@@ -330,6 +330,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("frameDupPairs: aligned frames count, one edit tolerated, below-threshold excluded") {
+    import graft.ops.Multimodal
+    // deterministic 128-byte blocks, pairwise dHash distance >= 7
+    // (verified), so only ALIGNED EQUAL frames match at maxDist 2
+    def block(s: Int): String =
+      (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    val rows = Seq(
+      (0L, block(1) + block(2) + block(3) + block(4)),  // F1 F2 F3 F4
+      (1L, block(1) + block(2) + block(3) + block(9)),  // 3 aligned matches
+      (2L, block(1) + block(6) + block(7) + block(8)),  // only 1 -> excluded
+      (3L, block(1) + block(2) + block(3) + block(4)),  // identical to 0
+      (4L, block(5))                                     // 1 frame only
+    ).toDF("doc_id", "t")
+    val packed = Multimodal.packBinary(rows, "doc_id", "t")
+    val got = Multimodal.frameDupPairs(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8,
+        maxDist = 2, minMatchedFrames = 3)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.keySet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(got((0L, 3L)) == (4L, 0))
+    assert(got((0L, 1L)) == (3L, 0) && got((1L, 3L)) == (3L, 0))
+  }
+
   test("quantizeMaxAbs: dequantized error bounded by 0.5/scale, zero vector null") {
     val vecs = (0 until 50).map(i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j) * (1 + i)))).toDF("id", "v")
