@@ -100,6 +100,46 @@ class RandomPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("perceptualDupPairs: subset of brute-force, superset of the pigeonhole ball, exact distances") {
+    import graft.ops.Multimodal
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(500 + seed)
+      // random printable payloads incl. empty and sub-grid lengths; a few
+      // near-dup plants (single-char edits) so the dist<nBands ball is
+      // non-empty
+      val texts = (0 until 50).map { i =>
+        val len = rng.nextInt(300)
+        (i.toLong, (0 until len).map(_ => (32 + rng.nextInt(95)).toChar).mkString)
+      }
+      val planted = texts.take(8).map { case (i, t) =>
+        (i + 100L, if (t.isEmpty) "" else t.updated(rng.nextInt(t.length), 'Q'))
+      }
+      val all = texts ++ planted
+      val sigs = all.map { case (i, t) =>
+        i -> graft.functions.DHash64.hash(t.getBytes("UTF-8")) }.toMap
+      def dist(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      val (nBands, maxDist) = (4, 10)
+      val ids = all.map(_._1)
+      val brute = (for {
+        a <- ids; b <- ids if a < b && dist(a, b) <= maxDist
+      } yield (a, b)).toSet
+      val ball = brute.filter { case (a, b) => dist(a, b) < nBands }
+      val got = Multimodal.perceptualDupPairs(
+          Multimodal.packBinary(all.toDF("doc_id", "t"), "doc_id", "t"),
+          "doc_id", "payload", maxDist = maxDist, nBands = nBands)
+        .as[(Long, Long, Int)].collect()
+      // exact distances, no dupes, subset of brute force
+      assert(got.map(r => (r._1, r._2)).distinct.length == got.length, s"seed=$seed")
+      got.foreach { case (a, b, d) =>
+        assert(a < b && d == dist(a, b) && brute((a, b)), s"seed=$seed ($a,$b,$d)") }
+      // pigeonhole: EVERY pair under nBands bits apart must be found
+      val gotPairs = got.map(r => (r._1, r._2)).toSet
+      assert(ball.subsetOf(gotPairs),
+        s"seed=$seed missed guaranteed pairs: ${(ball -- gotPairs).take(3)}")
+      assert(ball.nonEmpty, s"seed=$seed: plants must land inside the ball")
+    }
+  }
+
   test("connectedComponentsStar agrees with union-find on random graphs") {
     for (seed <- 1 to 3) {
       val rng = new scala.util.Random(300 + seed)
