@@ -2393,6 +2393,22 @@ object SparkEntry {
       Multimodal.frameDupPairs(packed, "doc_id", "payload",
         frameBytes = 128, stride = 128, maxFrames = 4,
         maxDist = 2, minMatchedFrames = 3)
+    }),
+
+    // ---- Shift-tolerant frame matching (round-11): the TRIMMED-CLIP
+    //      shape — mutants drop their first stride (64 bytes), so every
+    //      surviving frame matches the original one index over; the
+    //      signature join ignores frame_idx and each match votes for
+    //      its offset, so the pair assembles at offset +1 while random
+    //      cross-matches scatter and never reach the vote floor ----
+    "q192_frame_shifted" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 65)").as("text"))
+      val packed = Multimodal.packBinary(d.unionByName(mut), "doc_id", "text")
+      Multimodal.frameDupPairsShifted(packed, "doc_id", "payload",
+        frameBytes = 64, stride = 64, maxFrames = 8,
+        maxDist = 2, minMatchedFrames = 4)
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -3175,6 +3191,39 @@ object SparkEntry {
       |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matched,
       |  CAST(min(d) AS INT) AS min_dist
       |FROM md GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
+
+  /** q192's oracle: the shifted rung — 64-byte frames as hex slices,
+    * the signature join WITHOUT the frame-idx key, offset votes, and
+    * the best-offset election (votes DESC, offset ASC). */
+  private val frameShiftedOracle: String =
+    phashHexCtes("""SELECT t.doc_id * 100 + u.f AS doc_id, CAST(64 AS BIGINT) AS len,
+      |    substr(t.hx, u.f * 128 + 1, 128) AS hx
+      |  FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+      |          hex(encode(text)) AS hx
+      |        FROM (SELECT doc_id, text FROM documents
+      |              UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      |                substr(text, 65) AS text FROM documents)) t,
+      |  unnest(range(0, least(greatest((t.n - 64) // 64 + 1, 0), 8))) u(f)""".stripMargin) +
+    """,
+      |fb AS (SELECT doc_id // 100 AS did, doc_id % 100 AS fi, h FROM hashes),
+      |bands AS (SELECT did, fi, h, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
+      |  FROM fb, unnest(range(0, 4)) u(b)),
+      |cand AS (SELECT DISTINCT a.did AS id_a, bb.did AS id_b,
+      |    a.fi AS fa, bb.fi AS fb2, a.h AS ha, bb.h AS hb
+      |  FROM bands a JOIN bands bb
+      |    ON a.b = bb.b AND a.v = bb.v AND a.did < bb.did),
+      |md AS (SELECT id_a, id_b, fa, fb2,
+      |    CAST(bit_count(xor(ha, hb)) AS INT) AS d
+      |  FROM cand WHERE bit_count(xor(ha, hb)) <= 2),
+      |votes AS (SELECT id_a, id_b, fa - fb2 AS frame_offset,
+      |    CAST(count(*) AS BIGINT) AS n_matched, CAST(min(d) AS INT) AS min_dist
+      |  FROM md GROUP BY 1, 2, 3),
+      |best AS (SELECT id_a, id_b, frame_offset, n_matched, min_dist,
+      |    row_number() OVER (PARTITION BY id_a, id_b
+      |      ORDER BY n_matched DESC, frame_offset) AS rn
+      |  FROM votes)
+      |SELECT id_a, id_b, frame_offset, n_matched, min_dist
+      |FROM best WHERE rn = 1 AND n_matched >= 4""".stripMargin
 
   /** q190's oracle: the standing probe replayed — store bands from the
     * original corpus, batch (mutant) probe keys widened to Hamming-1
@@ -5696,6 +5745,9 @@ object SparkEntry {
 
     // q191: the frame-aligned rung replayed from hex-string frame slices
     "q191_frame_neardup" -> frameDupOracle,
+
+    // q192: the shift-tolerant rung — offset voting replayed end to end
+    "q192_frame_shifted" -> frameShiftedOracle,
 
     // q167: one UNION ALL branch per profiled column; min/max computed
     // in the column's type, cast to VARCHAR after

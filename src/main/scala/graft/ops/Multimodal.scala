@@ -172,6 +172,56 @@ object Multimodal {
       .filter(col("n_matched") >= minMatchedFrames)
   }
 
+  /** Shift-tolerant perceptual near-dup pairs — the TRIMMED-CLIP shape:
+    * where [[frameDupPairs]] requires frames to match at the SAME index,
+    * real video dups are offset (an intro trimmed, a re-cut start), so
+    * here frame signatures join on (band, value) alone and each matched
+    * frame pair VOTES for its offset `fi_a − fi_b`; a pair survives when
+    * its best offset collects ≥ `minMatchedFrames` consistent votes.
+    * Random cross-matches scatter across offsets and never assemble a
+    * block; a genuine shifted copy lines its matches up on one offset.
+    *
+    * Scale shape: identical to the aligned rung — `maxFrames × nBands`
+    * signature slivers per payload, one (band, value) equi-join (hotter
+    * by the missing frame-idx key: bucket size × maxFrames — still
+    * signature-sliver sized), then two narrow aggregations (offset vote,
+    * best offset per pair). Returns (id_a, id_b, frame_offset,
+    * n_matched, min_dist): the winning offset (ties to the smallest),
+    * its vote count, and the closest frame distance at that offset. */
+  def frameDupPairsShifted(df: DataFrame, idCol: String, payloadCol: String,
+                           frameBytes: Int = 64, stride: Int = 64,
+                           maxFrames: Int = 8, maxDist: Int = 2,
+                           nBands: Int = 4,
+                           minMatchedFrames: Int = 4): DataFrame = {
+    checkBandParams(nBands, maxDist)
+    require(minMatchedFrames >= 1, "minMatchedFrames >= 1")
+    val frames = df.select(col(idCol).as("_id"),
+        explode(sampleFrames(col(payloadCol), frameBytes, stride, maxFrames)).as("_f"))
+      .select(col("_id"), col("_f.frame_idx").as("_fi"),
+        dHash(col("_f.frame")).as("_sig"))
+    val banded = withBands(frames, nBands)
+    val a = banded.select(col("_b"), col("_v"),
+      col("_id").as("id_a"), col("_fi").as("_fa"), col("_sig").as("_sa"))
+    val b = banded.select(col("_b"), col("_v"),
+      col("_id").as("id_b"), col("_fi").as("_fb"), col("_sig").as("_sb"))
+    val votes = a.join(b, Seq("_b", "_v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_fa"), col("_fb"),
+        dHashDistance(col("_sa"), col("_sb")).as("_d"))
+      .distinct()
+      .filter(col("_d") <= maxDist)
+      .groupBy(col("id_a"), col("id_b"),
+        (col("_fa") - col("_fb")).as("frame_offset"))
+      .agg(count(lit(1)).as("n_matched"), min(col("_d")).as("min_dist"))
+    votes.groupBy(col("id_a"), col("id_b"))
+      .agg(min_by(struct(col("frame_offset"), col("n_matched"), col("min_dist")),
+        struct(negate(col("n_matched")), col("frame_offset"))).as("_best"))
+      .select(col("id_a"), col("id_b"),
+        col("_best.frame_offset").as("frame_offset"),
+        col("_best.n_matched").as("n_matched"), col("_best.min_dist").as("min_dist"))
+      .filter(col("n_matched") >= minMatchedFrames)
+  }
+
   /** Standing perceptual-hash index: the banded (band, value, id, sig)
     * store MATERIALIZED plus its founding band count, so daily ingest
     * probes band the BATCH only — the binary-column member of the

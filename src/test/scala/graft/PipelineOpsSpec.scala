@@ -354,6 +354,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got((0L, 1L)) == (3L, 0) && got((1L, 3L)) == (3L, 0))
   }
 
+  test("frameDupPairsShifted: offset votes assemble trimmed copies, scatter stays out") {
+    import graft.ops.Multimodal
+    def block(s: Int): String =
+      (0 until 64).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    val full = (1 to 5).map(block).mkString            // F1 F2 F3 F4 F5
+    val rows = Seq(
+      (0L, full),                                      // the original clip
+      (1L, full.drop(64)),                             // trimmed: frames shift by +1
+      (2L, block(1) + block(9) + block(3) + block(8)), // 2 matches at DIFFERENT
+                                                       // offsets (0 and -? ) -> no
+                                                       // single offset reaches 3
+      (3L, full)                                       // identical -> offset 0, 5 votes
+    ).toDF("doc_id", "t")
+    val got = Multimodal.frameDupPairsShifted(
+        Multimodal.packBinary(rows, "doc_id", "t"), "doc_id", "payload",
+        frameBytes = 64, stride = 64, maxFrames = 8,
+        maxDist = 2, minMatchedFrames = 3)
+      .as[(Long, Long, Int, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // the trimmed copy assembles at offset +1 (orig frame k+1 = trimmed frame k)
+    assert(got((0L, 1L)) == (1, 4L, 0))
+    assert(got((0L, 3L)) == (0, 5L, 0))
+    assert(got((1L, 3L)) == (-1, 4L, 0))
+    assert(!got.keySet.exists(p => p._1 == 2L || p._2 == 2L),
+      "matches scattered across offsets must not assemble a pair")
+  }
+
   test("quantizeMaxAbs: dequantized error bounded by 0.5/scale, zero vector null") {
     val vecs = (0 until 50).map(i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j) * (1 + i)))).toDF("id", "v")
