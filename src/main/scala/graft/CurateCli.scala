@@ -325,6 +325,9 @@ object CurateCli {
     "phashdup" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--max-dist", "--bands", "--max-per-bucket",
         "--index", "--update-index", "--multiprobe")),
+    "framedup" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
+      ++ Set("--payload-col", "--frame-bytes", "--stride", "--max-frames",
+        "--max-dist", "--bands", "--min-matched", "--shifted")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -1244,6 +1247,41 @@ object CurateCli {
           write(TextAnalysis.labelAgreement(in,
             argv.getOrElse("--label-col", "lang"),
             argv.getOrElse("--pred-col", "pred_lang")), out)
+
+        case "framedup" =>
+          // frame-level perceptual near-dup over a BINARY payload
+          // (q191/q192): sampled frames dHashed individually; aligned
+          // matching by default, `--shifted Y` for offset voting (the
+          // trimmed-clip shape). Same string→UTF-8 door as phashdup.
+          val fpc = argv.getOrElse("--payload-col", "payload")
+          require(in.columns.contains(fpc),
+            s"--payload-col '$fpc' not in input columns ${in.columns.mkString(",")}")
+          val fpayload = in.schema(fpc).dataType match {
+            case org.apache.spark.sql.types.BinaryType => col(fpc)
+            case org.apache.spark.sql.types.StringType => encode(col(fpc), "utf-8")
+            case other => throw new IllegalArgumentException(
+              s"--payload-col must be binary or string, got $other")
+          }
+          val fin = in.select(col(idCol), fpayload.as("_payload"))
+          val shifted = argv.getOrElse("--shifted", "N") match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"--shifted must be Y or N, got '$other'")
+          }
+          val fb = argv.getOrElse("--frame-bytes",
+            if (shifted) "64" else "128").toInt
+          val st = argv.getOrElse("--stride", fb.toString).toInt
+          val mf = argv.getOrElse("--max-frames", "8").toInt
+          val fMaxDist = argv.getOrElse("--max-dist", "2").toInt
+          val fBands = argv.getOrElse("--bands", "4").toInt
+          val mm = argv.getOrElse("--min-matched",
+            if (shifted) "4" else "3").toInt
+          write(
+            if (shifted) Multimodal.frameDupPairsShifted(fin, idCol, "_payload",
+              fb, st, mf, fMaxDist, fBands, mm)
+            else Multimodal.frameDupPairs(fin, idCol, "_payload",
+              fb, st, mf, fMaxDist, fBands, mm), out)
 
         case "phashdup" =>
           // perceptual near-dup rung over a BINARY payload column

@@ -1482,6 +1482,35 @@ class CurateCliSpec extends AnyFunSuite {
     rm(idx, o1, o2, st, oc, s"$oc-ids")
   }
 
+  test("framedup command matches the library frame rungs, aligned and shifted") {
+    import graft.ops.Multimodal
+    val oA = tmp("cli-frA"); val oS = tmp("cli-frS"); rm(oA, oS)
+    val docs = spark.read.parquet(docsPath)
+    val packed = Multimodal.packBinary(docs, "doc_id", "text")
+    CurateCli.run("framedup", Map("--in" -> docsPath, "--out" -> oA,
+      "--payload-col" -> "text", "--max-dist" -> "6", "--min-matched" -> "2"))
+    val wantA = Multimodal.frameDupPairs(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8,
+        maxDist = 6, minMatchedFrames = 2)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(spark.read.parquet(oA).as[(Long, Long, Long, Int)].collect().toSet
+      == wantA)
+    CurateCli.run("framedup", Map("--in" -> docsPath, "--out" -> oS,
+      "--payload-col" -> "text", "--shifted" -> "Y", "--min-matched" -> "2"))
+    val wantS = Multimodal.frameDupPairsShifted(packed, "doc_id", "payload",
+        frameBytes = 64, stride = 64, maxFrames = 8,
+        maxDist = 2, minMatchedFrames = 2)
+      .as[(Long, Long, Int, Long, Int)].collect().toSet
+    assert(spark.read.parquet(oS).as[(Long, Long, Int, Long, Int)].collect().toSet
+      == wantS && wantS.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("framedup", Map("--in" -> docsPath, "--out" -> oA,
+        "--payload-col" -> "text", "--shifted" -> "maybe"))
+    }
+    assert(e.getMessage.contains("--shifted"))
+    rm(oA, oS)
+  }
+
   test("--cc-strategy selects the component engine; all three agree; bogus fails loudly") {
     val outA = tmp("cli-ccauto"); val outS = tmp("cli-ccstar"); rm(outA, outS)
     CurateCli.run("split", Map("--in" -> docsPath, "--out" -> outA,

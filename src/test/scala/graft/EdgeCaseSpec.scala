@@ -28,6 +28,21 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
   }
 
+  test("dHash edges: null payload stays null, empty hashes 0, sub-grid lengths deterministic") {
+    import graft.ops.Multimodal
+    val rows = Seq[(Long, Option[String])](
+      (0L, None), (1L, Some("")), (2L, Some("a")), (3L, Some("ab" * 40)))
+      .toDF("id", "t")
+      .select(col("id"), encode(col("t"), "utf-8").as("p"))
+    val got = rows.select(col("id"), Multimodal.dHash(col("p")).as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got(0L).isEmpty, "null payload -> null hash (no silent zero)")
+    assert(got(1L).contains(0L) && got(2L).contains(0L),
+      "empty and single-byte payloads hash to 0 (no comparison wins)")
+    assert(got(3L).contains(
+      graft.functions.DHash64.hash(("ab" * 40).getBytes("UTF-8"))))
+  }
+
   test("ngramJaccardPairs survives short/empty docs and still finds the dup") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 5, minJaccard = 0.5, maxDf = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
