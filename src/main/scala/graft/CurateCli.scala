@@ -328,6 +328,8 @@ object CurateCli {
     "framedup" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--frame-bytes", "--stride", "--max-frames",
         "--max-dist", "--bands", "--min-matched", "--shifted")),
+    "integrity" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
+      ++ Set("--bad-only")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -1247,6 +1249,22 @@ object CurateCli {
           write(TextAnalysis.labelAgreement(in,
             argv.getOrElse("--label-col", "lang"),
             argv.getOrElse("--pred-col", "pred_lang")), out)
+
+        case "integrity" =>
+          // payload integrity audit (q193): verify each binary payload
+          // against its ingest-time meta struct (byte_len +
+          // content_hash); `--bad-only Y` keeps the violations
+          for (c <- Seq("payload", "meta"))
+            require(in.columns.contains(c),
+              s"integrity expects a packed input with a '$c' column " +
+                s"(packBinary's layout); got ${in.columns.mkString(",")}")
+          val report = Multimodal.payloadIntegrity(in, idCol)
+          write(argv.getOrElse("--bad-only", "N") match {
+            case "Y" => report.filter(col("verdict") =!= "ok")
+            case "N" => report
+            case other => throw new IllegalArgumentException(
+              s"--bad-only must be Y or N, got '$other'")
+          }, out)
 
         case "framedup" =>
           // frame-level perceptual near-dup over a BINARY payload

@@ -2409,6 +2409,24 @@ object SparkEntry {
       Multimodal.frameDupPairsShifted(packed, "doc_id", "payload",
         frameBytes = 64, stride = 64, maxFrames = 8,
         maxDist = 2, minMatchedFrames = 4)
+    }),
+
+    // ---- Payload integrity audit (round-11): the corrupted-media
+    //      detector — payloads re-verified against the ingest-time
+    //      metadata; the gate TAMPERS deterministically after packing
+    //      (every 10th doc truncated to half, another tenth first-byte
+    //      rewritten at equal length) and the audit must name each
+    //      verdict. Row-local, zero shuffles ----
+    "q193_payload_integrity" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val packed = Multimodal.packBinary(d, "doc_id", "text")
+      val tampered = packed.withColumn("payload",
+        when(col("doc_id") % 10 === 3,
+          expr("substring(payload, 1, cast(meta.byte_len / 2 as int))"))
+          .when(col("doc_id") % 10 === 7 && col("meta.byte_len") > 0,
+            concat(encode(lit("~"), "utf-8"), expr("substring(payload, 2)")))
+          .otherwise(col("payload")))
+      Multimodal.payloadIntegrity(tampered, "doc_id")
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -5748,6 +5766,25 @@ object SparkEntry {
 
     // q192: the shift-tolerant rung — offset voting replayed end to end
     "q192_frame_shifted" -> frameShiftedOracle,
+
+    // q193: the tamper fixture + verdicts replayed (ASCII corpus, so
+    // md5(text) is the byte hash and char slicing is byte slicing)
+    "q193_payload_integrity" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CASE WHEN doc_id % 10 = 3
+        |           THEN substr(text, 1, octet_length(encode(text)) // 2)
+        |         WHEN doc_id % 10 = 7 AND octet_length(encode(text)) > 0
+        |           THEN '~' || substr(text, 2)
+        |         ELSE text END AS ptext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS expected_len,
+        |  CAST(octet_length(encode(ptext)) AS BIGINT) AS actual_len,
+        |  CASE WHEN octet_length(encode(ptext)) != octet_length(encode(text))
+        |         THEN 'truncated'
+        |       WHEN md5(ptext) != md5(text) THEN 'corrupted'
+        |       ELSE 'ok' END AS verdict
+        |FROM d""".stripMargin,
 
     // q167: one UNION ALL branch per profiled column; min/max computed
     // in the column's type, cast to VARCHAR after

@@ -222,6 +222,29 @@ object Multimodal {
       .filter(col("n_matched") >= minMatchedFrames)
   }
 
+  /** Payload integrity audit — the corrupted-media detector: every
+    * binary payload re-verified against the typed metadata captured at
+    * ingest ([[packBinary]]'s `meta` struct). A length mismatch is a
+    * TRUNCATED transfer (the classic failed-download tail); a matching
+    * length with a differing content hash is CORRUPTION (bit rot, a
+    * partial overwrite). Run it before a training run reads the blobs —
+    * a 100-TB media corpus always carries a few thousand of each.
+    *
+    * Row-local (octet_length + md5 per row, both codegen'd) — ZERO
+    * shuffles; at scale this rides the scan stage of a column-pruned
+    * read (payload + meta only). Returns (idCol, expected_len,
+    * actual_len, verdict ∈ ok | truncated | corrupted). */
+  def payloadIntegrity(packed: DataFrame, idCol: String): DataFrame =
+    packed.select(col(idCol),
+        col("meta.byte_len").as("expected_len"),
+        octet_length(col("payload")).cast("long").as("actual_len"),
+        (md5(col("payload")) === col("meta.content_hash")).as("_hok"))
+      .withColumn("verdict",
+        when(col("actual_len") =!= col("expected_len"), lit("truncated"))
+          .when(!col("_hok"), lit("corrupted"))
+          .otherwise(lit("ok")))
+      .select(col(idCol), col("expected_len"), col("actual_len"), col("verdict"))
+
   /** Standing perceptual-hash index: the banded (band, value, id, sig)
     * store MATERIALIZED plus its founding band count, so daily ingest
     * probes band the BATCH only — the binary-column member of the

@@ -1511,6 +1511,27 @@ class CurateCliSpec extends AnyFunSuite {
     rm(oA, oS)
   }
 
+  test("integrity command audits packed payloads; --bad-only filters; unpacked input fails loudly") {
+    import graft.ops.Multimodal
+    val src = tmp("cli-int-src"); val out = tmp("cli-int"); rm(src, out)
+    val packed = Multimodal.packBinary(spark.read.parquet(docsPath), "doc_id", "text")
+    // tamper one doc after packing, then persist the packed table
+    packed.withColumn("payload",
+        when(col("doc_id") === 7L, expr("substring(payload, 1, 5)"))
+          .otherwise(col("payload")))
+      .write.mode("overwrite").parquet(src)
+    CurateCli.run("integrity", Map("--in" -> src, "--out" -> out,
+      "--bad-only" -> "Y"))
+    val bad = spark.read.parquet(out)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(bad.map(_._1) == Seq(7L) && bad.head._4 == "truncated")
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run("integrity", Map("--in" -> docsPath, "--out" -> out))
+    }
+    assert(e.getMessage.contains("packed input"))
+    rm(src, out)
+  }
+
   test("--cc-strategy selects the component engine; all three agree; bogus fails loudly") {
     val outA = tmp("cli-ccauto"); val outS = tmp("cli-ccstar"); rm(outA, outS)
     CurateCli.run("split", Map("--in" -> docsPath, "--out" -> outA,

@@ -381,6 +381,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       "matches scattered across offsets must not assemble a pair")
   }
 
+  test("payloadIntegrity: truncation, equal-length corruption and clean payloads verdict correctly") {
+    import graft.ops.Multimodal
+    val packed = Multimodal.packBinary(Seq(
+      (0L, "a perfectly healthy payload body"),
+      (1L, "this one will lose its tail bytes"),
+      (2L, "this one gets flipped in place!!"),
+      (3L, "")).toDF("doc_id", "t"), "doc_id", "t")
+    val tampered = packed.withColumn("payload",
+      when(col("doc_id") === 1L, expr("substring(payload, 1, 10)"))
+        .when(col("doc_id") === 2L,
+          concat(encode(lit("T"), "utf-8"), expr("substring(payload, 2)")))
+        .otherwise(col("payload")))
+    val got = Multimodal.payloadIntegrity(tampered, "doc_id")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(0L)._3 == "ok" && got(3L) == (0L, 0L, "ok"))
+    assert(got(1L) == (33L, 10L, "truncated"))
+    assert(got(2L)._1 == got(2L)._2 && got(2L)._3 == "corrupted")
+  }
+
   test("quantizeMaxAbs: dequantized error bounded by 0.5/scale, zero vector null") {
     val vecs = (0 until 50).map(i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j) * (1 + i)))).toDF("id", "v")
