@@ -214,6 +214,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dhash64"), s"native dhash64 expression in the plan\n$p")
   }
 
+  test("q193 integrity audit plans ZERO exchanges (row-local scan-stage verdicts)") {
+    val p = plan("q193_payload_integrity")
+    assert(!p.contains("Exchange"),
+      s"the integrity audit must never shuffle — md5/octet_length are row-local\n$p")
+  }
+
   test("q57 range join plans as a hash equi-join, never a nested loop") {
     val p = plan("q57_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
