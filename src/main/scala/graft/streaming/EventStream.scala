@@ -561,6 +561,26 @@ object EventStream {
       .start()
   }
 
+  /** Arrival-time payload health check — the STATELESS member of the
+    * gate-sink family: every arriving packed payload re-verified against
+    * its ingest metadata ([[graft.ops.Multimodal.payloadIntegrity]] —
+    * truncated / corrupted / ok), verdicts per `batch=` dir. No standing
+    * store, no state: the verdict is a row-local projection, so the sink
+    * is trivially replay-idempotent (overwrite per batch). Catch the
+    * failed transfer the day it arrives, not when a training run
+    * dereferences the blob. */
+  def integrityGateSink(stream: DataFrame, idCol: String,
+                        verdictsDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Multimodal.payloadIntegrity(batch.toDF(), idCol)
+          .write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
+        ()
+      }
+      .start()
+
   /** The SERVING-shape rung of the gate-sink family: probe each
     * microbatch's embeddings against a standing IVF-PQ index
     * ([[graft.ops.Similarity.loadIvfPqIndex]] — the production 100-TB

@@ -203,6 +203,43 @@ class IngestPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("integrityGateSink: arrival-time payload verdicts per microbatch, stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import graft.ops.Multimodal
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val out = tmp("gate-intout"); val ck = tmp("gate-intck")
+    val mem = MemoryStream[(Long, String, Long)]
+    // the stream carries packed rows; doc 2's payload is truncated AFTER
+    // the meta was captured (badLen simulates the failed transfer)
+    val stream = mem.toDF().toDF("doc_id", "t", "badLen")
+      .select(col("doc_id"),
+        expr("substring(encode(t, 'utf-8'), 1, cast(badLen as int))").as("payload"),
+        struct(lit("fake/raw").as("format"),
+          octet_length(encode(col("t"), "utf-8")).cast("long").as("byte_len"),
+          md5(encode(col("t"), "utf-8")).as("content_hash")).as("meta"))
+    val q = EventStream.integrityGateSink(stream, "doc_id", out, ck)
+    mem.addData((1L, "healthy payload body", 20L), (2L, "this one truncates", 5L))
+    q.processAllAvailable()
+    mem.addData((3L, "second batch fine", 17L))
+    q.processAllAvailable()
+    q.stop()
+    val g0 = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(g0 == Map(1L -> "ok", 2L -> "truncated"))
+    val g1 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(g1 == Map(3L -> "ok"))
+    // ≡ the batch path on the same rows
+    val batchWant = Multimodal.payloadIntegrity(
+        Multimodal.packBinary(Seq((1L, "healthy payload body")).toDF("doc_id", "t"),
+          "doc_id", "t"), "doc_id")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(batchWant(1L) == "ok")
+    Seq(out, ck).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
+
   test("ingestGateSink: the composed front door per microbatch == batch quality + ingestGate, verdicts unified") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
