@@ -97,24 +97,27 @@ object Bench {
     val cpus_ = jmap(_._2)
     val total = results.flatMap(_._2).map(_._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"sf":"$sfDir","runs":$runs,"cpu_sec":$cpuSec}""")
+    // per-query WALL history, chunked so every line individually fits the
+    // archived tail (round-10 verdict #3: the big line's wall map gets
+    // clipped; what survived was CPU-only, making round-over-round wall
+    // diffs impossible). CENTISECONDS halve the round-11 byte count
+    // (10 ms resolution is plenty for regression diffs on sub-2 s
+    // queries) and the chunks print BEFORE the summary — round 11's
+    // tail kept only the last chunks and lost the summary entirely, so
+    // the one line the tail must never lose now prints LAST.
+    val wallCs = results.map { case (n, b) =>
+      "\"" + n + "\":" + b.map(v => math.round(v._1 * 100).toString).getOrElse("null") }
+    val chunks = wallCs.grouped(50).toSeq
+    for ((c, i) <- chunks.zipWithIndex)
+      println(s"""{"metric":"wall_cs","part":${i + 1},"parts":${chunks.size},"q":${c.mkString("{", ",", "}")}}""")
     // compact summary LAST: the harness archives only a bounded tail of
-    // stdout, which in round 5 clipped the wall map out of the big line —
-    // this line always fits the tail and carries the headline evidence
+    // stdout — this line always fits the tail and carries the headline
+    // evidence, so nothing may print after it
     val slowest = results.flatMap { case (n, b) => b.map(v => n -> v._1) }
       .sortBy(-_._2).take(10)
       .map { case (n, w) => "\"" + n + "\":" + math.round(w * 1000) / 1000.0 }
       .mkString("{", ",", "}")
     println(s"""{"metric":"summary","total":${math.round(total * 1000) / 1000.0},"cpu_sec":${math.round(cpuSec * 10) / 10.0},"queries_ok":${results.count(_._2.isDefined)},"failed":${failed.size},"slowest":$slowest}""")
-    // per-query WALL history, chunked so every line individually fits the
-    // archived tail (round-10 verdict #3: the big line's wall map gets
-    // clipped; what survived was CPU-only, making round-over-round wall
-    // diffs impossible). Milliseconds keep each entry short; these lines
-    // are LAST so the tail always keeps them.
-    val wallMs = results.map { case (n, b) =>
-      "\"" + n + "\":" + b.map(v => math.round(v._1 * 1000).toString).getOrElse("null") }
-    val chunks = wallMs.grouped(40).toSeq
-    for ((c, i) <- chunks.zipWithIndex)
-      println(s"""{"metric":"wall_ms","part":${i + 1},"parts":${chunks.size},"q":${c.mkString("{", ",", "}")}}""")
     spark.stop()
     // a broken query must fail the bench loudly, not report a fast time
     if (failed.nonEmpty) {

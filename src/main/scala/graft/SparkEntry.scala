@@ -2415,14 +2415,16 @@ object SparkEntry {
     //      detector — payloads re-verified against the ingest-time
     //      metadata; the gate TAMPERS deterministically after packing
     //      (every 10th doc truncated to half, another tenth first-byte
-    //      rewritten at equal length) and the audit must name each
-    //      verdict. Row-local, zero shuffles ----
+    //      rewritten at equal length, another tenth NULLed outright —
+    //      the entirely-failed transfer, round-11 advice) and the audit
+    //      must name each verdict. Row-local, zero shuffles ----
     "q193_payload_integrity" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
       val packed = Multimodal.packBinary(d, "doc_id", "text")
       val tampered = packed.withColumn("payload",
         when(col("doc_id") % 10 === 3,
           expr("substring(payload, 1, cast(meta.byte_len / 2 as int))"))
+          .when(col("doc_id") % 10 === 5, lit(null).cast("binary"))
           .when(col("doc_id") % 10 === 7 && col("meta.byte_len") > 0,
             concat(encode(lit("~"), "utf-8"), expr("substring(payload, 2)")))
           .otherwise(col("payload")))
@@ -3182,11 +3184,12 @@ object SparkEntry {
       |FROM hashes""".stripMargin
 
   /** q191's oracle: the frame rung replayed — sampleFrames as hex-string
-    * slices (frame f = bytes f·64…f·64+31 = hex chars f·128+1…+64, full
-    * frames only, capped at 5 — the exact [[graft.ops.Multimodal
-    * .sampleFrames]] arithmetic), each frame hashed through the shared
-    * chain under a composite id (doc·100+frame), then the aligned-frame
-    * band join, Hamming verify, and the matched-frame rollup. */
+    * slices (frame f = bytes f·128…f·128+127 = hex chars f·256+1…+256,
+    * full frames only, capped at 4 — the exact [[graft.ops.Multimodal
+    * .sampleFrames]] arithmetic at q191's frameBytes=stride=128,
+    * maxFrames=4), each frame hashed through the shared chain under a
+    * composite id (doc·100+frame), then the aligned-frame band join,
+    * Hamming verify, and the matched-frame rollup. */
   private val frameDupOracle: String =
     phashHexCtes("""SELECT t.doc_id * 100 + u.f AS doc_id, CAST(128 AS BIGINT) AS len,
       |    substr(t.hx, u.f * 256 + 1, 256) AS hx
@@ -5768,11 +5771,13 @@ object SparkEntry {
     "q192_frame_shifted" -> frameShiftedOracle,
 
     // q193: the tamper fixture + verdicts replayed (ASCII corpus, so
-    // md5(text) is the byte hash and char slicing is byte slicing)
+    // md5(text) is the byte hash and char slicing is byte slicing);
+    // the NULLed arm must read 'missing', never fall through to 'ok'
     "q193_payload_integrity" ->
       """WITH d AS (SELECT doc_id, text,
         |    CASE WHEN doc_id % 10 = 3
         |           THEN substr(text, 1, octet_length(encode(text)) // 2)
+        |         WHEN doc_id % 10 = 5 THEN NULL
         |         WHEN doc_id % 10 = 7 AND octet_length(encode(text)) > 0
         |           THEN '~' || substr(text, 2)
         |         ELSE text END AS ptext
@@ -5780,7 +5785,8 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS expected_len,
         |  CAST(octet_length(encode(ptext)) AS BIGINT) AS actual_len,
-        |  CASE WHEN octet_length(encode(ptext)) != octet_length(encode(text))
+        |  CASE WHEN ptext IS NULL THEN 'missing'
+        |       WHEN octet_length(encode(ptext)) != octet_length(encode(text))
         |         THEN 'truncated'
         |       WHEN md5(ptext) != md5(text) THEN 'corrupted'
         |       ELSE 'ok' END AS verdict

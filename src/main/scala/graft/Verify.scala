@@ -23,15 +23,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query row counts, archived beside the dump (round-11 verdict
+    // #5): a query whose oracle degenerates to 0 rows would still read
+    // "pass" on flags alone — the counts make that failure mode visible
+    // in the round record. Counting the WRITTEN parquet is footer-only.
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val n = spark.read.parquet(s"$outDir/$name").count()
+        rows(name) = n
+        System.err.println(s"[verify] $name rows=$n")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/rows.json"),
+      rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -127,7 +127,18 @@ object PgCopy {
     * one CSV copy of every table it ever moved. The `file://` prefix
     * pins the read to the local FS: on a cluster whose default FS is
     * HDFS, a bare local path would resolve remotely and fail
-    * mysteriously; this fails loudly at the right layer instead. */
+    * mysteriously; this fails loudly at the right layer instead.
+    *
+    * Scale-shape caveat (round-11 advice): the eager localCheckpoint
+    * MATERIALIZES the whole table into the block manager at read time
+    * (memory/disk pressure ∝ table size), and checkpoint blocks are
+    * unrecoverable on executor loss — once the temp CSV is gone, a
+    * lost executor makes the frame permanently unreadable. That trade
+    * is deliberate for this bridge's single-box shape (psql dumps to
+    * a driver-local file anyway, so the read is driver-bound long
+    * before the block manager is); a multi-executor deployment should
+    * ship the JDBC driver jar and take the `Jdbc.readTable` path,
+    * or dump to a durable FS and keep the file past the read. */
   def readTable(spark: SparkSession, u: PgUrl, table: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("pgcopy_in")
     try {

@@ -233,14 +233,21 @@ object Multimodal {
     * Row-local (octet_length + md5 per row, both codegen'd) — ZERO
     * shuffles; at scale this rides the scan stage of a column-pruned
     * read (payload + meta only). Returns (idCol, expected_len,
-    * actual_len, verdict ∈ ok | truncated | corrupted). */
+    * actual_len, verdict ∈ ok | missing | truncated | corrupted).
+    *
+    * The NULL payload gets its own leading branch: with payload null,
+    * actual_len is null and every length/hash comparison evaluates to
+    * null — without the branch the entirely-failed transfer (blob
+    * missing altogether, the worst case) would fall through
+    * `otherwise` and read "ok" (round-11 advice). */
   def payloadIntegrity(packed: DataFrame, idCol: String): DataFrame =
     packed.select(col(idCol),
         col("meta.byte_len").as("expected_len"),
         octet_length(col("payload")).cast("long").as("actual_len"),
         (md5(col("payload")) === col("meta.content_hash")).as("_hok"))
       .withColumn("verdict",
-        when(col("actual_len") =!= col("expected_len"), lit("truncated"))
+        when(col("actual_len").isNull, lit("missing"))
+          .when(col("actual_len") =!= col("expected_len"), lit("truncated"))
           .when(!col("_hok"), lit("corrupted"))
           .otherwise(lit("ok")))
       .select(col(idCol), col("expected_len"), col("actual_len"), col("verdict"))

@@ -381,24 +381,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       "matches scattered across offsets must not assemble a pair")
   }
 
-  test("payloadIntegrity: truncation, equal-length corruption and clean payloads verdict correctly") {
+  test("payloadIntegrity: truncation, equal-length corruption, missing blob and clean payloads verdict correctly") {
     import graft.ops.Multimodal
     val packed = Multimodal.packBinary(Seq(
       (0L, "a perfectly healthy payload body"),
       (1L, "this one will lose its tail bytes"),
       (2L, "this one gets flipped in place!!"),
-      (3L, "")).toDF("doc_id", "t"), "doc_id", "t")
+      (3L, ""),
+      (4L, "this blob never arrived at all")).toDF("doc_id", "t"), "doc_id", "t")
     val tampered = packed.withColumn("payload",
       when(col("doc_id") === 1L, expr("substring(payload, 1, 10)"))
         .when(col("doc_id") === 2L,
           concat(encode(lit("T"), "utf-8"), expr("substring(payload, 2)")))
+        .when(col("doc_id") === 4L, lit(null).cast("binary"))
         .otherwise(col("payload")))
     val got = Multimodal.payloadIntegrity(tampered, "doc_id")
-      .as[(Long, Long, Long, String)].collect()
-      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[java.lang.Long]("expected_len"),
+          r.getAs[java.lang.Long]("actual_len"),
+          r.getAs[String]("verdict"))).toMap
     assert(got(0L)._3 == "ok" && got(3L) == (0L, 0L, "ok"))
     assert(got(1L) == (33L, 10L, "truncated"))
     assert(got(2L)._1 == got(2L)._2 && got(2L)._3 == "corrupted")
+    // the NULL payload must surface as 'missing', never fall through
+    // to 'ok' via null-propagating comparisons (round-11 advice)
+    assert(got(4L)._1 == 30L && got(4L)._2 == null && got(4L)._3 == "missing")
   }
 
   test("quantizeMaxAbs: dequantized error bounded by 0.5/scale, zero vector null") {
