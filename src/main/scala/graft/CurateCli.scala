@@ -327,7 +327,8 @@ object CurateCli {
         "--index", "--update-index", "--multiprobe")),
     "framedup" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--frame-bytes", "--stride", "--max-frames",
-        "--max-dist", "--bands", "--min-matched", "--shifted")),
+        "--max-dist", "--bands", "--min-matched", "--shifted",
+        "--max-per-bucket")),
     "integrity" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--bad-only")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
@@ -346,7 +347,8 @@ object CurateCli {
     "select" -> (CommonOptions ++ Set("--group-col", "--alpha", "--budget",
       "--seed")),
     "stats" -> Set("--store", "--out", "--out-format"),
-    "occupancy" -> Set("--store", "--out", "--out-format"),
+    "occupancy" -> Set("--store", "--out", "--out-format", "--advice",
+      "--hot-bucket"),
     // maintenance commands take no --out (forget's input IS the id list);
     // their sets are deliberately minimal so e.g. `compact --out X` fails
     // as loudly as a typo'd flag
@@ -1295,11 +1297,14 @@ object CurateCli {
           val fBands = argv.getOrElse("--bands", "4").toInt
           val mm = argv.getOrElse("--min-matched",
             if (shifted) "4" else "3").toInt
+          // the frame rungs are MORE flood-exposed than phashdup (black
+          // frames all hash alike), so they carry the same skew cap
+          val fCap = argv.getOrElse("--max-per-bucket", "0").toInt
           write(
             if (shifted) Multimodal.frameDupPairsShifted(fin, idCol, "_payload",
-              fb, st, mf, fMaxDist, fBands, mm)
+              fb, st, mf, fMaxDist, fBands, mm, fCap)
             else Multimodal.frameDupPairs(fin, idCol, "_payload",
-              fb, st, mf, fMaxDist, fBands, mm), out)
+              fb, st, mf, fMaxDist, fBands, mm, fCap), out)
 
         case "phashdup" =>
           // perceptual near-dup rung over a BINARY payload column
@@ -1331,9 +1336,10 @@ object CurateCli {
                 nBands = argv.getOrElse("--bands", "4").toInt,
                 maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt), out)
             case Some(idxDir) =>
-              for (_ <- argv.get("--max-per-bucket"))
-                throw new IllegalArgumentException(
-                  "--max-per-bucket applies to pairs mode, not --index probes")
+              // probe-time hot-bucket remediation (the occupancy
+              // --advice 'cap_probes' answer): store buckets capped at
+              // their lowest ids before the join, binding is loud
+              val probeCap = argv.getOrElse("--max-per-bucket", "0").toInt
               def yn(flag: String) = argv.getOrElse(flag, if (flag == "--update-index") "Y" else "N") match {
                 case "Y" => true
                 case "N" => false
@@ -1352,7 +1358,8 @@ object CurateCli {
                       s"--bands $stated disagrees with the stored index " +
                         s"(${idx.nBands}) — banding is fixed at build time")
                 write(Multimodal.incrementalPerceptualDupsWith(pin, idx,
-                  idCol, "_payload", maxDist, multiProbe = multi), out)
+                  idCol, "_payload", maxDist, multiProbe = multi,
+                  maxPerBucket = probeCap), out)
                 if (update)
                   Multimodal.appendPHashIndex(spark, idxDir, pin, idCol, "_payload")
               } else {
@@ -1783,6 +1790,10 @@ object CurateCli {
           // family's rebuild/refound loop
           import spark.implicits._
           val store = req("--store")
+          for (o <- Seq("--advice", "--hot-bucket"); _ <- argv.get(o))
+            if (storeKind(store) != "phash") throw new IllegalArgumentException(
+              s"$o applies to phash stores only (the other families' " +
+                "remediation is the rebuild/refound loop)")
           storeKind(store) match {
             case "ivfpq" =>
               write(graft.ops.Similarity.ivfPqIndexStats(
@@ -1798,7 +1809,22 @@ object CurateCli {
                 .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
                 .select(col("_sz").as("bucket_size"), col("n_buckets")), out)
             case "phash" =>
-              write(spark.read.parquet(s"$store/pbands")
+              // `--advice Y`: the diagnose half of the q136 loop — one
+              // row naming the remediation (ok | cap_probes |
+              // tombstone_flood) against `--hot-bucket` (default 64);
+              // 'cap_probes' answers with `phashdup --index
+              // --max-per-bucket`, 'tombstone_flood' with forget+compact
+              val wantAdvice = argv.getOrElse("--advice", "N") match {
+                case "Y" => true
+                case "N" => false
+                case other => throw new IllegalArgumentException(
+                  s"--advice must be Y or N, got '$other'")
+              }
+              if (wantAdvice)
+                write(Multimodal.pHashIndexAdvice(
+                  Multimodal.loadPHashIndex(spark, store, scope),
+                  argv.getOrElse("--hot-bucket", "64").toInt), out)
+              else write(spark.read.parquet(s"$store/pbands")
                 .groupBy(col("_b"), col("_v")).agg(count(lit(1)).as("_sz"))
                 .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
                 .select(col("_sz").as("bucket_size"), col("n_buckets")), out)

@@ -2390,9 +2390,12 @@ object SparkEntry {
       val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(lit("Z"), expr("substring(text, 2)")).as("text"))
       val packed = Multimodal.packBinary(d.unionByName(mut), "doc_id", "text")
+      // the skew cap WIRED, far above every real bucket at gate SFs
+      // (max observed 954 at sf0.1) so output ≡ the uncapped oracle —
+      // the q128 discipline; the BINDING behavior is q194's oracle
       Multimodal.frameDupPairs(packed, "doc_id", "payload",
         frameBytes = 128, stride = 128, maxFrames = 4,
-        maxDist = 2, minMatchedFrames = 3)
+        maxDist = 2, minMatchedFrames = 3, maxPerBucket = 1000000)
     }),
 
     // ---- Shift-tolerant frame matching (round-11): the TRIMMED-CLIP
@@ -2406,9 +2409,12 @@ object SparkEntry {
       val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
         expr("substring(text, 65)").as("text"))
       val packed = Multimodal.packBinary(d.unionByName(mut), "doc_id", "text")
+      // non-binding skew cap wired (q128 discipline; max observed
+      // bucket 510 at sf0.1) — binding behavior is spec-pinned on an
+      // adversarial constant-frame flood
       Multimodal.frameDupPairsShifted(packed, "doc_id", "payload",
         frameBytes = 64, stride = 64, maxFrames = 8,
-        maxDist = 2, minMatchedFrames = 4)
+        maxDist = 2, minMatchedFrames = 4, maxPerBucket = 1000000)
     }),
 
     // ---- Payload integrity audit (round-11): the corrupted-media
@@ -2429,7 +2435,47 @@ object SparkEntry {
             concat(encode(lit("~"), "utf-8"), expr("substring(payload, 2)")))
           .otherwise(col("payload")))
       Multimodal.payloadIntegrity(tampered, "doc_id")
-    }))
+    }),
+
+    // ---- Frame-rung skew cap BINDING (round-12): the adversarial
+    //      shape the cap exists for — a constant-payload flood (24
+    //      identical 512-byte "black clips", every frame hashing
+    //      alike) unioned onto q191's corpus∪mutants fixture, capped
+    //      at 6 rows per (frame_idx, band, value) bucket. The flood
+    //      collapses from C(24,2) to C(6,2) among its LOWEST ids —
+    //      deterministic, replayed value-for-value by the oracle's
+    //      row_number — while the mutant pairs survive untouched
+    //      where their buckets stay under the cap ----
+    "q194_frame_capped" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+      val flood = s.range(24).select((col("id") + 2000000L).as("doc_id"),
+        lit("A" * 512).as("text"))
+      val packed = Multimodal.packBinary(
+        d.unionByName(mut).unionByName(flood), "doc_id", "text")
+      Multimodal.frameDupPairs(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 4,
+        maxDist = 2, minMatchedFrames = 3, maxPerBucket = 6)
+    }),
+
+    // ---- Perceptual store occupancy (round-12): q169/q170's
+    //      bucket-size histogram for the THIRD index family — the
+    //      drift signal that decides the phash probe cap ----
+    "q195_phash_occupancy" -> ((s, dir) =>
+      Multimodal.pHashIndexStats(Multimodal.buildPHashIndex(
+        Multimodal.packBinary(tbl(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "payload", nBands = 4))),
+
+    // ---- Perceptual store advice row (round-12): the diagnose half
+    //      of the q136 loop — hot-bucket census against a threshold
+    //      and the named remediation (ok | cap_probes |
+    //      tombstone_flood); dHash banding is content-determined, so
+    //      unlike IVF there is no refound rung to advise ----
+    "q196_phash_advice" -> ((s, dir) =>
+      Multimodal.pHashIndexAdvice(Multimodal.buildPHashIndex(
+        Multimodal.packBinary(tbl(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "payload", nBands = 4), hotBucketThreshold = 8)))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
     * recursive reachability, `lab(node, cluster_id)` = component
@@ -3245,6 +3291,74 @@ object SparkEntry {
       |  FROM votes)
       |SELECT id_a, id_b, frame_offset, n_matched, min_dist
       |FROM best WHERE rn = 1 AND n_matched >= 4""".stripMargin
+
+  /** q194's oracle: q191's frame rung with the skew cap BINDING —
+    * the corpus∪mutants∪constant-flood source through the shared hash
+    * chain, then the cap replayed exactly: row_number over each
+    * (frame_idx, band, value) bucket ordered by id, keep ≤ 6 (ids are
+    * unique per aligned bucket, so the order is total), and the same
+    * candidate join / Hamming verify / rollup on the capped bands. */
+  private val frameCappedOracle: String =
+    phashHexCtes("""SELECT t.doc_id * 100 + u.f AS doc_id, CAST(128 AS BIGINT) AS len,
+      |    substr(t.hx, u.f * 256 + 1, 256) AS hx
+      |  FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+      |          hex(encode(text)) AS hx
+      |        FROM (SELECT doc_id, text FROM documents
+      |              UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      |                'Z' || substr(text, 2) AS text FROM documents
+      |              UNION ALL SELECT 2000000 + i AS doc_id,
+      |                repeat('A', 512) AS text FROM range(0, 24) r(i))) t,
+      |  unnest(range(0, least(greatest((t.n - 128) // 128 + 1, 0), 4))) u(f)""".stripMargin) +
+    """,
+      |fb AS (SELECT doc_id // 100 AS did, doc_id % 100 AS fi, h FROM hashes),
+      |bands0 AS (SELECT did, fi, h, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
+      |  FROM fb, unnest(range(0, 4)) u(b)),
+      |bands AS (SELECT did, fi, h, b, v FROM (
+      |    SELECT did, fi, h, b, v,
+      |      row_number() OVER (PARTITION BY fi, b, v ORDER BY did) AS rn
+      |    FROM bands0) WHERE rn <= 6),
+      |cand AS (SELECT DISTINCT a.did AS id_a, bb.did AS id_b, a.fi AS fi,
+      |    a.h AS ha, bb.h AS hb
+      |  FROM bands a JOIN bands bb
+      |    ON a.fi = bb.fi AND a.b = bb.b AND a.v = bb.v AND a.did < bb.did),
+      |md AS (SELECT id_a, id_b, fi, CAST(bit_count(xor(ha, hb)) AS INT) AS d
+      |  FROM cand WHERE bit_count(xor(ha, hb)) <= 2)
+      |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matched,
+      |  CAST(min(d) AS INT) AS min_dist
+      |FROM md GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
+
+  /** The q195/q196 bucket-size table: store bands over the corpus. */
+  private val phashBucketCtes: String =
+    phashCtes("SELECT doc_id, text FROM documents") +
+    """,
+      |bands AS (SELECT doc_id, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
+      |  FROM hashes, unnest(range(0, 4)) u(b)),
+      |sz AS (SELECT b, v, count(*) AS s FROM bands GROUP BY 1, 2)""".stripMargin
+
+  /** q195's oracle: the perceptual store's bucket-size histogram. */
+  private val phashOccupancyOracle: String =
+    phashBucketCtes +
+    """
+      |SELECT CAST(s AS BIGINT) AS bucket_size,
+      |  CAST(count(*) AS BIGINT) AS n_buckets
+      |FROM sz GROUP BY 1""".stripMargin
+
+  /** q196's oracle: the advice row — hot-bucket census at threshold 8,
+    * mass fraction as exact-integer sums divided as IEEE doubles (both
+    * engines), and the same 3-way advice case. */
+  private val phashAdviceOracle: String =
+    phashBucketCtes +
+    """
+      |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+      |  CAST(max(s) AS BIGINT) AS max_bucket,
+      |  CAST(sum(CASE WHEN s > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets,
+      |  CAST(sum(CASE WHEN s > 8 THEN s ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(s) AS DOUBLE) AS hot_row_frac,
+      |  CASE WHEN sum(CASE WHEN s > 8 THEN 1 ELSE 0 END) = 0 THEN 'ok'
+      |       WHEN CAST(sum(CASE WHEN s > 8 THEN s ELSE 0 END) AS DOUBLE)
+      |         / CAST(sum(s) AS DOUBLE) > 0.05 THEN 'tombstone_flood'
+      |       ELSE 'cap_probes' END AS advice
+      |FROM sz""".stripMargin
 
   /** q190's oracle: the standing probe replayed — store bands from the
     * original corpus, batch (mutant) probe keys widened to Hamming-1
@@ -5766,6 +5880,16 @@ object SparkEntry {
 
     // q191: the frame-aligned rung replayed from hex-string frame slices
     "q191_frame_neardup" -> frameDupOracle,
+
+    // q194: q191's rung with the skew cap BINDING on a constant flood —
+    // the cap replayed as a row_number over each aligned bucket
+    "q194_frame_capped" -> frameCappedOracle,
+
+    // q195: the perceptual store's bucket-size histogram
+    "q195_phash_occupancy" -> phashOccupancyOracle,
+
+    // q196: the hot-bucket advice row (diagnose half of the q136 loop)
+    "q196_phash_advice" -> phashAdviceOracle,
 
     // q192: the shift-tolerant rung — offset voting replayed end to end
     "q192_frame_shifted" -> frameShiftedOracle,

@@ -71,6 +71,30 @@ object Multimodal {
     require(maxDist >= 0 && maxDist <= 64, s"maxDist in [0,64], got $maxDist")
   }
 
+  /** Deterministic per-bucket skew cap: keep the `maxPerBucket` LOWEST
+    * `idCol` values per `keys` bucket, drop the rest. `maxPerBucket <= 0`
+    * disables the cap. This is the discipline every banded candidate
+    * join in the engine carries (the MinHash banding cap, q128's fuzzy
+    * block cap): a pathological bucket — a constant-frame flood of
+    * black frames, color bars, digital silence — otherwise makes the
+    * downstream equi-join quadratic in ONE task. The rank-then-filter
+    * shape compiles to WindowGroupLimit with a PARTIAL pass below the
+    * exchange (PlanSpec-pinned), so map tasks forward at most
+    * `maxPerBucket` rows per bucket and the flood never assembles. */
+  private def capBuckets(df: DataFrame, keys: Seq[String],
+                         order: Seq[String], maxPerBucket: Int): DataFrame =
+    if (maxPerBucket <= 0) df
+    else df.withColumn("_rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)))
+      .filter(col("_rn") <= maxPerBucket).drop("_rn")
+
+  /** The shifted rung's cap: its (band, value) buckets hold MULTIPLE
+    * frames per payload, so the deterministic order is (id, frame_idx)
+    * — id alone would tie and the kept set would vary run to run. */
+  private def capShiftedBuckets(banded: DataFrame, maxPerBucket: Int): DataFrame =
+    capBuckets(banded, Seq("_b", "_v"), Seq("_id", "_fi"), maxPerBucket)
+
   /** Explode a frame carrying a `_sig` long into its `nBands` equal
     * bit-bands as (_b, _v) rows — the Hamming-ball bucket keys every
     * perceptual shape joins on. All other columns pass through. */
@@ -113,12 +137,7 @@ object Multimodal {
     checkBandParams(nBands, maxDist)
     val sig = df.select(col(idCol).as("_id"), dHash(col(payloadCol)).as("_sig"))
     val banded = withBands(sig, nBands)
-    val capped =
-      if (maxPerBucket <= 0) banded
-      else banded.withColumn("_rn",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("_b"), col("_v")).orderBy(col("_id"))))
-        .filter(col("_rn") <= maxPerBucket).drop("_rn")
+    val capped = capBuckets(banded, Seq("_b", "_v"), Seq("_id"), maxPerBucket)
     val a = capped.select(col("_b"), col("_v"),
       col("_id").as("id_a"), col("_sig").as("_sa"))
     val b = capped.select(col("_b"), col("_v"),
@@ -144,19 +163,26 @@ object Multimodal {
     * pair, and only pairs with ≥ `minMatchedFrames` survive. Scale
     * shape: `maxFrames × nBands` ~32-byte rows per payload; frame bytes
     * stay in the scan stage (sampleFrames + dHash both run there) and
-    * only signatures shuffle. Returns (id_a, id_b, n_matched,
-    * min_dist), id_a < id_b. */
+    * only signatures shuffle. `maxPerBucket` caps a (frame_idx, band,
+    * value) bucket at the `maxPerBucket` lowest ids — the frame rungs
+    * are MORE exposed to the constant-payload flood than the
+    * whole-payload rung (real video corpora are full of black frames
+    * and color bars that all hash alike), so the cap matters more here
+    * (round-11 verdict #1). Returns (id_a, id_b, n_matched, min_dist),
+    * id_a < id_b. */
   def frameDupPairs(df: DataFrame, idCol: String, payloadCol: String,
                     frameBytes: Int = 128, stride: Int = 128, maxFrames: Int = 8,
                     maxDist: Int = 2, nBands: Int = 4,
-                    minMatchedFrames: Int = 3): DataFrame = {
+                    minMatchedFrames: Int = 3,
+                    maxPerBucket: Int = 0): DataFrame = {
     checkBandParams(nBands, maxDist)
     require(minMatchedFrames >= 1, "minMatchedFrames >= 1")
     val frames = df.select(col(idCol).as("_id"),
         explode(sampleFrames(col(payloadCol), frameBytes, stride, maxFrames)).as("_f"))
       .select(col("_id"), col("_f.frame_idx").as("_fi"),
         dHash(col("_f.frame")).as("_sig"))
-    val banded = withBands(frames, nBands)
+    val banded = capBuckets(withBands(frames, nBands),
+      Seq("_fi", "_b", "_v"), Seq("_id"), maxPerBucket)
     val a = banded.select(col("_fi"), col("_b"), col("_v"),
       col("_id").as("id_a"), col("_sig").as("_sa"))
     val b = banded.select(col("_fi"), col("_b"), col("_v"),
@@ -185,21 +211,28 @@ object Multimodal {
     * signature slivers per payload, one (band, value) equi-join (hotter
     * by the missing frame-idx key: bucket size × maxFrames — still
     * signature-sliver sized), then two narrow aggregations (offset vote,
-    * best offset per pair). Returns (id_a, id_b, frame_offset,
-    * n_matched, min_dist): the winning offset (ties to the smallest),
-    * its vote count, and the closest frame distance at that offset. */
+    * best offset per pair). Because this rung's buckets drop the
+    * frame-idx key they run `maxFrames`× hotter than the aligned
+    * rung's, so `maxPerBucket` — the `maxPerBucket` lowest (id,
+    * frame_idx) rows kept per (band, value) bucket, deterministic —
+    * is the knob that keeps a black-frame flood from going quadratic
+    * in one task (round-11 verdict #1). Returns (id_a, id_b,
+    * frame_offset, n_matched, min_dist): the winning offset (ties to
+    * the smallest), its vote count, and the closest frame distance at
+    * that offset. */
   def frameDupPairsShifted(df: DataFrame, idCol: String, payloadCol: String,
                            frameBytes: Int = 64, stride: Int = 64,
                            maxFrames: Int = 8, maxDist: Int = 2,
                            nBands: Int = 4,
-                           minMatchedFrames: Int = 4): DataFrame = {
+                           minMatchedFrames: Int = 4,
+                           maxPerBucket: Int = 0): DataFrame = {
     checkBandParams(nBands, maxDist)
     require(minMatchedFrames >= 1, "minMatchedFrames >= 1")
     val frames = df.select(col(idCol).as("_id"),
         explode(sampleFrames(col(payloadCol), frameBytes, stride, maxFrames)).as("_f"))
       .select(col("_id"), col("_f.frame_idx").as("_fi"),
         dHash(col("_f.frame")).as("_sig"))
-    val banded = withBands(frames, nBands)
+    val banded = capShiftedBuckets(withBands(frames, nBands), maxPerBucket)
     val a = banded.select(col("_b"), col("_v"),
       col("_id").as("id_a"), col("_fi").as("_fa"), col("_sig").as("_sa"))
     val b = banded.select(col("_b"), col("_v"),
@@ -281,6 +314,38 @@ object Multimodal {
       .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
       .select(col("_sz").as("bucket_size"), col("n_buckets"))
 
+  /** The diagnose half of the q136 diagnose-then-remediate loop for the
+    * perceptual store (round-11 verdict #4): ONE advice row —
+    * (n_buckets, max_bucket, n_hot_buckets, hot_row_frac, advice) —
+    * against a hot-bucket threshold. Probe cost is quadratic in bucket
+    * size, so the decision signal is how much of the store's band mass
+    * sits in buckets above `hotBucketThreshold`:
+    * `ok` (no hot buckets), `cap_probes` (hot buckets exist — probe
+    * with `maxPerBucket`, [[incrementalPerceptualDupsWith]]), or
+    * `tombstone_flood` (hot buckets carry over `hotMassFrac` of all
+    * band rows — capping would blind most probes, so the flood itself
+    * must leave: tombstone + [[compactPHashIndex]]). Unlike the IVF
+    * family there is no refound rung: dHash banding is
+    * content-determined — identical payloads collide under ANY band
+    * count, so re-founding cannot rebalance what a flood floods. */
+  def pHashIndexAdvice(index: PHashIndex, hotBucketThreshold: Int = 64,
+                       hotMassFrac: Double = 0.05): DataFrame = {
+    require(hotBucketThreshold >= 1, "hotBucketThreshold >= 1")
+    val sizes = index.banded.groupBy(col("_b"), col("_v"))
+      .agg(count(lit(1)).as("_sz"))
+    sizes.agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("_sz")).as("max_bucket"),
+        sum(when(col("_sz") > hotBucketThreshold, 1L).otherwise(0L))
+          .as("n_hot_buckets"),
+        (sum(when(col("_sz") > hotBucketThreshold, col("_sz")).otherwise(0L))
+          / sum(col("_sz"))).as("hot_row_frac"))
+      .withColumn("advice",
+        when(col("n_hot_buckets") === 0, lit("ok"))
+          .when(col("hot_row_frac") > hotMassFrac, lit("tombstone_flood"))
+          .otherwise(lit("cap_probes")))
+  }
+
   /** Persist a [[PHashIndex]] (band table + founding params) as parquet. */
   def savePHashIndex(index: PHashIndex, path: String): Unit = {
     val sess = index.banded.sparkSession
@@ -338,12 +403,37 @@ object Multimodal {
     * q174 recall knob): a true near-dup hidden because every band
     * carries at least one differing bit is recovered at bounded extra
     * candidate cost, and the STORE never re-buckets — the explode is
-    * batch-side only. Returns (idCol, hist_id, dist). */
+    * batch-side only.
+    *
+    * `maxPerBucket` is the probe-time HOT-BUCKET remediation the
+    * [[pHashIndexStats]] diagnostic calls for (the q136
+    * diagnose-then-remediate loop, round-11 verdict #4): when > 0,
+    * each store (band, value) bucket is capped at its `maxPerBucket`
+    * lowest history ids before the join, so a constant-payload flood
+    * in HISTORY (black frames accumulated over months of ingest)
+    * cannot make every probe against that bucket quadratic. The cap
+    * binding is LOUD — one warning naming the hot-bucket count and the
+    * durable remediations (tombstone the flood, then
+    * [[compactPHashIndex]]) — because a capped bucket can hide a true
+    * best match: an explicit recall trade, never a silent one. The
+    * check is one narrow aggregate over the (cached) band store.
+    * Returns (idCol, hist_id, dist). */
   def incrementalPerceptualDupsWith(batch: DataFrame, index: PHashIndex,
                                     idCol: String, payloadCol: String,
                                     maxDist: Int = 6,
-                                    multiProbe: Boolean = false): DataFrame = {
+                                    multiProbe: Boolean = false,
+                                    maxPerBucket: Int = 0): DataFrame = {
     checkBandParams(index.nBands, maxDist)
+    if (maxPerBucket > 0) {
+      val hot = index.banded.groupBy(col("_b"), col("_v"))
+        .agg(count(lit(1)).as("_sz")).filter(col("_sz") > maxPerBucket).count()
+      if (hot > 0) System.err.println(
+        s"[graft] phash probe: $hot store bucket(s) exceed maxPerBucket=" +
+          s"$maxPerBucket and are capped to their lowest ids — matches " +
+          "inside the overflow are NOT probed; tombstone the flooding " +
+          "payloads and compact the store to remediate durably")
+    }
+    val store = capBuckets(index.banded, Seq("_b", "_v"), Seq("_hid"), maxPerBucket)
     val bandBits = 64 / index.nBands
     val base = withBands(Parallelize.ensure(
       batch.select(col(idCol).as("_nid"), dHash(col(payloadCol)).as("_nsig"))
@@ -359,7 +449,7 @@ object Multimodal {
           .drop("_v").withColumnRenamed("_pv", "_v")
       }
     probed
-      .join(index.banded.select(col("_b"), col("_v"), col("_hid"),
+      .join(store.select(col("_b"), col("_v"), col("_hid"),
         col("_sig").as("_hsig")), Seq("_b", "_v"))
       .select(col("_nid"), col("_hid"),
         dHashDistance(col("_nsig"), col("_hsig")).as("_dist"))

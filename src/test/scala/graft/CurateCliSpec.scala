@@ -1449,12 +1449,19 @@ class CurateCliSpec extends AnyFunSuite {
         "--payload-col" -> "text", "--index" -> idx, "--bands" -> "8"))
     }
     assert(e.getMessage.contains("--bands"))
-    // pairs-only knobs contradict the loop (and vice versa)
-    val e2 = intercept[IllegalArgumentException] {
-      CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> o2,
-        "--payload-col" -> "text", "--index" -> idx, "--max-per-bucket" -> "3"))
-    }
-    assert(e2.getMessage.contains("--max-per-bucket"))
+    // probe-time hot-bucket cap (occupancy --advice 'cap_probes'
+    // remediation): the capped CLI probe ≡ the capped library probe
+    val o3 = tmp("cli-ph3"); rm(o3)
+    CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> o3,
+      "--payload-col" -> "text", "--index" -> idx,
+      "--update-index" -> "N", "--max-per-bucket" -> "2"))
+    val wantCap = Multimodal.incrementalPerceptualDupsWith(
+        Multimodal.packBinary(docs, "doc_id", "text"),
+        Multimodal.loadPHashIndex(spark, idx), "doc_id", "payload",
+        maxDist = 6, maxPerBucket = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(spark.read.parquet(o3).as[(Long, Long, Int)].collect().toSet
+      == wantCap)
     val e3 = intercept[IllegalArgumentException] {
       CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> o2,
         "--payload-col" -> "text", "--multiprobe" -> "Y"))
@@ -1470,6 +1477,19 @@ class CurateCliSpec extends AnyFunSuite {
     val occ = spark.read.parquet(oc)
       .agg(sum(col("bucket_size") * col("n_buckets"))).head().getLong(0)
     assert(occ == docs.count() * 4)
+    // occupancy --advice: the diagnose half of the remediation loop,
+    // ≡ the library advice row; phash-only (other families refound)
+    val oadv = tmp("cli-phadv"); rm(oadv)
+    CurateCli.run("occupancy", Map("--store" -> idx, "--out" -> oadv,
+      "--advice" -> "Y", "--hot-bucket" -> "8"))
+    val advGot = spark.read.parquet(oadv).head()
+    val advWant = Multimodal.pHashIndexAdvice(
+      Multimodal.loadPHashIndex(spark, idx), hotBucketThreshold = 8)
+      .head()
+    assert(advGot == advWant)
+    assert(Set("ok", "cap_probes", "tombstone_flood")
+      .contains(advGot.getAs[String]("advice")))
+    rm(oadv)
     val someId = docs.select("doc_id").head().getLong(0)
     val ids = Seq(someId).toDF("doc_id")
     ids.write.mode("overwrite").parquet(s"$oc-ids")
@@ -1503,6 +1523,18 @@ class CurateCliSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Long, Int)].collect().toSet
     assert(spark.read.parquet(oS).as[(Long, Long, Int, Long, Int)].collect().toSet
       == wantS && wantS.nonEmpty)
+    // the skew cap threads through both rungs ≡ the library cap
+    val oC = tmp("cli-frC"); rm(oC)
+    CurateCli.run("framedup", Map("--in" -> docsPath, "--out" -> oC,
+      "--payload-col" -> "text", "--max-dist" -> "6", "--min-matched" -> "2",
+      "--max-per-bucket" -> "3"))
+    val wantCap = Multimodal.frameDupPairs(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8,
+        maxDist = 6, minMatchedFrames = 2, maxPerBucket = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(spark.read.parquet(oC).as[(Long, Long, Long, Int)].collect().toSet
+      == wantCap)
+    rm(oC)
     val e = intercept[IllegalArgumentException] {
       CurateCli.run("framedup", Map("--in" -> docsPath, "--out" -> oA,
         "--payload-col" -> "text", "--shifted" -> "maybe"))

@@ -381,6 +381,51 @@ class PipelineOpsSpec extends AnyFunSuite {
       "matches scattered across offsets must not assemble a pair")
   }
 
+  test("frame rungs: constant-frame flood collapses under the cap; survivors untouched") {
+    import graft.ops.Multimodal
+    def block(s: Int): String =
+      (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    // the adversarial shape the cap exists for: ten identical clips of
+    // one repeated "black frame" — every (frame_idx, band, value)
+    // bucket holds all ten ids — plus one genuine high-id dup pair
+    // whose buckets stay tiny
+    val flood = (0L until 10L).map(i => (i, block(1) * 4))
+    val clean = Seq((20L, block(2) + block(3) + block(4) + block(5)),
+                    (21L, block(2) + block(3) + block(4) + block(5)))
+    val packed = Multimodal.packBinary(
+      (flood ++ clean).toDF("doc_id", "t"), "doc_id", "t")
+    def aligned(cap: Int) = Multimodal.frameDupPairs(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8,
+        maxDist = 2, minMatchedFrames = 3, maxPerBucket = cap)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // uncapped: exactly C(10,2) = 45 flood pairs + the clean pair
+    val un = aligned(0)
+    assert(un.size == 46 && un((20L, 21L)) == (4L, 0))
+    assert((0L until 10L).flatMap(a => (a + 1 until 10L).map(a -> _))
+      .forall(p => un(p) == (4L, 0)))
+    // capped at 4: the flood collapses to C(4,2) = 6 pairs among its
+    // LOWEST ids (deterministic), the clean pair is untouched
+    val capped = aligned(4)
+    assert(capped.keySet ==
+      ((0L until 4L).flatMap(a => (a + 1 until 4L).map(a -> _)).toSet + (20L -> 21L)))
+    assert(capped.values.forall(_ == (4L, 0)))
+
+    // the shifted rung's (band, value) buckets hold ALL flood frames
+    // (10 ids x 4 frames); cap 8 keeps the two lowest ids' frames
+    def shifted(cap: Int) = Multimodal.frameDupPairsShifted(packed,
+        "doc_id", "payload", frameBytes = 128, stride = 128, maxFrames = 8,
+        maxDist = 2, minMatchedFrames = 4, maxPerBucket = cap)
+      .as[(Long, Long, Int, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val sUn = shifted(0)
+    assert(sUn.size == 46, "uncapped shifted: C(10,2) flood pairs + clean")
+    val sCap = shifted(8)
+    assert(sCap.keySet == Set(0L -> 1L, 20L -> 21L),
+      "cap 8 keeps ids 0,1's frames per flood bucket - one flood pair")
+    assert(sCap(0L -> 1L) == (0, 4L, 0) && sCap(20L -> 21L) == (0, 4L, 0))
+  }
+
   test("payloadIntegrity: truncation, equal-length corruption, missing blob and clean payloads verdict correctly") {
     import graft.ops.Multimodal
     val packed = Multimodal.packBinary(Seq(

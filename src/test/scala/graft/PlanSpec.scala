@@ -214,6 +214,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dhash64"), s"native dhash64 expression in the plan\n$p")
   }
 
+  test("q194 capped frame rung: partial WindowGroupLimit below the bucket exchange, still no cross join") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val p = plan("q194_frame_capped")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"capped candidates still come from the (fi, band, value) equi-join\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the bucket cap must compile to a group limit, not a full window\n$p")
+    // the q111 discipline: the PARTIAL group limit must sit BELOW the
+    // window's exchange, so each map task forwards at most cap rows per
+    // (fi, band, value) bucket and a constant-frame flood dies in the
+    // map stage instead of assembling in one reduce task. The rule only
+    // fires while cap <= spark.sql.window.group.limit.threshold
+    // (default 1000) — this assert catches a conf or cap regression.
+    val wrapped = SparkEntry.queries("q194_frame_capped")(spark, dir)
+      .queryExecution.executedPlan
+    val exec = wrapped match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val partialBelowExchange = exec.collect {
+      case e: ShuffleExchangeExec => e.child.collect {
+        case w: WindowGroupLimitExec if w.mode.toString == "Partial" => w
+      }.nonEmpty
+    }.exists(identity)
+    assert(partialBelowExchange,
+      s"partial WindowGroupLimit must run below the exchange\n$exec")
+  }
+
   test("q193 integrity audit plans ZERO exchanges (row-local scan-stage verdicts)") {
     val p = plan("q193_payload_integrity")
     assert(!p.contains("Exchange"),

@@ -214,6 +214,67 @@ class StandingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("phash store drift: advice names the remediation; capped probe = probe of the capped store") {
+    import graft.ops.Multimodal
+    CacheScope.withScope { scope =>
+      val words = Seq("alpha", "Bravo", "chi", "DELTA", "echo2",
+        "foxtrot", "Golf77", "hotel", "IndiaInk", "julietX")
+      def mkText(i: Int): String =
+        (0 until 60 + (i % 7) * 5).map { k =>
+          words((((i + 1) * 2654435761L + k * 40503L + i.toLong * k * 97L) % 10).toInt)
+        }.mkString(" ")
+      def payloads(rows: Seq[(Long, String)]) = Multimodal.packBinary(
+        rows.toDF("doc_id", "t"), "doc_id", "t")
+      def build(rows: Seq[(Long, String)]) = Multimodal.buildPHashIndex(
+        payloads(rows), "doc_id", "payload", nBands = 4, scope = scope)
+      def adviceRow(idx: Multimodal.PHashIndex) =
+        Multimodal.pHashIndexAdvice(idx, hotBucketThreshold = 8).collect().head
+      val distinct20 = (0 until 20).map(i => (i.toLong, mkText(i)))
+      val blackFrames = "black frame payload " * 16
+      def flood(n: Int) = (0 until n).map(i => (1000L + i, blackFrames))
+
+      // healthy store: every bucket small -> 'ok', zero hot buckets
+      val okRow = adviceRow(build(distinct20))
+      assert(okRow.getAs[String]("advice") == "ok" &&
+        okRow.getAs[Long]("n_hot_buckets") == 0L)
+      // heavy drift: a 30-copy flood dominates the band mass ->
+      // capping would blind most probes; the flood itself must leave
+      val heavy = adviceRow(build(distinct20 ++ flood(30)))
+      assert(heavy.getAs[String]("advice") == "tombstone_flood")
+      assert(heavy.getAs[Long]("max_bucket") == 30L &&
+        heavy.getAs[Long]("n_hot_buckets") == 4L)
+      // mild drift: hot buckets exist (the flood's 4 plus chance text
+      // collisions — 9.1% of the band mass, deterministic fixture) but
+      // stay under an 0.15 mass ceiling -> cap the probes, keep serving
+      val mild = Multimodal.pHashIndexAdvice(build(
+          (0 until 300).map(i => (i.toLong, mkText(i))) ++ flood(9)),
+          hotBucketThreshold = 8, hotMassFrac = 0.15)
+        .collect().head
+      assert(mild.getAs[String]("advice") == "cap_probes",
+        s"expected cap_probes, got $mild")
+      assert(mild.getAs[Long]("n_hot_buckets") > 4L,
+        "chance collisions beyond the flood are part of the census")
+
+      // the probe-time remediation: a capped probe against the flooded
+      // store ≡ an uncapped probe against the store REBUILT from only
+      // the ids the cap keeps (flood bucket -> its 4 lowest ids;
+      // distinct-doc buckets are all under the cap)
+      val flooded = build(distinct20 ++ flood(9))
+      val reduced = build(distinct20 ++ flood(4))
+      val batch = payloads(Seq(
+        (9000L, blackFrames),                     // echoes the flood
+        (9001L, "X" + mkText(7).drop(1))))        // 1-byte mutant of doc 7
+      def probe(idx: Multimodal.PHashIndex, cap: Int) =
+        Multimodal.incrementalPerceptualDupsWith(batch, idx, "doc_id",
+            "payload", maxDist = 6, maxPerBucket = cap)
+          .as[(Long, Long, Int)].collect().toSeq.sorted
+      assert(probe(flooded, 4) == probe(reduced, 0))
+      assert(probe(flooded, 4).map(_._1).toSet == Set(9000L, 9001L))
+      // a non-binding cap is the identity
+      assert(probe(flooded, 1000) == probe(flooded, 0))
+    }
+  }
+
   test("appendNearDupIndex on disk equals extendNearDupIndex in memory across two batches") {
     CacheScope.withScope { scope =>
       val dir = java.nio.file.Files.createTempDirectory("ndappend").toString
