@@ -324,11 +324,11 @@ object CurateCli {
       ++ Set("--label-col", "--pred-col")),
     "phashdup" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--max-dist", "--bands", "--max-per-bucket",
-        "--index", "--update-index", "--multiprobe")),
+        "--index", "--update-index", "--multiprobe", "--decoder")),
     "framedup" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--frame-bytes", "--stride", "--max-frames",
         "--max-dist", "--bands", "--min-matched", "--shifted",
-        "--max-per-bucket")),
+        "--max-per-bucket", "--decoder")),
     "integrity" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--bad-only")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
@@ -1300,11 +1300,31 @@ object CurateCli {
           // the frame rungs are MORE flood-exposed than phashdup (black
           // frames all hash alike), so they carry the same skew cap
           val fCap = argv.getOrElse("--max-per-bucket", "0").toInt
-          write(
-            if (shifted) Multimodal.frameDupPairsShifted(fin, idCol, "_payload",
-              fb, st, mf, fMaxDist, fBands, mm, fCap)
-            else Multimodal.frameDupPairs(fin, idCol, "_payload",
-              fb, st, mf, fMaxDist, fBands, mm, fCap), out)
+          write(argv.getOrElse("--decoder", "stub") match {
+            case "stub" =>
+              if (shifted) Multimodal.frameDupPairsShifted(fin, idCol, "_payload",
+                fb, st, mf, fMaxDist, fBands, mm, fCap)
+              else Multimodal.frameDupPairs(fin, idCol, "_payload",
+                fb, st, mf, fMaxDist, fBands, mm, fCap)
+            case "imageio" =>
+              // REAL keyframe decode: the payload is a length-prefixed
+              // container of encoded images; byte-window knobs don't
+              // apply (frames carry their own boundaries)
+              for (o <- Seq("--frame-bytes", "--stride"); _ <- argv.get(o))
+                throw new IllegalArgumentException(
+                  s"$o applies to the stub byte-window decoder; --decoder " +
+                    "imageio reads length-prefixed encoded frames")
+              require(in.schema(fpc).dataType ==
+                org.apache.spark.sql.types.BinaryType,
+                "--decoder imageio needs a BINARY payload column " +
+                  "(encoded image frames, packImageFrames layout)")
+              if (shifted) Multimodal.frameDupPairsShiftedDecoded(fin, idCol,
+                "_payload", mf, fMaxDist, fBands, mm, fCap)
+              else Multimodal.frameDupPairsDecoded(fin, idCol, "_payload",
+                mf, fMaxDist, fBands, mm, fCap)
+            case other => throw new IllegalArgumentException(
+              s"--decoder must be stub or imageio, got '$other'")
+          }, out)
 
         case "phashdup" =>
           // perceptual near-dup rung over a BINARY payload column
@@ -1326,16 +1346,39 @@ object CurateCli {
           }
           val pin = in.select(col(idCol), payload.as("_payload"))
           val maxDist = argv.getOrElse("--max-dist", "6").toInt
+          val decoder = argv.getOrElse("--decoder", "stub") match {
+            case d @ ("stub" | "imageio") => d
+            case other => throw new IllegalArgumentException(
+              s"--decoder must be stub or imageio, got '$other'")
+          }
+          if (decoder == "imageio")
+            require(in.schema(pc).dataType ==
+              org.apache.spark.sql.types.BinaryType,
+              "--decoder imageio needs a BINARY payload column " +
+                "(encoded image bytes)")
           argv.get("--index") match {
             case None =>
               for (o <- Seq("--update-index", "--multiprobe"); _ <- argv.get(o))
                 throw new IllegalArgumentException(
                   s"$o only applies with --index (the standing-store loop)")
-              write(Multimodal.perceptualDupPairs(pin, idCol, "_payload",
-                maxDist = maxDist,
-                nBands = argv.getOrElse("--bands", "4").toInt,
-                maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt), out)
+              write(
+                if (decoder == "imageio")
+                  Multimodal.perceptualDupPairsDecoded(pin, idCol, "_payload",
+                    maxDist = maxDist,
+                    nBands = argv.getOrElse("--bands", "4").toInt,
+                    maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt)
+                else Multimodal.perceptualDupPairs(pin, idCol, "_payload",
+                  maxDist = maxDist,
+                  nBands = argv.getOrElse("--bands", "4").toInt,
+                  maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt), out)
             case Some(idxDir) =>
+              // the standing store is FOUNDED on the stub byte-stream
+              // decode (its oracle replays that arithmetic); a store
+              // keyed on one signature space cannot answer the other
+              for (_ <- argv.get("--decoder") if decoder == "imageio")
+                throw new IllegalArgumentException(
+                  "--decoder imageio applies to pairs mode; the standing " +
+                    "store's signatures are founded on the stub decode")
               // probe-time hot-bucket remediation (the occupancy
               // --advice 'cap_probes' answer): store buckets capped at
               // their lowest ids before the join, binding is loud

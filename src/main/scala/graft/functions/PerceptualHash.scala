@@ -13,9 +13,10 @@ import org.apache.spark.sql.graft.ColumnBridge
   * twin of the text side's SimHash rung.
   *
   * Real dHash (the image-dedup standard: resize to a 9×8 grayscale grid,
-  * set bit (r,c) when the right cell is brighter than the left) needs an
-  * image decoder this environment doesn't have, so — exactly like
-  * `Multimodal.decodeStub` (the q68 discipline) — the DECODE step is the
+  * set bit (r,c) when the right cell is brighter than the left) lives in
+  * `Multimodal.dHashImage` (JDK `javax.imageio` decode → 2-D grid). THIS
+  * expression is the byte-stream flavor — exactly like
+  * `Multimodal.decodeStub` (the q68 discipline) — where the DECODE step is a
   * deterministic fake: the payload's bytes ARE the luma samples. The
   * perceptual structure is real and stays: downsample the byte stream
   * into 72 = 9×8 cell MEANS (cell of byte j = j·72/len — a localized

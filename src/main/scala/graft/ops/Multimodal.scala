@@ -9,9 +9,14 @@ import org.apache.spark.sql.types._
   * batched per partition.
   *
   * The Spark-side plumbing — schema, partitioning, batch shape — is real and
-  * tested; the codec itself is STUBBED with a deterministic fake (this
-  * environment has no image/audio libraries). Swap `decodeStub` for a real
-  * decoder (JNI/javacv/etc.) without touching the plumbing.
+  * tested. The decode step comes in two flavors: a deterministic STUB
+  * (`decodeStub` / the byte-stream [[dHash]]) that the synthetic gate corpus
+  * uses so DuckDB can replay every hash, and a REAL image decoder
+  * ([[decodeImage]] — JDK `javax.imageio`, PNG/JPEG/BMP/GIF, zero new jars)
+  * behind [[dHashImage]] / [[extractImageFeatures]] / the `*Decoded` pair
+  * rungs, spec-pinned over deterministically generated images. Audio/video
+  * codecs beyond keyframe images would still arrive as a decoder swap
+  * (JNI/javacv/etc.) without touching the plumbing.
   */
 object Multimodal {
 
@@ -135,7 +140,16 @@ object Multimodal {
                          maxDist: Int = 6, nBands: Int = 4,
                          maxPerBucket: Int = 0): DataFrame = {
     checkBandParams(nBands, maxDist)
-    val sig = df.select(col(idCol).as("_id"), dHash(col(payloadCol)).as("_sig"))
+    sigDupPairsCore(df.select(col(idCol).as("_id"),
+      dHash(col(payloadCol)).as("_sig")), maxDist, nBands, maxPerBucket)
+  }
+
+  /** The whole-payload pair core over a prepared (_id, _sig) frame —
+    * shared by the stub-decode rung ([[perceptualDupPairs]]) and the
+    * real-decoder rung ([[perceptualDupPairsDecoded]]): banding, skew
+    * cap, candidate equi-join, Hamming verify. */
+  private def sigDupPairsCore(sig: DataFrame, maxDist: Int, nBands: Int,
+                              maxPerBucket: Int): DataFrame = {
     val banded = withBands(sig, nBands)
     val capped = capBuckets(banded, Seq("_b", "_v"), Seq("_id"), maxPerBucket)
     val a = capped.select(col("_b"), col("_v"),
@@ -177,10 +191,19 @@ object Multimodal {
                     maxPerBucket: Int = 0): DataFrame = {
     checkBandParams(nBands, maxDist)
     require(minMatchedFrames >= 1, "minMatchedFrames >= 1")
-    val frames = df.select(col(idCol).as("_id"),
+    alignedFramePairsCore(df.select(col(idCol).as("_id"),
         explode(sampleFrames(col(payloadCol), frameBytes, stride, maxFrames)).as("_f"))
       .select(col("_id"), col("_f.frame_idx").as("_fi"),
-        dHash(col("_f.frame")).as("_sig"))
+        dHash(col("_f.frame")).as("_sig")),
+      maxDist, nBands, minMatchedFrames, maxPerBucket)
+  }
+
+  /** The aligned-frame pair core over a prepared (_id, _fi, _sig) frame
+    * table — shared by the byte-window rung ([[frameDupPairs]]) and the
+    * decoded-keyframe rung ([[frameDupPairsDecoded]]). */
+  private def alignedFramePairsCore(frames: DataFrame, maxDist: Int,
+                                    nBands: Int, minMatchedFrames: Int,
+                                    maxPerBucket: Int): DataFrame = {
     val banded = capBuckets(withBands(frames, nBands),
       Seq("_fi", "_b", "_v"), Seq("_id"), maxPerBucket)
     val a = banded.select(col("_fi"), col("_b"), col("_v"),
@@ -228,10 +251,19 @@ object Multimodal {
                            maxPerBucket: Int = 0): DataFrame = {
     checkBandParams(nBands, maxDist)
     require(minMatchedFrames >= 1, "minMatchedFrames >= 1")
-    val frames = df.select(col(idCol).as("_id"),
+    shiftedFramePairsCore(df.select(col(idCol).as("_id"),
         explode(sampleFrames(col(payloadCol), frameBytes, stride, maxFrames)).as("_f"))
       .select(col("_id"), col("_f.frame_idx").as("_fi"),
-        dHash(col("_f.frame")).as("_sig"))
+        dHash(col("_f.frame")).as("_sig")),
+      maxDist, nBands, minMatchedFrames, maxPerBucket)
+  }
+
+  /** The offset-voting pair core over a prepared (_id, _fi, _sig) frame
+    * table — shared by the byte-window rung ([[frameDupPairsShifted]])
+    * and the decoded-keyframe rung ([[frameDupPairsShiftedDecoded]]). */
+  private def shiftedFramePairsCore(frames: DataFrame, maxDist: Int,
+                                    nBands: Int, minMatchedFrames: Int,
+                                    maxPerBucket: Int): DataFrame = {
     val banded = capShiftedBuckets(withBands(frames, nBands), maxPerBucket)
     val a = banded.select(col("_b"), col("_v"),
       col("_id").as("id_a"), col("_fi").as("_fa"), col("_sig").as("_sa"))
@@ -253,6 +285,199 @@ object Multimodal {
         col("_best.frame_offset").as("frame_offset"),
         col("_best.n_matched").as("n_matched"), col("_best.min_dist").as("min_dist"))
       .filter(col("n_matched") >= minMatchedFrames)
+  }
+
+  // --------------------------------------------------------------------
+  // Real image decode (round-12): the JDK ships javax.imageio
+  // (PNG/JPEG/BMP/GIF) — no new jars, no egress — so the perceptual
+  // rungs' decode step no longer needs the deterministic stub when the
+  // payloads really are images. The stub stays for the synthetic gate
+  // corpus (the oracle replays its byte arithmetic in DuckDB); the
+  // decoded rungs are spec-pinned over deterministically GENERATED
+  // PNGs/JPEGs (identity, 1-px edit, re-encode) — honestly not
+  // DuckDB-oracle-able, the streaming/sketch honesty class.
+  // --------------------------------------------------------------------
+
+  /** A decoded image: dimensions, source channel count, and the 8-bit
+    * grayscale luma plane in row-major order (BT.601 integer weights —
+    * deterministic). */
+  final case class DecodedImage(width: Int, height: Int, channels: Int,
+                                luma: Array[Byte])
+
+  /** Decode an encoded image (PNG/JPEG/BMP/GIF — whatever the JVM's
+    * ImageIO readers accept) to its luma plane. Returns None for bytes
+    * no reader accepts or corrupt streams — callers decide whether an
+    * undecodable payload is dropped (pairing) or reported (audit).
+    * Luma = (299·R + 587·G + 114·B) / 1000, integer math. */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // never spill to temp files
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val luma = new Array[Byte](w * h)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          val y = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+            114 * (p & 0xff)) / 1000
+          luma(i) = y.toByte
+          i += 1
+        }
+        Some(DecodedImage(w, h, img.getColorModel.getNumComponents, luma))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL dHash over a decoded luma plane — the image-dedup standard
+    * the stub approximates: area-average the plane onto a 9×8 grid
+    * (cell (r, c) = mean luma of pixel block rows [r·H/8, (r+1)·H/8) ×
+    * cols [c·W/9, (c+1)·W/9)), then the SAME 64 horizontal comparisons
+    * and bit packing as [[graft.functions.DHash64]] (bit r·8+c set iff
+    * cell[r][c+1] > cell[r][c]; an empty block — W < 9 or H < 8 —
+    * means 0.0, the stub's absent-cell convention). A re-encode or
+    * resize moves cell means slightly; a different image re-orders
+    * them — exactly the property the banded Hamming join needs. */
+  private[graft] def dHashLuma(luma: Array[Byte], w: Int, h: Int): Long = {
+    val mean = Array.ofDim[Double](8, 9)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+        var sum = 0L; var n = 0L; var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += (luma(y * w + x) & 0xff); n += 1; x += 1 }
+          y += 1
+        }
+        mean(r)(c) = if (n > 0) sum.toDouble / n else 0.0
+        c += 1
+      }
+      r += 1
+    }
+    var hsh = 0L; r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (mean(r)(c + 1) > mean(r)(c)) hsh |= (1L << (r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+    hsh
+  }
+
+  /** Decode + [[dHashLuma]]: the real 64-bit perceptual hash of an
+    * encoded image, None when no reader accepts the bytes. */
+  def dHashImage(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map(d => dHashLuma(d.luma, d.width, d.height))
+
+  /** (_id, _sig) signatures via the REAL decoder, batched per partition
+    * (one reader setup per partition — the mapPartitions codec contract
+    * [[extractFeatures]] established); undecodable payloads drop. Not
+    * a Catalyst expression by nature (ImageIO is JVM library code) but
+    * the scale shape holds: runs beside the scan, only 16-byte
+    * (id, sig) rows leave it, payloads never shuffle. */
+  private def imageSigs(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) => dHashImage(bytes).map(id -> _) }
+      }
+      .toDF("_id", "_sig")
+  }
+
+  /** [[perceptualDupPairs]] with the decode step REAL: signatures from
+    * [[dHashImage]] over encoded image payloads, the same banded
+    * Hamming pipeline after (skew cap included). Undecodable payloads
+    * produce no pairs — run [[payloadIntegrity]] first to find them. */
+  def perceptualDupPairsDecoded(df: DataFrame, idCol: String, payloadCol: String,
+                                maxDist: Int = 6, nBands: Int = 4,
+                                maxPerBucket: Int = 0): DataFrame = {
+    checkBandParams(nBands, maxDist)
+    sigDupPairsCore(imageSigs(df, idCol, payloadCol), maxDist, nBands, maxPerBucket)
+  }
+
+  /** Pack encoded frames (keyframe JPEGs/PNGs) into ONE binary payload
+    * as 4-byte big-endian length prefixes + bytes — the container shape
+    * [[imageFrameSigs]] reads. The inverse of [[splitImageFrames]]. */
+  def packImageFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    frames.foreach { f => d.writeInt(f.length); d.write(f) }
+    d.flush(); out.toByteArray
+  }
+
+  /** Split a length-prefixed frame container into (frame_idx, bytes);
+    * parsing stops at the first malformed/truncated prefix (frames
+    * before it are kept — the failed-transfer tail behaves like a
+    * shorter clip, the [[payloadIntegrity]] audit names the damage). */
+  def splitImageFrames(bytes: Array[Byte], maxFrames: Int): Seq[(Int, Array[Byte])] = {
+    val out = Seq.newBuilder[(Int, Array[Byte])]
+    var off = 0; var fi = 0
+    while (fi < maxFrames && off + 4 <= bytes.length) {
+      val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      if (len < 0 || off + 4 + len > bytes.length) return out.result()
+      out += fi -> java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
+      off += 4 + len; fi += 1
+    }
+    out.result()
+  }
+
+  /** (_id, _fi, _sig) per decoded frame of a length-prefixed container
+    * ([[packImageFrames]]); frames that fail decode keep their index
+    * and drop — alignment stays stable. */
+  private def imageFrameSigs(df: DataFrame, idCol: String, payloadCol: String,
+                             maxFrames: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null) Iterator.empty
+          else splitImageFrames(bytes, maxFrames).iterator.flatMap {
+            case (fi, f) => dHashImage(f).map(s => (id, fi, s))
+          }
+        }
+      }
+      .toDF("_id", "_fi", "_sig")
+  }
+
+  /** [[frameDupPairs]] with the decode step REAL: payloads are
+    * length-prefixed keyframe containers, each frame decoded and
+    * [[dHashLuma]]'d, then the same aligned (frame_idx, band, value)
+    * pipeline (skew cap included). */
+  def frameDupPairsDecoded(df: DataFrame, idCol: String, payloadCol: String,
+                           maxFrames: Int = 8, maxDist: Int = 2,
+                           nBands: Int = 4, minMatchedFrames: Int = 3,
+                           maxPerBucket: Int = 0): DataFrame = {
+    checkBandParams(nBands, maxDist)
+    require(minMatchedFrames >= 1, "minMatchedFrames >= 1")
+    alignedFramePairsCore(imageFrameSigs(df, idCol, payloadCol, maxFrames),
+      maxDist, nBands, minMatchedFrames, maxPerBucket)
+  }
+
+  /** [[frameDupPairsShifted]] with the decode step REAL — trimmed-clip
+    * offset voting over decoded keyframe signatures. */
+  def frameDupPairsShiftedDecoded(df: DataFrame, idCol: String, payloadCol: String,
+                                  maxFrames: Int = 8, maxDist: Int = 2,
+                                  nBands: Int = 4, minMatchedFrames: Int = 4,
+                                  maxPerBucket: Int = 0): DataFrame = {
+    checkBandParams(nBands, maxDist)
+    require(minMatchedFrames >= 1, "minMatchedFrames >= 1")
+    shiftedFramePairsCore(imageFrameSigs(df, idCol, payloadCol, maxFrames),
+      maxDist, nBands, minMatchedFrames, maxPerBucket)
   }
 
   /** Payload integrity audit — the corrupted-media detector: every
@@ -475,7 +700,9 @@ object Multimodal {
 
   /** Feature extraction over the payloads, batched per partition (the shape
     * a vectorized/pandas-style UDF would take): one decoder instance per
-    * partition, records streamed through it. */
+    * partition, records streamed through it. The stub flavor — see
+    * [[extractImageFeatures]] for the REAL decoder behind the same
+    * contract. */
   def extractFeatures(packed: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = packed.sparkSession
     import spark.implicits._
@@ -484,6 +711,37 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition setup would initialize the real codec here
         it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+      .toDF()
+  }
+
+  final case class ImageFeature(id: Long, decoded: Boolean, width: Int,
+                                height: Int, channels: Int, brightness: Double)
+
+  /** [[extractFeatures]] with the decode step REAL ([[decodeImage]] —
+    * javax.imageio, no new jars): true dimensions, channel count and
+    * mean-luma brightness per payload. Undecodable payloads keep their
+    * row with `decoded = false` (the audit shape — a pairing pipeline
+    * filters, a data doctor counts). Same mapPartitions contract: one
+    * reader setup per partition, only ~40-byte feature rows leave. */
+  def extractImageFeatures(packed: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          decodeImage(bytes) match {
+            case Some(d) =>
+              val mean =
+                if (d.luma.isEmpty) 0.0
+                else d.luma.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble /
+                  d.luma.length / 255.0
+              ImageFeature(id, decoded = true, d.width, d.height, d.channels, mean)
+            case None => ImageFeature(id, decoded = false, 0, 0, 0, -1.0)
+          }
+        }
       }
       .toDF()
   }

@@ -1523,6 +1523,68 @@ class CurateCliSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Long, Int)].collect().toSet
     assert(spark.read.parquet(oS).as[(Long, Long, Int, Long, Int)].collect().toSet
       == wantS && wantS.nonEmpty)
+    // --decoder imageio: the REAL-decoder rungs ≡ the library paths
+    val imgIn = tmp("cli-img-in"); val oI = tmp("cli-imgP"); val oF = tmp("cli-imgF")
+    rm(imgIn, oI, oF)
+    def png(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(63, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 63) {
+        val v = ((((x * 9) / 63) * 37 + ((y * 8) / 48) * 71) + shift * 53) % 200
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val clips = Seq(
+      (0L, Multimodal.packImageFrames((1 to 4).map(png))),
+      (1L, Multimodal.packImageFrames(Seq(png(1), png(2), png(3), png(9)))),
+      (2L, Multimodal.packImageFrames(Seq(png(7), png(8)))))
+      .toDF("doc_id", "payload")
+    clips.write.parquet(imgIn)
+    CurateCli.run("framedup", Map("--in" -> imgIn, "--out" -> oF,
+      "--decoder" -> "imageio", "--min-matched" -> "3"))
+    val wantF = Multimodal.frameDupPairsDecoded(clips, "doc_id", "payload",
+        maxFrames = 8, maxDist = 2, minMatchedFrames = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(spark.read.parquet(oF).as[(Long, Long, Long, Int)].collect().toSet
+      == wantF && wantF.nonEmpty)
+    val singles = Seq((0L, png(0)), (1L, png(0)), (2L, png(5)))
+      .toDF("doc_id", "payload")
+    val singlesIn = tmp("cli-img-s"); rm(singlesIn)
+    singles.write.parquet(singlesIn)
+    CurateCli.run("phashdup", Map("--in" -> singlesIn, "--out" -> oI,
+      "--decoder" -> "imageio"))
+    val wantP = Multimodal.perceptualDupPairsDecoded(singles, "doc_id",
+        "payload", maxDist = 6, nBands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(spark.read.parquet(oI).as[(Long, Long, Int)].collect().toSet
+      == wantP && wantP == Set((0L, 1L, 0)))
+    // the decoder needs real bytes, not re-encoded strings; byte-window
+    // knobs and the stub-founded standing store contradict it
+    val eS = intercept[IllegalArgumentException] {
+      CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> oI,
+        "--payload-col" -> "text", "--decoder" -> "imageio"))
+    }
+    assert(eS.getMessage.contains("BINARY"))
+    val eFb = intercept[IllegalArgumentException] {
+      CurateCli.run("framedup", Map("--in" -> imgIn, "--out" -> oF,
+        "--decoder" -> "imageio", "--frame-bytes" -> "64"))
+    }
+    assert(eFb.getMessage.contains("--frame-bytes"))
+    val eIdx = intercept[IllegalArgumentException] {
+      CurateCli.run("phashdup", Map("--in" -> singlesIn, "--out" -> oI,
+        "--decoder" -> "imageio", "--index" -> tmp("cli-img-idx")))
+    }
+    assert(eIdx.getMessage.contains("founded on the stub"))
+    val eBad = intercept[IllegalArgumentException] {
+      CurateCli.run("phashdup", Map("--in" -> singlesIn, "--out" -> oI,
+        "--decoder" -> "avif"))
+    }
+    assert(eBad.getMessage.contains("--decoder"))
+    rm(imgIn, singlesIn, oI, oF)
+
     // the skew cap threads through both rungs ≡ the library cap
     val oC = tmp("cli-frC"); rm(oC)
     CurateCli.run("framedup", Map("--in" -> docsPath, "--out" -> oC,
