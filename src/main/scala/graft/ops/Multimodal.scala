@@ -85,7 +85,14 @@ object Multimodal {
     * downstream equi-join quadratic in ONE task. The rank-then-filter
     * shape compiles to WindowGroupLimit with a PARTIAL pass below the
     * exchange (PlanSpec-pinned), so map tasks forward at most
-    * `maxPerBucket` rows per bucket and the flood never assembles. */
+    * `maxPerBucket` rows per bucket and the flood never assembles.
+    * That rule fires only while the cap ≤
+    * `spark.sql.window.group.limit.threshold` (default 1000): a larger
+    * cap compiles to a full Window — same sort, no map-side pruning —
+    * so production caps belong at or under the threshold (the gate
+    * queries' deliberately non-binding 1000000 caps accept the full
+    * Window on their ~100k-row band tables; q194 pins the pruned
+    * plan at a binding cap). */
   private def capBuckets(df: DataFrame, keys: Seq[String],
                          order: Seq[String], maxPerBucket: Int): DataFrame =
     if (maxPerBucket <= 0) df
