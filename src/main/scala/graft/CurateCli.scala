@@ -324,7 +324,8 @@ object CurateCli {
       ++ Set("--label-col", "--pred-col")),
     "phashdup" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--max-dist", "--bands", "--max-per-bucket",
-        "--index", "--update-index", "--multiprobe", "--decoder")),
+        "--index", "--update-index", "--multiprobe", "--decoder",
+        "--thresholds")),
     "framedup" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--frame-bytes", "--stride", "--max-frames",
         "--max-dist", "--bands", "--min-matched", "--shifted",
@@ -1357,6 +1358,22 @@ object CurateCli {
               "--decoder imageio needs a BINARY payload column " +
                 "(encoded image bytes)")
           argv.get("--index") match {
+            case None if argv.contains("--thresholds") =>
+              // the q197 dedup-rate curve: one pairing pass at the
+              // loosest cutoff, fanned over the literal cutoffs — the
+              // dividend/--thresholds discipline for the binary rung
+              for (o <- Seq("--max-dist", "--update-index", "--multiprobe")
+                   ; _ <- argv.get(o))
+                throw new IllegalArgumentException(
+                  s"$o contradicts --thresholds (the curve sweeps cutoffs)")
+              require(decoder == "stub",
+                "--thresholds runs the stub signature curve; the imageio " +
+                  "rung prices cutoffs through its own spec-pinned eval")
+              write(Multimodal.perceptualDupRateCurve(pin, idCol, "_payload",
+                maxDists = argv("--thresholds").split(",").toSeq
+                  .map(_.trim.toInt),
+                nBands = argv.getOrElse("--bands", "4").toInt,
+                maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt), out)
             case None =>
               for (o <- Seq("--update-index", "--multiprobe"); _ <- argv.get(o))
                 throw new IllegalArgumentException(
@@ -1372,6 +1389,10 @@ object CurateCli {
                   nBands = argv.getOrElse("--bands", "4").toInt,
                   maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt), out)
             case Some(idxDir) =>
+              for (_ <- argv.get("--thresholds"))
+                throw new IllegalArgumentException(
+                  "--thresholds is the one-shot curve; the standing-store " +
+                    "loop probes at a single --max-dist")
               // the standing store is FOUNDED on the stub byte-stream
               // decode (its oracle replays that arithmetic); a store
               // keyed on one signature space cannot answer the other

@@ -2475,7 +2475,44 @@ object SparkEntry {
     "q196_phash_advice" -> ((s, dir) =>
       Multimodal.pHashIndexAdvice(Multimodal.buildPHashIndex(
         Multimodal.packBinary(tbl(s, dir, "documents"), "doc_id", "text"),
-        "doc_id", "payload", nBands = 4), hotBucketThreshold = 8)))
+        "doc_id", "payload", nBands = 4), hotBucketThreshold = 8)),
+
+    // ---- Perceptual dedup census (round-12): q147/q168's decision
+    //      table for the BINARY rung — pairs generated once at the
+    //      loosest Hamming cutoff, one best-distance row per victim,
+    //      fanned over the cutoffs; "what does ≤2 cost vs ≤6" at one
+    //      pairing pass ----
+    "q197_phash_dup_curve" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+      Multimodal.perceptualDupRateCurve(
+        Multimodal.packBinary(d.unionByName(mut), "doc_id", "text"),
+        "doc_id", "payload", maxDists = Seq(0, 1, 2, 4, 6))
+    }),
+
+    // ---- Banding-recall eval (round-12): q172/q173's decision table
+    //      for the third index family — exact Hamming ground truth
+    //      (broadcast sig cross join, EVAL-scale sample: doc_id % 4,
+    //      length ≥ 250) vs the banded candidates. Mutants carry FOUR
+    //      8-byte spread edits, pushing true pairs into Hamming 4–10
+    //      where bits can straddle all four bands: the pigeonhole pins
+    //      recall 1.0 below nBands and the table PRICES the trade
+    //      above it (measured misses at 4/5/6/7/10 in this corpus) ----
+    "q198_phash_banding_eval" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 4 === 0 &&
+          octet_length(encode(col("text"), "utf-8")) >= 250)
+      val q8 = lit("Q" * 8)
+      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(q8, expr("substring(text, 9, 72)"), q8,
+          expr("substring(text, 89, 72)"), q8,
+          expr("substring(text, 169, 72)"), q8,
+          expr("substring(text, 249)")).as("text"))
+      Multimodal.perceptualBandingEval(
+        Multimodal.packBinary(d.unionByName(mut), "doc_id", "text"),
+        "doc_id", "payload", maxDists = Seq(0, 1, 2, 3, 4, 6, 8))
+    }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
     * recursive reachability, `lab(node, cluster_id)` = component
@@ -3359,6 +3396,72 @@ object SparkEntry {
       |         / CAST(sum(s) AS DOUBLE) > 0.05 THEN 'tombstone_flood'
       |       ELSE 'cap_probes' END AS advice
       |FROM sz""".stripMargin
+
+  /** The q197 pair table: q187's band join + Hamming verify (loosest
+    * cutoff 6) as a composable CTE chain ending in `prs`. */
+  private val phashPairsCtes: String =
+    phashCtes("""SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      |   'Z' || substr(text, 2) AS text FROM documents""".stripMargin) +
+    """,
+      |bands AS (SELECT doc_id, h, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
+      |  FROM hashes, unnest(range(0, 4)) u(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+      |    a.h AS ha, bb.h AS hb
+      |  FROM bands a JOIN bands bb
+      |    ON a.b = bb.b AND a.v = bb.v AND a.doc_id < bb.doc_id),
+      |prs AS (SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS dist
+      |  FROM cand WHERE bit_count(xor(ha, hb)) <= 6)""".stripMargin
+
+  /** q197's oracle: the dedup-rate curve — best distance per victim,
+    * fanned over the literal cutoffs via an inequality left join. */
+  private val phashCurveOracle: String =
+    phashPairsCtes +
+    """,
+      |bestd AS (SELECT id_b, min(dist) AS bd FROM prs GROUP BY 1),
+      |thr AS (SELECT unnest([0, 1, 2, 4, 6]) AS max_dist),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM hashes)
+      |SELECT t.max_dist,
+      |  CAST(count(b.id_b) AS BIGINT) AS n_dropped,
+      |  (SELECT n_docs FROM tot) AS n_docs,
+      |  CAST(count(b.id_b) AS DOUBLE) / (SELECT n_docs FROM tot) AS drop_frac
+      |FROM thr t LEFT JOIN bestd b ON b.bd <= t.max_dist
+      |GROUP BY 1""".stripMargin
+
+  /** q198's oracle: banding recall — exact Hamming ground truth (the
+    * hashes self-join over the doc_id%4, len≥250 sample with four
+    * spread 8-byte edits per mutant) vs the banded pairs, per cutoff;
+    * n_true = 0 reads recall 1.0. */
+  private val phashEvalOracle: String =
+    phashCtes("""SELECT doc_id, text FROM documents
+      | WHERE doc_id % 4 = 0 AND octet_length(encode(text)) >= 250
+      | UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      |   repeat('Q', 8) || substr(text, 9, 72) || repeat('Q', 8) ||
+      |   substr(text, 89, 72) || repeat('Q', 8) || substr(text, 169, 72) ||
+      |   repeat('Q', 8) || substr(text, 249) AS text
+      | FROM documents
+      | WHERE doc_id % 4 = 0 AND octet_length(encode(text)) >= 250""".stripMargin) +
+    """,
+      |exact AS (SELECT CAST(bit_count(xor(a.h, b.h)) AS INT) AS d
+      |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.h, b.h)) <= 8),
+      |bands AS (SELECT doc_id, h, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
+      |  FROM hashes, unnest(range(0, 4)) u(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+      |    a.h AS ha, bb.h AS hb
+      |  FROM bands a JOIN bands bb
+      |    ON a.b = bb.b AND a.v = bb.v AND a.doc_id < bb.doc_id),
+      |prs AS (SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS dist
+      |  FROM cand WHERE bit_count(xor(ha, hb)) <= 8),
+      |thr AS (SELECT unnest([0, 1, 2, 3, 4, 6, 8]) AS max_dist),
+      |te AS (SELECT t.max_dist, CAST(count(e.d) AS BIGINT) AS n_true
+      |  FROM thr t LEFT JOIN exact e ON e.d <= t.max_dist GROUP BY 1),
+      |tf AS (SELECT t.max_dist, CAST(count(p.dist) AS BIGINT) AS n_found
+      |  FROM thr t LEFT JOIN prs p ON p.dist <= t.max_dist GROUP BY 1)
+      |SELECT te.max_dist, te.n_true, tf.n_found,
+      |  CASE WHEN te.n_true = 0 THEN CAST(1.0 AS DOUBLE)
+      |       ELSE CAST(tf.n_found AS DOUBLE) / te.n_true END AS recall
+      |FROM te JOIN tf USING (max_dist)""".stripMargin
 
   /** q190's oracle: the standing probe replayed — store bands from the
     * original corpus, batch (mutant) probe keys widened to Hamming-1
@@ -5890,6 +5993,12 @@ object SparkEntry {
 
     // q196: the hot-bucket advice row (diagnose half of the q136 loop)
     "q196_phash_advice" -> phashAdviceOracle,
+
+    // q197: the perceptual dedup-rate curve (one pass, fanned cutoffs)
+    "q197_phash_dup_curve" -> phashCurveOracle,
+
+    // q198: banding recall vs exact Hamming ground truth per cutoff
+    "q198_phash_banding_eval" -> phashEvalOracle,
 
     // q192: the shift-tolerant rung — offset voting replayed end to end
     "q192_frame_shifted" -> frameShiftedOracle,

@@ -413,6 +413,81 @@ object Multimodal {
     sigDupPairsCore(imageSigs(df, idCol, payloadCol), maxDist, nBands, maxPerBucket)
   }
 
+  /** Perceptual dedup census — [[graft.ops.Dedup.dupRateCurve]] /
+    * [[graft.ops.Similarity.semanticDupRateCurve]]'s twin on the BINARY
+    * side: the decision table a Hamming cutoff is picked from before a
+    * deduplication pass over a media corpus. Candidate pairs are
+    * generated ONCE at the LOOSEST cutoff (the band join is
+    * cutoff-independent — banding is fixed by `nBands`, tighter cutoffs
+    * only filter), collapsed to one best-distance row per potential
+    * victim (the higher id of a pair — first-wins, the exact-dedup
+    * rule), then fanned over the literal cutoff array: (max_dist,
+    * n_dropped, n_docs, drop_frac) answers "what does Hamming ≤ 2 cost
+    * vs ≤ 6" at one pairing pass. Zero-count cutoffs kept; drop_frac a
+    * raw IEEE quotient of exact counts. */
+  def perceptualDupRateCurve(df: DataFrame, idCol: String, payloadCol: String,
+                             maxDists: Seq[Int], nBands: Int = 4,
+                             maxPerBucket: Int = 0): DataFrame = {
+    require(maxDists.nonEmpty, "maxDists must be non-empty")
+    val ds = maxDists.distinct.sorted
+    val best = perceptualDupPairs(df, idCol, payloadCol, ds.last, nBands,
+        maxPerBucket)
+      .groupBy(col("id_b")).agg(min(col("dist")).as("_bestd"))
+    val thr = df.sparkSession.range(1)
+      .select(explode(typedLit(ds)).as("max_dist"))
+    val counts = best
+      .select(col("_bestd"), explode(typedLit(ds)).as("max_dist"))
+      .filter(col("_bestd") <= col("max_dist"))
+      .groupBy(col("max_dist")).agg(count(lit(1)).as("_nd"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    thr.join(counts, Seq("max_dist"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("max_dist"),
+        coalesce(col("_nd"), lit(0L)).as("n_dropped"),
+        col("n_docs"),
+        (coalesce(col("_nd"), lit(0L)).cast("double") / col("n_docs"))
+          .as("drop_frac"))
+  }
+
+  /** Banding-recall decision table — the q172/q173 eval discipline for
+    * the THIRD index family: ground truth is EXACT Hamming over every
+    * signature pair (a broadcast cross join over 8-byte sig slivers —
+    * the EVAL-scale shape: run it on a sample, never the corpus; the
+    * banded rung exists precisely so production never does this),
+    * the engine side is the banded candidate set. Per cutoff:
+    * (max_dist, n_true, n_found, recall). The pigeonhole guarantees
+    * recall 1.0 strictly below `nBands`; this table PRICES the recall
+    * trade above it, which is how `nBands` is chosen. `n_true = 0`
+    * reads recall 1.0 (nothing to find). */
+  def perceptualBandingEval(df: DataFrame, idCol: String, payloadCol: String,
+                            maxDists: Seq[Int], nBands: Int = 4): DataFrame = {
+    require(maxDists.nonEmpty, "maxDists must be non-empty")
+    val ds = maxDists.distinct.sorted
+    checkBandParams(nBands, ds.last)
+    val sig = df.select(col(idCol).as("_id"), dHash(col(payloadCol)).as("_sig"))
+    val a = sig.select(col("_id").as("id_a"), col("_sig").as("_sa"))
+    val b = sig.select(col("_id").as("id_b"), col("_sig").as("_sb"))
+    val exact = a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .select(dHashDistance(col("_sa"), col("_sb")).as("_d"))
+      .filter(col("_d") <= ds.last)
+    val found = perceptualDupPairs(df, idCol, payloadCol, ds.last, nBands)
+      .select(col("dist").as("_d"))
+    def cnt(t: DataFrame, name: String) = t
+      .select(col("_d"), explode(typedLit(ds)).as("max_dist"))
+      .filter(col("_d") <= col("max_dist"))
+      .groupBy(col("max_dist")).agg(count(lit(1)).as(name))
+    df.sparkSession.range(1).select(explode(typedLit(ds)).as("max_dist"))
+      .join(cnt(exact, "_nt"), Seq("max_dist"), "left")
+      .join(cnt(found, "_nf"), Seq("max_dist"), "left")
+      .select(col("max_dist"),
+        coalesce(col("_nt"), lit(0L)).as("n_true"),
+        coalesce(col("_nf"), lit(0L)).as("n_found"))
+      .withColumn("recall",
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(col("n_found").cast("double") / col("n_true")))
+  }
+
   /** Pack encoded frames (keyframe JPEGs/PNGs) into ONE binary payload
     * as 4-byte big-endian length prefixes + bytes — the container shape
     * [[imageFrameSigs]] reads. The inverse of [[splitImageFrames]]. */

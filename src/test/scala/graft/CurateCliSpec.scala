@@ -1449,6 +1449,29 @@ class CurateCliSpec extends AnyFunSuite {
         "--payload-col" -> "text", "--index" -> idx, "--bands" -> "8"))
     }
     assert(e.getMessage.contains("--bands"))
+    // --thresholds: the q197 dedup-rate curve ≡ the library curve;
+    // contradictions (single-cutoff knobs, the standing loop) fail loudly
+    val oCv = tmp("cli-phcurve"); rm(oCv)
+    CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> oCv,
+      "--payload-col" -> "text", "--thresholds" -> "0,2,6"))
+    val wantCv = Multimodal.perceptualDupRateCurve(
+        Multimodal.packBinary(docs, "doc_id", "text"),
+        "doc_id", "payload", maxDists = Seq(0, 2, 6))
+      .as[(Int, Long, Long, Double)].collect().toSet
+    assert(spark.read.parquet(oCv).as[(Int, Long, Long, Double)]
+      .collect().toSet == wantCv && wantCv.size == 3)
+    val eCv = intercept[IllegalArgumentException] {
+      CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> oCv,
+        "--payload-col" -> "text", "--thresholds" -> "0,2", "--max-dist" -> "4"))
+    }
+    assert(eCv.getMessage.contains("--thresholds"))
+    val eCv2 = intercept[IllegalArgumentException] {
+      CurateCli.run("phashdup", Map("--in" -> docsPath, "--out" -> oCv,
+        "--payload-col" -> "text", "--thresholds" -> "0,2", "--index" -> idx))
+    }
+    assert(eCv2.getMessage.contains("standing-store"))
+    rm(oCv)
+
     // probe-time hot-bucket cap (occupancy --advice 'cap_probes'
     // remediation): the capped CLI probe ≡ the capped library probe
     val o3 = tmp("cli-ph3"); rm(o3)

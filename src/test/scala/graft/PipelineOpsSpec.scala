@@ -381,6 +381,50 @@ class PipelineOpsSpec extends AnyFunSuite {
       "matches scattered across offsets must not assemble a pair")
   }
 
+  test("perceptualDupRateCurve / perceptualBandingEval: driver-replayed counts, empty cutoffs kept") {
+    import graft.ops.Multimodal
+    // per-doc arithmetic word sequences (the StandingIndexSpec recipe)
+    // so the four payloads are perceptually distinct except the planted
+    // dup (dist 0) and first-byte mutant (dist <= 1)
+    val words = Seq("alpha", "Bravo", "chi", "DELTA", "echo2",
+      "foxtrot", "Golf77", "hotel", "IndiaInk", "julietX")
+    def mk(i: Int): String = (0 until 60).map { k =>
+      words((((i + 1) * 2654435761L + k * 40503L + i.toLong * k * 97L) % 10).toInt)
+    }.mkString(" ")
+    val texts = Map(0L -> mk(0), 1L -> mk(0), 2L -> ("Z" + mk(0).drop(1)), 3L -> mk(3))
+    val sigs = texts.view.mapValues(t =>
+      graft.functions.DHash64.hash(t.getBytes("UTF-8"))).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    val ds = Seq(0, 1, 6)
+    // every planted pair is within Hamming 1 (< nBands), so banded ==
+    // exact and the driver replay below is the full truth
+    assert(dist(0L, 1L) == 0 && dist(0L, 2L) <= 1 && dist(0L, 3L) > 6)
+    val packed = Multimodal.packBinary(
+      texts.toSeq.toDF("doc_id", "t"), "doc_id", "t")
+    def expVictims(c: Int) = texts.keys.count(b =>
+      texts.keys.exists(a => a < b && dist(a, b) <= c))
+    val got = Multimodal.perceptualDupRateCurve(packed, "doc_id", "payload",
+        maxDists = ds)
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    for (c <- ds) {
+      val v = expVictims(c)
+      assert(got(c) == ((c, v.toLong, 4L, v.toDouble / 4)), s"cutoff $c: ${got(c)}")
+    }
+    val eval = Multimodal.perceptualBandingEval(packed, "doc_id", "payload",
+        maxDists = ds)
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def expPairs(c: Int) = texts.keys.toSeq.combinations(2)
+      .count { case Seq(a, b) => dist(math.min(a, b), math.max(a, b)) <= c }
+    for (c <- ds)
+      assert(eval(c) == ((c, expPairs(c).toLong, expPairs(c).toLong, 1.0)))
+    // n_true = 0 reads recall 1.0 (nothing to find), the row is kept
+    val far = Multimodal.packBinary(
+      Seq((0L, mk(0)), (3L, mk(3))).toDF("doc_id", "t"), "doc_id", "t")
+    val empty = Multimodal.perceptualBandingEval(far, "doc_id", "payload",
+        maxDists = Seq(0)).as[(Int, Long, Long, Double)].collect()
+    assert(empty.toSeq == Seq((0, 0L, 0L, 1.0)))
+  }
+
   test("frame rungs: constant-frame flood collapses under the cap; survivors untouched") {
     import graft.ops.Multimodal
     def block(s: Int): String =
