@@ -329,7 +329,7 @@ object CurateCli {
     "framedup" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--frame-bytes", "--stride", "--max-frames",
         "--max-dist", "--bands", "--min-matched", "--shifted",
-        "--max-per-bucket", "--decoder")),
+        "--max-per-bucket", "--decoder", "--index", "--update-index")),
     "integrity" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--bad-only")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
@@ -484,10 +484,11 @@ object CurateCli {
       else if (has("buckets")) "embeddup"
       else if (has("coded")) "ivfpq"
       else if (has("pbands")) "phash"
+      else if (has("fbands")) "frames"
       else if (fs.exists(new org.apache.hadoop.fs.Path(store))) "snapshot"
       else throw new IllegalArgumentException(
         s"no standing store at '$store' (expected a neardup/embeddup/ivfpq/" +
-          "phash index dir or a fingerprint-snapshot dir)")
+          "phash/frames index dir or a fingerprint-snapshot dir)")
     }
 
     CacheScope.withScope { scope =>
@@ -1301,6 +1302,47 @@ object CurateCli {
           // the frame rungs are MORE flood-exposed than phashdup (black
           // frames all hash alike), so they carry the same skew cap
           val fCap = argv.getOrElse("--max-per-bucket", "0").toInt
+          argv.get("--index") match { case Some(idxDir) =>
+            // the standing frame-store daily loop (q199): found-if-
+            // absent under the stated geometry, else probe under the
+            // STORED founding geometry — restating a disagreeing
+            // sampling knob fails loudly (a probe sampled differently
+            // aligns frame k against different bytes)
+            for (o <- Seq("--shifted", "--decoder"); _ <- argv.get(o))
+              throw new IllegalArgumentException(
+                s"$o does not apply with --index (the standing loop is " +
+                  "aligned, stub-signature matching)")
+            val update = argv.getOrElse("--update-index", "Y") match {
+              case "Y" => true
+              case "N" => false
+              case other => throw new IllegalArgumentException(
+                s"--update-index must be Y or N, got '$other'")
+            }
+            val fs = new org.apache.hadoop.fs.Path(idxDir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))) {
+              val idx = Multimodal.loadFrameIndex(spark, idxDir, scope)
+              for ((flag, stated, stored) <- Seq(
+                  ("--bands", argv.get("--bands"), idx.nBands),
+                  ("--frame-bytes", argv.get("--frame-bytes"), idx.frameBytes),
+                  ("--stride", argv.get("--stride"), idx.stride),
+                  ("--max-frames", argv.get("--max-frames"), idx.maxFrames));
+                  s <- stated)
+                if (s.toInt != stored) throw new IllegalArgumentException(
+                  s"$flag $s disagrees with the stored index ($stored) — " +
+                    "the sampling geometry is fixed at build time")
+              write(Multimodal.incrementalFrameDupsWith(fin, idx, idCol,
+                "_payload", fMaxDist, mm, fCap), out)
+              if (update)
+                Multimodal.appendFrameIndex(spark, idxDir, fin, idCol, "_payload")
+            } else {
+              write(fin.select(col(idCol), col(idCol).as("hist_id"),
+                lit(0L).as("n_matched"), lit(0).as("min_dist")).limit(0), out)
+              if (update)
+                Multimodal.saveFrameIndex(Multimodal.buildFrameIndex(
+                  fin, idCol, "_payload", fb, st, mf, fBands, scope), idxDir)
+            }
+          case None =>
           write(argv.getOrElse("--decoder", "stub") match {
             case "stub" =>
               if (shifted) Multimodal.frameDupPairsShifted(fin, idCol, "_payload",
@@ -1326,6 +1368,7 @@ object CurateCli {
             case other => throw new IllegalArgumentException(
               s"--decoder must be stub or imageio, got '$other'")
           }, out)
+          }
 
         case "phashdup" =>
           // perceptual near-dup rung over a BINARY payload column
@@ -1788,6 +1831,7 @@ object CurateCli {
             else if (has("buckets")) "embeddup"
             else if (has("coded")) "ivfpq"
             else if (has("pbands")) "phash"
+            else if (has("fbands")) "frames"
             else if (batchDirs.nonEmpty) {
               val cols = spark.read.parquet(s"$store/${batchDirs.head}")
                 .columns.toSet
@@ -1804,6 +1848,7 @@ object CurateCli {
             case "embeddup" => s"$store/buckets"
             case "ivfpq"    => s"$store/coded"
             case "phash"    => s"$store/pbands"
+            case "frames"   => s"$store/fbands"
             case _          => store // flat snapshot / ledger batch dirs
           }
           val nRows = spark.read.parquet(mainTable).count()
@@ -1829,7 +1874,7 @@ object CurateCli {
                   .split("\n").map(_.trim).mkString(" "))
                 finally s2.close()
               } else None
-            case "neardup" | "embeddup" | "ivfpq" | "phash" =>
+            case "neardup" | "embeddup" | "ivfpq" | "phash" | "frames" =>
               val row = spark.read.parquet(s"$store/params").head()
               Some(row.schema.fieldNames.zipWithIndex
                 .map { case (f, i) => s"$f=${row.get(i)}" }.mkString(" "))
@@ -1872,6 +1917,12 @@ object CurateCli {
                 .groupBy(col("_bucket")).agg(count(lit(1)).as("_sz"))
                 .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
                 .select(col("_sz").as("bucket_size"), col("n_buckets")), out)
+            case "frames" =>
+              write(spark.read.parquet(s"$store/fbands")
+                .groupBy(col("_fi"), col("_b"), col("_v"))
+                .agg(count(lit(1)).as("_sz"))
+                .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
+                .select(col("_sz").as("bucket_size"), col("n_buckets")), out)
             case "phash" =>
               // `--advice Y`: the diagnose half of the q136 loop — one
               // row naming the remediation (ok | cap_probes |
@@ -1893,7 +1944,7 @@ object CurateCli {
                 .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
                 .select(col("_sz").as("bucket_size"), col("n_buckets")), out)
             case other => throw new IllegalArgumentException(
-              s"occupancy reads index stores (neardup/embeddup/ivfpq/phash), " +
+              s"occupancy reads index stores (neardup/embeddup/ivfpq/phash/frames), " +
                 s"not '$other' — the snapshot and ledgers have no buckets")
           }
 
@@ -1910,6 +1961,7 @@ object CurateCli {
             case "embeddup" => graft.ops.Similarity.tombstoneEmbedIndex(spark, store, in, fidCol)
             case "ivfpq"    => graft.ops.Similarity.tombstoneIvfPqIndex(spark, store, in, fidCol)
             case "phash"    => Multimodal.tombstonePHashIndex(spark, store, in, fidCol)
+            case "frames"   => Multimodal.tombstoneFrameIndex(spark, store, in, fidCol)
             case _          => Dedup.tombstoneSnapshot(spark, store, in, fidCol)
           }
 
@@ -1920,6 +1972,7 @@ object CurateCli {
             case "embeddup" => graft.ops.Similarity.compactEmbedIndex(spark, store)
             case "ivfpq"    => graft.ops.Similarity.compactIvfPqIndex(spark, store)
             case "phash"    => Multimodal.compactPHashIndex(spark, store)
+            case "frames"   => Multimodal.compactFrameIndex(spark, store)
             case _          => Dedup.compactSnapshot(spark, store,
               argv.getOrElse("--id-col", "doc_id"))
           }

@@ -2512,6 +2512,25 @@ object SparkEntry {
       Multimodal.perceptualBandingEval(
         Multimodal.packBinary(d.unionByName(mut), "doc_id", "text"),
         "doc_id", "payload", maxDists = Seq(0, 1, 2, 3, 4, 6, 8))
+    }),
+
+    // ---- Standing FRAME index probe (round-12): the video rung's
+    //      daily loop — the corpus is the standing aligned-frame band
+    //      store (founding geometry 128/128/4, 4 bands), a first-byte-
+    //      mutant batch probes it: frame 0 matches within 1 bit, every
+    //      later frame at distance 0, so each mutant clip must come
+    //      back pointing at its original with all its frames matched ----
+    "q199_frame_incremental" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val hist = Multimodal.packBinary(d, "doc_id", "text")
+      val batch = Multimodal.packBinary(
+        d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("Z"), expr("substring(text, 2)")).as("text")),
+        "doc_id", "text")
+      Multimodal.incrementalFrameDupsWith(batch,
+        Multimodal.buildFrameIndex(hist, "doc_id", "payload",
+          frameBytes = 128, stride = 128, maxFrames = 4, nBands = 4),
+        "doc_id", "payload", maxDist = 2, minMatchedFrames = 2)
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -3462,6 +3481,40 @@ object SparkEntry {
       |  CASE WHEN te.n_true = 0 THEN CAST(1.0 AS DOUBLE)
       |       ELSE CAST(tf.n_found AS DOUBLE) / te.n_true END AS recall
       |FROM te JOIN tf USING (max_dist)""".stripMargin
+
+  /** q199's oracle: the standing FRAME probe replayed — the q191 frame
+    * hash chain over store (original docs) ∪ batch (mutants), the
+    * aligned (frame_idx, band, value) join across the two sides, the
+    * matched-frame rollup per (batch, history) pair, and the
+    * best-history election (n_matched DESC, min_dist, hist id). */
+  private val frameIncrOracle: String =
+    phashHexCtes("""SELECT t.doc_id * 100 + u.f AS doc_id, CAST(128 AS BIGINT) AS len,
+      |    substr(t.hx, u.f * 256 + 1, 256) AS hx
+      |  FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+      |          hex(encode(text)) AS hx
+      |        FROM (SELECT doc_id, text FROM documents
+      |              UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      |                'Z' || substr(text, 2) AS text FROM documents)) t,
+      |  unnest(range(0, least(greatest((t.n - 128) // 128 + 1, 0), 4))) u(f)""".stripMargin) +
+    """,
+      |fb AS (SELECT doc_id // 100 AS did, doc_id % 100 AS fi, h FROM hashes),
+      |sb AS (SELECT did AS hid, fi, h, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
+      |  FROM fb, unnest(range(0, 4)) u(b) WHERE did < 1000000),
+      |pb AS (SELECT did AS nid, fi, h, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
+      |  FROM fb, unnest(range(0, 4)) u(b) WHERE did >= 1000000),
+      |md AS (SELECT DISTINCT p.nid, s.hid, p.fi,
+      |    CAST(bit_count(xor(p.h, s.h)) AS INT) AS d
+      |  FROM pb p JOIN sb s ON p.fi = s.fi AND p.b = s.b AND p.v = s.v
+      |  WHERE bit_count(xor(p.h, s.h)) <= 2),
+      |grp AS (SELECT nid, hid, CAST(count(*) AS BIGINT) AS n_matched,
+      |    CAST(min(d) AS INT) AS min_dist
+      |  FROM md GROUP BY 1, 2 HAVING count(*) >= 2),
+      |best AS (SELECT nid, hid, n_matched, min_dist,
+      |    row_number() OVER (PARTITION BY nid
+      |      ORDER BY n_matched DESC, min_dist, hid) AS rn
+      |  FROM grp)
+      |SELECT nid AS doc_id, hid AS hist_id, n_matched, min_dist
+      |FROM best WHERE rn = 1""".stripMargin
 
   /** q190's oracle: the standing probe replayed — store bands from the
     * original corpus, batch (mutant) probe keys widened to Hamming-1
@@ -5999,6 +6052,9 @@ object SparkEntry {
 
     // q198: banding recall vs exact Hamming ground truth per cutoff
     "q198_phash_banding_eval" -> phashEvalOracle,
+
+    // q199: the standing frame-store probe replayed end to end
+    "q199_frame_incremental" -> frameIncrOracle,
 
     // q192: the shift-tolerant rung — offset voting replayed end to end
     "q192_frame_shifted" -> frameShiftedOracle,

@@ -768,6 +768,145 @@ object Multimodal {
         col("_best._dist").as("dist"))
   }
 
+  /** Standing FRAME-signature index — the VIDEO rung's daily loop:
+    * the aligned-frame band store MATERIALIZED ([[frameDupPairs]]'
+    * candidate geometry as a standing table), so daily clip ingest
+    * bands only the BATCH. FOUR founding constants — `nBands` plus the
+    * whole sampling geometry (frameBytes, stride, maxFrames) — because
+    * frame indices are only comparable between clips sampled the same
+    * way; a probe sampled differently would align frame 2 against a
+    * different byte range and the store cannot answer it. */
+  final case class FrameIndex private[ops] (banded: DataFrame, nBands: Int,
+                                            frameBytes: Int, stride: Int,
+                                            maxFrames: Int)
+
+  private def frameSigsOf(df: DataFrame, idCol: String, payloadCol: String,
+                          frameBytes: Int, stride: Int, maxFrames: Int,
+                          as: String): DataFrame =
+    df.select(col(idCol).as(as),
+        explode(sampleFrames(col(payloadCol), frameBytes, stride, maxFrames)).as("_f"))
+      .select(col(as), col("_f.frame_idx").as("_fi"),
+        dHash(col("_f.frame")).as("_sig"))
+
+  /** Materialize a [[FrameIndex]] over the historical clip corpus: one
+    * sampling+hash pass (scan stage), `maxFrames × nBands` ~32-byte
+    * rows per clip — the store holds frame signatures, never frames. */
+  def buildFrameIndex(history: DataFrame, idCol: String, payloadCol: String,
+                      frameBytes: Int = 128, stride: Int = 128,
+                      maxFrames: Int = 8, nBands: Int = 4,
+                      scope: CacheScope = CacheScope.noop): FrameIndex = {
+    checkBandParams(nBands, 0)
+    require(frameBytes > 0 && stride > 0 && maxFrames > 0, "positive frame params")
+    FrameIndex(scope.track(withBands(Parallelize.ensure(
+        frameSigsOf(history, idCol, payloadCol, frameBytes, stride, maxFrames,
+          "_hid")), nBands).cache()),
+      nBands, frameBytes, stride, maxFrames)
+  }
+
+  /** Bucket-balance diagnostic over the frame store's (frame_idx, band,
+    * value) buckets — [[pHashIndexStats]]'s frame twin; read it with
+    * [[pHashIndexAdvice]]'s thresholds in mind (constant frames flood
+    * these buckets FIRST). */
+  def frameIndexStats(index: FrameIndex): DataFrame =
+    index.banded.groupBy(col("_fi"), col("_b"), col("_v"))
+      .agg(count(lit(1)).as("_sz"))
+      .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
+      .select(col("_sz").as("bucket_size"), col("n_buckets"))
+
+  /** Persist a [[FrameIndex]] (band table + the four founding params). */
+  def saveFrameIndex(index: FrameIndex, path: String): Unit = {
+    val sess = index.banded.sparkSession
+    import sess.implicits._
+    index.banded.write.mode("overwrite").parquet(s"$path/fbands")
+    Seq((index.nBands, index.frameBytes, index.stride, index.maxFrames))
+      .toDF("n_bands", "frame_bytes", "stride", "max_frames")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a [[saveFrameIndex]]'d store; pending tombstones subtracted. */
+  def loadFrameIndex(spark: SparkSession, path: String,
+                     scope: CacheScope = CacheScope.noop): FrameIndex = {
+    val p = spark.read.parquet(s"$path/params").head()
+    FrameIndex(scope.track(Tombstones.applyTo(spark, path,
+        spark.read.parquet(s"$path/fbands"), "_hid").cache()),
+      p.getAs[Int]("n_bands"), p.getAs[Int]("frame_bytes"),
+      p.getAs[Int]("stride"), p.getAs[Int]("max_frames"))
+  }
+
+  /** APPEND a newly-ingested clip batch under the STORED geometry —
+    * history never rewritten, `mode("append")`. */
+  def appendFrameIndex(spark: SparkSession, path: String,
+                       batch: DataFrame, idCol: String, payloadCol: String): Unit = {
+    Tombstones.requireNotTombstoned(spark, path, batch, idCol)
+    val p = spark.read.parquet(s"$path/params").head()
+    withBands(Parallelize.ensure(frameSigsOf(batch, idCol, payloadCol,
+        p.getAs[Int]("frame_bytes"), p.getAs[Int]("stride"),
+        p.getAs[Int]("max_frames"), "_hid")), p.getAs[Int]("n_bands"))
+      .write.mode("append").parquet(s"$path/fbands")
+  }
+
+  /** Record deletions (O(ids), applied at load / by [[compactFrameIndex]]). */
+  def tombstoneFrameIndex(spark: SparkSession, path: String,
+                          ids: DataFrame, idCol: String): Unit =
+    Tombstones.append(spark, path, ids, idCol)
+
+  /** Compact the frame store's band table (~128 MB rewrite, tombstones
+    * applied physically and cleared). */
+  def compactFrameIndex(spark: SparkSession, path: String): Unit = {
+    StoreCompact.compactParquetDir(spark, s"$path/fbands",
+      Tombstones.readOpt(spark, path).map((_, "_hid")))
+    Tombstones.clear(spark, path)
+  }
+
+  /** Incremental frame-aligned probe against a standing [[FrameIndex]]
+    * — the daily video-ingest loop: each batch clip sampled+hashed
+    * under the STORED geometry, aligned (frame_idx, band, value)
+    * equi-join against the store, matched frames (Hamming ≤ `maxDist`)
+    * counted per (batch, history) pair, pairs below `minMatchedFrames`
+    * dropped, then ONE best history clip per batch id (most matched
+    * frames, ties to closest then lowest id). Clean clips produce no
+    * row. `maxPerBucket` is the probe-time hot-bucket cap
+    * ([[incrementalPerceptualDupsWith]]'s discipline — binding is
+    * loud, an explicit recall trade). Returns (idCol, hist_id,
+    * n_matched, min_dist). */
+  def incrementalFrameDupsWith(batch: DataFrame, index: FrameIndex,
+                               idCol: String, payloadCol: String,
+                               maxDist: Int = 2, minMatchedFrames: Int = 3,
+                               maxPerBucket: Int = 0): DataFrame = {
+    checkBandParams(index.nBands, maxDist)
+    require(minMatchedFrames >= 1, "minMatchedFrames >= 1")
+    if (maxPerBucket > 0) {
+      val hot = index.banded.groupBy(col("_fi"), col("_b"), col("_v"))
+        .agg(count(lit(1)).as("_sz")).filter(col("_sz") > maxPerBucket).count()
+      if (hot > 0) System.err.println(
+        s"[graft] frame probe: $hot store bucket(s) exceed maxPerBucket=" +
+          s"$maxPerBucket and are capped to their lowest ids — matches " +
+          "inside the overflow are NOT probed; tombstone the flooding " +
+          "clips and compact the store to remediate durably")
+    }
+    val store = capBuckets(index.banded, Seq("_fi", "_b", "_v"), Seq("_hid"),
+      maxPerBucket)
+    val probe = withBands(Parallelize.ensure(frameSigsOf(batch, idCol,
+        payloadCol, index.frameBytes, index.stride, index.maxFrames, "_nid")),
+      index.nBands).withColumnRenamed("_sig", "_nsig")
+    probe
+      .join(store.select(col("_fi"), col("_b"), col("_v"), col("_hid"),
+        col("_sig").as("_hsig")), Seq("_fi", "_b", "_v"))
+      .select(col("_nid"), col("_hid"), col("_fi"),
+        dHashDistance(col("_nsig"), col("_hsig")).as("_d"))
+      .distinct()
+      .filter(col("_d") <= maxDist)
+      .groupBy(col("_nid"), col("_hid"))
+      .agg(count(lit(1)).as("n_matched"), min(col("_d")).as("min_dist"))
+      .filter(col("n_matched") >= minMatchedFrames)
+      .groupBy(col("_nid"))
+      .agg(min_by(struct(col("_hid"), col("n_matched"), col("min_dist")),
+        struct(negate(col("n_matched")), col("min_dist"), col("_hid"))).as("_best"))
+      .select(col("_nid").as(idCol), col("_best._hid").as("hist_id"),
+        col("_best.n_matched").as("n_matched"),
+        col("_best.min_dist").as("min_dist"))
+  }
+
   final case class MediaFeature(id: Long, width: Int, height: Int, channels: Int, brightness: Double)
 
   /** STUB decoder — deterministic fake deriving pseudo-dimensions from the

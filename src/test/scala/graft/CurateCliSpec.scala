@@ -1546,6 +1546,42 @@ class CurateCliSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Long, Int)].collect().toSet
     assert(spark.read.parquet(oS).as[(Long, Long, Int, Long, Int)].collect().toSet
       == wantS && wantS.nonEmpty)
+    // --index: the standing frame-store daily loop (q199) ≡ the library;
+    // founding geometry and contradicting modes fail loudly
+    val fIdx = tmp("cli-fridx"); val oD1 = tmp("cli-frd1"); val oD2 = tmp("cli-frd2")
+    rm(fIdx, oD1, oD2)
+    CurateCli.run("framedup", Map("--in" -> docsPath, "--out" -> oD1,
+      "--payload-col" -> "text", "--index" -> fIdx, "--max-frames" -> "4"))
+    assert(spark.read.parquet(oD1).count() == 0)
+    assert(new java.io.File(s"$fIdx/fbands").exists())
+    CurateCli.run("framedup", Map("--in" -> docsPath, "--out" -> oD2,
+      "--payload-col" -> "text", "--index" -> fIdx, "--update-index" -> "N",
+      "--min-matched" -> "2"))
+    val wantD = Multimodal.incrementalFrameDupsWith(
+        Multimodal.packBinary(docs, "doc_id", "text"),
+        Multimodal.loadFrameIndex(spark, fIdx), "doc_id", "payload",
+        maxDist = 2, minMatchedFrames = 2)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(spark.read.parquet(oD2).as[(Long, Long, Long, Int)].collect().toSet
+      == wantD && wantD.nonEmpty)
+    val eG = intercept[IllegalArgumentException] {
+      CurateCli.run("framedup", Map("--in" -> docsPath, "--out" -> oD2,
+        "--payload-col" -> "text", "--index" -> fIdx, "--max-frames" -> "8"))
+    }
+    assert(eG.getMessage.contains("--max-frames"))
+    val eSh = intercept[IllegalArgumentException] {
+      CurateCli.run("framedup", Map("--in" -> docsPath, "--out" -> oD2,
+        "--payload-col" -> "text", "--index" -> fIdx, "--shifted" -> "Y"))
+    }
+    assert(eSh.getMessage.contains("--shifted"))
+    // store doctor dispatch sees the frames kind
+    val fSt = tmp("cli-frstats"); rm(fSt)
+    CurateCli.run("stats", Map("--store" -> fIdx, "--out" -> fSt))
+    val fRow = spark.read.parquet(fSt).head()
+    assert(fRow.getAs[String]("kind") == "frames")
+    assert(fRow.getAs[String]("params").contains("frame_bytes=128"))
+    rm(fIdx, oD1, oD2, fSt)
+
     // --decoder imageio: the REAL-decoder rungs ≡ the library paths
     val imgIn = tmp("cli-img-in"); val oI = tmp("cli-imgP"); val oF = tmp("cli-imgF")
     rm(imgIn, oI, oF)

@@ -214,6 +214,59 @@ class StandingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("frame index: save/load/probe/append/tombstone/compact loop, founding geometry enforced") {
+    import graft.ops.Multimodal
+    CacheScope.withScope { scope =>
+      val dir = java.nio.file.Files.createTempDirectory("fridx").toString
+      // 128-byte blocks, pairwise dHash distance >= 7 (the
+      // PipelineOpsSpec frame fixture recipe), 4 blocks per clip
+      def block(s: Int): String =
+        (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+      def clip(i: Int): String =
+        (0 until 4).map(f => block(1 + (i * 7 + f * 3) % 40)).mkString
+      def payloads(rows: Seq[(Long, String)]) = Multimodal.packBinary(
+        rows.toDF("doc_id", "t"), "doc_id", "t")
+      val history = payloads((0 until 12).map(i => (i.toLong, clip(i))))
+      val built = Multimodal.buildFrameIndex(history, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 4, nBands = 4, scope = scope)
+      Multimodal.saveFrameIndex(built, dir)
+      val loaded = Multimodal.loadFrameIndex(spark, dir, scope)
+      assert(loaded.nBands == 4 && loaded.frameBytes == 128 &&
+        loaded.stride == 128 && loaded.maxFrames == 4)
+      def probe(idx: Multimodal.FrameIndex, b: org.apache.spark.sql.DataFrame) =
+        Multimodal.incrementalFrameDupsWith(b, idx, "doc_id", "payload",
+            maxDist = 2, minMatchedFrames = 3)
+          .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+      // a one-frame edit of clip 5 (last block swapped) probes back to
+      // clip 5 with its other 3 frames matched at distance 0
+      val edited = payloads(Seq((105L,
+        clip(5).take(384) + block(50))))
+      val hit = probe(loaded, edited)
+      assert(hit == Seq((105L, 5L, 3L, 0)), s"got $hit")
+      assert(probe(loaded, edited) == probe(built, edited))
+      // a clean clip produces no row
+      assert(probe(loaded, payloads(Seq((106L, clip(30))))).isEmpty)
+      // append a batch; an exact echo of it now hits with all 4 frames
+      val batch = payloads((20 until 24).map(i => (i.toLong, clip(i))))
+      val echo = payloads(Seq((99L, clip(22))))
+      assert(probe(loaded, echo).isEmpty)
+      Multimodal.appendFrameIndex(spark, dir, batch, "doc_id", "payload")
+      val reloaded = Multimodal.loadFrameIndex(spark, dir, scope)
+      assert(probe(reloaded, echo) == Seq((99L, 22L, 4L, 0)))
+      // stats account for every band row: 16 clips x 4 frames x 4 bands
+      val stats = Multimodal.frameIndexStats(reloaded).as[(Long, Long)].collect()
+      assert(stats.map { case (sz, n) => sz * n }.sum == 16L * 4 * 4)
+      // tombstone clip 22; compaction applies physically and clears
+      Multimodal.tombstoneFrameIndex(spark, dir, Seq(22L).toDF("doc_id"), "doc_id")
+      assert(probe(Multimodal.loadFrameIndex(spark, dir, scope), echo).isEmpty)
+      Multimodal.compactFrameIndex(spark, dir)
+      assert(!new java.io.File(s"$dir/_tombstones").exists())
+      assert(spark.read.parquet(s"$dir/fbands")
+        .filter(col("_hid") === 22L).count() == 0)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("phash store drift: advice names the remediation; capped probe = probe of the capped store") {
     import graft.ops.Multimodal
     CacheScope.withScope { scope =>
