@@ -561,6 +561,34 @@ object EventStream {
       .start()
   }
 
+  /** The VIDEO member of the gate-sink family: probe each microbatch's
+    * clip payloads against a standing frame-signature store
+    * ([[graft.ops.Multimodal.loadFrameIndex]]) — "has a clip whose
+    * aligned frames match this one arrived before". The batch is
+    * sampled+hashed under the store's FOUNDING geometry (loaded, never
+    * restated), verdicts (id, hist_id, n_matched, min_dist) land per
+    * `batch=` dir; same probe-only contract and restart-to-extend
+    * discipline as [[phashGateSink]]. `maxPerBucket` is the probe-time
+    * hot-bucket cap (binding is loud — see
+    * [[graft.ops.Multimodal.incrementalFrameDupsWith]]). */
+  def frameGateSink(stream: DataFrame, idCol: String, payloadCol: String,
+                    indexDir: String, verdictsDir: String, checkpoint: String,
+                    maxDist: Int = 2, minMatchedFrames: Int = 3,
+                    maxPerBucket: Int = 0,
+                    scope: graft.ops.CacheScope = graft.ops.CacheScope.noop)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val idx = graft.ops.Multimodal.loadFrameIndex(stream.sparkSession, indexDir, scope)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Multimodal.incrementalFrameDupsWith(batch.toDF(), idx,
+            idCol, payloadCol, maxDist, minMatchedFrames, maxPerBucket)
+          .write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Arrival-time payload health check — the STATELESS member of the
     * gate-sink family: every arriving packed payload re-verified against
     * its ingest metadata ([[graft.ops.Multimodal.payloadIntegrity]] —

@@ -203,6 +203,55 @@ class IngestPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("frameGateSink: clip payloads probe the standing frame store per microbatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import graft.ops.{CacheScope, Multimodal}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    CacheScope.withScope { scope =>
+      val idx = tmp("gate-fridx"); val out = tmp("gate-frout"); val ck = tmp("gate-frck")
+      def block(s: Int): String =
+        (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+      def clip(i: Int): String =
+        (0 until 4).map(f => block(1 + (i * 7 + f * 3) % 40)).mkString
+      val hist = Multimodal.packBinary(
+        (0 until 12).map(i => (i.toLong, clip(i))).toDF("doc_id", "t"), "doc_id", "t")
+      Multimodal.saveFrameIndex(Multimodal.buildFrameIndex(hist, "doc_id",
+        "payload", frameBytes = 128, stride = 128, maxFrames = 4, nBands = 4,
+        scope = scope), idx)
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "t")
+        .select(col("doc_id"), encode(col("t"), "utf-8").as("payload"))
+      val q = EventStream.frameGateSink(stream, "doc_id", "payload",
+        idx, out, ck, maxDist = 2, minMatchedFrames = 3, scope = scope)
+      // batch 0: clip 5 with its LAST frame re-shot (3 aligned matches)
+      // + a clip the store has never seen
+      val b1 = Seq((105L, clip(5).take(384) + block(50)),
+        (200L, clip(30)))
+      mem.addData(b1: _*); q.processAllAvailable()
+      // batch 1: an exact echo of clip 2 in its own verdict dir
+      mem.addData((102L, clip(2))); q.processAllAvailable()
+      q.stop()
+      val g0 = spark.read.parquet(s"$out/batch=0")
+        .as[(Long, Long, Long, Int)].collect().toSeq
+      assert(g0 == Seq((105L, 5L, 3L, 0)),
+        s"the edited clip matches its original on 3 frames, the new clip drops: $g0")
+      val g1 = spark.read.parquet(s"$out/batch=1")
+        .as[(Long, Long, Long, Int)].collect().toSeq
+      assert(g1 == Seq((102L, 2L, 4L, 0)))
+      // ≡ the batch probe path (probe-only: the store is unchanged)
+      val want = Multimodal.incrementalFrameDupsWith(
+          Multimodal.packBinary(b1.toDF("doc_id", "t"), "doc_id", "t"),
+          Multimodal.loadFrameIndex(spark, idx, scope),
+          "doc_id", "payload", maxDist = 2, minMatchedFrames = 3)
+        .as[(Long, Long, Long, Int)].collect().toSeq
+      assert(g0 == want)
+      assert(spark.read.parquet(s"$idx/fbands").count() == 12L * 4 * 4)
+      Seq(idx, out, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    }
+  }
+
   test("integrityGateSink: arrival-time payload verdicts per microbatch, stateless") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
