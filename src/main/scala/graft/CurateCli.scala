@@ -1900,9 +1900,10 @@ object CurateCli {
           import spark.implicits._
           val store = req("--store")
           for (o <- Seq("--advice", "--hot-bucket"); _ <- argv.get(o))
-            if (storeKind(store) != "phash") throw new IllegalArgumentException(
-              s"$o applies to phash stores only (the other families' " +
-                "remediation is the rebuild/refound loop)")
+            if (storeKind(store) != "phash" && storeKind(store) != "frames")
+              throw new IllegalArgumentException(
+                s"$o applies to the perceptual stores (phash/frames) — the " +
+                  "other families' remediation is the rebuild/refound loop")
           storeKind(store) match {
             case "ivfpq" =>
               write(graft.ops.Similarity.ivfPqIndexStats(
@@ -1918,7 +1919,17 @@ object CurateCli {
                 .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
                 .select(col("_sz").as("bucket_size"), col("n_buckets")), out)
             case "frames" =>
-              write(spark.read.parquet(s"$store/fbands")
+              val wantFAdvice = argv.getOrElse("--advice", "N") match {
+                case "Y" => true
+                case "N" => false
+                case other => throw new IllegalArgumentException(
+                  s"--advice must be Y or N, got '$other'")
+              }
+              if (wantFAdvice)
+                write(Multimodal.frameIndexAdvice(
+                  Multimodal.loadFrameIndex(spark, store, scope),
+                  argv.getOrElse("--hot-bucket", "64").toInt), out)
+              else write(spark.read.parquet(s"$store/fbands")
                 .groupBy(col("_fi"), col("_b"), col("_v"))
                 .agg(count(lit(1)).as("_sz"))
                 .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))

@@ -636,10 +636,22 @@ object Multimodal {
     * content-determined — identical payloads collide under ANY band
     * count, so re-founding cannot rebalance what a flood floods. */
   def pHashIndexAdvice(index: PHashIndex, hotBucketThreshold: Int = 64,
-                       hotMassFrac: Double = 0.05): DataFrame = {
+                       hotMassFrac: Double = 0.05): DataFrame =
+    bucketAdvice(index.banded.groupBy(col("_b"), col("_v"))
+      .agg(count(lit(1)).as("_sz")), hotBucketThreshold, hotMassFrac)
+
+  /** [[pHashIndexAdvice]] for the FRAME store — same census, same
+    * remediations (cap the probe / tombstone the flood), over the
+    * (frame_idx, band, value) buckets, which a constant-frame corpus
+    * floods FIRST. */
+  def frameIndexAdvice(index: FrameIndex, hotBucketThreshold: Int = 64,
+                       hotMassFrac: Double = 0.05): DataFrame =
+    bucketAdvice(index.banded.groupBy(col("_fi"), col("_b"), col("_v"))
+      .agg(count(lit(1)).as("_sz")), hotBucketThreshold, hotMassFrac)
+
+  private def bucketAdvice(sizes: DataFrame, hotBucketThreshold: Int,
+                           hotMassFrac: Double): DataFrame = {
     require(hotBucketThreshold >= 1, "hotBucketThreshold >= 1")
-    val sizes = index.banded.groupBy(col("_b"), col("_v"))
-      .agg(count(lit(1)).as("_sz"))
     sizes.agg(
         count(lit(1)).as("n_buckets"),
         max(col("_sz")).as("max_bucket"),

@@ -1574,13 +1574,20 @@ class CurateCliSpec extends AnyFunSuite {
         "--payload-col" -> "text", "--index" -> fIdx, "--shifted" -> "Y"))
     }
     assert(eSh.getMessage.contains("--shifted"))
-    // store doctor dispatch sees the frames kind
+    // store doctor dispatch sees the frames kind; occupancy --advice
+    // runs the frame advice row ≡ the library
     val fSt = tmp("cli-frstats"); rm(fSt)
     CurateCli.run("stats", Map("--store" -> fIdx, "--out" -> fSt))
     val fRow = spark.read.parquet(fSt).head()
     assert(fRow.getAs[String]("kind") == "frames")
     assert(fRow.getAs[String]("params").contains("frame_bytes=128"))
-    rm(fIdx, oD1, oD2, fSt)
+    val fAdv = tmp("cli-fradv"); rm(fAdv)
+    CurateCli.run("occupancy", Map("--store" -> fIdx, "--out" -> fAdv,
+      "--advice" -> "Y", "--hot-bucket" -> "8"))
+    assert(spark.read.parquet(fAdv).head() ==
+      Multimodal.frameIndexAdvice(
+        Multimodal.loadFrameIndex(spark, fIdx), hotBucketThreshold = 8).head())
+    rm(fIdx, oD1, oD2, fSt, fAdv)
 
     // --decoder imageio: the REAL-decoder rungs ≡ the library paths
     val imgIn = tmp("cli-img-in"); val oI = tmp("cli-imgP"); val oF = tmp("cli-imgF")

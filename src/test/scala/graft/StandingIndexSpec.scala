@@ -256,6 +256,20 @@ class StandingIndexSpec extends AnyFunSuite {
       // stats account for every band row: 16 clips x 4 frames x 4 bands
       val stats = Multimodal.frameIndexStats(reloaded).as[(Long, Long)].collect()
       assert(stats.map { case (sz, n) => sz * n }.sum == 16L * 4 * 4)
+      // advice: healthy store reads ok; a 20-copy black-clip flood
+      // dominating the band mass reads tombstone_flood (the frame
+      // buckets are what a constant-frame corpus floods first)
+      assert(Multimodal.frameIndexAdvice(reloaded, hotBucketThreshold = 8)
+        .collect().head.getAs[String]("advice") == "ok")
+      val flooded = Multimodal.buildFrameIndex(payloads(
+          (0 until 12).map(i => (i.toLong, clip(i))) ++
+            (100 until 120).map(i => (i.toLong, block(1) * 4))),
+        "doc_id", "payload", frameBytes = 128, stride = 128,
+        maxFrames = 4, nBands = 4, scope = scope)
+      val fAdv = Multimodal.frameIndexAdvice(flooded, hotBucketThreshold = 8)
+        .collect().head
+      assert(fAdv.getAs[String]("advice") == "tombstone_flood" &&
+        fAdv.getAs[Long]("max_bucket") >= 20L)
       // tombstone clip 22; compaction applies physically and clears
       Multimodal.tombstoneFrameIndex(spark, dir, Seq(22L).toDF("doc_id"), "doc_id")
       assert(probe(Multimodal.loadFrameIndex(spark, dir, scope), echo).isEmpty)
