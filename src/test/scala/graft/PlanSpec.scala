@@ -244,6 +244,15 @@ class PlanSpec extends AnyFunSuite {
       s"partial WindowGroupLimit must run below the exchange\n$exec")
   }
 
+  test("q199 frame-store probe: aligned equi-join across sides, never a cross join, dhash in the scan") {
+    val p = plan("q199_frame_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the (frame_idx, band, value) equi-join\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join\n$p")
+    assert(p.contains("dhash64"), s"native dhash64 expression in the plan\n$p")
+  }
+
   test("q193 integrity audit plans ZERO exchanges (row-local scan-stage verdicts)") {
     val p = plan("q193_payload_integrity")
     assert(!p.contains("Exchange"),
