@@ -8,8 +8,8 @@ package graft
 object ExplainMain {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q187_phash_neardup", "q190_phash_incremental",
-        "q191_frame_neardup", "q192_frame_shifted")
+      else Seq("q194_frame_capped", "q197_phash_dup_curve",
+        "q198_phash_banding_eval", "q199_frame_incremental")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master("local[8]")
