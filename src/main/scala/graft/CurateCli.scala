@@ -332,6 +332,8 @@ object CurateCli {
         "--max-per-bucket", "--decoder", "--index", "--update-index")),
     "integrity" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--bad-only")),
+    "features" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
+      ++ Set("--payload-col", "--decoder")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -1268,6 +1270,34 @@ object CurateCli {
             case "N" => report
             case other => throw new IllegalArgumentException(
               s"--bad-only must be Y or N, got '$other'")
+          }, out)
+
+        case "features" =>
+          // partition-batched media feature extraction (q68): one
+          // decoder instance per partition. --decoder stub = the
+          // deterministic q68 fake (DuckDB-oracled); imageio = the REAL
+          // decoder (true dims/channels/mean-luma brightness,
+          // undecodables kept with decoded=false — the audit shape)
+          val mpc = argv.getOrElse("--payload-col", "payload")
+          require(in.columns.contains(mpc),
+            s"--payload-col '$mpc' not in input columns ${in.columns.mkString(",")}")
+          val mpayload = in.schema(mpc).dataType match {
+            case org.apache.spark.sql.types.BinaryType => col(mpc)
+            case org.apache.spark.sql.types.StringType => encode(col(mpc), "utf-8")
+            case other => throw new IllegalArgumentException(
+              s"--payload-col must be binary or string, got $other")
+          }
+          val min = in.select(col(idCol), mpayload.as("payload"))
+          write(argv.getOrElse("--decoder", "stub") match {
+            case "stub" => Multimodal.extractFeatures(min, idCol)
+            case "imageio" =>
+              require(in.schema(mpc).dataType ==
+                org.apache.spark.sql.types.BinaryType,
+                "--decoder imageio needs a BINARY payload column " +
+                  "(encoded image bytes)")
+              Multimodal.extractImageFeatures(min, idCol)
+            case other => throw new IllegalArgumentException(
+              s"--decoder must be stub or imageio, got '$other'")
           }, out)
 
         case "framedup" =>

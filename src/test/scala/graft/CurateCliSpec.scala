@@ -1589,6 +1589,22 @@ class CurateCliSpec extends AnyFunSuite {
         Multimodal.loadFrameIndex(spark, fIdx), hotBucketThreshold = 8).head())
     rm(fIdx, oD1, oD2, fSt, fAdv)
 
+    // features: both decoder flavors ≡ their library extractors
+    val oFe = tmp("cli-feat"); rm(oFe)
+    CurateCli.run("features", Map("--in" -> docsPath, "--out" -> oFe,
+      "--payload-col" -> "text"))
+    val wantFe = Multimodal.extractFeatures(
+        Multimodal.packBinary(docs, "doc_id", "text"))
+      .as[(Long, Int, Int, Int, Double)].collect().toSet
+    assert(spark.read.parquet(oFe).as[(Long, Int, Int, Int, Double)]
+      .collect().toSet == wantFe && wantFe.nonEmpty)
+    val eFe = intercept[IllegalArgumentException] {
+      CurateCli.run("features", Map("--in" -> docsPath, "--out" -> oFe,
+        "--payload-col" -> "text", "--decoder" -> "imageio"))
+    }
+    assert(eFe.getMessage.contains("BINARY"))
+    rm(oFe)
+
     // --decoder imageio: the REAL-decoder rungs ≡ the library paths
     val imgIn = tmp("cli-img-in"); val oI = tmp("cli-imgP"); val oF = tmp("cli-imgF")
     rm(imgIn, oI, oF)
@@ -1627,6 +1643,16 @@ class CurateCliSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(spark.read.parquet(oI).as[(Long, Long, Int)].collect().toSet
       == wantP && wantP == Set((0L, 1L, 0)))
+    // features --decoder imageio on real image bytes ≡ the library
+    val oFi = tmp("cli-feat-img"); rm(oFi)
+    CurateCli.run("features", Map("--in" -> singlesIn, "--out" -> oFi,
+      "--decoder" -> "imageio"))
+    val wantFi = Multimodal.extractImageFeatures(singles)
+      .as[(Long, Boolean, Int, Int, Int, Double)].collect().toSet
+    assert(spark.read.parquet(oFi).as[(Long, Boolean, Int, Int, Int, Double)]
+      .collect().toSet == wantFi && wantFi.nonEmpty && wantFi.forall(_._2))
+    rm(oFi)
+
     // the decoder needs real bytes, not re-encoded strings; byte-window
     // knobs and the stub-founded standing store contradict it
     val eS = intercept[IllegalArgumentException] {
