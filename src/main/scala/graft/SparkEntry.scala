@@ -2531,7 +2531,17 @@ object SparkEntry {
         Multimodal.buildFrameIndex(hist, "doc_id", "payload",
           frameBytes = 128, stride = 128, maxFrames = 4, nBands = 4),
         "doc_id", "payload", maxDist = 2, minMatchedFrames = 2)
-    }))
+    }),
+
+    // ---- Frame-store advice row (round-12): q196's twin over the
+    //      (frame_idx, band, value) buckets a constant-frame corpus
+    //      floods first — the diagnose half that decides the q199
+    //      probe's cap ----
+    "q200_frame_advice" -> ((s, dir) =>
+      Multimodal.frameIndexAdvice(Multimodal.buildFrameIndex(
+        Multimodal.packBinary(tbl(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "payload", frameBytes = 128, stride = 128,
+        maxFrames = 4, nBands = 4), hotBucketThreshold = 8)))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
     * recursive reachability, `lab(node, cluster_id)` = component
@@ -3300,7 +3310,7 @@ object SparkEntry {
       |        FROM (SELECT doc_id, text FROM documents
       |              UNION ALL SELECT doc_id + 1000000 AS doc_id,
       |                'Z' || substr(text, 2) AS text FROM documents)) t,
-      |  unnest(range(0, least(greatest((t.n - 128) // 128 + 1, 0), 4))) u(f)""".stripMargin) +
+      |  unnest(range(0, CASE WHEN t.n >= 128 THEN least((t.n - 128) // 128 + 1, 4) ELSE 0 END)) u(f)""".stripMargin) +
     """,
       |fb AS (SELECT doc_id // 100 AS did, doc_id % 100 AS fi, h FROM hashes),
       |bands AS (SELECT did, fi, h, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
@@ -3326,7 +3336,7 @@ object SparkEntry {
       |        FROM (SELECT doc_id, text FROM documents
       |              UNION ALL SELECT doc_id + 1000000 AS doc_id,
       |                substr(text, 65) AS text FROM documents)) t,
-      |  unnest(range(0, least(greatest((t.n - 64) // 64 + 1, 0), 8))) u(f)""".stripMargin) +
+      |  unnest(range(0, CASE WHEN t.n >= 64 THEN least((t.n - 64) // 64 + 1, 8) ELSE 0 END)) u(f)""".stripMargin) +
     """,
       |fb AS (SELECT doc_id // 100 AS did, doc_id % 100 AS fi, h FROM hashes),
       |bands AS (SELECT did, fi, h, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
@@ -3364,7 +3374,7 @@ object SparkEntry {
       |                'Z' || substr(text, 2) AS text FROM documents
       |              UNION ALL SELECT 2000000 + i AS doc_id,
       |                repeat('A', 512) AS text FROM range(0, 24) r(i))) t,
-      |  unnest(range(0, least(greatest((t.n - 128) // 128 + 1, 0), 4))) u(f)""".stripMargin) +
+      |  unnest(range(0, CASE WHEN t.n >= 128 THEN least((t.n - 128) // 128 + 1, 4) ELSE 0 END)) u(f)""".stripMargin) +
     """,
       |fb AS (SELECT doc_id // 100 AS did, doc_id % 100 AS fi, h FROM hashes),
       |bands0 AS (SELECT did, fi, h, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
@@ -3495,7 +3505,7 @@ object SparkEntry {
       |        FROM (SELECT doc_id, text FROM documents
       |              UNION ALL SELECT doc_id + 1000000 AS doc_id,
       |                'Z' || substr(text, 2) AS text FROM documents)) t,
-      |  unnest(range(0, least(greatest((t.n - 128) // 128 + 1, 0), 4))) u(f)""".stripMargin) +
+      |  unnest(range(0, CASE WHEN t.n >= 128 THEN least((t.n - 128) // 128 + 1, 4) ELSE 0 END)) u(f)""".stripMargin) +
     """,
       |fb AS (SELECT doc_id // 100 AS did, doc_id % 100 AS fi, h FROM hashes),
       |sb AS (SELECT did AS hid, fi, h, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
@@ -3515,6 +3525,31 @@ object SparkEntry {
       |  FROM grp)
       |SELECT nid AS doc_id, hid AS hist_id, n_matched, min_dist
       |FROM best WHERE rn = 1""".stripMargin
+
+  /** q200's oracle: the frame-store advice row — q196's aggregate over
+    * the (frame_idx, band, value) bucket sizes of the corpus's frame
+    * store (q191's hash chain, docs only, geometry 128/128/4). */
+  private val frameAdviceOracle: String =
+    phashHexCtes("""SELECT t.doc_id * 100 + u.f AS doc_id, CAST(128 AS BIGINT) AS len,
+      |    substr(t.hx, u.f * 256 + 1, 256) AS hx
+      |  FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+      |          hex(encode(text)) AS hx FROM documents) t,
+      |  unnest(range(0, CASE WHEN t.n >= 128 THEN least((t.n - 128) // 128 + 1, 4) ELSE 0 END)) u(f)""".stripMargin) +
+    """,
+      |fb AS (SELECT doc_id // 100 AS did, doc_id % 100 AS fi, h FROM hashes),
+      |bands AS (SELECT did, fi, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
+      |  FROM fb, unnest(range(0, 4)) u(b)),
+      |sz AS (SELECT fi, b, v, count(*) AS s FROM bands GROUP BY 1, 2, 3)
+      |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+      |  CAST(max(s) AS BIGINT) AS max_bucket,
+      |  CAST(sum(CASE WHEN s > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets,
+      |  CAST(sum(CASE WHEN s > 8 THEN s ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(s) AS DOUBLE) AS hot_row_frac,
+      |  CASE WHEN sum(CASE WHEN s > 8 THEN 1 ELSE 0 END) = 0 THEN 'ok'
+      |       WHEN CAST(sum(CASE WHEN s > 8 THEN s ELSE 0 END) AS DOUBLE)
+      |         / CAST(sum(s) AS DOUBLE) > 0.05 THEN 'tombstone_flood'
+      |       ELSE 'cap_probes' END AS advice
+      |FROM sz""".stripMargin
 
   /** q190's oracle: the standing probe replayed — store bands from the
     * original corpus, batch (mutant) probe keys widened to Hamming-1
@@ -6055,6 +6090,9 @@ object SparkEntry {
 
     // q199: the standing frame-store probe replayed end to end
     "q199_frame_incremental" -> frameIncrOracle,
+
+    // q200: the frame-store hot-bucket advice row (q196's frame twin)
+    "q200_frame_advice" -> frameAdviceOracle,
 
     // q192: the shift-tolerant rung — offset voting replayed end to end
     "q192_frame_shifted" -> frameShiftedOracle,
