@@ -898,14 +898,19 @@ object CurateCli {
           } else {
             // first batch: no history to probe — zero verdicts (with the
             // probe's schema, so downstream readers see one shape), and
-            // the batch founds the index unless the run is read-only
+            // the batch founds the index. Founding needs --update-index
+            // Y: with N nothing is probed and nothing built, so a typo'd
+            // --index path must fail loudly, not silently no-op
+            if (!updateIndex) throw new IllegalArgumentException(
+              s"--index $idxDir does not exist and --update-index N " +
+                "founds nothing: nothing to probe, nothing would be " +
+                "built — check the index path")
             write(ndIn.select(col(idCol), col(idCol).as("hist_id"),
               lit(0.0).as("jaccard")).limit(0), out)
-            if (updateIndex)
-              Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(ndIn, idCol, textCol,
-                argv.getOrElse("--minhash-k", "4").toInt,
-                argv.getOrElse("--rows-per-band", "2").toInt,
-                argv.getOrElse("--ngram", "5").toInt, scope), idxDir)
+            Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(ndIn, idCol, textCol,
+              argv.getOrElse("--minhash-k", "4").toInt,
+              argv.getOrElse("--rows-per-band", "2").toInt,
+              argv.getOrElse("--ngram", "5").toInt, scope), idxDir)
           }
 
         case "embeddup" =>
@@ -947,19 +952,24 @@ object CurateCli {
             if (updateIndex)
               graft.ops.Similarity.appendEmbedIndex(spark, idxDir, in, eidCol, vecCol)
           } else {
+            // founding needs --update-index Y (the neardup/framedup/
+            // phashdup discipline): a typo'd --index with N must fail
+            // loudly, not write a silent empty verdict table
+            if (!updateIndex) throw new IllegalArgumentException(
+              s"--index $idxDir does not exist and --update-index N " +
+                "founds nothing: nothing to probe, nothing would be " +
+                "built — check the index path")
             write(in.select(col(eidCol), col(eidCol).as("hist_id"),
               lit(0.0).as("sim")).limit(0), out)
-            if (updateIndex) {
-              // dim defaults to the data's own width; plane count to the
-              // occupancy-targeting rule on the founding batch's size
-              val dim = argv.get("--dim").map(_.toInt).getOrElse(
-                in.select(size(col(vecCol))).head().getInt(0))
-              val planes = argv.get("--planes").map(_.toInt).getOrElse(
-                graft.ops.Similarity.autoPlanes(in.count()))
-              graft.ops.Similarity.saveEmbedIndex(
-                graft.ops.Similarity.buildEmbedIndex(in, eidCol, vecCol,
-                  dim, planes, scope = scope), idxDir)
-            }
+            // dim defaults to the data's own width; plane count to the
+            // occupancy-targeting rule on the founding batch's size
+            val dim = argv.get("--dim").map(_.toInt).getOrElse(
+              in.select(size(col(vecCol))).head().getInt(0))
+            val planes = argv.get("--planes").map(_.toInt).getOrElse(
+              graft.ops.Similarity.autoPlanes(in.count()))
+            graft.ops.Similarity.saveEmbedIndex(
+              graft.ops.Similarity.buildEmbedIndex(in, eidCol, vecCol,
+                dim, planes, scope = scope), idxDir)
           }
 
         case "annindex" =>
@@ -1332,16 +1342,43 @@ object CurateCli {
           // the frame rungs are MORE flood-exposed than phashdup (black
           // frames all hash alike), so they carry the same skew cap
           val fCap = argv.getOrElse("--max-per-bucket", "0").toInt
+          // the signature space: stub byte windows, RIFF-extracted PCM
+          // windows (wav), or decoded keyframes (imageio). With --index
+          // it is a FOUNDING constant (round-12 verdict #1): stated at
+          // build, stored in _params, and a disagreeing restatement
+          // fails as loudly as a --bands mismatch — a probe hashed in
+          // the wrong space silently finds nothing.
+          val fDecoder = argv.getOrElse("--decoder", "stub") match {
+            case d @ ("stub" | "imageio" | "wav") => d
+            case other => throw new IllegalArgumentException(
+              s"--decoder must be stub, imageio or wav, got '$other'")
+          }
+          if (fDecoder == "imageio") {
+            // byte-window knobs don't apply: container frames carry
+            // their own boundaries
+            for (o <- Seq("--frame-bytes", "--stride"); _ <- argv.get(o))
+              throw new IllegalArgumentException(
+                s"$o applies to byte-window decoders (stub/wav); --decoder " +
+                  "imageio reads length-prefixed encoded frames")
+            require(in.schema(fpc).dataType ==
+              org.apache.spark.sql.types.BinaryType,
+              "--decoder imageio needs a BINARY payload column " +
+                "(encoded image frames, packImageFrames layout)")
+          }
+          if (fDecoder == "wav")
+            require(in.schema(fpc).dataType ==
+              org.apache.spark.sql.types.BinaryType,
+              "--decoder wav needs a BINARY payload column (RIFF/WAVE bytes)")
           argv.get("--index") match { case Some(idxDir) =>
             // the standing frame-store daily loop (q199): found-if-
-            // absent under the stated geometry, else probe under the
-            // STORED founding geometry — restating a disagreeing
-            // sampling knob fails loudly (a probe sampled differently
-            // aligns frame k against different bytes)
-            for (o <- Seq("--shifted", "--decoder"); _ <- argv.get(o))
+            // absent under the stated geometry + signature space, else
+            // probe under the STORED founding constants — restating a
+            // disagreeing sampling knob or decoder fails loudly (a
+            // probe sampled or hashed differently cannot be answered)
+            for (_ <- argv.get("--shifted"))
               throw new IllegalArgumentException(
-                s"$o does not apply with --index (the standing loop is " +
-                  "aligned, stub-signature matching)")
+                "--shifted does not apply with --index (the standing " +
+                  "loop is aligned)")
             val update = argv.getOrElse("--update-index", "Y") match {
               case "Y" => true
               case "N" => false
@@ -1352,6 +1389,11 @@ object CurateCli {
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
             if (fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))) {
               val idx = Multimodal.loadFrameIndex(spark, idxDir, scope)
+              for (stated <- argv.get("--decoder"))
+                if (stated != idx.decoder) throw new IllegalArgumentException(
+                  s"--decoder $stated disagrees with the stored index " +
+                    s"(${idx.decoder}) — the signature space is fixed " +
+                    "at build time")
               for ((flag, stated, stored) <- Seq(
                   ("--bands", argv.get("--bands"), idx.nBands),
                   ("--frame-bytes", argv.get("--frame-bytes"), idx.frameBytes),
@@ -1366,37 +1408,40 @@ object CurateCli {
               if (update)
                 Multimodal.appendFrameIndex(spark, idxDir, fin, idCol, "_payload")
             } else {
+              // a missing store founds — but founding needs --update-
+              // index Y: with N there is nothing to probe and nothing
+              // would be built, so a typo'd --index path must fail
+              // loudly, not become a silent empty verdict table
+              if (!update) throw new IllegalArgumentException(
+                s"--index $idxDir does not exist and --update-index N " +
+                  "founds nothing: nothing to probe, nothing would be " +
+                  "built — check the index path")
               write(fin.select(col(idCol), col(idCol).as("hist_id"),
                 lit(0L).as("n_matched"), lit(0).as("min_dist")).limit(0), out)
-              if (update)
-                Multimodal.saveFrameIndex(Multimodal.buildFrameIndex(
-                  fin, idCol, "_payload", fb, st, mf, fBands, scope), idxDir)
+              Multimodal.saveFrameIndex(Multimodal.buildFrameIndex(
+                fin, idCol, "_payload", fb, st, mf, fBands, fDecoder, scope),
+                idxDir)
             }
           case None =>
-          write(argv.getOrElse("--decoder", "stub") match {
+          write(fDecoder match {
             case "stub" =>
               if (shifted) Multimodal.frameDupPairsShifted(fin, idCol, "_payload",
                 fb, st, mf, fMaxDist, fBands, mm, fCap)
               else Multimodal.frameDupPairs(fin, idCol, "_payload",
                 fb, st, mf, fMaxDist, fBands, mm, fCap)
+            case "wav" =>
+              // AUDIO: fixed-duration PCM sample windows after the
+              // RIFF-aware offset — real signal, scan-stage extraction
+              if (shifted) Multimodal.frameDupPairsShiftedWav(fin, idCol,
+                "_payload", fb, st, mf, fMaxDist, fBands, mm, fCap)
+              else Multimodal.frameDupPairsWav(fin, idCol, "_payload",
+                fb, st, mf, fMaxDist, fBands, mm, fCap)
             case "imageio" =>
-              // REAL keyframe decode: the payload is a length-prefixed
-              // container of encoded images; byte-window knobs don't
-              // apply (frames carry their own boundaries)
-              for (o <- Seq("--frame-bytes", "--stride"); _ <- argv.get(o))
-                throw new IllegalArgumentException(
-                  s"$o applies to the stub byte-window decoder; --decoder " +
-                    "imageio reads length-prefixed encoded frames")
-              require(in.schema(fpc).dataType ==
-                org.apache.spark.sql.types.BinaryType,
-                "--decoder imageio needs a BINARY payload column " +
-                  "(encoded image frames, packImageFrames layout)")
+              // REAL keyframe decode over a length-prefixed container
               if (shifted) Multimodal.frameDupPairsShiftedDecoded(fin, idCol,
                 "_payload", mf, fMaxDist, fBands, mm, fCap)
               else Multimodal.frameDupPairsDecoded(fin, idCol, "_payload",
                 mf, fMaxDist, fBands, mm, fCap)
-            case other => throw new IllegalArgumentException(
-              s"--decoder must be stub or imageio, got '$other'")
           }, out)
           }
 
@@ -1466,13 +1511,11 @@ object CurateCli {
                 throw new IllegalArgumentException(
                   "--thresholds is the one-shot curve; the standing-store " +
                     "loop probes at a single --max-dist")
-              // the standing store is FOUNDED on the stub byte-stream
-              // decode (its oracle replays that arithmetic); a store
-              // keyed on one signature space cannot answer the other
-              for (_ <- argv.get("--decoder") if decoder == "imageio")
-                throw new IllegalArgumentException(
-                  "--decoder imageio applies to pairs mode; the standing " +
-                    "store's signatures are founded on the stub decode")
+              // the signature space is a FOUNDING constant of the store
+              // (round-12 verdict #1): stated at build, stored in
+              // _params beside --bands, enforced on every later probe —
+              // a stub-space probe against a decoded-space store (or
+              // vice versa) would silently find nothing
               // probe-time hot-bucket remediation (the occupancy
               // --advice 'cap_probes' answer): store buckets capped at
               // their lowest ids before the join, binding is loud
@@ -1494,18 +1537,30 @@ object CurateCli {
                     throw new IllegalArgumentException(
                       s"--bands $stated disagrees with the stored index " +
                         s"(${idx.nBands}) — banding is fixed at build time")
+                for (stated <- argv.get("--decoder"))
+                  if (stated != idx.decoder)
+                    throw new IllegalArgumentException(
+                      s"--decoder $stated disagrees with the stored index " +
+                        s"(${idx.decoder}) — the signature space is fixed " +
+                        "at build time")
                 write(Multimodal.incrementalPerceptualDupsWith(pin, idx,
                   idCol, "_payload", maxDist, multiProbe = multi,
                   maxPerBucket = probeCap), out)
                 if (update)
                   Multimodal.appendPHashIndex(spark, idxDir, pin, idCol, "_payload")
               } else {
+                // founding needs --update-index Y: with N nothing is
+                // probed and nothing built — a typo'd --index path must
+                // fail loudly, not write a silent empty verdict table
+                if (!update) throw new IllegalArgumentException(
+                  s"--index $idxDir does not exist and --update-index N " +
+                    "founds nothing: nothing to probe, nothing would be " +
+                    "built — check the index path")
                 write(pin.select(col(idCol), col(idCol).as("hist_id"),
                   lit(0).as("dist")).limit(0), out)
-                if (update)
-                  Multimodal.savePHashIndex(Multimodal.buildPHashIndex(
-                    pin, idCol, "_payload",
-                    argv.getOrElse("--bands", "4").toInt, scope), idxDir)
+                Multimodal.savePHashIndex(Multimodal.buildPHashIndex(
+                  pin, idCol, "_payload",
+                  argv.getOrElse("--bands", "4").toInt, decoder, scope), idxDir)
               }
           }
 

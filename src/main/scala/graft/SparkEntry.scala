@@ -529,9 +529,16 @@ object SparkEntry {
           countDistinct(col("l_suppkey")).as("n_supps"))
     }),
 
+    // except against HIGH-VALUE orders, not all orders: every customer
+    // key appears in orders in the generated corpus, so the bare
+    // difference was a vacuous 0-row gate (round-12 verdict — the
+    // operator ran, the evidence didn't); the filtered side leaves a
+    // margin of customers (3/30/308 at the three SFs) so the EXCEPT
+    // provably drops and keeps rows
     "q33_set_except" -> ((s, dir) => {
       tbl(s, dir, "customer").select(col("c_custkey"))
-        .except(tbl(s, dir, "orders").select(col("o_custkey")))
+        .except(tbl(s, dir, "orders")
+          .filter(col("o_totalprice") > 300000).select(col("o_custkey")))
     }),
 
     // ---- Text analysis: BPE-ish subword count estimate ----
@@ -2541,7 +2548,28 @@ object SparkEntry {
       Multimodal.frameIndexAdvice(Multimodal.buildFrameIndex(
         Multimodal.packBinary(tbl(s, dir, "documents"), "doc_id", "text"),
         "doc_id", "payload", frameBytes = 128, stride = 128,
-        maxFrames = 4, nBands = 4), hotBucketThreshold = 8)))
+        maxFrames = 4, nBands = 4), hotBucketThreshold = 8)),
+
+    // ---- AUDIO perceptual near-dup (round-13): the THIRD modality
+    //      over the frame machinery — each document's UTF-8 bytes
+    //      become the 8-bit PCM samples of a deterministic WAV (odd
+    //      ids carry a LIST metadata chunk, so the RIFF chunk WALK —
+    //      not a fixed 44-byte offset — is load-bearing for half the
+    //      corpus), the payload goes through the native wav_pcm
+    //      extraction, and fixed-duration sample windows pair through
+    //      the aligned (frame_idx, band, value) equi-join. The oracle
+    //      replays the frames from the text bytes directly: pcm ==
+    //      text, so a mis-walked header (wrong offset, skipped pad)
+    //      shifts every frame and the hashes diverge ----
+    "q201_wav_neardup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+      val wav = Multimodal.packWavCorpus(d.unionByName(mut), "doc_id", "text")
+      Multimodal.frameDupPairsWav(wav, "doc_id", "payload",
+        frameBytes = 96, stride = 96, maxFrames = 5,
+        maxDist = 2, minMatchedFrames = 2, maxPerBucket = 1000000)
+    }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
     * recursive reachability, `lab(node, cluster_id)` = component
@@ -3358,6 +3386,37 @@ object SparkEntry {
       |SELECT id_a, id_b, frame_offset, n_matched, min_dist
       |FROM best WHERE rn = 1 AND n_matched >= 4""".stripMargin
 
+  /** q201's oracle: the AUDIO rung replayed from the text bytes.
+    * The engine side wraps each document's UTF-8 bytes as a WAV
+    * (pcm == text bytes; odd ids get a LIST metadata chunk) and
+    * extracts the PCM through the native RIFF walk — so the oracle
+    * frames the TEXT hex directly (96-byte windows = 192 hex chars,
+    * ≤ 5 frames, the frameDupOracle geometry at q201's knobs): any
+    * mis-walked header on the engine side shifts every frame and the
+    * hashes diverge. Aligned band join, Hamming ≤ 2, ≥ 2 matched. */
+  private val wavFrameOracle: String =
+    phashHexCtes("""SELECT t.doc_id * 100 + u.f AS doc_id, CAST(96 AS BIGINT) AS len,
+      |    substr(t.hx, u.f * 192 + 1, 192) AS hx
+      |  FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+      |          hex(encode(text)) AS hx
+      |        FROM (SELECT doc_id, text FROM documents
+      |              UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      |                'Z' || substr(text, 2) AS text FROM documents)) t,
+      |  unnest(range(0, CASE WHEN t.n >= 96 THEN least((t.n - 96) // 96 + 1, 5) ELSE 0 END)) u(f)""".stripMargin) +
+    """,
+      |fb AS (SELECT doc_id // 100 AS did, doc_id % 100 AS fi, h FROM hashes),
+      |bands AS (SELECT did, fi, h, u.b AS b, ((h >> (u.b * 16)) & 65535) AS v
+      |  FROM fb, unnest(range(0, 4)) u(b)),
+      |cand AS (SELECT DISTINCT a.did AS id_a, bb.did AS id_b, a.fi AS fi,
+      |    a.h AS ha, bb.h AS hb
+      |  FROM bands a JOIN bands bb
+      |    ON a.fi = bb.fi AND a.b = bb.b AND a.v = bb.v AND a.did < bb.did),
+      |md AS (SELECT id_a, id_b, fi, CAST(bit_count(xor(ha, hb)) AS INT) AS d
+      |  FROM cand WHERE bit_count(xor(ha, hb)) <= 2)
+      |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matched,
+      |  CAST(min(d) AS INT) AS min_dist
+      |FROM md GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   /** q194's oracle: q191's frame rung with the skew cap BINDING —
     * the corpus∪mutants∪constant-flood source through the shared hash
     * chain, then the cap replayed exactly: row_number over each
@@ -4150,7 +4209,8 @@ object SparkEntry {
 
     "q33_set_except" ->
       """SELECT c_custkey FROM customer
-        |EXCEPT SELECT o_custkey AS c_custkey FROM orders""".stripMargin,
+        |EXCEPT SELECT o_custkey AS c_custkey FROM orders
+        |WHERE o_totalprice > 300000""".stripMargin,
 
     "q34_subword_count" ->
       """SELECT doc_id,
@@ -6093,6 +6153,9 @@ object SparkEntry {
 
     // q200: the frame-store hot-bucket advice row (q196's frame twin)
     "q200_frame_advice" -> frameAdviceOracle,
+
+    // q201: the audio rung — WAV-wrapped text, RIFF-walked PCM frames
+    "q201_wav_neardup" -> wavFrameOracle,
 
     // q192: the shift-tolerant rung — offset voting replayed end to end
     "q192_frame_shifted" -> frameShiftedOracle,

@@ -119,7 +119,19 @@ object Dispatch {
     * user segment (up to the first `:` or the rightmost `@`) is
     * `/`-free — SQLAlchemy's own shape, so `scheme://host/path@x`
     * (an `@` in the PATH, no credentials) passes through while
-    * `scheme://user:pa/ss@host` (a `/` in the PASSWORD) parses. */
+    * `scheme://user:pa/ss@host` (a `/` in the PASSWORD) parses.
+    *
+    * The genuinely ambiguous shape (round-12 advice) is a
+    * credential-FREE coordinate with a port and an `@` later in the
+    * path: `postgresql://host:5432/db@x`. Its pre-colon segment is a
+    * bare hostname, indistinguishable from a user name, so it parses
+    * as user=host, password=5432/db, host=x — which is EXACTLY how
+    * SQLAlchemy's make_url reads it (everything before the rightmost
+    * `@` is userinfo; the ambiguity is inherent to the grammar, not
+    * to this parser). The rule, same as SQLAlchemy's: a database name
+    * containing a literal `@` must percent-encode it (`db%40x`).
+    * DispatchSpec pins both the parse of the ambiguous shape and the
+    * percent-encoded escape hatch. */
   private def hasUserinfo(remainder: String): Boolean = {
     val at = remainder.lastIndexOf('@')
     if (at < 0) false

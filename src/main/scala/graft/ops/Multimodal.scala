@@ -20,6 +20,31 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** The signature-space names a standing perceptual store is FOUNDED on
+    * (round-12 verdict #1): `stub` = the byte-stream [[dHash]] (the
+    * DuckDB-replayable gate space), `imageio` = real JDK image decode
+    * ([[dHashImage]] over the luma plane), `wav` = RIFF-aware PCM
+    * extraction ([[graft.functions.WavPcm]]) with byte-window frames
+    * over the SAMPLES (real signal, not a stub — PCM bytes ARE the
+    * waveform). A store keyed on one space cannot answer probes hashed
+    * in another (ImageDecodeSpec: the stub space finds NOTHING on
+    * PNG-vs-JPEG re-encoded twins), so the decoder is carried in
+    * `_params` exactly like `nBands` and a disagreeing probe fails as
+    * loudly as a `--bands` mismatch. */
+  val StubDecoder = "stub"
+  val ImageioDecoder = "imageio"
+  val WavDecoder = "wav"
+
+  private[ops] def checkPHashDecoder(decoder: String): Unit =
+    require(decoder == StubDecoder || decoder == ImageioDecoder,
+      s"phash decoder must be $StubDecoder or $ImageioDecoder, got '$decoder'")
+
+  private[ops] def checkFrameDecoder(decoder: String): Unit =
+    require(decoder == StubDecoder || decoder == ImageioDecoder ||
+        decoder == WavDecoder,
+      s"frame decoder must be $StubDecoder, $ImageioDecoder or $WavDecoder, " +
+        s"got '$decoder'")
+
   /** media metadata struct carried beside the payload */
   val MetaType: StructType = StructType(Seq(
     StructField("format", StringType),
@@ -390,7 +415,8 @@ object Multimodal {
     * a Catalyst expression by nature (ImageIO is JVM library code) but
     * the scale shape holds: runs beside the scan, only 16-byte
     * (id, sig) rows leave it, payloads never shuffle. */
-  private def imageSigs(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+  private def imageSigs(df: DataFrame, idCol: String, payloadCol: String,
+                        as: String = "_id"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
@@ -399,7 +425,23 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { case (id, bytes) => dHashImage(bytes).map(id -> _) }
       }
-      .toDF("_id", "_sig")
+      .toDF(as, "_sig")
+  }
+
+  /** (as, _sig) whole-payload signatures in the named signature space —
+    * the dispatch every [[PHashIndex]] path (found/probe/append) runs
+    * through, so a store founded on one space can never be extended or
+    * probed in another. Input is fanned out BEFORE hashing (a
+    * single-split batch would decode on one core). */
+  private def pHashSigsOf(df: DataFrame, idCol: String, payloadCol: String,
+                          decoder: String, as: String): DataFrame = {
+    checkPHashDecoder(decoder)
+    val fanned = Parallelize.ensure(df.select(col(idCol), col(payloadCol)))
+    decoder match {
+      case StubDecoder =>
+        fanned.select(col(idCol).as(as), dHash(col(payloadCol)).as("_sig"))
+      case ImageioDecoder => imageSigs(fanned, idCol, payloadCol, as)
+    }
   }
 
   /** [[perceptualDupPairs]] with the decode step REAL: signatures from
@@ -458,12 +500,26 @@ object Multimodal {
     * (max_dist, n_true, n_found, recall). The pigeonhole guarantees
     * recall 1.0 strictly below `nBands`; this table PRICES the recall
     * trade above it, which is how `nBands` is chosen. `n_true = 0`
-    * reads recall 1.0 (nothing to find). */
+    * reads recall 1.0 (nothing to find).
+    *
+    * The eval-scale bound is ENFORCED, not advisory (round-12 verdict
+    * #3): the ground truth is all-pairs — wiring this to a corpus buys
+    * exactly the quadratic blowup the banded rung exists to avoid — so
+    * inputs over `maxEvalRows` fail loudly (one narrow count, trivial
+    * beside the eval). Raise the knob only to accept the quadratic
+    * bill deliberately. */
   def perceptualBandingEval(df: DataFrame, idCol: String, payloadCol: String,
-                            maxDists: Seq[Int], nBands: Int = 4): DataFrame = {
+                            maxDists: Seq[Int], nBands: Int = 4,
+                            maxEvalRows: Long = 100000L): DataFrame = {
     require(maxDists.nonEmpty, "maxDists must be non-empty")
     val ds = maxDists.distinct.sorted
     checkBandParams(nBands, ds.last)
+    val n = df.count()
+    require(n <= maxEvalRows,
+      s"perceptualBandingEval ground truth is ALL-PAIRS exact Hamming — " +
+        s"$n input rows exceed maxEvalRows=$maxEvalRows (~${n * n / 2} " +
+        "comparisons). Run it on a sample; raise maxEvalRows only to " +
+        "accept the quadratic cost deliberately.")
     val sig = df.select(col(idCol).as("_id"), dHash(col(payloadCol)).as("_sig"))
     val a = sig.select(col("_id").as("id_a"), col("_sig").as("_sa"))
     val b = sig.select(col("_id").as("id_b"), col("_sig").as("_sb"))
@@ -508,7 +564,11 @@ object Multimodal {
     while (fi < maxFrames && off + 4 <= bytes.length) {
       val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
         ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
-      if (len < 0 || off + 4 + len > bytes.length) return out.result()
+      // overflow-safe form: `off + 4 + len` wraps negative for a corrupt
+      // length prefix near 2^31 (first byte 0x7F), slipping past a
+      // naive `> bytes.length` and crashing copyOfRange instead of
+      // stopping at the malformed prefix as documented
+      if (len < 0 || len > bytes.length - off - 4) return out.result()
       out += fi -> java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
       off += 4 + len; fi += 1
     }
@@ -519,7 +579,7 @@ object Multimodal {
     * ([[packImageFrames]]); frames that fail decode keep their index
     * and drop — alignment stays stable. */
   private def imageFrameSigs(df: DataFrame, idCol: String, payloadCol: String,
-                             maxFrames: Int): DataFrame = {
+                             maxFrames: Int, as: String = "_id"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
@@ -533,7 +593,7 @@ object Multimodal {
           }
         }
       }
-      .toDF("_id", "_fi", "_sig")
+      .toDF(as, "_fi", "_sig")
   }
 
   /** [[frameDupPairs]] with the decode step REAL: payloads are
@@ -559,6 +619,103 @@ object Multimodal {
     checkBandParams(nBands, maxDist)
     require(minMatchedFrames >= 1, "minMatchedFrames >= 1")
     shiftedFramePairsCore(imageFrameSigs(df, idCol, payloadCol, maxFrames),
+      maxDist, nBands, minMatchedFrames, maxPerBucket)
+  }
+
+  // --------------------------------------------------------------------
+  // Audio (round-13): the THIRD modality over the same perceptual core.
+  // WAV is a header walk, not a codec — PCM samples are IN the byte
+  // stream — so the decode step is a native scan-stage expression
+  // ([[graft.functions.WavPcm]]) and the signal the frames hash is
+  // REAL. Frame = fixed-duration sample window (frameBytes over the
+  // PCM stream: for 8-bit mono at 8 kHz, 160 bytes = 20 ms), the q191
+  // geometry applied after the RIFF-aware offset.
+  // --------------------------------------------------------------------
+
+  /** [[graft.functions.WavPcm]] as a column: the PCM `data` payload of
+    * a WAV container; not-a-WAV extracts empty (zero frames). */
+  def wavPcm(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.WavPcm.wavPcm(payload)
+
+  /** Wrap raw PCM samples (8-bit mono unsigned, `sampleRate` Hz) as a
+    * canonical WAV container; `withListChunk` inserts a LIST metadata
+    * chunk BEFORE fmt/data — the header-layout variance real encoders
+    * produce, which [[wavPcm]]'s chunk walk (not a fixed-44-byte
+    * offset) must step over. The audio twin of [[packImageFrames]]. */
+  def packWav(pcm: Array[Byte], sampleRate: Int = 8000,
+              withListChunk: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def tag(t: String): Unit = t.foreach(c => out.write(c.toInt))
+    val listLen = 12 // "INFO" + one 4-byte-payload sub-chunk shape, even
+    val extra = if (withListChunk) 8 + listLen else 0
+    tag("RIFF"); le32(4 + extra + 24 + 8 + pcm.length); tag("WAVE")
+    if (withListChunk) {
+      tag("LIST"); le32(listLen)
+      tag("INFO"); tag("IGFT"); le32(0) // empty vendor sub-chunk
+    }
+    tag("fmt "); le32(16)
+    le16(1) /* PCM */ ; le16(1) /* mono */
+    le32(sampleRate); le32(sampleRate) /* byte rate */
+    le16(1) /* block align */ ; le16(8) /* bits per sample */
+    tag("data"); le32(pcm.length)
+    out.write(pcm)
+    out.toByteArray
+  }
+
+  /** Build a (id, payload) WAV corpus from a text column — the gate
+    * fixture door: each document's UTF-8 bytes become the 8-bit PCM
+    * samples of a well-formed WAV (deterministic, so the oracle can
+    * replay the frame hashes from the text bytes), and ODD ids carry a
+    * LIST metadata chunk so the RIFF walk — not a fixed header offset —
+    * is load-bearing for half the corpus. */
+  def packWavCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, packWav(t.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          withListChunk = (id % 2 != 0)))
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** [[frameDupPairs]] for AUDIO: aligned fixed-duration sample windows
+    * over the RIFF-extracted PCM stream — two recordings differing by a
+    * localized edit agree on every other window; whole-stream hashing
+    * would smear the edit. Same candidate geometry ((frame_idx, band,
+    * value) equi-join, skew cap, Hamming verify) and the same scale
+    * shape: extraction + sampling + hashing all run in the scan stage,
+    * only 8-byte signatures shuffle. */
+  def frameDupPairsWav(df: DataFrame, idCol: String, payloadCol: String,
+                       frameBytes: Int = 160, stride: Int = 160,
+                       maxFrames: Int = 8, maxDist: Int = 2,
+                       nBands: Int = 4, minMatchedFrames: Int = 3,
+                       maxPerBucket: Int = 0): DataFrame = {
+    checkBandParams(nBands, maxDist)
+    require(minMatchedFrames >= 1, "minMatchedFrames >= 1")
+    alignedFramePairsCore(frameSigsOf(df, idCol, payloadCol, frameBytes,
+        stride, maxFrames, "_id", WavDecoder),
+      maxDist, nBands, minMatchedFrames, maxPerBucket)
+  }
+
+  /** [[frameDupPairsShifted]] for AUDIO — the trimmed-recording shape:
+    * offset voting over PCM sample windows (an intro clipped off, a
+    * re-cut start), RIFF-aware extraction first. */
+  def frameDupPairsShiftedWav(df: DataFrame, idCol: String, payloadCol: String,
+                              frameBytes: Int = 160, stride: Int = 160,
+                              maxFrames: Int = 8, maxDist: Int = 2,
+                              nBands: Int = 4, minMatchedFrames: Int = 4,
+                              maxPerBucket: Int = 0): DataFrame = {
+    checkBandParams(nBands, maxDist)
+    require(minMatchedFrames >= 1, "minMatchedFrames >= 1")
+    shiftedFramePairsCore(frameSigsOf(df, idCol, payloadCol, frameBytes,
+        stride, maxFrames, "_id", WavDecoder),
       maxDist, nBands, minMatchedFrames, maxPerBucket)
   }
 
@@ -598,20 +755,43 @@ object Multimodal {
     * standing-store family ([[Dedup.NearDupIndex]] / MinHash,
     * [[Similarity.EmbedIndex]] / hyperplanes, the dHash bands here).
     * `nBands` is a FOUNDING constant: a store banded one way cannot
-    * answer probes banded another. */
-  final case class PHashIndex private[ops] (banded: DataFrame, nBands: Int)
+    * answer probes banded another. So is `decoder` (round-12 verdict
+    * #1): signatures from the stub byte stream and from decoded luma
+    * live in DIFFERENT spaces — a probe hashed in the wrong one finds
+    * nothing, silently, which is exactly the failure the founding
+    * check exists to make loud. */
+  final case class PHashIndex private[ops] (banded: DataFrame, nBands: Int,
+                                            decoder: String = Multimodal.StubDecoder) {
+    /** The (bucket_size → n_buckets) histogram, collected ONCE per index
+      * instance and memoized (round-12 advice: the probe-time hot-bucket
+      * check was an eager full-store aggregation per call — in a gate
+      * sink that is one extra Spark job per microbatch; the store is
+      * probe-only within an instance's lifetime, so the census cannot go
+      * stale). Driver-side size is the number of DISTINCT bucket sizes —
+      * bounded small. */
+    private[ops] lazy val sizeHistogram: Map[Long, Long] =
+      banded.groupBy(col("_b"), col("_v")).agg(count(lit(1)).as("_sz"))
+        .groupBy(col("_sz")).agg(count(lit(1)).as("_n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  /** Materialize a [[PHashIndex]] over the historical corpus: one dHash
-    * pass (scan stage), `nBands` ~28-byte rows per payload — the store
-    * holds signatures, never payloads. */
+    /** Buckets larger than `threshold`, answered from the memoized
+      * histogram — no Spark job after the first call. */
+    private[ops] def hotBuckets(threshold: Int): Long =
+      sizeHistogram.collect { case (sz, n) if sz > threshold => n }.sum
+  }
+
+  /** Materialize a [[PHashIndex]] over the historical corpus: one
+    * signature pass in the founding `decoder` space (scan stage),
+    * `nBands` ~28-byte rows per payload — the store holds signatures,
+    * never payloads. */
   def buildPHashIndex(history: DataFrame, idCol: String, payloadCol: String,
-                      nBands: Int = 4,
+                      nBands: Int = 4, decoder: String = StubDecoder,
                       scope: CacheScope = CacheScope.noop): PHashIndex = {
     checkBandParams(nBands, 0)
+    checkPHashDecoder(decoder)
     PHashIndex(scope.track(withBands(
-        Parallelize.ensure(history.select(col(idCol).as("_hid"),
-          dHash(col(payloadCol)).as("_sig"))), nBands)
-      .cache()), nBands)
+        pHashSigsOf(history, idCol, payloadCol, decoder, "_hid"), nBands)
+      .cache()), nBands, decoder)
   }
 
   /** Bucket-balance diagnostic — [[Similarity.embedIndexStats]]'s
@@ -665,35 +845,50 @@ object Multimodal {
           .otherwise(lit("cap_probes")))
   }
 
-  /** Persist a [[PHashIndex]] (band table + founding params) as parquet. */
+  /** Persist a [[PHashIndex]] (band table + founding params — band
+    * count AND signature space) as parquet. */
   def savePHashIndex(index: PHashIndex, path: String): Unit = {
     val sess = index.banded.sparkSession
     import sess.implicits._
     index.banded.write.mode("overwrite").parquet(s"$path/pbands")
-    Seq(index.nBands).toDF("n_bands")
+    Seq((index.nBands, index.decoder)).toDF("n_bands", "decoder")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
   /** Load a [[savePHashIndex]]'d store; pending [[tombstonePHashIndex]]
-    * deletions are subtracted (broadcast anti-join). */
+    * deletions are subtracted (broadcast anti-join). A pre-round-13
+    * store without a `decoder` params column loads as stub-founded —
+    * the only space those stores were ever written in. */
   def loadPHashIndex(spark: SparkSession, path: String,
                      scope: CacheScope = CacheScope.noop): PHashIndex = {
-    val p = spark.read.parquet(s"$path/params").head()
+    val pdf = spark.read.parquet(s"$path/params")
+    val p = pdf.head()
+    val dec = if (pdf.columns.contains("decoder")) p.getAs[String]("decoder")
+      else StubDecoder
     PHashIndex(scope.track(Tombstones.applyTo(spark, path,
         spark.read.parquet(s"$path/pbands"), "_hid").cache()),
-      p.getAs[Int]("n_bands"))
+      p.getAs[Int]("n_bands"), dec)
   }
 
-  /** APPEND a newly-ingested batch to an on-disk store: band ONLY the
-    * batch under the STORED band count and `mode("append")` — history
-    * is never rewritten, no cross-batch union lineage accumulates. */
+  /** APPEND a newly-ingested batch to an on-disk store: signature the
+    * batch in the STORED founding space, band it under the STORED band
+    * count, and `mode("append")` — history is never rewritten, no
+    * cross-batch union lineage accumulates. */
   def appendPHashIndex(spark: SparkSession, path: String,
                        batch: DataFrame, idCol: String, payloadCol: String): Unit = {
     Tombstones.requireNotTombstoned(spark, path, batch, idCol)
-    val p = spark.read.parquet(s"$path/params").head()
-    withBands(Parallelize.ensure(batch.select(col(idCol).as("_hid"),
-        dHash(col(payloadCol)).as("_sig"))), p.getAs[Int]("n_bands"))
+    val idx = loadPHashIndexParams(spark, path)
+    withBands(pHashSigsOf(batch, idCol, payloadCol, idx._2, "_hid"), idx._1)
       .write.mode("append").parquet(s"$path/pbands")
+  }
+
+  /** (nBands, decoder) of an on-disk store without loading its bands. */
+  private def loadPHashIndexParams(spark: SparkSession, path: String): (Int, String) = {
+    val pdf = spark.read.parquet(s"$path/params")
+    val p = pdf.head()
+    (p.getAs[Int]("n_bands"),
+      if (pdf.columns.contains("decoder")) p.getAs[String]("decoder")
+      else StubDecoder)
   }
 
   /** Record deletions against an on-disk store (O(ids), history
@@ -744,8 +939,11 @@ object Multimodal {
                                     maxPerBucket: Int = 0): DataFrame = {
     checkBandParams(index.nBands, maxDist)
     if (maxPerBucket > 0) {
-      val hot = index.banded.groupBy(col("_b"), col("_v"))
-        .agg(count(lit(1)).as("_sz")).filter(col("_sz") > maxPerBucket).count()
+      // answered from the index's memoized histogram — one census job
+      // per index INSTANCE, not per probe call (round-12 advice: a gate
+      // sink probes every microbatch; the store is probe-only, so the
+      // census cannot go stale within the instance's lifetime)
+      val hot = index.hotBuckets(maxPerBucket)
       if (hot > 0) System.err.println(
         s"[graft] phash probe: $hot store bucket(s) exceed maxPerBucket=" +
           s"$maxPerBucket and are capped to their lowest ids — matches " +
@@ -754,9 +952,11 @@ object Multimodal {
     }
     val store = capBuckets(index.banded, Seq("_b", "_v"), Seq("_hid"), maxPerBucket)
     val bandBits = 64 / index.nBands
-    val base = withBands(Parallelize.ensure(
-      batch.select(col(idCol).as("_nid"), dHash(col(payloadCol)).as("_nsig"))
-        .withColumnRenamed("_nsig", "_sig")), index.nBands)
+    // the batch is hashed in the store's FOUNDING signature space — a
+    // stub-space probe against a decoded-space store (or vice versa)
+    // would silently find nothing
+    val base = withBands(
+      pHashSigsOf(batch, idCol, payloadCol, index.decoder, "_nid"), index.nBands)
       .withColumnRenamed("_sig", "_nsig")
     val probed =
       if (!multiProbe) base
@@ -787,18 +987,52 @@ object Multimodal {
     * whole sampling geometry (frameBytes, stride, maxFrames) — because
     * frame indices are only comparable between clips sampled the same
     * way; a probe sampled differently would align frame 2 against a
-    * different byte range and the store cannot answer it. */
+    * different byte range and the store cannot answer it. The `decoder`
+    * (round-12 verdict #1) is the FIFTH founding constant — the
+    * signature space frames are hashed in (`stub` byte windows, `wav`
+    * PCM-sample windows, `imageio` decoded keyframes; for `imageio`
+    * the byte-window geometry does not apply — container frames carry
+    * their own boundaries — so `frameBytes`/`stride` are recorded but
+    * inert). */
   final case class FrameIndex private[ops] (banded: DataFrame, nBands: Int,
                                             frameBytes: Int, stride: Int,
-                                            maxFrames: Int)
+                                            maxFrames: Int,
+                                            decoder: String = Multimodal.StubDecoder) {
+    /** (bucket_size → n_buckets) over the (frame_idx, band, value)
+      * buckets, collected once per instance — [[PHashIndex.sizeHistogram]]'s
+      * frame twin, same probe-only staleness argument. */
+    private[ops] lazy val sizeHistogram: Map[Long, Long] =
+      banded.groupBy(col("_fi"), col("_b"), col("_v")).agg(count(lit(1)).as("_sz"))
+        .groupBy(col("_sz")).agg(count(lit(1)).as("_n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+    private[ops] def hotBuckets(threshold: Int): Long =
+      sizeHistogram.collect { case (sz, n) if sz > threshold => n }.sum
+  }
+
+  /** (as, _fi, _sig) frame signatures in the named signature space —
+    * the dispatch every [[FrameIndex]] path runs through. `stub` windows
+    * the raw payload bytes; `wav` windows the RIFF-extracted PCM
+    * samples ([[graft.functions.WavPcm]] — a non-WAV payload extracts
+    * empty and yields no frames); `imageio` splits a length-prefixed
+    * keyframe container and decodes each frame (byte-window geometry
+    * does not apply — frames carry their own boundaries). */
   private def frameSigsOf(df: DataFrame, idCol: String, payloadCol: String,
                           frameBytes: Int, stride: Int, maxFrames: Int,
-                          as: String): DataFrame =
-    df.select(col(idCol).as(as),
-        explode(sampleFrames(col(payloadCol), frameBytes, stride, maxFrames)).as("_f"))
-      .select(col(as), col("_f.frame_idx").as("_fi"),
-        dHash(col("_f.frame")).as("_sig"))
+                          as: String,
+                          decoder: String = StubDecoder): DataFrame = {
+    checkFrameDecoder(decoder)
+    decoder match {
+      case ImageioDecoder => imageFrameSigs(df, idCol, payloadCol, maxFrames, as)
+      case _ =>
+        val src = if (decoder == WavDecoder)
+          graft.functions.WavPcm.wavPcm(col(payloadCol)) else col(payloadCol)
+        df.select(col(idCol).as(as),
+            explode(sampleFrames(src, frameBytes, stride, maxFrames)).as("_f"))
+          .select(col(as), col("_f.frame_idx").as("_fi"),
+            dHash(col("_f.frame")).as("_sig"))
+    }
+  }
 
   /** Materialize a [[FrameIndex]] over the historical clip corpus: one
     * sampling+hash pass (scan stage), `maxFrames × nBands` ~32-byte
@@ -806,13 +1040,15 @@ object Multimodal {
   def buildFrameIndex(history: DataFrame, idCol: String, payloadCol: String,
                       frameBytes: Int = 128, stride: Int = 128,
                       maxFrames: Int = 8, nBands: Int = 4,
+                      decoder: String = StubDecoder,
                       scope: CacheScope = CacheScope.noop): FrameIndex = {
     checkBandParams(nBands, 0)
+    checkFrameDecoder(decoder)
     require(frameBytes > 0 && stride > 0 && maxFrames > 0, "positive frame params")
     FrameIndex(scope.track(withBands(Parallelize.ensure(
         frameSigsOf(history, idCol, payloadCol, frameBytes, stride, maxFrames,
-          "_hid")), nBands).cache()),
-      nBands, frameBytes, stride, maxFrames)
+          "_hid", decoder)), nBands).cache()),
+      nBands, frameBytes, stride, maxFrames, decoder)
   }
 
   /** Bucket-balance diagnostic over the frame store's (frame_idx, band,
@@ -825,35 +1061,43 @@ object Multimodal {
       .groupBy(col("_sz")).agg(count(lit(1)).as("n_buckets"))
       .select(col("_sz").as("bucket_size"), col("n_buckets"))
 
-  /** Persist a [[FrameIndex]] (band table + the four founding params). */
+  /** Persist a [[FrameIndex]] (band table + the five founding params). */
   def saveFrameIndex(index: FrameIndex, path: String): Unit = {
     val sess = index.banded.sparkSession
     import sess.implicits._
     index.banded.write.mode("overwrite").parquet(s"$path/fbands")
-    Seq((index.nBands, index.frameBytes, index.stride, index.maxFrames))
-      .toDF("n_bands", "frame_bytes", "stride", "max_frames")
+    Seq((index.nBands, index.frameBytes, index.stride, index.maxFrames,
+        index.decoder))
+      .toDF("n_bands", "frame_bytes", "stride", "max_frames", "decoder")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** Load a [[saveFrameIndex]]'d store; pending tombstones subtracted. */
+  /** Load a [[saveFrameIndex]]'d store; pending tombstones subtracted.
+    * A pre-round-13 store without a `decoder` column loads stub-founded. */
   def loadFrameIndex(spark: SparkSession, path: String,
                      scope: CacheScope = CacheScope.noop): FrameIndex = {
-    val p = spark.read.parquet(s"$path/params").head()
+    val pdf = spark.read.parquet(s"$path/params")
+    val p = pdf.head()
     FrameIndex(scope.track(Tombstones.applyTo(spark, path,
         spark.read.parquet(s"$path/fbands"), "_hid").cache()),
       p.getAs[Int]("n_bands"), p.getAs[Int]("frame_bytes"),
-      p.getAs[Int]("stride"), p.getAs[Int]("max_frames"))
+      p.getAs[Int]("stride"), p.getAs[Int]("max_frames"),
+      if (pdf.columns.contains("decoder")) p.getAs[String]("decoder")
+      else StubDecoder)
   }
 
-  /** APPEND a newly-ingested clip batch under the STORED geometry —
-    * history never rewritten, `mode("append")`. */
+  /** APPEND a newly-ingested clip batch under the STORED geometry and
+    * signature space — history never rewritten, `mode("append")`. */
   def appendFrameIndex(spark: SparkSession, path: String,
                        batch: DataFrame, idCol: String, payloadCol: String): Unit = {
     Tombstones.requireNotTombstoned(spark, path, batch, idCol)
-    val p = spark.read.parquet(s"$path/params").head()
+    val pdf = spark.read.parquet(s"$path/params")
+    val p = pdf.head()
+    val dec = if (pdf.columns.contains("decoder")) p.getAs[String]("decoder")
+      else StubDecoder
     withBands(Parallelize.ensure(frameSigsOf(batch, idCol, payloadCol,
         p.getAs[Int]("frame_bytes"), p.getAs[Int]("stride"),
-        p.getAs[Int]("max_frames"), "_hid")), p.getAs[Int]("n_bands"))
+        p.getAs[Int]("max_frames"), "_hid", dec)), p.getAs[Int]("n_bands"))
       .write.mode("append").parquet(s"$path/fbands")
   }
 
@@ -888,8 +1132,8 @@ object Multimodal {
     checkBandParams(index.nBands, maxDist)
     require(minMatchedFrames >= 1, "minMatchedFrames >= 1")
     if (maxPerBucket > 0) {
-      val hot = index.banded.groupBy(col("_fi"), col("_b"), col("_v"))
-        .agg(count(lit(1)).as("_sz")).filter(col("_sz") > maxPerBucket).count()
+      // memoized census — one job per index instance, not per probe
+      val hot = index.hotBuckets(maxPerBucket)
       if (hot > 0) System.err.println(
         s"[graft] frame probe: $hot store bucket(s) exceed maxPerBucket=" +
           s"$maxPerBucket and are capped to their lowest ids — matches " +
@@ -898,8 +1142,10 @@ object Multimodal {
     }
     val store = capBuckets(index.banded, Seq("_fi", "_b", "_v"), Seq("_hid"),
       maxPerBucket)
+    // sampled + hashed under the STORED founding geometry AND space
     val probe = withBands(Parallelize.ensure(frameSigsOf(batch, idCol,
-        payloadCol, index.frameBytes, index.stride, index.maxFrames, "_nid")),
+        payloadCol, index.frameBytes, index.stride, index.maxFrames, "_nid",
+        index.decoder)),
       index.nBands).withColumnRenamed("_sig", "_nsig")
     probe
       .join(store.select(col("_fi"), col("_b"), col("_v"), col("_hid"),

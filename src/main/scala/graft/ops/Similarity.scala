@@ -66,11 +66,22 @@ object Similarity {
     * measured against via [[recallAtK]]. */
   def exactTopK(df: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, qIdCol: String, qVecCol: String,
-                k: Int): DataFrame = {
+                k: Int, maxQueries: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Parallelize.ensure(
       df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
     val q = queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
+    // eval-scale bound ENFORCED (round-12 verdict #3 sweep): this is the
+    // GROUND-TRUTH rung — corpus × |Q| exact cosines. A query set the
+    // size of the corpus is the all-pairs blowup the approximate ladder
+    // exists to avoid, so it fails loudly here; raise maxQueries only to
+    // accept that bill deliberately.
+    val nq = q.count()
+    require(nq <= maxQueries,
+      s"exactTopK is the eval-scale ground truth — $nq query vectors " +
+        s"exceed maxQueries=$maxQueries (corpus × $nq exact cosines). " +
+        "Evaluate on a query sample; raise maxQueries only to accept " +
+        "the quadratic cost deliberately.")
     val w = Window.partitionBy(col("_qid")).orderBy(col("_sim").desc, col("_id"))
     e.crossJoin(broadcast(q))
       .filter(col("_id") =!= col("_qid"))

@@ -679,5 +679,16 @@ class AuditOpsSpec extends AnyFunSuite {
     val r = Similarity.recallAtK(lsh, exact, "query_id", "vec_id", 5)
       .select(col("recall")).as[Double].collect()
     assert(r.forall(x => x >= 0.0 && x <= 1.0))
+    // the eval-scale bound is ENFORCED (round-12 verdict #3 sweep): a
+    // corpus-sized query set is the all-pairs blowup the approximate
+    // ladder avoids — it must fail loudly, and the knob raises the cap
+    val eG = intercept[IllegalArgumentException] {
+      Similarity.exactTopK(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 5, maxQueries = 2)
+    }
+    assert(eG.getMessage.contains("maxQueries") &&
+      eG.getMessage.contains("ground truth"))
+    assert(Similarity.exactTopK(emb, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 5, maxQueries = 3).count() == 15)
   }
 }

@@ -1665,16 +1665,43 @@ class CurateCliSpec extends AnyFunSuite {
         "--decoder" -> "imageio", "--frame-bytes" -> "64"))
     }
     assert(eFb.getMessage.contains("--frame-bytes"))
-    val eIdx = intercept[IllegalArgumentException] {
-      CurateCli.run("phashdup", Map("--in" -> singlesIn, "--out" -> oI,
-        "--decoder" -> "imageio", "--index" -> tmp("cli-img-idx")))
-    }
-    assert(eIdx.getMessage.contains("founded on the stub"))
     val eBad = intercept[IllegalArgumentException] {
       CurateCli.run("phashdup", Map("--in" -> singlesIn, "--out" -> oI,
         "--decoder" -> "avif"))
     }
     assert(eBad.getMessage.contains("--decoder"))
+
+    // round-13: the standing store FOUNDS on a stated signature space
+    // (--decoder is a founding constant beside --bands, round-12
+    // verdict #1): a decoded-founded store hashes every probe decoded
+    val imgIdx = tmp("cli-img-idx"); val oI1 = tmp("cli-imgI1")
+    val oI2 = tmp("cli-imgI2"); rm(imgIdx, oI1, oI2)
+    CurateCli.run("phashdup", Map("--in" -> singlesIn, "--out" -> oI1,
+      "--decoder" -> "imageio", "--index" -> imgIdx))
+    assert(spark.read.parquet(oI1).count() == 0)
+    assert(graft.ops.Multimodal.loadPHashIndex(spark, imgIdx).decoder ==
+      graft.ops.Multimodal.ImageioDecoder)
+    // a JPEG re-encode of png(0) comes home to its PNG twin THROUGH the
+    // store — the exact pair ImageDecodeSpec proves the stub space misses
+    val img0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png(0)))
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img0, "jpg", jout)
+    val jpegIn = tmp("cli-img-jpeg"); rm(jpegIn)
+    Seq((10L, jout.toByteArray)).toDF("doc_id", "payload").write.parquet(jpegIn)
+    CurateCli.run("phashdup", Map("--in" -> jpegIn, "--out" -> oI2,
+      "--index" -> imgIdx, "--update-index" -> "N"))
+    val jHit = spark.read.parquet(oI2).as[(Long, Long, Int)].collect().toSeq
+    assert(jHit.size == 1 && Set(0L, 1L).contains(jHit.head._2) &&
+      jHit.head._3 <= 2, s"got $jHit")
+    // a decoder restatement disagreeing with the founding fails loudly
+    val eDec = intercept[IllegalArgumentException] {
+      CurateCli.run("phashdup", Map("--in" -> jpegIn, "--out" -> oI2,
+        "--index" -> imgIdx, "--decoder" -> "stub"))
+    }
+    assert(eDec.getMessage.contains("--decoder") &&
+      eDec.getMessage.contains("stored index"))
+    rm(imgIdx, oI1, oI2, jpegIn)
     rm(imgIn, singlesIn, oI, oF)
 
     // the skew cap threads through both rungs ≡ the library cap
@@ -1992,6 +2019,81 @@ class CurateCliSpec extends AnyFunSuite {
       .select("overlap_frac").as[Double].collect()
     assert(bad.forall(_ > 0.5))
     rm(bench, out, trainPath)
+  }
+
+  test("a missing --index with --update-index N fails loudly on every standing-store command") {
+    // round-12 advice: probing a store that doesn't exist while refusing
+    // to found one is a pure no-op — a typo'd --index path must throw,
+    // never write a silent empty verdict table
+    val out = tmp("cli-noidx-out")
+    for ((cmd, extra) <- Seq(
+        ("neardup", Map.empty[String, String]),
+        ("embeddup", Map("--in" -> "/root/testdata/sf0.01/embeddings.parquet")),
+        ("phashdup", Map("--payload-col" -> "text")),
+        ("framedup", Map("--payload-col" -> "text")))) {
+      val e = intercept[IllegalArgumentException] {
+        CurateCli.run(cmd, Map("--in" -> docsPath, "--out" -> out,
+          "--index" -> tmp(s"cli-noidx-$cmd"),
+          "--update-index" -> "N") ++ extra)
+      }
+      assert(e.getMessage.contains("--update-index N") &&
+        e.getMessage.contains("founds nothing"), s"$cmd: ${e.getMessage}")
+    }
+    rm(out)
+  }
+
+  test("framedup --decoder wav ≡ the library audio rung; wav founds a standing frame store") {
+    import graft.ops.Multimodal
+    def block(s: Int): String =
+      (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    def rec(i: Int): String =
+      (0 until 4).map(f => block(1 + (i * 7 + f * 3) % 40)).mkString
+    val rows = (0 until 8).map(i => (i.toLong, rec(i))) :+
+      (105L, rec(5).take(384) + block(50))
+    val wavIn = tmp("cli-wav-in"); rm(wavIn)
+    val wavs = Multimodal.packWavCorpus(rows.toDF("doc_id", "t"), "doc_id", "t")
+    wavs.write.parquet(wavIn)
+    // pairs mode ≡ the library call
+    val oW = tmp("cli-wavP"); rm(oW)
+    CurateCli.run("framedup", Map("--in" -> wavIn, "--out" -> oW,
+      "--decoder" -> "wav", "--min-matched" -> "3"))
+    val want = Multimodal.frameDupPairsWav(wavs, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8,
+        maxDist = 2, minMatchedFrames = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(spark.read.parquet(oW).as[(Long, Long, Long, Int)]
+      .collect().toSet == want && want.contains((5L, 105L, 3L, 0)))
+    // a wav store FOUNDS with its decoder marker; a stub restatement
+    // on the probe fails loudly; the probe dispatches into PCM space
+    val wIdx = tmp("cli-wav-idx"); val o1 = tmp("cli-wavI1")
+    val o2 = tmp("cli-wavI2"); rm(wIdx, o1, o2)
+    val histIn = tmp("cli-wav-hist"); rm(histIn)
+    Multimodal.packWavCorpus((0 until 8).map(i => (i.toLong, rec(i)))
+      .toDF("doc_id", "t"), "doc_id", "t").write.parquet(histIn)
+    CurateCli.run("framedup", Map("--in" -> histIn, "--out" -> o1,
+      "--decoder" -> "wav", "--index" -> wIdx))
+    assert(Multimodal.loadFrameIndex(spark, wIdx).decoder ==
+      Multimodal.WavDecoder)
+    val probeIn = tmp("cli-wav-probe"); rm(probeIn)
+    Multimodal.packWavCorpus(Seq((104L, rec(5).take(384) + block(50)))
+      .toDF("doc_id", "t"), "doc_id", "t").write.parquet(probeIn)
+    CurateCli.run("framedup", Map("--in" -> probeIn, "--out" -> o2,
+      "--index" -> wIdx, "--update-index" -> "N"))
+    assert(spark.read.parquet(o2).as[(Long, Long, Long, Int)]
+      .collect().toSeq == Seq((104L, 5L, 3L, 0)))
+    val eDec = intercept[IllegalArgumentException] {
+      CurateCli.run("framedup", Map("--in" -> probeIn, "--out" -> o2,
+        "--index" -> wIdx, "--decoder" -> "stub"))
+    }
+    assert(eDec.getMessage.contains("--decoder") &&
+      eDec.getMessage.contains("stored index"))
+    // wav needs real container bytes, not re-encoded strings
+    val eStr = intercept[IllegalArgumentException] {
+      CurateCli.run("framedup", Map("--in" -> docsPath, "--out" -> oW,
+        "--payload-col" -> "text", "--decoder" -> "wav"))
+    }
+    assert(eStr.getMessage.contains("BINARY"))
+    rm(wavIn, oW, wIdx, o1, o2, histIn, probeIn)
   }
 
 }

@@ -135,6 +135,13 @@ class ImageDecodeSpec extends AnyFunSuite {
     val kept = Multimodal.splitImageFrames(cut, 8)
     assert(kept.map(_._1) == Seq(0) &&
       Multimodal.splitImageFrames(whole, 8).map(_._1) == Seq(0, 1))
+    // a corrupt length prefix near 2^31 must STOP parsing, not overflow
+    // the bounds check into a copyOfRange crash (round-12 advice: the
+    // naive `off + 4 + len > length` guard wraps negative at 0x7FFFFFF0)
+    val hostile = Multimodal.packImageFrames(f.take(1)) ++
+      Array[Byte](0x7f, 0xff.toByte, 0xff.toByte, 0xf0.toByte) ++
+      Array.fill[Byte](16)(1)
+    assert(Multimodal.splitImageFrames(hostile, 8).map(_._1) == Seq(0))
   }
 
   test("extractImageFeatures: true dimensions and brightness, undecodables audited not dropped") {

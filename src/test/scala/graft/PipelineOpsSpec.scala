@@ -423,6 +423,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     val empty = Multimodal.perceptualBandingEval(far, "doc_id", "payload",
         maxDists = Seq(0)).as[(Int, Long, Long, Double)].collect()
     assert(empty.toSeq == Seq((0, 0L, 0L, 1.0)))
+    // the eval-scale bound is ENFORCED (round-12 verdict #3): the
+    // all-pairs ground truth over more rows than maxEvalRows fails
+    // loudly instead of quietly going quadratic; the knob raises it
+    val eGuard = intercept[IllegalArgumentException] {
+      Multimodal.perceptualBandingEval(packed, "doc_id", "payload",
+        maxDists = ds, maxEvalRows = 3)
+    }
+    assert(eGuard.getMessage.contains("ALL-PAIRS") &&
+      eGuard.getMessage.contains("maxEvalRows"))
+    assert(Multimodal.perceptualBandingEval(packed, "doc_id", "payload",
+      maxDists = ds, maxEvalRows = 4).count() == ds.size)
   }
 
   test("frame rungs: constant-frame flood collapses under the cap; survivors untouched") {

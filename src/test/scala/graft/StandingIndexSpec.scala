@@ -1010,4 +1010,164 @@ class StandingIndexSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  // deterministic grayscale PNG/JPEG: each 9×8-grid cell near-constant
+  // at luma ((c·37 + r·71) + shift·53) % 200 — the ImageDecodeSpec
+  // pattern, adjacent-cell margins far above JPEG noise
+  private def img(fmt: String, shift: Int): Array[Byte] = {
+    val (w, h) = (63, 48)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((((x * 9) / w) * 37 + ((y * 8) / h) * 71) + shift * 53) % 200
+      bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, fmt, out)
+    out.toByteArray
+  }
+
+  // the INVERTED pattern: every horizontal comparison flips, so its
+  // dHash sits ~64 bits from every `img` shift variant
+  private def imgInv(fmt: String): Array[Byte] = {
+    val (w, h) = (63, 48)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = 199 - ((((x * 9) / w) * 37 + ((y * 8) / h) * 71) % 200)
+      bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, fmt, out)
+    out.toByteArray
+  }
+
+  test("decoded-space phash store: founding decoder persists; PNG/JPEG twins match THROUGH the store; stub store finds nothing") {
+    import graft.ops.Multimodal
+    CacheScope.withScope { scope =>
+      val dir = java.nio.file.Files.createTempDirectory("phidx-dec").toString
+      val history = (0 until 10).map(i => (i.toLong, img("png", i)))
+        .toDF("doc_id", "payload")
+      val built = Multimodal.buildPHashIndex(history, "doc_id", "payload",
+        nBands = 4, decoder = Multimodal.ImageioDecoder, scope = scope)
+      Multimodal.savePHashIndex(built, dir)
+      val loaded = Multimodal.loadPHashIndex(spark, dir, scope)
+      assert(loaded.decoder == Multimodal.ImageioDecoder && loaded.nBands == 4)
+      def probe(idx: Multimodal.PHashIndex, b: org.apache.spark.sql.DataFrame) =
+        Multimodal.incrementalPerceptualDupsWith(b, idx, "doc_id", "payload",
+            maxDist = 4)
+          .as[(Long, Long, Int)].collect().toSeq.sorted
+      // THE round-12 verdict case: a JPEG re-encode of image 3 probes
+      // back to its PNG twin through the standing store (ImageDecodeSpec
+      // proves the twins at <= 2 bits under the real decoder)
+      val jpegTwin = Seq((103L, img("jpg", 3))).toDF("doc_id", "payload")
+      val hit = probe(loaded, jpegTwin)
+      assert(hit.size == 1 && hit.head._2 == 3L && hit.head._3 <= 2, s"got $hit")
+      assert(probe(loaded, jpegTwin) == probe(built, jpegTwin))
+      // …and the same corpus founded in the STUB space finds NOTHING on
+      // the re-encoded twin — the gap that made the decoder a founding
+      // constant in the first place
+      val stubStore = Multimodal.buildPHashIndex(history, "doc_id", "payload",
+        nBands = 4, scope = scope)
+      assert(probe(stubStore, jpegTwin).isEmpty,
+        "the stub byte-stream space must miss the PNG-vs-JPEG twins")
+      // append dispatches on the STORED space: a new PNG lands decoded,
+      // its JPEG twin then matches. The appended image INVERTS the
+      // pattern (dHash ≈ complement) so it sits ~64 bits from every
+      // shift variant — the shift family itself collides (Δshift·53
+      // mod 200 can be small), which is fine for best-match asserts
+      // but not for the emptiness assert after the tombstone
+      Multimodal.appendPHashIndex(spark, dir,
+        Seq((20L, imgInv("png"))).toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      val reloaded = Multimodal.loadPHashIndex(spark, dir, scope)
+      assert(reloaded.decoder == Multimodal.ImageioDecoder)
+      val hit20 = probe(reloaded, Seq((120L, imgInv("jpg")))
+        .toDF("doc_id", "payload"))
+      assert(hit20.size == 1 && hit20.head._2 == 20L && hit20.head._3 <= 2)
+      // tombstone + compact keep the founding marker intact
+      Multimodal.tombstonePHashIndex(spark, dir, Seq(20L).toDF("doc_id"), "doc_id")
+      assert(probe(Multimodal.loadPHashIndex(spark, dir, scope),
+        Seq((120L, imgInv("jpg"))).toDF("doc_id", "payload")).isEmpty)
+      Multimodal.compactPHashIndex(spark, dir)
+      assert(Multimodal.loadPHashIndex(spark, dir, scope).decoder ==
+        Multimodal.ImageioDecoder)
+      // a pre-round-13 store (no decoder column in params) loads as
+      // stub-founded — the only space those stores were written in
+      Seq(4).toDF("n_bands").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/params")
+      assert(Multimodal.loadPHashIndex(spark, dir, scope).decoder ==
+        Multimodal.StubDecoder)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("decoded-space frame store: keyframe containers found/probe/append in the imageio space") {
+    import graft.ops.Multimodal
+    CacheScope.withScope { scope =>
+      val dir = java.nio.file.Files.createTempDirectory("fridx-dec").toString
+      // clip i = 4 keyframes at shifts (i·7+f·3) % 40 — distinct across
+      // clips, aligned within a clip
+      def clip(fmt: String, i: Int): Array[Byte] =
+        Multimodal.packImageFrames((0 until 4).map(f => img(fmt, 1 + (i * 7 + f * 3) % 40)))
+      val history = (0 until 8).map(i => (i.toLong, clip("png", i)))
+        .toDF("doc_id", "payload")
+      Multimodal.saveFrameIndex(Multimodal.buildFrameIndex(history, "doc_id",
+        "payload", maxFrames = 4, nBands = 4,
+        decoder = Multimodal.ImageioDecoder, scope = scope), dir)
+      val loaded = Multimodal.loadFrameIndex(spark, dir, scope)
+      assert(loaded.decoder == Multimodal.ImageioDecoder)
+      // the JPEG re-encode of clip 5 — every frame re-encoded — probes
+      // back aligned, all 4 frames within 2 bits each
+      val got = Multimodal.incrementalFrameDupsWith(
+          Seq((105L, clip("jpg", 5))).toDF("doc_id", "payload"), loaded,
+          "doc_id", "payload", maxDist = 2, minMatchedFrames = 3)
+        .as[(Long, Long, Long, Int)].collect().toSeq
+      assert(got.size == 1 && got.head._1 == 105L && got.head._2 == 5L &&
+        got.head._3 == 4L, s"got $got")
+      // append dispatches decoded; the appended clip's JPEG twin hits
+      Multimodal.appendFrameIndex(spark, dir,
+        Seq((30L, clip("png", 30))).toDF("doc_id", "payload"), "doc_id", "payload")
+      val got30 = Multimodal.incrementalFrameDupsWith(
+          Seq((130L, clip("jpg", 30))).toDF("doc_id", "payload"),
+          Multimodal.loadFrameIndex(spark, dir, scope),
+          "doc_id", "payload", maxDist = 2, minMatchedFrames = 3)
+        .as[(Long, Long, Long, Int)].collect().toSeq
+      assert(got30.size == 1 && got30.head._2 == 30L && got30.head._3 == 4L)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("wav-space frame store: the audio daily loop probes PCM-sample windows after the RIFF walk") {
+    import graft.ops.Multimodal
+    CacheScope.withScope { scope =>
+      val dir = java.nio.file.Files.createTempDirectory("fridx-wav").toString
+      def block(s: Int): String =
+        (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+      def rec(i: Int): String =
+        (0 until 4).map(f => block(1 + (i * 7 + f * 3) % 40)).mkString
+      // odd ids carry a LIST chunk: the store and the probe must agree
+      // on PCM content regardless of header layout
+      def wavs(rows: Seq[(Long, String)]) = Multimodal.packWavCorpus(
+        rows.toDF("doc_id", "t"), "doc_id", "t")
+      val history = wavs((0 until 10).map(i => (i.toLong, rec(i))))
+      Multimodal.saveFrameIndex(Multimodal.buildFrameIndex(history, "doc_id",
+        "payload", frameBytes = 128, stride = 128, maxFrames = 4, nBands = 4,
+        decoder = Multimodal.WavDecoder, scope = scope), dir)
+      val loaded = Multimodal.loadFrameIndex(spark, dir, scope)
+      assert(loaded.decoder == Multimodal.WavDecoder)
+      // recording 5 with its last 128 samples re-taken: 3 aligned
+      // matches at distance 0 — and the probe id (104, bare 44-byte
+      // header) differs in PARITY from recording 5 (odd id, LIST
+      // chunk): identical PCM must hash identically whatever the
+      // header layout, which is exactly what the RIFF walk buys
+      val edited = wavs(Seq((104L, rec(5).take(384) + block(50)),
+        (206L, rec(30))))
+      val got = Multimodal.incrementalFrameDupsWith(edited, loaded,
+          "doc_id", "payload", maxDist = 2, minMatchedFrames = 3)
+        .as[(Long, Long, Long, Int)].collect().toSeq
+      assert(got == Seq((104L, 5L, 3L, 0)), s"got $got")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
 }

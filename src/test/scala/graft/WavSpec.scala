@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.WavPcm
+import graft.ops.Multimodal
+
+/** The AUDIO rung (round-13): RIFF-aware PCM extraction as a native
+  * scan-stage expression, then the shared frame-perceptual machinery
+  * over fixed-duration sample windows. Unlike the image side the signal
+  * is REAL — PCM samples are in the byte stream, no codec library
+  * needed — so the whole rung is exact and (for the gate corpus, where
+  * pcm == document bytes) DuckDB-oracle-able (q201). Reference:
+  * carrot-transform has no media surface; the RIFF walk is the public
+  * WAVE container spec. */
+class WavSpec extends AnyFunSuite {
+  private lazy val spark = Golden.spark
+  import spark.implicits._
+
+  private def pcm(n: Int, seed: Int = 1): Array[Byte] =
+    Array.tabulate(n)(j => ((seed * 31 + j * 17 + seed * j) % 251).toByte)
+
+  test("WavPcm.extract: canonical header, LIST chunk, odd-size padding, truncation clamp, hostile sizes") {
+    val p = pcm(300)
+    // canonical 44-byte header round-trips
+    assert(WavPcm.extract(Multimodal.packWav(p)).toSeq == p.toSeq)
+    // a LIST metadata chunk before fmt/data is walked over, not assumed away
+    assert(WavPcm.extract(Multimodal.packWav(p, withListChunk = true)).toSeq == p.toSeq)
+    // word alignment: an ODD-sized chunk carries a pad byte the walk
+    // must skip (hand-built: RIFF/WAVE + junk chunk of size 3 + data)
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(t: String) = t.foreach(c => out.write(c.toInt))
+    def le32(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    tag("RIFF"); le32(4 + 8 + 3 + 1 + 8 + 5); tag("WAVE")
+    tag("junk"); le32(3); out.write(9); out.write(9); out.write(9); out.write(0) // pad
+    tag("data"); le32(5); out.write(Array[Byte](10, 20, 30, 40, 50))
+    assert(WavPcm.extract(out.toByteArray).toSeq == Seq[Byte](10, 20, 30, 40, 50))
+    // truncated transfer: a data size larger than the bytes present
+    // clamps to what's there (the shorter-recording behavior)
+    val whole = Multimodal.packWav(p)
+    val cut = java.util.Arrays.copyOfRange(whole, 0, whole.length - 100)
+    assert(WavPcm.extract(cut).toSeq == p.take(200).toSeq)
+    // hostile chunk size 0xFFFFFFFF before data: read unsigned, the
+    // cursor jumps past the end and extraction is empty — never a wrap
+    val h = new java.io.ByteArrayOutputStream()
+    def tg(t: String) = t.foreach(c => h.write(c.toInt))
+    tg("RIFF"); h.write(Array[Byte](8, 0, 0, 0)); tg("WAVE")
+    tg("junk"); h.write(Array.fill[Byte](4)(0xff.toByte))
+    tg("data"); h.write(Array[Byte](2, 0, 0, 0)); h.write(7); h.write(7)
+    assert(WavPcm.extract(h.toByteArray).isEmpty)
+    // not-a-WAV shapes extract EMPTY (zero frames downstream), loudly
+    // distinct from null-payload semantics
+    assert(WavPcm.extract(null).isEmpty)
+    assert(WavPcm.extract(Array.emptyByteArray).isEmpty)
+    assert(WavPcm.extract("RIFFxxxxNOPE and then some".getBytes).isEmpty)
+    assert(WavPcm.extract(pcm(64)).isEmpty)
+    // headers-only (no data chunk) extracts empty
+    val noData = Multimodal.packWav(Array.emptyByteArray)
+    assert(WavPcm.extract(java.util.Arrays.copyOfRange(noData, 0, 36)).isEmpty)
+  }
+
+  test("wavPcm column expression equals the static walk under codegen, inside one scan stage") {
+    val rows = Seq(
+      (0L, Multimodal.packWav(pcm(300, 1))),
+      (1L, Multimodal.packWav(pcm(300, 2), withListChunk = true)),
+      (2L, pcm(64, 3)),          // not a WAV
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val got = rows.select(col("id"), Multimodal.wavPcm(col("payload")).as("p"))
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(got(0L).toSeq == pcm(300, 1).toSeq)
+    assert(got(1L).toSeq == pcm(300, 2).toSeq)
+    assert(got(2L).isEmpty)
+    assert(got(3L) == null) // null payload stays null (UnaryExpression)
+  }
+
+  test("frameDupPairsWav: header-layout-independent pairing; trimmed recordings need the shifted rung") {
+    // the StandingIndexSpec frame-block recipe (pairwise dHash >= 7)
+    def block(s: Int): Array[Byte] =
+      Array.tabulate(128)(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toByte)
+    def rec(blocks: Int*) = blocks.flatMap(b => block(b).toSeq).toArray
+    val rows = Seq(
+      // 0 and 1: same first 3 blocks, different header layouts
+      (0L, Multimodal.packWav(rec(1, 2, 3, 4))),
+      (1L, Multimodal.packWav(rec(1, 2, 3, 9), withListChunk = true)),
+      // 2: recording 0 trimmed by one block — aligned rung misses it
+      (2L, Multimodal.packWav(rec(2, 3, 4))),
+      // 3: unrelated
+      (3L, Multimodal.packWav(rec(30, 31))))
+      .toDF("doc_id", "payload")
+    val aligned = Multimodal.frameDupPairsWav(rows, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8,
+        maxDist = 2, minMatchedFrames = 3)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(aligned.keySet == Set(0L -> 1L), s"got $aligned")
+    assert(aligned(0L -> 1L) == ((3L, 0)))
+    val shifted = Multimodal.frameDupPairsShiftedWav(rows, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8,
+        maxDist = 2, minMatchedFrames = 3)
+      .as[(Long, Long, Int, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // the trimmed recording assembles at offset +1 with 3 votes
+    assert(shifted(0L -> 2L) == ((1, 3L)), s"got $shifted")
+    assert(!shifted.contains(0L -> 3L))
+  }
+
+  test("packWavCorpus: deterministic construction, parity-keyed LIST chunks, pcm == text bytes") {
+    val d = Seq((0L, "even header text content here"),
+      (1L, "odd header text content here!")).toDF("doc_id", "text")
+    val wavs = Multimodal.packWavCorpus(d, "doc_id", "text")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(WavPcm.extract(wavs(0L)).toSeq ==
+      "even header text content here".getBytes("UTF-8").toSeq)
+    assert(WavPcm.extract(wavs(1L)).toSeq ==
+      "odd header text content here!".getBytes("UTF-8").toSeq)
+    // the odd id's container is the LIST-bearing (longer) header shape
+    assert(wavs(1L).length == wavs(0L).length + 20,
+      "odd ids carry the 20-byte LIST chunk")
+    // determinism: rebuilding yields byte-identical payloads
+    val again = Multimodal.packWavCorpus(d, "doc_id", "text")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(again(0L).toSeq == wavs(0L).toSeq && again(1L).toSeq == wavs(1L).toSeq)
+  }
+}
