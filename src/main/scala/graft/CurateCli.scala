@@ -1466,15 +1466,19 @@ object CurateCli {
           val pin = in.select(col(idCol), payload.as("_payload"))
           val maxDist = argv.getOrElse("--max-dist", "6").toInt
           val decoder = argv.getOrElse("--decoder", "stub") match {
-            case d @ ("stub" | "imageio") => d
+            case d @ ("stub" | "imageio" | "wav") => d
             case other => throw new IllegalArgumentException(
-              s"--decoder must be stub or imageio, got '$other'")
+              s"--decoder must be stub, imageio or wav, got '$other'")
           }
           if (decoder == "imageio")
             require(in.schema(pc).dataType ==
               org.apache.spark.sql.types.BinaryType,
               "--decoder imageio needs a BINARY payload column " +
                 "(encoded image bytes)")
+          if (decoder == "wav")
+            require(in.schema(pc).dataType ==
+              org.apache.spark.sql.types.BinaryType,
+              "--decoder wav needs a BINARY payload column (RIFF/WAVE bytes)")
           argv.get("--index") match {
             case None if argv.contains("--thresholds") =>
               // the q197 dedup-rate curve: one pairing pass at the
@@ -1496,16 +1500,22 @@ object CurateCli {
               for (o <- Seq("--update-index", "--multiprobe"); _ <- argv.get(o))
                 throw new IllegalArgumentException(
                   s"$o only applies with --index (the standing-store loop)")
-              write(
-                if (decoder == "imageio")
+              write(decoder match {
+                case "imageio" =>
                   Multimodal.perceptualDupPairsDecoded(pin, idCol, "_payload",
                     maxDist = maxDist,
                     nBands = argv.getOrElse("--bands", "4").toInt,
                     maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt)
-                else Multimodal.perceptualDupPairs(pin, idCol, "_payload",
+                case "wav" =>
+                  Multimodal.perceptualDupPairsWav(pin, idCol, "_payload",
+                    maxDist = maxDist,
+                    nBands = argv.getOrElse("--bands", "4").toInt,
+                    maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt)
+                case _ => Multimodal.perceptualDupPairs(pin, idCol, "_payload",
                   maxDist = maxDist,
                   nBands = argv.getOrElse("--bands", "4").toInt,
-                  maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt), out)
+                  maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt)
+              }, out)
             case Some(idxDir) =>
               for (_ <- argv.get("--thresholds"))
                 throw new IllegalArgumentException(

@@ -137,10 +137,20 @@ object PgCopy {
     * is deliberate for this bridge's single-box shape (psql dumps to
     * a driver-local file anyway, so the read is driver-bound long
     * before the block manager is); a multi-executor deployment should
-    * ship the JDBC driver jar and take the `Jdbc.readTable` path,
-    * or dump to a durable FS and keep the file past the read. */
-  def readTable(spark: SparkSession, u: PgUrl, table: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("pgcopy_in")
+    * ship the JDBC driver jar and take the `Jdbc.readTable` path —
+    * or pass `dumpDir` (round-12 verdict #6): the dump then lands in
+    * the CALLER'S directory, survives this call, and the returned
+    * frame is a plain lazy CSV scan over it — re-readable after any
+    * block or executor loss, at the cost of the caller owning the
+    * file's lifecycle (point it at shared storage on a cluster). */
+  def readTable(spark: SparkSession, u: PgUrl, table: String,
+                dumpDir: Option[String] = None): DataFrame = {
+    val dir = dumpDir match {
+      case Some(d) =>
+        val p = java.nio.file.Paths.get(d)
+        java.nio.file.Files.createDirectories(p); p
+      case None => java.nio.file.Files.createTempDirectory("pgcopy_in")
+    }
     try {
       val file = dir.resolve(s"${table.toLowerCase}.csv")
       psql(u, s"\\copy (SELECT * FROM ${qident(table)}) TO '$file' " +
@@ -150,9 +160,12 @@ object PgCopy {
         .option("multiLine", "true").option("escape", "\"")
         .option("mode", "PERMISSIVE")
         .csv(s"file://$file")
-      CsvSource.withRowIdx(CsvSource.allString(raw).na.fill(""))
-        .localCheckpoint(true)
-    } finally deleteRecursively(dir)
+      val frame = CsvSource.withRowIdx(CsvSource.allString(raw).na.fill(""))
+      // durable flavor: NO checkpoint — the lineage stays rooted at the
+      // surviving CSV, so the frame recomputes from disk instead of
+      // dying with lost blocks
+      if (dumpDir.isDefined) frame else frame.localCheckpoint(true)
+    } finally if (dumpDir.isEmpty) deleteRecursively(dir)
   }
 
   /** All-Text write (K2): CREATE TABLE with every column `text`, then one

@@ -36,8 +36,10 @@ object Multimodal {
   val WavDecoder = "wav"
 
   private[ops] def checkPHashDecoder(decoder: String): Unit =
-    require(decoder == StubDecoder || decoder == ImageioDecoder,
-      s"phash decoder must be $StubDecoder or $ImageioDecoder, got '$decoder'")
+    require(decoder == StubDecoder || decoder == ImageioDecoder ||
+        decoder == WavDecoder,
+      s"phash decoder must be $StubDecoder, $ImageioDecoder or $WavDecoder, " +
+        s"got '$decoder'")
 
   private[ops] def checkFrameDecoder(decoder: String): Unit =
     require(decoder == StubDecoder || decoder == ImageioDecoder ||
@@ -440,6 +442,17 @@ object Multimodal {
     decoder match {
       case StubDecoder =>
         fanned.select(col(idCol).as(as), dHash(col(payloadCol)).as("_sig"))
+      case WavDecoder =>
+        // whole-recording signature over the RIFF-extracted PCM: two
+        // byte-identical recordings saved with different header
+        // layouts (LIST chunks, fmt variants) hash identically.
+        // Un-extractable payloads DROP (the imageio discipline) —
+        // otherwise every non-WAV would collide at the empty-PCM
+        // signature and pair with every other
+        fanned.select(col(idCol).as(as),
+            graft.functions.WavPcm.wavPcm(col(payloadCol)).as("_pcm"))
+          .filter(octet_length(col("_pcm")) > 0)
+          .select(col(as), dHash(col("_pcm")).as("_sig"))
       case ImageioDecoder => imageSigs(fanned, idCol, payloadCol, as)
     }
   }
@@ -453,6 +466,23 @@ object Multimodal {
                                 maxPerBucket: Int = 0): DataFrame = {
     checkBandParams(nBands, maxDist)
     sigDupPairsCore(imageSigs(df, idCol, payloadCol), maxDist, nBands, maxPerBucket)
+  }
+
+  /** [[perceptualDupPairs]] for AUDIO: whole-recording signatures over
+    * the RIFF-extracted PCM ([[wavPcm]] — scan-stage expression, real
+    * samples), then the same banded Hamming pipeline. Header layout is
+    * invisible: identical PCM in different containers pairs at 0.
+    * Un-extractable payloads drop (the imageio discipline) — run
+    * [[payloadIntegrity]] first to find them. */
+  def perceptualDupPairsWav(df: DataFrame, idCol: String, payloadCol: String,
+                            maxDist: Int = 6, nBands: Int = 4,
+                            maxPerBucket: Int = 0): DataFrame = {
+    checkBandParams(nBands, maxDist)
+    sigDupPairsCore(df.select(col(idCol).as("_id"),
+        graft.functions.WavPcm.wavPcm(col(payloadCol)).as("_pcm"))
+      .filter(octet_length(col("_pcm")) > 0)
+      .select(col("_id"), dHash(col("_pcm")).as("_sig")),
+      maxDist, nBands, maxPerBucket)
   }
 
   /** Perceptual dedup census — [[graft.ops.Dedup.dupRateCurve]] /

@@ -107,6 +107,50 @@ class WavSpec extends AnyFunSuite {
     assert(!shifted.contains(0L -> 3L))
   }
 
+  test("perceptualDupPairsWav: identical PCM pairs across header layouts; non-WAVs drop, never collide") {
+    def block(s: Int): Array[Byte] =
+      Array.tabulate(256)(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toByte)
+    val rows = Seq(
+      (0L, Multimodal.packWav(block(1))),
+      // the SAME samples in the LIST-bearing container: dist 0
+      (1L, Multimodal.packWav(block(1), withListChunk = true)),
+      (2L, Multimodal.packWav(block(9))),
+      // two IDENTICAL non-WAV payloads: both extract empty and DROP —
+      // without the drop they'd collide at the empty-PCM signature
+      (3L, block(3)), (4L, block(3)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.perceptualDupPairsWav(rows, "doc_id", "payload",
+        maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((0L, 1L, 0)), s"got $got")
+    assert(!got.exists(p => p._1 >= 3L || p._2 >= 3L),
+      s"non-WAV payloads must drop, not pair: $got")
+  }
+
+  test("wav-founded PHashIndex: whole-recording store probes in PCM space") {
+    import graft.ops.CacheScope
+    CacheScope.withScope { scope =>
+      def block(s: Int): Array[Byte] =
+        Array.tabulate(256)(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toByte)
+      val dir = java.nio.file.Files.createTempDirectory("phidx-wav").toString
+      val hist = (0 until 8).map(i => (i.toLong, Multimodal.packWav(block(i))))
+        .toDF("doc_id", "payload")
+      Multimodal.savePHashIndex(Multimodal.buildPHashIndex(hist, "doc_id",
+        "payload", nBands = 4, decoder = Multimodal.WavDecoder,
+        scope = scope), dir)
+      val loaded = Multimodal.loadPHashIndex(spark, dir, scope)
+      assert(loaded.decoder == Multimodal.WavDecoder)
+      // recording 5's samples in the OTHER header layout probe home at 0
+      val probe = Multimodal.incrementalPerceptualDupsWith(
+          Seq((105L, Multimodal.packWav(block(5), withListChunk = true)))
+            .toDF("doc_id", "payload"),
+          loaded, "doc_id", "payload", maxDist = 2)
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(probe == Seq((105L, 5L, 0)), s"got $probe")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("packWavCorpus: deterministic construction, parity-keyed LIST chunks, pcm == text bytes") {
     val d = Seq((0L, "even header text content here"),
       (1L, "odd header text content here!")).toDF("doc_id", "text")
