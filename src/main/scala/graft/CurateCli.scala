@@ -329,7 +329,8 @@ object CurateCli {
     "framedup" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--frame-bytes", "--stride", "--max-frames",
         "--max-dist", "--bands", "--min-matched", "--shifted",
-        "--max-per-bucket", "--decoder", "--index", "--update-index")),
+        "--max-per-bucket", "--decoder", "--index", "--update-index",
+        "--multiprobe")),
     "integrity" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--bad-only")),
     "features" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
@@ -1306,8 +1307,15 @@ object CurateCli {
                 "--decoder imageio needs a BINARY payload column " +
                   "(encoded image bytes)")
               Multimodal.extractImageFeatures(min, idCol)
+            case "wav" =>
+              // AUDIO features (q202): fmt facts + samples + duration +
+              // mean amplitude; malformed containers audit valid=false
+              require(in.schema(mpc).dataType ==
+                org.apache.spark.sql.types.BinaryType,
+                "--decoder wav needs a BINARY payload column (RIFF/WAVE bytes)")
+              Multimodal.extractWavFeatures(min, idCol)
             case other => throw new IllegalArgumentException(
-              s"--decoder must be stub or imageio, got '$other'")
+              s"--decoder must be stub, imageio or wav, got '$other'")
           }, out)
 
         case "framedup" =>
@@ -1379,12 +1387,17 @@ object CurateCli {
               throw new IllegalArgumentException(
                 "--shifted does not apply with --index (the standing " +
                   "loop is aligned)")
-            val update = argv.getOrElse("--update-index", "Y") match {
+            def fyn(flag: String, dflt: String) = argv.getOrElse(flag, dflt) match {
               case "Y" => true
               case "N" => false
               case other => throw new IllegalArgumentException(
-                s"--update-index must be Y or N, got '$other'")
+                s"$flag must be Y or N, got '$other'")
             }
+            val update = fyn("--update-index", "Y")
+            // q174's recall knob: widen each frame's band keys to their
+            // Hamming-1 neighbors, batch-side only — a per-probe choice,
+            // deliberately NOT a founding constant
+            val fMulti = fyn("--multiprobe", "N")
             val fs = new org.apache.hadoop.fs.Path(idxDir)
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
             if (fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/params"))) {
@@ -1404,7 +1417,7 @@ object CurateCli {
                   s"$flag $s disagrees with the stored index ($stored) — " +
                     "the sampling geometry is fixed at build time")
               write(Multimodal.incrementalFrameDupsWith(fin, idx, idCol,
-                "_payload", fMaxDist, mm, fCap), out)
+                "_payload", fMaxDist, mm, fCap, fMulti), out)
               if (update)
                 Multimodal.appendFrameIndex(spark, idxDir, fin, idCol, "_payload")
             } else {
@@ -1423,6 +1436,9 @@ object CurateCli {
                 idxDir)
             }
           case None =>
+          for (o <- Seq("--update-index", "--multiprobe"); _ <- argv.get(o))
+            throw new IllegalArgumentException(
+              s"$o only applies with --index (the standing-store loop)")
           write(fDecoder match {
             case "stub" =>
               if (shifted) Multimodal.frameDupPairsShifted(fin, idCol, "_payload",

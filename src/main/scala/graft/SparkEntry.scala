@@ -2569,6 +2569,23 @@ object SparkEntry {
       Multimodal.frameDupPairsWav(wav, "doc_id", "payload",
         frameBytes = 96, stride = 96, maxFrames = 5,
         maxDist = 2, minMatchedFrames = 2, maxPerBucket = 1000000)
+    }),
+
+    // ---- AUDIO feature extraction (round-13): the fmt-chunk facts +
+    //      sample count + duration + mean amplitude per recording —
+    //      q68's partition-batched contract with the decode step REAL
+    //      (the fmt walk and PCM mean are exact over the generated
+    //      corpus: 8 kHz, mono, 8-bit, pcm == text bytes, so DuckDB
+    //      replays every value from hex byte sums) ----
+    "q202_wav_features" -> ((s, dir) => {
+      val wav = Multimodal.packWavCorpus(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      Multimodal.extractWavFeatures(wav, "doc_id")
+        .select(col("id"), col("valid"), col("sample_rate"), col("channels"),
+          col("bits_per_sample"), col("n_samples"),
+          round(col("duration_sec"), 6).as("duration_sec"),
+          round(col("mean_amp"), 6).as("mean_amp"))
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -6156,6 +6173,24 @@ object SparkEntry {
 
     // q201: the audio rung — WAV-wrapped text, RIFF-walked PCM frames
     "q201_wav_neardup" -> wavFrameOracle,
+
+    // q202: audio features — the fmt facts are construction constants
+    // (8 kHz mono 8-bit), sample count and mean amplitude replayed from
+    // hex byte sums (pcm == text bytes); a mis-parsed fmt chunk or a
+    // wrong data offset on the engine side diverges every row
+    "q202_wav_features" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS len,
+        |    hex(encode(text)) AS hx FROM documents),
+        |by AS (SELECT m.doc_id, m.len,
+        |  (strpos('0123456789ABCDEF', substr(m.hx, 2*u.j + 1, 1)) - 1) * 16 +
+        |  (strpos('0123456789ABCDEF', substr(m.hx, 2*u.j + 2, 1)) - 1) AS v
+        |  FROM m, unnest(range(0, m.len)) u(j))
+        |SELECT doc_id AS id, TRUE AS valid, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(8 AS INT) AS bits_per_sample,
+        |  CAST(len AS BIGINT) AS n_samples,
+        |  round(len / 8000.0, 6) AS duration_sec,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*) / 255.0, 6) AS mean_amp
+        |FROM by GROUP BY doc_id, len""".stripMargin,
 
     // q192: the shift-tolerant rung — offset voting replayed end to end
     "q192_frame_shifted" -> frameShiftedOracle,

@@ -50,6 +50,38 @@ object WavPcm {
 
   private val Empty = new Array[Byte](0)
 
+  /** The fmt-chunk facts + clamped data length — what
+    * [[graft.ops.Multimodal.extractWavFeatures]] audits. */
+  final case class WavInfo(sampleRate: Int, channels: Int,
+                           bitsPerSample: Int, dataLen: Int)
+
+  /** Parse the fmt and data chunks (same walk as [[extract]]); None when
+    * the payload is not a well-formed RIFF/WAVE prefix or has no fmt
+    * chunk before data. The data length clamps to the bytes present —
+    * a truncated transfer audits as a shorter recording. */
+  def info(b: Array[Byte]): Option[WavInfo] = {
+    if (b == null || b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
+      return None
+    var off = 12L
+    var fmt: Option[(Int, Int, Int)] = None
+    while (off + 8 <= b.length) {
+      val o = off.toInt
+      val size = le32(b, o + 4)
+      if (tag(b, o, "fmt ") && size >= 16 && off + 8 + 16 <= b.length) {
+        val channels = ((b(o + 10) & 0xff)) | ((b(o + 11) & 0xff) << 8)
+        val rate = le32(b, o + 12).toInt
+        val bits = ((b(o + 22) & 0xff)) | ((b(o + 23) & 0xff) << 8)
+        fmt = Some((rate, channels, bits))
+      } else if (tag(b, o, "data")) {
+        val start = off + 8
+        val take = math.min(size, b.length - start).toInt
+        return fmt.map { case (r, c, bits) => WavInfo(r, c, bits, take) }
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
   private def tag(b: Array[Byte], off: Int, t: String): Boolean =
     (b(off) & 0xff) == t.charAt(0) && (b(off + 1) & 0xff) == t.charAt(1) &&
       (b(off + 2) & 0xff) == t.charAt(2) && (b(off + 3) & 0xff) == t.charAt(3)

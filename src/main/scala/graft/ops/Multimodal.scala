@@ -1153,12 +1153,16 @@ object Multimodal {
     * frames, ties to closest then lowest id). Clean clips produce no
     * row. `maxPerBucket` is the probe-time hot-bucket cap
     * ([[incrementalPerceptualDupsWith]]'s discipline — binding is
-    * loud, an explicit recall trade). Returns (idCol, hist_id,
-    * n_matched, min_dist). */
+    * loud, an explicit recall trade). `multiProbe` widens each frame's
+    * band keys to their Hamming-1 neighbors (64/nBands extra keys per
+    * band, batch-side explode only — the store never re-buckets): the
+    * q174 recall knob for clips whose every band carries a differing
+    * bit. Returns (idCol, hist_id, n_matched, min_dist). */
   def incrementalFrameDupsWith(batch: DataFrame, index: FrameIndex,
                                idCol: String, payloadCol: String,
                                maxDist: Int = 2, minMatchedFrames: Int = 3,
-                               maxPerBucket: Int = 0): DataFrame = {
+                               maxPerBucket: Int = 0,
+                               multiProbe: Boolean = false): DataFrame = {
     checkBandParams(index.nBands, maxDist)
     require(minMatchedFrames >= 1, "minMatchedFrames >= 1")
     if (maxPerBucket > 0) {
@@ -1177,7 +1181,17 @@ object Multimodal {
         payloadCol, index.frameBytes, index.stride, index.maxFrames, "_nid",
         index.decoder)),
       index.nBands).withColumnRenamed("_sig", "_nsig")
-    probe
+    val probed =
+      if (!multiProbe) probe
+      else {
+        val bandBits = 64 / index.nBands
+        val probes = (lit(0L) +: (0 until bandBits).map(k => lit(1L << k)))
+          .map(m => col("_v").bitwiseXOR(m))
+        probe.select(col("_nid"), col("_fi"), col("_nsig"), col("_b"),
+          explode(array(probes: _*)).as("_pv"))
+          .withColumnRenamed("_pv", "_v")
+      }
+    probed
       .join(store.select(col("_fi"), col("_b"), col("_v"), col("_hid"),
         col("_sig").as("_hsig")), Seq("_fi", "_b", "_v"))
       .select(col("_nid"), col("_hid"), col("_fi"),
@@ -1220,6 +1234,47 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition setup would initialize the real codec here
         it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+      .toDF()
+  }
+
+  final case class WavFeature(id: Long, valid: Boolean, sample_rate: Int,
+                              channels: Int, bits_per_sample: Int,
+                              n_samples: Long, duration_sec: Double,
+                              mean_amp: Double)
+
+  /** [[extractFeatures]] for AUDIO — the third modality's feature rung:
+    * fmt-chunk facts (sample rate, channels, bit depth), the sample
+    * count (data length / frame size, truncation-clamped), the duration
+    * they imply, and the mean amplitude (mean PCM byte / 255 — EXACT
+    * for the 8-bit-mono corpus shape, a byte-level envelope proxy for
+    * wider samples). Payloads that aren't well-formed WAVE keep their
+    * row with `valid = false` (the audit shape, `extractImageFeatures`'s
+    * discipline). Same contract: row-local work beside the scan, only
+    * ~50-byte feature rows leave. */
+  def extractWavFeatures(packed: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          graft.functions.WavPcm.info(bytes) match {
+            case Some(i) =>
+              val frameBytes = math.max(1, i.channels * (i.bitsPerSample / 8))
+              val n = i.dataLen / frameBytes
+              val pcm = graft.functions.WavPcm.extract(bytes)
+              val mean =
+                if (pcm.isEmpty) 0.0
+                else pcm.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble /
+                  pcm.length / 255.0
+              WavFeature(id, valid = true, i.sampleRate, i.channels,
+                i.bitsPerSample, n,
+                if (i.sampleRate > 0) n.toDouble / i.sampleRate else 0.0, mean)
+            case None =>
+              WavFeature(id, valid = false, 0, 0, 0, 0L, 0.0, -1.0)
+          }
+        }
       }
       .toDF()
   }

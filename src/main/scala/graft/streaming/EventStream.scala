@@ -575,6 +575,7 @@ object EventStream {
                     indexDir: String, verdictsDir: String, checkpoint: String,
                     maxDist: Int = 2, minMatchedFrames: Int = 3,
                     maxPerBucket: Int = 0,
+                    multiProbe: Boolean = false,
                     scope: graft.ops.CacheScope = graft.ops.CacheScope.noop)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val idx = graft.ops.Multimodal.loadFrameIndex(stream.sparkSession, indexDir, scope)
@@ -582,7 +583,8 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.Multimodal.incrementalFrameDupsWith(batch.toDF(), idx,
-            idCol, payloadCol, maxDist, minMatchedFrames, maxPerBucket)
+            idCol, payloadCol, maxDist, minMatchedFrames, maxPerBucket,
+            multiProbe)
           .write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
         ()
       }

@@ -2087,13 +2087,41 @@ class CurateCliSpec extends AnyFunSuite {
     }
     assert(eDec.getMessage.contains("--decoder") &&
       eDec.getMessage.contains("stored index"))
+    // --multiprobe: the per-probe recall knob ≡ the library widened
+    // probe; only meaningful against a standing store
+    val o3 = tmp("cli-wavI3"); rm(o3)
+    CurateCli.run("framedup", Map("--in" -> probeIn, "--out" -> o3,
+      "--index" -> wIdx, "--update-index" -> "N", "--multiprobe" -> "Y"))
+    val wantMp = Multimodal.incrementalFrameDupsWith(
+        spark.read.parquet(probeIn),
+        Multimodal.loadFrameIndex(spark, wIdx),
+        "doc_id", "payload", maxDist = 2, minMatchedFrames = 3,
+        multiProbe = true)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(spark.read.parquet(o3).as[(Long, Long, Long, Int)]
+      .collect().toSet == wantMp && wantMp.nonEmpty)
+    val eMp = intercept[IllegalArgumentException] {
+      CurateCli.run("framedup", Map("--in" -> wavIn, "--out" -> o3,
+        "--decoder" -> "wav", "--multiprobe" -> "Y"))
+    }
+    assert(eMp.getMessage.contains("--multiprobe"))
     // wav needs real container bytes, not re-encoded strings
     val eStr = intercept[IllegalArgumentException] {
       CurateCli.run("framedup", Map("--in" -> docsPath, "--out" -> oW,
         "--payload-col" -> "text", "--decoder" -> "wav"))
     }
     assert(eStr.getMessage.contains("BINARY"))
-    rm(wavIn, oW, wIdx, o1, o2, histIn, probeIn)
+    // features --decoder wav ≡ the library audio feature rung
+    val oFw = tmp("cli-feat-wav"); rm(oFw)
+    CurateCli.run("features", Map("--in" -> wavIn, "--out" -> oFw,
+      "--decoder" -> "wav"))
+    val wantFw = Multimodal.extractWavFeatures(wavs, "doc_id")
+      .as[(Long, Boolean, Int, Int, Int, Long, Double, Double)]
+      .collect().toSet
+    assert(spark.read.parquet(oFw)
+      .as[(Long, Boolean, Int, Int, Int, Long, Double, Double)]
+      .collect().toSet == wantFw && wantFw.nonEmpty && wantFw.forall(_._2))
+    rm(wavIn, oW, wIdx, o1, o2, o3, oFw, histIn, probeIn)
   }
 
 }

@@ -1137,6 +1137,36 @@ class StandingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("frame-store multiprobe widens candidates monotonically, store untouched") {
+    import graft.ops.Multimodal
+    CacheScope.withScope { scope =>
+      def block(s: Int): String =
+        (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+      def clip(i: Int): String =
+        (0 until 4).map(f => block(1 + (i * 7 + f * 3) % 40)).mkString
+      def payloads(rows: Seq[(Long, String)]) = Multimodal.packBinary(
+        rows.toDF("doc_id", "t"), "doc_id", "t")
+      val idx = Multimodal.buildFrameIndex(
+        payloads((0 until 12).map(i => (i.toLong, clip(i)))),
+        "doc_id", "payload", frameBytes = 128, stride = 128,
+        maxFrames = 4, nBands = 4, scope = scope)
+      val storeRows = idx.banded.count()
+      val batch = payloads(Seq((105L, clip(5).take(384) + block(50)),
+        (206L, clip(30))))
+      def probe(multi: Boolean) = Multimodal.incrementalFrameDupsWith(
+          batch, idx, "doc_id", "payload", maxDist = 2,
+          minMatchedFrames = 3, maxPerBucket = 0, multiProbe = multi)
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val plain = probe(multi = false)
+      val widened = probe(multi = true)
+      // the widened probe is a candidate superset: the plain hit never
+      // drops, and here (all matches at distance 0, every band exact)
+      // the two are identical; the store itself is never re-bucketed
+      assert(plain == Set((105L, 5L, 3L, 0)) && widened == plain)
+      assert(idx.banded.count() == storeRows)
+    }
+  }
+
   test("wav-space frame store: the audio daily loop probes PCM-sample windows after the RIFF walk") {
     import graft.ops.Multimodal
     CacheScope.withScope { scope =>

@@ -151,6 +151,33 @@ class WavSpec extends AnyFunSuite {
     }
   }
 
+  test("extractWavFeatures: fmt facts, sample count, duration, mean amplitude; malformed audits valid=false") {
+    val p = pcm(400, 2)
+    val whole = Multimodal.packWav(p, sampleRate = 8000)
+    val rows = Seq(
+      (0L, whole),
+      (1L, Multimodal.packWav(p, sampleRate = 16000, withListChunk = true)),
+      // truncated transfer: 100 data bytes missing → shorter recording
+      (2L, java.util.Arrays.copyOfRange(whole, 0, whole.length - 100)),
+      (3L, pcm(64, 9)))                        // not a WAV
+      .toDF("doc_id", "payload")
+    val got = Multimodal.extractWavFeatures(rows, "doc_id")
+      .as[(Long, Boolean, Int, Int, Int, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val mean = p.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / p.length / 255.0
+    assert(got(0L) == ((0L, true, 8000, 1, 8, 400L, 400.0 / 8000, mean)))
+    // the LIST header is walked over; the doubled rate halves duration
+    assert(got(1L) == ((1L, true, 16000, 1, 8, 400L, 400.0 / 16000, mean)))
+    // truncation clamps: 300 samples audited, mean over what's present
+    assert(got(2L)._6 == 300L && got(2L)._2 &&
+      got(2L)._7 == 300.0 / 8000)
+    assert(got(3L) == ((3L, false, 0, 0, 0, 0L, 0.0, -1.0)))
+    // WavPcm.info alone: fmt must precede data (the canonical order)
+    assert(graft.functions.WavPcm.info(whole).contains(
+      graft.functions.WavPcm.WavInfo(8000, 1, 8, 400)))
+    assert(graft.functions.WavPcm.info(pcm(64)).isEmpty)
+  }
+
   test("packWavCorpus: deterministic construction, parity-keyed LIST chunks, pcm == text bytes") {
     val d = Seq((0L, "even header text content here"),
       (1L, "odd header text content here!")).toDF("doc_id", "text")
