@@ -335,6 +335,9 @@ object CurateCli {
       ++ Set("--bad-only")),
     "features" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--decoder")),
+    "audiogate" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
+      ++ Set("--payload-col", "--max-clip", "--max-silence", "--silence-tol",
+        "--bad-only")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -1316,6 +1319,29 @@ object CurateCli {
               Multimodal.extractWavFeatures(min, idCol)
             case other => throw new IllegalArgumentException(
               s"--decoder must be stub, imageio or wav, got '$other'")
+          }, out)
+
+        case "audiogate" =>
+          // the audio quality gate (q203): clipping + digital-silence
+          // fractions per recording with the keep verdict — the Gopher
+          // gate's analogue for the third modality; --bad-only Y keeps
+          // the violations (the integrity command's discipline)
+          val apc = argv.getOrElse("--payload-col", "payload")
+          require(in.columns.contains(apc),
+            s"--payload-col '$apc' not in input columns ${in.columns.mkString(",")}")
+          require(in.schema(apc).dataType ==
+            org.apache.spark.sql.types.BinaryType,
+            "audiogate needs a BINARY payload column (RIFF/WAVE bytes)")
+          val gated = Multimodal.wavQualityGate(
+            in.select(col(idCol), col(apc).as("payload")), idCol,
+            maxClipFrac = argv.getOrElse("--max-clip", "0.2").toDouble,
+            maxSilenceFrac = argv.getOrElse("--max-silence", "0.5").toDouble,
+            silenceTol = argv.getOrElse("--silence-tol", "2").toInt)
+          write(argv.getOrElse("--bad-only", "N") match {
+            case "Y" => gated.filter(!col("keep"))
+            case "N" => gated
+            case other => throw new IllegalArgumentException(
+              s"--bad-only must be Y or N, got '$other'")
           }, out)
 
         case "framedup" =>

@@ -2586,6 +2586,36 @@ object SparkEntry {
           col("bits_per_sample"), col("n_samples"),
           round(col("duration_sec"), 6).as("duration_sec"),
           round(col("mean_amp"), 6).as("mean_amp"))
+    }),
+
+    // ---- AUDIO quality gate (round-13): clipping (rail-pinned
+    //      samples) + digital silence (midpoint-pinned) fractions per
+    //      recording, the keep verdict applying both thresholds — the
+    //      Gopher gate's analogue for the third modality. The corpus
+    //      carries healthy recordings; two deterministic mutant arms
+    //      make each rule BITE: +1e6 = pure digital silence (every
+    //      sample 128 → silence_frac 1.0, dropped), +2e6 = a clipped
+    //      rail (every sample 255 → clip_frac 1.0, dropped). Verdicts
+    //      compare UNROUNDED IEEE fracs on both sides ----
+    "q203_wav_quality_gate" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val pcm = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Seq(
+            (id, Multimodal.packWav(pcm, withListChunk = id % 2 != 0)),
+            (id + 1000000L,
+              Multimodal.packWav(Array.fill[Byte](pcm.length)(128.toByte))),
+            (id + 2000000L,
+              Multimodal.packWav(Array.fill[Byte](pcm.length)(255.toByte))))
+        }
+        .toDF("doc_id", "payload")
+      Multimodal.wavQualityGate(wavs, "doc_id",
+          maxClipFrac = 0.2, maxSilenceFrac = 0.5, silenceTol = 2)
+        .select(col("id"), col("valid"), col("n_samples"),
+          round(col("clip_frac"), 6).as("clip_frac"),
+          round(col("silence_frac"), 6).as("silence_frac"), col("keep"))
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -6191,6 +6221,35 @@ object SparkEntry {
         |  round(len / 8000.0, 6) AS duration_sec,
         |  round(CAST(sum(v) AS DOUBLE) / count(*) / 255.0, 6) AS mean_amp
         |FROM by GROUP BY doc_id, len""".stripMargin,
+
+    // q203: the audio quality gate — clip/silence fracs from hex byte
+    // counts, the keep rule replayed on UNROUNDED quotients, and the
+    // two mutant arms closed-form (constant 128 = pure silence,
+    // constant 255 = clipped rail)
+    "q203_wav_quality_gate" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS len,
+        |    hex(encode(text)) AS hx FROM documents),
+        |by AS (SELECT m.doc_id, m.len,
+        |  (strpos('0123456789ABCDEF', substr(m.hx, 2*u.j + 1, 1)) - 1) * 16 +
+        |  (strpos('0123456789ABCDEF', substr(m.hx, 2*u.j + 2, 1)) - 1) AS v
+        |  FROM m, unnest(range(0, m.len)) u(j)),
+        |orig AS (SELECT doc_id, len,
+        |    CAST(sum(CASE WHEN v = 0 OR v = 255 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS cf,
+        |    CAST(sum(CASE WHEN abs(v - 128) <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS sf
+        |  FROM by GROUP BY 1, 2)
+        |SELECT doc_id AS id, TRUE AS valid, CAST(len AS BIGINT) AS n_samples,
+        |  round(cf, 6) AS clip_frac, round(sf, 6) AS silence_frac,
+        |  (cf <= 0.2 AND sf <= 0.5) AS keep FROM orig
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS id, TRUE AS valid,
+        |  CAST(len AS BIGINT) AS n_samples, 0.0 AS clip_frac,
+        |  1.0 AS silence_frac, FALSE AS keep FROM m
+        |UNION ALL
+        |SELECT doc_id + 2000000 AS id, TRUE AS valid,
+        |  CAST(len AS BIGINT) AS n_samples, 1.0 AS clip_frac,
+        |  0.0 AS silence_frac, FALSE AS keep FROM m""".stripMargin,
 
     // q192: the shift-tolerant rung — offset voting replayed end to end
     "q192_frame_shifted" -> frameShiftedOracle,

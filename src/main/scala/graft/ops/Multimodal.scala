@@ -1279,6 +1279,58 @@ object Multimodal {
       .toDF()
   }
 
+  final case class WavQuality(id: Long, valid: Boolean, n_samples: Long,
+                              clip_frac: Double, silence_frac: Double,
+                              keep: Boolean)
+
+  /** Audio quality gate — the Gopher-gate analogue for the third
+    * modality: per recording, the fraction of samples pinned to the
+    * 8-bit rails (0/255 — CLIPPING: a too-hot capture or a broken
+    * gain stage) and the fraction within `silenceTol` of the unsigned
+    * midpoint 128 (DIGITAL SILENCE: dead mics, padding, failed
+    * transfers that zero-fill). `keep` applies both thresholds; a
+    * payload that extracts no PCM audits `valid = false, keep = false`
+    * with -1 fracs (the extractImageFeatures discipline — a data
+    * doctor counts what a pairing pipeline would drop).
+    *
+    * Counts are exact integers; fracs their IEEE quotients (the q98
+    * no-rounding rule, so the DuckDB oracle replays them bit-for-bit).
+    * Row-local — ZERO shuffles, rides a column-pruned scan; at 100 TB
+    * this is the cheap first rung that keeps dead air out of the
+    * expensive perceptual passes. Sample counting is byte-level
+    * (exact for the 8-bit-mono corpus shape; a byte-level proxy for
+    * wider samples, same convention as [[extractWavFeatures]]). */
+  def wavQualityGate(packed: DataFrame, idCol: String = "doc_id",
+                     maxClipFrac: Double = 0.2, maxSilenceFrac: Double = 0.5,
+                     silenceTol: Int = 2): DataFrame = {
+    require(silenceTol >= 0, "silenceTol >= 0")
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val pcm = graft.functions.WavPcm.extract(bytes)
+          if (pcm.isEmpty) WavQuality(id, valid = false, 0L, -1.0, -1.0,
+            keep = false)
+          else {
+            var clip = 0L; var sil = 0L; var j = 0
+            while (j < pcm.length) {
+              val v = pcm(j) & 0xff
+              if (v == 0 || v == 255) clip += 1
+              if (math.abs(v - 128) <= silenceTol) sil += 1
+              j += 1
+            }
+            val cf = clip.toDouble / pcm.length
+            val sf = sil.toDouble / pcm.length
+            WavQuality(id, valid = true, pcm.length.toLong, cf, sf,
+              keep = cf <= maxClipFrac && sf <= maxSilenceFrac)
+          }
+        }
+      }
+      .toDF()
+  }
+
   final case class ImageFeature(id: Long, decoded: Boolean, width: Int,
                                 height: Int, channels: Int, brightness: Double)
 

@@ -2121,7 +2121,28 @@ class CurateCliSpec extends AnyFunSuite {
     assert(spark.read.parquet(oFw)
       .as[(Long, Boolean, Int, Int, Int, Long, Double, Double)]
       .collect().toSet == wantFw && wantFw.nonEmpty && wantFw.forall(_._2))
-    rm(wavIn, oW, wIdx, o1, o2, o3, oFw, histIn, probeIn)
+    // audiogate ≡ the library gate; --bad-only keeps the violations
+    val oAg = tmp("cli-agate"); val oAgBad = tmp("cli-agate-bad"); rm(oAg, oAgBad)
+    val agIn = tmp("cli-agate-in"); rm(agIn)
+    val agRows = Seq(
+      (0L, Multimodal.packWav(
+        Array.tabulate[Byte](200)(j => ((j * 37 + 11) % 251).toByte))),
+      (1L, Multimodal.packWav(Array.fill[Byte](100)(128.toByte))))
+      .toDF("doc_id", "payload")
+    agRows.write.parquet(agIn)
+    CurateCli.run("audiogate", Map("--in" -> agIn, "--out" -> oAg))
+    val wantAg = Multimodal.wavQualityGate(agRows, "doc_id")
+      .as[(Long, Boolean, Long, Double, Double, Boolean)].collect().toSet
+    assert(spark.read.parquet(oAg)
+      .as[(Long, Boolean, Long, Double, Double, Boolean)]
+      .collect().toSet == wantAg && wantAg.size == 2)
+    CurateCli.run("audiogate", Map("--in" -> agIn, "--out" -> oAgBad,
+      "--bad-only" -> "Y"))
+    val bad = spark.read.parquet(oAgBad)
+      .as[(Long, Boolean, Long, Double, Double, Boolean)].collect().toSeq
+    assert(bad.map(_._1) == Seq(1L) && !bad.head._6,
+      "the silence arm is the only violation")
+    rm(wavIn, oW, wIdx, o1, o2, o3, oFw, oAg, oAgBad, agIn, histIn, probeIn)
   }
 
 }

@@ -253,6 +253,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dhash64"), s"native dhash64 expression in the plan\n$p")
   }
 
+  test("q201 audio rung: wav_pcm extraction + dhash in the scan, aligned equi-join, never a cross join") {
+    val p = plan("q201_wav_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"audio candidates must come from the (frame_idx, band, value) equi-join\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join\n$p")
+    // both native expressions run in the scan stage: the RIFF walk and
+    // the signature — only 8-byte signatures leave it, payloads never
+    // shuffle
+    assert(p.contains("wav_pcm"), s"native wav_pcm expression in the plan\n$p")
+    assert(p.contains("dhash64"), s"native dhash64 expression in the plan\n$p")
+  }
+
   test("q193 integrity audit plans ZERO exchanges (row-local scan-stage verdicts)") {
     val p = plan("q193_payload_integrity")
     assert(!p.contains("Exchange"),

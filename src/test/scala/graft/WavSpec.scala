@@ -178,6 +178,43 @@ class WavSpec extends AnyFunSuite {
     assert(graft.functions.WavPcm.info(pcm(64)).isEmpty)
   }
 
+  test("wavQualityGate: clipping and silence fractions exact; thresholds and tol bite; malformed audits") {
+    // rail-free by construction: values in [1, 250] — the clip count
+    // of the healthy arm and of the half arm's clean half is exactly 0
+    val healthy = Array.tabulate[Byte](200)(j =>
+      (1 + ((124 + j * 17 + 4 * j) % 250)).toByte)
+    val silence = Array.fill[Byte](100)(128.toByte) // midpoint — dead air
+    val clipped = Array.fill[Byte](100)(255.toByte) // pinned to the rail
+    val half = healthy.take(100) ++ Array.fill[Byte](100)(0.toByte)
+    val rows = Seq(
+      (0L, Multimodal.packWav(healthy)),
+      (1L, Multimodal.packWav(silence, withListChunk = true)),
+      (2L, Multimodal.packWav(clipped)),
+      (3L, Multimodal.packWav(half)),               // 50% zero-rail
+      (4L, pcm(64, 9)))                             // not a WAV
+      .toDF("doc_id", "payload")
+    def gate(maxClip: Double, maxSil: Double, tol: Int = 2) =
+      Multimodal.wavQualityGate(rows, "doc_id", maxClip, maxSil, tol)
+        .as[(Long, Boolean, Long, Double, Double, Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+    val g = gate(0.2, 0.5)
+    val hClip = healthy.count(b => (b & 0xff) == 0 || (b & 0xff) == 255)
+    val hSil = healthy.count(b => math.abs((b & 0xff) - 128) <= 2)
+    assert(g(0L) == ((0L, true, 200L, hClip.toDouble / 200,
+      hSil.toDouble / 200, true)))
+    assert(g(1L) == ((1L, true, 100L, 0.0, 1.0, false))) // silence drops
+    assert(g(2L) == ((2L, true, 100L, 1.0, 0.0, false))) // clipping drops
+    // the half-zeroed arm: clip_frac exactly 0.5 — keep flips with the
+    // threshold (<= rule: 0.5 passes at maxClip 0.5, fails below it)
+    assert(g(3L)._4 == 0.5 && !g(3L)._6)
+    assert(gate(0.5, 0.5)(3L)._6)
+    assert(g(4L) == ((4L, false, 0L, -1.0, -1.0, false)))
+    // a wider silence tolerance is monotone: tol 127 covers [1, 255]
+    val g127 = gate(0.2, 0.5, tol = 127)
+    val nonZero = healthy.count(b => (b & 0xff) != 0)
+    assert(g127(0L)._5 == nonZero.toDouble / 200 && g127(0L)._5 >= g(0L)._5)
+  }
+
   test("packWavCorpus: deterministic construction, parity-keyed LIST chunks, pcm == text bytes") {
     val d = Seq((0L, "even header text content here"),
       (1L, "odd header text content here!")).toDF("doc_id", "text")
