@@ -1530,14 +1530,14 @@ object CurateCli {
                    ; _ <- argv.get(o))
                 throw new IllegalArgumentException(
                   s"$o contradicts --thresholds (the curve sweeps cutoffs)")
-              require(decoder == "stub",
-                "--thresholds runs the stub signature curve; the imageio " +
-                  "rung prices cutoffs through its own spec-pinned eval")
+              // the curve prices cutoffs in ANY signature space — the
+              // banding is content-agnostic, --decoder picks the space
               write(Multimodal.perceptualDupRateCurve(pin, idCol, "_payload",
                 maxDists = argv("--thresholds").split(",").toSeq
                   .map(_.trim.toInt),
                 nBands = argv.getOrElse("--bands", "4").toInt,
-                maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt), out)
+                maxPerBucket = argv.getOrElse("--max-per-bucket", "0").toInt,
+                decoder = decoder), out)
             case None =>
               for (o <- Seq("--update-index", "--multiprobe"); _ <- argv.get(o))
                 throw new IllegalArgumentException(

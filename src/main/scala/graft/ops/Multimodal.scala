@@ -499,11 +499,16 @@ object Multimodal {
     * raw IEEE quotient of exact counts. */
   def perceptualDupRateCurve(df: DataFrame, idCol: String, payloadCol: String,
                              maxDists: Seq[Int], nBands: Int = 4,
-                             maxPerBucket: Int = 0): DataFrame = {
+                             maxPerBucket: Int = 0,
+                             decoder: String = StubDecoder): DataFrame = {
     require(maxDists.nonEmpty, "maxDists must be non-empty")
+    checkBandParams(nBands, maxDists.max)
     val ds = maxDists.distinct.sorted
-    val best = perceptualDupPairs(df, idCol, payloadCol, ds.last, nBands,
-        maxPerBucket)
+    // the pairs source signatures in the requested space (stub byte
+    // stream | decoded luma | RIFF-extracted PCM) — the decision table
+    // works identically for all three, banding is content-agnostic
+    val best = sigDupPairsCore(pHashSigsOf(df, idCol, payloadCol, decoder,
+        "_id"), ds.last, nBands, maxPerBucket)
       .groupBy(col("id_b")).agg(min(col("dist")).as("_bestd"))
     val thr = df.sparkSession.range(1)
       .select(explode(typedLit(ds)).as("max_dist"))

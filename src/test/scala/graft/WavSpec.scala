@@ -215,6 +215,30 @@ class WavSpec extends AnyFunSuite {
     assert(g127(0L)._5 == nonZero.toDouble / 200 && g127(0L)._5 >= g(0L)._5)
   }
 
+  test("perceptualDupRateCurve in the wav space ≡ the stub curve over the raw PCM (pcm == payload bytes)") {
+    val texts = Seq((0L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (2L, "Zhe quick brown fox jumps over the lazy dog repeatedly"),
+      (3L, "a completely different document with other words entirely"))
+      .toDF("doc_id", "t")
+    val ds = Seq(0, 1, 6)
+    // WAV containers (mixed header layouts) priced in the wav space…
+    val wavCurve = Multimodal.perceptualDupRateCurve(
+        Multimodal.packWavCorpus(texts, "doc_id", "t"), "doc_id", "payload",
+        maxDists = ds, decoder = Multimodal.WavDecoder)
+      .as[(Int, Long, Long, Double)].collect().toSet
+    // …must equal the stub curve over the bare PCM bytes: the header
+    // walk is the ONLY difference, and it must be invisible
+    val stubCurve = Multimodal.perceptualDupRateCurve(
+        Multimodal.packBinary(texts, "doc_id", "t"), "doc_id", "payload",
+        maxDists = ds)
+      .as[(Int, Long, Long, Double)].collect().toSet
+    assert(wavCurve == stubCurve && wavCurve.map(_._1) == ds.toSet)
+    // the planted dup (0≡1 at dist 0) is priced at every cutoff
+    assert(wavCurve.forall { case (_, nd, n, frac) =>
+      n == 4L && nd >= 1L && frac == nd.toDouble / 4 })
+  }
+
   test("packWavCorpus: deterministic construction, parity-keyed LIST chunks, pcm == text bytes") {
     val d = Seq((0L, "even header text content here"),
       (1L, "odd header text content here!")).toDF("doc_id", "text")
