@@ -1433,6 +1433,17 @@ object CurateCli {
                   s"--decoder $stated disagrees with the stored index " +
                     s"(${idx.decoder}) — the signature space is fixed " +
                     "at build time")
+              // the STORED decoder governs the probe even when --decoder
+              // is omitted (the happy path), so the payload-type check
+              // must follow the store, not the flag: a string column
+              // UTF-8-encoded into a wav/imageio-founded store would
+              // extract nothing and write an empty verdict table silently
+              if (idx.decoder != "stub")
+                require(in.schema(fpc).dataType ==
+                  org.apache.spark.sql.types.BinaryType,
+                  s"this index is founded on the ${idx.decoder} signature " +
+                    "space — probes need a BINARY payload column " +
+                    "(re-encoded strings would extract nothing, silently)")
               for ((flag, stated, stored) <- Seq(
                   ("--bands", argv.get("--bands"), idx.nBands),
                   ("--frame-bytes", argv.get("--frame-bytes"), idx.frameBytes),
@@ -1595,6 +1606,16 @@ object CurateCli {
                       s"--decoder $stated disagrees with the stored index " +
                         s"(${idx.decoder}) — the signature space is fixed " +
                         "at build time")
+                // the STORED decoder governs even when --decoder is
+                // omitted: a UTF-8-encoded string probed into a
+                // wav/imageio-founded store would silently find nothing
+                if (idx.decoder != "stub")
+                  require(in.schema(pc).dataType ==
+                    org.apache.spark.sql.types.BinaryType,
+                    s"this index is founded on the ${idx.decoder} " +
+                      "signature space — probes need a BINARY payload " +
+                      "column (re-encoded strings would extract nothing, " +
+                      "silently)")
                 write(Multimodal.incrementalPerceptualDupsWith(pin, idx,
                   idCol, "_payload", maxDist, multiProbe = multi,
                   maxPerBucket = probeCap), out)

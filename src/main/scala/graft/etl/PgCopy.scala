@@ -147,7 +147,12 @@ object PgCopy {
                 dumpDir: Option[String] = None): DataFrame = {
     val dir = dumpDir match {
       case Some(d) =>
-        val p = java.nio.file.Paths.get(d)
+        // absolute: a relative path would make the s"file://$file" URI
+        // below parse its first segment as the URI AUTHORITY and read
+        // the wrong file; a quote would break the \copy meta-command
+        val p = java.nio.file.Paths.get(d).toAbsolutePath
+        require(!p.toString.contains("'"),
+          s"dumpDir must not contain a single quote: $p")
         java.nio.file.Files.createDirectories(p); p
       case None => java.nio.file.Files.createTempDirectory("pgcopy_in")
     }

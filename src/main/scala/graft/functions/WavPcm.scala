@@ -50,21 +50,27 @@ object WavPcm {
 
   private val Empty = new Array[Byte](0)
 
-  /** The fmt-chunk facts + clamped data length — what
-    * [[graft.ops.Multimodal.extractWavFeatures]] audits. */
+  /** The fmt-chunk facts + the data payload's (offset, clamped length)
+    * — what [[graft.ops.Multimodal.extractWavFeatures]] and
+    * [[graft.ops.Multimodal.wavQualityGate]] audit. `info.isDefined`
+    * IS the validity contract both audit rungs share: a well-formed
+    * RIFF/WAVE carrying both an fmt and a data chunk, in either order
+    * (the spec mandates fmt first, but a lenient reader must not call
+    * a payload [[extract]] happily processes invalid). */
   final case class WavInfo(sampleRate: Int, channels: Int,
-                           bitsPerSample: Int, dataLen: Int)
+                           bitsPerSample: Int, dataOff: Int, dataLen: Int)
 
-  /** Parse the fmt and data chunks (same walk as [[extract]]); None when
-    * the payload is not a well-formed RIFF/WAVE prefix or has no fmt
-    * chunk before data. The data length clamps to the bytes present —
-    * a truncated transfer audits as a shorter recording. */
+  /** Parse the fmt and data chunks (same walk as [[extract]]); None
+    * when the payload is not a well-formed RIFF/WAVE prefix or lacks
+    * either chunk. The data length clamps to the bytes present — a
+    * truncated transfer audits as a shorter recording. */
   def info(b: Array[Byte]): Option[WavInfo] = {
     if (b == null || b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
       return None
     var off = 12L
     var fmt: Option[(Int, Int, Int)] = None
-    while (off + 8 <= b.length) {
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val o = off.toInt
       val size = le32(b, o + 4)
       if (tag(b, o, "fmt ") && size >= 16 && off + 8 + 16 <= b.length) {
@@ -72,14 +78,14 @@ object WavPcm {
         val rate = le32(b, o + 12).toInt
         val bits = ((b(o + 22) & 0xff)) | ((b(o + 23) & 0xff) << 8)
         fmt = Some((rate, channels, bits))
-      } else if (tag(b, o, "data")) {
+      } else if (tag(b, o, "data") && data.isEmpty) {
         val start = off + 8
-        val take = math.min(size, b.length - start).toInt
-        return fmt.map { case (r, c, bits) => WavInfo(r, c, bits, take) }
+        data = Some((start.toInt, math.min(size, b.length - start).toInt))
       }
       off += 8 + size + (size & 1)
     }
-    None
+    for ((r, c, bits) <- fmt; (doff, dlen) <- data)
+      yield WavInfo(r, c, bits, doff, dlen)
   }
 
   private def tag(b: Array[Byte], off: Int, t: String): Boolean =

@@ -35,17 +35,11 @@ object Multimodal {
   val ImageioDecoder = "imageio"
   val WavDecoder = "wav"
 
-  private[ops] def checkPHashDecoder(decoder: String): Unit =
-    require(decoder == StubDecoder || decoder == ImageioDecoder ||
-        decoder == WavDecoder,
-      s"phash decoder must be $StubDecoder, $ImageioDecoder or $WavDecoder, " +
-        s"got '$decoder'")
+  private[ops] val Decoders = Seq(StubDecoder, ImageioDecoder, WavDecoder)
 
-  private[ops] def checkFrameDecoder(decoder: String): Unit =
-    require(decoder == StubDecoder || decoder == ImageioDecoder ||
-        decoder == WavDecoder,
-      s"frame decoder must be $StubDecoder, $ImageioDecoder or $WavDecoder, " +
-        s"got '$decoder'")
+  private[ops] def checkDecoder(decoder: String): Unit =
+    require(Decoders.contains(decoder),
+      s"decoder must be one of ${Decoders.mkString("|")}, got '$decoder'")
 
   /** media metadata struct carried beside the payload */
   val MetaType: StructType = StructType(Seq(
@@ -437,7 +431,7 @@ object Multimodal {
     * single-split batch would decode on one core). */
   private def pHashSigsOf(df: DataFrame, idCol: String, payloadCol: String,
                           decoder: String, as: String): DataFrame = {
-    checkPHashDecoder(decoder)
+    checkDecoder(decoder)
     val fanned = Parallelize.ensure(df.select(col(idCol), col(payloadCol)))
     decoder match {
       case StubDecoder =>
@@ -478,10 +472,9 @@ object Multimodal {
                             maxDist: Int = 6, nBands: Int = 4,
                             maxPerBucket: Int = 0): DataFrame = {
     checkBandParams(nBands, maxDist)
-    sigDupPairsCore(df.select(col(idCol).as("_id"),
-        graft.functions.WavPcm.wavPcm(col(payloadCol)).as("_pcm"))
-      .filter(octet_length(col("_pcm")) > 0)
-      .select(col("_id"), dHash(col("_pcm")).as("_sig")),
+    // the same signature dispatch the standing store runs through —
+    // one definition of the wav extract-filter-hash recipe, not two
+    sigDupPairsCore(pHashSigsOf(df, idCol, payloadCol, WavDecoder, "_id"),
       maxDist, nBands, maxPerBucket)
   }
 
@@ -549,10 +542,12 @@ object Multimodal {
     require(maxDists.nonEmpty, "maxDists must be non-empty")
     val ds = maxDists.distinct.sorted
     checkBandParams(nBands, ds.last)
-    val n = df.count()
-    require(n <= maxEvalRows,
+    // bounded check: counts at most maxEvalRows+1 rows, so the guard
+    // never pays a full second evaluation of the input plan
+    val lim = math.min(maxEvalRows, Int.MaxValue - 1L).toInt
+    require(df.limit(lim + 1).count() <= maxEvalRows,
       s"perceptualBandingEval ground truth is ALL-PAIRS exact Hamming — " +
-        s"$n input rows exceed maxEvalRows=$maxEvalRows (~${n * n / 2} " +
+        s"the input exceeds maxEvalRows=$maxEvalRows (quadratic " +
         "comparisons). Run it on a sample; raise maxEvalRows only to " +
         "accept the quadratic cost deliberately.")
     val sig = df.select(col(idCol).as("_id"), dHash(col(payloadCol)).as("_sig"))
@@ -823,7 +818,7 @@ object Multimodal {
                       nBands: Int = 4, decoder: String = StubDecoder,
                       scope: CacheScope = CacheScope.noop): PHashIndex = {
     checkBandParams(nBands, 0)
-    checkPHashDecoder(decoder)
+    checkDecoder(decoder)
     PHashIndex(scope.track(withBands(
         pHashSigsOf(history, idCol, payloadCol, decoder, "_hid"), nBands)
       .cache()), nBands, decoder)
@@ -896,13 +891,10 @@ object Multimodal {
     * the only space those stores were ever written in. */
   def loadPHashIndex(spark: SparkSession, path: String,
                      scope: CacheScope = CacheScope.noop): PHashIndex = {
-    val pdf = spark.read.parquet(s"$path/params")
-    val p = pdf.head()
-    val dec = if (pdf.columns.contains("decoder")) p.getAs[String]("decoder")
-      else StubDecoder
+    val (nBands, dec) = loadPHashIndexParams(spark, path)
     PHashIndex(scope.track(Tombstones.applyTo(spark, path,
         spark.read.parquet(s"$path/pbands"), "_hid").cache()),
-      p.getAs[Int]("n_bands"), dec)
+      nBands, dec)
   }
 
   /** APPEND a newly-ingested batch to an on-disk store: signature the
@@ -917,7 +909,9 @@ object Multimodal {
       .write.mode("append").parquet(s"$path/pbands")
   }
 
-  /** (nBands, decoder) of an on-disk store without loading its bands. */
+  /** (nBands, decoder) of an on-disk store without loading its bands;
+    * a pre-round-13 store without a `decoder` column reads stub — the
+    * only space those stores were ever written in. */
   private def loadPHashIndexParams(spark: SparkSession, path: String): (Int, String) = {
     val pdf = spark.read.parquet(s"$path/params")
     val p = pdf.head()
@@ -1056,7 +1050,7 @@ object Multimodal {
                           frameBytes: Int, stride: Int, maxFrames: Int,
                           as: String,
                           decoder: String = StubDecoder): DataFrame = {
-    checkFrameDecoder(decoder)
+    checkDecoder(decoder)
     decoder match {
       case ImageioDecoder => imageFrameSigs(df, idCol, payloadCol, maxFrames, as)
       case _ =>
@@ -1078,7 +1072,7 @@ object Multimodal {
                       decoder: String = StubDecoder,
                       scope: CacheScope = CacheScope.noop): FrameIndex = {
     checkBandParams(nBands, 0)
-    checkFrameDecoder(decoder)
+    checkDecoder(decoder)
     require(frameBytes > 0 && stride > 0 && maxFrames > 0, "positive frame params")
     FrameIndex(scope.track(withBands(Parallelize.ensure(
         frameSigsOf(history, idCol, payloadCol, frameBytes, stride, maxFrames,
@@ -1107,18 +1101,26 @@ object Multimodal {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** Load a [[saveFrameIndex]]'d store; pending tombstones subtracted.
-    * A pre-round-13 store without a `decoder` column loads stub-founded. */
-  def loadFrameIndex(spark: SparkSession, path: String,
-                     scope: CacheScope = CacheScope.noop): FrameIndex = {
+  /** The five founding params of an on-disk frame store (a pre-round-13
+    * store without a `decoder` column reads stub — the only space those
+    * stores were written in; same rule as [[loadPHashIndexParams]]). */
+  private def loadFrameIndexParams(spark: SparkSession, path: String)
+      : (Int, Int, Int, Int, String) = {
     val pdf = spark.read.parquet(s"$path/params")
     val p = pdf.head()
-    FrameIndex(scope.track(Tombstones.applyTo(spark, path,
-        spark.read.parquet(s"$path/fbands"), "_hid").cache()),
-      p.getAs[Int]("n_bands"), p.getAs[Int]("frame_bytes"),
+    (p.getAs[Int]("n_bands"), p.getAs[Int]("frame_bytes"),
       p.getAs[Int]("stride"), p.getAs[Int]("max_frames"),
       if (pdf.columns.contains("decoder")) p.getAs[String]("decoder")
       else StubDecoder)
+  }
+
+  /** Load a [[saveFrameIndex]]'d store; pending tombstones subtracted. */
+  def loadFrameIndex(spark: SparkSession, path: String,
+                     scope: CacheScope = CacheScope.noop): FrameIndex = {
+    val (nBands, fb, st, mf, dec) = loadFrameIndexParams(spark, path)
+    FrameIndex(scope.track(Tombstones.applyTo(spark, path,
+        spark.read.parquet(s"$path/fbands"), "_hid").cache()),
+      nBands, fb, st, mf, dec)
   }
 
   /** APPEND a newly-ingested clip batch under the STORED geometry and
@@ -1126,13 +1128,9 @@ object Multimodal {
   def appendFrameIndex(spark: SparkSession, path: String,
                        batch: DataFrame, idCol: String, payloadCol: String): Unit = {
     Tombstones.requireNotTombstoned(spark, path, batch, idCol)
-    val pdf = spark.read.parquet(s"$path/params")
-    val p = pdf.head()
-    val dec = if (pdf.columns.contains("decoder")) p.getAs[String]("decoder")
-      else StubDecoder
+    val (nBands, fb, st, mf, dec) = loadFrameIndexParams(spark, path)
     withBands(Parallelize.ensure(frameSigsOf(batch, idCol, payloadCol,
-        p.getAs[Int]("frame_bytes"), p.getAs[Int]("stride"),
-        p.getAs[Int]("max_frames"), "_hid", dec)), p.getAs[Int]("n_bands"))
+        fb, st, mf, "_hid", dec)), nBands)
       .write.mode("append").parquet(s"$path/fbands")
   }
 
@@ -1268,11 +1266,14 @@ object Multimodal {
             case Some(i) =>
               val frameBytes = math.max(1, i.channels * (i.bitsPerSample / 8))
               val n = i.dataLen / frameBytes
-              val pcm = graft.functions.WavPcm.extract(bytes)
+              // ONE container walk (info carries the data span), mean
+              // summed in place over the original array — no PCM copy
+              var sum = 0L; var j = i.dataOff
+              val end = i.dataOff + i.dataLen
+              while (j < end) { sum += (bytes(j) & 0xff); j += 1 }
               val mean =
-                if (pcm.isEmpty) 0.0
-                else pcm.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble /
-                  pcm.length / 255.0
+                if (i.dataLen == 0) 0.0
+                else sum.toDouble / i.dataLen / 255.0
               WavFeature(id, valid = true, i.sampleRate, i.channels,
                 i.bitsPerSample, n,
                 if (i.sampleRate > 0) n.toDouble / i.sampleRate else 0.0, mean)
@@ -1293,10 +1294,15 @@ object Multimodal {
     * 8-bit rails (0/255 — CLIPPING: a too-hot capture or a broken
     * gain stage) and the fraction within `silenceTol` of the unsigned
     * midpoint 128 (DIGITAL SILENCE: dead mics, padding, failed
-    * transfers that zero-fill). `keep` applies both thresholds; a
-    * payload that extracts no PCM audits `valid = false, keep = false`
-    * with -1 fracs (the extractImageFeatures discipline — a data
-    * doctor counts what a pairing pipeline would drop).
+    * transfers that zero-fill). `keep` applies both thresholds.
+    * Validity is the SAME contract [[extractWavFeatures]] audits
+    * ([[graft.functions.WavPcm.info]] — a well-formed container
+    * carrying fmt + data), so the two audit rungs can never contradict
+    * each other on one payload; an invalid payload audits
+    * `valid = false, keep = false` with -1 fracs (the
+    * extractImageFeatures discipline), and a valid but EMPTY recording
+    * (zero data bytes) audits `valid = true, keep = false` with 0.0
+    * fracs — nothing to train on, nothing to divide by.
     *
     * Counts are exact integers; fracs their IEEE quotients (the q98
     * no-rounding rule, so the DuckDB oracle replays them bit-for-bit).
@@ -1315,21 +1321,25 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val pcm = graft.functions.WavPcm.extract(bytes)
-          if (pcm.isEmpty) WavQuality(id, valid = false, 0L, -1.0, -1.0,
-            keep = false)
-          else {
-            var clip = 0L; var sil = 0L; var j = 0
-            while (j < pcm.length) {
-              val v = pcm(j) & 0xff
-              if (v == 0 || v == 255) clip += 1
-              if (math.abs(v - 128) <= silenceTol) sil += 1
-              j += 1
-            }
-            val cf = clip.toDouble / pcm.length
-            val sf = sil.toDouble / pcm.length
-            WavQuality(id, valid = true, pcm.length.toLong, cf, sf,
-              keep = cf <= maxClipFrac && sf <= maxSilenceFrac)
+          graft.functions.WavPcm.info(bytes) match {
+            case None =>
+              WavQuality(id, valid = false, 0L, -1.0, -1.0, keep = false)
+            case Some(i) if i.dataLen == 0 =>
+              WavQuality(id, valid = true, 0L, 0.0, 0.0, keep = false)
+            case Some(i) =>
+              // counted in place over the data span — no PCM copy
+              var clip = 0L; var sil = 0L; var j = i.dataOff
+              val end = i.dataOff + i.dataLen
+              while (j < end) {
+                val v = bytes(j) & 0xff
+                if (v == 0 || v == 255) clip += 1
+                if (math.abs(v - 128) <= silenceTol) sil += 1
+                j += 1
+              }
+              val cf = clip.toDouble / i.dataLen
+              val sf = sil.toDouble / i.dataLen
+              WavQuality(id, valid = true, i.dataLen.toLong, cf, sf,
+                keep = cf <= maxClipFrac && sf <= maxSilenceFrac)
           }
         }
       }

@@ -75,13 +75,15 @@ object Similarity {
     // GROUND-TRUTH rung — corpus × |Q| exact cosines. A query set the
     // size of the corpus is the all-pairs blowup the approximate ladder
     // exists to avoid, so it fails loudly here; raise maxQueries only to
-    // accept that bill deliberately.
-    val nq = q.count()
-    require(nq <= maxQueries,
-      s"exactTopK is the eval-scale ground truth — $nq query vectors " +
-        s"exceed maxQueries=$maxQueries (corpus × $nq exact cosines). " +
-        "Evaluate on a query sample; raise maxQueries only to accept " +
-        "the quadratic cost deliberately.")
+    // accept that bill deliberately. The check itself counts at most
+    // maxQueries+1 rows (limit-then-count) so the guard never pays a
+    // full second evaluation of an expensive query-side plan.
+    val lim = math.min(maxQueries, Int.MaxValue - 1L).toInt
+    require(q.limit(lim + 1).count() <= maxQueries,
+      s"exactTopK is the eval-scale ground truth — the query set exceeds " +
+        s"maxQueries=$maxQueries (corpus × |Q| exact cosines). Evaluate " +
+        "on a query sample; raise maxQueries only to accept the " +
+        "quadratic cost deliberately.")
     val w = Window.partitionBy(col("_qid")).orderBy(col("_sim").desc, col("_id"))
     e.crossJoin(broadcast(q))
       .filter(col("_id") =!= col("_qid"))

@@ -2111,6 +2111,15 @@ class CurateCliSpec extends AnyFunSuite {
         "--payload-col" -> "text", "--decoder" -> "wav"))
     }
     assert(eStr.getMessage.contains("BINARY"))
+    // …and the STORED decoder enforces the same even when --decoder is
+    // OMITTED on a probe (the happy path): a string column UTF-8-encoded
+    // into a wav-founded store would extract nothing, silently
+    val eProbe = intercept[IllegalArgumentException] {
+      CurateCli.run("framedup", Map("--in" -> docsPath, "--out" -> o3,
+        "--payload-col" -> "text", "--index" -> wIdx,
+        "--update-index" -> "N"))
+    }
+    assert(eProbe.getMessage.contains("founded on the wav"))
     // features --decoder wav ≡ the library audio feature rung
     val oFw = tmp("cli-feat-wav"); rm(oFw)
     CurateCli.run("features", Map("--in" -> wavIn, "--out" -> oFw,

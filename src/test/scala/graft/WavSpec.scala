@@ -172,10 +172,26 @@ class WavSpec extends AnyFunSuite {
     assert(got(2L)._6 == 300L && got(2L)._2 &&
       got(2L)._7 == 300.0 / 8000)
     assert(got(3L) == ((3L, false, 0, 0, 0, 0L, 0.0, -1.0)))
-    // WavPcm.info alone: fmt must precede data (the canonical order)
+    // WavPcm.info alone: fmt facts + the data span (offset 44 for the
+    // canonical header)
     assert(graft.functions.WavPcm.info(whole).contains(
-      graft.functions.WavPcm.WavInfo(8000, 1, 8, 400)))
+      graft.functions.WavPcm.WavInfo(8000, 1, 8, 44, 400)))
     assert(graft.functions.WavPcm.info(pcm(64)).isEmpty)
+    // LENIENT order: a container with data BEFORE fmt still audits
+    // valid (extract processes its PCM, so the audit must not call it
+    // broken — the two rungs share one validity contract)
+    val oo = new java.io.ByteArrayOutputStream()
+    def t2(t: String) = t.foreach(c => oo.write(c.toInt))
+    def l2(v: Int) = { oo.write(v & 0xff); oo.write((v >> 8) & 0xff)
+      oo.write((v >> 16) & 0xff); oo.write((v >> 24) & 0xff) }
+    t2("RIFF"); l2(4 + 8 + 3 + 24); t2("WAVE")
+    t2("data"); l2(3); oo.write(5); oo.write(6); oo.write(7); oo.write(0)
+    t2("fmt "); l2(16)
+    oo.write(1); oo.write(0); oo.write(1); oo.write(0) // PCM, mono
+    l2(4000); l2(4000)
+    oo.write(1); oo.write(0); oo.write(8); oo.write(0) // align, bits
+    assert(graft.functions.WavPcm.info(oo.toByteArray).contains(
+      graft.functions.WavPcm.WavInfo(4000, 1, 8, 20, 3)))
   }
 
   test("wavQualityGate: clipping and silence fractions exact; thresholds and tol bite; malformed audits") {
@@ -191,7 +207,8 @@ class WavSpec extends AnyFunSuite {
       (1L, Multimodal.packWav(silence, withListChunk = true)),
       (2L, Multimodal.packWav(clipped)),
       (3L, Multimodal.packWav(half)),               // 50% zero-rail
-      (4L, pcm(64, 9)))                             // not a WAV
+      (4L, pcm(64, 9)),                             // not a WAV
+      (5L, Multimodal.packWav(Array.emptyByteArray))) // valid, EMPTY
       .toDF("doc_id", "payload")
     def gate(maxClip: Double, maxSil: Double, tol: Int = 2) =
       Multimodal.wavQualityGate(rows, "doc_id", maxClip, maxSil, tol)
@@ -209,6 +226,9 @@ class WavSpec extends AnyFunSuite {
     assert(g(3L)._4 == 0.5 && !g(3L)._6)
     assert(gate(0.5, 0.5)(3L)._6)
     assert(g(4L) == ((4L, false, 0L, -1.0, -1.0, false)))
+    // valid but EMPTY recording: well-formed container, zero samples —
+    // nothing to train on, nothing to divide by
+    assert(g(5L) == ((5L, true, 0L, 0.0, 0.0, false)))
     // a wider silence tolerance is monotone: tol 127 covers [1, 255]
     val g127 = gate(0.2, 0.5, tol = 127)
     val nonZero = healthy.count(b => (b & 0xff) != 0)
