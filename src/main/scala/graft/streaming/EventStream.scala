@@ -611,6 +611,30 @@ object EventStream {
       }
       .start()
 
+  /** The AUDIO member of the stateless gate-sink family: every arriving
+    * recording gets its clip/silence verdict at ingest time
+    * ([[graft.ops.Multimodal.wavQualityGate]] — rail-pinned clipping,
+    * midpoint digital silence, keep under both thresholds; malformed
+    * containers audit `valid = false`). No standing store, no state —
+    * row-local verdicts per `batch=` dir, trivially replay-idempotent
+    * (the [[integrityGateSink]] discipline). Catch the dead-mic feed
+    * the hour it starts, not after a month of silence lands in the
+    * corpus. */
+  def audioGateSink(stream: DataFrame, idCol: String,
+                    verdictsDir: String, checkpoint: String,
+                    maxClipFrac: Double = 0.2, maxSilenceFrac: Double = 0.5,
+                    silenceTol: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Multimodal.wavQualityGate(batch.toDF(), idCol,
+            maxClipFrac, maxSilenceFrac, silenceTol)
+          .write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
+        ()
+      }
+      .start()
+
   /** The SERVING-shape rung of the gate-sink family: probe each
     * microbatch's embeddings against a standing IVF-PQ index
     * ([[graft.ops.Similarity.loadIvfPqIndex]] — the production 100-TB

@@ -359,6 +359,41 @@ class IngestPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("audioGateSink: arrival-time clip/silence verdicts per microbatch, stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import graft.ops.Multimodal
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val out = tmp("gate-audout"); val ck = tmp("gate-audck")
+    val healthy = Array.tabulate[Byte](200)(j => (1 + ((37 + j * 17) % 250)).toByte)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val stream = mem.toDF().toDF("doc_id", "payload")
+    val q = EventStream.audioGateSink(stream, "doc_id", out, ck)
+    val b0 = Seq((0L, Multimodal.packWav(healthy)),
+      (1L, Multimodal.packWav(Array.fill[Byte](100)(128.toByte))), // dead air
+      (2L, healthy))                                               // not a WAV
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData((3L, Multimodal.packWav(Array.fill[Byte](80)(255.toByte))))
+    q.processAllAvailable()
+    q.stop()
+    val g0 = spark.read.parquet(s"$out/batch=0")
+      .as[(Long, Boolean, Long, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(g0(0L)._6 && g0(0L)._2, "the healthy recording keeps")
+    assert(!g0(1L)._6 && g0(1L)._5 == 1.0, "dead air drops")
+    assert(!g0(2L)._2 && !g0(2L)._6, "not-a-WAV audits invalid")
+    val g1 = spark.read.parquet(s"$out/batch=1")
+      .as[(Long, Boolean, Long, Double, Double, Boolean)].collect().toSeq
+    assert(g1.map(_._1) == Seq(3L) && !g1.head._6 && g1.head._4 == 1.0,
+      "the clipped rail drops in its own batch dir")
+    // ≡ the batch gate
+    val want = Multimodal.wavQualityGate(b0.toDF("doc_id", "payload"), "doc_id")
+      .as[(Long, Boolean, Long, Double, Double, Boolean)].collect().toSet
+    assert(g0.values.toSet == want)
+    Seq(out, ck).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
+
   test("integrityGateSink: arrival-time payload verdicts per microbatch, stateless") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
