@@ -338,6 +338,9 @@ object CurateCli {
     "audiogate" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--max-clip", "--max-silence", "--silence-tol",
         "--bad-only")),
+    "scenes" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
+      ++ Set("--payload-col", "--frame-bytes", "--stride", "--max-frames",
+        "--cut-threshold", "--decoder", "--emit")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -1342,6 +1345,58 @@ object CurateCli {
             case "N" => gated
             case other => throw new IllegalArgumentException(
               s"--bad-only must be Y or N, got '$other'")
+          }, out)
+
+        case "scenes" =>
+          // shot-boundary segmentation (q204) and the storyboard
+          // identity / dedup census built on it (q205): --emit segments
+          // is the per-scene span table with the first-frame keyframe
+          // signature; boards = one storyboard fingerprint per clip;
+          // dupgroups = the clip-level dedup census (groups > 1, lowest
+          // id canonical). Same string→UTF-8 payload door and the same
+          // founding signature spaces as phashdup/framedup.
+          val spc = argv.getOrElse("--payload-col", "payload")
+          require(in.columns.contains(spc),
+            s"--payload-col '$spc' not in input columns ${in.columns.mkString(",")}")
+          val spayload = in.schema(spc).dataType match {
+            case org.apache.spark.sql.types.BinaryType => col(spc)
+            case org.apache.spark.sql.types.StringType => encode(col(spc), "utf-8")
+            case other => throw new IllegalArgumentException(
+              s"--payload-col must be binary or string, got $other")
+          }
+          val sDecoder = argv.getOrElse("--decoder", "stub") match {
+            case d @ ("stub" | "imageio" | "wav") => d
+            case other => throw new IllegalArgumentException(
+              s"--decoder must be stub, imageio or wav, got '$other'")
+          }
+          if (sDecoder == "imageio") {
+            for (o <- Seq("--frame-bytes", "--stride"); _ <- argv.get(o))
+              throw new IllegalArgumentException(
+                s"$o applies to byte-window decoders (stub/wav); --decoder " +
+                  "imageio reads length-prefixed encoded frames")
+            require(in.schema(spc).dataType ==
+              org.apache.spark.sql.types.BinaryType,
+              "--decoder imageio needs a BINARY payload column " +
+                "(encoded image frames, packImageFrames layout)")
+          }
+          if (sDecoder == "wav")
+            require(in.schema(spc).dataType ==
+              org.apache.spark.sql.types.BinaryType,
+              "--decoder wav needs a BINARY payload column (RIFF/WAVE bytes)")
+          val sin = in.select(col(idCol), spayload.as("_payload"))
+          val sfb = argv.getOrElse("--frame-bytes", "128").toInt
+          val sst = argv.getOrElse("--stride", sfb.toString).toInt
+          val smf = argv.getOrElse("--max-frames", "8").toInt
+          val sct = argv.getOrElse("--cut-threshold", "10").toInt
+          write(argv.getOrElse("--emit", "segments") match {
+            case "segments" => Multimodal.sceneSegments(sin, idCol,
+              "_payload", sfb, sst, smf, sct, sDecoder)
+            case "boards" => Multimodal.storyboardFingerprints(sin, idCol,
+              "_payload", sfb, sst, smf, sct, sDecoder)
+            case "dupgroups" => Multimodal.storyboardDupGroups(sin, idCol,
+              "_payload", sfb, sst, smf, sct, sDecoder)
+            case other => throw new IllegalArgumentException(
+              s"--emit must be segments, boards or dupgroups, got '$other'")
           }, out)
 
         case "framedup" =>

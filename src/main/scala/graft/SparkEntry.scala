@@ -2616,6 +2616,37 @@ object SparkEntry {
         .select(col("id"), col("valid"), col("n_samples"),
           round(col("clip_frac"), 6).as("clip_frac"),
           round(col("silence_frac"), 6).as("silence_frac"), col("keep"))
+    }),
+
+    // ---- Scene-change segmentation (round-13): the SHOT-BOUNDARY
+    //      shape — the first 128-char block repeated 3× gives every
+    //      long doc a provable multi-frame opening scene (consecutive
+    //      dists 0 ≤ cutThreshold 10) while random-text neighbors sit
+    //      near Hamming 32 and provably cut, so the gate sees BOTH
+    //      verdicts (430 3-frame scenes / 618 singles at sf0.001,
+    //      never the q33 vacuous shape) ----
+    "q204_scene_segments" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(expr("substring(text, 1, 128)"), expr("substring(text, 1, 128)"),
+          expr("substring(text, 1, 128)"), expr("substring(text, 129)")).as("text"))
+      val packed = Multimodal.packBinary(d, "doc_id", "text")
+      Multimodal.sceneSegments(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 6, cutThreshold = 10)
+    }),
+
+    // ---- Storyboard dedup (round-13): clip-level identity from the
+    //      ordered scene keyframe signatures — tail-append mutants
+    //      leave every sampled frame untouched on long docs, so the
+    //      re-containered upload pairs with its original even though
+    //      whole-payload hashes differ; short docs gain a frame and
+    //      legitimately don't pair ----
+    "q205_storyboard_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit("TAILJUNKTAILJUNK")).as("text"))
+      val packed = Multimodal.packBinary(d.unionByName(mut), "doc_id", "text")
+      Multimodal.storyboardDupGroups(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 4, cutThreshold = 10)
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -3656,6 +3687,65 @@ object SparkEntry {
       |         / CAST(sum(s) AS DOUBLE) > 0.05 THEN 'tombstone_flood'
       |       ELSE 'cap_probes' END AS advice
       |FROM sz""".stripMargin
+
+  /** The scene chain shared by q204/q205: hex-sliced frames (the q191
+    * sampleFrames arithmetic at frameBytes=stride=128, full frames
+    * only, capped at `maxFrames`) hashed under composite ids
+    * (doc·100+frame), then the lag/cut/running-sum segmentation at
+    * cutThreshold 10 — ends in `scenes(did, fi, h, scene_idx)`. */
+  private def sceneCtes(corpus: String, maxFrames: Int): String =
+    phashHexCtes(
+      s"""SELECT t.doc_id * 100 + u.f AS doc_id, CAST(128 AS BIGINT) AS len,
+        |    substr(t.hx, u.f * 256 + 1, 256) AS hx
+        |  FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+        |          hex(encode(text)) AS hx
+        |        FROM ($corpus)) t,
+        |  unnest(range(0, CASE WHEN t.n >= 128 THEN least((t.n - 128) // 128 + 1, $maxFrames) ELSE 0 END)) u(f)""".stripMargin) +
+    """,
+      |fb AS (SELECT doc_id // 100 AS did, doc_id % 100 AS fi, h FROM hashes),
+      |lagged AS (SELECT did, fi, h,
+      |  lag(h) OVER (PARTITION BY did ORDER BY fi) AS ph FROM fb),
+      |cuts AS (SELECT did, fi, h,
+      |  CASE WHEN ph IS NULL OR bit_count(xor(h, ph)) > 10 THEN 1 ELSE 0 END AS cut
+      |  FROM lagged),
+      |scenes AS (SELECT did, fi, h,
+      |  CAST(sum(cut) OVER (PARTITION BY did ORDER BY fi) - 1 AS INT) AS scene_idx
+      |  FROM cuts)""".stripMargin
+
+  /** q204's oracle: scene segmentation over the repeated-block corpus
+    * (first 128-char block ×3 — consecutive identical frames hold one
+    * scene, the content change after them provably cuts), grouped to
+    * spans with the first-frame keyframe signature. */
+  private val sceneSegOracle: String =
+    sceneCtes("""SELECT doc_id,
+      | substr(text,1,128)||substr(text,1,128)||substr(text,1,128)||substr(text,129) AS text
+      | FROM documents""".stripMargin, 6) +
+    """
+      |SELECT did AS doc_id, scene_idx,
+      |  CAST(min(fi) AS INT) AS start_frame, CAST(max(fi) AS INT) AS end_frame,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  arg_min(h, fi) AS keyframe_sig
+      |FROM scenes GROUP BY 1, 2""".stripMargin
+
+  /** q205's oracle: storyboard identity — ordered scene keyframe
+    * signatures (decimal, comma-joined — the engine renders the same
+    * string) md5'd per clip, then the dup-group census. Tail-append
+    * mutants leave every sampled frame untouched on long docs, so the
+    * pair assembles; short docs gain/lose a frame and legitimately
+    * don't. */
+  private val storyboardOracle: String =
+    sceneCtes("""SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      |   text || 'TAILJUNKTAILJUNK' AS text FROM documents""".stripMargin, 4) +
+    """,
+      |segs AS (SELECT did, scene_idx, arg_min(h, fi) AS ks
+      |  FROM scenes GROUP BY 1, 2),
+      |boards AS (SELECT did,
+      |    md5(string_agg(CAST(ks AS VARCHAR), ',' ORDER BY scene_idx)) AS storyboard
+      |  FROM segs GROUP BY 1)
+      |SELECT storyboard, CAST(count(*) AS BIGINT) AS n_clips,
+      |  min(did) AS canonical_id
+      |FROM boards GROUP BY 1 HAVING count(*) > 1""".stripMargin
 
   /** q190's oracle: the standing probe replayed — store bands from the
     * original corpus, batch (mutant) probe keys widened to Hamming-1
@@ -6250,6 +6340,15 @@ object SparkEntry {
         |SELECT doc_id + 2000000 AS id, TRUE AS valid,
         |  CAST(len AS BIGINT) AS n_samples, 1.0 AS clip_frac,
         |  0.0 AS silence_frac, FALSE AS keep FROM m""".stripMargin,
+
+    // q204: shot-boundary segmentation replayed — frame hashes through
+    // the shared chain, lag/cut/running-sum, span rollup with the
+    // first-frame keyframe signature
+    "q204_scene_segments" -> sceneSegOracle,
+
+    // q205: storyboard identity — ordered keyframe signatures md5'd,
+    // dup-group census over documents ∪ tail-append mutants
+    "q205_storyboard_dedup" -> storyboardOracle,
 
     // q192: the shift-tolerant rung — offset voting replayed end to end
     "q192_frame_shifted" -> frameShiftedOracle,

@@ -316,6 +316,94 @@ object Multimodal {
   }
 
   // --------------------------------------------------------------------
+  // Temporal structure: scene-change segmentation + storyboard identity.
+  // The pair rungs above ask "are these two clips near-dups?"; these ask
+  // "where does ONE clip's content change?" — the shot-boundary question
+  // every video curation pipeline answers before keyframe extraction,
+  // per-scene captioning, or clip-level dedup of re-cut uploads.
+  // --------------------------------------------------------------------
+
+  /** Scene-change segmentation — consecutive-frame signature deltas cut
+    * a clip into scenes (shot-boundary detection, the dHash flavor):
+    * frame i starts a new scene iff it is the first frame or
+    * `Hamming(sig_i, sig_{i-1}) > cutThreshold`. Runs in any founding
+    * signature space (`stub` byte windows / `wav` PCM sample windows /
+    * `imageio` decoded keyframes — [[FrameIndex]]'s dispatch).
+    *
+    * Scale shape: sampling + hashing run in the scan stage ([[sampleFrames]]
+    * + [[dHash]] are codegen'd column expressions), so only ~16-byte
+    * (id, frame_idx, signature) rows reach the window — and the window
+    * is partitioned BY CLIP ID over at most `maxFrames` rows per clip
+    * (hash-partitioned across executors, never a single-partition
+    * global window; lag and the running cut-sum share one sort). At
+    * 100 TB the payload bytes never shuffle, and no task ever holds
+    * more than one clip's frame count. Returns one row per
+    * (clip, scene): (idCol, scene_idx, start_frame, end_frame,
+    * n_frames, keyframe_sig) where `keyframe_sig` is the scene's FIRST
+    * frame signature — the deterministic representative downstream
+    * captioning or dedup keys on. */
+  def sceneSegments(df: DataFrame, idCol: String, payloadCol: String,
+                    frameBytes: Int = 128, stride: Int = 128,
+                    maxFrames: Int = 8, cutThreshold: Int = 10,
+                    decoder: String = StubDecoder): DataFrame = {
+    require(cutThreshold >= 0 && cutThreshold <= 64,
+      s"cutThreshold in [0,64], got $cutThreshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_fi"))
+    frameSigsOf(df, idCol, payloadCol, frameBytes, stride, maxFrames,
+        "_id", decoder)
+      .withColumn("_ph", lag(col("_sig"), 1).over(w))
+      .withColumn("_cut",
+        when(col("_ph").isNull
+          || dHashDistance(col("_sig"), col("_ph")) > cutThreshold, 1L)
+          .otherwise(0L))
+      .withColumn("scene_idx", (sum(col("_cut")).over(w) - 1).cast("int"))
+      .groupBy(col("_id").as(idCol), col("scene_idx"))
+      .agg(min(col("_fi")).cast("int").as("start_frame"),
+        max(col("_fi")).cast("int").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        min_by(col("_sig"), col("_fi")).as("keyframe_sig"))
+  }
+
+  /** Storyboard fingerprint — a clip-level content identity that is
+    * ROBUST to changes outside the sampled window and to within-scene
+    * padding: the ordered sequence of [[sceneSegments]] keyframe
+    * signatures, hashed. Two uploads of the same cut (a re-container,
+    * a tail-append, extra within-scene duplicate frames under the same
+    * keyframes) agree on the storyboard even when whole-payload hashes
+    * differ. One extra per-clip aggregation over the scene rows
+    * (collect at most `maxFrames` 8-byte signatures per clip — bounded
+    * state, map-side combinable). Returns (idCol, storyboard). */
+  def storyboardFingerprints(df: DataFrame, idCol: String, payloadCol: String,
+                             frameBytes: Int = 128, stride: Int = 128,
+                             maxFrames: Int = 8, cutThreshold: Int = 10,
+                             decoder: String = StubDecoder): DataFrame =
+    sceneSegments(df, idCol, payloadCol, frameBytes, stride, maxFrames,
+        cutThreshold, decoder)
+      .groupBy(col(idCol))
+      .agg(md5(encode(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("scene_idx"),
+            col("keyframe_sig")))),
+          s => s.getField("keyframe_sig").cast("string"))),
+        "utf-8")).as("storyboard"))
+
+  /** Storyboard dedup census — the clip-level dedup decision table:
+    * group clips by [[storyboardFingerprints]] identity, report every
+    * group holding more than one clip with its size and canonical
+    * (lowest-id) survivor. A plain hash-groupBy over 32-byte
+    * fingerprints — the exact-dedup scale shape, one shuffle on the
+    * fingerprint. Returns (storyboard, n_clips, canonical_id). */
+  def storyboardDupGroups(df: DataFrame, idCol: String, payloadCol: String,
+                          frameBytes: Int = 128, stride: Int = 128,
+                          maxFrames: Int = 8, cutThreshold: Int = 10,
+                          decoder: String = StubDecoder): DataFrame =
+    storyboardFingerprints(df, idCol, payloadCol, frameBytes, stride,
+        maxFrames, cutThreshold, decoder)
+      .groupBy(col("storyboard"))
+      .agg(count(lit(1)).as("n_clips"), min(col(idCol)).as("canonical_id"))
+      .filter(col("n_clips") > 1)
+
+  // --------------------------------------------------------------------
   // Real image decode (round-12): the JDK ships javax.imageio
   // (PNG/JPEG/BMP/GIF) — no new jars, no egress — so the perceptual
   // rungs' decode step no longer needs the deterministic stub when the

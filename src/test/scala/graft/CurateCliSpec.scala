@@ -2154,4 +2154,57 @@ class CurateCliSpec extends AnyFunSuite {
     rm(wavIn, oW, wIdx, o1, o2, o3, oFw, oAg, oAgBad, agIn, histIn, probeIn)
   }
 
+  test("scenes command: each --emit mode ≡ its library path; option discipline holds") {
+    import graft.ops.Multimodal
+    def block(s: Int): String =
+      (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    val scIn = tmp("cli-scenes-in"); rm(scIn)
+    val rows = Seq(
+      (0L, block(1) * 2 + block(2) + block(3)),
+      (1L, block(1) * 2 + block(2) + block(3) + "JUNK"), // same storyboard
+      (2L, block(9) + block(2) + block(3))).toDF("doc_id", "text")
+    rows.write.parquet(scIn)
+    val packed = Multimodal.packBinary(rows, "doc_id", "text")
+
+    val oSeg = tmp("cli-scenes-seg"); val oBrd = tmp("cli-scenes-brd")
+    val oDup = tmp("cli-scenes-dup"); rm(oSeg, oBrd, oDup)
+    CurateCli.run("scenes", Map("--in" -> scIn, "--out" -> oSeg,
+      "--payload-col" -> "text"))
+    val wantSeg = Multimodal.sceneSegments(packed, "doc_id", "payload")
+      .as[(Long, Int, Int, Int, Long, Long)].collect().toSet
+    assert(spark.read.parquet(oSeg).as[(Long, Int, Int, Int, Long, Long)]
+      .collect().toSet == wantSeg && wantSeg.nonEmpty)
+
+    CurateCli.run("scenes", Map("--in" -> scIn, "--out" -> oBrd,
+      "--payload-col" -> "text", "--emit" -> "boards"))
+    val wantBrd = Multimodal.storyboardFingerprints(packed, "doc_id", "payload")
+      .as[(Long, String)].collect().toSet
+    assert(spark.read.parquet(oBrd).as[(Long, String)].collect().toSet
+      == wantBrd && wantBrd.size == 3)
+
+    CurateCli.run("scenes", Map("--in" -> scIn, "--out" -> oDup,
+      "--payload-col" -> "text", "--emit" -> "dupgroups"))
+    val dup = spark.read.parquet(oDup).as[(String, Long, Long)].collect().toSeq
+    assert(dup.map(d => (d._2, d._3)) == Seq((2L, 0L)),
+      "clips 0 and 1 share the storyboard, canonical = 0")
+
+    val eEmit = intercept[IllegalArgumentException] {
+      CurateCli.run("scenes", Map("--in" -> scIn, "--out" -> oSeg,
+        "--payload-col" -> "text", "--emit" -> "spans"))
+    }
+    assert(eEmit.getMessage.contains("--emit"))
+    val eGeo = intercept[IllegalArgumentException] {
+      CurateCli.run("scenes", Map("--in" -> scIn, "--out" -> oSeg,
+        "--payload-col" -> "text", "--decoder" -> "imageio",
+        "--frame-bytes" -> "64"))
+    }
+    assert(eGeo.getMessage.contains("--frame-bytes"))
+    val eStray = intercept[IllegalArgumentException] {
+      CurateCli.run("scenes", Map("--in" -> scIn, "--out" -> oSeg,
+        "--payload-col" -> "text", "--max-dist" -> "2"))
+    }
+    assert(eStray.getMessage.contains("not valid for 'scenes'"))
+    rm(scIn, oSeg, oBrd, oDup)
+  }
+
 }

@@ -8,8 +8,8 @@ package graft
 object ExplainMain {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q194_frame_capped", "q197_phash_dup_curve",
-        "q198_phash_banding_eval", "q199_frame_incremental")
+      else Seq("q201_wav_neardup", "q203_wav_quality_gate",
+        "q204_scene_segments", "q205_storyboard_dedup")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master("local[8]")

@@ -628,4 +628,85 @@ class PipelineOpsSpec extends AnyFunSuite {
       withRepetition = true)) == Set(1L))
   }
 
+  test("sceneSegments: repeated frames hold a scene, content change cuts, keyframe = first frame") {
+    import graft.ops.Multimodal
+    // deterministic 128-byte blocks, pairwise dHash distance >= 7
+    // (the frameDupPairs fixture), so cutThreshold 10 separates
+    // identical frames (dist 0, same scene) from content changes
+    def block(s: Int): String =
+      (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    val rows = Seq(
+      (0L, block(1) * 3 + block(2) * 2 + block(3)), // scenes 0-2 | 3-4 | 5
+      (1L, block(4)),                               // one frame, one scene
+      (2L, "short")                                 // < 1 frame: no rows
+    ).toDF("doc_id", "t")
+    val packed = Multimodal.packBinary(rows, "doc_id", "t")
+    val got = Multimodal.sceneSegments(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8, cutThreshold = 10)
+      .as[(Long, Int, Int, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5), r._6)).toMap
+    assert(got.keySet == Set((0L, 0), (0L, 1), (0L, 2), (1L, 0)))
+    assert(got((0L, 0))._1 == ((0, 2, 3L)))
+    assert(got((0L, 1))._1 == ((3, 4, 2L)))
+    assert(got((0L, 2))._1 == ((5, 5, 1L)))
+    assert(got((1L, 0))._1 == ((0, 0, 1L)))
+    // the keyframe is the scene's FIRST frame signature, the exact
+    // DHash64 arithmetic the oracle replays
+    assert(got((0L, 0))._2 == graft.functions.DHash64.hash(block(1).getBytes("UTF-8")))
+    assert(got((0L, 1))._2 == graft.functions.DHash64.hash(block(2).getBytes("UTF-8")))
+    assert(got((0L, 2))._2 == graft.functions.DHash64.hash(block(3).getBytes("UTF-8")))
+    intercept[IllegalArgumentException] {
+      Multimodal.sceneSegments(packed, "doc_id", "payload", cutThreshold = 65)
+    }
+  }
+
+  test("storyboard: identity robust to tail-append and within-scene padding; census finds the group") {
+    import graft.ops.Multimodal
+    def block(s: Int): String =
+      (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    val base = block(1) * 2 + block(2) + block(3) // keyframes [b1, b2, b3]
+    val rows = Seq(
+      (0L, base),
+      (1L, base + "JUNK"),                             // change OUTSIDE full frames
+      (2L, block(1) * 3 + block(2) + block(3)),        // extra within-scene frame,
+                                                       // same keyframe sequence
+      (3L, block(9) + block(2) + block(3))             // different opening scene
+    ).toDF("doc_id", "t")
+    val packed = Multimodal.packBinary(rows, "doc_id", "t")
+    val fp = Multimodal.storyboardFingerprints(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8, cutThreshold = 10)
+      .as[(Long, String)].collect().toMap
+    assert(fp(0L) == fp(1L), "tail-append outside the framed window is invisible")
+    assert(fp(0L) == fp(2L), "within-scene duplicate frames keep the keyframe sequence")
+    assert(fp(0L) != fp(3L), "a different opening scene changes the identity")
+    val groups = Multimodal.storyboardDupGroups(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8, cutThreshold = 10)
+      .as[(String, Long, Long)].collect()
+    assert(groups.toSeq == Seq((fp(0L), 3L, 0L)),
+      "one dup group of three clips, canonical = lowest id")
+  }
+
+  test("sceneSegments in the wav space: segmentation runs over the RIFF-extracted PCM") {
+    import graft.ops.Multimodal
+    def block(s: Int): String =
+      (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    val pcm = (block(1) * 2 + block(5)).getBytes("UTF-8")
+    val wavs = Seq(
+      (0L, Multimodal.packWav(pcm)),
+      (1L, Multimodal.packWav(pcm, withListChunk = true)), // layout variance
+      (2L, "notawav".getBytes("UTF-8"))                    // extracts empty
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.sceneSegments(wavs, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8, cutThreshold = 10,
+        decoder = Multimodal.WavDecoder)
+      .as[(Long, Int, Int, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // both containers segment the SAME pcm: scene 0 = frames 0-1, scene 1 = frame 2
+    for (id <- Seq(0L, 1L)) {
+      assert(got((id, 0)) == ((0, 1, 2L)), s"clip $id opening scene")
+      assert(got((id, 1)) == ((2, 2, 1L)), s"clip $id closing scene")
+    }
+    assert(!got.keySet.exists(_._1 == 2L), "a non-WAV payload yields no frames")
+  }
+
 }
