@@ -340,7 +340,8 @@ object CurateCli {
         "--bad-only")),
     "scenes" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--frame-bytes", "--stride", "--max-frames",
-        "--cut-threshold", "--decoder", "--emit")),
+        "--cut-threshold", "--decoder", "--emit", "--min-shared",
+        "--max-per-bucket")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -1388,15 +1389,25 @@ object CurateCli {
           val sst = argv.getOrElse("--stride", sfb.toString).toInt
           val smf = argv.getOrElse("--max-frames", "8").toInt
           val sct = argv.getOrElse("--cut-threshold", "10").toInt
-          write(argv.getOrElse("--emit", "segments") match {
+          val sEmit = argv.getOrElse("--emit", "segments")
+          // the pairing knobs only mean something for the overlap pairs
+          if (sEmit != "overlap")
+            for (o <- Seq("--min-shared", "--max-per-bucket"); _ <- argv.get(o))
+              throw new IllegalArgumentException(
+                s"$o applies to --emit overlap only")
+          write(sEmit match {
             case "segments" => Multimodal.sceneSegments(sin, idCol,
               "_payload", sfb, sst, smf, sct, sDecoder)
             case "boards" => Multimodal.storyboardFingerprints(sin, idCol,
               "_payload", sfb, sst, smf, sct, sDecoder)
             case "dupgroups" => Multimodal.storyboardDupGroups(sin, idCol,
               "_payload", sfb, sst, smf, sct, sDecoder)
+            case "overlap" => Multimodal.sceneOverlapPairs(sin, idCol,
+              "_payload", sfb, sst, smf, sct,
+              argv.getOrElse("--min-shared", "2").toInt,
+              argv.getOrElse("--max-per-bucket", "0").toInt, sDecoder)
             case other => throw new IllegalArgumentException(
-              s"--emit must be segments, boards or dupgroups, got '$other'")
+              s"--emit must be segments, boards, dupgroups or overlap, got '$other'")
           }, out)
 
         case "framedup" =>

@@ -2647,6 +2647,26 @@ object SparkEntry {
       val packed = Multimodal.packBinary(d.unionByName(mut), "doc_id", "text")
       Multimodal.storyboardDupGroups(packed, "doc_id", "payload",
         frameBytes = 128, stride = 128, maxFrames = 4, cutThreshold = 10)
+    }),
+
+    // ---- Scene-overlap pairs (round-13): the RE-CUT detector —
+    //      one-frame rotations of the ≥4-frame docs share exactly 3 of
+    //      4 scene keyframes with their originals (the wrapped tail
+    //      frame never aligns), so the gate sees containment 0.75
+    //      beside the natural full dups' 1.0 — two distinct verdicts,
+    //      never the q33 vacuous shape. Cap wired non-binding (q128
+    //      discipline); output ≡ the uncapped oracle ----
+    "q206_scene_overlap" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mut = d
+        .filter(octet_length(encode(col("text"), "utf-8")) >= 512)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(expr("substring(text, 129)"),
+            expr("substring(text, 1, 128)")).as("text"))
+      val packed = Multimodal.packBinary(d.unionByName(mut), "doc_id", "text")
+      Multimodal.sceneOverlapPairs(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 4, cutThreshold = 10,
+        minShared = 2, maxPerBucket = 1000000)
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -3746,6 +3766,30 @@ object SparkEntry {
       |SELECT storyboard, CAST(count(*) AS BIGINT) AS n_clips,
       |  min(did) AS canonical_id
       |FROM boards GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
+  /** q206's oracle: scene-overlap pairs — distinct (clip, keyframe)
+    * sets equi-joined on the signature, shared counts, and the
+    * containment quotient (exact integers divided as IEEE doubles,
+    * both engines). One-frame rotations of the ≥512-byte docs share
+    * exactly 3 of 4 keyframes with their originals. */
+  private val sceneOverlapOracle: String =
+    sceneCtes("""SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      |   substr(text, 129) || substr(text, 1, 128) AS text FROM documents
+      | WHERE octet_length(encode(text)) >= 512""".stripMargin, 4) +
+    """,
+      |segs AS (SELECT did, scene_idx, arg_min(h, fi) AS ks
+      |  FROM scenes GROUP BY 1, 2),
+      |kf AS (SELECT DISTINCT did, ks FROM segs),
+      |nsc AS (SELECT did, CAST(count(*) AS BIGINT) AS n FROM kf GROUP BY 1),
+      |shared AS (SELECT a.did AS id_a, b.did AS id_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM kf a JOIN kf b ON a.ks = b.ks AND a.did < b.did GROUP BY 1, 2)
+      |SELECT s.id_a, s.id_b, s.n_shared,
+      |  CAST(s.n_shared AS DOUBLE) / least(na.n, nb.n) AS containment
+      |FROM shared s JOIN nsc na ON na.did = s.id_a
+      |  JOIN nsc nb ON nb.did = s.id_b
+      |WHERE s.n_shared >= 2""".stripMargin
 
   /** q190's oracle: the standing probe replayed — store bands from the
     * original corpus, batch (mutant) probe keys widened to Hamming-1
@@ -6349,6 +6393,10 @@ object SparkEntry {
     // q205: storyboard identity — ordered keyframe signatures md5'd,
     // dup-group census over documents ∪ tail-append mutants
     "q205_storyboard_dedup" -> storyboardOracle,
+
+    // q206: scene-overlap pairs — the re-cut detector over documents ∪
+    // one-frame rotations (shared keyframe sets, containment quotient)
+    "q206_scene_overlap" -> sceneOverlapOracle,
 
     // q192: the shift-tolerant rung — offset voting replayed end to end
     "q192_frame_shifted" -> frameShiftedOracle,

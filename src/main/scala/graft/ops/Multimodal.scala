@@ -403,6 +403,53 @@ object Multimodal {
       .agg(count(lit(1)).as("n_clips"), min(col(idCol)).as("canonical_id"))
       .filter(col("n_clips") > 1)
 
+  /** Scene-overlap pairs — the RE-CUT / COMPILATION detector:
+    * [[storyboardDupGroups]] finds clips whose scene SEQUENCE matches
+    * exactly; this finds clips that merely SHARE scenes — a re-ordered
+    * cut, a highlights reel, a compilation lifting scenes from a longer
+    * upload. Clips pair on shared scene keyframe signatures (set
+    * semantics — duplicate scenes within a clip count once), with
+    * `containment = n_shared / min(|scenes_a|, |scenes_b|)` so a short
+    * excerpt fully contained in a long clip reads 1.0.
+    *
+    * Scale shape: the join side is the DISTINCT (clip, keyframe_sig)
+    * table — at most `maxFrames` 16-byte rows per clip — equi-joined on
+    * the 8-byte signature, never all-pairs. A keyframe shared by a
+    * pathological number of clips (black frames, title cards, color
+    * bars — scene detection makes these MORE likely than raw frames,
+    * every fade-to-black becomes a scene) floods its bucket quadratic:
+    * `maxPerBucket` keeps the lowest `maxPerBucket` clip ids per
+    * signature, the [[perceptualDupPairs]] cap discipline, and the
+    * containment denominator counts the CAPPED sets so the quotient
+    * stays consistent with the pairs actually generated. Returns
+    * (id_a, id_b, n_shared, containment), id_a < id_b, n_shared >=
+    * `minShared`. */
+  def sceneOverlapPairs(df: DataFrame, idCol: String, payloadCol: String,
+                        frameBytes: Int = 128, stride: Int = 128,
+                        maxFrames: Int = 8, cutThreshold: Int = 10,
+                        minShared: Int = 2, maxPerBucket: Int = 0,
+                        decoder: String = StubDecoder): DataFrame = {
+    require(minShared >= 1, s"minShared >= 1, got $minShared")
+    val kf = sceneSegments(df, idCol, payloadCol, frameBytes, stride,
+        maxFrames, cutThreshold, decoder)
+      .select(col(idCol).as("_id"), col("keyframe_sig").as("_ks"))
+      .distinct()
+    val capped = capBuckets(kf, Seq("_ks"), Seq("_id"), maxPerBucket)
+    val n = capped.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val a = capped.select(col("_ks"), col("_id").as("id_a"))
+    val b = capped.select(col("_ks"), col("_id").as("id_b"))
+    a.join(b, Seq("_ks"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(n.select(col("_id").as("id_a"), col("_n").as("_na")), Seq("id_a"))
+      .join(n.select(col("_id").as("id_b"), col("_n").as("_nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double")
+          / least(col("_na"), col("_nb"))).as("containment"))
+  }
+
   // --------------------------------------------------------------------
   // Real image decode (round-12): the JDK ships javax.imageio
   // (PNG/JPEG/BMP/GIF) — no new jars, no egress — so the perceptual

@@ -2204,7 +2204,23 @@ class CurateCliSpec extends AnyFunSuite {
         "--payload-col" -> "text", "--max-dist" -> "2"))
     }
     assert(eStray.getMessage.contains("not valid for 'scenes'"))
-    rm(scIn, oSeg, oBrd, oDup)
+
+    // --emit overlap ≡ the library pairs; its knobs rejected elsewhere
+    val oOvl = tmp("cli-scenes-ovl"); rm(oOvl)
+    CurateCli.run("scenes", Map("--in" -> scIn, "--out" -> oOvl,
+      "--payload-col" -> "text", "--emit" -> "overlap",
+      "--min-shared" -> "2"))
+    val wantOvl = Multimodal.sceneOverlapPairs(packed, "doc_id", "payload",
+        minShared = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(spark.read.parquet(oOvl).as[(Long, Long, Long, Double)]
+      .collect().toSet == wantOvl && wantOvl.nonEmpty)
+    val eKnob = intercept[IllegalArgumentException] {
+      CurateCli.run("scenes", Map("--in" -> scIn, "--out" -> oSeg,
+        "--payload-col" -> "text", "--min-shared" -> "2"))
+    }
+    assert(eKnob.getMessage.contains("--emit overlap"))
+    rm(scIn, oSeg, oBrd, oDup, oOvl)
   }
 
 }

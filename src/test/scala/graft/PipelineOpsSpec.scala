@@ -686,6 +686,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       "one dup group of three clips, canonical = lowest id")
   }
 
+  test("sceneOverlapPairs: shared scene sets pair re-cuts; set semantics; the cap prices floods") {
+    import graft.ops.Multimodal
+    def block(s: Int): String =
+      (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    val rows = Seq(
+      (0L, block(1) + block(2) + block(3) + block(4)), // scenes {b1,b2,b3,b4}
+      (1L, block(2) + block(3) + block(4) + block(1)), // rotation: same SET
+      (2L, block(2) + block(3)),                       // excerpt: contained
+      (3L, block(1) + block(9)),                       // 1 shared -> excluded
+      (4L, block(1) * 2 + block(5))                    // dup scene counts ONCE
+    ).toDF("doc_id", "t")
+    val packed = Multimodal.packBinary(rows, "doc_id", "t")
+    val got = Multimodal.sceneOverlapPairs(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8, cutThreshold = 10,
+        minShared = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.keySet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(got((0L, 1L)) == ((4L, 1.0)), "a full rotation shares the whole set")
+    assert(got((0L, 2L)) == ((2L, 1.0)), "the excerpt is fully contained")
+    assert(got((1L, 2L)) == ((2L, 1.0)))
+    // the cap keeps the LOWEST clip ids per keyframe bucket: at 2, clip
+    // 2's rows lose every bucket to clips 0 and 1, so only (0,1) pairs
+    val capped = Multimodal.sceneOverlapPairs(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8, cutThreshold = 10,
+        minShared = 2, maxPerBucket = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(capped == Map((0L, 1L) -> ((4L, 1.0))))
+    intercept[IllegalArgumentException] {
+      Multimodal.sceneOverlapPairs(packed, "doc_id", "payload", minShared = 0)
+    }
+  }
+
   test("sceneSegments in the wav space: segmentation runs over the RIFF-extracted PCM") {
     import graft.ops.Multimodal
     def block(s: Int): String =
