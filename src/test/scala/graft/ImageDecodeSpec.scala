@@ -156,4 +156,38 @@ class ImageDecodeSpec extends AnyFunSuite {
     assert(got(0L) == ((0L, true, 16, 9, 3, 51.0 / 255.0)))
     assert(got(1L) == ((1L, false, 0, 0, 0, -1.0)))
   }
+
+  test("sceneSegments in the imageio space: decoded keyframes segment; storyboard survives padding") {
+    val w = 63; val h = 48
+    def frame(s: Int) = png(w, h) { (x, y) =>
+      (cellPattern(w, h)(x, y) + s * 53) % 200 }
+    // identical frames sit at distance 0; DIFFERENT pattern frames sit
+    // beyond Hamming 2 (the frameDupPairsDecoded contract), so
+    // cutThreshold 2 separates within-scene stability from content cuts
+    val clipA = Multimodal.packImageFrames(
+      Seq(frame(1), frame(1), frame(2), frame(2), frame(5)))
+    val rows = Seq((0L, clipA)).toDF("doc_id", "payload")
+    val got = Multimodal.sceneSegments(rows, "doc_id", "payload",
+        maxFrames = 8, cutThreshold = 2,
+        decoder = Multimodal.ImageioDecoder)
+      .as[(Long, Int, Int, Int, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5), r._6)).toMap
+    assert(got.keySet == Set(0, 1, 2))
+    assert(got(0)._1 == ((0, 1, 2L)) && got(1)._1 == ((2, 3, 2L))
+      && got(2)._1 == ((4, 4, 1L)))
+    // keyframes are the REAL decoder's signatures, not the byte stub
+    assert(got(0)._2 == Multimodal.dHashImage(frame(1)).get)
+    assert(got(1)._2 == Multimodal.dHashImage(frame(2)).get)
+    // storyboard identity: within-scene duplicate frames are invisible
+    val clipB = Multimodal.packImageFrames(
+      Seq(frame(1), frame(2), frame(2), frame(2), frame(5)))
+    val clipC = Multimodal.packImageFrames(Seq(frame(9), frame(2)))
+    val fp = Multimodal.storyboardFingerprints(
+        Seq((0L, clipA), (1L, clipB), (2L, clipC)).toDF("doc_id", "payload"),
+        "doc_id", "payload", maxFrames = 8, cutThreshold = 2,
+        decoder = Multimodal.ImageioDecoder)
+      .as[(Long, String)].collect().toMap
+    assert(fp(0L) == fp(1L), "same keyframe sequence through the real decoder")
+    assert(fp(0L) != fp(2L))
+  }
 }
