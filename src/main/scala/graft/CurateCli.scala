@@ -342,6 +342,9 @@ object CurateCli {
       ++ Set("--payload-col", "--frame-bytes", "--stride", "--max-frames",
         "--cut-threshold", "--decoder", "--emit", "--min-shared",
         "--max-per-bucket")),
+    "resize" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
+      ++ Set("--payload-col", "--max-w", "--max-h", "--format",
+        "--bad-only")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -1344,6 +1347,29 @@ object CurateCli {
           write(argv.getOrElse("--bad-only", "N") match {
             case "Y" => gated.filter(!col("keep"))
             case "N" => gated
+            case other => throw new IllegalArgumentException(
+              s"--bad-only must be Y or N, got '$other'")
+          }, out)
+
+        case "resize" =>
+          // the thumbnail rung: bound every decodable image inside
+          // (--max-w, --max-h), aspect-preserving, verbatim pass-through
+          // when already within bounds, lossless re-encode otherwise;
+          // --bad-only Y keeps only the undecodables (the audit shape)
+          val rpc = argv.getOrElse("--payload-col", "payload")
+          require(in.columns.contains(rpc),
+            s"--payload-col '$rpc' not in input columns ${in.columns.mkString(",")}")
+          require(in.schema(rpc).dataType ==
+            org.apache.spark.sql.types.BinaryType,
+            "resize needs a BINARY payload column (encoded image bytes)")
+          val sized = Multimodal.resizeImages(
+            in.select(col(idCol), col(rpc).as("payload")), idCol,
+            maxW = argv.getOrElse("--max-w", "256").toInt,
+            maxH = argv.getOrElse("--max-h", "256").toInt,
+            format = argv.getOrElse("--format", "png"))
+          write(argv.getOrElse("--bad-only", "N") match {
+            case "Y" => sized.filter(!col("valid"))
+            case "N" => sized
             case other => throw new IllegalArgumentException(
               s"--bad-only must be Y or N, got '$other'")
           }, out)

@@ -1511,4 +1511,79 @@ object Multimodal {
       }
       .toDF()
   }
+
+  final case class ResizedImage(id: Long, valid: Boolean, resized: Boolean,
+                                width: Int, height: Int, payload: Array[Byte])
+
+  /** Thumbnail / resize rung — the last of the brief's multimodal
+    * plumbing quartet (decode / feature-extract / RESIZE /
+    * frame-sample), and the rung a 100-TB image corpus runs before
+    * anything else: training pipelines consume bounded-resolution
+    * inputs, and shipping original 4K payloads through every
+    * downstream pass wastes 10–100× the bytes.
+    *
+    * Fits each decodable payload inside (maxW, maxH) PRESERVING aspect
+    * ratio, bilinear interpolation, and NEVER upscales: an
+    * already-fitting payload passes through VERBATIM (original encoded
+    * bytes, zero re-encode cost or quality loss — the common case once
+    * a corpus has been bounded before). Resized payloads re-encode in
+    * `format` (png/bmp — the JDK's LOSSLESS writers, so the operation
+    * is deterministic and idempotent; lossy JPEG would re-degrade on
+    * every pass). Undecodables keep their row with `valid = false` and
+    * a NULL payload (the audit shape).
+    *
+    * Scale shape: row-local mapPartitions (one ImageIO context per
+    * partition, never per row), ZERO shuffles — decode, scale and
+    * re-encode all run inside the scan stage's task, and the output
+    * bytes are bounded by maxW·maxH·3 per row regardless of input
+    * size, so every downstream stage moves less data than this one
+    * read. */
+  def resizeImages(packed: DataFrame, idCol: String = "doc_id",
+                   maxW: Int = 256, maxH: Int = 256,
+                   format: String = "png"): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"positive bounds, got ${maxW}x$maxH")
+    require(Seq("png", "bmp").contains(format),
+      s"format must be png or bmp (lossless, idempotent), got '$format'")
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null || bytes.isEmpty) None
+            else try {
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+            } catch { case scala.util.control.NonFatal(_) => None }
+          img match {
+            case None => ResizedImage(id, valid = false, resized = false,
+              0, 0, null)
+            case Some(src) =>
+              val (w, h) = (src.getWidth, src.getHeight)
+              if (w <= maxW && h <= maxH)
+                ResizedImage(id, valid = true, resized = false, w, h, bytes)
+              else {
+                val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
+                val nw = math.max(1, math.floor(w * scale).toInt)
+                val nh = math.max(1, math.floor(h * scale).toInt)
+                val dst = new java.awt.image.BufferedImage(nw, nh,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = dst.createGraphics()
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(src, 0, 0, nw, nh, null)
+                g.dispose()
+                val out = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(dst, format, out)
+                ResizedImage(id, valid = true, resized = true, nw, nh,
+                  out.toByteArray)
+              }
+          }
+        }
+      }
+      .toDF()
+  }
 }

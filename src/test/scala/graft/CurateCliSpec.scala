@@ -2223,4 +2223,44 @@ class CurateCliSpec extends AnyFunSuite {
     rm(scIn, oSeg, oBrd, oDup, oOvl)
   }
 
+  test("resize command ≡ the library thumbnail rung; --bad-only keeps undecodables; binary required") {
+    import graft.ops.Multimodal
+    def png(w: Int, h: Int, v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rzIn = tmp("cli-resize-in"); rm(rzIn)
+    val rzRows = Seq((0L, png(64, 48, 100)), (1L, "junk".getBytes))
+      .toDF("doc_id", "payload")
+    rzRows.write.parquet(rzIn)
+    val oRz = tmp("cli-resize"); val oRzBad = tmp("cli-resize-bad"); rm(oRz, oRzBad)
+    CurateCli.run("resize", Map("--in" -> rzIn, "--out" -> oRz,
+      "--max-w" -> "32", "--max-h" -> "32"))
+    val want = Multimodal.resizeImages(rzRows, "doc_id", maxW = 32, maxH = 32)
+      .as[(Long, Boolean, Boolean, Int, Int, Array[Byte])].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5,
+        Option(r._6).map(_.toSeq))).toSet
+    assert(spark.read.parquet(oRz)
+      .as[(Long, Boolean, Boolean, Int, Int, Array[Byte])].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5,
+        Option(r._6).map(_.toSeq))).toSet == want && want.size == 2)
+    CurateCli.run("resize", Map("--in" -> rzIn, "--out" -> oRzBad,
+      "--bad-only" -> "Y"))
+    val bad = spark.read.parquet(oRzBad).select("id").as[Long].collect().toSeq
+    assert(bad == Seq(1L), "only the undecodable survives --bad-only")
+    val eTxt = intercept[IllegalArgumentException] {
+      val txtIn = tmp("cli-resize-txt"); rm(txtIn)
+      Seq((0L, "s")).toDF("doc_id", "payload").write.parquet(txtIn)
+      try CurateCli.run("resize", Map("--in" -> txtIn, "--out" -> oRz))
+      finally rm(txtIn)
+    }
+    assert(eTxt.getMessage.contains("BINARY"))
+    rm(rzIn, oRz, oRzBad)
+  }
+
 }

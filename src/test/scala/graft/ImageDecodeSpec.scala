@@ -190,4 +190,40 @@ class ImageDecodeSpec extends AnyFunSuite {
     assert(fp(0L) == fp(1L), "same keyframe sequence through the real decoder")
     assert(fp(0L) != fp(2L))
   }
+
+  test("resizeImages: aspect-preserving bound, verbatim pass-through, lossless content, audit rows") {
+    val rows = Seq(
+      (0L, png(64, 48)((_, _) => 100)),  // over both bounds -> 32x24
+      (1L, png(16, 9)((_, _) => 51)),    // already fits -> verbatim
+      (2L, "garbage".getBytes),          // undecodable -> audited
+      (3L, png(100, 10)((_, _) => 7))    // wide: width binds -> 32x3
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.resizeImages(rows, "doc_id", maxW = 32, maxH = 32)
+      .as[(Long, Boolean, Boolean, Int, Int, Array[Byte])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._2 && got(0L)._3 && (got(0L)._4, got(0L)._5) == ((32, 24)))
+    // bilinear on a constant plane is the constant: decode the thumb
+    // and check every BT.601 luma is exactly 100 (gray v -> luma v)
+    val thumb = Multimodal.decodeImage(got(0L)._6).get
+    assert(thumb.width == 32 && thumb.height == 24)
+    assert(thumb.luma.forall(b => (b & 0xff) == 100),
+      "lossless re-encode of a constant plane keeps every pixel")
+    // within-bounds payloads pass through VERBATIM, not re-encoded
+    assert(!got(1L)._3 && got(1L)._6.sameElements(png(16, 9)((_, _) => 51)))
+    assert(!got(2L)._2 && got(2L)._6 == null, "undecodable audits with NULL payload")
+    assert((got(3L)._4, got(3L)._5) == ((32, 3)),
+      "the binding dimension scales, the other floors (never 0)")
+    // idempotence: resizing the resized output is a verbatim pass-through
+    val again = Multimodal.resizeImages(
+        Seq((0L, got(0L)._6)).toDF("doc_id", "payload"), "doc_id",
+        maxW = 32, maxH = 32)
+      .as[(Long, Boolean, Boolean, Int, Int, Array[Byte])].collect().head
+    assert(again._2 && !again._3 && again._6.sameElements(got(0L)._6))
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImages(rows, "doc_id", maxW = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImages(rows, "doc_id", format = "jpg")
+    }
+  }
 }
