@@ -345,6 +345,8 @@ object CurateCli {
     "resize" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--max-w", "--max-h", "--format",
         "--bad-only")),
+    "crossmodal" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
+      ++ Set("--payload-col", "--caption-col", "--decoder", "--bad-only")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -1347,6 +1349,40 @@ object CurateCli {
           write(argv.getOrElse("--bad-only", "N") match {
             case "Y" => gated.filter(!col("keep"))
             case "N" => gated
+            case other => throw new IllegalArgumentException(
+              s"--bad-only must be Y or N, got '$other'")
+          }, out)
+
+        case "crossmodal" =>
+          // the paired image↔caption dedup audit (q207): verdicts
+          // exact_dup / recaptioned / stock_caption / ok per pair row;
+          // --bad-only Y keeps the violations (the integrity shape)
+          val xpc = argv.getOrElse("--payload-col", "payload")
+          val xcc = argv.getOrElse("--caption-col", "caption")
+          for (c <- Seq(xpc, xcc))
+            require(in.columns.contains(c),
+              s"column '$c' not in input columns ${in.columns.mkString(",")}")
+          val xpayload = in.schema(xpc).dataType match {
+            case org.apache.spark.sql.types.BinaryType => col(xpc)
+            case org.apache.spark.sql.types.StringType => encode(col(xpc), "utf-8")
+            case other => throw new IllegalArgumentException(
+              s"--payload-col must be binary or string, got $other")
+          }
+          val xDecoder = argv.getOrElse("--decoder", "stub") match {
+            case dd @ ("stub" | "imageio" | "wav") => dd
+            case other => throw new IllegalArgumentException(
+              s"--decoder must be stub, imageio or wav, got '$other'")
+          }
+          if (xDecoder != "stub")
+            require(in.schema(xpc).dataType ==
+              org.apache.spark.sql.types.BinaryType,
+              s"--decoder $xDecoder needs a BINARY payload column")
+          val audited = Multimodal.crossModalDupAudit(
+            in.select(col(idCol), xpayload.as("_payload"), col(xcc)),
+            idCol, "_payload", xcc, xDecoder)
+          write(argv.getOrElse("--bad-only", "N") match {
+            case "Y" => audited.filter(col("verdict") =!= "ok")
+            case "N" => audited
             case other => throw new IllegalArgumentException(
               s"--bad-only must be Y or N, got '$other'")
           }, out)

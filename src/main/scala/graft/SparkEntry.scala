@@ -2667,6 +2667,33 @@ object SparkEntry {
       Multimodal.sceneOverlapPairs(packed, "doc_id", "payload",
         frameBytes = 128, stride = 128, maxFrames = 4, cutThreshold = 10,
         minShared = 2, maxPerBucket = 1000000)
+    }),
+
+    // ---- Cross-modal consistency audit (round-13): the paired
+    //      image↔caption dedup verdicts — five corpus arms plant all
+    //      four classes (clones → exact_dup, alt-caption → recaptioned,
+    //      first-byte image mutants → stock_caption where the dHash
+    //      moves / exact_dup where the 1-bit edit lands on 0, unique
+    //      arm → ok: 1435/522/63/480 at sf0.001) ----
+    "q207_crossmodal_audit" -> ((s, dir) => {
+      val c0 = tbl(s, dir, "documents").select(col("doc_id"),
+        expr("substring(text, 1, 200)").as("img"),
+        when(length(col("text")) > 200, expr("substring(text, 201)"))
+          .otherwise(lit("")).as("cap"))
+      val arms = c0
+        .unionByName(c0.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("img"), col("cap")))
+        .unionByName(c0.select((col("doc_id") + 2000000L).as("doc_id"),
+          col("img"), concat(col("cap"), lit(" alt take")).as("cap")))
+        .unionByName(c0.select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("Z"), expr("substring(img, 2)")).as("img"), col("cap")))
+        .unionByName(c0.select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(lit("Q"), col("doc_id").cast("string"), col("img")).as("img"),
+          concat(col("doc_id").cast("string"), lit(" "), col("cap")).as("cap")))
+      Multimodal.crossModalDupAudit(
+        arms.select(col("doc_id"), encode(col("img"), "utf-8").as("payload"),
+          col("cap")),
+        "doc_id", "payload", "cap")
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -3790,6 +3817,47 @@ object SparkEntry {
       |FROM shared s JOIN nsc na ON na.did = s.id_a
       |  JOIN nsc nb ON nb.did = s.id_b
       |WHERE s.n_shared >= 2""".stripMargin
+
+  /** q207's five-arm (doc_id, img, cap) corpus — nested WITH inside the
+    * derived table (DuckDB accepts CTEs in subqueries), reused by both
+    * the signature source and the caption-fingerprint side. */
+  private val crossModalCorpus: String =
+    """WITH c0 AS (SELECT doc_id, substr(text, 1, 200) AS img,
+      |    CASE WHEN length(text) > 200 THEN substr(text, 201) ELSE '' END AS cap
+      |  FROM documents)
+      | SELECT doc_id, img, cap FROM c0
+      | UNION ALL SELECT doc_id + 1000000, img, cap FROM c0
+      | UNION ALL SELECT doc_id + 2000000, img, cap || ' alt take' FROM c0
+      | UNION ALL SELECT doc_id + 3000000, 'Z' || substr(img, 2), cap FROM c0
+      | UNION ALL SELECT doc_id + 4000000,
+      |   'Q' || CAST(doc_id AS VARCHAR) || img,
+      |   CAST(doc_id AS VARCHAR) || ' ' || cap FROM c0""".stripMargin
+
+  /** q207's oracle: image signatures through the shared hash chain,
+    * caption fingerprints through the q13 whitespace-normalized md5,
+    * the three count-shaped groups joined back, and the same 4-way
+    * verdict case. */
+  private val crossModalOracle: String =
+    phashCtes(s"SELECT doc_id, img AS text FROM ($crossModalCorpus)") +
+    s""",
+      |caps AS (SELECT doc_id,
+      |    md5(lower(trim(regexp_replace(cap, '\\s+', ' ', 'g')))) AS cfp
+      |  FROM ($crossModalCorpus)),
+      |rws AS (SELECT h.doc_id, h.h, c.cfp FROM hashes h JOIN caps c USING (doc_id)),
+      |img AS (SELECT h, CAST(count(DISTINCT cfp) AS BIGINT) AS n_caps
+      |  FROM rws GROUP BY 1),
+      |cg AS (SELECT cfp, CAST(count(DISTINCT h) AS BIGINT) AS n_imgs
+      |  FROM rws GROUP BY 1),
+      |pg AS (SELECT h, cfp, CAST(count(*) AS BIGINT) AS n_exact
+      |  FROM rws GROUP BY 1, 2)
+      |SELECT r.doc_id, pg.n_exact,
+      |  img.n_caps AS n_captions_for_image, cg.n_imgs AS n_images_for_caption,
+      |  CASE WHEN pg.n_exact > 1 THEN 'exact_dup'
+      |       WHEN img.n_caps > 1 THEN 'recaptioned'
+      |       WHEN cg.n_imgs > 1 THEN 'stock_caption'
+      |       ELSE 'ok' END AS verdict
+      |FROM rws r JOIN img ON img.h = r.h JOIN cg ON cg.cfp = r.cfp
+      |  JOIN pg ON pg.h = r.h AND pg.cfp = r.cfp""".stripMargin
 
   /** q190's oracle: the standing probe replayed — store bands from the
     * original corpus, batch (mutant) probe keys widened to Hamming-1
@@ -6397,6 +6465,10 @@ object SparkEntry {
     // q206: scene-overlap pairs — the re-cut detector over documents ∪
     // one-frame rotations (shared keyframe sets, containment quotient)
     "q206_scene_overlap" -> sceneOverlapOracle,
+
+    // q207: the cross-modal image↔caption dedup verdicts over the
+    // five-arm corpus (clones / alt captions / image mutants / uniques)
+    "q207_crossmodal_audit" -> crossModalOracle,
 
     // q192: the shift-tolerant rung — offset voting replayed end to end
     "q192_frame_shifted" -> frameShiftedOracle,

@@ -1512,6 +1512,55 @@ object Multimodal {
       .toDF()
   }
 
+  /** Cross-modal consistency audit — the paired image↔caption dedup
+    * verdict table every multimodal training corpus runs (the
+    * LAION-style curation step): content identity on BOTH sides of the
+    * pair, because the duplication classes need different remedies.
+    * Image identity = the whole-payload signature in the founding
+    * `decoder` space; caption identity = the whitespace-normalized
+    * [[TextAnalysis.fingerprint]]. Per pair row:
+    *
+    *   - `exact_dup`       same (image, caption) appears > 1× — drop all
+    *                       but one, pure redundancy;
+    *   - `recaptioned`     the image also ships under OTHER captions —
+    *                       keep one caption or the model memorizes the
+    *                       image with contradictory supervision;
+    *   - `stock_caption`   the caption also ships under OTHER images
+    *                       ("image may contain...", alt-text boilerplate)
+    *                       — a caption-quality signal, not an image one;
+    *   - `ok`              both sides unique.
+    *
+    * Scale shape: three COUNT-shaped aggregations over 8/16-byte keys
+    * (signature, fingerprint, and the pair) joined back to the narrow
+    * (id, sig, cfp) rows — counts only, never pair enumeration, so a
+    * million-row stock-caption flood costs one hash-agg bucket, not a
+    * quadratic join. Payloads the non-stub spaces cannot decode DROP
+    * (the [[perceptualDupPairsDecoded]] discipline — run
+    * [[payloadIntegrity]] first to find them). Returns (idCol, n_exact,
+    * n_captions_for_image, n_images_for_caption, verdict). */
+  def crossModalDupAudit(df: DataFrame, idCol: String, payloadCol: String,
+                         captionCol: String,
+                         decoder: String = StubDecoder): DataFrame = {
+    val sig = pHashSigsOf(df, idCol, payloadCol, decoder, "_id")
+    val cap = df.select(col(idCol).as("_id"),
+      TextAnalysis.fingerprint(col(captionCol)).as("_cfp"))
+    val rows = sig.join(cap, Seq("_id"))
+    val img = rows.groupBy(col("_sig"))
+      .agg(countDistinct(col("_cfp")).as("n_captions_for_image"))
+    val capg = rows.groupBy(col("_cfp"))
+      .agg(countDistinct(col("_sig")).as("n_images_for_caption"))
+    val pair = rows.groupBy(col("_sig"), col("_cfp"))
+      .agg(count(lit(1)).as("n_exact"))
+    rows.join(img, Seq("_sig")).join(capg, Seq("_cfp"))
+      .join(pair, Seq("_sig", "_cfp"))
+      .select(col("_id").as(idCol), col("n_exact"),
+        col("n_captions_for_image"), col("n_images_for_caption"),
+        when(col("n_exact") > 1, "exact_dup")
+          .when(col("n_captions_for_image") > 1, "recaptioned")
+          .when(col("n_images_for_caption") > 1, "stock_caption")
+          .otherwise("ok").as("verdict"))
+  }
+
   final case class ResizedImage(id: Long, valid: Boolean, resized: Boolean,
                                 width: Int, height: Int, payload: Array[Byte])
 

@@ -2263,4 +2263,38 @@ class CurateCliSpec extends AnyFunSuite {
     rm(rzIn, oRz, oRzBad)
   }
 
+  test("crossmodal command ≡ the library audit; --bad-only keeps the violations") {
+    import graft.ops.Multimodal
+    val xmIn = tmp("cli-xm-in"); rm(xmIn)
+    // arithmetic blocks, not prose: structurally-similar short strings
+    // can genuinely share a dHash (the spec-fixture gotcha)
+    def xblock(s: Int): String =
+      (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    val xmRows = Seq(
+      (0L, xblock(1), "cap one"),
+      (1L, xblock(1), "cap one"),
+      (2L, xblock(3), "solo caption")
+    ).toDF("doc_id", "img", "caption")
+    xmRows.write.parquet(xmIn)
+    val oXm = tmp("cli-xm"); val oXmBad = tmp("cli-xm-bad"); rm(oXm, oXmBad)
+    CurateCli.run("crossmodal", Map("--in" -> xmIn, "--out" -> oXm,
+      "--payload-col" -> "img"))
+    val want = Multimodal.crossModalDupAudit(
+        xmRows.select(col("doc_id"), encode(col("img"), "utf-8").as("p"),
+          col("caption")), "doc_id", "p", "caption")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(spark.read.parquet(oXm).as[(Long, Long, Long, Long, String)]
+      .collect().toSet == want && want.size == 3)
+    CurateCli.run("crossmodal", Map("--in" -> xmIn, "--out" -> oXmBad,
+      "--payload-col" -> "img", "--bad-only" -> "Y"))
+    assert(spark.read.parquet(oXmBad).select("doc_id").as[Long]
+      .collect().toSet == Set(0L, 1L), "only the exact-dup pair survives")
+    val eCap = intercept[IllegalArgumentException] {
+      CurateCli.run("crossmodal", Map("--in" -> xmIn, "--out" -> oXm,
+        "--payload-col" -> "img", "--caption-col" -> "nope"))
+    }
+    assert(eCap.getMessage.contains("'nope'"))
+    rm(xmIn, oXm, oXmBad)
+  }
+
 }

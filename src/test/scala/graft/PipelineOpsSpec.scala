@@ -720,6 +720,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("crossModalDupAudit: one verdict per duplication class; normalization pins caption identity") {
+    import graft.ops.Multimodal
+    def block(s: Int): String =
+      (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    val (a, b, c, d) = (block(1), block(2), block(3), block(4))
+    val rows = Seq(
+      (0L, a, "cap one"), (1L, a, "cap one"),  // exact clone pair
+      (2L, a, "other cap"),                    // image A recaptioned
+      (3L, b, "cap one"),                      // stock caption across images
+      (4L, c, "solo"),                         // both sides unique
+      (5L, d, "  CAP   one ")                  // normalizes to 'cap one'
+    ).toDF("doc_id", "img", "cap")
+    val got = Multimodal.crossModalDupAudit(
+        rows.select(col("doc_id"), encode(col("img"), "utf-8").as("payload"),
+          col("cap")), "doc_id", "payload", "cap")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4), r._5)).toMap
+    assert(got(0L) == (((2L, 2L, 3L), "exact_dup")))
+    assert(got(1L) == (((2L, 2L, 3L), "exact_dup")))
+    assert(got(2L) == (((1L, 2L, 1L), "recaptioned")))
+    assert(got(3L) == (((1L, 1L, 3L), "stock_caption")))
+    assert(got(4L) == (((1L, 1L, 1L), "ok")))
+    assert(got(5L) == (((1L, 1L, 3L), "stock_caption")),
+      "whitespace/case variants share the caption identity")
+    // a non-stub space drops what it cannot decode (audit via
+    // payloadIntegrity first): the garbage row exits, the WAV stays
+    val wavRows = Seq(
+      (0L, Multimodal.packWav("pcm-bytes-payload".getBytes("UTF-8")), "cap"),
+      (1L, "notawav".getBytes("UTF-8"), "cap")
+    ).toDF("doc_id", "payload", "cap")
+    val wavGot = Multimodal.crossModalDupAudit(wavRows, "doc_id", "payload",
+        "cap", decoder = Multimodal.WavDecoder)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(wavGot.map(_._1).toSeq == Seq(0L) && wavGot.head._5 == "ok")
+  }
+
   test("sceneSegments in the wav space: segmentation runs over the RIFF-extracted PCM") {
     import graft.ops.Multimodal
     def block(s: Int): String =
