@@ -347,6 +347,7 @@ object CurateCli {
         "--bad-only")),
     "crossmodal" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--caption-col", "--decoder", "--bad-only")),
+    "mediacard" -> Set("--in", "--out", "--in-format", "--out-format"),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -1352,6 +1353,15 @@ object CurateCli {
             case other => throw new IllegalArgumentException(
               s"--bad-only must be Y or N, got '$other'")
           }, out)
+
+        case "mediacard" =>
+          // the per-format media release card (q208) over a packed
+          // payload+meta table — the integrity verdict census rolled up
+          // with byte mass and bounds, one row per format
+          for (c <- Seq("payload", "meta"))
+            require(in.columns.contains(c),
+              s"mediacard needs a packed payload+meta table, missing '$c'")
+          write(Multimodal.mediaDatasetCard(in), out)
 
         case "crossmodal" =>
           // the paired image↔caption dedup audit (q207): verdicts

@@ -2694,6 +2694,28 @@ object SparkEntry {
         arms.select(col("doc_id"), encode(col("img"), "utf-8").as("payload"),
           col("cap")),
         "doc_id", "payload", "cap")
+    }),
+
+    // ---- Media dataset card (round-13): the per-format release-audit
+    //      rollup — q193's tamper arms under a parity format split, so
+    //      both formats carry every verdict class and health_frac
+    //      reads ~0.7 ----
+    "q208_media_card" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val packed = Multimodal.packBinary(d, "doc_id", "text")
+        .withColumn("meta", struct(
+          when(col("doc_id") % 2 === 0, lit("fake/png"))
+            .otherwise(lit("fake/wav")).as("format"),
+          col("meta.byte_len").as("byte_len"),
+          col("meta.content_hash").as("content_hash")))
+      val tampered = packed.withColumn("payload",
+        when(col("doc_id") % 10 === 3,
+          expr("substring(payload, 1, cast(meta.byte_len / 2 as int))"))
+          .when(col("doc_id") % 10 === 5, lit(null).cast("binary"))
+          .when(col("doc_id") % 10 === 7 && col("meta.byte_len") > 0,
+            concat(encode(lit("~"), "utf-8"), expr("substring(payload, 2)")))
+          .otherwise(col("payload")))
+      Multimodal.mediaDatasetCard(tampered)
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -6469,6 +6491,38 @@ object SparkEntry {
     // q207: the cross-modal image↔caption dedup verdicts over the
     // five-arm corpus (clones / alt captions / image mutants / uniques)
     "q207_crossmodal_audit" -> crossModalOracle,
+
+    // q208: the media dataset card — q193's tamper fixture under a
+    // parity format split, verdict ladder replayed per format (ASCII
+    // corpus: md5(text) is the byte hash, char slicing is byte slicing)
+    "q208_media_card" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS blen,
+        |    md5(text) AS chash FROM documents),
+        |t AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 2 = 0 THEN 'fake/png' ELSE 'fake/wav' END AS format,
+        |   blen,
+        |   CASE WHEN doc_id % 10 = 3 THEN substr(text, 1, CAST(blen // 2 AS INT))
+        |        WHEN doc_id % 10 = 5 THEN NULL
+        |        WHEN doc_id % 10 = 7 AND blen > 0 THEN '~' || substr(text, 2)
+        |        ELSE text END AS p,
+        |   chash FROM d),
+        |v AS (SELECT format, blen,
+        |   octet_length(encode(p)) AS act,
+        |   CASE WHEN p IS NULL THEN 'missing'
+        |        WHEN octet_length(encode(p)) <> blen THEN 'truncated'
+        |        WHEN md5(p) <> chash THEN 'corrupted'
+        |        ELSE 'ok' END AS verdict FROM t)
+        |SELECT format, CAST(count(*) AS BIGINT) AS n_payloads,
+        |  CAST(sum(coalesce(act, 0)) AS BIGINT) AS total_bytes,
+        |  CAST(min(act) AS BIGINT) AS min_bytes,
+        |  CAST(max(act) AS BIGINT) AS max_bytes,
+        |  CAST(sum(CASE WHEN verdict = 'missing' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |  CAST(sum(CASE WHEN verdict = 'truncated' THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+        |  CAST(sum(CASE WHEN verdict = 'corrupted' THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted,
+        |  CAST(sum(CASE WHEN verdict = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |  CAST(sum(CASE WHEN verdict = 'ok' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS health_frac
+        |FROM v GROUP BY 1""".stripMargin,
 
     // q192: the shift-tolerant rung — offset voting replayed end to end
     "q192_frame_shifted" -> frameShiftedOracle,

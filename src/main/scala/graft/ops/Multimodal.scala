@@ -907,12 +907,49 @@ object Multimodal {
         col("meta.byte_len").as("expected_len"),
         octet_length(col("payload")).cast("long").as("actual_len"),
         (md5(col("payload")) === col("meta.content_hash")).as("_hok"))
-      .withColumn("verdict",
-        when(col("actual_len").isNull, lit("missing"))
-          .when(col("actual_len") =!= col("expected_len"), lit("truncated"))
-          .when(!col("_hok"), lit("corrupted"))
-          .otherwise(lit("ok")))
+      .withColumn("verdict", integrityVerdict(
+        col("actual_len"), col("expected_len"), col("_hok")))
       .select(col(idCol), col("expected_len"), col("actual_len"), col("verdict"))
+
+  /** The one integrity verdict ladder, shared by [[payloadIntegrity]]
+    * (per-row audit) and [[mediaDatasetCard]] (per-format rollup) so
+    * the two can never disagree: missing ≻ truncated ≻ corrupted ≻ ok. */
+  private def integrityVerdict(actualLen: org.apache.spark.sql.Column,
+                               expectedLen: org.apache.spark.sql.Column,
+                               hashOk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(actualLen.isNull, lit("missing"))
+      .when(actualLen =!= expectedLen, lit("truncated"))
+      .when(!hashOk, lit("corrupted"))
+      .otherwise(lit("ok"))
+
+  /** Media dataset card — the per-format release-audit rollup a
+    * multimodal corpus ships beside its text card: payload counts, byte
+    * mass and bounds, and the [[payloadIntegrity]] verdict census
+    * (missing / truncated / corrupted / ok, the SAME ladder — shared
+    * expression, the audits cannot drift apart), with `health_frac` =
+    * ok share as the one-glance number. ONE count-shaped aggregation
+    * over the format column — row-local expressions feeding a hash agg,
+    * payload bytes never shuffle (only per-format partials do), so the
+    * card costs a single scan at any corpus size. Returns one row per
+    * format: (format, n_payloads, total_bytes, min_bytes, max_bytes,
+    * n_missing, n_truncated, n_corrupted, n_ok, health_frac). */
+  def mediaDatasetCard(packed: DataFrame): DataFrame =
+    packed.select(col("meta.format").as("format"),
+        col("meta.byte_len").as("_exp"),
+        octet_length(col("payload")).cast("long").as("_act"),
+        (md5(col("payload")) === col("meta.content_hash")).as("_hok"))
+      .withColumn("_v", integrityVerdict(col("_act"), col("_exp"), col("_hok")))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_payloads"),
+        sum(coalesce(col("_act"), lit(0L))).as("total_bytes"),
+        min(col("_act")).as("min_bytes"),
+        max(col("_act")).as("max_bytes"),
+        sum(when(col("_v") === "missing", 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("_v") === "truncated", 1L).otherwise(0L)).as("n_truncated"),
+        sum(when(col("_v") === "corrupted", 1L).otherwise(0L)).as("n_corrupted"),
+        sum(when(col("_v") === "ok", 1L).otherwise(0L)).as("n_ok"))
+      .withColumn("health_frac",
+        col("n_ok").cast("double") / col("n_payloads"))
 
   /** Standing perceptual-hash index: the banded (band, value, id, sig)
     * store MATERIALIZED plus its founding band count, so daily ingest

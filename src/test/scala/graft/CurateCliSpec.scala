@@ -2297,4 +2297,29 @@ class CurateCliSpec extends AnyFunSuite {
     rm(xmIn, oXm, oXmBad)
   }
 
+  test("mediacard command ≡ the library rollup; unpacked input fails loudly") {
+    import graft.ops.Multimodal
+    val mcIn = tmp("cli-mc-in"); rm(mcIn)
+    val packed = Multimodal.packBinary(
+      Seq((0L, "healthy payload body"), (1L, "another healthy one!"))
+        .toDF("doc_id", "t"), "doc_id", "t")
+    packed.write.parquet(mcIn)
+    val oMc = tmp("cli-mc"); rm(oMc)
+    CurateCli.run("mediacard", Map("--in" -> mcIn, "--out" -> oMc))
+    val want = Multimodal.mediaDatasetCard(packed)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toSet
+    assert(spark.read.parquet(oMc)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toSet == want && want.size == 1)
+    val eBare = intercept[IllegalArgumentException] {
+      val bareIn = tmp("cli-mc-bare"); rm(bareIn)
+      Seq((0L, "x")).toDF("doc_id", "text").write.parquet(bareIn)
+      try CurateCli.run("mediacard", Map("--in" -> bareIn, "--out" -> oMc))
+      finally rm(bareIn)
+    }
+    assert(eBare.getMessage.contains("payload"))
+    rm(mcIn, oMc)
+  }
+
 }

@@ -506,6 +506,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the NULL payload must surface as 'missing', never fall through
     // to 'ok' via null-propagating comparisons (round-11 advice)
     assert(got(4L)._1 == 30L && got(4L)._2 == null && got(4L)._3 == "missing")
+
+    // the media card is the SAME ladder rolled up per format: verdict
+    // counts agree with the per-row audit exactly, bytes sum the
+    // surviving payloads, and the missing row costs 0 bytes
+    val byFmt = tampered.withColumn("meta", struct(
+      when(col("doc_id") < 2L, lit("png")).otherwise(lit("wav")).as("format"),
+      col("meta.byte_len").as("byte_len"),
+      col("meta.content_hash").as("content_hash")))
+    val card = Multimodal.mediaDatasetCard(byFmt)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // png = docs 0 (ok, 32 bytes) + 1 (truncated to 10)
+    assert(card("png") == (("png", 2L, 42L, 10L, 32L, 0L, 1L, 0L, 1L, 0.5)))
+    // wav = docs 2 (corrupted, 32) + 3 (ok, 0) + 4 (missing, null->0)
+    assert(card("wav") == (("wav", 3L, 32L, 0L, 32L, 1L, 0L, 1L, 1L, 1.0 / 3)))
   }
 
   test("quantizeMaxAbs: dequantized error bounded by 0.5/scale, zero vector null") {
