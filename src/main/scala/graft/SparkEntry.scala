@@ -2716,6 +2716,22 @@ object SparkEntry {
             concat(encode(lit("~"), "utf-8"), expr("substring(payload, 2)")))
           .otherwise(col("payload")))
       Multimodal.mediaDatasetCard(tampered)
+    }),
+
+    // ---- Scene segmentation through the AUDIO container (round-13):
+    //      the SAME oracle as q204 grades a DIFFERENT engine path —
+    //      the repeated-block text WAV-wrapped (pcm == text bytes, odd
+    //      ids carry a LIST chunk), segmented in the wav space through
+    //      the RIFF walk. A mis-walked header or wrong data offset
+    //      shifts every frame and diverges every row ----
+    "q209_wav_scenes" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(expr("substring(text, 1, 128)"), expr("substring(text, 1, 128)"),
+          expr("substring(text, 1, 128)"), expr("substring(text, 129)")).as("text"))
+      val wavs = Multimodal.packWavCorpus(d, "doc_id", "text")
+      Multimodal.sceneSegments(wavs, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 6, cutThreshold = 10,
+        decoder = Multimodal.WavDecoder)
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -6479,6 +6495,11 @@ object SparkEntry {
     // the shared chain, lag/cut/running-sum, span rollup with the
     // first-frame keyframe signature
     "q204_scene_segments" -> sceneSegOracle,
+
+    // q209: the SAME oracle grades the wav-space engine path — the
+    // corpus is WAV-wrapped (pcm == text bytes) and segmented through
+    // the RIFF walk, so the container handling is load-bearing
+    "q209_wav_scenes" -> sceneSegOracle,
 
     // q205: storyboard identity — ordered keyframe signatures md5'd,
     // dup-group census over documents ∪ tail-append mutants

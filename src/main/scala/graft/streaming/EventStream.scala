@@ -591,6 +591,45 @@ object EventStream {
       .start()
   }
 
+  /** The CLIP-IDENTITY member of the gate-sink family: storyboard each
+    * arriving payload ([[graft.ops.Multimodal.storyboardFingerprints]] —
+    * the ordered scene-keyframe sequence in the stated signature space)
+    * and probe the fingerprint against a standing storyboard SNAPSHOT —
+    * "has this CUT arrived before, under any container, tail padding or
+    * within-scene frame churn". The snapshot is the plain
+    * fingerprint-snapshot store the batch loop founds (`scenes --emit
+    * boards` piped into the `dedup` command — storyboards are text, so
+    * the exact layer IS the store; no new store machinery), read through
+    * [[graft.ops.Dedup.snapshotLive]] so tombstoned clips stop matching.
+    * Verdicts (id, verdict ∈ dup_history | kept | dup_batch) land per
+    * `batch=` dir; probe-only, restart-to-extend like every gate sink.
+    * The scene knobs here must restate the snapshot's founding
+    * convention — they are recorded by the BATCH loop's discipline, not
+    * in the flat snapshot, so the caller owns the agreement (the price
+    * of reusing the exact layer verbatim). */
+  def storyboardGateSink(stream: DataFrame, idCol: String, payloadCol: String,
+                         snapDir: String, verdictsDir: String, checkpoint: String,
+                         frameBytes: Int = 128, stride: Int = 128,
+                         maxFrames: Int = 8, cutThreshold: Int = 10,
+                         decoder: String = graft.ops.Multimodal.StubDecoder,
+                         scope: graft.ops.CacheScope = graft.ops.CacheScope.noop)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val snap = scope.track(graft.ops.Dedup
+      .snapshotLive(stream.sparkSession, snapDir).cache())
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val boards = graft.ops.Multimodal.storyboardFingerprints(
+          batch.toDF(), idCol, payloadCol, frameBytes, stride, maxFrames,
+          cutThreshold, decoder)
+        graft.ops.Dedup.incrementalDedupSnapshot(boards, idCol, "storyboard",
+            snap)
+          .write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Arrival-time payload health check — the STATELESS member of the
     * gate-sink family: every arriving packed payload re-verified against
     * its ingest metadata ([[graft.ops.Multimodal.payloadIntegrity]] —

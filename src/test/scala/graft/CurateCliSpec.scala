@@ -2297,6 +2297,38 @@ class CurateCliSpec extends AnyFunSuite {
     rm(xmIn, oXm, oXmBad)
   }
 
+  test("clip-identity standing loop composes: scenes --emit boards into the dedup snapshot") {
+    import graft.ops.Multimodal
+    def block(s: Int): String =
+      (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    val in1 = tmp("cli-sb-in1"); val in2 = tmp("cli-sb-in2")
+    val bd1 = tmp("cli-sb-bd1"); val bd2 = tmp("cli-sb-bd2")
+    val v1 = tmp("cli-sb-v1"); val v2 = tmp("cli-sb-v2")
+    val snap = tmp("cli-sb-snap")
+    rm(in1, in2, bd1, bd2, v1, v2, snap)
+    Seq((0L, block(1) * 2 + block(2)), (1L, block(3) + block(4)))
+      .toDF("doc_id", "text").write.parquet(in1)
+    // day 2: clip 0's cut re-uploaded re-containered (tail + padding)
+    Seq((10L, block(1) * 3 + block(2) + "JUNK"), (11L, block(5)))
+      .toDF("doc_id", "text").write.parquet(in2)
+    // day 1: storyboard, then found the snapshot on the board identity
+    CurateCli.run("scenes", Map("--in" -> in1, "--out" -> bd1,
+      "--payload-col" -> "text", "--emit" -> "boards"))
+    CurateCli.run("dedup", Map("--in" -> bd1, "--out" -> v1,
+      "--text-col" -> "storyboard", "--snapshot" -> snap))
+    assert(spark.read.parquet(v1).as[(Long, String)].collect().toMap
+      == Map(0L -> "kept", 1L -> "kept"))
+    // day 2: the re-containered cut verdicts dup_history through the
+    // storyboard identity even though every raw byte stream differs
+    CurateCli.run("scenes", Map("--in" -> in2, "--out" -> bd2,
+      "--payload-col" -> "text", "--emit" -> "boards"))
+    CurateCli.run("dedup", Map("--in" -> bd2, "--out" -> v2,
+      "--text-col" -> "storyboard", "--snapshot" -> snap))
+    assert(spark.read.parquet(v2).as[(Long, String)].collect().toMap
+      == Map(10L -> "dup_history", 11L -> "kept"))
+    rm(in1, in2, bd1, bd2, v1, v2, snap)
+  }
+
   test("mediacard command ≡ the library rollup; unpacked input fails loudly") {
     import graft.ops.Multimodal
     val mcIn = tmp("cli-mc-in"); rm(mcIn)

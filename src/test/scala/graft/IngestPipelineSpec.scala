@@ -595,4 +595,45 @@ class IngestPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("storyboardGateSink: re-containered cuts verdict dup_history; within-batch dups elect the lowest id") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import graft.ops.{CacheScope, Dedup, Multimodal, TextAnalysis}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    CacheScope.withScope { scope =>
+      val snap = tmp("gate-sbsnap"); val out = tmp("gate-sbout"); val ck = tmp("gate-sbck")
+      def block(s: Int): String =
+        (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+      // found the storyboard snapshot through the BATCH loop's identity:
+      // fp = fingerprint(storyboard) — exactly what `scenes --emit
+      // boards` piped into `dedup --text-col storyboard` founds
+      val hist = Multimodal.packBinary(
+        Seq((0L, block(1) * 2 + block(2))).toDF("doc_id", "t"), "doc_id", "t")
+      Dedup.appendSnapshot(spark, snap,
+        Multimodal.storyboardFingerprints(hist, "doc_id", "payload")
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(col("storyboard")).as("fp")),
+        "doc_id")
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "t")
+        .select(col("doc_id"), encode(col("t"), "utf-8").as("payload"))
+      val q = EventStream.storyboardGateSink(stream, "doc_id", "payload",
+        snap, out, ck, scope = scope)
+      mem.addData(
+        // the history cut re-uploaded with a tail append AND extra
+        // within-scene padding: raw bytes differ, the storyboard doesn't
+        (100L, block(1) * 3 + block(2) + "JUNK"),
+        (101L, block(3) + block(4)),          // a new cut
+        (102L, block(3) + block(4) + "TAIL")) // its own within-batch twin
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(s"$out/batch=0")
+        .as[(Long, String)].collect().toMap
+      assert(got == Map(100L -> "dup_history", 101L -> "kept",
+        102L -> "dup_batch"))
+      Seq(snap, out, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    }
+  }
+
 }
