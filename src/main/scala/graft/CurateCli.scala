@@ -348,6 +348,9 @@ object CurateCli {
     "crossmodal" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--caption-col", "--decoder", "--bad-only")),
     "mediacard" -> Set("--in", "--out", "--in-format", "--out-format"),
+    "utterances" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
+      ++ Set("--payload-col", "--frame-bytes", "--stride", "--max-frames",
+        "--silence-tol", "--min-silent-frac")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -1353,6 +1356,26 @@ object CurateCli {
             case other => throw new IllegalArgumentException(
               s"--bad-only must be Y or N, got '$other'")
           }, out)
+
+        case "utterances" =>
+          // silence-run utterance segmentation (q210): maximal
+          // non-silent frame runs over the RIFF-extracted PCM — the
+          // pre-transcription split; row-local, zero shuffles
+          val upc = argv.getOrElse("--payload-col", "payload")
+          require(in.columns.contains(upc),
+            s"--payload-col '$upc' not in input columns ${in.columns.mkString(",")}")
+          require(in.schema(upc).dataType ==
+            org.apache.spark.sql.types.BinaryType,
+            "utterances needs a BINARY payload column (RIFF/WAVE bytes)")
+          val ufb = argv.getOrElse("--frame-bytes", "160").toInt
+          write(Multimodal.wavUtterances(
+            in.select(col(idCol), col(upc).as("payload")), idCol, "payload",
+            frameBytes = ufb,
+            stride = argv.getOrElse("--stride", ufb.toString).toInt,
+            maxFrames = argv.getOrElse("--max-frames", "8").toInt,
+            silenceTol = argv.getOrElse("--silence-tol", "2").toInt,
+            minSilentFrac = argv.getOrElse("--min-silent-frac", "0.9").toDouble),
+            out)
 
         case "mediacard" =>
           // the per-format media release card (q208) over a packed

@@ -2732,6 +2732,21 @@ object SparkEntry {
       Multimodal.sceneSegments(wavs, "doc_id", "payload",
         frameBytes = 128, stride = 128, maxFrames = 6, cutThreshold = 10,
         decoder = Multimodal.WavDecoder)
+    }),
+
+    // ---- Silence-run utterance segmentation (round-13): a planted
+    //      '~'-run (ASCII 126 — within silenceTol 2 of the 8-bit
+    //      midpoint) splits every long doc's recording into two
+    //      utterances around two silent frames; short docs read as one
+    //      span. Row-local flatMap — zero shuffles ----
+    "q210_wav_utterances" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(expr("substring(text, 1, 128)"),
+          lit("~" * 256), expr("substring(text, 129)")).as("text"))
+      val wavs = Multimodal.packWavCorpus(d, "doc_id", "text")
+      Multimodal.wavUtterances(wavs, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 6,
+        silenceTol = 2, minSilentFrac = 0.9)
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -6500,6 +6515,37 @@ object SparkEntry {
     // corpus is WAV-wrapped (pcm == text bytes) and segmented through
     // the RIFF walk, so the container handling is load-bearing
     "q209_wav_scenes" -> sceneSegOracle,
+
+    // q210: silence-run utterances — per-frame silent classification
+    // from hex byte counts (pcm == text bytes, '~' = 126 is silent at
+    // tol 2), maximal non-silent runs via the lag/cut/run-sum chain
+    "q210_wav_utterances" ->
+      """WITH m AS (
+        |  SELECT t.doc_id, u.f AS fi, substr(t.hx, u.f * 256 + 1, 256) AS hx
+        |  FROM (SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+        |        FROM (SELECT doc_id,
+        |                substr(text, 1, 128) || repeat('~', 256) || substr(text, 129) AS text
+        |              FROM documents)) t,
+        |  unnest(range(0, CASE WHEN t.n >= 128 THEN least((t.n - 128) // 128 + 1, 6) ELSE 0 END)) u(f)),
+        |byb AS (SELECT m.doc_id AS did, m.fi,
+        |  (strpos('0123456789ABCDEF', substr(m.hx, 2*j.j + 1, 1)) - 1) * 16 +
+        |  (strpos('0123456789ABCDEF', substr(m.hx, 2*j.j + 2, 1)) - 1) AS v
+        |  FROM m, unnest(range(0, 128)) j(j)),
+        |fb AS (SELECT did, fi,
+        |  (CAST(sum(CASE WHEN abs(v - 128) <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |     / 128 >= 0.9) AS silent
+        |  FROM byb GROUP BY 1, 2),
+        |cuts AS (SELECT did, fi, silent,
+        |  CASE WHEN NOT silent
+        |        AND coalesce(lag(silent) OVER (PARTITION BY did ORDER BY fi), TRUE)
+        |       THEN 1 ELSE 0 END AS cut FROM fb),
+        |utt AS (SELECT did, fi, silent,
+        |  CAST(sum(cut) OVER (PARTITION BY did ORDER BY fi) - 1 AS INT) AS utter_idx
+        |  FROM cuts)
+        |SELECT did AS id, utter_idx,
+        |  CAST(min(fi) AS INT) AS start_frame, CAST(max(fi) AS INT) AS end_frame,
+        |  CAST(count(*) AS BIGINT) AS n_frames
+        |FROM utt WHERE NOT silent GROUP BY 1, 2""".stripMargin,
 
     // q205: storyboard identity — ordered keyframe signatures md5'd,
     // dup-group census over documents ∪ tail-append mutants

@@ -1518,6 +1518,66 @@ object Multimodal {
       .toDF()
   }
 
+  final case class Utterance(id: Long, utter_idx: Int, start_frame: Int,
+                             end_frame: Int, n_frames: Long)
+
+  /** Silence-run utterance segmentation — [[sceneSegments]]' audio twin
+    * with the cut criterion inverted: frames classify SILENT when the
+    * fraction of PCM samples within `silenceTol` of the 8-bit midpoint
+    * reaches `minSilentFrac`, and utterances are the maximal NON-silent
+    * frame runs — VAD's deterministic little sibling, the
+    * pre-transcription split every speech corpus runs before chunking
+    * audio for training. Not-a-WAV payloads extract empty and yield no
+    * rows ([[graft.functions.WavPcm]]'s RIFF walk).
+    *
+    * Scale shape: unlike sceneSegments (whose signature spaces need the
+    * generalized frame table + window), one clip's utterances derive
+    * from ONE row — so this runs as a row-local flatMap counting in
+    * place over the extracted PCM span: ZERO shuffles, no window, no
+    * per-frame rows ever materialize, and the output is at most
+    * ⌈maxFrames/2⌉ span rows per clip. Returns (id, utter_idx,
+    * start_frame, end_frame, n_frames). */
+  def wavUtterances(df: DataFrame, idCol: String, payloadCol: String,
+                    frameBytes: Int = 160, stride: Int = 160,
+                    maxFrames: Int = 8, silenceTol: Int = 2,
+                    minSilentFrac: Double = 0.9): DataFrame = {
+    require(frameBytes > 0 && stride > 0 && maxFrames > 0, "positive frame params")
+    require(silenceTol >= 0 && silenceTol <= 127,
+      s"silenceTol in [0,127], got $silenceTol")
+    require(minSilentFrac > 0.0 && minSilentFrac <= 1.0,
+      s"minSilentFrac in (0,1], got $minSilentFrac")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val pcm = graft.functions.WavPcm.extract(bytes)
+        val n = pcm.length
+        val nf = if (n >= frameBytes)
+          math.min((n - frameBytes) / stride + 1, maxFrames) else 0
+        val out = Seq.newBuilder[Utterance]
+        var utter = -1; var start = -1; var prevSilent = true
+        var f = 0
+        while (f < nf) {
+          var s = 0; var j = f * stride; val end = j + frameBytes
+          while (j < end) {
+            if (math.abs((pcm(j) & 0xff) - 128) <= silenceTol) s += 1
+            j += 1
+          }
+          val silent = s.toDouble / frameBytes >= minSilentFrac
+          if (!silent && prevSilent) { utter += 1; start = f }
+          if (silent && !prevSilent)
+            out += Utterance(id, utter, start, f - 1, (f - start).toLong)
+          prevSilent = silent
+          f += 1
+        }
+        if (!prevSilent)
+          out += Utterance(id, utter, start, nf - 1, (nf - start).toLong)
+        out.result()
+      }
+      .toDF()
+  }
+
   final case class ImageFeature(id: Long, decoded: Boolean, width: Int,
                                 height: Int, channels: Int, brightness: Double)
 

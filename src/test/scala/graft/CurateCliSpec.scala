@@ -2329,6 +2329,31 @@ class CurateCliSpec extends AnyFunSuite {
     rm(in1, in2, bd1, bd2, v1, v2, snap)
   }
 
+  test("utterances command ≡ the library silence split; binary required") {
+    import graft.ops.Multimodal
+    val utIn = tmp("cli-utt-in"); rm(utIn)
+    val loud = Array.tabulate[Byte](128)(j => ((93 + 20 * j) % 251).toByte)
+    val body = loud ++ Array.fill[Byte](256)(126.toByte) ++ loud ++ loud
+    val utRows = Seq((0L, Multimodal.packWav(body))).toDF("doc_id", "payload")
+    utRows.write.parquet(utIn)
+    val oUt = tmp("cli-utt"); rm(oUt)
+    CurateCli.run("utterances", Map("--in" -> utIn, "--out" -> oUt,
+      "--frame-bytes" -> "128"))
+    val want = Multimodal.wavUtterances(utRows, "doc_id", "payload",
+        frameBytes = 128, stride = 128)
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    assert(spark.read.parquet(oUt).as[(Long, Int, Int, Int, Long)]
+      .collect().toSet == want && want.size == 2)
+    val eBin = intercept[IllegalArgumentException] {
+      val tIn = tmp("cli-utt-txt"); rm(tIn)
+      Seq((0L, "text")).toDF("doc_id", "payload").write.parquet(tIn)
+      try CurateCli.run("utterances", Map("--in" -> tIn, "--out" -> oUt))
+      finally rm(tIn)
+    }
+    assert(eBin.getMessage.contains("BINARY"))
+    rm(utIn, oUt)
+  }
+
   test("mediacard command ≡ the library rollup; unpacked input fails loudly") {
     import graft.ops.Multimodal
     val mcIn = tmp("cli-mc-in"); rm(mcIn)

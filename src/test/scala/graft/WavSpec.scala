@@ -276,4 +276,43 @@ class WavSpec extends AnyFunSuite {
       .as[(Long, Array[Byte])].collect().toMap
     assert(again(0L).toSeq == wavs(0L).toSeq && again(1L).toSeq == wavs(1L).toSeq)
   }
+
+  test("wavUtterances: maximal non-silent runs, threshold boundary exact, containers and garbage handled") {
+    def loud(n: Int) = pcm(n, seed = 3)           // far from the midpoint
+    def quiet(n: Int) = Array.fill[Byte](n)(126.toByte) // |126-128| <= 2
+    // L S S L L -> utterances (0: f0), (1: f3-f4)
+    val body = loud(128) ++ quiet(256) ++ loud(256)
+    // exactly 116/128 silent = 0.90625 >= 0.9 -> silent;
+    // 115/128 = 0.8984 -> non-silent (the boundary is the quotient)
+    val border116 = quiet(116) ++ loud(12)
+    val border115 = quiet(115) ++ loud(13)
+    val rows = Seq(
+      (0L, Multimodal.packWav(body)),
+      (1L, Multimodal.packWav(body, withListChunk = true)), // layout variance
+      (2L, Multimodal.packWav(quiet(384))),                 // all silent
+      (3L, "notawav".getBytes("UTF-8")),                    // extracts empty
+      (4L, Multimodal.packWav(loud(128) ++ border116 ++ loud(128))),
+      (5L, Multimodal.packWav(loud(128) ++ border115 ++ loud(128)))
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.wavUtterances(rows, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8,
+        silenceTol = 2, minSilentFrac = 0.9)
+      .as[(Long, Int, Int, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2)).toMap
+    for (id <- Seq(0L, 1L))
+      assert(got(id) == Seq((id, 0, 0, 0, 1L), (id, 1, 3, 4, 2L)),
+        s"clip $id: the silence run splits two utterances")
+    assert(!got.contains(2L), "an all-silent recording yields no utterances")
+    assert(!got.contains(3L), "not-a-WAV extracts empty")
+    assert(got(4L) == Seq((4L, 0, 0, 0, 1L), (4L, 1, 2, 2, 1L)),
+      "116/128 silent splits")
+    assert(got(5L) == Seq((5L, 0, 0, 2, 3L)),
+      "115/128 silent does not split — one maximal run")
+    intercept[IllegalArgumentException] {
+      Multimodal.wavUtterances(rows, "doc_id", "payload", silenceTol = 128)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.wavUtterances(rows, "doc_id", "payload", minSilentFrac = 0.0)
+    }
+  }
 }
