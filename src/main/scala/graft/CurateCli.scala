@@ -1501,8 +1501,10 @@ object CurateCli {
               "_payload", sfb, sst, smf, sct,
               argv.getOrElse("--min-shared", "2").toInt,
               argv.getOrElse("--max-per-bucket", "0").toInt, sDecoder)
+            case "chunks" => Multimodal.sceneChunks(sin, idCol,
+              "_payload", sfb, sst, smf, sct, sDecoder)
             case other => throw new IllegalArgumentException(
-              s"--emit must be segments, boards, dupgroups or overlap, got '$other'")
+              s"--emit must be segments, boards, dupgroups, overlap or chunks, got '$other'")
           }, out)
 
         case "framedup" =>

@@ -2747,6 +2747,24 @@ object SparkEntry {
       Multimodal.wavUtterances(wavs, "doc_id", "payload",
         frameBytes = 128, stride = 128, maxFrames = 6,
         silenceTol = 2, minSilentFrac = 0.9)
+    }),
+
+    // ---- Scene-boundary chunk extraction (round-13): q204's spans
+    //      made actionable — one binary chunk per scene, identified by
+    //      md5 for the gate (the oracle hashes the matching char slice;
+    //      ASCII corpus, the q193 convention). Row-local flatMap, the
+    //      frame hashes computed in place ≡ sceneSegments' spans ----
+    "q211_scene_chunks" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(expr("substring(text, 1, 128)"), expr("substring(text, 1, 128)"),
+          expr("substring(text, 1, 128)"), expr("substring(text, 129)")).as("text"))
+      val packed = Multimodal.packBinary(d, "doc_id", "text")
+      Multimodal.sceneChunks(packed, "doc_id", "payload",
+          frameBytes = 128, stride = 128, maxFrames = 6, cutThreshold = 10)
+        .select(col("id").as("doc_id"), col("scene_idx"),
+          col("start_frame"), col("end_frame"),
+          octet_length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
     }))
 
   /** The q45 component-resolution CTE chain (MinHash-LSH pairs +
@@ -6519,6 +6537,23 @@ object SparkEntry {
     // q210: silence-run utterances — per-frame silent classification
     // from hex byte counts (pcm == text bytes, '~' = 126 is silent at
     // tol 2), maximal non-silent runs via the lag/cut/run-sum chain
+    "q211_scene_chunks" -> (
+      sceneCtes("""SELECT doc_id,
+        | substr(text,1,128)||substr(text,1,128)||substr(text,1,128)||substr(text,129) AS text
+        | FROM documents""".stripMargin, 6) +
+      """,
+        |spans AS (SELECT did, scene_idx,
+        |    CAST(min(fi) AS INT) AS start_frame, CAST(max(fi) AS INT) AS end_frame
+        |  FROM scenes GROUP BY 1, 2),
+        |corpus2 AS (SELECT doc_id,
+        |    substr(text,1,128)||substr(text,1,128)||substr(text,1,128)||substr(text,129) AS text
+        |  FROM documents)
+        |SELECT s.did AS doc_id, s.scene_idx, s.start_frame, s.end_frame,
+        |  CAST((s.end_frame - s.start_frame + 1) * 128 AS BIGINT) AS chunk_len,
+        |  md5(substr(c.text, s.start_frame * 128 + 1,
+        |    (s.end_frame - s.start_frame + 1) * 128)) AS chunk_md5
+        |FROM spans s JOIN corpus2 c ON c.doc_id = s.did""".stripMargin),
+
     "q210_wav_utterances" ->
       """WITH m AS (
         |  SELECT t.doc_id, u.f AS fi, substr(t.hx, u.f * 256 + 1, 256) AS hx

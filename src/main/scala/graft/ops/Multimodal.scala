@@ -1518,6 +1518,73 @@ object Multimodal {
       .toDF()
   }
 
+  final case class SceneChunk(id: Long, scene_idx: Int, start_frame: Int,
+                              end_frame: Int, chunk: Array[Byte])
+
+  /** Scene-boundary chunk extraction — [[sceneSegments]] made
+    * ACTIONABLE: slice each clip's byte stream at its scene boundaries
+    * and emit one binary chunk per scene, the media analogue of text
+    * chunking (store scenes once, dedup re-cut compilations at the
+    * scene level, caption per scene). Byte-window spaces only
+    * (`stub` raw bytes / `wav` RIFF-extracted PCM): `imageio`
+    * containers carry their own frame boundaries — [[splitImageFrames]]
+    * already IS their chunker — so restating it here fails loudly.
+    *
+    * Chunk f spans bytes [start·stride, end·stride + frameBytes) of the
+    * (extracted) stream — with stride == frameBytes that tiles the
+    * sampled window exactly, and a trailing partial frame stays
+    * unchunked (the sampling geometry's contract). Scale shape: one
+    * clip's chunks derive from ONE row, so this is a row-local flatMap
+    * (frame hashes computed in place via the same [[dHash]] arithmetic
+    * — spec-pinned ≡ [[sceneSegments]]' spans): ZERO shuffles, and
+    * chunk bytes are emitted once, never joined. Returns (id,
+    * scene_idx, start_frame, end_frame, chunk). */
+  def sceneChunks(df: DataFrame, idCol: String, payloadCol: String,
+                  frameBytes: Int = 128, stride: Int = 128,
+                  maxFrames: Int = 8, cutThreshold: Int = 10,
+                  decoder: String = StubDecoder): DataFrame = {
+    checkDecoder(decoder)
+    require(decoder != ImageioDecoder,
+      "sceneChunks slices byte-window spaces (stub/wav); imageio frames " +
+        "carry their own boundaries — splitImageFrames is their chunker")
+    require(frameBytes > 0 && stride > 0 && maxFrames > 0, "positive frame params")
+    require(cutThreshold >= 0 && cutThreshold <= 64,
+      s"cutThreshold in [0,64], got $cutThreshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val src =
+          if (decoder == WavDecoder) graft.functions.WavPcm.extract(bytes)
+          else if (bytes == null) Array.emptyByteArray
+          else bytes
+        val n = src.length
+        val nf = if (n >= frameBytes)
+          math.min((n - frameBytes) / stride + 1, maxFrames) else 0
+        val sigs = Array.tabulate(nf)(f => graft.functions.DHash64.hash(
+          java.util.Arrays.copyOfRange(src, f * stride, f * stride + frameBytes)))
+        val out = Seq.newBuilder[SceneChunk]
+        var scene = -1; var start = 0
+        def emit(endF: Int): Unit =
+          out += SceneChunk(id, scene, start, endF,
+            java.util.Arrays.copyOfRange(src, start * stride,
+              endF * stride + frameBytes))
+        var f = 0
+        while (f < nf) {
+          if (f == 0 ||
+              java.lang.Long.bitCount(sigs(f) ^ sigs(f - 1)) > cutThreshold) {
+            if (f > 0) emit(f - 1)
+            scene += 1; start = f
+          }
+          f += 1
+        }
+        if (nf > 0) emit(nf - 1)
+        out.result()
+      }
+      .toDF()
+  }
+
   final case class Utterance(id: Long, utter_idx: Int, start_frame: Int,
                              end_frame: Int, n_frames: Long)
 

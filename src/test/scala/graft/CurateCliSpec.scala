@@ -2220,7 +2220,18 @@ class CurateCliSpec extends AnyFunSuite {
         "--payload-col" -> "text", "--min-shared" -> "2"))
     }
     assert(eKnob.getMessage.contains("--emit overlap"))
-    rm(scIn, oSeg, oBrd, oDup, oOvl)
+
+    // --emit chunks ≡ the library slicer
+    val oChk = tmp("cli-scenes-chk"); rm(oChk)
+    CurateCli.run("scenes", Map("--in" -> scIn, "--out" -> oChk,
+      "--payload-col" -> "text", "--emit" -> "chunks"))
+    val wantChk = Multimodal.sceneChunks(packed, "doc_id", "payload")
+      .select(col("id"), col("scene_idx"), md5(col("chunk")).as("m"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(spark.read.parquet(oChk)
+      .select(col("id"), col("scene_idx"), md5(col("chunk")).as("m"))
+      .as[(Long, Int, String)].collect().toSet == wantChk && wantChk.nonEmpty)
+    rm(scIn, oSeg, oBrd, oDup, oOvl, oChk)
   }
 
   test("resize command ≡ the library thumbnail rung; --bad-only keeps undecodables; binary required") {

@@ -771,6 +771,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(wavGot.map(_._1).toSeq == Seq(0L) && wavGot.head._5 == "ok")
   }
 
+  test("sceneChunks: spans ≡ sceneSegments, chunks tile the sampled window, wav extracts first") {
+    import graft.ops.Multimodal
+    def block(s: Int): String =
+      (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    val body = block(1) * 3 + block(2) * 2 + block(3)
+    val rows = Seq((0L, body), (1L, block(4)), (2L, "short"))
+      .toDF("doc_id", "t")
+    val packed = Multimodal.packBinary(rows, "doc_id", "t")
+    val chunks = Multimodal.sceneChunks(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8, cutThreshold = 10)
+      .as[(Long, Int, Int, Int, Array[Byte])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4), r._5)).toMap
+    // spans agree with sceneSegments exactly
+    val spans = Multimodal.sceneSegments(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8, cutThreshold = 10)
+      .as[(Long, Int, Int, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(chunks.view.mapValues(_._1).toMap == spans)
+    // chunk bytes are the scene's exact byte span
+    assert(new String(chunks((0L, 0))._2, "UTF-8") == block(1) * 3)
+    assert(new String(chunks((0L, 1))._2, "UTF-8") == block(2) * 2)
+    assert(new String(chunks((0L, 2))._2, "UTF-8") == block(3))
+    // with stride == frameBytes the chunks REBUILD the sampled window
+    val rebuilt = chunks.filter(_._1._1 == 0L).toSeq.sortBy(_._1._2)
+      .map(c => new String(c._2._2, "UTF-8")).mkString
+    assert(rebuilt == body, "contiguous chunks reassemble the clip")
+    assert(!chunks.keySet.exists(_._1 == 2L), "sub-frame payloads yield nothing")
+    // the wav space slices the EXTRACTED pcm, not the container
+    val wavChunks = Multimodal.sceneChunks(
+        Seq((7L, Multimodal.packWav(body.getBytes("UTF-8"),
+          withListChunk = true))).toDF("doc_id", "payload"),
+        "doc_id", "payload", frameBytes = 128, stride = 128, maxFrames = 8,
+        cutThreshold = 10, decoder = Multimodal.WavDecoder)
+      .as[(Long, Int, Int, Int, Array[Byte])].collect()
+    assert(new String(wavChunks.minBy(_._2)._5, "UTF-8") == block(1) * 3)
+    val eImg = intercept[IllegalArgumentException] {
+      Multimodal.sceneChunks(packed, "doc_id", "payload",
+        decoder = Multimodal.ImageioDecoder)
+    }
+    assert(eImg.getMessage.contains("splitImageFrames"))
+  }
+
   test("sceneSegments in the wav space: segmentation runs over the RIFF-extracted PCM") {
     import graft.ops.Multimodal
     def block(s: Int): String =
