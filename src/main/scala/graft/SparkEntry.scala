@@ -2761,7 +2761,7 @@ object SparkEntry {
       val packed = Multimodal.packBinary(d, "doc_id", "text")
       Multimodal.sceneChunks(packed, "doc_id", "payload",
           frameBytes = 128, stride = 128, maxFrames = 6, cutThreshold = 10)
-        .select(col("id").as("doc_id"), col("scene_idx"),
+        .select(col("doc_id"), col("scene_idx"),
           col("start_frame"), col("end_frame"),
           octet_length(col("chunk")).cast("long").as("chunk_len"),
           md5(col("chunk")).as("chunk_md5"))
@@ -6534,9 +6534,8 @@ object SparkEntry {
     // the RIFF walk, so the container handling is load-bearing
     "q209_wav_scenes" -> sceneSegOracle,
 
-    // q210: silence-run utterances — per-frame silent classification
-    // from hex byte counts (pcm == text bytes, '~' = 126 is silent at
-    // tol 2), maximal non-silent runs via the lag/cut/run-sum chain
+    // q211: scene chunks — q204's spans joined back to the corpus text,
+    // each chunk identified by the md5 of its char slice (ASCII corpus)
     "q211_scene_chunks" -> (
       sceneCtes("""SELECT doc_id,
         | substr(text,1,128)||substr(text,1,128)||substr(text,1,128)||substr(text,129) AS text
@@ -6554,6 +6553,9 @@ object SparkEntry {
         |    (s.end_frame - s.start_frame + 1) * 128)) AS chunk_md5
         |FROM spans s JOIN corpus2 c ON c.doc_id = s.did""".stripMargin),
 
+    // q210: silence-run utterances — per-frame silent classification
+    // from hex byte counts (pcm == text bytes, '~' = 126 is silent at
+    // tol 2), maximal non-silent runs via the lag/cut/run-sum chain
     "q210_wav_utterances" ->
       """WITH m AS (
         |  SELECT t.doc_id, u.f AS fi, substr(t.hx, u.f * 256 + 1, 256) AS hx
@@ -6577,7 +6579,7 @@ object SparkEntry {
         |utt AS (SELECT did, fi, silent,
         |  CAST(sum(cut) OVER (PARTITION BY did ORDER BY fi) - 1 AS INT) AS utter_idx
         |  FROM cuts)
-        |SELECT did AS id, utter_idx,
+        |SELECT did AS doc_id, utter_idx,
         |  CAST(min(fi) AS INT) AS start_frame, CAST(max(fi) AS INT) AS end_frame,
         |  CAST(count(*) AS BIGINT) AS n_frames
         |FROM utt WHERE NOT silent GROUP BY 1, 2""".stripMargin,

@@ -428,13 +428,18 @@ object Multimodal {
                         frameBytes: Int = 128, stride: Int = 128,
                         maxFrames: Int = 8, cutThreshold: Int = 10,
                         minShared: Int = 2, maxPerBucket: Int = 0,
-                        decoder: String = StubDecoder): DataFrame = {
+                        decoder: String = StubDecoder,
+                        scope: CacheScope = CacheScope.noop): DataFrame = {
     require(minShared >= 1, s"minShared >= 1, got $minShared")
     val kf = sceneSegments(df, idCol, payloadCol, frameBytes, stride,
         maxFrames, cutThreshold, decoder)
       .select(col(idCol).as("_id"), col("keyframe_sig").as("_ks"))
       .distinct()
-    val capped = capBuckets(kf, Seq("_ks"), Seq("_id"), maxPerBucket)
+    // cached: the capped keyframe table feeds both self-join sides AND
+    // the per-clip denominator count — uncached, the whole
+    // scan+window+rollup chain above would run once per branch
+    val capped = scope.track(
+      capBuckets(kf, Seq("_ks"), Seq("_id"), maxPerBucket).cache())
     val n = capped.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val a = capped.select(col("_ks"), col("_id").as("id_a"))
     val b = capped.select(col("_ks"), col("_id").as("id_b"))
@@ -1550,6 +1555,7 @@ object Multimodal {
     require(frameBytes > 0 && stride > 0 && maxFrames > 0, "positive frame params")
     require(cutThreshold >= 0 && cutThreshold <= 64,
       s"cutThreshold in [0,64], got $cutThreshold")
+    requireIntegralId(df, idCol, "sceneChunks")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
@@ -1583,6 +1589,18 @@ object Multimodal {
         out.result()
       }
       .toDF()
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** The typed row-local rungs ([[sceneChunks]], [[wavUtterances]])
+    * encode ids as Long — a string id would cast to NULL and crash the
+    * encoder mid-job with an unhelpful message, so refuse it loudly up
+    * front (their window-based siblings keep the id type as-is). */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt == LongType || dt == IntegerType || dt == ShortType,
+      s"$op needs an integral $idCol (its row-local encoder carries " +
+        s"Long ids); got $dt — sceneSegments/storyboard keep arbitrary id types")
   }
 
   final case class Utterance(id: Long, utter_idx: Int, start_frame: Int,
@@ -1613,6 +1631,7 @@ object Multimodal {
       s"silenceTol in [0,127], got $silenceTol")
     require(minSilentFrac > 0.0 && minSilentFrac <= 1.0,
       s"minSilentFrac in (0,1], got $minSilentFrac")
+    requireIntegralId(df, idCol, "wavUtterances")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
@@ -1643,6 +1662,7 @@ object Multimodal {
         out.result()
       }
       .toDF()
+      .withColumnRenamed("id", idCol)
   }
 
   final case class ImageFeature(id: Long, decoded: Boolean, width: Int,
@@ -1704,18 +1724,33 @@ object Multimodal {
     * n_captions_for_image, n_images_for_caption, verdict). */
   def crossModalDupAudit(df: DataFrame, idCol: String, payloadCol: String,
                          captionCol: String,
-                         decoder: String = StubDecoder): DataFrame = {
+                         decoder: String = StubDecoder,
+                         scope: CacheScope = CacheScope.noop): DataFrame = {
     val sig = pHashSigsOf(df, idCol, payloadCol, decoder, "_id")
     val cap = df.select(col(idCol).as("_id"),
       TextAnalysis.fingerprint(col(captionCol)).as("_cfp"))
-    val rows = sig.join(cap, Seq("_id"))
-    val img = rows.groupBy(col("_sig"))
+    // cached: the narrow (id, sig, cfp) frame feeds THREE aggregations
+    // plus the final join — without the cache each branch would re-scan
+    // (and, under imageio/wav, re-decode) every payload
+    val rows = scope.track(sig.join(cap, Seq("_id")).cache())
+    // a NULL on either side of the pair can never equi-join into the
+    // count groups — it would vanish from the audit silently. Surface
+    // it as 'missing' instead (the payloadIntegrity discipline: a null
+    // never falls through to a healthy verdict). In the stub space a
+    // NULL payload or caption lands here; the decoded spaces DROP
+    // undecodable payloads before this point (documented above).
+    val missing = rows.filter(col("_sig").isNull || col("_cfp").isNull)
+      .select(col("_id").as(idCol), lit(0L).as("n_exact"),
+        lit(0L).as("n_captions_for_image"),
+        lit(0L).as("n_images_for_caption"), lit("missing").as("verdict"))
+    val good = rows.filter(col("_sig").isNotNull && col("_cfp").isNotNull)
+    val img = good.groupBy(col("_sig"))
       .agg(countDistinct(col("_cfp")).as("n_captions_for_image"))
-    val capg = rows.groupBy(col("_cfp"))
+    val capg = good.groupBy(col("_cfp"))
       .agg(countDistinct(col("_sig")).as("n_images_for_caption"))
-    val pair = rows.groupBy(col("_sig"), col("_cfp"))
+    val pair = good.groupBy(col("_sig"), col("_cfp"))
       .agg(count(lit(1)).as("n_exact"))
-    rows.join(img, Seq("_sig")).join(capg, Seq("_cfp"))
+    good.join(img, Seq("_sig")).join(capg, Seq("_cfp"))
       .join(pair, Seq("_sig", "_cfp"))
       .select(col("_id").as(idCol), col("n_exact"),
         col("n_captions_for_image"), col("n_images_for_caption"),
@@ -1723,6 +1758,7 @@ object Multimodal {
           .when(col("n_captions_for_image") > 1, "recaptioned")
           .when(col("n_images_for_caption") > 1, "stock_caption")
           .otherwise("ok").as("verdict"))
+      .unionByName(missing)
   }
 
   final case class ResizedImage(id: Long, valid: Boolean, resized: Boolean,
@@ -1781,8 +1817,16 @@ object Multimodal {
                 val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
                 val nw = math.max(1, math.floor(w * scale).toInt)
                 val nh = math.max(1, math.floor(h * scale).toInt)
-                val dst = new java.awt.image.BufferedImage(nw, nh,
-                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                // an alpha-bearing source keeps its alpha channel —
+                // rendering RGBA onto an opaque RGB canvas would turn
+                // every transparent region black, which is exactly the
+                // quality loss the lossless contract rules out (PNG
+                // round-trips ARGB; BMP sources never carry alpha)
+                val dstType =
+                  if (src.getColorModel.hasAlpha)
+                    java.awt.image.BufferedImage.TYPE_INT_ARGB
+                  else java.awt.image.BufferedImage.TYPE_INT_RGB
+                val dst = new java.awt.image.BufferedImage(nw, nh, dstType)
                 val g = dst.createGraphics()
                 g.setRenderingHint(
                   java.awt.RenderingHints.KEY_INTERPOLATION,

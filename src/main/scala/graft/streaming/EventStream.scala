@@ -622,8 +622,11 @@ object EventStream {
         val boards = graft.ops.Multimodal.storyboardFingerprints(
           batch.toDF(), idCol, payloadCol, frameBytes, stride, maxFrames,
           cutThreshold, decoder)
+        // scope forwarded: the callee caches its per-batch fingerprint
+        // frame — untracked, a long-running stream would leak one cached
+        // plan per microbatch (round-13 self-review)
         graft.ops.Dedup.incrementalDedupSnapshot(boards, idCol, "storyboard",
-            snap)
+            snap, scope = scope)
           .write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
         ()
       }

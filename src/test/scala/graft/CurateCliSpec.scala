@@ -2226,10 +2226,10 @@ class CurateCliSpec extends AnyFunSuite {
     CurateCli.run("scenes", Map("--in" -> scIn, "--out" -> oChk,
       "--payload-col" -> "text", "--emit" -> "chunks"))
     val wantChk = Multimodal.sceneChunks(packed, "doc_id", "payload")
-      .select(col("id"), col("scene_idx"), md5(col("chunk")).as("m"))
+      .select(col("doc_id"), col("scene_idx"), md5(col("chunk")).as("m"))
       .as[(Long, Int, String)].collect().toSet
     assert(spark.read.parquet(oChk)
-      .select(col("id"), col("scene_idx"), md5(col("chunk")).as("m"))
+      .select(col("doc_id"), col("scene_idx"), md5(col("chunk")).as("m"))
       .as[(Long, Int, String)].collect().toSet == wantChk && wantChk.nonEmpty)
     rm(scIn, oSeg, oBrd, oDup, oOvl, oChk)
   }

@@ -219,6 +219,25 @@ class ImageDecodeSpec extends AnyFunSuite {
         maxW = 32, maxH = 32)
       .as[(Long, Boolean, Boolean, Int, Int, Array[Byte])].collect().head
     assert(again._2 && !again._3 && again._6.sameElements(got(0L)._6))
+    // an alpha-bearing PNG keeps its transparency — RGBA rendered onto
+    // an opaque canvas would turn transparent regions black (self-review)
+    val argbSrc = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 64; x <- 0 until 64)
+      argbSrc.setRGB(x, y, if (x < 32) 0x00000000 else 0xffc86432.toInt)
+    val argbOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(argbSrc, "png", argbOut)
+    val argbThumb = Multimodal.resizeImages(
+        Seq((9L, argbOut.toByteArray)).toDF("doc_id", "payload"), "doc_id",
+        maxW = 16, maxH = 16)
+      .as[(Long, Boolean, Boolean, Int, Int, Array[Byte])].collect().head
+    val decodedThumb = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(argbThumb._6))
+    assert(decodedThumb.getColorModel.hasAlpha, "the thumbnail keeps alpha")
+    assert(((decodedThumb.getRGB(2, 8) >>> 24) & 0xff) == 0,
+      "the transparent half stays transparent, not black")
+    assert(((decodedThumb.getRGB(13, 8) >>> 24) & 0xff) == 0xff,
+      "the opaque half stays opaque")
     intercept[IllegalArgumentException] {
       Multimodal.resizeImages(rows, "doc_id", maxW = 0)
     }

@@ -759,6 +759,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(4L) == (((1L, 1L, 1L), "ok")))
     assert(got(5L) == (((1L, 1L, 3L), "stock_caption")),
       "whitespace/case variants share the caption identity")
+    // a NULL on either side surfaces as 'missing' — never silently
+    // absent from the audit, never joined into the count groups
+    val withNulls = Seq(
+      (0L, Option(a), Option("cap one")),
+      (6L, Option(a), None),          // null caption
+      (7L, None, Option("cap one"))   // null payload
+    ).toDF("doc_id", "img", "cap")
+    val nGot = Multimodal.crossModalDupAudit(
+        withNulls.select(col("doc_id"), encode(col("img"), "utf-8").as("payload"),
+          col("cap")), "doc_id", "payload", "cap")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(nGot == Map(0L -> "ok", 6L -> "missing", 7L -> "missing"),
+      "null caption/payload rows surface, and don't distort row 0's counts")
+
     // a non-stub space drops what it cannot decode (audit via
     // payloadIntegrity first): the garbage row exits, the WAV stays
     val wavRows = Seq(
