@@ -351,6 +351,8 @@ object CurateCli {
     "utterances" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
       ++ Set("--payload-col", "--frame-bytes", "--stride", "--max-frames",
         "--silence-tol", "--min-silent-frac")),
+    "consensus" -> (Set("--in", "--out", "--in-format", "--out-format")
+      ++ Set("--in-b", "--in-b-format", "--a-name", "--b-name")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -1356,6 +1358,15 @@ object CurateCli {
             case other => throw new IllegalArgumentException(
               s"--bad-only must be Y or N, got '$other'")
           }, out)
+
+        case "consensus" =>
+          // multi-signal near-dup fusion (q212): full-outer join two
+          // rungs' pair tables on (id_a, id_b) — confirmed /
+          // <rung>_only verdicts with both scores riding through
+          val bIn = readAs(req("--in-b"), "--in-b-format")
+          write(Dedup.pairConsensus(in, bIn,
+            argv.getOrElse("--a-name", "a"),
+            argv.getOrElse("--b-name", "b")), out)
 
         case "utterances" =>
           // silence-run utterance segmentation (q210): maximal

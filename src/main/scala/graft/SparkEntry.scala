@@ -2749,6 +2749,32 @@ object SparkEntry {
         silenceTol = 2, minSilentFrac = 0.9)
     }),
 
+    // ---- Multi-signal dup consensus (round-13): q187's perceptual
+    //      pairs fused with q42's embedding pairs over a corpus where
+    //      only every third mutant carries a cloned embedding — so all
+    //      three verdicts appear (confirmed / perceptual_only /
+    //      embedding_only) and the sentinel -1 coalesce keeps both
+    //      engines' dtypes null-free ----
+    "q212_dup_consensus" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+      val packed = Multimodal.packBinary(d.unionByName(mut), "doc_id", "text")
+      val p = Multimodal.perceptualDupPairs(packed, "doc_id", "payload",
+        maxDist = 6, nBands = 4)
+      val e0 = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val eAll = e0.unionByName(e0.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val e = Similarity.lshNearDupPairs(eAll, "vec_id", "embedding",
+          dim = 64, nPlanes = 4, minSim = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      graft.ops.Dedup.pairConsensus(p, e, "perceptual", "embedding")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("dist"), lit(-1)).as("dist"),
+          coalesce(col("sim"), lit(-1.0)).as("sim"), col("verdict"))
+    }),
+
     // ---- Scene-boundary chunk extraction (round-13): q204's spans
     //      made actionable — one binary chunk per scene, identified by
     //      md5 for the gate (the oracle hashes the matching char slice;
@@ -3244,6 +3270,42 @@ object SparkEntry {
 
   /** q42's oracle: same inlined md5-derived hyperplanes as q25's
     * (left-associated dot products — Spark's fold order), 4 planes. */
+  /** q212's oracle: q197's perceptual pair chain (`prs`) full-outer
+    * fused with q42's sign-bucket embedding pairs over embeddings ∪
+    * every-third clones — the same verdict case, -1 sentinels in
+    * place of nulls so both engines' pandas dtypes stay integral. */
+  // lazy: composes phashPairsCtes, declared further down the object —
+  // a strict val here would read null at object init
+  private lazy val dupConsensusOracle: String = {
+    val dim = 64
+    val nPlanes = 4
+    val bucket = (0 until nPlanes).map { p =>
+      val terms = (0 until dim)
+        .map(j => s"v[${j + 1}]*(${Similarity.planeComponent(p, j, "graft")})")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    phashPairsCtes +
+    s""",
+      |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id % 3 = 0),
+      |b2 AS (SELECT vec_id, v, $bucket AS bucket FROM e2),
+      |ep AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+      |    round(list_cosine_similarity(a.v, x.v), 4) AS sim
+      |  FROM b2 a JOIN b2 x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+      |  WHERE list_cosine_similarity(a.v, x.v) >= 0.3)
+      |SELECT coalesce(p.id_a, ep.id_a) AS id_a,
+      |  coalesce(p.id_b, ep.id_b) AS id_b,
+      |  CAST(coalesce(p.dist, -1) AS INT) AS dist,
+      |  coalesce(ep.sim, -1.0) AS sim,
+      |  CASE WHEN p.id_a IS NOT NULL AND ep.id_a IS NOT NULL THEN 'confirmed'
+      |       WHEN p.id_a IS NOT NULL THEN 'perceptual_only'
+      |       ELSE 'embedding_only' END AS verdict
+      |FROM prs p FULL OUTER JOIN ep
+      |  ON p.id_a = ep.id_a AND p.id_b = ep.id_b""".stripMargin
+  }
+
   private val embedNearDupOracle: String = {
     val dim = 64
     val nPlanes = 4
@@ -6533,6 +6595,10 @@ object SparkEntry {
     // corpus is WAV-wrapped (pcm == text bytes) and segmented through
     // the RIFF walk, so the container handling is load-bearing
     "q209_wav_scenes" -> sceneSegOracle,
+
+    // q212: multi-signal consensus — the perceptual prs chain fused
+    // full-outer with the sign-bucket embedding pairs, -1 sentinels
+    "q212_dup_consensus" -> dupConsensusOracle,
 
     // q211: scene chunks — q204's spans joined back to the corpus text,
     // each chunk identified by the md5 of its char slice (ASCII corpus)

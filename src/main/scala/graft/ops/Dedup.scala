@@ -251,6 +251,37 @@ object Dedup {
           .as("drop_frac"))
   }
 
+  /** Multi-signal near-dup consensus — fuse the pair tables of two
+    * INDEPENDENT fuzzy rungs (n-gram vs embedding, perceptual vs
+    * embedding, MinHash vs SimHash …) into one decision table: pairs
+    * flagged by BOTH read `confirmed` (corroborated evidence — the
+    * high-precision set a drop decision wants), pairs only one rung
+    * found read `<name>_only` (tune that rung's threshold, or accept
+    * the modality it alone can see). Inputs are any two pair frames
+    * keyed (id_a, id_b); every other column passes through, so each
+    * rung's score rides beside the verdict.
+    *
+    * Scale shape: ONE full-outer equi-join on the narrow pair key —
+    * pair tables are already the banded rungs' bounded outputs, so the
+    * fusion costs less than either input did. Returns both frames'
+    * columns + `verdict`. */
+  def pairConsensus(a: DataFrame, b: DataFrame,
+                    aName: String = "a", bName: String = "b"): DataFrame = {
+    for (s <- Seq(a, b); c <- Seq("id_a", "id_b"))
+      require(s.columns.contains(c), s"pair frames need ($c); got ${s.columns.mkString(",")}")
+    require(aName != bName, "the two rungs need distinct names")
+    val others = a.columns.toSet.intersect(b.columns.toSet) -- Set("id_a", "id_b")
+    require(others.isEmpty,
+      s"score columns must not collide across rungs: ${others.mkString(",")}")
+    a.withColumn("_ina", lit(true))
+      .join(b.withColumn("_inb", lit(true)), Seq("id_a", "id_b"), "full_outer")
+      .withColumn("verdict",
+        when(col("_ina").isNotNull && col("_inb").isNotNull, lit("confirmed"))
+          .when(col("_ina").isNotNull, lit(s"${aName}_only"))
+          .otherwise(lit(s"${bName}_only")))
+      .drop("_ina", "_inb")
+  }
+
   /** MinHash-LSH candidate pairs verified with exact Jaccard. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,

@@ -2365,6 +2365,24 @@ class CurateCliSpec extends AnyFunSuite {
     rm(utIn, oUt)
   }
 
+  test("consensus command ≡ the library fusion across two pair tables") {
+    import graft.ops.Dedup
+    val aIn = tmp("cli-cons-a"); val bIn = tmp("cli-cons-b"); rm(aIn, bIn)
+    val aDf = Seq((1L, 2L, 0), (1L, 3L, 2)).toDF("id_a", "id_b", "dist")
+    val bDf = Seq((1L, 2L, 0.99)).toDF("id_a", "id_b", "sim")
+    aDf.write.parquet(aIn); bDf.write.parquet(bIn)
+    val oC = tmp("cli-cons"); rm(oC)
+    CurateCli.run("consensus", Map("--in" -> aIn, "--in-b" -> bIn,
+      "--out" -> oC, "--a-name" -> "perceptual", "--b-name" -> "embedding"))
+    val want = Dedup.pairConsensus(aDf, bDf, "perceptual", "embedding")
+      .select("id_a", "id_b", "verdict").as[(Long, Long, String)]
+      .collect().toSet
+    assert(spark.read.parquet(oC).select("id_a", "id_b", "verdict")
+      .as[(Long, Long, String)].collect().toSet == want
+      && want == Set((1L, 2L, "confirmed"), (1L, 3L, "perceptual_only")))
+    rm(aIn, bIn, oC)
+  }
+
   test("mediacard command ≡ the library rollup; unpacked input fails loudly") {
     import graft.ops.Multimodal
     val mcIn = tmp("cli-mc-in"); rm(mcIn)

@@ -735,6 +735,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pairConsensus: corroborated pairs confirm, single-rung pairs carry their rung's name") {
+    import graft.ops.Dedup
+    val a = Seq((1L, 2L, 0), (1L, 3L, 2)).toDF("id_a", "id_b", "dist")
+    val b = Seq((1L, 2L, 0.99), (2L, 3L, 0.5)).toDF("id_a", "id_b", "sim")
+    val got = Dedup.pairConsensus(a, b, "perceptual", "embedding")
+      .select(col("id_a"), col("id_b"), col("dist"), col("sim"), col("verdict"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(2)), Option(r.get(3)), r.getString(4)))).toMap
+    assert(got((1L, 2L)) == ((Some(0), Some(0.99), "confirmed")))
+    assert(got((1L, 3L)) == ((Some(2), None, "perceptual_only")))
+    assert(got((2L, 3L)) == ((None, Some(0.5), "embedding_only")))
+    intercept[IllegalArgumentException] {
+      Dedup.pairConsensus(a.withColumnRenamed("id_a", "x"), b)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.pairConsensus(a, a) // colliding score column
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.pairConsensus(a, b, "same", "same")
+    }
+  }
+
   test("crossModalDupAudit: one verdict per duplication class; normalization pins caption identity") {
     import graft.ops.Multimodal
     def block(s: Int): String =
