@@ -353,6 +353,9 @@ object CurateCli {
         "--silence-tol", "--min-silent-frac")),
     "consensus" -> (Set("--in", "--out", "--in-format", "--out-format")
       ++ Set("--in-b", "--in-b-format", "--a-name", "--b-name")),
+    "mingest" -> (Set("--in", "--out", "--in-format", "--out-format", "--id-col")
+      ++ Set("--index", "--update-index", "--max-dist", "--bands", "--decoder",
+        "--audio", "--max-clip", "--max-silence", "--silence-tol")),
     "pii" -> (CommonOptions ++ Set("--group-col", "--census",
       "--min-digits")),
     "manifest" -> (CommonOptions ++ Set("--shards", "--size-col",
@@ -1358,6 +1361,71 @@ object CurateCli {
             case other => throw new IllegalArgumentException(
               s"--bad-only must be Y or N, got '$other'")
           }, out)
+
+        case "mingest" =>
+          // the MEDIA ingest daily loop (the `ingest` command's
+          // multimodal twin): integrity → optional audio quality →
+          // standing perceptual probe, verdicts out, final-kept
+          // payloads appended to the store (--update-index Y).
+          // Founding day probes an EMPTY index — the quality rungs
+          // still gate what founds the store.
+          for (c <- Seq("payload", "meta"))
+            require(in.columns.contains(c),
+              s"mingest needs a packed payload+meta table, missing '$c'")
+          def myn(flag: String, dflt: String) = argv.getOrElse(flag, dflt) match {
+            case "Y" => true
+            case "N" => false
+            case other => throw new IllegalArgumentException(
+              s"$flag must be Y or N, got '$other'")
+          }
+          val giDir = req("--index")
+          val giUpd = myn("--update-index", "Y")
+          val giAudio = myn("--audio", "N")
+          val giMaxDist = argv.getOrElse("--max-dist", "6").toInt
+          val giFs = new org.apache.hadoop.fs.Path(giDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val giExists = giFs.exists(new org.apache.hadoop.fs.Path(s"$giDir/params"))
+          if (!giExists && !giUpd) throw new IllegalArgumentException(
+            s"--index $giDir does not exist and --update-index N founds " +
+              "nothing: nothing to probe, nothing would be built — check " +
+              "the index path")
+          val giIdx =
+            if (giExists) {
+              val idx = Multimodal.loadPHashIndex(spark, giDir, scope)
+              for (stated <- argv.get("--bands"))
+                if (stated.toInt != idx.nBands)
+                  throw new IllegalArgumentException(
+                    s"--bands $stated disagrees with the stored index " +
+                      s"(${idx.nBands}) — banding is fixed at build time")
+              for (stated <- argv.get("--decoder"))
+                if (stated != idx.decoder)
+                  throw new IllegalArgumentException(
+                    s"--decoder $stated disagrees with the stored index " +
+                      s"(${idx.decoder}) — the signature space is fixed " +
+                      "at build time")
+              idx
+            } else Multimodal.buildPHashIndex(in.limit(0), idCol, "payload",
+              argv.getOrElse("--bands", "4").toInt,
+              argv.getOrElse("--decoder", "stub") match {
+                case dd @ ("stub" | "imageio" | "wav") => dd
+                case other => throw new IllegalArgumentException(
+                  s"--decoder must be stub, imageio or wav, got '$other'")
+              }, scope)
+          val giVerdicts = scope.track(Pipeline.mediaIngestGate(in, idCol,
+            giIdx, giMaxDist, giAudio,
+            argv.getOrElse("--max-clip", "0.2").toDouble,
+            argv.getOrElse("--max-silence", "0.5").toDouble,
+            argv.getOrElse("--silence-tol", "2").toInt, scope).cache())
+          write(giVerdicts, out)
+          if (giUpd) {
+            val kept = in.join(giVerdicts.filter(col("verdict") === "kept")
+              .select(col(idCol)), Seq(idCol), "left_semi")
+            if (giExists)
+              Multimodal.appendPHashIndex(spark, giDir, kept, idCol, "payload")
+            else
+              Multimodal.savePHashIndex(Multimodal.buildPHashIndex(kept,
+                idCol, "payload", giIdx.nBands, giIdx.decoder, scope), giDir)
+          }
 
         case "consensus" =>
           // multi-signal near-dup fusion (q212): full-outer join two

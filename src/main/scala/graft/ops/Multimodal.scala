@@ -1596,7 +1596,7 @@ object Multimodal {
     * encode ids as Long — a string id would cast to NULL and crash the
     * encoder mid-job with an unhelpful message, so refuse it loudly up
     * front (their window-based siblings keep the id type as-is). */
-  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+  private[ops] def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
     val dt = df.schema(idCol).dataType
     require(dt == LongType || dt == IntegerType || dt == ShortType,
       s"$op needs an integral $idCol (its row-local encoder carries " +

@@ -253,4 +253,68 @@ object Pipeline {
           .otherwise(col("verdict")).as("verdict"),
         col("hist_id"), col("jaccard"))
   }
+
+  /** The MEDIA front door — [[ingestGate]]'s multimodal twin, rungs in
+    * escalating cost order so each sees strictly fewer payloads:
+    *
+    *   1. payload integrity (row-local md5/len vs the ingest `meta`
+    *      struct): `missing` / `truncated` / `corrupted` payloads
+    *      verdict here and never reach a decode or probe;
+    *   2. (optional, `audioGate = true`) the arrival-time audio quality
+    *      gate — clipped rails / dead air verdict `low_quality`
+    *      (row-local counts over the RIFF-extracted PCM);
+    *   3. the standing perceptual-store probe — payloads perceptually
+    *      near history verdict `dup_history` with `hist_id`/`dist`
+    *      (hashed in the store's FOUNDING signature space);
+    *   4. `kept`.
+    *
+    * PROBE-ONLY, like every standing-store read path: appending the
+    * kept payloads to the store ([[Multimodal.appendPHashIndex]]) is
+    * the caller's write-back step. The batch must be PACKED (payload +
+    * meta — [[Multimodal.packBinary]]'s layout) with an integral id
+    * (the audio rung's typed row-local encoder). Scale shape: two
+    * row-local passes + one banded store probe; quality rungs never
+    * shuffle, and only integrity-ok (and quality-kept) payloads are
+    * ever hashed. Returns (idCol, verdict, hist_id, dist). */
+  def mediaIngestGate(batch: DataFrame, idCol: String,
+                      index: Multimodal.PHashIndex,
+                      maxDist: Int = 6,
+                      audioGate: Boolean = false,
+                      maxClipFrac: Double = 0.2,
+                      maxSilenceFrac: Double = 0.5,
+                      silenceTol: Int = 2,
+                      scope: CacheScope = CacheScope.noop): DataFrame = {
+    Multimodal.requireIntegralId(batch, idCol, "mediaIngestGate")
+    val integ = scope.track(
+      Multimodal.payloadIntegrity(batch, idCol).cache())
+    val healthy = batch.join(
+      integ.filter(col("verdict") === "ok").select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val (audited, survivors) =
+      if (!audioGate) (None: Option[DataFrame], healthy)
+      else {
+        val g = scope.track(Multimodal.wavQualityGate(healthy, idCol,
+            maxClipFrac, maxSilenceFrac, silenceTol)
+          .withColumnRenamed("id", idCol).cache())
+        (Some(g), healthy.join(
+          g.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi"))
+      }
+    val fuzzy = Multimodal.incrementalPerceptualDupsWith(survivors, index,
+      idCol, "payload", maxDist)
+    val withQuality = audited match {
+      case Some(g) => integ.select(col(idCol), col("verdict").as("_iv"))
+        .join(g.select(col(idCol), col("keep").as("_keep")), Seq(idCol), "left")
+      case None => integ.select(col(idCol), col("verdict").as("_iv"))
+        .withColumn("_keep", lit(true))
+    }
+    withQuality
+      .join(fuzzy.select(col(idCol), col("hist_id"), col("dist")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_iv") =!= "ok", col("_iv"))
+          .when(!coalesce(col("_keep"), lit(true)), lit("low_quality"))
+          .when(col("hist_id").isNotNull, lit("dup_history"))
+          .otherwise(lit("kept")).as("verdict"),
+        col("hist_id"), col("dist"))
+  }
 }

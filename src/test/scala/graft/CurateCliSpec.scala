@@ -2365,6 +2365,54 @@ class CurateCliSpec extends AnyFunSuite {
     rm(utIn, oUt)
   }
 
+  test("mingest loop: founding day gates what founds the store; day two probes and appends") {
+    import graft.ops.Multimodal
+    def block(s: Int): String =
+      (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    val in1 = tmp("cli-mi-in1"); val in2 = tmp("cli-mi-in2")
+    val v1 = tmp("cli-mi-v1"); val v2 = tmp("cli-mi-v2")
+    val idx = tmp("cli-mi-idx"); rm(in1, in2, v1, v2, idx)
+    // day 1: one healthy payload + one corrupted-in-place
+    Multimodal.packBinary(Seq((0L, block(1) * 3), (1L, block(2) * 3))
+        .toDF("doc_id", "t"), "doc_id", "t")
+      .withColumn("payload", when(col("doc_id") === 1L,
+        concat(encode(lit("~"), "utf-8"), expr("substring(payload, 2)")))
+        .otherwise(col("payload")))
+      .write.parquet(in1)
+    CurateCli.run("mingest", Map("--in" -> in1, "--out" -> v1,
+      "--index" -> idx))
+    assert(spark.read.parquet(v1).select("doc_id", "verdict")
+      .as[(Long, String)].collect().toMap
+      == Map(0L -> "kept", 1L -> "corrupted"))
+    // only the kept payload founded the store: day 2's near-mutant of
+    // doc 0 probes home; a mutant of the CORRUPTED day-1 payload doesn't
+    Multimodal.packBinary(Seq(
+        (10L, "Z" + (block(1) * 3).drop(1)),
+        (11L, "Z" + (block(2) * 3).drop(1)),
+        (12L, block(9) * 3)).toDF("doc_id", "t"), "doc_id", "t")
+      .write.parquet(in2)
+    CurateCli.run("mingest", Map("--in" -> in2, "--out" -> v2,
+      "--index" -> idx))
+    val d2 = spark.read.parquet(v2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)))).toMap
+    assert(d2(10L) == (("dup_history", Some(0L))))
+    assert(d2(11L) == (("kept", None)), "the corrupted payload never entered history")
+    assert(d2(12L) == (("kept", None)))
+    // founding constants enforced on restatement
+    val eDec = intercept[IllegalArgumentException] {
+      CurateCli.run("mingest", Map("--in" -> in2, "--out" -> v2,
+        "--index" -> idx, "--decoder" -> "wav"))
+    }
+    assert(eDec.getMessage.contains("--decoder"))
+    // a typo'd index with no update is loud
+    val eIdx = intercept[IllegalArgumentException] {
+      CurateCli.run("mingest", Map("--in" -> in2, "--out" -> v2,
+        "--index" -> tmp("cli-mi-nope"), "--update-index" -> "N"))
+    }
+    assert(eIdx.getMessage.contains("founds nothing"))
+    rm(in1, in2, v1, v2, idx)
+  }
+
   test("consensus command ≡ the library fusion across two pair tables") {
     import graft.ops.Dedup
     val aIn = tmp("cli-cons-a"); val bIn = tmp("cli-cons-b"); rm(aIn, bIn)

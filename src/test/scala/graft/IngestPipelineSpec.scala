@@ -595,6 +595,68 @@ class IngestPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mediaIngestGate: escalating rungs — integrity first, audio quality, then the standing perceptual probe") {
+    import graft.ops.{CacheScope, Multimodal, Pipeline}
+    def block(s: Int): String =
+      (0 until 128).map(j => ('a' + ((s * 31 + j * 17 + s * j) % 26)).toChar).mkString
+    CacheScope.withScope { scope =>
+      // ---- stub space: an image-ish corpus ----
+      val hist = Multimodal.packBinary(
+        (0 until 4).map(i => (i.toLong, block(10 + i) * 3)).toDF("doc_id", "t"),
+        "doc_id", "t")
+      val idx = Multimodal.buildPHashIndex(hist, "doc_id", "payload",
+        nBands = 4, scope = scope)
+      val packed = Multimodal.packBinary(Seq(
+        (100L, "Z" + (block(10) * 3).drop(1)), // near history -> dup_history
+        (101L, block(40) * 3),                 // new -> kept
+        (102L, block(41) * 3),                 // will truncate
+        (103L, block(42) * 3),                 // will corrupt in place
+        (104L, block(43) * 3)                  // blob never arrives
+      ).toDF("doc_id", "t"), "doc_id", "t")
+      val tampered = packed.withColumn("payload",
+        when(col("doc_id") === 102L, expr("substring(payload, 1, 10)"))
+          .when(col("doc_id") === 103L,
+            concat(encode(lit("~"), "utf-8"), expr("substring(payload, 2)")))
+          .when(col("doc_id") === 104L, lit(null).cast("binary"))
+          .otherwise(col("payload")))
+      val got = Pipeline.mediaIngestGate(tampered, "doc_id", idx,
+          maxDist = 6, scope = scope)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), Option(r.get(2)))).toMap
+      assert(got(100L)._1 == "dup_history" && got(100L)._2 == Some(0L))
+      assert(got(101L) == (("kept", None)))
+      assert(got(102L) == (("truncated", None)))
+      assert(got(103L) == (("corrupted", None)))
+      assert(got(104L) == (("missing", None)))
+
+      // ---- wav space with the audio rung: a recordings corpus ----
+      def packWavRow(rows: Seq[(Long, Array[Byte])]) = {
+        import org.apache.spark.sql.functions.{struct => fstruct}
+        rows.toDF("doc_id", "payload").select(col("doc_id"), col("payload"),
+          fstruct(lit("audio/wav").as("format"),
+            octet_length(col("payload")).cast("long").as("byte_len"),
+            md5(col("payload")).as("content_hash")).as("meta"))
+      }
+      val pcm0 = (block(1) * 3).getBytes("UTF-8")
+      val wavHist = packWavRow(Seq(0L -> Multimodal.packWav(pcm0)))
+      val idxW = Multimodal.buildPHashIndex(wavHist, "doc_id", "payload",
+        nBands = 4, decoder = Multimodal.WavDecoder, scope = scope)
+      val wavBatch = packWavRow(Seq(
+        // same pcm, different container layout -> dup_history in wav space
+        200L -> Multimodal.packWav(pcm0, withListChunk = true),
+        201L -> Multimodal.packWav(Array.fill[Byte](300)(128.toByte)), // dead air
+        202L -> Multimodal.packWav((block(50) * 3).getBytes("UTF-8"))))
+      val gotW = Pipeline.mediaIngestGate(wavBatch, "doc_id", idxW,
+          maxDist = 2, audioGate = true, scope = scope)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), Option(r.get(2)))).toMap
+      assert(gotW(200L)._1 == "dup_history" && gotW(200L)._2 == Some(0L),
+        "identical pcm pairs across container layouts")
+      assert(gotW(201L) == (("low_quality", None)), "dead air never reaches the probe")
+      assert(gotW(202L) == (("kept", None)))
+    }
+  }
+
   test("storyboardGateSink: re-containered cuts verdict dup_history; within-batch dups elect the lowest id") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
