@@ -8,8 +8,8 @@ package graft
 object ExplainMain {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q201_wav_neardup", "q203_wav_quality_gate",
-        "q204_scene_segments", "q205_storyboard_dedup")
+      else Seq("q204_scene_segments", "q206_scene_overlap",
+        "q207_crossmodal_audit", "q208_media_card", "q212_dup_consensus")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master("local[8]")
