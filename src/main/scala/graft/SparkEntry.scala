@@ -2775,6 +2775,18 @@ object SparkEntry {
           coalesce(col("sim"), lit(-1.0)).as("sim"), col("verdict"))
     }),
 
+    // ---- Scene census (round-13): the cut-threshold tuning dashboard
+    //      over q204's corpus — clips stratified by scene count with
+    //      their frame mass ----
+    "q213_scene_census" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(expr("substring(text, 1, 128)"), expr("substring(text, 1, 128)"),
+          expr("substring(text, 1, 128)"), expr("substring(text, 129)")).as("text"))
+      val packed = Multimodal.packBinary(d, "doc_id", "text")
+      Multimodal.sceneCensus(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 6, cutThreshold = 10)
+    }),
+
     // ---- Scene-boundary chunk extraction (round-13): q204's spans
     //      made actionable — one binary chunk per scene, identified by
     //      md5 for the gate (the oracle hashes the matching char slice;
@@ -6599,6 +6611,20 @@ object SparkEntry {
     // q212: multi-signal consensus — the perceptual prs chain fused
     // full-outer with the sign-bucket embedding pairs, -1 sentinels
     "q212_dup_consensus" -> dupConsensusOracle,
+
+    // q213: scene census — per-clip scene counts stratified, with the
+    // frame mass each stratum carries
+    "q213_scene_census" -> (
+      sceneCtes("""SELECT doc_id,
+        | substr(text,1,128)||substr(text,1,128)||substr(text,1,128)||substr(text,129) AS text
+        | FROM documents""".stripMargin, 6) +
+      """,
+        |segs AS (SELECT did, scene_idx, count(*) AS nf FROM scenes GROUP BY 1, 2),
+        |per AS (SELECT did, CAST(count(*) AS BIGINT) AS n_scenes,
+        |    CAST(sum(nf) AS BIGINT) AS nfr FROM segs GROUP BY 1)
+        |SELECT n_scenes, CAST(count(*) AS BIGINT) AS n_clips,
+        |  CAST(sum(nfr) AS BIGINT) AS total_frames
+        |FROM per GROUP BY 1""".stripMargin),
 
     // q211: scene chunks — q204's spans joined back to the corpus text,
     // each chunk identified by the md5 of its char slice (ASCII corpus)

@@ -403,6 +403,25 @@ object Multimodal {
       .agg(count(lit(1)).as("n_clips"), min(col(idCol)).as("canonical_id"))
       .filter(col("n_clips") > 1)
 
+  /** Scene census — the corpus's temporal-structure dashboard: how many
+    * clips have 1, 2, … scenes, and how much frame mass each stratum
+    * carries. The number a cut-threshold tune reads first (threshold
+    * too low → every clip degenerates to per-frame scenes; too high →
+    * one scene per clip). Two count-shaped aggregations over
+    * [[sceneSegments]]' already-narrow span rows — the heavy lifting
+    * happened in the scan stage. Returns (n_scenes, n_clips,
+    * total_frames). */
+  def sceneCensus(df: DataFrame, idCol: String, payloadCol: String,
+                  frameBytes: Int = 128, stride: Int = 128,
+                  maxFrames: Int = 8, cutThreshold: Int = 10,
+                  decoder: String = StubDecoder): DataFrame =
+    sceneSegments(df, idCol, payloadCol, frameBytes, stride, maxFrames,
+        cutThreshold, decoder)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scenes"), sum(col("n_frames")).as("_nf"))
+      .groupBy(col("n_scenes"))
+      .agg(count(lit(1)).as("n_clips"), sum(col("_nf")).as("total_frames"))
+
   /** Scene-overlap pairs — the RE-CUT / COMPILATION detector:
     * [[storyboardDupGroups]] finds clips whose scene SEQUENCE matches
     * exactly; this finds clips that merely SHARE scenes — a re-ordered

@@ -673,6 +673,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Multimodal.sceneSegments(packed, "doc_id", "payload", cutThreshold = 65)
     }
+    // the census is the same spans rolled up: doc 0 has 3 scenes over 6
+    // frames, doc 1 has 1 scene over 1 frame, doc 2 contributes nothing
+    val census = Multimodal.sceneCensus(packed, "doc_id", "payload",
+        frameBytes = 128, stride = 128, maxFrames = 8, cutThreshold = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(census == Set((3L, 1L, 6L), (1L, 1L, 1L)))
   }
 
   test("storyboard: identity robust to tail-append and within-scene padding; census finds the group") {
