@@ -163,6 +163,21 @@ object SparkEntry {
       Dedup.shingleSets(tbl(s, dir, "documents"), "doc_id", "text", n))
   }
 
+  /** The rare-shingle candidate pair table shared by the exact n-gram
+    * family (q21 jaccard, q121 containment, q125 subset dedup, q147
+    * dup-rate curve — round 14: each rebuilt the identical proposal
+    * stage per query). One inverted-index + self-join pass per
+    * (session, dir, n, maxDf), cached — the docPairs memo pattern on the
+    * candidate level. */
+  private val rareCandCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
+
+  private def docRareCands(s: SparkSession, dir: String, n: Int, maxDf: Int): DataFrame = {
+    purgeStopped(rareCandCache)
+    rareCandCache.computeIfAbsent((s, dir, n, maxDf), _ =>
+      Dedup.rareShingleCands(docShingles(s, dir, n), maxDf).cache())
+  }
+
   /** q45's cluster labels: the connected-components loop runs jobs at
     * construction (per-round convergence counts), so memoize like the
     * other eager builds — one resolution per (session, dir). */
@@ -425,7 +440,8 @@ object SparkEntry {
     // ---- Dedup: exact n-gram Jaccard via inverted rare-shingle index
     //      (hash-keyed; shares q20's shingle cache) ----
     "q21_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairsOf(docShingles(s, dir, 5), minJaccard = 0.05, maxDf = 10)
+      Dedup.ngramJaccardPairsFrom(docRareCands(s, dir, 5, 10),
+          docShingles(s, dir, 5), minJaccard = 0.05)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
@@ -1474,8 +1490,8 @@ object SparkEntry {
     //      scores ~1% Jaccard but ~100% containment; shares q20/q21's
     //      shingle cache and rare-shingle index ----
     "q121_containment" -> ((s, dir) =>
-      Dedup.ngramContainmentPairsOf(docShingles(s, dir, 5),
-          minContainment = 0.4, maxDf = 10)
+      Dedup.ngramContainmentPairsFrom(docRareCands(s, dir, 5, 10),
+          docShingles(s, dir, 5), minContainment = 0.4)
         .select(col("id_small"), col("id_big"),
           col("size_small").cast("long").as("size_small"),
           col("size_big").cast("long").as("size_big"),
@@ -1492,7 +1508,8 @@ object SparkEntry {
     // ---- Dedup: subset dedup — q121's containment made actionable:
     //      drop docs ≥ 0.4-contained in a larger doc, keep the big side ----
     "q125_subset_dedup" -> ((s, dir) =>
-      Dedup.subsetDedup(docShingles(s, dir, 5), minContainment = 0.4, maxDf = 10)
+      Dedup.subsetDedupFrom(docRareCands(s, dir, 5, 10),
+          docShingles(s, dir, 5), minContainment = 0.4)
         .select(col("_id").as("doc_id"))),
 
     // ---- Corpus diff: exact two-sample KS distance — does the en
@@ -1804,8 +1821,8 @@ object SparkEntry {
     //      best scores. The table a 100 TB dedup's threshold is picked
     //      from, at one threshold's cost ----
     "q147_dup_rate_curve" -> ((s, dir) =>
-      Dedup.dupRateCurve(docShingles(s, dir, 5),
-        Seq(0.1, 0.2, 0.3, 0.5, 0.7, 0.9), maxDf = 10)),
+      Dedup.dupRateCurveFrom(docRareCands(s, dir, 5, 10),
+        docShingles(s, dir, 5), Seq(0.1, 0.2, 0.3, 0.5, 0.7, 0.9))),
 
     // ---- Topic-balanced selection (round-9): q99's temperature draw
     //      with the group played by the EMBEDDING cluster — cells from
@@ -1944,20 +1961,18 @@ object SparkEntry {
     //      with capped-supply redistribution, drawn per group in salted
     //      order under the q82 cum-cost admission rule ----
     "q159_token_waterfill" -> ((s, dir) => {
-      // cached for the budget probe; the op caches its own narrow `base`
-      // frame (populated during its eager alloc collect), so `d`'s cache
-      // is released as soon as the call returns — it must not leak into
-      // the rest of a 171-query run, and min-of-3 re-runs must time the
-      // op, not a cache read (Spark's cache manager matches by plan)
+      // round 14: the 40%-of-total budget is now stated as a FRACTION
+      // (num/den = 2/5) so the op's ONE supply aggregation yields both the
+      // corpus total and the per-group waterfill — the previous shape paid
+      // a separate total-sum pass plus a second cache of the same narrow
+      // projection (the bench's "already cached" warning). Budget
+      // arithmetic unchanged: tot * 2 / 5 in exact longs.
       val d = tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.lengthBucket(col("text"), width = 20, maxBucket = 9)
           .as("bucket"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens")).cache()
-      val tot = d.agg(sum(col("n_tokens"))).head().getLong(0)
-      val drawn = Corpus.waterfillSampleByCost(d, "doc_id", "bucket",
-        "n_tokens", alpha = 0.5, budget = tot * 2 / 5)
-      d.unpersist()
-      drawn
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Corpus.waterfillSampleByCostFrac(d, "doc_id", "bucket",
+        "n_tokens", alpha = 0.5, num = 2, den = 5)
     }),
 
     // ---- Gopher REPETITION gate (round-9): the within-doc repetition

@@ -97,18 +97,34 @@ object Cluster {
       // neighbor messages: each edge offers src's label to dst
       val msgs = eCached.join(labels, col("_src") === col("_node"))
         .select(col("_dst").as("_node"), col("_label"))
+      // round 14 (guide §2.4 — one fewer join per round): fold the offers
+      // to one min per node FIRST (the agg shuffles only the message
+      // stream, and its output is already hash-partitioned by _node for
+      // the join), then attach with a FULL-OUTER join carrying the
+      // previous label beside the new one — least() ignores nulls, so
+      // nodes with no offer keep their label and edge-endpoint nodes
+      // outside the label table enter with their best offer, exactly the
+      // previous union+groupBy semantics. The change probe is then a
+      // FILTER over the already-cached round frame instead of the
+      // previous next⋈labels join (an entire extra shuffle per round);
+      // a node entering this round has _prev null and null < x is null —
+      // not counted, matching the old inner-join probe.
+      val offers = msgs.groupBy(col("_node")).agg(min(col("_label")).as("_off"))
       val next = snapshot(
-        labels.unionByName(msgs)
-          .groupBy(col("_node")).agg(min(col("_label")).as("_label")), scope)
-      // fixpoint test: any node whose label still shrinks? (aggregate
-      // scalar — the labels themselves never leave the cluster)
-      val changed = next.as("n").join(labels.as("p"), col("n._node") === col("p._node"))
-        .filter(col("n._label") < col("p._label")).limit(1).count()
+        labels.select(col("_node"), col("_label"))
+          .join(offers, Seq("_node"), "full_outer")
+          .select(col("_node"),
+            least(col("_label"), col("_off")).as("_label"),
+            col("_label").as("_prev")), scope)
+      val changed = next.filter(col("_label") < col("_prev")).limit(1).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    // the returned frame is the round's CACHED snapshot (carrying the
+    // harmless _prev column on post-round-1 frames) — callers select the
+    // (_node, _label) pair and own the final unpersist
     (labels, converged)
   }
 
@@ -353,20 +369,41 @@ object Cluster {
                     scope: CacheScope = CacheScope.noop,
                     strategy: String = "labelprop"): DataFrame = {
     require(thresholds.nonEmpty, "at least one threshold required")
-    val sz = sizes.select(col(sizeIdCol).as("_did"),
-      col(sizeCol).cast("long").as("_sz"))
-    thresholds.map { t =>
-      val comps = resolveComponents(strategy, nodes, idCol,
-        pairs.filter(col(jaccardCol) >= t), srcCol, dstCol, scope = scope)
-      val dup = when(col("component") =!= col("_did"), 1L).otherwise(0L)
-      comps.select(col(idCol).as("_did"), col("component"))
-        .join(sz, Seq("_did"))
-        .agg(sum(dup).as("n_dup_docs"),
-          sum(dup * col("_sz")).as("dup_tokens"),
-          count_distinct(when(dup === 1L, col("component"))).as("n_clusters"))
-        .select(lit(t).as("threshold"), col("n_dup_docs"),
-          col("dup_tokens"), col("n_clusters"))
-    }.reduce(_ unionByName _)
+    // round 14: the size table is CACHED — it is consumed once per
+    // threshold, and deriving it usually re-runs a corpus scan +
+    // tokenization per cutoff (q184 measured 3× the same tokenize pass)
+    val sz = scope.track(sizes.select(col(sizeIdCol).as("_did"),
+      col(sizeCol).cast("long").as("_sz")).cache())
+    // round 14 (guide §2.6 — overlap independent jobs): each threshold's
+    // component resolution is an EAGER loop of small convergence-count
+    // jobs over the (sparse, cached) pair table; the thresholds are
+    // independent, so they run concurrently from a small thread pool and
+    // the scheduler back-fills each loop's straggler tail with the next
+    // loop's tasks. Result identity is untouched: each threshold builds
+    // its own frame and the union keeps the caller's threshold order.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(thresholds.size, 4))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = thresholds.map { t =>
+        scala.concurrent.Future {
+          val comps = resolveComponents(strategy, nodes, idCol,
+            pairs.filter(col(jaccardCol) >= t), srcCol, dstCol, scope = scope)
+          val dup = when(col("component") =!= col("_did"), 1L).otherwise(0L)
+          comps.select(col(idCol).as("_did"), col("component"))
+            .join(sz, Seq("_did"))
+            .agg(sum(dup).as("n_dup_docs"),
+              sum(dup * col("_sz")).as("dup_tokens"),
+              count_distinct(when(dup === 1L, col("component"))).as("n_clusters"))
+            .select(lit(t).as("threshold"), col("n_dup_docs"),
+              col("dup_tokens"), col("n_clusters"))
+        }
+      }
+      futs.map(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+        .reduce(_ unionByName _)
+    } finally pool.shutdown()
   }
 
   /** Duplicate-cluster census: the size distribution of resolved

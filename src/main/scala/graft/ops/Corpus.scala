@@ -1490,62 +1490,164 @@ object Corpus {
       .select(col("_g").as(groupCol), col("_s").as("supply"),
         col("alloc"), col("capped"))
 
-  /** The closed-form waterfill over a prepared (_g, _s) supply table —
-    * see [[waterfillMix]] for the algorithm and determinism notes.
-    * EAGER: the supply table is collected (group-cardinality metadata —
-    * a row per source/bucket, the [[temperatureMix]] exception) and the
-    * closed form runs over the resulting LocalRelation. Left lazy, each
-    * of the half-dozen tiny aggregates/windows below would re-run the
-    * corpus groupBy feeding `counts` (and any tokenization inside it) —
-    * measured as ~4× the applied draw's whole wall at sf0.1. The
-    * round-trip preserves the schema, so group-column types (and the
-    * oracle's) are untouched. */
+  /** Spark-compatible ordering for collected group keys — the driver-side
+    * twin of a window `orderBy(col)` on one scalar column: nulls FIRST
+    * ascending; strings in UTF8String binary order (UTF-8 byte compare =
+    * code-point order, not Java's UTF-16 compareTo); numerics/NaN per
+    * IEEE total order (NaN greatest, Spark's convention); everything else
+    * (date, timestamp, decimal) via its natural Comparable, which is what
+    * Spark's interpreted ordering uses for those external types. */
+  private[ops] def sparkKeyCompare(x: Any, y: Any): Int = (x, y) match {
+    case (null, null) => 0
+    case (null, _)    => -1
+    case (_, null)    => 1
+    case (a: String, b: String) =>
+      val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < ab.length && i < bb.length) {
+        val c = java.lang.Integer.compare(ab(i) & 0xff, bb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(ab.length, bb.length)
+    case (a: java.lang.Double, b: java.lang.Double) =>
+      java.lang.Double.compare(a, b)
+    case (a: java.lang.Float, b: java.lang.Float) =>
+      java.lang.Float.compare(a, b)
+    case (a: java.lang.Number, b: java.lang.Number) =>
+      java.lang.Long.compare(a.longValue(), b.longValue())
+    case (a: java.lang.Boolean, b: java.lang.Boolean) =>
+      java.lang.Boolean.compare(a, b)
+    case (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
+  /** The closed-form waterfill, computed ON THE DRIVER over the collected
+    * supply table (group-cardinality metadata — a row per source/bucket,
+    * the [[temperatureMix]] exception). Round 14: the previous form
+    * round-tripped the collected rows through a LocalRelation and ran the
+    * closed form as ~10 tiny Spark jobs (three broadcast exchanges + the
+    * windows); guide §5's "the driver should do the metadata-scale work"
+    * — a dozen rows of prefix sums is exactly that, so the arithmetic now
+    * runs as plain Scala with the SAME IEEE operation order (pow, the
+    * ordered running sums, wprev = cumw − w, the (w/vf)·rf product, the
+    * floor/largest-remainder rounding), verified value-identical against
+    * the q155/q156/q159 DuckDB oracles. Input rows: (_g, _s nullable
+    * long); output: (_g, _s, alloc, capped) with the exact null semantics
+    * of the previous SQL form (null supply ⇒ null alloc). */
+  private[ops] def waterfillLocal(rows: Array[(Any, Option[Long])],
+                                  alpha: Double, budget: Long)
+      : Array[(Any, Option[Long], Option[Long], Int)] = {
+    require(alpha >= 0, s"alpha must be non-negative, got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    // _w = pow(_s, alpha); _r = _s / _w  (null-propagating, NaN possible)
+    case class P(g: Any, s: Option[Long], w: Option[Double], r: Option[Double])
+    val ps = rows.map { case (g, s) =>
+      val w = s.map(v => math.pow(v.toDouble, alpha))
+      val r = for (sv <- s; wv <- w) yield sv.toDouble / wv
+      P(g, s, w, r)
+    }
+    // window order: (_r asc nulls first, _g asc nulls first)
+    val sorted = ps.sortWith { (a, b) =>
+      val c = (a.r, b.r) match {
+        case (None, None)       => 0
+        case (None, _)          => -1
+        case (_, None)          => 1
+        case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+      }
+      if (c != 0) c < 0 else sparkKeyCompare(a.g, b.g) < 0
+    }
+    // ordered running sums (SQL sum semantics: null until first non-null)
+    var cs: Option[Long] = None
+    var cw: Option[Double] = None
+    case class Q(p: P, pos: Int, cums: Option[Long], cumw: Option[Double])
+    val qs = sorted.zipWithIndex.map { case (p, i) =>
+      cs = p.s.map(_ + cs.getOrElse(0L)).orElse(cs)
+      cw = p.w.map(_ + cw.getOrElse(0.0)).orElse(cw)
+      Q(p, i + 1, cs, cw)
+    }
+    val totw = qs.flatMap(_.cumw).reduceOption((a, b) => math.max(a, b))
+    // capped test: s·(totw − wprev) <= (budget − sprev)·w, prefix rule
+    def ok(q: Q): Option[Boolean] = for {
+      sv <- q.p.s; wv <- q.p.w; tw <- totw
+      cums <- q.cums; cumw <- q.cumw
+    } yield sv.toDouble * (tw - (cumw - wv)) <= (budget - (cums - sv)).toDouble * wv
+    val ff = qs.filter(q => ok(q).contains(false)).map(_.pos).minOption
+    val (capped, uncapped) = qs.partition(q => ff.forall(q.pos < _))
+    val csMax = capped.flatMap(_.cums).lastOption
+    val cwMax = capped.flatMap(_.cumw).reduceOption((a, b) => math.max(a, b))
+    val rf = budget - csMax.getOrElse(0L)
+    val vf = totw.map(_ - cwMax.getOrElse(0.0))
+    val cappedOut = capped.map(q => (q.p.g, q.p.s, q.p.s, 1))
+    // uncapped: largest-remainder rounding of (w/vf)·rf
+    case class U(q: Q, exact: Option[Double], base: Option[Long], frac: Option[Double])
+    val us = uncapped.map { q =>
+      val exact = for (wv <- q.p.w; v <- vf) yield (wv / v) * rf.toDouble
+      val base = exact.map(e => math.floor(e).toLong)
+      val frac = for (e <- exact; b <- base) yield e - b
+      U(q, exact, base, frac)
+    }
+    val rem = rf - us.flatMap(_.base).sum
+    // rank: (_frac desc nulls last — NaN first under desc, Spark's order —
+    // then _g asc)
+    val ranked = us.sortWith { (a, b) =>
+      val c = (a.frac, b.frac) match {
+        case (None, None)       => 0
+        case (None, _)          => 1
+        case (_, None)          => -1
+        case (Some(x), Some(y)) => -java.lang.Double.compare(x, y)
+      }
+      if (c != 0) c < 0 else sparkKeyCompare(a.q.p.g, b.q.p.g) < 0
+    }
+    val uncappedOut = ranked.zipWithIndex.map { case (u, i) =>
+      val alloc = u.base.map(b => b + (if ((i + 1) <= rem) 1L else 0L))
+      (u.q.p.g, u.q.p.s, alloc, 0)
+    }
+    cappedOut ++ uncappedOut
+  }
+
+  /** [[waterfillLocal]] with the collect: one Spark job over the prepared
+    * (_g, _s) supply frame, driver math, back as a LocalRelation with the
+    * schema (group type) preserved. */
   private def waterfillCore(counts: DataFrame, alpha: Double,
                             budget: Long): DataFrame = {
     require(alpha >= 0, s"alpha must be non-negative, got $alpha")
     require(budget > 0, s"budget must be positive, got $budget")
-    val local = counts.sparkSession.createDataFrame(
-      java.util.Arrays.asList(counts.collect(): _*), counts.schema)
-    import org.apache.spark.sql.expressions.Window
-    val ord = Window.orderBy(col("_r"), col("_g"))
-    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val p = local
-      .withColumn("_w", pow(col("_s"), alpha))
-      .withColumn("_r", col("_s") / col("_w"))
-      .withColumn("_cums", sum(col("_s")).over(run))
-      .withColumn("_cumw", sum(col("_w")).over(run))
-      .withColumn("_pos", row_number().over(ord))
-    val totw = p.agg(max(col("_cumw")).as("_totw"))
-    val tested = p.crossJoin(broadcast(totw))
-      .withColumn("_sprev", col("_cums") - col("_s"))
-      .withColumn("_wprev", col("_cumw") - col("_w"))
-      .withColumn("_ok",
-        col("_s").cast("double") * (col("_totw") - col("_wprev"))
-          <= (lit(budget) - col("_sprev")).cast("double") * col("_w"))
-    // the capped set is the longest ratio-order PREFIX of passing tests
-    val ff = tested.filter(!col("_ok")).agg(min(col("_pos")).as("_ff"))
-    val flagged = tested.crossJoin(broadcast(ff))
-      .withColumn("_capped", col("_ff").isNull || col("_pos") < col("_ff"))
-    val fin = flagged.agg(
-      max(when(col("_capped"), col("_cums"))).as("_cs"),
-      max(when(col("_capped"), col("_cumw"))).as("_cw"))
-    val leveled = flagged.crossJoin(broadcast(fin))
-      .withColumn("_rf", lit(budget) - coalesce(col("_cs"), lit(0L)))
-      .withColumn("_vf", col("_totw") - coalesce(col("_cw"), lit(0.0)))
-    val capped = leveled.filter(col("_capped"))
-      .select(col("_g"), col("_s"), col("_s").as("alloc"), lit(1).as("capped"))
-    val rk = Window.orderBy(col("_frac").desc, col("_g"))
-    val wAll = Window.partitionBy()
-    val uncapped = leveled.filter(!col("_capped"))
-      .withColumn("_exact", col("_w") / col("_vf") * col("_rf").cast("double"))
-      .withColumn("_base", floor(col("_exact")).cast("long"))
-      .withColumn("_frac", col("_exact") - col("_base"))
-      .withColumn("_rem", col("_rf") - sum(col("_base")).over(wAll))
-      .withColumn("_rk", row_number().over(rk))
-      .select(col("_g"), col("_s"),
-        (col("_base") + when(col("_rk") <= col("_rem"), 1L).otherwise(0L)).as("alloc"),
-        lit(0).as("capped"))
-    capped.unionByName(uncapped)
+    val collected = counts.collect().map(r =>
+      (r.get(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val out = waterfillLocal(collected, alpha, budget)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      counts.schema(0).copy(name = "_g"),
+      counts.schema(1).copy(name = "_s"),
+      org.apache.spark.sql.types.StructField("alloc",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("capped",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val rows: Seq[org.apache.spark.sql.Row] = out.toSeq.map { case (g, s, a, c) =>
+      org.apache.spark.sql.Row(g, s.map(Long.box).orNull, a.map(Long.box).orNull, c)
+    }
+    counts.sparkSession.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+  }
+
+  /** Collected per-group allocations (group rendered as Spark's
+    * string-cast of the key) — the map the draw entry points feed to
+    * [[BudgetSelect.selectByBudgetPerGroup]]; null groups get no budget
+    * (the documented drop). */
+  private def waterfillAllocs(counts: DataFrame, alpha: Double,
+                              budget: Long): (Map[String, Long], Long) = {
+    require(alpha >= 0, s"alpha must be non-negative, got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val collected = counts.collect().map(r =>
+      (r.get(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val tot = collected.flatMap(_._2).sum
+    val out = waterfillLocal(collected, alpha, budget)
+    (out.flatMap { case (g, _, alloc, _) =>
+      // a null alloc (all-null supply) reads as 0 — the unboxing the
+      // previous collect-from-DataFrame path (Row.getLong on null) applied
+      Option(g).map(v => String.valueOf(v) -> alloc.getOrElse(0L))
+    }.toMap, tot)
   }
 
   /** [[waterfillMixBy]] APPLIED — the per-group token-budget draw with
@@ -1560,17 +1662,49 @@ object Corpus {
                             costCol: String, alpha: Double, budget: Long,
                             seed: String = "graft-temp",
                             scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(alpha >= 0, s"alpha must be non-negative, got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    waterfillSampleByCostImpl(docs, idCol, groupCol, costCol, alpha,
+      (_: Long) => budget, seed, scope)
+  }
+
+  /** [[waterfillSampleByCost]] with the budget stated as a FRACTION of the
+    * corpus's total cost mass (`tot · num / den`, exact long arithmetic) —
+    * round 14: the fraction form lets one supply aggregation serve both
+    * the total (previously a separate corpus pass in callers) and the
+    * per-group waterfill, halving the eager passes of the q159 shape. */
+  def waterfillSampleByCostFrac(docs: DataFrame, idCol: String,
+                                groupCol: String, costCol: String,
+                                alpha: Double, num: Long, den: Long,
+                                seed: String = "graft-temp",
+                                scope: CacheScope = CacheScope.noop): DataFrame = {
+    require(num > 0 && den > 0, "budget fraction must be positive")
+    waterfillSampleByCostImpl(docs, idCol, groupCol, costCol, alpha,
+      tot => tot * num / den, seed, scope)
+  }
+
+  private def waterfillSampleByCostImpl(docs: DataFrame, idCol: String,
+                                        groupCol: String, costCol: String,
+                                        alpha: Double, budgetOf: Long => Long,
+                                        seed: String,
+                                        scope: CacheScope): DataFrame = {
     // one narrow (id, group, cost) cache feeds BOTH passes (supply
     // aggregation, then the draw's range exchange) — without it the mix
     // and the draw each re-scan the corpus and re-run whatever
     // tokenization derived the group/cost columns
     val base = scope.track(
       docs.select(col(idCol), col(groupCol), col(costCol)).cache())
-    val allocs = waterfillMixBy(base, groupCol, costCol, alpha, budget)
-      .select(col(groupCol).cast("string").as("_g"), col("alloc"))
-      .collect()
-      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
-      .toMap
+    // ONE supply job: the collected group table yields both the corpus
+    // total (for fraction-stated budgets) and the waterfill input
+    val collected = base.groupBy(col(groupCol).as("_g"))
+      .agg(sum(col(costCol).cast("long")).as("_s"))
+      .collect().map(r =>
+        (r.get(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val tot = collected.flatMap(_._2).sum
+    val allocs = waterfillLocal(collected, alpha, budgetOf(tot))
+      .flatMap { case (g, _, alloc, _) =>
+        Option(g).map(v => String.valueOf(v) -> alloc.getOrElse(0L))
+      }.toMap
     BudgetSelect.selectByBudgetPerGroup(base,
         groupCol, costCol, allocs, scope,
         md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), col(idCol))
@@ -1590,11 +1724,9 @@ object Corpus {
     // narrow (id, group) cache shared by the supply pass and the draw —
     // see waterfillSampleByCost
     val base = scope.track(docs.select(col(idCol), col(groupCol)).cache())
-    val allocs = waterfillMix(base, groupCol, alpha, budget)
-      .select(col(groupCol).cast("string").as("_g"), col("alloc"))
-      .collect()
-      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
-      .toMap
+    val (allocs, _) = waterfillAllocs(
+      base.groupBy(col(groupCol).as("_g")).agg(count(lit(1)).as("_s")),
+      alpha, budget)
     BudgetSelect.selectByBudgetPerGroup(
         base.withColumn("_ts_one", lit(1L)),
         groupCol, "_ts_one", allocs, scope,

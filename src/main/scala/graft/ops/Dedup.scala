@@ -98,7 +98,22 @@ object Dedup {
     * pairs / over-count one common shingle in the merge-count verify; at
     * 2^-64 per pair all are vanishingly rare and (b) is harmless anyway. */
   def ngramJaccardPairsOf(withSh: DataFrame, minJaccard: Double = 0.0,
-                          maxDf: Int = 100): DataFrame = {
+                          maxDf: Int = 100,
+                          scope: CacheScope = CacheScope.noop): DataFrame =
+    ngramJaccardPairsFrom(rareShingleCands(withSh, maxDf, scope), withSh,
+      minJaccard)
+
+  /** The shared PROPOSAL stage of the exact n-gram pair family: distinct
+    * candidate pairs (id_a < id_b) sharing at least one RARE shingle
+    * (document frequency ≤ `maxDf`) — threshold- and metric-independent,
+    * so ONE build serves the Jaccard rung, the containment rung, the
+    * subset dedup and the dup-rate curve over the same shingled corpus
+    * (round 14: those four each rebuilt it). The rare inverted index is
+    * scope-cached — the self-join consumes it twice, and without the
+    * cache the corpus explode + df-count aggregation run once per side
+    * (the q21 plan showed the df-count subtree planned twice). */
+  def rareShingleCands(withSh: DataFrame, maxDf: Int = 100,
+                       scope: CacheScope = CacheScope.noop): DataFrame = {
     // exploding an empty set yields no rows, so empty-shingle docs can never
     // become candidates here — the guard just documents the invariant that
     // keeps the jaccard denominator nonzero. The index explodes the cached
@@ -108,12 +123,19 @@ object Dedup {
       .select(col("_id"), explode(col("_shh")).as("_h"))
     val rare = inv.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf).select(col("_h"))
-    val rareInv = inv.join(rare, Seq("_h"))
-    val cands = rareInv.select(col("_id").as("id_a"), col("_h"))
+    val rareInv = scope.track(inv.join(rare, Seq("_h")).cache())
+    rareInv.select(col("_id").as("id_a"), col("_h"))
       .join(rareInv.select(col("_id").as("id_b"), col("_h")), Seq("_h"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
+
+  /** [[ngramJaccardPairsOf]]'s VERIFY stage over a prebuilt candidate
+    * pair table ([[rareShingleCands]]) — exact Jaccard from the full
+    * shingle sets, one candidate row per pair. */
+  def ngramJaccardPairsFrom(cands: DataFrame, withSh: DataFrame,
+                            minJaccard: Double = 0.0): DataFrame = {
     val a = withSh.select(col("_id").as("id_a"), col("_shh").as("sh_a"), col("_size").as("size_a"))
     val b = withSh.select(col("_id").as("id_b"), col("_shh").as("sh_b"), col("_size").as("size_b"))
     cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -144,17 +166,15 @@ object Dedup {
     * survivor convention (round-5 advice: the previous `<=` split kept
     * the higher id on mutual containment). */
   def ngramContainmentPairsOf(withSh: DataFrame, minContainment: Double = 0.0,
-                              maxDf: Int = 100): DataFrame = {
-    val inv = withSh.filter(col("_size") > 0)
-      .select(col("_id"), explode(col("_shh")).as("_h"))
-    val rare = inv.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDf).select(col("_h"))
-    val rareInv = inv.join(rare, Seq("_h"))
-    val cands = rareInv.select(col("_id").as("id_a"), col("_h"))
-      .join(rareInv.select(col("_id").as("id_b"), col("_h")), Seq("_h"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+                              maxDf: Int = 100,
+                              scope: CacheScope = CacheScope.noop): DataFrame =
+    ngramContainmentPairsFrom(rareShingleCands(withSh, maxDf, scope), withSh,
+      minContainment)
+
+  /** [[ngramContainmentPairsOf]]'s VERIFY stage over a prebuilt candidate
+    * pair table ([[rareShingleCands]]). */
+  def ngramContainmentPairsFrom(cands: DataFrame, withSh: DataFrame,
+                                minContainment: Double = 0.0): DataFrame = {
     val a = withSh.select(col("_id").as("id_a"), col("_shh").as("sh_a"), col("_size").as("size_a"))
     val b = withSh.select(col("_id").as("id_b"), col("_shh").as("sh_b"), col("_size").as("size_b"))
     cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -187,8 +207,16 @@ object Dedup {
     * lower thresholds each drop is still individually justified by its
     * own witness pair. */
   def subsetDedup(withSh: DataFrame, minContainment: Double,
-                  maxDf: Int = 100): DataFrame = {
-    val dropped = ngramContainmentPairsOf(withSh, minContainment, maxDf)
+                  maxDf: Int = 100,
+                  scope: CacheScope = CacheScope.noop): DataFrame =
+    subsetDedupFrom(rareShingleCands(withSh, maxDf, scope), withSh,
+      minContainment)
+
+  /** [[subsetDedup]] over a prebuilt candidate pair table
+    * ([[rareShingleCands]]). */
+  def subsetDedupFrom(cands: DataFrame, withSh: DataFrame,
+                      minContainment: Double): DataFrame = {
+    val dropped = ngramContainmentPairsFrom(cands, withSh, minContainment)
       .select(col("id_small").as("_id")).distinct()
     withSh.select(col("_id")).join(dropped, Seq("_id"), "left_anti")
   }
@@ -227,10 +255,18 @@ object Dedup {
     * The thresholds and corpus-total frames are literal/single-row and
     * broadcast. */
   def dupRateCurve(withSh: DataFrame, thresholds: Seq[Double],
-                   maxDf: Int = 100): DataFrame = {
+                   maxDf: Int = 100,
+                   scope: CacheScope = CacheScope.noop): DataFrame =
+    dupRateCurveFrom(rareShingleCands(withSh, maxDf, scope), withSh,
+      thresholds)
+
+  /** [[dupRateCurve]] over a prebuilt candidate pair table
+    * ([[rareShingleCands]]). */
+  def dupRateCurveFrom(cands: DataFrame, withSh: DataFrame,
+                       thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "thresholds must be non-empty")
     val ts = thresholds.distinct.sorted
-    val best = ngramJaccardPairsOf(withSh, ts.head, maxDf)
+    val best = ngramJaccardPairsFrom(cands, withSh, ts.head)
       .groupBy(col("id_b"))
       .agg(max(col("jaccard")).as("_bestj"))
     val spark = withSh.sparkSession

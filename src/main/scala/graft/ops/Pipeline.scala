@@ -156,9 +156,15 @@ object Pipeline {
                      Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
                          8 -> 0.12, 9 -> 0.11, 10 -> 0.10),
                    scope: CacheScope = CacheScope.noop): DataFrame = {
-    val gopherOk = TextAnalysis.gopherQualityGate(docs, idCol, textCol,
-        minWords = minWords)
-      .filter(col("gopher_ok") === 1).select(col(idCol))
+    // round 14 (guide §2.4): both opening gates are ROW-LOCAL rules, so
+    // they compose into the scan stage as plain filters — the previous
+    // frame-returning form semi-joined the corpus back onto its own gate
+    // output by id, a whole extra shuffle (two, with repetition) of the
+    // corpus that moved the text for nothing. Verdict expressions are
+    // shared with the gate queries (gopherOkCol / repetitionStats), so
+    // the admitted set is bit-identical.
+    val gopherPass = docs.filter(
+      TextAnalysis.gopherOkCol(col(textCol), minWords = minWords) === 1)
     // `withRepetition` inserts the q160 within-doc repetition gate
     // (thresholds from repTopNs/repRepNs, paper defaults) BETWEEN the
     // Gopher cut and the vocab vote — still row-local, so it rides the
@@ -166,12 +172,9 @@ object Pipeline {
     // repetition-spam must not vote for the vocabulary either
     val pass0 =
       if (withRepetition)
-        docs.join(gopherOk, Seq(idCol), "left_semi")
-          .join(TextAnalysis.gopherRepetitionGate(docs, idCol, textCol,
-              topNs = repTopNs, repNs = repRepNs)
-            .filter(col("rep_ok") === 1).select(col(idCol)),
-            Seq(idCol), "left_semi")
-      else docs.join(gopherOk, Seq(idCol), "left_semi")
+        gopherPass.filter(graft.functions.RepetitionExprs.repetitionStats(
+          col(textCol), 0.30, 0.20, repTopNs, repRepNs)("rep_ok") === 1)
+      else gopherPass
     val pass1 = scope.track(pass0.cache())
     val vocabOk = Corpus.vocabCoverage(pass1, idCol, textCol, vocabTopK,
         maxOovFrac, scope)

@@ -132,6 +132,35 @@ object TextAnalysis {
     * IEEE divisions of exact integers (the q98 discipline: identical
     * integers divide to bit-identical doubles on any engine; it is
     * ROUNDING that desyncs engines at decimal boundaries). */
+  /** The verdict column of [[gopherQualityGate]] ALONE — the same
+    * row-local rule set as a single Column, for composing the gate
+    * directly into a scan-stage `filter` (round 14, guide §2.4: the
+    * frame-returning form forces an id⋈id semi join back onto the corpus
+    * when only the verdict is needed — a whole extra shuffle of the
+    * corpus at scale; a filter is free). Kept expression-identical to
+    * the gate so both paths admit exactly the same documents. */
+  def gopherOkCol(text: Column,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+                  maxSymbolRatio: Double = 0.1,
+                  stopwords: Seq[String] = GopherStopwords): Column = {
+    val t = trim(text)
+    val w = split(t, "\\s+")
+    val lw = split(lower(t), "\\s+")
+    val n = size(w)
+    val meanLen = length(regexp_replace(t, "\\s+", "")).cast("double") / n
+    val alphaFrac = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / n
+    val stopHits = size(filter(lw, x => array_contains(lit(stopwords.toArray), x)))
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses = (length(t) - length(replace(t, lit("..."), lit("")))) / lit(3)
+    val symbolRatio = (hashes + ellipses) / n
+    when(n >= minWords && n <= maxWords &&
+        meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+        alphaFrac >= minAlphaFrac && stopHits >= minStopHits &&
+        symbolRatio <= maxSymbolRatio, 1).otherwise(0)
+  }
+
   def gopherQualityGate(df: DataFrame, idCol: String, textCol: String,
                         minWords: Int = 50, maxWords: Int = 100000,
                         minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
@@ -154,10 +183,8 @@ object TextAnalysis {
       alphaFrac.as("alpha_frac"),
       stopHits.cast("long").as("stop_hits"),
       symbolRatio.as("symbol_ratio"),
-      when(n >= minWords && n <= maxWords &&
-          meanLen >= minMeanLen && meanLen <= maxMeanLen &&
-          alphaFrac >= minAlphaFrac && stopHits >= minStopHits &&
-          symbolRatio <= maxSymbolRatio, 1).otherwise(0).as("gopher_ok"))
+      gopherOkCol(col(textCol), minWords, maxWords, minMeanLen, maxMeanLen,
+        minAlphaFrac, minStopHits, maxSymbolRatio, stopwords).as("gopher_ok"))
   }
 
   /** The published Gopher REPETITION rule set (Rae et al. 2021, §A1.1.1 —
