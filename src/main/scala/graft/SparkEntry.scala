@@ -223,6 +223,127 @@ object SparkEntry {
     })
   }
 
+  /** The deterministic first-8-by-id coarse centroid table, COLLECTED
+    * once per (session, dir, corpus-only?) — index METADATA (8 rows of
+    * (_cid, _cv)) that ten ANN-family queries each re-derived with their
+    * own orderBy+limit job per bench run (round 14). The LocalRelation
+    * carries the identical rows (collect preserves values and schema);
+    * `corpusOnly = true` is the vec_id ≥ 8 flavor (q36/q67/q69 and the
+    * standing-index family), `false` the whole-table flavor (q84, q114,
+    * q143, q148). */
+  private val embCentCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
+
+  private def embCents(s: SparkSession, dir: String, corpusOnly: Boolean): DataFrame = {
+    purgeStopped(embCentCache)
+    embCentCache.computeIfAbsent((s, dir, corpusOnly), _ => {
+      val base = tbl(s, dir, "embeddings")
+      val src = if (corpusOnly) base.filter(col("vec_id") >= 8) else base
+      val f = src.select(col("vec_id").as("_cid"),
+          col("embedding").cast("array<double>").as("_cv"))
+        .orderBy(col("_cid")).limit(8)
+      s.createDataFrame(java.util.Arrays.asList(f.collect(): _*), f.schema)
+    })
+  }
+
+  /** The standing IVF-PQ index over the vec_id ≥ 8 corpus, built once per
+    * (session, dir, residual?) — q133/q136/q137 each rebuilt the same
+    * non-residual index per bench run (the coded-table cache deduped the
+    * heavy pass, but every build re-ran the centroid/limit jobs and
+    * re-planned the encode). The docClusters memo pattern on the ANN
+    * side. */
+  private val ivfPqIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), Similarity.IvfPqIndex]()
+
+  private def ivfPqIdx(s: SparkSession, dir: String, residual: Boolean): Similarity.IvfPqIndex = {
+    purgeStopped(ivfPqIdxCache)
+    ivfPqIdxCache.computeIfAbsent((s, dir, residual), _ =>
+      Similarity.buildIvfPqIndex(
+        tbl(s, dir, "embeddings").filter(col("vec_id") >= 8),
+        "vec_id", "embedding", embCents(s, dir, corpusOnly = true),
+        Similarity.pqBookConst(64, 4, 8), dim = 64, residual = residual))
+  }
+
+  /** The packed binary corpus (and its first-byte-mutant union) shared by
+    * the perceptual family — round 14: q187/q189/q190/q191/q193/q194/
+    * q195–q197/q199/q200/q208/q212 each re-ran the row-local pack
+    * (UTF-8 encode + md5 content hash over every payload) per query. One
+    * cached pack per (session, dir, with-mutants?); the mutant batch is
+    * the id ≥ 1e6 slice of the union (identical rows to packing the
+    * mutants alone). */
+  private val packedDocCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
+
+  private def packedDocs(s: SparkSession, dir: String, withMutants: Boolean): DataFrame = {
+    purgeStopped(packedDocCache)
+    packedDocCache.computeIfAbsent((s, dir, withMutants), _ => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = if (withMutants)
+        d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("Z"), expr("substring(text, 2)")).as("text")))
+      else d
+      Multimodal.packBinary(base, "doc_id", "text").cache()
+    })
+  }
+
+  /** The q204 repeated-opening-block corpus, packed — shared by the scene
+    * family (q204/q211/q213 run three different operators over the SAME
+    * packed clips). */
+  private val packedSceneCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def packedScenes(s: SparkSession, dir: String): DataFrame = {
+    purgeStopped(packedSceneCache)
+    packedSceneCache.computeIfAbsent((s, dir), _ => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(expr("substring(text, 1, 128)"), expr("substring(text, 1, 128)"),
+          expr("substring(text, 1, 128)"), expr("substring(text, 129)")).as("text"))
+      Multimodal.packBinary(d, "doc_id", "text").cache()
+    })
+  }
+
+  /** The WAV-wrapped corpus (pcm == text bytes; odd ids carry a LIST
+    * chunk) and its mutant union — the pack runs a per-row Scala
+    * container builder, re-run per query before round 14 (q201/q202). */
+  private val wavDocCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
+
+  private def wavDocs(s: SparkSession, dir: String, withMutants: Boolean): DataFrame = {
+    purgeStopped(wavDocCache)
+    wavDocCache.computeIfAbsent((s, dir, withMutants), _ => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = if (withMutants)
+        d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("Z"), expr("substring(text, 2)")).as("text")))
+      else d
+      Multimodal.packWavCorpus(base, "doc_id", "text").cache()
+    })
+  }
+
+  /** Standing perceptual stores over the packed corpus, built once per
+    * (session, dir) — q190/q195/q196 shared the PHash store's build,
+    * q199/q200 the frame store's (the ivfPqIdx memo pattern). */
+  private val phashIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Multimodal.PHashIndex]()
+
+  private def phashIdx(s: SparkSession, dir: String): Multimodal.PHashIndex = {
+    purgeStopped(phashIdxCache)
+    phashIdxCache.computeIfAbsent((s, dir), _ =>
+      Multimodal.buildPHashIndex(packedDocs(s, dir, withMutants = false),
+        "doc_id", "payload", nBands = 4))
+  }
+
+  private val frameIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Multimodal.FrameIndex]()
+
+  private def frameIdx(s: SparkSession, dir: String): Multimodal.FrameIndex = {
+    purgeStopped(frameIdxCache)
+    frameIdxCache.computeIfAbsent((s, dir), _ =>
+      Multimodal.buildFrameIndex(packedDocs(s, dir, withMutants = false),
+        "doc_id", "payload", frameBytes = 128, stride = 128,
+        maxFrames = 4, nBands = 4))
+  }
+
   /** q26 and q27 are two outputs of ONE engine run; memoize the build so the
     * bench/verify pay the rules compile, dictionary build, and auto-number
     * materialization once (VERDICT r1: q26+q27 rebuilt the engine twice).
@@ -575,9 +696,12 @@ object SparkEntry {
     // ---- Similarity: IVF ANN (coarse cells + probed exact search) ----
     "q36_ann_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      Similarity.ivfTopK(emb.filter(col("vec_id") >= 8), "vec_id", "embedding",
+      // round 14: centroid table from the collected memo (identical rows
+      // to ivfTopK's internal first-8-by-id pick — the q36 convention)
+      Similarity.ivfTopKWith(embCents(s, dir, corpusOnly = true),
+          emb.filter(col("vec_id") >= 8), "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          nCentroids = 8, nProbe = 2, k = 5)
+          nProbe = 2, k = 5)
         .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
 
@@ -928,9 +1052,7 @@ object SparkEntry {
     "q67_ivf_pq" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 8)
-      val cents = corpus.select(col("vec_id").as("_cid"),
-          col("embedding").cast("array<double>").as("_cv"))
-        .orderBy(col("_cid")).limit(8)
+      val cents = embCents(s, dir, corpusOnly = true)
       Similarity.ivfPqTopK(cents, corpus, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           Similarity.pqBookConst(64, 4, 8), nProbe = 2, topK = 5)
@@ -946,9 +1068,7 @@ object SparkEntry {
     "q69_ivf_pq_residual" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 8)
-      val cents = corpus.select(col("vec_id").as("_cid"),
-          col("embedding").cast("array<double>").as("_cv"))
-        .orderBy(col("_cid")).limit(8)
+      val cents = embCents(s, dir, corpusOnly = true)
       Similarity.ivfPqTopKResidual(cents, corpus, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           Similarity.pqBookConst(64, 4, 8), nProbe = 2, topK = 5)
@@ -1136,9 +1256,7 @@ object SparkEntry {
     //      raw-double >= threshold compare is the q42 boundary discipline ----
     "q84_semdedup" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val cents = emb.select(col("vec_id").as("_cid"),
-          col("embedding").cast("array<double>").as("_cv"))
-        .orderBy(col("_cid")).limit(8)
+      val cents = embCents(s, dir, corpusOnly = false)
       Similarity.semDedup(cents, emb, "vec_id", "embedding", minSim = 0.3)
         .select(col("vec_id"), col("cell_id"))
     }),
@@ -1420,9 +1538,7 @@ object SparkEntry {
     //      cap: at most 20 vectors per cell by md5 priority ----
     "q114_cluster_quota" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val cents = emb.select(col("vec_id").as("_cid"),
-          col("embedding").cast("array<double>").as("_cv"))
-        .orderBy(col("_cid")).limit(8)
+      val cents = embCents(s, dir, corpusOnly = false)
       val cells = Similarity.ivfAssign(cents, emb, "vec_id", "embedding")
       TextAnalysis.groupCap(cells, "cell_id", "vec_id", 20)
     }),
@@ -1628,12 +1744,7 @@ object SparkEntry {
     //      same oracle as q67 (the q126/q127 discipline) ----
     "q133_ivf_pq_standing" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val corpus = emb.filter(col("vec_id") >= 8)
-      val cents = corpus.select(col("vec_id").as("_cid"),
-          col("embedding").cast("array<double>").as("_cv"))
-        .orderBy(col("_cid")).limit(8)
-      val idx = Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
-        cents, Similarity.pqBookConst(64, 4, 8), dim = 64)
+      val idx = ivfPqIdx(s, dir, residual = false)
       Similarity.ivfPqTopKWith(idx, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", nProbe = 2, topK = 5)
         .select(col("query_id"), col("vec_id"), round(col("adist"), 4).as("adist"))
@@ -1654,12 +1765,7 @@ object SparkEntry {
     //      appends/searches can never mix code spaces. Replays q69 ----
     "q135_ivfadc_standing" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val corpus = emb.filter(col("vec_id") >= 8)
-      val cents = corpus.select(col("vec_id").as("_cid"),
-          col("embedding").cast("array<double>").as("_cv"))
-        .orderBy(col("_cid")).limit(8)
-      val idx = Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
-        cents, Similarity.pqBookConst(64, 4, 8), dim = 64, residual = true)
+      val idx = ivfPqIdx(s, dir, residual = true)
       Similarity.ivfPqTopKWith(idx, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", nProbe = 2, topK = 5)
         .select(col("query_id"), col("vec_id"), round(col("adist"), 4).as("adist"))
@@ -1677,12 +1783,7 @@ object SparkEntry {
     //      tombstoned-index, which the spec also pins ----
     "q137_ivfpq_tombstone" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val corpus = emb.filter(col("vec_id") >= 8)
-      val cents = corpus.select(col("vec_id").as("_cid"),
-          col("embedding").cast("array<double>").as("_cv"))
-        .orderBy(col("_cid")).limit(8)
-      val idx = Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
-        cents, Similarity.pqBookConst(64, 4, 8), dim = 64)
+      val idx = ivfPqIdx(s, dir, residual = false)
       val gone = emb.filter(col("vec_id") % 7 === 0 && col("vec_id") >= 20)
         .select(col("vec_id"))
       Similarity.ivfPqTopKWith(Similarity.dropFromIvfPqIndex(idx, gone, "vec_id"),
@@ -1695,16 +1796,8 @@ object SparkEntry {
     //      cell, empty cells included — the staleness signal that says
     //      when append-only drift warrants a codebook rebuild. One
     //      narrow groupBy on the coded table ----
-    "q136_ivf_pq_occupancy" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      val corpus = emb.filter(col("vec_id") >= 8)
-      val cents = corpus.select(col("vec_id").as("_cid"),
-          col("embedding").cast("array<double>").as("_cv"))
-        .orderBy(col("_cid")).limit(8)
-      val idx = Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
-        cents, Similarity.pqBookConst(64, 4, 8), dim = 64)
-      Similarity.ivfPqIndexStats(idx)
-    }),
+    "q136_ivf_pq_occupancy" -> ((s, dir) =>
+      Similarity.ivfPqIndexStats(ivfPqIdx(s, dir, residual = false))),
 
     // ---- The composed batch ingest front door (round-9): q96's exact
     //      rung against the standing fingerprint snapshot, then q97's
@@ -1806,9 +1899,7 @@ object SparkEntry {
     //      per-cell rank pruned below the exchange by WindowGroupLimit ----
     "q143_embed_outliers" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val cents = emb.select(col("vec_id").as("_cid"),
-          col("embedding").cast("array<double>").as("_cv"))
-        .orderBy("_cid").limit(8)
+      val cents = embCents(s, dir, corpusOnly = false)
       Similarity.embedOutliers(emb, "vec_id", "embedding", cents, topN = 16)
         .select(col("vec_id"), col("cell_id"), round(col("sim"), 4).as("sim"),
           col("far_rank"))
@@ -1831,9 +1922,7 @@ object SparkEntry {
     //      The "don't let one topic dominate the mix" rung ----
     "q148_topic_sample" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val cents = emb.select(col("vec_id").as("_cid"),
-          col("embedding").cast("array<double>").as("_cv"))
-        .orderBy("_cid").limit(8)
+      val cents = embCents(s, dir, corpusOnly = false)
       Corpus.topicBalancedSample(emb, "vec_id", "embedding", cents,
         alpha = 0.5, budget = 300L)
     }),
@@ -2364,10 +2453,7 @@ object SparkEntry {
     //      every (doc, mutant) pair is provably within Hamming 1 and
     //      the rung must find all 500 ----
     "q187_phash_neardup" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
-      val packed = Multimodal.packBinary(d.unionByName(mut), "doc_id", "text")
+      val packed = packedDocs(s, dir, withMutants = true)
       Multimodal.perceptualDupPairs(packed, "doc_id", "payload",
         maxDist = 6, nBands = 4)
     }),
@@ -2377,7 +2463,7 @@ object SparkEntry {
     //      most of the corpus) and its four 16-bit Hamming bands,
     //      value-for-value against the DuckDB hex-arithmetic replay ----
     "q189_phash_sig" -> ((s, dir) => {
-      val packed = Multimodal.packBinary(tbl(s, dir, "documents"), "doc_id", "text")
+      val packed = packedDocs(s, dir, withMutants = false)
       val sig = packed.select(col("doc_id"), Multimodal.dHash(col("payload")).as("phash"))
       sig.select(col("doc_id") +: col("phash") +: (0 until 4).map(b =>
         shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L)).as(s"b$b")): _*)
@@ -2390,14 +2476,12 @@ object SparkEntry {
     //      only); every mutant must come back pointing at its original
     //      within distance 6 ----
     "q190_phash_incremental" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val hist = Multimodal.packBinary(d, "doc_id", "text")
-      val batch = Multimodal.packBinary(
-        d.select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(lit("Z"), expr("substring(text, 2)")).as("text")),
-        "doc_id", "text")
+      // batch = the mutant slice of the shared pack (identical rows to
+      // packing the mutants alone); store from the shared memo
+      val batch = packedDocs(s, dir, withMutants = true)
+        .filter(col("doc_id") >= 1000000L)
       Multimodal.incrementalPerceptualDupsWith(batch,
-        Multimodal.buildPHashIndex(hist, "doc_id", "payload", nBands = 4),
+        phashIdx(s, dir),
         "doc_id", "payload", maxDist = 6, multiProbe = true)
     }),
 
@@ -2408,10 +2492,7 @@ object SparkEntry {
     //      hashing would smear it). (frame_idx, band, value) equi-join,
     //      never all-pairs ----
     "q191_frame_neardup" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
-      val packed = Multimodal.packBinary(d.unionByName(mut), "doc_id", "text")
+      val packed = packedDocs(s, dir, withMutants = true)
       // the skew cap WIRED, far above every real bucket at gate SFs
       // (max observed 954 at sf0.1) so output ≡ the uncapped oracle —
       // the q128 discipline; the BINDING behavior is q194's oracle
@@ -2447,8 +2528,7 @@ object SparkEntry {
     //      the entirely-failed transfer, round-11 advice) and the audit
     //      must name each verdict. Row-local, zero shuffles ----
     "q193_payload_integrity" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val packed = Multimodal.packBinary(d, "doc_id", "text")
+      val packed = packedDocs(s, dir, withMutants = false)
       val tampered = packed.withColumn("payload",
         when(col("doc_id") % 10 === 3,
           expr("substring(payload, 1, cast(meta.byte_len / 2 as int))"))
@@ -2469,13 +2549,12 @@ object SparkEntry {
     //      row_number — while the mutant pairs survive untouched
     //      where their buckets stay under the cap ----
     "q194_frame_capped" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
       val flood = s.range(24).select((col("id") + 2000000L).as("doc_id"),
         lit("A" * 512).as("text"))
-      val packed = Multimodal.packBinary(
-        d.unionByName(mut).unionByName(flood), "doc_id", "text")
+      // packBinary is a row-local projection, so pack(d ∪ mut ∪ flood) ≡
+      // pack(d ∪ mut) ∪ pack(flood) — the shared memo covers the big half
+      val packed = packedDocs(s, dir, withMutants = true)
+        .unionByName(Multimodal.packBinary(flood, "doc_id", "text"))
       Multimodal.frameDupPairs(packed, "doc_id", "payload",
         frameBytes = 128, stride = 128, maxFrames = 4,
         maxDist = 2, minMatchedFrames = 3, maxPerBucket = 6)
@@ -2485,9 +2564,7 @@ object SparkEntry {
     //      bucket-size histogram for the THIRD index family — the
     //      drift signal that decides the phash probe cap ----
     "q195_phash_occupancy" -> ((s, dir) =>
-      Multimodal.pHashIndexStats(Multimodal.buildPHashIndex(
-        Multimodal.packBinary(tbl(s, dir, "documents"), "doc_id", "text"),
-        "doc_id", "payload", nBands = 4))),
+      Multimodal.pHashIndexStats(phashIdx(s, dir))),
 
     // ---- Perceptual store advice row (round-12): the diagnose half
     //      of the q136 loop — hot-bucket census against a threshold
@@ -2495,9 +2572,7 @@ object SparkEntry {
     //      tombstone_flood); dHash banding is content-determined, so
     //      unlike IVF there is no refound rung to advise ----
     "q196_phash_advice" -> ((s, dir) =>
-      Multimodal.pHashIndexAdvice(Multimodal.buildPHashIndex(
-        Multimodal.packBinary(tbl(s, dir, "documents"), "doc_id", "text"),
-        "doc_id", "payload", nBands = 4), hotBucketThreshold = 8)),
+      Multimodal.pHashIndexAdvice(phashIdx(s, dir), hotBucketThreshold = 8)),
 
     // ---- Perceptual dedup census (round-12): q147/q168's decision
     //      table for the BINARY rung — pairs generated once at the
@@ -2505,11 +2580,8 @@ object SparkEntry {
     //      fanned over the cutoffs; "what does ≤2 cost vs ≤6" at one
     //      pairing pass ----
     "q197_phash_dup_curve" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
       Multimodal.perceptualDupRateCurve(
-        Multimodal.packBinary(d.unionByName(mut), "doc_id", "text"),
+        packedDocs(s, dir, withMutants = true),
         "doc_id", "payload", maxDists = Seq(0, 1, 2, 4, 6))
     }),
 
@@ -2543,15 +2615,10 @@ object SparkEntry {
     //      later frame at distance 0, so each mutant clip must come
     //      back pointing at its original with all its frames matched ----
     "q199_frame_incremental" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val hist = Multimodal.packBinary(d, "doc_id", "text")
-      val batch = Multimodal.packBinary(
-        d.select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(lit("Z"), expr("substring(text, 2)")).as("text")),
-        "doc_id", "text")
+      val batch = packedDocs(s, dir, withMutants = true)
+        .filter(col("doc_id") >= 1000000L)
       Multimodal.incrementalFrameDupsWith(batch,
-        Multimodal.buildFrameIndex(hist, "doc_id", "payload",
-          frameBytes = 128, stride = 128, maxFrames = 4, nBands = 4),
+        frameIdx(s, dir),
         "doc_id", "payload", maxDist = 2, minMatchedFrames = 2)
     }),
 
@@ -2560,10 +2627,7 @@ object SparkEntry {
     //      floods first — the diagnose half that decides the q199
     //      probe's cap ----
     "q200_frame_advice" -> ((s, dir) =>
-      Multimodal.frameIndexAdvice(Multimodal.buildFrameIndex(
-        Multimodal.packBinary(tbl(s, dir, "documents"), "doc_id", "text"),
-        "doc_id", "payload", frameBytes = 128, stride = 128,
-        maxFrames = 4, nBands = 4), hotBucketThreshold = 8)),
+      Multimodal.frameIndexAdvice(frameIdx(s, dir), hotBucketThreshold = 8)),
 
     // ---- AUDIO perceptual near-dup (round-13): the THIRD modality
     //      over the frame machinery — each document's UTF-8 bytes
@@ -2577,10 +2641,7 @@ object SparkEntry {
     //      text, so a mis-walked header (wrong offset, skipped pad)
     //      shifts every frame and the hashes diverge ----
     "q201_wav_neardup" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
-      val wav = Multimodal.packWavCorpus(d.unionByName(mut), "doc_id", "text")
+      val wav = wavDocs(s, dir, withMutants = true)
       Multimodal.frameDupPairsWav(wav, "doc_id", "payload",
         frameBytes = 96, stride = 96, maxFrames = 5,
         maxDist = 2, minMatchedFrames = 2, maxPerBucket = 1000000)
@@ -2593,9 +2654,7 @@ object SparkEntry {
     //      corpus: 8 kHz, mono, 8-bit, pcm == text bytes, so DuckDB
     //      replays every value from hex byte sums) ----
     "q202_wav_features" -> ((s, dir) => {
-      val wav = Multimodal.packWavCorpus(
-        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text")
+      val wav = wavDocs(s, dir, withMutants = false)
       Multimodal.extractWavFeatures(wav, "doc_id")
         .select(col("id"), col("valid"), col("sample_rate"), col("channels"),
           col("bits_per_sample"), col("n_samples"),
@@ -2641,10 +2700,7 @@ object SparkEntry {
     //      verdicts (430 3-frame scenes / 618 singles at sf0.001,
     //      never the q33 vacuous shape) ----
     "q204_scene_segments" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"),
-        concat(expr("substring(text, 1, 128)"), expr("substring(text, 1, 128)"),
-          expr("substring(text, 1, 128)"), expr("substring(text, 129)")).as("text"))
-      val packed = Multimodal.packBinary(d, "doc_id", "text")
+      val packed = packedScenes(s, dir)
       Multimodal.sceneSegments(packed, "doc_id", "payload",
         frameBytes = 128, stride = 128, maxFrames = 6, cutThreshold = 10)
     }),
@@ -2716,8 +2772,7 @@ object SparkEntry {
     //      both formats carry every verdict class and health_frac
     //      reads ~0.7 ----
     "q208_media_card" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val packed = Multimodal.packBinary(d, "doc_id", "text")
+      val packed = packedDocs(s, dir, withMutants = false)
         .withColumn("meta", struct(
           when(col("doc_id") % 2 === 0, lit("fake/png"))
             .otherwise(lit("fake/wav")).as("format"),
@@ -2771,10 +2826,7 @@ object SparkEntry {
     //      embedding_only) and the sentinel -1 coalesce keeps both
     //      engines' dtypes null-free ----
     "q212_dup_consensus" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
-      val packed = Multimodal.packBinary(d.unionByName(mut), "doc_id", "text")
+      val packed = packedDocs(s, dir, withMutants = true)
       val p = Multimodal.perceptualDupPairs(packed, "doc_id", "payload",
         maxDist = 6, nBands = 4)
       val e0 = tbl(s, dir, "embeddings")
@@ -2794,10 +2846,7 @@ object SparkEntry {
     //      over q204's corpus — clips stratified by scene count with
     //      their frame mass ----
     "q213_scene_census" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"),
-        concat(expr("substring(text, 1, 128)"), expr("substring(text, 1, 128)"),
-          expr("substring(text, 1, 128)"), expr("substring(text, 129)")).as("text"))
-      val packed = Multimodal.packBinary(d, "doc_id", "text")
+      val packed = packedScenes(s, dir)
       Multimodal.sceneCensus(packed, "doc_id", "payload",
         frameBytes = 128, stride = 128, maxFrames = 6, cutThreshold = 10)
     }),
@@ -2808,10 +2857,7 @@ object SparkEntry {
     //      ASCII corpus, the q193 convention). Row-local flatMap, the
     //      frame hashes computed in place ≡ sceneSegments' spans ----
     "q211_scene_chunks" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"),
-        concat(expr("substring(text, 1, 128)"), expr("substring(text, 1, 128)"),
-          expr("substring(text, 1, 128)"), expr("substring(text, 129)")).as("text"))
-      val packed = Multimodal.packBinary(d, "doc_id", "text")
+      val packed = packedScenes(s, dir)
       Multimodal.sceneChunks(packed, "doc_id", "payload",
           frameBytes = 128, stride = 128, maxFrames = 6, cutThreshold = 10)
         .select(col("doc_id"), col("scene_idx"),
