@@ -47,6 +47,15 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // machine-readable weather (round-13 verdict nit #1): loadavg at start
+    // and end + the quiet-band cpu_sec reference, so BENCH_r*.json alone
+    // classifies a co-tenant steal episode (cpu_sec ≫ quiet at similar
+    // walls) without cross-referencing BASELINE.md prose
+    def loadavg(): String =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val load0 = loadavg()
     val cpu0 = osBean.getProcessCpuTime
     var failed = Set.empty[String]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -124,7 +133,7 @@ object Bench {
       .sortBy(-_._2).take(10)
       .map { case (n, w) => "\"" + n + "\":" + math.round(w * 1000) / 1000.0 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total":${math.round(total * 1000) / 1000.0},"cpu_sec":${math.round(cpuSec * 10) / 10.0},"queries_ok":${results.count(_._2.isDefined)},"failed":${failed.size},"slowest":$slowest}""")
+    println(s"""{"metric":"summary","total":${math.round(total * 1000) / 1000.0},"cpu_sec":${math.round(cpuSec * 10) / 10.0},"loadavg_start":"$load0","loadavg_end":"${loadavg()}","quiet_cpu_ref":2254,"queries_ok":${results.count(_._2.isDefined)},"failed":${failed.size},"slowest":$slowest}""")
     spark.stop()
     // a broken query must fail the bench loudly, not report a fast time
     if (failed.nonEmpty) {

@@ -344,6 +344,20 @@ object SparkEntry {
         maxFrames = 4, nBands = 4))
   }
 
+  /** The standing even-id embedding LSH index (dim 64, 4 planes) shared
+    * by q127/q173/q174 — each rebuilt the same store per query
+    * (round 14; the ivfPqIdx memo pattern). */
+  private val embedIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.EmbedIndex]()
+
+  private def embedIdxEven(s: SparkSession, dir: String): Similarity.EmbedIndex = {
+    purgeStopped(embedIdxCache)
+    embedIdxCache.computeIfAbsent((s, dir), _ =>
+      Similarity.buildEmbedIndex(
+        tbl(s, dir, "embeddings").filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dim = 64, nPlanes = 4))
+  }
+
   /** q26 and q27 are two outputs of ONE engine run; memoize the build so the
     * bench/verify pay the rules compile, dictionary build, and auto-number
     * materialization once (VERDICT r1: q26+q27 rebuilt the engine twice).
@@ -1667,10 +1681,8 @@ object SparkEntry {
     // ---- Vector twin: q115's probe via a prebuilt EmbedIndex ----
     "q127_incr_embed_idx" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val idx = Similarity.buildEmbedIndex(emb.filter(col("vec_id") % 2 === 0),
-        "vec_id", "embedding", dim = 64, nPlanes = 4)
       Similarity.incrementalEmbedNearDupsWith(emb.filter(col("vec_id") % 2 === 1),
-        idx, "vec_id", "embedding", minSim = 0.3)
+        embedIdxEven(s, dir), "vec_id", "embedding", minSim = 0.3)
     }),
 
     // ---- Corpus snapshot diff: what changed between v1 (doc_id % 3
@@ -2249,8 +2261,7 @@ object SparkEntry {
       val hist = emb.filter(col("vec_id") % 2 === 0)
       val batch = emb.filter(col("vec_id") % 2 === 1)
       val approx = Similarity.embedNearDupTopKWith(batch,
-        Similarity.buildEmbedIndex(hist, "vec_id", "embedding",
-          dim = 64, nPlanes = 4),
+        embedIdxEven(s, dir),
         "vec_id", "embedding", minSim = 0.3, topK = 5)
       val exact = Similarity.exactTopK(hist, "vec_id", "embedding",
         batch, "vec_id", "embedding", k = 5)
@@ -2269,8 +2280,7 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       Similarity.incrementalEmbedNearDupsWith(
         emb.filter(col("vec_id") % 2 === 1),
-        Similarity.buildEmbedIndex(emb.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", dim = 64, nPlanes = 4),
+        embedIdxEven(s, dir),
         "vec_id", "embedding", minSim = 0.3, multiProbe = true)
     }),
 
@@ -6622,13 +6632,16 @@ object SparkEntry {
         |by AS (SELECT m.doc_id, m.len,
         |  (strpos('0123456789ABCDEF', substr(m.hx, 2*u.j + 1, 1)) - 1) * 16 +
         |  (strpos('0123456789ABCDEF', substr(m.hx, 2*u.j + 2, 1)) - 1) AS v
-        |  FROM m, unnest(range(0, m.len)) u(j))
-        |SELECT doc_id AS id, TRUE AS valid, CAST(8000 AS INT) AS sample_rate,
+        |  FROM m, unnest(range(0, m.len)) u(j)),
+        |agg AS (SELECT doc_id,
+        |    round(CAST(sum(v) AS DOUBLE) / count(*) / 255.0, 6) AS mean_amp
+        |  FROM by GROUP BY doc_id)
+        |SELECT m.doc_id AS id, TRUE AS valid, CAST(8000 AS INT) AS sample_rate,
         |  CAST(1 AS INT) AS channels, CAST(8 AS INT) AS bits_per_sample,
-        |  CAST(len AS BIGINT) AS n_samples,
-        |  round(len / 8000.0, 6) AS duration_sec,
-        |  round(CAST(sum(v) AS DOUBLE) / count(*) / 255.0, 6) AS mean_amp
-        |FROM by GROUP BY doc_id, len""".stripMargin,
+        |  CAST(m.len AS BIGINT) AS n_samples,
+        |  round(m.len / 8000.0, 6) AS duration_sec,
+        |  coalesce(a.mean_amp, 0.0) AS mean_amp
+        |FROM m LEFT JOIN agg a ON m.doc_id = a.doc_id""".stripMargin,
 
     // q203: the audio quality gate — clip/silence fracs from hex byte
     // counts, the keep rule replayed on UNROUNDED quotients, and the
@@ -6647,16 +6660,21 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN abs(v - 128) <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |      / count(*) AS sf
         |  FROM by GROUP BY 1, 2)
-        |SELECT doc_id AS id, TRUE AS valid, CAST(len AS BIGINT) AS n_samples,
-        |  round(cf, 6) AS clip_frac, round(sf, 6) AS silence_frac,
-        |  (cf <= 0.2 AND sf <= 0.5) AS keep FROM orig
+        |SELECT m.doc_id AS id, TRUE AS valid, CAST(m.len AS BIGINT) AS n_samples,
+        |  round(coalesce(o.cf, 0.0), 6) AS clip_frac,
+        |  round(coalesce(o.sf, 0.0), 6) AS silence_frac,
+        |  CASE WHEN m.len = 0 THEN FALSE
+        |    ELSE (o.cf <= 0.2 AND o.sf <= 0.5) END AS keep
+        |FROM m LEFT JOIN orig o ON m.doc_id = o.doc_id
         |UNION ALL
         |SELECT doc_id + 1000000 AS id, TRUE AS valid,
         |  CAST(len AS BIGINT) AS n_samples, 0.0 AS clip_frac,
-        |  1.0 AS silence_frac, FALSE AS keep FROM m
+        |  CASE WHEN len = 0 THEN 0.0 ELSE 1.0 END AS silence_frac,
+        |  FALSE AS keep FROM m
         |UNION ALL
         |SELECT doc_id + 2000000 AS id, TRUE AS valid,
-        |  CAST(len AS BIGINT) AS n_samples, 1.0 AS clip_frac,
+        |  CAST(len AS BIGINT) AS n_samples,
+        |  CASE WHEN len = 0 THEN 0.0 ELSE 1.0 END AS clip_frac,
         |  0.0 AS silence_frac, FALSE AS keep FROM m""".stripMargin,
 
     // q204: shot-boundary segmentation replayed — frame hashes through

@@ -648,7 +648,14 @@ object Multimodal {
     * rule), then fanned over the literal cutoff array: (max_dist,
     * n_dropped, n_docs, drop_frac) answers "what does Hamming ≤ 2 cost
     * vs ≤ 6" at one pairing pass. Zero-count cutoffs kept; drop_frac a
-    * raw IEEE quotient of exact counts. */
+    * raw IEEE quotient of exact counts.
+    *
+    * CAVEAT (round-13 advice): `n_docs` counts every input row, while
+    * under `decoder = wav|imageio` undecodable payloads are dropped
+    * before pairing — on a dirty corpus the curve's drop_frac denominator
+    * is then larger than the pairable population and understates the dup
+    * rate. Run [[payloadIntegrity]] (and the decoder's validity gate)
+    * first, or read drop_frac as a fraction of the RAW feed. */
   def perceptualDupRateCurve(df: DataFrame, idCol: String, payloadCol: String,
                              maxDists: Seq[Int], nBands: Int = 4,
                              maxPerBucket: Int = 0,
@@ -1853,9 +1860,20 @@ object Multimodal {
                 g.drawImage(src, 0, 0, nw, nh, null)
                 g.dispose()
                 val out = new java.io.ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(dst, format, out)
-                ResizedImage(id, valid = true, resized = true, nw, nh,
-                  out.toByteArray)
+                // ImageIO.write returns FALSE when no writer accepts the
+                // image (the JDK BMP writer rejects TYPE_INT_ARGB) — the
+                // round-13 advice hole: the row came back valid=true with
+                // an EMPTY payload, silent corruption in the thumbnail
+                // rung. A refused or throwing encode now audits as an
+                // invalid row instead.
+                val ok =
+                  try javax.imageio.ImageIO.write(dst, format, out)
+                  catch { case scala.util.control.NonFatal(_) => false }
+                if (ok)
+                  ResizedImage(id, valid = true, resized = true, nw, nh,
+                    out.toByteArray)
+                else
+                  ResizedImage(id, valid = false, resized = false, 0, 0, null)
               }
           }
         }

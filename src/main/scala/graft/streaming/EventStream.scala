@@ -614,8 +614,13 @@ object EventStream {
                          decoder: String = graft.ops.Multimodal.StubDecoder,
                          scope: graft.ops.CacheScope = graft.ops.CacheScope.noop)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // idCol forwarded (round-13 advice): snapshotLive's tombstone
+    // subtraction anti-joins on the snapshot's id column — defaulting it
+    // to "doc_id" broke (or silently skipped) tombstones for any store
+    // founded under another id name, contradicting the doc's "tombstoned
+    // clips stop matching" contract
     val snap = scope.track(graft.ops.Dedup
-      .snapshotLive(stream.sparkSession, snapDir).cache())
+      .snapshotLive(stream.sparkSession, snapDir, idCol).cache())
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

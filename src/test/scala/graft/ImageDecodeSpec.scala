@@ -244,5 +244,20 @@ class ImageDecodeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Multimodal.resizeImages(rows, "doc_id", format = "jpg")
     }
+    // round-14 advice fix: format="bmp" on an alpha-bearing source — the
+    // JDK BMP writer refuses TYPE_INT_ARGB (ImageIO.write returns false),
+    // which previously emitted valid=true with an EMPTY payload (silent
+    // corruption). The refused encode must now audit as an invalid row —
+    // and on any JDK that CAN encode it, the payload must be non-empty.
+    // Never again valid=true beside a missing payload.
+    val bmpAlpha = Multimodal.resizeImages(
+        Seq((10L, argbOut.toByteArray)).toDF("doc_id", "payload"), "doc_id",
+        maxW = 16, maxH = 16, format = "bmp")
+      .as[(Long, Boolean, Boolean, Int, Int, Array[Byte])].collect().head
+    assert(!(bmpAlpha._2 && (bmpAlpha._6 == null || bmpAlpha._6.isEmpty)),
+      "a refused encode must not read valid=true with an empty payload")
+    if (!bmpAlpha._2)
+      assert(bmpAlpha._6 == null && !bmpAlpha._3,
+        "the refused-encode audit row carries the undecodable shape")
   }
 }
