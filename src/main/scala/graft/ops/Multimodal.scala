@@ -177,9 +177,15 @@ object Multimodal {
     * real-decoder rung ([[perceptualDupPairsDecoded]]): banding, skew
     * cap, candidate equi-join, Hamming verify. */
   private def sigDupPairsCore(sig: DataFrame, maxDist: Int, nBands: Int,
-                              maxPerBucket: Int): DataFrame = {
+                              maxPerBucket: Int,
+                              scope: CacheScope = CacheScope.noop): DataFrame = {
     val banded = withBands(sig, nBands)
-    val capped = capBuckets(banded, Seq("_b", "_v"), Seq("_id"), maxPerBucket)
+    // cached: BOTH sides of the self-join read the banded/capped table,
+    // and the two aliased subtrees never share an exchange (round 14 —
+    // the q21 rareInv lesson), so uncached the payload hash + banding
+    // explode ran twice per call
+    val capped = scope.track(
+      capBuckets(banded, Seq("_b", "_v"), Seq("_id"), maxPerBucket).cache())
     val a = capped.select(col("_b"), col("_v"),
       col("_id").as("id_a"), col("_sig").as("_sa"))
     val b = capped.select(col("_b"), col("_v"),
@@ -231,9 +237,12 @@ object Multimodal {
     * decoded-keyframe rung ([[frameDupPairsDecoded]]). */
   private def alignedFramePairsCore(frames: DataFrame, maxDist: Int,
                                     nBands: Int, minMatchedFrames: Int,
-                                    maxPerBucket: Int): DataFrame = {
-    val banded = capBuckets(withBands(frames, nBands),
-      Seq("_fi", "_b", "_v"), Seq("_id"), maxPerBucket)
+                                    maxPerBucket: Int,
+                                    scope: CacheScope = CacheScope.noop): DataFrame = {
+    // cached: the self-join's two aliased sides re-ran the frame
+    // sampling + dHash + banding subtree twice (round 14)
+    val banded = scope.track(capBuckets(withBands(frames, nBands),
+      Seq("_fi", "_b", "_v"), Seq("_id"), maxPerBucket).cache())
     val a = banded.select(col("_fi"), col("_b"), col("_v"),
       col("_id").as("id_a"), col("_sig").as("_sa"))
     val b = banded.select(col("_fi"), col("_b"), col("_v"),
@@ -291,8 +300,11 @@ object Multimodal {
     * and the decoded-keyframe rung ([[frameDupPairsShiftedDecoded]]). */
   private def shiftedFramePairsCore(frames: DataFrame, maxDist: Int,
                                     nBands: Int, minMatchedFrames: Int,
-                                    maxPerBucket: Int): DataFrame = {
-    val banded = capShiftedBuckets(withBands(frames, nBands), maxPerBucket)
+                                    maxPerBucket: Int,
+                                    scope: CacheScope = CacheScope.noop): DataFrame = {
+    // cached: see alignedFramePairsCore
+    val banded = scope.track(
+      capShiftedBuckets(withBands(frames, nBands), maxPerBucket).cache())
     val a = banded.select(col("_b"), col("_v"),
       col("_id").as("id_a"), col("_fi").as("_fa"), col("_sig").as("_sa"))
     val b = banded.select(col("_b"), col("_v"),

@@ -327,11 +327,26 @@ object Similarity {
     * broadcast, map-side ADC scan, per-query top-k window. */
   def pqTopKWith(df: DataFrame, idCol: String, vecCol: String,
                  queries: DataFrame, qIdCol: String, qVecCol: String,
-                 book: Seq[Seq[Seq[Double]]], topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val codes = Parallelize.ensure(
+                 book: Seq[Seq[Seq[Double]]], topK: Int): DataFrame =
+    pqTopKFromCodes(pqCodesOf(df, idCol, vecCol, book),
+      queries, qIdCol, qVecCol, book, topK)
+
+  /** The PQ code table (_id, _codes) of a corpus under `book` — the
+    * row-local encode pass exposed on its own (round 14) so one encode
+    * serves every ADC consumer (plain ADC scan, rerank shortlist,
+    * column-extracted code dumps) instead of each re-encoding the
+    * corpus. */
+  def pqCodesOf(df: DataFrame, idCol: String, vecCol: String,
+                book: Seq[Seq[Seq[Double]]]): DataFrame =
+    Parallelize.ensure(
       df.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")))
       .select(col("_id"), pqEncodeWith(col("_v"), book).as("_codes"))
+
+  /** [[pqTopKWith]]'s SEARCH half over a prebuilt [[pqCodesOf]] table. */
+  def pqTopKFromCodes(codes: DataFrame,
+                      queries: DataFrame, qIdCol: String, qVecCol: String,
+                      book: Seq[Seq[Seq[Double]]], topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<double>").as("_q"))
       .select(col("_qid") +: pqLutCols(book): _*)
     val w = Window.partitionBy(col("_qid")).orderBy(col("_dist"), col("_id"))
@@ -394,10 +409,20 @@ object Similarity {
     * store" step; here the store is the same parquet scan.) */
   def pqRerankTopK(df: DataFrame, idCol: String, vecCol: String,
                    queries: DataFrame, qIdCol: String, qVecCol: String,
-                   book: Seq[Seq[Seq[Double]]], shortlist: Int, topK: Int): DataFrame = {
+                   book: Seq[Seq[Seq[Double]]], shortlist: Int, topK: Int): DataFrame =
+    pqRerankTopKFromCodes(pqCodesOf(df, idCol, vecCol, book),
+      df, idCol, vecCol, queries, qIdCol, qVecCol, book, shortlist, topK)
+
+  /** [[pqRerankTopK]] over a prebuilt [[pqCodesOf]] table — the standing
+    * serving shape: stage 1 scans the stored codes, stage 2 re-reads
+    * floats for the shortlist only. */
+  def pqRerankTopKFromCodes(codes: DataFrame,
+                            df: DataFrame, idCol: String, vecCol: String,
+                            queries: DataFrame, qIdCol: String, qVecCol: String,
+                            book: Seq[Seq[Seq[Double]]], shortlist: Int, topK: Int): DataFrame = {
     require(shortlist >= topK, s"shortlist ($shortlist) must cover topK ($topK)")
     import org.apache.spark.sql.expressions.Window
-    val short = pqTopKWith(df, idCol, vecCol, queries, qIdCol, qVecCol, book, shortlist)
+    val short = pqTopKFromCodes(codes, queries, qIdCol, qVecCol, book, shortlist)
       .select(col("query_id"), col("vec_id"))
     val corp = df.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("_cv"))
