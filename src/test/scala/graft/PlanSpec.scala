@@ -231,17 +231,28 @@ class PlanSpec extends AnyFunSuite {
     // (default 1000) — this assert catches a conf or cap regression.
     val wrapped = SparkEntry.queries("q194_frame_capped")(spark, dir)
       .queryExecution.executedPlan
-    val exec = wrapped match {
+    // round 14: the banded/capped table is cached inside the pair core
+    // (one build serves both self-join sides), so the cap's group limit
+    // now lives in the CACHED subtree — the walker descends through
+    // InMemoryTableScan into the cached plan, where the same
+    // partial-below-exchange property must still hold
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other
     }
-    val partialBelowExchange = exec.collect {
-      case e: ShuffleExchangeExec => e.child.collect {
-        case w: WindowGroupLimitExec if w.mode.toString == "Partial" => w
-      }.nonEmpty
-    }.exists(identity)
-    assert(partialBelowExchange,
-      s"partial WindowGroupLimit must run below the exchange\n$exec")
+    def partialBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+      val here = p.collect {
+        case e: ShuffleExchangeExec => e.child.collect {
+          case w: WindowGroupLimitExec if w.mode.toString == "Partial" => w
+        }.nonEmpty
+      }.exists(identity)
+      here || p.collect { case s: InMemoryTableScanExec => s }
+        .exists(s => partialBelow(unwrap(s.relation.cachedPlan)))
+    }
+    assert(partialBelow(unwrap(wrapped)),
+      s"partial WindowGroupLimit must run below the exchange\n$wrapped")
   }
 
   test("q199 frame-store probe: aligned equi-join across sides, never a cross join, dhash in the scan") {
