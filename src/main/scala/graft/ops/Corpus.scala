@@ -1375,12 +1375,15 @@ object Corpus {
       .select(col("_g"),
         explode(graft.functions.ShingleExprs.ngramShingles(col("_t"), n)).as("_s"))
       .distinct().cache())
-    val mins = vocab.groupBy(col("_g"))
-      .agg(min(md5(concat(lit("0|"), col("_s")))).as("_m0"),
-        (1 until k).map(i =>
-          min(md5(concat(lit(s"$i|"), col("_s")))).as(s"_m$i")): _*)
+    // round 14: sizes + mins fused into ONE per-source aggregation over
+    // the vocab (they were two separate passes + four broadcast joins);
+    // same values, two broadcast attachments instead of four
+    val stats = vocab.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        min(md5(concat(lit("0|"), col("_s")))).as("_m0") +:
+          (1 until k).map(i =>
+            min(md5(concat(lit(s"$i|"), col("_s")))).as(s"_m$i")): _*)
     val hv = vocab.select(col("_g"), xxhash64(col("_s")).as("_h"))
-    val sizes = vocab.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
     val common = hv.select(col("_g").as("source_a"), col("_h"))
       .join(hv.select(col("_g").as("source_b"), col("_h")), Seq("_h"))
       .filter(col("source_a") < col("source_b"))
@@ -1389,13 +1392,9 @@ object Corpus {
     val matches = (0 until k).map(i =>
       when(col(s"_ma$i") === col(s"_mb$i"), 1).otherwise(0)).reduce(_ + _)
     common
-      .join(broadcast(sizes.select(col("_g").as("source_a"), col("_n").as("_na"))),
-        Seq("source_a"))
-      .join(broadcast(sizes.select(col("_g").as("source_b"), col("_n").as("_nb"))),
-        Seq("source_b"))
-      .join(broadcast(mins.select(col("_g").as("source_a") +:
+      .join(broadcast(stats.select(col("_g").as("source_a") +: col("_n").as("_na") +:
         (0 until k).map(i => col(s"_m$i").as(s"_ma$i")): _*)), Seq("source_a"))
-      .join(broadcast(mins.select(col("_g").as("source_b") +:
+      .join(broadcast(stats.select(col("_g").as("source_b") +: col("_n").as("_nb") +:
         (0 until k).map(i => col(s"_m$i").as(s"_mb$i")): _*)), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("common"),
         (col("common") / (col("_na") + col("_nb") - col("common"))).as("jaccard"),
