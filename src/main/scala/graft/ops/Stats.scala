@@ -376,7 +376,12 @@ object Stats {
   def ensembleScore(df: DataFrame, groupCol: String, scoreCols: Seq[String],
                     scope: CacheScope = CacheScope.noop): DataFrame = {
     require(scoreCols.nonEmpty, "at least one score column required")
-    val calibrated = scoreCols.foldLeft(df)((acc, c) =>
+    // round 14: the scored input is cached — each signal's calibration
+    // runs its own tally aggregation AND join-back over it, so an
+    // expensive scored projection (q145 tokenizes the corpus for two of
+    // its three signals) was re-evaluated once per signal per consumer
+    val base = scope.track(df.cache())
+    val calibrated = scoreCols.foldLeft(base)((acc, c) =>
       calibrateScores(acc, groupCol, c, scope))
     calibrated.withColumn("ensemble_score",
       scoreCols.map(c => col(s"${c}_cal")).reduce(_ + _)
