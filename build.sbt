@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-process stdout must reach sbt's stdout RAW: the default
+// LoggedOutput strategy prefixes every line with "[info] ", which breaks
+// any machine consumer that expects Bench's one-line JSON at line start
+// (round-14 verdict #1: the driver's BENCH parse has been null for 14
+// straight rounds; every archived tail shows the prefix). StdoutOutput
+// changes output plumbing only — same forked JVM, same javaOptions, same
+// timing methodology.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -78,8 +78,16 @@ object Bench {
           failed += name
       }
     }
-    for (_ <- 0 until runs; (name, fn) <- ordered if !failed(name))
-      measure(name, fn)
+    // per-pass wall totals (round-14 verdict #5): pass 1 pays every
+    // session memo / standing-store build, so its total minus the later
+    // passes' IS the build cost — reported below as pass_total, no
+    // change to the per-query min methodology
+    val passSec = new Array[Double](runs)
+    for (p <- 0 until runs) {
+      val pt0 = System.nanoTime()
+      for ((name, fn) <- ordered if !failed(name)) measure(name, fn)
+      passSec(p) = (System.nanoTime() - pt0) / 1e9
+    }
     // targeted re-measure: whatever still looks slow after the passes gets
     // up to two more runs, slowest first, inside a bounded wall budget —
     // cheap insurance when an episode straddled a query in every pass (the
@@ -99,13 +107,26 @@ object Bench {
     }
     val results = ordered.map { case (name, _) => (name, best.get(name).filterNot(_ => failed(name))) }
     val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
+    // per-query values rounded to ms in the JSON (reporting precision
+    // only — a 17-digit double per entry doubled the line's bytes for
+    // noise far below run-to-run variance, and the line must survive a
+    // bounded stdout tail)
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     def jmap(f: ((Double, Double)) => Double): String = results
-      .map { case (k, b) => "\"" + k + "\":" + b.map(v => f(v).toString).getOrElse("null") }
+      .map { case (k, b) => "\"" + k + "\":" + b.map(v => r3(f(v)).toString).getOrElse("null") }
       .mkString("{", ",", "}")
     val qs = jmap(_._1)
     val cpus_ = jmap(_._2)
     val total = results.flatMap(_._2).map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"sf":"$sfDir","runs":$runs,"cpu_sec":$cpuSec}""")
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"sf":"$sfDir","runs":$runs,"cpu_sec":$cpuSec}"""
+    println(totalLine)
+    // the same line as a FILE the driver (or any tool) can read whole —
+    // immune to stdout tail clipping (round-14 verdict #1)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_result.json"), totalLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_result.json write failed: $e") }
     // per-query WALL history, chunked so every line individually fits the
     // archived tail (round-10 verdict #3: the big line's wall map gets
     // clipped; what survived was CPU-only, making round-over-round wall
@@ -126,14 +147,25 @@ object Bench {
     val chunks = wallCs.grouped(50).toSeq
     for ((c, i) <- chunks.zipWithIndex)
       println(s"""{"metric":"wall_cs","part":${i + 1},"parts":${chunks.size},"q":${c.mkString("{", ",", "}")}}""")
-    // compact summary LAST: the harness archives only a bounded tail of
-    // stdout — this line always fits the tail and carries the headline
-    // evidence, so nothing may print after it
+    // per-pass totals (round-14 verdict #5): pass 1 carries the session
+    // memo / standing-store builds the per-query mins never show
+    println(s"""{"metric":"pass_total","sec":${passSec.map(r3).mkString("[", ",", "]")},"retry_sec":${r3(retrySpent)}}""")
+    // compact summary: always fits the archived tail and carries the
+    // headline evidence
     val slowest = results.flatMap { case (n, b) => b.map(v => n -> v._1) }
       .sortBy(-_._2).take(10)
       .map { case (n, w) => "\"" + n + "\":" + math.round(w * 1000) / 1000.0 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total":${math.round(total * 1000) / 1000.0},"cpu_sec":${math.round(cpuSec * 10) / 10.0},"loadavg_start":"$load0","loadavg_end":"${loadavg()}","quiet_cpu_ref":2254,"queries_ok":${results.count(_._2.isDefined)},"failed":${failed.size},"slowest":$slowest}""")
+    // quiet-band cpu_sec reference for steal classification: env-supplied
+    // (round-14 advice — the 2254 default was measured on THIS gate host
+    // at sf0.1; other hosts/SFs should export their own or ignore it)
+    val quietRef = sys.env.getOrElse("SPARK_GRAFT_QUIET_CPU_REF", "2254")
+    println(s"""{"metric":"summary","total":${math.round(total * 1000) / 1000.0},"cpu_sec":${math.round(cpuSec * 10) / 10.0},"loadavg_start":"$load0","loadavg_end":"${loadavg()}","quiet_cpu_ref":$quietRef,"queries_ok":${results.count(_._2.isDefined)},"failed":${failed.size},"slowest":$slowest}""")
+    // the full machine-readable line AGAIN, LAST (round-14 verdict #1):
+    // the driver archives/parses a bounded stdout tail, and for two
+    // straight rounds the first-printed copy was clipped out of it —
+    // whatever the tail holds must END with the complete per-query line
+    println(totalLine)
     spark.stop()
     // a broken query must fail the bench loudly, not report a fast time
     if (failed.nonEmpty) {

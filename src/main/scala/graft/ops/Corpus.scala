@@ -1466,10 +1466,11 @@ object Corpus {
     * Returns (groupCol, n_docs, alloc, capped) — `capped` = 1 for groups
     * taken whole. */
   def waterfillMix(docs: DataFrame, groupCol: String, alpha: Double,
-                   budget: Long): DataFrame =
+                   budget: Long,
+                   maxGroups: Int = waterfillMaxGroups): DataFrame =
     waterfillCore(
       docs.groupBy(col(groupCol).as("_g")).agg(count(lit(1)).as("_s")),
-      alpha, budget)
+      alpha, budget, maxGroups)
       .select(col("_g").as(groupCol), col("_s").as("n_docs"),
         col("alloc"), col("capped"))
 
@@ -1481,11 +1482,12 @@ object Corpus {
     * allocations sum to exactly min(budget, total cost mass). Returns
     * (groupCol, supply, alloc, capped). */
   def waterfillMixBy(docs: DataFrame, groupCol: String, costCol: String,
-                     alpha: Double, budget: Long): DataFrame =
+                     alpha: Double, budget: Long,
+                     maxGroups: Int = waterfillMaxGroups): DataFrame =
     waterfillCore(
       docs.groupBy(col(groupCol).as("_g"))
         .agg(sum(col(costCol).cast("long")).as("_s")),
-      alpha, budget)
+      alpha, budget, maxGroups)
       .select(col("_g").as(groupCol), col("_s").as("supply"),
         col("alloc"), col("capped"))
 
@@ -1514,6 +1516,12 @@ object Corpus {
       java.lang.Double.compare(a, b)
     case (a: java.lang.Float, b: java.lang.Float) =>
       java.lang.Float.compare(a, b)
+    // BEFORE the generic Number case (round-14 advice): BigDecimal IS a
+    // java.lang.Number, and longValue() truncates the fraction — equal
+    // integer parts would compare as ties, diverging from Spark's
+    // Decimal ordering for fractional group keys
+    case (a: java.math.BigDecimal, b: java.math.BigDecimal) => a.compareTo(b)
+    case (a: java.math.BigInteger, b: java.math.BigInteger) => a.compareTo(b)
     case (a: java.lang.Number, b: java.lang.Number) =>
       java.lang.Long.compare(a.longValue(), b.longValue())
     case (a: java.lang.Boolean, b: java.lang.Boolean) =>
@@ -1605,14 +1613,33 @@ object Corpus {
     cappedOut ++ uncappedOut
   }
 
+  /** Shared bounded-collect guard for the waterfill family's supply
+    * tables (round-14 verdict #3): the group table is supposed to be
+    * mixing-table metadata (dozens of rows); a caller grouping on a
+    * high-cardinality column would otherwise OOM the driver at scale.
+    * The [[bpeTrainLocal]] discipline — limit(max+1) + loud require —
+    * costs nothing when under the bound. */
+  private[ops] val waterfillMaxGroups = 1000000
+
+  private def collectSupply(counts: DataFrame, maxGroups: Int)
+      : Array[org.apache.spark.sql.Row] = {
+    val rows = counts.limit(maxGroups + 1).collect()
+    require(rows.length <= maxGroups,
+      s"waterfill group table exceeds maxGroups=$maxGroups — the group " +
+        "column is not mixing-table metadata; raise the bound deliberately " +
+        "if the driver has headroom")
+    rows
+  }
+
   /** [[waterfillLocal]] with the collect: one Spark job over the prepared
     * (_g, _s) supply frame, driver math, back as a LocalRelation with the
     * schema (group type) preserved. */
   private def waterfillCore(counts: DataFrame, alpha: Double,
-                            budget: Long): DataFrame = {
+                            budget: Long,
+                            maxGroups: Int = waterfillMaxGroups): DataFrame = {
     require(alpha >= 0, s"alpha must be non-negative, got $alpha")
     require(budget > 0, s"budget must be positive, got $budget")
-    val collected = counts.collect().map(r =>
+    val collected = collectSupply(counts, maxGroups).map(r =>
       (r.get(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
     val out = waterfillLocal(collected, alpha, budget)
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -1630,22 +1657,29 @@ object Corpus {
       schema)
   }
 
-  /** Collected per-group allocations (group rendered as Spark's
-    * string-cast of the key) — the map the draw entry points feed to
-    * [[BudgetSelect.selectByBudgetPerGroup]]; null groups get no budget
-    * (the documented drop). */
+  /** Collected per-group allocations — the map the draw entry points feed
+    * to [[BudgetSelect.selectByBudgetPerGroup]]; null groups get no budget
+    * (the documented drop). `counts` must carry (_g raw key, _s supply,
+    * _gs = SPARK's cast-to-string of the key): the map is keyed by _gs
+    * because selectByBudgetPerGroup matches on `col(groupCol).cast
+    * ("string")`, and `String.valueOf(collected key)` diverges from that
+    * cast for timestamp/decimal keys (round-14 advice — e.g.
+    * java.sql.Timestamp.toString appends ".0"). */
   private def waterfillAllocs(counts: DataFrame, alpha: Double,
                               budget: Long): (Map[String, Long], Long) = {
     require(alpha >= 0, s"alpha must be non-negative, got $alpha")
     require(budget > 0, s"budget must be positive, got $budget")
-    val collected = counts.collect().map(r =>
-      (r.get(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val collected = collectSupply(counts, waterfillMaxGroups).map(r =>
+      (r.get(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2))))
     val tot = collected.flatMap(_._2).sum
-    val out = waterfillLocal(collected, alpha, budget)
+    // raw key -> Spark-cast string; raw keys are distinct (groupBy output)
+    val gsOf = collected.collect { case (g, _, Some(gs)) if g != null => g -> gs }.toMap
+    val out = waterfillLocal(collected.map(t => (t._1, t._2)), alpha, budget)
     (out.flatMap { case (g, _, alloc, _) =>
       // a null alloc (all-null supply) reads as 0 — the unboxing the
       // previous collect-from-DataFrame path (Row.getLong on null) applied
-      Option(g).map(v => String.valueOf(v) -> alloc.getOrElse(0L))
+      Option(g).map(v => gsOf(v) -> alloc.getOrElse(0L))
     }.toMap, tot)
   }
 
@@ -1694,15 +1728,23 @@ object Corpus {
     val base = scope.track(
       docs.select(col(idCol), col(groupCol), col(costCol)).cache())
     // ONE supply job: the collected group table yields both the corpus
-    // total (for fraction-stated budgets) and the waterfill input
-    val collected = base.groupBy(col(groupCol).as("_g"))
-      .agg(sum(col(costCol).cast("long")).as("_s"))
-      .collect().map(r =>
-        (r.get(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    // total (for fraction-stated budgets) and the waterfill input. _gs is
+    // SPARK's cast-to-string of the key — the alloc map must be keyed by
+    // it because selectByBudgetPerGroup matches on that same cast, and
+    // String.valueOf(JVM key) diverges for timestamp/decimal keys
+    // (round-14 advice)
+    val collected = collectSupply(
+      base.groupBy(col(groupCol).as("_g"))
+        .agg(sum(col(costCol).cast("long")).as("_s"),
+          min(col(groupCol).cast("string")).as("_gs")),
+      waterfillMaxGroups).map(r =>
+        (r.get(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getString(2))))
     val tot = collected.flatMap(_._2).sum
-    val allocs = waterfillLocal(collected, alpha, budgetOf(tot))
+    val gsOf = collected.collect { case (g, _, Some(gs)) if g != null => g -> gs }.toMap
+    val allocs = waterfillLocal(collected.map(t => (t._1, t._2)), alpha, budgetOf(tot))
       .flatMap { case (g, _, alloc, _) =>
-        Option(g).map(v => String.valueOf(v) -> alloc.getOrElse(0L))
+        Option(g).map(v => gsOf(v) -> alloc.getOrElse(0L))
       }.toMap
     BudgetSelect.selectByBudgetPerGroup(base,
         groupCol, costCol, allocs, scope,
@@ -1724,7 +1766,8 @@ object Corpus {
     // see waterfillSampleByCost
     val base = scope.track(docs.select(col(idCol), col(groupCol)).cache())
     val (allocs, _) = waterfillAllocs(
-      base.groupBy(col(groupCol).as("_g")).agg(count(lit(1)).as("_s")),
+      base.groupBy(col(groupCol).as("_g")).agg(count(lit(1)).as("_s"),
+        min(col(groupCol).cast("string")).as("_gs")),
       alpha, budget)
     BudgetSelect.selectByBudgetPerGroup(
         base.withColumn("_ts_one", lit(1L)),
