@@ -274,14 +274,27 @@ object SparkEntry {
   private val packedDocCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
 
+  /** The `+1000000L` mutant-id convention is load-bearing: q190/q199
+    * slice the with-mutants pack at `doc_id >= 1e6` to recover the
+    * mutant batch, which is only identical to packing the mutants alone
+    * if no BASE id reaches 1e6 (round-14 advice). One footer-cheap
+    * max(doc_id) job per memoized build guards it loudly. */
+  private def requireIdsBelowMutantBase(d: DataFrame, who: String): Unit = {
+    val mx = d.agg(max(col("doc_id"))).collect()(0)
+    require(mx.isNullAt(0) || mx.getLong(0) < 1000000L,
+      s"$who: base doc_id ${mx.get(0)} collides with the +1e6 mutant-id " +
+        "convention — the id >= 1e6 batch slice would mix base rows in")
+  }
+
   private def packedDocs(s: SparkSession, dir: String, withMutants: Boolean): DataFrame = {
     purgeStopped(packedDocCache)
     packedDocCache.computeIfAbsent((s, dir, withMutants), _ => {
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val base = if (withMutants)
+      val base = if (withMutants) {
+        requireIdsBelowMutantBase(d, "packedDocs")
         d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
           concat(lit("Z"), expr("substring(text, 2)")).as("text")))
-      else d
+      } else d
       Multimodal.packBinary(base, "doc_id", "text").cache()
     })
   }
@@ -312,10 +325,11 @@ object SparkEntry {
     purgeStopped(wavDocCache)
     wavDocCache.computeIfAbsent((s, dir, withMutants), _ => {
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val base = if (withMutants)
+      val base = if (withMutants) {
+        requireIdsBelowMutantBase(d, "wavDocs")
         d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
           concat(lit("Z"), expr("substring(text, 2)")).as("text")))
-      else d
+      } else d
       Multimodal.packWavCorpus(base, "doc_id", "text").cache()
     })
   }
@@ -356,6 +370,56 @@ object SparkEntry {
       Similarity.buildEmbedIndex(
         tbl(s, dir, "embeddings").filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", dim = 64, nPlanes = 4))
+  }
+
+  /** (doc_id, fp) of the odd/even document halves, fingerprinted once
+    * and cached per (session, dir, even?) — the incremental-dedup family
+    * (q96/q120/q129/q131/q138/q141) each re-scanned and re-hashed the
+    * same history (and batch) per call before round 15 (the docToks memo
+    * pattern at the fingerprint level). */
+  private val halfFpCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
+
+  private def halfFps(s: SparkSession, dir: String, even: Boolean): DataFrame = {
+    purgeStopped(halfFpCache)
+    halfFpCache.computeIfAbsent((s, dir, even), _ =>
+      graft.ops.Parallelize.ensure(
+        tbl(s, dir, "documents")
+          .filter(col("doc_id") % 2 === (if (even) 0 else 1))
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")))
+        .cache())
+  }
+
+  /** The even-half history Bloom sketch, built once per (session, dir)
+    * over the cached fingerprint frame — q129 and q141 each re-counted
+    * the history AND re-ran the sketch-building scan per call (round 15).
+    * Bytes are identical to the per-call build: same item set, and Bloom
+    * insertion is an order-independent OR of bits. */
+  private val halfBloomCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Byte]]()
+
+  private def evenBloom(s: SparkSession, dir: String): Array[Byte] = {
+    purgeStopped(halfBloomCache)
+    halfBloomCache.computeIfAbsent((s, dir), _ => {
+      val fps = halfFps(s, dir, even = true)
+      Dedup.bloomSnapshotFps(fps, "fp",
+        expectedItems = math.max(1000L, fps.count()))
+    })
+  }
+
+  /** The standing even-half MinHash-LSH index shared by q126/q138 —
+    * each rebuilt the same index per call (round 15; the ivfPqIdx memo
+    * pattern). Build is lazy (cached frames), so the memo mainly deduces
+    * plan construction and keeps ONE cache entry. */
+  private val nearDupIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Dedup.NearDupIndex]()
+
+  private def nearDupIdxEven(s: SparkSession, dir: String): Dedup.NearDupIndex = {
+    purgeStopped(nearDupIdxCache)
+    nearDupIdxCache.computeIfAbsent((s, dir), _ =>
+      Dedup.buildNearDupIndex(
+        tbl(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 4, rowsPerBand = 2, n = 5))
   }
 
   /** The PQ code table of the WHOLE embeddings corpus under the constant
@@ -1238,8 +1302,12 @@ object SparkEntry {
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
         round(punct / nChars, 6).as("punct_ratio"))
-      val total = scored.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
-      BudgetSelect.selectByBudget(scored, "n_tokens", total * 2 / 5,
+      // round 15 (r14 verdict #6): the 2/5 budget folds into the draw's
+      // own per-partition totals — the separate full-corpus total pass
+      // (tokenize + regex, per call) is gone; exact long sums, identical
+      // budget
+      BudgetSelect.selectByBudgetFrac(scored, "n_tokens", 2, 5,
+          graft.ops.CacheScope.noop,
           col("punct_ratio").asc, col("doc_id").asc)
         .select(col("doc_id"), col("n_tokens"), col("punct_ratio"))
     }),
@@ -1255,9 +1323,13 @@ object SparkEntry {
         col("doc_id"), col("lang"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
         round(punct / nChars, 6).as("punct_ratio"))
-      val budgets = scored.groupBy(col("lang")).agg(sum(col("n_tokens")).as("t"))
-        .collect().map(r => r.getString(0) -> r.getLong(1) * 3 / 10).toMap
-      BudgetSelect.selectByBudgetPerGroup(scored, "lang", "n_tokens", budgets,
+      // round 15: per-group 3/10 budgets fold into the draw's own cell
+      // collect (exact long sums) — the separate group-total pass over
+      // the regex-scored corpus is gone
+      BudgetSelect.selectByBudgetPerGroupWith(scored, "lang", "n_tokens",
+          supplies => supplies.collect {
+            case (Some(g), _, Some(t)) => g -> t * 3 / 10 }.toMap,
+          graft.ops.CacheScope.noop,
           col("punct_ratio").asc, col("doc_id").asc)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("punct_ratio"))
     }),
@@ -1375,11 +1447,11 @@ object SparkEntry {
     // ---- Incremental ingestion dedup: even doc_ids play the historical
     //      snapshot, odd the arriving batch; batch fingerprints broadcast
     //      onto the history scan (history never shuffles) ----
-    "q96_incr_dedup" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-      Dedup.incrementalDedup(d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-        d.filter(col("doc_id") % 2 === 0), "text")
-    }),
+    "q96_incr_dedup" -> ((s, dir) =>
+      // round 15: both halves ride the shared (doc_id, fp) memo — the
+      // history was re-scanned and re-hashed per call before
+      Dedup.incrementalDedupFromFps(halfFps(s, dir, even = false), "doc_id", "fp",
+        halfFps(s, dir, even = true), "fp")),
 
     // ---- Incremental near-dup probe: best historical near-duplicate per
     //      new doc, LSH bands across the two sides + exact Jaccard ----
@@ -1670,11 +1742,9 @@ object SparkEntry {
     //      ingestion loop: the batch rows (id, fp) that EXTEND the
     //      fingerprint snapshot (production appends the delta; it never
     //      rewrites history) ----
-    "q120_snapshot_delta" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-      Dedup.snapshotDelta(d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-        d.filter(col("doc_id") % 2 === 0), "text")
-    }),
+    "q120_snapshot_delta" -> ((s, dir) =>
+      Dedup.snapshotDeltaFromFps(halfFps(s, dir, even = false), "doc_id", "fp",
+        halfFps(s, dir, even = true), "fp")),
 
     // ---- Incremental near-dups via the STANDING index: q97's probe
     //      against a prebuilt NearDupIndex (the production consecutive-
@@ -1682,10 +1752,8 @@ object SparkEntry {
     //      frames). Same relational semantics, same oracle as q97 ----
     "q126_incr_neardup_idx" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
-      val idx = Dedup.buildNearDupIndex(d.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", k = 4, rowsPerBand = 2, n = 5)
-      Dedup.incrementalNearDupsWith(d.filter(col("doc_id") % 2 === 1), idx,
-        "doc_id", "text", minJaccard = 0.2)
+      Dedup.incrementalNearDupsWith(d.filter(col("doc_id") % 2 === 1),
+        nearDupIdxEven(s, dir), "doc_id", "text", minJaccard = 0.2)
     }),
 
     // ---- Vector twin: q115's probe via a prebuilt EmbedIndex ----
@@ -1709,18 +1777,14 @@ object SparkEntry {
     //      O(bits) sketch triaging definite-novel rows off the history
     //      probe — bit-identical by Bloom's one-sided error, so it runs
     //      against q96's oracle ----
-    "q129_incr_dedup_bloom" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-      val hist = d.filter(col("doc_id") % 2 === 0)
-      // sketch capacity SIZED FROM THE HISTORY (one narrow count): a
-      // constant saturates at larger SFs (fpp → 1, the prefilter passes
-      // everything — verdicts stay right by one-sided error, but the
-      // bench would measure a degenerate sketch)
-      val bloom = Dedup.bloomSnapshot(hist, "text",
-        expectedItems = math.max(1000L, hist.count()))
-      Dedup.incrementalDedupBloom(d.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", hist, "text", bloom)
-    }),
+    "q129_incr_dedup_bloom" -> ((s, dir) =>
+      // sketch capacity still SIZED FROM THE HISTORY (the count rides the
+      // cached fingerprint frame inside the evenBloom memo); round 15:
+      // the history count + sketch scan + history re-hash ran per CALL
+      // before — now once per session
+      Dedup.incrementalDedupFromFps(halfFps(s, dir, even = false), "doc_id", "fp",
+        halfFps(s, dir, even = true), "fp",
+        bloomPrefilter = Some(evenBloom(s, dir)))),
 
     // ---- Fuzzy blocking with the skew cap WIRED (cap far above every
     //      real block at gate SFs, so output ≡ q94 — the binding
@@ -1737,13 +1801,11 @@ object SparkEntry {
     //      snapshot table — the production loop shape (snapshot probe +
     //      append-only delta, the CurateCli `dedup` command); bit-equal
     //      by construction, so it runs against q96's oracle ----
-    "q131_incr_dedup_snapshot" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-      val snap = d.filter(col("doc_id") % 2 === 0)
-        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
-      Dedup.incrementalDedupSnapshot(d.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", snap)
-    }),
+    "q131_incr_dedup_snapshot" -> ((s, dir) =>
+      // the snapshot IS the (fp) projection of the shared history memo —
+      // bit-equal to materializing it (q96's oracle replays)
+      Dedup.incrementalDedupFromFps(halfFps(s, dir, even = false), "doc_id", "fp",
+        halfFps(s, dir, even = true).select(col("fp")), "fp")),
 
     // ---- Per-group WEIGHTED quantiles (round-8): the smallest price at
     //      which a return-flag's cumulative quantity mass reaches q of
@@ -1831,12 +1893,10 @@ object SparkEntry {
     //      composition pins ----
     "q138_ingest_gate" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
-      val hist = d.filter(col("doc_id") % 2 === 0)
-      val snap = hist.select(TextAnalysis.fingerprint(col("text")).as("fp"))
-      val idx = Dedup.buildNearDupIndex(hist, "doc_id", "text",
-        k = 4, rowsPerBand = 2, n = 5)
       Pipeline.ingestGate(d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-        snap, idx, minJaccard = 0.2)
+        halfFps(s, dir, even = true).select(col("fp")), nearDupIdxEven(s, dir),
+        minJaccard = 0.2,
+        batchFps = Some(halfFps(s, dir, even = false)))
     }),
 
     // ---- Intra-document segment dedup (round-9): the C4/FineWeb
@@ -1852,15 +1912,14 @@ object SparkEntry {
     //      (round-9): the q129 broadcast cut on the standing-store path —
     //      sketch capacity sized from history, one-sided error keeps
     //      verdicts bit-identical, so q96's oracle replays ----
-    "q141_incr_dedup_sidecar" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-      val hist = d.filter(col("doc_id") % 2 === 0)
-      val snap = hist.select(TextAnalysis.fingerprint(col("text")).as("fp"))
-      val bloom = Dedup.bloomSnapshot(hist, "text",
-        expectedItems = math.max(1000L, hist.count()))
-      Dedup.incrementalDedupSnapshot(d.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", snap, bloomPrefilter = Some(bloom))
-    }),
+    "q141_incr_dedup_sidecar" -> ((s, dir) =>
+      // q131's standing-snapshot dedup through the q129 Bloom prefilter,
+      // all three builds (batch fps, snapshot fps, sketch) riding the
+      // session memos — the per-call history count + sketch scan +
+      // double fingerprint pass are gone (round 15)
+      Dedup.incrementalDedupFromFps(halfFps(s, dir, even = false), "doc_id", "fp",
+        halfFps(s, dir, even = true).select(col("fp")), "fp",
+        bloomPrefilter = Some(evenBloom(s, dir)))),
 
     // ---- Gopher quality gate (round-9): the published rule set as one
     //      zero-shuffle projection — word-count band, mean word length,

@@ -49,6 +49,25 @@ object BudgetSelect {
   def selectByBudget(df: DataFrame, costCol: String, budget: Long, scope: CacheScope,
                      orderCols: Column*): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
+    selectByBudgetCore(df, costCol, _ => budget, scope, orderCols)
+  }
+
+  /** [[selectByBudget]] with the budget stated as a FRACTION of the
+    * corpus's total cost (`total · num / den`, exact long arithmetic) —
+    * round 15 (r14 verdict #6): callers previously ran a SEPARATE
+    * full-corpus aggregation just for the total, but the per-partition
+    * totals this operator collects anyway sum to exactly that value
+    * (long sums are partitioning-independent), so the fraction form folds
+    * the budget pass away. */
+  def selectByBudgetFrac(df: DataFrame, costCol: String, num: Long, den: Long,
+                         scope: CacheScope, orderCols: Column*): DataFrame = {
+    require(num >= 0 && den > 0, s"budget fraction must be >= 0 / > 0, got $num/$den")
+    selectByBudgetCore(df, costCol, tot => tot * num / den, scope, orderCols)
+  }
+
+  private def selectByBudgetCore(df: DataFrame, costCol: String,
+                                 budgetOf: Long => Long, scope: CacheScope,
+                                 orderCols: Seq[Column]): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must rank the corpus")
     val cost = col(costCol).cast("long")
     // _bs_pid decoded from monotonically_increasing_id's high bits — the
@@ -65,6 +84,8 @@ object BudgetSelect {
       .collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
       .sortBy(_._1)
+    val budget = budgetOf(totals.map(_._2).sum)
+    require(budget >= 0, s"budget must be non-negative, got $budget")
     var acc = 0L
     val pref = totals.map { case (pid, tot) => val o = acc; acc += tot; (pid, o, tot) }
 
@@ -124,8 +145,31 @@ object BudgetSelect {
   def selectByBudgetPerGroup(df: DataFrame, groupCol: String, costCol: String,
                              budgets: Map[String, Long], scope: CacheScope,
                              orderCols: Column*): DataFrame = {
-    require(orderCols.nonEmpty, "orderCols must rank within each group")
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    selectByBudgetPerGroupWith(df, groupCol, costCol, _ => budgets, scope,
+      orderCols: _*)
+  }
+
+  /** [[selectByBudgetPerGroup]] with the budgets DERIVED from the
+    * per-group supplies this operator aggregates anyway — round 15
+    * (r14 verdict #6): the mixing entry points (temperature/waterfill
+    * draws) previously ran a separate full-corpus supply aggregation +
+    * collect before the draw; the draw's own per-cell collect carries
+    * the identical exact long sums, so `budgetsOf` receives them and
+    * the extra pass (and its cache) folds away.
+    *
+    * `budgetsOf` gets one row per group — (Spark cast-to-string key,
+    * raw key, supply) — in NO particular order (sort inside if order
+    * matters; the waterfill/temperature closed forms do); `supply` is
+    * None only when every cost in the group is SQL-null. The returned
+    * map is keyed by the cast-string key; groups absent from it (and
+    * the null group, which has no string key) are dropped — the
+    * [[selectByBudgetPerGroup]] contract. */
+  def selectByBudgetPerGroupWith(df: DataFrame, groupCol: String, costCol: String,
+                                 budgetsOf: Seq[(Option[String], Any, Option[Long])] => Map[String, Long],
+                                 scope: CacheScope,
+                                 orderCols: Column*): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must rank within each group")
     val cost = col(costCol).cast("long")
     val gKey = col(groupCol).cast("string")
     val ranged = df
@@ -138,17 +182,30 @@ object BudgetSelect {
     // one job: materializes the cache AND returns the per-cell totals;
     // within a group, ascending pid IS the group's rank order (range
     // partitioning on (group, rank) keeps each group's rows contiguous
-    // and ordered across partitions)
+    // and ordered across partitions). The raw group key rides along for
+    // budgetsOf implementations that order by it (injective-cast
+    // assumption: one raw key per cast key, already load-bearing in the
+    // budgets-map join).
     val cells = ranged.groupBy(col("_bs_pid"), gKey.as("_bs_g"))
-      .agg(sum(cost).as("_bs_tot"))
+      .agg(sum(cost).as("_bs_tot"), min(col(groupCol)).as("_bs_graw"))
       .collect()
       .map(r => (r.getLong(0), Option(r.getString(1)),
-        if (r.isNullAt(2)) 0L else r.getLong(2)))
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.get(3)))
+
+    // per-group supplies under SQL sum semantics: None only when every
+    // cell's sum is null
+    val supplies = cells.groupBy(_._2).toSeq.map { case (g, cs) =>
+      val vals = cs.flatMap(_._3)
+      (g, cs.head._4, if (vals.isEmpty) None else Some(vals.sum))
+    }
+    val budgets = budgetsOf(supplies)
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
 
     val classified = cells.groupBy(_._2).toSeq.flatMap { case (g, cs) =>
       val budget = g.flatMap(budgets.get).getOrElse(0L)
       var acc = 0L
-      cs.sortBy(_._1).flatMap { case (pid, _, tot) =>
+      cs.sortBy(_._1).flatMap { case (pid, _, tot0, _) =>
+        val tot = tot0.getOrElse(0L)
         val off = acc; acc += tot
         // same boundary rule as the single-budget path (off == budget
         // still admits leading zero-cost rows); cells past the budget are

@@ -367,8 +367,10 @@ object Cluster {
                     sizes: DataFrame, sizeIdCol: String, sizeCol: String,
                     thresholds: Seq[Double],
                     scope: CacheScope = CacheScope.noop,
-                    strategy: String = "labelprop"): DataFrame = {
+                    strategy: String = "labelprop",
+                    maxWaitSec: Long = 3600): DataFrame = {
     require(thresholds.nonEmpty, "at least one threshold required")
+    require(maxWaitSec > 0, s"maxWaitSec must be positive, got $maxWaitSec")
     // round 14: the size table is CACHED — it is consumed once per
     // threshold, and deriving it usually re-runs a corpus scan +
     // tokenization per cutoff (q184 measured 3× the same tokenize pass)
@@ -400,9 +402,18 @@ object Cluster {
               col("dup_tokens"), col("n_clusters"))
         }
       }
-      futs.map(f => scala.concurrent.Await.result(
-          f, scala.concurrent.duration.Duration.Inf))
-        .reduce(_ unionByName _)
+      // BOUNDED await (round-14 verdict #3): a wedged threshold loop (a
+      // stuck external scan, a scheduler deadlock) must fail loudly with
+      // a TimeoutException, not hang the caller forever. The bound is
+      // per-future wall time from now — generous for a metadata-scale
+      // pair graph, and a parameter for callers whose graphs are not.
+      val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+      futs.map { f =>
+        val left = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
+        scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration(left,
+            java.util.concurrent.TimeUnit.MILLISECONDS))
+      }.reduce(_ unionByName _)
     } finally pool.shutdown()
   }
 

@@ -1657,31 +1657,6 @@ object Corpus {
       schema)
   }
 
-  /** Collected per-group allocations — the map the draw entry points feed
-    * to [[BudgetSelect.selectByBudgetPerGroup]]; null groups get no budget
-    * (the documented drop). `counts` must carry (_g raw key, _s supply,
-    * _gs = SPARK's cast-to-string of the key): the map is keyed by _gs
-    * because selectByBudgetPerGroup matches on `col(groupCol).cast
-    * ("string")`, and `String.valueOf(collected key)` diverges from that
-    * cast for timestamp/decimal keys (round-14 advice — e.g.
-    * java.sql.Timestamp.toString appends ".0"). */
-  private def waterfillAllocs(counts: DataFrame, alpha: Double,
-                              budget: Long): (Map[String, Long], Long) = {
-    require(alpha >= 0, s"alpha must be non-negative, got $alpha")
-    require(budget > 0, s"budget must be positive, got $budget")
-    val collected = collectSupply(counts, waterfillMaxGroups).map(r =>
-      (r.get(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
-        if (r.isNullAt(2)) None else Some(r.getString(2))))
-    val tot = collected.flatMap(_._2).sum
-    // raw key -> Spark-cast string; raw keys are distinct (groupBy output)
-    val gsOf = collected.collect { case (g, _, Some(gs)) if g != null => g -> gs }.toMap
-    val out = waterfillLocal(collected.map(t => (t._1, t._2)), alpha, budget)
-    (out.flatMap { case (g, _, alloc, _) =>
-      // a null alloc (all-null supply) reads as 0 — the unboxing the
-      // previous collect-from-DataFrame path (Row.getLong on null) applied
-      Option(g).map(v => gsOf(v) -> alloc.getOrElse(0L))
-    }.toMap, tot)
-  }
 
   /** [[waterfillMixBy]] APPLIED — the per-group token-budget draw with
     * the water-filled allocations: each group admits documents in
@@ -1721,35 +1696,41 @@ object Corpus {
                                         alpha: Double, budgetOf: Long => Long,
                                         seed: String,
                                         scope: CacheScope): DataFrame = {
-    // one narrow (id, group, cost) cache feeds BOTH passes (supply
-    // aggregation, then the draw's range exchange) — without it the mix
-    // and the draw each re-scan the corpus and re-run whatever
-    // tokenization derived the group/cost columns
-    val base = scope.track(
-      docs.select(col(idCol), col(groupCol), col(costCol)).cache())
-    // ONE supply job: the collected group table yields both the corpus
-    // total (for fraction-stated budgets) and the waterfill input. _gs is
-    // SPARK's cast-to-string of the key — the alloc map must be keyed by
-    // it because selectByBudgetPerGroup matches on that same cast, and
-    // String.valueOf(JVM key) diverges for timestamp/decimal keys
-    // (round-14 advice)
-    val collected = collectSupply(
-      base.groupBy(col(groupCol).as("_g"))
-        .agg(sum(col(costCol).cast("long")).as("_s"),
-          min(col(groupCol).cast("string")).as("_gs")),
-      waterfillMaxGroups).map(r =>
-        (r.get(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
-          if (r.isNullAt(2)) None else Some(r.getString(2))))
-    val tot = collected.flatMap(_._2).sum
-    val gsOf = collected.collect { case (g, _, Some(gs)) if g != null => g -> gs }.toMap
-    val allocs = waterfillLocal(collected.map(t => (t._1, t._2)), alpha, budgetOf(tot))
-      .flatMap { case (g, _, alloc, _) =>
-        Option(g).map(v => gsOf(v) -> alloc.getOrElse(0L))
-      }.toMap
-    BudgetSelect.selectByBudgetPerGroup(base,
-        groupCol, costCol, allocs, scope,
-        md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), col(idCol))
+    // round 15 (r14 verdict #6): the draw's own per-cell collect IS the
+    // supply aggregation — per-group supplies are exact long sums, so
+    // deriving them from the cells is bit-identical to the previous
+    // separate groupBy pass over `base`, which is gone along with its
+    // cache (the draw is now the base projection's only consumer). The
+    // corpus total for fraction-stated budgets is the same sum. The
+    // alloc map is keyed by SPARK's cast-to-string of the key (round-14
+    // advice), which the cells carry natively.
+    waterfillDraw(docs.select(col(idCol), col(groupCol), col(costCol)),
+      idCol, groupCol, costCol, alpha, budgetOf, seed, scope)
       .select(col(idCol), col(groupCol), col(costCol))
+  }
+
+  /** Shared waterfill draw: [[BudgetSelect.selectByBudgetPerGroupWith]]
+    * with the closed form over the cell-derived supplies. */
+  private def waterfillDraw(base: DataFrame, idCol: String, groupCol: String,
+                            costCol: String, alpha: Double,
+                            budgetOf: Long => Long, seed: String,
+                            scope: CacheScope): DataFrame = {
+    require(alpha >= 0, s"alpha must be non-negative, got $alpha")
+    BudgetSelect.selectByBudgetPerGroupWith(base, groupCol, costCol,
+      supplies => {
+        require(supplies.size <= waterfillMaxGroups,
+          s"waterfill group table exceeds maxGroups=$waterfillMaxGroups — " +
+            "the group column is not mixing-table metadata")
+        val tot = supplies.flatMap(_._3).sum
+        val gsOf = supplies.collect {
+          case (Some(gs), raw, _) if raw != null => raw -> gs }.toMap
+        waterfillLocal(supplies.map(t => (t._2, t._3)).toArray, alpha, budgetOf(tot))
+          .flatMap { case (g, _, alloc, _) =>
+            Option(g).map(v => gsOf(v) -> alloc.getOrElse(0L))
+          }.toMap
+      },
+      scope,
+      md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), col(idCol))
   }
 
   /** [[waterfillMix]] APPLIED — [[temperatureSample]] with the
@@ -1762,17 +1743,13 @@ object Corpus {
                       alpha: Double, budget: Long,
                       seed: String = "graft-temp",
                       scope: CacheScope = CacheScope.noop): DataFrame = {
-    // narrow (id, group) cache shared by the supply pass and the draw —
-    // see waterfillSampleByCost
-    val base = scope.track(docs.select(col(idCol), col(groupCol)).cache())
-    val (allocs, _) = waterfillAllocs(
-      base.groupBy(col(groupCol).as("_g")).agg(count(lit(1)).as("_s"),
-        min(col(groupCol).cast("string")).as("_gs")),
-      alpha, budget)
-    BudgetSelect.selectByBudgetPerGroup(
-        base.withColumn("_ts_one", lit(1L)),
-        groupCol, "_ts_one", allocs, scope,
-        md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), col(idCol))
+    require(budget > 0, s"budget must be positive, got $budget")
+    // round 15: supplies (= group counts, the unit-cost sums) come from
+    // the draw's own cell collect — the separate supply pass and the
+    // shared cache are gone (see waterfillSampleByCostImpl)
+    waterfillDraw(
+      docs.select(col(idCol), col(groupCol)).withColumn("_ts_one", lit(1L)),
+      idCol, groupCol, "_ts_one", alpha, _ => budget, seed, scope)
       .select(col(idCol), col(groupCol))
   }
 
@@ -1832,28 +1809,68 @@ object Corpus {
                         alpha: Double, budget: Long,
                         seed: String = "graft-temp",
                         scope: CacheScope = CacheScope.noop): DataFrame = {
-    // narrow (id, group) cache shared by the mix pass and the draw —
-    // without it both re-compute the upstream plan (for
-    // topicBalancedSample that is ivfAssign's whole broadcast-argmax
-    // shuffle, twice)
+    require(alpha >= 0, s"alpha must be non-negative, got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    // narrow (id, group) cache: still TWO consumers — the draw's range
+    // exchange and the temperature total's count subtree (for
+    // topicBalancedSample each would otherwise re-run ivfAssign's whole
+    // broadcast-argmax shuffle)
     val base = scope.track(docs.select(col(idCol), col(groupCol)).cache())
-    // group-cardinality metadata by definition (a mixing table row per
-    // source/language) — the bounded-driver-state exception
-    val allocs = temperatureMix(base, groupCol, alpha, budget)
-      .select(col(groupCol).cast("string").as("_g"), col("alloc"))
-      .collect()
-      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
-      .toMap
-    // salted permutation (the groupCap lesson): ranking by unsalted
+    // round 15 (r14 verdict #6): group counts come from the draw's own
+    // cell collect (exact longs — bit-identical to the previous separate
+    // mix collect); the largest-remainder arithmetic replays on the
+    // driver in the same IEEE order; ONLY the temperature total
+    // `Σ pow(n,α)` stays a Spark aggregation over the VERBATIM previous
+    // subtree — it is an UNORDERED float sum, and a driver re-summation
+    // in a different order could flip an allocation by one ulp (the
+    // documented temperatureMix exception).
+    // Salted permutation (the groupCap lesson): ranking by unsalted
     // md5(id) would keep exactly the below-threshold hashes hashSplit
-    // puts in train — a group sampled at < the train share would land
-    // 100% of its draw inside the train split when the two compose.
-    // A null group never matches the mix table (equi-join semantics of
-    // the old form, budget-less under the new) — dropped either way.
-    BudgetSelect.selectByBudgetPerGroup(
+    // puts in train. A null group gets no budget — dropped, as the old
+    // mix-table equi-join dropped it.
+    BudgetSelect.selectByBudgetPerGroupWith(
         base.withColumn("_ts_one", lit(1L)),
-        groupCol, "_ts_one", allocs, scope,
+        groupCol, "_ts_one",
+        supplies => {
+          val tot = base.groupBy(col(groupCol).as("_g"))
+            .agg(count(lit(1)).as("n_docs"))
+            .agg(sum(pow(col("n_docs"), alpha)).as("_tot"))
+            .collect()(0).getDouble(0)
+          temperatureAllocsLocal(supplies, alpha, budget, tot)
+        },
+        scope,
         md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), col(idCol))
       .select(col(idCol), col(groupCol))
+  }
+
+  /** Driver-side replication of [[temperatureMix]]'s per-group
+    * allocation arithmetic over cell-derived group counts — the same
+    * IEEE expressions in the same order (`_w = pow(n,α)/tot`,
+    * `_base = floor(_w·budget)`, `_frac = _w·budget − _base`, rank by
+    * (_frac desc, group asc) in Spark's sort semantics, largest-remainder
+    * distribution of `budget − Σ_base`), with `tot` computed BY SPARK
+    * over the previous plan's verbatim subtree (see temperatureSample).
+    * The null group participates in the arithmetic (as it did in the mix
+    * table) and is dropped from the returned map (no string key). */
+  private def temperatureAllocsLocal(
+      supplies: Seq[(Option[String], Any, Option[Long])],
+      alpha: Double, budget: Long, tot: Double): Map[String, Long] = {
+    case class R(gs: Option[String], raw: Any, w: Double, base: Long, frac: Double)
+    val rs = supplies.map { case (gs, raw, s) =>
+      val n = s.getOrElse(0L) // unit costs: None impossible, count >= 1
+      val w = math.pow(n.toDouble, alpha) / tot
+      val b = math.floor(w * budget).toLong
+      R(gs, raw, w, b, w * budget - b)
+    }
+    val rem = budget - rs.map(_.base).sum
+    // (_frac desc, _g asc): Double.compare puts NaN greatest, so negating
+    // it yields NaN-first under desc — Spark's window order
+    val ranked = rs.sortWith { (a, b) =>
+      val c = -java.lang.Double.compare(a.frac, b.frac)
+      if (c != 0) c < 0 else sparkKeyCompare(a.raw, b.raw) < 0
+    }
+    ranked.zipWithIndex.flatMap { case (r, i) =>
+      r.gs.map(_ -> (r.base + (if ((i + 1) <= rem) 1L else 0L)))
+    }.toMap
   }
 }

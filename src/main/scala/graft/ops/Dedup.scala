@@ -885,27 +885,71 @@ object Dedup {
         col(idCol).as("_id"),
         TextAnalysis.fingerprint(col(textCol)).as("_fp")))
       .cache())
-    // batch fingerprints broadcast ONTO history; the semi join keeps only
-    // snapshot fingerprints the batch actually mentions — a tiny set
+    verdictsCoreFromFps(nfp,
+      history.select(TextAnalysis.fingerprint(col(historyTextCol)).as("_fp")),
+      bloomPrefilter)
+  }
+
+  /** The verdict core over PRE-FINGERPRINTED frames: `nfp` = (_id, _fp)
+    * of the batch (caller owns its caching), `histFps` = a one-column
+    * (_fp) stream of history fingerprints.
+    *
+    * Batch fingerprints broadcast ONTO history; the semi join keeps only
+    * history fingerprints the batch actually mentions — a tiny set. The
+    * first-wins election is a window `min(_id)` over the batch's ONE
+    * fingerprint exchange — round 15: the previous groupBy + join-back
+    * planned a SECOND exchange of the batch (the agg and the join could
+    * not share one under AQE), for identical rows. Null-fingerprint rows
+    * are dropped explicitly, exactly as the previous inner join on `_fp`
+    * dropped them (null keys never equi-join). */
+  private def verdictsCoreFromFps(nfp: DataFrame, histFps: DataFrame,
+                                  bloomPrefilter: Option[Array[Byte]]): DataFrame = {
     val probeFps = bloomPrefilter match {
       case Some(bytes) => nfp
         .filter(graft.functions.BloomExprs.mightContain(col("_fp"), bytes))
         .select(col("_fp")).distinct()
       case None => nfp.select(col("_fp")).distinct()
     }
-    val hits = history
-      .select(TextAnalysis.fingerprint(col(historyTextCol)).as("_fp"))
+    val hits = histFps.select(col("_fp"))
       .join(broadcast(probeFps), Seq("_fp"), "left_semi")
       .distinct()
       .withColumn("_inHist", lit(true))
-    val firsts = nfp.groupBy(col("_fp")).agg(min(col("_id")).as("_first"))
-    nfp.join(broadcast(hits), Seq("_fp"), "left")
-      .join(firsts, Seq("_fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
+    nfp.filter(col("_fp").isNotNull)
+      .join(broadcast(hits), Seq("_fp"), "left")
+      .withColumn("_first", min(col("_id")).over(w))
       .select(col("_id"), col("_fp"),
         when(col("_inHist"), lit("dup_history"))
           .when(col("_id") === col("_first"), lit("kept"))
           .otherwise(lit("dup_batch")).as("verdict"))
   }
+
+  /** [[incrementalDedup]] / [[incrementalDedupSnapshot]] over a
+    * pre-fingerprinted batch frame `batchFps` = (idCol, fpCol) and a
+    * history fingerprint stream `histFps` (a raw-history fingerprint
+    * projection, or a materialized snapshot's fp column — the core is
+    * the same) — the entry point for callers that share one fingerprint
+    * pass across the whole incremental family (SparkEntry's session
+    * memo: q96/q120/q129/q131/q138/q141 each re-scanned and re-hashed
+    * the same history per call before round 15). Verdicts are
+    * bit-identical to the from-text paths by construction. */
+  def incrementalDedupFromFps(batchFps: DataFrame, idCol: String, fpCol: String,
+                              histFps: DataFrame, histFpCol: String,
+                              bloomPrefilter: Option[Array[Byte]] = None): DataFrame =
+    verdictsCoreFromFps(
+      batchFps.select(col(idCol).as("_id"), col(fpCol).as("_fp")),
+      histFps.select(col(histFpCol).as("_fp")), bloomPrefilter)
+      .select(col("_id").as(idCol), col("verdict"))
+
+  /** [[snapshotDelta]] over pre-fingerprinted frames — see
+    * [[incrementalDedupFromFps]]. */
+  def snapshotDeltaFromFps(batchFps: DataFrame, idCol: String, fpCol: String,
+                           histFps: DataFrame, histFpCol: String): DataFrame =
+    verdictsCoreFromFps(
+      batchFps.select(col(idCol).as("_id"), col(fpCol).as("_fp")),
+      histFps.select(col(histFpCol).as("_fp")), None)
+      .filter(col("verdict") === "kept")
+      .select(col("_id").as(idCol), col("_fp").as("fp"))
 
   /** [[incrementalDedup]] against a MATERIALIZED fingerprint snapshot —
     * the (id, fp) table [[snapshotDelta]] writes — instead of raw history
@@ -931,23 +975,8 @@ object Dedup {
         col(idCol).as("_id"),
         TextAnalysis.fingerprint(col(textCol)).as("_fp")))
       .cache())
-    val probeFps = bloomPrefilter match {
-      case Some(bytes) => nfp
-        .filter(graft.functions.BloomExprs.mightContain(col("_fp"), bytes))
-        .select(col("_fp")).distinct()
-      case None => nfp.select(col("_fp")).distinct()
-    }
-    val hits = snapshot.select(col(fpCol).as("_fp"))
-      .join(broadcast(probeFps), Seq("_fp"), "left_semi")
-      .distinct()
-      .withColumn("_inHist", lit(true))
-    val firsts = nfp.groupBy(col("_fp")).agg(min(col("_id")).as("_first"))
-    nfp.join(broadcast(hits), Seq("_fp"), "left")
-      .join(firsts, Seq("_fp"))
-      .select(col("_id").as(idCol),
-        when(col("_inHist"), lit("dup_history"))
-          .when(col("_id") === col("_first"), lit("kept"))
-          .otherwise(lit("dup_batch")).as("verdict"))
+    verdictsCoreFromFps(nfp, snapshot.select(col(fpCol).as("_fp")), bloomPrefilter)
+      .select(col("_id").as(idCol), col("verdict"))
   }
 
   /** Live rows of a standing fingerprint-snapshot DIR — the flat
@@ -1192,11 +1221,21 @@ object Dedup {
     * operator uses, so the sketch and the snapshot always agree on what
     * "the same document" means. Returns the serialized sketch. */
   def bloomSnapshot(history: DataFrame, textCol: String,
-                    expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+                    expectedItems: Long, fpp: Double = 0.01): Array[Byte] =
+    bloomSnapshotFps(
+      history.select(TextAnalysis.fingerprint(col(textCol)).as("_fp")),
+      "_fp", expectedItems, fpp)
+
+  /** [[bloomSnapshot]] over a pre-fingerprinted frame — identical bytes
+    * (Bloom insertion is an order-independent OR of bits over the same
+    * item set), one history scan fewer when the caller already owns a
+    * cached fingerprint frame. */
+  def bloomSnapshotFps(fps: DataFrame, fpCol: String,
+                       expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
-    val src = history
-      .select(TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+    val src = fps
+      .select(col(fpCol).as("_fp"))
       .na.drop(Seq("_fp"))
     // Spark 4's stat.bloomFilter NPEs on zero rows (the underlying agg
     // yields a null buffer); an empty history legitimately means "no

@@ -89,8 +89,8 @@ object Pipeline {
     * Scale shape is inherited from the parts, each already in its
     * minimal-scan form (cached narrow streams, vocabulary-sized count
     * tables, boundary-partition budget windows). The DSIR weight frame —
-    * document-count-sized — is additionally cached here because the
-    * budget step consumes it twice (corpus total + selection filter).
+    * document-count-sized — has ONE consumer since round 15: the budget
+    * draw derives the corpus total from its own per-partition totals.
     *
     * Returns the selected documents as (idCol, n_tokens, lr_micro),
     * ranked prefix of the (weight desc, id) order under
@@ -108,14 +108,15 @@ object Pipeline {
       .filter(length(col(textCol)) >= minChars).cache())
     val rebuilt = Dedup.chunkDedupRebuild(gated, idCol, textCol, chunkTokens, scope)
     val cleanDocs = rebuilt.join(gated.select(col(idCol), col(langCol)), Seq(idCol))
-    val weights = scope.track(Corpus.dsirWeights(cleanDocs, idCol, "clean_text",
-      col(langCol) === targetLang, scope).cache())
-    // coalesce: sum over an EMPTY weight frame (everything gated out) is
-    // null — the selection is then empty, not an NPE
-    val total = weights.agg(coalesce(sum(col("n_tokens")), lit(0L)))
-      .collect()(0).getLong(0)
-    BudgetSelect.selectByBudget(weights, "n_tokens",
-        total * budgetNum / budgetDen, scope,
+    // round 15 (r14 verdict #6): the corpus-total pass folds into the
+    // budget draw's own per-partition totals (exact long sums — an
+    // identical budget), so the weight frame has ONE consumer and its
+    // outer cache is gone with the separate collect. An empty weight
+    // frame yields total 0 → budget 0 → empty selection, as before.
+    val weights = Corpus.dsirWeights(cleanDocs, idCol, "clean_text",
+      col(langCol) === targetLang, scope)
+    BudgetSelect.selectByBudgetFrac(weights, "n_tokens",
+        budgetNum, budgetDen, scope,
         col("lr_micro").desc, col(idCol).asc)
       .select(col(idCol), col("n_tokens"), col("lr_micro"))
   }
@@ -241,10 +242,18 @@ object Pipeline {
                  snapshot: DataFrame, index: Dedup.NearDupIndex,
                  minJaccard: Double = 0.2,
                  scope: CacheScope = CacheScope.noop,
-                 bloomPrefilter: Option[Array[Byte]] = None): DataFrame = {
-    val exact = scope.track(
-      Dedup.incrementalDedupSnapshot(batch, idCol, textCol, snapshot,
-        scope = scope, bloomPrefilter = bloomPrefilter).cache())
+                 bloomPrefilter: Option[Array[Byte]] = None,
+                 batchFps: Option[DataFrame] = None): DataFrame = {
+    // `batchFps` (idCol, "fp"): a caller-owned fingerprint frame of the
+    // batch — the exact rung then skips its own fingerprint pass (the
+    // round-15 shared-memo discipline); verdicts are identical by
+    // construction
+    val exact = scope.track((batchFps match {
+      case Some(bf) => Dedup.incrementalDedupFromFps(bf, idCol, "fp",
+        snapshot, "fp", bloomPrefilter)
+      case None => Dedup.incrementalDedupSnapshot(batch, idCol, textCol,
+        snapshot, scope = scope, bloomPrefilter = bloomPrefilter)
+    }).cache())
     val survivors = batch.join(
       exact.filter(col("verdict") === "kept").select(col(idCol)),
       Seq(idCol), "left_semi")

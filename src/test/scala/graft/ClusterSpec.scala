@@ -239,6 +239,17 @@ class ClusterSpec extends AnyFunSuite {
     assert(got(0.99) == (0L, 0L, 0L))
   }
 
+  test("dividendCurve await is bounded: non-positive maxWaitSec fails loudly up front") {
+    val nodes = (0L to 2L).toDF("id")
+    val pairs = Seq((0L, 1L, 0.9)).toDF("a", "b", "j")
+    val sizes = (0L to 2L).map(i => (i, 10L)).toDF("id", "nt")
+    val e = intercept[IllegalArgumentException] {
+      Cluster.dividendCurve(nodes, "id", pairs, "a", "b", "j",
+        sizes, "id", "nt", Seq(0.5), maxWaitSec = 0)
+    }
+    assert(e.getMessage.contains("maxWaitSec"))
+  }
+
   test("componentSizeHistogram: sizes, cluster counts, and doc mass per size") {
     // components: {0,1,2} (chain), {3,4}, {5}, {6}, {7} → one 3-cluster,
     // one 2-cluster, three singletons

@@ -579,6 +579,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(wf == tm)
   }
 
+  test("waterfill supply collect fails loudly past maxGroups (round-15: bounded driver collects)") {
+    // 3 distinct groups against maxGroups = 2: the bounded collect must
+    // throw, not silently OOM-risk the driver at scale
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "grp")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.waterfillMix(docs, "grp", alpha = 0.0, budget = 10L, maxGroups = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    // the bound is inclusive: exactly maxGroups groups still passes
+    val ok = Corpus.waterfillMix(docs, "grp", 0.0, 10L, maxGroups = 3).collect()
+    assert(ok.length == 3)
+  }
+
   test("waterfillMixBy allocates token mass with caps; the cost draw respects per-group budgets") {
     // supplies in TOKENS: rare carries 10, big carries 200; uniform
     // weights, budget 100 → rare capped at 10, big absorbs 90

@@ -62,13 +62,15 @@ object QBenchMain {
         jobs.set(0)
         val t0 = System.nanoTime()
         val c0 = osBean.getProcessCpuTime
-        fn(spark, sfDir).count()
+        val df = fn(spark, sfDir) // construction: planning + any eager collects
+        val tb = (System.nanoTime() - t0) / 1e9
+        df.count()
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (osBean.getProcessCpuTime - c0) / 1e9
         Thread.sleep(50) // let the listener bus drain before reading the job count
         val nj = jobs.get()
         if (wall < best) { best = wall; bestJobs = nj }
-        println(f"[qbench] $name%-28s run$r wall=$wall%.3f cpu=$cpu%.1f jobs=$nj")
+        println(f"[qbench] $name%-28s run$r wall=$wall%.3f build=$tb%.3f cpu=$cpu%.1f jobs=$nj")
       }
       println(f"[qbench] $name%-28s BEST wall=$best%.3f jobs=$bestJobs")
       plansDir.foreach { case (dir, suffix) =>
